@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Fixture loaders (FIXTURES.md, SURVEY §1.2).
+  *
+  * All tables are read straight from the driver-generated parquet. The only
+  * normalization is `events.ts`: the fixture stores parquet `timestamp[ns]`,
+  * which Spark 4 surfaces as `LongType` (nanos) when
+  * `spark.sql.legacy.parquet.nanosAsLong=true` — we truncate to microsecond
+  * `TimestampType` (same truncation DuckDB applies casting ns→µs), so both
+  * engines agree bit-for-bit on every timestamp they output.
+  */
+object Tables {
+  private def p(s: SparkSession, d: String, name: String): DataFrame =
+    s.read.parquet(s"$d/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = p(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = p(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = p(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = p(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = p(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = p(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = p(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = p(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = p(s, d, "embeddings")
+
+  /** events with `ts` normalized to µs TimestampType regardless of how the
+    * session surfaced the ns-precision parquet column. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = p(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // nanosAsLong: integer nanos since epoch
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _: TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
+
+  /** Schema used for streaming reads of events (file stream source requires
+    * an explicit schema; ts arrives as nanos LongType under nanosAsLong). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+}
+
+/** Shared helpers for deterministic, DuckDB-oracle-safe expressions. */
+object Q {
+  /** Sums over doubles are order-dependent; cast per-row to an exact decimal
+    * before aggregating so Spark and DuckDB (and Spark run-to-run across
+    * shuffle orders) agree exactly. Per-row double arithmetic (+,-,*,/,sqrt)
+    * is IEEE-deterministic and needs no such treatment. */
+  def dec6(c: Column): Column = c.cast("decimal(38,6)")
+
+  def ts(sd: String): Column = lit(sd).cast("timestamp")
+}

@@ -1,0 +1,676 @@
+package graft.operators
+
+import graft.{Tables, Q}
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY §2.1–§2.8: the core relational surface, expressed declaratively so
+  * Catalyst does the planning (predicate pushdown, column pruning, broadcast
+  * selection, TakeOrderedAndProject for top-k). One entry per inventory id;
+  * every query imposes a total output order and uses decimal sums / per-row
+  * IEEE arithmetic so the DuckDB oracle hash-matches (SURVEY §5.2, §7.6).
+  */
+object RelationalQueries {
+  import Q.{dec6, ts}
+
+  // ---- §2.1 scans -----------------------------------------------------------
+
+  /** S1: single-partition point read (Cassandra SinglePartitionReadCommand).
+    * Parquet row-group stats + dictionary pushdown play the partition index. */
+  def s1_point_read(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val mn = li.agg(min(col("l_orderkey")).as("mk"))
+    li.join(broadcast(mn), col("l_orderkey") === col("mk"))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+      .orderBy("l_linenumber")
+  }
+
+  /** S2: partition-range scan (token-range scan analogue) with pushed filter. */
+  def s2_range_scan(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate").between(ts("1996-01-01"), ts("1996-12-31")))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dec6(sum(dec6(col("l_quantity")))).as("sum_qty"))
+      .orderBy("l_returnflag")
+
+  /** S3: clustering slice within one partition, reversed order. */
+  def s3_clustering_slice(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val mn = li.agg(min(col("l_orderkey")).as("mk"))
+    li.join(broadcast(mn), col("l_orderkey") === col("mk"))
+      .filter(col("l_linenumber").between(2, 6))
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy(col("l_linenumber").desc)
+  }
+
+  /** S4: clustering-names filter (exact IN set of clustering values). */
+  def s4_clustering_names(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 20 && col("l_linenumber").isin(1, 3, 5))
+      .select("l_orderkey", "l_linenumber", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** S10/F12/L6: JSON prop extraction + map fns over events.props. */
+  def s10_json(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  // ---- §2.2 projection / filter --------------------------------------------
+
+  /** P1/P7: projection + null-semantics filter (Catalyst prunes columns). */
+  def p1_projection(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_acctbal").isNotNull)
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .filter(col("c_custkey") < 100)
+      .orderBy("c_custkey")
+
+  /** P2: multi-column tuple restriction ((ck1,ck2) > (a,b)). */
+  def p2_tuple_restriction(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(struct(col("l_orderkey"), col("l_linenumber")) > struct(lit(100L), lit(2)))
+      .agg(count(lit(1)).as("n"), min(col("l_orderkey")).as("min_ok"),
+        max(col("l_orderkey")).as("max_ok"))
+
+  /** P4: ALLOW FILTERING residual predicate (full scan + arbitrary filter). */
+  def p4_residual_filter(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("value") > 100 && col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dec6(sum(dec6(col("value")))).as("sum_value"))
+      .orderBy("event_type")
+
+  /** P5: CONTAINS on a collection column (token membership). */
+  def p5_contains(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(array_contains(split(col("text"), " "), "scan"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+
+  /** P6: LIKE prefix/contains text match (SASI/SAI analogue). */
+  def p6_like(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("source").like("src1%") && col("text").contains("merge join"))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
+  // ---- §2.3 joins -----------------------------------------------------------
+
+  /** J1: broadcast-hash star join (fact ⋈ 3 broadcast dims), revenue/region. */
+  def j1_broadcast_star(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate").between(ts("1997-01-01"), ts("1997-12-31")))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(dec6(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("r_name")
+
+  /** J2: large shuffled equi-join orders ⋈ lineitem (SMJ/SHJ; AQE may demote
+    * to broadcast at small SF — both are the right plan at their scale). */
+  def j2_orders_lineitem(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === 1996)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+        dec6(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"))
+      .orderBy("o_orderpriority")
+
+  /** J3: left outer join preserving customers with no qualifying orders. */
+  def j3_left_outer(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_custkey") < 50)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(dec6(sum(dec6(col("o_totalprice")))), dec6(lit(0))).as("sum_price"))
+      .orderBy("c_custkey")
+
+  /** J4: left semi — customers having at least one big order. */
+  def j4_semi(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey").orderBy("c_custkey")
+
+  /** J4: left anti — customers with no big order (repair-diff analogue). */
+  def j4_anti(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("min_ck"),
+        max(col("c_custkey")).as("max_ck"))
+
+  /** J5: pure theta (non-equi) join — value banding via broadcast NLJ. */
+  def j5_theta_band(s: SparkSession, d: String): DataFrame = {
+    val bands = s.createDataFrame(Seq((0d, 50d), (50d, 150d), (150d, 400d)))
+      .toDF("lo", "hi")
+    Tables.events(s, d)
+      .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"), dec6(sum(dec6(col("value")))).as("sum_value"))
+      .orderBy("lo")
+  }
+
+  /** J6: as-of join — for each purchase, the latest click at-or-before it.
+    * Scale-first shape: ONE shuffle (union + window), no per-key blowup —
+    * the pattern that survives 100 TB, vs the naive range join + dedup. */
+  def j6_asof(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("kind"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("kind"), col("event_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("kind").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click_id",
+        last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_click_ts",
+        last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
+        col("last_click_id"), col("last_click_ts"))
+      .orderBy("event_id")
+  }
+
+  /** J7: interval join — lineitem shipped within 30 days of its order date. */
+  def j7_interval(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("interval 30 days"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dec6(sum(dec6(col("l_quantity")))).as("sum_qty"))
+      .orderBy("l_returnflag")
+
+  // ---- §2.4 aggregations ----------------------------------------------------
+
+  /** A1/A2: flagship pricing summary (TPC-H Q1 adapted to fixture columns). */
+  def a1_pricing_summary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= ts("1998-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dec6(sum(dec6(col("l_quantity")))).as("sum_qty"),
+        dec6(sum(dec6(col("l_extendedprice")))).as("sum_base_price"),
+        dec6(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("sum_disc_price"),
+        dec6(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))))).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", round(col("sum_qty").cast("double") / col("count_order"), 6))
+      .withColumn("avg_price", round(col("sum_base_price").cast("double") / col("count_order"), 6))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A3: time-bucketed GROUP BY (floor(ts, 1d) analogue). */
+  def a3_time_bucket(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dec6(sum(dec6(col("value")))).as("sum_value"))
+      .orderBy("day", "event_type")
+
+  /** A4/O3/W1 on lineitem: PER PARTITION LIMIT 2 (top rows per partition). */
+  def a4_per_partition_limit(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey").orderBy(col("l_linenumber").asc)
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 30)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select("l_orderkey", "l_linenumber", "rn")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** A7: HLL cardinality estimation (no oracle — estimator-specific). */
+  def a7_approx_distinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+
+  /** A8: SELECT DISTINCT. */
+  def a8_distinct(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select("c_mktsegment", "c_nationkey").distinct()
+      .orderBy("c_mktsegment", "c_nationkey")
+
+  /** A9: rollup with grouping indicators (engine extension beyond CQL). */
+  def a9_rollup(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .rollup(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), dec6(sum(dec6(col("c_acctbal")))).as("sum_bal"))
+      .select(
+        coalesce(col("c_mktsegment"), lit("ALL")).as("mktsegment"),
+        coalesce(col("c_nationkey").cast("string"), lit("ALL")).as("nationkey"),
+        col("n"), col("sum_bal"))
+      .orderBy("mktsegment", "nationkey")
+
+  // ---- §2.5 windows ---------------------------------------------------------
+
+  /** W1: top-3 events per user (PER PARTITION LIMIT analogue; bench headline). */
+  def w1_topk_per_user(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id").asc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("user_id", "rn", "event_id", "value")
+      .orderBy("user_id", "rn")
+  }
+
+  /** W2: ranking — top customers by balance within nation + percent_rank. */
+  def w2_rank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc)
+    Tables.customer(s, d)
+      .withColumn("rnk", dense_rank().over(w))
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .filter(col("rnk") <= 3)
+      .select("c_nationkey", "rnk", "c_custkey", "pr")
+      .orderBy("c_nationkey", "rnk", "c_custkey")
+  }
+
+  /** W3: lag — mean inter-event gap per user, exact µs arithmetic. */
+  def w3_lag_gap(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("prev")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap_us")).as("sum_gap_us"))
+      .withColumn("avg_gap_s",
+        round(col("sum_gap_us").cast("double") / 1000000 / col("n_gaps"), 6))
+      .orderBy("user_id")
+  }
+
+  /** W4: frames — running decimal sum + 5-row moving window per user. */
+  def w4_moving(s: SparkSession, d: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mov = ord.rowsBetween(-4, 0)
+    Tables.events(s, d)
+      .withColumn("run_sum", dec6(sum(dec6(col("value"))).over(run)))
+      .withColumn("mov5_n", count(lit(1)).over(mov))
+      .select("user_id", "event_id", "run_sum", "mov5_n")
+      .orderBy("user_id", "event_id")
+  }
+
+  // ---- §2.6 sorts / limits --------------------------------------------------
+
+  /** O1/O2: global top-k — collapses to TakeOrderedAndProject (no full sort). */
+  def o1_topk(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(20)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+
+  // ---- §2.7 set operations --------------------------------------------------
+
+  /** Set ops: users who clicked but never errored (EXCEPT, distinct). */
+  def setop_except(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ev.filter(col("event_type") === "click").select("user_id")
+      .except(ev.filter(col("event_type") === "error").select("user_id"))
+      .orderBy("user_id")
+  }
+
+  /** Set ops: users with both a purchase and a signup (INTERSECT). */
+  def setop_intersect(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ev.filter(col("event_type") === "purchase").select("user_id")
+      .intersect(ev.filter(col("event_type") === "signup").select("user_id"))
+      .orderBy("user_id")
+  }
+
+  /** Set ops: EXCEPT ALL multiset difference (clicks minus errors, per user). */
+  def setop_except_all(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ev.filter(col("event_type") === "click").select("user_id")
+      .exceptAll(ev.filter(col("event_type") === "error").select("user_id"))
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy("user_id")
+  }
+
+  // ---- §2.8 scalar functions ------------------------------------------------
+
+  /** F2/F3: date/time functions — per-month order stats. */
+  def f2_dates(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n"), dec6(sum(dec6(col("o_totalprice")))).as("sum_price"))
+      .orderBy("yr", "mo")
+
+  /** F4: blob conversions — text→bytes→hex (lowercased to match DuckDB). */
+  def f4_blob(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"),
+        lower(hex(encode(substring(col("text"), 1, 8), "UTF-8"))).as("hx"),
+        length(col("text")).as("len"))
+      .orderBy("doc_id")
+
+  /** F5: CAST — explicit floor before int cast (Spark truncates, DuckDB
+    * rounds; floor() makes both deterministic and identical). */
+  def f5_cast(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 10)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_quantity")).cast("int").as("qty_int"),
+        col("l_quantity").cast("string").as("qty_str"),
+        col("l_linenumber").cast("double").as("ln_dbl"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** F8: collection functions over tokenized text. */
+  def f8_collections(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        array_max(transform(toks, w => length(w))).as("max_word_len"),
+        array_min(transform(toks, w => length(w))).as("min_word_len"))
+      .orderBy("doc_id")
+  }
+
+  /** F11: math functions (transcendentals rounded — libm may differ 1 ulp). */
+  def f11_math(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_id") < 50)
+      .select(col("event_id"),
+        abs(col("value")).as("abs_v"),
+        round(log(col("value") + 1), 4).as("ln_v"),
+        sqrt(col("value")).as("sqrt_v"),
+        floor(col("value")).as("floor_v"),
+        ceil(col("value")).as("ceil_v"))
+      .orderBy("event_id")
+
+  /** F13: masking — inner mask + hash mask (sha256 hex, lowercase both). */
+  def f13_mask(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_custkey") < 30)
+      .select(col("c_custkey"),
+        concat(substring(col("c_name"), 1, 4), lit("****")).as("mask_inner"),
+        sha2(col("c_name"), 256).as("mask_hash"))
+      .orderBy("c_custkey")
+
+  /** F14: string ops — regexp, case, levenshtein. */
+  def f14_strings(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 40)
+      .select(col("doc_id"),
+        upper(substring(col("text"), 1, 10)).as("up"),
+        regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
+        levenshtein(substring(col("text"), 1, 6), lit("query")).as("lev"))
+      .orderBy("doc_id")
+
+  // ---- registry -------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_point_read" -> (s1_point_read _),
+    "s2_range_scan" -> (s2_range_scan _),
+    "s3_clustering_slice" -> (s3_clustering_slice _),
+    "s4_clustering_names" -> (s4_clustering_names _),
+    "s10_json" -> (s10_json _),
+    "p1_projection" -> (p1_projection _),
+    "p2_tuple_restriction" -> (p2_tuple_restriction _),
+    "p4_residual_filter" -> (p4_residual_filter _),
+    "p5_contains" -> (p5_contains _),
+    "p6_like" -> (p6_like _),
+    "j1_broadcast_star" -> (j1_broadcast_star _),
+    "j2_orders_lineitem" -> (j2_orders_lineitem _),
+    "j3_left_outer" -> (j3_left_outer _),
+    "j4_semi" -> (j4_semi _),
+    "j4_anti" -> (j4_anti _),
+    "j5_theta_band" -> (j5_theta_band _),
+    "j6_asof" -> (j6_asof _),
+    "j7_interval" -> (j7_interval _),
+    "a1_pricing_summary" -> (a1_pricing_summary _),
+    "a3_time_bucket" -> (a3_time_bucket _),
+    "a4_per_partition_limit" -> (a4_per_partition_limit _),
+    "a7_approx_distinct" -> (a7_approx_distinct _),
+    "a8_distinct" -> (a8_distinct _),
+    "a9_rollup" -> (a9_rollup _),
+    "w1_topk_per_user" -> (w1_topk_per_user _),
+    "w2_rank" -> (w2_rank _),
+    "w3_lag_gap" -> (w3_lag_gap _),
+    "w4_moving" -> (w4_moving _),
+    "o1_topk" -> (o1_topk _),
+    "setop_except" -> (setop_except _),
+    "setop_intersect" -> (setop_intersect _),
+    "setop_except_all" -> (setop_except_all _),
+    "f2_dates" -> (f2_dates _),
+    "f4_blob" -> (f4_blob _),
+    "f5_cast" -> (f5_cast _),
+    "f8_collections" -> (f8_collections _),
+    "f11_math" -> (f11_math _),
+    "f13_mask" -> (f13_mask _),
+    "f14_strings" -> (f14_strings _),
+  )
+
+  /** DuckDB twins. Conventions: identical column aliases, identical per-row
+    * expression shapes (IEEE determinism), decimal(38,6) sums, total ORDER BY,
+    * `cast(ts as timestamp)` to truncate the ns fixture to Spark's µs. */
+  val oracle: Map[String, String] = Map(
+    "s1_point_read" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+        |FROM lineitem WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
+        |ORDER BY l_linenumber""".stripMargin,
+    "s2_range_scan" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  cast(sum(cast(l_quantity AS decimal(38,6))) AS decimal(38,6)) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "s3_clustering_slice" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
+        |  AND l_linenumber BETWEEN 2 AND 6
+        |ORDER BY l_linenumber DESC""".stripMargin,
+    "s4_clustering_names" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+        |WHERE l_orderkey < 20 AND l_linenumber IN (1,3,5)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "s10_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  cast(sum(cast(json_extract_string(props, '$.k') AS bigint)) AS bigint) AS sum_k,
+        |  min(cast(json_extract_string(props, '$.k') AS bigint)) AS min_k,
+        |  max(cast(json_extract_string(props, '$.k') AS bigint)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "p1_projection" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_acctbal IS NOT NULL AND c_custkey < 100 ORDER BY c_custkey""".stripMargin,
+    "p2_tuple_restriction" ->
+      """SELECT count(*) AS n, min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+        |FROM lineitem WHERE (l_orderkey, l_linenumber) > (100, 2)""".stripMargin,
+    "p4_residual_filter" ->
+      """SELECT event_type, count(*) AS n,
+        |  cast(sum(cast(value AS decimal(38,6))) AS decimal(38,6)) AS sum_value
+        |FROM events WHERE value > 100 AND event_type IN ('click','purchase')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "p5_contains" ->
+      """SELECT lang, count(*) AS n_docs FROM documents
+        |WHERE list_contains(string_split(text, ' '), 'scan')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "p6_like" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE source LIKE 'src1%' AND text LIKE '%merge join%' ORDER BY doc_id""".stripMargin,
+    "j1_broadcast_star" ->
+      """SELECT r_name,
+        |  cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,6))) AS decimal(38,6)) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "j2_orders_lineitem" ->
+      """SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
+        |  cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,6))) AS decimal(38,6)) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE year(o_orderdate) = 1996
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "j3_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  coalesce(cast(sum(cast(o_totalprice AS decimal(38,6))) AS decimal(38,6)),
+        |           cast(0 AS decimal(38,6))) AS sum_price
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |WHERE c_custkey < 50 GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "j4_semi" ->
+      """SELECT c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "j4_anti" ->
+      """SELECT count(*) AS n, min(c_custkey) AS min_ck, max(c_custkey) AS max_ck
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+    "j5_theta_band" ->
+      """SELECT lo, hi, count(*) AS n,
+        |  cast(sum(cast(value AS decimal(38,6))) AS decimal(38,6)) AS sum_value
+        |FROM events JOIN (VALUES (cast(0 AS double), cast(50 AS double)),
+        |                         (cast(50 AS double), cast(150 AS double)),
+        |                         (cast(150 AS double), cast(400 AS double))) b(lo, hi)
+        |  ON value >= lo AND value < hi
+        |GROUP BY lo, hi ORDER BY lo""".stripMargin,
+    "j6_asof" ->
+      """WITH p AS (SELECT event_id, user_id, cast(ts AS timestamp) ts FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id, user_id, cast(ts AS timestamp) ts FROM events WHERE event_type = 'click')
+        |SELECT event_id, user_id, purchase_ts, last_click_id, last_click_ts FROM (
+        |  SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+        |         c.event_id AS last_click_id, c.ts AS last_click_ts,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |                            ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) rn
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "j7_interval" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  cast(sum(cast(l_quantity AS decimal(38,6))) AS decimal(38,6)) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  cast(sum(cast(l_quantity AS decimal(38,6))) AS decimal(38,6)) AS sum_qty,
+        |  cast(sum(cast(l_extendedprice AS decimal(38,6))) AS decimal(38,6)) AS sum_base_price,
+        |  cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,6))) AS decimal(38,6)) AS sum_disc_price,
+        |  cast(sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS decimal(38,6))) AS decimal(38,6)) AS sum_charge,
+        |  count(*) AS count_order,
+        |  round(cast(cast(sum(cast(l_quantity AS decimal(38,6))) AS decimal(38,6)) AS double) / count(*), 6) AS avg_qty,
+        |  round(cast(cast(sum(cast(l_extendedprice AS decimal(38,6))) AS decimal(38,6)) AS double) / count(*), 6) AS avg_price
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "a3_time_bucket" ->
+      """SELECT date_trunc('day', cast(ts AS timestamp)) AS day, event_type, count(*) AS n,
+        |  cast(sum(cast(value AS decimal(38,6))) AS decimal(38,6)) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "a4_per_partition_limit" ->
+      """SELECT l_orderkey, l_linenumber, cast(rn AS int) AS rn FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) rn
+        |  FROM lineitem WHERE l_orderkey < 30)
+        |WHERE rn <= 2 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "a8_distinct" ->
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+    "a9_rollup" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
+        |  coalesce(cast(c_nationkey AS varchar), 'ALL') AS nationkey,
+        |  count(*) AS n,
+        |  cast(sum(cast(c_acctbal AS decimal(38,6))) AS decimal(38,6)) AS sum_bal
+        |FROM customer GROUP BY ROLLUP(c_mktsegment, c_nationkey)
+        |ORDER BY mktsegment, nationkey""".stripMargin,
+    "w1_topk_per_user" ->
+      """SELECT user_id, cast(rn AS int) AS rn, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) rn
+        |  FROM events)
+        |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+    "w2_rank" ->
+      """SELECT c_nationkey, cast(rnk AS int) AS rnk, c_custkey, pr FROM (
+        |  SELECT c_nationkey, c_custkey,
+        |         dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) rnk,
+        |         round(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC), 6) pr
+        |  FROM customer)
+        |WHERE rnk <= 3 ORDER BY c_nationkey, rnk, c_custkey""".stripMargin,
+    "w3_lag_gap" ->
+      """SELECT user_id, count(*) AS n_gaps, cast(sum(gap_us) AS bigint) AS sum_gap_us,
+        |  round(cast(sum(gap_us) AS double) / 1000000 / count(*), 6) AS avg_gap_s
+        |FROM (
+        |  SELECT user_id,
+        |    epoch_us(cast(ts AS timestamp)) -
+        |      epoch_us(lag(cast(ts AS timestamp)) OVER (PARTITION BY user_id ORDER BY cast(ts AS timestamp), event_id)) AS gap_us
+        |  FROM events)
+        |WHERE gap_us IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "w4_moving" ->
+      """SELECT user_id, event_id,
+        |  cast(sum(cast(value AS decimal(38,6))) OVER (
+        |    PARTITION BY user_id ORDER BY cast(ts AS timestamp), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS decimal(38,6)) AS run_sum,
+        |  count(*) OVER (
+        |    PARTITION BY user_id ORDER BY cast(ts AS timestamp), event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mov5_n
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "o1_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+    "setop_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin,
+    "setop_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT SELECT user_id FROM events WHERE event_type = 'signup'
+        |ORDER BY user_id""".stripMargin,
+    "setop_except_all" ->
+      """SELECT user_id, count(*) AS n FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT ALL SELECT user_id FROM events WHERE event_type = 'error')
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "f2_dates" ->
+      """SELECT cast(year(o_orderdate) AS int) AS yr, cast(month(o_orderdate) AS int) AS mo,
+        |  count(*) AS n,
+        |  cast(sum(cast(o_totalprice AS decimal(38,6))) AS decimal(38,6)) AS sum_price
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "f4_blob" ->
+      """SELECT doc_id, lower(hex(encode(substr(text, 1, 8)))) AS hx,
+        |  cast(length(text) AS int) AS len
+        |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin,
+    "f5_cast" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  cast(floor(l_quantity) AS int) AS qty_int,
+        |  cast(l_quantity AS varchar) AS qty_str,
+        |  cast(l_linenumber AS double) AS ln_dbl
+        |FROM lineitem WHERE l_orderkey < 10 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "f8_collections" ->
+      """SELECT doc_id,
+        |  cast(len(string_split(text, ' ')) AS int) AS n_tokens,
+        |  cast(len(list_distinct(string_split(text, ' '))) AS int) AS n_distinct,
+        |  cast(list_max(list_transform(string_split(text, ' '), w -> length(w))) AS int) AS max_word_len,
+        |  cast(list_min(list_transform(string_split(text, ' '), w -> length(w))) AS int) AS min_word_len
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+    "f11_math" ->
+      """SELECT event_id, abs(value) AS abs_v, round(ln(value + 1), 4) AS ln_v,
+        |  sqrt(value) AS sqrt_v, cast(floor(value) AS bigint) AS floor_v,
+        |  cast(ceil(value) AS bigint) AS ceil_v
+        |FROM events WHERE event_id < 50 ORDER BY event_id""".stripMargin,
+    "f13_mask" ->
+      """SELECT c_custkey, substr(c_name, 1, 4) || '****' AS mask_inner,
+        |  sha256(c_name) AS mask_hash
+        |FROM customer WHERE c_custkey < 30 ORDER BY c_custkey""".stripMargin,
+    "f14_strings" ->
+      """SELECT doc_id, upper(substr(text, 1, 10)) AS up,
+        |  regexp_extract(text, '([a-z]+)', 1) AS first_word,
+        |  cast(levenshtein(substr(text, 1, 6), 'query') AS int) AS lev
+        |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin,
+  )
+}
