@@ -12,10 +12,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries
+    RelationalQueries.queries ++ CassandraModel.queries ++
+      VectorQueries.queries ++ DedupQueries.queries ++ TextQueries.queries ++
+      StreamingQueries.queries ++ MultimodalQueries.queries ++
+      UdafQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle
+    RelationalQueries.oracle ++ CassandraModel.oracle ++
+      VectorQueries.oracle ++ DedupQueries.oracle ++ TextQueries.oracle ++
+      StreamingQueries.oracle ++ MultimodalQueries.oracle ++
+      UdafQueries.oracle
 }

@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.13 L2/L4 — text fingerprinting / sketching primitives, all as
+  * codegen-friendly builtin compositions (no UDFs). Seeded hashing uses
+  * `xxhash64` (Spark-native, 64-bit, deterministic across runs/executors).
+  */
+object TextFunctions {
+  /** Whitespace tokenizer (the fixture corpus is space-separated words). */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Order-insensitive content fingerprint: md5 of the sorted distinct token
+    * set — the classic "fingerprint dedup" normalization. SQL-twin-able. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Word n-gram shingles: ["a b c","b c d",…] for n=3. */
+  def shingles(toks: Column, n: Int): Column =
+    transform(sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+
+  /** One MinHash signature component: min over shingles of a seeded 64-bit
+    * hash. A full signature is an array of these with distinct seeds. */
+  def minhashComponent(shingleCol: Column, seed: Int): Column =
+    array_min(transform(shingleCol, sh => xxhash64(sh, lit(seed))))
+
+  /** k-component MinHash signature (array<bigint>). */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    array((0 until k).map(minhashComponent(shingleCol, _)): _*)
+
+  /** LSH bands over a signature: array of (bandIdx, bandHash) structs; docs
+    * sharing any band hash are near-dup candidates (shuffle key at scale). */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",", transform(
+          slice(sig, b * rowsPerBand + 1, rowsPerBand),
+          x => x.cast("string"))), lit(b)).as("bh"))
+    }: _*)
+
+  /** 64-bit SimHash over tokens: per bit j, count tokens whose xxhash64 has
+    * bit j set; bit j of the simhash is 1 iff that count exceeds half the
+    * token count. Pure aggregate/zip_with fold — one pass over tokens. */
+  def simhash(toks: Column): Column = {
+    val counts = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          j => call_function("shiftright", xxhash64(t), j.cast("int"))
+            .bitwiseAND(1L)),
+        (a, b) => a + b))
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, j) => when(c * 2 > size(toks),
+          call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit sketches. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

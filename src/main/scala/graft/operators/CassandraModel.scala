@@ -1,0 +1,229 @@
+package graft.operators
+
+import graft.{Tables, Q}
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY §7.3 — the Cassandra semantics layer: the upsert-log data model and
+  * the operators Spark does NOT give for free (§1.1 mutability semantics).
+  *
+  * Model: a table is an append-only log of cell-writes
+  * `(pk, payload…, _writetime, _deleted)`; the visible state is the
+  * latest-wins view (highest `_writetime` wins; a winning tombstone hides the
+  * row — upstream `db/rows/Cells.java` reconcile + `db/DeletionTime.java`
+  * semantics [U], unverifiable per SURVEY §0).
+  *
+  * Scale notes (100 TB): `latestWinsView` is one hash-shuffle by pk (window
+  * rn=1); `compact` is the TWCS/STCS analogue — periodic rewrite of the log
+  * into a snapshot sorted by (token, pk) so later scans get clustering + stats
+  * pruning. Neither collects to the driver; both are pure DataFrame plans.
+  */
+object CassandraModel {
+  import Q.dec6
+
+  /** Engine-defined token function (SURVEY §2.2 P3 / §4.2): a deterministic
+    * 31-bit multiplicative hash expressible identically in ANSI SQL, used for
+    * ring-style range scans. (Cassandra uses Murmur3-128 [U
+    * dht/Murmur3Partitioner.java]; Spark has no 64-bit murmur builtin, and the
+    * oracle needs a twin — a documented deviation.) Pure arithmetic: stays
+    * inside whole-stage codegen. */
+  def tokenOf(pk: Column): Column =
+    (pk % 1000003L) * 2654435761L % 2147483647L
+
+  /** Deterministic upsert log derived from `orders` (no upsert fixture exists
+    * — SURVEY §7.6.3): 3 versions per key; `_writetime` varies which version
+    * wins per key; version 2 of every 7th key is a tombstone. */
+  def upsertLog(s: SparkSession, d: String): DataFrame = {
+    val versions = s.range(0, 3).toDF("v")
+    Tables.orders(s, d)
+      .select(col("o_orderkey").as("pk"), col("o_totalprice"), col("o_orderstatus"))
+      .crossJoin(broadcast(versions))
+      .select(
+        col("pk"),
+        (col("o_totalprice") + col("v")).as("price"),
+        concat(col("o_orderstatus"), lit("-v"), col("v")).as("status"),
+        ((col("pk") * (col("v") + 1)) % 1009L).as("_writetime"),
+        col("v").cast("int").as("v"),
+        (col("v") === 2 && col("pk") % 7 === 0).as("_deleted"))
+  }
+
+  /** The SQL twin of [[upsertLog]] (kept adjacent so they evolve together). */
+  val upsertLogSql: String =
+    """SELECT o_orderkey AS pk, o_totalprice + v AS price,
+      |  o_orderstatus || '-v' || v AS status,
+      |  (o_orderkey * (v + 1)) % 1009 AS _writetime, cast(v AS int) AS v,
+      |  (v = 2 AND o_orderkey % 7 = 0) AS _deleted
+      |FROM orders CROSS JOIN (SELECT unnest(range(0,3)) AS v) vs""".stripMargin
+
+  /** Latest-wins view (upstream read-path reconcile, `utils/MergeIterator` +
+    * `Cells.reconcile` [U]): per pk keep the cell with the highest
+    * (_writetime, v); if that winner is a tombstone the row is invisible.
+    * One shuffle; at scale, pre-bucketing the log by pk makes it shuffle-free. */
+  def latestWinsView(log: DataFrame): DataFrame = {
+    val w = Window.partitionBy("pk")
+      .orderBy(col("_writetime").desc, col("v").desc)
+    log.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && !col("_deleted"))
+      .drop("_rn", "_deleted")
+  }
+
+  /** Compaction (STCS/TWCS analogue, `db/compaction/` [U]): materialize the
+    * latest-wins view sorted by (token, pk) — the layout later range scans
+    * want. Returns the compacted snapshot as re-read from disk. */
+  def compact(log: DataFrame, outPath: String): DataFrame = {
+    val v = latestWinsView(log).withColumn("_token", tokenOf(col("pk")))
+    v.repartitionByRange(col("_token"))
+      .sortWithinPartitions("_token", "pk")
+      .write.mode("overwrite").parquet(outPath)
+    v.sparkSession.read.parquet(outPath)
+  }
+
+  // ---- declared queries -----------------------------------------------------
+
+  /** C1: latest-wins upsert view (flagship Cassandra semantics). */
+  def c1_latest_wins(s: SparkSession, d: String): DataFrame =
+    latestWinsView(upsertLog(s, d))
+      .filter(col("pk") < 200)
+      .select(col("pk"), dec6(col("price")).as("price"), col("status"),
+        col("_writetime"))
+      .orderBy("pk")
+
+  /** C2: writetime()/maxwritetime() selectors (F9) over the upsert log. */
+  def c2_writetime(s: SparkSession, d: String): DataFrame =
+    upsertLog(s, d)
+      .filter(col("pk") < 300)
+      .groupBy(col("pk"))
+      .agg(max(col("_writetime")).as("max_writetime"),
+        min(col("_writetime")).as("min_writetime"),
+        count(lit(1)).as("n_versions"))
+      .orderBy("pk")
+
+  /** C3: post-compaction stats — checksum aggregation over the latest-wins
+    * view (compact-the-operator round-trips through parquet in the spec;
+    * its contract is exactly "same rows as the view"). */
+  def c3_compact_stats(s: SparkSession, d: String): DataFrame =
+    latestWinsView(upsertLog(s, d))
+      .agg(count(lit(1)).as("n_live"),
+        dec6(sum(dec6(col("price")))).as("sum_price"),
+        sum(col("_writetime")).as("sum_wt"))
+
+  /** C4: counter column read (A6, `db/context/CounterContext.java` [U]) —
+    * counters are an increment log; the value is the merged sum. */
+  def c4_counter(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 500)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_linenumber").cast("long")).as("counter_value"),
+        count(lit(1)).as("n_increments"))
+      .orderBy("l_orderkey")
+
+  /** C5: token-range scan (P3/S2): `WHERE token(pk) BETWEEN a AND b` — the
+    * ring-paging primitive every bulk scanner splits on (§3.3). */
+  def c5_token_range(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("tok", tokenOf(col("o_orderkey")))
+      .filter(col("tok") >= 500000000L && col("tok") < 900000000L)
+      .agg(count(lit(1)).as("n"), min(col("tok")).as("min_tok"),
+        max(col("tok")).as("max_tok"),
+        dec6(sum(dec6(col("o_totalprice")))).as("sum_price"))
+
+  /** C6: TTL expiry (T7/§2.12 `USING TTL`): cell expires when
+    * writetime + ttl passes "now" (pinned). Pure µs arithmetic both engines. */
+  def c6_ttl(s: SparkSession, d: String): DataFrame = {
+    val nowUs = lit(1705276800000000L) // 2024-01-15 00:00:00 UTC, pinned
+    Tables.events(s, d)
+      .withColumn("ttl_s", (col("event_id") % 86400L) * 30L)
+      .withColumn("expires_us", unix_micros(col("ts")) + col("ttl_s") * 1000000L)
+      .filter(col("expires_us") > nowUs)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_live"), max(col("expires_us")).as("max_exp"))
+      .orderBy("event_type")
+  }
+
+  /** C7: materialized view as derived table (§2.12, `db/view/` [U]):
+    * daily revenue per order status — defined once, refreshable to parquet. */
+  def c7_mv_daily_revenue(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"),
+        col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        dec6(sum(dec6(col("o_totalprice")))).as("revenue"))
+      .orderBy("day", "o_orderstatus")
+
+  /** C8: Thrift multiget_slice (§2.10): pk IN (…) + per-partition slice
+    * limit 2 in clustering order. */
+  def c8_multiget_slice(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey").orderBy(col("l_linenumber").asc)
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey").isin(1L, 7L, 32L, 69L, 134L))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c1_latest_wins" -> (c1_latest_wins _),
+    "c2_writetime" -> (c2_writetime _),
+    "c3_compact_stats" -> (c3_compact_stats _),
+    "c4_counter" -> (c4_counter _),
+    "c5_token_range" -> (c5_token_range _),
+    "c6_ttl" -> (c6_ttl _),
+    "c7_mv_daily_revenue" -> (c7_mv_daily_revenue _),
+    "c8_multiget_slice" -> (c8_multiget_slice _),
+  )
+
+  private val logCte = s"WITH ulog AS (${upsertLogSql.replace("\n", " ")})"
+
+  val oracle: Map[String, String] = Map(
+    "c1_latest_wins" ->
+      s"""$logCte
+        |SELECT pk, cast(price AS decimal(38,6)) AS price, status, _writetime
+        |FROM (SELECT *, row_number() OVER (PARTITION BY pk
+        |        ORDER BY _writetime DESC, v DESC) AS _rn FROM ulog)
+        |WHERE _rn = 1 AND NOT _deleted AND pk < 200 ORDER BY pk""".stripMargin,
+    "c2_writetime" ->
+      s"""$logCte
+        |SELECT pk, cast(max(_writetime) AS bigint) AS max_writetime,
+        |  cast(min(_writetime) AS bigint) AS min_writetime, count(*) AS n_versions
+        |FROM ulog GROUP BY pk HAVING pk < 300 ORDER BY pk""".stripMargin,
+    "c3_compact_stats" ->
+      s"""$logCte
+        |SELECT count(*) AS n_live,
+        |  cast(sum(cast(price AS decimal(38,6))) AS decimal(38,6)) AS sum_price,
+        |  cast(sum(_writetime) AS bigint) AS sum_wt
+        |FROM (SELECT *, row_number() OVER (PARTITION BY pk
+        |        ORDER BY _writetime DESC, v DESC) AS _rn FROM ulog)
+        |WHERE _rn = 1 AND NOT _deleted""".stripMargin,
+    "c4_counter" ->
+      """SELECT l_orderkey, cast(sum(cast(l_linenumber AS bigint)) AS bigint) AS counter_value,
+        |  count(*) AS n_increments
+        |FROM lineitem WHERE l_orderkey < 500 GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "c5_token_range" ->
+      """SELECT count(*) AS n, min(tok) AS min_tok, max(tok) AS max_tok,
+        |  cast(sum(cast(o_totalprice AS decimal(38,6))) AS decimal(38,6)) AS sum_price
+        |FROM (SELECT o_totalprice,
+        |        (o_orderkey % 1000003) * 2654435761 % 2147483647 AS tok
+        |      FROM orders)
+        |WHERE tok >= 500000000 AND tok < 900000000""".stripMargin,
+    "c6_ttl" ->
+      """SELECT event_type, count(*) AS n_live, max(expires_us) AS max_exp FROM (
+        |  SELECT event_type,
+        |    epoch_us(cast(ts AS timestamp)) + (event_id % 86400) * 30 * 1000000 AS expires_us
+        |  FROM events)
+        |WHERE expires_us > 1705276800000000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "c7_mv_daily_revenue" ->
+      """SELECT date_trunc('day', o_orderdate) AS day, o_orderstatus,
+        |  count(*) AS n_orders,
+        |  cast(sum(cast(o_totalprice AS decimal(38,6))) AS decimal(38,6)) AS revenue
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "c8_multiget_slice" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber) AS rn
+        |  FROM lineitem WHERE l_orderkey IN (1, 7, 32, 69, 134))
+        |WHERE rn <= 2 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+  )
+}

@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY §2.13 L1/L2 — deduplication for training-data pipelines.
+  *
+  * The fixture corpus has no literal duplicates, so the exact/fingerprint
+  * queries dedup a deterministic corpus-with-injected-dups (documents ∪ a
+  * shifted copy of every 5th doc) — derived identically in the oracle.
+  *
+  * Scale design: every variant is one hash-shuffle on the dedup key (content
+  * hash / fingerprint / band hash); candidate verification joins only within
+  * buckets — never an all-pairs product. MinHash/SimHash signatures are
+  * single-pass builtin folds (no UDF, stays in codegen).
+  */
+object DedupQueries {
+
+  /** documents plus exact-duplicate copies of every 5th doc (ids +100000). */
+  private def corpusWithDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.unionByName(
+      docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+  }
+
+  /** D1 (L1): exact dedup by content hash — keep lowest doc_id per group. */
+  def d1_exact(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("h").orderBy(col("doc_id").asc)
+    corpusWithDups(s, d)
+      .withColumn("h", md5(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .groupBy()
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"))
+  }
+
+  /** D2 (L2 fingerprint): order-insensitive near-dup clusters (sorted distinct
+    * token set) — cluster count + sizes over the duplicated corpus. */
+  def d2_fingerprint(s: SparkSession, d: String): DataFrame =
+    corpusWithDups(s, d)
+      .withColumn("fp", fingerprint(col("text")))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("keeper"))
+      .filter(col("cluster_size") > 1)
+      .select(col("keeper"), col("cluster_size"))
+      .orderBy("keeper")
+
+  /** D3 (L2 MinHash+LSH): 32-perm MinHash over 3-gram shingles, 8 bands × 4
+    * rows; candidate pairs = docs sharing a band hash. No DuckDB xxhash64 →
+    * no oracle (rows-only check); the MinhashSpec golden-tests the algebra. */
+  def d3_minhash_lsh(s: SparkSession, d: String): DataFrame = {
+    val sigs = corpusWithDups(s, d)
+      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), minhashSignature(col("sh"), 32).as("sig"))
+    val banded = sigs.select(col("doc_id"),
+        explode(lshBands(col("sig"), 8, 4)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bh"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
+  /** D4 (L2 SimHash): 64-bit simhash; pairs within hamming distance 3 among
+    * banded candidates. n/o (xxhash64), rows-only + spec. */
+  def d4_simhash(s: SparkSession, d: String): DataFrame = {
+    val sh = corpusWithDups(s, d)
+      .select(col("doc_id"), simhash(tokens(col("text"))).as("sh"))
+    // band by 16-bit quarters: near-identical sketches share ≥1 quarter
+    val banded = sh.select(col("doc_id"), col("sh"),
+        explode(array((0 until 4).map(q =>
+          struct(lit(q).as("q"),
+            shiftright(col("sh"), q * 16).bitwiseAND(0xFFFFL).as("qh"))): _*)).as("b"))
+      .select(col("doc_id"), col("sh"), col("b.q"), col("b.qh"))
+    banded.as("x").join(banded.as("y"),
+        col("x.q") === col("y.q") && col("x.qh") === col("y.qh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        hamming64(col("x.sh"), col("y.sh")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** D5 (L2 n-gram Jaccard): exact word-trigram Jaccard similarity for pairs
+    * within the same source (the bucket), doc_id < 150. Fully oracled —
+    * verifies the shingle/intersection algebra that D3 approximates. */
+  def d5_ngram_jaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 150)
+      .select(col("doc_id"), col("source"),
+        array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+    docs.as("a").join(docs.as("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        round(size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh"))), 6).as("jaccard"))
+      .filter(col("jaccard") > 0.01)
+      .orderBy("id_a", "id_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact" -> (d1_exact _),
+    "d2_fingerprint" -> (d2_fingerprint _),
+    "d3_minhash_lsh" -> (d3_minhash_lsh _),
+    "d4_simhash" -> (d4_simhash _),
+    "d5_ngram_jaccard" -> (d5_ngram_jaccard _),
+  )
+
+  private val corpusCte =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "d1_exact" ->
+      s"""$corpusCte
+        |SELECT count(*) AS n_total,
+        |  cast(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS bigint) AS n_kept,
+        |  cast(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS bigint) AS n_dropped
+        |FROM (SELECT row_number() OVER (PARTITION BY md5(text)
+        |        ORDER BY doc_id) AS rn FROM corpus)""".stripMargin,
+    "d2_fingerprint" ->
+      s"""$corpusCte
+        |SELECT min(doc_id) AS keeper, count(*) AS cluster_size
+        |FROM (SELECT doc_id,
+        |        md5(array_to_string(list_sort(list_distinct(
+        |          string_split(lower(text), ' '))), ' ')) AS fp
+        |      FROM corpus)
+        |GROUP BY fp HAVING count(*) > 1 ORDER BY keeper""".stripMargin,
+    "d5_ngram_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, len(string_split(lower(text),' ')) - 1),
+        |      i -> string_split(lower(text),' ')[i] || ' ' ||
+        |           string_split(lower(text),' ')[i+1] || ' ' ||
+        |           string_split(lower(text),' ')[i+2])) AS sh
+        |  FROM documents WHERE doc_id < 150)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |          len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        |  FROM docs a JOIN docs b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |WHERE jaccard > 0.01 ORDER BY id_a, id_b""".stripMargin,
+  )
+}

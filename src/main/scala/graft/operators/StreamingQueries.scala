@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.{Tables, Q}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY §2.9 — batch twins of the streaming surface (T1–T3, T5). The same
+  * transformations run as true Structured Streaming in
+  * [[graft.streaming.StreamingPipelines]] (verified stream-vs-batch in
+  * StreamingSpec); these batch declarations are the oracle-checkable face.
+  *
+  * Scale: tumbling/sliding windows are pure map + one agg shuffle keyed by
+  * (window, type) — at 100 TB the watermark bounds state, and the batch twin
+  * partitions by day. Session windows shuffle once by user.
+  */
+object StreamingQueries {
+  import Q.dec6
+
+  /** T1: hourly tumbling window — count + sum per (hour, event_type). */
+  def t1_tumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dec6(sum(dec6(col("value")))).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"),
+        col("sum_value"))
+      .orderBy("win_start", "event_type")
+
+  /** T2: sliding window 1h/15m — each event lands in 4 windows. */
+  def t2_sliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"))
+      .filter(col("event_type") === "purchase")
+      .orderBy("win_start", "event_type")
+
+  /** T3: session windows (30-min gap) per user — session start, size, span.
+    * `session_window` works in batch mode; the DuckDB twin is the classic
+    * gaps-and-islands formulation. */
+  def t3_session(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        dec6(sum(dec6(col("value")))).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .filter(col("user_id") < 30)
+      .orderBy("user_id", "session_start")
+
+  /** T5: stateful dedup twin — first event per (user_id, event_type, day)
+    * in (ts, event_id) order, i.e. dropDuplicatesWithinWatermark's batch
+    * semantics with a deterministic keeper. */
+  def t5_dedup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"),
+        date_trunc("day", col("ts")))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("user_id") < 20)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("day", col("ts")).as("day"), col("event_id"))
+      .orderBy("user_id", "event_type", "day")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_tumbling" -> (t1_tumbling _),
+    "t2_sliding" -> (t2_sliding _),
+    "t3_session" -> (t3_session _),
+    "t5_dedup" -> (t5_dedup _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t1_tumbling" ->
+      """SELECT date_trunc('hour', cast(ts AS timestamp)) AS win_start, event_type,
+        |  count(*) AS n,
+        |  cast(sum(cast(value AS decimal(38,6))) AS decimal(38,6)) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t2_sliding" ->
+      """SELECT win_start, event_type, count(*) AS n FROM (
+        |  SELECT event_type,
+        |    cast(to_timestamp(((epoch_us(cast(ts AS timestamp)) // 900000000) - j) * 900000000 / 1000000) AS timestamp) AS win_start
+        |  FROM events CROSS JOIN (SELECT unnest(range(0,4)) AS j) js)
+        |WHERE event_type = 'purchase'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t3_session" ->
+      """WITH e AS (SELECT user_id, cast(ts AS timestamp) AS ts, value
+        |           FROM events WHERE user_id < 30),
+        |flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           >= INTERVAL 30 MINUTE
+        |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM e),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |                  ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        |  cast(sum(cast(value AS decimal(38,6))) AS decimal(38,6)) AS sum_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    "t5_dedup" ->
+      """SELECT user_id, event_type, date_trunc('day', cast(ts AS timestamp)) AS day,
+        |  event_id
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id, event_type, date_trunc('day', cast(ts AS timestamp))
+        |        ORDER BY cast(ts AS timestamp), event_id) AS rn
+        |      FROM events)
+        |WHERE rn = 1 AND user_id < 20
+        |ORDER BY user_id, event_type, day""".stripMargin,
+  )
+}

@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.{Tables, Q}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.6 O5 + §2.13 L3 — vector similarity search over `embeddings`
+  * (Cassandra 5.0 `ORDER BY vec ANN OF … LIMIT k`, SAI/jvector [U]).
+  *
+  * Scale design (100 TB): the query vector is obtained by a broadcast join on
+  * its id — never `collect()` — so the plan is fully distributed; exact top-k
+  * collapses to `TakeOrderedAndProjectExec` (no global sort); the IVF-style
+  * variant prunes to one bucket before scoring, the shape that survives a
+  * billion-row embedding table (coarse quantize → per-bucket top-k).
+  */
+object VectorQueries {
+  import Q.dec6
+
+  private def queryVec(s: SparkSession, d: String, id: Long): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") === id)
+      .select(col("embedding").as("qvec"))
+
+  /** V1: exact cosine kNN top-10 against the embedding of vec_id=0. */
+  def v1_knn_exact(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .crossJoin(broadcast(queryVec(s, d, 0L)))
+      .select(col("vec_id"), col("label"),
+        round(cosineSimilarity(col("embedding"), col("qvec")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+
+  /** V2: IVF/LSH-bucketed approximate kNN — score only the query's sign
+    * bucket. Same bucketing in the oracle, so the approximation itself is
+    * hash-verified. */
+  def v2_knn_bucketed(s: SparkSession, d: String): DataFrame = {
+    val q = queryVec(s, d, 0L).withColumn("qbucket", signBucket(col("qvec")))
+    Tables.embeddings(s, d)
+      .withColumn("bucket", signBucket(col("embedding")))
+      .join(broadcast(q), col("bucket") === col("qbucket"))
+      .select(col("vec_id"), col("bucket"),
+        round(cosineSimilarity(col("embedding"), col("qvec")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** V3: per-label centroid components (kNN-classifier prep): decimal sums
+    * per (label, dim) so the reduction is shuffle-order-independent. */
+  def v3_centroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .filter(col("dim") < 8)
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        dec6(sum(dec6(col("x").cast("double")))).as("sum_x"))
+      .withColumn("centroid", round(col("sum_x").cast("double") / col("n"), 6))
+      .drop("sum_x")
+      .orderBy("label", "dim")
+
+  /** V4 (L2 embedding variant): cosine near-duplicate pairs — all pairs with
+    * vec_id < 200 whose similarity exceeds 0.5. At scale the same query runs
+    * after bucket pruning (join on equal sign-bucket first). */
+  def v4_cosine_neardup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(cosineSimilarity(col("va"), col("vb")), 6))
+      .filter(col("cos_sim") > 0.5)
+      .select("id_a", "id_b", "cos_sim")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** V5: euclidean + dot-product similarity (the other two F7 functions). */
+  def v5_euclidean_dot(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .crossJoin(broadcast(queryVec(s, d, 0L)))
+      .select(col("vec_id"),
+        round(euclideanDistance(col("embedding"), col("qvec")), 6).as("eucl"),
+        round(dotProduct(col("embedding"), col("qvec")), 6).as("dot"))
+      .orderBy(col("eucl").asc, col("vec_id").asc)
+      .limit(15)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v1_knn_exact" -> (v1_knn_exact _),
+    "v2_knn_bucketed" -> (v2_knn_bucketed _),
+    "v3_centroids" -> (v3_centroids _),
+    "v4_cosine_neardup" -> (v4_cosine_neardup _),
+    "v5_euclidean_dot" -> (v5_euclidean_dot _),
+  )
+
+  // DuckDB twins compute the identical double fold: cast the float list to
+  // DOUBLE[] then list_dot_product / explicit sums — same sequential order.
+  private val qvecCte =
+    "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)"
+
+  val oracle: Map[String, String] = Map(
+    "v1_knn_exact" ->
+      s"""$qvecCte
+        |SELECT vec_id, label,
+        |  round(list_dot_product(CAST(embedding AS DOUBLE[]), qvec) /
+        |        (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+        |         sqrt(list_dot_product(qvec, qvec))), 6) AS cos_sim
+        |FROM embeddings CROSS JOIN q
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "v2_knn_bucketed" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) +
+        |    (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) +
+        |    (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+        |  FROM embeddings),
+        |q AS (SELECT v AS qvec, bucket AS qbucket FROM e WHERE vec_id = 0)
+        |SELECT vec_id, cast(bucket AS int) AS bucket,
+        |  round(list_dot_product(v, qvec) /
+        |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qvec, qvec))), 6) AS cos_sim
+        |FROM e JOIN q ON bucket = qbucket
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "v3_centroids" ->
+      """SELECT label, cast(dim AS int) AS dim, count(*) AS n,
+        |  round(cast(cast(sum(cast(x AS decimal(38,6))) AS decimal(38,6)) AS double) / count(*), 6) AS centroid
+        |FROM (SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        |      FROM embeddings CROSS JOIN (SELECT unnest(range(1,65)) AS i) g)
+        |WHERE dim < 8 GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    "v4_cosine_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 200)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v) /
+        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) /
+        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) > 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "v5_euclidean_dot" ->
+      s"""$qvecCte
+        |SELECT vec_id,
+        |  round(list_distance(CAST(embedding AS DOUBLE[]), qvec), 6) AS eucl,
+        |  round(list_dot_product(CAST(embedding AS DOUBLE[]), qvec), 6) AS dot
+        |FROM embeddings CROSS JOIN q
+        |ORDER BY eucl ASC, vec_id ASC LIMIT 15""".stripMargin,
+  )
+}

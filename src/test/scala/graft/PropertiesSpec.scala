@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.CassandraModel
+import org.scalacheck.{Gen, rng}
+
+/** SURVEY §5.2.3 — Harry-lite model checks: properties of the upsert/view
+  * algebra on arbitrary small generated logs (not just the fixture-derived
+  * one). Plain ScalaCheck generators driven from ScalaTest with a fixed seed
+  * (deterministic CI). */
+class PropertiesSpec extends SparkSpec {
+
+  private val cellGen = for {
+    pk <- Gen.choose(0L, 8L)
+    wt <- Gen.choose(0L, 20L)
+    v  <- Gen.choose(0, 3)
+    del <- Gen.oneOf(true, false, false, false)
+  } yield (pk, 1.0 + pk, s"s$v", wt, v, del)
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] = {
+    val seed0 = rng.Seed(42L)
+    (0 until n).scanLeft((Option.empty[T], seed0)) { case ((_, seed), _) =>
+      val r = g.doPureApply(Gen.Parameters.default, seed)
+      (Some(r.retrieve.get), r.seed)
+    }.flatMap(_._1)
+  }
+
+  test("latest-wins view: at most one row per key, winner dominates (8 random logs)") {
+    import spark.implicits._
+    for (raw <- samples(Gen.nonEmptyListOf(cellGen), 8)) {
+      // distinct (pk, writetime, v): ties in the sort key would make the
+      // winner (and hence the model) nondeterministic
+      val cells = raw.distinctBy(c => (c._1, c._4, c._5))
+      val log = cells.toDF("pk", "price", "status", "_writetime", "v", "_deleted")
+      val view = CassandraModel.latestWinsView(log).collect()
+      val perKey = view.groupBy(_.getLong(0)).view.mapValues(_.length)
+      assert(perKey.values.forall(_ == 1))
+      val maxByKey = cells.groupBy(_._1).view.mapValues(cs =>
+        cs.map(c => (c._4, c._5)).max).toMap
+      view.foreach { r =>
+        val key = (r.getLong(r.fieldIndex("_writetime")),
+          r.getInt(r.fieldIndex("v")))
+        assert(key == maxByKey(r.getLong(0)))
+      }
+      // a key is hidden iff its winning cell is a tombstone
+      val hidden = cells.map(_._1).distinct.toSet -- view.map(_.getLong(0)).toSet
+      val shouldHide = cells.groupBy(_._1).collect {
+        case (pk, cs) if cs.maxBy(c => (c._4, c._5))._6 => pk
+      }.toSet
+      assert(hidden == shouldHide)
+    }
+  }
+
+  test("exact dedup is a fixpoint: dedup(dedup(x)) == dedup(x) (8 random lists)") {
+    import spark.implicits._
+    for (xs <- samples(Gen.nonEmptyListOf(Gen.choose(0, 5)), 8)) {
+      val once = xs.toDF("x").dropDuplicates("x")
+      val twice = once.dropDuplicates("x")
+      assert(once.exceptAll(twice).count() == 0)
+      assert(once.count() == xs.distinct.length.toLong)
+    }
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.streaming.StreamingPipelines
+import graft.operators.StreamingQueries
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+class StreamingSpec extends SparkSpec {
+
+  /** Stage the single-file events parquet into a directory (the file stream
+    * source consumes directories). */
+  private lazy val stagedDir: String = {
+    val dir = Files.createTempDirectory("graft-stream")
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  test("streaming hourly tumble (AvailableNow) equals the batch twin") {
+    val stream = StreamingPipelines.eventsStream(spark, stagedDir)
+    StreamingPipelines.runToMemory(
+      StreamingPipelines.hourlyCounts(stream), "t1_stream", "complete")
+    val streamed = spark.table("t1_stream")
+      .orderBy("win_start", "event_type")
+      .collect().toSeq
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"))
+      .orderBy("win_start", "event_type")
+      .collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming dedup-within-watermark emits each event_id once") {
+    val stream = StreamingPipelines.eventsStream(spark, stagedDir)
+    StreamingPipelines.runToMemory(
+      StreamingPipelines.dedupStream(stream), "t5_stream", "append")
+    val n = spark.table("t5_stream").count()
+    val distinctIds = Tables.events(spark, sf)
+      .select("event_id").distinct().count()
+    assert(n === distinctIds)
+  }
+
+  test("batch session windows match the gaps-and-islands formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val gi = Tables.events(spark, sf)
+      .filter(col("user_id") < 30)
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("ns", when(col("prev").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev")) >= 30L * 60 * 1000000, 1)
+        .otherwise(0))
+      .withColumn("sid", sum(col("ns")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "n_events")
+    val sw = StreamingQueries.t3_session(spark, sf)
+      .select("user_id", "session_start", "n_events")
+    assert(sw.exceptAll(gi).count() === 0)
+    assert(gi.exceptAll(sw).count() === 0)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.operators.{DedupQueries, TextQueries}
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpec {
+
+  private def df1(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("id", "text")
+  }
+
+  test("fingerprint is invariant under word order and duplication") {
+    val d = df1((1L, "alpha beta gamma"), (2L, "gamma beta alpha alpha"),
+      (3L, "alpha beta delta"))
+    val fps = d.select(col("id"), fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+  }
+
+  test("minhash signatures of identical token sets are identical") {
+    val d = df1((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "totally different words here indeed"))
+    val sigs = d.select(col("id"),
+        minhashSignature(shingles(tokens(col("text")), 3), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+  }
+
+  test("simhash: identical docs at hamming 0; unrelated docs far apart") {
+    val d = df1((1L, "spark query engine fast scan"),
+      (2L, "spark query engine fast scan"),
+      (3L, "zzz yyy xxx www vvv uuu"))
+    val hs = d.select(col("id"), simhash(tokens(col("text"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) === hs(2L))
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) > 5)
+  }
+
+  test("exact dedup finds exactly the injected duplicates") {
+    val docs = Tables.documents(spark, sf).count()
+    val injected = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 0).count()
+    val row = DedupQueries.d1_exact(spark, sf).head()
+    assert(row.getLong(0) === docs + injected) // n_total
+    assert(row.getLong(1) === docs)            // n_kept (all texts unique)
+    assert(row.getLong(2) === injected)        // n_dropped
+  }
+
+  test("minhash LSH recovers every injected exact-duplicate pair") {
+    import spark.implicits._
+    val expected = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("id_a"),
+        (col("doc_id") + 100000L).as("id_b"))
+    val found = DedupQueries.d3_minhash_lsh(spark, sf)
+    assert(expected.exceptAll(found.select("id_a", "id_b")).count() === 0,
+      "every exact dup must share all bands")
+  }
+
+  test("language-id confusion matrix covers every labeled language deterministically") {
+    val out1 = TextQueries.x1_langid(spark, sf).collect().toSeq
+    val out2 = TextQueries.x1_langid(spark, sf).collect().toSeq
+    assert(out1 === out2)
+    val langs = out1.map(_.getString(0)).toSet
+    assert(langs === Set("en", "es", "fr", "de", "zh"))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import graft.operators.VectorQueries
+import org.apache.spark.sql.functions._
+
+class VectorSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf).cache()
+
+  test("cosine similarity of a vector with itself is 1") {
+    val sims = emb.select(round(cosineSimilarity(col("embedding"),
+      col("embedding")), 9).as("s")).distinct().collect().map(_.getDouble(0))
+    assert(sims.forall(s => math.abs(s - 1.0) < 1e-9))
+  }
+
+  test("cosine similarity is symmetric") {
+    val a = emb.filter(col("vec_id") === 1).select(col("embedding").as("va"))
+    val b = emb.filter(col("vec_id") === 2).select(col("embedding").as("vb"))
+    val Array(ab, ba) = a.crossJoin(b).select(
+      cosineSimilarity(col("va"), col("vb")),
+      cosineSimilarity(col("vb"), col("va"))).head().toSeq.toArray
+    assert(ab === ba)
+  }
+
+  test("exact kNN: query vector ranks itself first with sim 1") {
+    val top = VectorQueries.v1_knn_exact(spark, sf).head()
+    assert(top.getLong(0) === 0L) // vec_id 0 is the query
+    assert(math.abs(top.getDouble(2) - 1.0) < 1e-6)
+  }
+
+  test("bucketed ANN results are a subset of the full corpus ranked identically") {
+    val exactAll = VectorQueries.v1_knn_exact(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val bucketed = VectorQueries.v2_knn_bucketed(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(bucketed.nonEmpty && bucketed.head === 0L)
+    assert(bucketed.toSet.subsetOf(
+      emb.select("vec_id").collect().map(_.getLong(0)).toSet))
+  }
+
+  test("euclidean distance to self is 0 and to others positive") {
+    val d0 = VectorQueries.v5_euclidean_dot(spark, sf).head()
+    assert(d0.getLong(0) === 0L)
+    assert(d0.getDouble(1) === 0.0)
+  }
+}
