@@ -52,14 +52,22 @@ object DedupQueries {
 
   /** D3 (L2 MinHash+LSH): 32-perm MinHash over 3-gram shingles, 8 bands × 4
     * rows; candidate pairs = docs sharing a band hash. No DuckDB xxhash64 →
-    * no oracle (rows-only check); the MinhashSpec golden-tests the algebra. */
+    * no oracle (rows-only check); TextDedupSpec golden-tests the algebra.
+    *
+    * Plan shape (deliberate): explode shingles, then ONE codegen'd
+    * hash-aggregate computing all 32 `min(xxhash64(sh, seed))` partials
+    * map-side — higher-order-function folds evaluate interpreted per row,
+    * which is the wrong shape for a 100 TB corpus; explode+agg is the one
+    * that vectorizes and partial-aggregates. */
   def d3_minhash_lsh(s: SparkSession, d: String): DataFrame = {
-    val sigs = corpusWithDups(s, d)
-      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), minhashSignature(col("sh"), 32).as("sig"))
+    val shingled = corpusWithDups(s, d)
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("sh"))
+    val sigs = shingled.groupBy(col("doc_id"))
+      .agg(min(xxhash64(col("sh"), lit(0))).as("h0"),
+        (1 until 32).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i")): _*)
+    val sig = array((0 until 32).map(i => col(s"h$i")): _*)
     val banded = sigs.select(col("doc_id"),
-        explode(lshBands(col("sig"), 8, 4)).as("b"))
+        explode(lshBands(sig, 8, 4)).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bh"))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -70,10 +78,22 @@ object DedupQueries {
   }
 
   /** D4 (L2 SimHash): 64-bit simhash; pairs within hamming distance 3 among
-    * banded candidates. n/o (xxhash64), rows-only + spec. */
+    * banded candidates. n/o (xxhash64), rows-only + spec.
+    *
+    * Same scale shape as D3: explode tokens, hash each ONCE (codegen), one
+    * hash-aggregate with 64 bit-count sums, then assemble the sketch. */
   def d4_simhash(s: SparkSession, d: String): DataFrame = {
-    val sh = corpusWithDups(s, d)
-      .select(col("doc_id"), simhash(tokens(col("text"))).as("sh"))
+    val hashed = corpusWithDups(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val counted = hashed.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"),
+        (0 until 64).map(j =>
+          sum(shiftright(col("h"), j).bitwiseAND(1L)).as(s"b$j")): _*)
+    val sh = counted.select(col("doc_id"),
+      (0 until 64).map(j =>
+          when(col(s"b$j") * 2 > col("n"), lit(1L << j)).otherwise(0L))
+        .reduce(_.bitwiseOR(_)).as("sh"))
     // band by 16-bit quarters: near-identical sketches share ≥1 quarter
     val banded = sh.select(col("doc_id"), col("sh"),
         explode(array((0 until 4).map(q =>

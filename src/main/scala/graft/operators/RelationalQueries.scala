@@ -342,6 +342,20 @@ object RelationalQueries {
 
   // ---- §2.8 scalar functions ------------------------------------------------
 
+  /** F1: now()/currentTimestamp — nondeterministic values, so the declared
+    * query is the deterministic INVARIANT: all fixture events precede the
+    * current clock in any sane engine (fixture is 2024, clocks are later). */
+  def f1_current_time(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ts") < current_timestamp(), 1L).otherwise(0L)).as("n_past"))
+
+  /** F10: uuid() — per-row uniqueness is the deterministic invariant. */
+  def f10_uuid(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(expr("uuid()").as("u"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("u")).as("n_distinct"))
+
   /** F2/F3: date/time functions — per-month order stats. */
   def f2_dates(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -448,6 +462,8 @@ object RelationalQueries {
     "setop_except" -> (setop_except _),
     "setop_intersect" -> (setop_intersect _),
     "setop_except_all" -> (setop_except_all _),
+    "f1_current_time" -> (f1_current_time _),
+    "f10_uuid" -> (f10_uuid _),
     "f2_dates" -> (f2_dates _),
     "f4_blob" -> (f4_blob _),
     "f5_cast" -> (f5_cast _),
@@ -636,6 +652,12 @@ object RelationalQueries {
         |  SELECT user_id FROM events WHERE event_type = 'click'
         |  EXCEPT ALL SELECT user_id FROM events WHERE event_type = 'error')
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "f1_current_time" ->
+      """SELECT count(*) AS n,
+        |  cast(sum(CASE WHEN cast(ts AS timestamp) < now() THEN 1 ELSE 0 END) AS bigint) AS n_past
+        |FROM events""".stripMargin,
+    "f10_uuid" ->
+      """SELECT count(*) AS n, count(DISTINCT uuid()) AS n_distinct FROM events""".stripMargin,
     "f2_dates" ->
       """SELECT cast(year(o_orderdate) AS int) AS yr, cast(month(o_orderdate) AS int) AS mo,
         |  count(*) AS n,
