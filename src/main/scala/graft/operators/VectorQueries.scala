@@ -26,7 +26,7 @@ object VectorQueries {
     Tables.embeddings(s, d)
       .crossJoin(broadcast(queryVec(s, d, 0L)))
       .select(col("vec_id"), col("label"),
-        round(cosineSimilarity(col("embedding"), col("qvec")), 6).as("cos_sim"))
+        round(cosineFast(col("embedding"), col("qvec")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(10)
 
@@ -39,7 +39,7 @@ object VectorQueries {
       .withColumn("bucket", signBucket(col("embedding")))
       .join(broadcast(q), col("bucket") === col("qbucket"))
       .select(col("vec_id"), col("bucket"),
-        round(cosineSimilarity(col("embedding"), col("qvec")), 6).as("cos_sim"))
+        round(cosineFast(col("embedding"), col("qvec")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(10)
   }
@@ -65,7 +65,7 @@ object VectorQueries {
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(cosineSimilarity(col("va"), col("vb")), 6))
+      .withColumn("cos_sim", round(cosineFast(col("va"), col("vb")), 6))
       .filter(col("cos_sim") > 0.5)
       .select("id_a", "id_b", "cos_sim")
       .orderBy("id_a", "id_b")
@@ -76,8 +76,8 @@ object VectorQueries {
     Tables.embeddings(s, d)
       .crossJoin(broadcast(queryVec(s, d, 0L)))
       .select(col("vec_id"),
-        round(euclideanDistance(col("embedding"), col("qvec")), 6).as("eucl"),
-        round(dotProduct(col("embedding"), col("qvec")), 6).as("dot"))
+        round(euclideanFast(col("embedding"), col("qvec")), 6).as("eucl"),
+        round(dotFast(col("embedding"), col("qvec")), 6).as("dot"))
       .orderBy(col("eucl").asc, col("vec_id").asc)
       .limit(15)
 

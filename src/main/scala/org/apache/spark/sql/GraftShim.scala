@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into `private[sql]` Column↔Expression conversions (Spark 4 hides
+  * `Column.expr` behind the ColumnNode abstraction; classic-mode extensions
+  * conventionally shim it from inside the sql package). Only the two
+  * conversions are exposed — no other internals. */
+object GraftShim {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -39,6 +39,23 @@ class VectorSpec extends SparkSpec {
       emb.select("vec_id").collect().map(_.getLong(0)).toSet))
   }
 
+  test("codegen expressions are bit-identical to the builtin HOF compositions") {
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val pairs = a.crossJoin(b).filter(col("ia") < col("ib"))
+    val mismatches = pairs.select(
+        cosineSimilarity(col("va"), col("vb")).as("ch"),
+        cosineFast(col("va"), col("vb")).as("cf"),
+        dotProduct(col("va"), col("vb")).as("dh"),
+        dotFast(col("va"), col("vb")).as("df"),
+        euclideanDistance(col("va"), col("vb")).as("eh"),
+        euclideanFast(col("va"), col("vb")).as("ef"))
+      .filter(col("ch") =!= col("cf") || col("dh") =!= col("df") ||
+        col("eh") =!= col("ef"))
+      .count()
+    assert(mismatches === 0)
+  }
+
   test("euclidean distance to self is 0 and to others positive") {
     val d0 = VectorQueries.v5_euclidean_dot(spark, sf).head()
     assert(d0.getLong(0) === 0L)
