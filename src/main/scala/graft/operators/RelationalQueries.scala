@@ -243,6 +243,35 @@ object RelationalQueries {
       .select("c_mktsegment", "c_nationkey").distinct()
       .orderBy("c_mktsegment", "c_nationkey")
 
+  /** J3b: full outer join — both dangling sides preserved. */
+  def j3_full_outer(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_custkey") < 40)
+      .join(Tables.orders(s, d)
+          .filter(col("o_custkey") >= 20 && col("o_custkey") < 60),
+        col("c_custkey") === col("o_custkey"), "full")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_custkey").isNotNull.as("has_cust"),
+        col("o_orderkey"))
+      .groupBy(col("custkey"), col("has_cust"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("custkey", "has_cust")
+
+  /** F8b: map construction + key/value functions (CQL map<K,V> surface). */
+  def f8_maps(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 30)
+      .withColumn("m", map_from_arrays(
+        array(lit("lang"), lit("source")),
+        array(col("lang"), col("source"))))
+      .select(col("doc_id"),
+        concat_ws(",", map_keys(col("m"))).as("ks"),
+        concat_ws(",", map_values(col("m"))).as("vs"),
+        element_at(col("m"), "lang").as("m_lang"),
+        array_contains(map_keys(col("m")), "source").as("has_source"),
+        size(col("m")).as("m_size"))
+      .orderBy("doc_id")
+
   /** A9: rollup with grouping indicators (engine extension beyond CQL). */
   def a9_rollup(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
@@ -253,6 +282,17 @@ object RelationalQueries {
         coalesce(col("c_nationkey").cast("string"), lit("ALL")).as("nationkey"),
         col("n"), col("sum_bal"))
       .orderBy("mktsegment", "nationkey")
+
+  /** A9b: CUBE — all grouping-set combinations. */
+  def a9_cube(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .cube(col("c_mktsegment"), (col("c_nationkey") % 5).as("ngrp"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("c_mktsegment"), lit("ALL")).as("mktsegment"),
+        coalesce(col("ngrp").cast("string"), lit("ALL")).as("ngrp"),
+        col("n"))
+      .orderBy("mktsegment", "ngrp")
 
   // ---- §2.5 windows ---------------------------------------------------------
 
@@ -443,6 +483,9 @@ object RelationalQueries {
     "j1_broadcast_star" -> (j1_broadcast_star _),
     "j2_orders_lineitem" -> (j2_orders_lineitem _),
     "j3_left_outer" -> (j3_left_outer _),
+    "j3_full_outer" -> (j3_full_outer _),
+    "f8_maps" -> (f8_maps _),
+    "a9_cube" -> (a9_cube _),
     "j4_semi" -> (j4_semi _),
     "j4_anti" -> (j4_anti _),
     "j5_theta_band" -> (j5_theta_band _),
@@ -542,6 +585,30 @@ object RelationalQueries {
         |           cast(0 AS decimal(38,6))) AS sum_price
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |WHERE c_custkey < 50 GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "j3_full_outer" ->
+      """SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |  c_custkey IS NOT NULL AS has_cust,
+        |  count(o_orderkey) AS n_orders
+        |FROM (SELECT * FROM customer WHERE c_custkey < 40) c
+        |FULL JOIN (SELECT * FROM orders WHERE o_custkey >= 20 AND o_custkey < 60) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "f8_maps" ->
+      """SELECT doc_id,
+        |  array_to_string(map_keys(m),',') AS ks,
+        |  array_to_string(map_values(m),',') AS vs,
+        |  m['lang'][1] AS m_lang,
+        |  list_contains(map_keys(m), 'source') AS has_source,
+        |  cast(cardinality(m) AS int) AS m_size
+        |FROM (SELECT doc_id, map(['lang','source'],[lang, source]) AS m
+        |      FROM documents WHERE doc_id < 30)
+        |ORDER BY doc_id""".stripMargin,
+    "a9_cube" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
+        |  coalesce(cast(ngrp AS varchar), 'ALL') AS ngrp, count(*) AS n
+        |FROM (SELECT c_mktsegment, c_nationkey % 5 AS ngrp FROM customer)
+        |GROUP BY CUBE(c_mktsegment, ngrp)
+        |ORDER BY mktsegment, ngrp""".stripMargin,
     "j4_semi" ->
       """SELECT c_custkey FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)

@@ -103,8 +103,43 @@ object TextQueries {
         round(avg(col("n_chars").cast("double")), 6).as("mean_chars"))
       .orderBy("lang")
 
+  /** X6: deterministic hash sampling — the reproducible train/eval split a
+    * pipeline needs (same rows on every run/engine; no RNG). 10% of events
+    * by md5 of the key. */
+  def x6_sample(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("h",
+        conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100)
+      .filter(col("h") < 10)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("event_id")).as("sum_ids"))
+      .orderBy("event_type")
+
+  /** X7: document chunking — sliding 32-token windows, stride 16 (the
+    * standard training-data chunker). One explode, no shuffle until the
+    * final count. */
+  def x7_chunks(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), floor((size(col("toks")) - 1) / 16).cast("int")))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        concat_ws(" ", slice(col("toks"), col("chunk_idx") * 16 + 1, lit(32)))
+          .as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(split(col("chunk"), " ")).as("n_chunk_tokens"),
+        md5(col("chunk")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_langid" -> (x1_langid _),
+    "x6_sample" -> (x6_sample _),
+    "x7_chunks" -> (x7_chunks _),
     "x2_quality" -> (x2_quality _),
     "x3_termfreq" -> (x3_termfreq _),
     "x4_tokencount" -> (x4_tokencount _),
@@ -112,6 +147,24 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "x6_sample" ->
+      """SELECT event_type, count(*) AS n_sampled,
+        |  cast(sum(event_id) AS bigint) AS sum_ids
+        |FROM events
+        |WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "x7_chunks" ->
+      """SELECT doc_id, cast(chunk_idx AS int) AS chunk_idx,
+        |  cast(len(string_split(chunk, ' ')) AS int) AS n_chunk_tokens,
+        |  md5(chunk) AS chunk_hash
+        |FROM (
+        |  SELECT doc_id, i AS chunk_idx,
+        |    array_to_string(toks[(i*16+1):(i*16+32)], ' ') AS chunk
+        |  FROM (SELECT doc_id, string_split(lower(text),' ') AS toks
+        |        FROM documents WHERE doc_id < 100)
+        |  CROSS JOIN (SELECT unnest(range(0, 100)) AS i) g
+        |  WHERE i <= (len(toks) - 1) // 16)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "x1_langid" ->
       """WITH scored AS (
         |  SELECT lang,

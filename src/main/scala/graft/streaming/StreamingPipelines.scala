@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 /** SURVEY §2.9 — true Structured Streaming pipelines (the CDC/commit-log
   * analogue, upstream `db/commitlog/CommitLogReader.java` [U]): a file-source
@@ -15,6 +15,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * `maxFilesPerTrigger`; watermarks bound window state; dedup-within-watermark
   * keeps the state store finite — the 100 TB stream shape.
   */
+/** Input row for the T6 stateful processor. */
+case class UserEvent(user_id: Long, value: Double)
+/** Emitted running snapshot per user. */
+case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
+
 object StreamingPipelines {
 
   /** readStream over a parquet events dir (explicit schema — required by the
@@ -43,6 +48,38 @@ object StreamingPipelines {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** T6 — arbitrary per-key state (`transformWithState`, the Spark-4 CQL-UDA
+    * -on-a-stream analogue): running per-user event count + value total,
+    * emitted as an updated snapshot on every input batch. Requires the
+    * RocksDB state store provider (set in the spec/session conf). */
+  class UserRunningTotals
+      extends StatefulProcessor[Long, UserEvent, UserTotals] {
+    @transient private var state: ValueState[UserTotals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserTotals](
+        "totals", Encoders.product[UserTotals], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timers: TimerValues): Iterator[UserTotals] = {
+      val prev = Option(state.get()).getOrElse(UserTotals(key, 0L, 0.0))
+      var n = prev.n_events; var sum = prev.sum_value
+      rows.foreach { r => n += 1; sum += r.value }
+      val next = UserTotals(key, n, sum)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** T6 pipeline: per-user running totals over the event stream. */
+  def runningTotals(events: DataFrame): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserRunningTotals,
+        TimeMode.None(), OutputMode.Update(), Encoders.product[UserTotals])
+  }
 
   /** Run any of the above to completion over the files currently in the dir
     * (AvailableNow = bounded run of the unbounded plan) into an in-memory

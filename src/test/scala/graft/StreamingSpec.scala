@@ -43,6 +43,27 @@ class StreamingSpec extends SparkSpec {
     assert(n === distinctIds)
   }
 
+  test("T6 transformWithState: final per-user running totals equal the batch aggregate") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = StreamingPipelines.eventsStream(spark, stagedDir)
+      StreamingPipelines.runToMemory(
+        StreamingPipelines.runningTotals(stream).toDF(), "t6_stream", "update")
+      // update mode may emit one snapshot per batch; the LAST per user must
+      // equal the batch truth (single batch here → exactly one emission)
+      val streamed = spark.table("t6_stream")
+        .groupBy("user_id")
+        .agg(max(col("n_events")).as("n_events"))
+      val batch = Tables.events(spark, sf)
+        .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("batch session windows match the gaps-and-islands formulation") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts")
