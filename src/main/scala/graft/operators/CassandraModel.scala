@@ -75,7 +75,11 @@ object CassandraModel {
     val v = latestWinsView(log).withColumn("_token", tokenOf(col("pk")))
     v.repartitionByRange(col("_token"))
       .sortWithinPartitions("_token", "pk")
-      .write.mode("overwrite").parquet(outPath)
+      .write.mode("overwrite")
+      // bloom filter on pk = the SSTable bloom filter's job (point reads
+      // skip row groups without paying a scan)
+      .option("parquet.bloom.filter.enabled#pk", "true")
+      .parquet(outPath)
     v.sparkSession.read.parquet(outPath)
   }
 
