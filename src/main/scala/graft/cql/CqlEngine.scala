@@ -1,0 +1,212 @@
+package graft.cql
+
+import graft.operators.CassandraModel
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** A table registered with the CQL façade: the backing DataFrame plus its
+  * primary-key declaration (partition + clustering columns — the part of the
+  * CQL data model that drives query validation). */
+case class CqlTable(df: DataFrame, partitionKeys: Seq[String],
+  clusteringKeys: Seq[String] = Nil)
+
+/** Raised for queries upstream Cassandra would reject (most importantly the
+  * ALLOW FILTERING guardrail) — same user experience as
+  * `InvalidRequestException` [U cql3/statements/SelectStatement.java,
+  * unverifiable per SURVEY §0]. */
+class CqlInvalidQueryException(msg: String) extends RuntimeException(msg)
+
+/** SURVEY §2 "complete surface" — a CQL `SELECT` façade: a reference user's
+  * query text runs unchanged, compiled to the same declarative Spark plans as
+  * the native API (so Catalyst still does pushdown/pruning/top-k).
+  *
+  * Supported: `SELECT [DISTINCT|JSON] selectors FROM t [WHERE …] [GROUP BY …]
+  * [ORDER BY …] [PER PARTITION LIMIT n] [LIMIT n] [ALLOW FILTERING]` with
+  * `count/min/max/sum/avg`, `writetime/ttl`, `token`, `=`,`!=`,`<`,`<=`,`>`,
+  * `>=`,`IN`,`CONTAINS [KEY]`,`LIKE`, tuple comparisons. Cassandra's
+  * validation semantics are enforced: non-key predicates demand
+  * `ALLOW FILTERING`; `ORDER BY` demands a fully-restricted partition key and
+  * clustering columns only.
+  */
+class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
+
+  def execute(cql: String): DataFrame = {
+    val sel = CqlParser.parse(cql)
+    val table = catalog.getOrElse(sel.table.toLowerCase,
+      throw new CqlInvalidQueryException(s"unknown table ${sel.table}"))
+    validate(sel, table)
+    var df = table.df
+
+    // WHERE
+    sel.predicates.map(predColumn(_, table)).foreach(c => df = df.filter(c))
+
+    // PER PARTITION LIMIT (before LIMIT, after filters — upstream order)
+    sel.perPartitionLimit.foreach { k =>
+      val order = (table.clusteringKeys.map(col(_).asc) :+ monotonically_increasing_id().asc)
+      val w = Window.partitionBy(table.partitionKeys.map(col): _*).orderBy(order: _*)
+      df = df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k).drop("__rn")
+    }
+
+    // selection / aggregation
+    df =
+      if (sel.selectors.exists(_.isAggregate) || sel.groupBy.nonEmpty) {
+        val keySet = sel.groupBy.map(_.toLowerCase).toSet
+        // group keys are implicit in Spark's groupBy output — drop their
+        // plain selectors to avoid duplicate columns
+        val aggCols = sel.selectors.collect {
+          case s: ColumnSelector if keySet.contains(s.name.toLowerCase) => None
+          case s => Some(selectorColumn(s, table))
+        }.flatten
+        if (aggCols.isEmpty)
+          throw new CqlInvalidQueryException(
+            "GROUP BY queries must select at least one aggregate")
+        if (sel.groupBy.nonEmpty)
+          df.groupBy(sel.groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+        else df.agg(aggCols.head, aggCols.tail: _*)
+      } else if (sel.selectors == Seq(Star)) df
+      else df.select(sel.selectors.map(selectorColumn(_, table)): _*)
+
+    if (sel.distinct) df = df.distinct()
+    sel.orderBy.foreach { obs =>
+      df = df.orderBy(obs.map(o => if (o.asc) col(o.column).asc else col(o.column).desc): _*)
+    }
+    sel.limit.foreach(n => df = df.limit(n))
+    if (sel.json)
+      df = df.select(to_json(struct(df.columns.map(col): _*)).as("[json]"))
+    df
+  }
+
+  /** Cassandra's restriction rules (the guardrails that make it Cassandra). */
+  private def validate(sel: CqlSelect, t: CqlTable): Unit = {
+    val keyCols = (t.partitionKeys ++ t.clusteringKeys).map(_.toLowerCase).toSet
+    if (!sel.allowFiltering) {
+      sel.predicates.foreach {
+        case p: ColumnPredicate =>
+          val c = p.column.toLowerCase
+          if (!keyCols.contains(c) && !p.isToken)
+            throw new CqlInvalidQueryException(
+              s"Cannot execute this query as it might involve data filtering and " +
+                s"thus may have unpredictable performance. If you want to execute " +
+                s"this query despite the performance unpredictability, use ALLOW FILTERING " +
+                s"(non-key column: ${p.column})")
+          if (t.partitionKeys.map(_.toLowerCase).contains(c) &&
+              !Set("=", "in").contains(p.op))
+            throw new CqlInvalidQueryException(
+              s"Only EQ and IN relation are supported on the partition key " +
+                s"(unless you use the token() function) (got ${p.op} on ${p.column})")
+        case _: TuplePredicate => // tuple restrictions are clustering-only; ok
+      }
+    }
+    if (sel.orderBy.nonEmpty) {
+      val pkRestricted = t.partitionKeys.forall(pk =>
+        sel.predicates.exists {
+          case p: ColumnPredicate =>
+            p.column.equalsIgnoreCase(pk) && Set("=", "in").contains(p.op) && !p.isToken
+          case _ => false
+        })
+      if (!pkRestricted)
+        throw new CqlInvalidQueryException(
+          "ORDER BY is only supported when the partition key is restricted by an EQ or an IN")
+      sel.orderBy.get.foreach { o =>
+        if (!t.clusteringKeys.exists(_.equalsIgnoreCase(o.column)))
+          throw new CqlInvalidQueryException(
+            s"Order by is currently only supported on the clustered columns " +
+              s"of the PRIMARY KEY (got ${o.column})")
+      }
+    }
+  }
+
+  /** Literal typed to its column (CQL bind values are typed; Spark's struct
+    * comparison does not coerce). */
+  private def typedLit(t: CqlTable, column: String, v: Any): Column =
+    t.df.schema.find(_.name.equalsIgnoreCase(column))
+      .map(f => lit(v).cast(f.dataType)).getOrElse(lit(v))
+
+  private def predColumn(p: CqlPredicate, t: CqlTable): Column = p match {
+    case p: ColumnPredicate =>
+      val base: Column =
+        if (p.isToken) CassandraModel.tokenOf(col(p.column)) else col(p.column)
+      def v: Column =
+        if (p.isToken) lit(p.values.head) else typedLit(t, p.column, p.values.head)
+      p.op match {
+        case "=" => base === v
+        case "!=" => base =!= v
+        case "<" => base < v
+        case "<=" => base <= v
+        case ">" => base > v
+        case ">=" => base >= v
+        case "in" => base.isin(p.values: _*)
+        case "like" => base.like(p.values.head.toString)
+        case "contains" => array_contains(base, lit(p.values.head))
+        case "contains key" => map_contains_key(base, lit(p.values.head))
+        case other => throw new CqlInvalidQueryException(s"unsupported operator $other")
+      }
+    case TuplePredicate(cols, op, vals) =>
+      val l = struct(cols.map(col): _*)
+      val r = struct(cols.zip(vals).map { case (c, v) => typedLit(t, c, v) }: _*)
+      op match {
+        case "<" => l < r
+        case "<=" => l <= r
+        case ">" => l > r
+        case ">=" => l >= r
+        case "=" => l === r
+        case other => throw new CqlInvalidQueryException(s"unsupported tuple op $other")
+      }
+  }
+
+  private def selectorColumn(s: CqlSelector, t: CqlTable): Column = s match {
+    case Star => col("*")
+    case ColumnSelector(name, alias) =>
+      alias.fold(col(name))(col(name).as(_))
+    case FunctionSelector(fn, arg, alias) =>
+      val c = fn.toLowerCase match {
+        case "count" if arg == "*" => count(lit(1))
+        case "count" => count(col(arg))
+        case "min" => min(col(arg))
+        case "max" => max(col(arg))
+        case "sum" => sum(col(arg))
+        case "avg" => avg(col(arg))
+        case "writetime" => maxWritetimeCol(t, arg)
+        case "ttl" => ttlCol(t, arg)
+        case "token" => CassandraModel.tokenOf(col(arg))
+        case "todate" => to_date(col(arg))
+        case "tounixtimestamp" => unix_millis(col(arg).cast("timestamp"))
+        case other => throw new CqlInvalidQueryException(s"unknown function $other")
+      }
+      c.as(alias.getOrElse(s"${fn.toLowerCase}(${arg})"))
+  }
+
+  /** writetime(c): on an upsert-log-modeled table the cell write timestamp
+    * is the `_writetime` metadata column (SURVEY §7.3 / F9). */
+  private def maxWritetimeCol(t: CqlTable, arg: String): Column =
+    if (t.df.columns.contains("_writetime")) col("_writetime")
+    else throw new CqlInvalidQueryException(
+      s"writetime($arg) requires an upsert-log table (no _writetime column)")
+
+  private def ttlCol(t: CqlTable, arg: String): Column =
+    if (t.df.columns.contains("_ttl")) col("_ttl")
+    else throw new CqlInvalidQueryException(
+      s"ttl($arg) requires an upsert-log table (no _ttl column)")
+}
+
+object CqlEngine {
+  /** Catalog over the standard fixture tables with their natural primary
+    * keys (partition key first, clustering after — mirrors how a Cassandra
+    * data model of this schema would be declared). */
+  def forFixtures(spark: SparkSession, dir: String): CqlEngine = {
+    import graft.Tables
+    new CqlEngine(spark, Map(
+      "lineitem" -> CqlTable(Tables.lineitem(spark, dir),
+        Seq("l_orderkey"), Seq("l_linenumber")),
+      "orders" -> CqlTable(Tables.orders(spark, dir), Seq("o_orderkey")),
+      "customer" -> CqlTable(Tables.customer(spark, dir), Seq("c_custkey")),
+      "events" -> CqlTable(Tables.events(spark, dir),
+        Seq("user_id"), Seq("ts", "event_id")),
+      "documents" -> CqlTable(Tables.documents(spark, dir), Seq("doc_id")),
+      "embeddings" -> CqlTable(Tables.embeddings(spark, dir), Seq("vec_id")),
+      "upsert_log" -> CqlTable(CassandraModel.upsertLog(spark, dir),
+        Seq("pk"), Seq("v"))))
+  }
+}

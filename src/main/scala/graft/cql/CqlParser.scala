@@ -1,0 +1,180 @@
+package graft.cql
+
+/** AST for the supported CQL SELECT subset. */
+sealed trait CqlSelector { def isAggregate: Boolean = false }
+case object Star extends CqlSelector
+case class ColumnSelector(name: String, alias: Option[String]) extends CqlSelector
+case class FunctionSelector(fn: String, arg: String, alias: Option[String])
+    extends CqlSelector {
+  override def isAggregate: Boolean =
+    Set("count", "min", "max", "sum", "avg").contains(fn.toLowerCase)
+}
+
+sealed trait CqlPredicate
+/** `column op value(s)`; `isToken` marks `token(column) op value`. */
+case class ColumnPredicate(column: String, op: String, values: Seq[Any],
+  isToken: Boolean = false) extends CqlPredicate
+case class TuplePredicate(columns: Seq[String], op: String, values: Seq[Any])
+  extends CqlPredicate
+
+case class OrderBy(column: String, asc: Boolean)
+
+case class CqlSelect(
+  selectors: Seq[CqlSelector],
+  table: String,
+  predicates: Seq[CqlPredicate],
+  groupBy: Seq[String],
+  orderBy: Option[Seq[OrderBy]],
+  perPartitionLimit: Option[Int],
+  limit: Option[Int],
+  allowFiltering: Boolean,
+  distinct: Boolean,
+  json: Boolean)
+
+/** Hand-rolled tokenizer + recursive-descent parser for the CQL `SELECT`
+  * grammar subset (upstream grammar: `src/antlr/Cql.g` [U], unverifiable per
+  * SURVEY §0 — re-derived from the public CQL spec). No parser libraries —
+  * zero added dependencies. */
+object CqlParser {
+
+  private val tokenRe =
+    """\s*(?:('(?:[^']|'')*')|(-?\d+\.\d+)|(-?\d+)|([A-Za-z_][A-Za-z0-9_]*)|(<=|>=|!=|[=<>(),*]))""".r
+
+  private def tokenize(s: String): Vector[String] = {
+    var rest = s.trim
+    val out = Vector.newBuilder[String]
+    while (rest.nonEmpty) {
+      tokenRe.findPrefixMatchOf(rest) match {
+        case Some(m) =>
+          out += m.group(0).trim
+          rest = rest.substring(m.end)
+        case None =>
+          throw new CqlInvalidQueryException(s"cannot tokenize near: $rest")
+      }
+    }
+    out.result()
+  }
+
+  private class Cursor(toks: Vector[String]) {
+    private var i = 0
+    def peek: String = if (i < toks.length) toks(i) else ""
+    def peekIs(kw: String): Boolean = peek.equalsIgnoreCase(kw)
+    def next(): String = { val t = peek; i += 1; t }
+    def expect(kw: String): Unit =
+      if (!next().equalsIgnoreCase(kw))
+        throw new CqlInvalidQueryException(s"expected $kw near ${toks.drop(i - 1).take(4).mkString(" ")}")
+    def accept(kw: String): Boolean =
+      if (peekIs(kw)) { i += 1; true } else false
+    def done: Boolean = i >= toks.length
+  }
+
+  def parse(cql: String): CqlSelect = {
+    val c = new Cursor(tokenize(cql.stripSuffix(";")))
+    c.expect("select")
+    val json = c.accept("json")
+    val distinct = c.accept("distinct")
+    val selectors = parseSelectors(c)
+    c.expect("from")
+    val table = c.next()
+    var preds = Seq.empty[CqlPredicate]
+    if (c.accept("where")) {
+      preds = preds :+ parsePredicate(c)
+      while (c.accept("and")) preds = preds :+ parsePredicate(c)
+    }
+    var groupBy = Seq.empty[String]
+    if (c.accept("group")) { c.expect("by"); groupBy = parseIdentList(c) }
+    var orderBy: Option[Seq[OrderBy]] = None
+    if (c.accept("order")) {
+      c.expect("by")
+      var obs = Seq(parseOrderBy(c))
+      while (c.accept(",")) obs = obs :+ parseOrderBy(c)
+      orderBy = Some(obs)
+    }
+    var perPartitionLimit: Option[Int] = None
+    if (c.accept("per")) {
+      c.expect("partition"); c.expect("limit")
+      perPartitionLimit = Some(c.next().toInt)
+    }
+    var limit: Option[Int] = None
+    if (c.accept("limit")) limit = Some(c.next().toInt)
+    val allowFiltering = if (c.accept("allow")) { c.expect("filtering"); true } else false
+    if (!c.done)
+      throw new CqlInvalidQueryException(s"unexpected trailing input near ${c.peek}")
+    CqlSelect(selectors, table, preds, groupBy, orderBy, perPartitionLimit,
+      limit, allowFiltering, distinct, json)
+  }
+
+  private def parseSelectors(c: Cursor): Seq[CqlSelector] = {
+    var out = Seq(parseSelector(c))
+    while (c.accept(",")) out = out :+ parseSelector(c)
+    out
+  }
+
+  private def parseSelector(c: Cursor): CqlSelector = {
+    if (c.accept("*")) return Star
+    val name = c.next()
+    if (c.accept("(")) {
+      val arg = c.next()
+      c.expect(")")
+      FunctionSelector(name, arg, parseAlias(c))
+    } else ColumnSelector(name, parseAlias(c))
+  }
+
+  private def parseAlias(c: Cursor): Option[String] =
+    if (c.accept("as")) Some(c.next()) else None
+
+  private def parseIdentList(c: Cursor): Seq[String] = {
+    var out = Seq(c.next())
+    while (c.accept(",")) out = out :+ c.next()
+    out
+  }
+
+  private def parseOrderBy(c: Cursor): OrderBy = {
+    val col = c.next()
+    val asc = if (c.accept("desc")) false else { c.accept("asc"); true }
+    OrderBy(col, asc)
+  }
+
+  private def parsePredicate(c: Cursor): CqlPredicate = {
+    if (c.accept("(")) { // tuple restriction: (ck1, ck2) op (v1, v2)
+      val cols = parseIdentList(c); c.expect(")")
+      val op = c.next()
+      c.expect("(")
+      var vals = Seq(parseLiteral(c))
+      while (c.accept(",")) vals = vals :+ parseLiteral(c)
+      c.expect(")")
+      return TuplePredicate(cols, op, vals)
+    }
+    val first = c.next()
+    val isToken = first.equalsIgnoreCase("token") && c.peekIs("(")
+    val column = if (isToken) { c.expect("("); val x = c.next(); c.expect(")"); x }
+      else first
+    if (c.accept("in")) {
+      c.expect("(")
+      var vals = Seq(parseLiteral(c))
+      while (c.accept(",")) vals = vals :+ parseLiteral(c)
+      c.expect(")")
+      ColumnPredicate(column, "in", vals, isToken)
+    } else if (c.accept("contains")) {
+      if (c.accept("key")) ColumnPredicate(column, "contains key", Seq(parseLiteral(c)))
+      else ColumnPredicate(column, "contains", Seq(parseLiteral(c)))
+    } else if (c.accept("like")) {
+      ColumnPredicate(column, "like", Seq(parseLiteral(c)))
+    } else {
+      val op = c.next() match {
+        case o @ ("=" | "!=" | "<" | "<=" | ">" | ">=") => o
+        case o => throw new CqlInvalidQueryException(s"unsupported operator $o")
+      }
+      ColumnPredicate(column, op, Seq(parseLiteral(c)), isToken)
+    }
+  }
+
+  private def parseLiteral(c: Cursor): Any = {
+    val t = c.next()
+    if (t.startsWith("'")) t.substring(1, t.length - 1).replace("''", "'")
+    else if (t.equalsIgnoreCase("true")) true
+    else if (t.equalsIgnoreCase("false")) false
+    else if (t.contains('.')) t.toDouble
+    else t.toLong
+  }
+}
