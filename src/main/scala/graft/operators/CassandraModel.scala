@@ -31,6 +31,16 @@ object CassandraModel {
   def tokenOf(pk: Column): Column =
     (pk % 1000003L) * 2654435761L % 2147483647L
 
+  /** Full-fidelity ring token: Murmur3 x64_128 first half with the
+    * partitioner's MIN→MAX normalization — produces the same token a real
+    * Cassandra ring assigns a bigint/text key (Guava-cross-validated,
+    * Murmur3TokenSpec). Codegen'd; no SQL twin (engine-defined hash). */
+  def murmurTokenOf(pk: Column): Column = {
+    import org.apache.spark.sql.GraftShim
+    GraftShim.column(
+      graft.functions.expressions.Murmur3Token(GraftShim.expression(pk)))
+  }
+
   /** Deterministic upsert log derived from `orders` (no upsert fixture exists
     * — SURVEY §7.6.3): 3 versions per key; `_writetime` varies which version
     * wins per key; version 2 of every 7th key is a tombstone. */

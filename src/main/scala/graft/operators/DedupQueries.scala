@@ -62,9 +62,21 @@ object DedupQueries {
   def d3_minhash_lsh(s: SparkSession, d: String): DataFrame = {
     val shingled = corpusWithDups(s, d)
       .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("sh"))
+      // hash the shingle STRING once; the 32 permutations are the
+      // Carter-Wegman family h_i = (a_i·h + b_i) mod p over that value —
+      // 1 string hash + 3 long ops per (shingle, permutation) instead of 32
+      // string hashes. The mod is what makes each h_i's argmin independent
+      // (a plain linear map is monotone: every component would share one
+      // argmin and LSH collapses). Operands sized for ANSI Long arithmetic:
+      // h ∈ [0, 2^31), a_i < 2^32, so a_i·h + b_i < 2^63.
+      .select(col("doc_id"),
+        (shiftright(xxhash64(col("sh")), 33) + lit(1L << 30)).as("h"))
+    val p = 2147483647L // 2^31 - 1 (prime)
+    def perm(i: Int) =
+      (col("h") * lit(2L * i + 0x9E3779B1L) + lit(i * 0x85EBCA77L)) % p
     val sigs = shingled.groupBy(col("doc_id"))
-      .agg(min(xxhash64(col("sh"), lit(0))).as("h0"),
-        (1 until 32).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i")): _*)
+      .agg(min(perm(0)).as("h0"),
+        (1 until 32).map(i => min(perm(i)).as(s"h$i")): _*)
     val sig = array((0 until 32).map(i => col(s"h$i")): _*)
     val banded = sigs.select(col("doc_id"),
         explode(lshBands(sig, 8, 4)).as("b"))
