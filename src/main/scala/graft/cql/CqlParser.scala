@@ -104,6 +104,69 @@ object CqlParser {
       limit, allowFiltering, distinct, json)
   }
 
+  /** Parse an INSERT/UPDATE/DELETE statement (SURVEY §2.12 write surface). */
+  def parseDml(cql: String): CqlDml = {
+    val c = new Cursor(tokenize(cql.stripSuffix(";")))
+    val stmt = c.next().toLowerCase match {
+      case "insert" =>
+        c.expect("into")
+        val table = c.next()
+        c.expect("(")
+        val cols = parseIdentList(c)
+        c.expect(")")
+        c.expect("values")
+        c.expect("(")
+        var vals = Seq(parseLiteral(c))
+        while (c.accept(",")) vals = vals :+ parseLiteral(c)
+        c.expect(")")
+        val (ts, ttl) = parseUsing(c)
+        CqlInsert(table, cols, vals, ts, ttl)
+      case "update" =>
+        val table = c.next()
+        val (ts, ttl) = parseUsing(c)
+        c.expect("set")
+        var assigns = Seq(parseAssignment(c))
+        while (c.accept(",")) assigns = assigns :+ parseAssignment(c)
+        c.expect("where")
+        CqlUpdate(table, assigns, parseKeyPredicates(c), ts, ttl)
+      case "delete" =>
+        c.expect("from")
+        val table = c.next()
+        val (ts, _) = parseUsing(c)
+        c.expect("where")
+        CqlDelete(table, parseKeyPredicates(c), ts)
+      case other =>
+        throw new CqlInvalidQueryException(s"not a DML statement: $other")
+    }
+    if (!c.done)
+      throw new CqlInvalidQueryException(s"unexpected trailing input near ${c.peek}")
+    stmt
+  }
+
+  private def parseAssignment(c: Cursor): (String, Any) = {
+    val col = c.next(); c.expect("="); col -> parseLiteral(c)
+  }
+
+  private def parseKeyPredicates(c: Cursor): Seq[(String, Any)] = {
+    var out = Seq(parseAssignment(c)) // key restrictions are `col = lit`
+    while (c.accept("and")) out = out :+ parseAssignment(c)
+    out
+  }
+
+  private def parseUsing(c: Cursor): (Option[Long], Option[Long]) = {
+    var ts: Option[Long] = None
+    var ttl: Option[Long] = None
+    if (c.accept("using")) {
+      def one(): Unit =
+        if (c.accept("timestamp")) ts = Some(c.next().toLong)
+        else if (c.accept("ttl")) ttl = Some(c.next().toLong)
+        else throw new CqlInvalidQueryException(s"expected TIMESTAMP or TTL near ${c.peek}")
+      one()
+      while (c.accept("and")) one()
+    }
+    (ts, ttl)
+  }
+
   private def parseSelectors(c: Cursor): Seq[CqlSelector] = {
     var out = Seq(parseSelector(c))
     while (c.accept(",")) out = out :+ parseSelector(c)

@@ -78,6 +78,35 @@ object CassandraModel {
       .drop("_rn", "_deleted")
   }
 
+  /** Cell-level reconcile view — the actual Cassandra merge semantics
+    * (`db/rows/Cells.reconcile` [U]): each COLUMN independently resolves to
+    * the value with the highest (writetime, value) pair among writes newer
+    * than the key's latest tombstone; a row exists iff any cell survives.
+    * Differences from [[latestWinsView]] (row-level): partial updates merge
+    * per column, and a write with a timestamp HIGHER than a later-arriving
+    * delete survives it (tombstones only shadow older cells).
+    *
+    * `null` in a log row models "column not written" (CQL unset). One
+    * window + one hash-aggregate — two passes over the log, both keyed by
+    * `keys`, so at scale it is a single shuffle (the window and the
+    * aggregate share partitioning).
+    */
+  def reconcileView(log: DataFrame, keys: Seq[String],
+      dataCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    val delWt = max(when(col("_deleted"), col("_writetime"))).over(w)
+    val live = log
+      .withColumn("_del_wt", delWt)
+      .filter(!col("_deleted") &&
+        (col("_del_wt").isNull || col("_writetime") > col("_del_wt")))
+    val cellAggs = dataCols.map { c =>
+      // (writetime, value) lexicographic max = upstream reconcile tie-break
+      max_by(col(c), when(col(c).isNotNull,
+        struct(col("_writetime"), col(c)))).as(c)
+    } :+ max(col("_writetime")).as("_writetime")
+    live.groupBy(keys.map(col): _*).agg(cellAggs.head, cellAggs.tail: _*)
+  }
+
   /** Compaction (STCS/TWCS analogue, `db/compaction/` [U]): materialize the
     * latest-wins view sorted by (token, pk) — the layout later range scans
     * want. Returns the compacted snapshot as re-read from disk. */
