@@ -194,6 +194,52 @@ object CassandraModel {
         dec6(sum(dec6(col("o_totalprice")))).as("revenue"))
       .orderBy("day", "o_orderstatus")
 
+  /** Deterministic CELL-write log (partial writes + tombstones) derived from
+    * `orders`: w0 full row; w1 price-only update; w2 either a status-only
+    * update or (every 5th key) a tombstone. Writetimes distinct per key and
+    * interleaved so tombstones shadow some-but-not-all later cells. */
+  def cellLog(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).filter(col("o_orderkey") < 400)
+      .select(col("o_orderkey").as("pk"), col("o_totalprice"),
+        col("o_orderstatus"))
+    val w0 = o.select(col("pk"), col("o_totalprice").as("price"),
+      col("o_orderstatus").as("status"),
+      lit(10L).as("_writetime"), lit(false).as("_deleted"))
+    val w1 = o.select(col("pk"), (col("o_totalprice") + 1).as("price"),
+      lit(null).cast("string").as("status"),
+      (lit(20L) + col("pk") % 30L).as("_writetime"), lit(false).as("_deleted"))
+    val w2 = o.select(col("pk"), lit(null).cast("double").as("price"),
+      when(col("pk") % 5 =!= 0, concat(col("o_orderstatus"), lit("!")))
+        .as("status"),
+      (lit(35L) + col("pk") % 7L).as("_writetime"),
+      (col("pk") % 5 === 0).as("_deleted"))
+    w0.unionByName(w1).unionByName(w2)
+  }
+
+  /** The SQL twin of [[cellLog]]. */
+  val cellLogSql: String =
+    """SELECT pk, price, status, _writetime, _deleted FROM (
+      |  SELECT o_orderkey AS pk, o_totalprice AS price,
+      |    o_orderstatus AS status, 10 AS _writetime, false AS _deleted
+      |  FROM orders WHERE o_orderkey < 400
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice + 1, NULL,
+      |    20 + o_orderkey % 30, false
+      |  FROM orders WHERE o_orderkey < 400
+      |  UNION ALL
+      |  SELECT o_orderkey, NULL,
+      |    CASE WHEN o_orderkey % 5 <> 0 THEN o_orderstatus || '!' END,
+      |    35 + o_orderkey % 7, o_orderkey % 5 = 0
+      |  FROM orders WHERE o_orderkey < 400)""".stripMargin
+
+  /** C9: cell-level reconcile (the real Cassandra merge, §2.12): partial
+    * updates merge per column; tombstones shadow only older cells. */
+  def c9_reconcile(s: SparkSession, d: String): DataFrame =
+    reconcileView(cellLog(s, d), Seq("pk"), Seq("price", "status"))
+      .select(col("pk"), dec6(col("price")).as("price"), col("status"),
+        col("_writetime"))
+      .orderBy("pk")
+
   /** C8: Thrift multiget_slice (§2.10): pk IN (…) + per-partition slice
     * limit 2 in clustering order. */
   def c8_multiget_slice(s: SparkSession, d: String): DataFrame = {
@@ -215,6 +261,7 @@ object CassandraModel {
     "c6_ttl" -> (c6_ttl _),
     "c7_mv_daily_revenue" -> (c7_mv_daily_revenue _),
     "c8_multiget_slice" -> (c8_multiget_slice _),
+    "c9_reconcile" -> (c9_reconcile _),
   )
 
   private val logCte = s"WITH ulog AS (${upsertLogSql.replace("\n", " ")})"
@@ -262,6 +309,21 @@ object CassandraModel {
         |  count(*) AS n_orders,
         |  cast(sum(cast(o_totalprice AS decimal(38,6))) AS decimal(38,6)) AS revenue
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "c9_reconcile" ->
+      s"""WITH clog AS (${cellLogSql.replace("\n", " ")}),
+        |shadow AS (
+        |  SELECT *, max(CASE WHEN _deleted THEN _writetime END)
+        |    OVER (PARTITION BY pk) AS _del_wt
+        |  FROM clog),
+        |live AS (
+        |  SELECT * FROM shadow
+        |  WHERE NOT _deleted AND (_del_wt IS NULL OR _writetime > _del_wt))
+        |SELECT pk,
+        |  cast(arg_max(price, CASE WHEN price IS NOT NULL THEN _writetime END)
+        |    AS decimal(38,6)) AS price,
+        |  arg_max(status, CASE WHEN status IS NOT NULL THEN _writetime END) AS status,
+        |  cast(max(_writetime) AS bigint) AS _writetime
+        |FROM live GROUP BY pk ORDER BY pk""".stripMargin,
     "c8_multiget_slice" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM (
         |  SELECT *, row_number() OVER (PARTITION BY l_orderkey
