@@ -50,6 +50,48 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("reconcileView matches a plain-Scala model on random cell logs (Harry-lite)") {
+    import spark.implicits._
+    // cells: (pk, price?, status?, wt, deleted) — null = column not written
+    val cellGen2 = for {
+      pk <- Gen.choose(0L, 5L)
+      wt <- Gen.choose(1L, 15L)
+      writePrice <- Gen.oneOf(true, false)
+      writeStatus <- Gen.oneOf(true, false)
+      del <- Gen.frequency(1 -> true, 4 -> false)
+      price <- Gen.choose(1, 99)
+      status <- Gen.oneOf("a", "b", "c")
+    } yield (pk, if (writePrice && !del) Some(price.toDouble) else None,
+      if (writeStatus && !del) Some(status) else None, wt, del)
+
+    for (raw <- samples(Gen.nonEmptyListOf(cellGen2), 10)) {
+      val cells = raw.distinctBy(c => (c._1, c._4)) // unique (pk, wt): no ts ties
+      val df = cells.toDF("pk", "price", "status", "_writetime", "_deleted")
+      val got = CassandraModel.reconcileView(df, Seq("pk"), Seq("price", "status"))
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          Option(r.getString(2)),
+          r.getLong(3)))
+        .sortBy(_._1)
+
+      // reference model: per key — delete horizon, surviving cells, per-column
+      // latest write
+      val expect = cells.groupBy(_._1).toSeq.flatMap { case (pk, cs) =>
+        val delWt = cs.filter(_._5).map(_._4).maxOption
+        val live = cs.filter(c => !c._5 && delWt.forall(c._4 > _))
+        if (live.isEmpty) None
+        else {
+          val price = live.filter(_._2.isDefined).maxByOption(_._4).flatMap(_._2)
+          val status = live.filter(_._3.isDefined).maxByOption(_._4).flatMap(_._3)
+          Some((pk, price, status, live.map(_._4).max))
+        }
+      }.sortBy(_._1)
+      assert(got.toSeq === expect,
+        s"log=${cells.mkString(",")}")
+    }
+  }
+
   test("exact dedup is a fixpoint: dedup(dedup(x)) == dedup(x) (8 random lists)") {
     import spark.implicits._
     for (xs <- samples(Gen.nonEmptyListOf(Gen.choose(0, 5)), 8)) {

@@ -64,6 +64,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("checkpointed dedup stream survives restarts: duplicate files add zero rows, new keys append") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft-ckpt")
+    val in = base.resolve("in"); Files.createDirectory(in)
+    val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    Files.copy(Paths.get(s"$sf/events.parquet"), in.resolve("f1.parquet"))
+
+    def runOnce(): Unit = {
+      val q = StreamingPipelines.eventsStream(spark, in.toString)
+        .dropDuplicates("event_id")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val n = Tables.events(spark, sf).count()
+
+    runOnce()
+    assert(spark.read.parquet(out).count() === n)
+
+    // restart with a byte-identical second file: dedup state was
+    // checkpointed, so nothing new is emitted
+    Files.copy(Paths.get(s"$sf/events.parquet"), in.resolve("f2.parquet"))
+    runOnce()
+    assert(spark.read.parquet(out).count() === n)
+
+    // restart with genuinely new keys: exactly those append
+    Tables.events(spark, sf)
+      .withColumn("event_id", col("event_id") + 10000000L)
+      .withColumn("ts", unix_micros(col("ts")) * 1000) // back to raw ns longs
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(in.toString)
+    runOnce()
+    assert(spark.read.parquet(out).count() === 2 * n)
+    assert(spark.read.parquet(out).select("event_id").distinct().count() === 2 * n)
+  }
+
   test("batch session windows match the gaps-and-islands formulation") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts")
