@@ -317,6 +317,17 @@ object RelationalQueries {
       .orderBy("c_nationkey", "rnk", "c_custkey")
   }
 
+  /** W2b: ntile — quartile assignment within each nation by balance. */
+  def w5_ntile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(s, d)
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("c_nationkey"), col("quartile"))
+      .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("min_ck"))
+      .orderBy("c_nationkey", "quartile")
+  }
+
   /** W3: lag — mean inter-event gap per user, exact µs arithmetic. */
   def w3_lag_gap(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
@@ -360,6 +371,15 @@ object RelationalQueries {
     val ev = Tables.events(s, d)
     ev.filter(col("event_type") === "click").select("user_id")
       .except(ev.filter(col("event_type") === "error").select("user_id"))
+      .orderBy("user_id")
+  }
+
+  /** Set ops: UNION distinct — engaged users (clicked or purchased). */
+  def setop_union(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ev.filter(col("event_type") === "click").select("user_id")
+      .unionByName(ev.filter(col("event_type") === "purchase").select("user_id"))
+      .distinct()
       .orderBy("user_id")
   }
 
@@ -500,6 +520,8 @@ object RelationalQueries {
     "w1_topk_per_user" -> (w1_topk_per_user _),
     "w2_rank" -> (w2_rank _),
     "w3_lag_gap" -> (w3_lag_gap _),
+    "w5_ntile" -> (w5_ntile _),
+    "setop_union" -> (setop_union _),
     "w4_moving" -> (w4_moving _),
     "o1_topk" -> (o1_topk _),
     "setop_except" -> (setop_except _),
@@ -709,6 +731,18 @@ object RelationalQueries {
     "setop_except" ->
       """SELECT user_id FROM events WHERE event_type = 'click'
         |EXCEPT SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin,
+    "w5_ntile" ->
+      """SELECT c_nationkey, cast(quartile AS int) AS quartile, count(*) AS n,
+        |  min(c_custkey) AS min_ck
+        |FROM (SELECT c_nationkey, c_custkey,
+        |        ntile(4) OVER (PARTITION BY c_nationkey
+        |          ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+        |      FROM customer)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "setop_union" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |UNION SELECT user_id FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id""".stripMargin,
     "setop_intersect" ->
       """SELECT user_id FROM events WHERE event_type = 'purchase'
