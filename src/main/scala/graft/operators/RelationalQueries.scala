@@ -237,6 +237,18 @@ object RelationalQueries {
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy("event_type")
 
+  /** A10 (engine extension): exact percentiles per group — the
+    * observability query shape; at 100 TB swap `percentile` for the
+    * mergeable-sketch `percentile_approx` (same plan, bounded memory). */
+  def a10_percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy("event_type")
+
   /** A8: SELECT DISTINCT. */
   def a8_distinct(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
@@ -516,6 +528,7 @@ object RelationalQueries {
     "a4_per_partition_limit" -> (a4_per_partition_limit _),
     "a7_approx_distinct" -> (a7_approx_distinct _),
     "a8_distinct" -> (a8_distinct _),
+    "a10_percentiles" -> (a10_percentiles _),
     "a9_rollup" -> (a9_rollup _),
     "w1_topk_per_user" -> (w1_topk_per_user _),
     "w2_rank" -> (w2_rank _),
@@ -684,6 +697,12 @@ object RelationalQueries {
         |         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) rn
         |  FROM lineitem WHERE l_orderkey < 30)
         |WHERE rn <= 2 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "a10_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a8_distinct" ->
       """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
         |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
