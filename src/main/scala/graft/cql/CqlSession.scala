@@ -48,11 +48,12 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   private def keyCols(t: TableState): Seq[String] =
     t.partitionKeys ++ t.clusteringKeys
 
-  /** Reconciled read view of a table's current log. */
-  def view(table: String): DataFrame = {
+  /** Reconciled read view of a table's current log. `nowUs` (epoch micros)
+    * enables cell-level TTL expiry for cells written `USING TTL`. */
+  def view(table: String, nowUs: Option[Long] = None): DataFrame = {
     val t = tableState(table)
     CassandraModel.reconcileView(t.log, keyCols(t),
-      dataCols(t).filterNot(keyCols(t).contains))
+      dataCols(t).filterNot(keyCols(t).contains), nowUs)
   }
 
   /** Run a CQL statement: SELECT returns rows; DML mutates and returns an

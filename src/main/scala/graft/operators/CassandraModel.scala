@@ -92,12 +92,26 @@ object CassandraModel {
     * aggregate share partitioning).
     */
   def reconcileView(log: DataFrame, keys: Seq[String],
-      dataCols: Seq[String]): DataFrame = {
+      dataCols: Seq[String]): DataFrame =
+    reconcileView(log, keys, dataCols, nowUs = None)
+
+  /** As above, with cell-level TTL expiry: when the log carries a `_ttl`
+    * column (seconds, nullable = no expiry) and `nowUs` is given, a cell is
+    * live only while `_writetime + _ttl·10⁶ > nowUs` (writetimes are epoch
+    * micros, Cassandra's convention) — expired cells vanish exactly like
+    * tombstoned ones (`db/LivenessInfo` semantics [U]). */
+  def reconcileView(log: DataFrame, keys: Seq[String], dataCols: Seq[String],
+      nowUs: Option[Long]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
     val delWt = max(when(col("_deleted"), col("_writetime"))).over(w)
+    val notExpired: Column = nowUs match {
+      case Some(now) if log.columns.contains("_ttl") =>
+        col("_ttl").isNull || col("_writetime") + col("_ttl") * 1000000L > now
+      case _ => lit(true)
+    }
     val live = log
       .withColumn("_del_wt", delWt)
-      .filter(!col("_deleted") &&
+      .filter(!col("_deleted") && notExpired &&
         (col("_del_wt").isNull || col("_writetime") > col("_del_wt")))
     val cellAggs = dataCols.map { c =>
       // (writetime, value) lexicographic max = upstream reconcile tie-break

@@ -66,6 +66,22 @@ class CqlSessionSpec extends SparkSpec {
     assert(e.getMessage.contains("PRIMARY KEY"))
   }
 
+  test("USING TTL expires individual cells, not the whole row") {
+    val s = freshSession
+    // name written at t=1000s with 60s TTL; age written without TTL
+    s.execute("INSERT INTO users (user_id, name) VALUES (1, 'fading') " +
+      "USING TIMESTAMP 1000000000 AND TTL 60")
+    s.execute("INSERT INTO users (user_id, age) VALUES (1, 99) " +
+      "USING TIMESTAMP 1000000001")
+    def at(nowUs: Long) = s.view("users", Some(nowUs))
+      .collect().map(r => (Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    // before expiry (t=1030s): both cells live
+    assert(at(1030L * 1000000) === Seq((Some("fading"), Some(99L))))
+    // after expiry (t=1061s): name gone, age survives — row still exists
+    assert(at(1061L * 1000000) === Seq((None, Some(99L))))
+  }
+
   test("INSERT and UPDATE are the same upsert operation") {
     val s = freshSession
     s.execute("UPDATE users SET name = 'upserted' WHERE user_id = 1")
