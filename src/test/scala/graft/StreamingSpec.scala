@@ -64,6 +64,28 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("incremental MV maintenance: watermarked window agg appends finalized buckets to parquet") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft-mv")
+    val out = s"$base/mv"; val ckpt = s"$base/ckpt"
+    val q = StreamingPipelines.hourlyCounts(
+        StreamingPipelines.eventsStream(spark, stagedDir))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append") // append = emit each window once, when finalized
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val mv = spark.read.parquet(out)
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"))
+    // every emitted MV row is exactly a batch row (windows past the
+    // watermark; the tail window stays pending until more data arrives)
+    assert(mv.count() > 0)
+    assert(mv.exceptAll(batch).count() === 0)
+  }
+
   test("checkpointed dedup stream survives restarts: duplicate files add zero rows, new keys append") {
     import org.apache.spark.sql.streaming.Trigger
     val base = Files.createTempDirectory("graft-ckpt")
