@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.8 F2 — the CQL timeuuid function family
+  * (`minTimeuuid/maxTimeuuid/toTimestamp/dateOf/unixTimestampOf`, upstream
+  * `cql3/functions/TimeFcts.java` [U], unverifiable per SURVEY §0), as pure
+  * builtin Column compositions over the RFC-4122 version-1 layout:
+  * 60-bit count of 100ns ticks since 1582-10-15, split
+  * time_low(32) | time_mid(16) | version+time_hi(16).
+  */
+object TimeuuidFunctions {
+
+  /** 100ns ticks between the Gregorian epoch (1582-10-15) and 1970-01-01. */
+  val GregorianOffset: Long = 122192928000000000L
+
+  private def hexOf(c: Column, width: Int): Column =
+    lpad(lower(hex(c)), width, "0")
+
+  /** 60-bit tick count → RFC-4122 v1 uuid string with the given clockseq/
+    * node tail (min tail for [[minTimeuuid]], max tail for [[maxTimeuuid]]). */
+  private def build(ticks: Column, tail: String): Column =
+    concat_ws("-",
+      hexOf(ticks.bitwiseAND(0xFFFFFFFFL), 8),                     // time_low
+      hexOf(shiftright(ticks, 32).bitwiseAND(0xFFFFL), 4),         // time_mid
+      concat(lit("1"), hexOf(shiftright(ticks, 48).bitwiseAND(0xFFFL), 3)),
+      lit(tail.split("-")(0)), lit(tail.split("-")(1)))
+
+  private def ticksOf(ts: Column): Column =
+    unix_micros(ts) * 10L + GregorianOffset
+
+  /** Smallest timeuuid for a timestamp — CQL `minTimeuuid(ts)`; use as an
+    * inclusive lower bound in clustering-range predicates. */
+  def minTimeuuid(ts: Column): Column = build(ticksOf(ts), "8000-000000000000")
+
+  /** Largest timeuuid for a timestamp — CQL `maxTimeuuid(ts)`. */
+  def maxTimeuuid(ts: Column): Column = build(ticksOf(ts), "bfff-ffffffffffff")
+
+  /** Embedded 60-bit tick count of a v1 uuid string. */
+  def timeuuidTicks(u: Column): Column =
+    conv(concat(substring(u, 16, 3), substring(u, 10, 4), substring(u, 1, 8)),
+      16, 10).cast("long")
+
+  // `/` on longs is double division in Spark SQL — ticks exceed 2^53, so
+  // integral `div` is required for exactness
+  private def idiv(a: Column, b: Long): Column =
+    call_function("div", a, lit(b))
+
+  /** CQL `toTimestamp(timeuuid)` / `dateOf` — µs-precision timestamp. */
+  def timeuuidToTimestamp(u: Column): Column =
+    timestamp_micros(idiv(timeuuidTicks(u) - GregorianOffset, 10L))
+
+  /** CQL `unixTimestampOf(timeuuid)` — epoch millis. */
+  def unixTimestampOf(u: Column): Column =
+    idiv(timeuuidTicks(u) - GregorianOffset, 10000L)
+}
