@@ -41,9 +41,13 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
     // WHERE
     sel.predicates.map(predColumn(_, table)).foreach(c => df = df.filter(c))
 
-    // PER PARTITION LIMIT (before LIMIT, after filters — upstream order)
+    // PER PARTITION LIMIT (before LIMIT, after filters — upstream order).
+    // Ordering = clustering order; remaining columns break ties so the
+    // result is deterministic even on tables without clustering keys.
     sel.perPartitionLimit.foreach { k =>
-      val order = (table.clusteringKeys.map(col(_).asc) :+ monotonically_increasing_id().asc)
+      val tiebreak = table.df.columns.toSeq
+        .diff(table.partitionKeys ++ table.clusteringKeys).map(col(_).asc)
+      val order = table.clusteringKeys.map(col(_).asc) ++ tiebreak
       val w = Window.partitionBy(table.partitionKeys.map(col): _*).orderBy(order: _*)
       df = df.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= k).drop("__rn")
@@ -77,6 +81,12 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
       df = df.select(to_json(struct(df.columns.map(col): _*)).as("[json]"))
     df
   }
+
+  /** cqlsh TRACING analogue: the formatted physical plan Catalyst chose for
+    * a CQL statement — shows pushed filters, join strategies, top-k. */
+  def explain(cql: String): String =
+    execute(cql).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
 
   /** Cassandra's restriction rules (the guardrails that make it Cassandra). */
   private def validate(sel: CqlSelect, t: CqlTable): Unit = {

@@ -62,6 +62,20 @@ class CqlEngineSpec extends SparkSpec {
     assert(out.head().getString(0).contains("\"o_orderkey\":5"))
   }
 
+  test("get_count: COUNT(*) within one partition") {
+    val n = cqlEngine.execute(
+      "SELECT count(*) AS n FROM lineitem WHERE l_orderkey = 1").head().getLong(0)
+    val native = Tables.lineitem(spark, sf).filter(col("l_orderkey") === 1).count()
+    assert(n === native && n > 0)
+  }
+
+  test("explain (TRACING analogue) shows the pushed-down point-read plan") {
+    val plan = cqlEngine.explain(
+      "SELECT l_linenumber FROM lineitem WHERE l_orderkey = 1")
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(l_orderkey,1)"),
+      plan.take(2000))
+  }
+
   test("guardrail: non-key predicate without ALLOW FILTERING is rejected") {
     val e = intercept[CqlInvalidQueryException] {
       cqlEngine.execute("SELECT * FROM orders WHERE o_totalprice > 1000")
