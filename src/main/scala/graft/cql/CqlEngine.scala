@@ -69,7 +69,10 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
         if (sel.groupBy.nonEmpty)
           df.groupBy(sel.groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
         else df.agg(aggCols.head, aggCols.tail: _*)
-      } else if (sel.selectors == Seq(Star)) df
+      } else if (sel.selectors == Seq(Star))
+        // `_`-prefixed columns are engine metadata (writetime/ttl/tombstone)
+        // — CQL exposes them through writetime()/ttl(), not SELECT *
+        df.select(df.columns.filterNot(_.startsWith("_")).map(col): _*)
       else df.select(sel.selectors.map(selectorColumn(_, table)): _*)
 
     if (sel.distinct) df = df.distinct()
@@ -188,10 +191,12 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
       c.as(alias.getOrElse(s"${fn.toLowerCase}(${arg})"))
   }
 
-  /** writetime(c): on an upsert-log-modeled table the cell write timestamp
-    * is the `_writetime` metadata column (SURVEY §7.3 / F9). */
+  /** writetime(c): the per-cell write timestamp when the view carries it
+    * (`_writetime_<col>`, emitted by `reconcileView`), else the row-level
+    * `_writetime` of the upsert-log model (SURVEY §7.3 / F9). */
   private def maxWritetimeCol(t: CqlTable, arg: String): Column =
-    if (t.df.columns.contains("_writetime")) col("_writetime")
+    if (t.df.columns.contains(s"_writetime_$arg")) col(s"_writetime_$arg")
+    else if (t.df.columns.contains("_writetime")) col("_writetime")
     else throw new CqlInvalidQueryException(
       s"writetime($arg) requires an upsert-log table (no _writetime column)")
 

@@ -117,6 +117,9 @@ object CassandraModel {
       // (writetime, value) lexicographic max = upstream reconcile tie-break
       max_by(col(c), when(col(c).isNotNull,
         struct(col("_writetime"), col(c)))).as(c)
+    } ++ dataCols.map { c =>
+      // per-CELL writetime — what CQL's writetime(c) actually returns
+      max(when(col(c).isNotNull, col("_writetime"))).as(s"_writetime_$c")
     } :+ max(col("_writetime")).as("_writetime")
     live.groupBy(keys.map(col): _*).agg(cellAggs.head, cellAggs.tail: _*)
   }

@@ -82,6 +82,16 @@ class CqlSessionSpec extends SparkSpec {
     assert(at(1061L * 1000000) === Seq((None, Some(99L))))
   }
 
+  test("writetime(c) is per CELL: each column reports its own write's timestamp") {
+    val s = freshSession
+    s.execute("INSERT INTO users (user_id, name, age) VALUES (1, 'x', 1) USING TIMESTAMP 100")
+    s.execute("UPDATE users USING TIMESTAMP 200 SET name = 'y' WHERE user_id = 1")
+    val r = s.execute(
+      "SELECT writetime(name) AS wn, writetime(age) AS wa FROM users WHERE user_id = 1")
+      .head()
+    assert(r.getLong(0) === 200L && r.getLong(1) === 100L)
+  }
+
   test("INSERT and UPDATE are the same upsert operation") {
     val s = freshSession
     s.execute("UPDATE users SET name = 'upserted' WHERE user_id = 1")

@@ -68,6 +68,7 @@ class PropertiesSpec extends SparkSpec {
       val cells = raw.distinctBy(c => (c._1, c._4)) // unique (pk, wt): no ts ties
       val df = cells.toDF("pk", "price", "status", "_writetime", "_deleted")
       val got = CassandraModel.reconcileView(df, Seq("pk"), Seq("price", "status"))
+        .select("pk", "price", "status", "_writetime")
         .collect()
         .map(r => (r.getLong(0),
           if (r.isNullAt(1)) None else Some(r.getDouble(1)),
