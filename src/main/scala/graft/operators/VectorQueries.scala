@@ -71,6 +71,48 @@ object VectorQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** IVF coarse quantizer: one centroid per label (deterministic decimal
+    * means — shuffle-order-proof; production trains k-means, same shape).
+    * Returns (cell, centroid: array<float>). */
+  def centroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), dec6(sum(dec6(col("x").cast("double")))).as("sx"))
+      .withColumn("m", (col("sx").cast("double") / col("n")).cast("float"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        e => e.getField("m")).as("centroid"))
+      .select(col("label").as("cell"), col("centroid"))
+
+  /** V6: IVF ANN — assign every vector to its nearest centroid cell, probe
+    * the query's 2 nearest cells, exact top-10 inside them. The two-phase
+    * prune→score→merge shape of a production billion-vector index (cells
+    * ≫ nprobe; per-cell work is a pushed-down partition scan). n/o:
+    * centroid training is not expressible as a DuckDB one-liner. */
+  def v6_knn_ivf(s: SparkSession, d: String): DataFrame = {
+    val cents = broadcast(centroids(s, d))
+    val assigned = Tables.embeddings(s, d)
+      .crossJoin(cents)
+      .withColumn("dist", euclideanFast(col("embedding"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cell"), col("embedding"), col("label")),
+        struct(col("dist"), col("cell"))).as("a"))
+      .select(col("vec_id"), col("a.cell"), col("a.embedding"), col("a.label"))
+    val q = assigned.filter(col("vec_id") === 0L)
+      .crossJoin(cents.withColumnRenamed("cell", "qcell"))
+      .withColumn("qdist", euclideanFast(col("embedding"), col("centroid")))
+      .orderBy(col("qdist").asc, col("qcell").asc)
+      .limit(2)
+      .select(col("qcell"), col("embedding").as("qvec"))
+    assigned
+      .join(broadcast(q), col("cell") === col("qcell"))
+      .select(col("vec_id"), col("cell"),
+        round(cosineFast(col("embedding"), col("qvec")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   /** V5: euclidean + dot-product similarity (the other two F7 functions). */
   def v5_euclidean_dot(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -87,6 +129,7 @@ object VectorQueries {
     "v3_centroids" -> (v3_centroids _),
     "v4_cosine_neardup" -> (v4_cosine_neardup _),
     "v5_euclidean_dot" -> (v5_euclidean_dot _),
+    "v6_knn_ivf" -> (v6_knn_ivf _),
   )
 
   // DuckDB twins compute the identical double fold: cast the float list to

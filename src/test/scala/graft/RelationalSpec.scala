@@ -13,7 +13,8 @@ class RelationalSpec extends SparkSpec {
 
   test("every declared query key has either an oracle twin or is known n/o") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle === Set("a7_approx_distinct", "d3_minhash_lsh", "d4_simhash"),
+    assert(noOracle === Set("a7_approx_distinct", "d3_minhash_lsh",
+      "d4_simhash", "v6_knn_ivf"),
       s"unexpected oracle-less queries: $noOracle")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle without query: $orphans")

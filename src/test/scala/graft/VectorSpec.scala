@@ -56,6 +56,14 @@ class VectorSpec extends SparkSpec {
     assert(mismatches === 0)
   }
 
+  test("IVF ANN: probes at most 2 cells, finds the query first, returns k") {
+    val out = VectorQueries.v6_knn_ivf(spark, sf).collect()
+    assert(out.length === 10)
+    assert(out.head.getLong(0) === 0L) // the query vector itself
+    assert(math.abs(out.head.getDouble(2) - 1.0) < 1e-6)
+    assert(out.map(_.getInt(1)).distinct.length <= 2) // nprobe = 2
+  }
+
   test("euclidean distance to self is 0 and to others positive") {
     val d0 = VectorQueries.v5_euclidean_dot(spark, sf).head()
     assert(d0.getLong(0) === 0L)
