@@ -136,10 +136,33 @@ object TextQueries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** X8: decontamination — eval documents sharing any 8-gram with the train
+    * split (the benchmark-leakage check every training pipeline runs before
+    * eval). Split = deterministic md5 hash (x6's convention); the join key
+    * is the shingle itself, so at 100 TB this is one shuffle on shingle
+    * hash with the train side pre-deduplicated. */
+  def x8_decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100)
+    def sh(df: org.apache.spark.sql.DataFrame) =
+      df.filter(size(tokens(col("text"))) >= 8) // sequence() needs stop ≥ start
+        .select(col("doc_id"), explode(
+          array_distinct(shingles(tokens(col("text")), 8))).as("g"))
+    val train = sh(docs.filter(col("h") >= 10)).select("g").distinct()
+    val eval_ = sh(docs.filter(col("h") < 10))
+    eval_.join(train, Seq("g"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_langid" -> (x1_langid _),
     "x6_sample" -> (x6_sample _),
     "x7_chunks" -> (x7_chunks _),
+    "x8_decontaminate" -> (x8_decontaminate _),
     "x2_quality" -> (x2_quality _),
     "x3_termfreq" -> (x3_termfreq _),
     "x4_tokencount" -> (x4_tokencount _),
@@ -165,6 +188,18 @@ object TextQueries {
         |  CROSS JOIN (SELECT unnest(range(0, 100)) AS i) g
         |  WHERE i <= (len(toks) - 1) // 16)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "x8_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS h,
+        |    unnest(list_distinct(list_transform(
+        |      range(1, len(string_split(lower(text),' ')) - 6),
+        |      i -> array_to_string(string_split(lower(text),' ')[i:i+7], ' ')))) AS g
+        |  FROM documents),
+        |train AS (SELECT DISTINCT g FROM sh WHERE h >= 10)
+        |SELECT doc_id, count(*) AS n_contaminated
+        |FROM sh WHERE h < 10 AND g IN (SELECT g FROM train)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x1_langid" ->
       """WITH scored AS (
         |  SELECT lang,
