@@ -28,6 +28,11 @@ class CqlInvalidQueryException(msg: String) extends RuntimeException(msg)
   * validation semantics are enforced: non-key predicates demand
   * `ALLOW FILTERING`; `ORDER BY` demands a fully-restricted partition key and
   * clustering columns only.
+  *
+  * Documented supersets of upstream: `GROUP BY` accepts any column (upstream
+  * 3.10+ restricts groups to a primary-key prefix) and `DISTINCT` accepts
+  * any selection (upstream: partition keys only) — both run fine on Spark,
+  * so the façade does not reject them.
   */
 class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
 
