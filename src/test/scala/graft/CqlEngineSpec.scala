@@ -101,6 +101,36 @@ class CqlEngineSpec extends SparkSpec {
     assert(e.getMessage.contains("partition key"))
   }
 
+  test("malformed CQL fails fast with CqlInvalidQueryException, never hangs") {
+    for (bad <- Seq(
+        "SELEC * FROM orders",
+        "SELECT * FORM orders",
+        "SELECT * FROM",
+        "SELECT count( FROM orders",
+        "SELECT * FROM orders WHERE",
+        "SELECT * FROM orders WHERE o_orderkey = ",
+        "SELECT * FROM orders LIMIT banana",
+        "SELECT * FROM orders; DROP TABLE orders",
+        "💥 ; -- garbage")) {
+      intercept[Exception] { cqlEngine.execute(bad) } match {
+        case _: CqlInvalidQueryException => // expected
+        case _: NumberFormatException => // LIMIT banana
+        case e => fail(s"unexpected ${e.getClass} for: $bad")
+      }
+    }
+  }
+
+  test("unknown table and unknown function are rejected by name") {
+    val e1 = intercept[CqlInvalidQueryException] {
+      cqlEngine.execute("SELECT * FROM nosuch")
+    }
+    assert(e1.getMessage.contains("nosuch"))
+    val e2 = intercept[CqlInvalidQueryException] {
+      cqlEngine.execute("SELECT frobnicate(x) FROM orders")
+    }
+    assert(e2.getMessage.contains("frobnicate"))
+  }
+
   test("tuple restriction on clustering columns") {
     val out = cqlEngine.execute(
       "SELECT user_id, event_id FROM events WHERE user_id = 3 AND (ts, event_id) > ('2024-01-10', 0) ALLOW FILTERING")
