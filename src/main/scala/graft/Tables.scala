@@ -59,5 +59,13 @@ object Q {
     * is IEEE-deterministic and needs no such treatment. */
   def dec6(c: Column): Column = c.cast("decimal(38,6)")
 
+  /** Final-output form of a decimal aggregate: the exact decimal value cast
+    * to double. Both engines correctly round the same exact decimal to the
+    * same IEEE double (unscaled values stay < 2^53 at verify scale), and a
+    * double column round-trips identically through parquet/pandas on both
+    * sides — whereas a decimal output surfaces as `Decimal('1.500000')` from
+    * Spark parquet but `1.5` float64 from DuckDB and hash-mismatches. */
+  def dbl(c: Column): Column = c.cast("double")
+
   def ts(sd: String): Column = lit(sd).cast("timestamp")
 }

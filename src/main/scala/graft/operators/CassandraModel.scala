@@ -20,7 +20,7 @@ import org.apache.spark.sql.expressions.Window
   * pruning. Neither collects to the driver; both are pure DataFrame plans.
   */
 object CassandraModel {
-  import Q.dec6
+  import Q.{dec6, dbl}
 
   /** Engine-defined token function (SURVEY §2.2 P3 / §4.2): a deterministic
     * 31-bit multiplicative hash expressible identically in ANSI SQL, used for
@@ -145,7 +145,7 @@ object CassandraModel {
   def c1_latest_wins(s: SparkSession, d: String): DataFrame =
     latestWinsView(upsertLog(s, d))
       .filter(col("pk") < 200)
-      .select(col("pk"), dec6(col("price")).as("price"), col("status"),
+      .select(col("pk"), dbl(dec6(col("price"))).as("price"), col("status"),
         col("_writetime"))
       .orderBy("pk")
 
@@ -165,7 +165,7 @@ object CassandraModel {
   def c3_compact_stats(s: SparkSession, d: String): DataFrame =
     latestWinsView(upsertLog(s, d))
       .agg(count(lit(1)).as("n_live"),
-        dec6(sum(dec6(col("price")))).as("sum_price"),
+        dbl(dec6(sum(dec6(col("price"))))).as("sum_price"),
         sum(col("_writetime")).as("sum_wt"))
 
   /** C4: counter column read (A6, `db/context/CounterContext.java` [U]) —
@@ -186,7 +186,7 @@ object CassandraModel {
       .filter(col("tok") >= 500000000L && col("tok") < 900000000L)
       .agg(count(lit(1)).as("n"), min(col("tok")).as("min_tok"),
         max(col("tok")).as("max_tok"),
-        dec6(sum(dec6(col("o_totalprice")))).as("sum_price"))
+        dbl(dec6(sum(dec6(col("o_totalprice"))))).as("sum_price"))
 
   /** C6: TTL expiry (T7/§2.12 `USING TTL`): cell expires when
     * writetime + ttl passes "now" (pinned). Pure µs arithmetic both engines. */
@@ -208,7 +208,7 @@ object CassandraModel {
       .groupBy(date_trunc("day", col("o_orderdate")).as("day"),
         col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"),
-        dec6(sum(dec6(col("o_totalprice")))).as("revenue"))
+        dbl(dec6(sum(dec6(col("o_totalprice"))))).as("revenue"))
       .orderBy("day", "o_orderstatus")
 
   /** Deterministic CELL-write log (partial writes + tombstones) derived from
@@ -253,7 +253,7 @@ object CassandraModel {
     * updates merge per column; tombstones shadow only older cells. */
   def c9_reconcile(s: SparkSession, d: String): DataFrame =
     reconcileView(cellLog(s, d), Seq("pk"), Seq("price", "status"))
-      .select(col("pk"), dec6(col("price")).as("price"), col("status"),
+      .select(col("pk"), dbl(dec6(col("price"))).as("price"), col("status"),
         col("_writetime"))
       .orderBy("pk")
 
@@ -286,7 +286,7 @@ object CassandraModel {
   val oracle: Map[String, String] = Map(
     "c1_latest_wins" ->
       s"""$logCte
-        |SELECT pk, cast(price AS decimal(38,6)) AS price, status, _writetime
+        |SELECT pk, cast(cast(price AS decimal(38,6)) AS double) AS price, status, _writetime
         |FROM (SELECT *, row_number() OVER (PARTITION BY pk
         |        ORDER BY _writetime DESC, v DESC) AS _rn FROM ulog)
         |WHERE _rn = 1 AND NOT _deleted AND pk < 200 ORDER BY pk""".stripMargin,
@@ -298,7 +298,7 @@ object CassandraModel {
     "c3_compact_stats" ->
       s"""$logCte
         |SELECT count(*) AS n_live,
-        |  cast(sum(cast(price AS decimal(38,6))) AS decimal(38,6)) AS sum_price,
+        |  cast(cast(sum(cast(price AS decimal(38,6))) AS decimal(38,6)) AS double) AS sum_price,
         |  cast(sum(_writetime) AS bigint) AS sum_wt
         |FROM (SELECT *, row_number() OVER (PARTITION BY pk
         |        ORDER BY _writetime DESC, v DESC) AS _rn FROM ulog)
@@ -309,7 +309,7 @@ object CassandraModel {
         |FROM lineitem WHERE l_orderkey < 500 GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "c5_token_range" ->
       """SELECT count(*) AS n, min(tok) AS min_tok, max(tok) AS max_tok,
-        |  cast(sum(cast(o_totalprice AS decimal(38,6))) AS decimal(38,6)) AS sum_price
+        |  cast(cast(sum(cast(o_totalprice AS decimal(38,6))) AS decimal(38,6)) AS double) AS sum_price
         |FROM (SELECT o_totalprice,
         |        (o_orderkey % 1000003) * 2654435761 % 2147483647 AS tok
         |      FROM orders)
@@ -324,7 +324,7 @@ object CassandraModel {
     "c7_mv_daily_revenue" ->
       """SELECT date_trunc('day', o_orderdate) AS day, o_orderstatus,
         |  count(*) AS n_orders,
-        |  cast(sum(cast(o_totalprice AS decimal(38,6))) AS decimal(38,6)) AS revenue
+        |  cast(cast(sum(cast(o_totalprice AS decimal(38,6))) AS decimal(38,6)) AS double) AS revenue
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "c9_reconcile" ->
       s"""WITH clog AS (${cellLogSql.replace("\n", " ")}),
@@ -336,8 +336,8 @@ object CassandraModel {
         |  SELECT * FROM shadow
         |  WHERE NOT _deleted AND (_del_wt IS NULL OR _writetime > _del_wt))
         |SELECT pk,
-        |  cast(arg_max(price, CASE WHEN price IS NOT NULL THEN _writetime END)
-        |    AS decimal(38,6)) AS price,
+        |  cast(cast(arg_max(price, CASE WHEN price IS NOT NULL THEN _writetime END)
+        |    AS decimal(38,6)) AS double) AS price,
         |  arg_max(status, CASE WHEN status IS NOT NULL THEN _writetime END) AS status,
         |  cast(max(_writetime) AS bigint) AS _writetime
         |FROM live GROUP BY pk ORDER BY pk""".stripMargin,

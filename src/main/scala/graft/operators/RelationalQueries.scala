@@ -12,7 +12,7 @@ import org.apache.spark.sql.expressions.Window
   * IEEE arithmetic so the DuckDB oracle hash-matches (SURVEY §5.2, §7.6).
   */
 object RelationalQueries {
-  import Q.{dec6, ts}
+  import Q.{dec6, dbl, ts}
 
   // ---- §2.1 scans -----------------------------------------------------------
 
@@ -31,7 +31,7 @@ object RelationalQueries {
     Tables.lineitem(s, d)
       .filter(col("l_shipdate").between(ts("1996-01-01"), ts("1996-12-31")))
       .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"), dec6(sum(dec6(col("l_quantity")))).as("sum_qty"))
+      .agg(count(lit(1)).as("n"), dbl(dec6(sum(dec6(col("l_quantity"))))).as("sum_qty"))
       .orderBy("l_returnflag")
 
   /** S3: clustering slice within one partition, reversed order. */
@@ -82,7 +82,7 @@ object RelationalQueries {
     Tables.events(s, d)
       .filter(col("value") > 100 && col("event_type").isin("click", "purchase"))
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), dec6(sum(dec6(col("value")))).as("sum_value"))
+      .agg(count(lit(1)).as("n"), dbl(dec6(sum(dec6(col("value"))))).as("sum_value"))
       .orderBy("event_type")
 
   /** P5: CONTAINS on a collection column (token membership). */
@@ -109,7 +109,7 @@ object RelationalQueries {
       .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
-      .agg(dec6(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"),
+      .agg(dbl(dec6(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount")))))).as("revenue"),
         count(lit(1)).as("n"))
       .orderBy("r_name")
 
@@ -121,7 +121,7 @@ object RelationalQueries {
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(countDistinct(col("o_orderkey")).as("n_orders"),
-        dec6(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"))
+        dbl(dec6(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount")))))).as("revenue"))
       .orderBy("o_orderpriority")
 
   /** J3: left outer join preserving customers with no qualifying orders. */
@@ -131,7 +131,7 @@ object RelationalQueries {
       .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
       .groupBy(col("c_custkey"))
       .agg(count(col("o_orderkey")).as("n_orders"),
-        coalesce(dec6(sum(dec6(col("o_totalprice")))), dec6(lit(0))).as("sum_price"))
+        dbl(coalesce(dec6(sum(dec6(col("o_totalprice")))), dec6(lit(0)))).as("sum_price"))
       .orderBy("c_custkey")
 
   /** J4: left semi — customers having at least one big order. */
@@ -156,7 +156,7 @@ object RelationalQueries {
     Tables.events(s, d)
       .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
       .groupBy(col("lo"), col("hi"))
-      .agg(count(lit(1)).as("n"), dec6(sum(dec6(col("value")))).as("sum_value"))
+      .agg(count(lit(1)).as("n"), dbl(dec6(sum(dec6(col("value"))))).as("sum_value"))
       .orderBy("lo")
   }
 
@@ -191,7 +191,7 @@ object RelationalQueries {
           col("l_shipdate") >= col("o_orderdate") &&
           col("l_shipdate") <= col("o_orderdate") + expr("interval 30 days"))
       .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"), dec6(sum(dec6(col("l_quantity")))).as("sum_qty"))
+      .agg(count(lit(1)).as("n"), dbl(dec6(sum(dec6(col("l_quantity"))))).as("sum_qty"))
       .orderBy("l_returnflag")
 
   // ---- §2.4 aggregations ----------------------------------------------------
@@ -202,10 +202,10 @@ object RelationalQueries {
       .filter(col("l_shipdate") <= ts("1998-09-01"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        dec6(sum(dec6(col("l_quantity")))).as("sum_qty"),
-        dec6(sum(dec6(col("l_extendedprice")))).as("sum_base_price"),
-        dec6(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("sum_disc_price"),
-        dec6(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))))).as("sum_charge"),
+        dbl(dec6(sum(dec6(col("l_quantity"))))).as("sum_qty"),
+        dbl(dec6(sum(dec6(col("l_extendedprice"))))).as("sum_base_price"),
+        dbl(dec6(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount")))))).as("sum_disc_price"),
+        dbl(dec6(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))))).as("sum_charge"),
         count(lit(1)).as("count_order"))
       .withColumn("avg_qty", round(col("sum_qty").cast("double") / col("count_order"), 6))
       .withColumn("avg_price", round(col("sum_base_price").cast("double") / col("count_order"), 6))
@@ -215,7 +215,7 @@ object RelationalQueries {
   def a3_time_bucket(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
-      .agg(count(lit(1)).as("n"), dec6(sum(dec6(col("value")))).as("sum_value"))
+      .agg(count(lit(1)).as("n"), dbl(dec6(sum(dec6(col("value"))))).as("sum_value"))
       .orderBy("day", "event_type")
 
   /** A4/O3/W1 on lineitem: PER PARTITION LIMIT 2 (top rows per partition). */
@@ -288,7 +288,7 @@ object RelationalQueries {
   def a9_rollup(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
       .rollup(col("c_mktsegment"), col("c_nationkey"))
-      .agg(count(lit(1)).as("n"), dec6(sum(dec6(col("c_acctbal")))).as("sum_bal"))
+      .agg(count(lit(1)).as("n"), dbl(dec6(sum(dec6(col("c_acctbal"))))).as("sum_bal"))
       .select(
         coalesce(col("c_mktsegment"), lit("ALL")).as("mktsegment"),
         coalesce(col("c_nationkey").cast("string"), lit("ALL")).as("nationkey"),
@@ -360,7 +360,7 @@ object RelationalQueries {
     val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val mov = ord.rowsBetween(-4, 0)
     Tables.events(s, d)
-      .withColumn("run_sum", dec6(sum(dec6(col("value"))).over(run)))
+      .withColumn("run_sum", dbl(dec6(sum(dec6(col("value"))).over(run))))
       .withColumn("mov5_n", count(lit(1)).over(mov))
       .select("user_id", "event_id", "run_sum", "mov5_n")
       .orderBy("user_id", "event_id")
@@ -432,7 +432,7 @@ object RelationalQueries {
   def f2_dates(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
-      .agg(count(lit(1)).as("n"), dec6(sum(dec6(col("o_totalprice")))).as("sum_price"))
+      .agg(count(lit(1)).as("n"), dbl(dec6(sum(dec6(col("o_totalprice"))))).as("sum_price"))
       .orderBy("yr", "mo")
 
   /** F4: blob conversions — text→bytes→hex (lowercased to match DuckDB). */
@@ -561,7 +561,7 @@ object RelationalQueries {
         |ORDER BY l_linenumber""".stripMargin,
     "s2_range_scan" ->
       """SELECT l_returnflag, count(*) AS n,
-        |  cast(sum(cast(l_quantity AS decimal(38,6))) AS decimal(38,6)) AS sum_qty
+        |  cast(cast(sum(cast(l_quantity AS decimal(38,6))) AS decimal(38,6)) AS double) AS sum_qty
         |FROM lineitem
         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
@@ -588,7 +588,7 @@ object RelationalQueries {
         |FROM lineitem WHERE (l_orderkey, l_linenumber) > (100, 2)""".stripMargin,
     "p4_residual_filter" ->
       """SELECT event_type, count(*) AS n,
-        |  cast(sum(cast(value AS decimal(38,6))) AS decimal(38,6)) AS sum_value
+        |  cast(cast(sum(cast(value AS decimal(38,6))) AS decimal(38,6)) AS double) AS sum_value
         |FROM events WHERE value > 100 AND event_type IN ('click','purchase')
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "p5_contains" ->
@@ -600,7 +600,7 @@ object RelationalQueries {
         |WHERE source LIKE 'src1%' AND text LIKE '%merge join%' ORDER BY doc_id""".stripMargin,
     "j1_broadcast_star" ->
       """SELECT r_name,
-        |  cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,6))) AS decimal(38,6)) AS revenue,
+        |  cast(cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,6))) AS decimal(38,6)) AS double) AS revenue,
         |  count(*) AS n
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -610,14 +610,14 @@ object RelationalQueries {
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "j2_orders_lineitem" ->
       """SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
-        |  cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,6))) AS decimal(38,6)) AS revenue
+        |  cast(cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,6))) AS decimal(38,6)) AS double) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE year(o_orderdate) = 1996
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "j3_left_outer" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
-        |  coalesce(cast(sum(cast(o_totalprice AS decimal(38,6))) AS decimal(38,6)),
-        |           cast(0 AS decimal(38,6))) AS sum_price
+        |  cast(coalesce(cast(sum(cast(o_totalprice AS decimal(38,6))) AS decimal(38,6)),
+        |           cast(0 AS decimal(38,6))) AS double) AS sum_price
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |WHERE c_custkey < 50 GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "j3_full_outer" ->
@@ -654,7 +654,7 @@ object RelationalQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
     "j5_theta_band" ->
       """SELECT lo, hi, count(*) AS n,
-        |  cast(sum(cast(value AS decimal(38,6))) AS decimal(38,6)) AS sum_value
+        |  cast(cast(sum(cast(value AS decimal(38,6))) AS decimal(38,6)) AS double) AS sum_value
         |FROM events JOIN (VALUES (cast(0 AS double), cast(50 AS double)),
         |                         (cast(50 AS double), cast(150 AS double)),
         |                         (cast(150 AS double), cast(400 AS double))) b(lo, hi)
@@ -672,16 +672,16 @@ object RelationalQueries {
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "j7_interval" ->
       """SELECT l_returnflag, count(*) AS n,
-        |  cast(sum(cast(l_quantity AS decimal(38,6))) AS decimal(38,6)) AS sum_qty
+        |  cast(cast(sum(cast(l_quantity AS decimal(38,6))) AS decimal(38,6)) AS double) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "a1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  cast(sum(cast(l_quantity AS decimal(38,6))) AS decimal(38,6)) AS sum_qty,
-        |  cast(sum(cast(l_extendedprice AS decimal(38,6))) AS decimal(38,6)) AS sum_base_price,
-        |  cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,6))) AS decimal(38,6)) AS sum_disc_price,
-        |  cast(sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS decimal(38,6))) AS decimal(38,6)) AS sum_charge,
+        |  cast(cast(sum(cast(l_quantity AS decimal(38,6))) AS decimal(38,6)) AS double) AS sum_qty,
+        |  cast(cast(sum(cast(l_extendedprice AS decimal(38,6))) AS decimal(38,6)) AS double) AS sum_base_price,
+        |  cast(cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,6))) AS decimal(38,6)) AS double) AS sum_disc_price,
+        |  cast(cast(sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS decimal(38,6))) AS decimal(38,6)) AS double) AS sum_charge,
         |  count(*) AS count_order,
         |  round(cast(cast(sum(cast(l_quantity AS decimal(38,6))) AS decimal(38,6)) AS double) / count(*), 6) AS avg_qty,
         |  round(cast(cast(sum(cast(l_extendedprice AS decimal(38,6))) AS decimal(38,6)) AS double) / count(*), 6) AS avg_price
@@ -689,7 +689,7 @@ object RelationalQueries {
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "a3_time_bucket" ->
       """SELECT date_trunc('day', cast(ts AS timestamp)) AS day, event_type, count(*) AS n,
-        |  cast(sum(cast(value AS decimal(38,6))) AS decimal(38,6)) AS sum_value
+        |  cast(cast(sum(cast(value AS decimal(38,6))) AS decimal(38,6)) AS double) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "a4_per_partition_limit" ->
       """SELECT l_orderkey, l_linenumber, cast(rn AS int) AS rn FROM (
@@ -710,7 +710,7 @@ object RelationalQueries {
       """SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
         |  coalesce(cast(c_nationkey AS varchar), 'ALL') AS nationkey,
         |  count(*) AS n,
-        |  cast(sum(cast(c_acctbal AS decimal(38,6))) AS decimal(38,6)) AS sum_bal
+        |  cast(cast(sum(cast(c_acctbal AS decimal(38,6))) AS decimal(38,6)) AS double) AS sum_bal
         |FROM customer GROUP BY ROLLUP(c_mktsegment, c_nationkey)
         |ORDER BY mktsegment, nationkey""".stripMargin,
     "w1_topk_per_user" ->
@@ -737,9 +737,9 @@ object RelationalQueries {
         |WHERE gap_us IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin,
     "w4_moving" ->
       """SELECT user_id, event_id,
-        |  cast(sum(cast(value AS decimal(38,6))) OVER (
+        |  cast(cast(sum(cast(value AS decimal(38,6))) OVER (
         |    PARTITION BY user_id ORDER BY cast(ts AS timestamp), event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS decimal(38,6)) AS run_sum,
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS decimal(38,6)) AS double) AS run_sum,
         |  count(*) OVER (
         |    PARTITION BY user_id ORDER BY cast(ts AS timestamp), event_id
         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mov5_n
@@ -781,7 +781,7 @@ object RelationalQueries {
     "f2_dates" ->
       """SELECT cast(year(o_orderdate) AS int) AS yr, cast(month(o_orderdate) AS int) AS mo,
         |  count(*) AS n,
-        |  cast(sum(cast(o_totalprice AS decimal(38,6))) AS decimal(38,6)) AS sum_price
+        |  cast(cast(sum(cast(o_totalprice AS decimal(38,6))) AS decimal(38,6)) AS double) AS sum_price
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "f4_blob" ->
       """SELECT doc_id, lower(hex(encode(substr(text, 1, 8)))) AS hx,

@@ -15,13 +15,13 @@ import org.apache.spark.sql.expressions.Window
   * partitions by day. Session windows shuffle once by user.
   */
 object StreamingQueries {
-  import Q.dec6
+  import Q.{dec6, dbl}
 
   /** T1: hourly tumbling window — count + sum per (hour, event_type). */
   def t1_tumbling(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), dec6(sum(dec6(col("value")))).as("sum_value"))
+      .agg(count(lit(1)).as("n"), dbl(dec6(sum(dec6(col("value"))))).as("sum_value"))
       .select(col("w.start").as("win_start"), col("event_type"), col("n"),
         col("sum_value"))
       .orderBy("win_start", "event_type")
@@ -43,7 +43,7 @@ object StreamingQueries {
     Tables.events(s, d)
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        dec6(sum(dec6(col("value")))).as("sum_value"))
+        dbl(dec6(sum(dec6(col("value"))))).as("sum_value"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"), col("sum_value"))
       .filter(col("user_id") < 30)
@@ -75,7 +75,7 @@ object StreamingQueries {
     "t1_tumbling" ->
       """SELECT date_trunc('hour', cast(ts AS timestamp)) AS win_start, event_type,
         |  count(*) AS n,
-        |  cast(sum(cast(value AS decimal(38,6))) AS decimal(38,6)) AS sum_value
+        |  cast(cast(sum(cast(value AS decimal(38,6))) AS decimal(38,6)) AS double) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t2_sliding" ->
       """SELECT win_start, event_type, count(*) AS n FROM (
@@ -100,7 +100,7 @@ object StreamingQueries {
         |                  ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM flagged)
         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
-        |  cast(sum(cast(value AS decimal(38,6))) AS decimal(38,6)) AS sum_value
+        |  cast(cast(sum(cast(value AS decimal(38,6))) AS decimal(38,6)) AS double) AS sum_value
         |FROM sessions GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
     "t5_dedup" ->
