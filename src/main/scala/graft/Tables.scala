@@ -61,10 +61,18 @@ object Q {
 
   /** Final-output form of a decimal aggregate: the exact decimal value cast
     * to double. Both engines correctly round the same exact decimal to the
-    * same IEEE double (unscaled values stay < 2^53 at verify scale), and a
-    * double column round-trips identically through parquet/pandas on both
-    * sides — whereas a decimal output surfaces as `Decimal('1.500000')` from
-    * Spark parquet but `1.5` float64 from DuckDB and hash-mismatches. */
+    * same IEEE double, and a double column round-trips identically through
+    * parquet/pandas on both sides — whereas a decimal output surfaces as
+    * `Decimal('1.500000')` from Spark parquet but `1.5` float64 from DuckDB
+    * and hash-mismatches.
+    *
+    * SCALE BOUND: the "both engines round identically" argument relies on the
+    * unscaled decimal(38,6) value staying < 2^53 (exactly representable
+    * half-way comparisons). That holds through verify scale sf0.01 and bench
+    * scale sf0.1 with ~10^4 margin (largest observed sum ≈ 10^9 · 10^6 scale
+    * = 10^15 < 9·10^15); a verification run at sf ≥ 10 would cross it and
+    * decimal→double ties could differ by 1 ulp between engines. If the
+    * verify scale ever grows, emit string-formatted decimals instead. */
   def dbl(c: Column): Column = c.cast("double")
 
   def ts(sd: String): Column = lit(sd).cast("timestamp")

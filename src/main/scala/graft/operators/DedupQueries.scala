@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -50,6 +50,16 @@ object DedupQueries {
       .select(col("keeper"), col("cluster_size"))
       .orderBy("keeper")
 
+  /** All ordered pairs (a < b) from a sorted array — the in-bucket candidate
+    * expansion shared by D3/D4. Buckets are small by the LSH premise, so the
+    * quadratic expansion is per-bucket-bounded; crucially the sketch pipeline
+    * upstream is computed ONCE (a self-join would recompute the whole
+    * shingle→signature subtree for each side). */
+  private def orderedPairs(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)), y =>
+        struct(x.as("id_a"), y.as("id_b")))))
+
   /** D3 (L2 MinHash+LSH): 32-perm MinHash over 3-gram shingles, 8 bands × 4
     * rows; candidate pairs = docs sharing a band hash. No DuckDB xxhash64 →
     * no oracle (rows-only check); TextDedupSpec golden-tests the algebra.
@@ -58,7 +68,9 @@ object DedupQueries {
     * hash-aggregate computing all 32 `min(xxhash64(sh, seed))` partials
     * map-side — higher-order-function folds evaluate interpreted per row,
     * which is the wrong shape for a 100 TB corpus; explode+agg is the one
-    * that vectorizes and partial-aggregates. */
+    * that vectorizes and partial-aggregates. Candidate pairs come from ONE
+    * shuffle on (band, bandhash) + in-bucket expansion — never a self-join
+    * that would run the sketch pipeline twice. */
   def d3_minhash_lsh(s: SparkSession, d: String): DataFrame = {
     val shingled = corpusWithDups(s, d)
       .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("sh"))
@@ -81,10 +93,11 @@ object DedupQueries {
     val banded = sigs.select(col("doc_id"),
         explode(lshBands(sig, 8, 4)).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bh"))
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+    banded.groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(orderedPairs(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
       .orderBy("id_a", "id_b")
   }
@@ -106,17 +119,23 @@ object DedupQueries {
       (0 until 64).map(j =>
           when(col(s"b$j") * 2 > col("n"), lit(1L << j)).otherwise(0L))
         .reduce(_.bitwiseOR(_)).as("sh"))
-    // band by 16-bit quarters: near-identical sketches share ≥1 quarter
+    // band by 16-bit quarters: near-identical sketches share ≥1 quarter.
+    // Same one-shuffle bucket-expansion shape as D3 (sketch computed once).
     val banded = sh.select(col("doc_id"), col("sh"),
         explode(array((0 until 4).map(q =>
           struct(lit(q).as("q"),
             shiftright(col("sh"), q * 16).bitwiseAND(0xFFFFL).as("qh"))): _*)).as("b"))
       .select(col("doc_id"), col("sh"), col("b.q"), col("b.qh"))
-    banded.as("x").join(banded.as("y"),
-        col("x.q") === col("y.q") && col("x.qh") === col("y.qh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        hamming64(col("x.sh"), col("y.sh")).as("dist"))
+    val ds = col("ds")
+    banded.groupBy(col("q"), col("qh"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sh")))).as("ds"))
+      .filter(size(ds) > 1)
+      .select(explode(flatten(transform(ds, (x, i) =>
+        transform(slice(ds, i + lit(2), size(ds)), y =>
+          struct(x.getField("doc_id").as("id_a"),
+            y.getField("doc_id").as("id_b"),
+            hamming64(x.getField("sh"), y.getField("sh")).as("dist")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.dist"))
       .distinct()
       .filter(col("dist") <= 3)
       .orderBy("id_a", "id_b")

@@ -207,8 +207,8 @@ object RelationalQueries {
         dbl(dec6(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount")))))).as("sum_disc_price"),
         dbl(dec6(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))))).as("sum_charge"),
         count(lit(1)).as("count_order"))
-      .withColumn("avg_qty", round(col("sum_qty").cast("double") / col("count_order"), 6))
-      .withColumn("avg_price", round(col("sum_base_price").cast("double") / col("count_order"), 6))
+      .withColumn("avg_qty", round(col("sum_qty") / col("count_order"), 6))
+      .withColumn("avg_price", round(col("sum_base_price") / col("count_order"), 6))
       .orderBy("l_returnflag", "l_linestatus")
 
   /** A3: time-bucketed GROUP BY (floor(ts, 1d) analogue). */

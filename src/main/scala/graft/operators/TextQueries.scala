@@ -142,17 +142,23 @@ object TextQueries {
     * is the shingle itself, so at 100 TB this is one shuffle on shingle
     * hash with the train side pre-deduplicated. */
   def x8_decontaminate(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    // Tokenize ONCE, shuffle ONCE: both splits explode into (g, split) rows;
+    // a single hash-aggregate keyed by the shingle marks train membership and
+    // collects the eval doc ids. A distinct + left_semi formulation costs two
+    // shingle-keyed shuffles and a second pass over the corpus.
+    val allSh = Tables.documents(s, d)
       .withColumn("h",
         conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
           .cast("long") % 100)
-    def sh(df: org.apache.spark.sql.DataFrame) =
-      df.filter(size(tokens(col("text"))) >= 8) // sequence() needs stop ≥ start
-        .select(col("doc_id"), explode(
-          array_distinct(shingles(tokens(col("text")), 8))).as("g"))
-    val train = sh(docs.filter(col("h") >= 10)).select("g").distinct()
-    val eval_ = sh(docs.filter(col("h") < 10))
-    eval_.join(train, Seq("g"), "left_semi")
+      .select(col("doc_id"), col("h"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 8) // sequence() needs stop ≥ start
+      .select(col("doc_id"), col("h"),
+        explode(array_distinct(shingles(col("toks"), 8))).as("g"))
+    allSh.groupBy(col("g"))
+      .agg(max(when(col("h") >= 10, 1).otherwise(0)).as("in_train"),
+        collect_list(when(col("h") < 10, col("doc_id"))).as("eval_ids"))
+      .filter(col("in_train") === 1)
+      .select(explode(col("eval_ids")).as("doc_id"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_contaminated"))
       .orderBy("doc_id")

@@ -92,20 +92,22 @@ object VectorQueries {
     * centroid training is not expressible as a DuckDB one-liner. */
   def v6_knn_ivf(s: SparkSession, d: String): DataFrame = {
     val cents = broadcast(centroids(s, d))
-    val assigned = Tables.embeddings(s, d)
+    // Probe-cell selection needs only the RAW query vector vs the codebook —
+    // not the full corpus assignment. Both usages of `cents` are the identical
+    // broadcast subtree, so ReuseExchange ships the codebook once.
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+      .crossJoin(cents)
+      .withColumn("qdist", euclideanFast(col("embedding"), col("centroid")))
+      .orderBy(col("qdist").asc, col("cell").asc)
+      .limit(2)
+      .select(col("cell").as("qcell"), col("embedding").as("qvec"))
+    Tables.embeddings(s, d)
       .crossJoin(cents)
       .withColumn("dist", euclideanFast(col("embedding"), col("centroid")))
       .groupBy(col("vec_id"))
-      .agg(min_by(struct(col("cell"), col("embedding"), col("label")),
+      .agg(min_by(struct(col("cell"), col("embedding")),
         struct(col("dist"), col("cell"))).as("a"))
-      .select(col("vec_id"), col("a.cell"), col("a.embedding"), col("a.label"))
-    val q = assigned.filter(col("vec_id") === 0L)
-      .crossJoin(cents.withColumnRenamed("cell", "qcell"))
-      .withColumn("qdist", euclideanFast(col("embedding"), col("centroid")))
-      .orderBy(col("qdist").asc, col("qcell").asc)
-      .limit(2)
-      .select(col("qcell"), col("embedding").as("qvec"))
-    assigned
+      .select(col("vec_id"), col("a.cell"), col("a.embedding"))
       .join(broadcast(q), col("cell") === col("qcell"))
       .select(col("vec_id"), col("cell"),
         round(cosineFast(col("embedding"), col("qvec")), 6).as("cos_sim"))
