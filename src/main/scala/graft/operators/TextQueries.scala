@@ -145,15 +145,23 @@ object TextQueries {
     // Tokenize ONCE, shuffle ONCE: both splits explode into (g, split) rows;
     // a single hash-aggregate keyed by the shingle marks train membership and
     // collects the eval doc ids. A distinct + left_semi formulation costs two
-    // shingle-keyed shuffles and a second pass over the corpus.
+    // shingle-keyed shuffles and a second pass over the corpus. The join key
+    // is a 64-bit fingerprint of the 8-gram (xxhash64 of the 8 token hashes),
+    // not the ~60-byte string — the only shape that survives a 100 TB corpus
+    // shuffle. False-positive risk is n²/2^65 ≈ 10⁻⁷ at sf0.1 (oracle-safe).
+    val th = col("th")
     val allSh = Tables.documents(s, d)
       .withColumn("h",
         conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
           .cast("long") % 100)
-      .select(col("doc_id"), col("h"), tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 8) // sequence() needs stop ≥ start
+      .select(col("doc_id"), col("h"), transform(tokens(col("text")), t => xxhash64(t)).as("th"))
+      .filter(size(th) >= 8) // sequence() needs stop ≥ start
       .select(col("doc_id"), col("h"),
-        explode(array_distinct(shingles(col("toks"), 8))).as("g"))
+        explode(array_distinct(transform(sequence(lit(1), size(th) - 7), i =>
+          xxhash64(element_at(th, i), element_at(th, i + 1),
+            element_at(th, i + 2), element_at(th, i + 3),
+            element_at(th, i + 4), element_at(th, i + 5),
+            element_at(th, i + 6), element_at(th, i + 7))))).as("g"))
     allSh.groupBy(col("g"))
       .agg(max(when(col("h") >= 10, 1).otherwise(0)).as("in_train"),
         collect_list(when(col("h") < 10, col("doc_id"))).as("eval_ids"))
