@@ -14,7 +14,12 @@ abstract class VectorFoldExpression extends BinaryExpression {
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType == ArrayType(FloatType))
+    // nullability-agnostic: parquet/SQL arrays carry containsNull=true,
+    // encoder-derived Array[Float] carries false — both are valid inputs
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires two array<float> inputs, " +
