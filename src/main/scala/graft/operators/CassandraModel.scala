@@ -139,6 +139,20 @@ object CassandraModel {
     v.sparkSession.read.parquet(outPath)
   }
 
+  /** Write an upsert log bucketed by `pk` (SCALE.md "scale path" for the
+    * read-side reconcile): [[latestWinsView]] / [[reconcileView]] over the
+    * returned table need NO shuffle — the scan's bucket partitioning already
+    * satisfies the window/aggregate distribution, so at 100 TB the
+    * memtable/SSTable-merge analogue is a map-only stage
+    * (BucketedReconcileSpec asserts the Exchange-free plan). */
+  def bucketLog(log: DataFrame, table: String, path: String,
+      buckets: Int = 32): DataFrame = {
+    log.write.mode("overwrite")
+      .bucketBy(buckets, "pk").sortBy("pk", "_writetime")
+      .option("path", path).saveAsTable(table)
+    log.sparkSession.table(table)
+  }
+
   // ---- declared queries -----------------------------------------------------
 
   /** C1: latest-wins upsert view (flagship Cassandra semantics). */
