@@ -12,6 +12,9 @@ case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String,
 case class MediaFeature(doc_id: Long, mime: String, n_bytes: Int,
   feature: Long)
 
+/** One sampled frame: 1 media row → many frame rows (the video shape). */
+case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
 /** SURVEY §2.13 — multimodal columns: image/audio/video as opaque `binary`
   * with typed metadata, processed per-partition in batches (the Scala
   * analogue of `mapInPandas` — `Dataset.mapPartitions` with case-class
@@ -50,6 +53,28 @@ object MultimodalQueries {
     }
   }
 
+  /** STUB resize — binary→binary, schema preserved (real impl: image
+    * scaling lib). Truncates the payload to `n` bytes; the point is the
+    * per-partition batch shape and that downstream columns stay typed. */
+  def resizePayload(media: Dataset[MediaRow], n: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => rows.map(r =>
+      r.copy(payload = r.payload.take(n), n_bytes = math.min(r.n_bytes, n))))
+  }
+
+  /** STUB frame sampler — every `stride`-th 4-byte window of the payload
+    * plays a "video frame": one row in → many rows out (`flatMap`, the
+    * generator shape a real frame extractor needs; at scale each task
+    * streams frames without materializing a per-doc array). */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      r.payload.grouped(4).zipWithIndex
+        .filter(_._2 % stride == 0)
+        .map { case (frame, i) => MediaFrame(r.doc_id, i, frame) }
+    }
+  }
+
   /** M1: multimodal pipeline — binary payload synthesis, metadata, stub
     * feature extraction — expressed as columnar ops so DuckDB can twin it
     * (the typed mapPartitions variant is spec-verified equal). */
@@ -70,9 +95,26 @@ object MultimodalQueries {
         max(col("n_bytes")).as("max_bytes"))
       .orderBy("mime")
 
+  /** M3: frame sampling, columnar twin — the payload's 4-byte windows are
+    * exactly the md5 hex string's 8-char windows, so the sampled frames are
+    * SQL-expressible and DuckDB-oracled; MultimodalSpec asserts the typed
+    * [[sampleFrames]] path produces identical (doc_id, frame_idx, value)
+    * rows. */
+  def m3_frame_sample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), md5(col("text")).as("hx"),
+        explode(sequence(lit(0), lit(3))).as("frame_idx"))
+      .filter(col("frame_idx") % 2 === 0) // stride 2
+      .select(col("doc_id"), col("frame_idx"),
+        conv(substring(col("hx"), col("frame_idx") * 8 + 1, lit(8)), 16, 10)
+          .cast("long").as("frame_value"))
+      .orderBy("doc_id", "frame_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_features" -> (m1_features _),
     "m2_mime_profile" -> (m2_mime_profile _),
+    "m3_frame_sample" -> (m3_frame_sample _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -89,5 +131,11 @@ object MultimodalQueries {
         |        ('0x' || substr(md5(text), 1, 8))::BIGINT AS feature
         |      FROM documents WHERE doc_id < 300)
         |GROUP BY mime ORDER BY mime""".stripMargin,
+    "m3_frame_sample" ->
+      """SELECT doc_id, cast(i AS int) AS frame_idx,
+        |  ('0x' || substr(md5(text), i*8 + 1, 8))::BIGINT AS frame_value
+        |FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS i) g
+        |WHERE doc_id < 50 AND i % 2 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

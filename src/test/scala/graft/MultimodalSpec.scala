@@ -22,4 +22,30 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_.payload.length === 16))
     assert(rows.forall(_.mime.startsWith("image/fake-")))
   }
+
+  test("typed frame sampler equals the columnar m3 twin") {
+    import spark.implicits._
+    val typed = MultimodalQueries.sampleFrames(
+        MultimodalQueries.mediaTable(spark, sf), stride = 2)
+      .filter(col("doc_id") < 50)
+      .map(f => (f.doc_id, f.frame_idx,
+        f.frame.foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))))
+      .toDF("doc_id", "frame_idx", "frame_value")
+    val columnar = MultimodalQueries.m3_frame_sample(spark, sf)
+    assert(typed.exceptAll(columnar).count() === 0)
+    assert(columnar.exceptAll(typed).count() === 0)
+    // 16-byte payload, 4-byte frames, stride 2 → exactly frames {0, 2}
+    val idx = typed.select("frame_idx").distinct().as[Int].collect().sorted
+    assert(idx.toSeq === Seq(0, 2))
+  }
+
+  test("resize preserves schema and truncates payloads") {
+    val resized = MultimodalQueries.resizePayload(
+      MultimodalQueries.mediaTable(spark, sf), n = 8)
+    val rows = resized.collect()
+    assert(rows.forall(r => r.payload.length === 8 && r.n_bytes === 8))
+    // same columns and types (encoder tightens primitive nullability)
+    assert(resized.schema.map(f => (f.name, f.dataType)) ===
+      MultimodalQueries.mediaTable(spark, sf).schema.map(f => (f.name, f.dataType)))
+  }
 }
