@@ -119,13 +119,22 @@ object DedupQueries {
     val hashed = corpusWithDups(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    // pack bit-counters 4-per-long (16-bit slots — safe while docs stay
+    // under 2^16 tokens): 16 agg buffers instead of 64, same arithmetic
     val counted = hashed.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"),
-        (0 until 64).map(j =>
-          sum(shiftright(col("h"), j).bitwiseAND(1L)).as(s"b$j")): _*)
+        (0 until 16).map { q =>
+          sum((0 until 4).map { slot =>
+            shiftleft(shiftright(col("h"), q + 16 * slot).bitwiseAND(1L),
+              16 * slot)
+          }.reduce(_ + _)).as(s"p$q")
+        }: _*)
     val sh = counted.select(col("doc_id"),
-      (0 until 64).map(j =>
-          when(col(s"b$j") * 2 > col("n"), lit(1L << j)).otherwise(0L))
+      (0 until 64).map { j =>
+          val bj = shiftright(col(s"p${j % 16}"), 16 * (j / 16))
+            .bitwiseAND(0xFFFFL)
+          when(bj * 2 > col("n"), lit(1L << j)).otherwise(0L)
+        }
         .reduce(_.bitwiseOR(_)).as("sh"))
     // band by 16-bit quarters: near-identical sketches share ≥1 quarter.
     // Same one-shuffle bucket-expansion shape as D3 (sketch computed once).
