@@ -19,12 +19,16 @@ case class TuplePredicate(columns: Seq[String], op: String, values: Seq[Any])
 
 case class OrderBy(column: String, asc: Boolean)
 
+/** `ORDER BY column ANN OF [v, …]` (Cassandra 5.0 vector search). */
+case class AnnOrderBy(column: String, query: Seq[Float])
+
 case class CqlSelect(
   selectors: Seq[CqlSelector],
   table: String,
   predicates: Seq[CqlPredicate],
   groupBy: Seq[String],
   orderBy: Option[Seq[OrderBy]],
+  ann: Option[AnnOrderBy],
   perPartitionLimit: Option[Int],
   limit: Option[Int],
   allowFiltering: Boolean,
@@ -38,7 +42,7 @@ case class CqlSelect(
 object CqlParser {
 
   private val tokenRe =
-    """\s*(?:('(?:[^']|'')*')|(-?\d+\.\d+)|(-?\d+)|([A-Za-z_][A-Za-z0-9_]*)|(<=|>=|!=|[=<>(),*]))""".r
+    """\s*(?:('(?:[^']|'')*')|(-?\d+\.\d+)|(-?\d+)|([A-Za-z_][A-Za-z0-9_]*)|(<=|>=|!=|[=<>(),*\[\]]))""".r
 
   private def tokenize(s: String): Vector[String] = {
     var rest = s.trim
@@ -84,11 +88,28 @@ object CqlParser {
     var groupBy = Seq.empty[String]
     if (c.accept("group")) { c.expect("by"); groupBy = parseIdentList(c) }
     var orderBy: Option[Seq[OrderBy]] = None
+    var ann: Option[AnnOrderBy] = None
     if (c.accept("order")) {
       c.expect("by")
-      var obs = Seq(parseOrderBy(c))
-      while (c.accept(",")) obs = obs :+ parseOrderBy(c)
-      orderBy = Some(obs)
+      val first = c.next()
+      if (c.accept("ann")) { // ORDER BY col ANN OF [v, …] — must be sole order
+        c.expect("of")
+        c.expect("[")
+        var vs = Seq(parseLiteral(c))
+        while (c.accept(",")) vs = vs :+ parseLiteral(c)
+        c.expect("]")
+        ann = Some(AnnOrderBy(first, vs.map {
+          case d: Double => d.toFloat
+          case l: Long => l.toFloat
+          case other => throw new CqlInvalidQueryException(
+            s"ANN OF vector must be numeric, got $other")
+        }))
+      } else {
+        val asc = if (c.accept("desc")) false else { c.accept("asc"); true }
+        var obs = Seq(OrderBy(first, asc))
+        while (c.accept(",")) obs = obs :+ parseOrderBy(c)
+        orderBy = Some(obs)
+      }
     }
     var perPartitionLimit: Option[Int] = None
     if (c.accept("per")) {
@@ -100,8 +121,8 @@ object CqlParser {
     val allowFiltering = if (c.accept("allow")) { c.expect("filtering"); true } else false
     if (!c.done)
       throw new CqlInvalidQueryException(s"unexpected trailing input near ${c.peek}")
-    CqlSelect(selectors, table, preds, groupBy, orderBy, perPartitionLimit,
-      limit, allowFiltering, distinct, json)
+    CqlSelect(selectors, table, preds, groupBy, orderBy, ann,
+      perPartitionLimit, limit, allowFiltering, distinct, json)
   }
 
   /** Parse an INSERT/UPDATE/DELETE statement (SURVEY §2.12 write surface). */
