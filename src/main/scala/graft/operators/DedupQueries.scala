@@ -60,99 +60,122 @@ object DedupQueries {
       transform(slice(ids, i + lit(2), size(ids)), y =>
         struct(x.as("id_a"), y.as("id_b")))))
 
+  /** Skew guard for in-bucket pair expansion: a degenerate hot bucket (many
+    * boilerplate near-identical docs sharing a band hash) would concentrate
+    * O(|bucket|²) pairs in one task. Production LSH dedup drops such buckets
+    * (their pairs are rediscovered by the other bands, or are boilerplate you
+    * WANT dropped); the cap bounds one task's expansion at 64·63/2 pairs.
+    * Mirrored in the DuckDB twin so the cap itself is hash-verified. */
+  private val MaxBucket = 64
+
+  /** 2^31 − 1 (prime) — modulus of the Carter-Wegman permutation family. */
+  private val P = 2147483647L
+
+  /** 60-bit token hash shared bit-for-bit with the DuckDB twin (x6/x8's
+    * convention): first 15 hex chars of md5 → BIGINT. Codegen'd builtins. */
+  private def mdTokHash(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
   /** D3 (L2 MinHash+LSH): 32-perm MinHash over 3-gram shingles, 8 bands × 4
-    * rows; candidate pairs = docs sharing a band hash. No DuckDB xxhash64 →
-    * no oracle (rows-only check); TextDedupSpec golden-tests the algebra.
+    * rows; candidate pairs = docs sharing a band hash. Fully oracled: the
+    * token hash is md5-derived (same bits in DuckDB), the shingle hash is a
+    * polynomial combine mod p, and the permutations are Carter-Wegman — every
+    * step ANSI-SQL-expressible, so the whole pipeline is hash-verified.
     *
     * Plan shape (deliberate): explode shingles, then ONE codegen'd
-    * hash-aggregate computing all 32 `min(xxhash64(sh, seed))` partials
-    * map-side — higher-order-function folds evaluate interpreted per row,
-    * which is the wrong shape for a 100 TB corpus; explode+agg is the one
-    * that vectorizes and partial-aggregates. Candidate pairs come from ONE
-    * shuffle on (band, bandhash) + in-bucket expansion — never a self-join
-    * that would run the sketch pipeline twice. */
+    * hash-aggregate computing all 32 `min(perm_i)` partials map-side —
+    * higher-order-function folds evaluate interpreted per row, which is the
+    * wrong shape for a 100 TB corpus; explode+agg is the one that vectorizes
+    * and partial-aggregates. Candidate pairs come from ONE shuffle on
+    * (band, bandhash) + in-bucket expansion — never a self-join that would
+    * run the sketch pipeline twice. The explode carries 8-byte longs, never
+    * materialized shingle strings (~60 B each at corpus scale).
+    */
   def d3_minhash_lsh(s: SparkSession, d: String): DataFrame = {
-    // Hash each TOKEN once, then hash the 3 token-hashes per shingle — the
-    // explode carries longs, never materialized shingle strings (measured
-    // ~2× on the sketch stage; at corpus scale the explode+shuffle volume
-    // drops from ~60 B/shingle to 8 B). The 32 permutations are the
-    // Carter-Wegman family h_i = (a_i·h + b_i) mod p over that one hash —
-    // 3 long ops per (shingle, permutation) instead of 32 string hashes.
-    // The mod is what makes each h_i's argmin independent (a plain linear
-    // map is monotone: every component would share one argmin and LSH
-    // collapses). Operands sized for ANSI Long arithmetic: h ∈ [0, 2^31),
-    // a_i < 2^32, so a_i·h + b_i < 2^63.
+    // Token hash once per token, reduced mod p; shingle hash = polynomial
+    // combine of the 3 token hashes mod p. The 32 permutations are the
+    // Carter-Wegman family h_i = (a_i·h + b_i) mod p — the mod is what makes
+    // each h_i's argmin independent (a plain linear map is monotone: every
+    // component would share one argmin and LSH collapses). Operands sized for
+    // ANSI Long arithmetic: h ∈ [0, 2^31), a_i < 2^32, so a_i·h + b_i < 2^63.
     val th = col("th")
     val shingled = corpusWithDups(s, d)
-      .select(col("doc_id"), transform(tokens(col("text")), t => xxhash64(t)).as("th"))
+      .select(col("doc_id"), transform(tokens(col("text")), t => mdTokHash(t) % P).as("th"))
       .filter(size(th) >= 3)
       .select(col("doc_id"), explode(transform(sequence(lit(1), size(th) - 2),
-        i => xxhash64(element_at(th, i), element_at(th, i + 1),
-          element_at(th, i + 2)))).as("hs"))
-      .select(col("doc_id"),
-        (shiftright(col("hs"), 33) + lit(1L << 30)).as("h"))
-    val p = 2147483647L // 2^31 - 1 (prime)
+        i => ((element_at(th, i) * lit(1000003L) + element_at(th, i + 1)) % P
+          * lit(999983L) + element_at(th, i + 2)) % P)).as("h"))
     def perm(i: Int) =
-      (col("h") * lit(2L * i + 0x9E3779B1L) + lit(i * 0x85EBCA77L)) % p
+      (col("h") * lit(2L * i + 0x9E3779B1L) + lit(i * 0x85EBCA77L)) % P
     val sigs = shingled.groupBy(col("doc_id"))
       .agg(min(perm(0)).as("h0"),
         (1 until 32).map(i => min(perm(i)).as(s"h$i")): _*)
     val sig = array((0 until 32).map(i => col(s"h$i")): _*)
+    // Shuffle key is xxhash64 of the band slice — 8-byte key compression;
+    // the OUTPUT depends only on band-tuple equality, so the oracle's
+    // string-tuple key groups identically (collision odds ~ buckets²/2^64).
     val banded = sigs.select(col("doc_id"),
         explode(lshBands(sig, 8, 4)).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bh"))
     banded.groupBy(col("band"), col("bh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucket)
       .select(explode(orderedPairs(col("ids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
       .orderBy("id_a", "id_b")
   }
 
-  /** D4 (L2 SimHash): 64-bit simhash; pairs within hamming distance 3 among
-    * banded candidates. n/o (xxhash64), rows-only + spec.
+  /** D4 (L2 SimHash): 60-bit simhash (md5-derived token hash, so the sketch
+    * is bit-identical in the DuckDB twin → fully oracled); pairs within
+    * hamming distance 3 among banded candidates.
     *
     * Same scale shape as D3: explode tokens, hash each ONCE (codegen), one
-    * hash-aggregate with 64 bit-count sums, then assemble the sketch. */
+    * hash-aggregate with the bit-count sums packed 4-per-long, then assemble
+    * the sketch. Docs with ≥ 2^15 tokens are excluded up front (mirrored in
+    * the twin): the top packed slot is shifted by 48, so a counter needs
+    * n < 2^15 to keep the packed sum inside a signed long — the guard makes
+    * the bound explicit instead of silently corrupting the sketch. */
   def d4_simhash(s: SparkSession, d: String): DataFrame = {
     val hashed = corpusWithDups(s, d)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    // pack bit-counters 4-per-long (16-bit slots — safe while docs stay
-    // under 2^16 tokens): 16 agg buffers instead of 64, same arithmetic
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) < 32768) // packed-counter width guard (see doc)
+      .select(col("doc_id"), explode(col("ts")).as("t"))
+      .select(col("doc_id"), mdTokHash(col("t")).as("h"))
+    // pack bit-counters 4-per-long (16-bit slots): 15 agg buffers cover the
+    // 60 hash bits (slot s of buffer q counts bit q + 15·s)
     val counted = hashed.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"),
-        (0 until 16).map { q =>
+        (0 until 15).map { q =>
           sum((0 until 4).map { slot =>
-            shiftleft(shiftright(col("h"), q + 16 * slot).bitwiseAND(1L),
+            shiftleft(shiftright(col("h"), q + 15 * slot).bitwiseAND(1L),
               16 * slot)
           }.reduce(_ + _)).as(s"p$q")
         }: _*)
     val sh = counted.select(col("doc_id"),
-      (0 until 64).map { j =>
-          val bj = shiftright(col(s"p${j % 16}"), 16 * (j / 16))
+      (0 until 60).map { j =>
+          val bj = shiftright(col(s"p${j % 15}"), 16 * (j / 15))
             .bitwiseAND(0xFFFFL)
           when(bj * 2 > col("n"), lit(1L << j)).otherwise(0L)
         }
         .reduce(_.bitwiseOR(_)).as("sh"))
-    // band by 16-bit quarters: near-identical sketches share ≥1 quarter.
-    // Same one-shuffle bucket-expansion shape as D3 (sketch computed once).
+    // band by 15-bit quarters: near-identical sketches share ≥1 quarter.
+    // Same one-shuffle bucket-expansion shape (and MaxBucket skew cap) as D3.
     val banded = sh.select(col("doc_id"), col("sh"),
         explode(array((0 until 4).map(q =>
           struct(lit(q).as("q"),
-            shiftright(col("sh"), q * 16).bitwiseAND(0xFFFFL).as("qh"))): _*)).as("b"))
+            shiftright(col("sh"), q * 15).bitwiseAND(0x7FFFL).as("qh"))): _*)).as("b"))
       .select(col("doc_id"), col("sh"), col("b.q"), col("b.qh"))
     val ds = col("ds")
     banded.groupBy(col("q"), col("qh"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sh")))).as("ds"))
-      .filter(size(ds) > 1)
+      .filter(size(ds) > 1 && size(ds) <= MaxBucket)
       .select(explode(flatten(transform(ds, (x, i) =>
         transform(slice(ds, i + lit(2), size(ds)), y =>
           struct(x.getField("doc_id").as("id_a"),
             y.getField("doc_id").as("id_b"),
             hamming64(x.getField("sh"), y.getField("sh")).as("dist")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.dist"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.dist").cast("int").as("dist"))
       .distinct()
       .filter(col("dist") <= 3)
       .orderBy("id_a", "id_b")
@@ -188,7 +211,65 @@ object DedupQueries {
       |  UNION ALL
       |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)""".stripMargin
 
+  /** D3's DuckDB twin, generated from the same constants: md5-derived token
+    * hash mod p, polynomial shingle hash, 32 Carter-Wegman min-perms, 8×4
+    * bands. The band KEY representation differs (string tuple here, xxhash64
+    * there) but grouping equality — the only thing the output depends on —
+    * is identical. */
+  private val d3Oracle: String = {
+    val mins = (0 until 32).map { i =>
+      s"min((h * ${2L * i + 0x9E3779B1L} + ${i * 0x85EBCA77L}) % 2147483647) AS m$i"
+    }.mkString(", ")
+    val sigArr = (0 until 32).map(i => s"m$i").mkString("[", ", ", "]")
+    s"""$corpusCte,
+       |tok AS (SELECT doc_id, list_transform(string_split(lower(text), ' '),
+       |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647) AS th
+       |  FROM corpus),
+       |shingle AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, len(th) - 1),
+       |      i -> ((th[i] * 1000003 + th[i+1]) % 2147483647 * 999983 + th[i+2]) % 2147483647)) AS h
+       |  FROM tok WHERE len(th) >= 3),
+       |sig AS (SELECT doc_id, $mins FROM shingle GROUP BY doc_id),
+       |banded AS (SELECT doc_id, band,
+       |    array_to_string(($sigArr)[(band*4+1):(band*4+4)], ',') AS key
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b),
+       |ok AS (SELECT band, key FROM banded GROUP BY band, key
+       |       HAVING count(*) BETWEEN 2 AND $MaxBucket)
+       |SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+       |FROM banded a
+       |JOIN ok ON ok.band = a.band AND ok.key = a.key
+       |JOIN banded c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** D4's DuckDB twin: same 60-bit md5-derived sketch, bit-for-bit. */
+  private val d4Oracle: String =
+    s"""$corpusCte,
+       |tok AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM corpus),
+       |th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest(ts) AS t FROM tok WHERE len(ts) < 32768)),
+       |nt AS (SELECT doc_id, count(*) AS n FROM th GROUP BY doc_id),
+       |bits AS (SELECT doc_id, j, sum((h >> j) & 1) AS c
+       |  FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS j) js
+       |  GROUP BY doc_id, j),
+       |sk AS (SELECT b.doc_id,
+       |    cast(sum(CASE WHEN 2 * b.c > nt.n THEN (1::BIGINT << b.j) ELSE 0 END) AS BIGINT) AS sh
+       |  FROM bits b JOIN nt ON b.doc_id = nt.doc_id GROUP BY b.doc_id),
+       |banded AS (SELECT doc_id, sh, q, (sh >> (15 * q)) & 32767 AS qh
+       |  FROM sk CROSS JOIN (SELECT unnest(range(0, 4)) AS q) qs),
+       |ok AS (SELECT q, qh FROM banded GROUP BY q, qh
+       |       HAVING count(*) BETWEEN 2 AND $MaxBucket)
+       |SELECT id_a, id_b, dist FROM (
+       |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+       |    cast(bit_count(xor(a.sh, c.sh)) AS int) AS dist
+       |  FROM banded a
+       |  JOIN ok ON ok.q = a.q AND ok.qh = a.qh
+       |  JOIN banded c ON a.q = c.q AND a.qh = c.qh AND a.doc_id < c.doc_id)
+       |WHERE dist <= 3 ORDER BY id_a, id_b""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "d3_minhash_lsh" -> d3Oracle,
+    "d4_simhash" -> d4Oracle,
     "d1_exact" ->
       s"""$corpusCte
         |SELECT count(*) AS n_total,
