@@ -229,12 +229,19 @@ object RelationalQueries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
-  /** A7: HLL cardinality estimation (no oracle — estimator-specific). */
+  /** A7: HLL cardinality estimation. The raw HLL estimate is
+    * estimator-specific (Spark's HLL++ vs DuckDB's HLL differ by design), so
+    * the ORACLED columns are the exact twin plus the estimator's accuracy
+    * CONTRACT — |approx − exact| / exact ≤ 5 % — which both engines' HLLs
+    * satisfy; the estimate itself still runs in the declared plan. */
   def a7_approx_distinct(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") /
+          col("exact_users") <= 0.05).as("hll_within_5pct"))
       .orderBy("event_type")
 
   /** A10 (engine extension): exact percentiles per group — the
@@ -702,6 +709,11 @@ object RelationalQueries {
         |  round(quantile_cont(value, 0.5), 6) AS p50,
         |  round(quantile_cont(value, 0.95), 6) AS p95,
         |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a7_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  abs(approx_count_distinct(user_id) - count(DISTINCT user_id))::DOUBLE
+        |    / count(DISTINCT user_id) <= 0.05 AS hll_within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a8_distinct" ->
       """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer

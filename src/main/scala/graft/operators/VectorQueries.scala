@@ -57,16 +57,23 @@ object VectorQueries {
       .drop("sum_x")
       .orderBy("label", "dim")
 
-  /** V4 (L2 embedding variant): cosine near-duplicate pairs — all pairs with
-    * vec_id < 200 whose similarity exceeds 0.5. At scale the same query runs
-    * after bucket pruning (join on equal sign-bucket first). */
+  /** V4 (L2 embedding variant): cosine near-duplicate pairs — bucket-first:
+    * candidates are pairs sharing a sign-bucket (the LSH prune, identical in
+    * the oracle so the pruning itself is hash-verified), scored exactly,
+    * kept above 0.3. The join is an equi-join on bucket — the pair space is
+    * Σ|bucket|², never the all-pairs O(n²) a crossJoin would scan; at 100 TB
+    * the same plan holds with more hyperplane bits (smaller buckets). */
   def v4_cosine_neardup(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).filter(col("vec_id") < 200)
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("vec_id"), col("embedding"),
+        signBucket(col("embedding")).as("bucket"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      col("bucket").as("ba"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("bucket").as("bb"))
+    a.join(b, col("ba") === col("bb") && col("id_a") < col("id_b"))
       .withColumn("cos_sim", round(cosineFast(col("va"), col("vb")), 6))
-      .filter(col("cos_sim") > 0.5)
+      .filter(col("cos_sim") > 0.3)
       .select("id_a", "id_b", "cos_sim")
       .orderBy("id_a", "id_b")
   }
@@ -88,8 +95,10 @@ object VectorQueries {
   /** V6: IVF ANN — assign every vector to its nearest centroid cell, probe
     * the query's 2 nearest cells, exact top-10 inside them. The two-phase
     * prune→score→merge shape of a production billion-vector index (cells
-    * ≫ nprobe; per-cell work is a pushed-down partition scan). n/o:
-    * centroid training is not expressible as a DuckDB one-liner. */
+    * ≫ nprobe; per-cell work is a pushed-down partition scan). Fully
+    * oracled: centroid training is per-(label,dim) decimal means (order-
+    * independent), so the whole pipeline is a DuckDB CTE chain; cell
+    * assignment margins dwarf float error, so the argmin agrees. */
   def v6_knn_ivf(s: SparkSession, d: String): DataFrame = {
     val cents = broadcast(centroids(s, d))
     // Probe-cell selection needs only the RAW query vector vs the codebook —
@@ -168,15 +177,49 @@ object VectorQueries {
         |      FROM embeddings CROSS JOIN (SELECT unnest(range(1,65)) AS i) g)
         |WHERE dim < 8 GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     "v4_cosine_neardup" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |           FROM embeddings WHERE vec_id < 200)
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) +
+        |    (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) +
+        |    (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+        |  FROM embeddings WHERE vec_id < 200)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_dot_product(a.v, b.v) /
         |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |WHERE round(list_dot_product(a.v, b.v) /
-        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) > 0.5
+        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) > 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+    "v6_knn_ivf" ->
+      """WITH flat AS (
+        |  SELECT label, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) g),
+        |cent AS (
+        |  SELECT label AS cell, dim,
+        |    CAST(CAST(CAST(sum(CAST(x AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE)
+        |         / count(*) AS REAL) AS m
+        |  FROM flat GROUP BY label, dim),
+        |centv AS (SELECT cell, list(CAST(m AS DOUBLE) ORDER BY dim) AS centroid
+        |          FROM cent GROUP BY cell),
+        |dists AS (
+        |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.cell,
+        |    list_distance(CAST(e.embedding AS DOUBLE[]), c.centroid) AS dist
+        |  FROM embeddings e CROSS JOIN centv c),
+        |asg AS (
+        |  SELECT vec_id, v, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist, cell) AS rn FROM dists)
+        |  WHERE rn = 1),
+        |qsel AS (
+        |  SELECT cell AS qcell, v AS qvec FROM (
+        |    SELECT cell, v, row_number() OVER (ORDER BY dist, cell) AS rn
+        |    FROM dists WHERE vec_id = 0)
+        |  WHERE rn <= 2)
+        |SELECT vec_id, cell,
+        |  round(list_dot_product(v, qvec) /
+        |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qvec, qvec))), 6) AS cos_sim
+        |FROM asg JOIN qsel ON cell = qcell
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
     "v5_euclidean_dot" ->
       s"""$qvecCte
         |SELECT vec_id,

@@ -11,11 +11,9 @@ class RelationalSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(r.fieldIndex("count_order")) > 0))
   }
 
-  test("every declared query key has either an oracle twin or is known n/o") {
+  test("every declared query key has an oracle twin") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle === Set("a7_approx_distinct", "d3_minhash_lsh",
-      "d4_simhash", "v6_knn_ivf"),
-      s"unexpected oracle-less queries: $noOracle")
+    assert(noOracle.isEmpty, s"unexpected oracle-less queries: $noOracle")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle without query: $orphans")
   }

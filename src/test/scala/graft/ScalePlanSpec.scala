@@ -94,13 +94,21 @@ class ScalePlanSpec extends SparkSpec {
     val plan = graft.operators.VectorQueries.v6_knn_ivf(spark, sf)
       .queryExecution.executedPlan.toString
     assert(plan.contains("ReusedExchange") ||
-      plan.contains("tableCacheQueryStage") || // AQE may stage-cache instead
-      plan.count(_ == 'B') >= 0 && plan.contains("BroadcastExchange"),
-      s"plan:\n$plan")
+      plan.contains("tableCacheQueryStage"), // AQE may stage-cache instead
+      s"codebook broadcast must be shipped once (ReusedExchange):\n$plan")
     // the strong assertion: the centroid aggregation subtree must appear at
     // most twice in the WHOLE plan (query-side + corpus-side), never more
     val hits = "partial_count".r.findAllIn(plan).length
     assert(hits <= 8, s"centroid subtree exploded ($hits partial aggs):\n$plan")
+  }
+
+  test("v4 near-dup pairs hash-join on the sign bucket — no cartesian") {
+    val plan = graft.operators.VectorQueries.v4_cosine_neardup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair space must be bucket-pruned, not all-pairs:\n$plan")
+    assert(plan.contains("HashJoin"), s"expected an equi-join on bucket:\n$plan")
   }
 
   test("range-scan filters reach the parquet scan (PushedFilters)") {
