@@ -58,6 +58,24 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
         .filter(col("__rn") <= k).drop("__rn")
     }
 
+    // ANN ordering (Cassandra 5.0 `ORDER BY col ANN OF [v,…] LIMIT k`, SAI
+    // vector index [U index/sai/plan/]): exact top-k by cosine similarity,
+    // most-similar first — the index's default similarity function. LIMIT is
+    // mandatory upstream (the index answers top-k, not a total order). The
+    // plan collapses to TakeOrderedAndProject — the distributed top-k — via
+    // the codegen'd CosineSimilarity expression.
+    sel.ann.foreach { a =>
+      val k = sel.limit.getOrElse(throw new CqlInvalidQueryException(
+        "Use of ANN OF in an ORDER BY clause requires a LIMIT"))
+      val qv = array(a.query.map(lit(_)): _*)
+        .cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))
+      df = df
+        .orderBy(graft.functions.VectorFunctions
+          .cosineFast(col(a.column), qv).desc)
+        .limit(k)
+    }
+
     // selection / aggregation
     df =
       if (sel.selectors.exists(_.isAggregate) || sel.groupBy.nonEmpty) {
@@ -116,6 +134,13 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
                 s"(unless you use the token() function) (got ${p.op} on ${p.column})")
         case _: TuplePredicate => // tuple restrictions are clustering-only; ok
       }
+    }
+    sel.ann.foreach { a =>
+      if (!t.df.schema.exists(_.name.equalsIgnoreCase(a.column)))
+        throw new CqlInvalidQueryException(s"undefined column ${a.column}")
+      if (sel.groupBy.nonEmpty || sel.selectors.exists(_.isAggregate))
+        throw new CqlInvalidQueryException(
+          "ANN ordering does not support aggregation")
     }
     if (sel.orderBy.nonEmpty) {
       val pkRestricted = t.partitionKeys.forall(pk =>

@@ -42,7 +42,7 @@ case class CqlSelect(
 object CqlParser {
 
   private val tokenRe =
-    """\s*(?:('(?:[^']|'')*')|(-?\d+\.\d+)|(-?\d+)|([A-Za-z_][A-Za-z0-9_]*)|(<=|>=|!=|[=<>(),*\[\]]))""".r
+    """\s*(?:('(?:[^']|'')*')|(-?\d+\.\d+(?:[eE][-+]?\d+)?)|(-?\d+)|([A-Za-z_][A-Za-z0-9_]*)|(<=|>=|!=|[=<>(),*\[\]]))""".r
 
   private def tokenize(s: String): Vector[String] = {
     var rest = s.trim

@@ -142,4 +142,33 @@ class CqlEngineSpec extends SparkSpec {
       "SELECT doc_id FROM documents WHERE source LIKE 'src1%' LIMIT 5 ALLOW FILTERING")
     assert(out.count() <= 5)
   }
+
+  test("ORDER BY embedding ANN OF returns the exact cosine top-k") {
+    import graft.functions.VectorFunctions.cosineFast
+    // query vector = embedding of vec_id 0, rendered into the CQL text the
+    // way a Cassandra 5.0 client would send it
+    val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
+      .head().getSeq[Float](1)
+    val cql = s"SELECT vec_id FROM embeddings ORDER BY embedding " +
+      s"ANN OF [${qv.mkString(", ")}] LIMIT 5"
+    val got = cqlEngine.execute(cql).collect().map(_.getLong(0)).toSeq
+    val expected = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        cosineFast(col("embedding"),
+          array(qv.map(lit(_)): _*).cast("array<float>")).as("sim"))
+      .orderBy(col("sim").desc)
+      .limit(5).collect().map(_.getLong(0)).toSeq
+    assert(got === expected)
+    // the ANN path must plan the distributed top-k, not a global sort
+    val plan = cqlEngine.execute(cql).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
+
+  test("ANN OF without LIMIT is rejected, as upstream requires") {
+    val e = intercept[CqlInvalidQueryException] {
+      cqlEngine.execute(
+        "SELECT vec_id FROM embeddings ORDER BY embedding ANN OF [1.0, 2.0]")
+    }
+    assert(e.getMessage.toLowerCase.contains("limit"))
+  }
 }
