@@ -42,7 +42,7 @@ case class CqlSelect(
 object CqlParser {
 
   private val tokenRe =
-    """\s*(?:('(?:[^']|'')*')|(-?\d+\.\d+(?:[eE][-+]?\d+)?)|(-?\d+)|([A-Za-z_][A-Za-z0-9_]*)|(<=|>=|!=|[=<>(),*\[\]]))""".r
+    """\s*(?:('(?:[^']|'')*')|(-?\d+\.\d+(?:[eE][-+]?\d+)?)|(-?\d+)|([A-Za-z_][A-Za-z0-9_]*)|(<=|>=|!=|[=<>(),*\[\]{}:;+-]))""".r
 
   private def tokenize(s: String): Vector[String] = {
     var rest = s.trim
@@ -62,6 +62,7 @@ object CqlParser {
   private class Cursor(toks: Vector[String]) {
     private var i = 0
     def peek: String = if (i < toks.length) toks(i) else ""
+    def peekAt(n: Int): String = if (i + n < toks.length) toks(i + n) else ""
     def peekIs(kw: String): Boolean = peek.equalsIgnoreCase(kw)
     def next(): String = { val t = peek; i += 1; t }
     def expect(kw: String): Unit =
@@ -128,20 +129,62 @@ object CqlParser {
   /** Parse an INSERT/UPDATE/DELETE statement (SURVEY §2.12 write surface). */
   def parseDml(cql: String): CqlDml = {
     val c = new Cursor(tokenize(cql.stripSuffix(";")))
-    val stmt = c.next().toLowerCase match {
+    val stmt = parseDmlCursor(c)
+    if (!c.done)
+      throw new CqlInvalidQueryException(s"unexpected trailing input near ${c.peek}")
+    stmt
+  }
+
+  /** Parse `BEGIN [UNLOGGED|LOGGED] BATCH [USING TIMESTAMP n] <dml>; …
+    * APPLY BATCH` (upstream `cql3/statements/BatchStatement.java` [U]). */
+  def parseBatch(cql: String): CqlBatch = {
+    val c = new Cursor(tokenize(cql.stripSuffix(";")))
+    c.expect("begin")
+    val logged = !c.accept("unlogged")
+    c.accept("logged")
+    c.expect("batch")
+    val (ts, _) = parseUsing(c)
+    var stmts = Vector.empty[CqlDml]
+    while (!c.peekIs("apply")) {
+      if (c.done) throw new CqlInvalidQueryException("missing APPLY BATCH")
+      stmts = stmts :+ parseDmlCursor(c)
+      while (c.accept(";")) ()
+    }
+    c.expect("apply"); c.expect("batch")
+    if (!c.done)
+      throw new CqlInvalidQueryException(s"unexpected trailing input near ${c.peek}")
+    CqlBatch(stmts, ts, logged)
+  }
+
+  private def parseDmlCursor(c: Cursor): CqlDml =
+    c.next().toLowerCase match {
       case "insert" =>
         c.expect("into")
         val table = c.next()
-        c.expect("(")
-        val cols = parseIdentList(c)
-        c.expect(")")
-        c.expect("values")
-        c.expect("(")
-        var vals = Seq(parseLiteral(c))
-        while (c.accept(",")) vals = vals :+ parseLiteral(c)
-        c.expect(")")
-        val (ts, ttl) = parseUsing(c)
-        CqlInsert(table, cols, vals, ts, ttl)
+        if (c.accept("json")) { // INSERT INTO t JSON '…' [U cql3/Json.java]
+          val json = parseLiteral(c) match {
+            case s: String => s
+            case other => throw new CqlInvalidQueryException(
+              s"INSERT JSON expects a string literal, got $other")
+          }
+          val defaultUnset =
+            if (c.accept("default")) {
+              if (c.accept("unset")) true else { c.expect("null"); false }
+            } else false
+          val (ts, ttl) = parseUsing(c)
+          CqlInsertJson(table, json, defaultUnset, ts, ttl)
+        } else {
+          c.expect("(")
+          val cols = parseIdentList(c)
+          c.expect(")")
+          c.expect("values")
+          c.expect("(")
+          var vals = Seq(parseValue(c))
+          while (c.accept(",")) vals = vals :+ parseValue(c)
+          c.expect(")")
+          val (ts, ttl) = parseUsing(c)
+          CqlInsert(table, cols, vals, ts, ttl)
+        }
       case "update" =>
         val table = c.next()
         val (ts, ttl) = parseUsing(c)
@@ -159,18 +202,68 @@ object CqlParser {
       case other =>
         throw new CqlInvalidQueryException(s"not a DML statement: $other")
     }
-    if (!c.done)
-      throw new CqlInvalidQueryException(s"unexpected trailing input near ${c.peek}")
-    stmt
-  }
 
-  private def parseAssignment(c: Cursor): (String, Any) = {
-    val col = c.next(); c.expect("="); col -> parseLiteral(c)
+  /** A literal or a collection literal: `[..]` list, `{..}` set,
+    * `{k: v, ..}` map (upstream `cql3/Term`/`Lists`/`Sets`/`Maps` [U]). */
+  private def parseValue(c: Cursor): Any =
+    if (c.accept("[")) {
+      if (c.accept("]")) CqlList(Nil)
+      else {
+        var items = Seq(parseLiteral(c))
+        while (c.accept(",")) items = items :+ parseLiteral(c)
+        c.expect("]")
+        CqlList(items)
+      }
+    } else if (c.accept("{")) {
+      if (c.accept("}")) CqlSetLit(Nil)
+      else {
+        val first = parseLiteral(c)
+        if (c.accept(":")) { // map literal
+          var entries = Seq(first -> parseLiteral(c))
+          while (c.accept(",")) {
+            val k = parseLiteral(c); c.expect(":")
+            entries = entries :+ (k -> parseLiteral(c))
+          }
+          c.expect("}")
+          CqlMapLit(entries)
+        } else {
+          var items = Seq(first)
+          while (c.accept(",")) items = items :+ parseLiteral(c)
+          c.expect("}")
+          CqlSetLit(items)
+        }
+      }
+    } else parseLiteral(c)
+
+  /** `col = value`, `col = col + coll`, `col = col - coll`, `col[k] = v`
+    * (upstream `cql3/Operation.java` [U]). */
+  private def parseAssignment(c: Cursor): (String, CqlAssign) = {
+    val col = c.next()
+    if (c.accept("[")) { // m[k] = v
+      val key = parseLiteral(c)
+      c.expect("]"); c.expect("=")
+      return col -> CqlMapPut(key, parseLiteral(c))
+    }
+    c.expect("=")
+    if (c.peekIs(col) && (c.peekAt(1) == "+" || c.peekAt(1) == "-")) {
+      c.next()
+      val add = c.next() == "+"
+      val v = parseValue(c)
+      v match {
+        case _: CqlList | _: CqlSetLit | _: CqlMapLit => ()
+        case other => throw new CqlInvalidQueryException(
+          s"collection operation needs a collection literal, got $other")
+      }
+      col -> (if (add) CqlCollAdd(v) else CqlCollRemove(v))
+    } else col -> CqlAssignValue(parseValue(c))
   }
 
   private def parseKeyPredicates(c: Cursor): Seq[(String, Any)] = {
-    var out = Seq(parseAssignment(c)) // key restrictions are `col = lit`
-    while (c.accept("and")) out = out :+ parseAssignment(c)
+    def one(): (String, Any) = {
+      val col = c.next(); c.expect("="); col -> parseLiteral(c)
+    }
+    var out = Seq(one()) // key restrictions are `col = lit`
+    while (c.accept("and")) out = out :+ one()
     out
   }
 
@@ -258,6 +351,7 @@ object CqlParser {
     if (t.startsWith("'")) t.substring(1, t.length - 1).replace("''", "'")
     else if (t.equalsIgnoreCase("true")) true
     else if (t.equalsIgnoreCase("false")) false
+    else if (t.equalsIgnoreCase("null")) null
     else if (t.contains('.')) t.toDouble
     else t.toLong
   }

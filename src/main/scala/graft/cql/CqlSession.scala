@@ -1,19 +1,46 @@
 package graft.cql
 
 import graft.operators.CassandraModel
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
+
+/** Collection literal values (CQL `[..]`, `{..}`, `{k: v, ..}`; upstream
+  * `cql3/Lists|Sets|Maps.java` [U]). */
+case class CqlList(items: Seq[Any])
+case class CqlSetLit(items: Seq[Any])
+case class CqlMapLit(entries: Seq[(Any, Any)])
+
+/** Right-hand side of a SET assignment (upstream `cql3/Operation.java` [U]). */
+sealed trait CqlAssign
+case class CqlAssignValue(v: Any) extends CqlAssign
+/** `l = l + [..]` append / `s = s + {..}` union / `m = m + {k: v}` put. */
+case class CqlCollAdd(v: Any) extends CqlAssign
+/** `l = l - [..]` / `s = s - {..}` element discard; `m = m - {k, ..}` key
+  * discard. */
+case class CqlCollRemove(v: Any) extends CqlAssign
+/** `m[k] = v` single-entry put. */
+case class CqlMapPut(key: Any, value: Any) extends CqlAssign
 
 /** CQL DML AST. */
-sealed trait CqlDml { def table: String }
+sealed trait CqlDml {
+  def table: String
+  def usingTimestamp: Option[Long]
+}
 case class CqlInsert(table: String, columns: Seq[String], values: Seq[Any],
   usingTimestamp: Option[Long], usingTtl: Option[Long]) extends CqlDml
-case class CqlUpdate(table: String, assignments: Seq[(String, Any)],
+case class CqlInsertJson(table: String, json: String, defaultUnset: Boolean,
+  usingTimestamp: Option[Long], usingTtl: Option[Long]) extends CqlDml
+case class CqlUpdate(table: String, assignments: Seq[(String, CqlAssign)],
   keyPredicates: Seq[(String, Any)], usingTimestamp: Option[Long],
   usingTtl: Option[Long]) extends CqlDml
 case class CqlDelete(table: String, keyPredicates: Seq[(String, Any)],
   usingTimestamp: Option[Long]) extends CqlDml
+
+/** `BEGIN [UNLOGGED] BATCH … APPLY BATCH`
+  * (upstream `cql3/statements/BatchStatement.java` [U]). */
+case class CqlBatch(statements: Seq[CqlDml], usingTimestamp: Option[Long],
+  logged: Boolean)
 
 /** SURVEY §2.12 — the CQL write path on the upsert-log model: INSERT/UPDATE/
   * DELETE (all upserts) append typed cell-writes to a per-table log; reads
@@ -22,23 +49,53 @@ case class CqlDelete(table: String, keyPredicates: Seq[(String, Any)],
   * semantics [U]). `USING TIMESTAMP` is honored; without it a session-
   * monotonic clock assigns timestamps, like a coordinator would.
   *
-  * Each mutation is one appended single-row DataFrame — "BATCH" semantics
-  * fall out (a batch is one multi-row append). State lives in this session
-  * object; production would append parquet files (the commitlog role) and
-  * run [[CassandraModel.compact]] periodically.
+  * Mutations buffer as LOCAL rows and materialize as ONE `createDataFrame`
+  * union per read — the log's plan depth is constant in the number of writes
+  * (a per-write `unionByName` would grow an N-way lineage and blow analysis
+  * time after a few hundred mutations). Production would append parquet
+  * files (the commitlog role) and run [[CassandraModel.compact]]
+  * periodically.
+  *
+  * Collection columns (ArrayType/MapType) carry a per-cell operation marker
+  * (`_op_<col>`): set/append/union/discard/put resolve by timestamp-ordered
+  * fold in the read path — upstream's per-element cells collapsed to one
+  * op-log per cell, same observable semantics for single-writer sessions.
+  * Static columns resolve per PARTITION (latest static cell write wins
+  * across all rows; row tombstones do not shadow them).
+  *
+  * Documented deviations: `INSERT JSON` treats omitted columns as UNSET
+  * (upstream default is a null overwrite — the upsert-log model reads null
+  * as "cell not written"); empty collections read back as null (upstream
+  * behavior for non-frozen collections); list append timestamps order whole
+  * ops, not per-element timeuuid cells.
   */
 class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
 
   private case class TableState(schema: StructType, partitionKeys: Seq[String],
-    clusteringKeys: Seq[String], var log: DataFrame)
+    clusteringKeys: Seq[String], staticKeys: Seq[String],
+    logSchema: StructType, base: DataFrame, var pending: Vector[Row])
+
+  private def opCol(c: String) = s"_op_$c"
 
   private val state: Map[String, TableState] = defs.map { case (name, t) =>
-    val base = t.df
-      .withColumn("_writetime", lit(0L))
-      .withColumn("_ttl", lit(null).cast("long"))
-      .withColumn("_deleted", lit(false))
-    name.toLowerCase -> TableState(t.df.schema, t.partitionKeys,
-      t.clusteringKeys, base)
+    val schema = t.df.schema
+    val collCols = schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] ||
+        f.dataType.isInstanceOf[MapType] => f.name
+    }.toSeq
+    val logSchema = StructType(
+      schema.fields.toSeq ++
+        collCols.map(c => StructField(opCol(c), StringType)) ++
+        Seq(StructField("_writetime", LongType, nullable = false),
+          StructField("_ttl", LongType),
+          StructField("_deleted", BooleanType, nullable = false)))
+    val base = t.df.select(
+      schema.fieldNames.map(col).toSeq ++
+        collCols.map(c => when(col(c).isNotNull, lit("set")).as(opCol(c))) ++
+        Seq(lit(0L).as("_writetime"), lit(null).cast("long").as("_ttl"),
+          lit(false).as("_deleted")): _*)
+    name.toLowerCase -> TableState(schema, t.partitionKeys, t.clusteringKeys,
+      t.staticKeys, logSchema, base, Vector.empty)
   }
 
   private var clock: Long = 1L
@@ -48,27 +105,62 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   private def keyCols(t: TableState): Seq[String] =
     t.partitionKeys ++ t.clusteringKeys
 
+  /** The table's full log: initial data plus ONE local-rows union. */
+  private def log(t: TableState): DataFrame =
+    if (t.pending.isEmpty) t.base
+    else t.base.unionByName(spark.createDataFrame(
+      java.util.Arrays.asList(t.pending: _*), t.logSchema))
+
   /** Reconciled read view of a table's current log. `nowUs` (epoch micros)
     * enables cell-level TTL expiry for cells written `USING TTL`. */
   def view(table: String, nowUs: Option[Long] = None): DataFrame = {
     val t = tableState(table)
-    CassandraModel.reconcileView(t.log, keyCols(t),
-      dataCols(t).filterNot(keyCols(t).contains), nowUs)
+    val lg = log(t)
+    val regular = dataCols(t)
+      .filterNot(c => keyCols(t).contains(c) || t.staticKeys.contains(c))
+    if (t.staticKeys.isEmpty)
+      CassandraModel.reconcileView(lg, keyCols(t), regular, nowUs)
+    else {
+      // Regular cells resolve per (pk, ck); static cells per pk across the
+      // whole partition — and row tombstones do NOT shadow them (upstream:
+      // a row delete is not a partition delete [U db/rows/Row.java]).
+      val regLog =
+        if (t.clusteringKeys.isEmpty) lg
+        else lg.filter(t.clusteringKeys.map(col(_).isNotNull).reduce(_ && _))
+      val reg = CassandraModel.reconcileView(regLog, keyCols(t), regular, nowUs)
+      val st = CassandraModel.reconcileView(
+          lg.filter(!col("_deleted")), t.partitionKeys, t.staticKeys, nowUs)
+        .drop("_writetime")
+      reg.join(st, t.partitionKeys, "left")
+    }
   }
 
-  /** Run a CQL statement: SELECT returns rows; DML mutates and returns an
-    * empty DataFrame (like a CQL void result). */
+  /** Run a CQL statement: SELECT returns rows; DML and BATCH mutate and
+    * return an empty DataFrame (like a CQL void result). */
   def execute(cql: String): DataFrame = {
     val trimmed = cql.trim
     val kw = trimmed.takeWhile(!_.isWhitespace).toLowerCase
     kw match {
       case "select" =>
         val catalog = state.map { case (name, t) =>
-          name -> CqlTable(view(name), t.partitionKeys, t.clusteringKeys)
+          name -> CqlTable(view(name), t.partitionKeys, t.clusteringKeys,
+            t.staticKeys)
         }
         new CqlEngine(spark, catalog).execute(trimmed)
       case "insert" | "update" | "delete" =>
-        applyDml(CqlParser.parseDml(trimmed)); spark.emptyDataFrame
+        applyDml(CqlParser.parseDml(trimmed), None); spark.emptyDataFrame
+      case "begin" =>
+        val b = CqlParser.parseBatch(trimmed)
+        // one coordinator timestamp shared by every statement in the batch
+        // (upstream batch-timestamp rule); statement-level USING TIMESTAMP
+        // is allowed only when the batch itself carries none
+        if (b.usingTimestamp.isDefined &&
+            b.statements.exists(_.usingTimestamp.isDefined))
+          throw new CqlInvalidQueryException(
+            "Timestamp must be set either on BATCH or individual statements")
+        val shared = nextTs(b.usingTimestamp)
+        b.statements.foreach(applyDml(_, Some(shared)))
+        spark.emptyDataFrame
       case other =>
         throw new CqlInvalidQueryException(s"unsupported statement: $other")
     }
@@ -81,52 +173,144 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   private def nextTs(explicit: Option[Long]): Long =
     explicit.getOrElse { val t = clock; clock += 1; t }
 
-  private def applyDml(dml: CqlDml): Unit = {
+  /** Driver-side literal coercion to the column's Spark type (CQL bind
+    * values are typed; local Rows must match the log schema exactly). */
+  private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (l: Long, IntegerType) => l.toInt
+    case (l: Long, LongType) => l
+    case (l: Long, ShortType) => l.toShort
+    case (l: Long, DoubleType) => l.toDouble
+    case (l: Long, FloatType) => l.toFloat
+    case (l: Long, DecimalType()) => BigDecimal(l)
+    case (d: Double, DoubleType) => d
+    case (d: Double, FloatType) => d.toFloat
+    case (d: Double, DecimalType()) => BigDecimal(d)
+    case (s: String, StringType) => s
+    case (b: Boolean, BooleanType) => b
+    case (s: String, TimestampType) =>
+      java.sql.Timestamp.valueOf(
+        if (s.contains(" ") || s.contains("T")) s.replace("T", " ")
+        else s + " 00:00:00")
+    case (s: String, DateType) => java.sql.Date.valueOf(s)
+    case (l: CqlList, ArrayType(et, _)) => l.items.map(coerce(_, et))
+    case (sl: CqlSetLit, ArrayType(et, _)) => sl.items.map(coerce(_, et))
+    case (m: CqlMapLit, MapType(kt, vt, _)) =>
+      m.entries.map { case (k, x) => coerce(k, kt) -> coerce(x, vt) }.toMap
+    case (other, t) => throw new CqlInvalidQueryException(
+      s"cannot coerce $other to $t")
+  }
+
+  /** The (value, op) cell pair a column assignment contributes to a log row.
+    * Scalar columns carry only a value; collection columns also carry the
+    * operation the read-path fold applies. */
+  private def cellFor(t: TableState, c: String, a: CqlAssign): (Any, String) = {
+    val dt = t.schema(t.schema.fieldIndex(c)).dataType
+    (a, dt) match {
+      case (CqlAssignValue(v: CqlSetLit), _: ArrayType) => (coerce(v, dt), "sset")
+      case (CqlAssignValue(v), _) => (coerce(v, dt), "set")
+      case (CqlCollAdd(v: CqlList), _: ArrayType) => (coerce(v, dt), "app")
+      case (CqlCollAdd(v: CqlSetLit), _: ArrayType) => (coerce(v, dt), "uni")
+      case (CqlCollAdd(v: CqlMapLit), _: MapType) => (coerce(v, dt), "put")
+      case (CqlCollRemove(v: CqlList), _: ArrayType) => (coerce(v, dt), "rem")
+      case (CqlCollRemove(v: CqlSetLit), _: ArrayType) => (coerce(v, dt), "rem")
+      case (CqlCollRemove(v: CqlSetLit), MapType(kt, _, _)) =>
+        (v.items.map(k => coerce(k, kt) -> null).toMap, "remk")
+      case (CqlMapPut(k, v), MapType(kt, vt, _)) =>
+        (Map(coerce(k, kt) -> coerce(v, vt)), "put")
+      case (op, _) => throw new CqlInvalidQueryException(
+        s"invalid operation $op for column $c of type $dt")
+    }
+  }
+
+  private def applyDml(dml: CqlDml, defaultTs: Option[Long]): Unit = {
     val t = tableState(dml.table)
     val keys = keyCols(t)
-    val row: Seq[(String, Option[Any])] = dml match {
+    // per data column: optional (value, op)
+    val cells: Seq[(String, Option[(Any, String)])] = dml match {
       case CqlInsert(_, cols, vals, _, _) =>
         if (cols.length != vals.length)
           throw new CqlInvalidQueryException("column/value count mismatch")
         val m = cols.map(_.toLowerCase).zip(vals).toMap
-        dataCols(t).map(c => c -> m.get(c.toLowerCase))
+        dataCols(t).map(c => c ->
+          m.get(c.toLowerCase).map(v => cellFor(t, c, CqlAssignValue(v))))
+      case j: CqlInsertJson => jsonCells(t, j)
       case CqlUpdate(_, assignments, preds, _, _) =>
         val a = assignments.map { case (c, v) => c.toLowerCase -> v }.toMap
         val k = preds.map { case (c, v) => c.toLowerCase -> v }.toMap
         if (a.keySet.exists(c => keys.exists(_.equalsIgnoreCase(c))))
           throw new CqlInvalidQueryException("PRIMARY KEY columns cannot be SET")
-        dataCols(t).map(c => c -> a.get(c.toLowerCase).orElse(k.get(c.toLowerCase)))
+        dataCols(t).map(c => c ->
+          a.get(c.toLowerCase).map(cellFor(t, c, _))
+            .orElse(k.get(c.toLowerCase)
+              .map(v => cellFor(t, c, CqlAssignValue(v)))))
       case CqlDelete(_, preds, _) =>
         val k = preds.map { case (c, v) => c.toLowerCase -> v }.toMap
-        dataCols(t).map(c => c -> k.get(c.toLowerCase))
+        dataCols(t).map(c => c -> k.get(c.toLowerCase)
+          .map(v => cellFor(t, c, CqlAssignValue(v))))
     }
-    // writes must address a full primary key (ModificationStatement rule)
-    keys.foreach { k =>
-      if (row.find(_._1.equalsIgnoreCase(k)).flatMap(_._2).isEmpty)
+    // writes must address the primary key (ModificationStatement rule);
+    // a write touching ONLY static columns addresses just the partition key
+    val written = cells.collect { case (c, Some(_)) => c }
+      .filterNot(c => keys.exists(_.equalsIgnoreCase(c)))
+    val staticOnly = t.staticKeys.nonEmpty &&
+      written.forall(c => t.staticKeys.exists(_.equalsIgnoreCase(c)))
+    val required = if (staticOnly) t.partitionKeys else keys
+    required.foreach { k =>
+      if (!cells.exists(x => x._1.equalsIgnoreCase(k) && x._2.isDefined))
         throw new CqlInvalidQueryException(
           s"PRIMARY KEY column $k must be restricted/provided in a write")
     }
     val (ts, ttl, deleted) = dml match {
-      case i: CqlInsert => (nextTs(i.usingTimestamp), i.usingTtl, false)
-      case u: CqlUpdate => (nextTs(u.usingTimestamp), u.usingTtl, false)
-      case d: CqlDelete => (nextTs(d.usingTimestamp), None, true)
+      case i: CqlInsert => (nextTs(i.usingTimestamp.orElse(defaultTs)), i.usingTtl, false)
+      case i: CqlInsertJson => (nextTs(i.usingTimestamp.orElse(defaultTs)), i.usingTtl, false)
+      case u: CqlUpdate => (nextTs(u.usingTimestamp.orElse(defaultTs)), u.usingTtl, false)
+      case d: CqlDelete => (nextTs(d.usingTimestamp.orElse(defaultTs)), None, true)
     }
-    val cols = row.map { case (name, v) =>
-      val dt = t.schema(t.schema.fieldIndex(name)).dataType
-      v.map(x => lit(x).cast(dt)).getOrElse(lit(null).cast(dt)).as(name)
-    } ++ Seq(lit(ts).as("_writetime"),
-      ttl.map(lit(_)).getOrElse(lit(null)).cast("long").as("_ttl"),
-      lit(deleted).as("_deleted"))
-    t.log = t.log.unionByName(spark.range(1).select(cols: _*))
+    val byName = cells.toMap
+    val values = t.logSchema.fields.map { f =>
+      f.name match {
+        case "_writetime" => ts
+        case "_ttl" => ttl.map(Long.box).orNull
+        case "_deleted" => deleted
+        case n if n.startsWith("_op_") =>
+          byName.get(n.stripPrefix("_op_")).flatten.map(_._2).orNull
+        case n => byName.get(n).flatten.map(_._1).orNull
+      }
+    }
+    t.pending = t.pending :+ Row.fromSeq(values.toSeq)
+  }
+
+  /** `INSERT INTO t JSON '…'`: parse against the table schema with Spark's
+    * own JSON reader (one local row — no job), honoring DEFAULT UNSET. */
+  private def jsonCells(t: TableState,
+      j: CqlInsertJson): Seq[(String, Option[(Any, String)])] = {
+    val parsed = spark.range(1)
+      .select(from_json(lit(j.json), t.schema).as("r"),
+        json_object_keys(lit(j.json)).as("ks"))
+      .head()
+    if (parsed.isNullAt(1))
+      throw new CqlInvalidQueryException(s"malformed JSON: ${j.json}")
+    val r = parsed.getStruct(0)
+    val present = parsed.getSeq[String](1).map(_.toLowerCase).toSet
+    dataCols(t).map { c =>
+      val i = t.schema.fieldIndex(c)
+      val cell =
+        if (!present.contains(c.toLowerCase)) None // omitted → unset (see doc)
+        else if (r.isNullAt(i)) None
+        else Some((r.get(i), "set"))
+      c -> cell
+    }
   }
 }
 
 object CqlSession {
   /** A session over an empty table — CREATE TABLE analogue for tests/demos. */
   def emptyTable(spark: SparkSession, name: String, schema: StructType,
-      partitionKeys: Seq[String], clusteringKeys: Seq[String] = Nil): CqlSession =
+      partitionKeys: Seq[String], clusteringKeys: Seq[String] = Nil,
+      staticKeys: Seq[String] = Nil): CqlSession =
     new CqlSession(spark, Map(name ->
       CqlTable(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
-        partitionKeys, clusteringKeys)))
+        partitionKeys, clusteringKeys, staticKeys)))
 }

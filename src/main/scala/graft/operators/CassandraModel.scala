@@ -113,15 +113,75 @@ object CassandraModel {
       .withColumn("_del_wt", delWt)
       .filter(!col("_deleted") && notExpired &&
         (col("_del_wt").isNull || col("_writetime") > col("_del_wt")))
+    def hasOps(c: String) = log.columns.contains(s"_op_$c")
+    def written(c: String): Column =
+      if (hasOps(c)) col(s"_op_$c").isNotNull else col(c).isNotNull
     val cellAggs = dataCols.map { c =>
-      // (writetime, value) lexicographic max = upstream reconcile tie-break
-      max_by(col(c), when(col(c).isNotNull,
-        struct(col("_writetime"), col(c)))).as(c)
+      if (hasOps(c))
+        collectionCellAgg(c, log.schema(log.schema.fieldIndex(c)).dataType)
+      else
+        // (writetime, value) lexicographic max = upstream reconcile tie-break
+        max_by(col(c), when(col(c).isNotNull,
+          struct(col("_writetime"), col(c)))).as(c)
     } ++ dataCols.map { c =>
       // per-CELL writetime — what CQL's writetime(c) actually returns
-      max(when(col(c).isNotNull, col("_writetime"))).as(s"_writetime_$c")
+      max(when(written(c), col("_writetime"))).as(s"_writetime_$c")
     } :+ max(col("_writetime")).as("_writetime")
     live.groupBy(keys.map(col): _*).agg(cellAggs.head, cellAggs.tail: _*)
+  }
+
+  /** Collection-cell resolution (upstream models lists/sets/maps as
+    * per-element cells, `db/rows/ComplexColumnData` [U]; the engine models
+    * them as an op-log per cell): collect this cell's ops, order them by
+    * (writetime, op), and fold — `set` replaces, `sset` is a set-literal
+    * assign (sorted distinct), `app` appends, `uni` set-unions, `rem`
+    * discards elements (ALL occurrences, no dedup of survivors), `put`
+    * overwrites map keys, `remk` discards map keys. Empty results read as
+    * null, Cassandra's behavior for non-frozen collections. One
+    * `collect_list` per cell inside the same single-shuffle aggregate —
+    * bounded by a cell's op count, the same bound upstream's per-element
+    * cell merge carries. */
+  private def collectionCellAgg(c: String, dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    val entries = array_sort(
+      collect_list(when(col(s"_op_$c").isNotNull,
+        struct(col("_writetime").as("wt"), col(s"_op_$c").as("op"),
+          col(c).as("v")))),
+      (l, r) => {
+        val lw = l.getField("wt"); val rw = r.getField("wt")
+        val lo = l.getField("op"); val ro = r.getField("op")
+        when(lw < rw, -1).when(lw > rw, 1)
+          .when(lo < ro, -1).when(lo > ro, 1).otherwise(0)
+      })
+    val folded = dt match {
+      case _: ArrayType =>
+        aggregate(entries, lit(null).cast(dt), (acc, e) => {
+          val v = e.getField("v"); val op = e.getField("op")
+          val empty = slice(v, 1, 0)
+          when(op === "set", v)
+            .when(op === "sset", array_sort(array_distinct(v)))
+            .when(op === "app", concat(coalesce(acc, empty), v))
+            .when(op === "uni",
+              array_sort(array_union(coalesce(acc, empty), v)))
+            .when(op === "rem",
+              filter(coalesce(acc, empty), x => !array_contains(v, x)))
+            .otherwise(acc)
+        }, acc => when(size(acc) > 0, acc))
+      case _: MapType =>
+        aggregate(entries, lit(null).cast(dt), (acc, e) => {
+          val v = e.getField("v"); val op = e.getField("op")
+          val empty = map_filter(v, (_, _) => lit(false))
+          val keep = filter(map_entries(coalesce(acc, empty)),
+            en => !array_contains(map_keys(v), en.getField("key")))
+          when(op === "set", v)
+            .when(op === "put", map_from_entries(concat(keep, map_entries(v))))
+            .when(op === "remk", map_from_entries(keep))
+            .otherwise(acc)
+        }, acc => when(size(acc) > 0, acc))
+      case other => throw new IllegalArgumentException(
+        s"op-carrying column $c has non-collection type $other")
+    }
+    folded.as(c)
   }
 
   /** Compaction (STCS/TWCS analogue, `db/compaction/` [U]): materialize the

@@ -97,4 +97,185 @@ class CqlSessionSpec extends SparkSpec {
     s.execute("UPDATE users SET name = 'upserted' WHERE user_id = 1")
     assert(rows(s) === Seq((1L, Some("upserted"), None)))
   }
+
+  // -- BATCH ----------------------------------------------------------------
+
+  test("BATCH applies all statements with ONE shared timestamp") {
+    val s = freshSession
+    s.execute("""BEGIN BATCH
+      INSERT INTO users (user_id, name) VALUES (1, 'a');
+      INSERT INTO users (user_id, age) VALUES (1, 42);
+      APPLY BATCH""")
+    val r = s.execute(
+      "SELECT writetime(name) AS wn, writetime(age) AS wa FROM users WHERE user_id = 1")
+      .head()
+    assert(r.getLong(0) === r.getLong(1), "batch statements share a timestamp")
+    assert(rows(s) === Seq((1L, Some("a"), Some(42L))))
+  }
+
+  test("BATCH equals the same writes applied individually (same timestamps)") {
+    val a = freshSession
+    a.execute("BEGIN UNLOGGED BATCH " +
+      "INSERT INTO users (user_id, name, age) VALUES (1, 'x', 1); " +
+      "UPDATE users SET name = 'y' WHERE user_id = 1; " +
+      "APPLY BATCH")
+    val b = freshSession
+    b.execute("INSERT INTO users (user_id, name, age) VALUES (1, 'x', 1) USING TIMESTAMP 1")
+    b.execute("UPDATE users USING TIMESTAMP 1 SET name = 'y' WHERE user_id = 1")
+    assert(rows(a) === rows(b))
+  }
+
+  test("BATCH USING TIMESTAMP is honored and excludes statement timestamps") {
+    val s = freshSession
+    s.execute("BEGIN BATCH USING TIMESTAMP 777 " +
+      "INSERT INTO users (user_id, name) VALUES (1, 'ts'); APPLY BATCH")
+    val wt = s.execute(
+      "SELECT writetime(name) AS wn FROM users WHERE user_id = 1").head().getLong(0)
+    assert(wt === 777L)
+    val e = intercept[CqlInvalidQueryException] {
+      s.execute("BEGIN BATCH USING TIMESTAMP 7 " +
+        "INSERT INTO users (user_id, name) VALUES (1, 'x') USING TIMESTAMP 8; " +
+        "APPLY BATCH")
+    }
+    assert(e.getMessage.contains("Timestamp"))
+  }
+
+  // -- collection mutations -------------------------------------------------
+
+  private def collSession = CqlSession.emptyTable(spark, "profiles",
+    StructType(Seq(
+      StructField("id", LongType),
+      StructField("events", ArrayType(LongType)),
+      StructField("tags", ArrayType(StringType)),
+      StructField("props", MapType(StringType, StringType)))),
+    partitionKeys = Seq("id"))
+
+  private def collRow(s: CqlSession) = {
+    val r = s.execute("SELECT events, tags, props FROM profiles WHERE id = 1").head()
+    (if (r.isNullAt(0)) null else r.getSeq[Long](0),
+      if (r.isNullAt(1)) null else r.getSeq[String](1),
+      if (r.isNullAt(2)) null else r.getMap[String, String](2))
+  }
+
+  test("list append / discard keeps order and removes all occurrences") {
+    val s = collSession
+    s.execute("INSERT INTO profiles (id, events) VALUES (1, [3, 1, 3, 2])")
+    s.execute("UPDATE profiles SET events = events + [4, 3] WHERE id = 1")
+    assert(collRow(s)._1 === Seq(3L, 1L, 3L, 2L, 4L, 3L))
+    s.execute("UPDATE profiles SET events = events - [3] WHERE id = 1")
+    assert(collRow(s)._1 === Seq(1L, 2L, 4L), "discard removes ALL occurrences")
+  }
+
+  test("set add / discard normalizes to sorted distinct") {
+    val s = collSession
+    s.execute("INSERT INTO profiles (id, tags) VALUES (1, {'b', 'a', 'b'})")
+    assert(collRow(s)._2 === Seq("a", "b"))
+    s.execute("UPDATE profiles SET tags = tags + {'c', 'a'} WHERE id = 1")
+    assert(collRow(s)._2 === Seq("a", "b", "c"))
+    s.execute("UPDATE profiles SET tags = tags - {'a'} WHERE id = 1")
+    assert(collRow(s)._2 === Seq("b", "c"))
+  }
+
+  test("map put via m[k] = v and m = m + {..}; key discard via m = m - {..}") {
+    val s = collSession
+    s.execute("INSERT INTO profiles (id, props) VALUES (1, {'x': '1'})")
+    s.execute("UPDATE profiles SET props['y'] = '2' WHERE id = 1")
+    s.execute("UPDATE profiles SET props = props + {'x': '9', 'z': '3'} WHERE id = 1")
+    assert(collRow(s)._3 === Map("x" -> "9", "y" -> "2", "z" -> "3"))
+    s.execute("UPDATE profiles SET props = props - {'y'} WHERE id = 1")
+    assert(collRow(s)._3 === Map("x" -> "9", "z" -> "3"))
+  }
+
+  test("collection ops resolve in TIMESTAMP order, not arrival order") {
+    val s = collSession
+    s.execute("INSERT INTO profiles (id, events) VALUES (1, [1]) USING TIMESTAMP 10")
+    // arrives first but is timestamped AFTER the append below
+    s.execute("UPDATE profiles USING TIMESTAMP 30 SET events = events - [2] WHERE id = 1")
+    s.execute("UPDATE profiles USING TIMESTAMP 20 SET events = events + [2, 3] WHERE id = 1")
+    assert(collRow(s)._1 === Seq(1L, 3L), "append at ts=20 lands before discard at ts=30")
+    // a later full SET wipes earlier ops
+    s.execute("UPDATE profiles USING TIMESTAMP 40 SET events = [7] WHERE id = 1")
+    assert(collRow(s)._1 === Seq(7L))
+  }
+
+  test("emptied collections read back as null (Cassandra behavior)") {
+    val s = collSession
+    s.execute("INSERT INTO profiles (id, tags) VALUES (1, {'a'})")
+    s.execute("UPDATE profiles SET tags = tags - {'a'} WHERE id = 1")
+    assert(collRow(s)._2 === null)
+  }
+
+  // -- INSERT JSON ----------------------------------------------------------
+
+  test("INSERT JSON round-trips through SELECT JSON") {
+    val s = freshSession
+    s.execute("""INSERT INTO users JSON '{"user_id": 1, "name": "ada", "age": 36}'""")
+    assert(rows(s) === Seq((1L, Some("ada"), Some(36L))))
+    val js = s.execute("SELECT JSON user_id, name, age FROM users WHERE user_id = 1")
+      .head().getString(0)
+    assert(js === """{"user_id":1,"name":"ada","age":36}""")
+  }
+
+  test("INSERT JSON DEFAULT UNSET leaves omitted cells untouched") {
+    val s = freshSession
+    s.execute("INSERT INTO users (user_id, name, age) VALUES (1, 'ada', 36)")
+    s.execute("""INSERT INTO users JSON '{"user_id": 1, "name": "grace"}' DEFAULT UNSET""")
+    assert(rows(s) === Seq((1L, Some("grace"), Some(36L))))
+  }
+
+  test("malformed INSERT JSON is rejected") {
+    val s = freshSession
+    val e = intercept[CqlInvalidQueryException] {
+      s.execute("INSERT INTO users JSON 'not json'")
+    }
+    assert(e.getMessage.contains("JSON"))
+  }
+
+  // -- static columns -------------------------------------------------------
+
+  private def staticSession = CqlSession.emptyTable(spark, "bills",
+    StructType(Seq(
+      StructField("account", LongType),
+      StructField("item", LongType),
+      StructField("amount", LongType),
+      StructField("balance", LongType))), // static: one per account
+    partitionKeys = Seq("account"), clusteringKeys = Seq("item"),
+    staticKeys = Seq("balance"))
+
+  test("a static cell write is visible on every row of the partition") {
+    val s = staticSession
+    s.execute("INSERT INTO bills (account, item, amount) VALUES (1, 1, 10)")
+    s.execute("INSERT INTO bills (account, item, amount) VALUES (1, 2, 20)")
+    // static write addresses the partition only — no clustering key needed
+    s.execute("UPDATE bills SET balance = 30 WHERE account = 1")
+    val out = s.execute("SELECT item, amount, balance FROM bills WHERE account = 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set((1L, 10L, 30L), (2L, 20L, 30L)))
+  }
+
+  test("static cells are latest-wins across rows and survive row tombstones") {
+    val s = staticSession
+    s.execute("INSERT INTO bills (account, item, amount, balance) VALUES (1, 1, 10, 5) USING TIMESTAMP 10")
+    s.execute("INSERT INTO bills (account, item, amount, balance) VALUES (1, 2, 20, 8) USING TIMESTAMP 20")
+    def balances = s.execute("SELECT item, balance FROM bills WHERE account = 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(balances === Set((1L, 8L), (2L, 8L)), "latest static write wins partition-wide")
+    s.execute("DELETE FROM bills USING TIMESTAMP 30 WHERE account = 1 AND item = 2")
+    assert(balances === Set((1L, 8L)),
+      "row tombstone removes the row but not the partition's static cell")
+  }
+
+  // -- write-path scale -----------------------------------------------------
+
+  test("500 mutations keep the log plan bounded (buffered rows, one union)") {
+    val s = freshSession
+    val t0 = System.nanoTime()
+    (1 to 500).foreach { i =>
+      s.execute(s"INSERT INTO users (user_id, name, age) VALUES ($i, 'u$i', $i)")
+    }
+    val applied = (System.nanoTime() - t0) / 1e9
+    assert(applied < 30.0, s"500 buffered writes took ${applied}s")
+    val n = s.execute("SELECT count(*) AS n FROM users ALLOW FILTERING").head().getLong(0)
+    assert(n === 500L)
+  }
 }

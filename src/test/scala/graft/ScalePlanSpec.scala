@@ -91,8 +91,9 @@ class ScalePlanSpec extends SparkSpec {
   }
 
   test("v6 IVF reuses one broadcast of the codebook for both consumers") {
-    val plan = graft.operators.VectorQueries.v6_knn_ivf(spark, sf)
-      .queryExecution.executedPlan.toString
+    val df = graft.operators.VectorQueries.v6_knn_ivf(spark, sf)
+    df.collect() // AQE inserts exchange reuse at runtime — read the FINAL plan
+    val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("ReusedExchange") ||
       plan.contains("tableCacheQueryStage"), // AQE may stage-cache instead
       s"codebook broadcast must be shipped once (ReusedExchange):\n$plan")
