@@ -99,6 +99,18 @@ object RelationalQueries {
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
 
+  /** P7 (P6's second half): ANALYZED text match (SASI/SAI `index_analyzer`
+    * [U index/sai/analyzer/]) — the term matches against the ANALYZED token
+    * stream (here: lowercase + whitespace, [[graft.functions.TextFunctions
+    * .tokens]]), not the raw bytes, so 'Scan'/'SCAN'/'scan' all hit. Distinct
+    * from P5's raw collection membership. */
+  def p7_analyzed_match(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(array_contains(graft.functions.TextFunctions.tokens(col("text")),
+        "scan") && col("doc_id") < 150)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
   // ---- §2.3 joins -----------------------------------------------------------
 
   /** J1: broadcast-hash star join (fact ⋈ 3 broadcast dims), revenue/region. */
@@ -519,6 +531,7 @@ object RelationalQueries {
     "p4_residual_filter" -> (p4_residual_filter _),
     "p5_contains" -> (p5_contains _),
     "p6_like" -> (p6_like _),
+    "p7_analyzed_match" -> (p7_analyzed_match _),
     "j1_broadcast_star" -> (j1_broadcast_star _),
     "j2_orders_lineitem" -> (j2_orders_lineitem _),
     "j3_left_outer" -> (j3_left_outer _),
@@ -605,6 +618,10 @@ object RelationalQueries {
     "p6_like" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE source LIKE 'src1%' AND text LIKE '%merge join%' ORDER BY doc_id""".stripMargin,
+    "p7_analyzed_match" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'scan') AND doc_id < 150
+        |ORDER BY doc_id""".stripMargin,
     "j1_broadcast_star" ->
       """SELECT r_name,
         |  cast(cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,6))) AS decimal(38,6)) AS double) AS revenue,

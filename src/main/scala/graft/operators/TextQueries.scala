@@ -142,31 +142,32 @@ object TextQueries {
     * is the shingle itself, so at 100 TB this is one shuffle on shingle
     * hash with the train side pre-deduplicated. */
   def x8_decontaminate(s: SparkSession, d: String): DataFrame = {
-    // Tokenize ONCE, shuffle ONCE: both splits explode into (g, split) rows;
-    // a single hash-aggregate keyed by the shingle marks train membership and
-    // collects the eval doc ids. A distinct + left_semi formulation costs two
-    // shingle-keyed shuffles and a second pass over the corpus. The join key
-    // is a 64-bit fingerprint of the 8-gram (xxhash64 of the 8 token hashes),
-    // not the ~60-byte string — the only shape that survives a 100 TB corpus
-    // shuffle. False-positive risk is n²/2^65 ≈ 10⁻⁷ at sf0.1 (oracle-safe).
+    // The join key is a 64-bit fingerprint of the 8-gram (xxhash64 of the 8
+    // token hashes), not the ~60-byte string — the only shape that survives
+    // a 100 TB corpus shuffle. False-positive risk is n²/2^65 ≈ 10⁻⁷ at
+    // sf0.1 (oracle-safe). Train and eval branches filter on the hash split
+    // BEFORE tokenizing — the splits are disjoint, so the corpus is still
+    // tokenized exactly once in total. distinct + left_semi keeps every
+    // aggregation's per-key state O(1): the previous one-shuffle variant
+    // collected eval doc-id lists per shingle, which a corpus-ubiquitous
+    // boilerplate 8-gram turns into an unbounded hot-key buffer (SCALE.md).
     val th = col("th")
-    val allSh = Tables.documents(s, d)
+    def shingled(split: Column => Column) = Tables.documents(s, d)
       .withColumn("h",
         conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
           .cast("long") % 100)
-      .select(col("doc_id"), col("h"), transform(tokens(col("text")), t => xxhash64(t)).as("th"))
+      .filter(split(col("h")))
+      .select(col("doc_id"), transform(tokens(col("text")), t => xxhash64(t)).as("th"))
       .filter(size(th) >= 8) // sequence() needs stop ≥ start
-      .select(col("doc_id"), col("h"),
+      .select(col("doc_id"),
         explode(array_distinct(transform(sequence(lit(1), size(th) - 7), i =>
           xxhash64(element_at(th, i), element_at(th, i + 1),
             element_at(th, i + 2), element_at(th, i + 3),
             element_at(th, i + 4), element_at(th, i + 5),
             element_at(th, i + 6), element_at(th, i + 7))))).as("g"))
-    allSh.groupBy(col("g"))
-      .agg(max(when(col("h") >= 10, 1).otherwise(0)).as("in_train"),
-        collect_list(when(col("h") < 10, col("doc_id"))).as("eval_ids"))
-      .filter(col("in_train") === 1)
-      .select(explode(col("eval_ids")).as("doc_id"))
+    val train = shingled(_ >= 10).select("g").distinct()
+    shingled(_ < 10)
+      .join(train, Seq("g"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_contaminated"))
       .orderBy("doc_id")

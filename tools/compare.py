@@ -16,7 +16,7 @@ def norm(rows):
         rr = []
         for v in r:
             if isinstance(v, float):
-                rr.append(round(v, 9))
+                rr.append("NaN" if v != v else round(v, 9))
             else:
                 rr.append(v)
         out.append(tuple(rr))
