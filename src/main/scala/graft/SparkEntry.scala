@@ -15,7 +15,7 @@ object SparkEntry {
     RelationalQueries.queries ++ CassandraModel.queries ++
       VectorQueries.queries ++ DedupQueries.queries ++ TextQueries.queries ++
       StreamingQueries.queries ++ MultimodalQueries.queries ++
-      UdafQueries.queries ++ SkewJoin.queries
+      UdafQueries.queries ++ SkewJoin.queries ++ GraphAnn.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -23,5 +23,5 @@ object SparkEntry {
     RelationalQueries.oracle ++ CassandraModel.oracle ++
       VectorQueries.oracle ++ DedupQueries.oracle ++ TextQueries.oracle ++
       StreamingQueries.oracle ++ MultimodalQueries.oracle ++
-      UdafQueries.oracle ++ SkewJoin.oracle
+      UdafQueries.oracle ++ SkewJoin.oracle ++ GraphAnn.oracle
 }

@@ -164,6 +164,22 @@ class CqlEngineSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
   }
 
+  test("ANN OF composes with WHERE: predicate pre-filters the index scan") {
+    import graft.functions.VectorFunctions.cosineFast
+    val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
+      .head().getSeq[Float](1)
+    val got = cqlEngine.execute(
+      s"SELECT vec_id FROM embeddings WHERE vec_id < 100 ORDER BY embedding " +
+        s"ANN OF [${qv.mkString(", ")}] LIMIT 3 ALLOW FILTERING")
+      .collect().map(_.getLong(0)).toSeq
+    val expected = Tables.embeddings(spark, sf).filter(col("vec_id") < 100)
+      .select(col("vec_id"),
+        cosineFast(col("embedding"),
+          array(qv.map(lit(_)): _*).cast("array<float>")).as("sim"))
+      .orderBy(col("sim").desc).limit(3).collect().map(_.getLong(0)).toSeq
+    assert(got === expected)
+  }
+
   test("ANN OF without LIMIT is rejected, as upstream requires") {
     val e = intercept[CqlInvalidQueryException] {
       cqlEngine.execute(
