@@ -42,7 +42,7 @@ case class CqlSelect(
 object CqlParser {
 
   private val tokenRe =
-    """\s*(?:('(?:[^']|'')*')|(-?\d+\.\d+(?:[eE][-+]?\d+)?)|(-?\d+)|([A-Za-z_][A-Za-z0-9_]*)|(<=|>=|!=|[=<>(),*\[\]{}:;+-]))""".r
+    """\s*(?:('(?:[^']|'')*')|(-?\d+\.\d+(?:[eE][-+]?\d+)?)|(-?\d+)|([A-Za-z_][A-Za-z0-9_]*)|(<=|>=|!=|[=<>(),*\[\]{}:;+.-]))""".r
 
   private def tokenize(s: String): Vector[String] = {
     var rest = s.trim
@@ -73,6 +73,13 @@ object CqlParser {
     def done: Boolean = i >= toks.length
   }
 
+  /** `name` or `keyspace.name` — the keyspace qualifier is accepted and
+    * dropped (the façade's catalog is flat). */
+  private def tableName(c: Cursor): String = {
+    val n = c.next()
+    if (c.accept(".")) c.next() else n
+  }
+
   def parse(cql: String): CqlSelect = {
     val c = new Cursor(tokenize(cql.stripSuffix(";")))
     c.expect("select")
@@ -80,7 +87,7 @@ object CqlParser {
     val distinct = c.accept("distinct")
     val selectors = parseSelectors(c)
     c.expect("from")
-    val table = c.next()
+    val table = tableName(c)
     var preds = Seq.empty[CqlPredicate]
     if (c.accept("where")) {
       preds = preds :+ parsePredicate(c)
@@ -160,7 +167,7 @@ object CqlParser {
     c.next().toLowerCase match {
       case "insert" =>
         c.expect("into")
-        val table = c.next()
+        val table = tableName(c)
         if (c.accept("json")) { // INSERT INTO t JSON '…' [U cql3/Json.java]
           val json = parseLiteral(c) match {
             case s: String => s
@@ -186,7 +193,7 @@ object CqlParser {
           CqlInsert(table, cols, vals, ts, ttl)
         }
       case "update" =>
-        val table = c.next()
+        val table = tableName(c)
         val (ts, ttl) = parseUsing(c)
         c.expect("set")
         var assigns = Seq(parseAssignment(c))
@@ -195,7 +202,7 @@ object CqlParser {
         CqlUpdate(table, assigns, parseKeyPredicates(c), ts, ttl)
       case "delete" =>
         c.expect("from")
-        val table = c.next()
+        val table = tableName(c)
         val (ts, _) = parseUsing(c)
         c.expect("where")
         CqlDelete(table, parseKeyPredicates(c), ts)
@@ -256,6 +263,92 @@ object CqlParser {
       }
       col -> (if (add) CqlCollAdd(v) else CqlCollRemove(v))
     } else col -> CqlAssignValue(parseValue(c))
+  }
+
+  /** Parse `CREATE TABLE` / `DROP TABLE` / `TRUNCATE` (upstream
+    * `cql3/statements/schema/` [U]). `WITH …` table options are accepted and
+    * ignored (compaction/caching tuning has no analogue here). */
+  def parseDdl(cql: String): CqlDdl = {
+    val c = new Cursor(tokenize(cql.stripSuffix(";")))
+    c.next().toLowerCase match {
+      case "create" =>
+        c.expect("table")
+        val ifNotExists =
+          if (c.accept("if")) { c.expect("not"); c.expect("exists"); true }
+          else false
+        val table = tableName(c)
+        c.expect("(")
+        var cols = Vector.empty[CqlColumnDef]
+        var pk = Seq.empty[String]
+        var ck = Seq.empty[String]
+        var first = true
+        while (!c.accept(")")) {
+          if (!first) c.expect(",")
+          first = false
+          if (c.peekIs("primary")) { // PRIMARY KEY ((pk…), ck…) | (pk, ck…)
+            c.next(); c.expect("key"); c.expect("(")
+            if (c.accept("(")) { pk = parseIdentList(c); c.expect(")") }
+            else pk = Seq(c.next())
+            while (c.accept(",")) ck = ck :+ c.next()
+            c.expect(")")
+          } else {
+            val name = c.next()
+            val dt = parseType(c)
+            val static = c.accept("static")
+            if (c.accept("primary")) { c.expect("key"); pk = Seq(name) }
+            cols = cols :+ CqlColumnDef(name, dt, static)
+          }
+        }
+        if (c.accept("with")) while (!c.done) c.next() // options ignored
+        if (pk.isEmpty) throw new CqlInvalidQueryException(
+          s"CREATE TABLE $table: no PRIMARY KEY")
+        CqlCreateTable(table, cols, pk, ck, ifNotExists)
+      case "drop" =>
+        c.expect("table")
+        val ifExists = if (c.accept("if")) { c.expect("exists"); true } else false
+        CqlDropTable(tableName(c), ifExists)
+      case "truncate" =>
+        c.accept("table")
+        CqlTruncate(tableName(c))
+      case other =>
+        throw new CqlInvalidQueryException(s"not a DDL statement: $other")
+    }
+  }
+
+  /** CQL type → Spark type. `counter` is a bigint (the increment-log model
+    * sums it); `decimal`/`varint` map to bounded decimals; `uuid`/`inet`
+    * are strings; `vector<float, n>` is `array<float>`; `frozen<T>` = T. */
+  private def parseType(c: Cursor): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    c.next().toLowerCase match {
+      case "int" => IntegerType
+      case "bigint" | "counter" | "time" => LongType
+      case "smallint" => ShortType
+      case "tinyint" => ByteType
+      case "text" | "varchar" | "ascii" | "uuid" | "timeuuid" | "inet" => StringType
+      case "double" => DoubleType
+      case "float" => FloatType
+      case "boolean" => BooleanType
+      case "timestamp" => TimestampType
+      case "date" => DateType
+      case "decimal" => DecimalType(38, 18)
+      case "varint" => DecimalType(38, 0)
+      case "blob" => BinaryType
+      case "frozen" =>
+        c.expect("<"); val t = parseType(c); c.expect(">"); t
+      case "list" =>
+        c.expect("<"); val t = parseType(c); c.expect(">"); ArrayType(t)
+      case "set" =>
+        c.expect("<"); val t = parseType(c); c.expect(">"); ArrayType(t)
+      case "map" =>
+        c.expect("<"); val k = parseType(c); c.expect(",")
+        val v = parseType(c); c.expect(">"); MapType(k, v)
+      case "vector" =>
+        c.expect("<"); val t = parseType(c); c.expect(",")
+        c.next() // dimension recorded by the schema owner, not enforced here
+        c.expect(">"); ArrayType(t)
+      case other => throw new CqlInvalidQueryException(s"unknown type $other")
+    }
   }
 
   private def parseKeyPredicates(c: Cursor): Seq[(String, Any)] = {

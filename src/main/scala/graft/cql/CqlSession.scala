@@ -42,6 +42,16 @@ case class CqlDelete(table: String, keyPredicates: Seq[(String, Any)],
 case class CqlBatch(statements: Seq[CqlDml], usingTimestamp: Option[Long],
   logged: Boolean)
 
+/** CQL DDL AST (upstream `cql3/statements/schema/` [U]). */
+sealed trait CqlDdl
+case class CqlColumnDef(name: String,
+  dataType: org.apache.spark.sql.types.DataType, static: Boolean)
+case class CqlCreateTable(table: String, columns: Seq[CqlColumnDef],
+  partitionKeys: Seq[String], clusteringKeys: Seq[String],
+  ifNotExists: Boolean) extends CqlDdl
+case class CqlDropTable(table: String, ifExists: Boolean) extends CqlDdl
+case class CqlTruncate(table: String) extends CqlDdl
+
 /** SURVEY §2.12 — the CQL write path on the upsert-log model: INSERT/UPDATE/
   * DELETE (all upserts) append typed cell-writes to a per-table log; reads
   * reconcile with [[CassandraModel.reconcileView]] (per-cell latest-wins,
@@ -77,7 +87,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
 
   private def opCol(c: String) = s"_op_$c"
 
-  private val state: Map[String, TableState] = defs.map { case (name, t) =>
+  private def mkState(t: CqlTable): TableState = {
     val schema = t.df.schema
     val collCols = schema.fields.collect {
       case f if f.dataType.isInstanceOf[ArrayType] ||
@@ -94,9 +104,14 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         collCols.map(c => when(col(c).isNotNull, lit("set")).as(opCol(c))) ++
         Seq(lit(0L).as("_writetime"), lit(null).cast("long").as("_ttl"),
           lit(false).as("_deleted")): _*)
-    name.toLowerCase -> TableState(schema, t.partitionKeys, t.clusteringKeys,
+    TableState(schema, t.partitionKeys, t.clusteringKeys,
       t.staticKeys, logSchema, base, Vector.empty)
   }
+
+  private val state: scala.collection.mutable.Map[String, TableState] =
+    scala.collection.mutable.Map(defs.toSeq.map { case (name, t) =>
+      name.toLowerCase -> mkState(t)
+    }: _*)
 
   private var clock: Long = 1L
 
@@ -145,8 +160,10 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         val catalog = state.map { case (name, t) =>
           name -> CqlTable(view(name), t.partitionKeys, t.clusteringKeys,
             t.staticKeys)
-        }
+        }.toMap
         new CqlEngine(spark, catalog).execute(trimmed)
+      case "create" | "drop" | "truncate" =>
+        applyDdl(CqlParser.parseDdl(trimmed)); spark.emptyDataFrame
       case "insert" | "update" | "delete" =>
         applyDml(CqlParser.parseDml(trimmed), None); spark.emptyDataFrame
       case "begin" =>
@@ -164,6 +181,42 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       case other =>
         throw new CqlInvalidQueryException(s"unsupported statement: $other")
     }
+  }
+
+  /** CREATE TABLE / DROP TABLE / TRUNCATE — the schema surface a reference
+    * user's DDL scripts need (static columns, collections, vector<>,
+    * compound keys all land in the same upsert-log model). */
+  private def applyDdl(ddl: CqlDdl): Unit = ddl match {
+    case CqlCreateTable(table, cols, pk, ck, ifNotExists) =>
+      if (state.contains(table.toLowerCase)) {
+        if (!ifNotExists)
+          throw new CqlInvalidQueryException(s"table $table already exists")
+      } else {
+        val declared = cols.map(_.name.toLowerCase)
+        (pk ++ ck).foreach { k =>
+          if (!declared.contains(k.toLowerCase))
+            throw new CqlInvalidQueryException(s"unknown PRIMARY KEY column $k")
+        }
+        val schema = StructType(cols.map(cd => StructField(cd.name, cd.dataType)))
+        val statics = cols.filter(_.static).map(_.name)
+        statics.foreach { s =>
+          if ((pk ++ ck).exists(_.equalsIgnoreCase(s)))
+            throw new CqlInvalidQueryException(
+              s"PRIMARY KEY column $s cannot be static")
+        }
+        state(table.toLowerCase) = mkState(CqlTable(
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], schema), pk, ck, statics))
+      }
+    case CqlDropTable(table, ifExists) =>
+      if (state.remove(table.toLowerCase).isEmpty && !ifExists)
+        throw new CqlInvalidQueryException(s"unknown table $table")
+    case CqlTruncate(table) =>
+      val t = tableState(table)
+      state(table.toLowerCase) = t.copy(
+        base = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], t.logSchema),
+        pending = Vector.empty)
   }
 
   private def tableState(name: String): TableState =
@@ -305,6 +358,9 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
 }
 
 object CqlSession {
+  /** A session with no tables — create them with CQL `CREATE TABLE`. */
+  def apply(spark: SparkSession): CqlSession = new CqlSession(spark, Map.empty)
+
   /** A session over an empty table — CREATE TABLE analogue for tests/demos. */
   def emptyTable(spark: SparkSession, name: String, schema: StructType,
       partitionKeys: Seq[String], clusteringKeys: Seq[String] = Nil,

@@ -265,6 +265,67 @@ class CqlSessionSpec extends SparkSpec {
       "row tombstone removes the row but not the partition's static cell")
   }
 
+  // -- DDL ------------------------------------------------------------------
+
+  test("CREATE TABLE through CQL text: full data-model round trip") {
+    val s = CqlSession(spark)
+    s.execute("""CREATE TABLE ks1.readings (
+      sensor bigint,
+      at bigint,
+      unit text STATIC,
+      value double,
+      tags set<text>,
+      meta map<text, text>,
+      PRIMARY KEY ((sensor), at)
+    ) WITH CLUSTERING ORDER BY (at ASC)""")
+    s.execute("INSERT INTO readings (sensor, at, value, tags) VALUES (1, 10, 2.5, {'a'})")
+    s.execute("INSERT INTO readings (sensor, at, value) VALUES (1, 20, 3.5)")
+    s.execute("UPDATE readings SET unit = 'C' WHERE sensor = 1")
+    val out = s.execute(
+      "SELECT at, value, unit FROM readings WHERE sensor = 1 ORDER BY at")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(out === Seq((10L, 2.5, "C"), (20L, 3.5, "C")),
+      "clustering rows with the static unit visible on both")
+  }
+
+  test("CREATE TABLE guards: duplicate, IF NOT EXISTS, unknown key column") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE t1 (id bigint PRIMARY KEY, v text)")
+    intercept[CqlInvalidQueryException] {
+      s.execute("CREATE TABLE t1 (id bigint PRIMARY KEY, v text)")
+    }
+    s.execute("CREATE TABLE IF NOT EXISTS t1 (id bigint PRIMARY KEY, v text)")
+    intercept[CqlInvalidQueryException] {
+      s.execute("CREATE TABLE t2 (id bigint, v text, PRIMARY KEY (nope))")
+    }
+  }
+
+  test("TRUNCATE clears data; DROP TABLE removes the table") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE t3 (id bigint PRIMARY KEY, v text)")
+    s.execute("INSERT INTO t3 (id, v) VALUES (1, 'x')")
+    s.execute("TRUNCATE t3")
+    assert(s.execute("SELECT count(*) AS n FROM t3 ALLOW FILTERING")
+      .head().getLong(0) === 0L)
+    s.execute("DROP TABLE t3")
+    intercept[CqlInvalidQueryException] {
+      s.execute("SELECT * FROM t3")
+    }
+    s.execute("DROP TABLE IF EXISTS t3") // no-op, no error
+  }
+
+  test("vector<float, n> columns create as array<float> and ANN-query") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE vecs (id bigint PRIMARY KEY, emb vector<float, 4>)")
+    s.execute("INSERT INTO vecs (id, emb) VALUES (1, [1.0, 0.0, 0.0, 0.0])")
+    s.execute("INSERT INTO vecs (id, emb) VALUES (2, [0.0, 1.0, 0.0, 0.0])")
+    s.execute("INSERT INTO vecs (id, emb) VALUES (3, [0.9, 0.1, 0.0, 0.0])")
+    val got = s.execute(
+      "SELECT id FROM vecs ORDER BY emb ANN OF [1.0, 0.0, 0.0, 0.0] LIMIT 2")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L, 3L))
+  }
+
   // -- write-path scale -----------------------------------------------------
 
   test("500 mutations keep the log plan bounded (buffered rows, one union)") {
