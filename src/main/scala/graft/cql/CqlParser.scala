@@ -189,8 +189,14 @@ object CqlParser {
           var vals = Seq(parseValue(c))
           while (c.accept(",")) vals = vals :+ parseValue(c)
           c.expect(")")
+          val cond = parseCondition(c)
+          cond.foreach {
+            case IfNotExists => ()
+            case _ => throw new CqlInvalidQueryException(
+              "INSERT supports only IF NOT EXISTS")
+          }
           val (ts, ttl) = parseUsing(c)
-          CqlInsert(table, cols, vals, ts, ttl)
+          CqlInsert(table, cols, vals, ts, ttl, cond)
         }
       case "update" =>
         val table = tableName(c)
@@ -199,13 +205,15 @@ object CqlParser {
         var assigns = Seq(parseAssignment(c))
         while (c.accept(",")) assigns = assigns :+ parseAssignment(c)
         c.expect("where")
-        CqlUpdate(table, assigns, parseKeyPredicates(c), ts, ttl)
+        val preds = parseKeyPredicates(c)
+        CqlUpdate(table, assigns, preds, ts, ttl, parseCondition(c))
       case "delete" =>
         c.expect("from")
         val table = tableName(c)
         val (ts, _) = parseUsing(c)
         c.expect("where")
-        CqlDelete(table, parseKeyPredicates(c), ts)
+        val preds = parseKeyPredicates(c)
+        CqlDelete(table, preds, ts, parseCondition(c))
       case other =>
         throw new CqlInvalidQueryException(s"not a DML statement: $other")
     }
@@ -350,6 +358,27 @@ object CqlParser {
       case other => throw new CqlInvalidQueryException(s"unknown type $other")
     }
   }
+
+  /** LWT condition suffix: `IF NOT EXISTS` | `IF EXISTS` | `IF c op v
+    * [AND …]` (upstream `cql3/conditions/ColumnCondition.java` [U]). */
+  private def parseCondition(c: Cursor): Option[CqlCondition] =
+    if (!c.accept("if")) None
+    else if (c.accept("not")) { c.expect("exists"); Some(IfNotExists) }
+    else if (c.accept("exists")) Some(IfExists)
+    else {
+      def one(): (String, String, Any) = {
+        val col = c.next()
+        val op = c.next() match {
+          case o @ ("=" | "!=" | "<" | "<=" | ">" | ">=") => o
+          case o => throw new CqlInvalidQueryException(
+            s"unsupported condition operator $o")
+        }
+        (col, op, parseLiteral(c))
+      }
+      var ps = Seq(one())
+      while (c.accept("and")) ps = ps :+ one()
+      Some(IfColumns(ps))
+    }
 
   private def parseKeyPredicates(c: Cursor): Seq[(String, Any)] = {
     def one(): (String, Any) = {

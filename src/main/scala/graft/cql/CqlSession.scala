@@ -22,20 +22,32 @@ case class CqlCollRemove(v: Any) extends CqlAssign
 /** `m[k] = v` single-entry put. */
 case class CqlMapPut(key: Any, value: Any) extends CqlAssign
 
+/** LWT condition (`IF NOT EXISTS` / `IF EXISTS` / `IF col op v [AND …]`,
+  * upstream `cql3/conditions/` [U]). */
+sealed trait CqlCondition
+case object IfNotExists extends CqlCondition
+case object IfExists extends CqlCondition
+case class IfColumns(preds: Seq[(String, String, Any)]) extends CqlCondition
+
 /** CQL DML AST. */
 sealed trait CqlDml {
   def table: String
   def usingTimestamp: Option[Long]
+  def condition: Option[CqlCondition]
 }
 case class CqlInsert(table: String, columns: Seq[String], values: Seq[Any],
-  usingTimestamp: Option[Long], usingTtl: Option[Long]) extends CqlDml
+  usingTimestamp: Option[Long], usingTtl: Option[Long],
+  condition: Option[CqlCondition] = None) extends CqlDml
 case class CqlInsertJson(table: String, json: String, defaultUnset: Boolean,
-  usingTimestamp: Option[Long], usingTtl: Option[Long]) extends CqlDml
+  usingTimestamp: Option[Long], usingTtl: Option[Long]) extends CqlDml {
+  def condition: Option[CqlCondition] = None
+}
 case class CqlUpdate(table: String, assignments: Seq[(String, CqlAssign)],
   keyPredicates: Seq[(String, Any)], usingTimestamp: Option[Long],
-  usingTtl: Option[Long]) extends CqlDml
+  usingTtl: Option[Long], condition: Option[CqlCondition] = None) extends CqlDml
 case class CqlDelete(table: String, keyPredicates: Seq[(String, Any)],
-  usingTimestamp: Option[Long]) extends CqlDml
+  usingTimestamp: Option[Long],
+  condition: Option[CqlCondition] = None) extends CqlDml
 
 /** `BEGIN [UNLOGGED] BATCH … APPLY BATCH`
   * (upstream `cql3/statements/BatchStatement.java` [U]). */
@@ -165,7 +177,10 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       case "create" | "drop" | "truncate" =>
         applyDdl(CqlParser.parseDdl(trimmed)); spark.emptyDataFrame
       case "insert" | "update" | "delete" =>
-        applyDml(CqlParser.parseDml(trimmed), None); spark.emptyDataFrame
+        val dml = CqlParser.parseDml(trimmed)
+        val applied = applyDml(dml, None)
+        if (dml.condition.isDefined) appliedResult(applied)
+        else spark.emptyDataFrame
       case "begin" =>
         val b = CqlParser.parseBatch(trimmed)
         // one coordinator timestamp shared by every statement in the batch
@@ -176,8 +191,13 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           throw new CqlInvalidQueryException(
             "Timestamp must be set either on BATCH or individual statements")
         val shared = nextTs(b.usingTimestamp)
-        b.statements.foreach(applyDml(_, Some(shared)))
-        spark.emptyDataFrame
+        // CAS batch: all conditions evaluate against the PRE-batch state
+        // (one Paxos round upstream); the batch applies all-or-nothing
+        val allOk = b.statements.forall(conditionHolds)
+        if (allOk)
+          b.statements.foreach(applyDml(_, Some(shared), skipCondition = true))
+        if (b.statements.exists(_.condition.isDefined)) appliedResult(allOk)
+        else spark.emptyDataFrame
       case other =>
         throw new CqlInvalidQueryException(s"unsupported statement: $other")
     }
@@ -276,19 +296,19 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     }
   }
 
-  private def applyDml(dml: CqlDml, defaultTs: Option[Long]): Unit = {
-    val t = tableState(dml.table)
+  /** Per data column: optional (value, op) this statement writes. */
+  private def cellsFor(dml: CqlDml,
+      t: TableState): Seq[(String, Option[(Any, String)])] = {
     val keys = keyCols(t)
-    // per data column: optional (value, op)
-    val cells: Seq[(String, Option[(Any, String)])] = dml match {
-      case CqlInsert(_, cols, vals, _, _) =>
+    dml match {
+      case CqlInsert(_, cols, vals, _, _, _) =>
         if (cols.length != vals.length)
           throw new CqlInvalidQueryException("column/value count mismatch")
         val m = cols.map(_.toLowerCase).zip(vals).toMap
         dataCols(t).map(c => c ->
           m.get(c.toLowerCase).map(v => cellFor(t, c, CqlAssignValue(v))))
       case j: CqlInsertJson => jsonCells(t, j)
-      case CqlUpdate(_, assignments, preds, _, _) =>
+      case CqlUpdate(_, assignments, preds, _, _, _) =>
         val a = assignments.map { case (c, v) => c.toLowerCase -> v }.toMap
         val k = preds.map { case (c, v) => c.toLowerCase -> v }.toMap
         if (a.keySet.exists(c => keys.exists(_.equalsIgnoreCase(c))))
@@ -297,11 +317,93 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           a.get(c.toLowerCase).map(cellFor(t, c, _))
             .orElse(k.get(c.toLowerCase)
               .map(v => cellFor(t, c, CqlAssignValue(v)))))
-      case CqlDelete(_, preds, _) =>
+      case CqlDelete(_, preds, _, _) =>
         val k = preds.map { case (c, v) => c.toLowerCase -> v }.toMap
         dataCols(t).map(c => c -> k.get(c.toLowerCase)
           .map(v => cellFor(t, c, CqlAssignValue(v))))
     }
+  }
+
+  /** LWT condition check — the Paxos read phase collapsed to the single-
+    * writer case: a point read of the addressed row from the reconciled
+    * view (upstream `StorageProxy.cas` [U]). */
+  private def conditionHolds(dml: CqlDml): Boolean = dml.condition match {
+    case None => true
+    case Some(cond) =>
+      val t = tableState(dml.table)
+      val cells = cellsFor(dml, t).toMap
+      var v = view(dml.table)
+      keyCols(t).foreach { k =>
+        cells.get(k).flatten.foreach { case (kv, _) =>
+          v = v.filter(col(k) === lit(kv))
+        }
+      }
+      val rows = v.collect() // the addressed row: <= 1 row by full-PK rule
+      cond match {
+        case IfNotExists => rows.isEmpty
+        case IfExists => rows.nonEmpty
+        case IfColumns(preds) => rows.headOption.exists { r =>
+          preds.forall { case (c0, op, rhs) =>
+            val name = t.schema.fieldNames
+              .find(_.equalsIgnoreCase(c0)).getOrElse(
+                throw new CqlInvalidQueryException(s"undefined column $c0"))
+            val dt = t.schema(t.schema.fieldIndex(name)).dataType
+            condCompare(r.getAs[Any](name), op, coerce(rhs, dt))
+          }
+        }
+      }
+  }
+
+  /** Typed comparison for LWT conditions; null cells fail every operator
+    * except `!=` against a non-null literal (upstream semantics). */
+  private def condCompare(cell: Any, op: String, rhs: Any): Boolean = {
+    def cmp: Option[Int] = (cell, rhs) match {
+      case (x: Int, y: Int) => Some(Integer.compare(x, y))
+      case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+      case (x: Short, y: Short) => Some(java.lang.Short.compare(x, y))
+      case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+      case (x: Float, y: Float) => Some(java.lang.Float.compare(x, y))
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+      case (x: java.math.BigDecimal, y: scala.math.BigDecimal) =>
+        Some(x.compareTo(y.bigDecimal))
+      case (x: java.sql.Timestamp, y: java.sql.Timestamp) => Some(x.compareTo(y))
+      case _ => None
+    }
+    op match {
+      case "=" => if (cell == null || rhs == null) cell == rhs else
+        cmp.map(_ == 0).getOrElse(cell == rhs)
+      case "!=" => if (cell == null || rhs == null) cell != rhs else
+        cmp.map(_ != 0).getOrElse(cell != rhs)
+      case _ =>
+        if (cell == null || rhs == null) false
+        else cmp match {
+          case Some(c) => op match {
+            case "<" => c < 0
+            case "<=" => c <= 0
+            case ">" => c > 0
+            case ">=" => c >= 0
+          }
+          case None => throw new CqlInvalidQueryException(
+            s"cannot order-compare $cell with $rhs")
+        }
+    }
+  }
+
+  private def appliedResult(applied: Boolean): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row(applied)),
+      StructType(Seq(StructField("[applied]", BooleanType, nullable = false))))
+
+  /** Applies the statement unless its LWT condition fails; returns whether
+    * it was applied. `skipCondition` is for CAS batches, whose conditions
+    * are all checked against the pre-batch state by the caller. */
+  private def applyDml(dml: CqlDml, defaultTs: Option[Long],
+      skipCondition: Boolean = false): Boolean = {
+    if (!skipCondition && !conditionHolds(dml)) return false
+    val t = tableState(dml.table)
+    val keys = keyCols(t)
+    val cells = cellsFor(dml, t)
     // writes must address the primary key (ModificationStatement rule);
     // a write touching ONLY static columns addresses just the partition key
     val written = cells.collect { case (c, Some(_)) => c }
@@ -332,6 +434,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       }
     }
     t.pending = t.pending :+ Row.fromSeq(values.toSeq)
+    true
   }
 
   /** `INSERT INTO t JSON '…'`: parse against the table schema with Spark's

@@ -265,6 +265,57 @@ class CqlSessionSpec extends SparkSpec {
       "row tombstone removes the row but not the partition's static cell")
   }
 
+  // -- LWT (conditional writes, single-writer CAS) --------------------------
+
+  test("INSERT IF NOT EXISTS applies once; the losing write reports [applied]=false") {
+    val s = freshSession
+    val r1 = s.execute("INSERT INTO users (user_id, name) VALUES (1, 'first') IF NOT EXISTS")
+    assert(r1.columns.toSeq === Seq("[applied]") && r1.head().getBoolean(0))
+    val r2 = s.execute("INSERT INTO users (user_id, name) VALUES (1, 'second') IF NOT EXISTS")
+    assert(!r2.head().getBoolean(0))
+    assert(rows(s).head._2 === Some("first"), "losing insert must not mutate")
+  }
+
+  test("UPDATE IF col = v is a CAS: applies only when the read value matches") {
+    val s = freshSession
+    s.execute("INSERT INTO users (user_id, name, age) VALUES (1, 'ada', 36)")
+    val miss = s.execute("UPDATE users SET age = 99 WHERE user_id = 1 IF name = 'grace'")
+    assert(!miss.head().getBoolean(0))
+    assert(rows(s).head._3 === Some(36L))
+    val hit = s.execute("UPDATE users SET age = 99 WHERE user_id = 1 IF name = 'ada' AND age >= 30")
+    assert(hit.head().getBoolean(0))
+    assert(rows(s).head._3 === Some(99L))
+  }
+
+  test("DELETE IF EXISTS only fires on a live row") {
+    val s = freshSession
+    val miss = s.execute("DELETE FROM users WHERE user_id = 1 IF EXISTS")
+    assert(!miss.head().getBoolean(0))
+    s.execute("INSERT INTO users (user_id, name) VALUES (1, 'x')")
+    val hit = s.execute("DELETE FROM users WHERE user_id = 1 IF EXISTS")
+    assert(hit.head().getBoolean(0))
+    assert(rows(s).isEmpty)
+  }
+
+  test("CAS batch is all-or-nothing against the pre-batch state") {
+    val s = freshSession
+    s.execute("INSERT INTO users (user_id, name) VALUES (1, 'a')")
+    val r = s.execute("BEGIN BATCH " +
+      "UPDATE users SET age = 10 WHERE user_id = 1 IF name = 'WRONG'; " +
+      "INSERT INTO users (user_id, name) VALUES (2, 'b'); " +
+      "APPLY BATCH")
+    assert(!r.head().getBoolean(0), "failed condition rejects the whole batch")
+    assert(s.execute("SELECT count(*) AS n FROM users ALLOW FILTERING")
+      .head().getLong(0) === 1L, "unconditional statement must not apply either")
+    val ok = s.execute("BEGIN BATCH " +
+      "UPDATE users SET age = 10 WHERE user_id = 1 IF name = 'a'; " +
+      "INSERT INTO users (user_id, name) VALUES (2, 'b'); " +
+      "APPLY BATCH")
+    assert(ok.head().getBoolean(0))
+    assert(s.execute("SELECT count(*) AS n FROM users ALLOW FILTERING")
+      .head().getLong(0) === 2L)
+  }
+
   // -- DDL ------------------------------------------------------------------
 
   test("CREATE TABLE through CQL text: full data-model round trip") {
