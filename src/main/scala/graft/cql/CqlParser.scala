@@ -208,12 +208,15 @@ object CqlParser {
         val preds = parseKeyPredicates(c)
         CqlUpdate(table, assigns, preds, ts, ttl, parseCondition(c))
       case "delete" =>
+        // DELETE [col, …] FROM t — with columns it's a CELL delete (per-cell
+        // tombstones), without it's the row tombstone
+        val cols = if (c.peekIs("from")) Nil else parseIdentList(c)
         c.expect("from")
         val table = tableName(c)
         val (ts, _) = parseUsing(c)
         c.expect("where")
         val preds = parseKeyPredicates(c)
-        CqlDelete(table, preds, ts, parseCondition(c))
+        CqlDelete(table, preds, ts, parseCondition(c), cols)
       case other =>
         throw new CqlInvalidQueryException(s"not a DML statement: $other")
     }

@@ -46,8 +46,9 @@ case class CqlUpdate(table: String, assignments: Seq[(String, CqlAssign)],
   keyPredicates: Seq[(String, Any)], usingTimestamp: Option[Long],
   usingTtl: Option[Long], condition: Option[CqlCondition] = None) extends CqlDml
 case class CqlDelete(table: String, keyPredicates: Seq[(String, Any)],
-  usingTimestamp: Option[Long],
-  condition: Option[CqlCondition] = None) extends CqlDml
+  usingTimestamp: Option[Long], condition: Option[CqlCondition] = None,
+  /** non-empty = cell delete of just these columns, not a row tombstone */
+  columns: Seq[String] = Nil) extends CqlDml
 
 /** `BEGIN [UNLOGGED] BATCH … APPLY BATCH`
   * (upstream `cql3/statements/BatchStatement.java` [U]). */
@@ -105,15 +106,25 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       case f if f.dataType.isInstanceOf[ArrayType] ||
         f.dataType.isInstanceOf[MapType] => f.name
     }.toSeq
+    // scalar non-key columns carry a per-cell tombstone marker (`_del_<c>`)
+    // so `DELETE col FROM …` can kill ONE cell; collections express it as a
+    // `set`-to-null op instead
+    val keyset = (t.partitionKeys ++ t.clusteringKeys).map(_.toLowerCase).toSet
+    val tombCols = schema.fields.collect {
+      case f if !keyset(f.name.toLowerCase) && !collCols.contains(f.name) =>
+        f.name
+    }.toSeq
     val logSchema = StructType(
       schema.fields.toSeq ++
         collCols.map(c => StructField(opCol(c), StringType)) ++
+        tombCols.map(c => StructField(s"_del_$c", BooleanType)) ++
         Seq(StructField("_writetime", LongType, nullable = false),
           StructField("_ttl", LongType),
           StructField("_deleted", BooleanType, nullable = false)))
     val base = t.df.select(
       schema.fieldNames.map(col).toSeq ++
         collCols.map(c => when(col(c).isNotNull, lit("set")).as(opCol(c))) ++
+        tombCols.map(c => lit(null).cast("boolean").as(s"_del_$c")) ++
         Seq(lit(0L).as("_writetime"), lit(null).cast("long").as("_ttl"),
           lit(false).as("_deleted")): _*)
     TableState(schema, t.partitionKeys, t.clusteringKeys,
@@ -317,10 +328,24 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           a.get(c.toLowerCase).map(cellFor(t, c, _))
             .orElse(k.get(c.toLowerCase)
               .map(v => cellFor(t, c, CqlAssignValue(v)))))
-      case CqlDelete(_, preds, _, _) =>
+      case CqlDelete(_, preds, _, _, cols) =>
         val k = preds.map { case (c, v) => c.toLowerCase -> v }.toMap
-        dataCols(t).map(c => c -> k.get(c.toLowerCase)
-          .map(v => cellFor(t, c, CqlAssignValue(v))))
+        cols.foreach { c0 =>
+          if (!dataCols(t).exists(_.equalsIgnoreCase(c0)))
+            throw new CqlInvalidQueryException(s"undefined column $c0")
+          if (keys.exists(_.equalsIgnoreCase(c0)))
+            throw new CqlInvalidQueryException(
+              s"PRIMARY KEY column $c0 cannot be deleted")
+        }
+        dataCols(t).map { c =>
+          if (cols.exists(_.equalsIgnoreCase(c))) {
+            val dt = t.schema(t.schema.fieldIndex(c)).dataType
+            val isColl = dt.isInstanceOf[ArrayType] || dt.isInstanceOf[MapType]
+            // collection cell delete = SET to null; scalar = cell tombstone
+            c -> Some((null: Any, if (isColl) "set" else "tomb"))
+          } else c -> k.get(c.toLowerCase)
+            .map(v => cellFor(t, c, CqlAssignValue(v)))
+        }
     }
   }
 
@@ -420,7 +445,9 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       case i: CqlInsert => (nextTs(i.usingTimestamp.orElse(defaultTs)), i.usingTtl, false)
       case i: CqlInsertJson => (nextTs(i.usingTimestamp.orElse(defaultTs)), i.usingTtl, false)
       case u: CqlUpdate => (nextTs(u.usingTimestamp.orElse(defaultTs)), u.usingTtl, false)
-      case d: CqlDelete => (nextTs(d.usingTimestamp.orElse(defaultTs)), None, true)
+      case d: CqlDelete =>
+        // a column list makes it a CELL delete, not a row tombstone
+        (nextTs(d.usingTimestamp.orElse(defaultTs)), None, d.columns.isEmpty)
     }
     val byName = cells.toMap
     val values = t.logSchema.fields.map { f =>
@@ -430,6 +457,10 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         case "_deleted" => deleted
         case n if n.startsWith("_op_") =>
           byName.get(n.stripPrefix("_op_")).flatten.map(_._2).orNull
+        case n if n.startsWith("_del_") =>
+          if (byName.get(n.stripPrefix("_del_")).flatten.exists(_._2 == "tomb"))
+            java.lang.Boolean.TRUE
+          else null
         case n => byName.get(n).flatten.map(_._1).orNull
       }
     }

@@ -110,16 +110,26 @@ object CassandraModel {
       case _ => lit(true)
     }
     val live = log
-      .withColumn("_del_wt", delWt)
+      .withColumn("_rowtomb_wt", delWt)
       .filter(!col("_deleted") && notExpired &&
-        (col("_del_wt").isNull || col("_writetime") > col("_del_wt")))
+        (col("_rowtomb_wt").isNull || col("_writetime") > col("_rowtomb_wt")))
     def hasOps(c: String) = log.columns.contains(s"_op_$c")
+    def hasTomb(c: String) = log.columns.contains(s"_del_$c")
     def written(c: String): Column =
       if (hasOps(c)) col(s"_op_$c").isNotNull else col(c).isNotNull
     val cellAggs = dataCols.map { c =>
       if (hasOps(c))
         collectionCellAgg(c, log.schema(log.schema.fieldIndex(c)).dataType)
-      else
+      else if (hasTomb(c)) {
+        // cell-level tombstones (`DELETE col FROM …`): the winner among
+        // writes AND cell-deletes; at equal timestamps the delete wins
+        // (upstream rule), hence the tombstone flag ordered before value
+        val tomb = coalesce(col(s"_del_$c"), lit(false))
+        val w = max_by(struct(col(c).as("v"), tomb.as("d")),
+          when(col(c).isNotNull || tomb,
+            struct(col("_writetime"), tomb, col(c))))
+        when(!w.getField("d"), w.getField("v")).as(c)
+      } else
         // (writetime, value) lexicographic max = upstream reconcile tie-break
         max_by(col(c), when(col(c).isNotNull,
           struct(col("_writetime"), col(c)))).as(c)

@@ -265,6 +265,41 @@ class CqlSessionSpec extends SparkSpec {
       "row tombstone removes the row but not the partition's static cell")
   }
 
+  // -- cell deletes ---------------------------------------------------------
+
+  test("DELETE col FROM kills one cell; the row and its other cells survive") {
+    val s = freshSession
+    s.execute("INSERT INTO users (user_id, name, age) VALUES (1, 'ada', 36)")
+    s.execute("DELETE name FROM users WHERE user_id = 1")
+    assert(rows(s) === Seq((1L, None, Some(36L))))
+  }
+
+  test("cell tombstone wins ties and shadows only older writes (zombie rule per cell)") {
+    val s = freshSession
+    s.execute("INSERT INTO users (user_id, name) VALUES (1, 'old') USING TIMESTAMP 10")
+    s.execute("DELETE name FROM users USING TIMESTAMP 10 WHERE user_id = 1")
+    assert(rows(s).head._2 === None, "equal-timestamp delete wins over the write")
+    s.execute("INSERT INTO users (user_id, name) VALUES (1, 'newer') USING TIMESTAMP 11")
+    assert(rows(s).head._2 === Some("newer"), "newer write survives the cell tombstone")
+    s.execute("INSERT INTO users (user_id, name) VALUES (1, 'zombie') USING TIMESTAMP 5")
+    assert(rows(s).head._2 === Some("newer"), "older write stays dead")
+  }
+
+  test("DELETE of a collection cell nulls just that collection") {
+    val s = collSession
+    s.execute("INSERT INTO profiles (id, events, tags) VALUES (1, [1, 2], {'a'})")
+    s.execute("DELETE events FROM profiles WHERE id = 1")
+    val (ev, tags, _) = collRow(s)
+    assert(ev === null && tags === Seq("a"))
+  }
+
+  test("DELETE of a PRIMARY KEY column is rejected") {
+    val s = freshSession
+    intercept[CqlInvalidQueryException] {
+      s.execute("DELETE user_id FROM users WHERE user_id = 1")
+    }
+  }
+
   // -- LWT (conditional writes, single-writer CAS) --------------------------
 
   test("INSERT IF NOT EXISTS applies once; the losing write reports [applied]=false") {
