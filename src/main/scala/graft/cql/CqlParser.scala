@@ -318,6 +318,27 @@ object CqlParser {
         c.expect("table")
         val ifExists = if (c.accept("if")) { c.expect("exists"); true } else false
         CqlDropTable(tableName(c), ifExists)
+      case "alter" =>
+        c.expect("table")
+        val table = tableName(c)
+        if (c.accept("add")) {
+          val paren = c.accept("(")
+          def one(): CqlColumnDef = {
+            val n = c.next(); val dt = parseType(c)
+            CqlColumnDef(n, dt, c.accept("static"))
+          }
+          var cols = Vector(one())
+          while (c.accept(",")) cols = cols :+ one()
+          if (paren) c.expect(")")
+          CqlAlterAdd(table, cols)
+        } else if (c.accept("drop")) {
+          val paren = c.accept("(")
+          var cols = Vector(c.next())
+          while (c.accept(",")) cols = cols :+ c.next()
+          if (paren) c.expect(")")
+          CqlAlterDrop(table, cols)
+        } else throw new CqlInvalidQueryException(
+          s"ALTER TABLE supports ADD and DROP, got ${c.peek}")
       case "truncate" =>
         c.accept("table")
         CqlTruncate(tableName(c))

@@ -64,6 +64,8 @@ case class CqlCreateTable(table: String, columns: Seq[CqlColumnDef],
   ifNotExists: Boolean) extends CqlDdl
 case class CqlDropTable(table: String, ifExists: Boolean) extends CqlDdl
 case class CqlTruncate(table: String) extends CqlDdl
+case class CqlAlterAdd(table: String, columns: Seq[CqlColumnDef]) extends CqlDdl
+case class CqlAlterDrop(table: String, columns: Seq[String]) extends CqlDdl
 
 /** SURVEY §2.12 — the CQL write path on the upsert-log model: INSERT/UPDATE/
   * DELETE (all upserts) append typed cell-writes to a per-table log; reads
@@ -185,7 +187,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
             t.staticKeys)
         }.toMap
         new CqlEngine(spark, catalog).execute(trimmed)
-      case "create" | "drop" | "truncate" =>
+      case "create" | "drop" | "truncate" | "alter" =>
         applyDdl(CqlParser.parseDdl(trimmed)); spark.emptyDataFrame
       case "insert" | "update" | "delete" =>
         val dml = CqlParser.parseDml(trimmed)
@@ -248,6 +250,46 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         base = spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], t.logSchema),
         pending = Vector.empty)
+    case CqlAlterAdd(table, cols) =>
+      val t = tableState(table)
+      cols.foreach { cd =>
+        if (t.schema.fieldNames.exists(_.equalsIgnoreCase(cd.name)))
+          throw new CqlInvalidQueryException(s"column ${cd.name} already exists")
+      }
+      val newSchema = StructType(t.schema.fields.toSeq ++
+        cols.map(cd => StructField(cd.name, cd.dataType)))
+      state(table.toLowerCase) = reshape(t, newSchema,
+        t.staticKeys ++ cols.filter(_.static).map(_.name))
+    case CqlAlterDrop(table, cols) =>
+      val t = tableState(table)
+      cols.foreach { c0 =>
+        if (!t.schema.fieldNames.exists(_.equalsIgnoreCase(c0)))
+          throw new CqlInvalidQueryException(s"undefined column $c0")
+        if (keyCols(t).exists(_.equalsIgnoreCase(c0)))
+          throw new CqlInvalidQueryException(
+            s"PRIMARY KEY column $c0 cannot be dropped")
+      }
+      val newSchema = StructType(t.schema.fields.toSeq
+        .filterNot(f => cols.exists(_.equalsIgnoreCase(f.name))))
+      state(table.toLowerCase) = reshape(t, newSchema,
+        t.staticKeys.filterNot(s => cols.exists(_.equalsIgnoreCase(s))))
+  }
+
+  /** ALTER support: flush the current log and reshape it to the data model
+    * with columns added/dropped (added cells read null until written —
+    * upstream's lazily-null new column; dropped cells are discarded, the
+    * `DroppedColumn` record's effect). */
+  private def reshape(t: TableState, newSchema: StructType,
+      statics: Seq[String]): TableState = {
+    val flushed = log(t)
+    val shell = mkState(CqlTable(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], newSchema),
+      t.partitionKeys, t.clusteringKeys, statics))
+    val base = flushed.select(shell.logSchema.fields.toSeq.map { f =>
+      if (flushed.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    shell.copy(base = base)
   }
 
   private def tableState(name: String): TableState =

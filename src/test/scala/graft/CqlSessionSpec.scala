@@ -400,6 +400,28 @@ class CqlSessionSpec extends SparkSpec {
     s.execute("DROP TABLE IF EXISTS t3") // no-op, no error
   }
 
+  test("ALTER TABLE ADD: new column reads null on old rows, then writes") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE t4 (id bigint PRIMARY KEY, v text)")
+    s.execute("INSERT INTO t4 (id, v) VALUES (1, 'old')")
+    s.execute("ALTER TABLE t4 ADD score double, note text")
+    val r0 = s.execute("SELECT id, v, score, note FROM t4 WHERE id = 1").head()
+    assert(r0.getString(1) === "old" && r0.isNullAt(2) && r0.isNullAt(3))
+    s.execute("UPDATE t4 SET score = 1.5 WHERE id = 1")
+    assert(s.execute("SELECT score FROM t4 WHERE id = 1").head().getDouble(0) === 1.5)
+  }
+
+  test("ALTER TABLE DROP discards the column and its data; keys are protected") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE t5 (id bigint PRIMARY KEY, v text, w text)")
+    s.execute("INSERT INTO t5 (id, v, w) VALUES (1, 'keep', 'gone')")
+    s.execute("ALTER TABLE t5 DROP w")
+    val out = s.execute("SELECT * FROM t5 WHERE id = 1")
+    assert(out.columns.toSeq === Seq("id", "v"))
+    assert(out.head().getString(1) === "keep")
+    intercept[CqlInvalidQueryException] { s.execute("ALTER TABLE t5 DROP id") }
+  }
+
   test("vector<float, n> columns create as array<float> and ANN-query") {
     val s = CqlSession(spark)
     s.execute("CREATE TABLE vecs (id bigint PRIMARY KEY, emb vector<float, 4>)")
