@@ -9,7 +9,9 @@ import org.apache.spark.sql.expressions.Window
   * primary-key declaration (partition + clustering columns — the part of the
   * CQL data model that drives query validation). */
 case class CqlTable(df: DataFrame, partitionKeys: Seq[String],
-  clusteringKeys: Seq[String] = Nil, staticKeys: Seq[String] = Nil)
+  clusteringKeys: Seq[String] = Nil, staticKeys: Seq[String] = Nil,
+  /** counter columns (bigint increment logs, `UPDATE … SET c = c + n`) */
+  counterKeys: Seq[String] = Nil)
 
 /** Raised for queries upstream Cassandra would reject (most importantly the
   * ALLOW FILTERING guardrail) — same user experience as

@@ -266,13 +266,14 @@ object CqlParser {
     if (c.peekIs(col) && (c.peekAt(1) == "+" || c.peekAt(1) == "-")) {
       c.next()
       val add = c.next() == "+"
-      val v = parseValue(c)
-      v match {
-        case _: CqlList | _: CqlSetLit | _: CqlMapLit => ()
+      parseValue(c) match {
+        case v @ (_: CqlList | _: CqlSetLit | _: CqlMapLit) =>
+          col -> (if (add) CqlCollAdd(v) else CqlCollRemove(v))
+        case n: Long => // counter increment / decrement
+          col -> CqlCounterAdd(if (add) n else -n)
         case other => throw new CqlInvalidQueryException(
-          s"collection operation needs a collection literal, got $other")
+          s"expected a collection literal or counter delta, got $other")
       }
-      col -> (if (add) CqlCollAdd(v) else CqlCollRemove(v))
     } else col -> CqlAssignValue(parseValue(c))
   }
 
@@ -304,10 +305,11 @@ object CqlParser {
             c.expect(")")
           } else {
             val name = c.next()
+            val isCounter = c.peekIs("counter")
             val dt = parseType(c)
             val static = c.accept("static")
             if (c.accept("primary")) { c.expect("key"); pk = Seq(name) }
-            cols = cols :+ CqlColumnDef(name, dt, static)
+            cols = cols :+ CqlColumnDef(name, dt, static, isCounter)
           }
         }
         if (c.accept("with")) while (!c.done) c.next() // options ignored
@@ -324,8 +326,10 @@ object CqlParser {
         if (c.accept("add")) {
           val paren = c.accept("(")
           def one(): CqlColumnDef = {
-            val n = c.next(); val dt = parseType(c)
-            CqlColumnDef(n, dt, c.accept("static"))
+            val n = c.next()
+            val isCounter = c.peekIs("counter")
+            val dt = parseType(c)
+            CqlColumnDef(n, dt, c.accept("static"), isCounter)
           }
           var cols = Vector(one())
           while (c.accept(",")) cols = cols :+ one()

@@ -21,6 +21,9 @@ case class CqlCollAdd(v: Any) extends CqlAssign
 case class CqlCollRemove(v: Any) extends CqlAssign
 /** `m[k] = v` single-entry put. */
 case class CqlMapPut(key: Any, value: Any) extends CqlAssign
+/** `c = c + n` / `c = c - n` counter increment (upstream
+  * `db/context/CounterContext.java` [U]). */
+case class CqlCounterAdd(delta: Long) extends CqlAssign
 
 /** LWT condition (`IF NOT EXISTS` / `IF EXISTS` / `IF col op v [AND …]`,
   * upstream `cql3/conditions/` [U]). */
@@ -58,7 +61,8 @@ case class CqlBatch(statements: Seq[CqlDml], usingTimestamp: Option[Long],
 /** CQL DDL AST (upstream `cql3/statements/schema/` [U]). */
 sealed trait CqlDdl
 case class CqlColumnDef(name: String,
-  dataType: org.apache.spark.sql.types.DataType, static: Boolean)
+  dataType: org.apache.spark.sql.types.DataType, static: Boolean,
+  counter: Boolean = false)
 case class CqlCreateTable(table: String, columns: Seq[CqlColumnDef],
   partitionKeys: Seq[String], clusteringKeys: Seq[String],
   ifNotExists: Boolean) extends CqlDdl
@@ -98,7 +102,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
 
   private case class TableState(schema: StructType, partitionKeys: Seq[String],
     clusteringKeys: Seq[String], staticKeys: Seq[String],
-    logSchema: StructType, base: DataFrame, var pending: Vector[Row])
+    counterKeys: Seq[String], logSchema: StructType, base: DataFrame,
+    var pending: Vector[Row])
 
   private def opCol(c: String) = s"_op_$c"
 
@@ -108,17 +113,19 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       case f if f.dataType.isInstanceOf[ArrayType] ||
         f.dataType.isInstanceOf[MapType] => f.name
     }.toSeq
-    // scalar non-key columns carry a per-cell tombstone marker (`_del_<c>`)
-    // so `DELETE col FROM …` can kill ONE cell; collections express it as a
-    // `set`-to-null op instead
+    // collection AND counter columns carry a per-cell op marker; scalar
+    // non-key non-counter columns carry a per-cell tombstone marker
+    // (`_del_<c>`) so `DELETE col FROM …` can kill ONE cell (collections
+    // express it as a `set`-to-null op; counter deletes are not modeled)
+    val opCols = collCols ++ t.counterKeys
     val keyset = (t.partitionKeys ++ t.clusteringKeys).map(_.toLowerCase).toSet
     val tombCols = schema.fields.collect {
-      case f if !keyset(f.name.toLowerCase) && !collCols.contains(f.name) =>
+      case f if !keyset(f.name.toLowerCase) && !opCols.contains(f.name) =>
         f.name
     }.toSeq
     val logSchema = StructType(
       schema.fields.toSeq ++
-        collCols.map(c => StructField(opCol(c), StringType)) ++
+        opCols.map(c => StructField(opCol(c), StringType)) ++
         tombCols.map(c => StructField(s"_del_$c", BooleanType)) ++
         Seq(StructField("_writetime", LongType, nullable = false),
           StructField("_ttl", LongType),
@@ -126,11 +133,12 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     val base = t.df.select(
       schema.fieldNames.map(col).toSeq ++
         collCols.map(c => when(col(c).isNotNull, lit("set")).as(opCol(c))) ++
+        t.counterKeys.map(c => when(col(c).isNotNull, lit("incr")).as(opCol(c))) ++
         tombCols.map(c => lit(null).cast("boolean").as(s"_del_$c")) ++
         Seq(lit(0L).as("_writetime"), lit(null).cast("long").as("_ttl"),
           lit(false).as("_deleted")): _*)
     TableState(schema, t.partitionKeys, t.clusteringKeys,
-      t.staticKeys, logSchema, base, Vector.empty)
+      t.staticKeys, t.counterKeys, logSchema, base, Vector.empty)
   }
 
   private val state: scala.collection.mutable.Map[String, TableState] =
@@ -184,7 +192,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       case "select" =>
         val catalog = state.map { case (name, t) =>
           name -> CqlTable(view(name), t.partitionKeys, t.clusteringKeys,
-            t.staticKeys)
+            t.staticKeys, t.counterKeys)
         }.toMap
         new CqlEngine(spark, catalog).execute(trimmed)
       case "create" | "drop" | "truncate" | "alter" =>
@@ -239,7 +247,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         }
         state(table.toLowerCase) = mkState(CqlTable(
           spark.createDataFrame(
-            spark.sparkContext.emptyRDD[Row], schema), pk, ck, statics))
+            spark.sparkContext.emptyRDD[Row], schema), pk, ck, statics,
+          cols.filter(_.counter).map(_.name)))
       }
     case CqlDropTable(table, ifExists) =>
       if (state.remove(table.toLowerCase).isEmpty && !ifExists)
@@ -259,7 +268,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       val newSchema = StructType(t.schema.fields.toSeq ++
         cols.map(cd => StructField(cd.name, cd.dataType)))
       state(table.toLowerCase) = reshape(t, newSchema,
-        t.staticKeys ++ cols.filter(_.static).map(_.name))
+        t.staticKeys ++ cols.filter(_.static).map(_.name),
+        t.counterKeys ++ cols.filter(_.counter).map(_.name))
     case CqlAlterDrop(table, cols) =>
       val t = tableState(table)
       cols.foreach { c0 =>
@@ -272,7 +282,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       val newSchema = StructType(t.schema.fields.toSeq
         .filterNot(f => cols.exists(_.equalsIgnoreCase(f.name))))
       state(table.toLowerCase) = reshape(t, newSchema,
-        t.staticKeys.filterNot(s => cols.exists(_.equalsIgnoreCase(s))))
+        t.staticKeys.filterNot(s => cols.exists(_.equalsIgnoreCase(s))),
+        t.counterKeys.filterNot(k => cols.exists(_.equalsIgnoreCase(k))))
   }
 
   /** ALTER support: flush the current log and reshape it to the data model
@@ -280,11 +291,11 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * upstream's lazily-null new column; dropped cells are discarded, the
     * `DroppedColumn` record's effect). */
   private def reshape(t: TableState, newSchema: StructType,
-      statics: Seq[String]): TableState = {
+      statics: Seq[String], counters: Seq[String]): TableState = {
     val flushed = log(t)
     val shell = mkState(CqlTable(
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], newSchema),
-      t.partitionKeys, t.clusteringKeys, statics))
+      t.partitionKeys, t.clusteringKeys, statics, counters))
     val base = flushed.select(shell.logSchema.fields.toSeq.map { f =>
       if (flushed.columns.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)
@@ -332,7 +343,13 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * operation the read-path fold applies. */
   private def cellFor(t: TableState, c: String, a: CqlAssign): (Any, String) = {
     val dt = t.schema(t.schema.fieldIndex(c)).dataType
+    val isCounter = t.counterKeys.exists(_.equalsIgnoreCase(c))
     (a, dt) match {
+      case (CqlCounterAdd(d), LongType) if isCounter => (d, "incr")
+      case (CqlCounterAdd(_), _) => throw new CqlInvalidQueryException(
+        s"$c is not a counter column")
+      case (_, _) if isCounter => throw new CqlInvalidQueryException(
+        s"counter column $c only supports c = c + n / c = c - n")
       case (CqlAssignValue(v: CqlSetLit), _: ArrayType) => (coerce(v, dt), "sset")
       case (CqlAssignValue(v), _) => (coerce(v, dt), "set")
       case (CqlCollAdd(v: CqlList), _: ArrayType) => (coerce(v, dt), "app")

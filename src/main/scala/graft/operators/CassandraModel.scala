@@ -118,9 +118,17 @@ object CassandraModel {
     def written(c: String): Column =
       if (hasOps(c)) col(s"_op_$c").isNotNull else col(c).isNotNull
     val cellAggs = dataCols.map { c =>
-      if (hasOps(c))
-        collectionCellAgg(c, log.schema(log.schema.fieldIndex(c)).dataType)
-      else if (hasTomb(c)) {
+      if (hasOps(c)) {
+        import org.apache.spark.sql.types.{ArrayType, MapType}
+        log.schema(log.schema.fieldIndex(c)).dataType match {
+          case _: ArrayType | _: MapType =>
+            collectionCellAgg(c, log.schema(log.schema.fieldIndex(c)).dataType)
+          case _ =>
+            // counter cell (op 'incr'): the merged value IS the sum of live
+            // increments — upstream CounterContext merge [U]
+            sum(when(col(s"_op_$c") === "incr", col(c))).as(c)
+        }
+      } else if (hasTomb(c)) {
         // cell-level tombstones (`DELETE col FROM …`): the winner among
         // writes AND cell-deletes; at equal timestamps the delete wins
         // (upstream rule), hence the tombstone flag ordered before value

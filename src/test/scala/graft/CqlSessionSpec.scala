@@ -265,6 +265,35 @@ class CqlSessionSpec extends SparkSpec {
       "row tombstone removes the row but not the partition's static cell")
   }
 
+  // -- counters -------------------------------------------------------------
+
+  test("counter columns merge as the sum of increments, in any order") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE hits (page text PRIMARY KEY, views counter, clicks counter)")
+    s.execute("UPDATE hits SET views = views + 5 WHERE page = 'home'")
+    s.execute("UPDATE hits SET views = views + 3, clicks = clicks + 1 WHERE page = 'home'")
+    s.execute("UPDATE hits SET views = views - 2 WHERE page = 'home'")
+    s.execute("UPDATE hits SET views = views + 7 WHERE page = 'about'")
+    val out = s.execute("SELECT page, views, clicks FROM hits ALLOW FILTERING")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(out === Set(("home", 6L, Some(1L)), ("about", 7L, None)))
+  }
+
+  test("counter guards: INSERT and plain SET are rejected; non-counter += n is rejected") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE hits2 (page text PRIMARY KEY, views counter, note text)")
+    intercept[CqlInvalidQueryException] {
+      s.execute("INSERT INTO hits2 (page, views) VALUES ('x', 1)")
+    }
+    intercept[CqlInvalidQueryException] {
+      s.execute("UPDATE hits2 SET views = 5 WHERE page = 'x'")
+    }
+    intercept[CqlInvalidQueryException] {
+      s.execute("UPDATE hits2 SET note = note + 1 WHERE page = 'x'")
+    }
+  }
+
   // -- cell deletes ---------------------------------------------------------
 
   test("DELETE col FROM kills one cell; the row and its other cells survive") {
