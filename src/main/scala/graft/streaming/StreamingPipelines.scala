@@ -81,6 +81,29 @@ object StreamingPipelines {
         TimeMode.None(), OutputMode.Update(), Encoders.product[UserTotals])
   }
 
+  /** T8: stream-stream interval join (upstream has no analogue — this is
+    * the CDC-enrichment shape every streaming pipeline needs): each click
+    * joined to the same user's purchases within 30 minutes AFTER it. Both
+    * sides are watermarked and the join carries the time-range condition,
+    * so Spark bounds both state stores (rows older than watermark+interval
+    * are evicted) — the state-finite 100 TB/day shape. */
+  def clickToPurchase(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "10 minutes")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("c_ts"), col("p_ts"))
+  }
+
   /** Run any of the above to completion over the files currently in the dir
     * (AvailableNow = bounded run of the unbounded plan) into an in-memory
     * table; returns the finished query. Test/demo harness — production sinks

@@ -43,6 +43,30 @@ class StreamingSpec extends SparkSpec {
     assert(n === distinctIds)
   }
 
+  test("T8 stream-stream interval join equals the batch interval join") {
+    val stream = StreamingPipelines.eventsStream(spark, stagedDir)
+    StreamingPipelines.runToMemory(
+      StreamingPipelines.clickToPurchase(stream), "t8_stream", "append")
+    val streamed = spark.table("t8_stream")
+      .orderBy("user_id", "click_id", "purchase_id").collect().toSeq
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val batch = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("c_ts"), col("p_ts"))
+      .orderBy("user_id", "click_id", "purchase_id").collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "fixture must produce click→purchase pairs")
+  }
+
   test("T6 transformWithState: final per-user running totals equal the batch aggregate") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
