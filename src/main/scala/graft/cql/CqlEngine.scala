@@ -205,22 +205,51 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
     case Star => col("*")
     case ColumnSelector(name, alias) =>
       alias.fold(col(name))(col(name).as(_))
-    case FunctionSelector(fn, arg, alias) =>
+    case FunctionSelector(fn, args, alias) =>
+      def colArg(i: Int): String = args.lift(i) match {
+        case Some(ColArg(n)) => n
+        case other => throw new CqlInvalidQueryException(
+          s"$fn expects a column reference at argument ${i + 1}, got $other")
+      }
+      /** literal vector arg (`[1.0, 2.0, …]`) → array<float> column */
+      def vecArg(i: Int): Column = args.lift(i) match {
+        case Some(ColArg(n)) => col(n)
+        case Some(LitArg(CqlList(items))) =>
+          array(items.map {
+            case d: Double => lit(d.toFloat)
+            case l: Long => lit(l.toFloat)
+            case other => throw new CqlInvalidQueryException(
+              s"vector literal must be numeric, got $other")
+          }: _*).cast(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType))
+        case other => throw new CqlInvalidQueryException(
+          s"$fn expects a vector at argument ${i + 1}, got $other")
+      }
       val c = fn.toLowerCase match {
-        case "count" if arg == "*" => count(lit(1))
-        case "count" => count(col(arg))
-        case "min" => min(col(arg))
-        case "max" => max(col(arg))
-        case "sum" => sum(col(arg))
-        case "avg" => avg(col(arg))
-        case "writetime" => maxWritetimeCol(t, arg)
-        case "ttl" => ttlCol(t, arg)
-        case "token" => CassandraModel.tokenOf(col(arg))
-        case "todate" => to_date(col(arg))
-        case "tounixtimestamp" => unix_millis(col(arg).cast("timestamp"))
+        case "count" if colArg(0) == "*" => count(lit(1))
+        case "count" => count(col(colArg(0)))
+        case "min" => min(col(colArg(0)))
+        case "max" => max(col(colArg(0)))
+        case "sum" => sum(col(colArg(0)))
+        case "avg" => avg(col(colArg(0)))
+        case "writetime" => maxWritetimeCol(t, colArg(0))
+        case "ttl" => ttlCol(t, colArg(0))
+        case "token" => CassandraModel.tokenOf(col(colArg(0)))
+        case "todate" => to_date(col(colArg(0)))
+        case "tounixtimestamp" => unix_millis(col(colArg(0)).cast("timestamp"))
+        // Cassandra 5.0 vector-score functions (cql3/functions/VectorFcts
+        // [U]) — resolved through the session-registered graft expressions
+        // (GraftExtensions), so they stay codegen'd
+        case f @ ("similarity_cosine" | "similarity_euclidean" |
+                  "similarity_dot_product") =>
+          call_function(f, vecArg(0), vecArg(1))
         case other => throw new CqlInvalidQueryException(s"unknown function $other")
       }
-      c.as(alias.getOrElse(s"${fn.toLowerCase}(${arg})"))
+      val defaultName = s"${fn.toLowerCase}(" + args.map {
+        case ColArg(n) => n
+        case LitArg(v) => v.toString
+      }.mkString(", ") + ")"
+      c.as(alias.getOrElse(defaultName))
   }
 
   /** writetime(c): the per-cell write timestamp when the view carries it

@@ -4,7 +4,12 @@ package graft.cql
 sealed trait CqlSelector { def isAggregate: Boolean = false }
 case object Star extends CqlSelector
 case class ColumnSelector(name: String, alias: Option[String]) extends CqlSelector
-case class FunctionSelector(fn: String, arg: String, alias: Option[String])
+/** A function-call argument: a column reference or a literal (scalar or
+  * collection — e.g. the query vector of `similarity_cosine(emb, [..])`). */
+sealed trait CqlFnArg
+case class ColArg(name: String) extends CqlFnArg
+case class LitArg(value: Any) extends CqlFnArg
+case class FunctionSelector(fn: String, args: Seq[CqlFnArg], alias: Option[String])
     extends CqlSelector {
   override def isAggregate: Boolean =
     Set("count", "min", "max", "sum", "avg").contains(fn.toLowerCase)
@@ -441,9 +446,24 @@ object CqlParser {
     if (c.accept("*")) return Star
     val name = c.next()
     if (c.accept("(")) {
-      val arg = c.next()
-      c.expect(")")
-      FunctionSelector(name, arg, parseAlias(c))
+      var args = Vector.empty[CqlFnArg]
+      if (!c.accept(")")) {
+        def one(): CqlFnArg =
+          if (c.peekIs("*")) { c.next(); ColArg("*") }
+          else {
+            val t = c.peek
+            val isLit = t.startsWith("'") || t == "[" || t == "{" ||
+              t.headOption.exists(_.isDigit) ||
+              (t.length > 1 && t.startsWith("-")) ||
+              t.equalsIgnoreCase("true") || t.equalsIgnoreCase("false") ||
+              t.equalsIgnoreCase("null")
+            if (isLit) LitArg(parseValue(c)) else ColArg(c.next())
+          }
+        args = args :+ one()
+        while (c.accept(",")) args = args :+ one()
+        c.expect(")")
+      }
+      FunctionSelector(name, args, parseAlias(c))
     } else ColumnSelector(name, parseAlias(c))
   }
 

@@ -180,6 +180,21 @@ class CqlEngineSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("similarity_cosine(col, [vector]) selector scores like Cassandra 5.0") {
+    val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
+      .head().getSeq[Float](1)
+    val out = cqlEngine.execute(
+      s"SELECT vec_id, similarity_cosine(embedding, [${qv.mkString(", ")}]) " +
+        s"AS score FROM embeddings WHERE vec_id = 0")
+      .head()
+    // self-similarity: cosine 1 → Cassandra score (1+cos)/2 = 1
+    assert(math.abs(out.getDouble(1) - 1.0) < 1e-6)
+    // and with two column args it scores column-vs-column
+    val out2 = cqlEngine.execute(
+      "SELECT similarity_dot_product(embedding, embedding) AS s FROM embeddings WHERE vec_id = 1")
+    assert(!out2.head().isNullAt(0))
+  }
+
   test("ANN OF without LIMIT is rejected, as upstream requires") {
     val e = intercept[CqlInvalidQueryException] {
       cqlEngine.execute(
