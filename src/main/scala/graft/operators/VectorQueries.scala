@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Tables, Q}
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.6 O5 + §2.13 L3 — vector similarity search over `embeddings`
@@ -124,6 +124,29 @@ object VectorQueries {
       .limit(10)
   }
 
+  /** V8 (L3 scale path): int8-quantized kNN — the memory lever of a
+    * billion-vector deployment (64 float dims = 256 B → 64 B + scale).
+    * Per-vector symmetric quantization q_i = round(x_i · 127/max|x|);
+    * cosine over the quantized vectors needs no rescale (the scale cancels
+    * in the ratio). Quantized values are small ints — exact in float AND
+    * in the DuckDB twin's doubles — so the whole approximate pipeline is
+    * hash-verified, approximation included. */
+  def v8_knn_int8(s: SparkSession, d: String): DataFrame = {
+    def quant(v: Column): Column = {
+      val scale = lit(127.0) / array_max(transform(v, x => abs(x.cast("double"))))
+      transform(v, x => round(x.cast("double") * scale, 0).cast("float"))
+    }
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+      .select(quant(col("embedding")).as("qvec"))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), quant(col("embedding")).as("qemb"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosineFast(col("qemb"), col("qvec")), 6).as("cos_q"))
+      .orderBy(col("cos_q").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   /** V5: euclidean + dot-product similarity (the other two F7 functions). */
   def v5_euclidean_dot(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -140,6 +163,7 @@ object VectorQueries {
     "v3_centroids" -> (v3_centroids _),
     "v4_cosine_neardup" -> (v4_cosine_neardup _),
     "v5_euclidean_dot" -> (v5_euclidean_dot _),
+    "v8_knn_int8" -> (v8_knn_int8 _),
     "v6_knn_ivf" -> (v6_knn_ivf _),
   )
 
@@ -220,6 +244,18 @@ object VectorQueries {
         |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qvec, qvec))), 6) AS cos_sim
         |FROM asg JOIN qsel ON cell = qcell
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "v8_knn_int8" ->
+      """WITH qt AS (
+        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> round(x * (127.0 / list_aggregate(
+        |      list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y)), 'max')))) AS q
+        |  FROM embeddings),
+        |qv AS (SELECT q AS qvec FROM qt WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(list_dot_product(q, qvec) /
+        |        (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(qvec, qvec))), 6) AS cos_q
+        |FROM qt CROSS JOIN qv
+        |ORDER BY cos_q DESC, vec_id ASC LIMIT 10""".stripMargin,
     "v5_euclidean_dot" ->
       s"""$qvecCte
         |SELECT vec_id,

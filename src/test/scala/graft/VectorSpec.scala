@@ -64,6 +64,16 @@ class VectorSpec extends SparkSpec {
     assert(out.map(_.getInt(1)).distinct.length <= 2) // nprobe = 2
   }
 
+  test("int8-quantized kNN preserves most of the exact top-10 (recall >= 0.8)") {
+    val exact = VectorQueries.v1_knn_exact(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val quant = VectorQueries.v8_knn_int8(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(quant.size === 10)
+    assert((exact & quant).size >= 8,
+      s"int8 quantization lost too much: exact=$exact quant=$quant")
+  }
+
   test("euclidean distance to self is 0 and to others positive") {
     val d0 = VectorQueries.v5_euclidean_dot(spark, sf).head()
     assert(d0.getLong(0) === 0L)
