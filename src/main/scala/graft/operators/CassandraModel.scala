@@ -69,7 +69,13 @@ object CassandraModel {
   /** Latest-wins view (upstream read-path reconcile, `utils/MergeIterator` +
     * `Cells.reconcile` [U]): per pk keep the cell with the highest
     * (_writetime, v); if that winner is a tombstone the row is invisible.
-    * One shuffle; at scale, pre-bucketing the log by pk makes it shuffle-free. */
+    *
+    * The `row_number()=1` window form is deliberate: Spark plans it with
+    * `WindowGroupLimit(Partial)` — each map task pre-reduces to ONE row per
+    * key BEFORE the shuffle (same shuffle volume as a max_by partial
+    * aggregate, measured ~2× faster at sf0.1 than the max_by-over-struct
+    * form because no per-row struct materialization). One shuffle; at
+    * scale, pre-bucketing the log by pk makes it shuffle-free. */
   def latestWinsView(log: DataFrame): DataFrame = {
     val w = Window.partitionBy("pk")
       .orderBy(col("_writetime").desc, col("v").desc)
