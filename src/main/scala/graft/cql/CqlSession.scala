@@ -183,6 +183,12 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     }
   }
 
+  /** cqlsh `SOURCE` analogue: run a multi-statement CQL script (statements
+    * separated by `;`, `--` line comments, `BEGIN BATCH … APPLY BATCH`
+    * blocks kept atomic). Returns one result per executed statement. */
+  def executeScript(script: String): Seq[DataFrame] =
+    CqlSession.splitStatements(script).map(execute)
+
   /** Run a CQL statement: SELECT returns rows; DML and BATCH mutate and
     * return an empty DataFrame (like a CQL void result). */
   def execute(cql: String): DataFrame = {
@@ -553,6 +559,47 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
 object CqlSession {
   /** A session with no tables — create them with CQL `CREATE TABLE`. */
   def apply(spark: SparkSession): CqlSession = new CqlSession(spark, Map.empty)
+
+  /** Split a CQL script into statements: `;` terminators outside string
+    * literals, `--` line comments stripped, `BEGIN BATCH … APPLY BATCH`
+    * re-merged into one statement. */
+  private[cql] def splitStatements(script: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inString = false
+    var i = 0
+    while (i < script.length) {
+      val ch = script.charAt(i)
+      if (!inString && ch == '-' && i + 1 < script.length &&
+          script.charAt(i + 1) == '-') {
+        while (i < script.length && script.charAt(i) != '\n') i += 1
+      } else {
+        if (ch == '\'') inString = !inString // '' escape toggles twice — fine
+        if (ch == ';' && !inString) { parts += sb.result(); sb.clear() }
+        else sb.append(ch)
+        i += 1
+      }
+    }
+    parts += sb.result()
+    val trimmed = parts.map(_.trim).filter(_.nonEmpty).toSeq
+    // re-merge batch blocks that the ';' split tore apart
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var batch: Option[StringBuilder] = None
+    trimmed.foreach { st =>
+      batch match {
+        case Some(b) =>
+          b.append("; ").append(st)
+          if (st.toLowerCase.startsWith("apply")) {
+            out += b.result(); batch = None
+          }
+        case None =>
+          if (st.toLowerCase.startsWith("begin")) batch = Some(new StringBuilder(st))
+          else out += st
+      }
+    }
+    batch.foreach(b => out += b.result())
+    out.toSeq
+  }
 
   /** A session over an empty table — CREATE TABLE analogue for tests/demos. */
   def emptyTable(spark: SparkSession, name: String, schema: StructType,

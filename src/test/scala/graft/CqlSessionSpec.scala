@@ -463,6 +463,24 @@ class CqlSessionSpec extends SparkSpec {
     assert(got === Seq(1L, 3L))
   }
 
+  test("executeScript runs a full cqlsh-style script: DDL, DML, BATCH, SELECT") {
+    val s = CqlSession(spark)
+    val results = s.executeScript("""
+      -- data model
+      CREATE TABLE accounts (id bigint PRIMARY KEY, owner text, balance counter);
+      INSERT INTO accounts (id, owner) VALUES (1, 'ada; the first'); -- ';' in string
+      BEGIN BATCH
+        UPDATE accounts SET balance = balance + 100 WHERE id = 1;
+        UPDATE accounts SET balance = balance + 50 WHERE id = 1;
+      APPLY BATCH;
+      SELECT owner, balance FROM accounts WHERE id = 1
+    """)
+    assert(results.length === 4)
+    val r = results.last.head()
+    assert(r.getString(0) === "ada; the first")
+    assert(r.getLong(1) === 150L)
+  }
+
   // -- write-path scale -----------------------------------------------------
 
   test("500 mutations keep the log plan bounded (buffered rows, one union)") {
