@@ -25,6 +25,18 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame   = p(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = p(s, d, "lineitem")
   def documents(s: SparkSession, d: String): DataFrame = p(s, d, "documents")
+
+  /** Spread a CPU-heavy map stage across the cluster when the source scan
+    * arrived under-split (a single small parquet file = one task — the
+    * fixture case; a parquet row group cannot be split, so only a shuffle
+    * redistributes it). No-op when the input is already well-partitioned —
+    * a 100 TB corpus in thousands of splits never pays this shuffle.
+    * Deterministic: hash partitioning on `key`, no round-robin. */
+  def spread(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, key)
+  }
   def embeddings(s: SparkSession, d: String): DataFrame = p(s, d, "embeddings")
 
   /** events with `ts` normalized to µs TimestampType regardless of how the

@@ -19,12 +19,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object DedupQueries {
 
-  /** documents plus exact-duplicate copies of every 5th doc (ids +100000). */
+  /** documents plus exact-duplicate copies of every 5th doc (ids +100000),
+    * spread across tasks when the scan arrived under-split (the sketch
+    * stage — an md5 per token + 32 permutation mins per shingle — must not
+    * run on the fixture's single file-split; see [[Tables.spread]]). */
   private def corpusWithDups(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    docs.unionByName(
-      docs.filter(col("doc_id") % 5 === 0)
-        .withColumn("doc_id", col("doc_id") + 100000L))
+    Tables.spread(
+      docs.unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L)),
+      col("doc_id"))
   }
 
   /** D1 (L1): exact dedup by content hash — keep lowest doc_id per group. */
