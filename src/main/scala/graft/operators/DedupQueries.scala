@@ -19,18 +19,21 @@ import org.apache.spark.sql.expressions.Window
   */
 object DedupQueries {
 
-  /** documents plus exact-duplicate copies of every 5th doc (ids +100000),
-    * spread across tasks when the scan arrived under-split (the sketch
-    * stage — an md5 per token + 32 permutation mins per shingle — must not
-    * run on the fixture's single file-split; see [[Tables.spread]]). */
+  /** documents plus exact-duplicate copies of every 5th doc (ids +100000). */
   private def corpusWithDups(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    Tables.spread(
-      docs.unionByName(
-        docs.filter(col("doc_id") % 5 === 0)
-          .withColumn("doc_id", col("doc_id") + 100000L)),
-      col("doc_id"))
+    docs.unionByName(
+      docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L))
   }
+
+  /** [[corpusWithDups]] spread across tasks when the scan arrived
+    * under-split — ONLY for the sketch queries (d3/d4), whose per-token
+    * md5 + per-shingle permutation work must not run on the fixture's
+    * single file-split (see [[Tables.spread]]). d1/d2 hash once per doc,
+    * where the extra shuffle would cost more than it buys. */
+  private def corpusSpread(s: SparkSession, d: String): DataFrame =
+    Tables.spread(corpusWithDups(s, d), col("doc_id"))
 
   /** D1 (L1): exact dedup by content hash — keep lowest doc_id per group. */
   def d1_exact(s: SparkSession, d: String): DataFrame = {
@@ -104,7 +107,7 @@ object DedupQueries {
     // component would share one argmin and LSH collapses). Operands sized for
     // ANSI Long arithmetic: h ∈ [0, 2^31), a_i < 2^32, so a_i·h + b_i < 2^63.
     val th = col("th")
-    val shingled = corpusWithDups(s, d)
+    val shingled = corpusSpread(s, d)
       .select(col("doc_id"), transform(tokens(col("text")), t => mdTokHash(t) % P).as("th"))
       .filter(size(th) >= 3)
       .select(col("doc_id"), explode(transform(sequence(lit(1), size(th) - 2),
@@ -142,7 +145,7 @@ object DedupQueries {
     * n < 2^15 to keep the packed sum inside a signed long — the guard makes
     * the bound explicit instead of silently corrupting the sketch. */
   def d4_simhash(s: SparkSession, d: String): DataFrame = {
-    val hashed = corpusWithDups(s, d)
+    val hashed = corpusSpread(s, d)
       .select(col("doc_id"), tokens(col("text")).as("ts"))
       .filter(size(col("ts")) < 32768) // packed-counter width guard (see doc)
       .select(col("doc_id"), explode(col("ts")).as("t"))
