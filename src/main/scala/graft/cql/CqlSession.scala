@@ -127,7 +127,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       schema.fields.toSeq ++
         opCols.map(c => StructField(opCol(c), StringType)) ++
         tombCols.map(c => StructField(s"_del_$c", BooleanType)) ++
-        Seq(StructField("_writetime", LongType, nullable = false),
+        Seq(StructField("_marker", BooleanType),
+          StructField("_writetime", LongType, nullable = false),
           StructField("_ttl", LongType),
           StructField("_deleted", BooleanType, nullable = false)))
     val base = t.df.select(
@@ -135,7 +136,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         collCols.map(c => when(col(c).isNotNull, lit("set")).as(opCol(c))) ++
         t.counterKeys.map(c => when(col(c).isNotNull, lit("incr")).as(opCol(c))) ++
         tombCols.map(c => lit(null).cast("boolean").as(s"_del_$c")) ++
-        Seq(lit(0L).as("_writetime"), lit(null).cast("long").as("_ttl"),
+        Seq(lit(true).as("_marker"), // seeded rows are full rows (INSERTs)
+          lit(0L).as("_writetime"), lit(null).cast("long").as("_ttl"),
           lit(false).as("_deleted")): _*)
     TableState(schema, t.partitionKeys, t.clusteringKeys,
       t.staticKeys, t.counterKeys, logSchema, base, Vector.empty)
@@ -515,8 +517,13 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         (nextTs(d.usingTimestamp.orElse(defaultTs)), None, d.columns.isEmpty)
     }
     val byName = cells.toMap
+    val isInsert = dml match {
+      case _: CqlInsert | _: CqlInsertJson => true
+      case _ => false
+    }
     val values = t.logSchema.fields.map { f =>
       f.name match {
+        case "_marker" => if (isInsert) java.lang.Boolean.TRUE else null
         case "_writetime" => ts
         case "_ttl" => ttl.map(Long.box).orNull
         case "_deleted" => deleted

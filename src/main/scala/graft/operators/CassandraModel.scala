@@ -151,7 +151,22 @@ object CassandraModel {
       // per-CELL writetime — what CQL's writetime(c) actually returns
       max(when(written(c), col("_writetime"))).as(s"_writetime_$c")
     } :+ max(col("_writetime")).as("_writetime")
-    live.groupBy(keys.map(col): _*).agg(cellAggs.head, cellAggs.tail: _*)
+    // Row-marker rule (upstream `db/rows/Row.primaryKeyLivenessInfo` [U]):
+    // when the log distinguishes INSERTs (`_marker`), a row exists iff any
+    // cell survives OR a live INSERT marker does — an INSERTed row outlives
+    // the deletion of all its cells, an UPDATE-only row does not. Logs
+    // without the column (analytics upsert logs) emit every reconciled key.
+    val hasMarker = log.columns.contains("_marker") && dataCols.nonEmpty
+    val aggs =
+      if (hasMarker)
+        cellAggs :+ max(coalesce(col("_marker"), lit(false))).as("_has_marker")
+      else cellAggs
+    val out = live.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    if (hasMarker)
+      out.filter(dataCols.map(col(_).isNotNull).reduce(_ || _) ||
+          col("_has_marker"))
+        .drop("_has_marker")
+    else out
   }
 
   /** Collection-cell resolution (upstream models lists/sets/maps as

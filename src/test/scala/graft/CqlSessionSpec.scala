@@ -322,6 +322,19 @@ class CqlSessionSpec extends SparkSpec {
     assert(ev === null && tags === Seq("a"))
   }
 
+  test("row-marker rule: INSERTed rows outlive all-cell deletes, UPDATE-only rows do not") {
+    val a = freshSession
+    a.execute("INSERT INTO users (user_id, name) VALUES (1, 'x')")
+    a.execute("DELETE name FROM users WHERE user_id = 1")
+    assert(rows(a) === Seq((1L, None, None)),
+      "INSERT's row marker keeps the emptied row alive")
+    val b = freshSession
+    b.execute("UPDATE users SET name = 'x' WHERE user_id = 1")
+    b.execute("DELETE name FROM users WHERE user_id = 1")
+    assert(rows(b).isEmpty,
+      "an UPDATE-only row vanishes when its last cell dies")
+  }
+
   test("DELETE of a PRIMARY KEY column is rejected") {
     val s = freshSession
     intercept[CqlInvalidQueryException] {
