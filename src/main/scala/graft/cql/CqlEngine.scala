@@ -72,9 +72,13 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
       val qv = array(a.query.map(lit(_)): _*)
         .cast(org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.FloatType))
+      // primary-key tiebreak: equal-similarity vectors (e.g. duplicate
+      // embeddings) must yield a run-independent top-k set and order
+      val pkTiebreak =
+        (table.partitionKeys ++ table.clusteringKeys).map(col(_).asc)
       df = df
         .orderBy(graft.functions.VectorFunctions
-          .cosineFast(col(a.column), qv).desc)
+          .cosineFast(col(a.column), qv).desc +: pkTiebreak: _*)
         .limit(k)
     }
 

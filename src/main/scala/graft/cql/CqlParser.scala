@@ -46,8 +46,11 @@ case class CqlSelect(
   * zero added dependencies. */
 object CqlParser {
 
+  // '-' is always its own token; unary minus is folded in parseLiteral.
+  // (Lexing '-5' as one literal made 'SET c=c-5' — no spaces — miss the
+  // counter-decrement pattern and crash in parseLiteral instead.)
   private val tokenRe =
-    """\s*(?:('(?:[^']|'')*')|(-?\d+\.\d+(?:[eE][-+]?\d+)?)|(-?\d+)|([A-Za-z_][A-Za-z0-9_]*)|(<=|>=|!=|[=<>(),*\[\]{}:;+.-]))""".r
+    """\s*(?:('(?:[^']|'')*')|(\d+\.\d+(?:[eE][-+]?\d+)?)|(\d+)|([A-Za-z_][A-Za-z0-9_]*)|(<=|>=|!=|[=<>(),*\[\]{}:;+.-]))""".r
 
   private def tokenize(s: String): Vector[String] = {
     var rest = s.trim
@@ -127,10 +130,10 @@ object CqlParser {
     var perPartitionLimit: Option[Int] = None
     if (c.accept("per")) {
       c.expect("partition"); c.expect("limit")
-      perPartitionLimit = Some(c.next().toInt)
+      perPartitionLimit = Some(numeric(c.next().toInt, c.peek))
     }
     var limit: Option[Int] = None
-    if (c.accept("limit")) limit = Some(c.next().toInt)
+    if (c.accept("limit")) limit = Some(numeric(c.next().toInt, c.peek))
     val allowFiltering = if (c.accept("allow")) { c.expect("filtering"); true } else false
     if (!c.done)
       throw new CqlInvalidQueryException(s"unexpected trailing input near ${c.peek}")
@@ -427,8 +430,8 @@ object CqlParser {
     var ttl: Option[Long] = None
     if (c.accept("using")) {
       def one(): Unit =
-        if (c.accept("timestamp")) ts = Some(c.next().toLong)
-        else if (c.accept("ttl")) ttl = Some(c.next().toLong)
+        if (c.accept("timestamp")) ts = Some(longLiteral(c))
+        else if (c.accept("ttl")) ttl = Some(longLiteral(c))
         else throw new CqlInvalidQueryException(s"expected TIMESTAMP or TTL near ${c.peek}")
       one()
       while (c.accept("and")) one()
@@ -518,11 +521,29 @@ object CqlParser {
 
   private def parseLiteral(c: Cursor): Any = {
     val t = c.next()
-    if (t.startsWith("'")) t.substring(1, t.length - 1).replace("''", "'")
+    if (t == "-") parseLiteral(c) match { // unary minus (own token, see tokenRe)
+      case l: Long => -l
+      case d: Double => -d
+      case other => throw new CqlInvalidQueryException(s"cannot negate $other")
+    }
+    else if (t.startsWith("'")) t.substring(1, t.length - 1).replace("''", "'")
     else if (t.equalsIgnoreCase("true")) true
     else if (t.equalsIgnoreCase("false")) false
     else if (t.equalsIgnoreCase("null")) null
-    else if (t.contains('.')) t.toDouble
-    else t.toLong
+    else if (t.contains('.')) numeric(t.toDouble, t)
+    else numeric(t.toLong, t)
+  }
+
+  private def numeric[A](parse: => A, tok: String): A =
+    try parse catch {
+      case _: NumberFormatException =>
+        throw new CqlInvalidQueryException(s"invalid numeric literal: $tok")
+    }
+
+  /** A possibly-negative integer literal (e.g. `USING TIMESTAMP -1`). */
+  private def longLiteral(c: Cursor): Long = parseLiteral(c) match {
+    case l: Long => l
+    case other =>
+      throw new CqlInvalidQueryException(s"expected an integer, got $other")
   }
 }

@@ -2,6 +2,7 @@ package graft.cql
 
 import graft.operators.CassandraModel
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -165,7 +166,26 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * enables cell-level TTL expiry for cells written `USING TTL`. */
   def view(table: String, nowUs: Option[Long] = None): DataFrame = {
     val t = tableState(table)
-    val lg = log(t)
+    val lg = {
+      val lg0 = log(t)
+      if (t.clusteringKeys.isEmpty) lg0
+      else {
+        // Partition tombstones (row deletes with null clustering keys)
+        // shadow every OLDER cell of their partition — regular and static
+        // alike (upstream `DeletionTime` partition-level deletion [U]).
+        // The tombstone row itself is dropped too (wt > wt is false), so
+        // downstream reconciles see only surviving cells. The window keys
+        // by partition key — at scale one extra exchange that AQE shares
+        // with the static reconcile below.
+        val ckNull = t.clusteringKeys.map(col(_).isNull).reduce(_ && _)
+        val w = Window.partitionBy(t.partitionKeys.map(col): _*)
+        val ptWt =
+          max(when(col("_deleted") && ckNull, col("_writetime"))).over(w)
+        lg0.withColumn("_pt_wt", ptWt)
+          .filter(col("_pt_wt").isNull || col("_writetime") > col("_pt_wt"))
+          .drop("_pt_wt")
+      }
+    }
     val regular = dataCols(t)
       .filterNot(c => keyCols(t).contains(c) || t.staticKeys.contains(c))
     if (t.staticKeys.isEmpty)
@@ -325,6 +345,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     case (l: Long, IntegerType) => l.toInt
     case (l: Long, LongType) => l
     case (l: Long, ShortType) => l.toShort
+    case (l: Long, ByteType) => l.toByte
     case (l: Long, DoubleType) => l.toDouble
     case (l: Long, FloatType) => l.toFloat
     case (l: Long, DecimalType()) => BigDecimal(l)
@@ -498,11 +519,27 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     val cells = cellsFor(dml, t)
     // writes must address the primary key (ModificationStatement rule);
     // a write touching ONLY static columns addresses just the partition key
+    // (written.nonEmpty guard: a write touching NO columns — a row delete
+    // or bare-marker insert — must not get the static relaxation, else
+    // `DELETE FROM t WHERE pk=x` on a static table silently no-ops)
     val written = cells.collect { case (c, Some(_)) => c }
       .filterNot(c => keys.exists(_.equalsIgnoreCase(c)))
-    val staticOnly = t.staticKeys.nonEmpty &&
+    val staticOnly = t.staticKeys.nonEmpty && written.nonEmpty &&
       written.forall(c => t.staticKeys.exists(_.equalsIgnoreCase(c)))
-    val required = if (staticOnly) t.partitionKeys else keys
+    // `DELETE FROM t WHERE <partition key only>` is a PARTITION delete
+    // (upstream `cql3/statements/DeleteStatement` [U]): one tombstone with
+    // null clustering keys that shadows every older row AND static cell of
+    // the partition — see the `view` read path. A partial clustering
+    // restriction (range tombstone) is rejected by the required-key check.
+    def restricted(k: String) =
+      cells.exists(x => x._1.equalsIgnoreCase(k) && x._2.isDefined)
+    val partitionDelete = (dml match {
+      case d: CqlDelete => d.columns.isEmpty
+      case _ => false
+    }) && t.clusteringKeys.nonEmpty &&
+      t.partitionKeys.forall(restricted) && !t.clusteringKeys.exists(restricted)
+    val required =
+      if (staticOnly || partitionDelete) t.partitionKeys else keys
     required.foreach { k =>
       if (!cells.exists(x => x._1.equalsIgnoreCase(k) && x._2.isDefined))
         throw new CqlInvalidQueryException(
@@ -541,7 +578,11 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   }
 
   /** `INSERT INTO t JSON '…'`: parse against the table schema with Spark's
-    * own JSON reader (one local row — no job), honoring DEFAULT UNSET. */
+    * own JSON reader (one local row — no job). DEFAULT UNSET (the default)
+    * leaves omitted / explicitly-null columns untouched; DEFAULT NULL
+    * writes a tombstone for them (upstream `cql3/Json.java` [U]: NULL
+    * behaves like an INSERT that lists every column). Key columns are
+    * never tombstoned — they must be present either way. */
   private def jsonCells(t: TableState,
       j: CqlInsertJson): Seq[(String, Option[(Any, String)])] = {
     val parsed = spark.range(1)
@@ -552,12 +593,18 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       throw new CqlInvalidQueryException(s"malformed JSON: ${j.json}")
     val r = parsed.getStruct(0)
     val present = parsed.getSeq[String](1).map(_.toLowerCase).toSet
+    val keys = keyCols(t)
     dataCols(t).map { c =>
       val i = t.schema.fieldIndex(c)
+      val absent = !present.contains(c.toLowerCase) || r.isNullAt(i)
       val cell =
-        if (!present.contains(c.toLowerCase)) None // omitted → unset (see doc)
-        else if (r.isNullAt(i)) None
-        else Some((r.get(i), "set"))
+        if (!absent) Some((r.get(i), "set"))
+        else if (j.defaultUnset || keys.exists(_.equalsIgnoreCase(c))) None
+        else { // DEFAULT NULL: null-out the cell like `UPDATE … SET c=null`
+          val dt = t.schema.fields(i).dataType
+          val isColl = dt.isInstanceOf[ArrayType] || dt.isInstanceOf[MapType]
+          Some((null: Any, if (isColl) "set" else "tomb"))
+        }
       c -> cell
     }
   }

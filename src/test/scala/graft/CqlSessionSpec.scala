@@ -223,6 +223,15 @@ class CqlSessionSpec extends SparkSpec {
     assert(rows(s) === Seq((1L, Some("grace"), Some(36L))))
   }
 
+  test("INSERT JSON DEFAULT NULL tombstones omitted and explicitly-null cells") {
+    val s = freshSession
+    s.execute("INSERT INTO users (user_id, name, age) VALUES (1, 'ada', 36)")
+    // age omitted, name explicit null — DEFAULT NULL nulls BOTH
+    s.execute("""INSERT INTO users JSON '{"user_id": 1, "name": null}' DEFAULT NULL""")
+    assert(rows(s) === Seq((1L, None, None)),
+      "DEFAULT NULL behaves like an INSERT listing every column")
+  }
+
   test("malformed INSERT JSON is rejected") {
     val s = freshSession
     val e = intercept[CqlInvalidQueryException] {
@@ -278,6 +287,31 @@ class CqlSessionSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1),
         if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
     assert(out === Set(("home", 6L, Some(1L)), ("about", 7L, None)))
+  }
+
+  test("counter ops lex without spaces: SET views=views-2 parses as a decrement") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE hits3 (page text PRIMARY KEY, views counter)")
+    s.execute("UPDATE hits3 SET views=views+5 WHERE page='x'")
+    s.execute("UPDATE hits3 SET views=views-2 WHERE page='x'")
+    assert(s.execute("SELECT views FROM hits3 WHERE page = 'x'").head().getLong(0) === 3L)
+  }
+
+  test("negative literals parse everywhere; bad numerics raise CqlInvalidQueryException") {
+    val s = freshSession
+    s.execute("INSERT INTO users (user_id, name, age) VALUES (1, 'neg', -5) USING TIMESTAMP -1")
+    assert(rows(s) === Seq((1L, Some("neg"), Some(-5L))))
+    intercept[CqlInvalidQueryException] {
+      s.execute("INSERT INTO users (user_id, age) VALUES (1, 99999999999999999999)")
+    }
+  }
+
+  test("tinyint and smallint columns accept integer literals") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE tiny (id bigint PRIMARY KEY, b tinyint, s smallint)")
+    s.execute("INSERT INTO tiny (id, b, s) VALUES (1, -7, 300)")
+    val r = s.execute("SELECT b, s FROM tiny WHERE id = 1").head()
+    assert(r.getByte(0) === (-7: Byte) && r.getShort(1) === (300: Short))
   }
 
   test("counter guards: INSERT and plain SET are rejected; non-counter += n is rejected") {
@@ -339,6 +373,58 @@ class CqlSessionSpec extends SparkSpec {
     val s = freshSession
     intercept[CqlInvalidQueryException] {
       s.execute("DELETE user_id FROM users WHERE user_id = 1")
+    }
+  }
+
+  // -- partition tombstones -------------------------------------------------
+
+  private def clusteredSession = {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE series (pk bigint, ck bigint, v text, PRIMARY KEY (pk, ck))")
+    s
+  }
+
+  test("DELETE by partition key alone tombstones the whole partition") {
+    val s = clusteredSession
+    s.execute("INSERT INTO series (pk, ck, v) VALUES (1, 1, 'a')")
+    s.execute("INSERT INTO series (pk, ck, v) VALUES (1, 2, 'b')")
+    s.execute("INSERT INTO series (pk, ck, v) VALUES (2, 1, 'c')")
+    s.execute("DELETE FROM series WHERE pk = 1")
+    val left = s.execute("SELECT pk, ck, v FROM series ALLOW FILTERING")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(left === Set((2L, 1L, "c")), "partition 1 is gone, partition 2 intact")
+  }
+
+  test("partition tombstone shadows only OLDER writes (zombie rule)") {
+    val s = clusteredSession
+    s.execute("INSERT INTO series (pk, ck, v) VALUES (1, 1, 'old') USING TIMESTAMP 10")
+    s.execute("INSERT INTO series (pk, ck, v) VALUES (1, 2, 'newer') USING TIMESTAMP 30")
+    s.execute("DELETE FROM series USING TIMESTAMP 20 WHERE pk = 1")
+    val left = s.execute("SELECT ck, v FROM series WHERE pk = 1")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(left === Set((2L, "newer")),
+      "a write stamped after the partition delete survives it")
+  }
+
+  test("partition delete on a static table kills rows AND the static cell") {
+    val s = staticSession
+    s.execute("INSERT INTO bills (account, item, amount, balance) VALUES (1, 1, 10, 5)")
+    s.execute("INSERT INTO bills (account, item, amount) VALUES (1, 2, 20)")
+    s.execute("DELETE FROM bills WHERE account = 1")
+    assert(s.execute("SELECT item FROM bills WHERE account = 1").collect().isEmpty,
+      "previously this DELETE was a silent no-op on static tables")
+    // the partition is re-writable after the tombstone
+    s.execute("INSERT INTO bills (account, item, amount) VALUES (1, 3, 30)")
+    val back = s.execute("SELECT item, amount, balance FROM bills WHERE account = 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(back === Seq((3L, 30L, None)), "static cell did not zombie back")
+  }
+
+  test("a write that provides no cells still needs the full primary key") {
+    val s = staticSession
+    intercept[CqlInvalidQueryException] { // bare-marker INSERT addresses a ROW
+      s.execute("INSERT INTO bills (account) VALUES (1)")
     }
   }
 
@@ -474,6 +560,19 @@ class CqlSessionSpec extends SparkSpec {
       "SELECT id FROM vecs ORDER BY emb ANN OF [1.0, 0.0, 0.0, 0.0] LIMIT 2")
       .collect().map(_.getLong(0)).toSeq
     assert(got === Seq(1L, 3L))
+  }
+
+  test("ANN ties break on the primary key — duplicate embeddings rank deterministically") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE dupvecs (id bigint PRIMARY KEY, emb vector<float, 2>)")
+    // three IDENTICAL embeddings + one distant: top-3 must be id order
+    Seq(9L, 4L, 7L).foreach(i =>
+      s.execute(s"INSERT INTO dupvecs (id, emb) VALUES ($i, [1.0, 0.0])"))
+    s.execute("INSERT INTO dupvecs (id, emb) VALUES (1, [0.0, 1.0])")
+    val got = s.execute(
+      "SELECT id FROM dupvecs ORDER BY emb ANN OF [1.0, 0.0] LIMIT 3")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(4L, 7L, 9L))
   }
 
   test("executeScript runs a full cqlsh-style script: DDL, DML, BATCH, SELECT") {
