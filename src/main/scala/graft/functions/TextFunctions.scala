@@ -16,6 +16,16 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** 60-bit md5-prefix hash — bit-identical to
+    * `conv(substring(md5(s),1,15),16,10)` / DuckDB
+    * `('0x'||substr(md5(s),1,15))::BIGINT`, via the codegen'd
+    * [[graft.functions.expressions.Md5Prefix64]] (no hex-string
+    * materialization — the builtin chain is the sketch queries' hot loop). */
+  def md5Hash60(c: Column): Column = {
+    import org.apache.spark.sql.GraftShim
+    GraftShim.column(expressions.Md5Prefix64(GraftShim.expression(c)))
+  }
+
   /** Word n-gram shingles: ["a b c","b c d",…] for n=3. */
   def shingles(toks: Column, n: Int): Column =
     transform(sequence(lit(0), size(toks) - n),

@@ -80,9 +80,11 @@ object DedupQueries {
   private val P = 2147483647L
 
   /** 60-bit token hash shared bit-for-bit with the DuckDB twin (x6/x8's
-    * convention): first 15 hex chars of md5 → BIGINT. Codegen'd builtins. */
-  private def mdTokHash(t: Column): Column =
-    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+    * convention): first 15 hex chars of md5 → BIGINT, computed by the
+    * codegen'd [[graft.functions.expressions.Md5Prefix64]] (digest bytes →
+    * long; the builtin conv(substring(md5)) chain allocates three strings
+    * per TOKEN, which was the d3/d4 hot loop). */
+  private def mdTokHash(t: Column): Column = md5Hash60(t)
 
   /** D3 (L2 MinHash+LSH): 32-perm MinHash over 3-gram shingles, 8 bands × 4
     * rows; candidate pairs = docs sharing a band hash. Fully oracled: the
