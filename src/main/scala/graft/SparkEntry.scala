@@ -15,7 +15,8 @@ object SparkEntry {
     RelationalQueries.queries ++ CassandraModel.queries ++
       VectorQueries.queries ++ DedupQueries.queries ++ TextQueries.queries ++
       StreamingQueries.queries ++ MultimodalQueries.queries ++
-      UdafQueries.queries ++ SkewJoin.queries ++ GraphAnn.queries
+      UdafQueries.queries ++ SkewJoin.queries ++ GraphAnn.queries ++
+      HybridAnn.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -23,5 +24,6 @@ object SparkEntry {
     RelationalQueries.oracle ++ CassandraModel.oracle ++
       VectorQueries.oracle ++ DedupQueries.oracle ++ TextQueries.oracle ++
       StreamingQueries.oracle ++ MultimodalQueries.oracle ++
-      UdafQueries.oracle ++ SkewJoin.oracle ++ GraphAnn.oracle
+      UdafQueries.oracle ++ SkewJoin.oracle ++ GraphAnn.oracle ++
+      HybridAnn.oracle
 }

@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.6 O5 (hybrid) — ANN top-k UNDER a scalar predicate, with the
+  * pre-/post-filter cost decision a vector index planner makes
+  * [U `index/sai/plan/Plan.java`, unverifiable per SURVEY §0 — re-derived
+  * from the public SAI design docs]:
+  *
+  *   - **pre-filter** (selective predicate): evaluate the predicate first —
+  *     a pushed-down parquet filter — and exact-score only the survivors.
+  *     Cost ~ n·sel scored rows; the plan is scan(pred) →
+  *     TakeOrderedAndProject, fully distributed, no index recall loss.
+  *   - **post-filter** (permissive predicate): generate ANN candidates
+  *     first (sign-bucket LSH prune, as `v2_knn_bucketed`), then apply the
+  *     predicate to the candidates. Cost ~ n/buckets scanned + ~k/sel
+  *     candidates consumed before k survivors; wins when sel is high
+  *     because it never scores the full corpus.
+  *
+  * The crossover is data-dependent, so the decision consumes statistics:
+  * corpus size from a column-less parquet count, predicate selectivity from
+  * a key-range probe (`vec_id < probeN` — pushed down, so at 100 TB it
+  * prunes to the first row groups; production would read catalog/column
+  * stats instead, same decision function). Both stats jobs are O(probe),
+  * not O(n) in bytes read. The decision itself ([[decide]]) is a pure
+  * function, unit-testable without Spark.
+  *
+  * Both paths are declared queries with DuckDB twins (the bucket prune is
+  * mirrored in SQL exactly as v2's), so the planner's BOTH arms stay
+  * hash-verified, approximation included.
+  */
+object HybridAnn {
+
+  /** Sign-bucket count of [[graft.functions.VectorFunctions.signBucket]]'s
+    * default 4 hyperplane bits. */
+  private val Buckets = 16
+
+  /** Statistics feeding the cost decision. */
+  case class AnnStats(rows: Long, selectivity: Double)
+
+  /** The planner's pure cost comparison: prefilter scores `n·sel` rows;
+    * postfilter scans one bucket (`n/buckets`) and consumes ~`k/sel`
+    * ANN-ordered candidates before k of them pass the predicate. Returns
+    * true when the pre-filter (exact) arm is the cheaper plan. */
+  def decide(k: Int, stats: AnnStats, buckets: Int = Buckets): Boolean = {
+    val sel = math.max(stats.selectivity, 1e-9)
+    val pre = stats.rows * sel
+    val post = stats.rows.toDouble / buckets + k / sel
+    pre <= post
+  }
+
+  /** Selectivity probe over a pushed-down key range — the catalog-stats
+    * stand-in (a real deployment reads column NDV/histograms; the fixture
+    * tables carry none). One tiny aggregate job: the `vec_id < probeN`
+    * predicate reaches the parquet scan, so only leading row groups are
+    * read regardless of corpus size. */
+  def probeStats(emb: DataFrame, pred: Column, probeN: Long = 100L): AnnStats = {
+    val r = emb.filter(col("vec_id") < probeN)
+      .agg(count(lit(1)).as("n"),
+        count(when(pred, lit(1))).as("m"))
+      .head()
+    val n = math.max(r.getLong(0), 1L)
+    val rows = emb.select(col("vec_id")).count() // column-pruned footer scan
+    AnnStats(rows, r.getLong(1).toDouble / n)
+  }
+
+  private def queryVec(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qvec"))
+
+  /** The pre-filter arm: predicate → exact top-k (TakeOrderedAndProject). */
+  def prefilterKnn(s: SparkSession, d: String, pred: Column, k: Int): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(pred)
+      .crossJoin(broadcast(queryVec(s, d)))
+      .select(col("vec_id"), col("label"),
+        round(cosineFast(col("embedding"), col("qvec")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+
+  /** The post-filter arm: sign-bucket ANN candidates → predicate → top-k.
+    * Candidate recall is the bucket's (single-probe; production multi-probes
+    * hamming-adjacent buckets when the filtered bucket runs short of k). */
+  def postfilterKnn(s: SparkSession, d: String, pred: Column, k: Int): DataFrame = {
+    val q = queryVec(s, d).withColumn("qbucket", signBucket(col("qvec")))
+    Tables.embeddings(s, d)
+      .withColumn("bucket", signBucket(col("embedding")))
+      .join(broadcast(q), col("bucket") === col("qbucket"))
+      .filter(pred)
+      .select(col("vec_id"), col("label"),
+        round(cosineFast(col("embedding"), col("qvec")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** End-to-end hybrid ANN: probe stats, decide, run the chosen arm. */
+  def knnHybrid(s: SparkSession, d: String, pred: Column, k: Int): DataFrame = {
+    val stats = probeStats(Tables.embeddings(s, d), pred)
+    if (decide(k, stats)) prefilterKnn(s, d, pred, k)
+    else postfilterKnn(s, d, pred, k)
+  }
+
+  /** V9: selective predicate (`label = 3`, ~10 %) — the planner must take
+    * the pre-filter arm, so the oracle is the exact filtered top-k. */
+  def v9_hybrid_prefilter(s: SparkSession, d: String): DataFrame =
+    knnHybrid(s, d, col("label") === 3, 10)
+
+  /** V10: permissive predicate (`label != 3`, ~90 %) — the planner must
+    * take the post-filter arm; the oracle mirrors the bucket prune. */
+  def v10_hybrid_postfilter(s: SparkSession, d: String): DataFrame =
+    knnHybrid(s, d, col("label") =!= 3, 10)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v9_hybrid_prefilter" -> (v9_hybrid_prefilter _),
+    "v10_hybrid_postfilter" -> (v10_hybrid_postfilter _),
+  )
+
+  private val cosSql =
+    "round(list_dot_product(v, qvec) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qvec, qvec))), 6)"
+
+  val oracle: Map[String, String] = Map(
+    "v9_hybrid_prefilter" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qvec FROM e WHERE vec_id = 0)
+        |SELECT vec_id, label, $cosSql AS cos_sim
+        |FROM e CROSS JOIN q WHERE label = 3
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "v10_hybrid_postfilter" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) +
+        |    (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) +
+        |    (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+        |  FROM embeddings),
+        |q AS (SELECT v AS qvec, bucket AS qbucket FROM e WHERE vec_id = 0)
+        |SELECT vec_id, label, $cosSql AS cos_sim
+        |FROM e JOIN q ON bucket = qbucket
+        |WHERE label != 3
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+  )
+}
