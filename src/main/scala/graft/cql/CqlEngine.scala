@@ -167,18 +167,64 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
     }
   }
 
+  private def isStringCol(t: CqlTable, name: String): Boolean =
+    t.df.schema.find(_.name.equalsIgnoreCase(name))
+      .exists(_.dataType == org.apache.spark.sql.types.StringType)
+
   /** Literal typed to its column (CQL bind values are typed; Spark's struct
     * comparison does not coerce). */
   private def typedLit(t: CqlTable, column: String, v: Any): Column =
     t.df.schema.find(_.name.equalsIgnoreCase(column))
       .map(f => lit(v).cast(f.dataType)).getOrElse(lit(v))
 
+  /** (lhs, rhs) for a predicate whose bound is a function literal:
+    * min/maxTimeuuid bounds compare in timeuuid order — (ticks, tail), NOT
+    * string order, which would sort by time_low and scramble the timeline —
+    * and toTimestamp bounds compare as timestamps. */
+  /** The uuid Column a min/maxTimeuuid literal builds (`ts` overrides the
+    * literal argument when the caller already resolved it). */
+  private def fnLitUuid(f: CqlFnLit, ts: Option[Column] = None): Column = {
+    import graft.functions.TimeuuidFunctions._
+    val arg = ts.getOrElse(lit(f.arg).cast("timestamp"))
+    f.fn match {
+      case "mintimeuuid" => minTimeuuid(arg)
+      case "maxtimeuuid" => maxTimeuuid(arg)
+      case other => throw new CqlInvalidQueryException(
+        s"$other is not a timeuuid constructor")
+    }
+  }
+
+  private def fnBound(p: ColumnPredicate, f: CqlFnLit): (Column, Column) = {
+    import graft.functions.TimeuuidFunctions._
+    f.fn match {
+      case "mintimeuuid" | "maxtimeuuid" =>
+        (timeuuidComparable(col(p.column)), timeuuidComparable(fnLitUuid(f)))
+      case "totimestamp" =>
+        (col(p.column).cast("timestamp"), lit(f.arg).cast("timestamp"))
+      case other =>
+        throw new CqlInvalidQueryException(s"unsupported function bound $other")
+    }
+  }
+
   private def predColumn(p: CqlPredicate, t: CqlTable): Column = p match {
     case p: ColumnPredicate =>
-      val base: Column =
-        if (p.isToken) CassandraModel.tokenOf(col(p.column)) else col(p.column)
-      def v: Column =
-        if (p.isToken) lit(p.values.head) else typedLit(t, p.column, p.values.head)
+      val fnLit = p.values.head match {
+        case f: CqlFnLit if !p.isToken &&
+            Set("=", "!=", "<", "<=", ">", ">=").contains(p.op) => Some(f)
+        case f: CqlFnLit => throw new CqlInvalidQueryException(
+          s"function bound ${f.fn} only supports ordered comparisons")
+        case _ => None
+      }
+      val base: Column = fnLit match {
+        case Some(f) => fnBound(p, f)._1
+        case None =>
+          if (p.isToken) CassandraModel.tokenOf(col(p.column)) else col(p.column)
+      }
+      def v: Column = fnLit match {
+        case Some(f) => fnBound(p, f)._2
+        case None =>
+          if (p.isToken) lit(p.values.head) else typedLit(t, p.column, p.values.head)
+      }
       p.op match {
         case "=" => base === v
         case "!=" => base =!= v
@@ -239,8 +285,36 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
         case "writetime" => maxWritetimeCol(t, colArg(0))
         case "ttl" => ttlCol(t, colArg(0))
         case "token" => CassandraModel.tokenOf(col(colArg(0)))
-        case "todate" => to_date(col(colArg(0)))
-        case "tounixtimestamp" => unix_millis(col(colArg(0)).cast("timestamp"))
+        // the TimeFcts family dispatches on the argument: a string COLUMN
+        // is a timeuuid (its embedded ticks are the time), a nested
+        // min/maxTimeuuid(…) likewise, anything else converts as a
+        // timestamp [U cql3/functions/TimeFcts.java]
+        case "todate" | "totimestamp" | "dateof" | "tounixtimestamp" |
+             "unixtimestampof" =>
+          import graft.functions.TimeuuidFunctions._
+          val ts = args.lift(0) match {
+            case Some(ColArg(n)) if isStringCol(t, n) =>
+              timeuuidToTimestamp(col(n))
+            case Some(ColArg(n)) => col(n).cast("timestamp")
+            case Some(LitArg(f: CqlFnLit)) =>
+              timeuuidToTimestamp(fnLitUuid(f))
+            case Some(LitArg(s: String)) => lit(s).cast("timestamp")
+            case other => throw new CqlInvalidQueryException(
+              s"$fn expects a timeuuid or timestamp, got $other")
+          }
+          fn.toLowerCase match {
+            case "todate" => to_date(ts)
+            case "tounixtimestamp" | "unixtimestampof" => unix_millis(ts)
+            case _ => ts
+          }
+        case "mintimeuuid" | "maxtimeuuid" =>
+          val arg = args.lift(0) match {
+            case Some(ColArg(n)) => col(n).cast("timestamp")
+            case Some(LitArg(s: String)) => lit(s).cast("timestamp")
+            case other => throw new CqlInvalidQueryException(
+              s"$fn expects a timestamp, got $other")
+          }
+          fnLitUuid(CqlFnLit(fn.toLowerCase, null), Some(arg))
         // Cassandra 5.0 vector-score functions (cql3/functions/VectorFcts
         // [U]) — resolved through the session-registered graft expressions
         // (GraftExtensions), so they stay codegen'd

@@ -459,7 +459,8 @@ object CqlParser {
               t.headOption.exists(_.isDigit) ||
               (t.length > 1 && t.startsWith("-")) ||
               t.equalsIgnoreCase("true") || t.equalsIgnoreCase("false") ||
-              t.equalsIgnoreCase("null")
+              t.equalsIgnoreCase("null") ||
+              (literalFns(t.toLowerCase) && c.peekAt(1) == "(") // nested fn
             if (isLit) LitArg(parseValue(c)) else ColArg(c.next())
           }
         args = args :+ one()
@@ -519,12 +520,21 @@ object CqlParser {
     }
   }
 
+  /** Functions accepted in literal position (predicate bounds). */
+  private val literalFns = Set("mintimeuuid", "maxtimeuuid", "totimestamp")
+
   private def parseLiteral(c: Cursor): Any = {
     val t = c.next()
     if (t == "-") parseLiteral(c) match { // unary minus (own token, see tokenRe)
       case l: Long => -l
       case d: Double => -d
       case other => throw new CqlInvalidQueryException(s"cannot negate $other")
+    }
+    else if (literalFns(t.toLowerCase) && c.peekIs("(")) {
+      c.expect("(")
+      val arg = parseLiteral(c)
+      c.expect(")")
+      CqlFnLit(t.toLowerCase, arg)
     }
     else if (t.startsWith("'")) t.substring(1, t.length - 1).replace("''", "'")
     else if (t.equalsIgnoreCase("true")) true

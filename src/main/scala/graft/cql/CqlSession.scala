@@ -12,6 +12,12 @@ case class CqlList(items: Seq[Any])
 case class CqlSetLit(items: Seq[Any])
 case class CqlMapLit(entries: Seq[(Any, Any)])
 
+/** A whitelisted function call in literal position — `minTimeuuid('…')` /
+  * `maxTimeuuid('…')` / `toTimestamp('…')` as a predicate bound (upstream
+  * `cql3/functions/TimeFcts.java` [U]; the classic
+  * `WHERE id > maxTimeuuid('2013-01-01')` time-slice idiom). */
+case class CqlFnLit(fn: String, arg: Any)
+
 /** Right-hand side of a SET assignment (upstream `cql3/Operation.java` [U]). */
 sealed trait CqlAssign
 case class CqlAssignValue(v: Any) extends CqlAssign

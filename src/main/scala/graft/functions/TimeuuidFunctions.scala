@@ -54,4 +54,15 @@ object TimeuuidFunctions {
   /** CQL `unixTimestampOf(timeuuid)` — epoch millis. */
   def unixTimestampOf(u: Column): Column =
     idiv(timeuuidTicks(u) - GregorianOffset, 10000L)
+
+  /** Timeuuid ORDER key: (60-bit ticks, clockseq+node hex tail) — upstream
+    * compares v1 uuids by embedded time first, then the remaining bytes
+    * (`TimeUUIDType.compareTo` [U]); plain string order would sort by
+    * time_low first and scramble the timeline. The tail's lexicographic hex
+    * order matches its unsigned byte order (fixed-width lowercase hex), and
+    * all RFC-4122 v1 uuids carry variant bits 10xx, so minTimeuuid's 8000…
+    * and maxTimeuuid's bfff… tails bracket every real uuid at that tick. */
+  def timeuuidComparable(u: Column): Column =
+    struct(timeuuidTicks(u).as("t"),
+      concat(substring(u, 20, 4), substring(u, 25, 12)).as("tail"))
 }

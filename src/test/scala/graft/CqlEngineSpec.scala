@@ -202,4 +202,61 @@ class CqlEngineSpec extends SparkSpec {
     }
     assert(e.getMessage.toLowerCase.contains("limit"))
   }
+
+  // -- TimeFcts family ------------------------------------------------------
+
+  private def timeuuidSession = {
+    import graft.cql.CqlSession
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE tl (day text, ev timeuuid, what text, PRIMARY KEY (day, ev))")
+    // three v1 uuids one hour apart on the timeline, written out of order
+    def uuidAt(ts: String) = spark.range(1)
+      .select(graft.functions.TimeuuidFunctions
+        .minTimeuuid(lit(ts).cast("timestamp"))).head().getString(0)
+    Seq("2024-03-01 10:00:00" -> "b", "2024-03-01 09:00:00" -> "a",
+        "2024-03-01 11:00:00" -> "c").foreach { case (ts, w) =>
+      s.execute(s"INSERT INTO tl (day, ev, what) VALUES ('d1', '${uuidAt(ts)}', '$w')")
+    }
+    s
+  }
+
+  test("toTimestamp/dateOf/unixTimestampOf selectors decode a timeuuid column") {
+    val s = timeuuidSession
+    val r = s.execute(
+      "SELECT what, toTimestamp(ev) AS ts, toDate(ev) AS d, unixTimestampOf(ev) AS ms " +
+        "FROM tl WHERE day = 'd1' AND what = 'a' ALLOW FILTERING").head()
+    assert(r.getTimestamp(1).toString === "2024-03-01 09:00:00.0")
+    assert(r.getDate(2).toString === "2024-03-01")
+    assert(r.getLong(3) === java.sql.Timestamp.valueOf("2024-03-01 09:00:00").getTime)
+  }
+
+  test("minTimeuuid/maxTimeuuid predicate bounds slice the timeline in time order") {
+    val s = timeuuidSession
+    def whats(cql: String) = s.execute(cql).collect().map(_.getString(0)).toSeq
+    assert(whats("SELECT what FROM tl WHERE day = 'd1' " +
+      "AND ev > maxTimeuuid('2024-03-01 09:30:00') ORDER BY ev") === Seq("b", "c"))
+    assert(whats("SELECT what FROM tl WHERE day = 'd1' " +
+      "AND ev >= minTimeuuid('2024-03-01 10:00:00') " +
+      "AND ev <= maxTimeuuid('2024-03-01 10:59:59') ORDER BY ev") === Seq("b"),
+      "minTimeuuid >= includes the uuid AT the bound; maxTimeuuid <= caps it")
+    assert(whats("SELECT what FROM tl WHERE day = 'd1' " +
+      "AND ev < minTimeuuid('2024-03-01 09:00:00') ORDER BY ev") === Seq(),
+      "nothing precedes the minimal uuid of the earliest tick")
+  }
+
+  test("minTimeuuid selector emits a v1 uuid whose ticks round-trip") {
+    val s = timeuuidSession
+    val r = s.execute(
+      "SELECT toTimestamp(minTimeuuid('2024-06-01 12:00:00')) AS ts " +
+        "FROM tl WHERE day = 'd1' LIMIT 1").head()
+    assert(r.getTimestamp(0).toString === "2024-06-01 12:00:00.0")
+  }
+
+  test("function bounds reject non-ordered operators") {
+    val s = timeuuidSession
+    intercept[CqlInvalidQueryException] {
+      s.execute("SELECT what FROM tl WHERE day = 'd1' " +
+        "AND ev IN (minTimeuuid('2024-03-01 09:00:00')) ALLOW FILTERING")
+    }
+  }
 }
