@@ -173,7 +173,50 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** X9: language-balanced stratified sampling — downsample the dominant
+    * language hard (10 %), keep the tail languages dense (50 %): the class
+    * re-balancing step of a multilingual training mix. Same deterministic
+    * md5-split convention as x6 (reproducible across runs AND engines, no
+    * RNG), so the per-stratum rates are exact set membership, not
+    * expectation. One aggregate shuffle on the stratum key. */
+  def x9_stratified(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100)
+      .withColumn("rate", when(col("lang") === "en", 10L).otherwise(50L))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("h") < col("rate"), lit(1))).as("n_sampled"),
+        min(col("rate")).as("rate_pct"))
+      .orderBy("lang")
+
+  /** X10: sequence packing — assign documents to fixed token-budget bins
+    * (the batch-construction step before training: pack short docs together
+    * so no context window is wasted). Deterministic offset packing: docs
+    * are laid out in doc_id order per source; a doc's bin is its cumulative
+    * START offset `div` the budget (a doc may straddle its bin's end — the
+    * overflow-tolerant packing production schedulers use, since true
+    * first-fit is inherently sequential). ONE shuffle: the window and the
+    * final aggregate share the `source` partitioning; at 100 TB the source
+    * partitions pack independently and in parallel. */
+  def x10_pack(s: SparkSession, d: String): DataFrame = {
+    val budget = 512L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("bin",
+        ((sum(col("n_tok")).over(w) - col("n_tok")) / budget).cast("long"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+      .orderBy("source", "bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x9_stratified" -> (x9_stratified _),
+    "x10_pack" -> (x10_pack _),
     "x1_langid" -> (x1_langid _),
     "x6_sample" -> (x6_sample _),
     "x7_chunks" -> (x7_chunks _),
@@ -185,6 +228,22 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "x9_stratified" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  count(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        |             < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END) THEN 1 END) AS n_sampled,
+        |  cast(min(CASE WHEN lang = 'en' THEN 10 ELSE 50 END) AS bigint) AS rate_pct
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "x10_pack" ->
+      """SELECT source, cast((cum - n_tok) // 512 AS bigint) AS bin,
+        |  count(*) AS n_docs, cast(sum(n_tok) AS bigint) AS sum_tokens
+        |FROM (
+        |  SELECT source, doc_id,
+        |    len(string_split(lower(text),' '))::BIGINT AS n_tok,
+        |    sum(len(string_split(lower(text),' '))::BIGINT)
+        |      OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        |  FROM documents)
+        |GROUP BY source, bin ORDER BY source, bin""".stripMargin,
     "x6_sample" ->
       """SELECT event_type, count(*) AS n_sampled,
         |  cast(sum(event_id) AS bigint) AS sum_ids

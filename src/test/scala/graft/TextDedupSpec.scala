@@ -68,4 +68,30 @@ class TextDedupSpec extends SparkSpec {
     val langs = out1.map(_.getString(0)).toSet
     assert(langs === Set("en", "es", "fr", "de", "zh"))
   }
+
+  test("stratified sampling hits ~10% on the dominant stratum, ~50% on the tail") {
+    val rows = TextQueries.x9_stratified(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (enDocs, enSampled, enRate) = rows("en")
+    assert(enRate === 10L && rows("es")._3 === 50L)
+    // md5-hash membership is a fixed set, not an expectation — bounds are
+    // loose only because strata are small at spec scale
+    assert(enSampled * 100 >= enDocs * 2 && enSampled * 100 <= enDocs * 25,
+      s"en sampled $enSampled of $enDocs at 10%")
+    rows.values.foreach { case (n, m, _) => assert(m <= n) }
+  }
+
+  test("sequence packing: bins are budget-aligned and partition the corpus") {
+    val docs = Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    val out = TextQueries.x10_pack(spark, sf).collect()
+    assert(out.map(_.getLong(2)).sum === nDocs, "every doc lands in one bin")
+    // each source's bins are contiguous from 0, and a bin's START offset is
+    // below its window end by construction (offset packing)
+    out.groupBy(_.getString(0)).foreach { case (src, bins) =>
+      val ids = bins.map(_.getLong(1)).sorted
+      assert(ids.head === 0L, s"$src bins start at 0")
+      assert(ids === (0L until ids.length).toSeq, s"$src bins are contiguous")
+    }
+  }
 }
