@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Add, Divide, Expression,
   ExpressionInfo, Literal, Multiply, Remainder}
 import graft.functions.expressions.{CosineSimilarity, DotProduct,
-  EuclideanDistance, Murmur3Token}
+  EuclideanDistance, Md5Prefix64, Murmur3Token}
 
 /** SQL-surface registration of the engine's native functions via the public
   * `SparkSessionExtensions` hook — enable with
@@ -25,6 +25,9 @@ import graft.functions.expressions.{CosineSimilarity, DotProduct,
   *    via (1+cos)/2, (1+dot)/2, 1/(1+d²).
   *  - `graft_token` — the engine's oracle-able ring token (P3).
   *  - `murmur3_token` — Cassandra-exact Murmur3 x64_128 ring token.
+  *  - `md5_prefix64` — the sketch pipelines' shared 60-bit token hash
+  *    (first 15 hex chars of md5 as BIGINT; DuckDB twin
+  *    `('0x'||substr(md5(s),1,15))::BIGINT`), digest-bytes→long.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -70,5 +73,6 @@ object GraftExtensions {
         Literal(2147483647L))
     }),
     fn("murmur3_token", a => Murmur3Token(arity("murmur3_token", 1)(a)(0))),
+    fn("md5_prefix64", a => Md5Prefix64(arity("md5_prefix64", 1)(a)(0))),
   )
 }

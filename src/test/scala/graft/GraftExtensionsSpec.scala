@@ -73,6 +73,16 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("cosine_sim"))
   }
 
+  test("md5_prefix64 resolves in spark.sql and matches the builtin md5 chain") {
+    import spark.implicits._
+    Seq("alpha", "beta", "", "日本語").toDF("s").createOrReplaceTempView("mt")
+    val rows = spark.sql(
+      "SELECT md5_prefix64(s) AS fast, " +
+        "cast(conv(substring(md5(s), 1, 15), 16, 10) AS bigint) AS slow FROM mt")
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("config-string activation path: spark.sql.extensions=graft.GraftExtensions") {
     // A brand-new session in the same JVM picks the extension up from config
     // alone (how a cluster deployment enables it — no code changes).
