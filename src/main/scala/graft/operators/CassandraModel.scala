@@ -370,6 +370,60 @@ object CassandraModel {
         col("_writetime"))
       .orderBy("pk")
 
+  /** Partition-tombstone shadowing for a CLUSTERED log (upstream
+    * `DeletionTime` partition-level deletion [U]): a `_deleted` row whose
+    * clustering keys are all null tombstones its whole partition — every
+    * strictly-older cell (any clustering, regular or not) is shadowed;
+    * newer writes survive (zombie rule). Returns the log with shadowed
+    * cells and the tombstone rows themselves removed, ready for
+    * [[reconcileView]] keyed by the full primary key. One window keyed by
+    * the partition key — at scale it shares the reconcile's exchange when
+    * the log is pre-bucketed by pk. The CQL façade's read path
+    * (`CqlSession.view`) applies this same algebra inline. */
+  def shadowPartitionTombstones(log: DataFrame, pkCols: Seq[String],
+      ckCols: Seq[String]): DataFrame = {
+    val ckNull = ckCols.map(col(_).isNull).reduce(_ && _)
+    val w = Window.partitionBy(pkCols.map(col): _*)
+    val ptWt = max(when(col("_deleted") && ckNull, col("_writetime"))).over(w)
+    log.withColumn("_pt_wt", ptWt)
+      .filter(col("_pt_wt").isNull || col("_writetime") > col("_pt_wt"))
+      .drop("_pt_wt")
+      .filter(ckCols.map(col(_).isNotNull).reduce(_ && _))
+  }
+
+  /** A clustered log for the partition-tombstone query: every lineitem row
+    * written at t=10; partitions `pk % 13 = 0` partition-deleted at t=20;
+    * rows `(pk % 26 = 0, ck = 1)` re-written (+100) at t=30 — so the view
+    * must drop the 13-partitions except the t=30 zombies-that-aren't. */
+  def partitionLog(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).filter(col("l_orderkey") < 300)
+    val w0 = li.select(col("l_orderkey").as("pk"),
+      col("l_linenumber").cast("long").as("ck"),
+      col("l_quantity").as("qty"),
+      lit(10L).as("_writetime"), lit(false).as("_deleted"))
+    val pt = Tables.orders(s, d)
+      .filter(col("o_orderkey") < 300 && col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey").as("pk"), lit(null).cast("long").as("ck"),
+        lit(null).cast("double").as("qty"),
+        lit(20L).as("_writetime"), lit(true).as("_deleted"))
+    val w1 = li.filter(col("l_orderkey") % 26 === 0 && col("l_linenumber") === 1)
+      .select(col("l_orderkey").as("pk"),
+        col("l_linenumber").cast("long").as("ck"),
+        (col("l_quantity") + 100d).as("qty"),
+        lit(30L).as("_writetime"), lit(false).as("_deleted"))
+    w0.unionByName(pt).unionByName(w1)
+  }
+
+  /** C10: partition tombstones over a clustered log — the §2.12 delete
+    * granularity between row and table. Fully oracled: the shadow window +
+    * latest-wins reconcile are both plain SQL. */
+  def c10_partition_tombstone(s: SparkSession, d: String): DataFrame =
+    reconcileView(shadowPartitionTombstones(
+        partitionLog(s, d), Seq("pk"), Seq("ck")),
+      Seq("pk", "ck"), Seq("qty"))
+      .select(col("pk"), col("ck"), col("qty"), col("_writetime"))
+      .orderBy("pk", "ck")
+
   /** C8: Thrift multiget_slice (§2.10): pk IN (…) + per-partition slice
     * limit 2 in clustering order. */
   def c8_multiget_slice(s: SparkSession, d: String): DataFrame = {
@@ -392,6 +446,7 @@ object CassandraModel {
     "c7_mv_daily_revenue" -> (c7_mv_daily_revenue _),
     "c8_multiget_slice" -> (c8_multiget_slice _),
     "c9_reconcile" -> (c9_reconcile _),
+    "c10_partition_tombstone" -> (c10_partition_tombstone _),
   )
 
   private val logCte = s"WITH ulog AS (${upsertLogSql.replace("\n", " ")})"
@@ -460,5 +515,35 @@ object CassandraModel {
         |    ORDER BY l_linenumber) AS rn
         |  FROM lineitem WHERE l_orderkey IN (1, 7, 32, 69, 134))
         |WHERE rn <= 2 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "c10_partition_tombstone" ->
+      """WITH plog AS (
+        |  SELECT l_orderkey AS pk, CAST(l_linenumber AS BIGINT) AS ck,
+        |    l_quantity AS qty, 10 AS _writetime, false AS _deleted
+        |  FROM lineitem WHERE l_orderkey < 300
+        |  UNION ALL
+        |  SELECT o_orderkey, NULL, NULL, 20, true
+        |  FROM orders WHERE o_orderkey < 300 AND o_orderkey % 13 = 0
+        |  UNION ALL
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT), l_quantity + 100,
+        |    30, false
+        |  FROM lineitem
+        |  WHERE l_orderkey < 300 AND l_orderkey % 26 = 0 AND l_linenumber = 1),
+        |pt AS (SELECT pk, max(_writetime) AS ptw FROM plog
+        |       WHERE _deleted AND ck IS NULL GROUP BY pk),
+        |live AS (
+        |  SELECT p.pk, p.ck, p.qty, p._writetime
+        |  FROM plog p LEFT JOIN pt ON p.pk = pt.pk
+        |  WHERE p.ck IS NOT NULL AND NOT p._deleted
+        |    AND (pt.ptw IS NULL OR p._writetime > pt.ptw)),
+        |-- (writetime, value) winner: the fixture's lineitem repeats
+        |-- (pk, ck), so equal-writetime ties are real — the reconcile
+        |-- tie-breaks on the greater VALUE, mirrored here
+        |live2 AS (
+        |  SELECT *, max(_writetime) OVER (PARTITION BY pk, ck) AS maxwt
+        |  FROM live)
+        |SELECT pk, ck,
+        |  max(CASE WHEN _writetime = maxwt THEN qty END) AS qty,
+        |  cast(max(_writetime) AS bigint) AS _writetime
+        |FROM live2 GROUP BY pk, ck ORDER BY pk, ck""".stripMargin,
   )
 }

@@ -44,6 +44,27 @@ class CassandraModelSpec extends SparkSpec {
     assert(compacted.exceptAll(view.select(compacted.columns.map(col): _*)).count() === 0)
   }
 
+  test("partition tombstones drop whole partitions except strictly-newer writes") {
+    val view = c10_partition_tombstone(spark, sf).collect()
+    val byPk = view.groupBy(_.getLong(0))
+    // a 13-but-not-26 partition is fully gone; a 26-partition keeps ONLY
+    // its t=30 rewrite of ck=1; everything else is intact at t=10
+    byPk.foreach { case (pk, rows) =>
+      if (pk % 26 == 0) {
+        assert(rows.map(_.getLong(1)).toSeq === Seq(1L), s"pk=$pk")
+        assert(rows.head.getLong(3) === 30L, "the post-tombstone write survives")
+      } else {
+        assert(pk % 13 != 0L, s"pk=$pk should be tombstoned away")
+        assert(rows.forall(_.getLong(3) === 10L))
+      }
+    }
+    assert(byPk.keySet.exists(pk => pk % 26 == 0), "zombie-rule case present")
+    assert(Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") < 300 && col("l_orderkey") % 13 === 0 &&
+        col("l_orderkey") % 26 =!= 0)
+      .count() > 0, "fully-deleted-partition case present in the fixture")
+  }
+
   test("tokenOf is stable, non-negative, and bounded to 31 bits") {
     val toks = Tables.orders(spark, sf)
       .select(tokenOf(col("o_orderkey")).as("t"))
