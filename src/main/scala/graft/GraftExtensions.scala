@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Add, Divide, Expression,
   ExpressionInfo, Literal, Multiply, Remainder}
 import graft.functions.expressions.{CosineSimilarity, DotProduct,
-  EuclideanDistance, Md5Prefix64, Murmur3Token}
+  EuclideanDistance, Md5Prefix64, Murmur3Token, QuantizeInt8}
 
 /** SQL-surface registration of the engine's native functions via the public
   * `SparkSessionExtensions` hook — enable with
@@ -74,5 +74,6 @@ object GraftExtensions {
     }),
     fn("murmur3_token", a => Murmur3Token(arity("murmur3_token", 1)(a)(0))),
     fn("md5_prefix64", a => Md5Prefix64(arity("md5_prefix64", 1)(a)(0))),
+    fn("quantize_int8", a => QuantizeInt8(arity("quantize_int8", 1)(a)(0))),
   )
 }

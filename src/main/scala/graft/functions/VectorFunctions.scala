@@ -35,6 +35,13 @@ object VectorFunctions {
       GraftShim.expression(a), GraftShim.expression(b)))
   }
 
+  /** Codegen'd one-pass per-vector int8 quantization (see
+    * [[expressions.QuantizeInt8]]); replaces three interpreted HOF passes. */
+  def quantizeInt8(v: Column): Column = {
+    import org.apache.spark.sql.GraftShim
+    GraftShim.column(expressions.QuantizeInt8(GraftShim.expression(v)))
+  }
+
   /** Codegen'd single-pass dot product over `array<float>`. */
   def dotFast(a: Column, b: Column): Column = {
     import org.apache.spark.sql.GraftShim

@@ -132,10 +132,9 @@ object VectorQueries {
     * in the DuckDB twin's doubles — so the whole approximate pipeline is
     * hash-verified, approximation included. */
   def v8_knn_int8(s: SparkSession, d: String): DataFrame = {
-    def quant(v: Column): Column = {
-      val scale = lit(127.0) / array_max(transform(v, x => abs(x.cast("double"))))
-      transform(v, x => round(x.cast("double") * scale, 0).cast("float"))
-    }
+    // codegen'd one-pass quantizer — bit-identical to the HOF chain
+    // (QuantizeSpec), which ran three interpreted passes per vector
+    def quant(v: Column): Column = quantizeInt8(v)
     val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
       .select(quant(col("embedding")).as("qvec"))
     Tables.embeddings(s, d)

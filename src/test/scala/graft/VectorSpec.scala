@@ -79,4 +79,23 @@ class VectorSpec extends SparkSpec {
     assert(d0.getLong(0) === 0L)
     assert(d0.getDouble(1) === 0.0)
   }
+
+  test("quantizeInt8 is bit-identical to the builtin HOF quantization chain") {
+    import graft.functions.VectorFunctions.quantizeInt8
+    def hofQuant(v: org.apache.spark.sql.Column) = {
+      val scale = lit(127.0) / array_max(transform(v, x => abs(x.cast("double"))))
+      transform(v, x => round(x.cast("double") * scale, 0).cast("float"))
+    }
+    val diff = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), quantizeInt8(col("embedding")).as("fast"),
+        hofQuant(col("embedding")).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(diff.count() === 0)
+    // round-half-away ties and null elements, pinned explicitly
+    import spark.implicits._
+    val edge = Seq(Seq(Some(63.5f), Some(-63.5f), None, Some(127.0f)))
+      .toDF("v").select(quantizeInt8(col("v").cast("array<float>")))
+      .head().getSeq[Any](0)
+    assert(edge === Seq(64.0f, -64.0f, null, 127.0f))
+  }
 }
