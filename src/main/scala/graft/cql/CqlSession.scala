@@ -173,23 +173,28 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   def view(table: String, nowUs: Option[Long] = None): DataFrame = {
     val t = tableState(table)
     val lg = {
-      val lg0 = log(t)
-      if (t.clusteringKeys.isEmpty) lg0
-      else {
-        // Partition tombstones (row deletes with null clustering keys)
-        // shadow every OLDER cell of their partition — regular and static
-        // alike (upstream `DeletionTime` partition-level deletion [U]).
-        // The tombstone row itself is dropped too (wt > wt is false), so
-        // downstream reconciles see only surviving cells. The window keys
-        // by partition key — at scale one extra exchange that AQE shares
-        // with the static reconcile below.
-        val ckNull = t.clusteringKeys.map(col(_).isNull).reduce(_ && _)
-        val w = Window.partitionBy(t.partitionKeys.map(col): _*)
-        val ptWt =
-          max(when(col("_deleted") && ckNull, col("_writetime"))).over(w)
-        lg0.withColumn("_pt_wt", ptWt)
-          .filter(col("_pt_wt").isNull || col("_writetime") > col("_pt_wt"))
-          .drop("_pt_wt")
+      // Partition and range tombstones (row deletes with a null clustering
+      // SUFFIX) shadow every strictly-older cell under their prefix
+      // (upstream `DeletionTime` / `RangeTombstone` [U]). One window per
+      // prefix length k: tombstones with exactly k clustering keys set
+      // shadow within their (pk, ck1..ckk) group; each tombstone row dies
+      // in its own fold (wt > wt is false), so downstream reconciles see
+      // only surviving cells. Static rows (all-null clustering) sit in the
+      // null groups of k ≥ 1 windows, where no such tombstone can exist —
+      // so ONLY the k=0 (partition) tombstone shadows statics, as
+      // upstream. Clustering depth is schema-bounded (≤3 in practice), so
+      // this is a fixed, small number of same-keyed windows.
+      (0 until math.max(t.clusteringKeys.size, 0)).foldLeft(log(t)) { (cur, k) =>
+        val setCks = t.clusteringKeys.take(k)
+        val nullCks = t.clusteringKeys.drop(k)
+        val isTomb = (col("_deleted") +: (
+          setCks.map(col(_).isNotNull) ++ nullCks.map(col(_).isNull)))
+          .reduce(_ && _)
+        val w = Window.partitionBy((t.partitionKeys ++ setCks).map(col): _*)
+        val wt = max(when(isTomb, col("_writetime"))).over(w)
+        cur.withColumn("_rt_wt", wt)
+          .filter(col("_rt_wt").isNull || col("_writetime") > col("_rt_wt"))
+          .drop("_rt_wt")
       }
     }
     val regular = dataCols(t)
@@ -207,7 +212,10 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       val st = CassandraModel.reconcileView(
           lg.filter(!col("_deleted")), t.partitionKeys, t.staticKeys, nowUs)
         .drop("_writetime")
-      reg.join(st, t.partitionKeys, "left")
+      // FULL outer: a partition whose rows are all gone but whose static
+      // cell lives still answers with one "phantom" row of null clustering
+      // and regular columns (upstream static-row semantics)
+      reg.join(st, t.partitionKeys, "full")
     }
   }
 
@@ -532,20 +540,28 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       .filterNot(c => keys.exists(_.equalsIgnoreCase(c)))
     val staticOnly = t.staticKeys.nonEmpty && written.nonEmpty &&
       written.forall(c => t.staticKeys.exists(_.equalsIgnoreCase(c)))
-    // `DELETE FROM t WHERE <partition key only>` is a PARTITION delete
-    // (upstream `cql3/statements/DeleteStatement` [U]): one tombstone with
-    // null clustering keys that shadows every older row AND static cell of
-    // the partition — see the `view` read path. A partial clustering
-    // restriction (range tombstone) is rejected by the required-key check.
+    // `DELETE FROM t WHERE <partition key [+ clustering prefix]>` is a
+    // PARTITION (no clustering restricted) or RANGE (proper contiguous
+    // prefix) delete (upstream `cql3/statements/DeleteStatement` [U]): one
+    // tombstone with null trailing clustering keys that shadows every
+    // older row under that prefix — and, for partition deletes only, the
+    // partition's static cells too. See the `view` read path. A GAPPED
+    // clustering restriction is rejected by the required-key check.
     def restricted(k: String) =
       cells.exists(x => x._1.equalsIgnoreCase(k) && x._2.isDefined)
-    val partitionDelete = (dml match {
+    val restrictedCks = t.clusteringKeys.filter(restricted)
+    val rangeDelete = (dml match {
       case d: CqlDelete => d.columns.isEmpty
       case _ => false
     }) && t.clusteringKeys.nonEmpty &&
-      t.partitionKeys.forall(restricted) && !t.clusteringKeys.exists(restricted)
+      t.partitionKeys.forall(restricted) &&
+      restrictedCks.size < t.clusteringKeys.size &&
+      t.clusteringKeys.take(restrictedCks.size)
+        .map(_.toLowerCase) == restrictedCks.map(_.toLowerCase)
     val required =
-      if (staticOnly || partitionDelete) t.partitionKeys else keys
+      if (staticOnly) t.partitionKeys
+      else if (rangeDelete) t.partitionKeys ++ restrictedCks
+      else keys
     required.foreach { k =>
       if (!cells.exists(x => x._1.equalsIgnoreCase(k) && x._2.isDefined))
         throw new CqlInvalidQueryException(

@@ -421,6 +421,61 @@ class CqlSessionSpec extends SparkSpec {
     assert(back === Seq((3L, 30L, None)), "static cell did not zombie back")
   }
 
+  test("range tombstone: a clustering-prefix DELETE drops the slice, not the partition") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE rt (pk bigint, c1 text, c2 bigint, v text, " +
+      "PRIMARY KEY (pk, c1, c2))")
+    Seq(("a", 1L, "a1"), ("a", 2L, "a2"), ("b", 1L, "b1")).foreach { case (c1, c2, v) =>
+      s.execute(s"INSERT INTO rt (pk, c1, c2, v) VALUES (1, '$c1', $c2, '$v')")
+    }
+    s.execute("DELETE FROM rt WHERE pk = 1 AND c1 = 'a'")
+    def vs = s.execute("SELECT v FROM rt WHERE pk = 1 ORDER BY c1, c2")
+      .collect().map(_.getString(0)).toSeq
+    assert(vs === Seq("b1"), "the 'a' slice is gone, 'b' survives")
+    // a write stamped after the range tombstone survives it (zombie rule)
+    s.execute("INSERT INTO rt (pk, c1, c2, v) VALUES (1, 'a', 3, 'a3')")
+    assert(vs === Seq("a3", "b1"))
+  }
+
+  test("range tombstones at different prefix depths compose with partition deletes") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE rt2 (pk bigint, c1 bigint, c2 bigint, v bigint, " +
+      "PRIMARY KEY (pk, c1, c2))")
+    s.execute("INSERT INTO rt2 (pk, c1, c2, v) VALUES (1, 1, 1, 10) USING TIMESTAMP 10")
+    s.execute("INSERT INTO rt2 (pk, c1, c2, v) VALUES (1, 2, 1, 20) USING TIMESTAMP 10")
+    s.execute("DELETE FROM rt2 USING TIMESTAMP 20 WHERE pk = 1 AND c1 = 1") // range
+    s.execute("INSERT INTO rt2 (pk, c1, c2, v) VALUES (1, 1, 2, 11) USING TIMESTAMP 30")
+    s.execute("DELETE FROM rt2 USING TIMESTAMP 25 WHERE pk = 1")            // partition
+    val left = s.execute("SELECT c1, c2, v FROM rt2 WHERE pk = 1 ORDER BY c1, c2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(left === Seq((1L, 2L, 11L)),
+      "t=30 write outlives BOTH the t=20 range and t=25 partition tombstones")
+  }
+
+  test("gapped clustering restriction on DELETE is rejected") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE rt3 (pk bigint, c1 bigint, c2 bigint, v bigint, " +
+      "PRIMARY KEY (pk, c1, c2))")
+    val e = intercept[CqlInvalidQueryException] {
+      s.execute("DELETE FROM rt3 WHERE pk = 1 AND c2 = 5")
+    }
+    assert(e.getMessage.contains("c1"))
+  }
+
+  test("range tombstones do NOT shadow static cells; partition tombstones do") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE rs (pk bigint, ck bigint, v bigint, st bigint STATIC, " +
+      "PRIMARY KEY (pk, ck))")
+    s.execute("INSERT INTO rs (pk, ck, v, st) VALUES (1, 1, 10, 99)")
+    s.execute("DELETE FROM rs WHERE pk = 1 AND ck = 1") // row delete (full key)
+    val afterRow = s.execute("SELECT st FROM rs WHERE pk = 1").collect()
+    assert(afterRow.map(_.getLong(0)).toSeq === Seq(99L),
+      "static survives the row delete (phantom static row)")
+    s.execute("DELETE FROM rs WHERE pk = 1")
+    assert(s.execute("SELECT st FROM rs WHERE pk = 1").collect().isEmpty,
+      "partition delete kills the static cell")
+  }
+
   test("a write that provides no cells still needs the full primary key") {
     val s = staticSession
     intercept[CqlInvalidQueryException] { // bare-marker INSERT addresses a ROW
