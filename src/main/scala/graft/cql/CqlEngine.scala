@@ -38,8 +38,10 @@ class CqlInvalidQueryException(msg: String) extends RuntimeException(msg)
   */
 class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
 
-  def execute(cql: String): DataFrame = {
-    val sel = CqlParser.parse(cql)
+  def execute(cql: String): DataFrame = execute(CqlParser.parse(cql))
+
+  /** Run an already-parsed (e.g. prepared-and-bound) SELECT. */
+  private[cql] def execute(sel: CqlSelect): DataFrame = {
     val table = catalog.getOrElse(sel.table.toLowerCase,
       throw new CqlInvalidQueryException(s"unknown table ${sel.table}"))
     validate(sel, table)

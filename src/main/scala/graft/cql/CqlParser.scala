@@ -50,7 +50,7 @@ object CqlParser {
   // (Lexing '-5' as one literal made 'SET c=c-5' — no spaces — miss the
   // counter-decrement pattern and crash in parseLiteral instead.)
   private val tokenRe =
-    """\s*(?:('(?:[^']|'')*')|(\d+\.\d+(?:[eE][-+]?\d+)?)|(\d+)|([A-Za-z_][A-Za-z0-9_]*)|(<=|>=|!=|[=<>(),*\[\]{}:;+.-]))""".r
+    """\s*(?:('(?:[^']|'')*')|(\d+\.\d+(?:[eE][-+]?\d+)?)|(\d+)|([A-Za-z_][A-Za-z0-9_]*)|(<=|>=|!=|[=<>(),*\[\]{}:;+.?-]))""".r
 
   private def tokenize(s: String): Vector[String] = {
     var rest = s.trim
@@ -530,6 +530,7 @@ object CqlParser {
       case d: Double => -d
       case other => throw new CqlInvalidQueryException(s"cannot negate $other")
     }
+    else if (t == "?") CqlBindMarker // prepared-statement positional bind
     else if (literalFns(t.toLowerCase) && c.peekIs("(")) {
       c.expect("(")
       val arg = parseLiteral(c)

@@ -18,6 +18,11 @@ case class CqlMapLit(entries: Seq[(Any, Any)])
   * `WHERE id > maxTimeuuid('2013-01-01')` time-slice idiom). */
 case class CqlFnLit(fn: String, arg: Any)
 
+/** A `?` bind marker in literal position (upstream prepared statements,
+  * `cql3/QueryProcessor` [U]). Positional: values bind in the order the
+  * markers appear in the statement text. */
+case object CqlBindMarker
+
 /** Right-hand side of a SET assignment (upstream `cql3/Operation.java` [U]). */
 sealed trait CqlAssign
 case class CqlAssignValue(v: Any) extends CqlAssign
@@ -225,25 +230,48 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   def executeScript(script: String): Seq[DataFrame] =
     CqlSession.splitStatements(script).map(execute)
 
+  private def engine: CqlEngine = {
+    val catalog = state.map { case (name, t) =>
+      name -> CqlTable(view(name), t.partitionKeys, t.clusteringKeys,
+        t.staticKeys, t.counterKeys)
+    }.toMap
+    new CqlEngine(spark, catalog)
+  }
+
+  private[cql] def runSelect(sel: CqlSelect): DataFrame = engine.execute(sel)
+
+  private[cql] def runDml(dml: CqlDml): DataFrame = {
+    val applied = applyDml(dml, None)
+    if (dml.condition.isDefined) appliedResult(applied)
+    else spark.emptyDataFrame
+  }
+
+  /** Prepared-statement workflow (upstream `cql3/QueryProcessor` prepared
+    * cache [U]): parse ONCE, bind `?` markers per execution. SELECT and
+    * DML templates are supported; markers bind positionally in text
+    * order. */
+  def prepare(cql: String): CqlPrepared = {
+    val trimmed = cql.trim
+    trimmed.takeWhile(!_.isWhitespace).toLowerCase match {
+      case "select" => new CqlPrepared(this, Left(CqlParser.parse(trimmed)))
+      case "insert" | "update" | "delete" =>
+        new CqlPrepared(this, Right(CqlParser.parseDml(trimmed)))
+      case other => throw new CqlInvalidQueryException(
+        s"only SELECT/INSERT/UPDATE/DELETE can be prepared, got $other")
+    }
+  }
+
   /** Run a CQL statement: SELECT returns rows; DML and BATCH mutate and
     * return an empty DataFrame (like a CQL void result). */
   def execute(cql: String): DataFrame = {
     val trimmed = cql.trim
     val kw = trimmed.takeWhile(!_.isWhitespace).toLowerCase
     kw match {
-      case "select" =>
-        val catalog = state.map { case (name, t) =>
-          name -> CqlTable(view(name), t.partitionKeys, t.clusteringKeys,
-            t.staticKeys, t.counterKeys)
-        }.toMap
-        new CqlEngine(spark, catalog).execute(trimmed)
+      case "select" => engine.execute(trimmed)
       case "create" | "drop" | "truncate" | "alter" =>
         applyDdl(CqlParser.parseDdl(trimmed)); spark.emptyDataFrame
       case "insert" | "update" | "delete" =>
-        val dml = CqlParser.parseDml(trimmed)
-        val applied = applyDml(dml, None)
-        if (dml.condition.isDefined) appliedResult(applied)
-        else spark.emptyDataFrame
+        runDml(CqlParser.parseDml(trimmed))
       case "begin" =>
         val b = CqlParser.parseBatch(trimmed)
         // one coordinator timestamp shared by every statement in the batch
@@ -629,6 +657,80 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         }
       c -> cell
     }
+  }
+}
+
+/** A parsed statement template with `?` markers. Each `execute(binds…)`
+  * substitutes positionally (text order) and runs — the parse cost is paid
+  * once, as with upstream's prepared cache. */
+class CqlPrepared private[cql] (session: CqlSession,
+    template: Either[CqlSelect, CqlDml]) {
+
+  def execute(binds: Any*): DataFrame = {
+    val b = new CqlPrepared.Binder(binds)
+    val out = template match {
+      case Left(sel) => session.runSelect(b.select(sel))
+      case Right(dml) => session.runDml(b.dml(dml))
+    }
+    b.done()
+    out
+  }
+}
+
+object CqlPrepared {
+  /** Positional substitution in statement-text order: INSERT values →
+    * condition; UPDATE assignments → key predicates → condition; DELETE /
+    * SELECT predicates left-to-right. */
+  private class Binder(binds: Seq[Any]) {
+    private var i = 0
+    def value(v: Any): Any = v match {
+      case CqlBindMarker =>
+        if (i >= binds.length)
+          throw new CqlInvalidQueryException(
+            s"too few bind values: statement has more than ${binds.length} markers")
+        val b = binds(i); i += 1; b
+      case CqlList(xs) => CqlList(xs.map(value))
+      case CqlSetLit(xs) => CqlSetLit(xs.map(value))
+      case CqlMapLit(es) => CqlMapLit(es.map { case (k, x) => (value(k), value(x)) })
+      case other => other
+    }
+    private def assign(a: CqlAssign): CqlAssign = a match {
+      case CqlAssignValue(v) => CqlAssignValue(value(v))
+      case CqlCollAdd(v) => CqlCollAdd(value(v))
+      case CqlCollRemove(v) => CqlCollRemove(value(v))
+      case CqlMapPut(k, v) => CqlMapPut(value(k), value(v))
+      case other => other
+    }
+    private def condition(c: Option[CqlCondition]): Option[CqlCondition] =
+      c.map {
+        case IfColumns(preds) =>
+          IfColumns(preds.map { case (n, op, v) => (n, op, value(v)) })
+        case other => other
+      }
+    private def predicate(p: CqlPredicate): CqlPredicate = p match {
+      case cp: ColumnPredicate => cp.copy(values = cp.values.map(value))
+      case tp: TuplePredicate => tp.copy(values = tp.values.map(value))
+    }
+    def dml(d: CqlDml): CqlDml = d match {
+      case ins: CqlInsert =>
+        val vs = ins.values.map(value)
+        ins.copy(values = vs, condition = condition(ins.condition))
+      case up: CqlUpdate =>
+        val as = up.assignments.map { case (c, a) => c -> assign(a) }
+        val ks = up.keyPredicates.map { case (c, v) => c -> value(v) }
+        up.copy(assignments = as, keyPredicates = ks,
+          condition = condition(up.condition))
+      case del: CqlDelete =>
+        val ks = del.keyPredicates.map { case (c, v) => c -> value(v) }
+        del.copy(keyPredicates = ks, condition = condition(del.condition))
+      case other => other // INSERT JSON has no bindable positions
+    }
+    def select(s: CqlSelect): CqlSelect =
+      s.copy(predicates = s.predicates.map(predicate))
+    def done(): Unit =
+      if (i != binds.length)
+        throw new CqlInvalidQueryException(
+          s"too many bind values: statement has $i markers, got ${binds.length}")
   }
 }
 

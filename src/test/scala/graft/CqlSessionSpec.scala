@@ -376,6 +376,44 @@ class CqlSessionSpec extends SparkSpec {
     }
   }
 
+  // -- prepared statements --------------------------------------------------
+
+  test("prepared INSERT/SELECT: parse once, bind per execution in text order") {
+    val s = freshSession
+    val ins = s.prepare("INSERT INTO users (user_id, name, age) VALUES (?, ?, ?)")
+    ins.execute(1L, "ada", 36L)
+    ins.execute(2L, "grace", 45L)
+    val sel = s.prepare("SELECT user_id, name FROM users WHERE user_id = ?")
+    assert(sel.execute(2L).collect().map(_.getString(1)).toSeq === Seq("grace"))
+    assert(sel.execute(1L).collect().map(_.getString(1)).toSeq === Seq("ada"))
+  }
+
+  test("prepared UPDATE binds assignments before predicates; collections bind inside literals") {
+    val s = collSession
+    s.execute("INSERT INTO profiles (id, events, tags) VALUES (1, [1], {'a'})")
+    val up = s.prepare("UPDATE profiles SET events = events + [?], tags = tags + {?} WHERE id = ?")
+    up.execute(7L, "b", 1L)
+    val (ev, tags, _) = collRow(s)
+    assert(ev === Seq(1L, 7L) && tags === Seq("a", "b"))
+  }
+
+  test("prepared statements validate bind arity both ways") {
+    val s = freshSession
+    val p = s.prepare("SELECT name FROM users WHERE user_id = ?")
+    intercept[CqlInvalidQueryException] { p.execute() }
+    intercept[CqlInvalidQueryException] { p.execute(1L, 2L) }
+    intercept[CqlInvalidQueryException] { s.prepare("CREATE TABLE nope (x bigint PRIMARY KEY)") }
+  }
+
+  test("prepared LWT: IF condition binds after the write's values") {
+    val s = freshSession
+    s.execute("INSERT INTO users (user_id, name) VALUES (1, 'ada')")
+    val cas = s.prepare("UPDATE users SET name = ? WHERE user_id = ? IF name = ?")
+    assert(!cas.execute("x", 1L, "WRONG").head().getBoolean(0))
+    assert(cas.execute("grace", 1L, "ada").head().getBoolean(0))
+    assert(rows(s).head._2 === Some("grace"))
+  }
+
   // -- partition tombstones -------------------------------------------------
 
   private def clusteredSession = {
