@@ -96,6 +96,30 @@ object HybridAnn {
       .limit(k)
   }
 
+  /** Multi-probe post-filter arm: also probe the `nProbes − 1`
+    * hamming-1-adjacent sign buckets (flip one hyperplane bit) — the
+    * standard LSH recall lever when the filtered home bucket runs short of
+    * k. Candidate volume grows linearly in probes (nProbes·n/buckets),
+    * never quadratically; the probe list is a compile-time broadcast-side
+    * literal, so the plan stays one equi-join. */
+  def postfilterKnnMultiprobe(s: SparkSession, d: String, pred: Column,
+      k: Int, nProbes: Int): DataFrame = {
+    val q = queryVec(s, d).withColumn("qbucket", signBucket(col("qvec")))
+      .select(col("qvec"), explode(array(
+        (0 until nProbes).map {
+          case 0 => col("qbucket")
+          case i => col("qbucket").bitwiseXOR(lit(1 << (i - 1)))
+        }: _*)).as("qbucket"))
+    Tables.embeddings(s, d)
+      .withColumn("bucket", signBucket(col("embedding")))
+      .join(broadcast(q), col("bucket") === col("qbucket"))
+      .filter(pred)
+      .select(col("vec_id"), col("label"),
+        round(cosineFast(col("embedding"), col("qvec")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** End-to-end hybrid ANN: probe stats, decide, run the chosen arm. */
   def knnHybrid(s: SparkSession, d: String, pred: Column, k: Int): DataFrame = {
     val stats = probeStats(Tables.embeddings(s, d), pred)
@@ -113,9 +137,16 @@ object HybridAnn {
   def v10_hybrid_postfilter(s: SparkSession, d: String): DataFrame =
     knnHybrid(s, d, col("label") =!= 3, 10)
 
+  /** V11: the multi-probe recall lever, declared — same permissive
+    * predicate as v10 but probing the home bucket plus two hamming-1
+    * neighbors; the oracle mirrors the exact probe set. */
+  def v11_hybrid_multiprobe(s: SparkSession, d: String): DataFrame =
+    postfilterKnnMultiprobe(s, d, col("label") =!= 3, 10, nProbes = 3)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v9_hybrid_prefilter" -> (v9_hybrid_prefilter _),
     "v10_hybrid_postfilter" -> (v10_hybrid_postfilter _),
+    "v11_hybrid_multiprobe" -> (v11_hybrid_multiprobe _),
   )
 
   private val cosSql =
@@ -138,6 +169,19 @@ object HybridAnn {
         |q AS (SELECT v AS qvec, bucket AS qbucket FROM e WHERE vec_id = 0)
         |SELECT vec_id, label, $cosSql AS cos_sim
         |FROM e JOIN q ON bucket = qbucket
+        |WHERE label != 3
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "v11_hybrid_multiprobe" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) +
+        |    (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) +
+        |    (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+        |  FROM embeddings),
+        |q AS (SELECT v AS qvec, bucket AS qbucket FROM e WHERE vec_id = 0)
+        |SELECT vec_id, label, $cosSql AS cos_sim
+        |FROM e JOIN q ON (e.bucket = q.qbucket
+        |  OR e.bucket = xor(q.qbucket, 1) OR e.bucket = xor(q.qbucket, 2))
         |WHERE label != 3
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
   )

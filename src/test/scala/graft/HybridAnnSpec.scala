@@ -58,6 +58,19 @@ class HybridAnnSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).forall(bucketIds))
   }
 
+  test("multi-probe widens the candidate set monotonically toward exact") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    val one = ids(HybridAnn.postfilterKnnMultiprobe(spark, sf, lit(true), 1000, 1))
+    val three = ids(HybridAnn.postfilterKnnMultiprobe(spark, sf, lit(true), 1000, 3))
+    val all = ids(HybridAnn.prefilterKnn(spark, sf, lit(true), 100000))
+    assert(one.subsetOf(three), "probing more buckets never loses candidates")
+    assert(three.subsetOf(all))
+    assert(three.size > one.size, "hamming-adjacent buckets add candidates")
+    // 1-probe equals the plain post-filter arm
+    assert(one === ids(HybridAnn.postfilterKnn(spark, sf, lit(true), 1000)))
+  }
+
   test("the two arms agree whenever the bucket holds the true top-k") {
     // With the always-true predicate the post-filter arm is plain bucketed
     // ANN; every id it returns must score no better than the exact arm's
