@@ -214,7 +214,49 @@ object TextQueries {
       .orderBy("source", "bin")
   }
 
+  /** X11: unigram-LM rarity score — the classic perplexity-style quality
+    * filter: train token frequencies on the train split (x6/x8's md5 hash
+    * convention), score each eval doc by its mean INVERSE smoothed unigram
+    * probability, (N+V)/(tf+1) averaged over tokens (unseen tokens hit the
+    * Laplace floor). Per-token this ranks exactly like −log p, but stays
+    * RATIONAL arithmetic — correctly-rounded IEEE division on both
+    * engines — where `log()` differs between libm and the JVM in the last
+    * ulp and would make the hash gate flaky. High score = unusual token
+    * mix = filter candidate.
+    *
+    * Scale shape: vocab counts are ONE hash-agg over exploded train
+    * tokens; a natural-language vocab is Zipf-bounded (~10⁷ types at any
+    * corpus size), so it BROADCASTS and the eval scoring pass is
+    * shuffle-free; the per-doc mean is one agg keyed by doc_id,
+    * decimal-summed so the reduction is order-independent. */
+  def x11_perplexity(s: SparkSession, d: String): DataFrame = {
+    def split(cmp: Column => Column) = Tables.documents(s, d)
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100)
+      .filter(cmp(col("h")))
+    val trainToks = split(_ >= 10)
+      .select(explode(tokens(col("text"))).as("t"))
+    val vocab = trainToks.groupBy(col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val totals = trainToks.agg(count(lit(1)).as("n")).crossJoin(
+      vocab.agg(count(lit(1)).as("v")))
+    val scored = split(_ < 10)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .join(broadcast(vocab), Seq("t"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        ((col("n") + col("v")).cast("double") /
+          (coalesce(col("tf"), lit(0L)) + lit(1L)).cast("double")).as("inv_p"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(Q.dec6(sum(Q.dec6(col("inv_p")))).cast("double") /
+          count(lit(1)), 6).as("rarity"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x11_perplexity" -> (x11_perplexity _),
     "x9_stratified" -> (x9_stratified _),
     "x10_pack" -> (x10_pack _),
     "x1_langid" -> (x1_langid _),
@@ -228,6 +270,25 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "x11_perplexity" ->
+      """WITH doc AS (
+        |  SELECT doc_id, string_split(lower(text),' ') AS toks,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS h
+        |  FROM documents),
+        |train AS (SELECT unnest(toks) AS t FROM doc WHERE h >= 10),
+        |vocab AS (SELECT t, count(*) AS tf FROM train GROUP BY t),
+        |tot AS (SELECT (SELECT count(*) FROM train) AS n,
+        |               (SELECT count(*) FROM vocab) AS v),
+        |ev AS (SELECT doc_id, unnest(toks) AS t FROM doc WHERE h < 10),
+        |scored AS (
+        |  SELECT ev.doc_id,
+        |    CAST(tot.n + tot.v AS DOUBLE) /
+        |      CAST(coalesce(vocab.tf, 0) + 1 AS DOUBLE) AS inv_p
+        |  FROM ev LEFT JOIN vocab ON ev.t = vocab.t CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(cast(cast(sum(cast(inv_p AS decimal(38,6))) AS decimal(38,6)) AS double)
+        |    / count(*), 6) AS rarity
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x9_stratified" ->
       """SELECT lang, count(*) AS n_docs,
         |  count(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100

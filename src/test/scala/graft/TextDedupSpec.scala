@@ -81,6 +81,19 @@ class TextDedupSpec extends SparkSpec {
     rows.values.foreach { case (n, m, _) => assert(m <= n) }
   }
 
+  test("rarity score floors above 1 and covers exactly the eval split") {
+    val out = TextQueries.x11_perplexity(spark, sf).collect()
+    val evalDocs = Tables.documents(spark, sf)
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100)
+      .filter(col("h") < 10).count()
+    assert(out.length.toLong === evalDocs)
+    // inv_p = (N+V)/(tf+1) ≥ (N+V)/(N+1) > 1 for every token
+    assert(out.forall(_.getDouble(2) > 1.0))
+    assert(out.forall(_.getLong(1) > 0L))
+  }
+
   test("sequence packing: bins are budget-aligned and partition the corpus") {
     val docs = Tables.documents(spark, sf)
     val nDocs = docs.count()
