@@ -230,6 +230,28 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), dbl(dec6(sum(dec6(col("value"))))).as("sum_value"))
       .orderBy("day", "event_type")
 
+  /** A11: ordered conversion funnel over the event stream — per user, the
+    * earliest view, the earliest click strictly AFTER that view, the
+    * earliest purchase strictly after that click; report how many users
+    * survive each stage. The canonical behavioral-analytics shape: every
+    * pass is an aggregate keyed by user_id, so all three stages share one
+    * hash partitioning (two reusable exchanges at scale, no windows, no
+    * self-join explosion). */
+  def a11_funnel(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("vts"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("vts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("cts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("cts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("pts"))
+    v.agg(count(lit(1)).as("n_viewed")).crossJoin(
+      c.agg(count(lit(1)).as("n_clicked_after_view"))).crossJoin(
+      p.agg(count(lit(1)).as("n_purchased_after_click")))
+  }
+
   /** A4/O3/W1 on lineitem: PER PARTITION LIMIT 2 (top rows per partition). */
   def a4_per_partition_limit(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("l_orderkey").orderBy(col("l_linenumber").asc)
@@ -545,6 +567,7 @@ object RelationalQueries {
     "j7_interval" -> (j7_interval _),
     "a1_pricing_summary" -> (a1_pricing_summary _),
     "a3_time_bucket" -> (a3_time_bucket _),
+    "a11_funnel" -> (a11_funnel _),
     "a4_per_partition_limit" -> (a4_per_partition_limit _),
     "a7_approx_distinct" -> (a7_approx_distinct _),
     "a8_distinct" -> (a8_distinct _),
@@ -715,6 +738,20 @@ object RelationalQueries {
       """SELECT date_trunc('day', cast(ts AS timestamp)) AS day, event_type, count(*) AS n,
         |  cast(cast(sum(cast(value AS decimal(38,6))) AS decimal(38,6)) AS double) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "a11_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, cast(ts AS timestamp) AS ts
+        |            FROM events),
+        |v AS (SELECT user_id, min(ts) AS vts FROM ev
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS cts FROM ev e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.vts GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS pts FROM ev e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.cts GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_viewed,
+        |  (SELECT count(*) FROM c) AS n_clicked_after_view,
+        |  (SELECT count(*) FROM p) AS n_purchased_after_click""".stripMargin,
     "a4_per_partition_limit" ->
       """SELECT l_orderkey, l_linenumber, cast(rn AS int) AS rn FROM (
         |  SELECT l_orderkey, l_linenumber,
