@@ -104,6 +104,31 @@ object StreamingPipelines {
         col("purchase_id"), col("c_ts"), col("p_ts"))
   }
 
+  /** T8b: stream-stream LEFT OUTER interval join — clicks that convert
+    * carry their purchase; clicks that don't still emit (null purchase)
+    * once the watermark proves no match can arrive. The outer side is the
+    * part inner joins can't express: abandoned-funnel rows materialize
+    * exactly when their joinable window closes, which is what makes the
+    * state store provably finite AND the null results correct-by-watermark
+    * rather than correct-by-timeout. */
+  def clickToPurchaseOuter(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "10 minutes")
+    clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("c_ts"), col("p_ts"))
+  }
+
   /** Run any of the above to completion over the files currently in the dir
     * (AvailableNow = bounded run of the unbounded plan) into an in-memory
     * table; returns the finished query. Test/demo harness — production sinks

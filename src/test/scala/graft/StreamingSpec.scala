@@ -67,6 +67,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty, "fixture must produce click→purchase pairs")
   }
 
+  test("T8b LEFT OUTER stream-stream join: inner rows match batch; nulls are true non-conversions") {
+    val stream = StreamingPipelines.eventsStream(spark, stagedDir)
+    StreamingPipelines.runToMemory(
+      StreamingPipelines.clickToPurchaseOuter(stream), "t8b_stream", "append")
+    val streamed = spark.table("t8b_stream")
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val batchOuter = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("c_ts"), col("p_ts"))
+    // matched rows emit immediately — identical to the batch inner result
+    assert(streamed.filter(col("purchase_id").isNotNull)
+        .orderBy("user_id", "click_id", "purchase_id").collect().toSeq ===
+      batchOuter.filter(col("purchase_id").isNotNull)
+        .orderBy("user_id", "click_id", "purchase_id").collect().toSeq)
+    // null rows emit only once the watermark CLOSES a click's window, so
+    // the stream may withhold tail clicks the batch reports — but it must
+    // never fabricate a null for a click that actually converted
+    val streamedNulls = streamed.filter(col("purchase_id").isNull)
+      .select("click_id").collect().map(_.getLong(0)).toSet
+    val batchNulls = batchOuter.filter(col("purchase_id").isNull)
+      .select("click_id").collect().map(_.getLong(0)).toSet
+    assert(streamedNulls.subsetOf(batchNulls),
+      "no false non-conversions (correct-by-watermark, not by timeout)")
+    assert(streamedNulls.nonEmpty,
+      "watermark-closed windows must emit their abandoned clicks")
+  }
+
   test("T6 transformWithState: final per-user running totals equal the batch aggregate") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
