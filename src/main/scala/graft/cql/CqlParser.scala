@@ -216,9 +216,21 @@ object CqlParser {
         val preds = parseKeyPredicates(c)
         CqlUpdate(table, assigns, preds, ts, ttl, parseCondition(c))
       case "delete" =>
-        // DELETE [col, …] FROM t — with columns it's a CELL delete (per-cell
-        // tombstones), without it's the row tombstone
-        val cols = if (c.peekIs("from")) Nil else parseIdentList(c)
+        // DELETE [col[, …] | col[sub], …] FROM t — with columns it's a CELL
+        // delete (per-cell tombstones, or one collection ELEMENT when
+        // subscripted), without it's the row tombstone
+        val cols = if (c.peekIs("from")) Nil else {
+          def item(): CqlDelItem = {
+            val name = c.next()
+            if (c.accept("[")) {
+              val sub = parseLiteral(c); c.expect("]")
+              CqlDelItem(name, Some(sub))
+            } else CqlDelItem(name)
+          }
+          var out = Seq(item())
+          while (c.accept(",")) out = out :+ item()
+          out
+        }
         c.expect("from")
         val table = tableName(c)
         val (ts, _) = parseUsing(c)

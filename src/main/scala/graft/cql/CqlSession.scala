@@ -60,10 +60,15 @@ case class CqlInsertJson(table: String, json: String, defaultUnset: Boolean,
 case class CqlUpdate(table: String, assignments: Seq[(String, CqlAssign)],
   keyPredicates: Seq[(String, Any)], usingTimestamp: Option[Long],
   usingTtl: Option[Long], condition: Option[CqlCondition] = None) extends CqlDml
+/** One item of a cell-delete list: a whole column (`DELETE c FROM …`) or a
+  * collection element (`DELETE l[2]`, `DELETE m['k']` — upstream
+  * `cql3/Operation.ElementDeletion` [U]). */
+case class CqlDelItem(column: String, sub: Option[Any] = None)
+
 case class CqlDelete(table: String, keyPredicates: Seq[(String, Any)],
   usingTimestamp: Option[Long], condition: Option[CqlCondition] = None,
   /** non-empty = cell delete of just these columns, not a row tombstone */
-  columns: Seq[String] = Nil) extends CqlDml
+  columns: Seq[CqlDelItem] = Nil) extends CqlDml
 
 /** `BEGIN [UNLOGGED] BATCH … APPLY BATCH`
   * (upstream `cql3/statements/BatchStatement.java` [U]). */
@@ -432,6 +437,9 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         (v.items.map(k => coerce(k, kt) -> null).toMap, "remk")
       case (CqlMapPut(k, v), MapType(kt, vt, _)) =>
         (Map(coerce(k, kt) -> coerce(v, vt)), "put")
+      case (CqlMapPut(idx: Long, v), ArrayType(et, _)) =>
+        // l[i] = v: single-element payload, index rides in the op marker
+        (Seq(coerce(v, et)), s"setidx:$idx")
       case (op, _) => throw new CqlInvalidQueryException(
         s"invalid operation $op for column $c of type $dt")
     }
@@ -460,21 +468,36 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
               .map(v => cellFor(t, c, CqlAssignValue(v)))))
       case CqlDelete(_, preds, _, _, cols) =>
         val k = preds.map { case (c, v) => c.toLowerCase -> v }.toMap
-        cols.foreach { c0 =>
-          if (!dataCols(t).exists(_.equalsIgnoreCase(c0)))
-            throw new CqlInvalidQueryException(s"undefined column $c0")
-          if (keys.exists(_.equalsIgnoreCase(c0)))
+        cols.foreach { it =>
+          if (!dataCols(t).exists(_.equalsIgnoreCase(it.column)))
+            throw new CqlInvalidQueryException(s"undefined column ${it.column}")
+          if (keys.exists(_.equalsIgnoreCase(it.column)))
             throw new CqlInvalidQueryException(
-              s"PRIMARY KEY column $c0 cannot be deleted")
+              s"PRIMARY KEY column ${it.column} cannot be deleted")
         }
         dataCols(t).map { c =>
-          if (cols.exists(_.equalsIgnoreCase(c))) {
-            val dt = t.schema(t.schema.fieldIndex(c)).dataType
-            val isColl = dt.isInstanceOf[ArrayType] || dt.isInstanceOf[MapType]
-            // collection cell delete = SET to null; scalar = cell tombstone
-            c -> Some((null: Any, if (isColl) "set" else "tomb"))
-          } else c -> k.get(c.toLowerCase)
-            .map(v => cellFor(t, c, CqlAssignValue(v)))
+          val dt = t.schema(t.schema.fieldIndex(c)).dataType
+          cols.find(_.column.equalsIgnoreCase(c)) match {
+            case Some(CqlDelItem(_, None)) =>
+              val isColl = dt.isInstanceOf[ArrayType] || dt.isInstanceOf[MapType]
+              // collection cell delete = SET to null; scalar = cell tombstone
+              c -> Some((null: Any, if (isColl) "set" else "tomb"))
+            case Some(CqlDelItem(_, Some(sub))) =>
+              dt match {
+                // element delete: list index drop / map key discard
+                case _: ArrayType => sub match {
+                  case i: Long => c -> Some((null: Any, s"delidx:$i"))
+                  case other => throw new CqlInvalidQueryException(
+                    s"list index must be an integer, got $other")
+                }
+                case MapType(kt, _, _) =>
+                  c -> Some((Map(coerce(sub, kt) -> null), "remk"))
+                case other => throw new CqlInvalidQueryException(
+                  s"$c of type $other has no elements to delete")
+              }
+            case None => c -> k.get(c.toLowerCase)
+              .map(v => cellFor(t, c, CqlAssignValue(v)))
+          }
         }
     }
   }

@@ -197,6 +197,11 @@ object CassandraModel {
         aggregate(entries, lit(null).cast(dt), (acc, e) => {
           val v = e.getField("v"); val op = e.getField("op")
           val empty = slice(v, 1, 0)
+          // element ops carry their 0-based index in the marker
+          // ("setidx:<i>" / "delidx:<i>"); an out-of-range index is a
+          // no-op at fold time (upstream validates it at write against the
+          // read-before-write list — the facade has no such read)
+          val idx = substring(op, 8, 18).cast("int")
           when(op === "set", v)
             .when(op === "sset", array_sort(array_distinct(v)))
             .when(op === "app", concat(coalesce(acc, empty), v))
@@ -204,6 +209,11 @@ object CassandraModel {
               array_sort(array_union(coalesce(acc, empty), v)))
             .when(op === "rem",
               filter(coalesce(acc, empty), x => !array_contains(v, x)))
+            .when(op.startsWith("setidx:"),
+              transform(coalesce(acc, empty),
+                (x, i) => when(i === idx, element_at(v, 1)).otherwise(x)))
+            .when(op.startsWith("delidx:"),
+              filter(coalesce(acc, empty), (_, i) => i =!= idx))
             .otherwise(acc)
         }, acc => when(size(acc) > 0, acc))
       case _: MapType =>

@@ -356,6 +356,23 @@ class CqlSessionSpec extends SparkSpec {
     assert(ev === null && tags === Seq("a"))
   }
 
+  test("collection element ops: l[i] = v, DELETE l[i], DELETE m['k']") {
+    val s = collSession
+    s.execute("INSERT INTO profiles (id, events, tags, props) " +
+      "VALUES (1, [10, 20, 30], {'x'}, {'a': '1', 'b': '2'})")
+    s.execute("UPDATE profiles SET events[1] = 99 WHERE id = 1")
+    s.execute("DELETE events[0] FROM profiles WHERE id = 1")
+    s.execute("DELETE props['a'] FROM profiles WHERE id = 1")
+    val (ev, tags, props) = collRow(s)
+    assert(ev === Seq(99L, 30L), "index set then index delete, in ts order")
+    assert(tags === Seq("x"))
+    assert(props === Map("b" -> "2"))
+    // out-of-range index set is a fold-time no-op (facade deviation:
+    // upstream validates against the read-before-write list)
+    s.execute("UPDATE profiles SET events[9] = 1 WHERE id = 1")
+    assert(collRow(s)._1 === Seq(99L, 30L))
+  }
+
   test("row-marker rule: INSERTed rows outlive all-cell deletes, UPDATE-only rows do not") {
     val a = freshSession
     a.execute("INSERT INTO users (user_id, name) VALUES (1, 'x')")
