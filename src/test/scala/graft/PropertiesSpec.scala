@@ -93,6 +93,54 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("list op-log fold matches a sequential Scala interpreter (random op sequences)") {
+    import graft.cql.CqlSession
+    import org.apache.spark.sql.types._
+    sealed trait Op
+    case class SetL(xs: List[Long]) extends Op
+    case class App(xs: List[Long]) extends Op
+    case class Rem(xs: List[Long]) extends Op
+    case class SetIdx(i: Int, v: Long) extends Op
+    case class DelIdx(i: Int) extends Op
+    val opGen: Gen[Op] = Gen.oneOf(
+      Gen.listOfN(2, Gen.choose(0L, 5L)).map(SetL(_)),
+      Gen.nonEmptyListOf(Gen.choose(0L, 5L)).map(xs => App(xs.take(3))),
+      Gen.nonEmptyListOf(Gen.choose(0L, 5L)).map(xs => Rem(xs.take(2))),
+      Gen.zip(Gen.choose(0, 4), Gen.choose(10L, 19L)).map(t => SetIdx(t._1, t._2)),
+      Gen.choose(0, 4).map(DelIdx(_)))
+    for (ops <- samples(Gen.nonEmptyListOf(opGen).map(_.take(7)), 6)) {
+      val s = CqlSession.emptyTable(spark, "pl",
+        StructType(Seq(StructField("id", LongType),
+          StructField("l", ArrayType(LongType)),
+          StructField("note", StringType))),
+        partitionKeys = Seq("id"))
+      s.execute("INSERT INTO pl (id, note) VALUES (1, 'keep')") // row marker
+      ops.foreach {
+        case SetL(xs) => s.execute(
+          s"UPDATE pl SET l = [${xs.mkString(", ")}] WHERE id = 1")
+        case App(xs) => s.execute(
+          s"UPDATE pl SET l = l + [${xs.mkString(", ")}] WHERE id = 1")
+        case Rem(xs) => s.execute(
+          s"UPDATE pl SET l = l - [${xs.mkString(", ")}] WHERE id = 1")
+        case SetIdx(i, v) => s.execute(s"UPDATE pl SET l[$i] = $v WHERE id = 1")
+        case DelIdx(i) => s.execute(s"DELETE l[$i] FROM pl WHERE id = 1")
+      }
+      val model = ops.foldLeft(List.empty[Long]) { (acc, op) =>
+        op match {
+          case SetL(xs) => xs
+          case App(xs) => acc ++ xs
+          case Rem(xs) => acc.filterNot(xs.contains)
+          case SetIdx(i, v) => if (i < acc.length) acc.updated(i, v) else acc
+          case DelIdx(i) =>
+            if (i < acc.length) acc.patch(i, Nil, 1) else acc
+        }
+      }
+      val r = s.execute("SELECT l FROM pl WHERE id = 1").head()
+      val got = if (r.isNullAt(0)) List.empty[Long] else r.getSeq[Long](0).toList
+      assert(got === model, s"ops=$ops")
+    }
+  }
+
   test("exact dedup is a fixpoint: dedup(dedup(x)) == dedup(x) (8 random lists)") {
     import spark.implicits._
     for (xs <- samples(Gen.nonEmptyListOf(Gen.choose(0, 5)), 8)) {
