@@ -291,6 +291,49 @@ object CassandraModel {
         dbl(dec6(sum(dec6(col("price"))))).as("sum_price"),
         sum(col("_writetime")).as("sum_wt"))
 
+  /** Compaction with tombstone GC (upstream `gc_grace_seconds`,
+    * `db/compaction/CompactionController.getPurgeEvaluator` [U]): the
+    * latest-wins view of live rows, PLUS retained tombstone markers for
+    * keys whose winning tombstone is still within the grace window.
+    * Upstream keeps young tombstones so a replica that missed the delete
+    * can still be shadowed on merge; purging before every replica repaired
+    * is exactly the zombie-write hazard. The marker rows carry null data
+    * columns and `_deleted = true`, so unioning this snapshot with a
+    * late-arriving older write and reconciling again still suppresses it —
+    * until the tombstone ages out of grace and is purged for real. */
+  def compactWithGrace(log: DataFrame, nowWt: Long, graceWt: Long): DataFrame = {
+    val w = Window.partitionBy("pk")
+      .orderBy(col("_writetime").desc, col("v").desc)
+    val winners = log.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    val live = winners.filter(!col("_deleted"))
+    val retained = winners
+      .filter(col("_deleted") && col("_writetime") >= nowWt - graceWt)
+      .select(col("pk"), lit(null).cast("double").as("price"),
+        lit(null).cast("string").as("status"), col("_writetime"),
+        col("v"), col("_deleted"))
+    live.unionByName(retained)
+  }
+
+  /** C11: the compaction GC decision, as stats over [[upsertLog]] — live
+    * keys, tombstones retained (inside grace), tombstones purged (outside
+    * grace; their keys become zombie-writable). `now` is the log's max
+    * writetime domain (1009), grace = 500 synthetic ticks. */
+  def c11_gc_grace(s: SparkSession, d: String): DataFrame = {
+    val (now, grace) = (1009L, 500L)
+    val w = Window.partitionBy("pk")
+      .orderBy(col("_writetime").desc, col("v").desc)
+    upsertLog(s, d)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .agg(
+        count(when(!col("_deleted"), lit(1))).as("n_live"),
+        count(when(col("_deleted") && col("_writetime") >= now - grace,
+          lit(1))).as("n_tombstones_retained"),
+        count(when(col("_deleted") && col("_writetime") < now - grace,
+          lit(1))).as("n_tombstones_purged"))
+  }
+
   /** C4: counter column read (A6, `db/context/CounterContext.java` [U]) —
     * counters are an increment log; the value is the merged sum. */
   def c4_counter(s: SparkSession, d: String): DataFrame =
@@ -457,6 +500,7 @@ object CassandraModel {
     "c8_multiget_slice" -> (c8_multiget_slice _),
     "c9_reconcile" -> (c9_reconcile _),
     "c10_partition_tombstone" -> (c10_partition_tombstone _),
+    "c11_gc_grace" -> (c11_gc_grace _),
   )
 
   private val logCte = s"WITH ulog AS (${upsertLogSql.replace("\n", " ")})"
@@ -525,6 +569,18 @@ object CassandraModel {
         |    ORDER BY l_linenumber) AS rn
         |  FROM lineitem WHERE l_orderkey IN (1, 7, 32, 69, 134))
         |WHERE rn <= 2 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "c11_gc_grace" ->
+      s"""$logCte
+        |SELECT
+        |  count(CASE WHEN NOT _deleted THEN 1 END) AS n_live,
+        |  count(CASE WHEN _deleted AND _writetime >= 509 THEN 1 END)
+        |    AS n_tombstones_retained,
+        |  count(CASE WHEN _deleted AND _writetime < 509 THEN 1 END)
+        |    AS n_tombstones_purged
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY pk
+        |    ORDER BY _writetime DESC, v DESC) AS rn FROM ulog)
+        |WHERE rn = 1""".stripMargin,
     "c10_partition_tombstone" ->
       """WITH plog AS (
         |  SELECT l_orderkey AS pk, CAST(l_linenumber AS BIGINT) AS ck,

@@ -65,6 +65,26 @@ class CassandraModelSpec extends SparkSpec {
       .count() > 0, "fully-deleted-partition case present in the fixture")
   }
 
+  test("gc_grace: retained tombstones still shadow late writes; purged ones admit zombies") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, Option.empty[Double], Option.empty[String], 100L, 2, true), // old tombstone
+      (2L, Option.empty[Double], Option.empty[String], 600L, 2, true)  // young tombstone
+    ).toDF("pk", "price", "status", "_writetime", "v", "_deleted")
+    val compacted = compactWithGrace(log, nowWt = 1009L, graceWt = 500L)
+    assert(compacted.collect().map(_.getLong(0)).toSeq === Seq(2L),
+      "only the inside-grace tombstone survives compaction (as a marker)")
+    // a replica now streams in OLD writes (wt=50) for both keys
+    val late = Seq(
+      (1L, Some(9.0), Some("zombie"), 50L, 0, false),
+      (2L, Some(9.0), Some("shadowed"), 50L, 0, false)
+    ).toDF("pk", "price", "status", "_writetime", "v", "_deleted")
+    val merged = latestWinsView(compacted.unionByName(late)).collect()
+    assert(merged.map(_.getLong(0)).toSeq === Seq(1L),
+      "pk=1 zombies back (its tombstone was purged); pk=2 stays shadowed — " +
+        "exactly why upstream ties purging to gc_grace/repair")
+  }
+
   test("tokenOf is stable, non-negative, and bounded to 31 bits") {
     val toks = Tables.orders(spark, sf)
       .select(tokenOf(col("o_orderkey")).as("t"))
