@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool (not part of the driver contract): measured scaling curves.
+  * Materializes an N×-scaled copy of the sf0.1 fixture (key-offset unions,
+  * so joins keep their selectivity and aggregates their key cardinality
+  * shape), then times representative operators at each factor. Near-linear
+  * wall-clock growth = the plan has no super-linear term hiding at fixture
+  * scale; the numbers land in SCALE.md.
+  *
+  * Usage: `sbt "runMain graft.ScaleProbe [factors]"` (default `1,4,10`).
+  */
+object ScaleProbe {
+
+  private def scaled(s: SparkSession, src: String, out: String, f: Int): Unit = {
+    val fs = new java.io.File(out)
+    if (fs.exists()) return
+    fs.mkdirs()
+    def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until f).map(i => shift(df, i)).reduce(_ unionByName _)
+
+    val li = s.read.parquet(s"$src/lineitem.parquet")
+    copies(li)((d, i) => d.withColumn("l_orderkey",
+        col("l_orderkey") + lit(i.toLong * 10000000L)))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    val or = s.read.parquet(s"$src/orders.parquet")
+    copies(or)((d, i) => d.withColumn("o_orderkey",
+        col("o_orderkey") + lit(i.toLong * 10000000L)))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    val ev = s.read.parquet(s"$src/events.parquet")
+    copies(ev)((d, i) => d
+        .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(i.toLong * 1000000L)))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    val doc = s.read.parquet(s"$src/documents.parquet")
+    copies(doc)((d, i) => d
+        .withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L))
+        // vary the text per copy so dedup sketches see distinct-but-similar
+        // docs (the realistic hard case), not 10 literal clones
+        .withColumn("text", concat(col("text"), lit(s" uniq${i}marker"))))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    Seq("region", "nation", "customer", "supplier", "part", "embeddings")
+      .foreach { t =>
+        s.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factors = args.headOption.getOrElse("1,4,10").split(',').map(_.toInt)
+    val base = "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val probes = Seq("a1_pricing_summary", "j2_orders_lineitem",
+      "w1_topk_per_user", "d1_exact", "d3_minhash_lsh", "x4_tokencount",
+      "x8_decontaminate", "t1_tumbling")
+    factors.foreach { f =>
+      val dir = if (f == 1) base else s"/tmp/graft-scale-${f}x"
+      if (f != 1) scaled(spark, base, dir, f)
+      probes.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        fn(spark, dir).count() // warm codegen + plan
+        val t = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        println(f"""SCALE {"factor":$f%d,"query":"$name","sec":$t%.3f}""")
+      }
+    }
+    spark.stop()
+  }
+}

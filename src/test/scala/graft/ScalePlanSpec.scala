@@ -119,6 +119,16 @@ class ScalePlanSpec extends SparkSpec {
       s"expected non-empty parquet pushdown:\n$qe")
   }
 
+  test("x10 packing: the bin aggregate reuses the window's source partitioning") {
+    import graft.operators.TextQueries
+    val plan = TextQueries.x10_pack(spark, sf)
+      .queryExecution.executedPlan.toString
+    // exactly ONE hashpartitioning exchange (the window's, on source);
+    // the (source, bin) aggregate is satisfied by it — subset clustering
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n === 1, s"expected one hash exchange, found $n:\n$plan")
+  }
+
   test("compact writes parquet with a pk bloom filter") {
     import graft.operators.CassandraModel
     val dir = Files.createTempDirectory("graft-bloom").toString
