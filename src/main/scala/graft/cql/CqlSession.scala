@@ -258,12 +258,32 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   def prepare(cql: String): CqlPrepared = {
     val trimmed = cql.trim
     trimmed.takeWhile(!_.isWhitespace).toLowerCase match {
-      case "select" => new CqlPrepared(this, Left(CqlParser.parse(trimmed)))
+      case "select" => new CqlPrepared(this, CqlParser.parse(trimmed))
       case "insert" | "update" | "delete" =>
-        new CqlPrepared(this, Right(CqlParser.parseDml(trimmed)))
+        new CqlPrepared(this, CqlParser.parseDml(trimmed))
+      case "begin" =>
+        new CqlPrepared(this, CqlParser.parseBatch(trimmed))
       case other => throw new CqlInvalidQueryException(
-        s"only SELECT/INSERT/UPDATE/DELETE can be prepared, got $other")
+        s"only SELECT/INSERT/UPDATE/DELETE/BATCH can be prepared, got $other")
     }
+  }
+
+  /** One coordinator timestamp shared by every statement in the batch
+    * (upstream batch-timestamp rule); statement-level USING TIMESTAMP is
+    * allowed only when the batch itself carries none. CAS batch: all
+    * conditions evaluate against the PRE-batch state (one Paxos round
+    * upstream); the batch applies all-or-nothing. */
+  private[cql] def runBatch(b: CqlBatch): DataFrame = {
+    if (b.usingTimestamp.isDefined &&
+        b.statements.exists(_.usingTimestamp.isDefined))
+      throw new CqlInvalidQueryException(
+        "Timestamp must be set either on BATCH or individual statements")
+    val shared = nextTs(b.usingTimestamp)
+    val allOk = b.statements.forall(conditionHolds)
+    if (allOk)
+      b.statements.foreach(applyDml(_, Some(shared), skipCondition = true))
+    if (b.statements.exists(_.condition.isDefined)) appliedResult(allOk)
+    else spark.emptyDataFrame
   }
 
   /** Run a CQL statement: SELECT returns rows; DML and BATCH mutate and
@@ -277,23 +297,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         applyDdl(CqlParser.parseDdl(trimmed)); spark.emptyDataFrame
       case "insert" | "update" | "delete" =>
         runDml(CqlParser.parseDml(trimmed))
-      case "begin" =>
-        val b = CqlParser.parseBatch(trimmed)
-        // one coordinator timestamp shared by every statement in the batch
-        // (upstream batch-timestamp rule); statement-level USING TIMESTAMP
-        // is allowed only when the batch itself carries none
-        if (b.usingTimestamp.isDefined &&
-            b.statements.exists(_.usingTimestamp.isDefined))
-          throw new CqlInvalidQueryException(
-            "Timestamp must be set either on BATCH or individual statements")
-        val shared = nextTs(b.usingTimestamp)
-        // CAS batch: all conditions evaluate against the PRE-batch state
-        // (one Paxos round upstream); the batch applies all-or-nothing
-        val allOk = b.statements.forall(conditionHolds)
-        if (allOk)
-          b.statements.foreach(applyDml(_, Some(shared), skipCondition = true))
-        if (b.statements.exists(_.condition.isDefined)) appliedResult(allOk)
-        else spark.emptyDataFrame
+      case "begin" => runBatch(CqlParser.parseBatch(trimmed))
       case other =>
         throw new CqlInvalidQueryException(s"unsupported statement: $other")
     }
@@ -686,14 +690,15 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
 /** A parsed statement template with `?` markers. Each `execute(binds…)`
   * substitutes positionally (text order) and runs — the parse cost is paid
   * once, as with upstream's prepared cache. */
-class CqlPrepared private[cql] (session: CqlSession,
-    template: Either[CqlSelect, CqlDml]) {
+class CqlPrepared private[cql] (session: CqlSession, template: AnyRef) {
 
   def execute(binds: Any*): DataFrame = {
     val b = new CqlPrepared.Binder(binds)
     val out = template match {
-      case Left(sel) => session.runSelect(b.select(sel))
-      case Right(dml) => session.runDml(b.dml(dml))
+      case sel: CqlSelect => session.runSelect(b.select(sel))
+      case bat: CqlBatch =>
+        session.runBatch(bat.copy(statements = bat.statements.map(b.dml)))
+      case dml: CqlDml => session.runDml(b.dml(dml))
     }
     b.done()
     out

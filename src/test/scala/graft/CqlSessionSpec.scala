@@ -422,6 +422,21 @@ class CqlSessionSpec extends SparkSpec {
     intercept[CqlInvalidQueryException] { s.prepare("CREATE TABLE nope (x bigint PRIMARY KEY)") }
   }
 
+  test("prepared BATCH binds across statements in order, one shared timestamp") {
+    val s = freshSession
+    val batch = s.prepare(
+      "BEGIN BATCH " +
+        "INSERT INTO users (user_id, name) VALUES (?, ?); " +
+        "UPDATE users SET age = ? WHERE user_id = ?; " +
+      "APPLY BATCH")
+    batch.execute(1L, "ada", 36L, 1L)
+    batch.execute(2L, "grace", 45L, 2L)
+    assert(rows(s) === Seq((1L, Some("ada"), Some(36L))))
+    val wts = s.execute(
+      "SELECT writetime(name) AS wn, writetime(age) AS wa FROM users WHERE user_id = 1").head()
+    assert(wts.getLong(0) === wts.getLong(1), "batch statements share one timestamp")
+  }
+
   test("prepared LWT: IF condition binds after the write's values") {
     val s = freshSession
     s.execute("INSERT INTO users (user_id, name) VALUES (1, 'ada')")
