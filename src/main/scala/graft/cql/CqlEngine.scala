@@ -294,9 +294,15 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
         case "todate" | "totimestamp" | "dateof" | "tounixtimestamp" |
              "unixtimestampof" =>
           import graft.functions.TimeuuidFunctions._
+          // A string column is only decoded as a timeuuid when the value
+          // actually has the v1-uuid shape; a text column holding a plain
+          // date/timestamp string converts with cast, as upstream does.
+          val uuidV1 =
+            "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-1[0-9a-fA-F]{3}-[89abAB][0-9a-fA-F]{3}-[0-9a-fA-F]{12}$"
           val ts = args.lift(0) match {
             case Some(ColArg(n)) if isStringCol(t, n) =>
-              timeuuidToTimestamp(col(n))
+              when(col(n).rlike(uuidV1), timeuuidToTimestamp(col(n)))
+                .otherwise(col(n).cast("timestamp"))
             case Some(ColArg(n)) => col(n).cast("timestamp")
             case Some(LitArg(f: CqlFnLit)) =>
               timeuuidToTimestamp(fnLitUuid(f))

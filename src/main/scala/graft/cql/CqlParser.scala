@@ -469,7 +469,7 @@ object CqlParser {
             val t = c.peek
             val isLit = t.startsWith("'") || t == "[" || t == "{" ||
               t.headOption.exists(_.isDigit) ||
-              (t.length > 1 && t.startsWith("-")) ||
+              t == "-" || // unary minus is its own token; parseValue folds it
               t.equalsIgnoreCase("true") || t.equalsIgnoreCase("false") ||
               t.equalsIgnoreCase("null") ||
               (literalFns(t.toLowerCase) && c.peekAt(1) == "(") // nested fn

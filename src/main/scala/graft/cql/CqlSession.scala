@@ -720,6 +720,7 @@ object CqlPrepared {
       case CqlList(xs) => CqlList(xs.map(value))
       case CqlSetLit(xs) => CqlSetLit(xs.map(value))
       case CqlMapLit(es) => CqlMapLit(es.map { case (k, x) => (value(k), value(x)) })
+      case f: CqlFnLit => f.copy(arg = value(f.arg)) // e.g. maxTimeuuid(?)
       case other => other
     }
     private def assign(a: CqlAssign): CqlAssign = a match {
@@ -749,8 +750,10 @@ object CqlPrepared {
         up.copy(assignments = as, keyPredicates = ks,
           condition = condition(up.condition))
       case del: CqlDelete =>
+        val cols = del.columns.map(d => d.copy(sub = d.sub.map(value)))
         val ks = del.keyPredicates.map { case (c, v) => c -> value(v) }
-        del.copy(keyPredicates = ks, condition = condition(del.condition))
+        del.copy(keyPredicates = ks, columns = cols,
+          condition = condition(del.condition))
       case other => other // INSERT JSON has no bindable positions
     }
     def select(s: CqlSelect): CqlSelect =

@@ -62,7 +62,11 @@ object TimeuuidFunctions {
     * order matches its unsigned byte order (fixed-width lowercase hex), and
     * all RFC-4122 v1 uuids carry variant bits 10xx, so minTimeuuid's 8000…
     * and maxTimeuuid's bfff… tails bracket every real uuid at that tick. */
-  def timeuuidComparable(u: Column): Column =
-    struct(timeuuidTicks(u).as("t"),
-      concat(substring(u, 20, 4), substring(u, 25, 12)).as("tail"))
+  def timeuuidComparable(u: Column): Column = {
+    // lower(): uuids may arrive uppercase-hex (valid per RFC 4122); the
+    // min/max bracket tails are lowercase, so compare case-folded.
+    val lu = lower(u)
+    struct(timeuuidTicks(lu).as("t"),
+      concat(substring(lu, 20, 4), substring(lu, 25, 12)).as("tail"))
+  }
 }

@@ -45,9 +45,16 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
 
 object QuantizeInt8 {
 
-  /** round-half-away-from-zero (Spark round(_,0) on double ≡ DuckDB round). */
+  /** round-half-away-from-zero, matching Spark's `round(_, 0)` exactly:
+    * Spark rounds the DECIMAL value of the double (BigDecimal HALF_UP), so
+    * e.g. 0.49999999999999994 rounds to 0 even though `x + 0.5` rounds to
+    * 1.0 in binary. floor(x+0.5) diverges on exactly those boundary doubles;
+    * BigDecimal.valueOf mirrors the builtin (and DuckDB) bit-for-bit.
+    */
   private def rnd(x: Double): Double =
-    if (x < 0) -Math.floor(-x + 0.5d) else Math.floor(x + 0.5d)
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
 
   def quantize(a: ArrayData): ArrayData = {
     val n = a.numElements()

@@ -252,6 +252,48 @@ class CqlEngineSpec extends SparkSpec {
     assert(r.getTimestamp(0).toString === "2024-06-01 12:00:00.0")
   }
 
+  test("toTimestamp on a text column holding a timestamp STRING casts, not decodes") {
+    // only values with the v1-uuid shape take the timeuuid tick path; a
+    // plain date/timestamp string in a text column converts with cast
+    import graft.cql.CqlSession
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE notes (id text, at text, PRIMARY KEY (id))")
+    s.execute("INSERT INTO notes (id, at) VALUES ('n1', '2024-03-01 09:00:00')")
+    val r = s.execute("SELECT toTimestamp(at) AS ts, toDate(at) AS d FROM notes " +
+      "WHERE id = 'n1'").head()
+    assert(r.getTimestamp(0).toString === "2024-03-01 09:00:00.0")
+    assert(r.getDate(1).toString === "2024-03-01")
+  }
+
+  test("prepared bind markers inside function literals and element deletes") {
+    val s = timeuuidSession
+    // maxTimeuuid(?) in a predicate: the marker binds through the fn literal
+    val p = s.prepare("SELECT what FROM tl WHERE day = ? " +
+      "AND ev > maxTimeuuid(?) ORDER BY ev")
+    val got = p.execute("d1", "2024-03-01 09:30:00").collect().map(_.getString(0))
+    assert(got.toSeq === Seq("b", "c"))
+    // DELETE l[?]: the subscript binds
+    s.execute("CREATE TABLE lists (id text, l list<bigint>, PRIMARY KEY (id))")
+    s.execute("INSERT INTO lists (id, l) VALUES ('a', [10, 20, 30])")
+    val del = s.prepare("DELETE l[?] FROM lists WHERE id = ?")
+    del.execute(1L, "a")
+    val l = s.execute("SELECT l FROM lists WHERE id = 'a'").head().getSeq[Long](0)
+    assert(l === Seq(10L, 30L))
+  }
+
+  test("negative numeric literal as a function argument parses") {
+    // '-' is its own token since the tokenizer change; the selector's literal
+    // detection must still fold unary minus (ADVICE r5)
+    import graft.cql.CqlParser
+    val sel = CqlParser.parse("SELECT similarity_cosine(embedding, [-1.0, 0.5]) " +
+      "FROM embeddings LIMIT 1")
+    assert(sel != null)
+    // Cassandra 5.0 similarity_cosine is (1+cos)/2 — opposite vectors → 0
+    val r = cqlEngine.execute("SELECT similarity_cosine([1.0, 0.0], [-1.0, 0.0]) " +
+      "AS s FROM embeddings LIMIT 1").head()
+    assert(math.abs(r.getDouble(0)) < 1e-6)
+  }
+
   test("function bounds reject non-ordered operators") {
     val s = timeuuidSession
     intercept[CqlInvalidQueryException] {

@@ -37,6 +37,19 @@ class TimeuuidSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("uppercase-hex timeuuids compare inside the min/max bracket") {
+    // RFC 4122 allows uppercase hex on input; some drivers emit it. The
+    // comparable must case-fold or the tail sorts outside the bracket.
+    val u = ev.select(minTimeuuid(col("ts")).as("u"), col("ts")).head()
+    val upper = u.getString(0).toUpperCase
+    val in = spark.range(1).select(
+        timeuuidComparable(lit(upper)).as("c"),
+        timeuuidComparable(minTimeuuid(lit(u.getTimestamp(1)))).as("lo"),
+        timeuuidComparable(maxTimeuuid(lit(u.getTimestamp(1)))).as("hi"))
+      .filter(col("c") >= col("lo") && col("c") <= col("hi")).count()
+    assert(in === 1, s"uppercase $upper fell outside its own tick bracket")
+  }
+
   test("matches java.util.UUID's own v1 timestamp decoding") {
     val u = ev.select(minTimeuuid(col("ts")).as("u"), col("ts")).head()
     val juuid = java.util.UUID.fromString(u.getString(0))
