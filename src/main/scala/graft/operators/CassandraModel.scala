@@ -334,6 +334,74 @@ object CassandraModel {
           lit(1))).as("n_tombstones_purged"))
   }
 
+  /** Cell-write log with CELL tombstones (`DELETE price FROM …` — upstream
+    * `cql3/Operation.ColumnDeletion` [U]), derived from `orders`: w0 full
+    * row @10; w1 a price cell-delete for every 3rd key @(20 + pk%30); w2 a
+    * price re-write (+5) for every 6th key @50 — so some deleted cells are
+    * revived (tombstones shadow only OLDER cells), and the surviving
+    * tombstones spread across the grace cutoff. */
+  def cellTombLog(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).filter(col("o_orderkey") < 400)
+      .select(col("o_orderkey").as("pk"), col("o_totalprice"),
+        col("o_orderstatus"))
+    val w0 = o.select(col("pk"), col("o_totalprice").as("price"),
+      col("o_orderstatus").as("status"), lit(false).as("_del_price"),
+      lit(10L).as("_writetime"))
+    val w1 = o.filter(col("pk") % 3 === 0)
+      .select(col("pk"), lit(null).cast("double").as("price"),
+        lit(null).cast("string").as("status"), lit(true).as("_del_price"),
+        (lit(20L) + col("pk") % 30L).as("_writetime"))
+    val w2 = o.filter(col("pk") % 6 === 0)
+      .select(col("pk"), (col("o_totalprice") + 5).as("price"),
+        lit(null).cast("string").as("status"), lit(false).as("_del_price"),
+        lit(50L).as("_writetime"))
+    w0.unionByName(w1).unionByName(w2)
+      .withColumn("_deleted", lit(false))
+  }
+
+  /** Compaction with CELL-tombstone GC — [[compactWithGrace]] at cell
+    * granularity (upstream purges per-cell: `CompactionIterator` +
+    * `getPurgeEvaluator` [U]). Each column resolves to its (writetime,
+    * delete-wins-tie, value) winner; a winning cell tombstone inside the
+    * grace window is RETAINED as a `_del_price` marker (so a merge with a
+    * late older write still shadows it), outside grace it is purged and
+    * the key becomes zombie-writable for that cell. One hash-aggregate —
+    * a single shuffle on pk, map-side partial. */
+  def compactCellsWithGrace(log: DataFrame, nowWt: Long,
+      graceWt: Long): DataFrame = {
+    val tomb = coalesce(col("_del_price"), lit(false))
+    val pw = max_by(
+      struct(col("price").as("v"), tomb.as("d"), col("_writetime").as("wt")),
+      when(col("price").isNotNull || tomb,
+        struct(col("_writetime"), tomb, col("price"))))
+    val sw = max_by(col("status"),
+      when(col("status").isNotNull, struct(col("_writetime"), col("status"))))
+    log.groupBy("pk").agg(pw.as("_pw"), sw.as("status"))
+      .select(col("pk"),
+        when(!col("_pw.d"), col("_pw.v")).as("price"),
+        col("status"),
+        (col("_pw.d") && col("_pw.wt") >= nowWt - graceWt).as("_del_price"),
+        when(col("_pw.d") && col("_pw.wt") >= nowWt - graceWt, col("_pw.wt"))
+          .as("_del_price_wt"))
+      .filter(col("price").isNotNull || col("status").isNotNull ||
+        col("_del_price"))
+  }
+
+  /** C12: the cell-granularity GC decision as verifiable stats — live
+    * price cells, revived-after-delete cells, tombstones retained (inside
+    * grace = still shadowing), tombstones purged, plus a checksum of the
+    * surviving prices. now=60 (log's max writetime domain), grace=25. */
+  def c12_cell_grace(s: SparkSession, d: String): DataFrame = {
+    val snap = compactCellsWithGrace(cellTombLog(s, d), nowWt = 60L,
+      graceWt = 25L)
+    snap.agg(
+      count(when(col("price").isNotNull, lit(1))).as("n_price_live"),
+      count(when(col("_del_price"), lit(1))).as("n_tomb_retained"),
+      count(when(col("price").isNull && !col("_del_price"), lit(1)))
+        .as("n_tomb_purged"),
+      dbl(dec6(sum(dec6(col("price"))))).as("sum_price"))
+  }
+
   /** C4: counter column read (A6, `db/context/CounterContext.java` [U]) —
     * counters are an increment log; the value is the merged sum. */
   def c4_counter(s: SparkSession, d: String): DataFrame =
@@ -501,6 +569,7 @@ object CassandraModel {
     "c9_reconcile" -> (c9_reconcile _),
     "c10_partition_tombstone" -> (c10_partition_tombstone _),
     "c11_gc_grace" -> (c11_gc_grace _),
+    "c12_cell_grace" -> (c12_cell_grace _),
   )
 
   private val logCte = s"WITH ulog AS (${upsertLogSql.replace("\n", " ")})"
@@ -611,5 +680,30 @@ object CassandraModel {
         |  max(CASE WHEN _writetime = maxwt THEN qty END) AS qty,
         |  cast(max(_writetime) AS bigint) AS _writetime
         |FROM live2 GROUP BY pk, ck ORDER BY pk, ck""".stripMargin,
+    // Same cell-tombstone log (cellTombLog), same (wt, delete-wins-tie,
+    // value) winner per price cell, same grace cutoff now-grace = 60-25.
+    "c12_cell_grace" ->
+      """WITH clog AS (
+        |  SELECT o_orderkey AS pk, o_totalprice AS price,
+        |    false AS del_p, 10 AS wt
+        |  FROM orders WHERE o_orderkey < 400
+        |  UNION ALL
+        |  SELECT o_orderkey, NULL, true, 20 + o_orderkey % 30
+        |  FROM orders WHERE o_orderkey < 400 AND o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice + 5, false, 50
+        |  FROM orders WHERE o_orderkey < 400 AND o_orderkey % 6 = 0),
+        |win AS (
+        |  SELECT pk, price, del_p, wt, row_number() OVER (PARTITION BY pk
+        |    ORDER BY wt DESC, del_p DESC, price DESC) AS rn
+        |  FROM clog)
+        |SELECT
+        |  count(CASE WHEN NOT del_p THEN 1 END) AS n_price_live,
+        |  count(CASE WHEN del_p AND wt >= 35 THEN 1 END) AS n_tomb_retained,
+        |  count(CASE WHEN del_p AND wt < 35 THEN 1 END) AS n_tomb_purged,
+        |  cast(cast(sum(CASE WHEN NOT del_p
+        |    THEN cast(price AS decimal(38,6)) END) AS decimal(38,6))
+        |    AS double) AS sum_price
+        |FROM win WHERE rn = 1""".stripMargin,
   )
 }

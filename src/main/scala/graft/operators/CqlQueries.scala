@@ -29,9 +29,58 @@ object CqlQueries {
         "ALLOW FILTERING")
       .orderBy("l_returnflag")
 
+  /** CQL3: the WRITE path end-to-end through the driver's hash gate. A
+    * deterministic script of 40 mutations (INSERT / UPDATE upsert / row
+    * DELETE, plus one UNLOGGED BATCH sharing a single `USING TIMESTAMP` —
+    * upstream batch-timestamp rule, `cql3/statements/BatchStatement.java`
+    * [U]) is derived from the 40 smallest orders, applied through the CQL
+    * text path (tokenizer → parser → upsert log → reconcile), and the
+    * final table state is SELECTed back. The DuckDB twin reconstructs the
+    * same state with last-write-wins SQL over the identical op script, so
+    * INSERT/UPDATE/DELETE/BATCH semantics — not just parsing — are
+    * hash-verified. Equal-timestamp batch collisions resolve by the
+    * upstream (timestamp, value) cell tie-break, mirrored as
+    * `ORDER BY wt DESC, del DESC, v DESC` in the twin.
+    *
+    * The per-statement driver loop is the nature of a session API (each
+    * statement is a client round-trip upstream too); the table state
+    * itself stays distributed and the SELECT is a normal Catalyst plan. */
+  def cql3_mutations(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.cql.CqlSession(s)
+    sess.execute(
+      "CREATE TABLE kv (k bigint, c bigint, v double, PRIMARY KEY (k, c))")
+    val src = s.read.parquet(s"$d/orders.parquet")
+      .orderBy("o_orderkey").limit(40)
+      .select("o_orderkey", "o_totalprice").collect()
+    val batch = scala.collection.mutable.ArrayBuffer.empty[String]
+    src.zipWithIndex.foreach { case (r, i) =>
+      val key = r.getLong(0); val p = r.getDouble(1)
+      val (k, c) = (key % 8, key % 5)
+      i % 10 match {
+        case m if m <= 5 =>
+          sess.execute(s"INSERT INTO kv (k, c, v) VALUES ($k, $c, $p) " +
+            s"USING TIMESTAMP ${1000 + i}")
+        case 6 | 7 =>
+          sess.execute(s"UPDATE kv USING TIMESTAMP ${1000 + i} " +
+            s"SET v = ${p + 1} WHERE k = $k AND c = $c")
+        case 8 =>
+          sess.execute(s"DELETE FROM kv USING TIMESTAMP ${1000 + i} " +
+            s"WHERE k = $k AND c = $c")
+        case _ =>
+          batch += s"INSERT INTO kv (k, c, v) VALUES ($k, $c, ${p * 2})"
+      }
+    }
+    sess.execute(batch.mkString(
+      "BEGIN UNLOGGED BATCH USING TIMESTAMP 2000 ", "; ", "; APPLY BATCH"))
+    // CQL defines no order for an unrestricted scan; total order applied
+    // on the returned DataFrame (outside the engine), as in cql2.
+    sess.execute("SELECT k, c, v FROM kv").orderBy("k", "c")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cql1_slice" -> (cql1_slice _),
     "cql2_group" -> (cql2_group _),
+    "cql3_mutations" -> (cql3_mutations _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -43,5 +92,30 @@ object CqlQueries {
       """SELECT l_returnflag, count(*) AS n,
         |  min(l_quantity) AS minq, max(l_quantity) AS maxq
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Same 40-op script as the Spark side, replayed as last-write-wins SQL:
+    // op i on orders row i (by o_orderkey): i%10<=5 INSERT p @1000+i,
+    // 6-7 UPDATE p+1 @1000+i, 8 row DELETE @1000+i, 9 batched INSERT p*2
+    // @2000 (shared batch timestamp). Winner per (k,c): latest timestamp,
+    // deletes beat writes at a tie, then greater value (upstream cell
+    // reconcile order).
+    "cql3_mutations" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS key, o_totalprice AS p,
+        |         row_number() OVER (ORDER BY o_orderkey) - 1 AS i
+        |  FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 40)
+        |), ops AS (
+        |  SELECT key % 8 AS k, key % 5 AS c,
+        |    CASE WHEN i % 10 <= 5 THEN p
+        |         WHEN i % 10 <= 7 THEN p + 1
+        |         WHEN i % 10 = 9 THEN p * 2 END AS v,
+        |    CASE WHEN i % 10 = 8 THEN 1 ELSE 0 END AS del,
+        |    CASE WHEN i % 10 = 9 THEN 2000 ELSE 1000 + i END AS wt
+        |  FROM src
+        |), win AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k, c
+        |    ORDER BY wt DESC, del DESC, v DESC) AS rn FROM ops
+        |)
+        |SELECT k, c, v FROM win WHERE rn = 1 AND del = 0
+        |ORDER BY k, c""".stripMargin,
   )
 }

@@ -85,6 +85,41 @@ class CassandraModelSpec extends SparkSpec {
         "exactly why upstream ties purging to gc_grace/repair")
   }
 
+  test("cell-grace: retained CELL tombstones shadow late cell writes; purged ones admit zombies") {
+    import spark.implicits._
+    val log = Seq(
+      // both keys: price written @10, then price CELL-deleted — pk=1's
+      // tombstone (@20) ages out of grace (now=60, grace=25 → cutoff 35),
+      // pk=2's (@40) stays inside it; status is never deleted
+      (1L, Option(5.0), Option("A"), false, 10L),
+      (1L, Option.empty[Double], Option.empty[String], true, 20L),
+      (2L, Option(6.0), Option("B"), false, 10L),
+      (2L, Option.empty[Double], Option.empty[String], true, 40L)
+    ).toDF("pk", "price", "status", "_del_price", "_writetime")
+    val snap = compactCellsWithGrace(log, nowWt = 60L, graceWt = 25L)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), r.getString(2), r.getBoolean(3))).toMap
+    assert(snap(1L) === ((None, "A", false)),
+      "pk=1: purged tombstone — cell gone, no marker, status untouched")
+    assert(snap(2L) === ((None, "B", true)),
+      "pk=2: inside grace — marker retained so it can still shadow")
+    // a replica streams in an OLD price write (wt=15) for both keys; merge
+    // the snapshot (markers carry their writetime) with the late cells
+    val late = Seq(
+      (1L, Option(9.0), Option.empty[String], false, 15L),
+      (2L, Option(9.0), Option.empty[String], false, 15L)
+    ).toDF("pk", "price", "status", "_del_price", "_writetime")
+    val snapAsLog = compactCellsWithGrace(log, 60L, 25L)
+      .select(col("pk"), col("price"), col("status"), col("_del_price"),
+        coalesce(col("_del_price_wt"), lit(10L)).as("_writetime"))
+    val merged = compactCellsWithGrace(snapAsLog.unionByName(late), 60L, 25L)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(merged(1L) === Some(9.0),
+      "pk=1 price zombies back — its cell tombstone was purged")
+    assert(merged(2L) === None,
+      "pk=2 price stays shadowed by the retained cell marker")
+  }
+
   test("tokenOf is stable, non-negative, and bounded to 31 bits") {
     val toks = Tables.orders(spark, sf)
       .select(tokenOf(col("o_orderkey")).as("t"))
