@@ -146,6 +146,65 @@ object VectorQueries {
       .limit(10)
   }
 
+  private val PQ_M = 4    // subspaces
+  private val PQ_SUB = 16 // dims per subspace (64-dim embeddings)
+
+  /** Subspace cell id: sign bits of the subvector's first 4 components —
+    * a deterministic 16-cell quantizer per subspace (production trains
+    * k-means per subspace; same shape, same downstream algebra). */
+  private def pqCell(e: Column, m: Int): Column =
+    (0 until 4).map { b =>
+      when(element_at(e, m * PQ_SUB + b + 1) >= 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** V12: product-quantization ANN with asymmetric distance computation
+    * (ADC) — the memory lever of jvector/FAISS-style billion-vector
+    * indexes [U `index/sai/disk/vector/` PQ]: each vector is stored as
+    * M=4 four-bit codes (2 B vs 256 B raw); the query stays full
+    * precision and scores a vector by summing M lookup-table entries
+    * (dot(q_m, centroid[m][code])), never touching the raw vectors.
+    *
+    * Scale shape: the codebook is M×16 = 64 rows (broadcast); codes are
+    * computed scan-side; the LUT join is a broadcast hash join; top-k is
+    * TakeOrderedAndProject. The only shuffle is the codebook training
+    * aggregate — at serving time a 100 TB corpus is one map + top-k merge.
+    * Per-m LUT entries are rounded then summed as decimals, so the M-way
+    * reduction is shuffle-order-proof and the DuckDB twin (same codebook
+    * CTE, same LUT, same decimal sum) hash-verifies the whole pipeline —
+    * quantization error included. */
+  def v12_pq_adc(s: SparkSession, d: String): DataFrame = {
+    import Q.dbl
+    val withCells = Tables.embeddings(s, d).withColumn("cells",
+      array((0 until PQ_M).map(m => pqCell(col("embedding"), m)): _*))
+    // codebook: per (m, cell, subdim) decimal-mean — shuffle-order-proof
+    val cb = withCells
+      .select(col("cells"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("m", (col("dim") / PQ_SUB).cast("int"))
+      .withColumn("sd", (col("dim") % PQ_SUB).cast("int"))
+      .withColumn("cell", element_at(col("cells"), col("m") + 1))
+      .groupBy("m", "cell", "sd")
+      .agg(count(lit(1)).as("n"),
+        dec6(sum(dec6(col("x").cast("double")))).as("sx"))
+      .withColumn("c", (col("sx").cast("double") / col("n")).cast("float"))
+      .groupBy("m", "cell")
+      .agg(transform(array_sort(collect_list(struct(col("sd"), col("c")))),
+        e => e.getField("c")).as("centroid"))
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qvec"))
+    // ADC lookup table: dot(query subvector, centroid) per (m, cell)
+    val lut = cb.crossJoin(broadcast(q))
+      .select(col("m"), col("cell"),
+        round(dotFast(slice(col("qvec"), col("m") * PQ_SUB + 1, lit(PQ_SUB)),
+          col("centroid")), 6).as("w"))
+    withCells
+      .select(col("vec_id"), posexplode(col("cells")).as(Seq("m", "cell")))
+      .join(broadcast(lut), Seq("m", "cell"))
+      .groupBy("vec_id")
+      .agg(dbl(dec6(sum(dec6(col("w"))))).as("adc_dot"))
+      .orderBy(col("adc_dot").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   /** V5: euclidean + dot-product similarity (the other two F7 functions). */
   def v5_euclidean_dot(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -164,6 +223,7 @@ object VectorQueries {
     "v5_euclidean_dot" -> (v5_euclidean_dot _),
     "v8_knn_int8" -> (v8_knn_int8 _),
     "v6_knn_ivf" -> (v6_knn_ivf _),
+    "v12_pq_adc" -> (v12_pq_adc _),
   )
 
   // DuckDB twins compute the identical double fold: cast the float list to
@@ -255,6 +315,41 @@ object VectorQueries {
         |        (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(qvec, qvec))), 6) AS cos_q
         |FROM qt CROSS JOIN qv
         |ORDER BY cos_q DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // Same PQ pipeline: sign-bit cells per 16-dim subspace, decimal-mean
+    // codebook, round-6 LUT entries, decimal M-way sum.
+    "v12_pq_adc" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |ms AS (SELECT unnest(range(0, 4)) AS m),
+        |cells AS (
+        |  SELECT vec_id, v, m,
+        |    (CASE WHEN v[m*16+1] >= 0 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN v[m*16+2] >= 0 THEN 2 ELSE 0 END) +
+        |    (CASE WHEN v[m*16+3] >= 0 THEN 4 ELSE 0 END) +
+        |    (CASE WHEN v[m*16+4] >= 0 THEN 8 ELSE 0 END) AS cell
+        |  FROM e CROSS JOIN ms),
+        |flat AS (
+        |  SELECT c.vec_id, c.m, c.cell, (i.i - 1) % 16 AS sd, c.v[i.i] AS x
+        |  FROM cells c JOIN (SELECT unnest(range(1, 65)) AS i) i
+        |    ON (i.i - 1) // 16 = c.m),
+        |cb AS (
+        |  SELECT m, cell, sd,
+        |    CAST(CAST(CAST(sum(CAST(x AS DECIMAL(38,6))) AS DECIMAL(38,6))
+        |      AS DOUBLE) / count(*) AS REAL) AS cm
+        |  FROM flat GROUP BY m, cell, sd),
+        |cbv AS (SELECT m, cell, list(CAST(cm AS DOUBLE) ORDER BY sd) AS centroid
+        |        FROM cb GROUP BY m, cell),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |lut AS (
+        |  SELECT m, cell,
+        |    round(list_dot_product(list_slice(qv, m*16+1, m*16+16), centroid), 6) AS w
+        |  FROM cbv CROSS JOIN q)
+        |SELECT c.vec_id,
+        |  CAST(CAST(sum(CAST(l.w AS DECIMAL(38,6))) AS DECIMAL(38,6))
+        |    AS DOUBLE) AS adc_dot
+        |FROM cells c JOIN lut l ON c.m = l.m AND c.cell = l.cell
+        |GROUP BY c.vec_id
+        |ORDER BY adc_dot DESC, vec_id ASC LIMIT 10""".stripMargin,
     "v5_euclidean_dot" ->
       s"""$qvecCte
         |SELECT vec_id,

@@ -103,6 +103,18 @@ class ScalePlanSpec extends SparkSpec {
     assert(hits <= 8, s"centroid subtree exploded ($hits partial aggs):\n$plan")
   }
 
+  test("v12 PQ/ADC serves from a broadcast LUT join + top-k, no cartesian scoring") {
+    val df = graft.operators.VectorQueries.v12_pq_adc(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"LUT must broadcast-join the codes (64-row table):\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"serving path must never score raw vector pairs:\n$plan")
+  }
+
   test("v4 near-dup pairs hash-join on the sign bucket — no cartesian") {
     val plan = graft.operators.VectorQueries.v4_cosine_neardup(spark, sf)
       .queryExecution.executedPlan.toString
