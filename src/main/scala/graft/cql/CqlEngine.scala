@@ -112,7 +112,10 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
     }
     sel.limit.foreach(n => df = df.limit(n))
     if (sel.json)
-      df = df.select(to_json(struct(df.columns.map(col): _*)).as("[json]"))
+      // upstream Json.java serializes EVERY selected column, null included —
+      // a phantom static row must read back as {"ck":null,"v":null,"st":…}
+      df = df.select(to_json(struct(df.columns.map(col): _*),
+        Map("ignoreNullFields" -> "false")).as("[json]"))
     df
   }
 

@@ -60,6 +60,32 @@ object RelationalQueries {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** S8: bulk CSV unload + schema'd reload (cqlsh COPY TO/FROM analogue,
+    * upstream `tools/cqlsh copyutil` [U]) — the round-trip itself is the
+    * operator under test: the aggregate runs over the RELOADED rows, the
+    * twin over the original parquet, so any type/quoting/precision loss in
+    * the CSV hop breaks the hash. Doubles survive because Spark writes
+    * shortest-round-trip literals. */
+  def s8_csv_roundtrip(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_s8_csv"
+    val src = Tables.customer(s, d)
+    src.write.mode("overwrite").option("header", "true").csv(out)
+    s.read.option("header", "true")
+      .schema(StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_nationkey", IntegerType),
+        StructField("c_acctbal", DoubleType),
+        StructField("c_mktsegment", StringType))))
+      .csv(out)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        dbl(dec6(sum(dec6(col("c_acctbal"))))).as("sum_bal"),
+        min(col("c_custkey")).as("min_k"), max(col("c_custkey")).as("max_k"))
+      .orderBy("c_mktsegment")
+  }
+
   // ---- §2.2 projection / filter --------------------------------------------
 
   /** P1/P7: projection + null-semantics filter (Catalyst prunes columns). */
@@ -548,6 +574,7 @@ object RelationalQueries {
     "s3_clustering_slice" -> (s3_clustering_slice _),
     "s4_clustering_names" -> (s4_clustering_names _),
     "s10_json" -> (s10_json _),
+    "s8_csv_roundtrip" -> (s8_csv_roundtrip _),
     "p1_projection" -> (p1_projection _),
     "p2_tuple_restriction" -> (p2_tuple_restriction _),
     "p4_residual_filter" -> (p4_residual_filter _),
@@ -623,6 +650,12 @@ object RelationalQueries {
         |  min(cast(json_extract_string(props, '$.k') AS bigint)) AS min_k,
         |  max(cast(json_extract_string(props, '$.k') AS bigint)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the twin reads the ORIGINAL parquet — equality proves the CSV hop
+    "s8_csv_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  cast(cast(sum(cast(c_acctbal AS decimal(38,6))) AS decimal(38,6)) AS double) AS sum_bal,
+        |  min(c_custkey) AS min_k, max(c_custkey) AS max_k
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "p1_projection" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_acctbal IS NOT NULL AND c_custkey < 100 ORDER BY c_custkey""".stripMargin,

@@ -546,6 +546,19 @@ class CqlSessionSpec extends SparkSpec {
       "partition delete kills the static cell")
   }
 
+  test("SELECT JSON keeps explicit nulls — the phantom static row shape") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE rj (pk bigint, ck bigint, v bigint, st bigint STATIC, " +
+      "PRIMARY KEY (pk, ck))")
+    s.execute("INSERT INTO rj (pk, ck, v, st) VALUES (1, 1, 10, 99)")
+    s.execute("DELETE FROM rj WHERE pk = 1 AND ck = 1")
+    // the partition now answers with ONE phantom row: null ck/v, live static;
+    // upstream SELECT JSON serializes those nulls explicitly (Json.java [U])
+    val js = s.execute("SELECT JSON pk, ck, v, st FROM rj WHERE pk = 1")
+      .head().getString(0)
+    assert(js === """{"pk":1,"ck":null,"v":null,"st":99}""", js)
+  }
+
   test("a write that provides no cells still needs the full primary key") {
     val s = staticSession
     intercept[CqlInvalidQueryException] { // bare-marker INSERT addresses a ROW
