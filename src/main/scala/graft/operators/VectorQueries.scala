@@ -99,16 +99,25 @@ object VectorQueries {
     * oracled: centroid training is per-(label,dim) decimal means (order-
     * independent), so the whole pipeline is a DuckDB CTE chain; cell
     * assignment margins dwarf float error, so the argmin agrees. */
-  def v6_knn_ivf(s: SparkSession, d: String): DataFrame = {
+  def v6_knn_ivf(s: SparkSession, d: String): DataFrame =
+    knnIvf(s, d, queryId = 0L, k = 10, nprobe = 2)
+
+  /** The general IVF search: probe the query's `nprobe` nearest cells,
+    * exact top-`k` inside them. `nprobe` is the recall/latency dial every
+    * production IVF index exposes — at `nprobe >= numCells` the search
+    * degrades gracefully to exact kNN (VectorSpec asserts equality with
+    * [[v1_knn_exact]]), which is the correctness anchor of the knob. */
+  def knnIvf(s: SparkSession, d: String, queryId: Long, k: Int,
+      nprobe: Int): DataFrame = {
     val cents = broadcast(centroids(s, d))
     // Probe-cell selection needs only the RAW query vector vs the codebook —
     // not the full corpus assignment. Both usages of `cents` are the identical
     // broadcast subtree, so ReuseExchange ships the codebook once.
-    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === queryId)
       .crossJoin(cents)
       .withColumn("qdist", euclideanFast(col("embedding"), col("centroid")))
       .orderBy(col("qdist").asc, col("cell").asc)
-      .limit(2)
+      .limit(nprobe)
       .select(col("cell").as("qcell"), col("embedding").as("qvec"))
     Tables.embeddings(s, d)
       .crossJoin(cents)
@@ -121,7 +130,7 @@ object VectorQueries {
       .select(col("vec_id"), col("cell"),
         round(cosineFast(col("embedding"), col("qvec")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
-      .limit(10)
+      .limit(k)
   }
 
   /** V8 (L3 scale path): int8-quantized kNN — the memory lever of a

@@ -64,6 +64,18 @@ class VectorSpec extends SparkSpec {
     assert(out.map(_.getInt(1)).distinct.length <= 2) // nprobe = 2
   }
 
+  test("IVF nprobe dial: probing every cell degrades gracefully to exact kNN") {
+    val nCells = Tables.embeddings(spark, sf)
+      .select("label").distinct().count().toInt
+    val full = VectorQueries.knnIvf(spark, sf, queryId = 0L, k = 10,
+        nprobe = nCells)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val exact = VectorQueries.v1_knn_exact(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(full.toSeq === exact.toSeq,
+      "nprobe = numCells must reproduce the exact top-k, ids and sims")
+  }
+
   test("int8-quantized kNN preserves most of the exact top-10 (recall >= 0.8)") {
     val exact = VectorQueries.v1_knn_exact(spark, sf)
       .collect().map(_.getLong(0)).toSet
