@@ -207,12 +207,70 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Connected components by distributed min-label propagation: each
+    * superstep every vertex takes the min label among itself and its
+    * neighbors (one join + one aggregate, both keyed on the vertex —
+    * ONE shuffle per superstep), until a fixpoint. Rounds = graph
+    * diameter; near-dup graphs are unions of small dense clusters, so the
+    * diameter is tiny and this beats the O(log n) star-contraction
+    * variants on constant factors (no re-edging). `localCheckpoint`
+    * truncates the per-round lineage so the plan stays flat at any round
+    * count. Isolated vertices keep their own id as the component. */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    var lbl = sym.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      val nbr = sym.join(lbl, sym("src") === lbl("id"))
+        .select(col("dst").as("id"), col("lbl"))
+      val merged = nbr.unionByName(lbl)
+        .groupBy("id").agg(min("lbl").as("newlbl"))
+      changed = merged.join(lbl.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("newlbl") < col("old")).count()
+      lbl = merged.withColumnRenamed("newlbl", "lbl").localCheckpoint()
+      rounds += 1
+    }
+    sym.unpersist()
+    lbl
+  }
+
+  /** D6 (L2 cluster consolidation): the step real dedup pipelines need
+    * AFTER pair generation — group near-duplicate PAIRS into clusters and
+    * keep one representative each. Pairs are D5's exact trigram-Jaccard
+    * edges (same-source, doc_id < 300); components by
+    * [[connectedComponents]]; output one row per cluster: representative
+    * (min doc_id), size, sorted members. The DuckDB twin computes the same
+    * closure with a recursive CTE, so the distributed fixpoint itself is
+    * hash-verified. */
+  def d6_components(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("source"),
+        array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+    val pairs = docs.as("a").join(docs.as("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh")))).as("j"))
+      .filter(col("j") > 0.01)
+      .select("src", "dst")
+    connectedComponents(pairs)
+      .groupBy(col("lbl").as("comp_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sort_array(collect_list(col("id"))).as("members"))
+      .orderBy("comp_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact" -> (d1_exact _),
     "d2_fingerprint" -> (d2_fingerprint _),
     "d3_minhash_lsh" -> (d3_minhash_lsh _),
     "d4_simhash" -> (d4_simhash _),
     "d5_ngram_jaccard" -> (d5_ngram_jaccard _),
+    "d6_components" -> (d6_components _),
   )
 
   private val corpusCte =
@@ -309,5 +367,34 @@ object DedupQueries {
         |          len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
         |  FROM docs a JOIN docs b ON a.source = b.source AND a.doc_id < b.doc_id)
         |WHERE jaccard > 0.01 ORDER BY id_a, id_b""".stripMargin,
+    // Same D5 edges (doc_id < 300), transitive closure by recursive CTE,
+    // component id = min reachable doc_id — the twin of the distributed
+    // min-label fixpoint.
+    "d6_components" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, len(string_split(lower(text),' ')) - 1),
+        |      i -> string_split(lower(text),' ')[i] || ' ' ||
+        |           string_split(lower(text),' ')[i+1] || ' ' ||
+        |           string_split(lower(text),' ')[i+2])) AS sh
+        |  FROM documents WHERE doc_id < 300),
+        |pairs AS (
+        |  SELECT src, dst FROM (
+        |    SELECT a.doc_id AS src, b.doc_id AS dst,
+        |      len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) AS j
+        |    FROM docs a JOIN docs b
+        |      ON a.source = b.source AND a.doc_id < b.doc_id)
+        |  WHERE j > 0.01),
+        |edges AS (SELECT src, dst FROM pairs
+        |          UNION SELECT dst, src FROM pairs),
+        |reach AS (
+        |  SELECT src AS a, src AS b FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+        |SELECT lbl AS comp_id, count(*) AS n_docs,
+        |  list(id ORDER BY id) AS members
+        |FROM (SELECT a AS id, min(b) AS lbl FROM reach GROUP BY a)
+        |GROUP BY lbl ORDER BY comp_id""".stripMargin,
   )
 }

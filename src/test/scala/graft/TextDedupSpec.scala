@@ -20,6 +20,23 @@ class TextDedupSpec extends SparkSpec {
     assert(fps(1L) !== fps(3L))
   }
 
+  test("connected components: chains need multiple supersteps, clusters get min-id labels") {
+    import spark.implicits._
+    // a 5-chain (diameter 4 → several propagation rounds), a triangle,
+    // and a detached pair — labels must be each component's min id
+    val edges = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), // chain
+      (20L, 21L), (21L, 22L), (20L, 22L),             // triangle
+      (30L, 31L)                                      // pair
+    ).toDF("src", "dst")
+    val lbl = DedupQueries.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((10L to 14L).forall(lbl(_) == 10L), s"chain: $lbl")
+    assert((20L to 22L).forall(lbl(_) == 20L), s"triangle: $lbl")
+    assert(Seq(30L, 31L).forall(lbl(_) == 30L), s"pair: $lbl")
+    assert(lbl.size === 10)
+  }
+
   test("minhash signatures of identical token sets are identical") {
     val d = df1((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
       (3L, "totally different words here indeed"))
