@@ -41,7 +41,11 @@ object ScaleProbe {
         // docs (the realistic hard case), not 10 literal clones
         .withColumn("text", concat(col("text"), lit(s" uniq${i}marker"))))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    Seq("region", "nation", "customer", "supplier", "part", "embeddings")
+    val em = s.read.parquet(s"$src/embeddings.parquet")
+    copies(em)((d, i) => d.withColumn("vec_id",
+        col("vec_id") + lit(i.toLong * 10000000L)))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    Seq("region", "nation", "customer", "supplier", "part")
       .foreach { t =>
         s.read.parquet(s"$src/$t.parquet")
           .write.mode("overwrite").parquet(s"$out/$t.parquet")
@@ -62,14 +66,23 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val probes = Seq("a1_pricing_summary", "j2_orders_lineitem",
-      "w1_topk_per_user", "d1_exact", "d3_minhash_lsh", "x4_tokencount",
-      "x8_decontaminate", "t1_tumbling")
+    val probes: Seq[(String, (SparkSession, String) => DataFrame)] =
+      Seq("a1_pricing_summary", "j2_orders_lineitem",
+        "w1_topk_per_user", "d1_exact", "d3_minhash_lsh", "x4_tokencount",
+        "x8_decontaminate", "t1_tumbling", "v12_pq_adc")
+        .map(n => n -> SparkEntry.queries(n)) :+
+      // the full consolidation pipeline: LSH candidates → components —
+      // the uncapped variant of d6 (whose declared query bounds doc_id
+      // for the recursive-CTE oracle)
+      ("components_on_lsh" -> ((sp: SparkSession, dir: String) =>
+        operators.DedupQueries.connectedComponents(
+          operators.DedupQueries.d3_minhash_lsh(sp, dir)
+            .select(col("id_a").as("src"), col("id_b").as("dst")))
+          .groupBy("lbl").agg(count(lit(1)).as("n"))))
     factors.foreach { f =>
       val dir = if (f == 1) base else s"/tmp/graft-scale-${f}x"
       if (f != 1) scaled(spark, base, dir, f)
-      probes.foreach { name =>
-        val fn = SparkEntry.queries(name)
+      probes.foreach { case (name, fn) =>
         fn(spark, dir).count() // warm codegen + plan
         val t = (1 to 2).map { _ =>
           val t0 = System.nanoTime()

@@ -260,6 +260,9 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
     case Star => col("*")
     case ColumnSelector(name, alias) =>
       alias.fold(col(name))(col(name).as(_))
+    case CastSelector(column, to, toName, alias) =>
+      // upstream names the result column `cast(c as type)` (CastFcts [U])
+      col(column).cast(to).as(alias.getOrElse(s"cast($column as $toName)"))
     case FunctionSelector(fn, args, alias) =>
       def colArg(i: Int): String = args.lift(i) match {
         case Some(ColArg(n)) => n

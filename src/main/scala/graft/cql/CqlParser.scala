@@ -4,6 +4,10 @@ package graft.cql
 sealed trait CqlSelector { def isAggregate: Boolean = false }
 case object Star extends CqlSelector
 case class ColumnSelector(name: String, alias: Option[String]) extends CqlSelector
+/** `CAST(col AS cqltype)` (upstream `cql3/functions/CastFcts.java` [U]). */
+case class CastSelector(column: String,
+  to: org.apache.spark.sql.types.DataType, toName: String,
+  alias: Option[String]) extends CqlSelector
 /** A function-call argument: a column reference or a literal (scalar or
   * collection — e.g. the query vector of `similarity_cosine(emb, [..])`). */
 sealed trait CqlFnArg
@@ -460,6 +464,14 @@ object CqlParser {
   private def parseSelector(c: Cursor): CqlSelector = {
     if (c.accept("*")) return Star
     val name = c.next()
+    if (name.equalsIgnoreCase("cast") && c.peekIs("(")) {
+      // CAST(col AS cqltype) — type names are CQL's, mapped by parseType
+      c.expect("("); val column = c.next(); c.expect("as")
+      val typeName = c.peek
+      val dt = parseType(c)
+      c.expect(")")
+      return CastSelector(column, dt, typeName.toLowerCase, parseAlias(c))
+    }
     if (c.accept("(")) {
       var args = Vector.empty[CqlFnArg]
       if (!c.accept(")")) {

@@ -255,7 +255,30 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** X12 (L4 quality): Gopher/C4-style REPETITION filter — the cheap
+    * pre-dedup signal real pipelines run on every document: the fraction
+    * of bigram mass in the single most-frequent bigram (`top_frac`) and in
+    * any repeated bigram (`dup_frac`); a doc is flagged when repeated
+    * bigrams carry >20% of its mass. Two hash-aggregates, both keyed by
+    * doc_id after the first — at 100 TB it is one shuffle on (doc_id,
+    * gram) then a map-side partial per doc, no joins, no global state. */
+  def x12_repetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"),
+        max(col("c")).as("top_c"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_c"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("top_c").cast("double") / col("n_bigrams"), 6).as("top_frac"),
+        round(col("dup_c").cast("double") / col("n_bigrams"), 6).as("dup_frac"),
+        (col("dup_c").cast("double") / col("n_bigrams") > 0.2)
+          .as("flag_repetitive"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x12_repetition" -> (x12_repetition _),
     "x11_perplexity" -> (x11_perplexity _),
     "x9_stratified" -> (x9_stratified _),
     "x10_pack" -> (x10_pack _),
@@ -270,6 +293,20 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // same bigrams (adjacent token pairs), same two-level aggregate
+    "x12_repetition" ->
+      """WITH grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(string_split(lower(text),' '))),
+        |      i -> string_split(lower(text),' ')[i] || ' ' ||
+        |           string_split(lower(text),' ')[i+1])) AS g
+        |  FROM documents),
+        |counts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g)
+        |SELECT doc_id, cast(sum(c) AS bigint) AS n_bigrams,
+        |  round(max(c)::DOUBLE / sum(c), 6) AS top_frac,
+        |  round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c), 6) AS dup_frac,
+        |  sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c) > 0.2 AS flag_repetitive
+        |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x11_perplexity" ->
       """WITH doc AS (
         |  SELECT doc_id, string_split(lower(text),' ') AS toks,

@@ -294,6 +294,26 @@ class CqlEngineSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0)) < 1e-6)
   }
 
+  test("CAST(col AS cqltype) selector: CQL type names, upstream column naming") {
+    val r = cqlEngine.execute(
+      "SELECT CAST(l_quantity AS int) AS qi, CAST(l_orderkey AS text) AS ks " +
+        "FROM lineitem WHERE l_orderkey = 1 ORDER BY l_linenumber LIMIT 1")
+      .head()
+    assert(r.getInt(0) === Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") === 1).orderBy("l_linenumber")
+      .head().getAs[Double]("l_quantity").toInt)
+    assert(r.getString(1) === "1")
+    // unaliased cast keeps Cassandra's result-column name
+    assert(cqlEngine.execute(
+      "SELECT CAST(l_quantity AS double) FROM lineitem WHERE l_orderkey = 1")
+      .columns.head === "cast(l_quantity as double)")
+    // unknown CQL type is rejected at parse
+    intercept[CqlInvalidQueryException] {
+      cqlEngine.execute("SELECT CAST(l_quantity AS integerish) FROM lineitem " +
+        "WHERE l_orderkey = 1")
+    }
+  }
+
   test("function bounds reject non-ordered operators") {
     val s = timeuuidSession
     intercept[CqlInvalidQueryException] {
