@@ -81,6 +81,42 @@ object StreamingPipelines {
         TimeMode.None(), OutputMode.Update(), Encoders.product[UserTotals])
   }
 
+  /** S6/S7 write path — the memtable-flush analogue: a STREAM of cell
+    * writes materializes a latest-wins snapshot table via `foreachBatch`
+    * merge. Each micro-batch unions with the current snapshot and rewrites
+    * it through [[graft.operators.CassandraModel.compactWithGrace]] —
+    * flush and compaction collapse into one step because parquet snapshots
+    * are immutable like SSTables. Using the GRACE-aware compaction is what
+    * makes incremental merge CORRECT: a young tombstone survives as a
+    * marker and still shadows an older write arriving in a later batch;
+    * with plain latest-wins it would zombie back (StreamingSpec proves
+    * both directions). Merge order cannot matter — the reconcile is a
+    * commutative semilattice join on (writetime, v) — so out-of-order
+    * file arrival is safe.
+    *
+    * Scale: each flush is one shuffle on pk (bucketLog the snapshot and it
+    * is map-only); the snapshot rewrite is bounded by live keys + young
+    * tombstones, the same bound upstream compaction carries. */
+  def upsertSink(writes: DataFrame, snapshotDir: String,
+      checkpointDir: String, nowWt: Long, graceWt: Long): StreamingQuery =
+    writes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val existing =
+          if (new java.io.File(snapshotDir).exists())
+            Some(s.read.parquet(snapshotDir)) else None
+        val log = existing.fold(batch.toDF())(_.unionByName(batch.toDF()))
+        val merged = graft.operators.CassandraModel
+          .compactWithGrace(log, nowWt, graceWt)
+          .localCheckpoint(true) // materialize BEFORE overwriting the input
+        merged.write.mode("overwrite").parquet(snapshotDir)
+        ()
+      }
+      .start()
+
   /** T8: stream-stream interval join (upstream has no analogue — this is
     * the CDC-enrichment shape every streaming pipeline needs): each click
     * joined to the same user's purchases within 30 minutes AFTER it. Both

@@ -184,6 +184,44 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).select("event_id").distinct().count() === 2 * n)
   }
 
+  test("streaming upsert sink: incremental grace-compacted flushes equal the batch view") {
+    import graft.operators.CassandraModel
+    val log = CassandraModel.upsertLog(spark, sf)
+    val inDir = Files.createTempDirectory("graft-upsert-in")
+    val snapDir = Files.createTempDirectory("graft-upsert-out").toString + "/snap"
+    val ckpt = Files.createTempDirectory("graft-upsert-ckpt").toString
+    // two arrival waves: versions {0,2} land first, then {1} — so wave 2
+    // delivers writes OLDER than wave-1 tombstones (the zombie hazard);
+    // the reconcile is commutative, so any split must converge the same
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-upsert-w").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, inDir.resolve(name),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    stage(log.filter(col("v") =!= 1), "w1.parquet")
+    stage(log.filter(col("v") === 1), "w2.parquet")
+    val writes = spark.readStream.schema(log.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    StreamingPipelines.upsertSink(writes, snapDir, ckpt,
+      nowWt = 1009L, graceWt = 2000L).awaitTermination()
+    val snap = spark.read.parquet(snapDir)
+    val cols = Seq("pk", "price", "status", "_writetime", "v")
+    val live = snap.filter(!col("_deleted"))
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val expect = CassandraModel.latestWinsView(log)
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(live === expect,
+      "two incremental flushes must converge to the batch latest-wins view")
+    // every key whose WINNER is a tombstone survives as a retained marker
+    // (grace covers the whole writetime domain here)
+    val nKeys = log.select("pk").distinct().count()
+    assert(snap.filter(col("_deleted")).count() === nKeys - live.size,
+      "winning tombstones must be retained as markers, not purged")
+  }
+
   test("batch session windows match the gaps-and-islands formulation") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts")
