@@ -214,6 +214,35 @@ object VectorQueries {
       .limit(10)
   }
 
+  /** V13: quantized-prune + exact-rerank — the two-stage serving pattern
+    * of every production ANN index (FAISS refine / jvector reranking
+    * [U `index/sai/disk/vector/`]): stage 1 scores CHEAP int8 vectors
+    * (64 B each) and keeps 4k candidates; stage 2 re-scores only those
+    * against the full-precision vectors. At 100 TB stage 1 is the only
+    * corpus-wide pass (¼ the bytes of the raw scan) and stage 2 touches
+    * 40 rows — both stages broadcast the query, keep TakeOrderedAndProject
+    * shapes, and are fully deterministic (round-6 scores, vec_id
+    * tiebreak), so the oracle verifies prune AND rerank. */
+  def v13_knn_rerank(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q8 = emb.filter(col("vec_id") === 0L)
+      .select(quantizeInt8(col("embedding")).as("q8"))
+    val cands = emb
+      .select(col("vec_id").as("cid"), quantizeInt8(col("embedding")).as("e8"))
+      .crossJoin(broadcast(q8))
+      .select(col("cid"), round(cosineFast(col("e8"), col("q8")), 6).as("cos_q"))
+      .orderBy(col("cos_q").desc, col("cid").asc)
+      .limit(40)
+    val qraw = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qvec"))
+    emb.join(broadcast(cands), col("vec_id") === col("cid"))
+      .crossJoin(broadcast(qraw))
+      .select(col("vec_id"),
+        round(cosineFast(col("embedding"), col("qvec")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   /** V5: euclidean + dot-product similarity (the other two F7 functions). */
   def v5_euclidean_dot(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -233,6 +262,7 @@ object VectorQueries {
     "v8_knn_int8" -> (v8_knn_int8 _),
     "v6_knn_ivf" -> (v6_knn_ivf _),
     "v12_pq_adc" -> (v12_pq_adc _),
+    "v13_knn_rerank" -> (v13_knn_rerank _),
   )
 
   // DuckDB twins compute the identical double fold: cast the float list to
@@ -359,6 +389,28 @@ object VectorQueries {
         |FROM cells c JOIN lut l ON c.m = l.m AND c.cell = l.cell
         |GROUP BY c.vec_id
         |ORDER BY adc_dot DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // same two stages: v8's int8 quantization prunes 40, exact rerank 10
+    "v13_knn_rerank" ->
+      """WITH qt AS (
+        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> round(x * (127.0 / list_aggregate(
+        |      list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y)), 'max')))) AS q
+        |  FROM embeddings),
+        |qv AS (SELECT q AS q8 FROM qt WHERE vec_id = 0),
+        |cands AS (
+        |  SELECT vec_id FROM (
+        |    SELECT qt.vec_id,
+        |      round(list_dot_product(q, q8) /
+        |            (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(q8, q8))), 6) AS cos_q
+        |    FROM qt CROSS JOIN qv)
+        |  ORDER BY cos_q DESC, vec_id ASC LIMIT 40),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qr AS (SELECT v AS qvec FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_dot_product(v, qvec) /
+        |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qvec, qvec))), 6) AS cos_sim
+        |FROM e JOIN cands USING (vec_id) CROSS JOIN qr
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
     "v5_euclidean_dot" ->
       s"""$qvecCte
         |SELECT vec_id,

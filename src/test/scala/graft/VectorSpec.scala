@@ -86,6 +86,17 @@ class VectorSpec extends SparkSpec {
       s"int8 quantization lost too much: exact=$exact quant=$quant")
   }
 
+  test("rerank recovers the exact top-10 that int8-only scoring loses") {
+    val exact = VectorQueries.v1_knn_exact(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val rerank = VectorQueries.v13_knn_rerank(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(rerank.size === 10)
+    assert((exact & rerank).size >= 9,
+      s"40-candidate prune + exact rerank should be near-exact: " +
+        s"exact=$exact rerank=$rerank")
+  }
+
   test("euclidean distance to self is 0 and to others positive") {
     val d0 = VectorQueries.v5_euclidean_dot(spark, sf).head()
     assert(d0.getLong(0) === 0L)
