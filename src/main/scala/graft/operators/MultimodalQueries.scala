@@ -111,10 +111,26 @@ object MultimodalQueries {
           .cast("long").as("frame_value"))
       .orderBy("doc_id", "frame_idx")
 
+  /** M4: resize metadata, columnar twin of [[resizePayload]] (n = 8):
+    * output byte count plus a checksum over the KEPT prefix's tail (bytes
+    * 5–8), so truncating at the wrong offset breaks the hash. The typed
+    * Dataset path is spec-verified equal (MultimodalSpec); this promotes
+    * the resize contract into the oracle gate. */
+  def m4_resize(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), md5(col("text")).as("hx"))
+      .select(col("doc_id"),
+        (length(col("hx")) / 2).cast("int").as("n_bytes_in"),
+        lit(8).as("n_bytes_out"),
+        conv(substring(col("hx"), 9, 8), 16, 10).cast("long").as("tail_sum"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_features" -> (m1_features _),
     "m2_mime_profile" -> (m2_mime_profile _),
     "m3_frame_sample" -> (m3_frame_sample _),
+    "m4_resize" -> (m4_resize _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -131,6 +147,11 @@ object MultimodalQueries {
         |        ('0x' || substr(md5(text), 1, 8))::BIGINT AS feature
         |      FROM documents WHERE doc_id < 300)
         |GROUP BY mime ORDER BY mime""".stripMargin,
+    "m4_resize" ->
+      """SELECT doc_id, cast(len(md5(text)) / 2 AS int) AS n_bytes_in,
+        |  8 AS n_bytes_out,
+        |  ('0x' || substr(md5(text), 9, 8))::BIGINT AS tail_sum
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
     "m3_frame_sample" ->
       """SELECT doc_id, cast(i AS int) AS frame_idx,
         |  ('0x' || substr(md5(text), i*8 + 1, 8))::BIGINT AS frame_value

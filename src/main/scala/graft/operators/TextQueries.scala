@@ -277,7 +277,38 @@ object TextQueries {
           .as("flag_repetitive"))
       .orderBy("doc_id")
 
+  /** X13 (L4): PII redaction — the scrub pass every training pipeline
+    * runs before anything else. The fixture corpus carries no PII, so the
+    * query INJECTS deterministic emails/phones (every 10th/7th doc) and
+    * must then find and redact exactly what it injected: counts per
+    * pattern plus an md5 of the fully-redacted text (any missed or
+    * mangled replacement breaks the hash). Regexes are RE2-safe subsets
+    * that Spark's Java engine and DuckDB's RE2 interpret identically;
+    * per-row map work, embarrassingly parallel at any scale. */
+  def x13_redact(s: SparkSession, d: String): DataFrame = {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\d{3}-\\d{4}"
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 10 === 0,
+            concat(lit(" contact user"), col("doc_id"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" call 555-01"),
+              lpad((col("doc_id") % 100).cast("string"), 2, "0")))
+            .otherwise(lit(""))).as("t"))
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit(emailRe)).cast("int").as("n_emails"),
+        regexp_count(col("t"), lit(phoneRe)).cast("int").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x13_redact" -> (x13_redact _),
     "x12_repetition" -> (x12_repetition _),
     "x11_perplexity" -> (x11_perplexity _),
     "x9_stratified" -> (x9_stratified _),
@@ -293,6 +324,24 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // same injection, same RE2-safe patterns, DuckDB 'g' = Spark's
+    // replace-all default
+    "x13_redact" ->
+      """WITH pii AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 10 = 0
+        |      THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN ' call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+        |      ELSE '' END AS t
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT doc_id,
+        |  cast(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS int) AS n_emails,
+        |  cast(len(regexp_extract_all(t, '\d{3}-\d{4}')) AS int) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{3}-\d{4}', '<PHONE>', 'g')) AS clean_md5
+        |FROM pii ORDER BY doc_id""".stripMargin,
     // same bigrams (adjacent token pairs), same two-level aggregate
     "x12_repetition" ->
       """WITH grams AS (
