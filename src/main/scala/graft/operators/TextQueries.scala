@@ -307,7 +307,41 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** X14 (L4/A7 family): count-min sketch heavy hitters — frequency
+    * estimation in FIXED space (4 rows × 64 counters = 256 longs, vs an
+    * unbounded exact token map). Row hashes are the engine's md5-derived
+    * convention, so the sketch CONTENT is deterministic and the DuckDB
+    * twin builds the identical sketch: estimates, not just exacts, are
+    * hash-verified — including the CM admissibility invariant
+    * `est >= exact` emitted as a column. Scale shape: the sketch is one
+    * hash-agg over exploded tokens (map-side partial into 256 cells, the
+    * shuffle carries 256 rows per task no matter the corpus size); probes
+    * join it broadcast. */
+  def x14_count_min(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Hash60
+    val W = 64
+    val toks = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("term"))
+    val cells = toks
+      .select(explode(sequence(lit(0), lit(3))).as("r"), col("term"))
+      .withColumn("c", pmod(md5Hash60(concat(col("r"), lit(":"), col("term"))), lit(W)))
+      .groupBy("r", "c").agg(count(lit(1)).as("cell"))
+    val probes = toks.groupBy("term").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("term").asc)
+      .limit(20)
+    probes
+      .select(col("term"), col("exact_n"),
+        explode(sequence(lit(0), lit(3))).as("r"))
+      .withColumn("c", pmod(md5Hash60(concat(col("r"), lit(":"), col("term"))), lit(W)))
+      .join(broadcast(cells), Seq("r", "c"))
+      .groupBy("term", "exact_n")
+      .agg(min(col("cell")).as("est_n"))
+      .withColumn("admissible", col("est_n") >= col("exact_n"))
+      .orderBy(col("exact_n").desc, col("term").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x14_count_min" -> (x14_count_min _),
     "x13_redact" -> (x13_redact _),
     "x12_repetition" -> (x12_repetition _),
     "x11_perplexity" -> (x11_perplexity _),
@@ -324,6 +358,26 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // identical sketch: same md5-derived row hashes mod 64, same probes
+    "x14_count_min" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(lower(text),' ')) AS term FROM documents),
+        |rs AS (SELECT unnest(range(0, 4)) AS r),
+        |cells AS (
+        |  SELECT r,
+        |    ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || term), 1, 15))::BIGINT % 64 AS c,
+        |    count(*) AS cell
+        |  FROM toks CROSS JOIN rs GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT term, count(*) AS exact_n FROM toks GROUP BY term
+        |  ORDER BY exact_n DESC, term ASC LIMIT 20)
+        |SELECT p.term, p.exact_n, cast(min(cell) AS bigint) AS est_n,
+        |  cast(min(cell) AS bigint) >= p.exact_n AS admissible
+        |FROM probes p CROSS JOIN rs g
+        |JOIN cells ON cells.r = g.r AND cells.c =
+        |  ('0x' || substr(md5(CAST(g.r AS VARCHAR) || ':' || p.term), 1, 15))::BIGINT % 64
+        |GROUP BY p.term, p.exact_n
+        |ORDER BY exact_n DESC, term ASC""".stripMargin,
     // same injection, same RE2-safe patterns, DuckDB 'g' = Spark's
     // replace-all default
     "x13_redact" ->
