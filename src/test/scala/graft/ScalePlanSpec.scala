@@ -103,6 +103,33 @@ class ScalePlanSpec extends SparkSpec {
     assert(hits <= 8, s"centroid subtree exploded ($hits partial aggs):\n$plan")
   }
 
+  test("runtime bloom filter prunes the fact scan of a selective shuffled join") {
+    // at 100 TB a selective dim filter should reach the fact scan as a
+    // row-level runtime filter even when the join must shuffle; thresholds
+    // are lowered because the fixture is tiny, the PLAN SHAPE is the claim
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dim = Tables.orders(spark, sf)
+        .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 97 === 0)
+      val joined = Tables.lineitem(spark, sf)
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString.toLowerCase
+      assert(plan.contains("bloom"),
+        s"selective dim join should inject a runtime bloom filter:\n$plan")
+      assert(joined.collect().nonEmpty)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("v12 PQ/ADC serves from a broadcast LUT join + top-k, no cartesian scoring") {
     val df = graft.operators.VectorQueries.v12_pq_adc(spark, sf)
     df.collect()
