@@ -64,7 +64,37 @@ object StreamingQueries {
       .orderBy("user_id", "event_type", "day")
   }
 
+  /** T9: gap-fill / resample — the dense-grid op every time-series store
+    * bolts onto sparse events (upstream has no analogue; InfluxDB/Timescale
+    * `time_bucket_gapfill`): per user (< 20), an hourly grid spanning the
+    * user's own [min, max] bucket, actual per-bucket sums left-joined in,
+    * missing hours emitted with n = 0 and the last seen sum carried
+    * forward (`last(_, ignoreNulls)` over an unbounded-preceding frame).
+    * Scale: the grid generates ~rows×avg_gap cells map-side via
+    * `sequence` (no join against a calendar table), then ONE shuffle on
+    * user_id shared by the join and the fill window. */
+  def t9_gapfill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("user_id") < 20)
+      .withColumn("bucket", date_trunc("hour", col("ts")))
+    val actual = ev.groupBy(col("user_id"), col("bucket"))
+      .agg(count(lit(1)).as("n"), dec6(sum(dec6(col("value")))).as("sv"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 HOUR"))).as("bucket"))
+    val w = Window.partitionBy("user_id").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(actual, Seq("user_id", "bucket"), "left")
+      .select(col("user_id"), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        round(last(col("sv"), ignoreNulls = true).over(w).cast("double"), 6)
+          .as("filled_sum"))
+      .orderBy("user_id", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t9_gapfill" -> (t9_gapfill _),
     "t1_tumbling" -> (t1_tumbling _),
     "t2_sliding" -> (t2_sliding _),
     "t3_session" -> (t3_session _),
@@ -72,6 +102,29 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // same per-user hourly grid (generate_series is end-inclusive, as is
+    // Spark's sequence on even steps), same left join + carry-forward
+    "t9_gapfill" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('hour', cast(ts AS timestamp)) AS bucket,
+        |    value
+        |  FROM events WHERE user_id < 20),
+        |actual AS (
+        |  SELECT user_id, bucket, count(*) AS n,
+        |    cast(sum(cast(value AS decimal(38,6))) AS decimal(38,6)) AS sv
+        |  FROM e GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(min(bucket), max(bucket),
+        |    INTERVAL 1 HOUR)) AS bucket
+        |  FROM e GROUP BY user_id)
+        |SELECT g.user_id, g.bucket,
+        |  coalesce(a.n, 0) AS n,
+        |  round(cast(last_value(a.sv IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.bucket
+        |    ROWS UNBOUNDED PRECEDING) AS double), 6) AS filled_sum
+        |FROM grid g LEFT JOIN actual a
+        |  ON g.user_id = a.user_id AND g.bucket = a.bucket
+        |ORDER BY g.user_id, g.bucket""".stripMargin,
     "t1_tumbling" ->
       """SELECT date_trunc('hour', cast(ts AS timestamp)) AS win_start, event_type,
         |  count(*) AS n,
