@@ -316,6 +316,23 @@ object RelationalQueries {
         round(expr("percentile(value, 0.99)"), 6).as("p99"))
       .orderBy("event_type")
 
+  /** A12: pivot — wide per-key layout from the long event stream (the
+    * `groupBy().pivot()` surface; explicit value list so the plan needs
+    * no extra distinct-values pass and codegen gets static columns —
+    * exactly how you'd write it at 100 TB). Nulls → 0 to match the
+    * conditional-aggregation twin. */
+  def a12_pivot(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup")
+    val p = Tables.events(s, d)
+      .filter(col("user_id") < 50)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    p.select(col("user_id") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy("user_id")
+  }
+
   /** A8: SELECT DISTINCT. */
   def a8_distinct(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
@@ -595,6 +612,7 @@ object RelationalQueries {
     "a1_pricing_summary" -> (a1_pricing_summary _),
     "a3_time_bucket" -> (a3_time_bucket _),
     "a11_funnel" -> (a11_funnel _),
+    "a12_pivot" -> (a12_pivot _),
     "a4_per_partition_limit" -> (a4_per_partition_limit _),
     "a7_approx_distinct" -> (a7_approx_distinct _),
     "a8_distinct" -> (a8_distinct _),
@@ -785,6 +803,14 @@ object RelationalQueries {
         |SELECT (SELECT count(*) FROM v) AS n_viewed,
         |  (SELECT count(*) FROM c) AS n_clicked_after_view,
         |  (SELECT count(*) FROM p) AS n_purchased_after_click""".stripMargin,
+    "a12_pivot" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup
+        |FROM events WHERE user_id < 50
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "a4_per_partition_limit" ->
       """SELECT l_orderkey, l_linenumber, cast(rn AS int) AS rn FROM (
         |  SELECT l_orderkey, l_linenumber,
