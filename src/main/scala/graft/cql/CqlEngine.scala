@@ -40,6 +40,66 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
 
   def execute(cql: String): DataFrame = execute(CqlParser.parse(cql))
 
+  /** O4 paging — the driver page protocol (upstream
+    * `service/pager/QueryPager` [U]): a page "token" is nothing but the
+    * last row's clustering tuple, replayed as a `(ck…) > (v…)` restriction
+    * on the next request, so the server keeps NO cursor state and any
+    * coordinator can resume any page — that statelessness is the upstream
+    * contract, reproduced here. Each page is an ordinary engine query
+    * (LIMIT fetchSize over clustering order); pages materialize
+    * `fetchSize` rows to the client, which is what paging means. Supports
+    * plain row SELECTs in ASC clustering order within restricted
+    * partitions (upstream pages across partitions by token range — S2/C5
+    * cover that axis). */
+  def executePaged(cql: String, fetchSize: Int): Iterator[DataFrame] = {
+    require(fetchSize > 0, "fetchSize must be positive")
+    val sel = CqlParser.parse(cql)
+    val table = catalog.getOrElse(sel.table.toLowerCase,
+      throw new CqlInvalidQueryException(s"unknown table ${sel.table}"))
+    val cks = table.clusteringKeys
+    if (sel.selectors.exists(_.isAggregate) || sel.groupBy.nonEmpty ||
+        sel.distinct || sel.limit.nonEmpty || sel.perPartitionLimit.nonEmpty ||
+        sel.ann.nonEmpty)
+      throw new CqlInvalidQueryException(
+        "paging requires a plain row SELECT (no aggregate/GROUP BY/" +
+          "DISTINCT/LIMIT/PER PARTITION LIMIT/ANN)")
+    if (sel.orderBy.exists(_.exists(!_.asc)))
+      throw new CqlInvalidQueryException("paging supports ASC clustering order")
+    if (cks.isEmpty)
+      throw new CqlInvalidQueryException(
+        s"table ${sel.table} has no clustering key to page on")
+    val ckIdx = cks.map(c => table.df.schema.fieldIndex(
+      table.df.schema.fieldNames.find(_.equalsIgnoreCase(c)).get))
+    new Iterator[DataFrame] {
+      private var after: Option[Seq[Any]] = None
+      private var exhausted = false
+      override def hasNext: Boolean = !exhausted
+      override def next(): DataFrame = {
+        val preds = sel.predicates ++
+          after.map(v => TuplePredicate(cks, ">", v)).toSeq
+        // full-row page internally (the pager must see the clustering
+        // tuple even when the caller projects it away), user projection
+        // applied per page below
+        val pageDf = execute(sel.copy(selectors = Seq(Star),
+          predicates = preds, json = false,
+          orderBy = Some(cks.map(OrderBy(_, asc = true))),
+          limit = Some(fetchSize)))
+        val rows = pageDf.collect()
+        if (rows.length < fetchSize) exhausted = true
+        else after = Some(ckIdx.map(rows.last.get))
+        val local = spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), pageDf.schema)
+        var out =
+          if (sel.selectors == Seq(Star)) local
+          else local.select(sel.selectors.map(selectorColumn(_, table)): _*)
+        if (sel.json)
+          out = out.select(to_json(struct(out.columns.map(col): _*),
+            Map("ignoreNullFields" -> "false")).as("[json]"))
+        out
+      }
+    }
+  }
+
   /** Run an already-parsed (e.g. prepared-and-bound) SELECT. */
   private[cql] def execute(sel: CqlSelect): DataFrame = {
     val table = catalog.getOrElse(sel.table.toLowerCase,

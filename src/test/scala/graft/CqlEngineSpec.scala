@@ -314,6 +314,29 @@ class CqlEngineSpec extends SparkSpec {
     }
   }
 
+  test("O4 paging: stateless clustering-tuple page tokens reassemble the partition") {
+    val pages = cqlEngine.executePaged(
+      "SELECT ts, event_id, event_type FROM events WHERE user_id = 5", 7)
+      .map(_.collect().toSeq).toSeq
+    val whole = cqlEngine.execute(
+      "SELECT ts, event_id, event_type FROM events WHERE user_id = 5 " +
+        "ORDER BY ts ASC, event_id ASC").collect().toSeq
+    assert(pages.flatten === whole,
+      "concatenated pages must equal the unpaged result, in order")
+    assert(whole.size > 7, "fixture must actually need multiple pages")
+    assert(pages.dropRight(1).forall(_.size == 7), "full pages before the last")
+    // a narrow projection still pages — the token is tracked internally
+    // even when the clustering columns are projected away
+    val narrow = cqlEngine.executePaged(
+      "SELECT event_type FROM events WHERE user_id = 5", 7)
+      .flatMap(_.collect().toSeq).toSeq
+    assert(narrow.map(_.getString(0)) === whole.map(_.getString(2)))
+    intercept[CqlInvalidQueryException] {
+      cqlEngine.executePaged("SELECT count(*) FROM events WHERE user_id = 5", 7)
+        .next()
+    }
+  }
+
   test("function bounds reject non-ordered operators") {
     val s = timeuuidSession
     intercept[CqlInvalidQueryException] {
