@@ -402,6 +402,38 @@ object CassandraModel {
       dbl(dec6(sum(dec6(col("price"))))).as("sum_price"))
   }
 
+  /** 2i/SAI analogue (upstream `index/sai/` term index [U]): the index IS
+    * a persisted (term, row-id) postings projection, sorted by term so a
+    * term lookup reaches the scan as a pushed parquet filter (dictionary +
+    * row-group stats prune, the on-disk trick SAI's per-sstable term
+    * dictionary plays). Returns the re-read index table. */
+  def buildSaiIndex(base: DataFrame, term: String, rowId: String,
+      dir: String): DataFrame = {
+    base.select(col(term), col(rowId))
+      .repartitionByRange(8, col(term), col(rowId))
+      .sortWithinPartitions(term, rowId)
+      .write.mode("overwrite").parquet(dir)
+    base.sparkSession.read.parquet(dir)
+  }
+
+  /** I1: indexed lookup — term hit via the postings scan, row-ids joined
+    * back to the base table (broadcast: postings hits are the selective
+    * side), residual predicate applied on the base row, exactly upstream's
+    * index-then-filter read path. The oracle is the DIRECT filter, so
+    * index completeness and correctness are both hash-verified. */
+  def i1_sai_lookup(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sai_events"
+    val ev = Tables.events(s, d)
+    val idx = buildSaiIndex(ev, "event_type", "event_id", dir)
+    val hits = idx.filter(col("event_type") === "error")
+      .select(col("event_id").as("hit_id"))
+    ev.join(broadcast(hits), col("event_id") === col("hit_id"))
+      .filter(col("value") > 300)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 6).as("value"))
+      .orderBy("event_id")
+  }
+
   /** C4: counter column read (A6, `db/context/CounterContext.java` [U]) —
     * counters are an increment log; the value is the merged sum. */
   def c4_counter(s: SparkSession, d: String): DataFrame =
@@ -570,6 +602,7 @@ object CassandraModel {
     "c10_partition_tombstone" -> (c10_partition_tombstone _),
     "c11_gc_grace" -> (c11_gc_grace _),
     "c12_cell_grace" -> (c12_cell_grace _),
+    "i1_sai_lookup" -> (i1_sai_lookup _),
   )
 
   private val logCte = s"WITH ulog AS (${upsertLogSql.replace("\n", " ")})"
@@ -680,6 +713,12 @@ object CassandraModel {
         |  max(CASE WHEN _writetime = maxwt THEN qty END) AS qty,
         |  cast(max(_writetime) AS bigint) AS _writetime
         |FROM live2 GROUP BY pk, ck ORDER BY pk, ck""".stripMargin,
+    // the DIRECT filter — equality proves the index path found exactly
+    // the matching rows
+    "i1_sai_lookup" ->
+      """SELECT event_id, user_id, event_type, round(value, 6) AS value
+        |FROM events WHERE event_type = 'error' AND value > 300
+        |ORDER BY event_id""".stripMargin,
     // Same cell-tombstone log (cellTombLog), same (wt, delete-wins-tie,
     // value) winner per price cell, same grace cutoff now-grace = 60-25.
     "c12_cell_grace" ->
