@@ -77,10 +77,21 @@ object CqlQueries {
     sess.execute("SELECT k, c, v FROM kv").orderBy("k", "c")
   }
 
+  /** CQL4: CAST + aliasing through the text path (CastFcts [U]) — CQL
+    * type names, engine type mapper, upstream column naming, inside the
+    * hash gate. */
+  def cql4_cast(s: SparkSession, d: String): DataFrame =
+    CqlEngine.forFixtures(s, d).execute(
+      "SELECT l_orderkey, l_linenumber, CAST(l_quantity AS int) AS qty_i, " +
+        "CAST(l_orderkey AS text) AS key_s, CAST(l_linenumber AS bigint) " +
+        "FROM lineitem WHERE l_orderkey < 15 ALLOW FILTERING")
+      .orderBy("l_orderkey", "l_linenumber", "qty_i")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cql1_slice" -> (cql1_slice _),
     "cql2_group" -> (cql2_group _),
     "cql3_mutations" -> (cql3_mutations _),
+    "cql4_cast" -> (cql4_cast _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -117,5 +128,13 @@ object CqlQueries {
         |)
         |SELECT k, c, v FROM win WHERE rn = 1 AND del = 0
         |ORDER BY k, c""".stripMargin,
+    // unaliased CAST keeps Cassandra's result-column name — mirrored as a
+    // quoted alias so the driver's name-sorted compare lines up
+    "cql4_cast" ->
+      """SELECT l_orderkey, l_linenumber, cast(l_quantity AS int) AS qty_i,
+        |  cast(l_orderkey AS varchar) AS key_s,
+        |  cast(l_linenumber AS bigint) AS "cast(l_linenumber as bigint)"
+        |FROM lineitem WHERE l_orderkey < 15
+        |ORDER BY l_orderkey, l_linenumber, qty_i""".stripMargin,
   )
 }

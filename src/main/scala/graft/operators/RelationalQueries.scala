@@ -333,6 +333,19 @@ object RelationalQueries {
       .orderBy("user_id")
   }
 
+  /** A13: unpivot/melt — the long layout back from the wide one ([[
+    * a12_pivot]]'s inverse; Spark's `unpivot`, Catalyst `Expand` — one
+    * map-side replicate, no shuffle before the ORDER BY). */
+  def a13_unpivot(s: SparkSession, d: String): DataFrame =
+    a12_pivot(s, d)
+      .unpivot(Array(col("user_id")),
+        Array(col("n_click"), col("n_view"), col("n_purchase"),
+          col("n_signup")),
+        "event_type", "n")
+      .withColumn("event_type", expr("substring(event_type, 3)"))
+      .filter(col("n") > 0)
+      .orderBy("user_id", "event_type")
+
   /** A8: SELECT DISTINCT. */
   def a8_distinct(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
@@ -613,6 +626,7 @@ object RelationalQueries {
     "a3_time_bucket" -> (a3_time_bucket _),
     "a11_funnel" -> (a11_funnel _),
     "a12_pivot" -> (a12_pivot _),
+    "a13_unpivot" -> (a13_unpivot _),
     "a4_per_partition_limit" -> (a4_per_partition_limit _),
     "a7_approx_distinct" -> (a7_approx_distinct _),
     "a8_distinct" -> (a8_distinct _),
@@ -811,6 +825,14 @@ object RelationalQueries {
         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup
         |FROM events WHERE user_id < 50
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the melt of a12's wide table = the original long counts
+    "a13_unpivot" ->
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events
+        |WHERE user_id < 50
+        |  AND event_type IN ('click', 'view', 'purchase', 'signup')
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
     "a4_per_partition_limit" ->
       """SELECT l_orderkey, l_linenumber, cast(rn AS int) AS rn FROM (
         |  SELECT l_orderkey, l_linenumber,
