@@ -181,12 +181,13 @@ object VectorQueries {
     * reduction is shuffle-order-proof and the DuckDB twin (same codebook
     * CTE, same LUT, same decimal sum) hash-verifies the whole pipeline —
     * quantization error included. */
-  def v12_pq_adc(s: SparkSession, d: String): DataFrame = {
-    import Q.dbl
-    val withCells = Tables.embeddings(s, d).withColumn("cells",
-      array((0 until PQ_M).map(m => pqCell(col("embedding"), m)): _*))
-    // codebook: per (m, cell, subdim) decimal-mean — shuffle-order-proof
-    val cb = withCells
+  /** Per-vector subspace cell array (the 4×4-bit PQ code). */
+  private def pqCells(e: DataFrame): DataFrame = e.withColumn("cells",
+    array((0 until PQ_M).map(m => pqCell(col("embedding"), m)): _*))
+
+  /** PQ codebook: per (m, cell, subdim) decimal-mean — shuffle-order-proof. */
+  private def pqCodebookDf(withCells: DataFrame): DataFrame =
+    withCells
       .select(col("cells"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .withColumn("m", (col("dim") / PQ_SUB).cast("int"))
       .withColumn("sd", (col("dim") % PQ_SUB).cast("int"))
@@ -198,20 +199,52 @@ object VectorQueries {
       .groupBy("m", "cell")
       .agg(transform(array_sort(collect_list(struct(col("sd"), col("c")))),
         e => e.getField("c")).as("centroid"))
-    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
-      .select(col("embedding").as("qvec"))
-    // ADC lookup table: dot(query subvector, centroid) per (m, cell)
+
+  /** ADC serving: LUT from (codebook × query), codes join the broadcast
+    * LUT, decimal M-way sum, top-k. */
+  private def pqScore(codes: DataFrame, cb: DataFrame, q: DataFrame,
+      k: Int): DataFrame = {
+    import Q.dbl
     val lut = cb.crossJoin(broadcast(q))
       .select(col("m"), col("cell"),
         round(dotFast(slice(col("qvec"), col("m") * PQ_SUB + 1, lit(PQ_SUB)),
           col("centroid")), 6).as("w"))
-    withCells
-      .select(col("vec_id"), posexplode(col("cells")).as(Seq("m", "cell")))
-      .join(broadcast(lut), Seq("m", "cell"))
+    codes.join(broadcast(lut), Seq("m", "cell"))
       .groupBy("vec_id")
       .agg(dbl(dec6(sum(dec6(col("w"))))).as("adc_dot"))
       .orderBy(col("adc_dot").desc, col("vec_id").asc)
-      .limit(10)
+      .limit(k)
+  }
+
+  def v12_pq_adc(s: SparkSession, d: String): DataFrame = {
+    val withCells = pqCells(Tables.embeddings(s, d))
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qvec"))
+    pqScore(
+      withCells.select(col("vec_id"), posexplode(col("cells")).as(Seq("m", "cell"))),
+      pqCodebookDf(withCells), q, k = 10)
+  }
+
+  /** PQ index LIFECYCLE — build once, serve many (upstream indexes are
+    * on-disk structures, not per-query computations): `build` persists
+    * the codebook (M×16 rows) and the per-vector codes (2 B of payload
+    * each); `serve` plans over ONLY those two tables plus the query
+    * vector — the raw corpus vectors never appear in the serving plan
+    * (VectorSpec pins served ≡ online results). */
+  def buildPqIndex(s: SparkSession, d: String, dir: String): Unit = {
+    val withCells = pqCells(Tables.embeddings(s, d))
+    pqCodebookDf(withCells).write.mode("overwrite").parquet(s"$dir/codebook")
+    withCells
+      .select(col("vec_id"), posexplode(col("cells")).as(Seq("m", "cell")))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  def servePqIndex(s: SparkSession, d: String, dir: String,
+      queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qvec"))
+    pqScore(s.read.parquet(s"$dir/codes"),
+      s.read.parquet(s"$dir/codebook"), q, k)
   }
 
   /** V13: quantized-prune + exact-rerank — the two-stage serving pattern

@@ -86,6 +86,24 @@ class VectorSpec extends SparkSpec {
       s"int8 quantization lost too much: exact=$exact quant=$quant")
   }
 
+  test("persisted PQ index serves identical results to the online pipeline") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    VectorQueries.buildPqIndex(spark, sf, dir)
+    val served = VectorQueries.servePqIndex(spark, sf, dir)
+    assert(served.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      VectorQueries.v12_pq_adc(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // the serving plan reads codes + codebook, never the corpus vectors
+    // AQE's toString repeats the tree under "== Initial Plan ==" — count
+    // scans in the final plan only
+    val scans = served.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(scans.contains("codes") && scans.contains("codebook"))
+    // corpus vectors appear ONLY as the single pushed-down query-row scan
+    assert("embeddings\\.parquet".r.findAllIn(scans).length <= 1,
+      s"serving must not rescan raw corpus vectors:\n$scans")
+  }
+
   test("rerank recovers the exact top-10 that int8-only scoring loses") {
     val exact = VectorQueries.v1_knn_exact(spark, sf)
       .collect().map(_.getLong(0)).toSet
