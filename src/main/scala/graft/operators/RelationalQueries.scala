@@ -346,6 +346,29 @@ object RelationalQueries {
       .filter(col("n") > 0)
       .orderBy("user_id", "event_type")
 
+  /** J9: TPC-H Q5-shaped SIX-table join — local-supplier revenue per
+    * nation: lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region,
+    * with the classic same-nation constraint (c_nationkey = s_nationkey).
+    * The deep-join stress case for the optimizer: region/nation broadcast
+    * trivially, supplier/customer broadcast at these dim sizes, and the
+    * fact table shuffles at most once on orderkey — the shape a 100 TB
+    * warehouse star needs (only fact-sized exchanges, dims shipped). */
+  def j9_six_way(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey") && col("r_name") =!= "")
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        dbl(dec6(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))))
+          .as("revenue"))
+      .orderBy("r_name", "n_name")
+
   /** A8: SELECT DISTINCT. */
   def a8_distinct(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
@@ -627,6 +650,7 @@ object RelationalQueries {
     "a11_funnel" -> (a11_funnel _),
     "a12_pivot" -> (a12_pivot _),
     "a13_unpivot" -> (a13_unpivot _),
+    "j9_six_way" -> (j9_six_way _),
     "a4_per_partition_limit" -> (a4_per_partition_limit _),
     "a7_approx_distinct" -> (a7_approx_distinct _),
     "a8_distinct" -> (a8_distinct _),
@@ -825,6 +849,17 @@ object RelationalQueries {
         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup
         |FROM events WHERE user_id < 50
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "j9_six_way" ->
+      """SELECT r_name, n_name, count(*) AS n,
+        |  cast(cast(sum(cast(l_extendedprice * (1.0 - l_discount)
+        |    AS decimal(38,6))) AS decimal(38,6)) AS double) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name <> ''
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
     // the melt of a12's wide table = the original long counts
     "a13_unpivot" ->
       """SELECT user_id, event_type, count(*) AS n
