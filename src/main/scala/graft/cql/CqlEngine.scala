@@ -63,8 +63,12 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
       throw new CqlInvalidQueryException(
         "paging requires a plain row SELECT (no aggregate/GROUP BY/" +
           "DISTINCT/LIMIT/PER PARTITION LIMIT/ANN)")
-    if (sel.orderBy.exists(_.exists(!_.asc)))
-      throw new CqlInvalidQueryException("paging supports ASC clustering order")
+    // direction: all-ASC (default) or all-DESC (reversed slice) — mixed
+    // directions cannot be expressed as one tuple restriction
+    val desc = sel.orderBy.exists(o => o.nonEmpty && o.forall(!_.asc))
+    if (sel.orderBy.exists(o => o.map(_.asc).distinct.size > 1))
+      throw new CqlInvalidQueryException(
+        "paging requires a single clustering direction")
     if (cks.isEmpty)
       throw new CqlInvalidQueryException(
         s"table ${sel.table} has no clustering key to page on")
@@ -76,13 +80,13 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
       override def hasNext: Boolean = !exhausted
       override def next(): DataFrame = {
         val preds = sel.predicates ++
-          after.map(v => TuplePredicate(cks, ">", v)).toSeq
+          after.map(v => TuplePredicate(cks, if (desc) "<" else ">", v)).toSeq
         // full-row page internally (the pager must see the clustering
         // tuple even when the caller projects it away), user projection
         // applied per page below
         val pageDf = execute(sel.copy(selectors = Seq(Star),
           predicates = preds, json = false,
-          orderBy = Some(cks.map(OrderBy(_, asc = true))),
+          orderBy = Some(cks.map(OrderBy(_, asc = !desc))),
           limit = Some(fetchSize)))
         val rows = pageDf.collect()
         if (rows.length < fetchSize) exhausted = true

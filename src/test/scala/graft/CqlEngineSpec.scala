@@ -335,6 +335,17 @@ class CqlEngineSpec extends SparkSpec {
       cqlEngine.executePaged("SELECT count(*) FROM events WHERE user_id = 5", 7)
         .next()
     }
+    // DESC paging: the reversed slice pages with '<' tokens
+    val descPages = cqlEngine.executePaged(
+      "SELECT ts, event_id FROM events WHERE user_id = 5 " +
+        "ORDER BY ts DESC, event_id DESC", 7)
+      .flatMap(_.collect().toSeq).toSeq
+    assert(descPages === whole.reverse.map(r =>
+      org.apache.spark.sql.Row(r.get(0), r.get(1))))
+    intercept[CqlInvalidQueryException] {
+      cqlEngine.executePaged("SELECT ts FROM events WHERE user_id = 5 " +
+        "ORDER BY ts DESC, event_id ASC", 7).next()
+    }
   }
 
   test("function bounds reject non-ordered operators") {
