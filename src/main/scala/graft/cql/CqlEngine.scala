@@ -11,7 +11,12 @@ import org.apache.spark.sql.expressions.Window
 case class CqlTable(df: DataFrame, partitionKeys: Seq[String],
   clusteringKeys: Seq[String] = Nil, staticKeys: Seq[String] = Nil,
   /** counter columns (bigint increment logs, `UPDATE … SET c = c + n`) */
-  counterKeys: Seq[String] = Nil)
+  counterKeys: Seq[String] = Nil,
+  /** secondary-indexed columns (lowercased name → true when the index is
+    * SAI/SASI — range-capable; false = legacy 2i, equality/CONTAINS only).
+    * Consulted by the ALLOW FILTERING gate, like upstream
+    * `StatementRestrictions.needFiltering` [U]. */
+  indexedColumns: Map[String, Boolean] = Map.empty)
 
 /** Raised for queries upstream Cassandra would reject (most importantly the
   * ALLOW FILTERING guardrail) — same user experience as
@@ -196,7 +201,16 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
       sel.predicates.foreach {
         case p: ColumnPredicate =>
           val c = p.column.toLowerCase
-          if (!keyCols.contains(c) && !p.isToken)
+          // a secondary index lifts the gate for the ops it can serve:
+          // legacy 2i answers equality and collection CONTAINS [KEY];
+          // SAI/SASI additionally answer range (and IN as an eq-union)
+          // [U index/sai/plan/, StatementRestrictions.needFiltering]
+          val indexServes = t.indexedColumns.get(c).exists { sai =>
+            val eqOps = Set("=", "contains", "contains key")
+            if (sai) eqOps(p.op) || Set("<", "<=", ">", ">=", "in", "like")(p.op)
+            else eqOps(p.op)
+          }
+          if (!keyCols.contains(c) && !p.isToken && !indexServes)
             throw new CqlInvalidQueryException(
               s"Cannot execute this query as it might involve data filtering and " +
                 s"thus may have unpredictable performance. If you want to execute " +

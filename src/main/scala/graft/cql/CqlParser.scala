@@ -308,6 +308,8 @@ object CqlParser {
     val c = new Cursor(tokenize(cql.stripSuffix(";")))
     c.next().toLowerCase match {
       case "create" =>
+        val custom = c.accept("custom")
+        if (custom || c.peekIs("index")) return parseCreateIndex(c)
         c.expect("table")
         val ifNotExists =
           if (c.accept("if")) { c.expect("not"); c.expect("exists"); true }
@@ -341,9 +343,14 @@ object CqlParser {
           s"CREATE TABLE $table: no PRIMARY KEY")
         CqlCreateTable(table, cols, pk, ck, ifNotExists)
       case "drop" =>
-        c.expect("table")
-        val ifExists = if (c.accept("if")) { c.expect("exists"); true } else false
-        CqlDropTable(tableName(c), ifExists)
+        if (c.accept("index")) {
+          val ifExists = if (c.accept("if")) { c.expect("exists"); true } else false
+          CqlDropIndex(c.next(), ifExists)
+        } else {
+          c.expect("table")
+          val ifExists = if (c.accept("if")) { c.expect("exists"); true } else false
+          CqlDropTable(tableName(c), ifExists)
+        }
       case "alter" =>
         c.expect("table")
         val table = tableName(c)
@@ -373,6 +380,39 @@ object CqlParser {
       case other =>
         throw new CqlInvalidQueryException(s"not a DDL statement: $other")
     }
+  }
+
+  /** `CREATE [CUSTOM] INDEX [IF NOT EXISTS] [name] ON t(col)
+    * [USING 'class'] [WITH OPTIONS = {…}]` (upstream
+    * `cql3/statements/schema/CreateIndexStatement` [U]). The index class
+    * decides range capability: SAI/SASI classes (and the 5.0 shorthand
+    * `USING 'sai'`) serve range predicates; anything else is legacy-2i
+    * equality. Collection targets `KEYS/VALUES/ENTRIES/FULL(col)` parse to
+    * the column itself. `WITH OPTIONS` is accepted and ignored. */
+  private def parseCreateIndex(c: Cursor): CqlDdl = {
+    c.expect("index")
+    val ifNotExists =
+      if (c.accept("if")) { c.expect("not"); c.expect("exists"); true }
+      else false
+    val name = if (c.peekIs("on")) None else Some(c.next())
+    c.expect("on")
+    val table = tableName(c)
+    c.expect("(")
+    val wrapped = Seq("keys", "values", "entries", "full")
+      .exists(w => c.peek.equalsIgnoreCase(w))
+    val column =
+      if (wrapped && c.peekAt(1) == "(") {
+        c.next(); c.expect("("); val x = c.next(); c.expect(")"); x
+      } else c.next()
+    c.expect(")")
+    var sai = false
+    if (c.accept("using")) {
+      val cls = c.next().stripPrefix("'").stripSuffix("'").toLowerCase
+      sai = cls == "sai" || cls.contains("storageattachedindex") ||
+        cls.contains("sasi")
+    }
+    if (c.accept("with")) while (!c.done) c.next() // OPTIONS ignored
+    CqlCreateIndex(name, table, column, sai, ifNotExists)
   }
 
   /** CQL type → Spark type. `counter` is a bigint (the increment-log model

@@ -87,6 +87,12 @@ case class CqlDropTable(table: String, ifExists: Boolean) extends CqlDdl
 case class CqlTruncate(table: String) extends CqlDdl
 case class CqlAlterAdd(table: String, columns: Seq[CqlColumnDef]) extends CqlDdl
 case class CqlAlterDrop(table: String, columns: Seq[String]) extends CqlDdl
+/** `CREATE [CUSTOM] INDEX [IF NOT EXISTS] [name] ON t(col) [USING 'class']`
+  * — `sai` marks a range-capable index (SAI/SASI class or 5.0
+  * `USING 'sai'`); legacy 2i answers equality/CONTAINS only. */
+case class CqlCreateIndex(name: Option[String], table: String, column: String,
+  sai: Boolean, ifNotExists: Boolean) extends CqlDdl
+case class CqlDropIndex(name: String, ifExists: Boolean) extends CqlDdl
 
 /** SURVEY §2.12 — the CQL write path on the upsert-log model: INSERT/UPDATE/
   * DELETE (all upserts) append typed cell-writes to a per-table log; reads
@@ -167,6 +173,12 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
 
   private var clock: Long = 1L
 
+  /** Secondary-index registry: index name → (table, column, range-capable).
+    * Index names are keyspace-scoped upstream (`schema/IndexMetadata` [U]);
+    * here session-scoped. */
+  private val indexReg: scala.collection.mutable.Map[String, (String, String, Boolean)] =
+    scala.collection.mutable.Map.empty
+
   private def dataCols(t: TableState): Seq[String] = t.schema.fieldNames.toSeq
 
   private def keyCols(t: TableState): Seq[String] =
@@ -237,8 +249,11 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
 
   private def engine: CqlEngine = {
     val catalog = state.map { case (name, t) =>
+      val indexed = indexReg.values.collect {
+        case (tbl, colName, sai) if tbl == name => colName.toLowerCase -> sai
+      }.toMap
       name -> CqlTable(view(name), t.partitionKeys, t.clusteringKeys,
-        t.staticKeys, t.counterKeys)
+        t.staticKeys, t.counterKeys, indexed)
     }.toMap
     new CqlEngine(spark, catalog)
   }
@@ -332,6 +347,33 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     case CqlDropTable(table, ifExists) =>
       if (state.remove(table.toLowerCase).isEmpty && !ifExists)
         throw new CqlInvalidQueryException(s"unknown table $table")
+      indexReg.filterInPlace { case (_, (tbl, _, _)) => tbl != table.toLowerCase }
+    case CqlCreateIndex(name, table, column, sai, ifNotExists) =>
+      val t = tableState(table)
+      val colName = t.schema.fieldNames.find(_.equalsIgnoreCase(column))
+        .getOrElse(throw new CqlInvalidQueryException(
+          s"Cannot create index: undefined column $column in table $table"))
+      // upstream restrictions [U cql3/statements/schema/CreateIndexStatement]:
+      // no indexes on partition-key components or counters (clustering
+      // columns ARE indexable)
+      if (t.partitionKeys.exists(_.equalsIgnoreCase(column)))
+        throw new CqlInvalidQueryException(
+          s"Cannot create secondary index on partition key column $column")
+      if (t.counterKeys.exists(_.equalsIgnoreCase(column)))
+        throw new CqlInvalidQueryException(
+          s"Secondary indexes on counter tables are not supported")
+      val idxName = name.getOrElse(s"${table.toLowerCase}_${colName.toLowerCase}_idx")
+        .toLowerCase
+      val dup = indexReg.contains(idxName) || indexReg.values.exists {
+        case (tbl, c0, _) => tbl == table.toLowerCase && c0.equalsIgnoreCase(colName)
+      }
+      if (dup) {
+        if (!ifNotExists) throw new CqlInvalidQueryException(
+          s"Index $idxName or an index on $table($colName) already exists")
+      } else indexReg(idxName) = (table.toLowerCase, colName, sai)
+    case CqlDropIndex(name, ifExists) =>
+      if (indexReg.remove(name.toLowerCase).isEmpty && !ifExists)
+        throw new CqlInvalidQueryException(s"unknown index $name")
     case CqlTruncate(table) =>
       val t = tableState(table)
       state(table.toLowerCase) = t.copy(
@@ -363,6 +405,11 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       state(table.toLowerCase) = reshape(t, newSchema,
         t.staticKeys.filterNot(s => cols.exists(_.equalsIgnoreCase(s))),
         t.counterKeys.filterNot(k => cols.exists(_.equalsIgnoreCase(k))))
+      // dropping a column drops its indexes (upstream: rejected while an
+      // index exists; auto-drop keeps the session model consistent)
+      indexReg.filterInPlace { case (_, (tbl, c0, _)) =>
+        tbl != table.toLowerCase || !cols.exists(_.equalsIgnoreCase(c0))
+      }
   }
 
   /** ALTER support: flush the current log and reshape it to the data model

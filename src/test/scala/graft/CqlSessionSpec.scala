@@ -744,4 +744,69 @@ class CqlSessionSpec extends SparkSpec {
     val n = s.execute("SELECT count(*) AS n FROM users ALLOW FILTERING").head().getLong(0)
     assert(n === 500L)
   }
+
+  // -- secondary indexes (2i / SAI) -----------------------------------------
+
+  private def indexedSession = {
+    val s = freshSession
+    s.execute("INSERT INTO users (user_id, name, age) VALUES (1, 'ada', 36)")
+    s.execute("INSERT INTO users (user_id, name, age) VALUES (2, 'grace', 45)")
+    s.execute("INSERT INTO users (user_id, name, age) VALUES (3, 'edsger', 36)")
+    s
+  }
+
+  test("CREATE INDEX lifts the ALLOW FILTERING gate for equality") {
+    val s = indexedSession
+    val e = intercept[CqlInvalidQueryException] {
+      s.execute("SELECT user_id FROM users WHERE age = 36")
+    }
+    assert(e.getMessage.contains("ALLOW FILTERING"))
+    s.execute("CREATE INDEX ON users (age)")
+    val hits = s.execute("SELECT user_id FROM users WHERE age = 36")
+      .collect().map(_.getLong(0)).sorted
+    assert(hits === Array(1L, 3L))
+  }
+
+  test("legacy 2i serves equality only; SAI additionally serves range") {
+    val s = indexedSession
+    s.execute("CREATE INDEX ON users (age)") // legacy 2i
+    val e = intercept[CqlInvalidQueryException] {
+      s.execute("SELECT user_id FROM users WHERE age > 40")
+    }
+    assert(e.getMessage.contains("ALLOW FILTERING"))
+    s.execute("CREATE CUSTOM INDEX name_sai ON users (name) " +
+      "USING 'StorageAttachedIndex'")
+    assert(s.execute("SELECT user_id FROM users WHERE name > 'e'")
+      .collect().map(_.getLong(0)).sorted === Array(2L, 3L))
+  }
+
+  test("DROP INDEX restores the filtering rejection") {
+    val s = indexedSession
+    s.execute("CREATE INDEX age_idx ON users (age) USING 'sai'")
+    assert(s.execute("SELECT user_id FROM users WHERE age >= 45")
+      .collect().map(_.getLong(0)) === Array(2L))
+    s.execute("DROP INDEX age_idx")
+    intercept[CqlInvalidQueryException] {
+      s.execute("SELECT user_id FROM users WHERE age = 36")
+    }
+    intercept[CqlInvalidQueryException] { s.execute("DROP INDEX age_idx") }
+    s.execute("DROP INDEX IF EXISTS age_idx") // idempotent with IF EXISTS
+  }
+
+  test("index DDL guardrails: partition key, unknown column, duplicates") {
+    val s = indexedSession
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("CREATE INDEX ON users (user_id)")
+    }.getMessage.contains("partition key"))
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("CREATE INDEX ON users (salary)")
+    }.getMessage.contains("undefined column"))
+    s.execute("CREATE INDEX ON users (age)")
+    intercept[CqlInvalidQueryException] { s.execute("CREATE INDEX ON users (age)") }
+    s.execute("CREATE INDEX IF NOT EXISTS ON users (age)") // no-op
+    // dropping the table drops its indexes: recreate and the name is free
+    s.execute("DROP TABLE users")
+    s.execute("CREATE TABLE users (user_id bigint PRIMARY KEY, age bigint)")
+    s.execute("CREATE INDEX users_age_idx ON users (age)")
+  }
 }
