@@ -258,7 +258,19 @@ object CqlParser {
       }
     } else if (c.accept("{")) {
       if (c.accept("}")) CqlSetLit(Nil)
-      else {
+      else if (c.peek.headOption.exists(h => h.isLetter || h == '_') &&
+          !Set("true", "false", "null")(c.peek.toLowerCase) &&
+          c.peekAt(1) == ":") {
+        // `{field: v, …}` with BARE identifiers = UDT literal (upstream
+        // `cql3/UserTypes` [U]; map keys are always quoted/typed literals)
+        def field(): (String, Any) = {
+          val n = c.next(); c.expect(":"); n -> parseValue(c)
+        }
+        var fs = Seq(field())
+        while (c.accept(",")) fs = fs :+ field()
+        c.expect("}")
+        CqlUdtLit(fs)
+      } else {
         val first = parseLiteral(c)
         if (c.accept(":")) { // map literal
           var entries = Seq(first -> parseLiteral(c))
@@ -304,12 +316,14 @@ object CqlParser {
   /** Parse `CREATE TABLE` / `DROP TABLE` / `TRUNCATE` (upstream
     * `cql3/statements/schema/` [U]). `WITH …` table options are accepted and
     * ignored (compaction/caching tuning has no analogue here). */
-  def parseDdl(cql: String): CqlDdl = {
+  def parseDdl(cql: String,
+      udts: Map[String, org.apache.spark.sql.types.StructType] = Map.empty): CqlDdl = {
     val c = new Cursor(tokenize(cql.stripSuffix(";")))
     c.next().toLowerCase match {
       case "create" =>
         val custom = c.accept("custom")
         if (custom || c.peekIs("index")) return parseCreateIndex(c)
+        if (c.peekIs("type")) return parseCreateType(c, udts)
         c.expect("table")
         val ifNotExists =
           if (c.accept("if")) { c.expect("not"); c.expect("exists"); true }
@@ -332,7 +346,7 @@ object CqlParser {
           } else {
             val name = c.next()
             val isCounter = c.peekIs("counter")
-            val dt = parseType(c)
+            val dt = parseType(c, udts)
             val static = c.accept("static")
             if (c.accept("primary")) { c.expect("key"); pk = Seq(name) }
             cols = cols :+ CqlColumnDef(name, dt, static, isCounter)
@@ -346,6 +360,9 @@ object CqlParser {
         if (c.accept("index")) {
           val ifExists = if (c.accept("if")) { c.expect("exists"); true } else false
           CqlDropIndex(c.next(), ifExists)
+        } else if (c.accept("type")) {
+          val ifExists = if (c.accept("if")) { c.expect("exists"); true } else false
+          CqlDropType(tableName(c), ifExists)
         } else {
           c.expect("table")
           val ifExists = if (c.accept("if")) { c.expect("exists"); true } else false
@@ -359,7 +376,7 @@ object CqlParser {
           def one(): CqlColumnDef = {
             val n = c.next()
             val isCounter = c.peekIs("counter")
-            val dt = parseType(c)
+            val dt = parseType(c, udts)
             CqlColumnDef(n, dt, c.accept("static"), isCounter)
           }
           var cols = Vector(one())
@@ -380,6 +397,25 @@ object CqlParser {
       case other =>
         throw new CqlInvalidQueryException(s"not a DDL statement: $other")
     }
+  }
+
+  /** `CREATE TYPE [IF NOT EXISTS] name (field type, …)` (upstream
+    * `cql3/statements/schema/CreateTypeStatement` [U]) — resolved to a
+    * StructType at parse time, so fields may reference earlier UDTs. */
+  private def parseCreateType(c: Cursor,
+      udts: Map[String, org.apache.spark.sql.types.StructType]): CqlDdl = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    c.expect("type")
+    val ifNotExists =
+      if (c.accept("if")) { c.expect("not"); c.expect("exists"); true }
+      else false
+    val name = tableName(c)
+    c.expect("(")
+    def one() = { val n = c.next(); StructField(n, parseType(c, udts)) }
+    var fields = Vector(one())
+    while (c.accept(",")) fields = fields :+ one()
+    c.expect(")")
+    CqlCreateType(name, StructType(fields), ifNotExists)
   }
 
   /** `CREATE [CUSTOM] INDEX [IF NOT EXISTS] [name] ON t(col)
@@ -418,7 +454,9 @@ object CqlParser {
   /** CQL type → Spark type. `counter` is a bigint (the increment-log model
     * sums it); `decimal`/`varint` map to bounded decimals; `uuid`/`inet`
     * are strings; `vector<float, n>` is `array<float>`; `frozen<T>` = T. */
-  private def parseType(c: Cursor): org.apache.spark.sql.types.DataType = {
+  private def parseType(c: Cursor,
+      udts: Map[String, org.apache.spark.sql.types.StructType] = Map.empty
+  ): org.apache.spark.sql.types.DataType = {
     import org.apache.spark.sql.types._
     c.next().toLowerCase match {
       case "int" => IntegerType
@@ -435,19 +473,20 @@ object CqlParser {
       case "varint" => DecimalType(38, 0)
       case "blob" => BinaryType
       case "frozen" =>
-        c.expect("<"); val t = parseType(c); c.expect(">"); t
+        c.expect("<"); val t = parseType(c, udts); c.expect(">"); t
       case "list" =>
-        c.expect("<"); val t = parseType(c); c.expect(">"); ArrayType(t)
+        c.expect("<"); val t = parseType(c, udts); c.expect(">"); ArrayType(t)
       case "set" =>
-        c.expect("<"); val t = parseType(c); c.expect(">"); ArrayType(t)
+        c.expect("<"); val t = parseType(c, udts); c.expect(">"); ArrayType(t)
       case "map" =>
-        c.expect("<"); val k = parseType(c); c.expect(",")
-        val v = parseType(c); c.expect(">"); MapType(k, v)
+        c.expect("<"); val k = parseType(c, udts); c.expect(",")
+        val v = parseType(c, udts); c.expect(">"); MapType(k, v)
       case "vector" =>
-        c.expect("<"); val t = parseType(c); c.expect(",")
+        c.expect("<"); val t = parseType(c, udts); c.expect(",")
         c.next() // dimension recorded by the schema owner, not enforced here
         c.expect(">"); ArrayType(t)
-      case other => throw new CqlInvalidQueryException(s"unknown type $other")
+      case other => udts.getOrElse(other,
+        throw new CqlInvalidQueryException(s"unknown type $other"))
     }
   }
 
@@ -532,6 +571,14 @@ object CqlParser {
         c.expect(")")
       }
       FunctionSelector(name, args, parseAlias(c))
+    } else if (c.peek == "." && c.peekAt(1).headOption.exists(h =>
+        h.isLetter || h == '_')) {
+      // UDT field access `col.field` (upstream `cql3/selection/
+      // FieldSelector` [U]) — Spark resolves the dotted path as nested
+      // struct access; default result name keeps the full path.
+      c.next(); val sub = c.next()
+      val path = s"$name.$sub"
+      ColumnSelector(path, parseAlias(c).orElse(Some(path)))
     } else ColumnSelector(name, parseAlias(c))
   }
 

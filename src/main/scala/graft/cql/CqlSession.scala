@@ -11,6 +11,10 @@ import org.apache.spark.sql.types._
 case class CqlList(items: Seq[Any])
 case class CqlSetLit(items: Seq[Any])
 case class CqlMapLit(entries: Seq[(Any, Any)])
+/** `{field: v, …}` with bare identifiers — a UDT literal (upstream
+  * `cql3/UserTypes.java` [U]); coerced to a Row of the column's
+  * StructType. */
+case class CqlUdtLit(fields: Seq[(String, Any)])
 
 /** A whitelisted function call in literal position — `minTimeuuid('…')` /
   * `maxTimeuuid('…')` / `toTimestamp('…')` as a predicate bound (upstream
@@ -93,6 +97,14 @@ case class CqlAlterDrop(table: String, columns: Seq[String]) extends CqlDdl
 case class CqlCreateIndex(name: Option[String], table: String, column: String,
   sai: Boolean, ifNotExists: Boolean) extends CqlDdl
 case class CqlDropIndex(name: String, ifExists: Boolean) extends CqlDdl
+/** `CREATE TYPE name (field type, …)` — a user-defined type, mapped to
+  * StructType per SURVEY §1.2 (frozen vs non-frozen is a storage detail
+  * with no Spark distinction). Fields referencing earlier UDTs are
+  * resolved at parse time. */
+case class CqlCreateType(name: String,
+  struct: org.apache.spark.sql.types.StructType,
+  ifNotExists: Boolean) extends CqlDdl
+case class CqlDropType(name: String, ifExists: Boolean) extends CqlDdl
 
 /** SURVEY §2.12 — the CQL write path on the upsert-log model: INSERT/UPDATE/
   * DELETE (all upserts) append typed cell-writes to a per-table log; reads
@@ -177,6 +189,11 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * Index names are keyspace-scoped upstream (`schema/IndexMetadata` [U]);
     * here session-scoped. */
   private val indexReg: scala.collection.mutable.Map[String, (String, String, Boolean)] =
+    scala.collection.mutable.Map.empty
+
+  /** User-defined types: lowercase name → StructType (`CREATE TYPE`;
+    * upstream `schema/Types.java` [U]). */
+  private val udtReg: scala.collection.mutable.Map[String, StructType] =
     scala.collection.mutable.Map.empty
 
   private def dataCols(t: TableState): Seq[String] = t.schema.fieldNames.toSeq
@@ -309,7 +326,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     kw match {
       case "select" => engine.execute(trimmed)
       case "create" | "drop" | "truncate" | "alter" =>
-        applyDdl(CqlParser.parseDdl(trimmed)); spark.emptyDataFrame
+        applyDdl(CqlParser.parseDdl(trimmed, udtReg.toMap)); spark.emptyDataFrame
       case "insert" | "update" | "delete" =>
         runDml(CqlParser.parseDml(trimmed))
       case "begin" => runBatch(CqlParser.parseBatch(trimmed))
@@ -374,6 +391,36 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     case CqlDropIndex(name, ifExists) =>
       if (indexReg.remove(name.toLowerCase).isEmpty && !ifExists)
         throw new CqlInvalidQueryException(s"unknown index $name")
+    case CqlCreateType(name, struct, ifNotExists) =>
+      if (udtReg.contains(name.toLowerCase)) {
+        if (!ifNotExists)
+          throw new CqlInvalidQueryException(s"type $name already exists")
+      } else udtReg(name.toLowerCase) = struct
+    case CqlDropType(name, ifExists) =>
+      val struct = udtReg.get(name.toLowerCase)
+      if (struct.isEmpty && !ifExists)
+        throw new CqlInvalidQueryException(s"unknown type $name")
+      // upstream: a type still referenced by a table cannot be dropped
+      struct.foreach { st =>
+        def uses(dt: DataType): Boolean = dt match {
+          case s: StructType => s == st || s.fields.exists(f => uses(f.dataType))
+          case ArrayType(et, _) => uses(et)
+          case MapType(k, v, _) => uses(k) || uses(v)
+          case _ => false
+        }
+        val user = state.collectFirst {
+          case (tbl, t) if t.schema.fields.exists(f => uses(f.dataType)) => tbl
+        }
+        user.foreach(tbl => throw new CqlInvalidQueryException(
+          s"Cannot drop user type $name as it is still used by table $tbl"))
+        val otherType = udtReg.collectFirst {
+          case (n, s) if n != name.toLowerCase &&
+            s.fields.exists(f => uses(f.dataType)) => n
+        }
+        otherType.foreach(n => throw new CqlInvalidQueryException(
+          s"Cannot drop user type $name as it is still used by type $n"))
+        udtReg.remove(name.toLowerCase)
+      }
     case CqlTruncate(table) =>
       val t = tableState(table)
       state(table.toLowerCase) = t.copy(
@@ -461,6 +508,15 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     case (sl: CqlSetLit, ArrayType(et, _)) => sl.items.map(coerce(_, et))
     case (m: CqlMapLit, MapType(kt, vt, _)) =>
       m.entries.map { case (k, x) => coerce(k, kt) -> coerce(x, vt) }.toMap
+    case (u: CqlUdtLit, st: StructType) =>
+      u.fields.foreach { case (n, _) =>
+        if (!st.fieldNames.exists(_.equalsIgnoreCase(n)))
+          throw new CqlInvalidQueryException(s"unknown field $n in UDT literal")
+      }
+      Row.fromSeq(st.fields.toSeq.map { f =>
+        u.fields.find(_._1.equalsIgnoreCase(f.name))
+          .map(kv => coerce(kv._2, f.dataType)).orNull
+      })
     case (other, t) => throw new CqlInvalidQueryException(
       s"cannot coerce $other to $t")
   }
@@ -767,6 +823,7 @@ object CqlPrepared {
       case CqlList(xs) => CqlList(xs.map(value))
       case CqlSetLit(xs) => CqlSetLit(xs.map(value))
       case CqlMapLit(es) => CqlMapLit(es.map { case (k, x) => (value(k), value(x)) })
+      case CqlUdtLit(fs) => CqlUdtLit(fs.map { case (n, x) => (n, value(x)) })
       case f: CqlFnLit => f.copy(arg = value(f.arg)) // e.g. maxTimeuuid(?)
       case other => other
     }

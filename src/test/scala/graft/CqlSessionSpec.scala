@@ -809,4 +809,59 @@ class CqlSessionSpec extends SparkSpec {
     s.execute("CREATE TABLE users (user_id bigint PRIMARY KEY, age bigint)")
     s.execute("CREATE INDEX users_age_idx ON users (age)")
   }
+
+  // -- user-defined types (CREATE TYPE → StructType) ------------------------
+
+  test("CREATE TYPE: UDT column round-trips and serves field access") {
+    val s = freshSession
+    s.execute("CREATE TYPE addr (street text, city text, zip bigint)")
+    s.execute("CREATE TABLE homes (id bigint PRIMARY KEY, a frozen<addr>)")
+    s.execute("INSERT INTO homes (id, a) VALUES " +
+      "(1, {street: '12 Rue Mouffetard', city: 'Paris', zip: 75005})")
+    s.execute("INSERT INTO homes (id, a) VALUES (2, {city: 'Oslo'})")
+    val r1 = s.execute("SELECT a FROM homes WHERE id = 1").head().getStruct(0)
+    assert(r1.getString(1) === "Paris" && r1.getLong(2) === 75005L)
+    // field access: omitted fields read null (upstream UDT semantics)
+    assert(s.execute("SELECT a.city FROM homes WHERE id = 2")
+      .head().getString(0) === "Oslo")
+    assert(s.execute("SELECT a.street FROM homes WHERE id = 2")
+      .head().isNullAt(0))
+  }
+
+  test("frozen UDT cells replace whole (latest-wins on the full value)") {
+    val s = freshSession
+    s.execute("CREATE TYPE pt (x bigint, y bigint)")
+    s.execute("CREATE TABLE geo (id bigint PRIMARY KEY, p frozen<pt>)")
+    s.execute("INSERT INTO geo (id, p) VALUES (1, {x: 1, y: 2}) USING TIMESTAMP 10")
+    s.execute("UPDATE geo USING TIMESTAMP 20 SET p = {x: 9} WHERE id = 1")
+    val p = s.execute("SELECT p FROM geo WHERE id = 1").head().getStruct(0)
+    assert(p.getLong(0) === 9L && p.isNullAt(1),
+      "frozen value replaces wholesale — y does not merge through")
+  }
+
+  test("UDT guardrails: unknown field, nested/dependent types, DROP TYPE in use") {
+    val s = freshSession
+    s.execute("CREATE TYPE inner1 (v text)")
+    s.execute("CREATE TYPE outer1 (tag text, i frozen<inner1>, ns list<bigint>)")
+    s.execute("CREATE TABLE boxes (id bigint PRIMARY KEY, o frozen<outer1>)")
+    s.execute("INSERT INTO boxes (id, o) VALUES " +
+      "(1, {tag: 't', i: {v: 'deep'}, ns: [1, 2, 3]})")
+    val o = s.execute("SELECT o FROM boxes WHERE id = 1").head().getStruct(0)
+    assert(o.getStruct(1).getString(0) === "deep")
+    assert(o.getSeq[Long](2) === Seq(1L, 2L, 3L))
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("INSERT INTO boxes (id, o) VALUES (2, {bogus: 1})")
+    }.getMessage.contains("unknown field"))
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("DROP TYPE outer1")
+    }.getMessage.contains("still used by table"))
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("DROP TYPE inner1")
+    }.getMessage.contains("still used"))
+    s.execute("DROP TABLE boxes")
+    s.execute("DROP TYPE outer1") // table gone → type droppable
+    s.execute("DROP TYPE inner1") // outer gone → inner droppable
+    intercept[CqlInvalidQueryException] { s.execute("DROP TYPE inner1") }
+    s.execute("DROP TYPE IF EXISTS inner1")
+  }
 }
