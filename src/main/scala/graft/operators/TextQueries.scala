@@ -353,7 +353,89 @@ object TextQueries {
       .orderBy(col("exact_n").desc, col("term").asc)
   }
 
+  /** X15 (L4 search): BM25 ranking for a fixed query (k1=1.2, b=0.75,
+    * Lucene idf) — the relevance scoring a retrieval-augmented pipeline
+    * runs over its corpus [P: Robertson & Zaragoza 2009, "The Probabilistic
+    * Relevance Framework: BM25 and Beyond"].
+    *
+    * Scale shape: per-doc tf comes from array arithmetic on the token
+    * array (`size − size(array_remove)`) — NO explode and NO per-term
+    * shuffle; corpus stats (N, avgdl, df per query term) are ONE global
+    * aggregate broadcast back; the ranking is TakeOrderedAndProject.
+    * At 100 TB: map + 1-row agg + map + top-k — the index-free BM25 plan.
+    * Per-term scores are quantized to decimal(38,6) before the row-wise
+    * sum so the score is bit-stable across partitionings. */
+  def x15_bm25(s: SparkSession, d: String): DataFrame = {
+    val qterms = Seq("merge", "scan", "index")
+    val k1 = 1.2
+    val b = 0.75
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+    val tfed = docs.select(
+      col("doc_id") +: col("dl").cast("long").as("dl") +:
+        qterms.map(t => (size(col("toks")) -
+          size(array_remove(col("toks"), t))).cast("long").as(s"tf_$t")): _*)
+    val statCols = Seq(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl")) ++
+      qterms.map(t => sum((col(s"tf_$t") > 0).cast("long"))
+        .cast("double").as(s"df_$t"))
+    val stats = tfed.agg(statCols.head, statCols.tail: _*)
+    def termScore(t: String): Column = {
+      val tf = col(s"tf_$t").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)))
+      when(col(s"tf_$t") > 0,
+        idf * (tf * lit(2.2)) /
+          (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+        .otherwise(lit(0.0))
+    }
+    tfed.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"),
+        qterms.map(t => dec6(termScore(t))).reduce(_ + _)
+          .cast("double").as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(15)
+  }
+
+  /** X16 (L4+ mixing): temperature-based source mixture — sampling weight
+    * ∝ n_s^α (α=0.5), the standard rebalancing for multi-source training
+    * corpora [P: Conneau & Lample 2019 (XLM), §3.1 exponentiated-smoothing
+    * sampling]: dominant sources are down-sampled, tail sources kept.
+    * Deterministic realization: a per-source acceptance threshold in ppm of
+    * the md5 doc-hash (the x6/x9 convention), so the "draw" is exact and
+    * twin-able. Weights are quantized to decimal(38,6) before the
+    * normalizer sum so the thresholds are partition-order stable.
+    *
+    * Scale shape: per-source counts = one tiny agg; the normalizer and
+    * thresholds broadcast back; the accept pass is map-only. At 100 TB:
+    * one small shuffle on `source`, one broadcast, one scan. */
+  def x16_mixture(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val z = counts.agg(
+      dec6(sum(dec6(pow(col("n_docs").cast("double"), 0.5))))
+        .cast("double").as("z"))
+    val thr = counts.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"),
+        floor(lit(1000000.0) * least(lit(1.0),
+          lit(1000.0) * pow(col("n_docs").cast("double"), 0.5) / col("z") /
+            col("n_docs").cast("double"))).as("thr_ppm"))
+    docs.select(col("source"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 1000000L).as("h"))
+      .join(broadcast(thr), Seq("source"))
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        max(col("thr_ppm")).as("thr_ppm"),
+        count(when(col("h") < col("thr_ppm"), lit(1))).as("n_kept"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x16_mixture" -> (x16_mixture _),
+    "x15_bm25" -> (x15_bm25 _),
     "x14_count_min" -> (x14_count_min _),
     "x13_redact" -> (x13_redact _),
     "x12_repetition" -> (x12_repetition _),
@@ -371,6 +453,59 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // same α=0.5 weights, same dec6-quantized normalizer, same md5-ppm draw
+    "x16_mixture" ->
+      """WITH counts AS (
+        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |z AS (
+        |  SELECT cast(cast(sum(cast(power(cast(n_docs AS DOUBLE), 0.5) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE) AS z
+        |  FROM counts),
+        |thr AS (
+        |  SELECT source, n_docs,
+        |    cast(floor(1000000.0 * least(1.0,
+        |      1000.0 * power(cast(n_docs AS DOUBLE), 0.5) / z / cast(n_docs AS DOUBLE))) AS BIGINT) AS thr_ppm
+        |  FROM counts CROSS JOIN z),
+        |h AS (
+        |  SELECT source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS h
+        |  FROM documents)
+        |SELECT t.source, cast(max(t.n_docs) AS BIGINT) AS n_docs,
+        |  max(t.thr_ppm) AS thr_ppm,
+        |  count(CASE WHEN h.h < t.thr_ppm THEN 1 END) AS n_kept
+        |FROM h JOIN thr t ON h.source = t.source
+        |GROUP BY t.source ORDER BY t.source""".stripMargin,
+    // same BM25 arithmetic: tf via list-length difference, Lucene idf,
+    // per-term scores quantized to decimal(38,6) before the row-wise sum
+    "x15_bm25" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |tf AS (
+        |  SELECT doc_id, cast(len(toks) AS BIGINT) AS dl,
+        |    cast(len(toks) - len(list_filter(toks, x -> x <> 'merge')) AS BIGINT) AS tf_merge,
+        |    cast(len(toks) - len(list_filter(toks, x -> x <> 'scan')) AS BIGINT) AS tf_scan,
+        |    cast(len(toks) - len(list_filter(toks, x -> x <> 'index')) AS BIGINT) AS tf_index
+        |  FROM docs),
+        |stats AS (
+        |  SELECT cast(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+        |    cast(sum(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_merge,
+        |    cast(sum(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_scan,
+        |    cast(sum(CASE WHEN tf_index > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_index
+        |  FROM tf),
+        |scored AS (
+        |  SELECT doc_id, dl, cast(
+        |    cast(CASE WHEN tf_merge > 0 THEN
+        |      ln(1.0 + (n_docs - df_merge + 0.5) / (df_merge + 0.5)) * (cast(tf_merge AS DOUBLE) * 2.2) /
+        |      (cast(tf_merge AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) ELSE 0.0 END AS DECIMAL(38,6)) +
+        |    cast(CASE WHEN tf_scan > 0 THEN
+        |      ln(1.0 + (n_docs - df_scan + 0.5) / (df_scan + 0.5)) * (cast(tf_scan AS DOUBLE) * 2.2) /
+        |      (cast(tf_scan AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) ELSE 0.0 END AS DECIMAL(38,6)) +
+        |    cast(CASE WHEN tf_index > 0 THEN
+        |      ln(1.0 + (n_docs - df_index + 0.5) / (df_index + 0.5)) * (cast(tf_index AS DOUBLE) * 2.2) /
+        |      (cast(tf_index AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) ELSE 0.0 END AS DECIMAL(38,6))
+        |    AS DOUBLE) AS score
+        |  FROM tf CROSS JOIN stats)
+        |SELECT doc_id, dl, score FROM scored WHERE score > 0
+        |ORDER BY score DESC, doc_id ASC LIMIT 15""".stripMargin,
     // identical sketch: same md5-derived row hashes mod 64, same probes
     "x14_count_min" ->
       """WITH toks AS (
