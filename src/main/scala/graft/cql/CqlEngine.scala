@@ -223,6 +223,60 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
                 s"(unless you use the token() function) (got ${p.op} on ${p.column})")
         case _: TuplePredicate => // tuple restrictions are clustering-only; ok
       }
+      // clustering-restriction rules (upstream ClusteringColumnRestrictions
+      // [U cql3/restrictions/]): a clustering predicate needs the partition
+      // key fully EQ/IN-restricted, restricted clustering columns must form
+      // a CONTIGUOUS prefix, and only the last restricted one may carry a
+      // non-EQ relation — anything else is a filtering scan upstream.
+      // An index serving the predicate exempts its column (index lookup).
+      val ckList = t.clusteringKeys.map(_.toLowerCase)
+      val ckPreds = sel.predicates.collect {
+        case p: ColumnPredicate if !p.isToken &&
+            ckList.contains(p.column.toLowerCase) &&
+            !t.indexedColumns.get(p.column.toLowerCase).exists { sai =>
+              val eqOps = Set("=", "contains", "contains key")
+              if (sai) eqOps(p.op) || Set("<", "<=", ">", ">=", "in", "like")(p.op)
+              else eqOps(p.op)
+            } => p
+      }
+      if (ckPreds.nonEmpty) {
+        val pkOk = t.partitionKeys.forall(pk => sel.predicates.exists {
+          case p: ColumnPredicate => p.column.equalsIgnoreCase(pk) &&
+            Set("=", "in").contains(p.op) && !p.isToken
+          case _ => false
+        })
+        if (!pkOk)
+          throw new CqlInvalidQueryException(
+            "Cannot execute this query as it might involve data filtering and " +
+              "thus may have unpredictable performance. If you want to execute " +
+              "this query despite the performance unpredictability, use ALLOW FILTERING " +
+              "(clustering restriction without a fully restricted partition key)")
+        val byCol = ckPreds.groupBy(_.column.toLowerCase)
+        val rangeOps = Set("<", "<=", ">", ">=")
+        byCol.foreach { case (c0, ps) =>
+          ps.foreach { p =>
+            if (!Set("=", "in").contains(p.op) && !rangeOps(p.op))
+              throw new CqlInvalidQueryException(
+                s"Clustering column $c0 cannot be restricted by a ${p.op} " +
+                  s"relation without ALLOW FILTERING or a matching index")
+          }
+        }
+        def exact(c0: String) =
+          byCol(c0).forall(p => Set("=", "in").contains(p.op))
+        ckList.zipWithIndex.filter { case (c0, _) => byCol.contains(c0) }
+          .foreach { case (c0, i) =>
+            ckList.take(i).foreach { prev =>
+              if (!byCol.contains(prev))
+                throw new CqlInvalidQueryException(
+                  s"PRIMARY KEY column $c0 cannot be restricted as preceding " +
+                    s"column $prev is not restricted")
+              if (!exact(prev))
+                throw new CqlInvalidQueryException(
+                  s"Clustering column $c0 cannot be restricted (preceding " +
+                    s"column $prev is restricted by a non-EQ relation)")
+            }
+          }
+      }
     }
     sel.ann.foreach { a =>
       if (!t.df.schema.exists(_.name.equalsIgnoreCase(a.column)))

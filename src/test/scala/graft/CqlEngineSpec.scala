@@ -355,4 +355,42 @@ class CqlEngineSpec extends SparkSpec {
         "AND ev IN (minTimeuuid('2024-03-01 09:00:00')) ALLOW FILTERING")
     }
   }
+
+  // -- clustering-restriction guardrails (ClusteringColumnRestrictions [U]) --
+
+  test("guardrail: clustering restriction demands a restricted partition key") {
+    val e = intercept[CqlInvalidQueryException] {
+      cqlEngine.execute("SELECT * FROM lineitem WHERE l_linenumber = 1")
+    }
+    assert(e.getMessage.contains("ALLOW FILTERING"))
+    assert(cqlEngine.execute(
+      "SELECT count(*) AS n FROM lineitem WHERE l_linenumber = 1 ALLOW FILTERING")
+      .head().getLong(0) > 0)
+  }
+
+  test("guardrail: gapped clustering prefix is rejected, contiguous passes") {
+    // events clustering = (ts, event_id): event_id without ts is a gap
+    val e = intercept[CqlInvalidQueryException] {
+      cqlEngine.execute(
+        "SELECT * FROM events WHERE user_id = 5 AND event_id = 10")
+    }
+    assert(e.getMessage.contains("preceding column ts is not restricted"))
+    // the same restriction runs as a filtering scan when asked to
+    cqlEngine.execute("SELECT count(*) AS n FROM events WHERE user_id = 5 " +
+      "AND event_id = 10 ALLOW FILTERING").collect()
+  }
+
+  test("guardrail: only the last restricted clustering column may be a range") {
+    val e = intercept[CqlInvalidQueryException] {
+      cqlEngine.execute("SELECT * FROM events WHERE user_id = 5 " +
+        "AND ts > '2024-01-01' AND event_id = 10")
+    }
+    assert(e.getMessage.contains("non-EQ relation"))
+    // range on the LAST restricted clustering column is the legal slice
+    cqlEngine.execute("SELECT count(*) AS n FROM events WHERE user_id = 5 " +
+      "AND ts > '2024-01-01'").collect()
+    // and EQ-before-range over the full prefix is legal too
+    cqlEngine.execute("SELECT count(*) AS n FROM lineitem " +
+      "WHERE l_orderkey = 1 AND l_linenumber >= 2").collect()
+  }
 }
