@@ -433,7 +433,82 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** X17 (L4 quality): the Gopher rule CASCADE [P: Rae et al. 2021,
+    * "Scaling Language Models: ... Gopher", Table A1] — the five cheap
+    * document filters every pretraining pipeline runs before dedup:
+    * word count ∉ [50, 100k], mean word length ∉ [3, 10], <2 stopword
+    * hits, >20% digit tokens, >20% repeated-bigram mass. Per-source fail
+    * counts per rule plus the pass count, so the cascade's selectivity is
+    * observable per corpus slice.
+    *
+    * Scale shape: every rule is per-document arithmetic on the token
+    * array (the repeated-bigram mass reuses x12's sorted run-length fold
+    * — no explode), so the whole cascade is ONE scan + ONE agg on
+    * `source`. Ratio thresholds compare as integer cross-products
+    * (`digit_toks * 5 > n_tok`), exact in both engines. */
+  def x17_gopher_rules(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val grams = array_sort(shingles(toks, 2))
+    val zero = struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("dup"))
+    val dupC = aggregate(grams, zero, (acc, x) => {
+      val run = when(acc.getField("prev") === x, acc.getField("run") + 1)
+        .otherwise(lit(1))
+      struct(x.as("prev"), run.as("run"),
+        (acc.getField("dup") +
+          when(run === 2, 2).when(run > 2, 1).otherwise(0)).as("dup"))
+    }).getField("dup")
+    val mean_wlen = (col("n_chars_t") - (col("n_tok") - 1)).cast("double") /
+      col("n_tok")
+    Tables.documents(s, d)
+      .select(col("source"),
+        size(toks).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_chars_t"),
+        size(array_intersect(toks,
+          array(lit("the"), lit("a"), lit("and"), lit("of"))))
+          .cast("long").as("stop_hits"),
+        size(filter(toks, x => x.rlike("^[0-9]+$")))
+          .cast("long").as("digit_toks"),
+        dupC.cast("long").as("dup_c"),
+        size(grams).cast("long").as("n_bigrams"))
+      .select(col("source"),
+        (col("n_tok") < 50 || col("n_tok") > 100000).as("f_count"),
+        (mean_wlen < 3.0 || mean_wlen > 10.0).as("f_wlen"),
+        (col("stop_hits") < 2).as("f_stop"),
+        (col("digit_toks") * 5 > col("n_tok")).as("f_digit"),
+        (col("dup_c") * 5 > col("n_bigrams")).as("f_dup"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("f_count"), lit(1))).as("n_short"),
+        count(when(col("f_wlen"), lit(1))).as("n_wlen"),
+        count(when(col("f_stop"), lit(1))).as("n_stop"),
+        count(when(col("f_digit"), lit(1))).as("n_digit"),
+        count(when(col("f_dup"), lit(1))).as("n_repetitive"),
+        count(when(!(col("f_count") || col("f_wlen") || col("f_stop") ||
+          col("f_digit") || col("f_dup")), lit(1))).as("n_pass"))
+      .orderBy("source")
+  }
+
+  /** X18 (L4 tokenizer): BPE seed statistics — the adjacent character-pair
+    * counts of the FIRST byte-pair-encoding merge step [P: Sennrich et al.
+    * 2016, "Neural Machine Translation of Rare Words with Subword Units"].
+    * Top 20 pairs corpus-wide; a tokenizer-training pipeline iterates
+    * exactly this count-and-merge. One explode + one hash-agg shuffle on
+    * the 2-char pair key — at 100 TB the pair alphabet is tiny (≤ |Σ|²),
+    * so the partial aggregation collapses map-side. */
+  def x18_bpe_pairs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("pair").asc)
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x18_bpe_pairs" -> (x18_bpe_pairs _),
+    "x17_gopher_rules" -> (x17_gopher_rules _),
     "x16_mixture" -> (x16_mixture _),
     "x15_bm25" -> (x15_bm25 _),
     "x14_count_min" -> (x14_count_min _),
@@ -453,6 +528,55 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // same five Gopher rules; repeated-bigram mass via per-doc gram counts
+    // (the x12 twin shape); ratio thresholds as integer cross-products
+    "x17_gopher_rules" ->
+      """WITH base AS (
+        |  SELECT source, doc_id, string_split(lower(text),' ') AS toks,
+        |         len(text) AS nc
+        |  FROM documents),
+        |st AS (
+        |  SELECT source, doc_id, cast(len(toks) AS BIGINT) AS n_tok,
+        |    cast(nc AS BIGINT) AS n_chars_t,
+        |    cast(len(list_intersect(toks, ['the','a','and','of'])) AS BIGINT) AS stop_hits,
+        |    cast(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$'))) AS BIGINT) AS digit_toks
+        |  FROM base),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS g
+        |  FROM base),
+        |dup AS (
+        |  SELECT doc_id, cast(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_c,
+        |         cast(sum(c) AS BIGINT) AS n_bigrams
+        |  FROM (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |flags AS (
+        |  SELECT st.source,
+        |    (n_tok < 50 OR n_tok > 100000) AS f_count,
+        |    ((n_chars_t - (n_tok - 1))::DOUBLE / n_tok < 3.0 OR
+        |     (n_chars_t - (n_tok - 1))::DOUBLE / n_tok > 10.0) AS f_wlen,
+        |    (stop_hits < 2) AS f_stop,
+        |    (digit_toks * 5 > n_tok) AS f_digit,
+        |    (coalesce(dup_c, 0) * 5 > coalesce(n_bigrams, 0)) AS f_dup
+        |  FROM st LEFT JOIN dup ON st.doc_id = dup.doc_id)
+        |SELECT source, count(*) AS n_docs,
+        |  count(CASE WHEN f_count THEN 1 END) AS n_short,
+        |  count(CASE WHEN f_wlen THEN 1 END) AS n_wlen,
+        |  count(CASE WHEN f_stop THEN 1 END) AS n_stop,
+        |  count(CASE WHEN f_digit THEN 1 END) AS n_digit,
+        |  count(CASE WHEN f_dup THEN 1 END) AS n_repetitive,
+        |  count(CASE WHEN NOT (f_count OR f_wlen OR f_stop OR f_digit OR f_dup)
+        |        THEN 1 END) AS n_pass
+        |FROM flags GROUP BY source ORDER BY source""".stripMargin,
+    // same character pairs: 1-indexed adjacent 2-char slices per word
+    "x18_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split(lower(text),' ')) AS w FROM documents),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(1, len(w)), i -> w[i:i+1])) AS pair
+        |  FROM words WHERE len(w) >= 2)
+        |SELECT pair, count(*) AS freq FROM pairs
+        |GROUP BY pair ORDER BY freq DESC, pair ASC LIMIT 20""".stripMargin,
     // same α=0.5 weights, same dec6-quantized normalizer, same md5-ppm draw
     "x16_mixture" ->
       """WITH counts AS (
