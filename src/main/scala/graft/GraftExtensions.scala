@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Add, Divide, Expression,
   ExpressionInfo, Literal, Multiply, Remainder}
 import graft.functions.expressions.{CosineSimilarity, DotProduct,
-  EuclideanDistance, Md5Prefix64, Murmur3Token, QuantizeInt8}
+  EuclideanDistance, Md5Prefix64, Murmur3CompositeToken, Murmur3Token,
+  QuantizeInt8}
 
 /** SQL-surface registration of the engine's native functions via the public
   * `SparkSessionExtensions` hook — enable with
@@ -72,7 +73,14 @@ object GraftExtensions {
       Remainder(Multiply(Remainder(pk, Literal(1000003L)), Literal(2654435761L)),
         Literal(2147483647L))
     }),
-    fn("murmur3_token", a => Murmur3Token(arity("murmur3_token", 1)(a)(0))),
+    // 1 arg = single key; ≥2 args = composite partition key
+    // (CompositeType layout, like upstream token(pk1, pk2, …))
+    fn("murmur3_token", {
+      case Seq(single) => Murmur3Token(single)
+      case many if many.size >= 2 => Murmur3CompositeToken(many)
+      case other => throw new IllegalArgumentException(
+        s"murmur3_token expects at least 1 argument, got ${other.length}")
+    }),
     fn("md5_prefix64", a => Md5Prefix64(arity("md5_prefix64", 1)(a)(0))),
     fn("quantize_int8", a => QuantizeInt8(arity("quantize_int8", 1)(a)(0))),
   )

@@ -1,8 +1,9 @@
 package graft.functions.expressions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Cassandra-compatible ring token (SURVEY §2.2 P3 fidelity option):
@@ -23,15 +24,16 @@ case class Murmur3Token(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case LongType | StringType =>
+      case LongType | IntegerType | StringType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"$prettyName supports bigint or string keys, got ${other.sql}")
+          s"$prettyName supports bigint, int or string keys, got ${other.sql}")
     }
 
   override def nullSafeEval(v: Any): Any = child.dataType match {
     case LongType => Murmur3Token.tokenOfLong(v.asInstanceOf[Long])
+    case IntegerType => Murmur3Token.tokenOfInt(v.asInstanceOf[Int])
     case StringType =>
       Murmur3Token.tokenOfBytes(v.asInstanceOf[UTF8String].getBytes)
   }
@@ -41,6 +43,8 @@ case class Murmur3Token(child: Expression) extends UnaryExpression {
     child.dataType match {
       case LongType =>
         defineCodeGen(ctx, ev, c => s"$m.tokenOfLong($c)")
+      case IntegerType =>
+        defineCodeGen(ctx, ev, c => s"$m.tokenOfInt($c)")
       case StringType =>
         defineCodeGen(ctx, ev, c => s"$m.tokenOfBytes($c.getBytes())")
     }
@@ -50,7 +54,89 @@ case class Murmur3Token(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Composite-partition-key ring token: the components serialize in
+  * Cassandra's CompositeType layout — per component a 2-byte big-endian
+  * length, the component bytes, and a 0x00 end-of-component byte — and the
+  * whole sequence hashes like a single key [U db/marshal/CompositeType.java,
+  * dht/Murmur3Partitioner.java; layout is public knowledge]. Null in any
+  * component → null (a partition key component cannot be null upstream).
+  * Interpreted eval (CodegenFallback): token() on a composite key is a
+  * planning/paging construct, never a per-row hot loop here. */
+case class Murmur3CompositeToken(children: Seq[Expression]) extends Expression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "murmur3_token"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (children.size < 2)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName composite form needs at least 2 key components")
+    else children.map(_.dataType).collectFirst {
+      case other if !Seq(LongType, IntegerType, StringType).contains(other) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName supports bigint, int or string components, got ${other.sql}")
+    }.getOrElse(
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess)
+
+  override def eval(input: InternalRow): Any = {
+    val parts = new Array[Array[Byte]](children.size)
+    var i = 0
+    while (i < children.size) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      parts(i) = Murmur3Token.serialize(children(i).dataType, v)
+      i += 1
+    }
+    Murmur3Token.tokenOfComposite(parts)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
 object Murmur3Token {
+
+  /** Cassandra per-type key serialization (bigint/int → big-endian,
+    * text → UTF-8). */
+  def serialize(dt: DataType, v: Any): Array[Byte] = dt match {
+    case LongType =>
+      val l = v.asInstanceOf[Long]
+      val b = new Array[Byte](8)
+      var i = 0
+      while (i < 8) { b(i) = (l >>> (56 - 8 * i)).toByte; i += 1 }
+      b
+    case IntegerType =>
+      val n = v.asInstanceOf[Int]
+      Array[Byte]((n >>> 24).toByte, (n >>> 16).toByte,
+        (n >>> 8).toByte, n.toByte)
+    case StringType => v.asInstanceOf[UTF8String].getBytes
+    case other => throw new IllegalArgumentException(s"unsupported key type $other")
+  }
+
+  /** CompositeType layout: <2-byte len><bytes><0x00> per component. */
+  def tokenOfComposite(parts: Array[Array[Byte]]): Long = {
+    var total = 0
+    parts.foreach(p => total += p.length + 3)
+    val b = new Array[Byte](total)
+    var o = 0
+    parts.foreach { p =>
+      b(o) = ((p.length >> 8) & 0xff).toByte
+      b(o + 1) = (p.length & 0xff).toByte
+      o += 2
+      System.arraycopy(p, 0, b, o, p.length)
+      o += p.length
+      b(o) = 0
+      o += 1
+    }
+    tokenOfBytes(b)
+  }
+
+  /** int key → 4-byte big-endian (Cassandra Int32Type serialization). */
+  def tokenOfInt(v: Int): Long =
+    tokenOfBytes(Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte))
 
   /** bigint key → 8-byte big-endian (Cassandra LongType serialization). */
   def tokenOfLong(v: Long): Long = {

@@ -41,6 +41,14 @@ object CassandraModel {
       graft.functions.expressions.Murmur3Token(GraftShim.expression(pk)))
   }
 
+  /** Composite-partition-key ring token — `token(pk1, pk2, …)` over the
+    * CompositeType serialization (Murmur3CompositeToken). */
+  def murmurTokenOf(pk1: Column, pk2: Column, rest: Column*): Column = {
+    import org.apache.spark.sql.GraftShim
+    GraftShim.column(graft.functions.expressions.Murmur3CompositeToken(
+      (pk1 +: pk2 +: rest).map(GraftShim.expression)))
+  }
+
   /** Deterministic upsert log derived from `orders` (no upsert fixture exists
     * — SURVEY §7.6.3): 3 versions per key; `_writetime` varies which version
     * wins per key; version 2 of every 7th key is a tombstone. */

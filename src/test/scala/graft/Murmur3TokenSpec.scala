@@ -51,4 +51,37 @@ class Murmur3TokenSpec extends SparkSpec {
     }
     assert(rows.nonEmpty)
   }
+
+  // -- composite partition keys (CompositeType layout) ----------------------
+
+  test("composite token = Guava hash of the CompositeType byte layout") {
+    // layout [U db/marshal/CompositeType]: <2-byte BE len><bytes><0x00> each
+    def composite(parts: Array[Byte]*): Array[Byte] =
+      parts.flatMap(p =>
+        Array(((p.length >> 8) & 0xff).toByte, (p.length & 0xff).toByte) ++
+          p :+ 0.toByte).toArray
+    val long42 = java.nio.ByteBuffer.allocate(8).putLong(42L).array()
+    val textKey = "eu-west".getBytes(StandardCharsets.UTF_8)
+    val int7 = java.nio.ByteBuffer.allocate(4).putInt(7).array()
+    assert(Murmur3Token.tokenOfComposite(Array(long42, textKey)) ===
+      normalize(guavaFirstHalf(composite(long42, textKey))))
+    assert(Murmur3Token.tokenOfComposite(Array(textKey, int7, long42)) ===
+      normalize(guavaFirstHalf(composite(textKey, int7, long42))))
+  }
+
+  test("murmur3_token SQL surface: 1-arg single key, n-arg composite, null → null") {
+    val r = spark.sql(
+      "SELECT murmur3_token(CAST(42 AS BIGINT)) AS single, " +
+        "murmur3_token(CAST(42 AS BIGINT), 'eu-west') AS comp, " +
+        "murmur3_token(CAST(NULL AS BIGINT), 'x') AS n").head()
+    assert(r.getLong(0) === Murmur3Token.tokenOfLong(42L))
+    val long42 = java.nio.ByteBuffer.allocate(8).putLong(42L).array()
+    assert(r.getLong(1) === Murmur3Token.tokenOfComposite(
+      Array(long42, "eu-west".getBytes(StandardCharsets.UTF_8))))
+    assert(r.isNullAt(2))
+    // single-key int serializes as 4 bytes, ≠ the bigint token of the value
+    val ri = spark.sql("SELECT murmur3_token(7) AS t").head()
+    assert(ri.getLong(0) === Murmur3Token.tokenOfInt(7))
+    assert(Murmur3Token.tokenOfInt(7) !== Murmur3Token.tokenOfLong(7L))
+  }
 }
