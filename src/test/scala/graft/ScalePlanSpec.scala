@@ -182,4 +182,25 @@ class ScalePlanSpec extends SparkSpec {
       CassandraModel.latestWinsView(
         CassandraModel.upsertLog(spark, sf)).count())
   }
+
+  test("x15 BM25: no explode, single-row stats broadcast, top-k — the only " +
+      "exchange is the 1-row aggregate") {
+    val df = graft.operators.TextQueries.x15_bm25(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    assert(!plan.contains("Generate"), s"tf must come from array arithmetic, " +
+      s"not explode:\n$plan")
+    val shuffles = "Exchange (?:hash|range)partitioning".r.findAllIn(plan).length
+    assert(shuffles === 0,
+      s"only the SinglePartition stats exchange is allowed:\n$plan")
+  }
+
+  test("x17 Gopher cascade: one scan, one aggregate on source, no joins") {
+    val plan = graft.operators.TextQueries.x17_gopher_rules(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"cascade must not join:\n$plan")
+    assert(!plan.contains("Generate"), s"cascade must not explode:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans === 1, s"cascade must read the corpus once:\n$plan")
+  }
 }
