@@ -345,10 +345,10 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
 
   private def predColumn(p: CqlPredicate, t: CqlTable): Column = p match {
     case p: ColumnPredicate =>
-      val fnLit = p.values.head match {
-        case f: CqlFnLit if !p.isToken &&
+      val fnLit = p.values.headOption match {
+        case Some(f: CqlFnLit) if !p.isToken &&
             Set("=", "!=", "<", "<=", ">", ">=").contains(p.op) => Some(f)
-        case f: CqlFnLit => throw new CqlInvalidQueryException(
+        case Some(f: CqlFnLit) => throw new CqlInvalidQueryException(
           s"function bound ${f.fn} only supports ordered comparisons")
         case _ => None
       }
@@ -370,6 +370,7 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
         case ">" => base > v
         case ">=" => base >= v
         case "in" => base.isin(p.values: _*)
+        case "is not null" => base.isNotNull
         case "like" => base.like(p.values.head.toString)
         case "contains" => array_contains(base, lit(p.values.head))
         case "contains key" => map_contains_key(base, lit(p.values.head))

@@ -94,6 +94,15 @@ object CqlParser {
 
   def parse(cql: String): CqlSelect = {
     val c = new Cursor(tokenize(cql.stripSuffix(";")))
+    val sel = parseSelectCursor(c)
+    if (!c.done)
+      throw new CqlInvalidQueryException(s"unexpected trailing input near ${c.peek}")
+    sel
+  }
+
+  /** SELECT parsed off an open cursor; stops before any trailing tokens the
+    * caller owns (the materialized-view DDL's `PRIMARY KEY …` tail). */
+  private def parseSelectCursor(c: Cursor): CqlSelect = {
     c.expect("select")
     val json = c.accept("json")
     val distinct = c.accept("distinct")
@@ -139,8 +148,6 @@ object CqlParser {
     var limit: Option[Int] = None
     if (c.accept("limit")) limit = Some(numeric(c.next().toInt, c.peek))
     val allowFiltering = if (c.accept("allow")) { c.expect("filtering"); true } else false
-    if (!c.done)
-      throw new CqlInvalidQueryException(s"unexpected trailing input near ${c.peek}")
     CqlSelect(selectors, table, preds, groupBy, orderBy, ann,
       perPartitionLimit, limit, allowFiltering, distinct, json)
   }
@@ -324,6 +331,7 @@ object CqlParser {
         val custom = c.accept("custom")
         if (custom || c.peekIs("index")) return parseCreateIndex(c)
         if (c.peekIs("type")) return parseCreateType(c, udts)
+        if (c.peekIs("materialized")) return parseCreateMv(c)
         c.expect("table")
         val ifNotExists =
           if (c.accept("if")) { c.expect("not"); c.expect("exists"); true }
@@ -360,6 +368,10 @@ object CqlParser {
         if (c.accept("index")) {
           val ifExists = if (c.accept("if")) { c.expect("exists"); true } else false
           CqlDropIndex(c.next(), ifExists)
+        } else if (c.accept("materialized")) {
+          c.expect("view")
+          val ifExists = if (c.accept("if")) { c.expect("exists"); true } else false
+          CqlDropMv(tableName(c), ifExists)
         } else if (c.accept("type")) {
           val ifExists = if (c.accept("if")) { c.expect("exists"); true } else false
           CqlDropType(tableName(c), ifExists)
@@ -397,6 +409,30 @@ object CqlParser {
       case other =>
         throw new CqlInvalidQueryException(s"not a DDL statement: $other")
     }
+  }
+
+  /** `CREATE MATERIALIZED VIEW [IF NOT EXISTS] name AS SELECT … FROM base
+    * [WHERE …] PRIMARY KEY ((pk…)[, ck…])` (upstream
+    * `cql3/statements/schema/CreateViewStatement` [U]). The inner SELECT is
+    * the ordinary grammar; the cursor stops at `PRIMARY KEY`, which this
+    * wrapper owns. `WITH …` options accepted and ignored. */
+  private def parseCreateMv(c: Cursor): CqlDdl = {
+    c.expect("materialized"); c.expect("view")
+    val ifNotExists =
+      if (c.accept("if")) { c.expect("not"); c.expect("exists"); true }
+      else false
+    val name = tableName(c)
+    c.expect("as")
+    val sel = parseSelectCursor(c)
+    c.expect("primary"); c.expect("key"); c.expect("(")
+    var pk = Seq.empty[String]
+    var ck = Seq.empty[String]
+    if (c.accept("(")) { pk = parseIdentList(c); c.expect(")") }
+    else pk = Seq(c.next())
+    while (c.accept(",")) ck = ck :+ c.next()
+    c.expect(")")
+    if (c.accept("with")) while (!c.done) c.next() // options ignored
+    CqlCreateMv(name, sel, pk, ck, ifNotExists)
   }
 
   /** `CREATE TYPE [IF NOT EXISTS] name (field type, …)` (upstream
@@ -622,6 +658,9 @@ object CqlParser {
       else ColumnPredicate(column, "contains", Seq(parseLiteral(c)))
     } else if (c.accept("like")) {
       ColumnPredicate(column, "like", Seq(parseLiteral(c)))
+    } else if (c.accept("is")) { // IS NOT NULL (MV definitions [U db/view/])
+      c.expect("not"); c.expect("null")
+      ColumnPredicate(column, "is not null", Nil)
     } else {
       val op = c.next() match {
         case o @ ("=" | "!=" | "<" | "<=" | ">" | ">=") => o

@@ -105,6 +105,15 @@ case class CqlCreateType(name: String,
   struct: org.apache.spark.sql.types.StructType,
   ifNotExists: Boolean) extends CqlDdl
 case class CqlDropType(name: String, ifExists: Boolean) extends CqlDdl
+/** `CREATE MATERIALIZED VIEW … AS SELECT … PRIMARY KEY (…)` — maintained at
+  * READ time (the definition runs over the base table's current state), so
+  * the view is always consistent with its base; upstream maintains eagerly
+  * per write, with the same observable single-writer semantics
+  * [U db/view/ViewManager.java]. */
+case class CqlCreateMv(name: String, select: CqlSelect,
+  partitionKeys: Seq[String], clusteringKeys: Seq[String],
+  ifNotExists: Boolean) extends CqlDdl
+case class CqlDropMv(name: String, ifExists: Boolean) extends CqlDdl
 
 /** SURVEY §2.12 — the CQL write path on the upsert-log model: INSERT/UPDATE/
   * DELETE (all upserts) append typed cell-writes to a per-table log; reads
@@ -196,6 +205,10 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   private val udtReg: scala.collection.mutable.Map[String, StructType] =
     scala.collection.mutable.Map.empty
 
+  /** Materialized views: lowercase name → (definition, mv pk, mv ck). */
+  private val mvReg: scala.collection.mutable.Map[String, (CqlSelect, Seq[String], Seq[String])] =
+    scala.collection.mutable.Map.empty
+
   private def dataCols(t: TableState): Seq[String] = t.schema.fieldNames.toSeq
 
   private def keyCols(t: TableState): Seq[String] =
@@ -272,7 +285,15 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       name -> CqlTable(view(name), t.partitionKeys, t.clusteringKeys,
         t.staticKeys, t.counterKeys, indexed)
     }.toMap
-    new CqlEngine(spark, catalog)
+    // materialized views derive from the CURRENT base state (read-time
+    // maintenance): each definition compiles lazily against the base
+    // catalog; nothing materializes until the view is actually queried
+    val baseEngine = new CqlEngine(spark, catalog)
+    val mvCatalog = mvReg.map { case (name, (sel, pk, ck)) =>
+      name -> CqlTable(
+        baseEngine.execute(sel.copy(allowFiltering = true)), pk, ck)
+    }.toMap
+    new CqlEngine(spark, catalog ++ mvCatalog)
   }
 
   private[cql] def runSelect(sel: CqlSelect): DataFrame = engine.execute(sel)
@@ -362,9 +383,66 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           cols.filter(_.counter).map(_.name)))
       }
     case CqlDropTable(table, ifExists) =>
+      // upstream refuses while views depend on the table [U CreateViewStatement]
+      mvReg.collectFirst {
+        case (mv, (sel, _, _)) if sel.table.equalsIgnoreCase(table) => mv
+      }.foreach(mv => throw new CqlInvalidQueryException(
+        s"Cannot drop table $table: materialized view $mv still depends on it"))
       if (state.remove(table.toLowerCase).isEmpty && !ifExists)
         throw new CqlInvalidQueryException(s"unknown table $table")
       indexReg.filterInPlace { case (_, (tbl, _, _)) => tbl != table.toLowerCase }
+    case CqlCreateMv(name, sel, pk, ck, ifNotExists) =>
+      if (state.contains(name.toLowerCase) || mvReg.contains(name.toLowerCase)) {
+        if (!ifNotExists)
+          throw new CqlInvalidQueryException(s"$name already exists")
+      } else {
+        val base = tableState(sel.table) // base must exist
+        val mvCols = pk ++ ck
+        mvCols.foreach { k =>
+          if (!base.schema.fieldNames.exists(_.equalsIgnoreCase(k)))
+            throw new CqlInvalidQueryException(
+              s"undefined column $k in materialized view primary key")
+        }
+        // upstream view rules [U cql3/statements/schema/CreateViewStatement]:
+        // the view key must contain every base key column plus at most ONE
+        // other, and every view key column must be filtered IS NOT NULL
+        val baseKeys = base.partitionKeys ++ base.clusteringKeys
+        baseKeys.foreach { bk =>
+          if (!mvCols.exists(_.equalsIgnoreCase(bk)))
+            throw new CqlInvalidQueryException(
+              s"Cannot create materialized view $name: primary key must " +
+                s"include base primary key column $bk")
+        }
+        val extra = mvCols.filterNot(c0 => baseKeys.exists(_.equalsIgnoreCase(c0)))
+        if (extra.size > 1)
+          throw new CqlInvalidQueryException(
+            s"Cannot include more than one non-primary key column in the " +
+              s"materialized view primary key (got ${extra.mkString(", ")})")
+        mvCols.foreach { k =>
+          val filtered = sel.predicates.exists {
+            case p: ColumnPredicate =>
+              p.column.equalsIgnoreCase(k) && p.op == "is not null"
+            case _ => false
+          }
+          if (!filtered) throw new CqlInvalidQueryException(
+            s"Primary key column '$k' is required to be filtered by " +
+              s"'IS NOT NULL' in the materialized view definition")
+        }
+        if (sel.selectors != Seq(Star)) {
+          mvCols.foreach { k =>
+            val selected = sel.selectors.exists {
+              case ColumnSelector(n, _) => n.equalsIgnoreCase(k)
+              case _ => false
+            }
+            if (!selected) throw new CqlInvalidQueryException(
+              s"materialized view must select its primary key column $k")
+          }
+        }
+        mvReg(name.toLowerCase) = (sel, pk, ck)
+      }
+    case CqlDropMv(name, ifExists) =>
+      if (mvReg.remove(name.toLowerCase).isEmpty && !ifExists)
+        throw new CqlInvalidQueryException(s"unknown materialized view $name")
     case CqlCreateIndex(name, table, column, sai, ifNotExists) =>
       val t = tableState(table)
       val colName = t.schema.fieldNames.find(_.equalsIgnoreCase(column))

@@ -356,6 +356,38 @@ class CqlEngineSpec extends SparkSpec {
     }
   }
 
+  // -- parser robustness ----------------------------------------------------
+
+  test("fuzz: token soup never escapes as anything but CqlInvalidQueryException") {
+    import graft.cql.CqlParser
+    val rnd = new scala.util.Random(42)
+    val vocab = Array("select", "from", "where", "and", "order", "by", "limit",
+      "insert", "into", "values", "update", "set", "delete", "create", "table",
+      "index", "type", "materialized", "view", "primary", "key", "batch",
+      "events", "user_id", "ts", "(", ")", ",", "=", "<", ">", "*", "'x'",
+      "42", "1.5", "[", "]", "{", "}", ":", "?", "-", "allow", "filtering",
+      "is", "not", "null", "token", "in", "contains", ";", ".", "frozen")
+    var parsedOk = 0
+    (1 to 2000).foreach { _ =>
+      val n = 1 + rnd.nextInt(12)
+      val stmt = Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      try {
+        stmt.takeWhile(!_.isWhitespace).toLowerCase match {
+          case "select" => CqlParser.parse(stmt)
+          case "insert" | "update" | "delete" => CqlParser.parseDml(stmt)
+          case "create" | "drop" => CqlParser.parseDdl(stmt)
+          case _ => ()
+        }
+        parsedOk += 1
+      } catch {
+        case _: graft.cql.CqlInvalidQueryException => () // the contract
+        case e: Throwable =>
+          fail(s"parser leaked ${e.getClass.getSimpleName} on: $stmt", e)
+      }
+    }
+    assert(parsedOk > 0) // the soup occasionally forms valid statements
+  }
+
   // -- clustering-restriction guardrails (ClusteringColumnRestrictions [U]) --
 
   test("guardrail: clustering restriction demands a restricted partition key") {

@@ -810,6 +810,66 @@ class CqlSessionSpec extends SparkSpec {
     s.execute("CREATE INDEX users_age_idx ON users (age)")
   }
 
+  // -- materialized views (CREATE MATERIALIZED VIEW) ------------------------
+
+  test("MV: reads by the view key without ALLOW FILTERING, tracks base writes") {
+    val s = freshSession
+    s.execute("INSERT INTO users (user_id, name, age) VALUES (1, 'ada', 36)")
+    s.execute("INSERT INTO users (user_id, name) VALUES (2, 'grace')")
+    s.execute("INSERT INTO users (user_id, age) VALUES (3, 50)") // null name
+    s.execute("CREATE MATERIALIZED VIEW users_by_name AS " +
+      "SELECT * FROM users WHERE name IS NOT NULL AND user_id IS NOT NULL " +
+      "PRIMARY KEY (name, user_id)")
+    // the view partition key serves point reads — no ALLOW FILTERING needed
+    assert(s.execute(
+      "SELECT user_id FROM users_by_name WHERE name = 'ada'")
+      .head().getLong(0) === 1L)
+    // null view-key rows are excluded (the IS NOT NULL definition filter)
+    assert(s.execute("SELECT count(*) AS n FROM users_by_name ALLOW FILTERING")
+      .head().getLong(0) === 2L)
+    // read-time maintenance: a base write is visible immediately
+    s.execute("INSERT INTO users (user_id, name) VALUES (4, 'ada')")
+    assert(s.execute(
+      "SELECT user_id FROM users_by_name WHERE name = 'ada' ALLOW FILTERING")
+      .collect().map(_.getLong(0)).sorted === Array(1L, 4L))
+    // and a base DELETE disappears from the view
+    s.execute("DELETE FROM users WHERE user_id = 1")
+    assert(s.execute(
+      "SELECT user_id FROM users_by_name WHERE name = 'ada' ALLOW FILTERING")
+      .collect().map(_.getLong(0)) === Array(4L))
+  }
+
+  test("MV guardrails: key coverage, IS NOT NULL, dependent-table drop") {
+    val s = freshSession
+    // view key must include the base primary key
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("CREATE MATERIALIZED VIEW m1 AS SELECT * FROM users " +
+        "WHERE name IS NOT NULL PRIMARY KEY (name)")
+    }.getMessage.contains("base primary key column user_id"))
+    // at most one non-key column in the view key
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("CREATE MATERIALIZED VIEW m2 AS SELECT * FROM users " +
+        "WHERE name IS NOT NULL AND age IS NOT NULL AND user_id IS NOT NULL " +
+        "PRIMARY KEY (name, age, user_id)")
+    }.getMessage.contains("more than one non-primary key column"))
+    // every view key column demands IS NOT NULL
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("CREATE MATERIALIZED VIEW m3 AS SELECT * FROM users " +
+        "WHERE user_id IS NOT NULL PRIMARY KEY (name, user_id)")
+    }.getMessage.contains("IS NOT NULL"))
+    s.execute("CREATE MATERIALIZED VIEW ok AS SELECT * FROM users " +
+      "WHERE name IS NOT NULL AND user_id IS NOT NULL " +
+      "PRIMARY KEY (name, user_id)")
+    // the base cannot be dropped while the view depends on it
+    assert(intercept[CqlInvalidQueryException] { s.execute("DROP TABLE users") }
+      .getMessage.contains("still depends"))
+    s.execute("DROP MATERIALIZED VIEW ok")
+    intercept[CqlInvalidQueryException] {
+      s.execute("SELECT * FROM ok ALLOW FILTERING")
+    }
+    s.execute("DROP TABLE users") // view gone → droppable
+  }
+
   // -- user-defined types (CREATE TYPE → StructType) ------------------------
 
   test("CREATE TYPE: UDT column round-trips and serves field access") {
