@@ -305,6 +305,11 @@ object CqlParser {
       c.expect("]"); c.expect("=")
       return col -> CqlMapPut(key, parseLiteral(c))
     }
+    if (c.accept(".")) { // u.field = v — non-frozen UDT field write
+      val f = c.next()
+      c.expect("=")
+      return col -> CqlFieldSet(f, parseValue(c))
+    }
     c.expect("=")
     if (c.peekIs(col) && (c.peekAt(1) == "+" || c.peekAt(1) == "-")) {
       c.next()

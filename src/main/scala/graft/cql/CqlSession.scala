@@ -37,6 +37,10 @@ case class CqlCollAdd(v: Any) extends CqlAssign
 case class CqlCollRemove(v: Any) extends CqlAssign
 /** `m[k] = v` single-entry put. */
 case class CqlMapPut(key: Any, value: Any) extends CqlAssign
+/** `SET u.field = v` — non-frozen UDT per-field write (upstream
+  * `cql3/Operation.SetField` [U]); folds by cell timestamp like every
+  * other op. */
+case class CqlFieldSet(field: String, value: Any) extends CqlAssign
 /** `c = c + n` / `c = c - n` counter increment (upstream
   * `db/context/CounterContext.java` [U]). */
 case class CqlCounterAdd(delta: Long) extends CqlAssign
@@ -155,7 +159,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     val schema = t.df.schema
     val collCols = schema.fields.collect {
       case f if f.dataType.isInstanceOf[ArrayType] ||
-        f.dataType.isInstanceOf[MapType] => f.name
+        f.dataType.isInstanceOf[MapType] ||
+        f.dataType.isInstanceOf[StructType] => f.name
     }.toSeq
     // collection AND counter columns carry a per-cell op marker; scalar
     // non-key non-counter columns carry a per-cell tombstone marker
@@ -622,6 +627,13 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         (v.items.map(k => coerce(k, kt) -> null).toMap, "remk")
       case (CqlMapPut(k, v), MapType(kt, vt, _)) =>
         (Map(coerce(k, kt) -> coerce(v, vt)), "put")
+      case (CqlFieldSet(f, v), st: StructType) =>
+        val fd = st.fields.find(_.name.equalsIgnoreCase(f)).getOrElse(
+          throw new CqlInvalidQueryException(
+            s"unknown field $f for UDT column $c"))
+        (Row.fromSeq(st.fields.toSeq.map(x =>
+          if (x.name.equalsIgnoreCase(f)) coerce(v, x.dataType)
+          else null)), s"fld:${fd.name}")
       case (CqlMapPut(idx: Long, v), ArrayType(et, _)) =>
         // l[i] = v: single-element payload, index rides in the op marker
         (Seq(coerce(v, et)), s"setidx:$idx")
@@ -664,8 +676,9 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           val dt = t.schema(t.schema.fieldIndex(c)).dataType
           cols.find(_.column.equalsIgnoreCase(c)) match {
             case Some(CqlDelItem(_, None)) =>
-              val isColl = dt.isInstanceOf[ArrayType] || dt.isInstanceOf[MapType]
-              // collection cell delete = SET to null; scalar = cell tombstone
+              val isColl = dt.isInstanceOf[ArrayType] ||
+                dt.isInstanceOf[MapType] || dt.isInstanceOf[StructType]
+              // collection/UDT cell delete = SET to null; scalar = tombstone
               c -> Some((null: Any, if (isColl) "set" else "tomb"))
             case Some(CqlDelItem(_, Some(sub))) =>
               dt match {
@@ -860,7 +873,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         else if (j.defaultUnset || keys.exists(_.equalsIgnoreCase(c))) None
         else { // DEFAULT NULL: null-out the cell like `UPDATE … SET c=null`
           val dt = t.schema.fields(i).dataType
-          val isColl = dt.isInstanceOf[ArrayType] || dt.isInstanceOf[MapType]
+          val isColl = dt.isInstanceOf[ArrayType] ||
+            dt.isInstanceOf[MapType] || dt.isInstanceOf[StructType]
           Some((null: Any, if (isColl) "set" else "tomb"))
         }
       c -> cell
@@ -910,6 +924,7 @@ object CqlPrepared {
       case CqlCollAdd(v) => CqlCollAdd(value(v))
       case CqlCollRemove(v) => CqlCollRemove(value(v))
       case CqlMapPut(k, v) => CqlMapPut(value(k), value(v))
+      case CqlFieldSet(f, v) => CqlFieldSet(f, value(v))
       case other => other
     }
     private def condition(c: Option[CqlCondition]): Option[CqlCondition] =

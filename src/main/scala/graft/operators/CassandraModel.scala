@@ -133,9 +133,9 @@ object CassandraModel {
       if (hasOps(c)) col(s"_op_$c").isNotNull else col(c).isNotNull
     val cellAggs = dataCols.map { c =>
       if (hasOps(c)) {
-        import org.apache.spark.sql.types.{ArrayType, MapType}
+        import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
         log.schema(log.schema.fieldIndex(c)).dataType match {
-          case _: ArrayType | _: MapType =>
+          case _: ArrayType | _: MapType | _: StructType =>
             collectionCellAgg(c, log.schema(log.schema.fieldIndex(c)).dataType)
           case _ =>
             // counter cell (op 'incr'): the merged value IS the sum of live
@@ -235,6 +235,19 @@ object CassandraModel {
             .when(op === "remk", map_from_entries(keep))
             .otherwise(acc)
         }, acc => when(size(acc) > 0, acc))
+      case st: org.apache.spark.sql.types.StructType =>
+        // non-frozen UDT: `set` replaces the whole value, `fld:<name>` sets
+        // one field (the payload struct carries it) — per-field latest-wins,
+        // upstream's independent UDT cells [U cql3/Operation.SetField]
+        aggregate(entries, lit(null).cast(dt), (acc, e) => {
+          val v = e.getField("v"); val op = e.getField("op")
+          val empty = struct(st.fields.toSeq.map(f =>
+            lit(null).cast(f.dataType).as(f.name)): _*)
+          st.fields.foldLeft(when(op === "set", v)) { (w, f) =>
+            w.when(op === s"fld:${f.name}",
+              coalesce(acc, empty).withField(f.name, v.getField(f.name)))
+          }.otherwise(acc)
+        }, acc => acc)
       case other => throw new IllegalArgumentException(
         s"op-carrying column $c has non-collection type $other")
     }

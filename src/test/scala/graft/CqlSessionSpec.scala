@@ -899,6 +899,29 @@ class CqlSessionSpec extends SparkSpec {
       "frozen value replaces wholesale — y does not merge through")
   }
 
+  test("non-frozen UDT field writes merge per field by timestamp") {
+    val s = freshSession
+    s.execute("CREATE TYPE addr2 (street text, city text)")
+    s.execute("CREATE TABLE homes2 (id bigint PRIMARY KEY, a addr2)")
+    s.execute("INSERT INTO homes2 (id, a) VALUES " +
+      "(1, {street: 'Main', city: 'Lyon'}) USING TIMESTAMP 10")
+    s.execute("UPDATE homes2 USING TIMESTAMP 20 SET a.city = 'Oslo' WHERE id = 1")
+    val r1 = s.execute("SELECT a FROM homes2 WHERE id = 1").head().getStruct(0)
+    assert(r1.getString(0) === "Main" && r1.getString(1) === "Oslo",
+      "newer field write merges into the older whole-cell value")
+    // an OLDER field write loses to the newer whole-cell set
+    s.execute("UPDATE homes2 USING TIMESTAMP 5 SET a.street = 'Old' WHERE id = 1")
+    assert(s.execute("SELECT a FROM homes2 WHERE id = 1")
+      .head().getStruct(0).getString(0) === "Main")
+    // a field write onto a row with no UDT value creates a sparse cell
+    s.execute("UPDATE homes2 USING TIMESTAMP 30 SET a.city = 'Rome' WHERE id = 2")
+    val r2 = s.execute("SELECT a FROM homes2 WHERE id = 2").head().getStruct(0)
+    assert(r2.isNullAt(0) && r2.getString(1) === "Rome")
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("UPDATE homes2 SET a.zipcode = 1 WHERE id = 1")
+    }.getMessage.contains("unknown field"))
+  }
+
   test("UDT guardrails: unknown field, nested/dependent types, DROP TYPE in use") {
     val s = freshSession
     s.execute("CREATE TYPE inner1 (v text)")
