@@ -236,6 +236,8 @@ object CqlParser {
             if (c.accept("[")) {
               val sub = parseLiteral(c); c.expect("]")
               CqlDelItem(name, Some(sub))
+            } else if (c.accept(".")) { // DELETE u.field — UDT field delete
+              CqlDelItem(name, Some(CqlFieldSub(c.next())))
             } else CqlDelItem(name)
           }
           var out = Seq(item())
@@ -386,6 +388,15 @@ object CqlParser {
           CqlDropTable(tableName(c), ifExists)
         }
       case "alter" =>
+        if (c.accept("type")) { // ALTER TYPE name ADD field type[, …]
+          import org.apache.spark.sql.types.{StructField, StructType}
+          val name = tableName(c)
+          c.expect("add")
+          def one() = { val n = c.next(); StructField(n, parseType(c, udts)) }
+          var fs = Vector(one())
+          while (c.accept(",")) fs = fs :+ one()
+          return CqlAlterTypeAdd(name, StructType(fs))
+        }
         c.expect("table")
         val table = tableName(c)
         if (c.accept("add")) {

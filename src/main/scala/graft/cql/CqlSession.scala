@@ -72,6 +72,9 @@ case class CqlUpdate(table: String, assignments: Seq[(String, CqlAssign)],
   * collection element (`DELETE l[2]`, `DELETE m['k']` — upstream
   * `cql3/Operation.ElementDeletion` [U]). */
 case class CqlDelItem(column: String, sub: Option[Any] = None)
+/** Marks a [[CqlDelItem]] subscript as a UDT FIELD name (`DELETE u.f`),
+  * distinguishing it from a map-key/list-index element delete. */
+case class CqlFieldSub(field: String)
 
 case class CqlDelete(table: String, keyPredicates: Seq[(String, Any)],
   usingTimestamp: Option[Long], condition: Option[CqlCondition] = None,
@@ -109,6 +112,10 @@ case class CqlCreateType(name: String,
   struct: org.apache.spark.sql.types.StructType,
   ifNotExists: Boolean) extends CqlDdl
 case class CqlDropType(name: String, ifExists: Boolean) extends CqlDdl
+/** `ALTER TYPE name ADD field type[, …]` — widens the StructType; existing
+  * cells read the new fields as null (upstream lazily-null semantics). */
+case class CqlAlterTypeAdd(name: String,
+  fields: org.apache.spark.sql.types.StructType) extends CqlDdl
 /** `CREATE MATERIALIZED VIEW … AS SELECT … PRIMARY KEY (…)` — maintained at
   * READ time (the definition runs over the base table's current state), so
   * the view is always consistent with its base; upstream maintains eagerly
@@ -479,6 +486,59 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         if (!ifNotExists)
           throw new CqlInvalidQueryException(s"type $name already exists")
       } else udtReg(name.toLowerCase) = struct
+    case CqlAlterTypeAdd(name, fields) =>
+      val old = udtReg.getOrElse(name.toLowerCase,
+        throw new CqlInvalidQueryException(s"unknown type $name"))
+      fields.fields.foreach { f =>
+        if (old.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+          throw new CqlInvalidQueryException(
+            s"field ${f.name} already exists in type $name")
+      }
+      val widened = StructType(old.fields.toSeq ++ fields.fields)
+      // nested embeddings (type-in-type, type-in-collection) would need a
+      // deep rewrite of every embedding — upstream supports it; scoped out
+      // with an explicit error rather than silent divergence
+      def embedsNested(dt: DataType): Boolean = dt match {
+        case s: StructType =>
+          s.fields.exists(f => f.dataType == old || embedsNested(f.dataType))
+        case ArrayType(et, _) => et == old || embedsNested(et)
+        case MapType(k, v, _) =>
+          k == old || v == old || embedsNested(k) || embedsNested(v)
+        case _ => false
+      }
+      udtReg.collectFirst {
+        case (n, s0) if n != name.toLowerCase &&
+          s0.fields.exists(f => f.dataType == old || embedsNested(f.dataType)) => n
+      }.foreach(n => throw new CqlInvalidQueryException(
+        s"Cannot alter type $name: it is nested inside type $n (unsupported)"))
+      state.foreach { case (tbl, t) =>
+        t.schema.fields.foreach { f =>
+          if (f.dataType != old && embedsNested(f.dataType))
+            throw new CqlInvalidQueryException(
+              s"Cannot alter type $name: nested use in $tbl.${f.name} (unsupported)")
+        }
+      }
+      // widen every top-level column of this type: existing cells gain the
+      // new fields as null (withField on a null cell stays null)
+      state.foreach { case (tbl, t) =>
+        val structCols = t.schema.fields.filter(_.dataType == old).map(_.name)
+        if (structCols.nonEmpty) {
+          var flushed = log(t)
+          structCols.foreach { c0 =>
+            flushed = flushed.withColumn(c0,
+              fields.fields.foldLeft(col(c0))((cc, f) =>
+                cc.withField(f.name, lit(null).cast(f.dataType))))
+          }
+          val newSchema = StructType(t.schema.fields.toSeq.map(f =>
+            if (structCols.contains(f.name)) f.copy(dataType = widened) else f))
+          val shell = mkState(CqlTable(
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row], newSchema),
+            t.partitionKeys, t.clusteringKeys, t.staticKeys, t.counterKeys))
+          state(tbl) = shell.copy(base = flushed.select(
+            shell.logSchema.fieldNames.map(col).toSeq: _*))
+        }
+      }
+      udtReg(name.toLowerCase) = widened
     case CqlDropType(name, ifExists) =>
       val struct = udtReg.get(name.toLowerCase)
       if (struct.isEmpty && !ifExists)
@@ -681,16 +741,22 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
               // collection/UDT cell delete = SET to null; scalar = tombstone
               c -> Some((null: Any, if (isColl) "set" else "tomb"))
             case Some(CqlDelItem(_, Some(sub))) =>
-              dt match {
-                // element delete: list index drop / map key discard
-                case _: ArrayType => sub match {
-                  case i: Long => c -> Some((null: Any, s"delidx:$i"))
-                  case other => throw new CqlInvalidQueryException(
+              (dt, sub) match {
+                // element delete: list index drop / map key discard /
+                // UDT field null-out
+                case (_: ArrayType, i: Long) =>
+                  c -> Some((null: Any, s"delidx:$i"))
+                case (_: ArrayType, other) =>
+                  throw new CqlInvalidQueryException(
                     s"list index must be an integer, got $other")
-                }
-                case MapType(kt, _, _) =>
+                case (MapType(kt, _, _), _) =>
                   c -> Some((Map(coerce(sub, kt) -> null), "remk"))
-                case other => throw new CqlInvalidQueryException(
+                case (st: StructType, CqlFieldSub(f)) =>
+                  val fd = st.fields.find(_.name.equalsIgnoreCase(f))
+                    .getOrElse(throw new CqlInvalidQueryException(
+                      s"unknown field $f for UDT column $c"))
+                  c -> Some((null: Any, s"fldel:${fd.name}"))
+                case (other, _) => throw new CqlInvalidQueryException(
                   s"$c of type $other has no elements to delete")
               }
             case None => c -> k.get(c.toLowerCase)

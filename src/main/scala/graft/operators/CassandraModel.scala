@@ -246,6 +246,9 @@ object CassandraModel {
           st.fields.foldLeft(when(op === "set", v)) { (w, f) =>
             w.when(op === s"fld:${f.name}",
               coalesce(acc, empty).withField(f.name, v.getField(f.name)))
+              .when(op === s"fldel:${f.name}",
+                coalesce(acc, empty).withField(f.name,
+                  lit(null).cast(f.dataType)))
           }.otherwise(acc)
         }, acc => acc)
       case other => throw new IllegalArgumentException(

@@ -922,6 +922,32 @@ class CqlSessionSpec extends SparkSpec {
     }.getMessage.contains("unknown field"))
   }
 
+  test("DELETE u.field nulls one field; ALTER TYPE ADD widens live cells") {
+    val s = freshSession
+    s.execute("CREATE TYPE contact (email text, phone text)")
+    s.execute("CREATE TABLE people (id bigint PRIMARY KEY, c contact)")
+    s.execute("INSERT INTO people (id, c) VALUES " +
+      "(1, {email: 'a@x.io', phone: '555'}) USING TIMESTAMP 10")
+    s.execute("DELETE c.phone FROM people USING TIMESTAMP 20 WHERE id = 1")
+    val r = s.execute("SELECT c FROM people WHERE id = 1").head().getStruct(0)
+    assert(r.getString(0) === "a@x.io" && r.isNullAt(1))
+    // an OLDER field delete loses to the newer value
+    s.execute("DELETE c.email FROM people USING TIMESTAMP 5 WHERE id = 1")
+    assert(s.execute("SELECT c FROM people WHERE id = 1")
+      .head().getStruct(0).getString(0) === "a@x.io")
+    // ALTER TYPE ADD: existing cells read the new field as null,
+    // and the new field is immediately writable
+    s.execute("ALTER TYPE contact ADD fax text")
+    val widened = s.execute("SELECT c FROM people WHERE id = 1").head().getStruct(0)
+    assert(widened.size === 3 && widened.isNullAt(2))
+    s.execute("UPDATE people USING TIMESTAMP 30 SET c.fax = '999' WHERE id = 1")
+    val after = s.execute("SELECT c FROM people WHERE id = 1").head().getStruct(0)
+    assert(after.getString(0) === "a@x.io" && after.getString(2) === "999")
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("ALTER TYPE contact ADD email text")
+    }.getMessage.contains("already exists"))
+  }
+
   test("UDT guardrails: unknown field, nested/dependent types, DROP TYPE in use") {
     val s = freshSession
     s.execute("CREATE TYPE inner1 (v text)")
