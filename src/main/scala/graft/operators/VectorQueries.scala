@@ -286,7 +286,43 @@ object VectorQueries {
       .orderBy(col("eucl").asc, col("vec_id").asc)
       .limit(15)
 
+  /** V14 (L3 evaluation): ANN recall harness — mean recall@10 of the
+    * sign-bucket ANN (v2's prune) against exact kNN (v1) over a 20-query
+    * sample, per query. The evaluation loop every production ANN deployment
+    * runs before turning a recall dial; here it is itself a declarative,
+    * oracled query. Scale shape: the SAMPLED queries broadcast (the
+    * standard eval pattern), the corpus streams once through the scoring
+    * cross join, both rankings share one window spec, and the recall join
+    * is per-(query, k) — at 100 TB this is a map + two windowed top-k's
+    * over Q×N scored pairs with Q tiny. */
+  def v14_recall_eval(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 10
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      signBucket(col("embedding")).as("bucket"))
+    val qs = broadcast(e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("bucket").as("qbucket")))
+    val scored = e.crossJoin(qs)
+      .select(col("qid"), col("vec_id"), col("bucket"), col("qbucket"),
+        round(cosineFast(col("embedding"), col("qvec")), 6).as("cs"))
+    val w = Window.partitionBy("qid").orderBy(col("cs").desc, col("vec_id").asc)
+    val exact = scored.withColumn("r", row_number().over(w))
+      .filter(col("r") <= k).select(col("qid"), col("vec_id"))
+    val approx = scored.filter(col("bucket") === col("qbucket"))
+      .withColumn("r", row_number().over(w)).filter(col("r") <= k)
+      .select(col("qid").as("aqid"), col("vec_id").as("avid"))
+    exact.join(approx,
+        col("qid") === col("aqid") && col("vec_id") === col("avid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"), count(col("avid")).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_exact"), 6))
+      .orderBy("qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v14_recall_eval" -> (v14_recall_eval _),
     "v1_knn_exact" -> (v1_knn_exact _),
     "v2_knn_bucketed" -> (v2_knn_bucketed _),
     "v3_centroids" -> (v3_centroids _),
@@ -304,6 +340,38 @@ object VectorQueries {
     "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)"
 
   val oracle: Map[String, String] = Map(
+    // same sampled queries, same sign buckets, same rounded scores and
+    // (cs desc, vec_id asc) rankings — recall is exact in both engines
+    "v14_recall_eval" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) +
+        |    (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) +
+        |    (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qvec, bucket AS qbucket
+        |      FROM e WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id, e.bucket, q.qbucket,
+        |    round(list_dot_product(e.v, q.qvec) /
+        |      (sqrt(list_dot_product(e.v, e.v)) *
+        |       sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cs
+        |  FROM e CROSS JOIN q),
+        |exact AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |      row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id ASC) AS r
+        |    FROM scored) WHERE r <= 10),
+        |approx AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |      row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id ASC) AS r
+        |    FROM scored WHERE bucket = qbucket) WHERE r <= 10)
+        |SELECT exact.qid, count(*) AS n_exact, count(approx.vec_id) AS n_hit,
+        |  round(count(approx.vec_id)::DOUBLE / count(*), 6) AS recall
+        |FROM exact LEFT JOIN approx
+        |  ON exact.qid = approx.qid AND exact.vec_id = approx.vec_id
+        |GROUP BY exact.qid ORDER BY exact.qid""".stripMargin,
     "v1_knn_exact" ->
       s"""$qvecCte
         |SELECT vec_id, label,
