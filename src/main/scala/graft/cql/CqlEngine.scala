@@ -156,18 +156,37 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
     // selection / aggregation
     df =
       if (sel.selectors.exists(_.isAggregate) || sel.groupBy.nonEmpty) {
-        val keySet = sel.groupBy.map(_.toLowerCase).toSet
+        val keySet = sel.groupBy.collect {
+          case CqlGroupItem(c0, None) => c0.toLowerCase
+        }.toSet
+        val floorKeys = sel.groupBy.collect {
+          case CqlGroupItem(c0, Some(_)) => c0.toLowerCase
+        }.toSet
         // group keys are implicit in Spark's groupBy output — drop their
-        // plain selectors to avoid duplicate columns
+        // plain (or matching floor) selectors to avoid duplicate columns
         val aggCols = sel.selectors.collect {
           case s: ColumnSelector if keySet.contains(s.name.toLowerCase) => None
+          case FunctionSelector(fn, ColArg(n) +: _, _)
+            if fn.equalsIgnoreCase("floor") && floorKeys(n.toLowerCase) => None
           case s => Some(selectorColumn(s, table))
         }.flatten
         if (aggCols.isEmpty)
           throw new CqlInvalidQueryException(
             "GROUP BY queries must select at least one aggregate")
+        // a floor group key takes its output name from the matching
+        // selector's alias when one exists (upstream names the column
+        // after the selection)
+        val groupCols = sel.groupBy.map {
+          case CqlGroupItem(c0, None) => col(c0)
+          case CqlGroupItem(c0, Some(us)) =>
+            val alias = sel.selectors.collectFirst {
+              case FunctionSelector(fn, ColArg(n) +: _, Some(a))
+                if fn.equalsIgnoreCase("floor") && n.equalsIgnoreCase(c0) => a
+            }
+            floorBucket(col(c0), us).as(alias.getOrElse(s"floor($c0)"))
+        }
         if (sel.groupBy.nonEmpty)
-          df.groupBy(sel.groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+          df.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
         else df.agg(aggCols.head, aggCols.tail: _*)
       } else if (sel.selectors == Seq(Star))
         // `_`-prefixed columns are engine metadata (writetime/ttl/tombstone)
@@ -389,6 +408,16 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
       }
   }
 
+  /** `floor(ts, dur)` — epoch-aligned fixed-width bucket (upstream
+    * `TimeFcts` floor [U]): the bucket start of `ts` in a grid of `us`
+    * microseconds anchored at the epoch. */
+  private def floorBucket(ts: Column, us: Long): Column = {
+    val micros = unix_micros(ts.cast("timestamp"))
+    // exact integral grid: a − (a mod w) (pmod keeps pre-epoch ts on the
+    // bucket START, matching upstream floor)
+    timestamp_micros(micros - pmod(micros, lit(us)))
+  }
+
   private def selectorColumn(s: CqlSelector, t: CqlTable): Column = s match {
     case Star => col("*")
     case ColumnSelector(name, alias) =>
@@ -468,6 +497,11 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
         case f @ ("similarity_cosine" | "similarity_euclidean" |
                   "similarity_dot_product") =>
           call_function(f, vecArg(0), vecArg(1))
+        case "floor" => args match {
+          case Seq(ColArg(n), LitArg(us: Long)) => floorBucket(col(n), us)
+          case other => throw new CqlInvalidQueryException(
+            s"floor expects (timestamp column, duration), got $other")
+        }
         case other => throw new CqlInvalidQueryException(s"unknown function $other")
       }
       val defaultName = s"${fn.toLowerCase}(" + args.map {

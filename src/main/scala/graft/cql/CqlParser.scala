@@ -28,6 +28,11 @@ case class TuplePredicate(columns: Seq[String], op: String, values: Seq[Any])
 
 case class OrderBy(column: String, asc: Boolean)
 
+/** One GROUP BY item: a column, optionally bucketed by `floor(col, dur)`
+  * (upstream 4.0 `GROUP BY floor(ts, 1d)` — `cql3/functions/TimeFcts`
+  * floor family [U]); `floorMicros` is the bucket width. */
+case class CqlGroupItem(column: String, floorMicros: Option[Long] = None)
+
 /** `ORDER BY column ANN OF [v, …]` (Cassandra 5.0 vector search). */
 case class AnnOrderBy(column: String, query: Seq[Float])
 
@@ -35,7 +40,7 @@ case class CqlSelect(
   selectors: Seq[CqlSelector],
   table: String,
   predicates: Seq[CqlPredicate],
-  groupBy: Seq[String],
+  groupBy: Seq[CqlGroupItem],
   orderBy: Option[Seq[OrderBy]],
   ann: Option[AnnOrderBy],
   perPartitionLimit: Option[Int],
@@ -114,8 +119,20 @@ object CqlParser {
       preds = preds :+ parsePredicate(c)
       while (c.accept("and")) preds = preds :+ parsePredicate(c)
     }
-    var groupBy = Seq.empty[String]
-    if (c.accept("group")) { c.expect("by"); groupBy = parseIdentList(c) }
+    var groupBy = Seq.empty[CqlGroupItem]
+    if (c.accept("group")) {
+      c.expect("by")
+      def item(): CqlGroupItem = {
+        val n = c.next()
+        if (n.equalsIgnoreCase("floor") && c.accept("(")) {
+          val colName = c.next(); c.expect(",")
+          val dur = parseDurationMicros(c); c.expect(")")
+          CqlGroupItem(colName, Some(dur))
+        } else CqlGroupItem(n)
+      }
+      groupBy = Seq(item())
+      while (c.accept(",")) groupBy = groupBy :+ item()
+    }
     var orderBy: Option[Seq[OrderBy]] = None
     var ann: Option[AnnOrderBy] = None
     if (c.accept("order")) {
@@ -604,6 +621,12 @@ object CqlParser {
       return CastSelector(column, dt, typeName.toLowerCase, parseAlias(c))
     }
     if (c.accept("(")) {
+      if (name.equalsIgnoreCase("floor")) { // floor(ts, <duration>)
+        val colName = c.next(); c.expect(",")
+        val us = parseDurationMicros(c); c.expect(")")
+        return FunctionSelector("floor",
+          Seq(ColArg(colName), LitArg(us)), parseAlias(c))
+      }
       var args = Vector.empty[CqlFnArg]
       if (!c.accept(")")) {
         def one(): CqlFnArg =
@@ -684,6 +707,37 @@ object CqlParser {
       }
       ColumnPredicate(column, op, Seq(parseLiteral(c)), isToken)
     }
+  }
+
+  /** CQL duration → microseconds: `1d`, `12h`, `1h30m`, `90s`, … The
+    * tokenizer splits `1h30m` into `1` + `h30m`; this re-joins and folds
+    * the (quantity, unit) runs. Calendar-length units (y/mo) and
+    * sub-microsecond ns are rejected — a floor bucket must have a fixed
+    * width (upstream rejects months in floor for the same reason). */
+  private val durationUnitMicros = Map(
+    "w" -> 604800000000L, "d" -> 86400000000L, "h" -> 3600000000L,
+    "m" -> 60000000L, "s" -> 1000000L, "ms" -> 1000L, "us" -> 1L)
+
+  private def parseDurationMicros(c: Cursor): Long = {
+    val n0 = c.next()
+    if (!n0.nonEmpty || !n0.forall(_.isDigit))
+      throw new CqlInvalidQueryException(s"invalid duration near $n0")
+    val full = n0 + c.next()
+    val re = "(\\d+)(mo|ms|us|ns|y|w|d|h|m|s)".r
+    val parts = re.findAllMatchIn(full).toSeq
+    if (parts.map(_.matched).mkString != full)
+      throw new CqlInvalidQueryException(s"invalid duration $full")
+    parts.map { m =>
+      val q = m.group(1).toLong
+      val unit = m.group(2)
+      if (unit == "y" || unit == "mo")
+        throw new CqlInvalidQueryException(
+          s"floor does not support calendar-length durations ($unit)")
+      if (unit == "ns")
+        throw new CqlInvalidQueryException(
+          "sub-microsecond floor durations are not supported")
+      q * durationUnitMicros(unit)
+    }.sum
   }
 
   /** Functions accepted in literal position (predicate bounds). */

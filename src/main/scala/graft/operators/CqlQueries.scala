@@ -87,11 +87,23 @@ object CqlQueries {
         "FROM lineitem WHERE l_orderkey < 15 ALLOW FILTERING")
       .orderBy("l_orderkey", "l_linenumber", "qty_i")
 
+  /** CQL5: `GROUP BY floor(ts, 12h)` through the text path — upstream
+    * 4.0's time-bucketed aggregation (TimeFcts floor [U]), epoch-aligned
+    * fixed-width buckets. A 12-hour width (not 1d) proves the bucket is
+    * floor's arithmetic grid, not a date_trunc alias. */
+  def cql5_time_bucket(s: SparkSession, d: String): DataFrame =
+    CqlEngine.forFixtures(s, d).execute(
+      "SELECT floor(ts, 12h) AS bucket, count(*) AS n, " +
+        "min(value) AS minv FROM events " +
+        "GROUP BY floor(ts, 12h) ALLOW FILTERING")
+      .orderBy("bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cql1_slice" -> (cql1_slice _),
     "cql2_group" -> (cql2_group _),
     "cql3_mutations" -> (cql3_mutations _),
     "cql4_cast" -> (cql4_cast _),
+    "cql5_time_bucket" -> (cql5_time_bucket _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -128,6 +140,12 @@ object CqlQueries {
         |)
         |SELECT k, c, v FROM win WHERE rn = 1 AND del = 0
         |ORDER BY k, c""".stripMargin,
+    // same epoch-aligned 12h grid: make_timestamp over floored epoch µs
+    "cql5_time_bucket" ->
+      """SELECT make_timestamp((epoch_us(cast(ts AS timestamp)) // 43200000000)
+        |    * 43200000000) AS bucket,
+        |  count(*) AS n, min(value) AS minv
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
     // unaliased CAST keeps Cassandra's result-column name — mirrored as a
     // quoted alias so the driver's name-sorted compare lines up
     "cql4_cast" ->
