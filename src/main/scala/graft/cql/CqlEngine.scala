@@ -83,16 +83,45 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
       private var after: Option[Seq[Any]] = None
       private var exhausted = false
       override def hasNext: Boolean = !exhausted
+      // Null-aware "strictly after the boundary tuple" in page order
+      // (ASC = nulls first, DESC = nulls last — Spark's default null
+      // placement). A plain struct comparison returns null whenever the
+      // boundary holds a null clustering value (e.g. a static-row
+      // phantom), which would silently drop every remaining page.
+      def afterTuple(cols: Seq[String], vals: Seq[Any]): Column =
+        (cols, vals) match {
+          case (c +: ct, v +: vt) =>
+            val rest =
+              if (ct.isEmpty) lit(false) else afterTuple(ct, vt)
+            if (v == null) {
+              if (desc) col(c).isNull && rest
+              else col(c).isNotNull || rest
+            } else {
+              val tv = typedLit(table, c, v)
+              if (desc) col(c).isNull || (col(c) < tv) ||
+                (col(c) === tv && rest)
+              else (col(c) > tv) || (col(c) === tv && rest)
+            }
+          case _ => lit(false)
+        }
       override def next(): DataFrame = {
-        val preds = sel.predicates ++
-          after.map(v => TuplePredicate(cks, if (desc) "<" else ">", v)).toSeq
+        val preds = sel.predicates ++ after.collect {
+          // fast path: an all-non-null token pages as one pushed tuple
+          // restriction, exactly the driver-protocol shape
+          case v if !v.contains(null) =>
+            TuplePredicate(cks, if (desc) "<" else ">", v)
+        }.toSeq
         // full-row page internally (the pager must see the clustering
         // tuple even when the caller projects it away), user projection
         // applied per page below
-        val pageDf = execute(sel.copy(selectors = Seq(Star),
+        var pageAll = execute(sel.copy(selectors = Seq(Star),
           predicates = preds, json = false,
           orderBy = Some(cks.map(OrderBy(_, asc = !desc))),
-          limit = Some(fetchSize)))
+          limit = None))
+        after.filter(_.contains(null)).foreach { v =>
+          pageAll = pageAll.filter(afterTuple(cks, v))
+        }
+        val pageDf = pageAll.limit(fetchSize)
         val rows = pageDf.collect()
         if (rows.length < fetchSize) exhausted = true
         else after = Some(ckIdx.map(rows.last.get))
@@ -160,14 +189,24 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
           case CqlGroupItem(c0, None) => c0.toLowerCase
         }.toSet
         val floorKeys = sel.groupBy.collect {
-          case CqlGroupItem(c0, Some(_)) => c0.toLowerCase
+          case CqlGroupItem(c0, Some(us)) => (c0.toLowerCase, us)
         }.toSet
         // group keys are implicit in Spark's groupBy output — drop their
-        // plain (or matching floor) selectors to avoid duplicate columns
+        // plain (or matching floor) selectors to avoid duplicate columns.
+        // A floor selector matches its group item only when BOTH the column
+        // and the duration agree; floor(ts, 1h) against GROUP BY
+        // floor(ts, 12h) is not grouped and must error, not mislabel.
         val aggCols = sel.selectors.collect {
           case s: ColumnSelector if keySet.contains(s.name.toLowerCase) => None
+          case FunctionSelector(fn, Seq(ColArg(n), LitArg(us: Long)), _)
+            if fn.equalsIgnoreCase("floor") &&
+              floorKeys((n.toLowerCase, us)) => None
           case FunctionSelector(fn, ColArg(n) +: _, _)
-            if fn.equalsIgnoreCase("floor") && floorKeys(n.toLowerCase) => None
+            if fn.equalsIgnoreCase("floor") &&
+              sel.groupBy.exists(g => g.floorMicros.isDefined &&
+                g.column.equalsIgnoreCase(n)) =>
+            throw new CqlInvalidQueryException(
+              s"floor($n, …) selector duration does not match GROUP BY")
           case s => Some(selectorColumn(s, table))
         }.flatten
         if (aggCols.isEmpty)
@@ -180,8 +219,10 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
           case CqlGroupItem(c0, None) => col(c0)
           case CqlGroupItem(c0, Some(us)) =>
             val alias = sel.selectors.collectFirst {
-              case FunctionSelector(fn, ColArg(n) +: _, Some(a))
-                if fn.equalsIgnoreCase("floor") && n.equalsIgnoreCase(c0) => a
+              case FunctionSelector(fn, Seq(ColArg(n), LitArg(fus: Long)),
+                Some(a))
+                if fn.equalsIgnoreCase("floor") && n.equalsIgnoreCase(c0) &&
+                  fus == us => a
             }
             floorBucket(col(c0), us).as(alias.getOrElse(s"floor($c0)"))
         }
@@ -213,6 +254,17 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
     execute(cql).queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
 
+  /** Does a secondary index on `c` serve operator `op`? Legacy 2i answers
+    * equality and collection CONTAINS [KEY]; SAI/SASI additionally answer
+    * range, IN (an eq-union) and LIKE
+    * [U index/sai/plan/, StatementRestrictions.needFiltering]. */
+  private def indexServes(t: CqlTable, c: String, op: String): Boolean =
+    t.indexedColumns.get(c).exists { sai =>
+      val eqOps = Set("=", "contains", "contains key")
+      if (sai) eqOps(op) || Set("<", "<=", ">", ">=", "in", "like")(op)
+      else eqOps(op)
+    }
+
   /** Cassandra's restriction rules (the guardrails that make it Cassandra). */
   private def validate(sel: CqlSelect, t: CqlTable): Unit = {
     val keyCols = (t.partitionKeys ++ t.clusteringKeys).map(_.toLowerCase).toSet
@@ -220,16 +272,8 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
       sel.predicates.foreach {
         case p: ColumnPredicate =>
           val c = p.column.toLowerCase
-          // a secondary index lifts the gate for the ops it can serve:
-          // legacy 2i answers equality and collection CONTAINS [KEY];
-          // SAI/SASI additionally answer range (and IN as an eq-union)
-          // [U index/sai/plan/, StatementRestrictions.needFiltering]
-          val indexServes = t.indexedColumns.get(c).exists { sai =>
-            val eqOps = Set("=", "contains", "contains key")
-            if (sai) eqOps(p.op) || Set("<", "<=", ">", ">=", "in", "like")(p.op)
-            else eqOps(p.op)
-          }
-          if (!keyCols.contains(c) && !p.isToken && !indexServes)
+          // a secondary index lifts the gate for the ops it can serve
+          if (!keyCols.contains(c) && !p.isToken && !indexServes(t, c, p.op))
             throw new CqlInvalidQueryException(
               s"Cannot execute this query as it might involve data filtering and " +
                 s"thus may have unpredictable performance. If you want to execute " +
@@ -252,11 +296,7 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
       val ckPreds = sel.predicates.collect {
         case p: ColumnPredicate if !p.isToken &&
             ckList.contains(p.column.toLowerCase) &&
-            !t.indexedColumns.get(p.column.toLowerCase).exists { sai =>
-              val eqOps = Set("=", "contains", "contains key")
-              if (sai) eqOps(p.op) || Set("<", "<=", ">", ">=", "in", "like")(p.op)
-              else eqOps(p.op)
-            } => p
+            !indexServes(t, p.column.toLowerCase, p.op) => p
       }
       if (ckPreds.nonEmpty) {
         val pkOk = t.partitionKeys.forall(pk => sel.predicates.exists {

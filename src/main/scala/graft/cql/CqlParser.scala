@@ -378,10 +378,11 @@ object CqlParser {
           } else {
             val name = c.next()
             val isCounter = c.peekIs("counter")
-            val dt = parseType(c, udts)
+            val refs = scala.collection.mutable.Set.empty[String]
+            val dt = parseType(c, udts, refs)
             val static = c.accept("static")
             if (c.accept("primary")) { c.expect("key"); pk = Seq(name) }
-            cols = cols :+ CqlColumnDef(name, dt, static, isCounter)
+            cols = cols :+ CqlColumnDef(name, dt, static, isCounter, refs.toSet)
           }
         }
         if (c.accept("with")) while (!c.done) c.next() // options ignored
@@ -409,10 +410,11 @@ object CqlParser {
           import org.apache.spark.sql.types.{StructField, StructType}
           val name = tableName(c)
           c.expect("add")
-          def one() = { val n = c.next(); StructField(n, parseType(c, udts)) }
+          val refs = scala.collection.mutable.Set.empty[String]
+          def one() = { val n = c.next(); StructField(n, parseType(c, udts, refs)) }
           var fs = Vector(one())
           while (c.accept(",")) fs = fs :+ one()
-          return CqlAlterTypeAdd(name, StructType(fs))
+          return CqlAlterTypeAdd(name, StructType(fs), refs.toSet)
         }
         c.expect("table")
         val table = tableName(c)
@@ -421,8 +423,9 @@ object CqlParser {
           def one(): CqlColumnDef = {
             val n = c.next()
             val isCounter = c.peekIs("counter")
-            val dt = parseType(c, udts)
-            CqlColumnDef(n, dt, c.accept("static"), isCounter)
+            val refs = scala.collection.mutable.Set.empty[String]
+            val dt = parseType(c, udts, refs)
+            CqlColumnDef(n, dt, c.accept("static"), isCounter, refs.toSet)
           }
           var cols = Vector(one())
           while (c.accept(",")) cols = cols :+ one()
@@ -480,11 +483,12 @@ object CqlParser {
       else false
     val name = tableName(c)
     c.expect("(")
-    def one() = { val n = c.next(); StructField(n, parseType(c, udts)) }
+    val refs = scala.collection.mutable.Set.empty[String]
+    def one() = { val n = c.next(); StructField(n, parseType(c, udts, refs)) }
     var fields = Vector(one())
     while (c.accept(",")) fields = fields :+ one()
     c.expect(")")
-    CqlCreateType(name, StructType(fields), ifNotExists)
+    CqlCreateType(name, StructType(fields), ifNotExists, refs.toSet)
   }
 
   /** `CREATE [CUSTOM] INDEX [IF NOT EXISTS] [name] ON t(col)
@@ -524,7 +528,9 @@ object CqlParser {
     * sums it); `decimal`/`varint` map to bounded decimals; `uuid`/`inet`
     * are strings; `vector<float, n>` is `array<float>`; `frozen<T>` = T. */
   private def parseType(c: Cursor,
-      udts: Map[String, org.apache.spark.sql.types.StructType] = Map.empty
+      udts: Map[String, org.apache.spark.sql.types.StructType] = Map.empty,
+      refs: scala.collection.mutable.Set[String] =
+        scala.collection.mutable.Set.empty
   ): org.apache.spark.sql.types.DataType = {
     import org.apache.spark.sql.types._
     c.next().toLowerCase match {
@@ -542,20 +548,23 @@ object CqlParser {
       case "varint" => DecimalType(38, 0)
       case "blob" => BinaryType
       case "frozen" =>
-        c.expect("<"); val t = parseType(c, udts); c.expect(">"); t
+        c.expect("<"); val t = parseType(c, udts, refs); c.expect(">"); t
       case "list" =>
-        c.expect("<"); val t = parseType(c, udts); c.expect(">"); ArrayType(t)
+        c.expect("<"); val t = parseType(c, udts, refs); c.expect(">"); ArrayType(t)
       case "set" =>
-        c.expect("<"); val t = parseType(c, udts); c.expect(">"); ArrayType(t)
+        c.expect("<"); val t = parseType(c, udts, refs); c.expect(">"); ArrayType(t)
       case "map" =>
-        c.expect("<"); val k = parseType(c, udts); c.expect(",")
-        val v = parseType(c, udts); c.expect(">"); MapType(k, v)
+        c.expect("<"); val k = parseType(c, udts, refs); c.expect(",")
+        val v = parseType(c, udts, refs); c.expect(">"); MapType(k, v)
       case "vector" =>
-        c.expect("<"); val t = parseType(c, udts); c.expect(",")
+        c.expect("<"); val t = parseType(c, udts, refs); c.expect(",")
         c.next() // dimension recorded by the schema owner, not enforced here
         c.expect(">"); ArrayType(t)
-      case other => udts.getOrElse(other,
-        throw new CqlInvalidQueryException(s"unknown type $other"))
+      case other =>
+        val st = udts.getOrElse(other,
+          throw new CqlInvalidQueryException(s"unknown type $other"))
+        refs += other // record the NAME binding: identically-shaped distinct
+        st           // UDTs must not be conflated by structural equality
     }
   }
 

@@ -90,7 +90,11 @@ case class CqlBatch(statements: Seq[CqlDml], usingTimestamp: Option[Long],
 sealed trait CqlDdl
 case class CqlColumnDef(name: String,
   dataType: org.apache.spark.sql.types.DataType, static: Boolean,
-  counter: Boolean = false)
+  counter: Boolean = false,
+  /** names of UDTs referenced anywhere in the declared type — the NAME
+    * binding that structural StructType equality cannot recover when two
+    * registered types happen to share a shape */
+  udtRefs: Set[String] = Set.empty)
 case class CqlCreateTable(table: String, columns: Seq[CqlColumnDef],
   partitionKeys: Seq[String], clusteringKeys: Seq[String],
   ifNotExists: Boolean) extends CqlDdl
@@ -110,12 +114,13 @@ case class CqlDropIndex(name: String, ifExists: Boolean) extends CqlDdl
   * resolved at parse time. */
 case class CqlCreateType(name: String,
   struct: org.apache.spark.sql.types.StructType,
-  ifNotExists: Boolean) extends CqlDdl
+  ifNotExists: Boolean, udtRefs: Set[String] = Set.empty) extends CqlDdl
 case class CqlDropType(name: String, ifExists: Boolean) extends CqlDdl
 /** `ALTER TYPE name ADD field type[, …]` — widens the StructType; existing
   * cells read the new fields as null (upstream lazily-null semantics). */
 case class CqlAlterTypeAdd(name: String,
-  fields: org.apache.spark.sql.types.StructType) extends CqlDdl
+  fields: org.apache.spark.sql.types.StructType,
+  udtRefs: Set[String] = Set.empty) extends CqlDdl
 /** `CREATE MATERIALIZED VIEW … AS SELECT … PRIMARY KEY (…)` — maintained at
   * READ time (the definition runs over the base table's current state), so
   * the view is always consistent with its base; upstream maintains eagerly
@@ -215,6 +220,16 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   /** User-defined types: lowercase name → StructType (`CREATE TYPE`;
     * upstream `schema/Types.java` [U]). */
   private val udtReg: scala.collection.mutable.Map[String, StructType] =
+    scala.collection.mutable.Map.empty
+
+  /** UDT NAME bindings, the identity structural equality cannot recover:
+    * (lowercase table, lowercase column) → referenced type names, and
+    * lowercase type name → type names its fields reference. ALTER TYPE and
+    * DROP TYPE key on these, so two identically-shaped types stay distinct
+    * (upstream types are nominal, `schema/Types.java` [U]). */
+  private val udtCols: scala.collection.mutable.Map[(String, String), Set[String]] =
+    scala.collection.mutable.Map.empty
+  private val udtTypeRefs: scala.collection.mutable.Map[String, Set[String]] =
     scala.collection.mutable.Map.empty
 
   /** Materialized views: lowercase name → (definition, mv pk, mv ck). */
@@ -393,6 +408,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], schema), pk, ck, statics,
           cols.filter(_.counter).map(_.name)))
+        cols.foreach(cd => if (cd.udtRefs.nonEmpty)
+          udtCols((table.toLowerCase, cd.name.toLowerCase)) = cd.udtRefs)
       }
     case CqlDropTable(table, ifExists) =>
       // upstream refuses while views depend on the table [U CreateViewStatement]
@@ -403,6 +420,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       if (state.remove(table.toLowerCase).isEmpty && !ifExists)
         throw new CqlInvalidQueryException(s"unknown table $table")
       indexReg.filterInPlace { case (_, (tbl, _, _)) => tbl != table.toLowerCase }
+      udtCols.filterInPlace { case ((tbl, _), _) => tbl != table.toLowerCase }
     case CqlCreateMv(name, sel, pk, ck, ifNotExists) =>
       if (state.contains(name.toLowerCase) || mvReg.contains(name.toLowerCase)) {
         if (!ifNotExists)
@@ -481,12 +499,15 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     case CqlDropIndex(name, ifExists) =>
       if (indexReg.remove(name.toLowerCase).isEmpty && !ifExists)
         throw new CqlInvalidQueryException(s"unknown index $name")
-    case CqlCreateType(name, struct, ifNotExists) =>
+    case CqlCreateType(name, struct, ifNotExists, refs) =>
       if (udtReg.contains(name.toLowerCase)) {
         if (!ifNotExists)
           throw new CqlInvalidQueryException(s"type $name already exists")
-      } else udtReg(name.toLowerCase) = struct
-    case CqlAlterTypeAdd(name, fields) =>
+      } else {
+        udtReg(name.toLowerCase) = struct
+        udtTypeRefs(name.toLowerCase) = refs
+      }
+    case CqlAlterTypeAdd(name, fields, addedRefs) =>
       val old = udtReg.getOrElse(name.toLowerCase,
         throw new CqlInvalidQueryException(s"unknown type $name"))
       fields.fields.foreach { f =>
@@ -495,33 +516,33 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
             s"field ${f.name} already exists in type $name")
       }
       val widened = StructType(old.fields.toSeq ++ fields.fields)
+      val lname = name.toLowerCase
       // nested embeddings (type-in-type, type-in-collection) would need a
       // deep rewrite of every embedding — upstream supports it; scoped out
-      // with an explicit error rather than silent divergence
-      def embedsNested(dt: DataType): Boolean = dt match {
-        case s: StructType =>
-          s.fields.exists(f => f.dataType == old || embedsNested(f.dataType))
-        case ArrayType(et, _) => et == old || embedsNested(et)
-        case MapType(k, v, _) =>
-          k == old || v == old || embedsNested(k) || embedsNested(v)
-        case _ => false
-      }
-      udtReg.collectFirst {
-        case (n, s0) if n != name.toLowerCase &&
-          s0.fields.exists(f => f.dataType == old || embedsNested(f.dataType)) => n
+      // with an explicit error rather than silent divergence. Identity is
+      // by NAME binding (udtTypeRefs / udtCols), never by struct shape:
+      // two identically-shaped types must not be conflated.
+      udtTypeRefs.collectFirst {
+        case (n, rs) if n != lname && rs.contains(lname) => n
       }.foreach(n => throw new CqlInvalidQueryException(
         s"Cannot alter type $name: it is nested inside type $n (unsupported)"))
+      udtTypeRefs(lname) = udtTypeRefs.getOrElse(lname, Set.empty) ++ addedRefs
       state.foreach { case (tbl, t) =>
         t.schema.fields.foreach { f =>
-          if (f.dataType != old && embedsNested(f.dataType))
+          if (f.dataType != old &&
+            udtCols.getOrElse((tbl, f.name.toLowerCase), Set.empty)
+              .contains(lname))
             throw new CqlInvalidQueryException(
               s"Cannot alter type $name: nested use in $tbl.${f.name} (unsupported)")
         }
       }
-      // widen every top-level column of this type: existing cells gain the
-      // new fields as null (withField on a null cell stays null)
+      // widen every top-level column DECLARED with this type: existing
+      // cells gain the new fields as null (withField on a null cell stays
+      // null)
       state.foreach { case (tbl, t) =>
-        val structCols = t.schema.fields.filter(_.dataType == old).map(_.name)
+        val structCols = t.schema.fields.filter(f => f.dataType == old &&
+          udtCols.getOrElse((tbl, f.name.toLowerCase), Set.empty)
+            .contains(lname)).map(_.name)
         if (structCols.nonEmpty) {
           var flushed = log(t)
           structCols.foreach { c0 =>
@@ -543,26 +564,24 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       val struct = udtReg.get(name.toLowerCase)
       if (struct.isEmpty && !ifExists)
         throw new CqlInvalidQueryException(s"unknown type $name")
-      // upstream: a type still referenced by a table cannot be dropped
-      struct.foreach { st =>
-        def uses(dt: DataType): Boolean = dt match {
-          case s: StructType => s == st || s.fields.exists(f => uses(f.dataType))
-          case ArrayType(et, _) => uses(et)
-          case MapType(k, v, _) => uses(k) || uses(v)
-          case _ => false
-        }
-        val user = state.collectFirst {
-          case (tbl, t) if t.schema.fields.exists(f => uses(f.dataType)) => tbl
+      // upstream: a type still referenced by a table cannot be dropped.
+      // Identity is by NAME binding, not struct shape (a same-shaped
+      // sibling type in use must not block, and must not mask, this drop).
+      struct.foreach { _ =>
+        val lname = name.toLowerCase
+        val user = udtCols.collectFirst {
+          case ((tbl, _), rs) if rs.contains(lname) && state.contains(tbl) =>
+            tbl
         }
         user.foreach(tbl => throw new CqlInvalidQueryException(
           s"Cannot drop user type $name as it is still used by table $tbl"))
-        val otherType = udtReg.collectFirst {
-          case (n, s) if n != name.toLowerCase &&
-            s.fields.exists(f => uses(f.dataType)) => n
+        val otherType = udtTypeRefs.collectFirst {
+          case (n, rs) if n != lname && rs.contains(lname) => n
         }
         otherType.foreach(n => throw new CqlInvalidQueryException(
           s"Cannot drop user type $name as it is still used by type $n"))
-        udtReg.remove(name.toLowerCase)
+        udtReg.remove(lname)
+        udtTypeRefs.remove(lname)
       }
     case CqlTruncate(table) =>
       val t = tableState(table)
@@ -581,6 +600,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       state(table.toLowerCase) = reshape(t, newSchema,
         t.staticKeys ++ cols.filter(_.static).map(_.name),
         t.counterKeys ++ cols.filter(_.counter).map(_.name))
+      cols.foreach(cd => if (cd.udtRefs.nonEmpty)
+        udtCols((table.toLowerCase, cd.name.toLowerCase)) = cd.udtRefs)
     case CqlAlterDrop(table, cols) =>
       val t = tableState(table)
       cols.foreach { c0 =>
@@ -598,6 +619,9 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       // dropping a column drops its indexes (upstream: rejected while an
       // index exists; auto-drop keeps the session model consistent)
       indexReg.filterInPlace { case (_, (tbl, c0, _)) =>
+        tbl != table.toLowerCase || !cols.exists(_.equalsIgnoreCase(c0))
+      }
+      udtCols.filterInPlace { case ((tbl, c0), _) =>
         tbl != table.toLowerCase || !cols.exists(_.equalsIgnoreCase(c0))
       }
   }

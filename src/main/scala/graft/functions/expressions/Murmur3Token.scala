@@ -115,11 +115,20 @@ object Murmur3Token {
     case other => throw new IllegalArgumentException(s"unsupported key type $other")
   }
 
-  /** CompositeType layout: <2-byte len><bytes><0x00> per component. */
+  /** CompositeType layout: <2-byte len><bytes><0x00> per component.
+    * Components over 64 KiB are rejected as upstream rejects oversized
+    * partition keys (FBUtilities.MAX_UNSIGNED_SHORT) — truncating the
+    * 2-byte length silently re-parses as a different key. */
   def tokenOfComposite(parts: Array[Array[Byte]]): Long = {
-    var total = 0
-    parts.foreach(p => total += p.length + 3)
-    val b = new Array[Byte](total)
+    var total = 0L
+    parts.foreach { p =>
+      if (p.length > 0xffff) throw new IllegalArgumentException(
+        s"composite key component of ${p.length} bytes exceeds the 65535-byte limit")
+      total += p.length + 3L
+    }
+    if (total > Int.MaxValue - 16) throw new IllegalArgumentException(
+      s"composite key of $total bytes overflows the buffer limit")
+    val b = new Array[Byte](total.toInt)
     var o = 0
     parts.foreach { p =>
       b(o) = ((p.length >> 8) & 0xff).toByte

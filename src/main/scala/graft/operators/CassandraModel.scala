@@ -193,12 +193,19 @@ object CassandraModel {
     val entries = array_sort(
       collect_list(when(col(s"_op_$c").isNotNull,
         struct(col("_writetime").as("wt"), col(s"_op_$c").as("op"),
-          col(c).as("v")))),
+          col(c).as("v"), to_json(col(c)).as("vs")))),
       (l, r) => {
         val lw = l.getField("wt"); val rw = r.getField("wt")
         val lo = l.getField("op"); val ro = r.getField("op")
+        // third key: canonical JSON of the payload, so equal-timestamp
+        // same-op writes (e.g. two `SET u.city = …` in one BATCH) resolve
+        // deterministically — the facade's analogue of upstream's
+        // greater-cell-value-wins tie-break (Cells.reconcile [U]); maps
+        // aren't natively orderable in Spark, JSON text is
+        val lv = l.getField("vs"); val rv = r.getField("vs")
         when(lw < rw, -1).when(lw > rw, 1)
-          .when(lo < ro, -1).when(lo > ro, 1).otherwise(0)
+          .when(lo < ro, -1).when(lo > ro, 1)
+          .when(lv < rv, -1).when(lv > rv, 1).otherwise(0)
       })
     val folded = dt match {
       case _: ArrayType =>
@@ -448,9 +455,14 @@ object CassandraModel {
   def i1_sai_lookup(s: SparkSession, d: String): DataFrame = {
     // index is built ONCE per fixture dir and served from disk after —
     // the lifecycle an index exists for (rebuilding per query would bill
-    // the build to every read)
+    // the build to every read). The cache key carries the sanitized FULL
+    // path (hashCode alone can collide across dirs) and the source file's
+    // mtime, so a regenerated fixture rebuilds instead of serving stale
+    // postings.
+    val src = new java.io.File(d, "events.parquet")
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sai_events_" +
-      Integer.toHexString(d.hashCode)
+      d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
+      java.lang.Long.toHexString(src.lastModified())
     val ev = Tables.events(s, d)
     val idx =
       if (new java.io.File(dir, "_SUCCESS").exists()) s.read.parquet(dir)

@@ -68,7 +68,11 @@ object RelationalQueries {
     * shortest-round-trip literals. */
   def s8_csv_roundtrip(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_s8_csv"
+    // keyed by fixture dir + process: concurrent runs (two JVMs, or two
+    // fixture scales in one bench box) must not race on one path
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_s8_csv_" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
+      java.lang.ProcessHandle.current().pid()
     val src = Tables.customer(s, d)
     src.write.mode("overwrite").option("header", "true").csv(out)
     s.read.option("header", "true")

@@ -282,6 +282,9 @@ object TextQueries {
       .select(col("doc_id"), size(grams).cast("long").as("n_bigrams"),
         st.getField("maxrun").cast("long").as("top_c"),
         st.getField("dup").cast("long").as("dup_c"))
+      // repetition is undefined below 2 tokens (0 bigrams): drop such docs,
+      // matching the oracle (its grams CTE emits no rows for them)
+      .filter(col("n_bigrams") > 0)
       .select(col("doc_id"), col("n_bigrams"),
         round(col("top_c").cast("double") / col("n_bigrams"), 6).as("top_frac"),
         round(col("dup_c").cast("double") / col("n_bigrams"), 6).as("dup_frac"),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.cql.{CqlEngine, CqlInvalidQueryException}
+import graft.cql.{CqlEngine, CqlInvalidQueryException, CqlTable}
 import graft.operators.CassandraModel
 import org.apache.spark.sql.functions._
 
@@ -346,6 +346,41 @@ class CqlEngineSpec extends SparkSpec {
       cqlEngine.executePaged("SELECT ts FROM events WHERE user_id = 5 " +
         "ORDER BY ts DESC, event_id ASC", 7).next()
     }
+  }
+
+  test("O4 paging survives null clustering values at page boundaries") {
+    // a static-row phantom sorts with null clustering values; a page token
+    // taken on one must not null out the next page's tuple comparison
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option.empty[Long], "s1"), (1L, Some(10L), "a"),
+      (1L, Some(20L), "b")).toDF("pk", "ck", "v")
+    val eng = new CqlEngine(spark,
+      Map("padded" -> CqlTable(df, Seq("pk"), Seq("ck"))))
+    val paged = eng.executePaged(
+      "SELECT pk, ck, v FROM padded WHERE pk = 1", 1)
+      .flatMap(_.collect().toSeq).toSeq
+    val whole = eng.execute(
+      "SELECT pk, ck, v FROM padded WHERE pk = 1 ORDER BY ck ASC")
+      .collect().toSeq
+    assert(paged === whole && paged.size === 3,
+      "fetchSize=1 pages across the null-ck boundary without dropping rows")
+    val descPaged = eng.executePaged(
+      "SELECT pk, ck, v FROM padded WHERE pk = 1 ORDER BY ck DESC", 1)
+      .flatMap(_.collect().toSeq).toSeq
+    assert(descPaged.size === 3 && descPaged === whole.reverse)
+  }
+
+  test("floor selector must match its GROUP BY duration") {
+    // mismatched durations must error, not silently mislabel 12h buckets
+    // as the requested 1h selector
+    intercept[CqlInvalidQueryException] {
+      cqlEngine.execute("SELECT floor(ts, 1h) AS b, count(*) FROM events " +
+        "GROUP BY floor(ts, 12h) ALLOW FILTERING")
+    }
+    val ok = cqlEngine.execute("SELECT floor(ts, 12h) AS b, count(*) " +
+      "FROM events GROUP BY floor(ts, 12h) ALLOW FILTERING")
+    assert(ok.columns.head === "b" && ok.count() > 0)
   }
 
   test("function bounds reject non-ordered operators") {

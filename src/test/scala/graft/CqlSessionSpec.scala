@@ -973,4 +973,53 @@ class CqlSessionSpec extends SparkSpec {
     intercept[CqlInvalidQueryException] { s.execute("DROP TYPE inner1") }
     s.execute("DROP TYPE IF EXISTS inner1")
   }
+
+  test("UDTs are nominal: identically-shaped types stay distinct") {
+    val s = freshSession
+    // upstream types are NAME-identified (schema/Types.java [U]) — two
+    // types sharing a shape must not be conflated by structural equality
+    s.execute("CREATE TYPE shape_a (x bigint)")
+    s.execute("CREATE TYPE shape_b (x bigint)")
+    s.execute("CREATE TABLE ta (id bigint PRIMARY KEY, c frozen<shape_a>)")
+    s.execute("INSERT INTO ta (id, c) VALUES (1, {x: 7})")
+    // widening b must NOT touch ta.c (declared shape_a)
+    s.execute("ALTER TYPE shape_b ADD y text")
+    assert(s.execute("SELECT c FROM ta WHERE id = 1").head().getStruct(0)
+      .size === 1, "ALTER TYPE shape_b must not widen a shape_a column")
+    // b is unused by any table → droppable even while a is in use
+    s.execute("DROP TYPE shape_b")
+    // a is in use → refused, by name not shape
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("DROP TYPE shape_a")
+    }.getMessage.contains("still used by table ta"))
+    // widening a DOES widen ta.c, and existing cells read null
+    s.execute("ALTER TYPE shape_a ADD y text")
+    val widened = s.execute("SELECT c FROM ta WHERE id = 1").head().getStruct(0)
+    assert(widened.size === 2 && widened.isNullAt(1))
+  }
+
+  test("equal-timestamp same-field UDT writes resolve deterministically") {
+    val s = freshSession
+    s.execute("CREATE TYPE loc (city text)")
+    s.execute("CREATE TABLE places (id bigint PRIMARY KEY, l loc)")
+    // both writes share one timestamp and one field marker: the winner
+    // must be the greater value (upstream cell reconcile tie-break), on
+    // every read, independent of mutation-log arrival order
+    s.execute("UPDATE places USING TIMESTAMP 10 SET l.city = 'ax' WHERE id = 1")
+    s.execute("UPDATE places USING TIMESTAMP 10 SET l.city = 'zz' WHERE id = 1")
+    (1 to 3).foreach { _ =>
+      assert(s.execute("SELECT l FROM places WHERE id = 1")
+        .head().getStruct(0).getString(0) === "zz")
+    }
+    // same for list appends at one timestamp: order is by (op, value) — stable
+    s.execute("CREATE TABLE bags (id bigint PRIMARY KEY, xs list<text>)")
+    s.execute("UPDATE bags USING TIMESTAMP 5 SET xs = xs + ['b'] WHERE id = 1")
+    s.execute("UPDATE bags USING TIMESTAMP 5 SET xs = xs + ['a'] WHERE id = 1")
+    val first = s.execute("SELECT xs FROM bags WHERE id = 1")
+      .head().getSeq[String](0)
+    (1 to 3).foreach { _ =>
+      assert(s.execute("SELECT xs FROM bags WHERE id = 1")
+        .head().getSeq[String](0) === first)
+    }
+  }
 }
