@@ -227,11 +227,14 @@ object DedupQueries {
     while (changed > 0 && rounds < 64) {
       val nbr = sym.join(lbl, sym("src") === lbl("id"))
         .select(col("dst").as("id"), col("lbl"))
+      // carry old and new labels in ONE checkpointed pass: the convergence
+      // count then reads the materialized rows instead of recomputing the
+      // join+aggregate a second time (which doubled every superstep)
       val merged = nbr.unionByName(lbl)
-        .groupBy("id").agg(min("lbl").as("newlbl"))
-      changed = merged.join(lbl.withColumnRenamed("lbl", "old"), "id")
-        .filter(col("newlbl") < col("old")).count()
-      lbl = merged.withColumnRenamed("newlbl", "lbl").localCheckpoint()
+        .groupBy("id").agg(min("lbl").as("newlbl"), max("lbl").as("maxlbl"))
+        .localCheckpoint()
+      changed = merged.filter(col("newlbl") < col("maxlbl")).count()
+      lbl = merged.select(col("id"), col("newlbl").as("lbl"))
       rounds += 1
     }
     sym.unpersist()

@@ -500,11 +500,12 @@ object TextQueries {
     * so the partial aggregation collapses map-side. */
   def x18_bpe_pairs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(explode(tokens(col("text"))).as("w"))
-      .filter(length(col("w")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
-        .as("pair"))
+      // ONE generator: pairs are flattened per document inside codegen, so
+      // the plan explodes once instead of token-rows → pair-rows twice
+      .select(explode(flatten(transform(
+        filter(tokens(col("text")), w => length(w) >= 2),
+        w => transform(sequence(lit(1), length(w) - 1),
+          i => w.substr(i, lit(2)))))).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("pair").asc)
       .limit(20)
