@@ -1,0 +1,112 @@
+package graft
+
+import graft.cql.CqlSession
+import org.apache.spark.sql.types._
+
+/** Harry-lite model check of the CQL TEXT write path (SURVEY §5.2.3;
+  * upstream's Harry fuzzer plays the same game against a quiescent model):
+  * random INSERT/UPDATE/DELETE sequences — with deliberately colliding
+  * timestamps — execute through `CqlSession.execute`, and the final SELECT
+  * must equal an INDEPENDENT in-memory implementation of Cassandra's
+  * reconcile rules (upstream `db/rows/Rows.merge` / `Cells.reconcile` [U]):
+  *
+  *  - higher writetime wins; at equal writetime a tombstone beats a live
+  *    cell, and between live cells the greater value wins;
+  *  - a row/partition tombstone shadows everything at ts <= its own;
+  *  - an INSERT's row marker keeps the row alive after all-cell deletes,
+  *    an UPDATE-only row disappears with its last live cell.
+  *
+  * Any divergence between the engine's distributed fold and this 40-line
+  * model is a real semantics bug in one of them. */
+class CqlHarrySpec extends SparkSpec {
+
+  private case class MCell(ts: Long, tomb: Boolean, v: Option[Any])
+
+  /** Reconcile winner: lexicographic max of (ts, tomb, value). */
+  private def winner(cells: Seq[MCell], rowDel: Long): Option[Any] = {
+    val live = cells.filter(_.ts > rowDel)
+    if (live.isEmpty) None
+    else {
+      val w = live.maxBy(c => (c.ts, c.tomb, c.v match {
+        case Some(l: Long) => ("%019d".format(l), "")
+        case Some(s: String) => ("", s)
+        case _ => ("", "")
+      }))
+      if (w.tomb) None else w.v
+    }
+  }
+
+  private class Model {
+    val cellsA = collection.mutable.Map.empty[Long, List[MCell]].withDefaultValue(Nil)
+    val cellsB = collection.mutable.Map.empty[Long, List[MCell]].withDefaultValue(Nil)
+    val markers = collection.mutable.Map.empty[Long, List[Long]].withDefaultValue(Nil)
+    val rowDel = collection.mutable.Map.empty[Long, Long].withDefaultValue(Long.MinValue)
+
+    def visible: Seq[(Long, Option[Long], Option[String])] =
+      (cellsA.keySet ++ cellsB.keySet ++ markers.keySet).toSeq.sorted.flatMap { pk =>
+        val del = rowDel(pk)
+        val a = winner(cellsA(pk), del).map(_.asInstanceOf[Long])
+        val b = winner(cellsB(pk), del).map(_.asInstanceOf[String])
+        val markerLive = markers(pk).exists(_ > del)
+        if (a.nonEmpty || b.nonEmpty || markerLive) Some((pk, a, b)) else None
+      }
+  }
+
+  test("random mutation sequences match the reconcile model (engine ≡ model)") {
+    val rnd = new scala.util.Random(20260813L)
+    for (round <- 1 to 8) {
+      val s = CqlSession.emptyTable(spark, "t", StructType(Seq(
+        StructField("pk", LongType), StructField("a", LongType),
+        StructField("b", StringType))), partitionKeys = Seq("pk"))
+      val m = new Model
+      for (_ <- 1 to 24) {
+        val pk = rnd.nextInt(3).toLong
+        val ts = 1L + rnd.nextInt(8) // small range → frequent collisions
+        rnd.nextInt(8) match {
+          case 0 =>
+            val (av, bv) = (rnd.nextInt(5).toLong, s"v${rnd.nextInt(5)}")
+            s.execute(s"INSERT INTO t (pk, a, b) VALUES ($pk, $av, '$bv') " +
+              s"USING TIMESTAMP $ts")
+            m.markers(pk) ::= ts
+            m.cellsA(pk) ::= MCell(ts, tomb = false, Some(av))
+            m.cellsB(pk) ::= MCell(ts, tomb = false, Some(bv))
+          case 1 =>
+            val av = rnd.nextInt(5).toLong
+            s.execute(s"INSERT INTO t (pk, a) VALUES ($pk, $av) " +
+              s"USING TIMESTAMP $ts")
+            m.markers(pk) ::= ts
+            m.cellsA(pk) ::= MCell(ts, tomb = false, Some(av))
+          case 2 =>
+            val av = rnd.nextInt(5).toLong
+            s.execute(s"UPDATE t USING TIMESTAMP $ts SET a = $av WHERE pk = $pk")
+            m.cellsA(pk) ::= MCell(ts, tomb = false, Some(av))
+          case 3 =>
+            val bv = s"v${rnd.nextInt(5)}"
+            s.execute(s"UPDATE t USING TIMESTAMP $ts SET b = '$bv' WHERE pk = $pk")
+            m.cellsB(pk) ::= MCell(ts, tomb = false, Some(bv))
+          case 4 =>
+            val (av, bv) = (rnd.nextInt(5).toLong, s"v${rnd.nextInt(5)}")
+            s.execute(s"UPDATE t USING TIMESTAMP $ts SET a = $av, b = '$bv' " +
+              s"WHERE pk = $pk")
+            m.cellsA(pk) ::= MCell(ts, tomb = false, Some(av))
+            m.cellsB(pk) ::= MCell(ts, tomb = false, Some(bv))
+          case 5 =>
+            s.execute(s"DELETE FROM t USING TIMESTAMP $ts WHERE pk = $pk")
+            m.rowDel(pk) = math.max(m.rowDel(pk), ts)
+          case 6 =>
+            s.execute(s"DELETE a FROM t USING TIMESTAMP $ts WHERE pk = $pk")
+            m.cellsA(pk) ::= MCell(ts, tomb = true, None)
+          case 7 =>
+            s.execute(s"DELETE b FROM t USING TIMESTAMP $ts WHERE pk = $pk")
+            m.cellsB(pk) ::= MCell(ts, tomb = true, None)
+        }
+      }
+      val got = s.execute("SELECT pk, a, b FROM t").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          Option(r.getString(2))))
+        .sortBy(_._1).toSeq
+      assert(got === m.visible, s"engine diverged from model in round $round")
+    }
+  }
+}
