@@ -356,6 +356,14 @@ object CqlParser {
         if (custom || c.peekIs("index")) return parseCreateIndex(c)
         if (c.peekIs("type")) return parseCreateType(c, udts)
         if (c.peekIs("materialized")) return parseCreateMv(c)
+        if (c.accept("keyspace")) { // WITH replication/durable_writes dropped
+          val ifNotExists =
+            if (c.accept("if")) { c.expect("not"); c.expect("exists"); true }
+            else false
+          val name = c.next()
+          if (c.accept("with")) while (!c.done) c.next()
+          return CqlCreateKeyspace(name, ifNotExists)
+        }
         c.expect("table")
         val ifNotExists =
           if (c.accept("if")) { c.expect("not"); c.expect("exists"); true }
@@ -400,6 +408,9 @@ object CqlParser {
         } else if (c.accept("type")) {
           val ifExists = if (c.accept("if")) { c.expect("exists"); true } else false
           CqlDropType(tableName(c), ifExists)
+        } else if (c.accept("keyspace")) {
+          val ifExists = if (c.accept("if")) { c.expect("exists"); true } else false
+          CqlDropKeyspace(c.next(), ifExists)
         } else {
           c.expect("table")
           val ifExists = if (c.accept("if")) { c.expect("exists"); true } else false

@@ -99,6 +99,12 @@ case class CqlCreateTable(table: String, columns: Seq[CqlColumnDef],
   partitionKeys: Seq[String], clusteringKeys: Seq[String],
   ifNotExists: Boolean) extends CqlDdl
 case class CqlDropTable(table: String, ifExists: Boolean) extends CqlDdl
+/** `CREATE/DROP KEYSPACE` — the catalog is FLAT (table names drop their
+  * keyspace qualifier, CqlParser.tableName), so a keyspace is a registry
+  * entry only: replication/durability options are parsed and discarded
+  * (single-engine semantics — upstream `schema/KeyspaceMetadata` [U]). */
+case class CqlCreateKeyspace(name: String, ifNotExists: Boolean) extends CqlDdl
+case class CqlDropKeyspace(name: String, ifExists: Boolean) extends CqlDdl
 case class CqlTruncate(table: String) extends CqlDdl
 case class CqlAlterAdd(table: String, columns: Seq[CqlColumnDef]) extends CqlDdl
 case class CqlAlterDrop(table: String, columns: Seq[String]) extends CqlDdl
@@ -231,6 +237,12 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     scala.collection.mutable.Map.empty
   private val udtTypeRefs: scala.collection.mutable.Map[String, Set[String]] =
     scala.collection.mutable.Map.empty
+
+  /** Known keyspaces: registry entries only — the catalog is flat. The
+    * system keyspaces preexist, as upstream's do. */
+  private val keyspaces: scala.collection.mutable.Set[String] =
+    scala.collection.mutable.Set("system", "system_schema", "system_auth",
+      "system_distributed", "system_traces", "system_views")
 
   /** Materialized views: lowercase name → (definition, mv pk, mv ck). */
   private val mvReg: scala.collection.mutable.Map[String, (CqlSelect, Seq[String], Seq[String])] =
@@ -378,6 +390,13 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       case "insert" | "update" | "delete" =>
         runDml(CqlParser.parseDml(trimmed))
       case "begin" => runBatch(CqlParser.parseBatch(trimmed))
+      case "use" =>
+        // `USE ks` — the flat catalog makes this a current-keyspace marker
+        // only; unknown keyspaces error as upstream does
+        val name = trimmed.split("\\s+")(1).stripSuffix(";").toLowerCase
+        if (!keyspaces.contains(name))
+          throw new CqlInvalidQueryException(s"unknown keyspace $name")
+        spark.emptyDataFrame
       case other =>
         throw new CqlInvalidQueryException(s"unsupported statement: $other")
     }
@@ -387,6 +406,14 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * user's DDL scripts need (static columns, collections, vector<>,
     * compound keys all land in the same upsert-log model). */
   private def applyDdl(ddl: CqlDdl): Unit = ddl match {
+    case CqlCreateKeyspace(name, ifNotExists) =>
+      if (keyspaces.contains(name.toLowerCase)) {
+        if (!ifNotExists)
+          throw new CqlInvalidQueryException(s"keyspace $name already exists")
+      } else keyspaces += name.toLowerCase
+    case CqlDropKeyspace(name, ifExists) =>
+      if (!keyspaces.remove(name.toLowerCase) && !ifExists)
+        throw new CqlInvalidQueryException(s"unknown keyspace $name")
     case CqlCreateTable(table, cols, pk, ck, ifNotExists) =>
       if (state.contains(table.toLowerCase)) {
         if (!ifNotExists)

@@ -974,6 +974,32 @@ class CqlSessionSpec extends SparkSpec {
     s.execute("DROP TYPE IF EXISTS inner1")
   }
 
+  test("schema-dump prelude: CREATE KEYSPACE / USE / qualified names run") {
+    val s = freshSession
+    // the first lines of any real `cqlsh -e 'DESCRIBE SCHEMA'` dump
+    val out = s.executeScript(
+      """CREATE KEYSPACE shop WITH replication =
+        |  {'class': 'SimpleStrategy', 'replication_factor': 1}
+        |  AND durable_writes = true;
+        |USE shop;
+        |CREATE TABLE shop.carts (id bigint PRIMARY KEY, total bigint);
+        |INSERT INTO shop.carts (id, total) VALUES (1, 30);
+        |SELECT id, total FROM carts;""".stripMargin)
+    assert(out.last.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((1L, 30L)))
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("USE nope")
+    }.getMessage.contains("unknown keyspace"))
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("CREATE KEYSPACE shop")
+    }.getMessage.contains("already exists"))
+    s.execute("CREATE KEYSPACE IF NOT EXISTS shop")
+    s.execute("USE system") // system keyspaces preexist
+    s.execute("DROP KEYSPACE shop")
+    intercept[CqlInvalidQueryException] { s.execute("DROP KEYSPACE shop") }
+    s.execute("DROP KEYSPACE IF EXISTS shop")
+  }
+
   test("UDTs are nominal: identically-shaped types stay distinct") {
     val s = freshSession
     // upstream types are NAME-identified (schema/Types.java [U]) — two
