@@ -183,8 +183,9 @@ object CqlParser {
   def parseBatch(cql: String): CqlBatch = {
     val c = new Cursor(tokenize(cql.stripSuffix(";")))
     c.expect("begin")
-    val logged = !c.accept("unlogged")
+    val unlogged = c.accept("unlogged")
     c.accept("logged")
+    val counter = c.accept("counter")
     c.expect("batch")
     val (ts, _) = parseUsing(c)
     var stmts = Vector.empty[CqlDml]
@@ -196,7 +197,8 @@ object CqlParser {
     c.expect("apply"); c.expect("batch")
     if (!c.done)
       throw new CqlInvalidQueryException(s"unexpected trailing input near ${c.peek}")
-    CqlBatch(stmts, ts, logged)
+    // counter batches are unlogged upstream (no batchlog for counters)
+    CqlBatch(stmts, ts, logged = !unlogged && !counter, counter = counter)
   }
 
   private def parseDmlCursor(c: Cursor): CqlDml =

@@ -84,7 +84,7 @@ case class CqlDelete(table: String, keyPredicates: Seq[(String, Any)],
 /** `BEGIN [UNLOGGED] BATCH … APPLY BATCH`
   * (upstream `cql3/statements/BatchStatement.java` [U]). */
 case class CqlBatch(statements: Seq[CqlDml], usingTimestamp: Option[Long],
-  logged: Boolean)
+  logged: Boolean, counter: Boolean = false)
 
 /** CQL DDL AST (upstream `cql3/statements/schema/` [U]). */
 sealed trait CqlDdl
@@ -370,6 +370,18 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         b.statements.exists(_.usingTimestamp.isDefined))
       throw new CqlInvalidQueryException(
         "Timestamp must be set either on BATCH or individual statements")
+    // upstream BatchStatement.verifyBatchType [U]: counter mutations only
+    // in COUNTER batches, and COUNTER batches hold nothing else
+    def isCounterDml(d: CqlDml) = d match {
+      case u: CqlUpdate => u.assignments.exists(_._2.isInstanceOf[CqlCounterAdd])
+      case _ => false
+    }
+    if (b.counter && !b.statements.forall(isCounterDml))
+      throw new CqlInvalidQueryException(
+        "Cannot include non-counter statement in a counter batch")
+    if (!b.counter && b.statements.exists(isCounterDml))
+      throw new CqlInvalidQueryException(
+        "Cannot include a counter statement in a logged batch")
     val shared = nextTs(b.usingTimestamp)
     val allOk = b.statements.forall(conditionHolds)
     if (allOk)

@@ -297,6 +297,32 @@ class CqlSessionSpec extends SparkSpec {
     assert(s.execute("SELECT views FROM hits3 WHERE page = 'x'").head().getLong(0) === 3L)
   }
 
+  test("BEGIN COUNTER BATCH applies increments; mixing kinds is rejected") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE hits4 (page text PRIMARY KEY, views counter)")
+    s.execute("CREATE TABLE notes (id bigint PRIMARY KEY, v text)")
+    s.execute(
+      """BEGIN COUNTER BATCH
+        |  UPDATE hits4 SET views = views + 5 WHERE page = 'home';
+        |  UPDATE hits4 SET views = views + 2 WHERE page = 'home';
+        |APPLY BATCH""".stripMargin)
+    assert(s.execute("SELECT views FROM hits4 WHERE page = 'home'")
+      .head().getLong(0) === 7L)
+    // upstream BatchStatement.verifyBatchType: no mixing in either direction
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute(
+        """BEGIN COUNTER BATCH
+          |  INSERT INTO notes (id, v) VALUES (1, 'x');
+          |APPLY BATCH""".stripMargin)
+    }.getMessage.contains("non-counter statement in a counter batch"))
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute(
+        """BEGIN BATCH
+          |  UPDATE hits4 SET views = views + 1 WHERE page = 'home';
+          |APPLY BATCH""".stripMargin)
+    }.getMessage.contains("counter statement in a logged batch"))
+  }
+
   test("negative literals parse everywhere; bad numerics raise CqlInvalidQueryException") {
     val s = freshSession
     s.execute("INSERT INTO users (user_id, name, age) VALUES (1, 'neg', -5) USING TIMESTAMP -1")
@@ -719,7 +745,7 @@ class CqlSessionSpec extends SparkSpec {
       -- data model
       CREATE TABLE accounts (id bigint PRIMARY KEY, owner text, balance counter);
       INSERT INTO accounts (id, owner) VALUES (1, 'ada; the first'); -- ';' in string
-      BEGIN BATCH
+      BEGIN COUNTER BATCH
         UPDATE accounts SET balance = balance + 100 WHERE id = 1;
         UPDATE accounts SET balance = balance + 50 WHERE id = 1;
       APPLY BATCH;
