@@ -16,7 +16,10 @@ case class CqlTable(df: DataFrame, partitionKeys: Seq[String],
     * SAI/SASI — range-capable; false = legacy 2i, equality/CONTAINS only).
     * Consulted by the ALLOW FILTERING gate, like upstream
     * `StatementRestrictions.needFiltering` [U]. */
-  indexedColumns: Map[String, Boolean] = Map.empty)
+  indexedColumns: Map[String, Boolean] = Map.empty,
+  /** per-clustering-key DESC flag from `WITH CLUSTERING ORDER BY`
+    * (empty = all ASC). Drives the ORDER BY direction rule. */
+  clusteringDesc: Seq[Boolean] = Nil)
 
 /** Raised for queries upstream Cassandra would reject (most importantly the
   * ALLOW FILTERING guardrail) — same user experience as
@@ -360,6 +363,27 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
             s"Order by is currently only supported on the clustered columns " +
               s"of the PRIMARY KEY (got ${o.column})")
       }
+      // upstream direction rule [U cql3/restrictions/StatementRestrictions]:
+      // the requested columns must be a PREFIX of the clustering keys in
+      // declared sequence, and the directions must follow the declared
+      // CLUSTERING ORDER either exactly or fully reversed
+      val obs = sel.orderBy.get
+      val ckL = t.clusteringKeys.map(_.toLowerCase)
+      if (obs.map(_.column.toLowerCase) != ckL.take(obs.length))
+        throw new CqlInvalidQueryException(
+          "Order by currently only supports the ordering of columns " +
+            "following their declared order in the PRIMARY KEY")
+      val declaredDesc =
+        (if (t.clusteringDesc.nonEmpty) t.clusteringDesc
+         else Seq.fill(ckL.length)(false)).take(obs.length)
+      val exact = obs.map(_.asc).zip(declaredDesc)
+        .forall { case (asc, desc) => asc == !desc }
+      val reversed = obs.map(_.asc).zip(declaredDesc)
+        .forall { case (asc, desc) => asc == desc }
+      if (!exact && !reversed)
+        throw new CqlInvalidQueryException(
+          "Unsupported order by relation: must follow the declared " +
+            "CLUSTERING ORDER or its exact reverse")
     }
   }
 

@@ -395,10 +395,48 @@ object CqlParser {
             cols = cols :+ CqlColumnDef(name, dt, static, isCounter, refs.toSet)
           }
         }
-        if (c.accept("with")) while (!c.done) c.next() // options ignored
+        // WITH options: CLUSTERING ORDER and default_time_to_live carry
+        // semantics; everything else (compaction, caching, replication-era
+        // knobs) is parsed and discarded — single-engine semantics
+        var ckDesc = Seq.empty[(String, Boolean)]
+        var defaultTtl: Option[Long] = None
+        if (c.accept("with")) {
+          var more = true
+          while (more && !c.done) {
+            if (c.accept("clustering")) {
+              c.expect("order"); c.expect("by"); c.expect("(")
+              def one() = {
+                val n = c.next()
+                val d = if (c.accept("desc")) true else { c.accept("asc"); false }
+                (n, d)
+              }
+              ckDesc = Seq(one())
+              while (c.accept(",")) ckDesc = ckDesc :+ one()
+              c.expect(")")
+            } else {
+              val key = c.next(); c.expect("=")
+              if (c.accept("{")) { // map-valued option: skip balanced braces
+                var depth = 1
+                while (depth > 0 && !c.done) c.next() match {
+                  case "{" => depth += 1
+                  case "}" => depth -= 1
+                  case _ => ()
+                }
+              } else {
+                val v = c.next()
+                if (key.equalsIgnoreCase("default_time_to_live") &&
+                    v.forall(_.isDigit))
+                  defaultTtl = Some(v.toLong)
+              }
+            }
+            more = c.accept("and")
+          }
+          if (!c.done) throw new CqlInvalidQueryException(
+            s"unexpected table option near ${c.peek}")
+        }
         if (pk.isEmpty) throw new CqlInvalidQueryException(
           s"CREATE TABLE $table: no PRIMARY KEY")
-        CqlCreateTable(table, cols, pk, ck, ifNotExists)
+        CqlCreateTable(table, cols, pk, ck, ifNotExists, ckDesc, defaultTtl)
       case "drop" =>
         if (c.accept("index")) {
           val ifExists = if (c.accept("if")) { c.expect("exists"); true } else false

@@ -97,7 +97,11 @@ case class CqlColumnDef(name: String,
   udtRefs: Set[String] = Set.empty)
 case class CqlCreateTable(table: String, columns: Seq[CqlColumnDef],
   partitionKeys: Seq[String], clusteringKeys: Seq[String],
-  ifNotExists: Boolean) extends CqlDdl
+  ifNotExists: Boolean,
+  /** `WITH CLUSTERING ORDER BY (c ASC|DESC, …)` as declared */
+  clusteringDesc: Seq[(String, Boolean)] = Nil,
+  /** `WITH default_time_to_live = n` (seconds, 0 = none) */
+  defaultTtl: Option[Long] = None) extends CqlDdl
 case class CqlDropTable(table: String, ifExists: Boolean) extends CqlDdl
 /** `CREATE/DROP KEYSPACE` — the catalog is FLAT (table names drop their
   * keyspace qualifier, CqlParser.tableName), so a keyspace is a registry
@@ -169,7 +173,12 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   private case class TableState(schema: StructType, partitionKeys: Seq[String],
     clusteringKeys: Seq[String], staticKeys: Seq[String],
     counterKeys: Seq[String], logSchema: StructType, base: DataFrame,
-    var pending: Vector[Row])
+    var pending: Vector[Row],
+    /** per-clustering-key DESC flag (`WITH CLUSTERING ORDER BY`) */
+    clusteringDesc: Seq[Boolean] = Nil,
+    /** table-level `default_time_to_live` (seconds), applied to writes
+      * that carry no `USING TTL` — upstream TableParams [U] */
+    defaultTtl: Option[Long] = None)
 
   private def opCol(c: String) = s"_op_$c"
 
@@ -322,7 +331,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         case (tbl, colName, sai) if tbl == name => colName.toLowerCase -> sai
       }.toMap
       name -> CqlTable(view(name), t.partitionKeys, t.clusteringKeys,
-        t.staticKeys, t.counterKeys, indexed)
+        t.staticKeys, t.counterKeys, indexed, t.clusteringDesc)
     }.toMap
     // materialized views derive from the CURRENT base state (read-time
     // maintenance): each definition compiles lazily against the base
@@ -426,11 +435,18 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     case CqlDropKeyspace(name, ifExists) =>
       if (!keyspaces.remove(name.toLowerCase) && !ifExists)
         throw new CqlInvalidQueryException(s"unknown keyspace $name")
-    case CqlCreateTable(table, cols, pk, ck, ifNotExists) =>
+    case CqlCreateTable(table, cols, pk, ck, ifNotExists, ckDesc, dTtl) =>
       if (state.contains(table.toLowerCase)) {
         if (!ifNotExists)
           throw new CqlInvalidQueryException(s"table $table already exists")
       } else {
+        // upstream TableAttributes [U]: CLUSTERING ORDER must name every
+        // clustering column, in declared order
+        if (ckDesc.nonEmpty && ckDesc.map(_._1.toLowerCase) !=
+            ck.map(_.toLowerCase))
+          throw new CqlInvalidQueryException(
+            "CLUSTERING ORDER BY must list all clustering columns in order (got " +
+              ckDesc.map(_._1).mkString(", ") + ")")
         val declared = cols.map(_.name.toLowerCase)
         (pk ++ ck).foreach { k =>
           if (!declared.contains(k.toLowerCase))
@@ -447,6 +463,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], schema), pk, ck, statics,
           cols.filter(_.counter).map(_.name)))
+          .copy(clusteringDesc = ckDesc.map(_._2),
+            defaultTtl = dTtl.filter(_ > 0))
         cols.foreach(cd => if (cd.udtRefs.nonEmpty)
           udtCols((table.toLowerCase, cd.name.toLowerCase)) = cd.udtRefs)
       }
@@ -595,7 +613,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
             spark.createDataFrame(spark.sparkContext.emptyRDD[Row], newSchema),
             t.partitionKeys, t.clusteringKeys, t.staticKeys, t.counterKeys))
           state(tbl) = shell.copy(base = flushed.select(
-            shell.logSchema.fieldNames.map(col).toSeq: _*))
+            shell.logSchema.fieldNames.map(col).toSeq: _*),
+            clusteringDesc = t.clusteringDesc, defaultTtl = t.defaultTtl)
         }
       }
       udtReg(name.toLowerCase) = widened
@@ -675,6 +694,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     val shell = mkState(CqlTable(
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], newSchema),
       t.partitionKeys, t.clusteringKeys, statics, counters))
+      .copy(clusteringDesc = t.clusteringDesc, defaultTtl = t.defaultTtl)
     val base = flushed.select(shell.logSchema.fields.toSeq.map { f =>
       if (flushed.columns.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)
@@ -946,9 +966,12 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           s"PRIMARY KEY column $k must be restricted/provided in a write")
     }
     val (ts, ttl, deleted) = dml match {
-      case i: CqlInsert => (nextTs(i.usingTimestamp.orElse(defaultTs)), i.usingTtl, false)
-      case i: CqlInsertJson => (nextTs(i.usingTimestamp.orElse(defaultTs)), i.usingTtl, false)
-      case u: CqlUpdate => (nextTs(u.usingTimestamp.orElse(defaultTs)), u.usingTtl, false)
+      case i: CqlInsert => (nextTs(i.usingTimestamp.orElse(defaultTs)),
+        i.usingTtl.orElse(t.defaultTtl), false)
+      case i: CqlInsertJson => (nextTs(i.usingTimestamp.orElse(defaultTs)),
+        i.usingTtl.orElse(t.defaultTtl), false)
+      case u: CqlUpdate => (nextTs(u.usingTimestamp.orElse(defaultTs)),
+        u.usingTtl.orElse(t.defaultTtl), false)
       case d: CqlDelete =>
         // a column list makes it a CELL delete, not a row tombstone
         (nextTs(d.usingTimestamp.orElse(defaultTs)), None, d.columns.isEmpty)

@@ -1000,6 +1000,53 @@ class CqlSessionSpec extends SparkSpec {
     s.execute("DROP TYPE IF EXISTS inner1")
   }
 
+  test("WITH CLUSTERING ORDER BY drives the ORDER BY direction rule") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE series (k bigint, ts bigint, v text, " +
+      "PRIMARY KEY (k, ts)) WITH CLUSTERING ORDER BY (ts DESC) " +
+      "AND comment = 'newest first'")
+    (1L to 3L).foreach(i =>
+      s.execute(s"INSERT INTO series (k, ts, v) VALUES (1, $i, 'v$i')"))
+    // declared order (DESC) and its exact reverse are both allowed
+    assert(s.execute("SELECT ts FROM series WHERE k = 1 ORDER BY ts DESC")
+      .collect().map(_.getLong(0)).toSeq === Seq(3L, 2L, 1L))
+    assert(s.execute("SELECT ts FROM series WHERE k = 1 ORDER BY ts ASC")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    // mixed-direction ORDER BY against a 2-ck declared mix
+    s.execute("CREATE TABLE series2 (k bigint, a bigint, b bigint, v text, " +
+      "PRIMARY KEY (k, a, b)) WITH CLUSTERING ORDER BY (a ASC, b DESC)")
+    s.execute("INSERT INTO series2 (k, a, b, v) VALUES (1, 1, 1, 'x')")
+    s.execute("SELECT a, b FROM series2 WHERE k = 1 ORDER BY a ASC, b DESC")
+    s.execute("SELECT a, b FROM series2 WHERE k = 1 ORDER BY a DESC, b ASC")
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("SELECT a, b FROM series2 WHERE k = 1 ORDER BY a ASC, b ASC")
+    }.getMessage.contains("CLUSTERING ORDER"))
+    // prefix rule: ordering must start at the first clustering column
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("SELECT a, b FROM series2 WHERE k = 1 ORDER BY b DESC")
+    }.getMessage.contains("declared order"))
+    // CLUSTERING ORDER must name every clustering column in order
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("CREATE TABLE bad (k bigint, a bigint, b bigint, " +
+        "PRIMARY KEY (k, a, b)) WITH CLUSTERING ORDER BY (b DESC)")
+    }.getMessage.contains("CLUSTERING ORDER BY must list"))
+  }
+
+  test("default_time_to_live applies to writes without USING TTL") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE ephem (id bigint PRIMARY KEY, v text) " +
+      "WITH default_time_to_live = 60 AND gc_grace_seconds = 864000")
+    s.execute("INSERT INTO ephem (id, v) VALUES (1, 'fades') " +
+      "USING TIMESTAMP 1000000000")
+    s.execute("INSERT INTO ephem (id, v) VALUES (2, 'stays') " +
+      "USING TIMESTAMP 1000000000 AND TTL 100000")
+    def at(nowUs: Long) = s.view("ephem", Some(nowUs))
+      .collect().map(_.getLong(0)).toSet
+    assert(at(1030000000L) === Set(1L, 2L), "both live before expiry")
+    assert(at(1070000000L) === Set(2L),
+      "the default-TTL write expires at 60s; the explicit TTL overrides")
+  }
+
   test("schema-dump prelude: CREATE KEYSPACE / USE / qualified names run") {
     val s = freshSession
     // the first lines of any real `cqlsh -e 'DESCRIBE SCHEMA'` dump
