@@ -70,7 +70,7 @@ object ScaleProbe {
       Seq("a1_pricing_summary", "j2_orders_lineitem",
         "w1_topk_per_user", "d1_exact", "d3_minhash_lsh", "x4_tokencount",
         "x8_decontaminate", "t1_tumbling", "v12_pq_adc",
-        "x15_bm25", "x16_mixture", "x17_gopher_rules")
+        "x15_bm25", "x16_mixture", "x17_gopher_rules", "x18_bpe_pairs")
         .map(n => n -> SparkEntry.queries(n)) :+
       // the full consolidation pipeline: LSH candidates → components —
       // the uncapped variant of d6 (whose declared query bounds doc_id
