@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.cql.CqlEngine
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** SURVEY §2.10/§2.11 — the CQL TEXT path itself as driver-verified
   * queries: these run reference-style CQL strings end-to-end (tokenizer →
@@ -98,7 +99,32 @@ object CqlQueries {
         "GROUP BY floor(ts, 12h) ALLOW FILTERING")
       .orderBy("bucket")
 
+  /** CQL6: `WITH CLUSTERING ORDER BY (c DESC)` end-to-end — the declared
+    * DESC table is created and populated through the text path, then the
+    * reversed slice (`c >= 2`, declared DESC order) reads back through the
+    * direction rule (upstream StatementRestrictions: the requested order
+    * must follow the declared CLUSTERING ORDER or its exact reverse). The
+    * DuckDB twin serves the same slice from the fixture rows directly, so
+    * option parsing, validation, and the slice itself are hash-verified. */
+  def cql6_clustering_order(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.cql.CqlSession(s)
+    sess.execute("CREATE TABLE tl (k bigint, c bigint, v double, " +
+      "PRIMARY KEY (k, c)) WITH CLUSTERING ORDER BY (c DESC)")
+    val src = s.read.parquet(s"$d/lineitem.parquet")
+      .filter(col("l_orderkey") <= 10)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      // (k, c) repeats in the fixture: order ties by quantity so the
+      // upsert's last-write-wins winner is deterministic (= max quantity)
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity").collect()
+    src.foreach { r =>
+      sess.execute(s"INSERT INTO tl (k, c, v) VALUES (${r.getLong(0)}, " +
+        s"${r.getInt(1)}, ${r.getDouble(2)})")
+    }
+    sess.execute("SELECT k, c, v FROM tl WHERE k = 1 AND c >= 2 ORDER BY c DESC")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cql6_clustering_order" -> (cql6_clustering_order _),
     "cql1_slice" -> (cql1_slice _),
     "cql2_group" -> (cql2_group _),
     "cql3_mutations" -> (cql3_mutations _),
@@ -107,6 +133,13 @@ object CqlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // max() models the upsert: the Spark side INSERTs in ascending
+    // quantity order per (k, c), so last-write-wins keeps the max
+    "cql6_clustering_order" ->
+      """SELECT l_orderkey AS k, cast(l_linenumber AS bigint) AS c,
+        |  max(l_quantity) AS v FROM lineitem
+        |WHERE l_orderkey = 1 AND l_linenumber >= 2
+        |GROUP BY 1, 2 ORDER BY c DESC""".stripMargin,
     "cql1_slice" ->
       """SELECT cast(ts AS timestamp) AS ts, event_id, event_type
         |FROM events WHERE user_id = 5
