@@ -71,37 +71,44 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
       throw new CqlInvalidQueryException(
         "paging requires a plain row SELECT (no aggregate/GROUP BY/" +
           "DISTINCT/LIMIT/PER PARTITION LIMIT/ANN)")
-    // direction: all-ASC (default) or all-DESC (reversed slice) — mixed
-    // directions cannot be expressed as one tuple restriction
-    val desc = sel.orderBy.exists(o => o.nonEmpty && o.forall(!_.asc))
-    if (sel.orderBy.exists(o => o.map(_.asc).distinct.size > 1))
-      throw new CqlInvalidQueryException(
-        "paging requires a single clustering direction")
     if (cks.isEmpty)
       throw new CqlInvalidQueryException(
         s"table ${sel.table} has no clustering key to page on")
+    // the page queries below substitute their own full-tuple ORDER BY, so
+    // the USER's requested order must pass the restriction rules here
+    validate(sel, table)
+    // page order: the table's DECLARED clustering order (upstream's native
+    // read order), or its exact reverse when the user's ORDER BY leads
+    // with the opposite direction. Any other combination is rejected by
+    // validate()'s direction rule on the first page.
+    val declaredDesc = (table.clusteringDesc ++
+      Seq.fill(cks.length)(false)).take(cks.length)
+    val flip = sel.orderBy.exists(o =>
+      o.nonEmpty && o.head.asc == declaredDesc.head)
+    val dirDesc = declaredDesc.map(_ ^ flip)
+    val uniform = dirDesc.distinct.size == 1
     val ckIdx = cks.map(c => table.df.schema.fieldIndex(
       table.df.schema.fieldNames.find(_.equalsIgnoreCase(c)).get))
     new Iterator[DataFrame] {
       private var after: Option[Seq[Any]] = None
       private var exhausted = false
       override def hasNext: Boolean = !exhausted
-      // Null-aware "strictly after the boundary tuple" in page order
-      // (ASC = nulls first, DESC = nulls last — Spark's default null
-      // placement). A plain struct comparison returns null whenever the
-      // boundary holds a null clustering value (e.g. a static-row
-      // phantom), which would silently drop every remaining page.
-      def afterTuple(cols: Seq[String], vals: Seq[Any]): Column =
-        (cols, vals) match {
-          case (c +: ct, v +: vt) =>
+      // "Strictly after the boundary tuple" under PER-COLUMN directions
+      // (mixed CLUSTERING ORDER tables can't use one tuple comparison).
+      // Null boundary values (static-row phantoms) follow Spark's default
+      // placement: nulls first under ASC, last under DESC.
+      def afterTuple(cols: Seq[String], vals: Seq[Any],
+          dirs: Seq[Boolean]): Column =
+        (cols, vals, dirs) match {
+          case (c +: ct, v +: vt, d +: dt) =>
             val rest =
-              if (ct.isEmpty) lit(false) else afterTuple(ct, vt)
+              if (ct.isEmpty) lit(false) else afterTuple(ct, vt, dt)
             if (v == null) {
-              if (desc) col(c).isNull && rest
+              if (d) col(c).isNull && rest
               else col(c).isNotNull || rest
             } else {
               val tv = typedLit(table, c, v)
-              if (desc) col(c).isNull || (col(c) < tv) ||
+              if (d) col(c).isNull || (col(c) < tv) ||
                 (col(c) === tv && rest)
               else (col(c) > tv) || (col(c) === tv && rest)
             }
@@ -109,20 +116,22 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
         }
       override def next(): DataFrame = {
         val preds = sel.predicates ++ after.collect {
-          // fast path: an all-non-null token pages as one pushed tuple
-          // restriction, exactly the driver-protocol shape
-          case v if !v.contains(null) =>
-            TuplePredicate(cks, if (desc) "<" else ">", v)
+          // fast path: a uniform-direction token pages as one pushed
+          // tuple restriction, exactly the driver-protocol shape (struct
+          // comparison orders null fields smallest, matching page order)
+          case v if uniform =>
+            TuplePredicate(cks, if (dirDesc.head) "<" else ">", v)
         }.toSeq
         // full-row page internally (the pager must see the clustering
         // tuple even when the caller projects it away), user projection
         // applied per page below
         var pageAll = execute(sel.copy(selectors = Seq(Star),
           predicates = preds, json = false,
-          orderBy = Some(cks.map(OrderBy(_, asc = !desc))),
+          orderBy = Some(cks.zip(dirDesc).map { case (c0, d) =>
+            OrderBy(c0, asc = !d) }),
           limit = None))
-        after.filter(_.contains(null)).foreach { v =>
-          pageAll = pageAll.filter(afterTuple(cks, v))
+        if (!uniform) after.foreach { v =>
+          pageAll = pageAll.filter(afterTuple(cks, v, dirDesc))
         }
         val pageDf = pageAll.limit(fetchSize)
         val rows = pageDf.collect()

@@ -414,20 +414,27 @@ object CqlParser {
               while (c.accept(",")) ckDesc = ckDesc :+ one()
               c.expect(")")
             } else {
-              val key = c.next(); c.expect("=")
-              if (c.accept("{")) { // map-valued option: skip balanced braces
-                var depth = 1
-                while (depth > 0 && !c.done) c.next() match {
-                  case "{" => depth += 1
-                  case "}" => depth -= 1
-                  case _ => ()
-                }
-              } else {
-                val v = c.next()
-                if (key.equalsIgnoreCase("default_time_to_live") &&
-                    v.forall(_.isDigit))
-                  defaultTtl = Some(v.toLong)
+              // lenient option consumption: real DESCRIBE dumps carry
+              // `COMPACT STORAGE` (bare keywords), `ID = <uuid>` (multi-
+              // token values), map literals, scientific notation — consume
+              // everything up to the next top-level AND, capturing only
+              // the options that carry single-engine semantics
+              val key = c.next()
+              val toks = scala.collection.mutable.Buffer.empty[String]
+              var depth = 0
+              while (!c.done && (depth > 0 || !c.peekIs("and"))) {
+                val t = c.next()
+                if (t == "{" || t == "(") depth += 1
+                else if (t == "}" || t == ")") depth -= 1
+                toks += t
               }
+              if (key.equalsIgnoreCase("default_time_to_live"))
+                toks.toSeq match {
+                  case Seq("=", v) if v.nonEmpty && v.forall(_.isDigit) =>
+                    defaultTtl = Some(v.toLong)
+                  case _ => throw new CqlInvalidQueryException(
+                    s"invalid default_time_to_live: ${toks.mkString(" ")}")
+                }
             }
             more = c.accept("and")
           }

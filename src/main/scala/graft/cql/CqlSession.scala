@@ -379,12 +379,11 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         b.statements.exists(_.usingTimestamp.isDefined))
       throw new CqlInvalidQueryException(
         "Timestamp must be set either on BATCH or individual statements")
-    // upstream BatchStatement.verifyBatchType [U]: counter mutations only
-    // in COUNTER batches, and COUNTER batches hold nothing else
-    def isCounterDml(d: CqlDml) = d match {
-      case u: CqlUpdate => u.assignments.exists(_._2.isInstanceOf[CqlCounterAdd])
-      case _ => false
-    }
+    // upstream BatchStatement.verifyBatchType [U] keys on the TARGET
+    // TABLE's counter-ness (metadata().isCounter): every mutation on a
+    // counter table — including DELETE — is a counter mutation
+    def isCounterDml(d: CqlDml) =
+      state.get(d.table.toLowerCase).exists(_.counterKeys.nonEmpty)
     if (b.counter && !b.statements.forall(isCounterDml))
       throw new CqlInvalidQueryException(
         "Cannot include non-counter statement in a counter batch")
@@ -414,7 +413,11 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       case "use" =>
         // `USE ks` — the flat catalog makes this a current-keyspace marker
         // only; unknown keyspaces error as upstream does
-        val name = trimmed.split("\\s+")(1).stripSuffix(";").toLowerCase
+        val toks = trimmed.stripSuffix(";").trim.split("\\s+")
+        if (toks.length != 2)
+          throw new CqlInvalidQueryException(
+            s"syntax error: USE expects exactly one keyspace name")
+        val name = toks(1).toLowerCase
         if (!keyspaces.contains(name))
           throw new CqlInvalidQueryException(s"unknown keyspace $name")
         spark.emptyDataFrame
@@ -965,13 +968,19 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         throw new CqlInvalidQueryException(
           s"PRIMARY KEY column $k must be restricted/provided in a write")
     }
+    // upstream Attributes.getTimeToLive [U]: an explicit `USING TTL 0`
+    // CANCELS the table default (no TTL) — it is not a 0-second expiry
+    def effTtl(o: Option[Long]): Option[Long] = o match {
+      case Some(x) => if (x > 0) Some(x) else None
+      case None => t.defaultTtl
+    }
     val (ts, ttl, deleted) = dml match {
       case i: CqlInsert => (nextTs(i.usingTimestamp.orElse(defaultTs)),
-        i.usingTtl.orElse(t.defaultTtl), false)
+        effTtl(i.usingTtl), false)
       case i: CqlInsertJson => (nextTs(i.usingTimestamp.orElse(defaultTs)),
-        i.usingTtl.orElse(t.defaultTtl), false)
+        effTtl(i.usingTtl), false)
       case u: CqlUpdate => (nextTs(u.usingTimestamp.orElse(defaultTs)),
-        u.usingTtl.orElse(t.defaultTtl), false)
+        effTtl(u.usingTtl), false)
       case d: CqlDelete =>
         // a column list makes it a CELL delete, not a row tombstone
         (nextTs(d.usingTimestamp.orElse(defaultTs)), None, d.columns.isEmpty)

@@ -190,6 +190,7 @@ object CassandraModel {
     * cell merge carries. */
   private def collectionCellAgg(c: String, dt: org.apache.spark.sql.types.DataType): Column = {
     import org.apache.spark.sql.types.{ArrayType, MapType}
+    val orderable = !dt.isInstanceOf[org.apache.spark.sql.types.MapType]
     val entries = array_sort(
       collect_list(when(col(s"_op_$c").isNotNull,
         struct(col("_writetime").as("wt"), col(s"_op_$c").as("op"),
@@ -197,12 +198,17 @@ object CassandraModel {
       (l, r) => {
         val lw = l.getField("wt"); val rw = r.getField("wt")
         val lo = l.getField("op"); val ro = r.getField("op")
-        // third key: canonical JSON of the payload, so equal-timestamp
-        // same-op writes (e.g. two `SET u.city = …` in one BATCH) resolve
+        // third key: the payload itself, so equal-timestamp same-op writes
+        // (e.g. two `SET u.city = …` in one BATCH) resolve
         // deterministically — the facade's analogue of upstream's
-        // greater-cell-value-wins tie-break (Cells.reconcile [U]); maps
-        // aren't natively orderable in Spark, JSON text is
-        val lv = l.getField("vs"); val rv = r.getField("vs")
+        // greater-cell-value-wins tie-break (Cells.reconcile [U]). Arrays
+        // and structs compare natively (numeric fields order numerically,
+        // matching upstream's byte order); maps aren't orderable in Spark,
+        // so they fall back to canonical JSON text — upstream has no
+        // whole-map tie either (map entries are separate cells), any
+        // deterministic order is faithful there.
+        val lv = if (orderable) l.getField("v") else l.getField("vs")
+        val rv = if (orderable) r.getField("v") else r.getField("vs")
         when(lw < rw, -1).when(lw > rw, 1)
           .when(lo < ro, -1).when(lo > ro, 1)
           .when(lv < rv, -1).when(lv > rv, 1).otherwise(0)

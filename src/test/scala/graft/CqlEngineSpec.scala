@@ -371,6 +371,32 @@ class CqlEngineSpec extends SparkSpec {
     assert(descPaged.size === 3 && descPaged === whole.reverse)
   }
 
+  test("O4 paging follows mixed declared CLUSTERING ORDER") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, 9L, "a"), (1L, 1L, 3L, "b"), (1L, 2L, 7L, "c"),
+      (1L, 2L, 1L, "d"), (1L, 3L, 5L, "e")).toDF("pk", "a", "b", "v")
+    // declared (a ASC, b DESC): the pager must page in that mixed order —
+    // one tuple comparison can't express it; per-column afterTuple can
+    val eng = new CqlEngine(spark, Map("mix" -> CqlTable(df, Seq("pk"),
+      Seq("a", "b"), clusteringDesc = Seq(false, true))))
+    val paged = eng.executePaged("SELECT a, b, v FROM mix WHERE pk = 1", 2)
+      .flatMap(_.collect().toSeq).toSeq
+    assert(paged.map(_.getString(2)) === Seq("a", "b", "c", "d", "e"),
+      "pages follow (a ASC, b DESC) declared order")
+    // the exact reverse pages too
+    val rev = eng.executePaged(
+      "SELECT a, b, v FROM mix WHERE pk = 1 ORDER BY a DESC, b ASC", 2)
+      .flatMap(_.collect().toSeq).toSeq
+    assert(rev.map(_.getString(2)) === Seq("e", "d", "c", "b", "a"))
+    // an order matching neither declared nor reverse is rejected up front
+    intercept[CqlInvalidQueryException] {
+      eng.executePaged(
+        "SELECT a, b, v FROM mix WHERE pk = 1 ORDER BY a ASC, b ASC", 2)
+        .next()
+    }
+  }
+
   test("floor selector must match its GROUP BY duration") {
     // mismatched durations must error, not silently mislabel 12h buckets
     // as the requested 1h selector

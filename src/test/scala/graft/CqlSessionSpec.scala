@@ -321,6 +321,14 @@ class CqlSessionSpec extends SparkSpec {
           |  UPDATE hits4 SET views = views + 1 WHERE page = 'home';
           |APPLY BATCH""".stripMargin)
     }.getMessage.contains("counter statement in a logged batch"))
+    // kind is per TARGET TABLE (upstream metadata().isCounter): a DELETE
+    // on a counter table is a counter mutation and belongs in the batch
+    s.execute(
+      """BEGIN COUNTER BATCH
+        |  DELETE FROM hits4 WHERE page = 'home';
+        |APPLY BATCH""".stripMargin)
+    assert(s.execute("SELECT page, views FROM hits4 ALLOW FILTERING")
+      .collect().isEmpty)
   }
 
   test("negative literals parse everywhere; bad numerics raise CqlInvalidQueryException") {
@@ -1045,6 +1053,12 @@ class CqlSessionSpec extends SparkSpec {
     assert(at(1030000000L) === Set(1L, 2L), "both live before expiry")
     assert(at(1070000000L) === Set(2L),
       "the default-TTL write expires at 60s; the explicit TTL overrides")
+    // upstream Attributes.getTimeToLive: `USING TTL 0` CANCELS the table
+    // default — the row must never expire (not expire instantly)
+    s.execute("INSERT INTO ephem (id, v) VALUES (3, 'forever') " +
+      "USING TIMESTAMP 1000000000 AND TTL 0")
+    assert(at(9999999999000000L).contains(3L),
+      "TTL 0 means no TTL, overriding default_time_to_live")
   }
 
   test("schema-dump prelude: CREATE KEYSPACE / USE / qualified names run") {
@@ -1063,6 +1077,22 @@ class CqlSessionSpec extends SparkSpec {
     assert(intercept[CqlInvalidQueryException] {
       s.execute("USE nope")
     }.getMessage.contains("unknown keyspace"))
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("USE")
+    }.getMessage.contains("syntax error"))
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("USE shop extra")
+    }.getMessage.contains("syntax error"))
+    // DESCRIBE-dump table options: bare keywords (COMPACT STORAGE),
+    // multi-token values (ID = uuid), scientific notation — all parse
+    s.execute("CREATE TABLE legacy (k bigint PRIMARY KEY, v text) " +
+      "WITH COMPACT STORAGE AND ID = 5a6c6f30-29b0-11e6-ae22-56b6b6499611 " +
+      "AND bloom_filter_fp_chance = 0.01 AND comment = 'it''s legacy' " +
+      "AND compaction = {'class': 'SizeTieredCompactionStrategy'} " +
+      "AND crc_check_chance = 1.0")
+    s.execute("INSERT INTO legacy (k, v) VALUES (1, 'x')")
+    assert(s.execute("SELECT v FROM legacy WHERE k = 1")
+      .head().getString(0) === "x")
     assert(intercept[CqlInvalidQueryException] {
       s.execute("CREATE KEYSPACE shop")
     }.getMessage.contains("already exists"))
