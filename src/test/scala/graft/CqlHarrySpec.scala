@@ -109,4 +109,72 @@ class CqlHarrySpec extends SparkSpec {
       assert(got === m.visible, s"engine diverged from model in round $round")
     }
   }
+
+  /** Clustering-key variant: partition tombstones (`DELETE WHERE pk=…`)
+    * shadow every older row of the partition; row tombstones target one
+    * (pk, ck); both interact with cell writes, markers, and each other at
+    * colliding timestamps. */
+  private class CkModel {
+    case class K(pk: Long, ck: Long)
+    val cellsA = collection.mutable.Map.empty[K, List[MCell]].withDefaultValue(Nil)
+    val markers = collection.mutable.Map.empty[K, List[Long]].withDefaultValue(Nil)
+    val rowDel = collection.mutable.Map.empty[K, Long].withDefaultValue(Long.MinValue)
+    val partDel = collection.mutable.Map.empty[Long, Long].withDefaultValue(Long.MinValue)
+
+    def visible: Seq[(Long, Long, Option[Long])] =
+      (cellsA.keySet ++ markers.keySet).toSeq.sortBy(k => (k.pk, k.ck))
+        .flatMap { k =>
+          val del = math.max(rowDel(k), partDel(k.pk))
+          val a = winner(cellsA(k), del).map(_.asInstanceOf[Long])
+          val markerLive = markers(k).exists(_ > del)
+          if (a.nonEmpty || markerLive) Some((k.pk, k.ck, a)) else None
+        }
+  }
+
+  test("random mutations with clustering keys and partition tombstones match the model") {
+    val rnd = new scala.util.Random(8138102L)
+    for (round <- 1 to 6) {
+      val s = CqlSession.emptyTable(spark, "t", StructType(Seq(
+        StructField("pk", LongType), StructField("ck", LongType),
+        StructField("a", LongType))),
+        partitionKeys = Seq("pk"), clusteringKeys = Seq("ck"))
+      val m = new CkModel
+      for (_ <- 1 to 28) {
+        val pk = rnd.nextInt(2).toLong
+        val ck = rnd.nextInt(3).toLong
+        val ts = 1L + rnd.nextInt(8)
+        val k = m.K(pk, ck)
+        rnd.nextInt(8) match {
+          case 0 | 1 =>
+            val av = rnd.nextInt(5).toLong
+            s.execute(s"INSERT INTO t (pk, ck, a) VALUES ($pk, $ck, $av) " +
+              s"USING TIMESTAMP $ts")
+            m.markers(k) ::= ts
+            m.cellsA(k) ::= MCell(ts, tomb = false, Some(av))
+          case 2 | 3 =>
+            val av = rnd.nextInt(5).toLong
+            s.execute(s"UPDATE t USING TIMESTAMP $ts SET a = $av " +
+              s"WHERE pk = $pk AND ck = $ck")
+            m.cellsA(k) ::= MCell(ts, tomb = false, Some(av))
+          case 4 | 5 =>
+            s.execute(s"DELETE FROM t USING TIMESTAMP $ts " +
+              s"WHERE pk = $pk AND ck = $ck")
+            m.rowDel(k) = math.max(m.rowDel(k), ts)
+          case 6 =>
+            s.execute(s"DELETE FROM t USING TIMESTAMP $ts WHERE pk = $pk")
+            m.partDel(pk) = math.max(m.partDel(pk), ts)
+          case 7 =>
+            s.execute(s"DELETE a FROM t USING TIMESTAMP $ts " +
+              s"WHERE pk = $pk AND ck = $ck")
+            m.cellsA(k) ::= MCell(ts, tomb = true, None)
+        }
+      }
+      val got = s.execute("SELECT pk, ck, a FROM t").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .sortBy(t2 => (t2._1, t2._2)).toSeq
+      assert(got === m.visible,
+        s"engine diverged from clustering model in round $round")
+    }
+  }
 }
