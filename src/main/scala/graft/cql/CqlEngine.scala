@@ -87,8 +87,7 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
       o.nonEmpty && o.head.asc == declaredDesc.head)
     val dirDesc = declaredDesc.map(_ ^ flip)
     val uniform = dirDesc.distinct.size == 1
-    val ckIdx = cks.map(c => table.df.schema.fieldIndex(
-      table.df.schema.fieldNames.find(_.equalsIgnoreCase(c)).get))
+
     new Iterator[DataFrame] {
       private var after: Option[Seq[Any]] = None
       private var exhausted = false
@@ -136,7 +135,12 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
         val pageDf = pageAll.limit(fetchSize)
         val rows = pageDf.collect()
         if (rows.length < fetchSize) exhausted = true
-        else after = Some(ckIdx.map(rows.last.get))
+        // resolve clustering positions against the PAGE schema (the Star
+        // projection drops '_'-prefixed metadata columns, shifting any
+        // index computed on the table schema)
+        else after = Some(cks.map(c => rows.last.get(
+          pageDf.schema.fieldIndex(
+            pageDf.schema.fieldNames.find(_.equalsIgnoreCase(c)).get))))
         val local = spark.createDataFrame(
           java.util.Arrays.asList(rows: _*), pageDf.schema)
         var out =

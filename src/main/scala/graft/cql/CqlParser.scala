@@ -279,8 +279,9 @@ object CqlParser {
     if (c.accept("[")) {
       if (c.accept("]")) CqlList(Nil)
       else {
-        var items = Seq(parseLiteral(c))
-        while (c.accept(",")) items = items :+ parseLiteral(c)
+        // items recurse: `[{'a': 1}, …]` is a list<frozen<map<…>>>
+        var items = Seq(parseValue(c))
+        while (c.accept(",")) items = items :+ parseValue(c)
         c.expect("]")
         CqlList(items)
       }
@@ -299,18 +300,18 @@ object CqlParser {
         c.expect("}")
         CqlUdtLit(fs)
       } else {
-        val first = parseLiteral(c)
-        if (c.accept(":")) { // map literal
-          var entries = Seq(first -> parseLiteral(c))
+        val first = parseValue(c)
+        if (c.accept(":")) { // map literal (values recurse for frozen nests)
+          var entries = Seq(first -> parseValue(c))
           while (c.accept(",")) {
-            val k = parseLiteral(c); c.expect(":")
-            entries = entries :+ (k -> parseLiteral(c))
+            val k = parseValue(c); c.expect(":")
+            entries = entries :+ (k -> parseValue(c))
           }
           c.expect("}")
           CqlMapLit(entries)
         } else {
           var items = Seq(first)
-          while (c.accept(",")) items = items :+ parseLiteral(c)
+          while (c.accept(",")) items = items :+ parseValue(c)
           c.expect("}")
           CqlSetLit(items)
         }

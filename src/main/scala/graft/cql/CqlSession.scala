@@ -969,8 +969,11 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           s"PRIMARY KEY column $k must be restricted/provided in a write")
     }
     // upstream Attributes.getTimeToLive [U]: an explicit `USING TTL 0`
-    // CANCELS the table default (no TTL) — it is not a 0-second expiry
+    // CANCELS the table default (no TTL) — it is not a 0-second expiry;
+    // negative TTLs are invalid requests
     def effTtl(o: Option[Long]): Option[Long] = o match {
+      case Some(x) if x < 0 => throw new CqlInvalidQueryException(
+        s"A TTL must be greater than or equal to 0, but was $x")
       case Some(x) => if (x > 0) Some(x) else None
       case None => t.defaultTtl
     }

@@ -190,11 +190,17 @@ object CassandraModel {
     * cell merge carries. */
   private def collectionCellAgg(c: String, dt: org.apache.spark.sql.types.DataType): Column = {
     import org.apache.spark.sql.types.{ArrayType, MapType}
-    val orderable = !dt.isInstanceOf[org.apache.spark.sql.types.MapType]
+    // recursive orderability (RowOrdering): a list<map<…>> or a UDT with
+    // a map field cannot be compared natively either
+    val orderable = org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .isOrderable(dt)
+    val entry =
+      if (orderable) struct(col("_writetime").as("wt"),
+        col(s"_op_$c").as("op"), col(c).as("v"))
+      else struct(col("_writetime").as("wt"), col(s"_op_$c").as("op"),
+        col(c).as("v"), to_json(col(c)).as("vs"))
     val entries = array_sort(
-      collect_list(when(col(s"_op_$c").isNotNull,
-        struct(col("_writetime").as("wt"), col(s"_op_$c").as("op"),
-          col(c).as("v"), to_json(col(c)).as("vs")))),
+      collect_list(when(col(s"_op_$c").isNotNull, entry)),
       (l, r) => {
         val lw = l.getField("wt"); val rw = r.getField("wt")
         val lo = l.getField("op"); val ro = r.getField("op")
@@ -214,7 +220,27 @@ object CassandraModel {
           .when(lv < rv, -1).when(lv > rv, 1).otherwise(0)
       })
     val folded = dt match {
-      case _: ArrayType =>
+      case at: ArrayType =>
+        // set semantics (sorted-distinct, union, discard) need element
+        // ordering/equality; for non-orderable elements (frozen maps, UDTs
+        // with map fields) the same semantics run over canonical JSON text
+        val elemOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(at.elementType)
+        def canonSet(arr: Column): Column =
+          if (elemOrd) array_sort(array_distinct(arr))
+          else {
+            val sorted = array_sort(arr, (a, b) =>
+              when(to_json(a) < to_json(b), -1)
+                .when(to_json(a) > to_json(b), 1).otherwise(0))
+            // keep the first of each JSON-equal run (element_at is
+            // 1-based: index i reads the PREVIOUS element)
+            filter(sorted, (x, i) => (i === 0) ||
+              (to_json(element_at(sorted, i)) =!= to_json(x)))
+          }
+        def without(acc: Column, v: Column): Column =
+          if (elemOrd) filter(acc, x => !array_contains(v, x))
+          else filter(acc, x =>
+            !array_contains(transform(v, to_json(_)), to_json(x)))
         aggregate(entries, lit(null).cast(dt), (acc, e) => {
           val v = e.getField("v"); val op = e.getField("op")
           val empty = slice(v, 1, 0)
@@ -224,12 +250,12 @@ object CassandraModel {
           // read-before-write list — the facade has no such read)
           val idx = substring(op, 8, 18).cast("int")
           when(op === "set", v)
-            .when(op === "sset", array_sort(array_distinct(v)))
+            .when(op === "sset", canonSet(v))
             .when(op === "app", concat(coalesce(acc, empty), v))
             .when(op === "uni",
-              array_sort(array_union(coalesce(acc, empty), v)))
-            .when(op === "rem",
-              filter(coalesce(acc, empty), x => !array_contains(v, x)))
+              if (elemOrd) array_sort(array_union(coalesce(acc, empty), v))
+              else canonSet(concat(coalesce(acc, empty), v)))
+            .when(op === "rem", without(coalesce(acc, empty), v))
             .when(op.startsWith("setidx:"),
               transform(coalesce(acc, empty),
                 (x, i) => when(i === idx, element_at(v, 1)).otherwise(x)))

@@ -371,6 +371,18 @@ class CqlEngineSpec extends SparkSpec {
     assert(descPaged.size === 3 && descPaged === whole.reverse)
   }
 
+  test("O4 paging tracks tokens on tables with metadata columns") {
+    // upsert_log carries '_'-prefixed metadata the Star projection drops;
+    // the page token must resolve clustering positions by NAME on the
+    // page schema, not by index on the table schema
+    val pages = cqlEngine.executePaged(
+      "SELECT * FROM upsert_log WHERE pk = 7", 2)
+      .map(_.collect().toSeq).toSeq
+    assert(pages.flatten.size === 3, "pk 7 has exactly 3 log versions")
+    assert(pages.head.size === 2 && pages.flatten.map(_.getAs[Int]("v"))
+      .sorted === Seq(0, 1, 2))
+  }
+
   test("O4 paging follows mixed declared CLUSTERING ORDER") {
     import spark.implicits._
     val df = Seq(

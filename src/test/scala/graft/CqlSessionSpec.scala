@@ -1059,6 +1059,24 @@ class CqlSessionSpec extends SparkSpec {
       "USING TIMESTAMP 1000000000 AND TTL 0")
     assert(at(9999999999000000L).contains(3L),
       "TTL 0 means no TTL, overriding default_time_to_live")
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("INSERT INTO ephem (id, v) VALUES (4, 'bad') USING TTL -5")
+    }.getMessage.contains("greater than or equal to 0"))
+  }
+
+  test("nested-map collection types read and mutate (JSON tie-break fallback)") {
+    val s = CqlSession(spark)
+    // list<frozen<map<..>>> is NOT natively orderable — the reconcile
+    // comparator must fall back to canonical JSON, not fail analysis
+    s.execute("CREATE TABLE cfg (id bigint PRIMARY KEY, " +
+      "entries list<frozen<map<text, bigint>>>)")
+    s.execute("INSERT INTO cfg (id, entries) VALUES (1, [{'a': 1}]) " +
+      "USING TIMESTAMP 10")
+    s.execute("UPDATE cfg USING TIMESTAMP 20 SET entries = entries + " +
+      "[{'b': 2}] WHERE id = 1")
+    val got = s.execute("SELECT entries FROM cfg WHERE id = 1")
+      .head().getSeq[Map[String, Long]](0)
+    assert(got === Seq(Map("a" -> 1L), Map("b" -> 2L)))
   }
 
   test("schema-dump prelude: CREATE KEYSPACE / USE / qualified names run") {
