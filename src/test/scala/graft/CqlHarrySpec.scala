@@ -177,4 +177,96 @@ class CqlHarrySpec extends SparkSpec {
         s"engine diverged from clustering model in round $round")
     }
   }
+
+  /** Static-column variant: static cells live per PARTITION — row deletes
+    * never touch them, partition deletes do, and a partition whose rows
+    * are all gone but whose static survives answers with one phantom row
+    * (null clustering). */
+  private class StaticModel {
+    case class K(pk: Long, ck: Long)
+    val cellsA = collection.mutable.Map.empty[K, List[MCell]].withDefaultValue(Nil)
+    val markers = collection.mutable.Map.empty[K, List[Long]].withDefaultValue(Nil)
+    val statics = collection.mutable.Map.empty[Long, List[MCell]].withDefaultValue(Nil)
+    val rowDel = collection.mutable.Map.empty[K, Long].withDefaultValue(Long.MinValue)
+    val partDel = collection.mutable.Map.empty[Long, Long].withDefaultValue(Long.MinValue)
+
+    def visible: Seq[(Long, Option[Long], Option[Long], Option[Long])] = {
+      val pks = (cellsA.keySet.map(_.pk) ++ statics.keySet).toSeq.sorted
+      pks.flatMap { pk =>
+        val st = winner(statics(pk), partDel(pk)).map(_.asInstanceOf[Long])
+        val rows = cellsA.keySet.filter(_.pk == pk).toSeq.sortBy(_.ck)
+          .flatMap { k =>
+            val del = math.max(rowDel(k), partDel(pk))
+            val a = winner(cellsA(k), del).map(_.asInstanceOf[Long])
+            val live = a.nonEmpty || markers(k).exists(_ > del)
+            if (live) Some((pk, Some(k.ck), a, st)) else None
+          }
+        if (rows.nonEmpty) rows
+        else if (st.nonEmpty) Seq((pk, None, None, st)) // phantom static row
+        else Nil
+      }
+    }
+  }
+
+  test("random mutations with static columns match the model (phantom rows included)") {
+    val rnd = new scala.util.Random(5550123L)
+    for (round <- 1 to 6) {
+      val s = CqlSession.emptyTable(spark, "t", StructType(Seq(
+        StructField("pk", LongType), StructField("ck", LongType),
+        StructField("a", LongType), StructField("st", LongType))),
+        partitionKeys = Seq("pk"), clusteringKeys = Seq("ck"),
+        staticKeys = Seq("st"))
+      val m = new StaticModel
+      for (_ <- 1 to 28) {
+        val pk = rnd.nextInt(2).toLong
+        val ck = rnd.nextInt(3).toLong
+        val ts = 1L + rnd.nextInt(8)
+        val k = m.K(pk, ck)
+        rnd.nextInt(8) match {
+          case 0 =>
+            val (av, sv) = (rnd.nextInt(5).toLong, rnd.nextInt(5).toLong)
+            s.execute(s"INSERT INTO t (pk, ck, a, st) VALUES " +
+              s"($pk, $ck, $av, $sv) USING TIMESTAMP $ts")
+            m.markers(k) ::= ts
+            m.cellsA(k) ::= MCell(ts, tomb = false, Some(av))
+            m.statics(pk) ::= MCell(ts, tomb = false, Some(sv))
+          case 1 | 2 =>
+            val av = rnd.nextInt(5).toLong
+            s.execute(s"INSERT INTO t (pk, ck, a) VALUES ($pk, $ck, $av) " +
+              s"USING TIMESTAMP $ts")
+            m.markers(k) ::= ts
+            m.cellsA(k) ::= MCell(ts, tomb = false, Some(av))
+          case 3 =>
+            val av = rnd.nextInt(5).toLong
+            s.execute(s"UPDATE t USING TIMESTAMP $ts SET a = $av " +
+              s"WHERE pk = $pk AND ck = $ck")
+            m.cellsA(k) ::= MCell(ts, tomb = false, Some(av))
+          case 4 =>
+            val sv = rnd.nextInt(5).toLong
+            s.execute(s"UPDATE t USING TIMESTAMP $ts SET st = $sv " +
+              s"WHERE pk = $pk")
+            m.statics(pk) ::= MCell(ts, tomb = false, Some(sv))
+          case 5 =>
+            s.execute(s"DELETE FROM t USING TIMESTAMP $ts " +
+              s"WHERE pk = $pk AND ck = $ck")
+            m.rowDel(k) = math.max(m.rowDel(k), ts)
+          case 6 =>
+            s.execute(s"DELETE FROM t USING TIMESTAMP $ts WHERE pk = $pk")
+            m.partDel(pk) = math.max(m.partDel(pk), ts)
+          case 7 =>
+            s.execute(s"DELETE a FROM t USING TIMESTAMP $ts " +
+              s"WHERE pk = $pk AND ck = $ck")
+            m.cellsA(k) ::= MCell(ts, tomb = true, None)
+        }
+      }
+      val got = s.execute("SELECT pk, ck, a, st FROM t").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .sortBy(t4 => (t4._1, t4._2)).toSeq
+      assert(got === m.visible.sortBy(t4 => (t4._1, t4._2)),
+        s"engine diverged from static model in round $round")
+    }
+  }
 }
