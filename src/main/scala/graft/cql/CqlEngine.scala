@@ -122,9 +122,11 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
             TuplePredicate(cks, if (dirDesc.head) "<" else ">", v)
         }.toSeq
         // full-row page internally (the pager must see the clustering
-        // tuple even when the caller projects it away), user projection
-        // applied per page below
-        var pageAll = execute(sel.copy(selectors = Seq(Star),
+        // tuple — and the '_'-metadata columns writetime()/ttl()
+        // selectors resolve against — even when the caller projects them
+        // away), user projection applied per page below
+        var pageAll = execute(sel.copy(
+          selectors = table.df.columns.toSeq.map(ColumnSelector(_, None)),
           predicates = preds, json = false,
           orderBy = Some(cks.zip(dirDesc).map { case (c0, d) =>
             OrderBy(c0, asc = !d) }),
@@ -144,7 +146,9 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
         val local = spark.createDataFrame(
           java.util.Arrays.asList(rows: _*), pageDf.schema)
         var out =
-          if (sel.selectors == Seq(Star)) local
+          if (sel.selectors == Seq(Star))
+            local.select(local.columns.filterNot(_.startsWith("_"))
+              .map(col).toSeq: _*)
           else local.select(sel.selectors.map(selectorColumn(_, table)): _*)
         if (sel.json)
           out = out.select(to_json(struct(out.columns.map(col): _*),
@@ -170,7 +174,13 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
     sel.perPartitionLimit.foreach { k =>
       val tiebreak = table.df.columns.toSeq
         .diff(table.partitionKeys ++ table.clusteringKeys).map(col(_).asc)
-      val order = table.clusteringKeys.map(col(_).asc) ++ tiebreak
+      // native read order = the DECLARED clustering order: a DESC table's
+      // per-partition limit keeps the newest rows, as upstream does
+      val declaredDesc = (table.clusteringDesc ++
+        Seq.fill(table.clusteringKeys.length)(false))
+        .take(table.clusteringKeys.length)
+      val order = table.clusteringKeys.zip(declaredDesc).map { case (c0, d) =>
+        if (d) col(c0).desc else col(c0).asc } ++ tiebreak
       val w = Window.partitionBy(table.partitionKeys.map(col): _*).orderBy(order: _*)
       df = df.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= k).drop("__rn")
@@ -302,6 +312,19 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
                 s"(unless you use the token() function) (got ${p.op} on ${p.column})")
         case _: TuplePredicate => // tuple restrictions are clustering-only; ok
       }
+      // a PARTIALLY restricted composite partition key is a filtering scan
+      // upstream (StatementRestrictions.processPartitionKeyRestrictions):
+      // every component must be EQ/IN-restricted, or none
+      val pkRestricted = t.partitionKeys.filter(pk => sel.predicates.exists {
+        case p: ColumnPredicate => !p.isToken && p.column.equalsIgnoreCase(pk)
+        case _ => false
+      })
+      if (pkRestricted.nonEmpty && pkRestricted.size < t.partitionKeys.size)
+        throw new CqlInvalidQueryException(
+          "Cannot execute this query as it might involve data filtering and " +
+            "thus may have unpredictable performance. If you want to execute " +
+            "this query despite the performance unpredictability, use ALLOW FILTERING " +
+            s"(partition key partially restricted: ${pkRestricted.mkString(", ")})")
       // clustering-restriction rules (upstream ClusteringColumnRestrictions
       // [U cql3/restrictions/]): a clustering predicate needs the partition
       // key fully EQ/IN-restricted, restricted clustering columns must form

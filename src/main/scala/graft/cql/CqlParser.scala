@@ -59,7 +59,7 @@ object CqlParser {
   // (Lexing '-5' as one literal made 'SET c=c-5' — no spaces — miss the
   // counter-decrement pattern and crash in parseLiteral instead.)
   private val tokenRe =
-    """\s*(?:('(?:[^']|'')*')|(\d+\.\d+(?:[eE][-+]?\d+)?)|(\d+)|([A-Za-z_][A-Za-z0-9_]*)|(<=|>=|!=|[=<>(),*\[\]{}:;+.?-]))""".r
+    """\s*(?:('(?:[^']|'')*')|(0[xX][0-9a-fA-F]+)|(\d+\.\d+(?:[eE][-+]?\d+)?)|(\d+)|([A-Za-z_][A-Za-z0-9_]*)|(<=|>=|!=|[=<>(),*\[\]{}:;+.?-]))""".r
 
   private def tokenize(s: String): Vector[String] = {
     var rest = s.trim
@@ -187,7 +187,7 @@ object CqlParser {
     c.accept("logged")
     val counter = c.accept("counter")
     c.expect("batch")
-    val (ts, _) = parseUsing(c)
+    val (ts, batchTtl) = parseUsing(c)
     var stmts = Vector.empty[CqlDml]
     while (!c.peekIs("apply")) {
       if (c.done) throw new CqlInvalidQueryException("missing APPLY BATCH")
@@ -197,8 +197,16 @@ object CqlParser {
     c.expect("apply"); c.expect("batch")
     if (!c.done)
       throw new CqlInvalidQueryException(s"unexpected trailing input near ${c.peek}")
-    // counter batches are unlogged upstream (no batchlog for counters)
-    CqlBatch(stmts, ts, logged = !unlogged && !counter, counter = counter)
+    // counter batches are unlogged upstream (no batchlog for counters);
+    // a batch-level TTL is the default for statements lacking their own
+    // (upstream Attributes are per-batch, BatchStatement [U])
+    val withTtl = if (batchTtl.isEmpty) stmts else stmts.map {
+      case i: CqlInsert => i.copy(usingTtl = i.usingTtl.orElse(batchTtl))
+      case i: CqlInsertJson => i.copy(usingTtl = i.usingTtl.orElse(batchTtl))
+      case u: CqlUpdate => u.copy(usingTtl = u.usingTtl.orElse(batchTtl))
+      case d => d
+    }
+    CqlBatch(withTtl, ts, logged = !unlogged && !counter, counter = counter)
   }
 
   private def parseDmlCursor(c: Cursor): CqlDml =
@@ -353,6 +361,15 @@ object CqlParser {
   def parseDdl(cql: String,
       udts: Map[String, org.apache.spark.sql.types.StructType] = Map.empty): CqlDdl = {
     val c = new Cursor(tokenize(cql.stripSuffix(";")))
+    val ddl = parseDdlCursor(c, udts)
+    if (!c.done)
+      throw new CqlInvalidQueryException(
+        s"unexpected trailing input near ${c.peek}")
+    ddl
+  }
+
+  private def parseDdlCursor(c: Cursor,
+      udts: Map[String, org.apache.spark.sql.types.StructType]): CqlDdl = {
     c.next().toLowerCase match {
       case "create" =>
         val custom = c.accept("custom")
@@ -448,7 +465,7 @@ object CqlParser {
       case "drop" =>
         if (c.accept("index")) {
           val ifExists = if (c.accept("if")) { c.expect("exists"); true } else false
-          CqlDropIndex(c.next(), ifExists)
+          CqlDropIndex(tableName(c), ifExists)
         } else if (c.accept("materialized")) {
           c.expect("view")
           val ifExists = if (c.accept("if")) { c.expect("exists"); true } else false
@@ -826,6 +843,12 @@ object CqlParser {
       CqlFnLit(t.toLowerCase, arg)
     }
     else if (t.startsWith("'")) t.substring(1, t.length - 1).replace("''", "'")
+    else if (t.length > 2 && (t.startsWith("0x") || t.startsWith("0X"))) {
+      // hex blob literal (upstream BytesType): decoded to bytes
+      if (t.length % 2 != 0) throw new CqlInvalidQueryException(
+        s"blob literal $t has an odd number of hex digits")
+      t.drop(2).grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    }
     else if (t.equalsIgnoreCase("true")) true
     else if (t.equalsIgnoreCase("false")) false
     else if (t.equalsIgnoreCase("null")) null

@@ -325,7 +325,26 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   def executeScript(script: String): Seq[DataFrame] =
     CqlSession.splitStatements(script).map(execute)
 
-  private def engine: CqlEngine = {
+  // catalog construction builds a reconciled-view plan per table and
+  // compiles every MV definition — O(tables + views) analysis work. Cache
+  // it per mutation epoch so statement N+1 reuses statement N's engine
+  // unless something was actually written.
+  private var mutationEpoch = 0L
+  private var engineCache: Option[(Long, CqlEngine)] = None
+
+  /** The read engine over the current session state — exposes the
+    * driver-protocol pager (`executePaged`) alongside plain `execute`. */
+  def engineView: CqlEngine = engine
+
+  private def engine: CqlEngine = engineCache match {
+    case Some((e, eng)) if e == mutationEpoch => eng
+    case _ =>
+      val eng = buildEngine
+      engineCache = Some((mutationEpoch, eng))
+      eng
+  }
+
+  private def buildEngine: CqlEngine = {
     val catalog = state.map { case (name, t) =>
       val indexed = indexReg.values.collect {
         case (tbl, colName, sai) if tbl == name => colName.toLowerCase -> sai
@@ -429,7 +448,12 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   /** CREATE TABLE / DROP TABLE / TRUNCATE — the schema surface a reference
     * user's DDL scripts need (static columns, collections, vector<>,
     * compound keys all land in the same upsert-log model). */
-  private def applyDdl(ddl: CqlDdl): Unit = ddl match {
+  private def applyDdl(ddl: CqlDdl): Unit = {
+    mutationEpoch += 1
+    applyDdl0(ddl)
+  }
+
+  private def applyDdl0(ddl: CqlDdl): Unit = ddl match {
     case CqlCreateKeyspace(name, ifNotExists) =>
       if (keyspaces.contains(name.toLowerCase)) {
         if (!ifNotExists)
@@ -728,10 +752,25 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     case (d: Double, DecimalType()) => BigDecimal(d)
     case (s: String, StringType) => s
     case (b: Boolean, BooleanType) => b
+    case (b: Array[Byte], BinaryType) => b
+    case (l: Long, TimestampType) => // epoch millis, upstream's integer form
+      new java.sql.Timestamp(l)
     case (s: String, TimestampType) =>
-      java.sql.Timestamp.valueOf(
-        if (s.contains(" ") || s.contains("T")) s.replace("T", " ")
-        else s + " 00:00:00")
+      // upstream TimestampSerializer accepts ISO forms with and without
+      // zone offsets ('+0000', '+00:00', 'Z'); session clock is UTC-pinned
+      val norm = s.trim.replace("T", " ")
+        .replaceAll("([+-]\\d{2}):?(\\d{2})$", "$1:$2")
+      try {
+        if (norm.matches(".*([+-]\\d{2}:\\d{2}|Z)$")) {
+          val iso = norm.replace(" ", "T")
+            .replaceAll("(T\\d{2}:\\d{2})([Z+-])", "$1:00$2")
+          java.sql.Timestamp.from(java.time.OffsetDateTime.parse(iso).toInstant)
+        } else java.sql.Timestamp.valueOf(
+          if (norm.contains(" ")) norm else norm + " 00:00:00")
+      } catch {
+        case _: RuntimeException => throw new CqlInvalidQueryException(
+          s"invalid timestamp literal: $s")
+      }
     case (s: String, DateType) => java.sql.Date.valueOf(s)
     case (l: CqlList, ArrayType(et, _)) => l.items.map(coerce(_, et))
     case (sl: CqlSetLit, ArrayType(et, _)) => sl.items.map(coerce(_, et))
@@ -763,6 +802,13 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       case (_, _) if isCounter => throw new CqlInvalidQueryException(
         s"counter column $c only supports c = c + n / c = c - n")
       case (CqlAssignValue(v: CqlSetLit), _: ArrayType) => (coerce(v, dt), "sset")
+      case (CqlAssignValue(null), _) =>
+        // an explicit null write IS a delete (upstream Constants.Deleter):
+        // scalar cells get a tombstone — op "set" with a null payload would
+        // be invisible to the read fold and resurrect the older value
+        val isColl = dt.isInstanceOf[ArrayType] ||
+          dt.isInstanceOf[MapType] || dt.isInstanceOf[StructType]
+        (null, if (isColl) "set" else "tomb")
       case (CqlAssignValue(v), _) => (coerce(v, dt), "set")
       case (CqlCollAdd(v: CqlList), _: ArrayType) => (coerce(v, dt), "app")
       case (CqlCollAdd(v: CqlSetLit), _: ArrayType) => (coerce(v, dt), "uni")
@@ -929,6 +975,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   private def applyDml(dml: CqlDml, defaultTs: Option[Long],
       skipCondition: Boolean = false): Boolean = {
     if (!skipCondition && !conditionHolds(dml)) return false
+    mutationEpoch += 1
     val t = tableState(dml.table)
     val keys = keyCols(t)
     val cells = cellsFor(dml, t)
@@ -1031,16 +1078,20 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     val keys = keyCols(t)
     dataCols(t).map { c =>
       val i = t.schema.fieldIndex(c)
-      val absent = !present.contains(c.toLowerCase) || r.isNullAt(i)
+      val inJson = present.contains(c.toLowerCase)
+      def nullCell = { // null-out the cell like `UPDATE … SET c = null`
+        val dt = t.schema.fields(i).dataType
+        val isColl = dt.isInstanceOf[ArrayType] ||
+          dt.isInstanceOf[MapType] || dt.isInstanceOf[StructType]
+        Some((null: Any, if (isColl) "set" else "tomb"))
+      }
       val cell =
-        if (!absent) Some((r.get(i), "set"))
-        else if (j.defaultUnset || keys.exists(_.equalsIgnoreCase(c))) None
-        else { // DEFAULT NULL: null-out the cell like `UPDATE … SET c=null`
-          val dt = t.schema.fields(i).dataType
-          val isColl = dt.isInstanceOf[ArrayType] ||
-            dt.isInstanceOf[MapType] || dt.isInstanceOf[StructType]
-          Some((null: Any, if (isColl) "set" else "tomb"))
-        }
+        if (inJson && !r.isNullAt(i)) Some((r.get(i), "set"))
+        else if (keys.exists(_.equalsIgnoreCase(c))) None // key: gate below
+        else if (inJson) nullCell // EXPLICIT null overwrites — upstream
+          // DEFAULT UNSET only exempts OMITTED keys (Json.java [U])
+        else if (j.defaultUnset) None
+        else nullCell // DEFAULT NULL: omitted = null write
       c -> cell
     }
   }

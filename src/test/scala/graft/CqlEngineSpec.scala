@@ -371,6 +371,43 @@ class CqlEngineSpec extends SparkSpec {
     assert(descPaged.size === 3 && descPaged === whole.reverse)
   }
 
+  test("PER PARTITION LIMIT follows declared CLUSTERING ORDER (newest first)") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, "old"), (1L, 2L, "mid"), (1L, 3L, "new"),
+      (2L, 1L, "x"), (2L, 2L, "y")).toDF("pk", "ts", "v")
+    val eng = new CqlEngine(spark, Map("ev" -> CqlTable(df, Seq("pk"),
+      Seq("ts"), clusteringDesc = Seq(true))))
+    val got = eng.execute("SELECT pk, ts, v FROM ev PER PARTITION LIMIT 2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 3L), (1L, 2L), (2L, 2L), (2L, 1L)),
+      "a DESC table keeps the NEWEST rows per partition")
+  }
+
+  test("a partially restricted composite partition key demands ALLOW FILTERING") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 1L, "a")).toDF("pk1", "pk2", "ck", "v")
+    val eng = new CqlEngine(spark,
+      Map("comp" -> CqlTable(df, Seq("pk1", "pk2"), Seq("ck"))))
+    assert(intercept[CqlInvalidQueryException] {
+      eng.execute("SELECT v FROM comp WHERE pk1 = 1")
+    }.getMessage.contains("partially restricted"))
+    eng.execute("SELECT v FROM comp WHERE pk1 = 1 ALLOW FILTERING")
+    eng.execute("SELECT v FROM comp WHERE pk1 = 1 AND pk2 = 10")
+  }
+
+  test("O4 paging serves writetime()/ttl() selectors") {
+    val sess = graft.cql.CqlSession(spark)
+    sess.execute("CREATE TABLE wt (pk bigint, ck bigint, v text, " +
+      "PRIMARY KEY (pk, ck))")
+    (1L to 3L).foreach(i => sess.execute(
+      s"INSERT INTO wt (pk, ck, v) VALUES (1, $i, 'x') USING TIMESTAMP ${100 * i}"))
+    val paged = sess.engineView.executePaged(
+      "SELECT ck, writetime(v) AS w FROM wt WHERE pk = 1", 2)
+      .flatMap(_.collect().toSeq).toSeq
+    assert(paged.map(r => (r.getLong(0), r.getLong(1))) ===
+      Seq((1L, 100L), (2L, 200L), (3L, 300L)))
+  }
+
   test("O4 paging tracks tokens on tables with metadata columns") {
     // upsert_log carries '_'-prefixed metadata the Star projection drops;
     // the page token must resolve clustering positions by NAME on the

@@ -1121,6 +1121,79 @@ class CqlSessionSpec extends SparkSpec {
     s.execute("DROP KEYSPACE IF EXISTS shop")
   }
 
+  test("SET c = null writes a tombstone — the old value must not resurrect") {
+    val s = freshSession
+    s.execute("INSERT INTO users (user_id, name) VALUES (1, 'a') " +
+      "USING TIMESTAMP 10")
+    s.execute("UPDATE users USING TIMESTAMP 20 SET name = null WHERE user_id = 1")
+    assert(rows(s) === Seq((1L, None, None)),
+      "explicit null overwrites (upstream Constants.Deleter)")
+    // and an OLDER null write loses to the newer value
+    s.execute("UPDATE users USING TIMESTAMP 5 SET age = null WHERE user_id = 1")
+    s.execute("UPDATE users USING TIMESTAMP 6 SET age = 36 WHERE user_id = 1")
+    assert(rows(s) === Seq((1L, None, Some(36L))))
+  }
+
+  test("INSERT JSON: explicit null overwrites even under DEFAULT UNSET") {
+    val s = freshSession
+    s.execute("""INSERT INTO users JSON '{"user_id": 1, "name": "a", "age": 3}'""")
+    s.execute("""INSERT INTO users JSON '{"user_id": 1, "name": null}' DEFAULT UNSET""")
+    assert(rows(s) === Seq((1L, None, Some(3L))),
+      "name (explicit null) nulls out; age (omitted) survives under UNSET")
+  }
+
+  test("BATCH USING TTL applies to statements without their own") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE bt (id bigint PRIMARY KEY, v text)")
+    s.execute(
+      """BEGIN BATCH USING TIMESTAMP 1000000000 AND TTL 60
+        |  INSERT INTO bt (id, v) VALUES (1, 'fades');
+        |  INSERT INTO bt (id, v) VALUES (2, 'stays') USING TTL 100000;
+        |APPLY BATCH""".stripMargin)
+    def at(nowUs: Long) = s.view("bt", Some(nowUs))
+      .collect().map(_.getLong(0)).toSet
+    assert(at(1030000000L) === Set(1L, 2L))
+    assert(at(1070000000L) === Set(2L), "batch TTL expired row 1 at 60s")
+  }
+
+  test("timestamp literals: zone offsets and epoch millis coerce") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE tsf (id bigint PRIMARY KEY, t timestamp)")
+    s.execute("INSERT INTO tsf (id, t) VALUES (1, '2011-02-03T04:05:00+0000')")
+    s.execute("INSERT INTO tsf (id, t) VALUES (2, '2011-02-03 04:05+00:00')")
+    s.execute("INSERT INTO tsf (id, t) VALUES (3, 1296705900000)")
+    s.execute("INSERT INTO tsf (id, t) VALUES (4, '2011-02-03 04:05:00')")
+    val ts = s.execute("SELECT id, t FROM tsf ALLOW FILTERING").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    assert(ts.values.toSet.size === 1, s"all four forms = same instant: $ts")
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("INSERT INTO tsf (id, t) VALUES (5, 'not a time')")
+    }.getMessage.contains("invalid timestamp"))
+  }
+
+  test("blob literals: 0x hex round-trips; odd digit count rejected") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE bb (id bigint PRIMARY KEY, data blob)")
+    s.execute("INSERT INTO bb (id, data) VALUES (1, 0xCAFEBABE)")
+    val b = s.execute("SELECT data FROM bb WHERE id = 1")
+      .head().getAs[Array[Byte]](0)
+    assert(b.toSeq === Seq(0xCA.toByte, 0xFE.toByte, 0xBA.toByte, 0xBE.toByte))
+    intercept[CqlInvalidQueryException] {
+      s.execute("INSERT INTO bb (id, data) VALUES (2, 0xCAF)")
+    }
+  }
+
+  test("DDL rejects trailing garbage; DROP INDEX accepts keyspace-qualified names") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE dg (id bigint PRIMARY KEY, v text)")
+    intercept[CqlInvalidQueryException] {
+      s.execute("DROP TABLE dg WHERE oops")
+    }
+    s.execute("CREATE INDEX dg_v_idx ON dg (v)")
+    s.execute("DROP INDEX ks.dg_v_idx") // keyspace qualifier dropped
+    intercept[CqlInvalidQueryException] { s.execute("DROP INDEX dg_v_idx") }
+  }
+
   test("UDTs are nominal: identically-shaped types stay distinct") {
     val s = freshSession
     // upstream types are NAME-identified (schema/Types.java [U]) — two
