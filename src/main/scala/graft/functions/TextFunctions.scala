@@ -26,10 +26,22 @@ object TextFunctions {
     GraftShim.column(expressions.Md5Prefix64(GraftShim.expression(c)))
   }
 
-  /** Word n-gram shingles: ["a b c","b c d",…] for n=3. */
+  /** The train/eval hash-split convention shared bit-for-bit with the
+    * DuckDB twins: first 8 md5 hex chars of the key's string form →
+    * BIGINT, mod `m`. One definition — five queries split on it; drift
+    * between copies would silently split train/eval differently. */
+  def hashMod(key: Column, m: Int): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % m
+
+  /** Word n-gram shingles: ["a b c","b c d",…] for n=3. Documents with
+    * fewer than n tokens yield an EMPTY array — without the guard,
+    * sequence(0, negative) descends and slice(…, 0, …) throws at runtime
+    * on the first short document in the corpus. */
   def shingles(toks: Column, n: Int): Column =
-    transform(sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
 
   /** One MinHash signature component: min over shingles of a seeded 64-bit
     * hash. A full signature is an array of these with distinct seeds. */

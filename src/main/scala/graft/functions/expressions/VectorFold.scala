@@ -11,6 +11,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * `list_dot_product`/`list_distance` over `DOUBLE[]` casts. */
 abstract class VectorFoldExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // mismatched-length inputs yield null (the zip_with+aggregate builtin
+  // chain this fold claims identity with null-pads and propagates), so
+  // ragged/corrupt embedding rows surface as null, never a silent
+  // truncated score
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -34,7 +39,8 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var i = 0
     while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
     dot
@@ -45,12 +51,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $dot;
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
 
@@ -66,7 +76,8 @@ case class EuclideanDistance(left: Expression, right: Expression)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var s = 0.0; var i = 0
     while (i < n) {
       val dd = x.getFloat(i).toDouble - y.getFloat(i).toDouble
@@ -80,13 +91,17 @@ case class EuclideanDistance(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val s = ctx.freshName("s"); val dd = ctx.freshName("dd")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $dd = (double) $a.getFloat($i) - (double) $b.getFloat($i);
-         |  $s += $dd * $dd;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $dd = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |    $s += $dd * $dd;
+         |  }
+         |  ${ev.value} = java.lang.Math.sqrt($s);
          |}
-         |${ev.value} = java.lang.Math.sqrt($s);
        """.stripMargin
     })
 

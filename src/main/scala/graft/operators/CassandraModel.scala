@@ -156,8 +156,17 @@ object CassandraModel {
         max_by(col(c), when(col(c).isNotNull,
           struct(col("_writetime"), col(c)))).as(c)
     } ++ dataCols.map { c =>
-      // per-CELL writetime — what CQL's writetime(c) actually returns
-      max(when(written(c), col("_writetime"))).as(s"_writetime_$c")
+      // per-CELL writetime — what CQL's writetime(c) actually returns.
+      // For tombstone-carrying columns the WINNER decides: a cell whose
+      // newest write is a delete has NO writetime (upstream returns null
+      // for a deleted cell), not the shadowed older write's timestamp.
+      if (hasTomb(c)) {
+        val tomb = coalesce(col(s"_del_$c"), lit(false))
+        val w = max_by(struct(col("_writetime").as("wt"), tomb.as("d")),
+          when(col(c).isNotNull || tomb,
+            struct(col("_writetime"), tomb, col(c))))
+        when(!w.getField("d"), w.getField("wt")).as(s"_writetime_$c")
+      } else max(when(written(c), col("_writetime"))).as(s"_writetime_$c")
     } :+ max(col("_writetime")).as("_writetime")
     // Row-marker rule (upstream `db/rows/Row.primaryKeyLivenessInfo` [U]):
     // when the log distinguishes INSERTs (`_marker`), a row exists iff any
@@ -496,9 +505,21 @@ object CassandraModel {
       d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
       java.lang.Long.toHexString(src.lastModified())
     val ev = Tables.events(s, d)
+    // first-build race (two JVMs, one fixture): build into a pid-suffixed
+    // scratch dir, then atomically rename into place; the loser reads the
+    // winner's index
     val idx =
       if (new java.io.File(dir, "_SUCCESS").exists()) s.read.parquet(dir)
-      else buildSaiIndex(ev, "event_type", "event_id", dir)
+      else {
+        val scratch = dir + "_build_" + java.lang.ProcessHandle.current().pid()
+        buildSaiIndex(ev, "event_type", "event_id", scratch)
+        val tgt = new java.io.File(dir)
+        if (!new java.io.File(scratch).renameTo(tgt)) {
+          // a concurrent builder won; discard ours
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
+        }
+        s.read.parquet(dir)
+      }
     val hits = idx.filter(col("event_type") === "error")
       .select(col("event_id").as("hit_id"))
     ev.join(broadcast(hits), col("event_id") === col("hit_id"))

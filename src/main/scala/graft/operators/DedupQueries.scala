@@ -224,7 +224,8 @@ object DedupQueries {
       .withColumn("lbl", col("id")).localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 64) {
+    val maxRounds = 256 // >> any near-dup graph diameter; a backstop only
+    while (changed > 0 && rounds < maxRounds) {
       val nbr = sym.join(lbl, sym("src") === lbl("id"))
         .select(col("dst").as("id"), col("lbl"))
       // carry old and new labels in ONE checkpointed pass: the convergence
@@ -238,6 +239,10 @@ object DedupQueries {
       rounds += 1
     }
     sym.unpersist()
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxRounds supersteps " +
+        "(graph diameter exceeds the backstop) — refusing to return " +
+        "partial labels")
     lbl
   }
 

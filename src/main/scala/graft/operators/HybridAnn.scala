@@ -127,15 +127,20 @@ object HybridAnn {
     else postfilterKnn(s, d, pred, k)
   }
 
-  /** V9: selective predicate (`label = 3`, ~10 %) — the planner must take
-    * the pre-filter arm, so the oracle is the exact filtered top-k. */
+  /** V9: selective predicate (`label = 3`, ~10 %) — declares the
+    * PRE-FILTER arm directly so the oracle (exact filtered top-k) holds at
+    * any fixture scale; that [[knnHybrid]]'s planner picks this arm at the
+    * fixture's stats is asserted separately (HybridAnnSpec), because the
+    * cost model legitimately flips to post-filter at large n·sel, where the
+    * oracle could not follow. */
   def v9_hybrid_prefilter(s: SparkSession, d: String): DataFrame =
-    knnHybrid(s, d, col("label") === 3, 10)
+    prefilterKnn(s, d, col("label") === 3, 10)
 
-  /** V10: permissive predicate (`label != 3`, ~90 %) — the planner must
-    * take the post-filter arm; the oracle mirrors the bucket prune. */
+  /** V10: permissive predicate (`label != 3`, ~90 %) — declares the
+    * POST-FILTER arm (oracle mirrors the bucket prune); planner choice
+    * spec-asserted as above. */
   def v10_hybrid_postfilter(s: SparkSession, d: String): DataFrame =
-    knnHybrid(s, d, col("label") =!= 3, 10)
+    postfilterKnn(s, d, col("label") =!= 3, 10)
 
   /** V11: the multi-probe recall lever, declared — same permissive
     * predicate as v10 but probing the home bucket plus two hamming-1

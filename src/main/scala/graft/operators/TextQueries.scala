@@ -109,8 +109,7 @@ object TextQueries {
   def x6_sample(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .withColumn("h",
-        conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
-          .cast("long") % 100)
+        hashMod(col("event_id"), 100))
       .filter(col("h") < 10)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_sampled"), sum(col("event_id")).as("sum_ids"))
@@ -154,8 +153,7 @@ object TextQueries {
     val th = col("th")
     def shingled(split: Column => Column) = Tables.documents(s, d)
       .withColumn("h",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long") % 100)
+        hashMod(col("doc_id"), 100))
       .filter(split(col("h")))
       .select(col("doc_id"), transform(tokens(col("text")), t => xxhash64(t)).as("th"))
       .filter(size(th) >= 8) // sequence() needs stop ≥ start
@@ -182,8 +180,7 @@ object TextQueries {
   def x9_stratified(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("h",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long") % 100)
+        hashMod(col("doc_id"), 100))
       .withColumn("rate", when(col("lang") === "en", 10L).otherwise(50L))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
@@ -232,8 +229,7 @@ object TextQueries {
   def x11_perplexity(s: SparkSession, d: String): DataFrame = {
     def split(cmp: Column => Column) = Tables.documents(s, d)
       .withColumn("h",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long") % 100)
+        hashMod(col("doc_id"), 100))
       .filter(cmp(col("h")))
     val trainToks = split(_ >= 10)
       .select(explode(tokens(col("text"))).as("t"))
@@ -426,8 +422,7 @@ object TextQueries {
           lit(1000.0) * pow(col("n_docs").cast("double"), 0.5) / col("z") /
             col("n_docs").cast("double"))).as("thr_ppm"))
     docs.select(col("source"),
-        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long") % 1000000L).as("h"))
+        hashMod(col("doc_id"), 1000000).as("h"))
       .join(broadcast(thr), Seq("source"))
       .groupBy(col("source"))
       .agg(max(col("n_docs")).as("n_docs"),
@@ -736,7 +731,7 @@ object TextQueries {
         |    array_to_string(toks[(i*16+1):(i*16+32)], ' ') AS chunk
         |  FROM (SELECT doc_id, string_split(lower(text),' ') AS toks
         |        FROM documents WHERE doc_id < 100)
-        |  CROSS JOIN (SELECT unnest(range(0, 100)) AS i) g
+        |  CROSS JOIN (SELECT unnest(range(0, 100000)) AS i) g
         |  WHERE i <= (len(toks) - 1) // 16)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "x8_decontaminate" ->

@@ -105,9 +105,13 @@ object StreamingPipelines {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val s = batch.sparkSession
+        // Hadoop FS check, NOT java.io.File: on hdfs://, s3a://, … a local
+        // File probe is always false and the overwrite below would destroy
+        // the accumulated snapshot on every micro-batch
+        val p = new org.apache.hadoop.fs.Path(snapshotDir)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         val existing =
-          if (new java.io.File(snapshotDir).exists())
-            Some(s.read.parquet(snapshotDir)) else None
+          if (fs.exists(p)) Some(s.read.parquet(snapshotDir)) else None
         val log = existing.fold(batch.toDF())(_.unionByName(batch.toDF()))
         val merged = graft.operators.CassandraModel
           .compactWithGrace(log, nowWt, graceWt)
