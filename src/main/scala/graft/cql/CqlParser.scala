@@ -59,7 +59,7 @@ object CqlParser {
   // (Lexing '-5' as one literal made 'SET c=c-5' — no spaces — miss the
   // counter-decrement pattern and crash in parseLiteral instead.)
   private val tokenRe =
-    """\s*(?:('(?:[^']|'')*')|(0[xX][0-9a-fA-F]+)|(\d+\.\d+(?:[eE][-+]?\d+)?)|(\d+)|([A-Za-z_][A-Za-z0-9_]*)|(<=|>=|!=|[=<>(),*\[\]{}:;+.?-]))""".r
+    """\s*(?:('(?:[^']|'')*')|(0[xX][0-9a-fA-F]*)|(\d+\.\d+(?:[eE][-+]?\d+)?)|(\d+)|([A-Za-z_][A-Za-z0-9_]*)|(<=|>=|!=|[=<>(),*\[\]{}:;+.?-]))""".r
 
   private def tokenize(s: String): Vector[String] = {
     var rest = s.trim
@@ -188,6 +188,11 @@ object CqlParser {
     val counter = c.accept("counter")
     c.expect("batch")
     val (ts, batchTtl) = parseUsing(c)
+    // upstream Cql.g: "Global TTL on the BATCH statement is not supported"
+    // — only TIMESTAMP may ride the batch USING clause
+    if (batchTtl.isDefined)
+      throw new CqlInvalidQueryException(
+        "Global TTL on the BATCH statement is not supported.")
     var stmts = Vector.empty[CqlDml]
     while (!c.peekIs("apply")) {
       if (c.done) throw new CqlInvalidQueryException("missing APPLY BATCH")
@@ -197,16 +202,8 @@ object CqlParser {
     c.expect("apply"); c.expect("batch")
     if (!c.done)
       throw new CqlInvalidQueryException(s"unexpected trailing input near ${c.peek}")
-    // counter batches are unlogged upstream (no batchlog for counters);
-    // a batch-level TTL is the default for statements lacking their own
-    // (upstream Attributes are per-batch, BatchStatement [U])
-    val withTtl = if (batchTtl.isEmpty) stmts else stmts.map {
-      case i: CqlInsert => i.copy(usingTtl = i.usingTtl.orElse(batchTtl))
-      case i: CqlInsertJson => i.copy(usingTtl = i.usingTtl.orElse(batchTtl))
-      case u: CqlUpdate => u.copy(usingTtl = u.usingTtl.orElse(batchTtl))
-      case d => d
-    }
-    CqlBatch(withTtl, ts, logged = !unlogged && !counter, counter = counter)
+    // counter batches are unlogged upstream (no batchlog for counters)
+    CqlBatch(stmts, ts, logged = !unlogged && !counter, counter = counter)
   }
 
   private def parseDmlCursor(c: Cursor): CqlDml =
@@ -843,7 +840,7 @@ object CqlParser {
       CqlFnLit(t.toLowerCase, arg)
     }
     else if (t.startsWith("'")) t.substring(1, t.length - 1).replace("''", "'")
-    else if (t.length > 2 && (t.startsWith("0x") || t.startsWith("0X"))) {
+    else if (t.length >= 2 && (t.startsWith("0x") || t.startsWith("0X"))) {
       // hex blob literal (upstream BytesType): decoded to bytes
       if (t.length % 2 != 0) throw new CqlInvalidQueryException(
         s"blob literal $t has an odd number of hex digits")

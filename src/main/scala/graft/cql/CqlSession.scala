@@ -765,8 +765,13 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           val iso = norm.replace(" ", "T")
             .replaceAll("(T\\d{2}:\\d{2})([Z+-])", "$1:00$2")
           java.sql.Timestamp.from(java.time.OffsetDateTime.parse(iso).toInstant)
-        } else java.sql.Timestamp.valueOf(
-          if (norm.contains(" ")) norm else norm + " 00:00:00")
+        } else {
+          val padded = // minute-precision 'yyyy-MM-dd HH:mm' is valid CQL
+            if (norm.matches("\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}")) norm + ":00"
+            else if (norm.contains(" ")) norm
+            else norm + " 00:00:00"
+          java.sql.Timestamp.valueOf(padded)
+        }
       } catch {
         case _: RuntimeException => throw new CqlInvalidQueryException(
           s"invalid timestamp literal: $s")
@@ -789,6 +794,16 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       s"cannot coerce $other to $t")
   }
 
+  /** The null-cell write for a column type: collections/UDTs fold a
+    * `set`-to-null, scalars need an explicit tombstone. ONE definition —
+    * the rule is shared by `SET c = null`, `DELETE c`, and INSERT JSON
+    * nulls; divergent copies would split the write paths. */
+  private def nullCellFor(dt: DataType): (Any, String) = {
+    val isColl = dt.isInstanceOf[ArrayType] ||
+      dt.isInstanceOf[MapType] || dt.isInstanceOf[StructType]
+    (null, if (isColl) "set" else "tomb")
+  }
+
   /** The (value, op) cell pair a column assignment contributes to a log row.
     * Scalar columns carry only a value; collection columns also carry the
     * operation the read-path fold applies. */
@@ -806,9 +821,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         // an explicit null write IS a delete (upstream Constants.Deleter):
         // scalar cells get a tombstone — op "set" with a null payload would
         // be invisible to the read fold and resurrect the older value
-        val isColl = dt.isInstanceOf[ArrayType] ||
-          dt.isInstanceOf[MapType] || dt.isInstanceOf[StructType]
-        (null, if (isColl) "set" else "tomb")
+        nullCellFor(dt)
       case (CqlAssignValue(v), _) => (coerce(v, dt), "set")
       case (CqlCollAdd(v: CqlList), _: ArrayType) => (coerce(v, dt), "app")
       case (CqlCollAdd(v: CqlSetLit), _: ArrayType) => (coerce(v, dt), "uni")
@@ -868,10 +881,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           val dt = t.schema(t.schema.fieldIndex(c)).dataType
           cols.find(_.column.equalsIgnoreCase(c)) match {
             case Some(CqlDelItem(_, None)) =>
-              val isColl = dt.isInstanceOf[ArrayType] ||
-                dt.isInstanceOf[MapType] || dt.isInstanceOf[StructType]
               // collection/UDT cell delete = SET to null; scalar = tombstone
-              c -> Some((null: Any, if (isColl) "set" else "tomb"))
+              c -> Some(nullCellFor(dt))
             case Some(CqlDelItem(_, Some(sub))) =>
               (dt, sub) match {
                 // element delete: list index drop / map key discard /
@@ -942,6 +953,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       case (x: java.math.BigDecimal, y: scala.math.BigDecimal) =>
         Some(x.compareTo(y.bigDecimal))
       case (x: java.sql.Timestamp, y: java.sql.Timestamp) => Some(x.compareTo(y))
+      case (x: Array[Byte], y: Array[Byte]) => // blob: unsigned bytewise
+        Some(java.util.Arrays.compareUnsigned(x, y))
       case _ => None
     }
     op match {
@@ -1067,10 +1080,18 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * never tombstoned — they must be present either way. */
   private def jsonCells(t: TableState,
       j: CqlInsertJson): Seq[(String, Option[(Any, String)])] = {
-    val parsed = spark.range(1)
-      .select(from_json(lit(j.json), t.schema).as("r"),
-        json_object_keys(lit(j.json)).as("ks"))
-      .head()
+    val parsed =
+      try spark.range(1)
+        .select(from_json(lit(j.json), t.schema,
+          Map("mode" -> "FAILFAST")).as("r"),
+          json_object_keys(lit(j.json)).as("ks"))
+        .head()
+      catch { // FAILFAST: an uncoercible value is an invalid request
+        // (upstream 'Unable to make <type> from …'), never a tombstone
+        case e: org.apache.spark.SparkException =>
+          throw new CqlInvalidQueryException(
+            s"invalid JSON value for table schema: ${j.json} (${e.getMessage.linesIterator.next()})")
+      }
     if (parsed.isNullAt(1))
       throw new CqlInvalidQueryException(s"malformed JSON: ${j.json}")
     val r = parsed.getStruct(0)
@@ -1079,12 +1100,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     dataCols(t).map { c =>
       val i = t.schema.fieldIndex(c)
       val inJson = present.contains(c.toLowerCase)
-      def nullCell = { // null-out the cell like `UPDATE … SET c = null`
-        val dt = t.schema.fields(i).dataType
-        val isColl = dt.isInstanceOf[ArrayType] ||
-          dt.isInstanceOf[MapType] || dt.isInstanceOf[StructType]
-        Some((null: Any, if (isColl) "set" else "tomb"))
-      }
+      def nullCell = // null-out the cell like `UPDATE … SET c = null`
+        Some(nullCellFor(t.schema.fields(i).dataType))
       val cell =
         if (inJson && !r.isNullAt(i)) Some((r.get(i), "set"))
         else if (keys.exists(_.equalsIgnoreCase(c))) None // key: gate below

@@ -511,9 +511,17 @@ object CassandraModel {
     val idx =
       if (new java.io.File(dir, "_SUCCESS").exists()) s.read.parquet(dir)
       else {
-        val scratch = dir + "_build_" + java.lang.ProcessHandle.current().pid()
+        // scratch is unique per process AND thread (parallel suites in one
+        // JVM must not share a build dir); rename into place is the commit
+        val scratch = dir + "_build_" +
+          java.lang.ProcessHandle.current().pid() + "_" +
+          Thread.currentThread().getId
         buildSaiIndex(ev, "event_type", "event_id", scratch)
         val tgt = new java.io.File(dir)
+        // a leftover PARTIAL target (crashed builder: dir without
+        // _SUCCESS) must not survive — remove it so the fresh build lands
+        if (tgt.exists() && !new java.io.File(dir, "_SUCCESS").exists())
+          org.apache.commons.io.FileUtils.deleteQuietly(tgt)
         if (!new java.io.File(scratch).renameTo(tgt)) {
           // a concurrent builder won; discard ours
           org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))

@@ -129,8 +129,8 @@ object HybridAnn {
 
   /** V9: selective predicate (`label = 3`, ~10 %) — declares the
     * PRE-FILTER arm directly so the oracle (exact filtered top-k) holds at
-    * any fixture scale; that [[knnHybrid]]'s planner picks this arm at the
-    * fixture's stats is asserted separately (HybridAnnSpec), because the
+    * any fixture scale; [[knnHybrid]]'s end-to-end routing is asserted by
+    * HybridAnnSpec's "knnHybrid routes by decide()" test, because the
     * cost model legitimately flips to post-filter at large n·sel, where the
     * oracle could not follow. */
   def v9_hybrid_prefilter(s: SparkSession, d: String): DataFrame =

@@ -722,6 +722,8 @@ object TextQueries {
         |FROM events
         |WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // row-wise unnest(range(...)) generates exactly the per-doc chunk
+    // count — no generator cap, no cross-join blowup
     "x7_chunks" ->
       """SELECT doc_id, cast(chunk_idx AS int) AS chunk_idx,
         |  cast(len(string_split(chunk, ' ')) AS int) AS n_chunk_tokens,
@@ -729,10 +731,11 @@ object TextQueries {
         |FROM (
         |  SELECT doc_id, i AS chunk_idx,
         |    array_to_string(toks[(i*16+1):(i*16+32)], ' ') AS chunk
-        |  FROM (SELECT doc_id, string_split(lower(text),' ') AS toks
-        |        FROM documents WHERE doc_id < 100)
-        |  CROSS JOIN (SELECT unnest(range(0, 100000)) AS i) g
-        |  WHERE i <= (len(toks) - 1) // 16)
+        |  FROM (
+        |    SELECT doc_id, toks,
+        |      unnest(range(0, (len(toks) - 1) // 16 + 1)) AS i
+        |    FROM (SELECT doc_id, string_split(lower(text),' ') AS toks
+        |          FROM documents WHERE doc_id < 100)))
         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "x8_decontaminate" ->
       """WITH sh AS (

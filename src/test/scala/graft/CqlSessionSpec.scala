@@ -1140,20 +1140,33 @@ class CqlSessionSpec extends SparkSpec {
     s.execute("""INSERT INTO users JSON '{"user_id": 1, "name": null}' DEFAULT UNSET""")
     assert(rows(s) === Seq((1L, None, Some(3L))),
       "name (explicit null) nulls out; age (omitted) survives under UNSET")
+    // an uncoercible value is an invalid request (upstream 'Unable to
+    // make bigint from …'), NEVER a silent tombstone
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("""INSERT INTO users JSON '{"user_id": 1, "age": "abc"}'""")
+    }.getMessage.contains("invalid JSON value"))
+    assert(rows(s) === Seq((1L, None, Some(3L))), "age untouched by the error")
   }
 
-  test("BATCH USING TTL applies to statements without their own") {
+  test("BATCH-level USING TTL is rejected, per-statement TTLs apply") {
     val s = CqlSession(spark)
     s.execute("CREATE TABLE bt (id bigint PRIMARY KEY, v text)")
+    // upstream Cql.g: global TTL on BATCH is a hard error
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute(
+        """BEGIN BATCH USING TIMESTAMP 1000000000 AND TTL 60
+          |  INSERT INTO bt (id, v) VALUES (1, 'x');
+          |APPLY BATCH""".stripMargin)
+    }.getMessage.contains("Global TTL"))
     s.execute(
-      """BEGIN BATCH USING TIMESTAMP 1000000000 AND TTL 60
-        |  INSERT INTO bt (id, v) VALUES (1, 'fades');
-        |  INSERT INTO bt (id, v) VALUES (2, 'stays') USING TTL 100000;
+      """BEGIN BATCH USING TIMESTAMP 1000000000
+        |  INSERT INTO bt (id, v) VALUES (1, 'fades') USING TTL 60;
+        |  INSERT INTO bt (id, v) VALUES (2, 'stays');
         |APPLY BATCH""".stripMargin)
     def at(nowUs: Long) = s.view("bt", Some(nowUs))
       .collect().map(_.getLong(0)).toSet
     assert(at(1030000000L) === Set(1L, 2L))
-    assert(at(1070000000L) === Set(2L), "batch TTL expired row 1 at 60s")
+    assert(at(1070000000L) === Set(2L), "statement TTL expired row 1 at 60s")
   }
 
   test("timestamp literals: zone offsets and epoch millis coerce") {
@@ -1163,9 +1176,10 @@ class CqlSessionSpec extends SparkSpec {
     s.execute("INSERT INTO tsf (id, t) VALUES (2, '2011-02-03 04:05+00:00')")
     s.execute("INSERT INTO tsf (id, t) VALUES (3, 1296705900000)")
     s.execute("INSERT INTO tsf (id, t) VALUES (4, '2011-02-03 04:05:00')")
+    s.execute("INSERT INTO tsf (id, t) VALUES (6, '2011-02-03 04:05')")
     val ts = s.execute("SELECT id, t FROM tsf ALLOW FILTERING").collect()
       .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
-    assert(ts.values.toSet.size === 1, s"all four forms = same instant: $ts")
+    assert(ts.values.toSet.size === 1, s"all five forms = same instant: $ts")
     assert(intercept[CqlInvalidQueryException] {
       s.execute("INSERT INTO tsf (id, t) VALUES (5, 'not a time')")
     }.getMessage.contains("invalid timestamp"))
@@ -1181,6 +1195,14 @@ class CqlSessionSpec extends SparkSpec {
     intercept[CqlInvalidQueryException] {
       s.execute("INSERT INTO bb (id, data) VALUES (2, 0xCAF)")
     }
+    // empty blob (upstream zero-length BytesType)
+    s.execute("INSERT INTO bb (id, data) VALUES (3, 0x)")
+    assert(s.execute("SELECT data FROM bb WHERE id = 3")
+      .head().getAs[Array[Byte]](0).isEmpty)
+    // LWT conditions compare blobs bytewise, not by reference
+    val r = s.execute(
+      "UPDATE bb SET data = 0x00 WHERE id = 1 IF data = 0xCAFEBABE")
+    assert(r.head().getBoolean(0), "[applied] must be true on byte equality")
   }
 
   test("DDL rejects trailing garbage; DROP INDEX accepts keyspace-qualified names") {

@@ -49,6 +49,20 @@ class HybridAnnSpec extends SparkSpec {
     assert(df.collect().forall(_.getInt(1) === 3))
   }
 
+  test("knnHybrid routes by decide(): selective pre arm, permissive post arm") {
+    // plan shape identifies the arm: pre-filter = pushed predicate +
+    // broadcast query vector (nested-loop); post-filter = bucket equi-join
+    val pre = HybridAnn.knnHybrid(spark, sf, col("label") === 3, 10)
+      .queryExecution.executedPlan.toString
+    assert(pre.contains("BroadcastNestedLoopJoin"),
+      s"selective predicate must route to the pre-filter arm:\n$pre")
+    val post = HybridAnn.knnHybrid(spark, sf, col("label") =!= 3, 10)
+      .queryExecution.executedPlan.toString
+    assert(post.contains("BroadcastHashJoin") ||
+      post.contains("SortMergeJoin"),
+      s"permissive predicate must route to the bucket equi-join arm:\n$post")
+  }
+
   test("v10 takes the post-filter arm and its candidates come from ONE bucket") {
     val stats = HybridAnn.probeStats(
       Tables.embeddings(spark, sf), col("label") =!= 3)
