@@ -270,7 +270,10 @@ object CqlParser {
         }
         c.expect("from")
         val table = tableName(c)
-        val (ts, _) = parseUsing(c)
+        val (ts, delTtl) = parseUsing(c)
+        if (delTtl.isDefined)
+          throw new CqlInvalidQueryException(
+            "TTL is not supported on DELETE statements")
         c.expect("where")
         val preds = parseKeyPredicates(c)
         CqlDelete(table, preds, ts, parseCondition(c), cols)

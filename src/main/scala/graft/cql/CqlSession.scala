@@ -763,6 +763,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       try {
         if (norm.matches(".*([+-]\\d{2}:\\d{2}|Z)$")) {
           val iso = norm.replace(" ", "T")
+            // date-only with zone ('2011-02-03+00:00'): give it midnight
+            .replaceAll("^(\\d{4}-\\d{2}-\\d{2})([Z+-])", "$1T00:00:00$2")
             .replaceAll("(T\\d{2}:\\d{2})([Z+-])", "$1:00$2")
           java.sql.Timestamp.from(java.time.OffsetDateTime.parse(iso).toInstant)
         } else {
@@ -1087,8 +1089,13 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           json_object_keys(lit(j.json)).as("ks"))
         .head()
       catch { // FAILFAST: an uncoercible value is an invalid request
-        // (upstream 'Unable to make <type> from …'), never a tombstone
-        case e: org.apache.spark.SparkException =>
+        // (upstream 'Unable to make <type> from …'), never a tombstone.
+        // Only the malformed-record error class is the client's fault —
+        // any other job failure stays an infrastructure error.
+        case e: org.apache.spark.SparkException
+            if e.getMessage != null &&
+              (e.getMessage.contains("MALFORMED_RECORD") ||
+                e.getMessage.contains("Malformed")) =>
           throw new CqlInvalidQueryException(
             s"invalid JSON value for table schema: ${j.json} (${e.getMessage.linesIterator.next()})")
       }

@@ -474,6 +474,8 @@ object CassandraModel {
       dbl(dec6(sum(dec6(col("price"))))).as("sum_price"))
   }
 
+  private val saiBuildLock = new Object
+
   /** 2i/SAI analogue (upstream `index/sai/` term index [U]): the index IS
     * a persisted (term, row-id) postings projection, sorted by term so a
     * term lookup reaches the scan as a pushed parquet filter (dictionary +
@@ -508,11 +510,13 @@ object CassandraModel {
     // first-build race (two JVMs, one fixture): build into a pid-suffixed
     // scratch dir, then atomically rename into place; the loser reads the
     // winner's index
-    val idx =
+    // intra-JVM builders serialize on the lock (parallel suites); the
+    // cross-process window is the atomic renameTo itself. The _SUCCESS
+    // re-check inside the lock means a waiting builder reads the winner's
+    // committed index instead of rebuilding.
+    val idx = saiBuildLock.synchronized {
       if (new java.io.File(dir, "_SUCCESS").exists()) s.read.parquet(dir)
       else {
-        // scratch is unique per process AND thread (parallel suites in one
-        // JVM must not share a build dir); rename into place is the commit
         val scratch = dir + "_build_" +
           java.lang.ProcessHandle.current().pid() + "_" +
           Thread.currentThread().getId
@@ -523,11 +527,16 @@ object CassandraModel {
         if (tgt.exists() && !new java.io.File(dir, "_SUCCESS").exists())
           org.apache.commons.io.FileUtils.deleteQuietly(tgt)
         if (!new java.io.File(scratch).renameTo(tgt)) {
-          // a concurrent builder won; discard ours
+          // a concurrent PROCESS won; discard ours — but never serve a
+          // partial dir: the committed index must carry its _SUCCESS
           org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
+          if (!new java.io.File(dir, "_SUCCESS").exists())
+            throw new IllegalStateException(
+              s"SAI index at $dir is incomplete and could not be replaced")
         }
         s.read.parquet(dir)
       }
+    }
     val hits = idx.filter(col("event_type") === "error")
       .select(col("event_id").as("hit_id"))
     ev.join(broadcast(hits), col("event_id") === col("hit_id"))

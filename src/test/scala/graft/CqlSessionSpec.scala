@@ -1158,6 +1158,10 @@ class CqlSessionSpec extends SparkSpec {
           |  INSERT INTO bt (id, v) VALUES (1, 'x');
           |APPLY BATCH""".stripMargin)
     }.getMessage.contains("Global TTL"))
+    // DELETE grammar likewise admits only TIMESTAMP in its USING clause
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("DELETE FROM bt USING TTL 60 WHERE id = 1")
+    }.getMessage.contains("TTL is not supported on DELETE"))
     s.execute(
       """BEGIN BATCH USING TIMESTAMP 1000000000
         |  INSERT INTO bt (id, v) VALUES (1, 'fades') USING TTL 60;
@@ -1177,9 +1181,14 @@ class CqlSessionSpec extends SparkSpec {
     s.execute("INSERT INTO tsf (id, t) VALUES (3, 1296705900000)")
     s.execute("INSERT INTO tsf (id, t) VALUES (4, '2011-02-03 04:05:00')")
     s.execute("INSERT INTO tsf (id, t) VALUES (6, '2011-02-03 04:05')")
+    // date-only with zone (upstream 'yyyy-MM-ddX' pattern) — midnight UTC
+    s.execute("INSERT INTO tsf (id, t) VALUES (7, '2011-02-03+0000')")
+    assert(s.execute("SELECT t FROM tsf WHERE id = 7").head()
+      .getTimestamp(0).getTime === 1296691200000L)
     val ts = s.execute("SELECT id, t FROM tsf ALLOW FILTERING").collect()
       .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
-    assert(ts.values.toSet.size === 1, s"all five forms = same instant: $ts")
+    assert((ts - 7L).values.toSet.size === 1,
+      s"all five time-bearing forms = same instant: $ts")
     assert(intercept[CqlInvalidQueryException] {
       s.execute("INSERT INTO tsf (id, t) VALUES (5, 'not a time')")
     }.getMessage.contains("invalid timestamp"))
