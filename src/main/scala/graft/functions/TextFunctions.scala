@@ -34,14 +34,18 @@ object TextFunctions {
     conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % m
 
   /** Word n-gram shingles: ["a b c","b c d",…] for n=3. Documents with
-    * fewer than n tokens yield an EMPTY array — without the guard,
-    * sequence(0, negative) descends and slice(…, 0, …) throws at runtime
-    * on the first short document in the corpus. */
+    * fewer than n tokens yield an EMPTY array — a bare
+    * sequence(0, size-n) descends for them and slice(…, 0, …) throws on
+    * the first short document in the corpus. The guard is BRANCH-FREE
+    * (slice of an over-generated index range): a when() here puts the
+    * transform inside a conditional branch, which defeats Spark's
+    * subexpression elimination and re-evaluates the whole pipeline per
+    * reference (measured 6× on x12). */
   def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    transform(
+      slice(sequence(lit(0), size(toks)), lit(1),
+        greatest(size(toks) - n + lit(1), lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
 
   /** One MinHash signature component: min over shingles of a seeded 64-bit
     * hash. A full signature is an array of these with distinct seeds. */

@@ -260,9 +260,11 @@ object TextQueries {
     * gram) then a map-side partial per doc, no joins, no global state. */
   def x12_repetition(s: SparkSession, d: String): DataFrame = {
     // repetition is PER-DOCUMENT — no shuffle needed at all: sort the
-    // row's bigram array and fold run-lengths in one codegen'd pass
-    // (vs explode + two hash-aggregates: 2 shuffles and 2.1 s → ~0.3 s
-    // at sf0.1; at 100 TB the difference is a full corpus shuffle)
+    // row's bigram array and fold run-lengths in one pass (vs explode +
+    // two hash-aggregates: 2 shuffles, measured slower at sf0.1; at
+    // 100 TB the difference is a full corpus shuffle). The ~1.8 s cost is
+    // the interpreted per-row array sort+fold — the price of staying
+    // shuffle-free.
     val grams = array_sort(shingles(tokens(col("text")), 2))
     val zero = struct(lit("").as("prev"), lit(0).as("run"),
       lit(0).as("maxrun"), lit(0).as("dup"))
