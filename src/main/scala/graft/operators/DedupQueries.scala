@@ -226,14 +226,7 @@ object DedupQueries {
     var rounds = 0
     val maxRounds = 256 // >> any near-dup graph diameter; a backstop only
     while (changed > 0 && rounds < maxRounds) {
-      val nbr = sym.join(lbl, sym("src") === lbl("id"))
-        .select(col("dst").as("id"), col("lbl"))
-      // carry old and new labels in ONE checkpointed pass: the convergence
-      // count then reads the materialized rows instead of recomputing the
-      // join+aggregate a second time (which doubled every superstep)
-      val merged = nbr.unionByName(lbl)
-        .groupBy("id").agg(min("lbl").as("newlbl"), max("lbl").as("maxlbl"))
-        .localCheckpoint()
+      val merged = superstep(sym, lbl).localCheckpoint()
       changed = merged.filter(col("newlbl") < col("maxlbl")).count()
       lbl = merged.select(col("id"), col("newlbl").as("lbl"))
       rounds += 1
@@ -244,6 +237,18 @@ object DedupQueries {
         "(graph diameter exceeds the backstop) — refusing to return " +
         "partial labels")
     lbl
+  }
+
+  /** One min-label-propagation round: neighbor labels via an equi-join on
+    * the vertex, then ONE vertex-keyed aggregate carrying old+new labels so
+    * the convergence count reads the checkpointed rows instead of
+    * recomputing the join (which doubled every superstep). Exposed for
+    * ScalePlanSpec, which pins the per-round plan shape. */
+  private[graft] def superstep(sym: DataFrame, lbl: DataFrame): DataFrame = {
+    val nbr = sym.join(lbl, sym("src") === lbl("id"))
+      .select(col("dst").as("id"), col("lbl"))
+    nbr.unionByName(lbl)
+      .groupBy("id").agg(min("lbl").as("newlbl"), max("lbl").as("maxlbl"))
   }
 
   /** D6 (L2 cluster consolidation): the step real dedup pipelines need
@@ -265,12 +270,30 @@ object DedupQueries {
           size(array_union(col("a.sh"), col("b.sh")))).as("j"))
       .filter(col("j") > 0.01)
       .select("src", "dst")
-    connectedComponents(pairs)
-      .groupBy(col("lbl").as("comp_id"))
-      .agg(count(lit(1)).as("n_docs"),
-        sort_array(collect_list(col("id"))).as("members"))
-      .orderBy("comp_id")
+    componentSummary(connectedComponents(pairs))
   }
+
+  /** One row per component: representative id, size, members as a sorted
+    * comma-joined STRING — a string (not an array) so the driver's pandas
+    * sort/hash gate can order the column (arrays are unhashable there). */
+  private def componentSummary(lbl: DataFrame): DataFrame =
+    lbl.groupBy(col("lbl").as("comp_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws(",", sort_array(collect_list(col("id")))).as("members"))
+      .orderBy("comp_id")
+
+  /** D7 (L2+ production consolidation): the pipeline a 100 TB dedup run
+    * actually executes — LSH candidate pairs (D3's md5-shared banding, so
+    * every step is oracle-expressible) → connected components → one row per
+    * cluster. D6 verifies the closure algebra on exact Jaccard edges; D7 is
+    * the declared scale path: pair generation is D3's single (band,bandhash)
+    * shuffle (never an all-pairs join), and each component superstep is one
+    * checkpointed shuffle (see [[connectedComponents]]). The DuckDB twin
+    * re-derives the identical candidate set from the shared band algebra and
+    * closes it with a recursive CTE. */
+  def d7_components_lsh(s: SparkSession, d: String): DataFrame =
+    componentSummary(connectedComponents(
+      d3_minhash_lsh(s, d).select(col("id_a").as("src"), col("id_b").as("dst"))))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact" -> (d1_exact _),
@@ -279,25 +302,27 @@ object DedupQueries {
     "d4_simhash" -> (d4_simhash _),
     "d5_ngram_jaccard" -> (d5_ngram_jaccard _),
     "d6_components" -> (d6_components _),
+    "d7_components_lsh" -> (d7_components_lsh _),
   )
 
-  private val corpusCte =
-    """WITH corpus AS (
+  private val corpusCteBody =
+    """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)""".stripMargin
+  private val corpusCte = "WITH " + corpusCteBody
 
   /** D3's DuckDB twin, generated from the same constants: md5-derived token
     * hash mod p, polynomial shingle hash, 32 Carter-Wegman min-perms, 8×4
     * bands. The band KEY representation differs (string tuple here, xxhash64
     * there) but grouping equality — the only thing the output depends on —
     * is identical. */
-  private val d3Oracle: String = {
+  private val d3CandCtes: String = {
     val mins = (0 until 32).map { i =>
       s"min((h * ${2L * i + 0x9E3779B1L} + ${i * 0x85EBCA77L}) % 2147483647) AS m$i"
     }.mkString(", ")
     val sigArr = (0 until 32).map(i => s"m$i").mkString("[", ", ", "]")
-    s"""$corpusCte,
+    s"""$corpusCteBody,
        |tok AS (SELECT doc_id, list_transform(string_split(lower(text), ' '),
        |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647) AS th
        |  FROM corpus),
@@ -310,13 +335,31 @@ object DedupQueries {
        |    array_to_string(($sigArr)[(band*4+1):(band*4+4)], ',') AS key
        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b),
        |ok AS (SELECT band, key FROM banded GROUP BY band, key
-       |       HAVING count(*) BETWEEN 2 AND $MaxBucket)
-       |SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-       |FROM banded a
-       |JOIN ok ON ok.band = a.band AND ok.key = a.key
-       |JOIN banded c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
-       |ORDER BY id_a, id_b""".stripMargin
+       |       HAVING count(*) BETWEEN 2 AND $MaxBucket),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+       |  FROM banded a
+       |  JOIN ok ON ok.band = a.band AND ok.key = a.key
+       |  JOIN banded c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id)""".stripMargin
   }
+
+  private val d3Oracle: String =
+    s"""WITH $d3CandCtes
+       |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin
+
+  /** D7's twin: D3's candidate CTEs verbatim, closed by a recursive CTE —
+    * the same closure algebra as D6's twin, over the LSH candidate graph. */
+  private val d7Oracle: String =
+    s"""WITH RECURSIVE $d3CandCtes,
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+       |          UNION SELECT id_b, id_a FROM cand),
+       |reach AS (
+       |  SELECT src AS a, src AS b FROM edges
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+       |SELECT lbl AS comp_id, count(*) AS n_docs,
+       |  string_agg(id::VARCHAR, ',' ORDER BY id) AS members
+       |FROM (SELECT a AS id, min(b) AS lbl FROM reach GROUP BY a)
+       |GROUP BY lbl ORDER BY comp_id""".stripMargin
 
   /** D4's DuckDB twin: same 60-bit md5-derived sketch, bit-for-bit. */
   private val d4Oracle: String =
@@ -401,8 +444,9 @@ object DedupQueries {
         |  UNION
         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
         |SELECT lbl AS comp_id, count(*) AS n_docs,
-        |  list(id ORDER BY id) AS members
+        |  string_agg(id::VARCHAR, ',' ORDER BY id) AS members
         |FROM (SELECT a AS id, min(b) AS lbl FROM reach GROUP BY a)
         |GROUP BY lbl ORDER BY comp_id""".stripMargin,
+    "d7_components_lsh" -> d7Oracle,
   )
 }

@@ -195,6 +195,41 @@ class ScalePlanSpec extends SparkSpec {
       s"only the SinglePartition stats exchange is allowed:\n$plan")
   }
 
+  test("d7 candidate generation: in-bucket expansion, never a pair join") {
+    // the LSH candidate set must come from ONE (band,bandhash) aggregate +
+    // in-bucket array expansion — a self-join would recompute the whole
+    // shingle→signature subtree per side (2× scans) and a cartesian would
+    // be the all-pairs shape that dies at 100 TB
+    val plan = graft.operators.DedupQueries.d3_minhash_lsh(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"candidates must not join:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans <= 2, // corpusWithDups unions 2 reads of documents; a
+      s"self-join would double the corpus scans ($scans):\n$plan")
+  }
+
+  test("components superstep: equi-join + one vertex-keyed aggregate, " +
+      "map-side partials, no cartesian") {
+    import graft.operators.DedupQueries
+    val edges = Tables.documents(spark, sf).limit(200)
+      .select((col("doc_id") % 50).as("src"), (col("doc_id") % 97).as("dst"))
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    val lbl = sym.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    val plan = DedupQueries.superstep(sym, lbl)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"superstep must stay an equi-join:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("Partial"),
+      s"label aggregate must combine map-side:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 3, // join's two sides + the vertex aggregate; a
+      s"superstep shuffle count exploded ($shuffles):\n$plan") // fixpoint
+    // recompute would show up as extra exchanges per round
+  }
+
   test("x17 Gopher cascade: one scan, one aggregate on source, no joins") {
     val plan = graft.operators.TextQueries.x17_gopher_rules(spark, sf)
       .queryExecution.executedPlan.toString
