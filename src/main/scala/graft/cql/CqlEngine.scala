@@ -56,9 +56,12 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
     * contract, reproduced here. Each page is an ordinary engine query
     * (LIMIT fetchSize over clustering order); pages materialize
     * `fetchSize` rows to the client, which is what paging means. Supports
-    * plain row SELECTs in ASC clustering order within restricted
-    * partitions (upstream pages across partitions by token range — S2/C5
-    * cover that axis). */
+    * plain row SELECTs: single-partition queries page in clustering order
+    * with a pushed tuple restriction; multi-partition queries (pk IN,
+    * ALLOW FILTERING scans) page in (pk…, ck…) order with the partition
+    * key carried in the resume token (upstream pages those by token
+    * range — S2/C5 cover the token axis; pk-value order is the
+    * total-order analogue here). */
   def executePaged(cql: String, fetchSize: Int): Iterator[DataFrame] = {
     require(fetchSize > 0, "fetchSize must be positive")
     val sel = CqlParser.parse(cql)
@@ -86,7 +89,25 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
     val flip = sel.orderBy.exists(o =>
       o.nonEmpty && o.head.asc == declaredDesc.head)
     val dirDesc = declaredDesc.map(_ ^ flip)
-    val uniform = dirDesc.distinct.size == 1
+    // Clustering-only page tokens are sound only inside ONE partition: a
+    // multi-partition SELECT (pk IN, partial pk / non-key ALLOW FILTERING,
+    // full scan) must carry the partition key in the page order AND the
+    // resume token, or rows in other partitions sharing the boundary
+    // clustering tuple are silently skipped at page edges (and every
+    // partition's static phantom shares the all-null tuple). Upstream pages
+    // those by token range; pk-value order is this engine's total-order
+    // analogue (documented deviation: pk order, not token order).
+    val singlePartition = table.partitionKeys.forall(pk =>
+      sel.predicates.exists {
+        case p: ColumnPredicate =>
+          !p.isToken && p.column.equalsIgnoreCase(pk) && p.op == "="
+        case _ => false
+      })
+    val pageCols =
+      (if (singlePartition) Seq.empty else table.partitionKeys) ++ cks
+    val pageDirs =
+      Seq.fill(pageCols.length - cks.length)(false) ++ dirDesc
+    val uniform = singlePartition && dirDesc.distinct.size == 1
 
     new Iterator[DataFrame] {
       private var after: Option[Seq[Any]] = None
@@ -128,19 +149,26 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
         var pageAll = execute(sel.copy(
           selectors = table.df.columns.toSeq.map(ColumnSelector(_, None)),
           predicates = preds, json = false,
-          orderBy = Some(cks.zip(dirDesc).map { case (c0, d) =>
-            OrderBy(c0, asc = !d) }),
+          // the CQL-level ORDER BY demands a restricted partition key —
+          // multi-partition pages sort at the DataFrame level below
+          orderBy = if (singlePartition)
+            Some(cks.zip(dirDesc).map { case (c0, d) =>
+              OrderBy(c0, asc = !d) })
+          else None,
           limit = None))
         if (!uniform) after.foreach { v =>
-          pageAll = pageAll.filter(afterTuple(cks, v, dirDesc))
+          pageAll = pageAll.filter(afterTuple(pageCols, v, pageDirs))
         }
+        if (!singlePartition)
+          pageAll = pageAll.orderBy(pageCols.zip(pageDirs).map {
+            case (c0, d) => if (d) col(c0).desc else col(c0).asc }: _*)
         val pageDf = pageAll.limit(fetchSize)
         val rows = pageDf.collect()
         if (rows.length < fetchSize) exhausted = true
-        // resolve clustering positions against the PAGE schema (the Star
+        // resolve key positions against the PAGE schema (the Star
         // projection drops '_'-prefixed metadata columns, shifting any
         // index computed on the table schema)
-        else after = Some(cks.map(c => rows.last.get(
+        else after = Some(pageCols.map(c => rows.last.get(
           pageDf.schema.fieldIndex(
             pageDf.schema.fieldNames.find(_.equalsIgnoreCase(c)).get))))
         val local = spark.createDataFrame(

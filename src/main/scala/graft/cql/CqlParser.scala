@@ -812,17 +812,28 @@ object CqlParser {
     val parts = re.findAllMatchIn(full).toSeq
     if (parts.map(_.matched).mkString != full)
       throw new CqlInvalidQueryException(s"invalid duration $full")
-    parts.map { m =>
-      val q = m.group(1).toLong
-      val unit = m.group(2)
-      if (unit == "y" || unit == "mo")
-        throw new CqlInvalidQueryException(
-          s"floor does not support calendar-length durations ($unit)")
-      if (unit == "ns")
-        throw new CqlInvalidQueryException(
-          "sub-microsecond floor durations are not supported")
-      q * durationUnitMicros(unit)
-    }.sum
+    // exact arithmetic: a silent Long wrap would turn an absurd duration
+    // into an arbitrary (possibly negative) bucket width and mis-bucket
+    // every row instead of rejecting the query
+    val total = try {
+      parts.map { m =>
+        val q = numeric(m.group(1).toLong, m.group(1))
+        val unit = m.group(2)
+        if (unit == "y" || unit == "mo")
+          throw new CqlInvalidQueryException(
+            s"floor does not support calendar-length durations ($unit)")
+        if (unit == "ns")
+          throw new CqlInvalidQueryException(
+            "sub-microsecond floor durations are not supported")
+        Math.multiplyExact(q, durationUnitMicros(unit))
+      }.foldLeft(0L)(Math.addExact)
+    } catch {
+      case _: ArithmeticException =>
+        throw new CqlInvalidQueryException(s"duration $full overflows")
+    }
+    if (total <= 0) throw new CqlInvalidQueryException(
+      s"duration $full must be positive")
+    total
   }
 
   /** Functions accepted in literal position (predicate bounds). */

@@ -406,9 +406,20 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     if (b.counter && !b.statements.forall(isCounterDml))
       throw new CqlInvalidQueryException(
         "Cannot include non-counter statement in a counter batch")
-    if (!b.counter && b.statements.exists(isCounterDml))
+    val hasCounter = b.statements.exists(isCounterDml)
+    // upstream verifyBatchType [U]: LOGGED batches reject counters; an
+    // UNLOGGED batch may be PURE-counter (it is a counter batch in all but
+    // keyword) but never mixed; and counter writes carry server timestamps
+    // only — a client timestamp on a counter batch is rejected
+    if (b.logged && hasCounter)
       throw new CqlInvalidQueryException(
         "Cannot include a counter statement in a logged batch")
+    if (!b.counter && hasCounter && !b.statements.forall(isCounterDml))
+      throw new CqlInvalidQueryException(
+        "Counter and non-counter mutations cannot exist in the same batch")
+    if (hasCounter && b.usingTimestamp.isDefined)
+      throw new CqlInvalidQueryException(
+        "Cannot provide custom timestamp for counter BATCH")
     val shared = nextTs(b.usingTimestamp)
     val allOk = b.statements.forall(conditionHolds)
     if (allOk)
@@ -511,6 +522,17 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           throw new CqlInvalidQueryException(s"$name already exists")
       } else {
         val base = tableState(sel.table) // base must exist
+        // upstream CreateViewStatement restricts a view to plain column
+        // selections over filtered base rows [U] — an aggregating or
+        // reshaping SELECT would yield a table whose declared pk/ck bear
+        // no relation to its rows
+        if (sel.groupBy.nonEmpty || sel.distinct || sel.limit.nonEmpty ||
+            sel.perPartitionLimit.nonEmpty || sel.orderBy.nonEmpty ||
+            sel.ann.nonEmpty || sel.selectors.exists(_.isAggregate))
+          throw new CqlInvalidQueryException(
+            s"Cannot create materialized view $name: only plain column " +
+              "selections are allowed (no aggregate/GROUP BY/DISTINCT/" +
+              "ORDER BY/LIMIT/PER PARTITION LIMIT/ANN)")
         val mvCols = pk ++ ck
         mvCols.foreach { k =>
           if (!base.schema.fieldNames.exists(_.equalsIgnoreCase(k)))
@@ -695,6 +717,34 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         if (keyCols(t).exists(_.equalsIgnoreCase(c0)))
           throw new CqlInvalidQueryException(
             s"PRIMARY KEY column $c0 cannot be dropped")
+        // upstream AlterTableStatement rejects dropping a column any view
+        // depends on [U] — otherwise the next MV compile throws deep in
+        // analysis and poisons every later statement. A view depends on a
+        // column it selects (Star/CAST/function args included), filters
+        // on, or keys by.
+        def mvUses(sel: CqlSelect, pk: Seq[String], ck: Seq[String]) =
+          (pk ++ ck).exists(_.equalsIgnoreCase(c0)) ||
+            sel.predicates.exists {
+              case p: ColumnPredicate => p.column.equalsIgnoreCase(c0)
+              case tp: TuplePredicate =>
+                tp.columns.exists(_.equalsIgnoreCase(c0))
+            } ||
+            sel.selectors.exists {
+              case Star => true
+              case ColumnSelector(n, _) => n.equalsIgnoreCase(c0)
+              case CastSelector(n, _, _, _) => n.equalsIgnoreCase(c0)
+              case FunctionSelector(_, args, _) => args.exists {
+                case ColArg(n) => n.equalsIgnoreCase(c0)
+                case _ => false
+              }
+            }
+        mvReg.collectFirst {
+          case (mv, (sel, pk, ck))
+              if sel.table.equalsIgnoreCase(table) && mvUses(sel, pk, ck) =>
+            mv
+        }.foreach(mv => throw new CqlInvalidQueryException(
+          s"Cannot drop column $c0 on base table $table: " +
+            s"materialized view $mv depends on it"))
       }
       val newSchema = StructType(t.schema.fields.toSeq
         .filterNot(f => cols.exists(_.equalsIgnoreCase(f.name))))

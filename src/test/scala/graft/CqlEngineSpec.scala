@@ -371,6 +371,46 @@ class CqlEngineSpec extends SparkSpec {
     assert(descPaged.size === 3 && descPaged === whole.reverse)
   }
 
+  test("O4 paging carries the partition key across multi-partition pages") {
+    import spark.implicits._
+    // boundary rows share the clustering tuple across partitions (every
+    // partition has ck=1,2) — a clustering-only resume token would skip
+    // the next partition's rows at each page edge
+    val df = Seq(
+      (1L, 1L, "a1"), (1L, 2L, "a2"), (2L, 1L, "b1"), (2L, 2L, "b2"),
+      (3L, 1L, "c1")).toDF("pk", "ck", "v")
+    val eng = new CqlEngine(spark,
+      Map("mp" -> CqlTable(df, Seq("pk"), Seq("ck"))))
+    val paged = eng.executePaged(
+      "SELECT pk, ck, v FROM mp WHERE pk IN (1, 2, 3)", 1)
+      .flatMap(_.collect().toSeq).toSeq
+    assert(paged.map(_.getString(2)) === Seq("a1", "a2", "b1", "b2", "c1"),
+      "pk IN pages all partitions in (pk, ck) order without skips")
+    // a full scan (no partition restriction) pages every partition too
+    val scan = eng.executePaged("SELECT pk, ck, v FROM mp", 2)
+      .flatMap(_.collect().toSeq).toSeq
+    assert(scan.map(_.getString(2)) === Seq("a1", "a2", "b1", "b2", "c1"))
+    // single-partition paging still uses the pushed clustering-tuple path
+    val single = eng.executePaged(
+      "SELECT pk, ck, v FROM mp WHERE pk = 1", 1)
+      .flatMap(_.collect().toSeq).toSeq
+    assert(single.map(_.getString(2)) === Seq("a1", "a2"))
+  }
+
+  test("duration literals reject overflow and zero widths") {
+    // exact arithmetic: a wrapped Long would silently become an arbitrary
+    // bucket width and mis-bucket every row
+    assert(intercept[CqlInvalidQueryException] {
+      cqlEngine.execute("SELECT floor(ts, 99999999999999999d) AS b, " +
+        "count(*) AS n FROM events GROUP BY floor(ts, 99999999999999999d) " +
+        "ALLOW FILTERING")
+    }.getMessage.contains("overflows"))
+    assert(intercept[CqlInvalidQueryException] {
+      cqlEngine.execute("SELECT floor(ts, 0s) AS b, count(*) AS n " +
+        "FROM events GROUP BY floor(ts, 0s) ALLOW FILTERING")
+    }.getMessage.contains("positive"))
+  }
+
   test("PER PARTITION LIMIT follows declared CLUSTERING ORDER (newest first)") {
     import spark.implicits._
     val df = Seq((1L, 1L, "old"), (1L, 2L, "mid"), (1L, 3L, "new"),

@@ -331,6 +331,73 @@ class CqlSessionSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("pure-counter UNLOGGED batches apply; counter timestamps are server-side") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE hits5 (page text PRIMARY KEY, views counter)")
+    s.execute("CREATE TABLE notes5 (id bigint PRIMARY KEY, v text)")
+    // upstream verifyBatchType: only LOGGED batches reject counters — a
+    // pure-counter UNLOGGED batch is valid CQL
+    s.execute(
+      """BEGIN UNLOGGED BATCH
+        |  UPDATE hits5 SET views = views + 3 WHERE page = 'home';
+        |  UPDATE hits5 SET views = views + 4 WHERE page = 'home';
+        |APPLY BATCH""".stripMargin)
+    assert(s.execute("SELECT views FROM hits5 WHERE page = 'home'")
+      .head().getLong(0) === 7L)
+    // but never mixed with regular mutations
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute(
+        """BEGIN UNLOGGED BATCH
+          |  UPDATE hits5 SET views = views + 1 WHERE page = 'home';
+          |  INSERT INTO notes5 (id, v) VALUES (1, 'x');
+          |APPLY BATCH""".stripMargin)
+    }.getMessage.contains("cannot exist in the same batch"))
+    // and counter writes take server timestamps only
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute(
+        """BEGIN COUNTER BATCH USING TIMESTAMP 123
+          |  UPDATE hits5 SET views = views + 1 WHERE page = 'home';
+          |APPLY BATCH""".stripMargin)
+    }.getMessage.contains("custom timestamp for counter"))
+  }
+
+  test("ALTER TABLE DROP rejects columns a materialized view depends on") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE base_mv (pk bigint, ck bigint, a text, b text, " +
+      "PRIMARY KEY (pk, ck))")
+    s.execute("CREATE MATERIALIZED VIEW mv_on_a AS SELECT pk, ck, a " +
+      "FROM base_mv WHERE pk IS NOT NULL AND ck IS NOT NULL AND " +
+      "a IS NOT NULL PRIMARY KEY (a, pk, ck)")
+    // selected / keyed column: rejected up front (upstream), instead of
+    // poisoning every later statement when the MV recompiles
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("ALTER TABLE base_mv DROP a")
+    }.getMessage.contains("mv_on_a depends on it"))
+    // an un-referenced column still drops, and the session stays healthy
+    s.execute("ALTER TABLE base_mv DROP b")
+    s.execute("INSERT INTO base_mv (pk, ck, a) VALUES (1, 1, 'x')")
+    assert(s.execute("SELECT a FROM mv_on_a WHERE a = 'x'").count() === 1)
+    // after the view is gone the drop succeeds
+    s.execute("DROP MATERIALIZED VIEW mv_on_a")
+    s.execute("ALTER TABLE base_mv DROP a")
+  }
+
+  test("CREATE MATERIALIZED VIEW rejects aggregating or reshaping selects") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE base_mv2 (pk bigint, ck bigint, v bigint, " +
+      "PRIMARY KEY (pk, ck))")
+    for (bad <- Seq(
+        "SELECT pk, count(*) FROM base_mv2 WHERE pk IS NOT NULL " +
+          "GROUP BY pk",
+        "SELECT DISTINCT pk FROM base_mv2 WHERE pk IS NOT NULL",
+        "SELECT pk, ck FROM base_mv2 WHERE pk IS NOT NULL AND " +
+          "ck IS NOT NULL LIMIT 5"))
+      assert(intercept[CqlInvalidQueryException] {
+        s.execute(s"CREATE MATERIALIZED VIEW bad_mv AS $bad " +
+          "PRIMARY KEY (pk, ck)")
+      }.getMessage.contains("only plain column selections"))
+  }
+
   test("negative literals parse everywhere; bad numerics raise CqlInvalidQueryException") {
     val s = freshSession
     s.execute("INSERT INTO users (user_id, name, age) VALUES (1, 'neg', -5) USING TIMESTAMP -1")
