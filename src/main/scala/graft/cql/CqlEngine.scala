@@ -201,7 +201,10 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
     // result is deterministic even on tables without clustering keys.
     sel.perPartitionLimit.foreach { k =>
       val tiebreak = table.df.columns.toSeq
-        .diff(table.partitionKeys ++ table.clusteringKeys).map(col(_).asc)
+        .diff(table.partitionKeys ++ table.clusteringKeys)
+        .filter(c0 => org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(table.df.schema(c0).dataType)) // maps can't sort
+        .map(col(_).asc)
       // native read order = the DECLARED clustering order: a DESC table's
       // per-partition limit keeps the newest rows, as upstream does
       val declaredDesc = (table.clusteringDesc ++

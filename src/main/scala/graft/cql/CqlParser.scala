@@ -94,7 +94,13 @@ object CqlParser {
     * dropped (the façade's catalog is flat). */
   private def tableName(c: Cursor): String = {
     val n = c.next()
-    if (c.accept(".")) c.next() else n
+    if (c.accept(".")) {
+      val t = c.next()
+      // the catalog is flat (keyspace qualifiers drop) EXCEPT the
+      // system_schema virtual tables, addressed by their upstream
+      // qualified names [U db/virtual/, schema/SchemaKeyspace.java]
+      if (n.equalsIgnoreCase("system_schema")) s"system_schema.$t" else t
+    } else n
   }
 
   def parse(cql: String): CqlSelect = {

@@ -360,7 +360,187 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       name -> CqlTable(
         baseEngine.execute(sel.copy(allowFiltering = true)), pk, ck)
     }.toMap
-    new CqlEngine(spark, catalog ++ mvCatalog)
+    new CqlEngine(spark, catalog ++ mvCatalog ++ systemSchemaCatalog)
+  }
+
+  // ——— schema introspection: system_schema virtual tables + DESCRIBE ———
+  // [U db/virtual/, schema/SchemaKeyspace.java,
+  //  cql3/statements/DescribeStatement.java]
+
+  /** The flat catalog's implicit user keyspace, reported by the virtual
+    * tables and DESCRIBE (table names drop their qualifier — see
+    * CqlParser.tableName). */
+  private val UserKeyspace = "default"
+
+  /** Spark type → canonical CQL type name — the inverse of
+    * CqlParser.parseType. Lossy declarations canonicalize to the type they
+    * parsed AS (uuid/timeuuid/inet → text, time → bigint, vector<float,n> →
+    * list<float>, set → list): the emitted DDL re-executes to the SAME
+    * engine schema, which is the round-trip contract here. UDT columns
+    * resolve their declared NAME binding (`bound`) so identically-shaped
+    * types stay distinct. */
+  private def cqlTypeName(dt: DataType, bound: Set[String]): String = dt match {
+    case IntegerType => "int"
+    case LongType => "bigint"
+    case ShortType => "smallint"
+    case ByteType => "tinyint"
+    case StringType => "text"
+    case DoubleType => "double"
+    case FloatType => "float"
+    case BooleanType => "boolean"
+    case TimestampType => "timestamp"
+    case DateType => "date"
+    case d: DecimalType if d.scale == 0 => "varint"
+    case _: DecimalType => "decimal"
+    case BinaryType => "blob"
+    case ArrayType(e, _) => s"list<${cqlTypeName(e, bound)}>"
+    case MapType(k, v, _) =>
+      s"map<${cqlTypeName(k, bound)}, ${cqlTypeName(v, bound)}>"
+    case st: StructType =>
+      udtReg.collectFirst {
+        case (n, s) if s == st && (bound.isEmpty || bound.contains(n)) =>
+          s"frozen<$n>"
+      }.getOrElse(throw new CqlInvalidQueryException(
+        s"no registered type matches struct ${st.simpleString}"))
+    case other =>
+      throw new CqlInvalidQueryException(s"cannot describe type $other")
+  }
+
+  private def columnTypeName(table: String, t: TableState,
+      f: StructField): String =
+    if (t.counterKeys.exists(_.equalsIgnoreCase(f.name))) "counter"
+    else cqlTypeName(f.dataType,
+      udtCols.getOrElse((table.toLowerCase, f.name.toLowerCase), Set.empty))
+
+  /** Round-trippable `CREATE TABLE` text for a registered table — the
+    * upstream DESCRIBE contract: executing the emitted DDL reproduces an
+    * equivalent table (schema, key shape, clustering order, ttl). */
+  private def tableDdl(name: String, t: TableState): String = {
+    val colDefs = t.schema.fields.toSeq.map { f =>
+      val static =
+        if (t.staticKeys.exists(_.equalsIgnoreCase(f.name))) " static" else ""
+      s"    ${f.name} ${columnTypeName(name, t, f)}$static"
+    }
+    val pkPart =
+      if (t.partitionKeys.size == 1) t.partitionKeys.head
+      else t.partitionKeys.mkString("(", ", ", ")")
+    val pkClause = s"    PRIMARY KEY ($pkPart" +
+      t.clusteringKeys.map(", " + _).mkString + ")"
+    val withParts =
+      (if (t.clusteringKeys.nonEmpty && t.clusteringDesc.exists(identity))
+        Seq("CLUSTERING ORDER BY (" + t.clusteringKeys.zipWithIndex.map {
+          case (c0, i) =>
+            s"$c0 ${if (t.clusteringDesc.lift(i).getOrElse(false)) "DESC"
+              else "ASC"}"
+        }.mkString(", ") + ")")
+      else Nil) ++
+        t.defaultTtl.map(n => s"default_time_to_live = $n")
+    val withClause =
+      if (withParts.isEmpty) "" else withParts.mkString(" WITH ", " AND ", "")
+    s"CREATE TABLE $name (\n${(colDefs :+ pkClause).mkString(",\n")}\n)" +
+      withClause
+  }
+
+  private def typeDdl(name: String, st: StructType): String = {
+    val bound = udtTypeRefs.getOrElse(name.toLowerCase, Set.empty)
+    val fields = st.fields.toSeq
+      .map(f => s"    ${f.name} ${cqlTypeName(f.dataType, bound)}")
+    s"CREATE TYPE $name (\n${fields.mkString(",\n")}\n)"
+  }
+
+  /** `system_schema.{keyspaces,tables,columns}` as queryable tables —
+    * rebuilt with the engine on every schema epoch, so a driver-style
+    * catalog read always sees the current session schema. Upstream
+    * column names and kinds [U schema/SchemaKeyspace.java]. */
+  private def systemSchemaCatalog: Map[String, CqlTable] = {
+    import scala.jdk.CollectionConverters._
+    def df(rows: Seq[Row], schema: StructType) =
+      spark.createDataFrame(rows.asJava, schema)
+    val ksSchema = StructType(Seq(StructField("keyspace_name", StringType)))
+    val ksRows = (keyspaces.toSeq :+ UserKeyspace).distinct.sorted.map(Row(_))
+    val tSchema = StructType(Seq(
+      StructField("keyspace_name", StringType),
+      StructField("table_name", StringType),
+      StructField("default_time_to_live", LongType)))
+    val tRows = state.toSeq.sortBy(_._1).map { case (n, t) =>
+      Row(UserKeyspace, n, t.defaultTtl.getOrElse(0L))
+    }
+    val cSchema = StructType(Seq(
+      StructField("keyspace_name", StringType),
+      StructField("table_name", StringType),
+      StructField("column_name", StringType),
+      StructField("clustering_order", StringType),
+      StructField("kind", StringType),
+      StructField("position", IntegerType),
+      StructField("type", StringType)))
+    val cRows = state.toSeq.sortBy(_._1).flatMap { case (n, t) =>
+      t.schema.fields.toSeq.map { f =>
+        val pkPos = t.partitionKeys.indexWhere(_.equalsIgnoreCase(f.name))
+        val ckPos = t.clusteringKeys.indexWhere(_.equalsIgnoreCase(f.name))
+        val kind =
+          if (pkPos >= 0) "partition_key"
+          else if (ckPos >= 0) "clustering"
+          else if (t.staticKeys.exists(_.equalsIgnoreCase(f.name))) "static"
+          else "regular"
+        // upstream: position indexes within the key kind, -1 otherwise
+        val pos = if (pkPos >= 0) pkPos else ckPos
+        val order =
+          if (ckPos >= 0)
+            (if (t.clusteringDesc.lift(ckPos).getOrElse(false)) "desc"
+            else "asc")
+          else "none"
+        Row(UserKeyspace, n, f.name, order, kind, pos,
+          columnTypeName(n, t, f))
+      }
+    }
+    Map(
+      "system_schema.keyspaces" ->
+        CqlTable(df(ksRows, ksSchema), Seq("keyspace_name")),
+      "system_schema.tables" ->
+        CqlTable(df(tRows, tSchema), Seq("keyspace_name"), Seq("table_name")),
+      "system_schema.columns" ->
+        CqlTable(df(cRows, cSchema), Seq("keyspace_name"),
+          Seq("table_name", "column_name")))
+  }
+
+  /** `DESCRIBE KEYSPACES | TABLES | TABLE t | TYPE t | t` — the
+    * server-side DESCRIBE result shape (Cassandra 4.0+,
+    * [U cql3/statements/DescribeStatement.java]): DDL forms return
+    * (keyspace_name, type, name, create_statement); the emitted
+    * create_statement re-executes to an equivalent object. */
+  private def runDescribe(cql: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val toks = cql.stripSuffix(";").trim.split("\\s+").toSeq
+    def ddlResult(kind: String, name: String, stmt: String): DataFrame =
+      spark.createDataFrame(
+        Seq(Row(UserKeyspace, kind, name, stmt)).asJava,
+        StructType(Seq(
+          StructField("keyspace_name", StringType),
+          StructField("type", StringType),
+          StructField("name", StringType),
+          StructField("create_statement", StringType))))
+    def describeTable(raw: String): DataFrame = {
+      val name = raw.toLowerCase
+      state.get(name).map(t => ddlResult("table", name, tableDdl(name, t)))
+        .getOrElse(throw new CqlInvalidQueryException(s"unknown table $raw"))
+    }
+    toks.map(_.toLowerCase) match {
+      case Seq(_, "keyspaces") =>
+        engine.execute("SELECT keyspace_name FROM system_schema.keyspaces")
+      case Seq(_, "tables") =>
+        engine.execute(
+          "SELECT keyspace_name, table_name FROM system_schema.tables")
+      case Seq(_, "table", raw) => describeTable(raw)
+      case Seq(_, "type", raw) =>
+        udtReg.get(raw.toLowerCase)
+          .map(st => ddlResult("type", raw.toLowerCase,
+            typeDdl(raw.toLowerCase, st)))
+          .getOrElse(
+            throw new CqlInvalidQueryException(s"unknown type $raw"))
+      case Seq(_, raw) => describeTable(raw) // cqlsh `DESC <table>` shorthand
+      case _ => throw new CqlInvalidQueryException(
+        "DESCRIBE expects KEYSPACES | TABLES | TABLE <t> | TYPE <t> | <t>")
+    }
   }
 
   private[cql] def runSelect(sel: CqlSelect): DataFrame = engine.execute(sel)
@@ -440,6 +620,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       case "insert" | "update" | "delete" =>
         runDml(CqlParser.parseDml(trimmed))
       case "begin" => runBatch(CqlParser.parseBatch(trimmed))
+      case "describe" | "desc" => runDescribe(trimmed)
       case "use" =>
         // `USE ks` — the flat catalog makes this a current-keyspace marker
         // only; unknown keyspaces error as upstream does
@@ -474,6 +655,9 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       if (!keyspaces.remove(name.toLowerCase) && !ifExists)
         throw new CqlInvalidQueryException(s"unknown keyspace $name")
     case CqlCreateTable(table, cols, pk, ck, ifNotExists, ckDesc, dTtl) =>
+      if (table.toLowerCase.startsWith("system_schema."))
+        throw new CqlInvalidQueryException(
+          s"system_schema keyspace is not user-modifiable")
       if (state.contains(table.toLowerCase)) {
         if (!ifNotExists)
           throw new CqlInvalidQueryException(s"table $table already exists")

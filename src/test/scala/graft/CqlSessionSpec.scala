@@ -398,6 +398,68 @@ class CqlSessionSpec extends SparkSpec {
       }.getMessage.contains("only plain column selections"))
   }
 
+  test("DESCRIBE emits round-trippable DDL; system_schema lists the catalog") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TYPE addr (street text, zip int)")
+    s.execute("CREATE TABLE desc_t (pk1 bigint, pk2 text, ck1 bigint, " +
+      "ck2 bigint, st text static, tags list<text>, props map<text, bigint>, " +
+      "home frozen<addr>, PRIMARY KEY ((pk1, pk2), ck1, ck2)) " +
+      "WITH CLUSTERING ORDER BY (ck1 ASC, ck2 DESC) " +
+      "AND default_time_to_live = 120")
+    def catalogRows() = s.execute(
+      "SELECT column_name, kind, position, clustering_order, type " +
+        "FROM system_schema.columns WHERE keyspace_name = 'default' " +
+        "AND table_name = 'desc_t'")
+      .collect().toSeq.sortBy(_.getString(0))
+    val cols0 = catalogRows()
+    assert(cols0.size === 8, "every registered column is listed")
+    val byName = cols0.map(r => r.getString(0) -> r).toMap
+    assert(byName("pk1").getString(1) === "partition_key" &&
+      byName("pk1").getInt(2) === 0 && byName("pk2").getInt(2) === 1)
+    assert(byName("ck2").getString(1) === "clustering" &&
+      byName("ck2").getString(3) === "desc")
+    assert(byName("st").getString(1) === "static" &&
+      byName("st").getInt(2) === -1)
+    assert(byName("tags").getString(4) === "list<text>" &&
+      byName("props").getString(4) === "map<text, bigint>" &&
+      byName("home").getString(4) === "frozen<addr>")
+    // DESCRIBE TABLE → create_statement → re-execute → equivalent table
+    val d = s.execute("DESCRIBE TABLE desc_t").head()
+    assert(d.getAs[String]("type") === "table" &&
+      d.getAs[String]("name") === "desc_t")
+    val ddl = d.getAs[String]("create_statement")
+    val tyDdl = s.execute("DESCRIBE TYPE addr").head()
+      .getAs[String]("create_statement")
+    s.execute("DROP TABLE desc_t")
+    s.execute("DROP TYPE addr")
+    s.execute(tyDdl)
+    s.execute(ddl)
+    assert(catalogRows() === cols0, "re-executed DDL reproduces the catalog")
+    assert(s.execute("DESCRIBE TABLE desc_t").head()
+      .getAs[String]("create_statement") === ddl, "DESCRIBE is a fixpoint")
+    // behavior round-trips too: the DESC clustering order drives reads
+    s.execute("INSERT INTO desc_t (pk1, pk2, ck1, ck2) VALUES (1, 'a', 1, 1)")
+    s.execute("INSERT INTO desc_t (pk1, pk2, ck1, ck2) VALUES (1, 'a', 1, 2)")
+    assert(s.execute("SELECT ck2 FROM desc_t WHERE pk1 = 1 AND pk2 = 'a' " +
+      "PER PARTITION LIMIT 1").head().getLong(0) === 2L,
+      "re-created table keeps ck2 DESC (newest first)")
+    // keyspace + table registries are queryable
+    assert(s.execute("DESCRIBE KEYSPACES").collect().map(_.getString(0))
+      .contains("system_schema"))
+    val trow = s.execute("SELECT table_name, default_time_to_live " +
+      "FROM system_schema.tables WHERE keyspace_name = 'default' " +
+      "AND table_name = 'desc_t'").head()
+    assert(trow.getLong(1) === 120L)
+    // counter columns describe as counter
+    s.execute("CREATE TABLE desc_cnt (page text PRIMARY KEY, views counter)")
+    assert(s.execute("DESC desc_cnt").head()
+      .getAs[String]("create_statement").contains("views counter"))
+    // the virtual keyspace is read-only
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("CREATE TABLE system_schema.hax (pk bigint PRIMARY KEY)")
+    }.getMessage.contains("not user-modifiable"))
+  }
+
   test("negative literals parse everywhere; bad numerics raise CqlInvalidQueryException") {
     val s = freshSession
     s.execute("INSERT INTO users (user_id, name, age) VALUES (1, 'neg', -5) USING TIMESTAMP -1")
