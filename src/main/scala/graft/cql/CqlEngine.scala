@@ -27,6 +27,11 @@ case class CqlTable(df: DataFrame, partitionKeys: Seq[String],
   * unverifiable per SURVEY §0]. */
 class CqlInvalidQueryException(msg: String) extends RuntimeException(msg)
 
+/** A session-registered CQL function (`CREATE FUNCTION` / `CREATE
+  * AGGREGATE`), compiled by the session to a Column transform; the engine
+  * dispatches names the builtin table doesn't know here. */
+case class CqlUserFunction(arity: Int, impl: Seq[Column] => Column)
+
 /** SURVEY §2 "complete surface" — a CQL `SELECT` façade: a reference user's
   * query text runs unchanged, compiled to the same declarative Spark plans as
   * the native API (so Catalyst still does pushdown/pruning/top-k).
@@ -44,7 +49,19 @@ class CqlInvalidQueryException(msg: String) extends RuntimeException(msg)
   * any selection (upstream: partition keys only) — both run fine on Spark,
   * so the façade does not reject them.
   */
-class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
+class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
+    /** session-registered scalar functions (CQL `CREATE FUNCTION`):
+      * lowercase name → compiled impl. Dispatched after the builtins. */
+    userFns: Map[String, CqlUserFunction] = Map.empty,
+    /** session-registered aggregates (CQL `CREATE AGGREGATE`). */
+    userAggs: Map[String, CqlUserFunction] = Map.empty) {
+
+  /** Is this selector an aggregate, counting session-registered UDAs
+    * (the AST's own isAggregate knows only the builtin five)? */
+  private def isAgg(s: CqlSelector): Boolean = s.isAggregate || (s match {
+    case FunctionSelector(fn, _, _) => userAggs.contains(fn.toLowerCase)
+    case _ => false
+  })
 
   def execute(cql: String): DataFrame = execute(CqlParser.parse(cql))
 
@@ -68,7 +85,7 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
     val table = catalog.getOrElse(sel.table.toLowerCase,
       throw new CqlInvalidQueryException(s"unknown table ${sel.table}"))
     val cks = table.clusteringKeys
-    if (sel.selectors.exists(_.isAggregate) || sel.groupBy.nonEmpty ||
+    if (sel.selectors.exists(isAgg) || sel.groupBy.nonEmpty ||
         sel.distinct || sel.limit.nonEmpty || sel.perPartitionLimit.nonEmpty ||
         sel.ann.nonEmpty)
       throw new CqlInvalidQueryException(
@@ -241,7 +258,7 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
 
     // selection / aggregation
     df =
-      if (sel.selectors.exists(_.isAggregate) || sel.groupBy.nonEmpty) {
+      if (sel.selectors.exists(isAgg) || sel.groupBy.nonEmpty) {
         val keySet = sel.groupBy.collect {
           case CqlGroupItem(c0, None) => c0.toLowerCase
         }.toSet
@@ -410,7 +427,7 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
     sel.ann.foreach { a =>
       if (!t.df.schema.exists(_.name.equalsIgnoreCase(a.column)))
         throw new CqlInvalidQueryException(s"undefined column ${a.column}")
-      if (sel.groupBy.nonEmpty || sel.selectors.exists(_.isAggregate))
+      if (sel.groupBy.nonEmpty || sel.selectors.exists(isAgg))
         throw new CqlInvalidQueryException(
           "ANN ordering does not support aggregation")
     }
@@ -633,13 +650,40 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable]) {
           case other => throw new CqlInvalidQueryException(
             s"floor expects (timestamp column, duration), got $other")
         }
-        case other => throw new CqlInvalidQueryException(s"unknown function $other")
+        case other =>
+          // session-registered functions (CREATE FUNCTION / AGGREGATE)
+          userAggs.get(other).orElse(userFns.get(other)) match {
+            case Some(f) =>
+              if (args.length != f.arity)
+                throw new CqlInvalidQueryException(
+                  s"$other expects ${f.arity} arguments, got ${args.length}")
+              f.impl(args.map {
+                case ColArg(n) => col(n)
+                case LitArg(v) => litColumn(other, v)
+              })
+            case None =>
+              throw new CqlInvalidQueryException(s"unknown function $other")
+          }
       }
       val defaultName = s"${fn.toLowerCase}(" + args.map {
         case ColArg(n) => n
         case LitArg(v) => v.toString
       }.mkString(", ") + ")"
       c.as(alias.getOrElse(defaultName))
+  }
+
+  /** A parsed CQL literal as a Column — scalar literals plus list/set
+    * collections (user-function arguments). */
+  private def litColumn(fn: String, v: Any): Column = v match {
+    case null => lit(null)
+    case l: Long => lit(l)
+    case d: Double => lit(d)
+    case b: Boolean => lit(b)
+    case s: String => lit(s)
+    case CqlList(items) => array(items.map(litColumn(fn, _)): _*)
+    case CqlSetLit(items) => array(items.map(litColumn(fn, _)): _*)
+    case other => throw new CqlInvalidQueryException(
+      s"$fn: unsupported literal argument $other")
   }
 
   /** writetime(c): the per-cell write timestamp when the view carries it

@@ -382,6 +382,15 @@ object CqlParser {
         if (custom || c.peekIs("index")) return parseCreateIndex(c)
         if (c.peekIs("type")) return parseCreateType(c, udts)
         if (c.peekIs("materialized")) return parseCreateMv(c)
+        val orReplace =
+          if (c.peekIs("or")) { c.next(); c.expect("replace"); true }
+          else false
+        if (c.accept("function"))
+          return parseCreateFunction(c, udts, orReplace)
+        if (c.accept("aggregate"))
+          return parseCreateAggregate(c, udts, orReplace)
+        if (orReplace) throw new CqlInvalidQueryException(
+          "OR REPLACE applies only to CREATE FUNCTION / CREATE AGGREGATE")
         if (c.accept("keyspace")) { // WITH replication/durable_writes dropped
           val ifNotExists =
             if (c.accept("if")) { c.expect("not"); c.expect("exists"); true }
@@ -482,6 +491,12 @@ object CqlParser {
         } else if (c.accept("keyspace")) {
           val ifExists = if (c.accept("if")) { c.expect("exists"); true } else false
           CqlDropKeyspace(c.next(), ifExists)
+        } else if (c.accept("function")) {
+          val ifExists = if (c.accept("if")) { c.expect("exists"); true } else false
+          CqlDropFunction(tableName(c), ifExists)
+        } else if (c.accept("aggregate")) {
+          val ifExists = if (c.accept("if")) { c.expect("exists"); true } else false
+          CqlDropAggregate(tableName(c), ifExists)
         } else {
           c.expect("table")
           val ifExists = if (c.accept("if")) { c.expect("exists"); true } else false
@@ -571,6 +586,87 @@ object CqlParser {
     while (c.accept(",")) fields = fields :+ one()
     c.expect(")")
     CqlCreateType(name, StructType(fields), ifNotExists, refs.toSet)
+  }
+
+  /** `CREATE [OR REPLACE] FUNCTION [IF NOT EXISTS] name (arg type, …)
+    * (CALLED | RETURNS NULL) ON NULL INPUT RETURNS type LANGUAGE lang
+    * AS 'body'` (upstream `cql3/functions/UDFunction` /
+    * `CreateFunctionStatement` [U]). The full DDL shape parses; execution
+    * binds expression bodies (see CqlSession — the sandboxed JVM compile
+    * is out of scope). */
+  private def parseCreateFunction(c: Cursor,
+      udts: Map[String, org.apache.spark.sql.types.StructType],
+      orReplace: Boolean): CqlDdl = {
+    val ifNotExists =
+      if (c.accept("if")) { c.expect("not"); c.expect("exists"); true }
+      else false
+    if (orReplace && ifNotExists)
+      throw new CqlInvalidQueryException( // upstream rejects the combination
+        "Cannot use both OR REPLACE and IF NOT EXISTS")
+    val name = tableName(c)
+    c.expect("(")
+    var args = Vector.empty[(String, org.apache.spark.sql.types.DataType)]
+    if (!c.accept(")")) {
+      def one() = { val n = c.next(); (n, parseType(c, udts)) }
+      args = args :+ one()
+      while (c.accept(",")) args = args :+ one()
+      c.expect(")")
+    }
+    val calledOnNull =
+      if (c.accept("called")) {
+        c.expect("on"); c.expect("null"); c.expect("input"); true
+      } else {
+        c.expect("returns"); c.expect("null")
+        c.expect("on"); c.expect("null"); c.expect("input"); false
+      }
+    c.expect("returns")
+    val rt = parseType(c, udts)
+    c.expect("language")
+    val lang = c.next().toLowerCase
+    c.expect("as")
+    val body = parseLiteral(c) match {
+      case s: String => s
+      case other => throw new CqlInvalidQueryException(
+        s"function body must be a string literal, got $other")
+    }
+    CqlCreateFunction(name, args, calledOnNull, rt, lang, body,
+      orReplace, ifNotExists)
+  }
+
+  /** `CREATE [OR REPLACE] AGGREGATE [IF NOT EXISTS] name (type, …)
+    * SFUNC f STYPE type [FINALFUNC g] [INITCOND literal]` (upstream
+    * `cql3/functions/UDAggregate` [U]). */
+  private def parseCreateAggregate(c: Cursor,
+      udts: Map[String, org.apache.spark.sql.types.StructType],
+      orReplace: Boolean): CqlDdl = {
+    val ifNotExists =
+      if (c.accept("if")) { c.expect("not"); c.expect("exists"); true }
+      else false
+    if (orReplace && ifNotExists)
+      throw new CqlInvalidQueryException(
+        "Cannot use both OR REPLACE and IF NOT EXISTS")
+    val name = tableName(c)
+    c.expect("(")
+    var argTypes = Vector.empty[org.apache.spark.sql.types.DataType]
+    if (!c.accept(")")) {
+      argTypes = argTypes :+ parseType(c, udts)
+      while (c.accept(",")) argTypes = argTypes :+ parseType(c, udts)
+      c.expect(")")
+    }
+    c.expect("sfunc")
+    val sfunc = tableName(c)
+    c.expect("stype")
+    val stype = parseType(c, udts)
+    var finalFunc: Option[String] = None
+    var initCond: Option[Any] = None
+    var more = true
+    while (more) {
+      if (c.accept("finalfunc")) finalFunc = Some(tableName(c))
+      else if (c.accept("initcond")) initCond = Some(parseValue(c))
+      else more = false
+    }
+    CqlCreateAggregate(name, argTypes, sfunc, stype, finalFunc, initCond,
+      orReplace, ifNotExists)
   }
 
   /** `CREATE [CUSTOM] INDEX [IF NOT EXISTS] [name] ON t(col)

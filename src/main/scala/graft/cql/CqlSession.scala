@@ -140,6 +140,25 @@ case class CqlCreateMv(name: String, select: CqlSelect,
   partitionKeys: Seq[String], clusteringKeys: Seq[String],
   ifNotExists: Boolean) extends CqlDdl
 case class CqlDropMv(name: String, ifExists: Boolean) extends CqlDdl
+/** `CREATE [OR REPLACE] FUNCTION` (upstream `cql3/functions/UDFunction`
+  * [U]) — the DDL surface: name/arity/type declarations bind to an
+  * expression-compiled body (single-expression `return …;` Java bodies and
+  * SQL-expression bodies execute; arbitrary JVM statement bodies are out of
+  * scope — no sandboxed compiler here). */
+case class CqlCreateFunction(name: String,
+  args: Seq[(String, org.apache.spark.sql.types.DataType)],
+  calledOnNull: Boolean, returnType: org.apache.spark.sql.types.DataType,
+  language: String, body: String, orReplace: Boolean,
+  ifNotExists: Boolean) extends CqlDdl
+/** `CREATE [OR REPLACE] AGGREGATE … SFUNC … STYPE … [FINALFUNC …]
+  * [INITCOND …]` (upstream `cql3/functions/UDAggregate` [U]). */
+case class CqlCreateAggregate(name: String,
+  argTypes: Seq[org.apache.spark.sql.types.DataType], sfunc: String,
+  stype: org.apache.spark.sql.types.DataType, finalFunc: Option[String],
+  initCond: Option[Any], orReplace: Boolean,
+  ifNotExists: Boolean) extends CqlDdl
+case class CqlDropFunction(name: String, ifExists: Boolean) extends CqlDdl
+case class CqlDropAggregate(name: String, ifExists: Boolean) extends CqlDdl
 
 /** SURVEY §2.12 — the CQL write path on the upsert-log model: INSERT/UPDATE/
   * DELETE (all upserts) append typed cell-writes to a per-table log; reads
@@ -257,6 +276,35 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   private val mvReg: scala.collection.mutable.Map[String, (CqlSelect, Seq[String], Seq[String])] =
     scala.collection.mutable.Map.empty
 
+  /** `CREATE FUNCTION` registry (upstream `cql3/functions/UDFunction` [U]):
+    * lowercase name → declaration. Bodies are EXPRESSIONS (a Java
+    * `return <expr>;` reduces to its expression; arbitrary JVM statement
+    * bodies would need the sandboxed compiler, out of scope) — compiled
+    * against the declared args at CREATE time, so name/arity/type errors
+    * fail the DDL, not the first SELECT. */
+  private case class UserFnDef(argNames: Seq[String], argTypes: Seq[DataType],
+    returnType: DataType, calledOnNull: Boolean, language: String,
+    body: String)
+  private val fnReg: scala.collection.mutable.Map[String, UserFnDef] =
+    scala.collection.mutable.Map.empty
+
+  /** `CREATE AGGREGATE` registry (upstream `UDAggregate` [U]):
+    * lowercase name → (arg types, state fn, state type, final fn,
+    * INITCOND). */
+  private case class UserAggDef(argTypes: Seq[DataType], sfunc: String,
+    stype: DataType, finalFunc: Option[String], initCond: Option[Any])
+  private val aggReg: scala.collection.mutable.Map[String, UserAggDef] =
+    scala.collection.mutable.Map.empty
+
+  /** Builtin CQL function names — not replaceable, as upstream
+    * ("cannot replace a native function"). */
+  private val reservedFnNames = Set(
+    "count", "min", "max", "sum", "avg", "writetime", "maxwritetime", "ttl",
+    "token", "floor", "uuid", "now", "todate", "totimestamp", "dateof",
+    "tounixtimestamp", "unixtimestampof", "mintimeuuid", "maxtimeuuid",
+    "fromjson", "tojson", "cast", "similarity_cosine", "similarity_euclidean",
+    "similarity_dot_product")
+
   private def dataCols(t: TableState): Seq[String] = t.schema.fieldNames.toSeq
 
   private def keyCols(t: TableState): Seq[String] =
@@ -355,12 +403,91 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     // materialized views derive from the CURRENT base state (read-time
     // maintenance): each definition compiles lazily against the base
     // catalog; nothing materializes until the view is actually queried
-    val baseEngine = new CqlEngine(spark, catalog)
+    val userFns = fnReg.map { case (n, d) =>
+      n -> CqlUserFunction(d.argTypes.length, compileFnBody(n, d))
+    }.toMap
+    val userAggs = aggReg.map { case (n, d) =>
+      n -> CqlUserFunction(d.argTypes.length, compileAgg(d))
+    }.toMap
+    val baseEngine = new CqlEngine(spark, catalog, userFns, userAggs)
     val mvCatalog = mvReg.map { case (name, (sel, pk, ck)) =>
       name -> CqlTable(
         baseEngine.execute(sel.copy(allowFiltering = true)), pk, ck)
     }.toMap
-    new CqlEngine(spark, catalog ++ mvCatalog ++ systemSchemaCatalog)
+    new CqlEngine(spark, catalog ++ mvCatalog ++ systemSchemaCatalog,
+      userFns, userAggs)
+  }
+
+  /** Compile a CREATE FUNCTION body to a Column transform. The body must
+    * be a single expression over the declared argument names (a Java
+    * `return <expr>;` reduces to its expression); free references to
+    * anything else are a DDL-time error. RETURNS NULL ON NULL INPUT wraps
+    * the expression in a null guard, as upstream's execution does. */
+  private def compileFnBody(name: String,
+      d: UserFnDef): Seq[Column] => Column = {
+    import org.apache.spark.sql.GraftShim
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val idx = d.argNames.map(_.toLowerCase).zipWithIndex.toMap
+    val src0 = d.body.trim.stripSuffix(";").trim
+    val src = if (src0.toLowerCase.startsWith("return")) src0.drop(6).trim
+      else src0
+    val parsed =
+      try GraftShim.parseExpression(spark, src)
+      catch {
+        case e: Exception => throw new CqlInvalidQueryException(
+          s"function $name: body is not a single expression (JVM statement " +
+            s"bodies are unsupported here): ${e.getMessage}")
+      }
+    parsed.collect {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 &&
+          !idx.contains(a.nameParts.head.toLowerCase) => a.nameParts.head
+    }.foreach(bad => throw new CqlInvalidQueryException(
+      s"function $name: body references undeclared argument $bad"))
+    args => {
+      val bound = parsed.transformUp {
+        case a: UnresolvedAttribute if a.nameParts.length == 1 &&
+            idx.contains(a.nameParts.head.toLowerCase) =>
+          GraftShim.expression(args(idx(a.nameParts.head.toLowerCase)))
+      }
+      val c = GraftShim.column(bound).cast(d.returnType)
+      if (d.calledOnNull || args.isEmpty) c
+      else when(args.map(_.isNull).reduce(_ || _),
+        lit(null).cast(d.returnType)).otherwise(c)
+    }
+  }
+
+  /** Compile a CREATE AGGREGATE to an aggregate Column: upstream UDA
+    * semantics are a sequential fold of SFUNC over the group's rows from
+    * INITCOND, then FINALFUNC — expressed as `aggregate(collect_list(…),
+    * init, sfunc)`, which partial-aggregates the COLLECTION map-side and
+    * folds once per group. Row order inside a group is not guaranteed
+    * (same as upstream across replicas): state functions should be
+    * commutative-associative. 1-arg inputs skip null rows (Spark
+    * collect_list semantics, = builtin aggregates). */
+  private def compileAgg(d: UserAggDef): Seq[Column] => Column = { args =>
+    val sf = compileFnBody(d.sfunc, fnReg(d.sfunc))
+    val init = d.initCond.map(initLit).getOrElse(lit(null)).cast(d.stype)
+    val folded =
+      if (args.length == 1)
+        aggregate(collect_list(args.head), init, (acc, x) => sf(Seq(acc, x)))
+      else {
+        val packed = collect_list(struct(
+          args.zipWithIndex.map { case (a, i) => a.as(s"c$i") }: _*))
+        aggregate(packed, init,
+          (acc, x) => sf(acc +: args.indices.map(i => x.getField(s"c$i"))))
+      }
+    d.finalFunc.fold(folded)(f => compileFnBody(f, fnReg(f))(Seq(folded)))
+  }
+
+  private def initLit(v: Any): Column = v match {
+    case null => lit(null)
+    case l: Long => lit(l)
+    case d: Double => lit(d)
+    case b: Boolean => lit(b)
+    case s: String => lit(s)
+    case CqlList(items) => array(items.map(initLit): _*)
+    case other => throw new CqlInvalidQueryException(
+      s"unsupported INITCOND literal $other")
   }
 
   // ——— schema introspection: system_schema virtual tables + DESCRIBE ———
@@ -763,6 +890,74 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     case CqlDropMv(name, ifExists) =>
       if (mvReg.remove(name.toLowerCase).isEmpty && !ifExists)
         throw new CqlInvalidQueryException(s"unknown materialized view $name")
+    case CqlCreateFunction(name, args, calledOnNull, rt, lang, body,
+        orReplace, ifNotExists) =>
+      val n = name.toLowerCase
+      if (reservedFnNames(n))
+        throw new CqlInvalidQueryException(
+          s"cannot replace native function $name")
+      if (aggReg.contains(n))
+        throw new CqlInvalidQueryException(
+          s"$name already exists as an aggregate")
+      if (fnReg.contains(n) && !orReplace) {
+        if (!ifNotExists)
+          throw new CqlInvalidQueryException(s"function $name already exists")
+      } else {
+        if (lang != "java" && lang != "sql")
+          throw new CqlInvalidQueryException(
+            s"unsupported LANGUAGE $lang (java expression bodies or sql)")
+        val d = UserFnDef(args.map(_._1), args.map(_._2), rt, calledOnNull,
+          lang, body)
+        compileFnBody(name, d) // fail the DDL on a bad body, not the SELECT
+        fnReg(n) = d
+      }
+    case CqlCreateAggregate(name, argTypes, sfunc, stype, finalFunc,
+        initCond, orReplace, ifNotExists) =>
+      val n = name.toLowerCase
+      if (reservedFnNames(n))
+        throw new CqlInvalidQueryException(
+          s"cannot replace native function $name")
+      if (fnReg.contains(n))
+        throw new CqlInvalidQueryException(
+          s"$name already exists as a function")
+      if (aggReg.contains(n) && !orReplace) {
+        if (!ifNotExists)
+          throw new CqlInvalidQueryException(s"aggregate $name already exists")
+      } else {
+        // upstream UDAggregate type checks: SFUNC(state, args…) → state;
+        // FINALFUNC(state) → anything
+        val sf = fnReg.getOrElse(sfunc.toLowerCase,
+          throw new CqlInvalidQueryException(s"unknown state function $sfunc"))
+        if (sf.argTypes != stype +: argTypes)
+          throw new CqlInvalidQueryException(
+            s"state function $sfunc must take (${
+              (stype +: argTypes).map(_.simpleString).mkString(", ")})")
+        if (sf.returnType != stype)
+          throw new CqlInvalidQueryException(
+            s"state function $sfunc must return the state type " +
+              stype.simpleString)
+        finalFunc.foreach { f =>
+          val ff = fnReg.getOrElse(f.toLowerCase,
+            throw new CqlInvalidQueryException(s"unknown final function $f"))
+          if (ff.argTypes != Seq(stype))
+            throw new CqlInvalidQueryException(
+              s"final function $f must take the state type " +
+                stype.simpleString)
+        }
+        aggReg(n) = UserAggDef(argTypes, sfunc.toLowerCase, stype,
+          finalFunc.map(_.toLowerCase), initCond)
+      }
+    case CqlDropFunction(name, ifExists) =>
+      val n = name.toLowerCase
+      aggReg.collectFirst {
+        case (an, d) if d.sfunc == n || d.finalFunc.contains(n) => an
+      }.foreach(an => throw new CqlInvalidQueryException(
+        s"function $name is still referenced by aggregate $an"))
+      if (fnReg.remove(n).isEmpty && !ifExists)
+        throw new CqlInvalidQueryException(s"unknown function $name")
+    case CqlDropAggregate(name, ifExists) =>
+      if (aggReg.remove(name.toLowerCase).isEmpty && !ifExists)
+        throw new CqlInvalidQueryException(s"unknown aggregate $name")
     case CqlCreateIndex(name, table, column, sai, ifNotExists) =>
       val t = tableState(table)
       val colName = t.schema.fieldNames.find(_.equalsIgnoreCase(column))

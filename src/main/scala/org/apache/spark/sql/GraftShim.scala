@@ -5,8 +5,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 /** Bridge into `private[sql]` Column↔Expression conversions (Spark 4 hides
   * `Column.expr` behind the ColumnNode abstraction; classic-mode extensions
   * conventionally shim it from inside the sql package). Only the two
-  * conversions are exposed — no other internals. */
+  * conversions and the session's expression parser are exposed — no other
+  * internals. */
 object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eagerly parse an expression string to its unresolved Catalyst tree
+    * (`functions.expr` defers parsing inside a lazy SqlExpression node, so
+    * tree rewrites on it see nothing). */
+  def parseExpression(spark: SparkSession, s: String): Expression =
+    spark.asInstanceOf[classic.SparkSession].sessionState.sqlParser
+      .parseExpression(s)
 }

@@ -398,6 +398,81 @@ class CqlSessionSpec extends SparkSpec {
       }.getMessage.contains("only plain column selections"))
   }
 
+  test("CREATE FUNCTION / CREATE AGGREGATE bind and run in SELECT") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE sales (cat text, id bigint, amt double, " +
+      "w double, PRIMARY KEY (cat, id))")
+    (1L to 4L).foreach(i => s.execute("INSERT INTO sales (cat, id, amt, w) " +
+      s"VALUES ('a', $i, ${i * 1.0}, ${i * 0.5})"))
+    s.execute("INSERT INTO sales (cat, id, amt, w) VALUES ('b', 1, 10.0, 1.0)")
+    // scalar function with a Java return-expression body
+    s.execute("CREATE FUNCTION double_it (x double) CALLED ON NULL INPUT " +
+      "RETURNS double LANGUAGE java AS 'return x * 2;'")
+    assert(s.execute("SELECT double_it(amt) AS d2 FROM sales " +
+      "WHERE cat = 'a' AND id = 2").head().getDouble(0) === 4.0)
+    // UDA: fold + final function + INITCOND (root-sum-of-squares)
+    s.execute("CREATE FUNCTION ssq_state (st double, x double) " +
+      "CALLED ON NULL INPUT RETURNS double LANGUAGE java " +
+      "AS 'return st + x * x;'")
+    s.execute("CREATE FUNCTION ssq_final (st double) CALLED ON NULL INPUT " +
+      "RETURNS double LANGUAGE java AS 'return sqrt(st);'")
+    s.execute("CREATE AGGREGATE ssq (double) SFUNC ssq_state STYPE double " +
+      "FINALFUNC ssq_final INITCOND 0")
+    val grouped = s.execute(
+      "SELECT cat, ssq(amt) AS r FROM sales GROUP BY cat")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(grouped("a") - math.sqrt(30.0)) < 1e-9 &&
+      math.abs(grouped("b") - 10.0) < 1e-9)
+    // a global (no GROUP BY) UDA aggregates the whole selection
+    assert(math.abs(s.execute("SELECT ssq(amt) AS r FROM sales")
+      .head().getDouble(0) - math.sqrt(130.0)) < 1e-9)
+    // multi-argument aggregate (weighted sum)
+    s.execute("CREATE FUNCTION wsum_state (st double, x double, wt double) " +
+      "CALLED ON NULL INPUT RETURNS double LANGUAGE java " +
+      "AS 'return st + x * wt;'")
+    s.execute("CREATE AGGREGATE wsum (double, double) SFUNC wsum_state " +
+      "STYPE double INITCOND 0")
+    assert(math.abs(s.execute("SELECT wsum(amt, w) AS r FROM sales " +
+      "WHERE cat = 'a'").head().getDouble(0) - 15.0) < 1e-9)
+    // ——— rejections ———
+    assert(intercept[CqlInvalidQueryException] { // duplicate without REPLACE
+      s.execute("CREATE FUNCTION double_it (x double) CALLED ON NULL INPUT " +
+        "RETURNS double LANGUAGE java AS 'return x * 2;'")
+    }.getMessage.contains("already exists"))
+    s.execute("CREATE OR REPLACE FUNCTION double_it (x double) " + // replace ok
+      "CALLED ON NULL INPUT RETURNS double LANGUAGE java AS 'return x * 3;'")
+    assert(s.execute("SELECT double_it(amt) AS d3 FROM sales " +
+      "WHERE cat = 'b' AND id = 1").head().getDouble(0) === 30.0)
+    assert(intercept[CqlInvalidQueryException] { // unknown argument type
+      s.execute("CREATE FUNCTION badty (x frobnicate) CALLED ON NULL INPUT " +
+        "RETURNS double LANGUAGE java AS 'return x;'")
+    }.getMessage.contains("unknown type"))
+    assert(intercept[CqlInvalidQueryException] { // undeclared name in body
+      s.execute("CREATE FUNCTION badref (x double) CALLED ON NULL INPUT " +
+        "RETURNS double LANGUAGE java AS 'return x + y;'")
+    }.getMessage.contains("undeclared argument"))
+    assert(intercept[CqlInvalidQueryException] { // native names are reserved
+      s.execute("CREATE FUNCTION sum (x double) CALLED ON NULL INPUT " +
+        "RETURNS double LANGUAGE java AS 'return x;'")
+    }.getMessage.contains("native function"))
+    assert(intercept[CqlInvalidQueryException] { // sfunc signature mismatch
+      s.execute("CREATE AGGREGATE badagg (text) SFUNC ssq_state " +
+        "STYPE double")
+    }.getMessage.contains("must take"))
+    assert(intercept[CqlInvalidQueryException] { // unknown sfunc
+      s.execute("CREATE AGGREGATE badagg2 (double) SFUNC nope STYPE double")
+    }.getMessage.contains("unknown state function"))
+    assert(intercept[CqlInvalidQueryException] { // referenced fn can't drop
+      s.execute("DROP FUNCTION ssq_state")
+    }.getMessage.contains("still referenced"))
+    s.execute("DROP AGGREGATE ssq")
+    s.execute("DROP FUNCTION ssq_final")
+    s.execute("DROP FUNCTION ssq_state") // unreferenced now: drops fine
+    assert(intercept[CqlInvalidQueryException] { // and the UDA is gone
+      s.execute("SELECT cat, ssq(amt) AS r FROM sales GROUP BY cat")
+    }.getMessage.contains("unknown function"))
+  }
+
   test("DESCRIBE emits round-trippable DDL; system_schema lists the catalog") {
     val s = CqlSession(spark)
     s.execute("CREATE TYPE addr (street text, zip int)")
