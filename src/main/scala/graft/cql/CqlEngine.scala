@@ -477,9 +477,12 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
 
   /** Literal typed to its column (CQL bind values are typed; Spark's struct
     * comparison does not coerce). */
-  private def typedLit(t: CqlTable, column: String, v: Any): Column =
-    t.df.schema.find(_.name.equalsIgnoreCase(column))
+  private def typedLit(t: CqlTable, column: String, v: Any): Column = v match {
+    case CqlDuration(m, d, n) => struct(
+      lit(m).as("months"), lit(d).as("days"), lit(n).as("nanos"))
+    case _ => t.df.schema.find(_.name.equalsIgnoreCase(column))
       .map(f => lit(v).cast(f.dataType)).getOrElse(lit(v))
+  }
 
   /** (lhs, rhs) for a predicate whose bound is a function literal:
     * min/maxTimeuuid bounds compare in timeuuid order — (ticks, tail), NOT
@@ -529,6 +532,14 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
         case None =>
           if (p.isToken) lit(p.values.head) else typedLit(t, p.column, p.values.head)
       }
+      // duration is not orderable — upstream rejects slice restrictions on
+      // duration columns [U db/marshal/DurationType, StatementRestrictions]
+      val isDuration = t.df.schema.find(_.name.equalsIgnoreCase(p.column))
+        .exists(_.dataType == CqlParser.DurationType)
+      if (isDuration && Set("<", "<=", ">", ">=").contains(p.op))
+        throw new CqlInvalidQueryException(
+          s"Slice restrictions are not supported on duration column " +
+            p.column)
       p.op match {
         case "=" => base === v
         case "!=" => base =!= v
@@ -536,6 +547,8 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
         case "<=" => base <= v
         case ">" => base > v
         case ">=" => base >= v
+        case "in" if p.values.exists(_.isInstanceOf[CqlDuration]) =>
+          p.values.map(x => base === typedLit(t, p.column, x)).reduce(_ || _)
         case "in" => base.isin(p.values: _*)
         case "is not null" => base.isNotNull
         case "like" => base.like(p.values.head.toString)

@@ -702,6 +702,67 @@ object CqlParser {
     CqlCreateIndex(name, table, column, sai, ifNotExists)
   }
 
+  /** CQL `duration` as a Spark struct — upstream's (months, days, nanos)
+    * triple [U db/marshal/DurationType.java, cql3/Duration.java]: calendar
+    * months and days don't reduce to nanos, so the three components stay
+    * separate and the type is NOT orderable (rejected in PRIMARY KEY and
+    * slice restrictions). */
+  val DurationType: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("months",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("days",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("nanos",
+        org.apache.spark.sql.types.LongType)))
+
+  private val durStdRe = "(?i)((\\d+)(y|mo|w|d|h|ms|us|ns|m|s))+".r
+  private val durPartRe = "(?i)(\\d+)(y|mo|w|d|h|ms|us|ns|m|s)".r
+  private val durIsoRe =
+    ("(?i)P(?:(\\d+)Y)?(?:(\\d+)M)?(?:(\\d+)W)?(?:(\\d+)D)?" +
+      "(?:T(?:(\\d+)H)?(?:(\\d+)M)?(?:(\\d+)S)?)?").r
+
+  /** Is `s` a complete duration literal (standard `1mo2d3h` or ISO-8601
+    * `P1Y2M3DT4H5M6S`)? */
+  private[cql] def isDurationLiteral(s: String): Boolean =
+    durStdRe.matches(s) || (durIsoRe.matches(s) && s.length > 1)
+
+  /** Parse a duration literal to upstream's (months, days, nanos) triple,
+    * with exact arithmetic (overflow → rejection, never a wrapped value). */
+  private[cql] def parseDuration(s: String): CqlDuration = try {
+    var months = 0L; var days = 0L; var nanos = 0L
+    def add(q: Long, unit: String): Unit = unit.toLowerCase match {
+      case "y" => months = Math.addExact(months, Math.multiplyExact(q, 12L))
+      case "mo" => months = Math.addExact(months, q)
+      case "w" => days = Math.addExact(days, Math.multiplyExact(q, 7L))
+      case "d" => days = Math.addExact(days, q)
+      case "h" =>
+        nanos = Math.addExact(nanos, Math.multiplyExact(q, 3600000000000L))
+      case "m" =>
+        nanos = Math.addExact(nanos, Math.multiplyExact(q, 60000000000L))
+      case "s" =>
+        nanos = Math.addExact(nanos, Math.multiplyExact(q, 1000000000L))
+      case "ms" => nanos = Math.addExact(nanos, Math.multiplyExact(q, 1000000L))
+      case "us" => nanos = Math.addExact(nanos, Math.multiplyExact(q, 1000L))
+      case "ns" => nanos = Math.addExact(nanos, q)
+    }
+    if (durStdRe.matches(s))
+      durPartRe.findAllMatchIn(s).foreach(m => add(m.group(1).toLong, m.group(2)))
+    else durIsoRe.findFirstMatchIn(s) match {
+      case Some(m) if durIsoRe.matches(s) =>
+        Seq("y", "mo", "w", "d", "h", "m", "s").zipWithIndex.foreach {
+          case (u, i) => Option(m.group(i + 1)).foreach(q => add(q.toLong, u))
+        }
+      case _ => throw new CqlInvalidQueryException(s"invalid duration $s")
+    }
+    if (months > Int.MaxValue || days > Int.MaxValue)
+      throw new ArithmeticException("overflow")
+    CqlDuration(months.toInt, days.toInt, nanos)
+  } catch {
+    case _: ArithmeticException | _: NumberFormatException =>
+      throw new CqlInvalidQueryException(s"duration $s overflows")
+  }
+
   /** CQL type → Spark type. `counter` is a bigint (the increment-log model
     * sums it); `decimal`/`varint` map to bounded decimals; `uuid`/`inet`
     * are strings; `vector<float, n>` is `array<float>`; `frozen<T>` = T. */
@@ -725,6 +786,7 @@ object CqlParser {
       case "decimal" => DecimalType(38, 18)
       case "varint" => DecimalType(38, 0)
       case "blob" => BinaryType
+      case "duration" => CqlParser.DurationType
       case "frozen" =>
         c.expect("<"); val t = parseType(c, udts, refs); c.expect(">"); t
       case "list" =>
@@ -946,6 +1008,7 @@ object CqlParser {
     if (t == "-") parseLiteral(c) match { // unary minus (own token, see tokenRe)
       case l: Long => -l
       case d: Double => -d
+      case CqlDuration(m, d, n) => CqlDuration(-m, -d, -n)
       case other => throw new CqlInvalidQueryException(s"cannot negate $other")
     }
     else if (t == "?") CqlBindMarker // prepared-statement positional bind
@@ -965,7 +1028,11 @@ object CqlParser {
     else if (t.equalsIgnoreCase("true")) true
     else if (t.equalsIgnoreCase("false")) false
     else if (t.equalsIgnoreCase("null")) null
+    else if (isDurationLiteral(t)) parseDuration(t) // ISO form, one token
     else if (t.contains('.')) numeric(t.toDouble, t)
+    else if (t.forall(_.isDigit) && !c.done &&
+        isDurationLiteral(t + c.peek)) // `12h30m` lexes as "12"+"h30m"
+      parseDuration(t + c.next())
     else numeric(t.toLong, t)
   }
 

@@ -16,6 +16,11 @@ case class CqlMapLit(entries: Seq[(Any, Any)])
   * StructType. */
 case class CqlUdtLit(fields: Seq[(String, Any)])
 
+/** A CQL `duration` literal — upstream's (months, days, nanos) triple
+  * (`1mo2d3h`, ISO-8601 `P1Y2M3D`; [U cql3/Duration.java]). Stored as
+  * [[CqlParser.DurationType]] struct cells. */
+case class CqlDuration(months: Int, days: Int, nanos: Long)
+
 /** A whitelisted function call in literal position — `minTimeuuid('…')` /
   * `maxTimeuuid('…')` / `toTimestamp('…')` as a predicate bound (upstream
   * `cql3/functions/TimeFcts.java` [U]; the classic
@@ -523,6 +528,10 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     case ArrayType(e, _) => s"list<${cqlTypeName(e, bound)}>"
     case MapType(k, v, _) =>
       s"map<${cqlTypeName(k, bound)}, ${cqlTypeName(v, bound)}>"
+    // a duration column carries no UDT name binding; a (months,days,nanos)-
+    // shaped UDT does, and keeps its name
+    case st: StructType if st == CqlParser.DurationType && bound.isEmpty =>
+      "duration"
     case st: StructType =>
       udtReg.collectFirst {
         case (n, s) if s == st && (bound.isEmpty || bound.contains(n)) =>
@@ -800,6 +809,12 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         (pk ++ ck).foreach { k =>
           if (!declared.contains(k.toLowerCase))
             throw new CqlInvalidQueryException(s"unknown PRIMARY KEY column $k")
+          // duration is not byte-comparable — upstream rejects it anywhere
+          // in the primary key [U db/marshal/DurationType.isValidForKey]
+          if (cols.exists(cd => cd.name.equalsIgnoreCase(k) &&
+              cd.dataType == CqlParser.DurationType))
+            throw new CqlInvalidQueryException(
+              s"duration type is not supported for PRIMARY KEY column $k")
         }
         val schema = StructType(cols.map(cd => StructField(cd.name, cd.dataType)))
         val statics = cols.filter(_.static).map(_.name)
@@ -1169,6 +1184,11 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * values are typed; local Rows must match the log schema exactly). */
   private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
+    case (d: CqlDuration, st: StructType) if st == CqlParser.DurationType =>
+      Row(d.months, d.days, d.nanos)
+    case (s: String, st: StructType) if st == CqlParser.DurationType =>
+      val d = CqlParser.parseDuration(s) // string form, e.g. from JSON
+      Row(d.months, d.days, d.nanos)
     case (l: Long, IntegerType) => l.toInt
     case (l: Long, LongType) => l
     case (l: Long, ShortType) => l.toShort

@@ -398,6 +398,49 @@ class CqlSessionSpec extends SparkSpec {
       }.getMessage.contains("only plain column selections"))
   }
 
+  test("duration columns: literal forms round-trip; ordering uses rejected") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE dur_t (pk bigint PRIMARY KEY, d duration)")
+    s.execute("INSERT INTO dur_t (pk, d) VALUES (1, 1mo2d3h)")
+    s.execute("INSERT INTO dur_t (pk, d) VALUES (2, P1Y2M3DT4H5M6S)")
+    s.execute("INSERT INTO dur_t (pk, d) VALUES (3, 12h30m)")
+    s.execute("INSERT INTO dur_t (pk, d) VALUES (4, -1h)")
+    def dur(pk: Long) = s.execute(s"SELECT d FROM dur_t WHERE pk = $pk")
+      .head().getStruct(0)
+    assert((dur(1).getInt(0), dur(1).getInt(1), dur(1).getLong(2)) ===
+      ((1, 2, 3L * 3600L * 1000000000L)))
+    assert((dur(2).getInt(0), dur(2).getInt(1), dur(2).getLong(2)) ===
+      ((14, 3, (4L * 3600 + 5 * 60 + 6) * 1000000000L)))
+    assert(dur(4).getLong(2) === -3600000000000L)
+    // equality works (durations compare for equality, never for order)
+    assert(s.execute(
+      "SELECT pk FROM dur_t WHERE d = 12h30m ALLOW FILTERING")
+      .head().getLong(0) === 3L)
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("SELECT pk FROM dur_t WHERE d > 1h ALLOW FILTERING")
+    }.getMessage.contains("Slice restrictions"))
+    // not allowed anywhere in the primary key
+    for (bad <- Seq(
+        "CREATE TABLE dbad (pk duration PRIMARY KEY, v text)",
+        "CREATE TABLE dbad (pk bigint, c duration, v text, " +
+          "PRIMARY KEY (pk, c))"))
+      assert(intercept[CqlInvalidQueryException] { s.execute(bad) }
+        .getMessage.contains("duration type is not supported"))
+    // DESCRIBE round-trips the type name
+    val ddl = s.execute("DESCRIBE TABLE dur_t").head()
+      .getAs[String]("create_statement")
+    assert(ddl.contains("d duration"))
+    s.execute("DROP TABLE dur_t")
+    s.execute(ddl)
+    assert(s.execute("SELECT type FROM system_schema.columns WHERE " +
+      "keyspace_name = 'default' AND table_name = 'dur_t' " +
+      "AND column_name = 'd'").head().getString(0) === "duration")
+    // overflow rejects instead of wrapping
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("INSERT INTO dur_t (pk, d) VALUES (5, 9999999999999h)")
+    }.getMessage.contains("overflows"))
+  }
+
   test("CREATE FUNCTION / CREATE AGGREGATE bind and run in SELECT") {
     val s = CqlSession(spark)
     s.execute("CREATE TABLE sales (cat text, id bigint, amt double, " +
