@@ -47,6 +47,16 @@ object TextFunctions {
         greatest(size(toks) - n + lit(1), lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(n))))
 
+  /** Bigram repetition stats struct(n_bigrams, maxrun, dup) straight from
+    * the TOKEN array in one codegen'd pass (see
+    * [[expressions.RunLengthStats]] — replaces the interpreted
+    * shingle-concat + `aggregate(array_sort(…), …)` HOF chain that was the
+    * x12 hot loop; bigrams are never materialized as strings). */
+  def runLengthStats(toks: Column): Column = {
+    import org.apache.spark.sql.GraftShim
+    GraftShim.column(expressions.RunLengthStats(GraftShim.expression(toks)))
+  }
+
   /** One MinHash signature component: min over shingles of a seeded 64-bit
     * hash. A full signature is an array of these with distinct seeds. */
   def minhashComponent(shingleCol: Column, seed: Int): Column =

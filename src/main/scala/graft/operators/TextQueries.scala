@@ -259,25 +259,16 @@ object TextQueries {
     * doc_id after the first — at 100 TB it is one shuffle on (doc_id,
     * gram) then a map-side partial per doc, no joins, no global state. */
   def x12_repetition(s: SparkSession, d: String): DataFrame = {
-    // repetition is PER-DOCUMENT — no shuffle needed at all: sort the
-    // row's bigram array and fold run-lengths in one pass (vs explode +
-    // two hash-aggregates: 2 shuffles, measured slower at sf0.1; at
-    // 100 TB the difference is a full corpus shuffle). The ~1.8 s cost is
-    // the interpreted per-row array sort+fold — the price of staying
-    // shuffle-free.
-    val grams = array_sort(shingles(tokens(col("text")), 2))
-    val zero = struct(lit("").as("prev"), lit(0).as("run"),
-      lit(0).as("maxrun"), lit(0).as("dup"))
-    val st = aggregate(grams, zero, (acc, x) => {
-      val run = when(acc.getField("prev") === x, acc.getField("run") + 1)
-        .otherwise(lit(1))
-      struct(x.as("prev"), run.as("run"),
-        greatest(acc.getField("maxrun"), run).as("maxrun"),
-        (acc.getField("dup") +
-          when(run === 2, 2).when(run > 2, 1).otherwise(0)).as("dup"))
-    })
+    // repetition is PER-DOCUMENT — no shuffle needed at all: one codegen'd
+    // pass over the token array (RunLengthStats: pair-sort + run-length
+    // fold, no bigram strings materialized) vs explode + two
+    // hash-aggregates (2 shuffles, measured slower at sf0.1; at 100 TB the
+    // difference is a full corpus shuffle). The interpreted HOF chain this
+    // replaces was the suite's second-hottest loop at ~1.9 s.
+    val st = runLengthStats(tokens(col("text")))
     Tables.documents(s, d)
-      .select(col("doc_id"), size(grams).cast("long").as("n_bigrams"),
+      .select(col("doc_id"),
+        st.getField("n_bigrams").cast("long").as("n_bigrams"),
         st.getField("maxrun").cast("long").as("top_c"),
         st.getField("dup").cast("long").as("dup_c"))
       // repetition is undefined below 2 tokens (0 bigrams): drop such docs,

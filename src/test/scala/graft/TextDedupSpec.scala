@@ -37,6 +37,41 @@ class TextDedupSpec extends SparkSpec {
     assert(lbl.size === 10)
   }
 
+  test("RunLengthStats matches the builtin sort+fold bigram formulation") {
+    // the codegen'd pair-sort must agree with the reference HOF chain
+    // (array_sort over joined bigram strings + run-length aggregate) on
+    // every shape: no repeats, a dominant run, all-same, short docs
+    val d = df1(
+      (1L, "a b c d"),                     // no repeated bigram
+      (2L, "x y x y x y z"),               // dominant "x y" + "y x" runs
+      (3L, "w w w w w"),                   // single bigram repeated 4x
+      (4L, "solo"), (5L, ""),              // 0 bigrams
+      (6L, "p q p q p r p q"))             // mixed repeats
+    val grams = array_sort(shingles(tokens(col("text")), 2))
+    val zero = struct(lit("").as("prev"), lit(0).as("run"),
+      lit(0).as("maxrun"), lit(0).as("dup"))
+    val ref = aggregate(grams, zero, (acc, x) => {
+      val run = when(acc.getField("prev") === x, acc.getField("run") + 1)
+        .otherwise(lit(1))
+      struct(x.as("prev"), run.as("run"),
+        greatest(acc.getField("maxrun"), run).as("maxrun"),
+        (acc.getField("dup") +
+          when(run === 2, 2).when(run > 2, 1).otherwise(0)).as("dup"))
+    })
+    val st = runLengthStats(tokens(col("text")))
+    val rows = d.select(col("id"),
+        size(grams).as("ref_n"), ref.getField("maxrun").as("ref_max"),
+        ref.getField("dup").as("ref_dup"),
+        st.getField("n_bigrams").as("n"), st.getField("maxrun").as("max"),
+        st.getField("dup").as("dup"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n") === r.getAs[Int]("ref_n"), s"n: $r")
+      assert(r.getAs[Int]("max") === r.getAs[Int]("ref_max"), s"max: $r")
+      assert(r.getAs[Int]("dup") === r.getAs[Int]("ref_dup"), s"dup: $r")
+    }
+  }
+
   test("minhash signatures of identical token sets are identical") {
     val d = df1((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
       (3L, "totally different words here indeed"))
