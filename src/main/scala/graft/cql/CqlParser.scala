@@ -374,6 +374,54 @@ object CqlParser {
     ddl
   }
 
+  /** cqlsh `COPY t [(c1, c2)] TO|FROM 'path' [WITH HEADER = TRUE
+    * [AND DELIMITER = ';']]`. */
+  def parseCopy(cql: String): CqlCopy = {
+    val c = new Cursor(tokenize(cql.stripSuffix(";")))
+    c.expect("copy")
+    val table = tableName(c)
+    var cols = Seq.empty[String]
+    if (c.accept("(")) {
+      cols = Seq(c.next())
+      while (c.accept(",")) cols = cols :+ c.next()
+      c.expect(")")
+    }
+    val to =
+      if (c.accept("to")) true
+      else { c.expect("from"); false }
+    val path = parseLiteral(c) match {
+      case s: String => s
+      case other => throw new CqlInvalidQueryException(
+        s"COPY expects a quoted path, got $other")
+    }
+    var header = true // cqlsh default for named-column copies
+    var delimiter = ","
+    if (c.accept("with")) {
+      var more = true
+      while (more) {
+        val key = c.next().toLowerCase
+        c.expect("=")
+        val v = c.next()
+        key match {
+          case "header" => header = v.equalsIgnoreCase("true")
+          case "delimiter" =>
+            delimiter = parseLiteralToken(v)
+          case _ => () // other cqlsh options (CHUNKSIZE, …) are client
+                       // tuning knobs: parsed and discarded
+        }
+        more = c.accept("and")
+      }
+    }
+    if (!c.done) throw new CqlInvalidQueryException(
+      s"unexpected trailing input near ${c.peek}")
+    CqlCopy(table, cols, to, path, header, delimiter)
+  }
+
+  /** A single already-read token as a string literal value. */
+  private def parseLiteralToken(t: String): String =
+    if (t.startsWith("'")) t.substring(1, t.length - 1).replace("''", "'")
+    else t
+
   private def parseDdlCursor(c: Cursor,
       udts: Map[String, org.apache.spark.sql.types.StructType]): CqlDdl = {
     c.next().toLowerCase match {

@@ -164,6 +164,12 @@ case class CqlCreateAggregate(name: String,
   ifNotExists: Boolean) extends CqlDdl
 case class CqlDropFunction(name: String, ifExists: Boolean) extends CqlDdl
 case class CqlDropAggregate(name: String, ifExists: Boolean) extends CqlDdl
+/** cqlsh-style `COPY t [(cols)] TO|FROM 'path' [WITH HEADER=… AND
+  * DELIMITER=…]` [U pylib/cqlshlib/copyutil.py — client-side upstream].
+  * `path` is a directory of CSV part files (the Spark-native layout: a
+  * 100 TB export writes in parallel, one file per task). */
+case class CqlCopy(table: String, columns: Seq[String], to: Boolean,
+  path: String, header: Boolean, delimiter: String)
 
 /** SURVEY §2.12 — the CQL write path on the upsert-log model: INSERT/UPDATE/
   * DELETE (all upserts) append typed cell-writes to a per-table log; reads
@@ -629,6 +635,59 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           columnTypeName(n, t, f))
       }
     }
+    def typeNameOf(dt: DataType, bound: Set[String]): String =
+      try cqlTypeName(dt, bound) catch { case _: Exception => dt.simpleString }
+    val iSchema = StructType(Seq(
+      StructField("keyspace_name", StringType),
+      StructField("table_name", StringType),
+      StructField("index_name", StringType),
+      StructField("kind", StringType), // upstream: COMPOSITES | CUSTOM
+      StructField("target", StringType)))
+    val iRows = indexReg.toSeq.sortBy(_._1).map { case (n, (tbl, c0, sai)) =>
+      Row(UserKeyspace, tbl, n, if (sai) "CUSTOM" else "COMPOSITES", c0)
+    }
+    val vSchema = StructType(Seq(
+      StructField("keyspace_name", StringType),
+      StructField("view_name", StringType),
+      StructField("base_table_name", StringType)))
+    val vRows = mvReg.toSeq.sortBy(_._1).map { case (n, (sel, _, _)) =>
+      Row(UserKeyspace, n, sel.table.toLowerCase)
+    }
+    val tySchema = StructType(Seq(
+      StructField("keyspace_name", StringType),
+      StructField("type_name", StringType),
+      StructField("field_names", StringType))) // comma-joined (upstream:
+    val tyRows = udtReg.toSeq.sortBy(_._1).map { case (n, st) => // list)
+      Row(UserKeyspace, n, st.fieldNames.mkString(","))
+    }
+    val fSchema = StructType(Seq(
+      StructField("keyspace_name", StringType),
+      StructField("function_name", StringType),
+      StructField("argument_types", StringType),
+      StructField("return_type", StringType),
+      StructField("language", StringType),
+      StructField("body", StringType),
+      StructField("called_on_null_input", BooleanType)))
+    val fRows = fnReg.toSeq.sortBy(_._1).map { case (n, d) =>
+      Row(UserKeyspace, n,
+        d.argTypes.map(typeNameOf(_, Set.empty)).mkString(","),
+        typeNameOf(d.returnType, Set.empty), d.language, d.body,
+        d.calledOnNull)
+    }
+    val aSchema = StructType(Seq(
+      StructField("keyspace_name", StringType),
+      StructField("aggregate_name", StringType),
+      StructField("argument_types", StringType),
+      StructField("state_func", StringType),
+      StructField("state_type", StringType),
+      StructField("final_func", StringType),
+      StructField("initcond", StringType)))
+    val aRows = aggReg.toSeq.sortBy(_._1).map { case (n, d) =>
+      Row(UserKeyspace, n,
+        d.argTypes.map(typeNameOf(_, Set.empty)).mkString(","),
+        d.sfunc, typeNameOf(d.stype, Set.empty), d.finalFunc.orNull,
+        d.initCond.map(String.valueOf).orNull)
+    }
     Map(
       "system_schema.keyspaces" ->
         CqlTable(df(ksRows, ksSchema), Seq("keyspace_name")),
@@ -636,7 +695,113 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         CqlTable(df(tRows, tSchema), Seq("keyspace_name"), Seq("table_name")),
       "system_schema.columns" ->
         CqlTable(df(cRows, cSchema), Seq("keyspace_name"),
-          Seq("table_name", "column_name")))
+          Seq("table_name", "column_name")),
+      "system_schema.indexes" ->
+        CqlTable(df(iRows, iSchema), Seq("keyspace_name"),
+          Seq("table_name", "index_name")),
+      "system_schema.views" ->
+        CqlTable(df(vRows, vSchema), Seq("keyspace_name"), Seq("view_name")),
+      "system_schema.types" ->
+        CqlTable(df(tyRows, tySchema), Seq("keyspace_name"),
+          Seq("type_name")),
+      "system_schema.functions" ->
+        CqlTable(df(fRows, fSchema), Seq("keyspace_name"),
+          Seq("function_name")),
+      "system_schema.aggregates" ->
+        CqlTable(df(aRows, aSchema), Seq("keyspace_name"),
+          Seq("aggregate_name")))
+  }
+
+  /** cqlsh `COPY TO/FROM` as a statement — upstream it is a client-side
+    * cqlsh feature ([U pylib/cqlshlib/copyutil.py]); here the engine runs
+    * it as a distributed CSV export/load: `path` is a DIRECTORY of part
+    * files written/read in parallel (the Spark-native layout a 100 TB
+    * export needs — cqlsh's single file cannot be written in parallel).
+    * Collection/UDT cells bridge through JSON text, as cqlsh serializes
+    * them. COPY FROM appends as one bulk INSERT batch: one coordinator
+    * timestamp, table default TTL, row markers set. Returns a 1-row
+    * (rows bigint) DataFrame like cqlsh's "N rows exported/imported". */
+  private def runCopy(cp: CqlCopy): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val t = tableState(cp.table)
+    if (t.counterKeys.nonEmpty) throw new CqlInvalidQueryException(
+      "COPY does not support counter tables")
+    def field(c0: String): StructField =
+      t.schema.fields.find(_.name.equalsIgnoreCase(c0)).getOrElse(
+        throw new CqlInvalidQueryException(
+          s"undefined column $c0 in ${cp.table}"))
+    val cols =
+      (if (cp.columns.nonEmpty) cp.columns else t.schema.fieldNames.toSeq)
+        .map(field(_).name)
+    def complex(dt: DataType): Boolean = dt match {
+      case _: ArrayType | _: MapType | _: StructType => true
+      case _ => false
+    }
+    def countResult(n: Long): DataFrame = spark.createDataFrame(
+      Seq(Row(n)).asJava,
+      StructType(Seq(StructField("rows", LongType, nullable = false))))
+    if (cp.to) {
+      val df = engine.execute(CqlSelect(
+        cols.map(ColumnSelector(_, None)), cp.table, Nil, Nil, None, None,
+        None, None, allowFiltering = true, distinct = false, json = false))
+      val out = df.select(cols.map { c0 =>
+        if (complex(field(c0).dataType)) to_json(col(c0)).as(c0) else col(c0)
+      }: _*)
+      val n = out.count()
+      out.write.mode("overwrite").option("header", cp.header.toString)
+        .option("sep", cp.delimiter).csv(cp.path)
+      countResult(n)
+    } else {
+      val keys = keyCols(t)
+      keys.foreach { k =>
+        if (!cols.exists(_.equalsIgnoreCase(k)))
+          throw new CqlInvalidQueryException(
+            s"COPY FROM requires primary key column $k")
+      }
+      val readSchema = StructType(cols.map { c0 =>
+        val f = field(c0)
+        StructField(f.name,
+          if (complex(f.dataType)) StringType else f.dataType)
+      })
+      var df = spark.read.option("header", cp.header.toString)
+        .option("sep", cp.delimiter).option("mode", "FAILFAST")
+        .schema(readSchema).csv(cp.path)
+      df = df.select(cols.map { c0 =>
+        val f = field(c0)
+        if (complex(f.dataType)) from_json(col(f.name), f.dataType).as(f.name)
+        else col(f.name)
+      }: _*)
+      if (!df.filter(keys.map(col(_).isNull).reduce(_ || _)).isEmpty)
+        throw new CqlInvalidQueryException(
+          "COPY FROM: a row carries a null primary key value")
+      val n = df.count()
+      mutationEpoch += 1
+      val ts = nextTs(None)
+      // one bulk append to the log — never per-row inserts (the plan must
+      // stay flat regardless of load size)
+      val shaped = df.select(t.logSchema.fields.toSeq.map { f =>
+        val n0 = f.name
+        if (df.columns.exists(_.equalsIgnoreCase(n0)))
+          col(df.columns.find(_.equalsIgnoreCase(n0)).get)
+            .cast(f.dataType).as(n0)
+        else if (n0.startsWith("_op_")) {
+          val src = n0.stripPrefix("_op_")
+          if (df.columns.exists(_.equalsIgnoreCase(src)))
+            when(col(src).isNotNull, lit("set")).as(n0)
+          else lit(null).cast(StringType).as(n0)
+        }
+        else if (n0 == "_marker") lit(true).as(n0)
+        else if (n0 == "_writetime") lit(ts).as(n0)
+        else if (n0 == "_ttl")
+          t.defaultTtl.map(v => lit(v)).getOrElse(lit(null))
+            .cast(LongType).as(n0)
+        else if (n0 == "_deleted") lit(false).as(n0)
+        else lit(null).cast(f.dataType).as(n0)
+      }: _*)
+      state(cp.table.toLowerCase) =
+        t.copy(base = log(t).unionByName(shaped), pending = Vector.empty)
+      countResult(n)
+    }
   }
 
   /** `DESCRIBE KEYSPACES | TABLES | TABLE t | TYPE t | t` — the
@@ -757,6 +922,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         runDml(CqlParser.parseDml(trimmed))
       case "begin" => runBatch(CqlParser.parseBatch(trimmed))
       case "describe" | "desc" => runDescribe(trimmed)
+      case "copy" => runCopy(CqlParser.parseCopy(trimmed))
       case "use" =>
         // `USE ks` — the flat catalog makes this a current-keyspace marker
         // only; unknown keyspaces error as upstream does
@@ -1441,6 +1607,11 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     if (!skipCondition && !conditionHolds(dml)) return false
     mutationEpoch += 1
     val t = tableState(dml.table)
+    // counter mutations carry server timestamps only (upstream
+    // "Cannot provide custom timestamp for counter updates")
+    if (t.counterKeys.nonEmpty && dml.usingTimestamp.isDefined)
+      throw new CqlInvalidQueryException(
+        "Cannot provide custom timestamp for counter updates")
     val keys = keyCols(t)
     val cells = cellsFor(dml, t)
     // writes must address the primary key (ModificationStatement rule);

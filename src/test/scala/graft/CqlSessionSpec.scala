@@ -398,6 +398,82 @@ class CqlSessionSpec extends SparkSpec {
       }.getMessage.contains("only plain column selections"))
   }
 
+  test("COPY TO / COPY FROM round-trip a table through CSV part files") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE cp (pk bigint, ck bigint, v text, " +
+      "tags list<text>, PRIMARY KEY (pk, ck))")
+    s.execute("INSERT INTO cp (pk, ck, v, tags) VALUES (1, 1, 'a', ['x','y'])")
+    s.execute("INSERT INTO cp (pk, ck, v, tags) VALUES (1, 2, 'b', ['z'])")
+    s.execute("INSERT INTO cp (pk, ck, v) VALUES (2, 1, 'c')")
+    val dir = java.nio.file.Files.createTempDirectory("graft-copy")
+      .toString + "/out"
+    assert(s.execute(s"COPY cp TO '$dir'").head().getLong(0) === 3L)
+    s.execute("CREATE TABLE cp2 (pk bigint, ck bigint, v text, " +
+      "tags list<text>, PRIMARY KEY (pk, ck))")
+    assert(s.execute(s"COPY cp2 FROM '$dir'").head().getLong(0) === 3L)
+    val a = s.execute("SELECT pk, ck, v, tags FROM cp2 WHERE pk = 1 AND ck = 1")
+      .head()
+    assert(a.getString(2) === "a" &&
+      a.getSeq[String](3) === Seq("x", "y"), "collections bridge via JSON")
+    // loaded rows are ordinary INSERTs: upserts reconcile over them
+    s.execute("UPDATE cp2 SET v = 'a2' WHERE pk = 1 AND ck = 1")
+    assert(s.execute("SELECT v FROM cp2 WHERE pk = 1 AND ck = 1")
+      .head().getString(0) === "a2")
+    assert(intercept[CqlInvalidQueryException] { // pk must be in the column set
+      s.execute(s"COPY cp2 (v) FROM '$dir'")
+    }.getMessage.contains("requires primary key"))
+    s.execute("CREATE TABLE cpc (page text PRIMARY KEY, views counter)")
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute(s"COPY cpc TO '$dir'")
+    }.getMessage.contains("counter"))
+  }
+
+  test("system_schema registries: indexes, views, types, functions, aggregates") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TYPE pt (x int, y int)")
+    s.execute("CREATE TABLE reg_t (pk bigint PRIMARY KEY, v text, " +
+      "loc frozen<pt>)")
+    s.execute("CREATE INDEX reg_idx ON reg_t (v) USING 'sai'")
+    s.execute("CREATE MATERIALIZED VIEW reg_mv AS SELECT pk, v FROM reg_t " +
+      "WHERE pk IS NOT NULL AND v IS NOT NULL PRIMARY KEY (v, pk)")
+    s.execute("CREATE FUNCTION reg_fn (x double) CALLED ON NULL INPUT " +
+      "RETURNS double LANGUAGE java AS 'return x + 1;'")
+    s.execute("CREATE FUNCTION reg_sf (st bigint, x bigint) " +
+      "CALLED ON NULL INPUT RETURNS bigint LANGUAGE java " +
+      "AS 'return st + x;'")
+    s.execute("CREATE AGGREGATE reg_agg (bigint) SFUNC reg_sf STYPE bigint " +
+      "INITCOND 0")
+    val idx = s.execute("SELECT table_name, kind, target FROM " +
+      "system_schema.indexes WHERE keyspace_name = 'default' " +
+      "AND table_name = 'reg_t' AND index_name = 'reg_idx'").head()
+    assert(idx.getString(1) === "CUSTOM" && idx.getString(2) === "v")
+    assert(s.execute("SELECT base_table_name FROM system_schema.views " +
+      "WHERE keyspace_name = 'default' AND view_name = 'reg_mv'")
+      .head().getString(0) === "reg_t")
+    assert(s.execute("SELECT field_names FROM system_schema.types " +
+      "WHERE keyspace_name = 'default' AND type_name = 'pt'")
+      .head().getString(0) === "x,y")
+    val fn = s.execute("SELECT argument_types, return_type, language, " +
+      "called_on_null_input FROM system_schema.functions WHERE " +
+      "keyspace_name = 'default' AND function_name = 'reg_fn'").head()
+    assert(fn.getString(0) === "double" && fn.getString(1) === "double" &&
+      fn.getString(2) === "java" && fn.getBoolean(3))
+    val ag = s.execute("SELECT state_func, state_type, initcond FROM " +
+      "system_schema.aggregates WHERE keyspace_name = 'default' " +
+      "AND aggregate_name = 'reg_agg'").head()
+    assert(ag.getString(0) === "reg_sf" && ag.getString(1) === "bigint" &&
+      ag.getString(2) === "0")
+  }
+
+  test("counter mutations reject client timestamps, as upstream") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE hits6 (page text PRIMARY KEY, views counter)")
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("UPDATE hits6 USING TIMESTAMP 5 SET views = views + 1 " +
+        "WHERE page = 'x'")
+    }.getMessage.contains("custom timestamp for counter"))
+  }
+
   test("duration columns: literal forms round-trip; ordering uses rejected") {
     val s = CqlSession(spark)
     s.execute("CREATE TABLE dur_t (pk bigint PRIMARY KEY, d duration)")
