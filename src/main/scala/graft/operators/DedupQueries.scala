@@ -101,7 +101,13 @@ object DedupQueries {
     * run the sketch pipeline twice. The explode carries 8-byte longs, never
     * materialized shingle strings (~60 B each at corpus scale).
     */
-  def d3_minhash_lsh(s: SparkSession, d: String): DataFrame = {
+  def d3_minhash_lsh(s: SparkSession, d: String): DataFrame =
+    d3Pairs(s, d).orderBy("id_a", "id_b")
+
+  /** D3's candidate pairs WITHOUT the presentation sort — d7 consumes
+    * these directly (a global sort of the candidate set buys the
+    * components fixpoint nothing and is real work at 100 TB). */
+  private def d3Pairs(s: SparkSession, d: String): DataFrame = {
     // Token hash once per token, reduced mod p; shingle hash = polynomial
     // combine of the 3 token hashes mod p. The 32 permutations are the
     // Carter-Wegman family h_i = (a_i·h + b_i) mod p — the mod is what makes
@@ -133,7 +139,6 @@ object DedupQueries {
       .select(explode(orderedPairs(col("ids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
-      .orderBy("id_a", "id_b")
   }
 
   /** D4 (L2 SimHash): 60-bit simhash (md5-derived token hash, so the sketch
@@ -220,8 +225,13 @@ object DedupQueries {
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
-    var lbl = sym.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
+    // seed with the 1-hop neighborhood min — one aggregation that fuses
+    // the first propagation round into the init: near-dup components are
+    // mostly cliques (a shared LSH bucket edges all pairs), so most of the
+    // graph converges at the seed and the loop's first convergence count
+    // ends it after a single superstep
+    var lbl = sym.groupBy(col("src").as("id"))
+      .agg(min(least(col("src"), col("dst"))).as("lbl")).localCheckpoint()
     var changed = 1L
     var rounds = 0
     val maxRounds = 256 // >> any near-dup graph diameter; a backstop only
@@ -293,7 +303,7 @@ object DedupQueries {
     * closes it with a recursive CTE. */
   def d7_components_lsh(s: SparkSession, d: String): DataFrame =
     componentSummary(connectedComponents(
-      d3_minhash_lsh(s, d).select(col("id_a").as("src"), col("id_b").as("dst"))))
+      d3Pairs(s, d).select(col("id_a").as("src"), col("id_b").as("dst"))))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact" -> (d1_exact _),

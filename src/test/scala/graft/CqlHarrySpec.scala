@@ -269,4 +269,53 @@ class CqlHarrySpec extends SparkSpec {
         s"engine diverged from static model in round $round")
     }
   }
+
+  test("paged reads reassemble random mutation states exactly (paging ≡ unpaged)") {
+    // Harry-style check of O4 paging over reconciled state: after a random
+    // mutation burst, concatenated pages — single-partition, pk IN, and
+    // full scan, at several fetch sizes — must equal the unpaged result in
+    // page order, with no row lost or duplicated at any page boundary.
+    val rnd = new scala.util.Random(41290735L)
+    for (round <- 1 to 4) {
+      val s = CqlSession.emptyTable(spark, "t", StructType(Seq(
+        StructField("pk", LongType), StructField("ck", LongType),
+        StructField("a", LongType))),
+        partitionKeys = Seq("pk"), clusteringKeys = Seq("ck"))
+      for (_ <- 1 to 30) {
+        val pk = rnd.nextInt(3).toLong
+        val ck = rnd.nextInt(5).toLong
+        val ts = 1L + rnd.nextInt(8)
+        rnd.nextInt(6) match {
+          case 0 | 1 | 2 => s.execute("INSERT INTO t (pk, ck, a) VALUES " +
+            s"($pk, $ck, ${rnd.nextInt(9)}) USING TIMESTAMP $ts")
+          case 3 => s.execute(s"UPDATE t USING TIMESTAMP $ts SET " +
+            s"a = ${rnd.nextInt(9)} WHERE pk = $pk AND ck = $ck")
+          case 4 => s.execute(s"DELETE FROM t USING TIMESTAMP $ts " +
+            s"WHERE pk = $pk AND ck = $ck")
+          case 5 => s.execute(s"DELETE a FROM t USING TIMESTAMP $ts " +
+            s"WHERE pk = $pk AND ck = $ck")
+        }
+      }
+      val eng = s.engineView
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+      val whole = rows(eng.execute("SELECT pk, ck, a FROM t"))
+        .sortBy(t3 => (t3._1, t3._2))
+      for (fetch <- Seq(1, 2, 7)) {
+        val scan = eng.executePaged("SELECT pk, ck, a FROM t", fetch)
+          .flatMap(rows).toSeq
+        assert(scan === whole, s"full-scan paging fetch=$fetch round $round")
+        val in = eng.executePaged(
+          "SELECT pk, ck, a FROM t WHERE pk IN (0, 2)", fetch)
+          .flatMap(rows).toSeq
+        assert(in === whole.filter(t3 => t3._1 == 0L || t3._1 == 2L),
+          s"pk IN paging fetch=$fetch round $round")
+        val single = eng.executePaged(
+          "SELECT pk, ck, a FROM t WHERE pk = 1", fetch).flatMap(rows).toSeq
+        assert(single === whole.filter(_._1 == 1L),
+          s"single-partition paging fetch=$fetch round $round")
+      }
+    }
+  }
 }
