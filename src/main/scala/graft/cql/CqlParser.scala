@@ -394,7 +394,10 @@ object CqlParser {
       case other => throw new CqlInvalidQueryException(
         s"COPY expects a quoted path, got $other")
     }
-    var header = true // cqlsh default for named-column copies
+    // engine default: TO and FROM share HEADER=true so round-trips are
+    // hermetic (cqlsh defaults HEADER to false; pass WITH HEADER = FALSE
+    // for headerless files)
+    var header = true
     var delimiter = ","
     if (c.accept("with")) {
       var more = true

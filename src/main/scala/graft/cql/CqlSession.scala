@@ -534,9 +534,11 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     case ArrayType(e, _) => s"list<${cqlTypeName(e, bound)}>"
     case MapType(k, v, _) =>
       s"map<${cqlTypeName(k, bound)}, ${cqlTypeName(v, bound)}>"
-    // a duration column carries no UDT name binding; a (months,days,nanos)-
-    // shaped UDT does, and keeps its name
-    case st: StructType if st == CqlParser.DurationType && bound.isEmpty =>
+    // a duration column/field names itself "duration" unless one of the
+    // BOUND type names is an identically-shaped UDT (then the name wins —
+    // bindings are nominal)
+    case st: StructType if st == CqlParser.DurationType &&
+        !bound.exists(n => udtReg.get(n).contains(st)) =>
       "duration"
     case st: StructType =>
       udtReg.collectFirst {
@@ -831,6 +833,15 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       case Seq(_, "tables") =>
         engine.execute(
           "SELECT keyspace_name, table_name FROM system_schema.tables")
+      case Seq(_, "types") =>
+        engine.execute(
+          "SELECT keyspace_name, type_name FROM system_schema.types")
+      case Seq(_, "functions") =>
+        engine.execute("SELECT keyspace_name, function_name, " +
+          "argument_types FROM system_schema.functions")
+      case Seq(_, "aggregates") =>
+        engine.execute("SELECT keyspace_name, aggregate_name, " +
+          "argument_types FROM system_schema.aggregates")
       case Seq(_, "table", raw) => describeTable(raw)
       case Seq(_, "type", raw) =>
         udtReg.get(raw.toLowerCase)
@@ -1084,6 +1095,17 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         if (!ifNotExists)
           throw new CqlInvalidQueryException(s"function $name already exists")
       } else {
+        // OR REPLACE of a function an aggregate references must keep the
+        // signature, or the aggregate silently breaks at its next use
+        // (upstream re-type-checks dependents on replace)
+        fnReg.get(n).foreach { old =>
+          val changed = old.argTypes != args.map(_._2) || old.returnType != rt
+          if (changed) aggReg.collectFirst {
+            case (an, d0) if d0.sfunc == n || d0.finalFunc.contains(n) => an
+          }.foreach(an => throw new CqlInvalidQueryException(
+            s"cannot change the signature of $name: aggregate $an " +
+              "references it"))
+        }
         if (lang != "java" && lang != "sql")
           throw new CqlInvalidQueryException(
             s"unsupported LANGUAGE $lang (java expression bodies or sql)")

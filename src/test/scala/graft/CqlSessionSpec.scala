@@ -463,6 +463,13 @@ class CqlSessionSpec extends SparkSpec {
       "AND aggregate_name = 'reg_agg'").head()
     assert(ag.getString(0) === "reg_sf" && ag.getString(1) === "bigint" &&
       ag.getString(2) === "0")
+    // the cqlsh listing forms route through the same virtual tables
+    assert(s.execute("DESCRIBE TYPES").collect()
+      .map(_.getString(1)).contains("pt"))
+    assert(s.execute("DESCRIBE FUNCTIONS").collect()
+      .map(_.getString(1)).toSet === Set("reg_fn", "reg_sf"))
+    assert(s.execute("DESCRIBE AGGREGATES").collect()
+      .map(_.getString(1)) === Array("reg_agg"))
   }
 
   test("counter mutations reject client timestamps, as upstream") {
@@ -584,6 +591,14 @@ class CqlSessionSpec extends SparkSpec {
     assert(intercept[CqlInvalidQueryException] { // referenced fn can't drop
       s.execute("DROP FUNCTION ssq_state")
     }.getMessage.contains("still referenced"))
+    assert(intercept[CqlInvalidQueryException] { // referenced fn keeps shape
+      s.execute("CREATE OR REPLACE FUNCTION ssq_state (st text, x text) " +
+        "CALLED ON NULL INPUT RETURNS text LANGUAGE java AS 'return st;'")
+    }.getMessage.contains("cannot change the signature"))
+    // same-signature replace of a referenced function is fine
+    s.execute("CREATE OR REPLACE FUNCTION ssq_state (st double, x double) " +
+      "CALLED ON NULL INPUT RETURNS double LANGUAGE java " +
+      "AS 'return st + x * x;'")
     s.execute("DROP AGGREGATE ssq")
     s.execute("DROP FUNCTION ssq_final")
     s.execute("DROP FUNCTION ssq_state") // unreferenced now: drops fine
