@@ -97,9 +97,11 @@ object CqlParser {
     if (c.accept(".")) {
       val t = c.next()
       // the catalog is flat (keyspace qualifiers drop) EXCEPT the
-      // system_schema virtual tables, addressed by their upstream
+      // system/system_schema virtual tables, addressed by their upstream
       // qualified names [U db/virtual/, schema/SchemaKeyspace.java]
-      if (n.equalsIgnoreCase("system_schema")) s"system_schema.$t" else t
+      if (n.equalsIgnoreCase("system_schema") || n.equalsIgnoreCase("system"))
+        s"${n.toLowerCase}.$t"
+      else t
     } else n
   }
 

@@ -711,7 +711,39 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           Seq("function_name")),
       "system_schema.aggregates" ->
         CqlTable(df(aRows, aSchema), Seq("keyspace_name"),
-          Seq("aggregate_name")))
+          Seq("aggregate_name"))) ++ systemLocalCatalog
+  }
+
+  /** `system.local` / `system.peers` — the first thing every driver reads
+    * on connect [U db/SystemKeyspace.java]. One local "node" (this
+    * engine), an empty peer set (single-engine: there is no ring to
+    * discover); partitioner name matches the Murmur3 tokens `token()`
+    * actually computes. */
+  private def systemLocalCatalog: Map[String, CqlTable] = {
+    import scala.jdk.CollectionConverters._
+    val lSchema = StructType(Seq(
+      StructField("key", StringType),
+      StructField("cluster_name", StringType),
+      StructField("data_center", StringType),
+      StructField("rack", StringType),
+      StructField("partitioner", StringType),
+      StructField("release_version", StringType),
+      StructField("cql_version", StringType),
+      StructField("tokens", StringType))) // comma-joined (upstream: set)
+    val lRows = Seq(Row("local", "graft", "datacenter1", "rack1",
+      "org.apache.cassandra.dht.Murmur3Partitioner", "5.0-graft", "3.4.7",
+      s"${Long.MinValue}"))
+    val pSchema = StructType(Seq(
+      StructField("peer", StringType),
+      StructField("data_center", StringType),
+      StructField("rack", StringType),
+      StructField("release_version", StringType)))
+    Map(
+      "system.local" ->
+        CqlTable(spark.createDataFrame(lRows.asJava, lSchema), Seq("key")),
+      "system.peers" ->
+        CqlTable(spark.createDataFrame(
+          Seq.empty[Row].asJava, pSchema), Seq("peer")))
   }
 
   /** cqlsh `COPY TO/FROM` as a statement — upstream it is a client-side
@@ -968,9 +1000,10 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       if (!keyspaces.remove(name.toLowerCase) && !ifExists)
         throw new CqlInvalidQueryException(s"unknown keyspace $name")
     case CqlCreateTable(table, cols, pk, ck, ifNotExists, ckDesc, dTtl) =>
-      if (table.toLowerCase.startsWith("system_schema."))
+      if (table.toLowerCase.startsWith("system_schema.") ||
+          table.toLowerCase.startsWith("system."))
         throw new CqlInvalidQueryException(
-          s"system_schema keyspace is not user-modifiable")
+          s"system keyspaces are not user-modifiable")
       if (state.contains(table.toLowerCase)) {
         if (!ifNotExists)
           throw new CqlInvalidQueryException(s"table $table already exists")

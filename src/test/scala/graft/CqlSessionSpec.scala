@@ -663,10 +663,16 @@ class CqlSessionSpec extends SparkSpec {
     s.execute("CREATE TABLE desc_cnt (page text PRIMARY KEY, views counter)")
     assert(s.execute("DESC desc_cnt").head()
       .getAs[String]("create_statement").contains("views counter"))
-    // the virtual keyspace is read-only
-    assert(intercept[CqlInvalidQueryException] {
-      s.execute("CREATE TABLE system_schema.hax (pk bigint PRIMARY KEY)")
-    }.getMessage.contains("not user-modifiable"))
+    // the virtual keyspaces are read-only
+    for (hax <- Seq("system_schema.hax", "system.hax"))
+      assert(intercept[CqlInvalidQueryException] {
+        s.execute(s"CREATE TABLE $hax (pk bigint PRIMARY KEY)")
+      }.getMessage.contains("not user-modifiable"))
+    // the driver-handshake tables answer (one local node, no peers)
+    val local = s.execute("SELECT key, partitioner, release_version " +
+      "FROM system.local WHERE key = 'local'").head()
+    assert(local.getString(1).endsWith("Murmur3Partitioner"))
+    assert(s.execute("SELECT peer FROM system.peers").count() === 0L)
   }
 
   test("negative literals parse everywhere; bad numerics raise CqlInvalidQueryException") {
