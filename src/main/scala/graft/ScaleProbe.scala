@@ -70,16 +70,12 @@ object ScaleProbe {
       Seq("a1_pricing_summary", "j2_orders_lineitem",
         "w1_topk_per_user", "d1_exact", "d3_minhash_lsh", "x4_tokencount",
         "x8_decontaminate", "t1_tumbling", "v12_pq_adc",
-        "x15_bm25", "x16_mixture", "x17_gopher_rules", "x18_bpe_pairs")
-        .map(n => n -> SparkEntry.queries(n)) :+
-      // the full consolidation pipeline: LSH candidates → components —
-      // the uncapped variant of d6 (whose declared query bounds doc_id
-      // for the recursive-CTE oracle)
-      ("components_on_lsh" -> ((sp: SparkSession, dir: String) =>
-        operators.DedupQueries.connectedComponents(
-          operators.DedupQueries.d3_minhash_lsh(sp, dir)
-            .select(col("id_a").as("src"), col("id_b").as("dst")))
-          .groupBy("lbl").agg(count(lit(1)).as("n"))))
+        "x12_repetition", "x15_bm25", "x16_mixture", "x17_gopher_rules",
+        "x18_bpe_pairs",
+        // the full consolidation pipeline (LSH candidates → components) is
+        // DECLARED since r7 — probe the real query
+        "d7_components_lsh")
+        .map(n => n -> SparkEntry.queries(n))
     factors.foreach { f =>
       val dir = if (f == 1) base else s"/tmp/graft-scale-${f}x"
       if (f != 1) scaled(spark, base, dir, f)
