@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Add, Divide, Expression,
   ExpressionInfo, Literal, Multiply, Remainder}
 import graft.functions.expressions.{CosineSimilarity, DotProduct,
   EuclideanDistance, Md5Prefix64, Murmur3CompositeToken, Murmur3Token,
-  QuantizeInt8}
+  QuantizeInt8, RunLengthStats}
 
 /** SQL-surface registration of the engine's native functions via the public
   * `SparkSessionExtensions` hook — enable with
@@ -29,6 +29,9 @@ import graft.functions.expressions.{CosineSimilarity, DotProduct,
   *  - `md5_prefix64` — the sketch pipelines' shared 60-bit token hash
   *    (first 15 hex chars of md5 as BIGINT; DuckDB twin
   *    `('0x'||substr(md5(s),1,15))::BIGINT`), digest-bytes→long.
+  *  - `run_length_stats` — bigram repetition stats
+  *    struct(n_bigrams, maxrun, dup) from a token array in one pass
+  *    (x12's kernel).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -83,5 +86,7 @@ object GraftExtensions {
     }),
     fn("md5_prefix64", a => Md5Prefix64(arity("md5_prefix64", 1)(a)(0))),
     fn("quantize_int8", a => QuantizeInt8(arity("quantize_int8", 1)(a)(0))),
+    fn("run_length_stats",
+      a => RunLengthStats(arity("run_length_stats", 1)(a)(0))),
   )
 }

@@ -270,6 +270,48 @@ class CqlHarrySpec extends SparkSpec {
     }
   }
 
+  test("COPY round-trips random reconciled states (export → import ≡ original)") {
+    // the reconciled VIEW is what COPY TO exports; importing it into a
+    // fresh table must reproduce exactly that view — ties the CSV bridge
+    // into the same model-checked write path as everything else
+    val rnd = new scala.util.Random(90125834L)
+    for (round <- 1 to 3) {
+      val s = CqlSession.emptyTable(spark, "src_t", StructType(Seq(
+        StructField("pk", LongType), StructField("ck", LongType),
+        StructField("a", LongType), StructField("b", StringType))),
+        partitionKeys = Seq("pk"), clusteringKeys = Seq("ck"))
+      for (_ <- 1 to 25) {
+        val pk = rnd.nextInt(3).toLong
+        val ck = rnd.nextInt(4).toLong
+        val ts = 1L + rnd.nextInt(8)
+        rnd.nextInt(5) match {
+          case 0 | 1 => s.execute("INSERT INTO src_t (pk, ck, a, b) VALUES " +
+            s"($pk, $ck, ${rnd.nextInt(9)}, 'v${rnd.nextInt(9)}') " +
+            s"USING TIMESTAMP $ts")
+          case 2 => s.execute(s"UPDATE src_t USING TIMESTAMP $ts SET " +
+            s"a = ${rnd.nextInt(9)} WHERE pk = $pk AND ck = $ck")
+          case 3 => s.execute(s"DELETE FROM src_t USING TIMESTAMP $ts " +
+            s"WHERE pk = $pk AND ck = $ck")
+          case 4 => s.execute(s"DELETE b FROM src_t USING TIMESTAMP $ts " +
+            s"WHERE pk = $pk AND ck = $ck")
+        }
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft-harry-copy")
+        .toString + "/out"
+      s.execute(s"COPY src_t TO '$dir'")
+      s.execute("CREATE TABLE dst_t (pk bigint, ck bigint, a bigint, " +
+        "b text, PRIMARY KEY (pk, ck))")
+      s.execute(s"COPY dst_t FROM '$dir'")
+      def view(t: String) = s.execute(s"SELECT pk, ck, a, b FROM $t")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getString(3))))
+        .sortBy(t4 => (t4._1, t4._2)).toSeq
+      assert(view("dst_t") === view("src_t"),
+        s"COPY round-trip diverged in round $round")
+    }
+  }
+
   test("paged reads reassemble random mutation states exactly (paging ≡ unpaged)") {
     // Harry-style check of O4 paging over reconciled state: after a random
     // mutation burst, concatenated pages — single-partition, pk IN, and

@@ -83,6 +83,21 @@ class GraftExtensionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("run_length_stats resolves in spark.sql and matches the Column API") {
+    import spark.implicits._
+    Seq((1L, "x y x y z"), (2L, "a b c"))
+      .toDF("id", "text").createOrReplaceTempView("rlt")
+    val viaSql = spark.sql("SELECT id, run_length_stats(split(text, ' ')) " +
+      "AS st FROM rlt ORDER BY id").collect()
+    val viaCol = spark.table("rlt").select(col("id"),
+        graft.functions.TextFunctions.runLengthStats(
+          split(col("text"), " ")).as("st"))
+      .orderBy("id").collect()
+    assert(viaSql.toSeq === viaCol.toSeq)
+    val st = viaSql(0).getStruct(1) // "x y x y z": 4 bigrams, "x y" twice
+    assert(st.getInt(0) === 4 && st.getInt(1) === 2 && st.getInt(2) === 2)
+  }
+
   test("config-string activation path: spark.sql.extensions=graft.GraftExtensions") {
     // A brand-new session in the same JVM picks the extension up from config
     // alone (how a cluster deployment enables it — no code changes).
