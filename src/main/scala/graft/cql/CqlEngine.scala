@@ -342,6 +342,52 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
   /** Cassandra's restriction rules (the guardrails that make it Cassandra). */
   private def validate(sel: CqlSelect, t: CqlTable): Unit = {
     val keyCols = (t.partitionKeys ++ t.clusteringKeys).map(_.toLowerCase).toSet
+    // name/type validation BEFORE the filtering gate, so a typo'd column
+    // reads as upstream's "Undefined column name", not a Spark analysis
+    // stack; same for CONTAINS typing and token() placement
+    sel.predicates.foreach {
+      case p: ColumnPredicate if p.isToken =>
+        if (!t.partitionKeys.exists(_.equalsIgnoreCase(p.column)))
+          throw new CqlInvalidQueryException(
+            s"The token() function can only be applied to the partition " +
+              s"key (got ${p.column})")
+        if (!Set("=", "<", "<=", ">", ">=").contains(p.op))
+          throw new CqlInvalidQueryException(
+            s"Only EQ and slice relations are supported on token() " +
+              s"(got ${p.op})")
+      case p: ColumnPredicate =>
+        val f = t.df.schema.find(_.name.equalsIgnoreCase(p.column))
+          .getOrElse(throw new CqlInvalidQueryException(
+            s"Undefined column name ${p.column}"))
+        p.op match {
+          case "contains" if !f.dataType.isInstanceOf[
+              org.apache.spark.sql.types.ArrayType] && !f.dataType
+              .isInstanceOf[org.apache.spark.sql.types.MapType] =>
+            throw new CqlInvalidQueryException(
+              s"Cannot use CONTAINS on non-collection column ${p.column}")
+          case "contains key" if !f.dataType.isInstanceOf[
+              org.apache.spark.sql.types.MapType] =>
+            throw new CqlInvalidQueryException(
+              s"Cannot use CONTAINS KEY on non-map column ${p.column}")
+          case _ => ()
+        }
+      case _ => ()
+    }
+    sel.selectors.foreach {
+      case ColumnSelector(n, _) if n != "*" =>
+        // `u.field` selects a UDT field: validate the BASE column
+        val base = n.takeWhile(_ != '.')
+        if (!t.df.schema.exists(_.name.equalsIgnoreCase(base)))
+          throw new CqlInvalidQueryException(s"Undefined column name $base")
+      case _ => ()
+    }
+    // upstream: both limits must be strictly positive
+    sel.limit.filter(_ <= 0).foreach(n =>
+      throw new CqlInvalidQueryException(
+        s"LIMIT must be strictly positive (got $n)"))
+    sel.perPartitionLimit.filter(_ <= 0).foreach(n =>
+      throw new CqlInvalidQueryException(
+        s"PER PARTITION LIMIT must be strictly positive (got $n)"))
     if (!sel.allowFiltering) {
       sel.predicates.foreach {
         case p: ColumnPredicate =>
@@ -547,12 +593,20 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
         case "<=" => base <= v
         case ">" => base > v
         case ">=" => base >= v
+        case "in" if p.values.isEmpty => lit(false) // `IN ()` matches nothing
         case "in" if p.values.exists(_.isInstanceOf[CqlDuration]) =>
           p.values.map(x => base === typedLit(t, p.column, x)).reduce(_ || _)
         case "in" => base.isin(p.values: _*)
         case "is not null" => base.isNotNull
         case "like" => base.like(p.values.head.toString)
-        case "contains" => array_contains(base, lit(p.values.head))
+        case "contains" =>
+          // upstream CONTAINS on a map matches VALUES (keys need
+          // CONTAINS KEY); on list/set it is membership
+          val isMap = t.df.schema.find(_.name.equalsIgnoreCase(p.column))
+            .exists(_.dataType.isInstanceOf[
+              org.apache.spark.sql.types.MapType])
+          if (isMap) array_contains(map_values(base), lit(p.values.head))
+          else array_contains(base, lit(p.values.head))
         case "contains key" => map_contains_key(base, lit(p.values.head))
         case other => throw new CqlInvalidQueryException(s"unsupported operator $other")
       }
@@ -702,16 +756,33 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
   /** writetime(c): the per-cell write timestamp when the view carries it
     * (`_writetime_<col>`, emitted by `reconcileView`), else the row-level
     * `_writetime` of the upsert-log model (SURVEY §7.3 / F9). */
-  private def maxWritetimeCol(t: CqlTable, arg: String): Column =
+  /** Upstream rejects writetime/ttl on PRIMARY KEY parts (keys have no
+    * cell of their own) and on non-frozen collections (multi-cell). */
+  private def cellFnGuard(fn: String, t: CqlTable, arg: String): Unit = {
+    if ((t.partitionKeys ++ t.clusteringKeys).exists(_.equalsIgnoreCase(arg)))
+      throw new CqlInvalidQueryException(
+        s"Cannot use selection function $fn on PRIMARY KEY part $arg")
+    if (t.df.schema.find(_.name.equalsIgnoreCase(arg)).exists(f =>
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]))
+      throw new CqlInvalidQueryException(
+        s"Cannot use selection function $fn on non-frozen collection $arg")
+  }
+
+  private def maxWritetimeCol(t: CqlTable, arg: String): Column = {
+    cellFnGuard("writetime", t, arg)
     if (t.df.columns.contains(s"_writetime_$arg")) col(s"_writetime_$arg")
     else if (t.df.columns.contains("_writetime")) col("_writetime")
     else throw new CqlInvalidQueryException(
       s"writetime($arg) requires an upsert-log table (no _writetime column)")
+  }
 
-  private def ttlCol(t: CqlTable, arg: String): Column =
+  private def ttlCol(t: CqlTable, arg: String): Column = {
+    cellFnGuard("ttl", t, arg)
     if (t.df.columns.contains("_ttl")) col("_ttl")
     else throw new CqlInvalidQueryException(
       s"ttl($arg) requires an upsert-log table (no _ttl column)")
+  }
 }
 
 object CqlEngine {

@@ -990,9 +990,15 @@ object CqlParser {
       else first
     if (c.accept("in")) {
       c.expect("(")
-      var vals = Seq(parseLiteral(c))
-      while (c.accept(",")) vals = vals :+ parseLiteral(c)
-      c.expect(")")
+      // `pk IN ()` is VALID upstream (matches nothing) — empty marker list
+      val vals =
+        if (c.accept(")")) Seq.empty[Any]
+        else {
+          var vs = Seq(parseLiteral(c))
+          while (c.accept(",")) vs = vs :+ parseLiteral(c)
+          c.expect(")")
+          vs
+        }
       ColumnPredicate(column, "in", vals, isToken)
     } else if (c.accept("contains")) {
       if (c.accept("key")) ColumnPredicate(column, "contains key", Seq(parseLiteral(c)))
