@@ -1016,6 +1016,10 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
             "CLUSTERING ORDER BY must list all clustering columns in order (got " +
               ckDesc.map(_._1).mkString(", ") + ")")
         val declared = cols.map(_.name.toLowerCase)
+        if (declared.distinct.length != declared.length)
+          throw new CqlInvalidQueryException(
+            s"CREATE TABLE $table: duplicate column names (" +
+              declared.diff(declared.distinct).distinct.mkString(", ") + ")")
         (pk ++ ck).foreach { k =>
           if (!declared.contains(k.toLowerCase))
             throw new CqlInvalidQueryException(s"unknown PRIMARY KEY column $k")
@@ -1527,7 +1531,22 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       case CqlInsert(_, cols, vals, _, _, _) =>
         if (cols.length != vals.length)
           throw new CqlInvalidQueryException("column/value count mismatch")
+        // upstream rejects unknown and duplicated insert columns, and null
+        // values for any PRIMARY KEY part (a null-key row would collide
+        // with the static-phantom representation here)
+        cols.foreach { c =>
+          if (!dataCols(t).exists(_.equalsIgnoreCase(c)))
+            throw new CqlInvalidQueryException(s"Undefined column name $c")
+        }
+        if (cols.map(_.toLowerCase).distinct.length != cols.length)
+          throw new CqlInvalidQueryException(
+            "The column names contains duplicates")
         val m = cols.map(_.toLowerCase).zip(vals).toMap
+        keys.foreach { k =>
+          if (m.get(k.toLowerCase).exists(_ == null))
+            throw new CqlInvalidQueryException(
+              s"Invalid null value for PRIMARY KEY part $k")
+        }
         dataCols(t).map(c => c ->
           m.get(c.toLowerCase).map(v => cellFor(t, c, CqlAssignValue(v))))
       case j: CqlInsertJson => jsonCells(t, j)
@@ -1536,11 +1555,24 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         val k = preds.map { case (c, v) => c.toLowerCase -> v }.toMap
         if (a.keySet.exists(c => keys.exists(_.equalsIgnoreCase(c))))
           throw new CqlInvalidQueryException("PRIMARY KEY columns cannot be SET")
+        assignments.foreach { case (c, _) =>
+          if (!dataCols(t).exists(_.equalsIgnoreCase(c)))
+            throw new CqlInvalidQueryException(s"Undefined column name $c")
+        }
+        preds.foreach { case (c, v) =>
+          if (v == null && keys.exists(_.equalsIgnoreCase(c)))
+            throw new CqlInvalidQueryException(
+              s"Invalid null value for PRIMARY KEY part $c")
+        }
         dataCols(t).map(c => c ->
           a.get(c.toLowerCase).map(cellFor(t, c, _))
             .orElse(k.get(c.toLowerCase)
               .map(v => cellFor(t, c, CqlAssignValue(v)))))
       case CqlDelete(_, preds, _, _, cols) =>
+        preds.foreach { case (c, v) =>
+          if (v == null) throw new CqlInvalidQueryException(
+            s"Invalid null value for PRIMARY KEY part $c")
+        }
         val k = preds.map { case (c, v) => c.toLowerCase -> v }.toMap
         cols.foreach { it =>
           if (!dataCols(t).exists(_.equalsIgnoreCase(it.column)))

@@ -61,4 +61,24 @@ class CqlFidelitySpec extends SparkSpec {
   test("IN () is valid and matches nothing, as upstream") {
     assert(s.execute("SELECT v FROM ft WHERE pk IN ()").count() === 0L)
   }
+
+  test("writes reject null keys, unknown and duplicated columns") {
+    rejects("INSERT INTO ft (pk, ck, v) VALUES (null, 1, 'x')",
+      "Invalid null value for PRIMARY KEY part pk")
+    rejects("INSERT INTO ft (pk, ck, v) VALUES (1, null, 'x')",
+      "Invalid null value for PRIMARY KEY part ck")
+    rejects("DELETE FROM ft WHERE pk = null",
+      "Invalid null value for PRIMARY KEY part pk")
+    rejects("INSERT INTO ft (pk, ck, nope) VALUES (1, 1, 'x')",
+      "Undefined column name nope")
+    rejects("UPDATE ft SET nope = 2 WHERE pk = 1 AND ck = 1",
+      "Undefined column name nope")
+    rejects("INSERT INTO ft (pk, pk, ck, v) VALUES (1, 1, 1, 'x')",
+      "contains duplicates")
+  }
+
+  test("CREATE TABLE rejects duplicate column names up front") {
+    rejects("CREATE TABLE dup_t (pk bigint PRIMARY KEY, v text, v bigint)",
+      "duplicate column names")
+  }
 }
