@@ -516,9 +516,14 @@ class CqlEngineSpec extends SparkSpec {
       "index", "type", "materialized", "view", "primary", "key", "batch",
       "events", "user_id", "ts", "(", ")", ",", "=", "<", ">", "*", "'x'",
       "42", "1.5", "[", "]", "{", "}", ":", "?", "-", "allow", "filtering",
-      "is", "not", "null", "token", "in", "contains", ";", ".", "frozen")
+      "is", "not", "null", "token", "in", "contains", ";", ".", "frozen",
+      // round-7 surfaces: function/aggregate DDL, COPY, duration literals
+      "function", "aggregate", "replace", "returns", "language", "as",
+      "called", "input", "sfunc", "stype", "finalfunc", "initcond",
+      "copy", "to", "header", "delimiter", "describe", "duration",
+      "1mo2d3h", "P1Y2M", "12h30m", "system_schema")
     var parsedOk = 0
-    (1 to 2000).foreach { _ =>
+    (1 to 3000).foreach { _ =>
       val n = 1 + rnd.nextInt(12)
       val stmt = Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
       try {
@@ -526,6 +531,7 @@ class CqlEngineSpec extends SparkSpec {
           case "select" => CqlParser.parse(stmt)
           case "insert" | "update" | "delete" => CqlParser.parseDml(stmt)
           case "create" | "drop" => CqlParser.parseDdl(stmt)
+          case "copy" => CqlParser.parseCopy(stmt)
           case _ => ()
         }
         parsedOk += 1
