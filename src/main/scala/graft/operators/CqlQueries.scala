@@ -123,7 +123,29 @@ object CqlQueries {
     sess.execute("SELECT k, c, v FROM tl WHERE k = 1 AND c >= 2 ORDER BY c DESC")
   }
 
+  /** CQL7 — O4 paging through the DRIVER'S hash gate (was spec-only): two
+    * paged reads at deliberately non-aligned fetch sizes, pages unioned
+    * back together. The gate's compare verifies page COMPLETENESS — a row
+    * skipped or duplicated at ANY page boundary breaks the row count and
+    * hash. Covers both resume-token shapes: the multi-partition (pk IN)
+    * token that carries the partition key, and the single-partition
+    * pushed clustering-tuple fast path. Pages materialize fetchSize rows
+    * each — that is what paging MEANS (the client reads them); the
+    * per-page LIMIT plans TakeOrderedAndProject, never a full sort. */
+  def cql7_paged(s: SparkSession, d: String): DataFrame = {
+    val eng = CqlEngine.forFixtures(s, d)
+    val multi = eng.executePaged(
+      "SELECT user_id, ts, event_id, event_type FROM events " +
+        "WHERE user_id IN (3, 5, 9)", 50).toSeq
+    val single = eng.executePaged(
+      "SELECT user_id, ts, event_id, event_type FROM events " +
+        "WHERE user_id = 17", 19).toSeq
+    (multi ++ single).reduce(_ unionByName _)
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cql7_paged" -> (cql7_paged _),
     "cql6_clustering_order" -> (cql6_clustering_order _),
     "cql1_slice" -> (cql1_slice _),
     "cql2_group" -> (cql2_group _),
@@ -144,6 +166,10 @@ object CqlQueries {
       """SELECT cast(ts AS timestamp) AS ts, event_id, event_type
         |FROM events WHERE user_id = 5
         |ORDER BY ts DESC, event_id DESC LIMIT 20""".stripMargin,
+    "cql7_paged" ->
+      """SELECT user_id, cast(ts AS timestamp) AS ts, event_id, event_type
+        |FROM events WHERE user_id IN (3, 5, 9, 17)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
     "cql2_group" ->
       """SELECT l_returnflag, count(*) AS n,
         |  min(l_quantity) AS minq, max(l_quantity) AS maxq
