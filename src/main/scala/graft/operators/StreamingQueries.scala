@@ -93,7 +93,30 @@ object StreamingQueries {
       .orderBy("user_id", "bucket")
   }
 
+  /** T8 — the TRUE streaming executor inside the driver's hash gate (the
+    * streaming rows were spec-only before): stage the events fixture into
+    * a file-source dir, run the watermarked hourly tumbling pipeline to
+    * completion (Trigger.AvailableNow) into a memory sink, and return the
+    * sink's table. The DuckDB twin is the plain batch aggregation — so
+    * the file stream source, watermark bookkeeping, streaming state
+    * store, and sink commit protocol all sit inside the row/hash compare.
+    * Unique sink name per call: bench/verify invoke queries repeatedly in
+    * one session. */
+  def t8_stream_tumbling(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft-t8")
+    Files.copy(Paths.get(s"$d/events.parquet"),
+      dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val name = s"t8_sink_${System.nanoTime()}"
+    graft.streaming.StreamingPipelines.runToMemory(
+      graft.streaming.StreamingPipelines.hourlyCounts(
+        graft.streaming.StreamingPipelines.eventsStream(s, dir.toString)),
+      name, "complete")
+    s.table(name).orderBy("win_start", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t8_stream_tumbling" -> (t8_stream_tumbling _),
     "t9_gapfill" -> (t9_gapfill _),
     "t1_tumbling" -> (t1_tumbling _),
     "t2_sliding" -> (t2_sliding _),
@@ -129,6 +152,10 @@ object StreamingQueries {
       """SELECT date_trunc('hour', cast(ts AS timestamp)) AS win_start, event_type,
         |  count(*) AS n,
         |  cast(cast(sum(cast(value AS decimal(38,6))) AS decimal(38,6)) AS double) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t8_stream_tumbling" ->
+      """SELECT date_trunc('hour', cast(ts AS timestamp)) AS win_start,
+        |  event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t2_sliding" ->
       """SELECT win_start, event_type, count(*) AS n FROM (
