@@ -144,7 +144,78 @@ object CqlQueries {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  /** CQL8 — LWT conditional writes through the DRIVER'S hash gate (they
+    * were session-spec-only): a deterministic script derived from the 24
+    * smallest orders, where each op's applied/rejected outcome FOLLOWS
+    * FROM THE DATA and is re-derived in the DuckDB twin —
+    *  1. `INSERT … IF NOT EXISTS` per (orderkey%8) class in orderkey
+    *     order: only the FIRST order of each class applies;
+    *  2. per class, `UPDATE … SET v = <last price + 1e6> IF src < <last
+    *     key>`: the stored src is the class's FIRST key, so the condition
+    *     holds exactly for classes with ≥ 2 members;
+    *  3. `DELETE … IF EXISTS` for classes 0 and 1: applies where round 1
+    *     created a row (and is a no-op otherwise — mirrored by the twin
+    *     simply excluding those classes).
+    * The Paxos read-check-apply collapses to the single-writer case, but
+    * the CONDITION evaluation against reconciled state — which class
+    * keeps which value — is what the twin re-computes and the hash
+    * verifies. */
+  def cql8_lwt(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.cql.CqlSession(s)
+    sess.execute(
+      "CREATE TABLE lwt (k bigint PRIMARY KEY, v double, src bigint)")
+    val src = s.read.parquet(s"$d/orders.parquet")
+      .orderBy("o_orderkey").limit(24)
+      .select("o_orderkey", "o_totalprice").collect()
+    src.foreach { r =>
+      val key = r.getLong(0); val p = r.getDouble(1)
+      sess.execute(s"INSERT INTO lwt (k, v, src) VALUES (${key % 8}, $p, " +
+        s"$key) IF NOT EXISTS")
+    }
+    src.groupBy(_.getLong(0) % 8).foreach { case (k, rows) =>
+      val last = rows.maxBy(_.getLong(0))
+      sess.execute(s"UPDATE lwt SET v = ${last.getDouble(1) + 1000000} " +
+        s"WHERE k = $k IF src < ${last.getLong(0)}")
+    }
+    (0L to 1L).foreach(k =>
+      sess.execute(s"DELETE FROM lwt WHERE k = $k IF EXISTS"))
+    sess.execute("SELECT k, v, src FROM lwt ALLOW FILTERING")
+      .orderBy("k")
+  }
+
+  /** CQL9 — the MV TEXT path in the gate: base table populated through
+    * CQL, `CREATE MATERIALIZED VIEW` with the upstream key-coverage and
+    * IS NOT NULL rules, then a partition-restricted SELECT **on the
+    * view's own key**. The twin serves the same rows from the fixture
+    * directly — view maintenance (read-time here, eager upstream; same
+    * observable rows) is hash-verified, not just the DDL. */
+  def cql9_mv(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.cql.CqlSession(s)
+    sess.execute("CREATE TABLE base9 (k bigint, c bigint, st text, " +
+      "q double, PRIMARY KEY (k, c))")
+    // (l_orderkey, l_linenumber) repeats in the fixture, so the upsert's
+    // last-write-wins resolves each (k, c): order ties by (q, st) so the
+    // winner — max (q, st) — is deterministic and twin-expressible
+    val src = s.read.parquet(s"$d/lineitem.parquet")
+      .filter(col("l_orderkey") <= 60)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .collect()
+    src.foreach { r =>
+      sess.execute(s"INSERT INTO base9 (k, c, st, q) VALUES " +
+        s"(${r.getLong(0)}, ${r.getInt(1)}, '${r.getString(2)}', " +
+        s"${r.getDouble(3)})")
+    }
+    sess.execute("CREATE MATERIALIZED VIEW mv9 AS SELECT st, k, c, q " +
+      "FROM base9 WHERE st IS NOT NULL AND k IS NOT NULL AND " +
+      "c IS NOT NULL PRIMARY KEY (st, k, c)")
+    sess.execute("SELECT st, k, c, q FROM mv9 WHERE st = 'R'")
+      .orderBy("k", "c")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cql8_lwt" -> (cql8_lwt _),
+    "cql9_mv" -> (cql9_mv _),
     "cql7_paged" -> (cql7_paged _),
     "cql6_clustering_order" -> (cql6_clustering_order _),
     "cql1_slice" -> (cql1_slice _),
@@ -170,6 +241,32 @@ object CqlQueries {
       """SELECT user_id, cast(ts AS timestamp) AS ts, event_id, event_type
         |FROM events WHERE user_id IN (3, 5, 9, 17)
         |ORDER BY user_id, ts, event_id""".stripMargin,
+    // re-derive each LWT outcome from the data: class winner = first
+    // order (IF NOT EXISTS), v bumped to last price + 1e6 only for
+    // classes with >= 2 members (IF src < lastk), classes 0-1 deleted
+    "cql8_lwt" ->
+      """WITH o AS (SELECT o_orderkey AS key, o_totalprice AS p
+        |           FROM orders ORDER BY o_orderkey LIMIT 24),
+        |cls AS (SELECT key % 8 AS k, key, p FROM o),
+        |agg AS (SELECT k, min(key) AS firstk, max(key) AS lastk,
+        |               count(*) AS n FROM cls GROUP BY k)
+        |SELECT a.k AS k,
+        |  CASE WHEN a.n > 1 THEN l.p + 1000000 ELSE f.p END AS v,
+        |  a.firstk AS src
+        |FROM agg a
+        |JOIN cls f ON f.k = a.k AND f.key = a.firstk
+        |JOIN cls l ON l.k = a.k AND l.key = a.lastk
+        |WHERE a.k > 1 ORDER BY k""".stripMargin,
+    // last-write-wins winner per (k, c) = max (q, st) — the insertion
+    // order the Spark side uses
+    "cql9_mv" ->
+      """SELECT st, k, c, q FROM (
+        |  SELECT l_orderkey AS k, l_linenumber AS c, l_returnflag AS st,
+        |    l_quantity AS q,
+        |    row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+        |      ORDER BY l_quantity DESC, l_returnflag DESC) AS rn
+        |  FROM lineitem WHERE l_orderkey <= 60)
+        |WHERE rn = 1 AND st = 'R' ORDER BY k, c""".stripMargin,
     "cql2_group" ->
       """SELECT l_returnflag, count(*) AS n,
         |  min(l_quantity) AS minq, max(l_quantity) AS maxq
