@@ -701,7 +701,47 @@ object CassandraModel {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** C13 — the TRUE streaming write path (S6/S7 memtable-flush +
+    * commitlog analogue) inside the hash gate: the deterministic upsert
+    * log staged as TWO arrival waves — versions {0,2} first, then {1},
+    * so wave 2 delivers writes OLDER than wave-1 tombstones (the zombie
+    * hazard) — streamed one file per micro-batch through
+    * [[graft.streaming.StreamingPipelines.upsertSink]]'s incremental
+    * grace-compacted foreachBatch merge. The final snapshot's live rows
+    * must equal the batch latest-wins view, which is exactly what the
+    * DuckDB twin (c1's SQL) computes — so the file stream source, the
+    * per-batch snapshot merge, tombstone retention under grace, and the
+    * sink's overwrite commit all sit inside the row/hash compare. */
+  def c13_stream_upsert(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val log = upsertLog(s, d).filter(col("pk") < 200)
+    val inDir = Files.createTempDirectory("graft-c13-in")
+    val snapDir = Files.createTempDirectory("graft-c13-out")
+      .resolve("snap").toString
+    val ckpt = Files.createTempDirectory("graft-c13-ckpt").toString
+    def stage(df: DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-c13-w").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, inDir.resolve(name),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    stage(log.filter(col("v") =!= 1), "w1.parquet")
+    stage(log.filter(col("v") === 1), "w2.parquet")
+    val writes = s.readStream.schema(log.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    graft.streaming.StreamingPipelines
+      .upsertSink(writes, snapDir, ckpt, nowWt = 1009L, graceWt = 2000L)
+      .awaitTermination()
+    s.read.parquet(snapDir).filter(!col("_deleted"))
+      .select(col("pk"), dbl(dec6(col("price"))).as("price"), col("status"),
+        col("_writetime"))
+      .orderBy("pk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c13_stream_upsert" -> (c13_stream_upsert _),
     "c1_latest_wins" -> (c1_latest_wins _),
     "c2_writetime" -> (c2_writetime _),
     "c3_compact_stats" -> (c3_compact_stats _),
@@ -721,6 +761,14 @@ object CassandraModel {
 
   val oracle: Map[String, String] = Map(
     "c1_latest_wins" ->
+      s"""$logCte
+        |SELECT pk, cast(cast(price AS decimal(38,6)) AS double) AS price, status, _writetime
+        |FROM (SELECT *, row_number() OVER (PARTITION BY pk
+        |        ORDER BY _writetime DESC, v DESC) AS _rn FROM ulog)
+        |WHERE _rn = 1 AND NOT _deleted AND pk < 200 ORDER BY pk""".stripMargin,
+    // the incremental streaming flushes must converge to the batch
+    // latest-wins view — same twin as c1
+    "c13_stream_upsert" ->
       s"""$logCte
         |SELECT pk, cast(cast(price AS decimal(38,6)) AS double) AS price, status, _writetime
         |FROM (SELECT *, row_number() OVER (PARTITION BY pk

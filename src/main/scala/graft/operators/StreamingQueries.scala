@@ -103,19 +103,75 @@ object StreamingQueries {
     * Unique sink name per call: bench/verify invoke queries repeatedly in
     * one session. */
   def t8_stream_tumbling(s: SparkSession, d: String): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val dir = Files.createTempDirectory("graft-t8")
-    Files.copy(Paths.get(s"$d/events.parquet"),
-      dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
     val name = s"t8_sink_${System.nanoTime()}"
     graft.streaming.StreamingPipelines.runToMemory(
       graft.streaming.StreamingPipelines.hourlyCounts(
-        graft.streaming.StreamingPipelines.eventsStream(s, dir.toString)),
+        graft.streaming.StreamingPipelines.eventsStream(s, stageEvents(d))),
       name, "complete")
     s.table(name).orderBy("win_start", "event_type")
   }
 
+  /** Stage the events fixture as a single file-source dir (ONE file → ONE
+    * micro-batch, so no cross-batch watermark drops and the run is
+    * deterministic). Shared by the true-streaming gate queries. */
+  private def stageEvents(d: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft-stream")
+    Files.copy(Paths.get(s"$d/events.parquet"),
+      dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  /** T10 — the TRUE stream-stream join executor inside the hash gate
+    * (T8+ was spec-only): clicks joined to the same user's purchases
+    * within 30 minutes after, run as a watermarked streaming interval
+    * join (Trigger.AvailableNow, append sink). Inner joins emit every
+    * match in the batch where both sides are present, and the single
+    * staged file keeps everything in one batch — so the streaming join
+    * state machine (two keyed state stores + interval eviction) produces
+    * exactly the batch join, which is what the DuckDB twin computes. */
+  def t10_stream_join(s: SparkSession, d: String): DataFrame = {
+    val name = s"t10_sink_${System.nanoTime()}"
+    graft.streaming.StreamingPipelines.runToMemory(
+      graft.streaming.StreamingPipelines.clickToPurchase(
+        graft.streaming.StreamingPipelines.eventsStream(s, stageEvents(d))),
+      name, "append")
+    s.table(name).orderBy("click_id", "purchase_id")
+  }
+
+  /** T11 — the TRUE `transformWithState` executor inside the hash gate
+    * (T6 was spec-only): per-user running (count, Σ event_id) through a
+    * RocksDB ValueState processor, snapshots into a memory sink. The
+    * accumulators are integer-exact so the final snapshot hashes
+    * identically to the DuckDB GROUP BY twin; `max` per user collapses
+    * intermediate snapshots if the source ever splits into >1 batch
+    * (both fields are monotone in batch order). The provider conf is
+    * restored afterwards — other pipelines in the same session keep
+    * their default state store. */
+  def t11_stream_totals(s: SparkSession, d: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val name = s"t11_sink_${System.nanoTime()}"
+      graft.streaming.StreamingPipelines.runToMemory(
+        graft.streaming.StreamingPipelines.runningCounts(
+          graft.streaming.StreamingPipelines.eventsStream(s, stageEvents(d)))
+          .toDF(),
+        name, "update")
+      s.table(name).groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"),
+          max(col("sum_event_id")).as("sum_event_id"))
+        .orderBy("user_id")
+    } finally {
+      prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_stream_join" -> (t10_stream_join _),
+    "t11_stream_totals" -> (t11_stream_totals _),
     "t8_stream_tumbling" -> (t8_stream_tumbling _),
     "t9_gapfill" -> (t9_gapfill _),
     "t1_tumbling" -> (t1_tumbling _),
@@ -157,6 +213,22 @@ object StreamingQueries {
       """SELECT date_trunc('hour', cast(ts AS timestamp)) AS win_start,
         |  event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the streaming interval join ≡ the batch self-join it bounds
+    "t10_stream_join" ->
+      """SELECT c.user_id AS user_id, c.event_id AS click_id,
+        |  p.event_id AS purchase_id, cast(c.ts AS timestamp) AS c_ts,
+        |  cast(p.ts AS timestamp) AS p_ts
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND cast(p.ts AS timestamp) >= cast(c.ts AS timestamp)
+        |  AND cast(p.ts AS timestamp)
+        |      <= cast(c.ts AS timestamp) + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    // final ValueState snapshot per user ≡ the batch GROUP BY
+    "t11_stream_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  cast(sum(event_id) AS bigint) AS sum_event_id
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "t2_sliding" ->
       """SELECT win_start, event_type, count(*) AS n FROM (
         |  SELECT event_type,

@@ -19,6 +19,12 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, StreamingQ
 case class UserEvent(user_id: Long, value: Double)
 /** Emitted running snapshot per user. */
 case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
+/** Input row for the oracle-gated T6 variant (long-exact accumulator). */
+case class EventKeyed(user_id: Long, event_id: Long)
+/** Emitted snapshot for the oracle-gated T6 variant: both fields are
+  * integer-exact, so the hash compare is order-insensitive (double sums
+  * would depend on iteration order). */
+case class UserCounts(user_id: Long, n_events: Long, sum_event_id: Long)
 
 object StreamingPipelines {
 
@@ -79,6 +85,38 @@ object StreamingPipelines {
       .groupByKey(_.user_id)
       .transformWithState(new UserRunningTotals,
         TimeMode.None(), OutputMode.Update(), Encoders.product[UserTotals])
+  }
+
+  /** T6 (oracle-gated variant) — same `transformWithState` machinery, but
+    * the accumulators are longs (count + Σ event_id), so the emitted
+    * snapshot is bit-exact regardless of per-batch iteration order and can
+    * sit inside the driver's hash gate. */
+  class UserRunningCounts
+      extends StatefulProcessor[Long, EventKeyed, UserCounts] {
+    @transient private var state: ValueState[UserCounts] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserCounts](
+        "counts", Encoders.product[UserCounts], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EventKeyed],
+        timers: TimerValues): Iterator[UserCounts] = {
+      val prev = Option(state.get()).getOrElse(UserCounts(key, 0L, 0L))
+      var n = prev.n_events; var se = prev.sum_event_id
+      rows.foreach { r => n += 1; se += r.event_id }
+      val next = UserCounts(key, n, se)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** T6 pipeline (oracle-gated): per-user event count + Σ event_id. */
+  def runningCounts(events: DataFrame): Dataset[UserCounts] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id"), col("event_id")).as[EventKeyed]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserRunningCounts,
+        TimeMode.None(), OutputMode.Update(), Encoders.product[UserCounts])
   }
 
   /** S6/S7 write path — the memtable-flush analogue: a STREAM of cell
