@@ -279,9 +279,11 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
 
   /** Known keyspaces: registry entries only — the catalog is flat. The
     * system keyspaces preexist, as upstream's do. */
-  private val keyspaces: scala.collection.mutable.Set[String] =
-    scala.collection.mutable.Set("system", "system_schema", "system_auth",
+  private val SystemKeyspaces: Set[String] =
+    Set("system", "system_schema", "system_auth",
       "system_distributed", "system_traces", "system_views")
+  private val keyspaces: scala.collection.mutable.Set[String] =
+    scala.collection.mutable.Set(SystemKeyspaces.toSeq: _*)
 
   /** Materialized views: lowercase name → (definition, mv pk, mv ck). */
   private val mvReg: scala.collection.mutable.Map[String, (CqlSelect, Seq[String], Seq[String])] =
@@ -838,30 +840,161 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     }
   }
 
-  /** `DESCRIBE KEYSPACES | TABLES | TABLE t | TYPE t | t` — the
-    * server-side DESCRIBE result shape (Cassandra 4.0+,
-    * [U cql3/statements/DescribeStatement.java]): DDL forms return
+  private def renderLiteral(v: Any): String = v match {
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case b: Array[Byte] => "0x" + b.map("%02x".format(_)).mkString
+    case null => "null"
+    case other => String.valueOf(other)
+  }
+
+  /** Round-trippable `CREATE MATERIALIZED VIEW` text re-rendered from the
+    * stored definition (upstream DESCRIBE emits the stored view schema
+    * [U cql3/statements/DescribeStatement.java]). */
+  private def mvDdl(name: String): String = {
+    val (sel, pk, ck) = mvReg(name.toLowerCase)
+    val cols = sel.selectors match {
+      case Seq(Star) => "*"
+      case ss => ss.map {
+        case ColumnSelector(n, _) => n
+        case _ => "*" // CqlCreateMv rejects non-column selectors at create
+      }.mkString(", ")
+    }
+    val where = sel.predicates.map {
+      case ColumnPredicate(c0, "is not null", _, _) => s"$c0 IS NOT NULL"
+      case ColumnPredicate(c0, "in", vs, _) =>
+        s"$c0 IN (${vs.map(renderLiteral).mkString(", ")})"
+      case ColumnPredicate(c0, op, vs, _) =>
+        s"$c0 ${op.toUpperCase} ${renderLiteral(vs.headOption.orNull)}"
+      case TuplePredicate(cs, op, vs) =>
+        s"(${cs.mkString(", ")}) $op (${vs.map(renderLiteral).mkString(", ")})"
+    }.mkString(" AND ")
+    val pkPart = if (pk.size == 1) pk.head else pk.mkString("(", ", ", ")")
+    s"CREATE MATERIALIZED VIEW $name AS SELECT $cols FROM " +
+      s"${sel.table.toLowerCase} WHERE $where " +
+      s"PRIMARY KEY ($pkPart${ck.map(", " + _).mkString})"
+  }
+
+  private def indexDdl(name: String): String = {
+    val (tbl, c0, sai) = indexReg(name.toLowerCase)
+    if (sai)
+      s"CREATE CUSTOM INDEX $name ON $tbl ($c0) USING 'StorageAttachedIndex'"
+    else s"CREATE INDEX $name ON $tbl ($c0)"
+  }
+
+  private def fnDdl(name: String): String = {
+    val d = fnReg(name.toLowerCase)
+    val args = d.argNames.zip(d.argTypes)
+      .map { case (n, t) => s"$n ${cqlTypeName(t, Set.empty)}" }
+      .mkString(", ")
+    val onNull =
+      if (d.calledOnNull) "CALLED ON NULL INPUT"
+      else "RETURNS NULL ON NULL INPUT"
+    s"CREATE FUNCTION $name ($args) $onNull RETURNS " +
+      s"${cqlTypeName(d.returnType, Set.empty)} LANGUAGE ${d.language} " +
+      s"AS '${d.body.replace("'", "''")}'"
+  }
+
+  private def aggDdl(name: String): String = {
+    val d = aggReg(name.toLowerCase)
+    val args = d.argTypes.map(cqlTypeName(_, Set.empty)).mkString(", ")
+    s"CREATE AGGREGATE $name ($args) SFUNC ${d.sfunc} STYPE " +
+      cqlTypeName(d.stype, Set.empty) +
+      d.finalFunc.fold("")(f => s" FINALFUNC $f") +
+      d.initCond.fold("")(c0 => s" INITCOND ${renderLiteral(c0)}")
+  }
+
+  /** Every object of the session's flat catalog as DESCRIBE rows, in
+    * re-execution (dependency) order: keyspaces, then types (reference
+    * order), tables, indexes, views, functions, aggregates — replaying
+    * the dump's create_statements on a fresh session reproduces the
+    * schema, which is `DESCRIBE SCHEMA`'s upstream contract. */
+  private def schemaRows: Seq[Row] = {
+    // system keyspaces are pre-existing on every session — a dump that
+    // re-created them would not replay (upstream DESCRIBE SCHEMA likewise
+    // dumps only user keyspaces)
+    val ksRows = keyspaces.toSeq.filterNot(SystemKeyspaces).sorted.map(k =>
+      Row(k, "keyspace", k, s"CREATE KEYSPACE $k WITH replication = " +
+        "{'class': 'SimpleStrategy', 'replication_factor': '1'}"))
+    // types may reference earlier types: emit reference-count ascending,
+    // then refine to a topological order (referenced before referencing)
+    val tyNames = udtReg.keys.toSeq.sorted
+    val ordered = scala.collection.mutable.LinkedHashSet.empty[String]
+    def visit(n: String, seen: Set[String]): Unit = if (!ordered(n)) {
+      udtTypeRefs.getOrElse(n, Set.empty)
+        .filterNot(seen).toSeq.sorted
+        .foreach(r => if (udtReg.contains(r)) visit(r, seen + n))
+      ordered += n
+    }
+    tyNames.foreach(visit(_, Set.empty))
+    val tyRows = ordered.toSeq.map(n =>
+      Row(UserKeyspace, "type", n, typeDdl(n, udtReg(n))))
+    val tRows = state.toSeq.sortBy(_._1).map { case (n, t) =>
+      Row(UserKeyspace, "table", n, tableDdl(n, t))
+    }
+    val iRows = indexReg.keys.toSeq.sorted.map(n =>
+      Row(UserKeyspace, "index", n, indexDdl(n)))
+    val vRows = mvReg.keys.toSeq.sorted.map(n =>
+      Row(UserKeyspace, "materialized_view", n, mvDdl(n)))
+    val fRows = fnReg.keys.toSeq.sorted.map(n =>
+      Row(UserKeyspace, "function", n, fnDdl(n)))
+    val aRows = aggReg.keys.toSeq.sorted.map(n =>
+      Row(UserKeyspace, "aggregate", n, aggDdl(n)))
+    ksRows ++ tyRows ++ tRows ++ iRows ++ vRows ++ fRows ++ aRows
+  }
+
+  /** `DESCRIBE [FULL] SCHEMA | KEYSPACES | KEYSPACE ks | TABLES | TABLE t
+    * | TYPE t | MATERIALIZED VIEW v | INDEX i | FUNCTION f | AGGREGATE a
+    * | CLUSTER | t` — the server-side DESCRIBE result shape (Cassandra
+    * 4.0+, [U cql3/statements/DescribeStatement.java]): DDL forms return
     * (keyspace_name, type, name, create_statement); the emitted
-    * create_statement re-executes to an equivalent object. */
+    * create_statement re-executes to an equivalent object, and the
+    * SCHEMA/KEYSPACE dumps replay in dependency order. */
   private def runDescribe(cql: String): DataFrame = {
     import scala.jdk.CollectionConverters._
     val toks = cql.stripSuffix(";").trim.split("\\s+").toSeq
+    val ddlSchema = StructType(Seq(
+      StructField("keyspace_name", StringType),
+      StructField("type", StringType),
+      StructField("name", StringType),
+      StructField("create_statement", StringType)))
     def ddlResult(kind: String, name: String, stmt: String): DataFrame =
-      spark.createDataFrame(
-        Seq(Row(UserKeyspace, kind, name, stmt)).asJava,
-        StructType(Seq(
-          StructField("keyspace_name", StringType),
-          StructField("type", StringType),
-          StructField("name", StringType),
-          StructField("create_statement", StringType))))
+      spark.createDataFrame(Seq(Row(UserKeyspace, kind, name, stmt)).asJava,
+        ddlSchema)
     def describeTable(raw: String): DataFrame = {
       val name = raw.toLowerCase
       state.get(name).map(t => ddlResult("table", name, tableDdl(name, t)))
         .getOrElse(throw new CqlInvalidQueryException(s"unknown table $raw"))
     }
+    def describeAny(raw: String): DataFrame = {
+      val n = raw.toLowerCase
+      if (state.contains(n)) describeTable(n)
+      else if (mvReg.contains(n)) ddlResult("materialized_view", n, mvDdl(n))
+      else if (udtReg.contains(n)) ddlResult("type", n, typeDdl(n, udtReg(n)))
+      else if (indexReg.contains(n)) ddlResult("index", n, indexDdl(n))
+      else if (fnReg.contains(n)) ddlResult("function", n, fnDdl(n))
+      else if (aggReg.contains(n)) ddlResult("aggregate", n, aggDdl(n))
+      else throw new CqlInvalidQueryException(s"unknown object $raw")
+    }
     toks.map(_.toLowerCase) match {
       case Seq(_, "keyspaces") =>
         engine.execute("SELECT keyspace_name FROM system_schema.keyspaces")
+      case Seq(_, "schema") | Seq(_, "full", "schema") =>
+        spark.createDataFrame(schemaRows.asJava, ddlSchema)
+      case Seq(_, "keyspace", ks) =>
+        val k = ks.toLowerCase
+        if (k != UserKeyspace && !keyspaces.contains(k))
+          throw new CqlInvalidQueryException(s"unknown keyspace $ks")
+        spark.createDataFrame(
+          schemaRows.filter(_.getString(0) == k).asJava, ddlSchema)
+      case Seq(_, "only", "keyspace", ks) =>
+        val k = ks.toLowerCase
+        if (k == UserKeyspace || keyspaces.contains(k))
+          spark.createDataFrame(schemaRows.collect {
+            case r if r.getString(1) == "keyspace" && r.getString(2) == k => r
+          }.asJava, ddlSchema)
+        else throw new CqlInvalidQueryException(s"unknown keyspace $ks")
+      case Seq(_, "cluster") =>
+        engine.execute("SELECT cluster_name, partitioner FROM system.local")
       case Seq(_, "tables") =>
         engine.execute(
           "SELECT keyspace_name, table_name FROM system_schema.tables")
@@ -875,15 +1008,39 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         engine.execute("SELECT keyspace_name, aggregate_name, " +
           "argument_types FROM system_schema.aggregates")
       case Seq(_, "table", raw) => describeTable(raw)
+      case Seq(_, "materialized", "view", raw) =>
+        mvReg.get(raw.toLowerCase)
+          .map(_ => ddlResult("materialized_view", raw.toLowerCase,
+            mvDdl(raw)))
+          .getOrElse(throw new CqlInvalidQueryException(
+            s"unknown materialized view $raw"))
+      case Seq(_, "index", raw) =>
+        indexReg.get(raw.toLowerCase)
+          .map(_ => ddlResult("index", raw.toLowerCase, indexDdl(raw)))
+          .getOrElse(
+            throw new CqlInvalidQueryException(s"unknown index $raw"))
+      case Seq(_, "function", raw) =>
+        fnReg.get(raw.toLowerCase)
+          .map(_ => ddlResult("function", raw.toLowerCase, fnDdl(raw)))
+          .getOrElse(
+            throw new CqlInvalidQueryException(s"unknown function $raw"))
+      case Seq(_, "aggregate", raw) =>
+        aggReg.get(raw.toLowerCase)
+          .map(_ => ddlResult("aggregate", raw.toLowerCase, aggDdl(raw)))
+          .getOrElse(
+            throw new CqlInvalidQueryException(s"unknown aggregate $raw"))
       case Seq(_, "type", raw) =>
         udtReg.get(raw.toLowerCase)
           .map(st => ddlResult("type", raw.toLowerCase,
             typeDdl(raw.toLowerCase, st)))
           .getOrElse(
             throw new CqlInvalidQueryException(s"unknown type $raw"))
-      case Seq(_, raw) => describeTable(raw) // cqlsh `DESC <table>` shorthand
+      // cqlsh `DESC <name>` shorthand resolves any schema object
+      case Seq(_, raw) => describeAny(raw)
       case _ => throw new CqlInvalidQueryException(
-        "DESCRIBE expects KEYSPACES | TABLES | TABLE <t> | TYPE <t> | <t>")
+        "DESCRIBE expects [FULL] SCHEMA | KEYSPACES | KEYSPACE <ks> | " +
+          "TABLES | TABLE <t> | TYPE <t> | MATERIALIZED VIEW <v> | " +
+          "INDEX <i> | FUNCTION <f> | AGGREGATE <a> | CLUSTER | <name>")
     }
   }
 

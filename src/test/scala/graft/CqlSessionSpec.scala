@@ -1617,4 +1617,72 @@ class CqlSessionSpec extends SparkSpec {
         .head().getSeq[String](0) === first)
     }
   }
+
+  test("DESCRIBE SCHEMA replays on a fresh session; object forms round-trip") {
+    val s = CqlSession(spark)
+    s.execute("CREATE KEYSPACE app WITH replication = " +
+      "{'class': 'SimpleStrategy', 'replication_factor': '1'}")
+    // place references geo: the dump must emit geo FIRST
+    s.execute("CREATE TYPE geo (lat double, lon double)")
+    s.execute("CREATE TYPE place (name text, loc frozen<geo>)")
+    s.execute("CREATE TABLE sch_t (pk bigint, ck bigint, v double, " +
+      "tag text, home frozen<place>, PRIMARY KEY (pk, ck))")
+    s.execute("CREATE INDEX sch_ix ON sch_t (tag)")
+    s.execute("CREATE CUSTOM INDEX sch_sai ON sch_t (v) USING 'sai'")
+    s.execute("CREATE MATERIALIZED VIEW sch_mv AS SELECT tag, pk, ck " +
+      "FROM sch_t WHERE tag IS NOT NULL AND pk IS NOT NULL AND " +
+      "ck IS NOT NULL PRIMARY KEY (tag, pk, ck)")
+    s.execute("CREATE FUNCTION sch_sf (st double, x double) " +
+      "CALLED ON NULL INPUT RETURNS double LANGUAGE java " +
+      "AS 'return st + x;'")
+    s.execute("CREATE AGGREGATE sch_agg (double) SFUNC sch_sf " +
+      "STYPE double INITCOND 0")
+
+    // single-object forms emit round-trippable DDL
+    val mvDdl = s.execute("DESCRIBE MATERIALIZED VIEW sch_mv").head()
+      .getAs[String]("create_statement")
+    assert(mvDdl.contains("tag IS NOT NULL") &&
+      mvDdl.contains("PRIMARY KEY (tag, pk, ck)"))
+    val ixDdl = s.execute("DESCRIBE INDEX sch_sai").head()
+      .getAs[String]("create_statement")
+    assert(ixDdl.contains("CUSTOM") && ixDdl.contains("StorageAttachedIndex"))
+    val fDdl = s.execute("DESCRIBE FUNCTION sch_sf").head()
+      .getAs[String]("create_statement")
+    assert(fDdl.contains("CALLED ON NULL INPUT") &&
+      fDdl.contains("LANGUAGE java"))
+    val aDdl = s.execute("DESCRIBE AGGREGATE sch_agg").head()
+      .getAs[String]("create_statement")
+    assert(aDdl.contains("SFUNC sch_sf") && aDdl.contains("INITCOND 0"))
+    // cqlsh `DESC <name>` shorthand resolves every object class
+    assert(s.execute("DESC sch_mv").head()
+      .getAs[String]("type") === "materialized_view")
+    assert(s.execute("DESC sch_sai").head().getAs[String]("type") === "index")
+    assert(s.execute("DESC sch_agg").head()
+      .getAs[String]("type") === "aggregate")
+    // DESCRIBE KEYSPACE scopes to the named keyspace
+    assert(s.execute("DESCRIBE KEYSPACE app").collect()
+      .map(_.getAs[String]("name")).toSeq === Seq("app"))
+    assert(s.execute("DESCRIBE ONLY KEYSPACE app").count() === 1)
+    val cl = s.execute("DESCRIBE CLUSTER").head()
+    assert(cl.getAs[String]("partitioner").endsWith("Murmur3Partitioner"))
+
+    // the full dump replays IN EMITTED ORDER on a fresh session
+    val dump = s.execute("DESCRIBE SCHEMA").collect()
+      .map(_.getAs[String]("create_statement")).toSeq
+    assert(dump.indexWhere(_.contains("CREATE TYPE geo")) <
+      dump.indexWhere(_.contains("CREATE TYPE place")),
+      "referenced type precedes the referencing type")
+    val s2 = CqlSession(spark)
+    dump.foreach(s2.execute(_))
+    s2.execute("INSERT INTO sch_t (pk, ck, v, tag) VALUES (1, 2, 3.5, 'x')")
+    assert(s2.execute("SELECT pk FROM sch_mv WHERE tag = 'x'")
+      .head().getLong(0) === 1L)
+    assert(s2.execute("SELECT sch_agg(v) AS r FROM sch_t")
+      .head().getDouble(0) === 3.5)
+    assert(s2.execute("SELECT tag FROM sch_t WHERE tag = 'x'").count() === 1,
+      "replayed 2i serves the equality lookup without ALLOW FILTERING")
+    // and the replayed schema's own dump is a fixpoint
+    assert(s2.execute("DESCRIBE SCHEMA").collect()
+      .map(_.getAs[String]("create_statement")).toSeq === dump)
+  }
 }
