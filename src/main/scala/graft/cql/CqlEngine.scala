@@ -12,11 +12,15 @@ case class CqlTable(df: DataFrame, partitionKeys: Seq[String],
   clusteringKeys: Seq[String] = Nil, staticKeys: Seq[String] = Nil,
   /** counter columns (bigint increment logs, `UPDATE … SET c = c + n`) */
   counterKeys: Seq[String] = Nil,
-  /** secondary-indexed columns (lowercased name → true when the index is
-    * SAI/SASI — range-capable; false = legacy 2i, equality/CONTAINS only).
-    * Consulted by the ALLOW FILTERING gate, like upstream
+  /** secondary-indexed columns: lowercased name → set of (sai, target)
+    * pairs — `sai` true when the index class is SAI/SASI (range-capable;
+    * false = legacy 2i), `target` the collection wrapper the index was
+    * declared with ("keys" / "values" / "entries" / "full", "" for a
+    * plain scalar index). A column can carry several indexes with
+    * different targets (upstream allows KEYS(m) and VALUES(m) side by
+    * side). Consulted by the ALLOW FILTERING gate, like upstream
     * `StatementRestrictions.needFiltering` [U]. */
-  indexedColumns: Map[String, Boolean] = Map.empty,
+  indexedColumns: Map[String, Set[(Boolean, String)]] = Map.empty,
   /** per-clustering-key DESC flag from `WITH CLUSTERING ORDER BY`
     * (empty = all ASC). Drives the ORDER BY direction rule. */
   clusteringDesc: Seq[Boolean] = Nil)
@@ -328,15 +332,24 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
     execute(cql).queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
 
-  /** Does a secondary index on `c` serve operator `op`? Legacy 2i answers
-    * equality and collection CONTAINS [KEY]; SAI/SASI additionally answer
-    * range, IN (an eq-union) and LIKE
-    * [U index/sai/plan/, StatementRestrictions.needFiltering]. */
+  /** Does a secondary index on `c` serve operator `op`? The index TARGET
+    * decides which predicate it answers (upstream `ColumnMetadata` target
+    * kinds [U cql3/statements/schema/IndexTarget.java]): KEYS(m) serves
+    * CONTAINS KEY, VALUES(c) serves CONTAINS, ENTRIES(m) serves `m[k] = v`,
+    * FULL(c) serves whole-value equality. A plain scalar index serves
+    * equality; SAI/SASI classes additionally answer range, IN (an
+    * eq-union) and LIKE [U index/sai/plan/,
+    * StatementRestrictions.needFiltering]. */
   private def indexServes(t: CqlTable, c: String, op: String): Boolean =
-    t.indexedColumns.get(c).exists { sai =>
-      val eqOps = Set("=", "contains", "contains key")
-      if (sai) eqOps(op) || Set("<", "<=", ">", ">=", "in", "like")(op)
-      else eqOps(op)
+    t.indexedColumns.getOrElse(c, Set.empty).exists { case (sai, target) =>
+      target match {
+        case "keys" => op == "contains key"
+        case "values" => op == "contains"
+        case "entries" => op == "elem="
+        case "full" => op == "="
+        case _ =>
+          op == "=" || (sai && Set("<", "<=", ">", ">=", "in", "like")(op))
+      }
     }
 
   /** Cassandra's restriction rules (the guardrails that make it Cassandra). */
@@ -369,6 +382,13 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
               org.apache.spark.sql.types.MapType] =>
             throw new CqlInvalidQueryException(
               s"Cannot use CONTAINS KEY on non-map column ${p.column}")
+          case "elem=" if !f.dataType.isInstanceOf[
+              org.apache.spark.sql.types.MapType] =>
+            // upstream: only map columns are subscriptable in WHERE
+            // [U restrictions/SingleColumnRestriction$ContainsRestriction]
+            throw new CqlInvalidQueryException(
+              s"Map-entry predicates are not supported on non-map column " +
+                s"${p.column}")
           case _ => ()
         }
       case _ => ()
@@ -608,6 +628,19 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
           if (isMap) array_contains(map_values(base), lit(p.values.head))
           else array_contains(base, lit(p.values.head))
         case "contains key" => map_contains_key(base, lit(p.values.head))
+        case "elem=" =>
+          // `m[k] = v` — the entry must exist AND equal v (element_at is
+          // null for a missing key, and null === v filters out, matching
+          // upstream ContainsRestriction-on-entries semantics)
+          val (kt, vt) = t.df.schema.find(_.name.equalsIgnoreCase(p.column))
+            .map(_.dataType) match {
+            case Some(org.apache.spark.sql.types.MapType(k, v2, _)) => (k, v2)
+            case _ => throw new CqlInvalidQueryException(
+              s"Map-entry predicates are not supported on non-map column " +
+                s"${p.column}")
+          }
+          element_at(base, lit(p.values.head).cast(kt)) ===
+            lit(p.values(1)).cast(vt)
         case other => throw new CqlInvalidQueryException(s"unsupported operator $other")
       }
     case TuplePredicate(cols, op, vals) =>

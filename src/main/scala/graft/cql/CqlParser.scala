@@ -587,8 +587,17 @@ object CqlParser {
           while (c.accept(",")) cols = cols :+ c.next()
           if (paren) c.expect(")")
           CqlAlterDrop(table, cols)
+        } else if (c.accept("rename")) {
+          // `RENAME a TO b [AND c TO d …]` — upstream restricts renames to
+          // PRIMARY KEY columns [U cql3/statements/schema/AlterTableStatement]
+          def one(): (String, String) = {
+            val from = c.next(); c.expect("to"); (from, c.next())
+          }
+          var pairs = Vector(one())
+          while (c.accept("and")) pairs = pairs :+ one()
+          CqlAlterRename(table, pairs)
         } else throw new CqlInvalidQueryException(
-          s"ALTER TABLE supports ADD and DROP, got ${c.peek}")
+          s"ALTER TABLE supports ADD, DROP and RENAME, got ${c.peek}")
       case "truncate" =>
         c.accept("table")
         CqlTruncate(tableName(c))
@@ -727,8 +736,9 @@ object CqlParser {
     * `cql3/statements/schema/CreateIndexStatement` [U]). The index class
     * decides range capability: SAI/SASI classes (and the 5.0 shorthand
     * `USING 'sai'`) serve range predicates; anything else is legacy-2i
-    * equality. Collection targets `KEYS/VALUES/ENTRIES/FULL(col)` parse to
-    * the column itself. `WITH OPTIONS` is accepted and ignored. */
+    * equality. Collection targets `KEYS/VALUES/ENTRIES/FULL(col)` carry
+    * through as the index target — they decide which predicate the index
+    * serves. `WITH OPTIONS` is accepted and ignored. */
   private def parseCreateIndex(c: Cursor): CqlDdl = {
     c.expect("index")
     val ifNotExists =
@@ -740,10 +750,12 @@ object CqlParser {
     c.expect("(")
     val wrapped = Seq("keys", "values", "entries", "full")
       .exists(w => c.peek.equalsIgnoreCase(w))
-    val column =
+    val (target, column) =
       if (wrapped && c.peekAt(1) == "(") {
-        c.next(); c.expect("("); val x = c.next(); c.expect(")"); x
-      } else c.next()
+        val w = c.next().toLowerCase
+        c.expect("("); val x = c.next(); c.expect(")")
+        (w, x)
+      } else ("", c.next())
     c.expect(")")
     var sai = false
     if (c.accept("using")) {
@@ -752,7 +764,7 @@ object CqlParser {
         cls.contains("sasi")
     }
     if (c.accept("with")) while (!c.done) c.next() // OPTIONS ignored
-    CqlCreateIndex(name, table, column, sai, ifNotExists)
+    CqlCreateIndex(name, table, column, sai, ifNotExists, target)
   }
 
   /** CQL `duration` as a Spark struct — upstream's (months, days, nanos)
@@ -988,6 +1000,17 @@ object CqlParser {
     val isToken = first.equalsIgnoreCase("token") && c.peekIs("(")
     val column = if (isToken) { c.expect("("); val x = c.next(); c.expect(")"); x }
       else first
+    if (!isToken && c.accept("[")) {
+      // `m[k] = v` map-entry restriction (upstream ENTRIES-index query;
+      // only equality is defined on entries
+      // [U restrictions/SingleColumnRestriction]).
+      val key = parseLiteral(c)
+      c.expect("]")
+      val op = c.next()
+      if (op != "=") throw new CqlInvalidQueryException(
+        s"Only EQ relations are supported on map entries (got $op)")
+      return ColumnPredicate(column, "elem=", Seq(key, parseLiteral(c)))
+    }
     if (c.accept("in")) {
       c.expect("(")
       // `pk IN ()` is VALID upstream (matches nothing) — empty marker list

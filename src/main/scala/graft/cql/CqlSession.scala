@@ -117,11 +117,18 @@ case class CqlDropKeyspace(name: String, ifExists: Boolean) extends CqlDdl
 case class CqlTruncate(table: String) extends CqlDdl
 case class CqlAlterAdd(table: String, columns: Seq[CqlColumnDef]) extends CqlDdl
 case class CqlAlterDrop(table: String, columns: Seq[String]) extends CqlDdl
-/** `CREATE [CUSTOM] INDEX [IF NOT EXISTS] [name] ON t(col) [USING 'class']`
-  * — `sai` marks a range-capable index (SAI/SASI class or 5.0
-  * `USING 'sai'`); legacy 2i answers equality/CONTAINS only. */
+/** `ALTER TABLE t RENAME a TO b [AND c TO d]` — upstream only renames
+  * PRIMARY KEY columns, and not ones an index or view depends on
+  * [U cql3/statements/schema/AlterTableStatement.Renames]. */
+case class CqlAlterRename(table: String, pairs: Seq[(String, String)])
+  extends CqlDdl
+/** `CREATE [CUSTOM] INDEX [IF NOT EXISTS] [name] ON t([kind(]col[)])
+  * [USING 'class']` — `sai` marks a range-capable index (SAI/SASI class or
+  * 5.0 `USING 'sai'`); legacy 2i answers equality/CONTAINS only. `target`
+  * is the collection wrapper ("keys"/"values"/"entries"/"full", "" for a
+  * plain index) and decides which predicate the index serves. */
 case class CqlCreateIndex(name: Option[String], table: String, column: String,
-  sai: Boolean, ifNotExists: Boolean) extends CqlDdl
+  sai: Boolean, ifNotExists: Boolean, target: String = "") extends CqlDdl
 case class CqlDropIndex(name: String, ifExists: Boolean) extends CqlDdl
 /** `CREATE TYPE name (field type, …)` — a user-defined type, mapped to
   * StructType per SURVEY §1.2 (frozen vs non-frozen is a storage detail
@@ -256,10 +263,11 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
 
   private var clock: Long = 1L
 
-  /** Secondary-index registry: index name → (table, column, range-capable).
-    * Index names are keyspace-scoped upstream (`schema/IndexMetadata` [U]);
-    * here session-scoped. */
-  private val indexReg: scala.collection.mutable.Map[String, (String, String, Boolean)] =
+  /** Secondary-index registry: index name → (table, column, range-capable,
+    * target kind — "keys"/"values"/"entries"/"full" for collection indexes,
+    * "" for plain). Index names are keyspace-scoped upstream
+    * (`schema/IndexMetadata` [U]); here session-scoped. */
+  private val indexReg: scala.collection.mutable.Map[String, (String, String, Boolean, String)] =
     scala.collection.mutable.Map.empty
 
   /** User-defined types: lowercase name → StructType (`CREATE TYPE`;
@@ -407,9 +415,10 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
 
   private def buildEngine: CqlEngine = {
     val catalog = state.map { case (name, t) =>
-      val indexed = indexReg.values.collect {
-        case (tbl, colName, sai) if tbl == name => colName.toLowerCase -> sai
-      }.toMap
+      val indexed = indexReg.values.toSeq.collect {
+        case (tbl, colName, sai, target) if tbl == name =>
+          colName.toLowerCase -> (sai, target)
+      }.groupBy(_._1).map { case (c0, xs) => c0 -> xs.map(_._2).toSet }
       name -> CqlTable(view(name), t.partitionKeys, t.clusteringKeys,
         t.staticKeys, t.counterKeys, indexed, t.clusteringDesc)
     }.toMap
@@ -647,8 +656,12 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       StructField("index_name", StringType),
       StructField("kind", StringType), // upstream: COMPOSITES | CUSTOM
       StructField("target", StringType)))
-    val iRows = indexReg.toSeq.sortBy(_._1).map { case (n, (tbl, c0, sai)) =>
-      Row(UserKeyspace, tbl, n, if (sai) "CUSTOM" else "COMPOSITES", c0)
+    val iRows = indexReg.toSeq.sortBy(_._1).map {
+      case (n, (tbl, c0, sai, target)) =>
+        // upstream target strings read `values(m)` / `keys(m)` / … for
+        // collection indexes and the bare column name otherwise
+        val tgt = if (target.isEmpty) c0 else s"$target($c0)"
+        Row(UserKeyspace, tbl, n, if (sai) "CUSTOM" else "COMPOSITES", tgt)
     }
     val vSchema = StructType(Seq(
       StructField("keyspace_name", StringType),
@@ -875,10 +888,11 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   }
 
   private def indexDdl(name: String): String = {
-    val (tbl, c0, sai) = indexReg(name.toLowerCase)
+    val (tbl, c0, sai, target) = indexReg(name.toLowerCase)
+    val tgt = if (target.isEmpty) c0 else s"${target.toUpperCase}($c0)"
     if (sai)
-      s"CREATE CUSTOM INDEX $name ON $tbl ($c0) USING 'StorageAttachedIndex'"
-    else s"CREATE INDEX $name ON $tbl ($c0)"
+      s"CREATE CUSTOM INDEX $name ON $tbl ($tgt) USING 'StorageAttachedIndex'"
+    else s"CREATE INDEX $name ON $tbl ($tgt)"
   }
 
   private def fnDdl(name: String): String = {
@@ -1211,7 +1225,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         s"Cannot drop table $table: materialized view $mv still depends on it"))
       if (state.remove(table.toLowerCase).isEmpty && !ifExists)
         throw new CqlInvalidQueryException(s"unknown table $table")
-      indexReg.filterInPlace { case (_, (tbl, _, _)) => tbl != table.toLowerCase }
+      indexReg.filterInPlace { case (_, (tbl, _, _, _)) => tbl != table.toLowerCase }
       udtCols.filterInPlace { case ((tbl, _), _) => tbl != table.toLowerCase }
     case CqlCreateMv(name, sel, pk, ck, ifNotExists) =>
       if (state.contains(name.toLowerCase) || mvReg.contains(name.toLowerCase)) {
@@ -1355,7 +1369,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     case CqlDropAggregate(name, ifExists) =>
       if (aggReg.remove(name.toLowerCase).isEmpty && !ifExists)
         throw new CqlInvalidQueryException(s"unknown aggregate $name")
-    case CqlCreateIndex(name, table, column, sai, ifNotExists) =>
+    case CqlCreateIndex(name, table, column, sai, ifNotExists, target0) =>
       val t = tableState(table)
       val colName = t.schema.fieldNames.find(_.equalsIgnoreCase(column))
         .getOrElse(throw new CqlInvalidQueryException(
@@ -1369,15 +1383,35 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       if (t.counterKeys.exists(_.equalsIgnoreCase(column)))
         throw new CqlInvalidQueryException(
           s"Secondary indexes on counter tables are not supported")
+      // collection targets type-check against the column, and a plain
+      // index on a collection normalizes to VALUES — upstream
+      // IndexTarget.Type.fromCql [U]
+      val dt = t.schema(t.schema.fieldIndex(colName)).dataType
+      val isMap = dt.isInstanceOf[MapType]
+      val isColl = isMap || dt.isInstanceOf[ArrayType]
+      val target = target0 match {
+        case "keys" | "entries" if !isMap =>
+          throw new CqlInvalidQueryException(
+            s"Cannot create ${target0}() index on $colName: not a map column")
+        case "values" | "full" if !isColl =>
+          throw new CqlInvalidQueryException(
+            s"Cannot create ${target0}() index on $colName: " +
+              s"not a collection column")
+        case "" if isColl => "values"
+        case other => other
+      }
       val idxName = name.getOrElse(s"${table.toLowerCase}_${colName.toLowerCase}_idx")
         .toLowerCase
+      // a column can carry one index PER TARGET (KEYS(m) + VALUES(m) is
+      // legal upstream); a same-target duplicate is rejected
       val dup = indexReg.contains(idxName) || indexReg.values.exists {
-        case (tbl, c0, _) => tbl == table.toLowerCase && c0.equalsIgnoreCase(colName)
+        case (tbl, c0, _, tgt) => tbl == table.toLowerCase &&
+          c0.equalsIgnoreCase(colName) && tgt == target
       }
       if (dup) {
         if (!ifNotExists) throw new CqlInvalidQueryException(
           s"Index $idxName or an index on $table($colName) already exists")
-      } else indexReg(idxName) = (table.toLowerCase, colName, sai)
+      } else indexReg(idxName) = (table.toLowerCase, colName, sai, target)
     case CqlDropIndex(name, ifExists) =>
       if (indexReg.remove(name.toLowerCase).isEmpty && !ifExists)
         throw new CqlInvalidQueryException(s"unknown index $name")
@@ -1529,11 +1563,51 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         t.counterKeys.filterNot(k => cols.exists(_.equalsIgnoreCase(k))))
       // dropping a column drops its indexes (upstream: rejected while an
       // index exists; auto-drop keeps the session model consistent)
-      indexReg.filterInPlace { case (_, (tbl, c0, _)) =>
+      indexReg.filterInPlace { case (_, (tbl, c0, _, _)) =>
         tbl != table.toLowerCase || !cols.exists(_.equalsIgnoreCase(c0))
       }
       udtCols.filterInPlace { case ((tbl, c0), _) =>
         tbl != table.toLowerCase || !cols.exists(_.equalsIgnoreCase(c0))
+      }
+    case CqlAlterRename(table, pairs) =>
+      // upstream renames exist for PRIMARY KEY columns only (regular cells
+      // are addressed by name in sstables; key components are positional),
+      // and are refused while an index or view references the column
+      // [U cql3/statements/schema/AlterTableStatement.Renames]
+      pairs.foreach { case (from, to) =>
+        val t = tableState(table)
+        val actual = t.schema.fieldNames.find(_.equalsIgnoreCase(from))
+          .getOrElse(throw new CqlInvalidQueryException(
+            s"undefined column $from"))
+        if (!keyCols(t).exists(_.equalsIgnoreCase(from)))
+          throw new CqlInvalidQueryException(
+            s"Cannot rename non PRIMARY KEY column $from")
+        if (t.schema.fieldNames.exists(_.equalsIgnoreCase(to)))
+          throw new CqlInvalidQueryException(
+            s"Cannot rename $from to $to: a column of that name already " +
+              s"exists")
+        indexReg.collectFirst {
+          case (n, (tbl, c0, _, _))
+              if tbl == table.toLowerCase && c0.equalsIgnoreCase(from) => n
+        }.foreach(n => throw new CqlInvalidQueryException(
+          s"Cannot rename column $from: index $n depends on it"))
+        mvReg.collectFirst {
+          case (mv, (sel, _, _)) if sel.table.equalsIgnoreCase(table) => mv
+        }.foreach(mv => throw new CqlInvalidQueryException(
+          s"Cannot rename column $from on base table $table: " +
+            s"materialized view $mv depends on it"))
+        def ren(f: StructField) =
+          if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f
+        def renSeq(xs: Seq[String]) =
+          xs.map(n => if (n.equalsIgnoreCase(from)) to else n)
+        state(table.toLowerCase) = t.copy(
+          schema = StructType(t.schema.fields.map(ren)),
+          logSchema = StructType(t.logSchema.fields.map(ren)),
+          base = t.base.withColumnRenamed(actual, to),
+          partitionKeys = renSeq(t.partitionKeys),
+          clusteringKeys = renSeq(t.clusteringKeys))
+        udtCols.remove((table.toLowerCase, actual.toLowerCase))
+          .foreach(refs => udtCols((table.toLowerCase, to.toLowerCase)) = refs)
       }
   }
 

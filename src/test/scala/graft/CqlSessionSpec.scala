@@ -1188,6 +1188,129 @@ class CqlSessionSpec extends SparkSpec {
     s.execute("CREATE INDEX users_age_idx ON users (age)")
   }
 
+  private def collectionIndexSession = {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE docs (id bigint PRIMARY KEY, tags set<text>, " +
+      "props map<text, bigint>)")
+    s.execute(
+      "INSERT INTO docs (id, tags, props) VALUES (1, {'ml'}, {'views': 7})")
+    s.execute("INSERT INTO docs (id, tags, props) VALUES " +
+      "(2, {'db'}, {'views': 9, 'forks': 7})")
+    s
+  }
+
+  test("collection index targets serve exactly their predicate kind") {
+    val s = collectionIndexSession
+    // no index: every collection predicate needs ALLOW FILTERING
+    intercept[CqlInvalidQueryException] {
+      s.execute("SELECT id FROM docs WHERE props CONTAINS KEY 'views'")
+    }
+    // KEYS(props) serves CONTAINS KEY — and ONLY that
+    s.execute("CREATE INDEX props_keys ON docs (KEYS(props))")
+    assert(s.execute("SELECT id FROM docs WHERE props CONTAINS KEY 'forks'")
+      .collect().map(_.getLong(0)) === Array(2L))
+    intercept[CqlInvalidQueryException] {
+      s.execute("SELECT id FROM docs WHERE props CONTAINS 9")
+    }
+    // VALUES(props) sits beside KEYS(props) and lifts CONTAINS (on values)
+    s.execute("CREATE INDEX props_vals ON docs (VALUES(props))")
+    assert(s.execute("SELECT id FROM docs WHERE props CONTAINS 9")
+      .collect().map(_.getLong(0)) === Array(2L))
+    assert(s.execute("SELECT id FROM docs WHERE props CONTAINS 7")
+      .collect().map(_.getLong(0)).sorted === Array(1L, 2L))
+    // …but a SAME-target duplicate is rejected
+    intercept[CqlInvalidQueryException] {
+      s.execute("CREATE INDEX ON docs (VALUES(props))")
+    }
+    // a plain index on a collection normalizes to VALUES (upstream
+    // IndexTarget.Type.fromCql), and DESCRIBE emits the wrapped form
+    s.execute("CREATE INDEX tags_idx ON docs (tags)")
+    assert(s.execute("SELECT id FROM docs WHERE tags CONTAINS 'ml'")
+      .collect().map(_.getLong(0)) === Array(1L))
+    assert(s.execute("DESCRIBE INDEX tags_idx").head()
+      .getAs[String]("create_statement").contains("VALUES(tags)"))
+    // target/column type mismatches are rejected
+    intercept[CqlInvalidQueryException] {
+      s.execute("CREATE INDEX ON docs (KEYS(tags))")
+    }
+    intercept[CqlInvalidQueryException] {
+      s.execute("CREATE INDEX ON docs (ENTRIES(tags))")
+    }
+  }
+
+  test("m[k] = v map-entry predicates: ENTRIES index or ALLOW FILTERING") {
+    val s = collectionIndexSession
+    intercept[CqlInvalidQueryException] { // gate holds without an index
+      s.execute("SELECT id FROM docs WHERE props['views'] = 7")
+    }
+    assert(s.execute(
+      "SELECT id FROM docs WHERE props['views'] = 7 ALLOW FILTERING")
+      .collect().map(_.getLong(0)) === Array(1L))
+    // a missing key never matches (element_at null semantics)
+    assert(s.execute(
+      "SELECT id FROM docs WHERE props['nope'] = 7 ALLOW FILTERING")
+      .collect().isEmpty)
+    s.execute("CREATE INDEX props_entries ON docs (ENTRIES(props))")
+    assert(s.execute("SELECT id FROM docs WHERE props['forks'] = 7")
+      .collect().map(_.getLong(0)) === Array(2L))
+    // the ENTRIES index serves ONLY the entry predicate
+    intercept[CqlInvalidQueryException] {
+      s.execute("SELECT id FROM docs WHERE props CONTAINS KEY 'views'")
+    }
+    // subscripting a non-map column is rejected, as is any non-EQ relation
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("SELECT id FROM docs WHERE tags['x'] = 'y' ALLOW FILTERING")
+    }.getMessage.contains("non-map"))
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("SELECT id FROM docs WHERE props['views'] > 3 ALLOW FILTERING")
+    }.getMessage.contains("Only EQ"))
+  }
+
+  test("ALTER TABLE RENAME: PRIMARY KEY columns only, dependency-guarded") {
+    val s = CqlSession(spark)
+    s.execute(
+      "CREATE TABLE ts (pk bigint, ck bigint, v text, PRIMARY KEY (pk, ck))")
+    s.execute("INSERT INTO ts (pk, ck, v) VALUES (1, 10, 'a')")
+    s.execute("ALTER TABLE ts RENAME ck TO seq")
+    assert(s.execute("SELECT seq, v FROM ts WHERE pk = 1 AND seq = 10")
+      .collect().map(r => (r.getLong(0), r.getString(1))) ===
+      Array((10L, "a")))
+    intercept[CqlInvalidQueryException] { // the old name is gone
+      s.execute("SELECT ck FROM ts WHERE pk = 1")
+    }
+    // regular columns cannot be renamed (upstream AlterTableStatement)
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("ALTER TABLE ts RENAME v TO w")
+    }.getMessage.contains("non PRIMARY KEY"))
+    intercept[CqlInvalidQueryException] { // collision with a live column
+      s.execute("ALTER TABLE ts RENAME seq TO v")
+    }
+    // an index on the column blocks the rename
+    s.execute("CREATE INDEX seq_idx ON ts (seq)")
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("ALTER TABLE ts RENAME seq TO ord")
+    }.getMessage.contains("index"))
+    s.execute("DROP INDEX seq_idx")
+    // chained form, and writes keep working against the renamed schema
+    s.execute("ALTER TABLE ts RENAME pk TO id AND seq TO ord")
+    s.execute("INSERT INTO ts (id, ord, v) VALUES (2, 20, 'b')")
+    assert(s.execute("SELECT id, ord, v FROM ts WHERE id = 2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))) ===
+      Array((2L, 20L, "b")))
+    // DESCRIBE reflects the rename (fixpoint: the DDL names the new keys)
+    val ddl = s.execute("DESCRIBE TABLE ts").head()
+      .getAs[String]("create_statement")
+    assert(ddl.contains("PRIMARY KEY ((id), ord)") ||
+      ddl.contains("PRIMARY KEY (id, ord)"))
+    // a materialized view pins every key name it references
+    s.execute("CREATE MATERIALIZED VIEW ts_mv AS SELECT v, id, ord FROM ts " +
+      "WHERE v IS NOT NULL AND id IS NOT NULL AND ord IS NOT NULL " +
+      "PRIMARY KEY (v, id, ord)")
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("ALTER TABLE ts RENAME ord TO n")
+    }.getMessage.contains("materialized view"))
+  }
+
   // -- materialized views (CREATE MATERIALIZED VIEW) ------------------------
 
   test("MV: reads by the view key without ALLOW FILTERING, tracks base writes") {
