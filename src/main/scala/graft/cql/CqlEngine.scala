@@ -360,10 +360,18 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
     // stack; same for CONTAINS typing and token() placement
     sel.predicates.foreach {
       case p: ColumnPredicate if p.isToken =>
-        if (!t.partitionKeys.exists(_.equalsIgnoreCase(p.column)))
-          throw new CqlInvalidQueryException(
+        // upstream: token() must name ALL partition key components, in
+        // declaration order [U cql3/restrictions/TokenRestriction]
+        val toks = p.column.split(",").toSeq
+        toks.find(c0 => !t.partitionKeys.exists(_.equalsIgnoreCase(c0)))
+          .foreach(c0 => throw new CqlInvalidQueryException(
             s"The token() function can only be applied to the partition " +
-              s"key (got ${p.column})")
+              s"key (got $c0)"))
+        if (!toks.map(_.toLowerCase)
+            .sameElements(t.partitionKeys.map(_.toLowerCase)))
+          throw new CqlInvalidQueryException(
+            "The token function arguments must be in the partition key " +
+              s"order: ${t.partitionKeys.mkString(", ")}")
         if (!Set("=", "<", "<=", ">", ">=").contains(p.op))
           throw new CqlInvalidQueryException(
             s"Only EQ and slice relations are supported on token() " +
@@ -391,7 +399,59 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
                 s"${p.column}")
           case _ => ()
         }
+      case tp: TuplePredicate =>
+        // upstream multi-column relation rules [U cql3/restrictions/
+        // MultiColumnRestriction]: clustering columns only, named in
+        // clustering order with no skips, tuple arity = column count
+        val ckL = t.clusteringKeys.map(_.toLowerCase)
+        tp.columns.find(c0 => !ckL.contains(c0.toLowerCase)).foreach(c0 =>
+          throw new CqlInvalidQueryException(
+            s"Multi-column relations can only be applied to clustering " +
+              s"columns but was applied to: $c0"))
+        val idxs = tp.columns.map(c0 => ckL.indexOf(c0.toLowerCase))
+        if (idxs != (idxs.head until idxs.head + idxs.size).toSeq)
+          throw new CqlInvalidQueryException(
+            "Clustering columns may not be skipped or reordered in " +
+              s"multi-column relations (got ${tp.columns.mkString(", ")}; " +
+              s"clustering order is ${t.clusteringKeys.mkString(", ")})")
+        def arity(v: Any): Int = v match {
+          case s: Seq[_] => s.size
+          case _ => 1
+        }
+        if (tp.op == "in")
+          tp.values.find(arity(_) != tp.columns.size).foreach(v =>
+            throw new CqlInvalidQueryException(
+              s"Expected ${tp.columns.size} elements in value tuple, " +
+                s"but got ${arity(v)}"))
+        else if (tp.values.size != tp.columns.size)
+          throw new CqlInvalidQueryException(
+            s"Expected ${tp.columns.size} elements in value tuple, " +
+              s"but got ${tp.values.size}")
       case _ => ()
+    }
+    // upstream SelectStatement.validateDistinctSelection [U]: DISTINCT may
+    // only select partition key and static columns, and must name every
+    // partition key component (the result is one row per partition)
+    if (sel.distinct) {
+      val star = sel.selectors.exists {
+        case Star => true
+        case ColumnSelector("*", _) => true
+        case _ => false
+      }
+      val names: Seq[String] =
+        if (star) t.df.schema.fieldNames.toSeq
+        else sel.selectors.collect {
+          case ColumnSelector(n, _) => n.takeWhile(_ != '.')
+        }
+      val allowed = (t.partitionKeys ++ t.staticKeys).map(_.toLowerCase).toSet
+      names.find(n => !allowed.contains(n.toLowerCase)).foreach(n =>
+        throw new CqlInvalidQueryException(
+          "SELECT DISTINCT queries must only request partition key " +
+            s"columns and/or static columns (not $n)"))
+      t.partitionKeys.find(pk => !names.exists(_.equalsIgnoreCase(pk)))
+        .foreach(pk => throw new CqlInvalidQueryException(
+          "SELECT DISTINCT queries must request all the partition key " +
+            s"columns (missing $pk)"))
     }
     sel.selectors.foreach {
       case ColumnSelector(n, _) if n != "*" =>
@@ -424,7 +484,31 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
             throw new CqlInvalidQueryException(
               s"Only EQ and IN relation are supported on the partition key " +
                 s"(unless you use the token() function) (got ${p.op} on ${p.column})")
-        case _: TuplePredicate => // tuple restrictions are clustering-only; ok
+        case tp: TuplePredicate =>
+          // a multi-column clustering restriction needs the partition key
+          // fully EQ/IN-restricted and every clustering column BEFORE the
+          // tuple's first column EQ-restricted — same contiguous-prefix
+          // rule as single-column clustering predicates
+          val pkOk = t.partitionKeys.forall(pk => sel.predicates.exists {
+            case p: ColumnPredicate => p.column.equalsIgnoreCase(pk) &&
+              Set("=", "in").contains(p.op) && !p.isToken
+            case _ => false
+          })
+          if (!pkOk)
+            throw new CqlInvalidQueryException(
+              "Cannot execute this query as it might involve data filtering and " +
+                "thus may have unpredictable performance. If you want to execute " +
+                "this query despite the performance unpredictability, use ALLOW FILTERING " +
+                "(multi-column clustering restriction without a fully restricted partition key)")
+          val ckL = t.clusteringKeys.map(_.toLowerCase)
+          val start = ckL.indexOf(tp.columns.head.toLowerCase)
+          ckL.take(math.max(start, 0)).find(prev => !sel.predicates.exists {
+            case p: ColumnPredicate => p.column.equalsIgnoreCase(prev) &&
+              Set("=", "in").contains(p.op) && !p.isToken
+            case _ => false
+          }).foreach(prev => throw new CqlInvalidQueryException(
+            s"PRIMARY KEY column ${tp.columns.head} cannot be restricted " +
+              s"as preceding column $prev is not restricted"))
       }
       // a PARTIALLY restricted composite partition key is a filtering scan
       // upstream (StatementRestrictions.processPartitionKeyRestrictions):
@@ -591,7 +675,14 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
       val base: Column = fnLit match {
         case Some(f) => fnBound(p, f)._1
         case None =>
-          if (p.isToken) CassandraModel.tokenOf(col(p.column)) else col(p.column)
+          if (p.isToken) {
+            // single component keeps the oracle-able hash (tokenOf); a
+            // composite key hashes its CompositeType layout like the ring
+            val toks = p.column.split(",")
+            if (toks.length == 1) CassandraModel.tokenOf(col(p.column))
+            else CassandraModel.murmurTokenOf(
+              col(toks(0)), col(toks(1)), toks.drop(2).map(col): _*)
+          } else col(p.column)
       }
       def v: Column = fnLit match {
         case Some(f) => fnBound(p, f)._2
@@ -643,6 +734,15 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
             lit(p.values(1)).cast(vt)
         case other => throw new CqlInvalidQueryException(s"unsupported operator $other")
       }
+    case TuplePredicate(cols, "in", vals) =>
+      // `(ck1, ck2) IN ((1,2), (3,4))` — an EQ-union over value tuples;
+      // `IN ()` matches nothing, like the single-column form
+      val l = struct(cols.map(col): _*)
+      vals.map { v =>
+        val elems = v.asInstanceOf[Seq[Any]]
+        l === struct(cols.zip(elems).map { case (c, x) =>
+          typedLit(t, c, x) }: _*)
+      }.foldLeft(lit(false))(_ || _)
     case TuplePredicate(cols, op, vals) =>
       val l = struct(cols.map(col): _*)
       val r = struct(cols.zip(vals).map { case (c, v) => typedLit(t, c, v) }: _*)
@@ -702,7 +802,9 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
         case "avg" => avg(col(colArg(0)))
         case "writetime" => maxWritetimeCol(t, colArg(0))
         case "ttl" => ttlCol(t, colArg(0))
-        case "token" => CassandraModel.tokenOf(col(colArg(0)))
+        case "token" if args.size <= 1 => CassandraModel.tokenOf(col(colArg(0)))
+        case "token" => CassandraModel.murmurTokenOf(col(colArg(0)),
+          col(colArg(1)), args.indices.drop(2).map(i => col(colArg(i))): _*)
         // the TimeFcts family dispatches on the argument: a string COLUMN
         // is a timeuuid (its embedded ticks are the time), a nested
         // min/maxTimeuuid(…) likewise, anything else converts as a

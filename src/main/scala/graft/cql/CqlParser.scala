@@ -990,6 +990,25 @@ object CqlParser {
     if (c.accept("(")) { // tuple restriction: (ck1, ck2) op (v1, v2)
       val cols = parseIdentList(c); c.expect(")")
       val op = c.next()
+      if (op.equalsIgnoreCase("in")) {
+        // `(ck1, ck2) IN ((1, 2), (3, 4))` — each element a full tuple;
+        // `IN ()` is valid and matches nothing, like the single-column form
+        c.expect("(")
+        def tuple(): Any = {
+          c.expect("(")
+          var t = Seq(parseLiteral(c))
+          while (c.accept(",")) t = t :+ parseLiteral(c)
+          c.expect(")")
+          t
+        }
+        var vals = Seq.empty[Any]
+        if (!c.peekIs(")")) {
+          vals = Seq(tuple())
+          while (c.accept(",")) vals = vals :+ tuple()
+        }
+        c.expect(")")
+        return TuplePredicate(cols, "in", vals)
+      }
       c.expect("(")
       var vals = Seq(parseLiteral(c))
       while (c.accept(",")) vals = vals :+ parseLiteral(c)
@@ -998,8 +1017,12 @@ object CqlParser {
     }
     val first = c.next()
     val isToken = first.equalsIgnoreCase("token") && c.peekIs("(")
-    val column = if (isToken) { c.expect("("); val x = c.next(); c.expect(")"); x }
-      else first
+    // `token(pk)` or the composite-key form `token(pk1, pk2, …)` — the
+    // component list is carried comma-joined and split at validation, where
+    // the upstream all-components-in-order rule is enforced
+    val column = if (isToken) {
+      c.expect("("); val xs = parseIdentList(c); c.expect(")"); xs.mkString(",")
+    } else first
     if (!isToken && c.accept("[")) {
       // `m[k] = v` map-entry restriction (upstream ENTRIES-index query;
       // only equality is defined on entries

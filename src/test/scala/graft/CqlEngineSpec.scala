@@ -581,4 +581,121 @@ class CqlEngineSpec extends SparkSpec {
     cqlEngine.execute("SELECT count(*) AS n FROM lineitem " +
       "WHERE l_orderkey = 1 AND l_linenumber >= 2").collect()
   }
+
+  private def tupleEngine = {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, 10L, "a"), (1L, 1L, 20L, "b"), (1L, 2L, 10L, "c"),
+      (1L, 2L, 30L, "d"), (2L, 1L, 10L, "e")).toDF("pk", "ck1", "ck2", "v")
+    new CqlEngine(spark,
+      Map("tt" -> CqlTable(df, Seq("pk"), Seq("ck1", "ck2"))))
+  }
+
+  test("multi-column IN: (ck1, ck2) IN over value tuples") {
+    val eng = tupleEngine
+    assert(eng.execute("SELECT v FROM tt WHERE pk = 1 " +
+      "AND (ck1, ck2) IN ((1, 10), (2, 30))")
+      .collect().map(_.getString(0)).sorted === Array("a", "d"))
+    // IN () is valid and matches nothing, like the single-column form
+    assert(eng.execute(
+      "SELECT v FROM tt WHERE pk = 1 AND (ck1, ck2) IN ()").count() === 0)
+    // without a fully restricted partition key the gate holds…
+    assert(intercept[CqlInvalidQueryException] {
+      eng.execute("SELECT v FROM tt WHERE (ck1, ck2) IN ((1, 10))")
+    }.getMessage.contains("ALLOW FILTERING"))
+    // …and ALLOW FILTERING lifts it
+    assert(eng.execute("SELECT v FROM tt WHERE (ck1, ck2) IN ((1, 10)) " +
+      "ALLOW FILTERING").collect().map(_.getString(0)).sorted ===
+      Array("a", "e"))
+  }
+
+  test("multi-column relation guardrails: columns, order, prefix, arity") {
+    val eng = tupleEngine
+    // clustering columns only
+    assert(intercept[CqlInvalidQueryException] {
+      eng.execute("SELECT v FROM tt WHERE (pk, ck1) > (1, 1) ALLOW FILTERING")
+    }.getMessage.contains("clustering columns"))
+    assert(intercept[CqlInvalidQueryException] {
+      eng.execute("SELECT v FROM tt WHERE (ck1, v) = (1, 'a') ALLOW FILTERING")
+    }.getMessage.contains("clustering columns"))
+    // no reordering
+    assert(intercept[CqlInvalidQueryException] {
+      eng.execute("SELECT v FROM tt WHERE pk = 1 AND (ck2, ck1) > (1, 1)")
+    }.getMessage.contains("skipped or reordered"))
+    // a tuple starting past ck1 needs ck1 EQ-restricted first
+    assert(intercept[CqlInvalidQueryException] {
+      eng.execute("SELECT v FROM tt WHERE pk = 1 AND (ck2) > (10)")
+    }.getMessage.contains("preceding column"))
+    assert(eng.execute("SELECT v FROM tt WHERE pk = 1 AND ck1 = 2 " +
+      "AND (ck2) > (10)").collect().map(_.getString(0)) === Array("d"))
+    // arity must match the column count, in both relation and IN forms
+    assert(intercept[CqlInvalidQueryException] {
+      eng.execute("SELECT v FROM tt WHERE pk = 1 AND (ck1, ck2) > (1)")
+    }.getMessage.contains("Expected 2 elements"))
+    assert(intercept[CqlInvalidQueryException] {
+      eng.execute("SELECT v FROM tt WHERE pk = 1 AND (ck1, ck2) IN ((1, 2, 3))")
+    }.getMessage.contains("Expected 2 elements"))
+    // the relation form still slices in clustering order
+    assert(eng.execute("SELECT v FROM tt WHERE pk = 1 " +
+      "AND (ck1, ck2) >= (2, 10)").collect().map(_.getString(0)).sorted ===
+      Array("c", "d"))
+  }
+
+  test("SELECT DISTINCT: partition key and static columns only, all pk parts") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 1L, "a"), (1L, 10L, 2L, "b"), (2L, 20L, 1L, "c"))
+      .toDF("pk1", "pk2", "ck", "v")
+    val eng = new CqlEngine(spark,
+      Map("dt" -> CqlTable(df, Seq("pk1", "pk2"), Seq("ck"))))
+    // one row per partition
+    assert(eng.execute("SELECT DISTINCT pk1, pk2 FROM dt")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted ===
+      Array((1L, 10L), (2L, 20L)))
+    assert(intercept[CqlInvalidQueryException] {
+      eng.execute("SELECT DISTINCT pk1 FROM dt")
+    }.getMessage.contains("missing pk2"))
+    assert(intercept[CqlInvalidQueryException] {
+      eng.execute("SELECT DISTINCT pk1, pk2, v FROM dt")
+    }.getMessage.contains("partition key columns and/or static columns"))
+    assert(intercept[CqlInvalidQueryException] {
+      eng.execute("SELECT DISTINCT * FROM dt")
+    }.getMessage.contains("partition key columns and/or static columns"))
+    // a static column rides along (upstream: per-partition value)
+    val sEng = new CqlEngine(spark, Map("st" -> CqlTable(
+      Seq((1L, "s1", 1L, "a"), (1L, "s1", 2L, "b")).toDF("pk", "s", "ck", "v"),
+      Seq("pk"), Seq("ck"), staticKeys = Seq("s"))))
+    assert(sEng.execute("SELECT DISTINCT pk, s FROM st")
+      .collect().map(r => (r.getLong(0), r.getString(1))) ===
+      Array((1L, "s1")))
+  }
+
+  test("composite-key token(): all components in partition key order") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 1L, "a"), (2L, 20L, 1L, "b"), (3L, 30L, 1L, "c"))
+      .toDF("pk1", "pk2", "ck", "v")
+    val eng = new CqlEngine(spark,
+      Map("comp2" -> CqlTable(df, Seq("pk1", "pk2"), Seq("ck"))))
+    // token() must name every component, in declaration order
+    assert(intercept[CqlInvalidQueryException] {
+      eng.execute("SELECT v FROM comp2 WHERE token(pk1) > 0")
+    }.getMessage.contains("partition key order"))
+    assert(intercept[CqlInvalidQueryException] {
+      eng.execute("SELECT v FROM comp2 WHERE token(pk2, pk1) > 0")
+    }.getMessage.contains("partition key order"))
+    assert(intercept[CqlInvalidQueryException] {
+      eng.execute("SELECT v FROM comp2 WHERE token(pk1, ck) > 0")
+    }.getMessage.contains("can only be applied to the partition key"))
+    // the composite ring hash drives both the WHERE slice and the selector
+    val toks = df.select(graft.operators.CassandraModel
+      .murmurTokenOf(col("pk1"), col("pk2")).as("t"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val mid = toks.map(_._1).sorted.apply(1)
+    val expect = toks.filter(_._1 > mid).map(_._2).sorted
+    assert(eng.execute(
+      s"SELECT v FROM comp2 WHERE token(pk1, pk2) > $mid")
+      .collect().map(_.getString(0)).sorted === expect)
+    assert(eng.execute("SELECT token(pk1, pk2) AS t, v FROM comp2 " +
+      "ALLOW FILTERING").collect().map(r => (r.getLong(0), r.getString(1)))
+      .sorted === toks.sorted)
+  }
 }
