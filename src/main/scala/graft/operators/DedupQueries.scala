@@ -305,6 +305,100 @@ object DedupQueries {
     componentSummary(connectedComponents(
       d3Pairs(s, d).select(col("id_a").as("src"), col("id_b").as("dst"))))
 
+  /** embeddings plus exact copies of every 7th vector (vec_id + 100000) —
+    * the semantic-duplicate injection the oracle mirrors (the fixture has no
+    * literal embedding duplicates, like the document corpus for d1/d2). */
+  private def embWithDups(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    e.unionByName(e.filter(col("vec_id") % 7 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000L))
+  }
+
+  /** D8 (L2+ semantic dedup, the SemDeDup shape — Abbas et al. 2023,
+    * arXiv:2303.09540): assign every embedding to its nearest centroid cell
+    * (the IVF codebook of [[VectorQueries.centroids]], broadcast), then drop
+    * any vector whose rounded cosine similarity to a LOWER-id vector in the
+    * SAME cell exceeds 0.95. One row per cell: totals, drop counts, and the
+    * dropped ids (sorted, comma-joined — a string for the driver's gate).
+    *
+    * Scale shape: codebook broadcast (trained on a sample upstream — here
+    * the base table's per-label decimal means, order-independent and thus
+    * oracle-able); assignment is map-side against the broadcast; the pair
+    * join is an equi-join ON CELL — Σ|cell|² work, never all-pairs, and the
+    * cluster count k is the dial that bounds |cell| at corpus scale (the
+    * paper's own premise). Declarative drop rule (∃ lower-id near-twin in
+    * cell) rather than the greedy sequential sweep: order-free, so it
+    * distributes and the DuckDB twin can express it exactly. */
+  def d8_semdedup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val cents = broadcast(VectorQueries.centroids(s, d))
+    val asg = embWithDups(s, d)
+      .crossJoin(cents)
+      .withColumn("dist", euclideanFast(col("embedding"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cell"), col("embedding")),
+        struct(col("dist"), col("cell"))).as("a"))
+      .select(col("vec_id"), col("a.cell").as("cell"), col("a.embedding").as("v"))
+    val a = asg.select(col("vec_id").as("id_a"), col("cell"), col("v").as("va"))
+    val b = asg.select(col("vec_id").as("id_b"), col("cell").as("cb"),
+      col("v").as("vb"))
+    val dropped = a.join(b, col("cell") === col("cb") && col("id_a") < col("id_b"))
+      .filter(round(cosineFast(col("va"), col("vb")), 6) > 0.95)
+      .select(col("id_b").as("vec_id")).distinct()
+    asg.join(dropped.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_dropped"),
+        concat_ws(",", sort_array(collect_list(
+          when(col("dup") === 1L, col("vec_id"))))).as("dropped_ids"))
+      .withColumn("n_kept", col("n_total") - col("n_dropped"))
+      .select("cell", "n_total", "n_kept", "n_dropped", "dropped_ids")
+      .orderBy("cell")
+  }
+
+  /** Token-gram width of the substring-dedup index (d9). */
+  private val GramK = 8
+
+  /** D9 (L2+ exact substring dedup, the span-index shape of Lee et al. 2022,
+    * arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
+    * Better"): index every [[GramK]]-token gram with its position, keep
+    * grams occurring ≥ 2 times anywhere in the corpus, and merge each doc's
+    * adjacent duplicated positions into maximal spans (gaps-and-islands).
+    * One row per affected doc: span count and duplicated token mass.
+    *
+    * Scale shape: the gram table carries (doc_id, pos, 8-byte hash) — never
+    * materialized gram STRINGS (~50 B each at corpus scale); duplicate
+    * marking is ONE count-over-window shuffle on the hash (the suffix-array
+    * pass of the paper collapses to this for fixed K); span merging is one
+    * doc-keyed window — embarrassingly partition-parallel. Gram hash =
+    * per-token md5-derived 60-bit hash folded mod p (d3's token-hash
+    * convention), so every step is DuckDB-expressible and hash-verified. */
+  def d9_substring(s: SparkSession, d: String): DataFrame = {
+    val th = col("th")
+    def gramHash(i: Column): Column =
+      (1 until GramK).foldLeft(element_at(th, i)) { (h, j) =>
+        (h * lit(1000003L) + element_at(th, i + lit(j))) % P
+      }
+    val grams = corpusSpread(s, d)
+      .select(col("doc_id"),
+        transform(tokens(col("text")), t => mdTokHash(t) % P).as("th"))
+      .filter(size(th) >= GramK)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(th) - (GramK - 1)),
+        i => struct(i.as("pos"), gramHash(i).as("h")))).as("g"))
+      .select(col("doc_id"), col("g.pos"), col("g.h"))
+    grams
+      .withColumn("nocc", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("nocc") >= 2)
+      .withColumn("grp", col("pos") -
+        row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg((max("pos") - min("pos") + GramK).as("toks"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum("toks").as("dup_tokens"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact" -> (d1_exact _),
     "d2_fingerprint" -> (d2_fingerprint _),
@@ -313,6 +407,8 @@ object DedupQueries {
     "d5_ngram_jaccard" -> (d5_ngram_jaccard _),
     "d6_components" -> (d6_components _),
     "d7_components_lsh" -> (d7_components_lsh _),
+    "d8_semdedup" -> (d8_semdedup _),
+    "d9_substring" -> (d9_substring _),
   )
 
   private val corpusCteBody =
@@ -396,6 +492,70 @@ object DedupQueries {
        |  JOIN banded c ON a.q = c.q AND a.qh = c.qh AND a.doc_id < c.doc_id)
        |WHERE dist <= 3 ORDER BY id_a, id_b""".stripMargin
 
+  /** D8's twin: v6's centroid/assignment CTE algebra over the dup-injected
+    * corpus, the same cell-scoped pair join, the same rounded-cosine rule. */
+  private val d8Oracle: String =
+    """WITH emb AS (SELECT vec_id, embedding, label FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, embedding, label FROM embeddings WHERE vec_id % 7 = 0),
+      |flat AS (
+      |  SELECT label, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) g),
+      |cent AS (
+      |  SELECT label AS cell, dim,
+      |    CAST(CAST(CAST(sum(CAST(x AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE)
+      |         / count(*) AS REAL) AS m
+      |  FROM flat GROUP BY label, dim),
+      |centv AS (SELECT cell, list(CAST(m AS DOUBLE) ORDER BY dim) AS centroid
+      |          FROM cent GROUP BY cell),
+      |dists AS (
+      |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.cell,
+      |    list_distance(CAST(e.embedding AS DOUBLE[]), c.centroid) AS dist
+      |  FROM emb e CROSS JOIN centv c),
+      |asg AS (
+      |  SELECT vec_id, v, cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dist, cell) AS rn FROM dists)
+      |  WHERE rn = 1),
+      |dropped AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+      |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE round(list_dot_product(a.v, b.v) /
+      |        (sqrt(list_dot_product(a.v, a.v)) *
+      |         sqrt(list_dot_product(b.v, b.v))), 6) > 0.95)
+      |SELECT cell, count(*) AS n_total,
+      |  cast(count(*) - count(d.vec_id) AS bigint) AS n_kept,
+      |  cast(count(d.vec_id) AS bigint) AS n_dropped,
+      |  coalesce(string_agg(CASE WHEN d.vec_id IS NOT NULL
+      |      THEN g.vec_id::VARCHAR END, ',' ORDER BY g.vec_id), '') AS dropped_ids
+      |FROM asg g LEFT JOIN dropped d ON g.vec_id = d.vec_id
+      |GROUP BY cell ORDER BY cell""".stripMargin
+
+  /** D9's twin: same md5-token poly-fold gram hash (generated from the same
+    * constants), duplicate marking by count-over-window, islands by
+    * pos − row_number. */
+  private val d9Oracle: String = {
+    val poly = (1 until GramK).foldLeft("th[i]") { (h, j) =>
+      s"(($h) * 1000003 + th[i+$j]) % 2147483647"
+    }
+    s"""$corpusCte,
+       |tok AS (SELECT doc_id, list_transform(string_split(lower(text), ' '),
+       |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647) AS th
+       |  FROM corpus),
+       |gram AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(th) - ${GramK - 2}),
+       |    i -> {'pos': i, 'h': $poly})) AS u
+       |  FROM tok WHERE len(th) >= $GramK)),
+       |marked AS (SELECT doc_id, pos,
+       |    count(*) OVER (PARTITION BY h) AS nocc FROM gram),
+       |isl AS (SELECT doc_id, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM marked WHERE nocc >= 2),
+       |spans AS (SELECT doc_id, grp, max(pos) - min(pos) + $GramK AS toks
+       |          FROM isl GROUP BY doc_id, grp)
+       |SELECT doc_id, count(*) AS n_spans, cast(sum(toks) AS bigint) AS dup_tokens
+       |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "d3_minhash_lsh" -> d3Oracle,
     "d4_simhash" -> d4Oracle,
@@ -458,5 +618,8 @@ object DedupQueries {
         |FROM (SELECT a AS id, min(b) AS lbl FROM reach GROUP BY a)
         |GROUP BY lbl ORDER BY comp_id""".stripMargin,
     "d7_components_lsh" -> d7Oracle,
+    "d8_semdedup" -> d8Oracle,
+    "d9_substring" -> d9Oracle,
   )
+
 }

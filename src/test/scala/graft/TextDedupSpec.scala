@@ -159,4 +159,37 @@ class TextDedupSpec extends SparkSpec {
       assert(ids === (0L until ids.length).toSeq, s"$src bins are contiguous")
     }
   }
+
+  test("semantic dedup drops every injected duplicate embedding") {
+    val out = DedupQueries.d8_semdedup(spark, sf).collect()
+    val nBase = Tables.embeddings(spark, sf).count()
+    val nInjected = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 7 === 0).count()
+    assert(out.map(_.getLong(1)).sum === nBase + nInjected, "cells partition")
+    // every injected copy has an identical lower-id twin in its cell →
+    // cosine 1.0 → dropped; kept + dropped partition each cell
+    val droppedIds = out.flatMap(_.getString(4).split(",").filter(_.nonEmpty)
+      .map(_.toLong)).toSet
+    val injected = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 7 === 0)
+      .collect().map(_.getLong(0) + 100000L)
+    injected.foreach(id => assert(droppedIds.contains(id), s"copy $id kept"))
+    out.foreach(r => assert(r.getLong(1) === r.getLong(2) + r.getLong(3)))
+  }
+
+  test("substring spans: an injected whole-doc copy is one full-length span") {
+    val out = DedupQueries.d9_substring(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every copied doc with >= 8 tokens: original AND copy carry a span
+    // covering the entire doc (all gram positions duplicated, one island)
+    val copied = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), size(split(lower(col("text")), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).filter(_._2 >= 8)
+    assert(copied.nonEmpty)
+    copied.foreach { case (id, n) =>
+      assert(out(id)._2 === n.toLong, s"doc $id full-doc span")
+      assert(out(id + 100000L) === out(id), s"copy of $id matches")
+    }
+  }
 }
