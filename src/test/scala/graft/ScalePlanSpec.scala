@@ -230,6 +230,32 @@ class ScalePlanSpec extends SparkSpec {
     // recompute would show up as extra exchanges per round
   }
 
+  test("d8 semdedup: pair space is cell-equi-joined, codebook broadcast — " +
+      "no cartesian") {
+    val plan = graft.operators.DedupQueries.d8_semdedup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"pair space must be cell-scoped, not all-pairs:\n$plan")
+    // the codebook rides a broadcast (BNLJ against 10 centroid rows is the
+    // broadcast assignment pattern, v6's shape); the PAIR join must be an
+    // equi-join on cell
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected an equi-join on cell:\n$plan")
+  }
+
+  test("d9 substring spans: window shuffles on the gram hash then the doc — " +
+      "no joins, no gram strings") {
+    val df = graft.operators.DedupQueries.d9_substring(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"duplicate marking must be count-over-window, not a join:\n$plan")
+    // the span aggregates must reuse the doc window's partitioning: exactly
+    // the spread + hash-window + doc-window + presentation-sort exchanges
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 4, s"expected <= 4 exchanges ($exchanges):\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("x17 Gopher cascade: one scan, one aggregate on source, no joins") {
     val plan = graft.operators.TextQueries.x17_gopher_rules(spark, sf)
       .queryExecution.executedPlan.toString
