@@ -1117,6 +1117,13 @@ object CqlParser {
       case other => throw new CqlInvalidQueryException(s"cannot negate $other")
     }
     else if (t == "?") CqlBindMarker // prepared-statement positional bind
+    else if (t == ":") { // `:name` named bind marker (shares one variable
+      // across repeated occurrences, upstream AbstractMarker [U])
+      val n = c.next()
+      if (!n.headOption.exists(ch => ch.isLetter || ch == '_'))
+        throw new CqlInvalidQueryException(s"invalid bind name :$n")
+      CqlNamedMarker(n.toLowerCase)
+    }
     else if (literalFns(t.toLowerCase) && c.peekIs("(")) {
       c.expect("(")
       val arg = parseLiteral(c)

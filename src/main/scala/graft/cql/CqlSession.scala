@@ -32,6 +32,13 @@ case class CqlFnLit(fn: String, arg: Any)
   * markers appear in the statement text. */
 case object CqlBindMarker
 
+/** A `:name` named bind marker (upstream `cql3/AbstractMarker` named form
+  * [U]). Repeated occurrences of one name are the SAME variable: a single
+  * bound value feeds every occurrence. Positional `execute` assigns bind
+  * values to markers in first-appearance order; `executeNamed` binds by
+  * name and rejects statements that also carry positional `?` markers. */
+case class CqlNamedMarker(name: String)
+
 /** Right-hand side of a SET assignment (upstream `cql3/Operation.java` [U]). */
 sealed trait CqlAssign
 case class CqlAssignValue(v: Any) extends CqlAssign
@@ -2064,8 +2071,17 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   * once, as with upstream's prepared cache. */
 class CqlPrepared private[cql] (session: CqlSession, template: AnyRef) {
 
-  def execute(binds: Any*): DataFrame = {
-    val b = new CqlPrepared.Binder(binds)
+  def execute(binds: Any*): DataFrame =
+    run(new CqlPrepared.Binder(binds))
+
+  /** Bind by name (`:name` markers only — a `?` in the template is
+    * rejected, the upstream driver rule for named binding). Every provided
+    * name must appear in the statement; every marker must be provided. */
+  def executeNamed(values: Map[String, Any]): DataFrame =
+    run(new CqlPrepared.Binder(Nil,
+      named = values.map { case (k, v) => k.toLowerCase -> v }))
+
+  private def run(b: CqlPrepared.Binder): DataFrame = {
     val out = template match {
       case sel: CqlSelect => session.runSelect(b.select(sel))
       case bat: CqlBatch =>
@@ -2081,14 +2097,35 @@ object CqlPrepared {
   /** Positional substitution in statement-text order: INSERT values →
     * condition; UPDATE assignments → key predicates → condition; DELETE /
     * SELECT predicates left-to-right. */
-  private class Binder(binds: Seq[Any]) {
+  private class Binder(binds: Seq[Any], named: Map[String, Any] = null) {
     private var i = 0
+    // positional mode: a repeated :name shares the first occurrence's bind
+    // slot (one variable, upstream rule); named mode tracks usage so extra
+    // provided names are rejected in done()
+    private val byName = scala.collection.mutable.HashMap.empty[String, Any]
+    private val used = scala.collection.mutable.HashSet.empty[String]
     def value(v: Any): Any = v match {
       case CqlBindMarker =>
+        if (named != null)
+          throw new CqlInvalidQueryException(
+            "positional ? marker cannot be bound by name (use execute, or " +
+              "name every marker)")
         if (i >= binds.length)
           throw new CqlInvalidQueryException(
             s"too few bind values: statement has more than ${binds.length} markers")
         val b = binds(i); i += 1; b
+      case CqlNamedMarker(n) =>
+        if (named != null) {
+          used += n
+          if (!named.contains(n))
+            throw new CqlInvalidQueryException(s"missing bind value for :$n")
+          named(n)
+        } else byName.getOrElseUpdate(n, {
+          if (i >= binds.length)
+            throw new CqlInvalidQueryException(
+              s"too few bind values: statement has more than ${binds.length} markers")
+          val b = binds(i); i += 1; b
+        })
       case CqlList(xs) => CqlList(xs.map(value))
       case CqlSetLit(xs) => CqlSetLit(xs.map(value))
       case CqlMapLit(es) => CqlMapLit(es.map { case (k, x) => (value(k), value(x)) })
@@ -2133,7 +2170,12 @@ object CqlPrepared {
     def select(s: CqlSelect): CqlSelect =
       s.copy(predicates = s.predicates.map(predicate))
     def done(): Unit =
-      if (i != binds.length)
+      if (named != null) {
+        val extra = named.keySet -- used
+        if (extra.nonEmpty)
+          throw new CqlInvalidQueryException(
+            s"unknown bind name(s): ${extra.toSeq.sorted.map(":" + _).mkString(", ")}")
+      } else if (i != binds.length)
         throw new CqlInvalidQueryException(
           s"too many bind values: statement has $i markers, got ${binds.length}")
   }

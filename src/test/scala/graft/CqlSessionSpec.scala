@@ -800,6 +800,32 @@ class CqlSessionSpec extends SparkSpec {
     intercept[CqlInvalidQueryException] { s.prepare("CREATE TABLE nope (x bigint PRIMARY KEY)") }
   }
 
+  test("named markers bind by name; repeats share one variable") {
+    val s = freshSession
+    val ins = s.prepare(
+      "INSERT INTO users (user_id, name, age) VALUES (:id, :name, :age)")
+    ins.executeNamed(Map("id" -> 1L, "name" -> "ada", "age" -> 36L))
+    // positional execute assigns markers in first-appearance order
+    ins.execute(2L, "grace", 45L)
+    val sel = s.prepare("SELECT name FROM users WHERE user_id = :id")
+    assert(sel.executeNamed(Map("id" -> 2L))
+      .collect().map(_.getString(0)).toSeq === Seq("grace"))
+    // a repeated name is ONE variable: one bind value feeds both bounds
+    val band = s.prepare(
+      "SELECT user_id FROM users WHERE user_id >= :v AND user_id <= :v " +
+        "ALLOW FILTERING")
+    assert(band.execute(1L).collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(band.executeNamed(Map("v" -> 2L))
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // missing / unknown names are rejected; so is binding ? by name
+    intercept[CqlInvalidQueryException] { sel.executeNamed(Map.empty) }
+    intercept[CqlInvalidQueryException] {
+      sel.executeNamed(Map("id" -> 1L, "nope" -> 2L))
+    }
+    val pos = s.prepare("SELECT name FROM users WHERE user_id = ?")
+    intercept[CqlInvalidQueryException] { pos.executeNamed(Map("id" -> 1L)) }
+  }
+
   test("prepared BATCH binds across statements in order, one shared timestamp") {
     val s = freshSession
     val batch = s.prepare(
