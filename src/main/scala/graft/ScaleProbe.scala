@@ -74,7 +74,10 @@ object ScaleProbe {
         "x18_bpe_pairs",
         // the full consolidation pipeline (LSH candidates → components) is
         // DECLARED since r7 — probe the real query
-        "d7_components_lsh")
+        "d7_components_lsh",
+        // r7 session 3: semantic dedup (cell-scoped pair join) and exact
+        // substring spans (gram-hash window) — both must stay ~flat
+        "d8_semdedup", "d9_substring")
         .map(n => n -> SparkEntry.queries(n))
     factors.foreach { f =>
       val dir = if (f == 1) base else s"/tmp/graft-scale-${f}x"

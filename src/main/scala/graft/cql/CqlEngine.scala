@@ -220,7 +220,7 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
     // PER PARTITION LIMIT (before LIMIT, after filters — upstream order).
     // Ordering = clustering order; remaining columns break ties so the
     // result is deterministic even on tables without clustering keys.
-    sel.perPartitionLimit.foreach { k =>
+    sel.perPartitionLimit.map(boundLimit(_, "PER PARTITION LIMIT")).foreach { k =>
       val tiebreak = table.df.columns.toSeq
         .diff(table.partitionKeys ++ table.clusteringKeys)
         .filter(c0 => org.apache.spark.sql.catalyst.expressions.RowOrdering
@@ -245,8 +245,8 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
     // plan collapses to TakeOrderedAndProject — the distributed top-k — via
     // the codegen'd CosineSimilarity expression.
     sel.ann.foreach { a =>
-      val k = sel.limit.getOrElse(throw new CqlInvalidQueryException(
-        "Use of ANN OF in an ORDER BY clause requires a LIMIT"))
+      val k = boundLimit(sel.limit.getOrElse(throw new CqlInvalidQueryException(
+        "Use of ANN OF in an ORDER BY clause requires a LIMIT")), "LIMIT")
       val qv = array(a.query.map(lit(_)): _*)
         .cast(org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.FloatType))
@@ -317,7 +317,7 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
     sel.orderBy.foreach { obs =>
       df = df.orderBy(obs.map(o => if (o.asc) col(o.column).asc else col(o.column).desc): _*)
     }
-    sel.limit.foreach(n => df = df.limit(n))
+    sel.limit.foreach(n => df = df.limit(boundLimit(n, "LIMIT")))
     if (sel.json)
       // upstream Json.java serializes EVERY selected column, null included —
       // a phantom static row must read back as {"ck":null,"v":null,"st":…}
@@ -462,12 +462,13 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
       case _ => ()
     }
     // upstream: both limits must be strictly positive
-    sel.limit.filter(_ <= 0).foreach(n =>
+    sel.limit.map(boundLimit(_, "LIMIT")).filter(_ <= 0).foreach(n =>
       throw new CqlInvalidQueryException(
         s"LIMIT must be strictly positive (got $n)"))
-    sel.perPartitionLimit.filter(_ <= 0).foreach(n =>
-      throw new CqlInvalidQueryException(
-        s"PER PARTITION LIMIT must be strictly positive (got $n)"))
+    sel.perPartitionLimit.map(boundLimit(_, "PER PARTITION LIMIT"))
+      .filter(_ <= 0).foreach(n =>
+        throw new CqlInvalidQueryException(
+          s"PER PARTITION LIMIT must be strictly positive (got $n)"))
     if (!sel.allowFiltering) {
       sel.predicates.foreach {
         case p: ColumnPredicate =>
@@ -627,6 +628,18 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
 
   /** Literal typed to its column (CQL bind values are typed; Spark's struct
     * comparison does not coerce). */
+  /** A LIMIT / PER PARTITION LIMIT operand after binding: an int, or an
+    * unbound marker (rejected — limits bind through prepared statements). */
+  private def boundLimit(v: Any, what: String): Int = v match {
+    case i: Int => i
+    case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+    case CqlBindMarker | _: CqlNamedMarker =>
+      throw new CqlInvalidQueryException(
+        s"$what bind marker is unbound — prepare the statement and bind it")
+    case other => throw new CqlInvalidQueryException(
+      s"invalid $what value: $other")
+  }
+
   private def typedLit(t: CqlTable, column: String, v: Any): Column = v match {
     case CqlDuration(m, d, n) => struct(
       lit(m).as("months"), lit(d).as("days"), lit(n).as("nanos"))

@@ -43,8 +43,8 @@ case class CqlSelect(
   groupBy: Seq[CqlGroupItem],
   orderBy: Option[Seq[OrderBy]],
   ann: Option[AnnOrderBy],
-  perPartitionLimit: Option[Int],
-  limit: Option[Int],
+  perPartitionLimit: Option[Any],
+  limit: Option[Any],
   allowFiltering: Boolean,
   distinct: Boolean,
   json: Boolean)
@@ -165,13 +165,13 @@ object CqlParser {
         orderBy = Some(obs)
       }
     }
-    var perPartitionLimit: Option[Int] = None
+    var perPartitionLimit: Option[Any] = None
     if (c.accept("per")) {
       c.expect("partition"); c.expect("limit")
-      perPartitionLimit = Some(numeric(c.next().toInt, c.peek))
+      perPartitionLimit = Some(parseLimitValue(c))
     }
-    var limit: Option[Int] = None
-    if (c.accept("limit")) limit = Some(numeric(c.next().toInt, c.peek))
+    var limit: Option[Any] = None
+    if (c.accept("limit")) limit = Some(parseLimitValue(c))
     val allowFiltering = if (c.accept("allow")) { c.expect("filtering"); true } else false
     CqlSelect(selectors, table, preds, groupBy, orderBy, ann,
       perPartitionLimit, limit, allowFiltering, distinct, json)
@@ -1107,6 +1107,12 @@ object CqlParser {
 
   /** Functions accepted in literal position (predicate bounds). */
   private val literalFns = Set("mintimeuuid", "maxtimeuuid", "totimestamp")
+
+  /** LIMIT / PER PARTITION LIMIT operand: an int literal or a bind marker
+    * (`?` / `:name` — upstream allows markers in limit position). */
+  private def parseLimitValue(c: Cursor): Any =
+    if (c.peekIs("?") || c.peekIs(":")) parseLiteral(c)
+    else numeric(c.next().toInt, c.peek)
 
   private def parseLiteral(c: Cursor): Any = {
     val t = c.next()

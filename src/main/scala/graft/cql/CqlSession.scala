@@ -2168,7 +2168,9 @@ object CqlPrepared {
       case other => other // INSERT JSON has no bindable positions
     }
     def select(s: CqlSelect): CqlSelect =
-      s.copy(predicates = s.predicates.map(predicate))
+      s.copy(predicates = s.predicates.map(predicate),
+        perPartitionLimit = s.perPartitionLimit.map(value),
+        limit = s.limit.map(value))
     def done(): Unit =
       if (named != null) {
         val extra = named.keySet -- used

@@ -826,6 +826,22 @@ class CqlSessionSpec extends SparkSpec {
     intercept[CqlInvalidQueryException] { pos.executeNamed(Map("id" -> 1L)) }
   }
 
+  test("LIMIT and PER PARTITION LIMIT accept bind markers") {
+    val s = freshSession
+    (1L to 5L).foreach(i =>
+      s.execute(s"INSERT INTO users (user_id, name, age) VALUES ($i, 'u$i', $i)"))
+    val p = s.prepare("SELECT user_id FROM users LIMIT ?")
+    assert(p.execute(2L).count() === 2L)
+    assert(p.execute(5L).count() === 5L)
+    val n = s.prepare("SELECT user_id FROM users LIMIT :n")
+    assert(n.executeNamed(Map("n" -> 3L)).count() === 3L)
+    // bound limits still validate positivity; unprepared markers reject
+    intercept[CqlInvalidQueryException] { p.execute(0L) }
+    intercept[CqlInvalidQueryException] {
+      s.execute("SELECT user_id FROM users LIMIT ?")
+    }
+  }
+
   test("prepared BATCH binds across statements in order, one shared timestamp") {
     val s = freshSession
     val batch = s.prepare(
