@@ -903,13 +903,15 @@ object CqlParser {
     out
   }
 
-  private def parseUsing(c: Cursor): (Option[Long], Option[Long]) = {
-    var ts: Option[Long] = None
-    var ttl: Option[Long] = None
+  private def parseUsing(c: Cursor): (Option[Any], Option[Any]) = {
+    var ts: Option[Any] = None
+    var ttl: Option[Any] = None
+    def operand(): Any = // a long literal or a ?/:name bind marker
+      if (c.peekIs("?") || c.peekIs(":")) parseLiteral(c) else longLiteral(c)
     if (c.accept("using")) {
       def one(): Unit =
-        if (c.accept("timestamp")) ts = Some(longLiteral(c))
-        else if (c.accept("ttl")) ttl = Some(longLiteral(c))
+        if (c.accept("timestamp")) ts = Some(operand())
+        else if (c.accept("ttl")) ttl = Some(operand())
         else throw new CqlInvalidQueryException(s"expected TIMESTAMP or TTL near ${c.peek}")
       one()
       while (c.accept("and")) one()

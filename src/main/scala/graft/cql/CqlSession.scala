@@ -67,19 +67,19 @@ case class IfColumns(preds: Seq[(String, String, Any)]) extends CqlCondition
 /** CQL DML AST. */
 sealed trait CqlDml {
   def table: String
-  def usingTimestamp: Option[Long]
+  def usingTimestamp: Option[Any] // Long, or a bind marker until bound
   def condition: Option[CqlCondition]
 }
 case class CqlInsert(table: String, columns: Seq[String], values: Seq[Any],
-  usingTimestamp: Option[Long], usingTtl: Option[Long],
+  usingTimestamp: Option[Any], usingTtl: Option[Any],
   condition: Option[CqlCondition] = None) extends CqlDml
 case class CqlInsertJson(table: String, json: String, defaultUnset: Boolean,
-  usingTimestamp: Option[Long], usingTtl: Option[Long]) extends CqlDml {
+  usingTimestamp: Option[Any], usingTtl: Option[Any]) extends CqlDml {
   def condition: Option[CqlCondition] = None
 }
 case class CqlUpdate(table: String, assignments: Seq[(String, CqlAssign)],
-  keyPredicates: Seq[(String, Any)], usingTimestamp: Option[Long],
-  usingTtl: Option[Long], condition: Option[CqlCondition] = None) extends CqlDml
+  keyPredicates: Seq[(String, Any)], usingTimestamp: Option[Any],
+  usingTtl: Option[Any], condition: Option[CqlCondition] = None) extends CqlDml
 /** One item of a cell-delete list: a whole column (`DELETE c FROM …`) or a
   * collection element (`DELETE l[2]`, `DELETE m['k']` — upstream
   * `cql3/Operation.ElementDeletion` [U]). */
@@ -89,13 +89,13 @@ case class CqlDelItem(column: String, sub: Option[Any] = None)
 case class CqlFieldSub(field: String)
 
 case class CqlDelete(table: String, keyPredicates: Seq[(String, Any)],
-  usingTimestamp: Option[Long], condition: Option[CqlCondition] = None,
+  usingTimestamp: Option[Any], condition: Option[CqlCondition] = None,
   /** non-empty = cell delete of just these columns, not a row tombstone */
   columns: Seq[CqlDelItem] = Nil) extends CqlDml
 
 /** `BEGIN [UNLOGGED] BATCH … APPLY BATCH`
   * (upstream `cql3/statements/BatchStatement.java` [U]). */
-case class CqlBatch(statements: Seq[CqlDml], usingTimestamp: Option[Long],
+case class CqlBatch(statements: Seq[CqlDml], usingTimestamp: Option[Any],
   logged: Boolean, counter: Boolean = false)
 
 /** CQL DDL AST (upstream `cql3/statements/schema/` [U]). */
@@ -1122,7 +1122,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     if (hasCounter && b.usingTimestamp.isDefined)
       throw new CqlInvalidQueryException(
         "Cannot provide custom timestamp for counter BATCH")
-    val shared = nextTs(b.usingTimestamp)
+    val shared = nextTs(b.usingTimestamp.map(boundUsing(_, "TIMESTAMP")))
     val allOk = b.statements.forall(conditionHolds)
     if (allOk)
       b.statements.foreach(applyDml(_, Some(shared), skipCondition = true))
@@ -1643,6 +1643,21 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   private def nextTs(explicit: Option[Long]): Long =
     explicit.getOrElse { val t = clock; clock += 1; t }
 
+  /** A USING TIMESTAMP/TTL operand after binding: a long, or an unbound
+    * marker (rejected — USING markers bind through prepared statements). */
+  private def boundUsing(v: Any, what: String): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case CqlBindMarker | _: CqlNamedMarker =>
+      throw new CqlInvalidQueryException(
+        s"USING $what bind marker is unbound — prepare the statement and bind it")
+    case other => throw new CqlInvalidQueryException(
+      s"invalid USING $what value: $other")
+  }
+
+  private def boundTs(d: CqlDml): Option[Long] =
+    d.usingTimestamp.map(boundUsing(_, "TIMESTAMP"))
+
   /** Driver-side literal coercion to the column's Spark type (CQL bind
     * values are typed; local Rows must match the log schema exactly). */
   private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
@@ -1978,22 +1993,22 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     // upstream Attributes.getTimeToLive [U]: an explicit `USING TTL 0`
     // CANCELS the table default (no TTL) — it is not a 0-second expiry;
     // negative TTLs are invalid requests
-    def effTtl(o: Option[Long]): Option[Long] = o match {
+    def effTtl(o0: Option[Any]): Option[Long] = o0.map(boundUsing(_, "TTL")) match {
       case Some(x) if x < 0 => throw new CqlInvalidQueryException(
         s"A TTL must be greater than or equal to 0, but was $x")
       case Some(x) => if (x > 0) Some(x) else None
       case None => t.defaultTtl
     }
     val (ts, ttl, deleted) = dml match {
-      case i: CqlInsert => (nextTs(i.usingTimestamp.orElse(defaultTs)),
+      case i: CqlInsert => (nextTs(boundTs(i).orElse(defaultTs)),
         effTtl(i.usingTtl), false)
-      case i: CqlInsertJson => (nextTs(i.usingTimestamp.orElse(defaultTs)),
+      case i: CqlInsertJson => (nextTs(boundTs(i).orElse(defaultTs)),
         effTtl(i.usingTtl), false)
-      case u: CqlUpdate => (nextTs(u.usingTimestamp.orElse(defaultTs)),
+      case u: CqlUpdate => (nextTs(boundTs(u).orElse(defaultTs)),
         effTtl(u.usingTtl), false)
       case d: CqlDelete =>
         // a column list makes it a CELL delete, not a row tombstone
-        (nextTs(d.usingTimestamp.orElse(defaultTs)), None, d.columns.isEmpty)
+        (nextTs(boundTs(d).orElse(defaultTs)), None, d.columns.isEmpty)
     }
     val byName = cells.toMap
     val isInsert = dml match {
@@ -2084,8 +2099,10 @@ class CqlPrepared private[cql] (session: CqlSession, template: AnyRef) {
   private def run(b: CqlPrepared.Binder): DataFrame = {
     val out = template match {
       case sel: CqlSelect => session.runSelect(b.select(sel))
-      case bat: CqlBatch =>
-        session.runBatch(bat.copy(statements = bat.statements.map(b.dml)))
+      case bat: CqlBatch => // batch-level USING TIMESTAMP binds first (text order)
+        session.runBatch(bat.copy(
+          usingTimestamp = bat.usingTimestamp.map(b.value),
+          statements = bat.statements.map(b.dml)))
       case dml: CqlDml => session.runDml(b.dml(dml))
     }
     b.done()
@@ -2152,18 +2169,27 @@ object CqlPrepared {
       case tp: TuplePredicate => tp.copy(values = tp.values.map(value))
     }
     def dml(d: CqlDml): CqlDml = d match {
+      // statement-text bind order per form: INSERT values → IF → USING;
+      // UPDATE leads with USING; DELETE cols → USING → WHERE → IF
       case ins: CqlInsert =>
         val vs = ins.values.map(value)
-        ins.copy(values = vs, condition = condition(ins.condition))
+        val cond = condition(ins.condition)
+        ins.copy(values = vs, condition = cond,
+          usingTimestamp = ins.usingTimestamp.map(value),
+          usingTtl = ins.usingTtl.map(value))
       case up: CqlUpdate =>
+        val ts = up.usingTimestamp.map(value)
+        val ttl = up.usingTtl.map(value)
         val as = up.assignments.map { case (c, a) => c -> assign(a) }
         val ks = up.keyPredicates.map { case (c, v) => c -> value(v) }
         up.copy(assignments = as, keyPredicates = ks,
+          usingTimestamp = ts, usingTtl = ttl,
           condition = condition(up.condition))
       case del: CqlDelete =>
         val cols = del.columns.map(d => d.copy(sub = d.sub.map(value)))
+        val ts = del.usingTimestamp.map(value)
         val ks = del.keyPredicates.map { case (c, v) => c -> value(v) }
-        del.copy(keyPredicates = ks, columns = cols,
+        del.copy(keyPredicates = ks, columns = cols, usingTimestamp = ts,
           condition = condition(del.condition))
       case other => other // INSERT JSON has no bindable positions
     }

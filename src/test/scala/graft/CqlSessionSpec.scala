@@ -1,6 +1,7 @@
 package graft
 
 import graft.cql.{CqlInvalidQueryException, CqlSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /** The Cassandra write-path semantics, end-to-end through CQL text:
@@ -839,6 +840,44 @@ class CqlSessionSpec extends SparkSpec {
     intercept[CqlInvalidQueryException] { p.execute(0L) }
     intercept[CqlInvalidQueryException] {
       s.execute("SELECT user_id FROM users LIMIT ?")
+    }
+  }
+
+  test("USING TTL and TIMESTAMP accept bind markers") {
+    val s = freshSession
+    // INSERT binds values first, USING last (text order)
+    val ins = s.prepare(
+      "INSERT INTO users (user_id, name, age) VALUES (?, ?, ?) " +
+        "USING TIMESTAMP ?")
+    ins.execute(1L, "ada", 36L, 5000L)
+    assert(s.execute("SELECT writetime(name) AS wt FROM users WHERE user_id = 1")
+      .collect().head.getLong(0) === 5000L)
+    // UPDATE's USING leads the statement, so its marker binds FIRST
+    val up = s.prepare(
+      "UPDATE users USING TIMESTAMP ? SET name = ? WHERE user_id = ?")
+    up.execute(9000L, "lovelace", 1L)
+    assert(s.execute("SELECT name, writetime(name) AS wt FROM users " +
+        "WHERE user_id = 1").collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq === Seq(("lovelace", 9000L)))
+    // a named-bound TTL drives real cell expiry; negative rejects
+    val ttlIns = s.prepare(
+      "INSERT INTO users (user_id, name) VALUES (:id, :n) " +
+        "USING TIMESTAMP :ts AND TTL :t")
+    ttlIns.executeNamed(
+      Map("id" -> 2L, "n" -> "fading", "ts" -> 1000000000L, "t" -> 60L))
+    def nameAt(nowUs: Long) = s.view("users", Some(nowUs))
+      .filter(col("user_id") === 2L).collect().map(r => Option(r.getString(1)))
+    assert(nameAt(1030L * 1000000).toSeq === Seq(Some("fading")))
+    // the row's only cell expired → the row itself vanishes
+    assert(nameAt(1061L * 1000000).isEmpty)
+    intercept[CqlInvalidQueryException] {
+      ttlIns.executeNamed(
+        Map("id" -> 3L, "n" -> "x", "ts" -> 1000000000L, "t" -> -5L))
+    }
+    // an unbound USING marker in a raw execute is a clear rejection
+    intercept[CqlInvalidQueryException] {
+      s.execute("INSERT INTO users (user_id, name, age) VALUES (7, 'q', 1) " +
+        "USING TIMESTAMP ?")
     }
   }
 
