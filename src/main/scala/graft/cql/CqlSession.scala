@@ -765,7 +765,48 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         CqlTable(spark.createDataFrame(lRows.asJava, lSchema), Seq("key")),
       "system.peers" ->
         CqlTable(spark.createDataFrame(
-          Seq.empty[Row].asJava, pSchema), Seq("peer")))
+          Seq.empty[Row].asJava, pSchema), Seq("peer"))) ++ sizeEstimates
+  }
+
+  /** `system.size_estimates` [U db/SystemKeyspace.java] — what the Spark
+    * connector (and every token-aware bulk reader) queries to plan its
+    * splits. Single-engine: one row per table covering the full ring
+    * (range (MIN, MIN] = wraparound-everything, upstream's single-range
+    * form). `partitions_count` is computed LAZILY from the live view (the
+    * plan runs only when the virtual table is actually queried);
+    * `mean_partition_size` divides the optimizer's size estimate by it —
+    * an estimate feeding an estimator, which is exactly the upstream
+    * contract (sstable-metadata guesses, refreshed periodically). */
+  private def sizeEstimates: Map[String, CqlTable] = {
+    val sSchema = StructType(Seq(
+      StructField("keyspace_name", StringType),
+      StructField("table_name", StringType),
+      StructField("range_start", StringType),
+      StructField("range_end", StringType),
+      StructField("mean_partition_size", LongType),
+      StructField("partitions_count", LongType)))
+    import org.apache.spark.sql.functions._
+    val ring = Long.MinValue.toString
+    val perTable = state.toSeq.sortBy(_._1).map { case (n, t) =>
+      val v = view(n)
+      val bytes = BigInt(v.queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue)).toLong)
+      v.agg(count_distinct(
+          struct(t.partitionKeys.map(col): _*)).as("pc"))
+        .select(lit(UserKeyspace).as("keyspace_name"),
+          lit(n).as("table_name"),
+          lit(ring).as("range_start"), lit(ring).as("range_end"),
+          when(col("pc") > 0, lit(bytes.toLong) / col("pc"))
+            .otherwise(0L).cast(LongType).as("mean_partition_size"),
+          col("pc").cast(LongType).as("partitions_count"))
+    }
+    val df0 =
+      if (perTable.isEmpty)
+        spark.createDataFrame(
+          new java.util.ArrayList[Row](), sSchema)
+      else perTable.reduce(_ unionByName _)
+    Map("system.size_estimates" -> CqlTable(df0, Seq("keyspace_name"),
+      Seq("table_name", "range_start", "range_end")))
   }
 
   /** cqlsh `COPY TO/FROM` as a statement — upstream it is a client-side

@@ -676,6 +676,24 @@ class CqlSessionSpec extends SparkSpec {
     assert(s.execute("SELECT peer FROM system.peers").count() === 0L)
   }
 
+  test("system.size_estimates reports live partition counts per table") {
+    val s = freshSession
+    (1L to 4L).foreach(i => (0L to 1L).foreach(_ =>
+      s.execute(s"INSERT INTO users (user_id, name) VALUES ($i, 'u$i')")))
+    val r = s.execute("SELECT table_name, range_start, range_end, " +
+        "partitions_count, mean_partition_size FROM system.size_estimates " +
+        "WHERE keyspace_name = 'default' AND table_name = 'users'").head()
+    assert(r.getString(1) === Long.MinValue.toString &&
+      r.getString(2) === Long.MinValue.toString)
+    assert(r.getLong(3) === 4L) // 4 partitions (upserts collapse)
+    assert(r.getLong(4) >= 0L)
+    // a delete refreshes the estimate (engine rebuilds per mutation epoch)
+    s.execute("DELETE FROM users WHERE user_id = 4")
+    assert(s.execute("SELECT partitions_count FROM system.size_estimates " +
+        "WHERE keyspace_name = 'default' AND table_name = 'users'")
+      .head().getLong(0) === 3L)
+  }
+
   test("negative literals parse everywhere; bad numerics raise CqlInvalidQueryException") {
     val s = freshSession
     s.execute("INSERT INTO users (user_id, name, age) VALUES (1, 'neg', -5) USING TIMESTAMP -1")
