@@ -213,7 +213,46 @@ object CqlQueries {
       .orderBy("k", "c")
   }
 
+  /** CQL10 — the PREPARED-STATEMENT surface in the gate: the same
+    * parse-once/bind-per-execution workflow a driver runs, with every
+    * marker position exercised — positional `?` (values + trailing USING
+    * TIMESTAMP), named `:name` (UPDATE's leading USING; DELETE), and a
+    * LIMIT marker on a single-partition read (deterministic: clustering
+    * order). A 30-op script (10 inserts / 10 updates / 10 deletes at
+    * distinct bound timestamps) reconciles through the upsert log; the
+    * twin replays it as last-write-wins SQL, so BINDING — order, names,
+    * USING routing — is what the hash verifies. */
+  def cql10_prepared(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.cql.CqlSession(s)
+    sess.execute(
+      "CREATE TABLE pp (k bigint, c bigint, v double, PRIMARY KEY (k, c))")
+    val ins = sess.prepare(
+      "INSERT INTO pp (k, c, v) VALUES (?, ?, ?) USING TIMESTAMP ?")
+    val upd = sess.prepare(
+      "UPDATE pp USING TIMESTAMP :ts SET v = :v WHERE k = :k AND c = :c")
+    val del = sess.prepare(
+      "DELETE FROM pp USING TIMESTAMP :ts WHERE k = :k AND c = :c")
+    val src = s.read.parquet(s"$d/orders.parquet")
+      .orderBy("o_orderkey").limit(30)
+      .select("o_orderkey", "o_totalprice").collect()
+    src.zipWithIndex.foreach { case (r, i) =>
+      val key = r.getLong(0); val p = r.getDouble(1)
+      val (k, c, ts) = (key % 6, key % 4, 1000L + i)
+      i % 3 match {
+        case 0 => ins.execute(k, c, p, ts)
+        case 1 => upd.executeNamed(
+          Map("ts" -> ts, "v" -> (p + 5), "k" -> k, "c" -> c))
+        case _ => del.executeNamed(Map("ts" -> ts, "k" -> k, "c" -> c))
+      }
+    }
+    val all = sess.execute("SELECT k, c, v FROM pp")
+    val lim = sess.prepare("SELECT k, c, v FROM pp WHERE k = ? LIMIT ?")
+      .execute(1L, 3L)
+    all.unionByName(lim).orderBy("k", "c", "v")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cql10_prepared" -> (cql10_prepared _),
     "cql8_lwt" -> (cql8_lwt _),
     "cql9_mv" -> (cql9_mv _),
     "cql7_paged" -> (cql7_paged _),
@@ -226,6 +265,28 @@ object CqlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // same 30-op script replayed as last-write-wins SQL (timestamps are
+    // all distinct, so the winner is simply the latest op per (k, c));
+    // the limited read re-derives the single-partition clustering-order
+    // LIMIT 3 page
+    "cql10_prepared" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS key, o_totalprice AS p,
+        |         row_number() OVER (ORDER BY o_orderkey) - 1 AS i
+        |  FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 30)
+        |), ops AS (
+        |  SELECT key % 6 AS k, key % 4 AS c,
+        |    CASE WHEN i % 3 = 0 THEN p WHEN i % 3 = 1 THEN p + 5 END AS v,
+        |    CASE WHEN i % 3 = 2 THEN 1 ELSE 0 END AS del,
+        |    1000 + i AS wt
+        |  FROM src
+        |), win AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k, c
+        |    ORDER BY wt DESC) AS rn FROM ops
+        |), fin AS (SELECT k, c, v FROM win WHERE rn = 1 AND del = 0),
+        |lim AS (SELECT k, c, v FROM fin WHERE k = 1 ORDER BY c LIMIT 3)
+        |SELECT k, c, v FROM fin
+        |UNION ALL SELECT k, c, v FROM lim ORDER BY k, c, v""".stripMargin,
     // max() models the upsert: the Spark side INSERTs in ascending
     // quantity order per (k, c), so last-write-wins keeps the max
     "cql6_clustering_order" ->
