@@ -352,6 +352,39 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
       }
     }
 
+  /** Every simple predicate inside a (possibly nested) disjunction. */
+  private def orLeaves(p: CqlPredicate): Seq[CqlPredicate] = p match {
+    case OrPredicate(bs) => bs.flatten.flatMap(orLeaves)
+    case other => Seq(other)
+  }
+
+  /** Column-existence and collection-operator typing for one relation —
+    * shared by the top-level conjunction walk and disjunction leaves. */
+  private def nameTypeCheck(p: ColumnPredicate, t: CqlTable): Unit = {
+    val f = t.df.schema.find(_.name.equalsIgnoreCase(p.column))
+      .getOrElse(throw new CqlInvalidQueryException(
+        s"Undefined column name ${p.column}"))
+    p.op match {
+      case "contains" if !f.dataType.isInstanceOf[
+          org.apache.spark.sql.types.ArrayType] && !f.dataType
+          .isInstanceOf[org.apache.spark.sql.types.MapType] =>
+        throw new CqlInvalidQueryException(
+          s"Cannot use CONTAINS on non-collection column ${p.column}")
+      case "contains key" if !f.dataType.isInstanceOf[
+          org.apache.spark.sql.types.MapType] =>
+        throw new CqlInvalidQueryException(
+          s"Cannot use CONTAINS KEY on non-map column ${p.column}")
+      case "elem=" if !f.dataType.isInstanceOf[
+          org.apache.spark.sql.types.MapType] =>
+        // upstream: only map columns are subscriptable in WHERE
+        // [U restrictions/SingleColumnRestriction$ContainsRestriction]
+        throw new CqlInvalidQueryException(
+          s"Map-entry predicates are not supported on non-map column " +
+            s"${p.column}")
+      case _ => ()
+    }
+  }
+
   /** Cassandra's restriction rules (the guardrails that make it Cassandra). */
   private def validate(sel: CqlSelect, t: CqlTable): Unit = {
     val keyCols = (t.partitionKeys ++ t.clusteringKeys).map(_.toLowerCase).toSet
@@ -376,28 +409,20 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
           throw new CqlInvalidQueryException(
             s"Only EQ and slice relations are supported on token() " +
               s"(got ${p.op})")
-      case p: ColumnPredicate =>
-        val f = t.df.schema.find(_.name.equalsIgnoreCase(p.column))
-          .getOrElse(throw new CqlInvalidQueryException(
-            s"Undefined column name ${p.column}"))
-        p.op match {
-          case "contains" if !f.dataType.isInstanceOf[
-              org.apache.spark.sql.types.ArrayType] && !f.dataType
-              .isInstanceOf[org.apache.spark.sql.types.MapType] =>
+      case p: ColumnPredicate => nameTypeCheck(p, t)
+      case op: OrPredicate =>
+        // disjunction leaves (5.0 CEP-29): plain column relations only —
+        // token() narrows the ring scan and multi-column relations narrow
+        // the clustering slice, and neither composes with OR upstream
+        orLeaves(op).foreach {
+          case p: ColumnPredicate if p.isToken =>
             throw new CqlInvalidQueryException(
-              s"Cannot use CONTAINS on non-collection column ${p.column}")
-          case "contains key" if !f.dataType.isInstanceOf[
-              org.apache.spark.sql.types.MapType] =>
+              "token() relations cannot be used in OR conditions")
+          case _: TuplePredicate =>
             throw new CqlInvalidQueryException(
-              s"Cannot use CONTAINS KEY on non-map column ${p.column}")
-          case "elem=" if !f.dataType.isInstanceOf[
-              org.apache.spark.sql.types.MapType] =>
-            // upstream: only map columns are subscriptable in WHERE
-            // [U restrictions/SingleColumnRestriction$ContainsRestriction]
-            throw new CqlInvalidQueryException(
-              s"Map-entry predicates are not supported on non-map column " +
-                s"${p.column}")
-          case _ => ()
+              "Multi-column relations cannot be used in OR conditions")
+          case _: OrPredicate => () // flattened by orLeaves
+          case p: ColumnPredicate => nameTypeCheck(p, t)
         }
       case tp: TuplePredicate =>
         // upstream multi-column relation rules [U cql3/restrictions/
@@ -510,6 +535,21 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
           }).foreach(prev => throw new CqlInvalidQueryException(
             s"PRIMARY KEY column ${tp.columns.head} cannot be restricted " +
               s"as preceding column $prev is not restricted"))
+        case op: OrPredicate =>
+          // 5.0 rule (CEP-29): a disjunction runs without ALLOW FILTERING
+          // only when an index serves EVERY leaf relation (the SAI OR
+          // query). An OR-ed key restriction no longer narrows the
+          // partition/clustering scan, so it earns no key exemption here.
+          orLeaves(op).foreach {
+            case p: ColumnPredicate
+              if !indexServes(t, p.column.toLowerCase, p.op) =>
+              throw new CqlInvalidQueryException(
+                s"Cannot execute this query as it might involve data filtering and " +
+                  s"thus may have unpredictable performance. If you want to execute " +
+                  s"this query despite the performance unpredictability, use ALLOW FILTERING " +
+                  s"(OR condition on ${p.column} without a serving index)")
+            case _ => ()
+          }
       }
       // a PARTIALLY restricted composite partition key is a filtering scan
       // upstream (StatementRestrictions.processPartitionKeyRestrictions):
@@ -767,6 +807,10 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
         case "=" => l === r
         case other => throw new CqlInvalidQueryException(s"unsupported tuple op $other")
       }
+    case OrPredicate(branches) =>
+      // each branch is a conjunction; the disjunction is their OR — one
+      // Catalyst predicate, codegen'd inside the scan like any filter
+      branches.map(_.map(predColumn(_, t)).reduce(_ && _)).reduce(_ || _)
   }
 
   /** `floor(ts, dur)` — epoch-aligned fixed-width bucket (upstream

@@ -25,6 +25,11 @@ case class ColumnPredicate(column: String, op: String, values: Seq[Any],
   isToken: Boolean = false) extends CqlPredicate
 case class TuplePredicate(columns: Seq[String], op: String, values: Seq[Any])
   extends CqlPredicate
+/** Cassandra 5.0 disjunction (CEP-29, `WHERE a = 1 OR b = 2` [U
+  * cql3/restrictions/StatementRestrictions, 5.0 OR support]): each branch
+  * is a conjunction; branches may nest further disjunctions through
+  * parentheses. AND binds tighter than OR, as upstream. */
+case class OrPredicate(branches: Seq[Seq[CqlPredicate]]) extends CqlPredicate
 
 case class OrderBy(column: String, asc: Boolean)
 
@@ -123,10 +128,7 @@ object CqlParser {
     c.expect("from")
     val table = tableName(c)
     var preds = Seq.empty[CqlPredicate]
-    if (c.accept("where")) {
-      preds = preds :+ parsePredicate(c)
-      while (c.accept("and")) preds = preds :+ parsePredicate(c)
-    }
+    if (c.accept("where")) preds = parseWhereExpr(c)
     var groupBy = Seq.empty[CqlGroupItem]
     if (c.accept("group")) {
       c.expect("by")
@@ -986,6 +988,35 @@ object CqlParser {
     val col = c.next()
     val asc = if (c.accept("desc")) false else { c.accept("asc"); true }
     OrderBy(col, asc)
+  }
+
+  /** WHERE grammar with Cassandra 5.0 disjunctions (CEP-29): `or :=
+    * and (OR and)*`, `and := unit (AND unit)*`, `unit := '(' or ')' |
+    * predicate`. AND binds tighter than OR. Returns the historical
+    * conjunction list; any disjunction collapses into one [[OrPredicate]]
+    * element so pure-AND statements keep their exact old AST. */
+  private def parseWhereExpr(c: Cursor): Seq[CqlPredicate] = {
+    // '(' is ambiguous: a boolean group `(a = 1 OR …)` vs a multi-column
+    // relation `(ck1, ck2) >= (1, 2)`. A tuple's first identifier is
+    // always followed by ',' or ')'; a grouped predicate's identifier is
+    // followed by its operator (or '[' / '(' for entry and token forms).
+    def isBooleanGroup: Boolean =
+      c.peekAt(1) == "(" || !(c.peekAt(2) == "," || c.peekAt(2) == ")")
+    def unit(): Seq[CqlPredicate] =
+      if (c.peekIs("(") && isBooleanGroup) {
+        c.expect("("); val e = orExpr(); c.expect(")"); e
+      } else Seq(parsePredicate(c))
+    def andExpr(): Seq[CqlPredicate] = {
+      var out = unit()
+      while (c.accept("and")) out = out ++ unit()
+      out
+    }
+    def orExpr(): Seq[CqlPredicate] = {
+      var branches = Seq(andExpr())
+      while (c.accept("or")) branches = branches :+ andExpr()
+      if (branches.size == 1) branches.head else Seq(OrPredicate(branches))
+    }
+    orExpr()
   }
 
   private def parsePredicate(c: Cursor): CqlPredicate = {

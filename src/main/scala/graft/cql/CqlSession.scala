@@ -1292,6 +1292,12 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
             s"Cannot create materialized view $name: only plain column " +
               "selections are allowed (no aggregate/GROUP BY/DISTINCT/" +
               "ORDER BY/LIMIT/PER PARTITION LIMIT/ANN)")
+        // upstream views restrict rows with conjunctions only — an OR'd
+        // filter has no per-column IS NOT NULL guarantee for the view key
+        if (sel.predicates.exists(_.isInstanceOf[OrPredicate]))
+          throw new CqlInvalidQueryException(
+            s"Cannot create materialized view $name: OR conditions are " +
+              "not supported in materialized view definitions")
         val mvCols = pk ++ ck
         mvCols.foreach { k =>
           if (!base.schema.fieldNames.exists(_.equalsIgnoreCase(k)))
@@ -1586,6 +1592,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
               case p: ColumnPredicate => p.column.equalsIgnoreCase(c0)
               case tp: TuplePredicate =>
                 tp.columns.exists(_.equalsIgnoreCase(c0))
+              case _: OrPredicate => false // MV DDL rejects disjunctions
             } ||
             sel.selectors.exists {
               case Star => true
@@ -2208,6 +2215,8 @@ object CqlPrepared {
     private def predicate(p: CqlPredicate): CqlPredicate = p match {
       case cp: ColumnPredicate => cp.copy(values = cp.values.map(value))
       case tp: TuplePredicate => tp.copy(values = tp.values.map(value))
+      case or: OrPredicate => // markers bind in text order inside branches
+        OrPredicate(or.branches.map(_.map(predicate)))
     }
     def dml(d: CqlDml): CqlDml = d match {
       // statement-text bind order per form: INSERT values → IF → USING;

@@ -281,6 +281,63 @@ class CqlEngineSpec extends SparkSpec {
     assert(l === Seq(10L, 30L))
   }
 
+  test("OR disjunctions (5.0 CEP-29): results, AND-over-OR precedence, parens") {
+    val li = Tables.lineitem(spark, sf)
+    // plain disjunction under ALLOW FILTERING
+    val out = cqlEngine.execute(
+      "SELECT l_orderkey, l_linenumber FROM lineitem " +
+        "WHERE l_quantity > 49 OR l_discount < 0.01 ALLOW FILTERING")
+    assert(out.count() ===
+      li.filter(col("l_quantity") > 49 || col("l_discount") < 0.01).count())
+    // AND binds tighter than OR: a OR b AND c ≡ a OR (b AND c)
+    val loose = cqlEngine.execute(
+      "SELECT count(*) AS n FROM lineitem WHERE l_quantity > 49 " +
+        "OR l_quantity < 2 AND l_discount < 0.05 ALLOW FILTERING")
+      .head().getLong(0)
+    assert(loose === li.filter(col("l_quantity") > 49 ||
+      (col("l_quantity") < 2 && col("l_discount") < 0.05)).count())
+    // parentheses regroup: (a OR b) AND c
+    val grouped = cqlEngine.execute(
+      "SELECT count(*) AS n FROM lineitem WHERE (l_quantity > 49 " +
+        "OR l_quantity < 2) AND l_discount < 0.05 ALLOW FILTERING")
+      .head().getLong(0)
+    assert(grouped === li.filter((col("l_quantity") > 49 ||
+      col("l_quantity") < 2) && col("l_discount") < 0.05).count())
+    assert(loose !== grouped) // the fixture distinguishes the two shapes
+    // nested groups and IN leaves
+    val nested = cqlEngine.execute(
+      "SELECT count(*) AS n FROM lineitem WHERE l_orderkey IN (1, 3) " +
+        "OR (l_quantity > 49 AND (l_linenumber = 1 OR l_linenumber = 2)) " +
+        "ALLOW FILTERING").head().getLong(0)
+    assert(nested === li.filter(col("l_orderkey").isin(1, 3) ||
+      (col("l_quantity") > 49 &&
+        (col("l_linenumber") === 1 || col("l_linenumber") === 2))).count())
+  }
+
+  test("OR needs an index or ALLOW FILTERING; token/tuple leaves rejected") {
+    val e = intercept[CqlInvalidQueryException] {
+      cqlEngine.execute("SELECT l_orderkey FROM lineitem " +
+        "WHERE l_quantity > 49 OR l_discount < 0.01")
+    }
+    assert(e.getMessage.contains("ALLOW FILTERING"))
+    // an OR-ed pk restriction earns no key exemption — still filtering
+    val e2 = intercept[CqlInvalidQueryException] {
+      cqlEngine.execute("SELECT l_orderkey FROM lineitem " +
+        "WHERE l_orderkey = 1 OR l_orderkey = 3")
+    }
+    assert(e2.getMessage.contains("ALLOW FILTERING"))
+    val e3 = intercept[CqlInvalidQueryException] {
+      cqlEngine.execute("SELECT l_orderkey FROM lineitem " +
+        "WHERE token(l_orderkey) > 0 OR l_quantity > 49 ALLOW FILTERING")
+    }
+    assert(e3.getMessage.contains("token"))
+    val e4 = intercept[CqlInvalidQueryException] {
+      cqlEngine.execute("SELECT l_orderkey FROM lineitem " +
+        "WHERE (l_linenumber) = (1) OR l_quantity > 49 ALLOW FILTERING")
+    }
+    assert(e4.getMessage.contains("Multi-column"))
+  }
+
   test("negative numeric literal as a function argument parses") {
     // '-' is its own token since the tokenizer change; the selector's literal
     // detection must still fold unary minus (ADVICE r5)
