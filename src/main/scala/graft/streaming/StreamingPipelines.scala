@@ -29,10 +29,27 @@ case class UserCounts(user_id: Long, n_events: Long, sum_event_id: Long)
 object StreamingPipelines {
 
   /** readStream over a parquet events dir (explicit schema — required by the
-    * file source; ts arrives as ns-longs under nanosAsLong). */
-  def eventsStream(s: SparkSession, dir: String): DataFrame =
-    s.readStream.schema(Tables.eventsRawSchema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    * file source). The fixture's `ts` physical type has varied across driver
+    * generations (ns → LongType under nanosAsLong, µs → Timestamp[NTZ]), so
+    * probe the actual footer with a batch read (every call site stages at
+    * least one file before opening the stream) and normalize to µs
+    * TimestampType the same way [[Tables.events]] does. */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tsType = s.read.parquet(dir).schema("ts").dataType
+    val schema = StructType(Tables.eventsRawSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = tsType)
+      case f => f
+    })
+    val raw = s.readStream.schema(schema).parquet(dir)
+    tsType match {
+      case LongType => // nanosAsLong: integer nanos since epoch
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _: TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
 
   /** T1 streaming: watermarked hourly tumbling counts per event type. */
   def hourlyCounts(events: DataFrame): DataFrame =

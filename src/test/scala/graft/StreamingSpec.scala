@@ -173,10 +173,11 @@ class StreamingSpec extends SparkSpec {
     runOnce()
     assert(spark.read.parquet(out).count() === n)
 
-    // restart with genuinely new keys: exactly those append
-    Tables.events(spark, sf)
+    // restart with genuinely new keys: exactly those append. Transform a RAW
+    // read so the appended file keeps the fixture's physical ts type (the
+    // stream's probed schema must match every file in the dir).
+    spark.read.parquet(s"$sf/events.parquet")
       .withColumn("event_id", col("event_id") + 10000000L)
-      .withColumn("ts", unix_micros(col("ts")) * 1000) // back to raw ns longs
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("append").parquet(in.toString)
     runOnce()
