@@ -222,7 +222,11 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     clusteringDesc: Seq[Boolean] = Nil,
     /** table-level `default_time_to_live` (seconds), applied to writes
       * that carry no `USING TTL` — upstream TableParams [U] */
-    defaultTtl: Option[Long] = None)
+    defaultTtl: Option[Long] = None,
+    /** true while EVERY row of the table lives in `pending` (created in
+      * this session, never bulk-loaded/reshaped) — the precondition for
+      * serving LWT point reads driver-locally instead of via a Spark job */
+    localOnly: Boolean = false)
 
   private def opCol(c: String) = s"_op_$c"
 
@@ -896,7 +900,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         else lit(null).cast(f.dataType).as(n0)
       }: _*)
       state(cp.table.toLowerCase) =
-        t.copy(base = log(t).unionByName(shaped), pending = Vector.empty)
+        t.copy(base = log(t).unionByName(shaped), pending = Vector.empty,
+          localOnly = false)
       countResult(n)
     }
   }
@@ -1163,6 +1168,13 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     if (hasCounter && b.usingTimestamp.isDefined)
       throw new CqlInvalidQueryException(
         "Cannot provide custom timestamp for counter BATCH")
+    // upstream BatchStatement [U]: client timestamps and Paxos ballots
+    // cannot coexist — a conditional batch owns its commit timestamp
+    if (b.statements.exists(_.condition.isDefined) &&
+        (b.usingTimestamp.isDefined ||
+          b.statements.exists(_.usingTimestamp.isDefined)))
+      throw new CqlInvalidQueryException(
+        "Cannot provide custom timestamp for conditional BATCH")
     val shared = nextTs(b.usingTimestamp.map(boundUsing(_, "TIMESTAMP")))
     val allOk = b.statements.forall(conditionHolds)
     if (allOk)
@@ -1261,7 +1273,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
             spark.sparkContext.emptyRDD[Row], schema), pk, ck, statics,
           cols.filter(_.counter).map(_.name)))
           .copy(clusteringDesc = ckDesc.map(_._2),
-            defaultTtl = dTtl.filter(_ > 0))
+            defaultTtl = dTtl.filter(_ > 0), localOnly = true)
         cols.foreach(cd => if (cd.udtRefs.nonEmpty)
           udtCols((table.toLowerCase, cd.name.toLowerCase)) = cd.udtRefs)
       }
@@ -1559,7 +1571,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       state(table.toLowerCase) = t.copy(
         base = spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], t.logSchema),
-        pending = Vector.empty)
+        pending = Vector.empty, localOnly = true)
     case CqlAlterAdd(table, cols) =>
       val t = tableState(table)
       cols.foreach { cd =>
@@ -1914,31 +1926,165 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     }
   }
 
+  /** Test hook: forces the LWT read through the Spark view path so specs
+    * can pin fast-path ≡ Spark-path equivalence. */
+  private[graft] var lwtForceSparkRead: Boolean = false
+  /** Count of LWT reads served driver-locally (spec instrumentation). */
+  private[graft] var lwtLocalReads: Long = 0L
+
+  /** The local fast path applies while ALL table data sits in `pending`
+    * (driver-local rows) and every cell resolves by the scalar reconcile
+    * rule — no collection/UDT/counter op-logs, no per-partition statics. */
+  private def lwtLocalEligible(t: TableState): Boolean =
+    t.localOnly && !lwtForceSparkRead && t.staticKeys.isEmpty &&
+      t.counterKeys.isEmpty &&
+      !t.logSchema.fieldNames.exists(_.startsWith("_op_"))
+
+  /** Generic scalar ordering for the reconcile tie-break (the same value
+    * comparison Spark's struct max_by applies); null sorts lowest. */
+  private def ordCmp(a: Any, b: Any): Int = (a, b) match {
+    case (null, null) => 0
+    case (null, _) => -1
+    case (_, null) => 1
+    case (x: Int, y: Int) => Integer.compare(x, y)
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Short, y: Short) => java.lang.Short.compare(x, y)
+    case (x: Byte, y: Byte) => java.lang.Byte.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: Float, y: Float) => java.lang.Float.compare(x, y)
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+    case (x: scala.math.BigDecimal, y: scala.math.BigDecimal) => x.compare(y)
+    case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
+    case (x: java.sql.Date, y: java.sql.Date) => x.compareTo(y)
+    case (x: java.time.Instant, y: java.time.Instant) => x.compareTo(y)
+    case (x: java.time.LocalDate, y: java.time.LocalDate) => x.compareTo(y)
+    case (x: Array[Byte], y: Array[Byte]) =>
+      java.util.Arrays.compareUnsigned(x, y)
+    case _ => throw new CqlInvalidQueryException(
+      s"cannot order-compare ${a.getClass} cells")
+  }
+
+  /** Driver-local point read of one full-PK row from a session-local log —
+    * the same algebra as [[view]]+reconcileView, collapsed to the addressed
+    * partition: (1) partition/range tombstones (null clustering suffix)
+    * shadow strictly-older rows under their prefix; (2) the full-key row
+    * tombstone shadows strictly-older cells; (3) each cell resolves to the
+    * (writetime, tombstone-wins-tie, value) winner; (4) the row exists iff
+    * a cell or an INSERT row marker survives. Returns the reconciled cells
+    * (plus the key values) or None when the row does not exist.
+    * Equivalence with the Spark path is pinned by CqlLwtFastPathSpec. */
+  private def localPointRead(t: TableState,
+      keyVals: Map[String, Any]): Option[Map[String, Any]] = {
+    val ls = t.logSchema
+    def idx(n: String) = ls.fieldIndex(n)
+    def eqv(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+      case _ => a == b
+    }
+    val wtI = idx("_writetime"); val delI = idx("_deleted")
+    val mkI = idx("_marker")
+    val pkIdx = t.partitionKeys.map(idx)
+    val ckIdx = t.clusteringKeys.map(idx)
+    val pkT = t.partitionKeys.map(keyVals)
+    val ckT = t.clusteringKeys.map(keyVals)
+    val part = t.pending.filter(r =>
+      pkIdx.zip(pkT).forall { case (i, v) => !r.isNullAt(i) && eqv(r.get(i), v) })
+    // (1) deepest-prefix-first cumulative max over partition/range
+    // tombstones matching the target's clustering prefix (view()'s k
+    // cascaded windows collapse to one max for a single addressed row)
+    val shadowWt = (0 until t.clusteringKeys.size).foldLeft(Long.MinValue) {
+      (acc, k) =>
+        part.iterator.filter { r =>
+          r.getBoolean(delI) &&
+            ckIdx.take(k).zip(ckT.take(k)).forall { case (i, v) =>
+              !r.isNullAt(i) && eqv(r.get(i), v) } &&
+            ckIdx.drop(k).forall(r.isNullAt)
+        }.map(_.getLong(wtI)).foldLeft(acc)(math.max)
+    }
+    val rows = part.filter { r =>
+      ckIdx.zip(ckT).forall { case (i, v) =>
+        !r.isNullAt(i) && eqv(r.get(i), v) } && r.getLong(wtI) > shadowWt
+    }
+    // (2) full-key row tombstone
+    val rowTombWt = rows.iterator.filter(_.getBoolean(delI))
+      .map(_.getLong(wtI)).foldLeft(Long.MinValue)(math.max)
+    val live = rows.filter(r =>
+      !r.getBoolean(delI) && r.getLong(wtI) > rowTombWt)
+    val dataColsR = t.schema.fieldNames.toSeq
+      .filterNot(c => keyCols(t).exists(_.equalsIgnoreCase(c)))
+    if (dataColsR.isEmpty)
+      return if (live.nonEmpty) Some(keyVals) else None
+    // (3) per-cell (writetime, tomb, value) winner; tombstone wins ties
+    val cells = dataColsR.map { c =>
+      val cI = idx(c)
+      val dI = ls.fieldNames.indexOf(s"_del_$c")
+      var best: (Long, Boolean, Any) = null
+      live.foreach { r =>
+        val tomb = dI >= 0 && !r.isNullAt(dI) && r.getBoolean(dI)
+        val v = if (r.isNullAt(cI)) null else r.get(cI)
+        if (v != null || tomb) {
+          val cand = (r.getLong(wtI), tomb, v)
+          val wins = best == null || {
+            val byWt = java.lang.Long.compare(cand._1, best._1)
+            if (byWt != 0) byWt > 0
+            else if (cand._2 != best._2) cand._2
+            else ordCmp(cand._3, best._3) > 0
+          }
+          if (wins) best = cand
+        }
+      }
+      c -> (if (best == null || best._2) null else best._3)
+    }
+    // (4) row-marker rule: cells survive, or a live INSERT marker does
+    val hasMarker = live.exists(r => !r.isNullAt(mkI) && r.getBoolean(mkI))
+    if (cells.exists(_._2 != null) || hasMarker)
+      Some(cells.toMap ++ keyVals)
+    else None
+  }
+
   /** LWT condition check — the Paxos read phase collapsed to the single-
     * writer case: a point read of the addressed row from the reconciled
-    * view (upstream `StorageProxy.cas` [U]). */
+    * view (upstream `StorageProxy.cas` [U]). Session-local scalar tables
+    * serve it driver-locally (upstream LWT reads one partition from local
+    * storage — a distributed scan per CAS would never hold at scale);
+    * everything else falls back to the Spark view. */
   private def conditionHolds(dml: CqlDml): Boolean = dml.condition match {
     case None => true
     case Some(cond) =>
       val t = tableState(dml.table)
       val cells = cellsFor(dml, t).toMap
-      var v = view(dml.table)
-      keyCols(t).foreach { k =>
-        cells.get(k).flatten.foreach { case (kv, _) =>
-          v = v.filter(col(k) === lit(kv))
-        }
+      val keyVals: Option[Map[String, Any]] = {
+        val kvs = keyCols(t).map(k => k -> cells.get(k).flatten.map(_._1))
+        if (kvs.nonEmpty && kvs.forall(_._2.isDefined))
+          Some(kvs.map { case (k, v) => k -> v.get }.toMap)
+        else None
       }
-      val rows = v.collect() // the addressed row: <= 1 row by full-PK rule
+      val row: Option[String => Any] = keyVals match {
+        case Some(kv) if lwtLocalEligible(t) =>
+          lwtLocalReads += 1
+          localPointRead(t, kv).map(m => (n: String) => m.getOrElse(n, null))
+        case _ =>
+          var v = view(dml.table)
+          keyCols(t).foreach { k =>
+            cells.get(k).flatten.foreach { case (kv, _) =>
+              v = v.filter(col(k) === lit(kv))
+            }
+          }
+          // the addressed row: <= 1 row by full-PK rule
+          v.collect().headOption.map(r => (n: String) => r.getAs[Any](n))
+      }
       cond match {
-        case IfNotExists => rows.isEmpty
-        case IfExists => rows.nonEmpty
-        case IfColumns(preds) => rows.headOption.exists { r =>
+        case IfNotExists => row.isEmpty
+        case IfExists => row.nonEmpty
+        case IfColumns(preds) => row.exists { get =>
           preds.forall { case (c0, op, rhs) =>
             val name = t.schema.fieldNames
               .find(_.equalsIgnoreCase(c0)).getOrElse(
                 throw new CqlInvalidQueryException(s"undefined column $c0"))
             val dt = t.schema(t.schema.fieldIndex(name)).dataType
-            condCompare(r.getAs[Any](name), op, coerce(rhs, dt))
+            condCompare(get(name), op, coerce(rhs, dt))
           }
         }
       }
@@ -1957,7 +2103,14 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
       case (x: java.math.BigDecimal, y: scala.math.BigDecimal) =>
         Some(x.compareTo(y.bigDecimal))
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+        Some(x.compareTo(y))
+      case (x: scala.math.BigDecimal, y: scala.math.BigDecimal) =>
+        Some(x.compare(y))
+      case (x: scala.math.BigDecimal, y: java.math.BigDecimal) =>
+        Some(x.bigDecimal.compareTo(y))
       case (x: java.sql.Timestamp, y: java.sql.Timestamp) => Some(x.compareTo(y))
+      case (x: java.time.Instant, y: java.time.Instant) => Some(x.compareTo(y))
       case (x: Array[Byte], y: Array[Byte]) => // blob: unsigned bytewise
         Some(java.util.Arrays.compareUnsigned(x, y))
       case _ => None
@@ -1992,6 +2145,11 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * are all checked against the pre-batch state by the caller. */
   private def applyDml(dml: CqlDml, defaultTs: Option[Long],
       skipCondition: Boolean = false): Boolean = {
+    // upstream ModificationStatement [U]: a conditional write's timestamp
+    // is the Paxos ballot's — a client USING TIMESTAMP is rejected
+    if (dml.condition.isDefined && dml.usingTimestamp.isDefined)
+      throw new CqlInvalidQueryException(
+        "Cannot provide custom timestamp for conditional updates")
     if (!skipCondition && !conditionHolds(dml)) return false
     mutationEpoch += 1
     val t = tableState(dml.table)
