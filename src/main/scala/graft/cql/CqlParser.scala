@@ -882,14 +882,38 @@ object CqlParser {
     else if (c.accept("not")) { c.expect("exists"); Some(IfNotExists) }
     else if (c.accept("exists")) Some(IfExists)
     else {
-      def one(): (String, String, Any) = {
+      def one(): (String, Option[Any], String, Any) = {
         val col = c.next()
-        val op = c.next() match {
-          case o @ ("=" | "!=" | "<" | "<=" | ">" | ">=") => o
-          case o => throw new CqlInvalidQueryException(
-            s"unsupported condition operator $o")
+        // collection-element / UDT-field condition targets (upstream
+        // ColumnCondition on `l[i]` / `m[k]` / `u.f` [U])
+        val sub: Option[Any] =
+          if (c.accept("[")) { val k = parseLiteral(c); c.expect("]"); Some(k) }
+          else if (c.accept(".")) Some(CqlFieldSub(c.next()))
+          else None
+        if (c.accept("in")) {
+          c.expect("(")
+          val vals =
+            if (c.accept(")")) Seq.empty[Any]
+            else {
+              var vs = Seq(parseLiteral(c))
+              while (c.accept(",")) vs = vs :+ parseLiteral(c)
+              c.expect(")")
+              vs
+            }
+          (col, sub, "in", vals)
+        } else if (c.accept("contains")) {
+          if (sub.isDefined) throw new CqlInvalidQueryException(
+            "CONTAINS conditions do not take element subscripts")
+          if (c.accept("key")) (col, sub, "contains key", parseLiteral(c))
+          else (col, sub, "contains", parseLiteral(c))
+        } else {
+          val op = c.next() match {
+            case o @ ("=" | "!=" | "<" | "<=" | ">" | ">=") => o
+            case o => throw new CqlInvalidQueryException(
+              s"unsupported condition operator $o")
+          }
+          (col, sub, op, parseLiteral(c))
         }
-        (col, op, parseLiteral(c))
       }
       var ps = Seq(one())
       while (c.accept("and")) ps = ps :+ one()

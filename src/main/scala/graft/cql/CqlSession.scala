@@ -62,7 +62,14 @@ case class CqlCounterAdd(delta: Long) extends CqlAssign
 sealed trait CqlCondition
 case object IfNotExists extends CqlCondition
 case object IfExists extends CqlCondition
-case class IfColumns(preds: Seq[(String, String, Any)]) extends CqlCondition
+/** `IF col [subscript] op rhs [AND …]` — each pred is (column, optional
+  * element/field subscript, operator, rhs). `sub` is None for a whole-column
+  * condition, Some(literal) for a collection element (`l[2]`, `m['k']`),
+  * Some([[CqlFieldSub]]) for a UDT field. Ops: the six comparisons plus
+  * `in` (rhs is the literal Seq), `contains`, `contains key` (upstream
+  * `cql3/conditions/ColumnCondition` [U]). */
+case class IfColumns(preds: Seq[(String, Option[Any], String, Any)])
+  extends CqlCondition
 
 /** CQL DML AST. */
 sealed trait CqlDml {
@@ -2079,15 +2086,89 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         case IfNotExists => row.isEmpty
         case IfExists => row.nonEmpty
         case IfColumns(preds) => row.exists { get =>
-          preds.forall { case (c0, op, rhs) =>
+          preds.forall { case (c0, sub, op, rhs) =>
             val name = t.schema.fieldNames
               .find(_.equalsIgnoreCase(c0)).getOrElse(
                 throw new CqlInvalidQueryException(s"undefined column $c0"))
             val dt = t.schema(t.schema.fieldIndex(name)).dataType
-            condCompare(get(name), op, coerce(rhs, dt))
+            condEval(get(name), dt, sub, op, rhs)
           }
         }
       }
+  }
+
+  /** Full LWT predicate evaluation over one reconciled cell: resolves an
+    * element/field subscript, then applies scalar comparison, `IN`
+    * membership, or `CONTAINS` / `CONTAINS KEY` collection search
+    * (upstream `cql3/conditions/ColumnCondition` [U]: a missing collection
+    * or out-of-range element reads as null; CONTAINS on a null/empty
+    * collection is false; an empty IN list matches nothing). */
+  private def condEval(cell0: Any, dt0: DataType, sub: Option[Any],
+      op: String, rhs: Any): Boolean = {
+    import scala.collection.{Map => AnyMap, Seq => AnySeq}
+    val (cell, dt): (Any, DataType) = (sub, dt0) match {
+      case (None, _) => (cell0, dt0)
+      case (Some(CqlFieldSub(f)), st: StructType) =>
+        val fd = st.fields.find(_.name.equalsIgnoreCase(f)).getOrElse(
+          throw new CqlInvalidQueryException(s"unknown field $f"))
+        val v = cell0 match {
+          case null => null
+          case r: Row => r.getAs[Any](fd.name)
+        }
+        (v, fd.dataType)
+      case (Some(k), ArrayType(et, _)) =>
+        val i = coerce(k, IntegerType) match {
+          case n: Int => n
+          case n: Long => n.toInt
+          case other => throw new CqlInvalidQueryException(
+            s"list index must be an int, got $other")
+        }
+        val v = cell0 match {
+          case s: AnySeq[_] if i >= 0 && i < s.size => s(i)
+          case _ => null // missing list / out-of-range element reads null
+        }
+        (v, et)
+      case (Some(k), MapType(kt, vt, _)) =>
+        val key = coerce(k, kt)
+        val v = cell0 match {
+          case m: AnyMap[_, _] => m.asInstanceOf[AnyMap[Any, Any]]
+            .collectFirst { case (mk, mv) if condCompare(mk, "=", key) => mv }
+            .orNull
+          case _ => null
+        }
+        (v, vt)
+      case (Some(_), other) => throw new CqlInvalidQueryException(
+        s"column of type $other has no elements to compare")
+    }
+    op match {
+      case "in" =>
+        rhs.asInstanceOf[Seq[Any]]
+          .exists(e => condCompare(cell, "=", coerce(e, dt)))
+      case "contains" => dt match {
+        case ArrayType(et, _) => cell match {
+          case s: AnySeq[_] =>
+            s.exists(e => condCompare(e, "=", coerce(rhs, et)))
+          case _ => false
+        }
+        case MapType(_, vt, _) => cell match {
+          case m: AnyMap[_, _] =>
+            m.values.exists(v => condCompare(v, "=", coerce(rhs, vt)))
+          case _ => false
+        }
+        case other => throw new CqlInvalidQueryException(
+          s"Cannot use CONTAINS on non-collection type $other")
+      }
+      case "contains key" => dt match {
+        case MapType(kt, _, _) => cell match {
+          case m: AnyMap[_, _] =>
+            m.keys.exists(k => condCompare(k, "=", coerce(rhs, kt)))
+          case _ => false
+        }
+        case other => throw new CqlInvalidQueryException(
+          s"Cannot use CONTAINS KEY on non-map type $other")
+      }
+      case _ => condCompare(cell, op, coerce(rhs, dt))
+    }
   }
 
   /** Typed comparison for LWT conditions; null cells fail every operator
@@ -2367,7 +2448,17 @@ object CqlPrepared {
     private def condition(c: Option[CqlCondition]): Option[CqlCondition] =
       c.map {
         case IfColumns(preds) =>
-          IfColumns(preds.map { case (n, op, v) => (n, op, value(v)) })
+          IfColumns(preds.map { case (n, sub, op, v) =>
+            val bSub = sub.map {
+              case f: CqlFieldSub => f // field names are not bindable
+              case k => value(k)
+            }
+            val bV = v match {
+              case xs: Seq[_] => xs.map(value) // IN list binds per element
+              case x => value(x)
+            }
+            (n, bSub, op, bV)
+          })
         case other => other
       }
     private def predicate(p: CqlPredicate): CqlPredicate = p match {

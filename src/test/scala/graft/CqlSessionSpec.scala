@@ -1907,4 +1907,55 @@ class CqlSessionSpec extends SparkSpec {
     assert(s2.execute("DESCRIBE SCHEMA").collect()
       .map(_.getAs[String]("create_statement")).toSeq === dump)
   }
+
+  test("LWT conditions: IN, CONTAINS, CONTAINS KEY, collection elements") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE lc (k bigint PRIMARY KEY, v bigint, " +
+      "l list<bigint>, m map<text, bigint>)")
+    s.execute("INSERT INTO lc (k, v, l, m) VALUES " +
+      "(1, 5, [1, 2, 3], {'a': 10, 'b': 20})")
+    def applied(cql: String) = s.execute(cql).collect()(0).getBoolean(0)
+    assert(applied("UPDATE lc SET v = 6 WHERE k = 1 IF v IN (4, 5)"))
+    assert(!applied("UPDATE lc SET v = 7 WHERE k = 1 IF v IN (4, 5)"),
+      "v moved to 6, no longer in the list")
+    assert(!applied("UPDATE lc SET v = 7 WHERE k = 1 IF v IN ()"),
+      "an empty IN list matches nothing")
+    assert(applied("UPDATE lc SET v = 7 WHERE k = 1 IF l CONTAINS 2"))
+    assert(!applied("UPDATE lc SET v = 8 WHERE k = 1 IF l CONTAINS 9"))
+    assert(applied("UPDATE lc SET v = 8 WHERE k = 1 IF m CONTAINS KEY 'a'"))
+    assert(applied("UPDATE lc SET v = 9 WHERE k = 1 IF m CONTAINS 20"))
+    assert(applied("UPDATE lc SET v = 10 WHERE k = 1 IF l[1] = 2"))
+    assert(!applied("UPDATE lc SET v = 11 WHERE k = 1 IF l[5] = 2"),
+      "an out-of-range element reads null and fails the comparison")
+    assert(applied("UPDATE lc SET v = 11 WHERE k = 1 IF m['b'] >= 15"))
+    assert(!applied("UPDATE lc SET v = 12 WHERE k = 1 IF m['zz'] = 1"),
+      "a missing map key reads null")
+    assert(s.execute("SELECT v FROM lc WHERE k = 1")
+      .collect()(0).getLong(0) === 11L)
+    // prepared: markers bind inside the IN list and the element subscript
+    val p = s.prepare("UPDATE lc SET v = ? WHERE k = ? IF v IN (?, ?)")
+    assert(p.execute(20L, 1L, 11L, 12L).collect()(0).getBoolean(0))
+    val pe = s.prepare("UPDATE lc SET v = ? WHERE k = ? IF m[?] = ?")
+    assert(pe.execute(21L, 1L, "a", 10L).collect()(0).getBoolean(0))
+    intercept[CqlInvalidQueryException] {
+      s.execute("UPDATE lc SET v = 1 WHERE k = 1 IF v CONTAINS 1")
+    }
+    intercept[CqlInvalidQueryException] {
+      s.execute("UPDATE lc SET v = 1 WHERE k = 1 IF l CONTAINS KEY 1")
+    }
+  }
+
+  test("LWT conditions on UDT fields") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TYPE addr (city text, zip bigint)")
+    s.execute("CREATE TABLE lu (k bigint PRIMARY KEY, a addr)")
+    s.execute("INSERT INTO lu (k, a) VALUES (1, {city: 'spb', zip: 190000})")
+    def applied(cql: String) = s.execute(cql).collect()(0).getBoolean(0)
+    assert(applied("UPDATE lu SET a.zip = 190001 WHERE k = 1 " +
+      "IF a.city = 'spb'"))
+    assert(!applied("UPDATE lu SET a.zip = 190002 WHERE k = 1 " +
+      "IF a.zip < 190001"), "field write applied above — zip is 190001")
+    assert(applied("DELETE FROM lu WHERE k = 1 IF a.zip IN (190001)"))
+    assert(s.execute("SELECT k FROM lu ALLOW FILTERING").count() === 0)
+  }
 }
