@@ -498,7 +498,50 @@ object TextQueries {
       .orderBy(col("freq").desc, col("pair").asc)
       .limit(20)
 
+  /** X19 (L4+ selection): DSIR-style hashed-ngram importance weighting
+    * (arXiv:2302.03169 [L]): pick pretraining data that "looks like" a
+    * target distribution. Target = the `lang='en'` slice, raw = the whole
+    * corpus; features = token bigrams hashed into 64 md5 buckets (the x14
+    * cell convention, bit-shared with the twin); each document scores the
+    * mean smoothed target/raw ratio of its bigram buckets, top 50 kept.
+    * DEVIATION from the paper: the weight is the LINEAR ratio mean, not
+    * the log-likelihood ratio — `ln` is outside the engines' shared
+    * IEEE-deterministic op set (+,-,*,/,sqrt; SURVEY §7.6), so a log
+    * would flake the hash gate on 1-ulp libm differences. The pipeline
+    * shape (hashed features → broadcast profiles → map-side per-doc
+    * weight → top-k) is the paper's.
+    * Scale shape: both profiles are hash-aggs into ≤64 rows (broadcast —
+    * fixed size at ANY corpus scale); scoring is one explode + one
+    * doc-keyed agg: a single corpus shuffle. */
+  def x19_dsir(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Hash60
+    val W = 64
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val g = base.select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat(element_at(col("toks"), i), lit(" "),
+            element_at(col("toks"), i + 1)))).as("g"))
+      .withColumn("b", pmod(md5Hash60(col("g")), lit(W)))
+    val raw = g.groupBy("b").agg(count(lit(1)).as("r_n"))
+    val tgt = g.filter(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("t_n"))
+    val prof = raw.join(tgt, Seq("b"), "left")
+      .select(col("b"),
+        ((coalesce(col("t_n"), lit(0L)) + lit(1L)).cast("double") /
+          (col("r_n") + lit(1L)).cast("double")).as("ratio"))
+    g.join(broadcast(prof), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(Q.dec6(sum(Q.dec6(round(col("ratio"), 6)))).cast("double") /
+          count(lit(1)), 6).as("dsir_weight"))
+      .orderBy(col("dsir_weight").desc, col("doc_id").asc)
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x19_dsir" -> (x19_dsir _),
     "x18_bpe_pairs" -> (x18_bpe_pairs _),
     "x17_gopher_rules" -> (x17_gopher_rules _),
     "x16_mixture" -> (x16_mixture _),
@@ -520,6 +563,30 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // same bigrams (x17's grams CTE), same md5 buckets (x14's cell
+    // convention), same smoothed ratio, same decimal-summed mean
+    "x19_dsir" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, string_split(lower(text),' ') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(g), 1, 15))::BIGINT % 64 AS b
+        |  FROM (SELECT doc_id, lang, unnest(list_transform(range(1, len(toks)),
+        |          i -> toks[i] || ' ' || toks[i+1])) AS g
+        |        FROM base WHERE len(toks) >= 2)),
+        |raw AS (SELECT b, count(*) AS r_n FROM g GROUP BY b),
+        |tgt AS (SELECT b, count(*) AS t_n FROM g WHERE lang = 'en' GROUP BY b),
+        |prof AS (
+        |  SELECT raw.b,
+        |    (coalesce(t_n, 0) + 1)::DOUBLE / (r_n + 1)::DOUBLE AS ratio
+        |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b)
+        |SELECT g.doc_id, count(*) AS n_bigrams,
+        |  round(cast(sum(cast(round(ratio, 6) AS DECIMAL(38,6))) AS DOUBLE)
+        |    / count(*), 6) AS dsir_weight
+        |FROM g JOIN prof ON g.b = prof.b
+        |GROUP BY g.doc_id
+        |ORDER BY dsir_weight DESC, doc_id ASC LIMIT 50""".stripMargin,
     // same five Gopher rules; repeated-bigram mass via per-doc gram counts
     // (the x12 twin shape); ratio thresholds as integer cross-products
     "x17_gopher_rules" ->

@@ -321,7 +321,38 @@ object VectorQueries {
       .orderBy("qid")
   }
 
+  /** V15 (L3): Matryoshka / truncated-dimension two-stage ANN
+    * (MRL, arXiv:2205.13147 [L]): score EVERY vector on its first-8-dim
+    * prefix only (nested-prefix embeddings are themselves valid
+    * representations — the property MRL trains for), keep the top 40,
+    * rerank that bounded candidate set on the full vector. The scan pass
+    * reads 8 floats/vector instead of 64 — at 100 TB the first stage is
+    * memory-bandwidth-bound, so the prefix cut is a direct 8× on the
+    * dominant cost, and the exact pass touches only k·overscan rows.
+    * Same broadcast + TakeOrderedAndProject shape as v13: no global sort,
+    * no collect, both stages distribute. */
+  def v15_matryoshka(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val qp = emb.filter(col("vec_id") === 0L)
+      .select(slice(col("embedding"), 1, 8).as("qp"))
+    val cands = emb
+      .select(col("vec_id").as("cid"), slice(col("embedding"), 1, 8).as("p"))
+      .crossJoin(broadcast(qp))
+      .select(col("cid"), round(cosineFast(col("p"), col("qp")), 6).as("cos_p"))
+      .orderBy(col("cos_p").desc, col("cid").asc)
+      .limit(40)
+    val qraw = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qvec"))
+    emb.join(broadcast(cands), col("vec_id") === col("cid"))
+      .crossJoin(broadcast(qraw))
+      .select(col("vec_id"), col("cos_p"),
+        round(cosineFast(col("embedding"), col("qvec")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v15_matryoshka" -> (v15_matryoshka _),
     "v14_recall_eval" -> (v14_recall_eval _),
     "v1_knn_exact" -> (v1_knn_exact _),
     "v2_knn_bucketed" -> (v2_knn_bucketed _),
@@ -340,6 +371,25 @@ object VectorQueries {
     "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)"
 
   val oracle: Map[String, String] = Map(
+    // same 8-dim prefix scoring (slice AFTER the double cast — identical
+    // element widening), same (score desc, id asc) cuts at 40 then 10
+    "v15_matryoshka" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qvec, v[1:8] AS qp FROM e WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT vec_id AS cid,
+        |    round(list_dot_product(e.v[1:8], q.qp) /
+        |      (sqrt(list_dot_product(e.v[1:8], e.v[1:8])) *
+        |       sqrt(list_dot_product(q.qp, q.qp))), 6) AS cos_p
+        |  FROM e CROSS JOIN q
+        |  ORDER BY cos_p DESC, cid ASC LIMIT 40)
+        |SELECT e.vec_id, c.cos_p,
+        |  round(list_dot_product(e.v, q.qvec) /
+        |    (sqrt(list_dot_product(e.v, e.v)) *
+        |     sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cos_sim
+        |FROM e JOIN cand c ON e.vec_id = c.cid CROSS JOIN q
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
     // same sampled queries, same sign buckets, same rounded scores and
     // (cs desc, vec_id asc) rankings — recall is exact in both engines
     "v14_recall_eval" ->

@@ -264,4 +264,26 @@ class ScalePlanSpec extends SparkSpec {
     val scans = "Scan parquet".r.findAllIn(plan).length
     assert(scans === 1, s"cascade must read the corpus once:\n$plan")
   }
+
+  test("x19 DSIR: profiles broadcast to the scoring pass, no shuffled join") {
+    val plan = graft.operators.TextQueries.x19_dsir(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the <=64-row ratio profile must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"scoring must not shuffle the corpus into a join:\n$plan")
+  }
+
+  test("v15 Matryoshka: both stages TakeOrderedAndProject, candidates " +
+      "broadcast back for rerank") {
+    val plan = graft.operators.VectorQueries.v15_matryoshka(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("TakeOrderedAndProject".r.findAllIn(plan).length >= 2,
+      s"prefix cut and rerank cut must both be top-k, never a sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"only broadcast-singleton cross joins allowed:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 40-row candidate set must broadcast into the rerank join:\n$plan")
+  }
 }
