@@ -126,7 +126,50 @@ object MultimodalQueries {
         conv(substring(col("hx"), 9, 8), 16, 10).cast("long").as("tail_sum"))
       .orderBy("doc_id")
 
+  /** M5 (L5 dedup): perceptual-hash near-duplicate detection — the image
+    * dedup stage of a multimodal pipeline (LAION-style pHash dedup over
+    * billions of images). The pHash itself is STUBBED like every decode
+    * here (no image libs in the container): 60 md5-derived bits of the
+    * payload. The SCALE SHAPE is the real thing and is d4_simhash's:
+    * band the 60-bit hash into 4×15-bit keys, bucket-join candidates on
+    * any shared band, keep pairs at Hamming distance ≤ 6 — one explode +
+    * one (band, key) shuffle of 8-byte longs, never an all-pairs join
+    * (a real pHash clusters near-identical images into shared bands the
+    * same way; only the hash function changes). */
+  def m5_phash_neardup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Hash60
+    val base = Tables.documents(s, d)
+      .filter(col("doc_id") < 400)
+      .select(col("doc_id"), md5Hash60(md5(col("text"))).as("ph"))
+    // The fixture has no duplicate payloads, so inject deterministic
+    // "re-encoded twins" for every 37th doc: the same image after a
+    // lossy re-encode shifts a real pHash by a few bits — modeled here
+    // as the base hash with TWO bit flips (positions derived from the
+    // id; provably distinct, so every twin sits at Hamming distance 2).
+    // Integer shift/xor arithmetic is bit-identical in both engines.
+    val twins = base.filter(col("doc_id") % 37 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        expr("ph ^ (shiftleft(cast(1 AS bigint), cast(doc_id % 60 AS int)) " +
+          "| shiftleft(cast(1 AS bigint), cast((doc_id*7 + 17) % 60 AS int)))")
+          .as("ph"))
+    val media = base.unionByName(twins)
+    val banded = media.select(col("doc_id"), col("ph"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("k", expr("shiftright(ph, band * 15)") % lit(32768))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.k") === col("b.k") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.ph").as("ph1"), col("b.ph").as("ph2"))
+      .distinct()
+      .select(col("id1"), col("id2"),
+        bit_count(col("ph1").bitwiseXOR(col("ph2"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= 6)
+      .orderBy("id1", "id2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m5_phash_neardup" -> (m5_phash_neardup _),
     "m1_features" -> (m1_features _),
     "m2_mime_profile" -> (m2_mime_profile _),
     "m3_frame_sample" -> (m3_frame_sample _),
@@ -134,6 +177,30 @@ object MultimodalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // same 60-bit md5 hash (d3's 15-hex-char convention), same 15-bit
+    // bands, same bucket-join candidates, same Hamming cut
+    "m5_phash_neardup" ->
+      """WITH m0 AS (
+        |  SELECT doc_id, ('0x' || substr(md5(md5(text)), 1, 15))::BIGINT AS ph
+        |  FROM documents WHERE doc_id < 400),
+        |m AS (
+        |  SELECT doc_id, ph FROM m0
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    xor(ph, (1::BIGINT << (doc_id % 60)) |
+        |            (1::BIGINT << ((doc_id*7 + 17) % 60)))
+        |  FROM m0 WHERE doc_id % 37 = 0),
+        |b AS (
+        |  SELECT doc_id, ph, band, (ph >> (band * 15)) % 32768 AS k
+        |  FROM m CROSS JOIN (SELECT unnest(range(0, 4)) AS band) g),
+        |p AS (
+        |  SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2,
+        |    a.ph AS ph1, b2.ph AS ph2
+        |  FROM b a JOIN b b2
+        |    ON a.band = b2.band AND a.k = b2.k AND a.doc_id < b2.doc_id)
+        |SELECT id1, id2, cast(bit_count(xor(ph1, ph2)) AS int) AS hamming
+        |FROM p WHERE bit_count(xor(ph1, ph2)) <= 6
+        |ORDER BY id1, id2""".stripMargin,
     "m1_features" ->
       """SELECT doc_id, 'image/fake-' || lang AS mime,
         |  cast(octet_length(unhex(md5(text))) AS int) AS n_bytes,
