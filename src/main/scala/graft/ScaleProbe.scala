@@ -77,7 +77,11 @@ object ScaleProbe {
         "d7_components_lsh",
         // r7 session 3: semantic dedup (cell-scoped pair join) and exact
         // substring spans (gram-hash window) — both must stay ~flat
-        "d8_semdedup", "d9_substring")
+        "d8_semdedup", "d9_substring",
+        // r7 session 4: DSIR weighting (fixed 64-row broadcast profiles),
+        // Matryoshka two-stage ANN (prefix scan + bounded rerank), pHash
+        // banding (one (band,key) shuffle)
+        "x19_dsir", "v15_matryoshka", "m5_phash_neardup")
         .map(n => n -> SparkEntry.queries(n))
     factors.foreach { f =>
       val dir = if (f == 1) base else s"/tmp/graft-scale-${f}x"
