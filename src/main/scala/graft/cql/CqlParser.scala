@@ -568,6 +568,14 @@ object CqlParser {
           while (c.accept(",")) fs = fs :+ one()
           return CqlAlterTypeAdd(name, StructType(fs), refs.toSet)
         }
+        if (c.accept("keyspace")) {
+          val name = c.next()
+          // replication / durable_writes options: validate-and-discard
+          if (c.accept("with")) { while (!c.done) c.next() }
+          else throw new CqlInvalidQueryException(
+            "ALTER KEYSPACE expects a WITH options clause")
+          return CqlAlterKeyspace(name)
+        }
         c.expect("table")
         val table = tableName(c)
         if (c.accept("add")) {
@@ -598,8 +606,36 @@ object CqlParser {
           var pairs = Vector(one())
           while (c.accept("and")) pairs = pairs :+ one()
           CqlAlterRename(table, pairs)
+        } else if (c.accept("with")) {
+          // table-options form: same lenient consumption as CREATE TABLE —
+          // only default_time_to_live carries single-engine semantics
+          var dttl: Option[Option[Long]] = None
+          var more = true
+          while (more && !c.done) {
+            val key = c.next()
+            if (key.equalsIgnoreCase("clustering"))
+              throw new CqlInvalidQueryException(
+                "Cannot alter CLUSTERING ORDER") // fixed at creation [U]
+            val toks = scala.collection.mutable.Buffer.empty[String]
+            var depth = 0
+            while (!c.done && (depth > 0 || !c.peekIs("and"))) {
+              val t = c.next()
+              if (t == "{" || t == "(") depth += 1
+              else if (t == "}" || t == ")") depth -= 1
+              toks += t
+            }
+            if (key.equalsIgnoreCase("default_time_to_live"))
+              toks.toSeq match {
+                case Seq("=", v) if v.nonEmpty && v.forall(_.isDigit) =>
+                  dttl = Some(if (v.toLong > 0) Some(v.toLong) else None)
+                case _ => throw new CqlInvalidQueryException(
+                  s"invalid default_time_to_live: ${toks.mkString(" ")}")
+              }
+            more = c.accept("and")
+          }
+          CqlAlterOptions(table, dttl)
         } else throw new CqlInvalidQueryException(
-          s"ALTER TABLE supports ADD, DROP and RENAME, got ${c.peek}")
+          s"ALTER TABLE supports ADD, DROP, RENAME and WITH, got ${c.peek}")
       case "truncate" =>
         c.accept("table")
         CqlTruncate(tableName(c))

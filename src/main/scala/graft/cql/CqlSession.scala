@@ -128,12 +128,21 @@ case class CqlDropTable(table: String, ifExists: Boolean) extends CqlDdl
   * (single-engine semantics — upstream `schema/KeyspaceMetadata` [U]). */
 case class CqlCreateKeyspace(name: String, ifNotExists: Boolean) extends CqlDdl
 case class CqlDropKeyspace(name: String, ifExists: Boolean) extends CqlDdl
+/** `ALTER KEYSPACE ks WITH …` — replication/durable_writes carry no
+  * single-engine semantics; the statement validates and discards [U]. */
+case class CqlAlterKeyspace(name: String) extends CqlDdl
 case class CqlTruncate(table: String) extends CqlDdl
 case class CqlAlterAdd(table: String, columns: Seq[CqlColumnDef]) extends CqlDdl
 case class CqlAlterDrop(table: String, columns: Seq[String]) extends CqlDdl
 /** `ALTER TABLE t RENAME a TO b [AND c TO d]` — upstream only renames
   * PRIMARY KEY columns, and not ones an index or view depends on
   * [U cql3/statements/schema/AlterTableStatement.Renames]. */
+/** `ALTER TABLE t WITH opt = v [AND …]` (upstream AlterTableStatement
+  * options path [U]). `defaultTtl`: None = option absent; Some(None) =
+  * `default_time_to_live = 0` (cancel); Some(Some(n)) = set. All other
+  * options parse and discard, matching CREATE TABLE's policy. */
+case class CqlAlterOptions(table: String,
+  defaultTtl: Option[Option[Long]]) extends CqlDdl
 case class CqlAlterRename(table: String, pairs: Seq[(String, String)])
   extends CqlDdl
 /** `CREATE [CUSTOM] INDEX [IF NOT EXISTS] [name] ON t([kind(]col[)])
@@ -1237,6 +1246,12 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     case CqlDropKeyspace(name, ifExists) =>
       if (!keyspaces.remove(name.toLowerCase) && !ifExists)
         throw new CqlInvalidQueryException(s"unknown keyspace $name")
+    case CqlAlterKeyspace(name) =>
+      if (SystemKeyspaces.contains(name.toLowerCase))
+        throw new CqlInvalidQueryException(
+          s"system keyspaces are not user-modifiable")
+      if (!keyspaces.contains(name.toLowerCase))
+        throw new CqlInvalidQueryException(s"unknown keyspace $name")
     case CqlCreateTable(table, cols, pk, ck, ifNotExists, ckDesc, dTtl) =>
       if (table.toLowerCase.startsWith("system_schema.") ||
           table.toLowerCase.startsWith("system."))
@@ -1643,6 +1658,9 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       udtCols.filterInPlace { case ((tbl, c0), _) =>
         tbl != table.toLowerCase || !cols.exists(_.equalsIgnoreCase(c0))
       }
+    case CqlAlterOptions(table, dttl) =>
+      val t = tableState(table) // validates existence even for no-op options
+      dttl.foreach(v => state(table.toLowerCase) = t.copy(defaultTtl = v))
     case CqlAlterRename(table, pairs) =>
       // upstream renames exist for PRIMARY KEY columns only (regular cells
       // are addressed by name in sstables; key components are positional),

@@ -1908,6 +1908,44 @@ class CqlSessionSpec extends SparkSpec {
       .map(_.getAs[String]("create_statement")).toSeq === dump)
   }
 
+  test("ALTER TABLE WITH: options apply, TTL default settable and cancellable") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE ao (k bigint PRIMARY KEY, v text)")
+    // semantics-free options parse and discard, as at CREATE
+    s.execute("ALTER TABLE ao WITH comment = 'x' AND compaction = " +
+      "{'class': 'SizeTieredCompactionStrategy'} AND gc_grace_seconds = 3600")
+    s.execute("ALTER TABLE ao WITH default_time_to_live = 60")
+    val ddl = s.execute("DESCRIBE TABLE ao").head()
+      .getAs[String]("create_statement")
+    assert(ddl.contains("default_time_to_live = 60"))
+    s.execute("INSERT INTO ao (k, v) VALUES (1, 'a')")
+    // a far-future read expires the defaulted TTL (cell-level expiry path)
+    val future = Some(Long.MaxValue / 2)
+    assert(s.view("ao", future).filter(col("k") === 1).count() === 0,
+      "write after ALTER carries the table default TTL and expires")
+    s.execute("ALTER TABLE ao WITH default_time_to_live = 0")
+    s.execute("INSERT INTO ao (k, v) VALUES (2, 'b')")
+    assert(s.view("ao", future).filter(col("k") === 2).count() === 1,
+      "default_time_to_live = 0 cancels the default")
+    intercept[CqlInvalidQueryException] {
+      s.execute("ALTER TABLE ao WITH CLUSTERING ORDER BY (k DESC)")
+    }
+    intercept[CqlInvalidQueryException] {
+      s.execute("ALTER TABLE nosuch WITH comment = 'x'")
+    }
+    // ALTER KEYSPACE validates and discards replication options
+    s.execute("CREATE KEYSPACE aks WITH replication = " +
+      "{'class': 'SimpleStrategy', 'replication_factor': 1}")
+    s.execute("ALTER KEYSPACE aks WITH replication = " +
+      "{'class': 'NetworkTopologyStrategy', 'dc1': 3} AND durable_writes = true")
+    intercept[CqlInvalidQueryException] {
+      s.execute("ALTER KEYSPACE noks WITH durable_writes = false")
+    }
+    intercept[CqlInvalidQueryException] {
+      s.execute("ALTER KEYSPACE system WITH durable_writes = false")
+    }
+  }
+
   test("LWT conditions: IN, CONTAINS, CONTAINS KEY, collection elements") {
     val s = CqlSession(spark)
     s.execute("CREATE TABLE lc (k bigint PRIMARY KEY, v bigint, " +
