@@ -350,10 +350,14 @@ object CqlParser {
       c.expect("=")
       return col -> CqlFieldSet(f, parseValue(c))
     }
-    c.expect("=")
-    if (c.peekIs(col) && (c.peekAt(1) == "+" || c.peekAt(1) == "-")) {
-      c.next()
-      val add = c.next() == "+"
+    // `c += v` / `c -= v` shorthand (CQL 3.1 additionAssignment [U]) —
+    // sugar for `c = c + v` / `c = c - v`
+    val shorthand: Option[Boolean] =
+      if (c.peek == "+" && c.peekAt(1) == "=") { c.next(); c.next(); Some(true) }
+      else if (c.peek == "-" && c.peekAt(1) == "=") {
+        c.next(); c.next(); Some(false)
+      } else None
+    def opAssign(add: Boolean): (String, CqlAssign) =
       parseValue(c) match {
         case v @ (_: CqlList | _: CqlSetLit | _: CqlMapLit) =>
           col -> (if (add) CqlCollAdd(v) else CqlCollRemove(v))
@@ -362,7 +366,15 @@ object CqlParser {
         case other => throw new CqlInvalidQueryException(
           s"expected a collection literal or counter delta, got $other")
       }
-    } else col -> CqlAssignValue(parseValue(c))
+    shorthand match {
+      case Some(add) => opAssign(add)
+      case None =>
+        c.expect("=")
+        if (c.peekIs(col) && (c.peekAt(1) == "+" || c.peekAt(1) == "-")) {
+          c.next()
+          opAssign(c.next() == "+")
+        } else col -> CqlAssignValue(parseValue(c))
+    }
   }
 
   /** Parse `CREATE TABLE` / `DROP TABLE` / `TRUNCATE` (upstream

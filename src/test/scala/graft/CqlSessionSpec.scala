@@ -1946,6 +1946,27 @@ class CqlSessionSpec extends SparkSpec {
     }
   }
 
+  test("+= / -= assignment shorthand desugars to collection/counter ops") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE sh (k bigint PRIMARY KEY, l list<bigint>, " +
+      "st set<text>, m map<text, bigint>)")
+    s.execute("CREATE TABLE shc (k bigint PRIMARY KEY, c counter)")
+    s.execute("INSERT INTO sh (k, l, st, m) VALUES " +
+      "(1, [1], {'a'}, {'x': 1})")
+    s.execute("UPDATE sh SET l += [2] WHERE k = 1")
+    s.execute("UPDATE sh SET st += {'b'} WHERE k = 1")
+    s.execute("UPDATE sh SET st -= {'a'} WHERE k = 1")
+    s.execute("UPDATE sh SET m += {'y': 2} WHERE k = 1")
+    s.execute("UPDATE shc SET c += 5 WHERE k = 1")
+    s.execute("UPDATE shc SET c -= 2 WHERE k = 1")
+    val r = s.execute("SELECT l, st, m FROM sh WHERE k = 1").head()
+    assert(r.getAs[Seq[Long]]("l") === Seq(1L, 2L))
+    assert(r.getAs[Seq[String]]("st") === Seq("b"))
+    assert(r.getAs[Map[String, Long]]("m") === Map("x" -> 1L, "y" -> 2L))
+    assert(s.execute("SELECT c FROM shc WHERE k = 1").head()
+      .getLong(0) === 3L)
+  }
+
   test("LWT conditions: IN, CONTAINS, CONTAINS KEY, collection elements") {
     val s = CqlSession(spark)
     s.execute("CREATE TABLE lc (k bigint PRIMARY KEY, v bigint, " +
