@@ -859,6 +859,12 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
         case "avg" => avg(col(colArg(0)))
         case "writetime" => maxWritetimeCol(t, colArg(0))
         case "ttl" => ttlCol(t, colArg(0))
+        case "tojson" =>
+          // the JSON VALUE of one cell of any type (upstream ToJsonFct [U]):
+          // serialize a 1-element array (correct escaping/quoting for every
+          // type, null included) and strip the surrounding brackets
+          val j = to_json(array(col(colArg(0))))
+          j.substr(lit(2), length(j) - 2)
         case "token" if args.size <= 1 => CassandraModel.tokenOf(col(colArg(0)))
         case "token" => CassandraModel.murmurTokenOf(col(colArg(0)),
           col(colArg(1)), args.indices.drop(2).map(i => col(colArg(i))): _*)

@@ -373,7 +373,20 @@ object CqlParser {
         if (c.peekIs(col) && (c.peekAt(1) == "+" || c.peekAt(1) == "-")) {
           c.next()
           opAssign(c.next() == "+")
-        } else col -> CqlAssignValue(parseValue(c))
+        } else {
+          val v = parseValue(c)
+          if (c.accept("+")) { // `l = [v] + l` list prepend [U Lists.Prepender]
+            val rhsCol = c.next()
+            if (!rhsCol.equalsIgnoreCase(col))
+              throw new CqlInvalidQueryException(
+                s"prepend must reference the assigned column $col, got $rhsCol")
+            v match {
+              case lv: CqlList => col -> CqlCollPrepend(lv)
+              case other => throw new CqlInvalidQueryException(
+                s"only a list literal can be prepended, got $other")
+            }
+          } else col -> CqlAssignValue(v)
+        }
     }
   }
 
@@ -970,9 +983,19 @@ object CqlParser {
 
   private def parseKeyPredicates(c: Cursor): Seq[(String, Any)] = {
     def one(): (String, Any) = {
-      val col = c.next(); c.expect("="); col -> parseLiteral(c)
+      val col = c.next()
+      if (c.accept("in")) { // multi-key write: expands at apply time
+        c.expect("(")
+        var vs = Seq.empty[Any]
+        if (!c.accept(")")) {
+          vs = Seq(parseLiteral(c))
+          while (c.accept(",")) vs = vs :+ parseLiteral(c)
+          c.expect(")")
+        }
+        col -> CqlInList(vs)
+      } else { c.expect("="); col -> parseLiteral(c) }
     }
-    var out = Seq(one()) // key restrictions are `col = lit`
+    var out = Seq(one()) // key restrictions are `col = lit` or `col IN (…)`
     while (c.accept("and")) out = out :+ one()
     out
   }

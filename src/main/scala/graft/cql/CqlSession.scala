@@ -44,6 +44,8 @@ sealed trait CqlAssign
 case class CqlAssignValue(v: Any) extends CqlAssign
 /** `l = l + [..]` append / `s = s + {..}` union / `m = m + {k: v}` put. */
 case class CqlCollAdd(v: Any) extends CqlAssign
+/** `l = [v, …] + l` list prepend (upstream `Lists.Prepender` [U]). */
+case class CqlCollPrepend(v: Any) extends CqlAssign
 /** `l = l - [..]` / `s = s - {..}` element discard; `m = m - {k, ..}` key
   * discard. */
 case class CqlCollRemove(v: Any) extends CqlAssign
@@ -70,6 +72,11 @@ case object IfExists extends CqlCondition
   * `cql3/conditions/ColumnCondition` [U]). */
 case class IfColumns(preds: Seq[(String, Option[Any], String, Any)])
   extends CqlCondition
+
+/** A `col IN (v1, …)` key restriction in a DML WHERE clause (upstream
+  * allows IN on key columns of UPDATE/DELETE; the statement expands to
+  * one mutation per combination, all sharing a coordinator timestamp). */
+case class CqlInList(values: Seq[Any])
 
 /** CQL DML AST. */
 sealed trait CqlDml {
@@ -1129,10 +1136,47 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
 
   private[cql] def runSelect(sel: CqlSelect): DataFrame = engine.execute(sel)
 
+  /** Expand `col IN (…)` key restrictions into one mutation per value
+    * combination (cartesian over IN'd columns). Upstream rejects IN with
+    * conditions (a CAS addresses exactly one row). */
+  private def expandInPredicates(dml: CqlDml): Seq[CqlDml] = {
+    def hasIn(preds: Seq[(String, Any)]) =
+      preds.exists(_._2.isInstanceOf[CqlInList])
+    def expand(preds: Seq[(String, Any)]): Seq[Seq[(String, Any)]] =
+      preds.foldLeft(Seq(Seq.empty[(String, Any)])) { (acc, p) =>
+        p match {
+          case (c, CqlInList(vs)) =>
+            acc.flatMap(pre => vs.map(v => pre :+ (c -> v)))
+          case other => acc.map(_ :+ other)
+        }
+      }
+    def checkCond(cond: Option[CqlCondition]): Unit =
+      if (cond.isDefined) throw new CqlInvalidQueryException(
+        "IN on the primary key is not supported with conditional updates")
+    dml match {
+      case u: CqlUpdate if hasIn(u.keyPredicates) =>
+        checkCond(u.condition)
+        expand(u.keyPredicates).map(ps => u.copy(keyPredicates = ps))
+      case d: CqlDelete if hasIn(d.keyPredicates) =>
+        checkCond(d.condition)
+        expand(d.keyPredicates).map(ps => d.copy(keyPredicates = ps))
+      case other => Seq(other)
+    }
+  }
+
   private[cql] def runDml(dml: CqlDml): DataFrame = {
-    val applied = applyDml(dml, None)
-    if (dml.condition.isDefined) appliedResult(applied)
-    else spark.emptyDataFrame
+    val expanded = expandInPredicates(dml)
+    if (expanded.lengthCompare(1) == 0 && (expanded.head eq dml)) {
+      val applied = applyDml(dml, None)
+      if (dml.condition.isDefined) appliedResult(applied)
+      else spark.emptyDataFrame
+    } else {
+      // multi-key write: every expansion shares ONE coordinator timestamp
+      // (upstream: a statement is one mutation batch)
+      val shared = nextTs(None)
+      expanded.foreach(applyDml(_, Some(shared)))
+      spark.emptyDataFrame
+    }
   }
 
   /** Prepared-statement workflow (upstream `cql3/QueryProcessor` prepared
@@ -1157,7 +1201,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * allowed only when the batch itself carries none. CAS batch: all
     * conditions evaluate against the PRE-batch state (one Paxos round
     * upstream); the batch applies all-or-nothing. */
-  private[cql] def runBatch(b: CqlBatch): DataFrame = {
+  private[cql] def runBatch(b0: CqlBatch): DataFrame = {
+    val b = b0.copy(statements = b0.statements.flatMap(expandInPredicates))
     if (b.usingTimestamp.isDefined &&
         b.statements.exists(_.usingTimestamp.isDefined))
       throw new CqlInvalidQueryException(
@@ -1838,6 +1883,9 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         nullCellFor(dt)
       case (CqlAssignValue(v), _) => (coerce(v, dt), "set")
       case (CqlCollAdd(v: CqlList), _: ArrayType) => (coerce(v, dt), "app")
+      case (CqlCollPrepend(v: CqlList), _: ArrayType) => (coerce(v, dt), "pre")
+      case (CqlCollPrepend(_), other) => throw new CqlInvalidQueryException(
+        s"prepend is only defined for list columns, not $other")
       case (CqlCollAdd(v: CqlSetLit), _: ArrayType) => (coerce(v, dt), "uni")
       case (CqlCollAdd(v: CqlMapLit), _: MapType) => (coerce(v, dt), "put")
       case (CqlCollRemove(v: CqlList), _: ArrayType) => (coerce(v, dt), "rem")
@@ -2427,6 +2475,7 @@ object CqlPrepared {
     private val byName = scala.collection.mutable.HashMap.empty[String, Any]
     private val used = scala.collection.mutable.HashSet.empty[String]
     def value(v: Any): Any = v match {
+      case CqlInList(vs) => CqlInList(vs.map(value)) // markers bind per item
       case CqlBindMarker =>
         if (named != null)
           throw new CqlInvalidQueryException(
@@ -2458,6 +2507,7 @@ object CqlPrepared {
     private def assign(a: CqlAssign): CqlAssign = a match {
       case CqlAssignValue(v) => CqlAssignValue(value(v))
       case CqlCollAdd(v) => CqlCollAdd(value(v))
+      case CqlCollPrepend(v) => CqlCollPrepend(value(v))
       case CqlCollRemove(v) => CqlCollRemove(value(v))
       case CqlMapPut(k, v) => CqlMapPut(value(k), value(v))
       case CqlFieldSet(f, v) => CqlFieldSet(f, value(v))

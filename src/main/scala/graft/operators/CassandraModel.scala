@@ -261,6 +261,7 @@ object CassandraModel {
           when(op === "set", v)
             .when(op === "sset", canonSet(v))
             .when(op === "app", concat(coalesce(acc, empty), v))
+            .when(op === "pre", concat(v, coalesce(acc, empty)))
             .when(op === "uni",
               if (elemOrd) array_sort(array_union(coalesce(acc, empty), v))
               else canonSet(concat(coalesce(acc, empty), v)))

@@ -1946,6 +1946,38 @@ class CqlSessionSpec extends SparkSpec {
     }
   }
 
+  test("list prepend, IN-key writes, toJson selector") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE pin (k bigint PRIMARY KEY, v bigint, " +
+      "l list<bigint>, txt text)")
+    s.execute("INSERT INTO pin (k, v, l, txt) VALUES (1, 5, [1], 'a\"b')")
+    s.execute("INSERT INTO pin (k, v, l) VALUES (2, 6, [2])")
+    // `l = [v] + l` prepends (upstream Lists.Prepender)
+    s.execute("UPDATE pin SET l = [9] + l WHERE k = 1")
+    assert(s.execute("SELECT l FROM pin WHERE k = 1").head()
+      .getAs[Seq[Long]](0) === Seq(9L, 1L))
+    intercept[CqlInvalidQueryException] {
+      s.execute("UPDATE pin SET l = [9] + v WHERE k = 1")
+    }
+    // IN on the partition key expands to one mutation per value
+    s.execute("UPDATE pin SET v = 10 WHERE k IN (1, 2)")
+    assert(s.execute("SELECT v FROM pin ALLOW FILTERING").collect()
+      .map(_.getLong(0)).toSeq === Seq(10L, 10L))
+    s.execute("DELETE FROM pin WHERE k IN (1, 7)") // unknown keys no-op
+    assert(s.execute("SELECT k FROM pin ALLOW FILTERING").count() === 1)
+    intercept[CqlInvalidQueryException] { // upstream: CAS addresses ONE row
+      s.execute("UPDATE pin SET v = 1 WHERE k IN (1, 2) IF EXISTS")
+    }
+    // toJson emits the JSON VALUE of a cell: quoted/escaped text, arrays,
+    // bare numbers, null
+    val j = s.execute(
+      "SELECT toJson(txt) AS jt, toJson(l) AS jl, toJson(v) AS jv " +
+        "FROM pin WHERE k = 2").head()
+    assert(j.getString(0) === "null")
+    assert(j.getString(1) === "[2]")
+    assert(j.getString(2) === "10")
+  }
+
   test("+= / -= assignment shorthand desugars to collection/counter ops") {
     val s = CqlSession(spark)
     s.execute("CREATE TABLE sh (k bigint PRIMARY KEY, l list<bigint>, " +
