@@ -1234,7 +1234,8 @@ object CqlParser {
   }
 
   /** Functions accepted in literal position (predicate bounds). */
-  private val literalFns = Set("mintimeuuid", "maxtimeuuid", "totimestamp")
+  private val literalFns =
+    Set("mintimeuuid", "maxtimeuuid", "totimestamp", "fromjson")
 
   /** LIMIT / PER PARTITION LIMIT operand: an int literal or a bind marker
     * (`?` / `:name` — upstream allows markers in limit position). */

@@ -1790,8 +1790,49 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
 
   /** Driver-side literal coercion to the column's Spark type (CQL bind
     * values are typed; local Rows must match the log schema exactly). */
+  /** `fromJson('…')` value literal → our literal AST, then the normal
+    * type-directed coercion (upstream FromJsonFct is likewise type-directed
+    * by the receiving column [U cql3/functions/FromJsonFct.java]). */
+  private def jsonToLiteral(s: String): Any = {
+    import com.fasterxml.jackson.databind.JsonNode
+    val root =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+      catch { case _: Exception =>
+        throw new CqlInvalidQueryException(s"malformed JSON: $s") }
+    def conv(n: JsonNode): Any =
+      if (n == null || n.isNull) null
+      else if (n.isTextual) n.asText()
+      else if (n.isIntegralNumber) n.asLong()
+      else if (n.isNumber) n.asDouble()
+      else if (n.isBoolean) n.asBoolean()
+      else if (n.isArray)
+        CqlList((0 until n.size).map(i => conv(n.get(i))))
+      else if (n.isObject) {
+        val it = n.fields()
+        val buf = scala.collection.mutable.Buffer.empty[(Any, Any)]
+        while (it.hasNext) { val e = it.next(); buf += (e.getKey -> conv(e.getValue)) }
+        CqlMapLit(buf.toSeq)
+      } else throw new CqlInvalidQueryException(s"unsupported JSON node in $s")
+    conv(root)
+  }
+
   private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
+    case (CqlFnLit("fromjson", arg), dt2) =>
+      val s = arg match {
+        case x: String => x
+        case other => throw new CqlInvalidQueryException(
+          s"fromJson expects a JSON string, got $other")
+      }
+      (jsonToLiteral(s), dt2) match {
+        // a JSON object lands in a UDT column as a field map
+        case (m: CqlMapLit, st: StructType) =>
+          coerce(CqlUdtLit(m.entries.map { case (k, x) =>
+            (String.valueOf(k), x) }), st)
+        // a JSON array lands in a set column canonicalized (sorted distinct)
+        case (l: CqlList, at: ArrayType) => coerce(l, at)
+        case (lit0, t2) => coerce(lit0, t2)
+      }
     case (d: CqlDuration, st: StructType) if st == CqlParser.DurationType =>
       Row(d.months, d.days, d.nanos)
     case (s: String, st: StructType) if st == CqlParser.DurationType =>

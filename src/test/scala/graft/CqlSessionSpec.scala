@@ -1946,6 +1946,35 @@ class CqlSessionSpec extends SparkSpec {
     }
   }
 
+  test("fromJson value literals coerce type-directed in any value position") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TYPE fj_pt (x bigint, y text)")
+    s.execute("CREATE TABLE fj (k bigint PRIMARY KEY, v bigint, " +
+      "l list<bigint>, m map<text, bigint>, u fj_pt, txt text)")
+    s.execute("INSERT INTO fj (k, v) VALUES (1, fromJson('7'))")
+    s.execute("INSERT INTO fj (k, l) VALUES (2, fromJson('[1,2]'))")
+    s.execute("INSERT INTO fj (k, m) VALUES (3, fromJson('{\"x\": 5}'))")
+    s.execute("INSERT INTO fj (k, u) VALUES " +
+      "(4, fromJson('{\"x\": 1, \"y\": \"z\"}'))")
+    s.execute("UPDATE fj SET txt = fromJson('\"hi\"') WHERE k = 5")
+    assert(s.execute("SELECT v FROM fj WHERE k = 1").head().getLong(0) === 7L)
+    assert(s.execute("SELECT l FROM fj WHERE k = 2").head()
+      .getAs[Seq[Long]](0) === Seq(1L, 2L))
+    assert(s.execute("SELECT m FROM fj WHERE k = 3").head()
+      .getAs[Map[String, Long]](0) === Map("x" -> 5L))
+    assert(s.execute("SELECT u.y AS y FROM fj WHERE k = 4").head()
+      .getString(0) === "z")
+    assert(s.execute("SELECT txt FROM fj WHERE k = 5").head()
+      .getString(0) === "hi")
+    // a marker binds INSIDE fromJson, as upstream
+    val p = s.prepare("INSERT INTO fj (k, v) VALUES (?, fromJson(?))")
+    p.execute(20L, "44")
+    assert(s.execute("SELECT v FROM fj WHERE k = 20").head().getLong(0) === 44L)
+    intercept[CqlInvalidQueryException] {
+      s.execute("INSERT INTO fj (k, v) VALUES (8, fromJson('oops'))")
+    }
+  }
+
   test("list prepend, IN-key writes, toJson selector") {
     val s = CqlSession(spark)
     s.execute("CREATE TABLE pin (k bigint PRIMARY KEY, v bigint, " +
