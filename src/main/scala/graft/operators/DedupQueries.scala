@@ -305,6 +305,32 @@ object DedupQueries {
     componentSummary(connectedComponents(
       d3Pairs(s, d).select(col("id_a").as("src"), col("id_b").as("dst"))))
 
+  /** D10 (L2+ canonical selection): the KEEP RULE a production dedup run
+    * applies after clustering (RefinedWeb/FineWeb keep the best document
+    * of each near-dup cluster): within each D7 component keep the LONGEST
+    * document (ties → lowest id), drop the rest. Quality here is length —
+    * the rule composes with any scorer (x2/x17) unchanged.
+    * Scale shape: one extra label-keyed window + aggregate on top of the
+    * d7 label propagation — the labels are already partitioned by
+    * component, so the keep rule adds ONE shuffle of (id, lbl, n) triples
+    * regardless of corpus size. */
+  def d10_canonical(s: SparkSession, d: String): DataFrame = {
+    val lbl = connectedComponents(
+      d3Pairs(s, d).select(col("id_a").as("src"), col("id_b").as("dst")))
+    val len = corpusWithDups(s, d)
+      .select(col("doc_id"), length(col("text")).as("n"))
+    val w = Window.partitionBy(col("lbl"))
+      .orderBy(col("n").desc, col("id").asc)
+    lbl.join(len, lbl("id") === len("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("lbl").as("comp_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(when(col("rn") === 1, col("id"))).as("keep_id"),
+        concat_ws(",", sort_array(collect_list(
+          when(col("rn") =!= 1, col("id"))))).as("dropped_ids"))
+      .orderBy("comp_id")
+  }
+
   /** embeddings plus exact copies of every 7th vector (vec_id + 100000) —
     * the semantic-duplicate injection the oracle mirrors (the fixture has no
     * literal embedding duplicates, like the document corpus for d1/d2). */
@@ -407,6 +433,7 @@ object DedupQueries {
     "d5_ngram_jaccard" -> (d5_ngram_jaccard _),
     "d6_components" -> (d6_components _),
     "d7_components_lsh" -> (d7_components_lsh _),
+    "d10_canonical" -> (d10_canonical _),
     "d8_semdedup" -> (d8_semdedup _),
     "d9_substring" -> (d9_substring _),
   )
@@ -466,6 +493,28 @@ object DedupQueries {
        |  string_agg(id::VARCHAR, ',' ORDER BY id) AS members
        |FROM (SELECT a AS id, min(b) AS lbl FROM reach GROUP BY a)
        |GROUP BY lbl ORDER BY comp_id""".stripMargin
+
+  /** D10's twin: d7's label CTE joined with corpus lengths, the same
+    * (length desc, id asc) keep window. */
+  private val d10Oracle: String =
+    s"""WITH RECURSIVE $d3CandCtes,
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+       |          UNION SELECT id_b, id_a FROM cand),
+       |reach AS (
+       |  SELECT src AS a, src AS b FROM edges
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+       |lab AS (SELECT a AS id, min(b) AS lbl FROM reach GROUP BY a),
+       |ln AS (SELECT doc_id, len(text) AS n FROM corpus),
+       |rk AS (
+       |  SELECT lab.lbl, lab.id, row_number() OVER (PARTITION BY lab.lbl
+       |    ORDER BY ln.n DESC, lab.id ASC) AS rn
+       |  FROM lab JOIN ln ON lab.id = ln.doc_id)
+       |SELECT lbl AS comp_id, count(*) AS n_docs,
+       |  cast(max(CASE WHEN rn = 1 THEN id END) AS bigint) AS keep_id,
+       |  coalesce(string_agg(CASE WHEN rn <> 1 THEN id::VARCHAR END,
+       |    ',' ORDER BY id), '') AS dropped_ids
+       |FROM rk GROUP BY lbl ORDER BY comp_id""".stripMargin
 
   /** D4's DuckDB twin: same 60-bit md5-derived sketch, bit-for-bit. */
   private val d4Oracle: String =
@@ -618,6 +667,7 @@ object DedupQueries {
         |FROM (SELECT a AS id, min(b) AS lbl FROM reach GROUP BY a)
         |GROUP BY lbl ORDER BY comp_id""".stripMargin,
     "d7_components_lsh" -> d7Oracle,
+    "d10_canonical" -> d10Oracle,
     "d8_semdedup" -> d8Oracle,
     "d9_substring" -> d9Oracle,
   )
