@@ -719,6 +719,8 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
   private def predColumn(p: CqlPredicate, t: CqlTable): Column = p match {
     case p: ColumnPredicate =>
       val fnLit = p.values.headOption match {
+        case Some(CqlFnLit("token", _)) if p.isToken =>
+          None // token(v…) rhs: handled by the token value branch below
         case Some(f: CqlFnLit) if !p.isToken &&
             Set("=", "!=", "<", "<=", ">", ">=").contains(p.op) => Some(f)
         case Some(f: CqlFnLit) => throw new CqlInvalidQueryException(
@@ -740,7 +742,21 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
       def v: Column = fnLit match {
         case Some(f) => fnBound(p, f)._2
         case None =>
-          if (p.isToken) lit(p.values.head) else typedLit(t, p.column, p.values.head)
+          if (p.isToken) p.values.head match {
+            // rhs `token(v…)`: the SAME hash as the lhs, over literal keys —
+            // component count must match the lhs partition key list
+            case CqlFnLit("token", CqlList(vs)) =>
+              val nKeys = p.column.split(",").length
+              if (vs.length != nKeys)
+                throw new CqlInvalidQueryException(
+                  s"token() on the value side takes $nKeys component(s), " +
+                    s"got ${vs.length}")
+              if (vs.length == 1) CassandraModel.tokenOf(lit(vs.head))
+              else CassandraModel.murmurTokenOf(
+                lit(vs(0)), lit(vs(1)), vs.drop(2).map(lit(_)): _*)
+            case raw => lit(raw)
+          }
+          else typedLit(t, p.column, p.values.head)
       }
       // duration is not orderable — upstream rejects slice restrictions on
       // duration columns [U db/marshal/DurationType, StatementRestrictions]

@@ -1187,7 +1187,17 @@ object CqlParser {
         case o @ ("=" | "!=" | "<" | "<=" | ">" | ">=") => o
         case o => throw new CqlInvalidQueryException(s"unsupported operator $o")
       }
-      ColumnPredicate(column, op, Seq(parseLiteral(c)), isToken)
+      // `token(col…) op token(v…)` — the rhs token() call computes the ring
+      // token of literal key values (upstream TokenFct on constants [U])
+      val v: Any =
+        if (isToken && c.peekIs("token") && c.peekAt(1) == "(") {
+          c.next(); c.expect("(")
+          var vs = Seq(parseLiteral(c))
+          while (c.accept(",")) vs = vs :+ parseLiteral(c)
+          c.expect(")")
+          CqlFnLit("token", CqlList(vs))
+        } else parseLiteral(c)
+      ColumnPredicate(column, op, Seq(v), isToken)
     }
   }
 

@@ -1946,6 +1946,25 @@ class CqlSessionSpec extends SparkSpec {
     }
   }
 
+  test("token(literal) on the value side of a token relation") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE tk (k bigint PRIMARY KEY, v bigint)")
+    (1L to 5L).foreach(i =>
+      s.execute(s"INSERT INTO tk (k, v) VALUES ($i, ${i * 10})"))
+    // token(k) > token(3) selects exactly the keys whose ring token
+    // exceeds key 3's — the resume-from-key scan pattern drivers issue
+    val expect = s.execute("SELECT k, token(k) AS t FROM tk").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val t3 = expect(3L)
+    val got = s.execute(
+      "SELECT k FROM tk WHERE token(k) > token(3) ALLOW FILTERING")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expect.filter(_._2 > t3).keySet)
+    intercept[CqlInvalidQueryException] {
+      s.execute("SELECT k FROM tk WHERE token(k) > token(1, 2) ALLOW FILTERING")
+    }
+  }
+
   test("fromJson value literals coerce type-directed in any value position") {
     val s = CqlSession(spark)
     s.execute("CREATE TYPE fj_pt (x bigint, y text)")
