@@ -69,6 +69,11 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
 
   def execute(cql: String): DataFrame = execute(CqlParser.parse(cql))
 
+  /** The engine's full table registry (user tables, MVs, system virtual
+    * tables) — consumed by the Spark catalog bridge
+    * [[graft.spark.GraftCatalog]]. */
+  private[graft] def catalogTables: Map[String, CqlTable] = catalog
+
   /** O4 paging — the driver page protocol (upstream
     * `service/pager/QueryPager` [U]): a page "token" is nothing but the
     * last row's clustering tuple, replayed as a `(ck…) > (v…)` restriction
@@ -746,14 +751,22 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
             // rhs `token(v…)`: the SAME hash as the lhs, over literal keys —
             // component count must match the lhs partition key list
             case CqlFnLit("token", CqlList(vs)) =>
-              val nKeys = p.column.split(",").length
-              if (vs.length != nKeys)
+              val keys = p.column.split(",")
+              if (vs.length != keys.length)
                 throw new CqlInvalidQueryException(
-                  s"token() on the value side takes $nKeys component(s), " +
-                    s"got ${vs.length}")
+                  s"token() on the value side takes ${keys.length} " +
+                    s"component(s), got ${vs.length}")
               if (vs.length == 1) CassandraModel.tokenOf(lit(vs.head))
-              else CassandraModel.murmurTokenOf(
-                lit(vs(0)), lit(vs(1)), vs.drop(2).map(lit(_)): _*)
+              else {
+                // each literal must serialize with the matching pk column's
+                // type: an integer literal parses as Long (8 bytes) but an
+                // `int` component hashes 4 — coerce before hashing so both
+                // sides of the relation compute the same ring token
+                val comps = keys.zip(vs).map { case (c, x) =>
+                  typedLit(t, c, x) }
+                CassandraModel.murmurTokenOf(
+                  comps(0), comps(1), comps.drop(2).toIndexedSeq: _*)
+              }
             case raw => lit(raw)
           }
           else typedLit(t, p.column, p.values.head)
@@ -879,7 +892,10 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
           // the JSON VALUE of one cell of any type (upstream ToJsonFct [U]):
           // serialize a 1-element array (correct escaping/quoting for every
           // type, null included) and strip the surrounding brackets
-          val j = to_json(array(col(colArg(0))))
+          // ignoreNullFields must be off: upstream emits UDT null fields
+          // explicitly ({"x":1,"y":null}), Spark's default drops them
+          val j = to_json(array(col(colArg(0))),
+            Map("ignoreNullFields" -> "false"))
           j.substr(lit(2), length(j) - 2)
         case "token" if args.size <= 1 => CassandraModel.tokenOf(col(colArg(0)))
         case "token" => CassandraModel.murmurTokenOf(col(colArg(0)),

@@ -382,6 +382,11 @@ object CqlParser {
                 s"prepend must reference the assigned column $col, got $rhsCol")
             v match {
               case lv: CqlList => col -> CqlCollPrepend(lv)
+              // a whole-list bind marker is legal here (`l = ? + l`,
+              // upstream Lists.Prepender); the apply side rejects a bound
+              // non-list after substitution
+              case CqlBindMarker | _: CqlNamedMarker =>
+                col -> CqlCollPrepend(v)
               case other => throw new CqlInvalidQueryException(
                 s"only a list literal can be prepended, got $other")
             }

@@ -112,6 +112,56 @@ case class CqlDelete(table: String, keyPredicates: Seq[(String, Any)],
 case class CqlBatch(statements: Seq[CqlDml], usingTimestamp: Option[Any],
   logged: Boolean, counter: Boolean = false)
 
+/** Auth statement AST (upstream `cql3/statements/CreateRoleStatement.java`,
+  * `GrantPermissionsStatement.java`, `ListPermissionsStatement.java` [U]).
+  * Role management + permission grants over the data/role resource
+  * hierarchies; enforced at statement execution by [[CqlSession]]. */
+sealed trait CqlAuth
+case class CqlCreateRole(name: String, ifNotExists: Boolean,
+  superuser: Boolean, login: Boolean, password: Option[String]) extends CqlAuth
+case class CqlAlterRole(name: String, superuser: Option[Boolean],
+  login: Option[Boolean], password: Option[String]) extends CqlAuth
+case class CqlDropRole(name: String, ifExists: Boolean) extends CqlAuth
+case class CqlGrant(perms: Seq[String], resource: CqlResource, role: String)
+  extends CqlAuth
+case class CqlRevoke(perms: Seq[String], resource: CqlResource, role: String)
+  extends CqlAuth
+/** `LIST ALL PERMISSIONS | LIST <perm> PERMISSION` with optional ON/OF. */
+case class CqlListPermissions(perms: Option[Seq[String]],
+  on: Option[CqlResource], of: Option[String]) extends CqlAuth
+case class CqlListRoles(of: Option[String]) extends CqlAuth
+
+/** An authorizable resource (upstream `auth/DataResource.java` /
+  * `RoleResource.java` [U]): the `data` and `roles` hierarchies. `key` is
+  * the canonical registry key; `chain` the key plus every ancestor, so a
+  * grant anywhere up the hierarchy authorizes the leaf. */
+sealed trait CqlResource {
+  def key: String
+  def display: String
+  def chain: Seq[String]
+}
+case object AllKeyspacesRes extends CqlResource {
+  val key = "data"; val display = "<all keyspaces>"; val chain = Seq(key)
+}
+case class KeyspaceRes(ks: String) extends CqlResource {
+  def key = s"data/${ks.toLowerCase}"
+  def display = s"<keyspace ${ks.toLowerCase}>"
+  def chain = Seq(key, "data")
+}
+case class TableRes(ks: String, table: String) extends CqlResource {
+  def key = s"data/${ks.toLowerCase}/${table.toLowerCase}"
+  def display = s"<table ${ks.toLowerCase}.${table.toLowerCase}>"
+  def chain = Seq(key, s"data/${ks.toLowerCase}", "data")
+}
+case object AllRolesRes extends CqlResource {
+  val key = "roles"; val display = "<all roles>"; val chain = Seq(key)
+}
+case class RoleRes(role: String) extends CqlResource {
+  def key = s"roles/${role.toLowerCase}"
+  def display = s"<role ${role.toLowerCase}>"
+  def chain = Seq(key, "roles")
+}
+
 /** CQL DDL AST (upstream `cql3/statements/schema/` [U]). */
 sealed trait CqlDdl
 case class CqlColumnDef(name: String,
@@ -438,6 +488,57 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   /** The read engine over the current session state — exposes the
     * driver-protocol pager (`executePaged`) alongside plain `execute`. */
   def engineView: CqlEngine = engine
+
+  // ——— Spark catalog bridge ([[graft.spark.GraftCatalog]]) ———
+
+  /** Register this session as Spark SQL catalog `name`: afterwards plain
+    * Spark SQL reads the whole CQL schema by three-part name —
+    * `SELECT * FROM name.default.t`, `SHOW TABLES IN name.default` —
+    * served from per-epoch parquet snapshots of the reconciled views
+    * [P: the spark-cassandra-connector's CassandraCatalog is the public
+    * analogue of this surface]. Writes stay CQL-side by design: the
+    * catalog tables expose only BATCH_READ, so the session's timestamp
+    * reconcile, LWT, and guardrail semantics cannot be bypassed. */
+  def exposeAsCatalog(name: String = "graft"): Unit = {
+    graft.spark.GraftCatalog.bind(name, this)
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.spark.GraftCatalog].getName)
+  }
+
+  private[graft] def sparkSession: SparkSession = spark
+  private[graft] def userKeyspaceName: String = UserKeyspace
+  private[graft] def userKeyspaces: Seq[String] =
+    (keyspaces.toSeq.filterNot(SystemKeyspaces) :+ UserKeyspace)
+      .distinct.sorted
+  private[graft] def systemKeyspaces: Set[String] = SystemKeyspaces
+  private[graft] def engineCatalog: Map[String, CqlTable] =
+    engine.catalogTables
+  private[graft] def cqlTypeNameOf(dt: DataType): String =
+    cqlTypeName(dt, Set.empty)
+
+  /** Per-epoch parquet snapshot of a table's reconciled read view — the
+    * flush/SSTable analogue the Spark catalog serves. Rewritten only when
+    * the mutation epoch moved; the epoch is part of the directory name so
+    * Spark-side file-index caches never see a mutated directory. */
+  private val snapshotCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, String, StructType)]()
+  private lazy val snapshotRoot =
+    java.nio.file.Files.createTempDirectory("graft-catalog").toString
+  private[graft] def catalogSnapshot(table: String): (String, StructType) = {
+    val key = table.toLowerCase
+    val cur = snapshotCache.get(key)
+    if (cur != null && cur._1 == mutationEpoch) (cur._2, cur._3)
+    else {
+      val t = engineCatalog.getOrElse(key,
+        throw new CqlInvalidQueryException(s"unknown table $table"))
+      val visible = t.df.columns.filterNot(_.startsWith("_")).toSeq
+      val df = t.df.select(visible.map(col): _*)
+      val dir = s"$snapshotRoot/${key.replace('.', '_')}/$mutationEpoch"
+      df.write.mode("overwrite").parquet(dir)
+      snapshotCache.put(key, (mutationEpoch, dir, df.schema))
+      (dir, df.schema)
+    }
+  }
 
   private def engine: CqlEngine = engineCache match {
     case Some((e, eng)) if e == mutationEpoch => eng
@@ -1925,6 +2026,12 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       case (CqlAssignValue(v), _) => (coerce(v, dt), "set")
       case (CqlCollAdd(v: CqlList), _: ArrayType) => (coerce(v, dt), "app")
       case (CqlCollPrepend(v: CqlList), _: ArrayType) => (coerce(v, dt), "pre")
+      case (CqlCollPrepend(v: Seq[_]), _: ArrayType) =>
+        // whole-list bind (`l = ? + l`): the marker binds a raw Seq
+        (coerce(CqlList(v), dt), "pre")
+      case (CqlCollPrepend(v), _: ArrayType) =>
+        throw new CqlInvalidQueryException(
+          s"prepend expects a bound list value, got $v")
       case (CqlCollPrepend(_), other) => throw new CqlInvalidQueryException(
         s"prepend is only defined for list columns, not $other")
       case (CqlCollAdd(v: CqlSetLit), _: ArrayType) => (coerce(v, dt), "uni")

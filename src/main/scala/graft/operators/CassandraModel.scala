@@ -713,25 +713,37 @@ object CassandraModel {
     * DuckDB twin (c1's SQL) computes — so the file stream source, the
     * per-batch snapshot merge, tombstone retention under grace, and the
     * sink's overwrite commit all sit inside the row/hash compare. */
+  /** c13's staged input waves, cached per (sf dir, JVM): the upsert log is
+    * deterministic from `orders`, so re-deriving and re-writing it per call
+    * (two coalesce(1) jobs + copies) only re-creates identical bytes. The
+    * snapshot/checkpoint dirs stay fresh per call — they ARE the state
+    * under test. */
+  private val c13Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, (String,
+      org.apache.spark.sql.types.StructType)]()
+
   def c13_stream_upsert(s: SparkSession, d: String): DataFrame = {
     import java.nio.file.{Files, StandardCopyOption}
-    val log = upsertLog(s, d).filter(col("pk") < 200)
-    val inDir = Files.createTempDirectory("graft-c13-in")
+    val (inDir, logSchema) = c13Staged.computeIfAbsent(d, { src =>
+      val log = upsertLog(s, src).filter(col("pk") < 200)
+      val dir = Files.createTempDirectory("graft-c13-in")
+      def stage(df: DataFrame, name: String): Unit = {
+        val tmp = Files.createTempDirectory("graft-c13-w").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.copy(part.toPath, dir.resolve(name),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      stage(log.filter(col("v") =!= 1), "w1.parquet")
+      stage(log.filter(col("v") === 1), "w2.parquet")
+      (dir.toString, log.schema)
+    })
     val snapDir = Files.createTempDirectory("graft-c13-out")
       .resolve("snap").toString
     val ckpt = Files.createTempDirectory("graft-c13-ckpt").toString
-    def stage(df: DataFrame, name: String): Unit = {
-      val tmp = Files.createTempDirectory("graft-c13-w").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      Files.copy(part.toPath, inDir.resolve(name),
-        StandardCopyOption.REPLACE_EXISTING)
-    }
-    stage(log.filter(col("v") =!= 1), "w1.parquet")
-    stage(log.filter(col("v") === 1), "w2.parquet")
-    val writes = s.readStream.schema(log.schema)
-      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val writes = s.readStream.schema(logSchema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
     graft.streaming.StreamingPipelines
       .upsertSink(writes, snapDir, ckpt, nowWt = 1009L, graceWt = 2000L)
       .awaitTermination()

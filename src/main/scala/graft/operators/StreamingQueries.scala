@@ -113,14 +113,21 @@ object StreamingQueries {
 
   /** Stage the events fixture as a single file-source dir (ONE file → ONE
     * micro-batch, so no cross-batch watermark drops and the run is
-    * deterministic). Shared by the true-streaming gate queries. */
-  private def stageEvents(d: String): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val dir = Files.createTempDirectory("graft-stream")
-    Files.copy(Paths.get(s"$d/events.parquet"),
-      dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    dir.toString
-  }
+    * deterministic). Shared by the true-streaming gate queries. Cached per
+    * (source dir, JVM): bench/verify call each gate query repeatedly in one
+    * session and re-copying the fixture per call was 22% of the r7 suite —
+    * the streamed BYTES are identical either way, so the gate semantics
+    * (file source, watermark, state store, sink commit) are untouched. */
+  private val stagedEvents =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageEvents(d: String): String =
+    stagedEvents.computeIfAbsent(d, { src =>
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val dir = Files.createTempDirectory("graft-stream")
+      Files.copy(Paths.get(s"$src/events.parquet"),
+        dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      dir.toString
+    })
 
   /** T10 — the TRUE stream-stream join executor inside the hash gate
     * (T8+ was spec-only): clicks joined to the same user's purchases

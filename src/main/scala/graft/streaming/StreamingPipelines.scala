@@ -36,7 +36,13 @@ object StreamingPipelines {
     * TimestampType the same way [[Tables.events]] does. */
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val tsType = s.read.parquet(dir).schema("ts").dataType
+    // probe the staged file's footer; an empty/unreadable dir (construction
+    // before the first stage) falls back to the declared schema so stream
+    // construction degrades to the pre-probe behavior instead of throwing
+    val tsType =
+      try s.read.parquet(dir).schema("ts").dataType
+      catch { case scala.util.control.NonFatal(_) =>
+        Tables.eventsRawSchema.find(_.name == "ts").get.dataType }
     val schema = StructType(Tables.eventsRawSchema.map {
       case f if f.name == "ts" => f.copy(dataType = tsType)
       case f => f

@@ -17,4 +17,19 @@ object GraftShim {
   def parseExpression(spark: SparkSession, s: String): Expression =
     spark.asInstanceOf[classic.SparkSession].sessionState.sqlParser
       .parseExpression(s)
+
+  /** A DSv2 Table over a parquet directory, served by Spark's builtin
+    * parquet reader (ParquetTable is `private[sql]`, hence this shim).
+    * Backs [[graft.spark.GraftCatalog]]: catalog reads get the stock
+    * vectorized scan — pushdown, pruning, whole-stage codegen — against an
+    * immutable snapshot directory. */
+  def parquetTable(spark: SparkSession, name: String, path: String,
+      schema: org.apache.spark.sql.types.StructType)
+      : connector.catalog.Table =
+    execution.datasources.v2.parquet.ParquetTable(
+      name, spark.asInstanceOf[classic.SparkSession],
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()),
+      Seq(path), Some(schema),
+      classOf[execution.datasources.parquet.ParquetFileFormat])
 }

@@ -1965,6 +1965,28 @@ class CqlSessionSpec extends SparkSpec {
     }
   }
 
+  test("composite token(literal) coerces each component to its pk type") {
+    val s = CqlSession(spark)
+    // int components: an integer literal parses as Long (8-byte
+    // serialization) but the column hashes 4 bytes — without per-component
+    // coercion the two sides of the relation compute different ring tokens
+    s.execute("CREATE TABLE tk2 (a int, b int, v bigint, " +
+      "PRIMARY KEY ((a, b)))")
+    (1 to 4).foreach(i =>
+      s.execute(s"INSERT INTO tk2 (a, b, v) VALUES ($i, ${i + 1}, $i)"))
+    val eq = s.execute(
+      "SELECT v FROM tk2 WHERE token(a, b) = token(2, 3) ALLOW FILTERING")
+      .collect().map(_.getLong(0)).toSeq
+    assert(eq === Seq(2L))
+    // and the range form partitions the rows exactly like the lhs hash
+    val toks = s.execute("SELECT v, token(a, b) AS t FROM tk2").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = s.execute(
+      "SELECT v FROM tk2 WHERE token(a, b) > token(2, 3) ALLOW FILTERING")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === toks.filter(_._2 > toks(2L)).keySet)
+  }
+
   test("fromJson value literals coerce type-directed in any value position") {
     val s = CqlSession(spark)
     s.execute("CREATE TYPE fj_pt (x bigint, y text)")
@@ -1992,6 +2014,11 @@ class CqlSessionSpec extends SparkSpec {
     intercept[CqlInvalidQueryException] {
       s.execute("INSERT INTO fj (k, v) VALUES (8, fromJson('oops'))")
     }
+    // toJson of a UDT cell keeps null fields explicit like upstream
+    // ToJsonFct ({"x":1,"y":null}), where Spark's to_json default drops them
+    s.execute("INSERT INTO fj (k, u) VALUES (9, fromJson('{\"x\": 1}'))")
+    assert(s.execute("SELECT toJson(u) AS ju FROM fj WHERE k = 9").head()
+      .getString(0) === "{\"x\":1,\"y\":null}")
   }
 
   test("list prepend, IN-key writes, toJson selector") {
@@ -2006,6 +2033,15 @@ class CqlSessionSpec extends SparkSpec {
       .getAs[Seq[Long]](0) === Seq(9L, 1L))
     intercept[CqlInvalidQueryException] {
       s.execute("UPDATE pin SET l = [9] + v WHERE k = 1")
+    }
+    // a whole-list bind marker in the prepend position (upstream
+    // Lists.Prepender accepts a marker, not just an inline literal)
+    val pre = s.prepare("UPDATE pin SET l = ? + l WHERE k = ?")
+    pre.execute(Seq(7L, 8L), 1L)
+    assert(s.execute("SELECT l FROM pin WHERE k = 1").head()
+      .getAs[Seq[Long]](0) === Seq(7L, 8L, 9L, 1L))
+    intercept[CqlInvalidQueryException] { // bound non-list is rejected
+      pre.execute(42L, 1L)
     }
     // IN on the partition key expands to one mutation per value
     s.execute("UPDATE pin SET v = 10 WHERE k IN (1, 2)")

@@ -1,0 +1,130 @@
+package graft
+
+import graft.cql.CqlSession
+
+class GraftCatalogSpec extends SparkSpec {
+
+  test("three-part-name Spark SQL reads the CQL registry") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE cat_users (user_id bigint PRIMARY KEY, " +
+      "name text, age bigint)")
+    s.execute("INSERT INTO cat_users (user_id, name, age) VALUES (1, 'ann', 30)")
+    s.execute("INSERT INTO cat_users (user_id, name, age) VALUES (2, 'bob', 40)")
+    s.exposeAsCatalog("graft")
+    val rows = spark.sql(
+      "SELECT user_id, name FROM graft.default.cat_users ORDER BY user_id")
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "ann"), (2L, "bob")))
+    // catalog reads see the reconciled view: a newer write wins
+    s.execute("UPDATE cat_users SET name = 'anna' WHERE user_id = 1")
+    val after = spark.sql(
+      "SELECT name FROM graft.default.cat_users WHERE user_id = 1").collect()
+    assert(after.map(_.getString(0)).toSeq === Seq("anna"))
+    // and a session-side DELETE disappears from the Spark-side read
+    s.execute("DELETE FROM cat_users WHERE user_id = 2")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.default.cat_users")
+      .head().getLong(0) === 1L)
+  }
+
+  test("SHOW TABLES / SHOW NAMESPACES list the registry") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE cat_t1 (k bigint PRIMARY KEY, v bigint)")
+    s.execute("CREATE TABLE cat_t2 (k bigint PRIMARY KEY, v bigint)")
+    s.exposeAsCatalog("graft")
+    val tables = spark.sql("SHOW TABLES IN graft.default").collect()
+      .map(_.getString(1)).toSet
+    assert(Set("cat_t1", "cat_t2").subsetOf(tables))
+    val namespaces = spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).toSet
+    assert(namespaces.contains("default"))
+    assert(namespaces.contains("system_schema"))
+  }
+
+  test("system virtual tables are reachable by three-part name") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE cat_sys (k bigint PRIMARY KEY, v text)")
+    s.exposeAsCatalog("graft")
+    val names = spark.sql(
+      "SELECT table_name FROM graft.system_schema.tables").collect()
+      .map(_.getString(0)).toSet
+    assert(names.contains("cat_sys"))
+  }
+
+  test("materialized views read through the catalog") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE cat_ord (k bigint, c bigint, amt bigint, " +
+      "PRIMARY KEY (k, c))")
+    s.execute("INSERT INTO cat_ord (k, c, amt) VALUES (1, 1, 10)")
+    s.execute("INSERT INTO cat_ord (k, c, amt) VALUES (1, 2, 20)")
+    s.execute("CREATE MATERIALIZED VIEW cat_by_c AS SELECT c, k, amt " +
+      "FROM cat_ord WHERE c IS NOT NULL AND k IS NOT NULL " +
+      "PRIMARY KEY (c, k)")
+    s.exposeAsCatalog("graft")
+    val rows = spark.sql(
+      "SELECT amt FROM graft.default.cat_by_c WHERE c = 2").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(20L))
+  }
+
+  test("CREATE TABLE ... PARTITIONED BY through the catalog maps to CQL") {
+    val s = CqlSession(spark)
+    s.exposeAsCatalog("graft")
+    spark.sql("CREATE TABLE graft.default.cat_new " +
+      "(k BIGINT, c BIGINT, v STRING) PARTITIONED BY (k) " +
+      "TBLPROPERTIES ('clustering_key' = 'c')")
+    // the table landed in the CQL registry with the declared key shape
+    s.execute("INSERT INTO cat_new (k, c, v) VALUES (1, 2, 'x')")
+    assert(s.execute("SELECT v FROM cat_new WHERE k = 1 AND c = 2")
+      .head().getString(0) === "x")
+    assert(spark.sql("SELECT v FROM graft.default.cat_new WHERE k = 1")
+      .head().getString(0) === "x")
+    // ORDER BY on the clustering column is legal → ck registered
+    s.execute("SELECT v FROM cat_new WHERE k = 1 ORDER BY c DESC")
+    intercept[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException] {
+      spark.sql("CREATE TABLE graft.default.cat_new (k BIGINT) " +
+        "PARTITIONED BY (k)")
+    }
+  }
+
+  test("catalog tables are read-only: writes must go through CQL") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE cat_ro (k bigint PRIMARY KEY, v bigint)")
+    s.exposeAsCatalog("graft")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft.default.cat_ro VALUES (1, 2)")
+    }
+    assert(e.getMessage.toLowerCase.contains("does not support") ||
+      e.getMessage.toLowerCase.contains("unsupported") ||
+      e.getMessage.toLowerCase.contains("append"))
+  }
+
+  test("catalog scans push filters and prune columns like any parquet scan") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE cat_push (k bigint PRIMARY KEY, a bigint, " +
+      "b text, c text)")
+    (1L to 50L).foreach(i =>
+      s.execute(s"INSERT INTO cat_push (k, a, b, c) VALUES ($i, ${i * 2}, " +
+        s"'b$i', 'c$i')"))
+    s.exposeAsCatalog("graft")
+    val df = spark.sql(
+      "SELECT a FROM graft.default.cat_push WHERE a > 40")
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema") && !plan.contains("c#"),
+      "unused columns not pruned")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq ===
+      (42L to 100L by 2).toSeq)
+  }
+
+  test("DROP TABLE through the catalog removes the CQL table") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE cat_drop (k bigint PRIMARY KEY)")
+    s.exposeAsCatalog("graft")
+    spark.sql("DROP TABLE graft.default.cat_drop")
+    intercept[graft.cql.CqlInvalidQueryException] {
+      s.execute("SELECT * FROM cat_drop")
+    }
+  }
+}

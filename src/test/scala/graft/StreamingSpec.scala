@@ -16,6 +16,16 @@ class StreamingSpec extends SparkSpec {
     dir.toString
   }
 
+  test("eventsStream constructs on an empty dir (declared-schema fallback)") {
+    // the footer probe can't read an empty staging dir — construction must
+    // fall back to the declared schema instead of throwing (the pre-probe
+    // behavior), so a stream can be opened before the first file lands
+    val empty = Files.createTempDirectory("graft-stream-empty").toString
+    val df = StreamingPipelines.eventsStream(spark, empty)
+    assert(df.isStreaming)
+    assert(df.schema.fieldNames.contains("ts"))
+  }
+
   test("streaming hourly tumble (AvailableNow) equals the batch twin") {
     val stream = StreamingPipelines.eventsStream(spark, stagedDir)
     StreamingPipelines.runToMemory(
