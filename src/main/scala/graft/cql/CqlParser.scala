@@ -104,7 +104,8 @@ object CqlParser {
       // the catalog is flat (keyspace qualifiers drop) EXCEPT the
       // system/system_schema virtual tables, addressed by their upstream
       // qualified names [U db/virtual/, schema/SchemaKeyspace.java]
-      if (n.equalsIgnoreCase("system_schema") || n.equalsIgnoreCase("system"))
+      if (n.equalsIgnoreCase("system_schema") || n.equalsIgnoreCase("system")
+          || n.equalsIgnoreCase("system_views"))
         s"${n.toLowerCase}.$t"
       else t
     } else n
@@ -458,6 +459,153 @@ object CqlParser {
   private def parseLiteralToken(t: String): String =
     if (t.startsWith("'")) t.substring(1, t.length - 1).replace("''", "'")
     else t
+
+  /** The full auth statement surface (upstream `cql3/statements/
+    * CreateRoleStatement`, `GrantPermissionsStatement`,
+    * `ListPermissionsStatement`, `ListRolesStatement` [U]):
+    * `CREATE/ALTER/DROP ROLE`, `GRANT/REVOKE … ON … TO/FROM`,
+    * `LIST [ALL|<perm>] PERMISSIONS [ON res] [OF role]`,
+    * `LIST ROLES [OF role]`. */
+  def parseAuth(cql: String): CqlAuth = {
+    val c = new Cursor(tokenize(cql.stripSuffix(";")))
+    val out = c.next().toLowerCase match {
+      case "create" =>
+        c.expect("role")
+        val ifNotExists =
+          c.accept("if") && { c.expect("not"); c.expect("exists"); true }
+        val name = roleName(c)
+        var (su, lg, pw) = (false, true, Option.empty[String])
+        if (c.accept("with")) {
+          var more = true
+          while (more) {
+            val opt = c.next().toLowerCase
+            c.expect("=")
+            opt match {
+              case "superuser" => su = parseBool(c)
+              case "login" => lg = parseBool(c)
+              case "password" => pw = Some(parseLiteralToken(c.next()))
+              case other => throw new CqlInvalidQueryException(
+                s"unknown role option $other")
+            }
+            more = c.accept("and")
+          }
+        }
+        CqlCreateRole(name, ifNotExists, su, lg, pw)
+      case "alter" =>
+        c.expect("role")
+        val name = roleName(c)
+        c.expect("with")
+        var (su, lg, pw) = (Option.empty[Boolean], Option.empty[Boolean],
+          Option.empty[String])
+        var more = true
+        while (more) {
+          val opt = c.next().toLowerCase
+          c.expect("=")
+          opt match {
+            case "superuser" => su = Some(parseBool(c))
+            case "login" => lg = Some(parseBool(c))
+            case "password" => pw = Some(parseLiteralToken(c.next()))
+            case other => throw new CqlInvalidQueryException(
+              s"unknown role option $other")
+          }
+          more = c.accept("and")
+        }
+        CqlAlterRole(name, su, lg, pw)
+      case "drop" =>
+        c.expect("role")
+        val ifExists = c.accept("if") && { c.expect("exists"); true }
+        CqlDropRole(roleName(c), ifExists)
+      case "grant" =>
+        val perms = parsePermList(c)
+        c.expect("on")
+        val res = parseResource(c)
+        c.expect("to")
+        CqlGrant(perms, res, roleName(c))
+      case "revoke" =>
+        val perms = parsePermList(c)
+        c.expect("on")
+        val res = parseResource(c)
+        c.expect("from")
+        CqlRevoke(perms, res, roleName(c))
+      case "list" =>
+        if (c.peekIs("roles")) {
+          c.next()
+          val of = if (c.accept("of")) Some(roleName(c)) else None
+          CqlListRoles(of)
+        } else {
+          val perms =
+            if (c.accept("all")) {
+              // parsePermList consumes its own PERMISSION[S] keyword
+              c.accept("permissions"); c.accept("permission"); None
+            } else Some(parsePermList(c))
+          val on = if (c.accept("on")) Some(parseResource(c)) else None
+          val of = if (c.accept("of")) Some(roleName(c)) else None
+          c.accept("norecursive") // accepted; listing is always recursive
+          CqlListPermissions(perms, on, of)
+        }
+      case other =>
+        throw new CqlInvalidQueryException(s"not an auth statement: $other")
+    }
+    if (!c.done) throw new CqlInvalidQueryException(
+      s"unexpected trailing input near ${c.peek}")
+    out
+  }
+
+  private val PermissionNames = Set("create", "alter", "drop", "select",
+    "modify", "authorize", "describe", "execute")
+
+  private def parsePermList(c: Cursor): Seq[String] = {
+    def one(): String = {
+      val p = c.next().toLowerCase
+      if (p == "all") PermissionNames.toSeq.sorted.mkString("+") // marker
+      else {
+        if (!PermissionNames(p))
+          throw new CqlInvalidQueryException(s"unknown permission $p")
+        p
+      }
+    }
+    val first = one()
+    if (first.contains("+")) {
+      c.accept("permissions"); c.accept("permission")
+      PermissionNames.toSeq.sorted
+    } else {
+      var ps = Seq(first)
+      while (c.accept(",")) ps = ps :+ one()
+      c.accept("permissions"); c.accept("permission")
+      ps
+    }
+  }
+
+  /** `ALL KEYSPACES | KEYSPACE ks | [TABLE] [ks.]t | ALL ROLES | ROLE r` —
+    * a bare table name lands in the flat catalog's user keyspace. */
+  private def parseResource(c: Cursor): CqlResource =
+    if (c.accept("all")) {
+      if (c.accept("keyspaces")) AllKeyspacesRes
+      else { c.expect("roles"); AllRolesRes }
+    } else if (c.accept("keyspace")) KeyspaceRes(c.next().toLowerCase)
+    else if (c.accept("role")) RoleRes(roleName(c))
+    else {
+      c.accept("table")
+      val raw = c.next()
+      val name = if (c.accept(".")) s"$raw.${c.next()}" else raw
+      name.split("\\.") match {
+        case Array(t) => TableRes("default", t.toLowerCase)
+        case Array(ks, t) => TableRes(ks.toLowerCase, t.toLowerCase)
+        case _ => throw new CqlInvalidQueryException(
+          s"cannot parse table resource $name")
+      }
+    }
+
+  /** Role names may be bare identifiers or quoted strings. */
+  private def roleName(c: Cursor): String =
+    parseLiteralToken(c.next()).toLowerCase
+
+  private def parseBool(c: Cursor): Boolean = c.next().toLowerCase match {
+    case "true" => true
+    case "false" => false
+    case other =>
+      throw new CqlInvalidQueryException(s"expected true/false, got $other")
+  }
 
   private def parseDdlCursor(c: Cursor,
       udts: Map[String, org.apache.spark.sql.types.StructType]): CqlDdl = {

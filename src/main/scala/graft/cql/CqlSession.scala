@@ -401,6 +401,153 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   private val aggReg: scala.collection.mutable.Map[String, UserAggDef] =
     scala.collection.mutable.Map.empty
 
+  // ——— auth: roles, permissions, enforcement ———
+  // [U auth/CassandraRoleManager.java, auth/CassandraAuthorizer.java,
+  //  cql3/statements/CreateRoleStatement.java, GrantPermissionsStatement]
+
+  private case class RoleDef(var superuser: Boolean, var login: Boolean,
+    var password: Option[String])
+
+  /** Role registry. The default `cassandra` superuser preexists, as
+    * upstream's does — so a session that never touches auth sees zero
+    * enforcement, exactly like a stock cluster with AllowAll config. */
+  private val roleReg: scala.collection.mutable.Map[String, RoleDef] =
+    scala.collection.mutable.Map(
+      "cassandra" -> RoleDef(superuser = true, login = true,
+        password = Some("cassandra")))
+
+  /** (role, resource key) → granted permission names. */
+  private val permReg: scala.collection.mutable.Map[(String, String),
+    scala.collection.mutable.Set[String]] = scala.collection.mutable.Map.empty
+
+  private var currentRole: String = "cassandra"
+  private var requestCount: Long = 0L
+
+  /** Authenticate as `role` (the driver-connect analogue of upstream's
+    * SASL exchange): the role must have LOGIN and, when it carries a
+    * password, the supplied one must match. */
+  def login(role: String, password: String = ""): Unit = {
+    val r = role.toLowerCase
+    val d = roleReg.getOrElse(r, throw new CqlInvalidQueryException(
+      s"role $r does not exist"))
+    if (!d.login) throw new CqlInvalidQueryException(
+      s"role $r is not permitted to log in")
+    if (d.password.exists(_ != password))
+      throw new CqlInvalidQueryException(s"bad password for role $r")
+    currentRole = r
+  }
+
+  /** The authenticated role (upstream `system.clients.username`). */
+  def currentUser: String = currentRole
+
+  private def isSuperuser: Boolean =
+    roleReg.get(currentRole).exists(_.superuser)
+
+  /** Require `perm` on `res` (or any ancestor) for the current role —
+    * superusers bypass, like upstream `AuthenticatedUser.isSuper` [U]. */
+  private def checkPerm(perm: String, res: CqlResource): Unit = {
+    if (!isSuperuser) {
+      val ok = res.chain.exists(k =>
+        permReg.get((currentRole, k)).exists(_.contains(perm)))
+      if (!ok) throw new CqlInvalidQueryException(
+        s"User $currentRole has no ${perm.toUpperCase} permission on " +
+          s"${res.display} or any of its parents")
+    }
+  }
+
+  /** The data resource a statement on `table` authorizes against: system
+    * virtual tables keep their keyspace; flat user tables land in the
+    * implicit user keyspace. */
+  private def authRes(table: String): CqlResource =
+    table.toLowerCase.split("\\.") match {
+      case Array(ks, t) => TableRes(ks, t)
+      case _ => TableRes(UserKeyspace, table.toLowerCase)
+    }
+
+  private def runAuth(stmt: CqlAuth): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    stmt match {
+      case CqlCreateRole(name, ifNotExists, su, lg, pw) =>
+        checkPerm("create", AllRolesRes)
+        // only superusers may mint superusers [U CreateRoleStatement]
+        if (su && !isSuperuser) throw new CqlInvalidQueryException(
+          "only superusers can create superuser roles")
+        if (roleReg.contains(name)) {
+          if (!ifNotExists)
+            throw new CqlInvalidQueryException(s"role $name already exists")
+        } else roleReg(name) = RoleDef(su, lg, pw)
+        spark.emptyDataFrame
+      case CqlAlterRole(name, su, lg, pw) =>
+        val d = roleReg.getOrElse(name, throw new CqlInvalidQueryException(
+          s"role $name does not exist"))
+        // a role may change its own password; everything else needs ALTER
+        // on the role (or superuser)
+        val selfPasswordOnly =
+          name == currentRole && su.isEmpty && lg.isEmpty
+        if (!selfPasswordOnly) checkPerm("alter", RoleRes(name))
+        if (su.exists(identity) && !isSuperuser)
+          throw new CqlInvalidQueryException(
+            "only superusers can grant superuser status")
+        su.foreach(d.superuser = _)
+        lg.foreach(d.login = _)
+        pw.foreach(p => d.password = Some(p))
+        spark.emptyDataFrame
+      case CqlDropRole(name, ifExists) =>
+        checkPerm("drop", AllRolesRes)
+        if (name == currentRole) throw new CqlInvalidQueryException(
+          "cannot drop the role you are logged in as")
+        if (roleReg.remove(name).isEmpty && !ifExists)
+          throw new CqlInvalidQueryException(s"role $name does not exist")
+        permReg.filterInPlace { case ((r, _), _) => r != name }
+        spark.emptyDataFrame
+      case CqlGrant(perms, res, role) =>
+        checkPerm("authorize", res)
+        if (!roleReg.contains(role)) throw new CqlInvalidQueryException(
+          s"role $role does not exist")
+        val cur = permReg.getOrElseUpdate((role, res.key),
+          scala.collection.mutable.Set.empty)
+        cur ++= perms
+        spark.emptyDataFrame
+      case CqlRevoke(perms, res, role) =>
+        checkPerm("authorize", res)
+        permReg.get((role, res.key)).foreach(_ --= perms)
+        spark.emptyDataFrame
+      case CqlListPermissions(perms, on, of) =>
+        if (of != Some(currentRole)) checkPerm("authorize",
+          on.getOrElse(AllKeyspacesRes))
+        val schema = StructType(Seq(
+          StructField("role", StringType),
+          StructField("resource", StringType),
+          StructField("permission", StringType)))
+        def display(key: String): String = key.split("/") match {
+          case Array("data") => AllKeyspacesRes.display
+          case Array("data", ks) => KeyspaceRes(ks).display
+          case Array("data", ks, t) => TableRes(ks, t).display
+          case Array("roles") => AllRolesRes.display
+          case Array("roles", r) => RoleRes(r).display
+          case _ => key
+        }
+        val rows = permReg.toSeq
+          .filter { case ((r, _), _) => of.forall(_ == r) }
+          .filter { case ((_, k), _) =>
+            on.forall(res => res.chain.contains(k) || k.startsWith(res.key)) }
+          .flatMap { case ((r, k), ps) =>
+            ps.toSeq.filter(p => perms.forall(_.contains(p)))
+              .map(p => (r, display(k), p.toUpperCase)) }
+          .sorted.map { case (r, k, p) => Row(r, k, p) }
+        spark.createDataFrame(rows.asJava, schema)
+      case CqlListRoles(of) =>
+        val schema = StructType(Seq(
+          StructField("role", StringType),
+          StructField("super", BooleanType),
+          StructField("login", BooleanType)))
+        val rows = roleReg.toSeq.filter { case (n, _) => of.forall(_ == n) }
+          .sortBy(_._1)
+          .map { case (n, d) => Row(n, d.superuser, d.login) }
+        spark.createDataFrame(rows.asJava, schema)
+    }
+  }
+
   /** Builtin CQL function names — not replaceable, as upstream
     * ("cannot replace a native function"). */
   private val reservedFnNames = Set(
@@ -861,7 +1008,39 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           Seq("function_name")),
       "system_schema.aggregates" ->
         CqlTable(df(aRows, aSchema), Seq("keyspace_name"),
-          Seq("aggregate_name"))) ++ systemLocalCatalog
+          Seq("aggregate_name"))) ++ systemLocalCatalog ++ systemViewsCatalog
+  }
+
+  /** `system_views.settings` / `system_views.clients` — the 4.x runtime
+    * virtual tables [U db/virtual/SettingsTable.java, ClientsTable.java].
+    * `settings` maps the LIVE Spark conf (this engine's runtime
+    * configuration — the natural analogue of cassandra.yaml settings);
+    * `clients` reports this session's connection-level state: the
+    * authenticated role and the statements it has issued. Both rebuild
+    * with the engine, so reads see current values. */
+  private def systemViewsCatalog: Map[String, CqlTable] = {
+    import scala.jdk.CollectionConverters._
+    val setSchema = StructType(Seq(
+      StructField("name", StringType),
+      StructField("value", StringType)))
+    val setRows = spark.conf.getAll.toSeq.sortBy(_._1)
+      .map { case (k, v) => Row(k, v) }
+    val cliSchema = StructType(Seq(
+      StructField("address", StringType),
+      StructField("port", IntegerType),
+      StructField("connection_stage", StringType),
+      StructField("driver_name", StringType),
+      StructField("protocol_version", IntegerType),
+      StructField("username", StringType),
+      StructField("request_count", LongType)))
+    val cliRows = Seq(Row("127.0.0.1", 9042, "ready", "graft-session", 5,
+      currentRole, requestCount))
+    Map(
+      "system_views.settings" -> CqlTable(
+        spark.createDataFrame(setRows.asJava, setSchema), Seq("name")),
+      "system_views.clients" -> CqlTable(
+        spark.createDataFrame(cliRows.asJava, cliSchema),
+        Seq("address"), Seq("port")))
   }
 
   /** `system.local` / `system.peers` — the first thing every driver reads
@@ -1266,6 +1445,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   }
 
   private[cql] def runDml(dml: CqlDml): DataFrame = {
+    if (!isSuperuser) checkPerm("modify", authRes(dml.table))
     val expanded = expandInPredicates(dml)
     if (expanded.lengthCompare(1) == 0 && (expanded.head eq dml)) {
       val applied = applyDml(dml, None)
@@ -1350,9 +1530,34 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   def execute(cql: String): DataFrame = {
     val trimmed = cql.trim
     val kw = trimmed.takeWhile(!_.isWhitespace).toLowerCase
+    requestCount += 1
+    def secondKw: String = trimmed.split("\\s+").lift(1)
+      .getOrElse("").toLowerCase
     kw match {
-      case "select" => engine.execute(trimmed)
+      case "select" =>
+        if (!isSuperuser) {
+          // enforcement needs the target table; the engine re-parses, but
+          // non-superuser sessions are the rare path (default = cassandra)
+          checkPerm("select", authRes(CqlParser.parse(trimmed).table))
+        }
+        // the runtime virtual tables (settings/clients) change without a
+        // mutation epoch bump — rebuild so the read sees live values
+        if (trimmed.toLowerCase.contains("system_views.")) engineCache = None
+        engine.execute(trimmed)
+      case "create" | "drop" | "alter" if secondKw == "role" =>
+        runAuth(CqlParser.parseAuth(trimmed))
+      case "grant" | "revoke" | "list" =>
+        runAuth(CqlParser.parseAuth(trimmed))
       case "create" | "drop" | "truncate" | "alter" =>
+        if (!isSuperuser) {
+          // upstream: CREATE/ALTER/DROP check the keyspace resource,
+          // TRUNCATE checks MODIFY on the table [U auth/Permission.java]
+          if (kw == "truncate") {
+            val t = trimmed.stripSuffix(";").split("\\s+")
+              .filterNot(_.equalsIgnoreCase("table")).last
+            checkPerm("modify", authRes(t))
+          } else checkPerm(kw, KeyspaceRes(UserKeyspace))
+        }
         applyDdl(CqlParser.parseDdl(trimmed, udtReg.toMap)); spark.emptyDataFrame
       case "insert" | "update" | "delete" =>
         runDml(CqlParser.parseDml(trimmed))

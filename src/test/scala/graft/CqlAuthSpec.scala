@@ -1,0 +1,165 @@
+package graft
+
+import graft.cql.{CqlInvalidQueryException, CqlSession}
+
+/** Auth/role DDL + enforcement (upstream `auth/`,
+  * `cql3/statements/CreateRoleStatement.java`,
+  * `GrantPermissionsStatement.java` [U]): role registry, GRANT/REVOKE over
+  * the data/roles resource hierarchies, statement-time permission checks,
+  * superuser bypass, and the `system_views` runtime virtual tables. */
+class CqlAuthSpec extends SparkSpec {
+
+  test("roles: create, list, alter, drop; login rules") {
+    val s = CqlSession(spark)
+    s.execute("CREATE ROLE analyst WITH PASSWORD = 'pw1' AND LOGIN = true")
+    s.execute("CREATE ROLE batch_bot WITH LOGIN = false")
+    s.execute("CREATE ROLE admin2 WITH SUPERUSER = true AND LOGIN = true")
+    // IF NOT EXISTS is idempotent; bare re-create throws
+    s.execute("CREATE ROLE IF NOT EXISTS analyst")
+    intercept[CqlInvalidQueryException] { s.execute("CREATE ROLE analyst") }
+    val roles = s.execute("LIST ROLES").collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2))).toSeq
+    assert(roles.contains(("analyst", false, true)))
+    assert(roles.contains(("batch_bot", false, false)))
+    assert(roles.contains(("admin2", true, true)))
+    assert(roles.contains(("cassandra", true, true)))
+    // login: wrong password, no-login role, unknown role all rejected
+    intercept[CqlInvalidQueryException] { s.login("analyst", "wrong") }
+    intercept[CqlInvalidQueryException] { s.login("batch_bot") }
+    intercept[CqlInvalidQueryException] { s.login("ghost") }
+    s.login("analyst", "pw1")
+    assert(s.currentUser === "analyst")
+    s.login("cassandra", "cassandra")
+    s.execute("ALTER ROLE batch_bot WITH LOGIN = true")
+    s.login("batch_bot")
+    s.login("cassandra", "cassandra")
+    s.execute("DROP ROLE batch_bot")
+    intercept[CqlInvalidQueryException] { s.login("batch_bot") }
+    intercept[CqlInvalidQueryException] { s.execute("DROP ROLE ghost") }
+    s.execute("DROP ROLE IF EXISTS ghost") // no-op
+  }
+
+  test("a role without MODIFY is rejected on UPDATE; grant unlocks it") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE auth_t (k bigint PRIMARY KEY, v bigint)")
+    s.execute("INSERT INTO auth_t (k, v) VALUES (1, 10)")
+    s.execute("CREATE ROLE writer WITH LOGIN = true")
+    s.execute("GRANT SELECT ON auth_t TO writer")
+    s.login("writer")
+    // SELECT is granted, MODIFY is not
+    assert(s.execute("SELECT v FROM auth_t WHERE k = 1").head()
+      .getLong(0) === 10L)
+    val e = intercept[CqlInvalidQueryException] {
+      s.execute("UPDATE auth_t SET v = 11 WHERE k = 1")
+    }
+    assert(e.getMessage.contains("MODIFY"))
+    // DDL is also closed to the role
+    intercept[CqlInvalidQueryException] {
+      s.execute("CREATE TABLE auth_t2 (k bigint PRIMARY KEY)")
+    }
+    s.login("cassandra", "cassandra")
+    s.execute("GRANT MODIFY ON auth_t TO writer")
+    s.login("writer")
+    s.execute("UPDATE auth_t SET v = 11 WHERE k = 1")
+    assert(s.execute("SELECT v FROM auth_t WHERE k = 1").head()
+      .getLong(0) === 11L)
+    s.login("cassandra", "cassandra")
+  }
+
+  test("keyspace-level grants cover tables; REVOKE closes access") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE auth_ks1 (k bigint PRIMARY KEY, v bigint)")
+    s.execute("CREATE TABLE auth_ks2 (k bigint PRIMARY KEY, v bigint)")
+    s.execute("INSERT INTO auth_ks1 (k, v) VALUES (1, 1)")
+    s.execute("INSERT INTO auth_ks2 (k, v) VALUES (2, 2)")
+    s.execute("CREATE ROLE reader WITH LOGIN = true")
+    s.execute("GRANT SELECT ON KEYSPACE default TO reader")
+    s.login("reader")
+    // the keyspace grant authorizes every table under it
+    assert(s.execute("SELECT v FROM auth_ks1 WHERE k = 1").count() === 1)
+    assert(s.execute("SELECT v FROM auth_ks2 WHERE k = 2").count() === 1)
+    s.login("cassandra", "cassandra")
+    s.execute("REVOKE SELECT ON KEYSPACE default FROM reader")
+    s.login("reader")
+    val e = intercept[CqlInvalidQueryException] {
+      s.execute("SELECT v FROM auth_ks1 WHERE k = 1")
+    }
+    assert(e.getMessage.contains("SELECT"))
+    s.login("cassandra", "cassandra")
+  }
+
+  test("LIST PERMISSIONS round-trips grants") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE auth_lp (k bigint PRIMARY KEY)")
+    s.execute("CREATE ROLE lp_role")
+    s.execute("GRANT SELECT, MODIFY ON auth_lp TO lp_role")
+    s.execute("GRANT ALL PERMISSIONS ON ALL KEYSPACES TO lp_role")
+    val all = s.execute("LIST ALL PERMISSIONS OF lp_role").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(all.contains(("lp_role", "<table default.auth_lp>", "SELECT")))
+    assert(all.contains(("lp_role", "<table default.auth_lp>", "MODIFY")))
+    assert(all.contains(("lp_role", "<all keyspaces>", "AUTHORIZE")))
+    // permission-filtered form; listing is recursive, so the table-level
+    // grant AND the inherited all-keyspaces grant both show
+    val sel = s.execute(
+      "LIST SELECT PERMISSIONS ON auth_lp OF lp_role").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(sel.forall(_._2 == "SELECT"))
+    assert(sel.contains(("<table default.auth_lp>", "SELECT")))
+    assert(sel.contains(("<all keyspaces>", "SELECT")))
+    // resource-filtered: ON ALL KEYSPACES includes keyspace-level grants
+    val ks = s.execute(
+      "LIST ALL PERMISSIONS ON ALL KEYSPACES OF lp_role").collect()
+    assert(ks.length >= 8)
+  }
+
+  test("superuser bypass and AUTHORIZE enforcement on GRANT") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE auth_su (k bigint PRIMARY KEY)")
+    s.execute("CREATE ROLE plain WITH LOGIN = true")
+    s.execute("CREATE ROLE boss WITH SUPERUSER = true AND LOGIN = true")
+    // a plain role cannot grant (no AUTHORIZE anywhere)
+    s.login("plain")
+    intercept[CqlInvalidQueryException] {
+      s.execute("GRANT SELECT ON auth_su TO plain")
+    }
+    intercept[CqlInvalidQueryException] {
+      s.execute("CREATE ROLE sneaky")
+    }
+    // a superuser needs no grants at all
+    s.login("cassandra", "cassandra")
+    s.login("boss")
+    s.execute("INSERT INTO auth_su (k) VALUES (5)")
+    assert(s.execute("SELECT k FROM auth_su").count() === 1)
+    s.execute("GRANT SELECT ON auth_su TO plain")
+    s.login("cassandra", "cassandra")
+  }
+
+  test("system_views.settings and clients read through the text path") {
+    val s = CqlSession(spark)
+    val settings = s.execute(
+      "SELECT name, value FROM system_views.settings").collect()
+    assert(settings.nonEmpty)
+    assert(settings.map(_.getString(0)).toSet
+      .contains("spark.sql.session.timeZone"))
+    val cli = s.execute("SELECT username, request_count, connection_stage " +
+      "FROM system_views.clients").head()
+    assert(cli.getString(0) === "cassandra")
+    assert(cli.getLong(1) >= 1L) // this session issued at least this read
+    assert(cli.getString(2) === "ready")
+    // the request counter is LIVE: a later read sees a larger count
+    val n1 = s.execute(
+      "SELECT request_count FROM system_views.clients").head().getLong(0)
+    s.execute("SELECT name FROM system_views.settings LIMIT 1")
+    val n2 = s.execute(
+      "SELECT request_count FROM system_views.clients").head().getLong(0)
+    assert(n2 > n1)
+    // and the authenticated role shows up
+    s.execute("CREATE ROLE cli_role WITH LOGIN = true")
+    s.execute("GRANT SELECT ON KEYSPACE system_views TO cli_role")
+    s.login("cli_role")
+    assert(s.execute("SELECT username FROM system_views.clients").head()
+      .getString(0) === "cli_role")
+    s.login("cassandra", "cassandra")
+  }
+}
