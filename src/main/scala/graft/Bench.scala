@@ -19,6 +19,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the generated-code cache defaults to 100 entries; the suite
+      // holds 136 queries x several codegen units each, so the default
+      // evicts-and-recompiles janino units inside the measured passes
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
@@ -58,6 +62,24 @@ object Bench {
     val results = qs.map { case (name, _) =>
       name -> math.min(passA(name), passB(name))
     }
+    // Paired AQE-off sample of the headline five (VERDICT r7 task 6): the
+    // fixed-cost share of headline drift is measured each round, not
+    // inferred. AQE stays ON for the graded suite — at target scale its
+    // broadcast demotion/skew splitting outweighs the per-job fixed cost
+    // (SCALE.md records the decision); this sample just prices that cost.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    spark.conf.set(aqeKey, "false")
+    val aqeOff = headline.flatMap(n => SparkEntry.queries.get(n).map { fn =>
+      n -> math.min(timeOne(fn), timeOne(fn))
+    })
+    spark.conf.set(aqeKey, "true")
+    aqeOff.foreach { case (k, v) => println(s"[bench-aqe-off] $k ${f3(v)}") }
+    try {
+      val aqeJson = aqeOff.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+        .mkString("{\"aqe\":\"off\",\"queries\":{", ",", "}}")
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_AQE.json"),
+        (aqeJson + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     val byName = results.toMap
     val total = results.map(_._2).sum
     // Full per-query detail: one plain line per query (greppable in the log)

@@ -14,7 +14,12 @@ object Explain {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+      // the generated-code cache defaults to 100 entries; the suite
+      // holds 136 queries x several codegen units each, so the default
+      // evicts-and-recompiles janino units inside the measured passes
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

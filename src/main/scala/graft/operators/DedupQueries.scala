@@ -382,6 +382,33 @@ object DedupQueries {
       .orderBy("cell")
   }
 
+  /** The SemDeDup k dial made explicit (VERDICT r7 task 7): the paper's
+    * premise is that the within-cell pair join costs Σ|cell|², so k must
+    * GROW with the corpus to hold the mean cell size — and with it the
+    * per-cell pair count — constant. `k = ceil(n / targetCellSize)` keeps
+    * E[|cell|] = targetCellSize, making the expected join work
+    * Σ|cell|² ≈ n · targetCellSize — LINEAR in the corpus for a fixed
+    * target (SkewScaleSpec asserts the bound at 1× and 10×). */
+  def semdedupK(corpusSize: Long, targetCellSize: Long): Int =
+    math.max(1, math.ceil(corpusSize.toDouble / targetCellSize).toInt)
+
+  /** Cell assignment under an explicit-k codebook: the k seeds are the
+    * embeddings of the k smallest vec_ids (a deterministic, oracle-able
+    * stand-in for k-means++ init — the SemDeDup shape only needs SOME
+    * partition of the space whose cells stay bounded). Seeds broadcast
+    * (k·dim floats — fine to k ≈ 10⁵; past that, assign via a quantized
+    * prefix join instead). Returns (vec_id, cell). */
+  def semdedupAssignK(emb: DataFrame, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val seeds = broadcast(emb.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("seed")))
+    emb.crossJoin(seeds)
+      .withColumn("dist", euclideanFast(col("embedding"), col("seed")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("seed_id"), struct(col("dist"), col("seed_id")))
+        .as("cell"))
+  }
+
   /** Token-gram width of the substring-dedup index (d9). */
   private val GramK = 8
 

@@ -103,6 +103,28 @@ object GraphAnn {
     }
 
     def size: Int = vecs.length
+
+    /** The built adjacency — serialized by [[GraphAnn.buildGraphIndex]]. */
+    def adjacency(id: Int): Seq[Int] = adj(id).toSeq
+  }
+
+  private object Nsw {
+    /** Reconstruct a searchable graph from persisted vectors + adjacency
+      * (no inserts — `m`/`efConstruction` are irrelevant on the serve
+      * path). */
+    def preloaded(vs: Array[Array[Float]],
+        neighbors: Array[Array[Int]]): Nsw = {
+      val g = new Nsw(0, 0)
+      var i = 0
+      while (i < vs.length) {
+        g.vecs += vs(i)
+        g.norms += math.sqrt(
+          vs(i).map(x => x.toDouble * x.toDouble).sum)
+        g.adj += ArrayBuffer(neighbors(i).toSeq: _*)
+        i += 1
+      }
+      g
+    }
   }
 
   /** Per-partition graph kNN: builds the partition's NSW (insertion in
@@ -132,6 +154,89 @@ object GraphAnn {
       .limit(k)
   }
 
+  /** Build the sharded NSW graph ONCE and persist it as a parquet
+    * artifact — one row per vector: (shard, local_id, vec_id, embedding,
+    * neighbor local-ids). This is the index LIFECYCLE upstream SAI has
+    * [U index/sai/disk/vector/ builds per sstable at flush/compaction,
+    * serves many queries]: the per-query build of [[v7_knn_graph]] is fine
+    * for a one-off scan but would not survive a high-QPS serving path —
+    * the graph is built once per corpus version and queries only read it.
+    * Scale: the build is one shuffle (shard assignment) + a per-partition
+    * graph construction; the artifact carries the corpus once plus ~m
+    * ints/vector of adjacency, partitioned by shard for pruned reads. */
+  def buildGraphIndex(vectors: DataFrame, dir: String, shards: Int = 8,
+      m: Int = 8, efConstruction: Int = 96): Unit = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .withColumn("shard", pmod(hash(col("vec_id")), lit(shards)))
+      .as[(Long, Array[Float], Int)]
+      .repartition(shards, col("shard"))
+      .mapPartitions { it =>
+        val rows = it.toArray
+        rows.groupBy(_._3).iterator.flatMap { case (shard, grp) =>
+          val sorted = grp.sortBy(_._1) // deterministic insertion order
+          val g = new Nsw(m, efConstruction)
+          sorted.foreach(r => g.insert(r._2))
+          sorted.iterator.zipWithIndex.map { case ((vid, emb, _), local) =>
+            (shard, local, vid, emb, g.adjacency(local).toArray)
+          }
+        }
+      }
+      .toDF("shard", "local_id", "vec_id", "embedding", "nbrs")
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+  }
+
+  /** Serve a kNN query from a persisted graph index: each shard's graph is
+    * reconstructed from its adjacency rows (NO insert/build work) and
+    * beam-searched; per-shard candidates merge through the usual global
+    * top-k. The plan reads ONLY the artifact + the broadcast query. */
+  def serveGraphIndex(s: SparkSession, dir: String, queryVec: DataFrame,
+      k: Int, ef: Int = 96): DataFrame = {
+    import s.implicits._
+    s.read.parquet(dir)
+      .select(col("shard").cast("int"), col("local_id").cast("int"),
+        col("vec_id").cast("long"), col("embedding"), col("nbrs"))
+      .crossJoin(broadcast(queryVec.select(col("qvec"))))
+      .as[(Int, Int, Long, Array[Float], Array[Int], Array[Float])]
+      .repartition(col("shard"))
+      .mapPartitions { it =>
+        val rows = it.toArray
+        rows.groupBy(_._1).iterator.flatMap { case (_, grp) =>
+          val sorted = grp.sortBy(_._2)
+          val qv = sorted(0)._6
+          val g = Nsw.preloaded(sorted.map(_._4), sorted.map(_._5))
+          g.search(qv, ef).take(k)
+            .map { case (local, sim) => (sorted(local)._3, sim) }
+        }
+      }.toDF("vec_id", "sim")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Per-(sf dir, JVM) index artifact for the declared serving query — the
+    * build runs once (the lifecycle under test IS build-once/serve-many). */
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** V16: kNN served from the PERSISTED graph index — same oracle as
+    * [[v7_knn_graph]] (exact top-10; recall 1.0 at fixture scale), but the
+    * serving plan never builds a graph: it reads the artifact built once
+    * per corpus. GraphAnnSpec pins served ≡ online ≡ exact. */
+  def v16_graph_index(s: SparkSession, d: String): DataFrame = {
+    val dir = indexCache.computeIfAbsent(d, { src =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-graph-index").toString
+      buildGraphIndex(Tables.embeddings(s, src), out)
+      out
+    })
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qvec"))
+    serveGraphIndex(s, dir, q, 10)
+      .select(col("vec_id"), round(col("sim"), 6).as("cos_sim"))
+  }
+
   /** V7: graph-ANN top-10 for the embedding of vec_id 0 — the jvector/HNSW
     * analogue. Oracled against the EXACT top-10: the graph path is
     * deterministic and its fixture recall is 1.0 (GraphAnnSpec also checks
@@ -150,16 +255,20 @@ object GraphAnn {
       .select(col("vec_id"), round(col("sim"), 6).as("cos_sim"))
   }
 
+  private val exactTop10Sql =
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id,
+      |  round(list_dot_product(CAST(embedding AS DOUBLE[]), qvec) /
+      |        (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+      |         sqrt(list_dot_product(qvec, qvec))), 6) AS cos_sim
+      |FROM embeddings CROSS JOIN q
+      |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "v7_knn_graph" -> (v7_knn_graph _))
+    "v7_knn_graph" -> (v7_knn_graph _),
+    "v16_graph_index" -> (v16_graph_index _))
 
   val oracle: Map[String, String] = Map(
-    "v7_knn_graph" ->
-      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)
-        |SELECT vec_id,
-        |  round(list_dot_product(CAST(embedding AS DOUBLE[]), qvec) /
-        |        (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
-        |         sqrt(list_dot_product(qvec, qvec))), 6) AS cos_sim
-        |FROM embeddings CROSS JOIN q
-        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin)
+    "v7_knn_graph" -> exactTop10Sql,
+    "v16_graph_index" -> exactTop10Sql)
 }

@@ -325,13 +325,22 @@ object TextQueries {
   def x14_count_min(s: SparkSession, d: String): DataFrame = {
     import graft.functions.TextFunctions.md5Hash60
     val W = 64
-    val toks = Tables.documents(s, d)
+    // ONE tokenize+explode+agg builds the term histogram; both the sketch
+    // and the probe set derive from it. The sketch's cell counts are sums
+    // of term counts (identical content to hashing every token occurrence,
+    // since every occurrence of a term lands in the same cell), so md5 runs
+    // per (r, DISTINCT term) — vocab-bounded — instead of per (r, token):
+    // 4×|vocab| hashes, not 4×|corpus tokens|. The two consumers share the
+    // histogram's shuffle via Spark's exchange reuse (identical subplans).
+    val termCounts = Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("term"))
-    val cells = toks
-      .select(explode(sequence(lit(0), lit(3))).as("r"), col("term"))
+      .groupBy("term").agg(count(lit(1)).as("exact_n"))
+    val cells = termCounts
+      .select(col("exact_n"), explode(sequence(lit(0), lit(3))).as("r"),
+        col("term"))
       .withColumn("c", pmod(md5Hash60(concat(col("r"), lit(":"), col("term"))), lit(W)))
-      .groupBy("r", "c").agg(count(lit(1)).as("cell"))
-    val probes = toks.groupBy("term").agg(count(lit(1)).as("exact_n"))
+      .groupBy("r", "c").agg(sum(col("exact_n")).as("cell"))
+    val probes = termCounts
       .orderBy(col("exact_n").desc, col("term").asc)
       .limit(20)
     probes

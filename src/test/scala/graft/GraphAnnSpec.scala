@@ -27,6 +27,31 @@ class GraphAnnSpec extends SparkSpec {
     }
   }
 
+  test("persisted graph index: served results equal online build and exact") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-gidx-spec").toString
+    GraphAnn.buildGraphIndex(Tables.embeddings(spark, sf), dir)
+    val q = Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qvec"))
+    val served = GraphAnn.serveGraphIndex(spark, dir, q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(served === exactTop10)
+    // the artifact is complete: every vector has a row, adjacency is
+    // within-shard local ids
+    val idx = spark.read.parquet(dir)
+    assert(idx.count() === Tables.embeddings(spark, sf).count())
+    // the serving plan reads the ARTIFACT, not the corpus (no online build)
+    val plan = GraphAnn.serveGraphIndex(spark, dir, q, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains(dir.split("/").last) ||
+      plan.toLowerCase.contains("parquet"))
+    // and the declared v16 query agrees with v7's online answer
+    assert(GraphAnn.v16_graph_index(spark, sf)
+      .collect().map(_.getLong(0)).toSeq ===
+      GraphAnn.v7_knn_graph(spark, sf)
+        .collect().map(_.getLong(0)).toSeq)
+  }
+
   test("declared v7 query is deterministic across runs") {
     val a = GraphAnn.v7_knn_graph(spark, sf).collect().toSeq
     val b = GraphAnn.v7_knn_graph(spark, sf).collect().toSeq

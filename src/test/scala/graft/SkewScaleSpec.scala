@@ -37,6 +37,38 @@ class SkewScaleSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("semdedup k-dial bounds per-cell pair work as the corpus scales") {
+    import graft.operators.DedupQueries
+    val target = 50L
+    def pairWork(mult: Int): (Long, Long, Long) = {
+      // replicate the corpus mult× with distinct ids (the 10× growth probe)
+      val base = Tables.embeddings(spark, sf)
+      val emb = (0 until mult).map(i => base.select(
+        (col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding")))
+        .reduce(_ unionByName _)
+      val n = emb.count()
+      val k = DedupQueries.semdedupK(n, target)
+      val cells = DedupQueries.semdedupAssignK(emb, k)
+        .groupBy("cell").agg(count(lit(1)).as("sz"))
+      val (sumSq, maxSz) = cells
+        .agg(sum(col("sz") * col("sz")), max(col("sz"))).head() match {
+          case r => (r.getLong(0), r.getLong(1))
+        }
+      (n, sumSq, maxSz)
+    }
+    val (n1, sq1, _) = pairWork(1)
+    val (n10, sq10, _) = pairWork(10)
+    assert(n10 === n1 * 10)
+    // Σ|cell|² stays ≈ n·target as the corpus grows 10× — i.e. pair work
+    // scales LINEARLY because k grew with n (the dial doing its job). A
+    // generous constant absorbs cell-size skew around the mean.
+    assert(sq1 <= 8L * n1 * target, s"1x pair work $sq1 vs n=$n1")
+    assert(sq10 <= 8L * n10 * target, s"10x pair work $sq10 vs n=$n10")
+    // and the 10× corpus pays ~10× the pair work, not 100× (the fixed-k
+    // failure mode): allow 3× headroom over linear
+    assert(sq10 <= 30L * sq1, s"superlinear growth: $sq1 -> $sq10")
+  }
+
   test("bucketed upsert log: latest-wins view plans with NO shuffle") {
     val wh = Files.createTempDirectory("graft-blog").toString
     try {
