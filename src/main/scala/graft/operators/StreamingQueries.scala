@@ -104,11 +104,29 @@ object StreamingQueries {
     * one session. */
   def t8_stream_tumbling(s: SparkSession, d: String): DataFrame = {
     val name = s"t8_sink_${System.nanoTime()}"
-    graft.streaming.StreamingPipelines.runToMemory(
-      graft.streaming.StreamingPipelines.hourlyCounts(
-        graft.streaming.StreamingPipelines.eventsStream(s, stageEvents(d))),
-      name, "complete")
+    withStreamPartitions(s) {
+      graft.streaming.StreamingPipelines.runToMemory(
+        graft.streaming.StreamingPipelines.hourlyCounts(
+          graft.streaming.StreamingPipelines.eventsStream(s, stageEvents(d))),
+        name, "complete")
+    }
     s.table(name).orderBy("win_start", "event_type")
+  }
+
+  /** Streaming state-store count equals the stream's shuffle-partition
+    * count (per stateful operator, per side for joins), and each store
+    * pays per-batch snapshot/commit maintenance regardless of data volume.
+    * The session's batch setting (32 — sized for the relational suite) is
+    * 4× too many stores for the fixture stream, and the per-store fixed
+    * cost dominates the gate queries. Sizing partitions to stream volume
+    * is exactly what a production deployment does with the SAME conf —
+    * this scopes it to the stream's execution and restores the batch
+    * setting after. */
+  private def withStreamPartitions[T](s: SparkSession, n: Int = 8)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, prev)
   }
 
   /** Stage the events fixture as a single file-source dir (ONE file → ONE
@@ -139,10 +157,12 @@ object StreamingQueries {
     * exactly the batch join, which is what the DuckDB twin computes. */
   def t10_stream_join(s: SparkSession, d: String): DataFrame = {
     val name = s"t10_sink_${System.nanoTime()}"
-    graft.streaming.StreamingPipelines.runToMemory(
-      graft.streaming.StreamingPipelines.clickToPurchase(
-        graft.streaming.StreamingPipelines.eventsStream(s, stageEvents(d))),
-      name, "append")
+    withStreamPartitions(s) {
+      graft.streaming.StreamingPipelines.runToMemory(
+        graft.streaming.StreamingPipelines.clickToPurchase(
+          graft.streaming.StreamingPipelines.eventsStream(s, stageEvents(d))),
+        name, "append")
+    }
     s.table(name).orderBy("click_id", "purchase_id")
   }
 
@@ -162,11 +182,13 @@ object StreamingQueries {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val name = s"t11_sink_${System.nanoTime()}"
-      graft.streaming.StreamingPipelines.runToMemory(
-        graft.streaming.StreamingPipelines.runningCounts(
-          graft.streaming.StreamingPipelines.eventsStream(s, stageEvents(d)))
-          .toDF(),
-        name, "update")
+      withStreamPartitions(s) {
+        graft.streaming.StreamingPipelines.runToMemory(
+          graft.streaming.StreamingPipelines.runningCounts(
+            graft.streaming.StreamingPipelines.eventsStream(s, stageEvents(d)))
+            .toDF(),
+          name, "update")
+      }
       s.table(name).groupBy(col("user_id"))
         .agg(max(col("n_events")).as("n_events"),
           max(col("sum_event_id")).as("sum_event_id"))
