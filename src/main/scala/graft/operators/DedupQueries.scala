@@ -107,15 +107,29 @@ object DedupQueries {
   /** D3's candidate pairs WITHOUT the presentation sort — d7 consumes
     * these directly (a global sort of the candidate set buys the
     * components fixpoint nothing and is real work at 100 TB). */
-  private def d3Pairs(s: SparkSession, d: String): DataFrame = {
-    // Token hash once per token, reduced mod p; shingle hash = polynomial
-    // combine of the 3 token hashes mod p. The 32 permutations are the
-    // Carter-Wegman family h_i = (a_i·h + b_i) mod p — the mod is what makes
-    // each h_i's argmin independent (a plain linear map is monotone: every
-    // component would share one argmin and LSH collapses). Operands sized for
-    // ANSI Long arithmetic: h ∈ [0, 2^31), a_i < 2^32, so a_i·h + b_i < 2^63.
+  private def d3Pairs(s: SparkSession, d: String): DataFrame =
+    bandedSignatures(corpusSpread(s, d)).groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucket)
+      .select(explode(orderedPairs(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+
+  /** The MinHash+LSH banding shared by d3 and the incremental path (d12):
+    * token hash once per token mod p; shingle hash = polynomial combine of
+    * the 3 token hashes mod p; 32 Carter-Wegman permutations
+    * h_i = (a_i·h + b_i) mod p — the mod makes each argmin independent (a
+    * plain linear map is monotone: every component would share one argmin
+    * and LSH collapses). Operands sized for ANSI Long arithmetic:
+    * h ∈ [0, 2^31), a_i < 2^32, so a_i·h + b_i < 2^63. One codegen'd
+    * hash-aggregate computes all 32 min(perm_i) partials map-side; the
+    * band key is xxhash64 of the band slice (8-byte key compression — the
+    * OUTPUT depends only on band-tuple equality, so the oracle's
+    * string-tuple key groups identically, collision odds ~ buckets²/2^64).
+    * Returns (doc_id, band, bh). */
+  private def bandedSignatures(docs: DataFrame): DataFrame = {
     val th = col("th")
-    val shingled = corpusSpread(s, d)
+    val shingled = docs
       .select(col("doc_id"), transform(tokens(col("text")), t => mdTokHash(t) % P).as("th"))
       .filter(size(th) >= 3)
       .select(col("doc_id"), explode(transform(sequence(lit(1), size(th) - 2),
@@ -127,18 +141,8 @@ object DedupQueries {
       .agg(min(perm(0)).as("h0"),
         (1 until 32).map(i => min(perm(i)).as(s"h$i")): _*)
     val sig = array((0 until 32).map(i => col(s"h$i")): _*)
-    // Shuffle key is xxhash64 of the band slice — 8-byte key compression;
-    // the OUTPUT depends only on band-tuple equality, so the oracle's
-    // string-tuple key groups identically (collision odds ~ buckets²/2^64).
-    val banded = sigs.select(col("doc_id"),
-        explode(lshBands(sig, 8, 4)).as("b"))
+    sigs.select(col("doc_id"), explode(lshBands(sig, 8, 4)).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bh"))
-    banded.groupBy(col("band"), col("bh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucket)
-      .select(explode(orderedPairs(col("ids"))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
   }
 
   /** D4 (L2 SimHash): 60-bit simhash (md5-derived token hash, so the sketch
@@ -331,6 +335,85 @@ object DedupQueries {
       .orderBy("comp_id")
   }
 
+  /** D11 (L2+ chunk-level dedup — the CCNet/paragraph shape [P: Wenzek et
+    * al. 2020, arXiv:1911.00359 "CCNet": dedup at paragraph granularity
+    * removes boilerplate exact-duplicate spans that whole-document hashing
+    * misses): documents split into disjoint 16-token chunks (the corpus
+    * has no paragraph breaks, so fixed-width chunks stand in — x7's
+    * convention), each chunk md5-hashed; a chunk is a DUPLICATE when the
+    * same hash occurred at a smaller (doc_id, chunk_idx). One row per
+    * affected doc: chunk/dup counts and the duplicated token mass.
+    *
+    * Scale shape: hash per chunk (not per token), ONE count-over-window
+    * shuffle on the 16-byte chunk hash, then a doc-keyed agg — d9's
+    * span-index shape at chunk granularity, linear in the corpus. */
+  def d11_chunk_dedup(s: SparkSession, d: String): DataFrame = {
+    val chunks = corpusSpread(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          floor((size(col("toks")) - 1) / 16).cast("int"))).as("ci"))
+      .select(col("doc_id"), col("ci"),
+        slice(col("toks"), col("ci") * 16 + 1, lit(16)).as("ctoks"))
+      .select(col("doc_id"), col("ci"), size(col("ctoks")).as("n_toks"),
+        md5(concat_ws(" ", col("ctoks"))).as("h"))
+    val w = Window.partitionBy(col("h"))
+      .orderBy(col("doc_id").asc, col("ci").asc)
+    chunks
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("rn") > 1, col("n_toks")).otherwise(0L))
+          .as("n_dup_tokens"))
+      .filter(col("n_dup_chunks") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** The persisted LSH band index d12 probes — built ONCE per corpus
+    * version from the base documents (doc_id, band, bh as parquet), the
+    * way a production crawl pipeline keeps a standing dedup index and
+    * checks each INCOMING batch against it instead of re-deduping the
+    * whole corpus per crawl [P: Lee et al. 2022 §5 discuss dedup cost at
+    * corpus scale; the incremental index is the standard mitigation]. */
+  private val bandIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def bandIndexDir(s: SparkSession, d: String): String =
+    bandIndexCache.computeIfAbsent(d, { src =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-band-index").toString
+      bandedSignatures(Tables.spread(Tables.documents(s, src), col("doc_id")))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
+  /** D12 (L2+ incremental dedup): an INCOMING batch (the +100000 copies —
+    * a crawl that re-collected known content) is near-dup-checked against
+    * the persisted band index of the existing corpus. Emits the matched
+    * (idx_id, new_id) pairs. The new batch never pairs with itself — at
+    * crawl scale the standing index is large and the batch small, so the
+    * probe is one equi-join on (band, bh) against a bucket-capped index;
+    * the whole-corpus re-dedup d3 runs is exactly what this path avoids. */
+  def d12_incremental(s: SparkSession, d: String): DataFrame = {
+    val idx = s.read.parquet(bandIndexDir(s, d))
+      .select(col("doc_id").as("idx_id"), col("band"), col("bh"))
+    // the same skew cap as d3's bucket expansion, applied to the INDEX
+    // side: a boilerplate-hot bucket would fan every probe row out |bucket|
+    // times (drop is mirrored in the twin, so the cap is hash-verified)
+    val bucketOk = idx.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") <= MaxBucket)
+      .select(col("band"), col("bh"))
+    val newDocs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    bandedSignatures(newDocs)
+      .select(col("doc_id").as("new_id"), col("band"), col("bh"))
+      .join(idx.join(bucketOk, Seq("band", "bh")), Seq("band", "bh"))
+      .select(col("idx_id"), col("new_id")).distinct()
+      .orderBy("idx_id", "new_id")
+  }
+
   /** embeddings plus exact copies of every 7th vector (vec_id + 100000) —
     * the semantic-duplicate injection the oracle mirrors (the fixture has no
     * literal embedding duplicates, like the document corpus for d1/d2). */
@@ -463,6 +546,8 @@ object DedupQueries {
     "d10_canonical" -> (d10_canonical _),
     "d8_semdedup" -> (d8_semdedup _),
     "d9_substring" -> (d9_substring _),
+    "d11_chunk_dedup" -> (d11_chunk_dedup _),
+    "d12_incremental" -> (d12_incremental _),
   )
 
   private val corpusCteBody =
@@ -505,6 +590,62 @@ object DedupQueries {
   private val d3Oracle: String =
     s"""WITH $d3CandCtes
        |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin
+
+  /** The banding CTE chain for an arbitrary source select, prefix-named so
+    * two instances coexist (d12's index side and probe side). Mirrors
+    * [[bandedSignatures]] constant-for-constant. */
+  private def bandCtes(prefix: String, srcSql: String): String = {
+    val mins = (0 until 32).map { i =>
+      s"min((h * ${2L * i + 0x9E3779B1L} + ${i * 0x85EBCA77L}) % 2147483647) AS m$i"
+    }.mkString(", ")
+    val sigArr = (0 until 32).map(i => s"m$i").mkString("[", ", ", "]")
+    s"""${prefix}tok AS (SELECT doc_id, list_transform(string_split(lower(text), ' '),
+       |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647) AS th
+       |  FROM ($srcSql)),
+       |${prefix}shingle AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, len(th) - 1),
+       |      i -> ((th[i] * 1000003 + th[i+1]) % 2147483647 * 999983 + th[i+2]) % 2147483647)) AS h
+       |  FROM ${prefix}tok WHERE len(th) >= 3),
+       |${prefix}sig AS (SELECT doc_id, $mins FROM ${prefix}shingle GROUP BY doc_id),
+       |${prefix}banded AS (SELECT doc_id, band,
+       |    array_to_string(($sigArr)[(band*4+1):(band*4+4)], ',') AS key
+       |  FROM ${prefix}sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b)""".stripMargin
+  }
+
+  private val d11Oracle: String =
+    s"""$corpusCte,
+       |tok0 AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+       |  FROM corpus WHERE len(string_split(lower(text), ' ')) >= 1),
+       |chunked AS (SELECT doc_id, ci,
+       |    toks[(ci*16+1):(ci*16+16)] AS ctoks
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(range(0,
+       |            cast(floor((len(toks) - 1) / 16.0) AS int) + 1)) AS ci
+       |        FROM tok0)),
+       |hashed AS (SELECT doc_id, ci, len(ctoks) AS n_toks,
+       |    md5(array_to_string(ctoks, ' ')) AS h
+       |  FROM chunked),
+       |ranked AS (SELECT *, row_number() OVER (
+       |    PARTITION BY h ORDER BY doc_id, ci) AS rn FROM hashed)
+       |SELECT doc_id, count(*) AS n_chunks,
+       |  cast(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS bigint) AS n_dup_chunks,
+       |  cast(sum(n_toks) AS bigint) AS n_tokens,
+       |  cast(sum(CASE WHEN rn > 1 THEN n_toks ELSE 0 END) AS bigint) AS n_dup_tokens
+       |FROM ranked GROUP BY doc_id
+       |HAVING sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) > 0
+       |ORDER BY doc_id""".stripMargin
+
+  private val d12Oracle: String =
+    s"""WITH ${bandCtes("i", "SELECT doc_id, text FROM documents")},
+       |${bandCtes("n",
+         "SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0")},
+       |iok AS (SELECT band, key FROM ibanded GROUP BY band, key
+       |        HAVING count(*) <= $MaxBucket)
+       |SELECT i.doc_id AS idx_id, n.doc_id AS new_id
+       |FROM ibanded i
+       |JOIN iok ON iok.band = i.band AND iok.key = i.key
+       |JOIN nbanded n ON i.band = n.band AND i.key = n.key
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** D7's twin: D3's candidate CTEs verbatim, closed by a recursive CTE —
     * the same closure algebra as D6's twin, over the LSH candidate graph. */
@@ -635,6 +776,8 @@ object DedupQueries {
   val oracle: Map[String, String] = Map(
     "d3_minhash_lsh" -> d3Oracle,
     "d4_simhash" -> d4Oracle,
+    "d11_chunk_dedup" -> d11Oracle,
+    "d12_incremental" -> d12Oracle,
     "d1_exact" ->
       s"""$corpusCte
         |SELECT count(*) AS n_total,

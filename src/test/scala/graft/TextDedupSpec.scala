@@ -177,6 +177,35 @@ class TextDedupSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(1) === r.getLong(2) + r.getLong(3)))
   }
 
+  test("chunk dedup: an injected whole-doc copy duplicates every chunk") {
+    val out = DedupQueries.d11_chunk_dedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // each +100000 copy repeats its original chunk-for-chunk, so every
+    // one of its chunks ranks rn > 1 → n_dup_chunks == n_chunks
+    val copies = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 0).select("doc_id")
+      .collect().map(_.getLong(0) + 100000L)
+    assert(copies.nonEmpty)
+    copies.foreach { id =>
+      val (n, dup) = out(id)
+      assert(n === dup, s"copy $id should have all $n chunks duplicated")
+    }
+  }
+
+  test("incremental dedup: every incoming copy matches its origin via the index") {
+    val pairs = DedupQueries.d12_incremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val copies = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 0).select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(copies.nonEmpty)
+    // an exact copy shares every band with its origin → the probe join
+    // must recover (origin, origin + 100000) for every incoming doc
+    copies.foreach { id =>
+      assert(pairs.contains((id, id + 100000L)), s"copy of $id not matched")
+    }
+  }
+
   test("substring spans: an injected whole-doc copy is one full-length span") {
     val out = DedupQueries.d9_substring(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
