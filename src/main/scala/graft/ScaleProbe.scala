@@ -81,7 +81,11 @@ object ScaleProbe {
         // r7 session 4: DSIR weighting (fixed 64-row broadcast profiles),
         // Matryoshka two-stage ANN (prefix scan + bounded rerank), pHash
         // banding (one (band,key) shuffle)
-        "x19_dsir", "v15_matryoshka", "m5_phash_neardup")
+        "x19_dsir", "v15_matryoshka", "m5_phash_neardup",
+        // r8: chunk-level dedup (one window shuffle on the chunk hash),
+        // incremental band-index probe (one equi-join against the
+        // persisted index), graph-index serving (reconstruct+search only)
+        "d11_chunk_dedup", "d12_incremental", "v16_graph_index")
         .map(n => n -> SparkEntry.queries(n))
     factors.foreach { f =>
       val dir = if (f == 1) base else s"/tmp/graft-scale-${f}x"

@@ -364,6 +364,11 @@ object CqlParser {
           col -> (if (add) CqlCollAdd(v) else CqlCollRemove(v))
         case n: Long => // counter increment / decrement
           col -> CqlCounterAdd(if (add) n else -n)
+        // a whole-collection (or counter-delta) bind marker: the bound
+        // value's shape is validated at apply time against the column type
+        // (upstream prepares these per column metadata)
+        case m @ (CqlBindMarker | _: CqlNamedMarker) =>
+          col -> (if (add) CqlCollAdd(m) else CqlCollRemove(m))
         case other => throw new CqlInvalidQueryException(
           s"expected a collection literal or counter delta, got $other")
       }

@@ -2220,8 +2220,25 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       case (CqlCounterAdd(d), LongType) if isCounter => (d, "incr")
       case (CqlCounterAdd(_), _) => throw new CqlInvalidQueryException(
         s"$c is not a counter column")
+      // whole-value bind markers on += / -= forms resolve their op by the
+      // COLUMN type after binding (upstream prepares per column metadata):
+      // a counter delta binds a Long; a collection binds a Seq/Set/Map
+      case (CqlCollAdd(n: Long), LongType) if isCounter => (n, "incr")
+      case (CqlCollRemove(n: Long), LongType) if isCounter => (-n, "incr")
       case (_, _) if isCounter => throw new CqlInvalidQueryException(
         s"counter column $c only supports c = c + n / c = c - n")
+      case (CqlCollAdd(v: Seq[_]), _: ArrayType) =>
+        (coerce(CqlList(v), dt), "app")
+      case (CqlCollRemove(v: Seq[_]), _: ArrayType) =>
+        (coerce(CqlList(v), dt), "rem")
+      case (CqlCollAdd(v: Set[_]), _: ArrayType) =>
+        (coerce(CqlSetLit(v.toSeq.sortBy(String.valueOf(_))), dt), "uni")
+      case (CqlCollRemove(v: Set[_]), _: ArrayType) =>
+        (coerce(CqlSetLit(v.toSeq.sortBy(String.valueOf(_))), dt), "rem")
+      case (CqlCollAdd(v: Map[_, _]), MapType(kt, vt, _)) =>
+        (v.map { case (k, x) => coerce(k, kt) -> coerce(x, vt) }, "put")
+      case (CqlCollRemove(v: Set[_]), MapType(kt, _, _)) =>
+        (v.toSeq.map(k => coerce(k, kt) -> null).toMap, "remk")
       case (CqlAssignValue(v: CqlSetLit), _: ArrayType) => (coerce(v, dt), "sset")
       case (CqlAssignValue(null), _) =>
         // an explicit null write IS a delete (upstream Constants.Deleter):

@@ -288,6 +288,14 @@ class CqlSessionSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1),
         if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
     assert(out === Set(("home", 6L, Some(1L)), ("about", 7L, None)))
+    // counter delta as a bind marker (`views = views + ?`): the op
+    // resolves by the COLUMN type after binding
+    val inc = s.prepare("UPDATE hits SET views = views + ? WHERE page = ?")
+    inc.execute(10L, "home")
+    val dec = s.prepare("UPDATE hits SET views = views - ? WHERE page = ?")
+    dec.execute(4L, "home")
+    assert(s.execute("SELECT views FROM hits WHERE page = 'home'")
+      .head().getLong(0) === 12L)
   }
 
   test("counter ops lex without spaces: SET views=views-2 parses as a decrement") {
@@ -2043,6 +2051,17 @@ class CqlSessionSpec extends SparkSpec {
     intercept[CqlInvalidQueryException] { // bound non-list is rejected
       pre.execute(42L, 1L)
     }
+    // whole-collection markers on the append/discard forms too (upstream
+    // Operation prepares these against column metadata): a bound Seq
+    // appends, a bound Seq discards
+    val app = s.prepare("UPDATE pin SET l = l + ? WHERE k = ?")
+    app.execute(Seq(5L), 1L)
+    assert(s.execute("SELECT l FROM pin WHERE k = 1").head()
+      .getAs[Seq[Long]](0) === Seq(7L, 8L, 9L, 1L, 5L))
+    val rem = s.prepare("UPDATE pin SET l = l - ? WHERE k = ?")
+    rem.execute(Seq(8L, 9L), 1L)
+    assert(s.execute("SELECT l FROM pin WHERE k = 1").head()
+      .getAs[Seq[Long]](0) === Seq(7L, 1L, 5L))
     // IN on the partition key expands to one mutation per value
     s.execute("UPDATE pin SET v = 10 WHERE k IN (1, 2)")
     assert(s.execute("SELECT v FROM pin ALLOW FILTERING").collect()
