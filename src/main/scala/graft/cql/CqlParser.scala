@@ -521,17 +521,32 @@ object CqlParser {
         val ifExists = c.accept("if") && { c.expect("exists"); true }
         CqlDropRole(roleName(c), ifExists)
       case "grant" =>
-        val perms = parsePermList(c)
-        c.expect("on")
-        val res = parseResource(c)
-        c.expect("to")
-        CqlGrant(perms, res, roleName(c))
+        // `GRANT <role> TO <role>` (inheritance) vs `GRANT <perms> ON …
+        // TO …` — disambiguated by the token after the first name, as
+        // upstream's grammar does
+        val first = c.next()
+        if (c.peekIs("to")) {
+          c.next()
+          CqlGrantRole(parseLiteralToken(first).toLowerCase, roleName(c))
+        } else {
+          val perms = parsePermListFrom(first, c)
+          c.expect("on")
+          val res = parseResource(c)
+          c.expect("to")
+          CqlGrant(perms, res, roleName(c))
+        }
       case "revoke" =>
-        val perms = parsePermList(c)
-        c.expect("on")
-        val res = parseResource(c)
-        c.expect("from")
-        CqlRevoke(perms, res, roleName(c))
+        val first = c.next()
+        if (c.peekIs("from")) {
+          c.next()
+          CqlRevokeRole(parseLiteralToken(first).toLowerCase, roleName(c))
+        } else {
+          val perms = parsePermListFrom(first, c)
+          c.expect("on")
+          val res = parseResource(c)
+          c.expect("from")
+          CqlRevoke(perms, res, roleName(c))
+        }
       case "list" =>
         if (c.peekIs("roles")) {
           c.next()
@@ -559,9 +574,15 @@ object CqlParser {
   private val PermissionNames = Set("create", "alter", "drop", "select",
     "modify", "authorize", "describe", "execute")
 
-  private def parsePermList(c: Cursor): Seq[String] = {
-    def one(): String = {
-      val p = c.next().toLowerCase
+  private def parsePermList(c: Cursor): Seq[String] =
+    parsePermListFrom(c.next(), c)
+
+  /** Permission list whose first token the caller already consumed (the
+    * GRANT/REVOKE statements read one token ahead to disambiguate the
+    * role-inheritance form). */
+  private def parsePermListFrom(firstTok: String, c: Cursor): Seq[String] = {
+    def oneOf(t: String): String = {
+      val p = t.toLowerCase
       if (p == "all") PermissionNames.toSeq.sorted.mkString("+") // marker
       else {
         if (!PermissionNames(p))
@@ -569,7 +590,8 @@ object CqlParser {
         p
       }
     }
-    val first = one()
+    def one(): String = oneOf(c.next())
+    val first = oneOf(firstTok)
     if (first.contains("+")) {
       c.accept("permissions"); c.accept("permission")
       PermissionNames.toSeq.sorted

@@ -126,6 +126,11 @@ case class CqlGrant(perms: Seq[String], resource: CqlResource, role: String)
   extends CqlAuth
 case class CqlRevoke(perms: Seq[String], resource: CqlResource, role: String)
   extends CqlAuth
+/** `GRANT role TO role` — role inheritance (upstream `GrantRoleStatement`
+  * [U]): the grantee acquires the granted role's permissions (and
+  * superuser status) transitively. */
+case class CqlGrantRole(granted: String, to: String) extends CqlAuth
+case class CqlRevokeRole(granted: String, from: String) extends CqlAuth
 /** `LIST ALL PERMISSIONS | LIST <perm> PERMISSION` with optional ON/OF. */
 case class CqlListPermissions(perms: Option[Seq[String]],
   on: Option[CqlResource], of: Option[String]) extends CqlAuth
@@ -420,6 +425,25 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   private val permReg: scala.collection.mutable.Map[(String, String),
     scala.collection.mutable.Set[String]] = scala.collection.mutable.Map.empty
 
+  /** Direct role-to-role grants: grantee → directly granted roles
+    * (upstream `system_auth.role_members` [U]). */
+  private val roleGrants: scala.collection.mutable.Map[String, Set[String]] =
+    scala.collection.mutable.Map.empty
+
+  /** `role` plus every role reachable through grants (the effective
+    * identity upstream's Roles cache computes). */
+  private def roleClosure(role: String): Set[String] = {
+    var seen = Set(role)
+    var frontier = Set(role)
+    while (frontier.nonEmpty) {
+      val next = frontier.flatMap(r => roleGrants.getOrElse(r, Set.empty))
+        .diff(seen)
+      seen ++= next
+      frontier = next
+    }
+    seen
+  }
+
   private var currentRole: String = "cassandra"
   private var requestCount: Long = 0L
 
@@ -441,14 +465,15 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   def currentUser: String = currentRole
 
   private def isSuperuser: Boolean =
-    roleReg.get(currentRole).exists(_.superuser)
+    roleClosure(currentRole).exists(r => roleReg.get(r).exists(_.superuser))
 
   /** Require `perm` on `res` (or any ancestor) for the current role —
     * superusers bypass, like upstream `AuthenticatedUser.isSuper` [U]. */
   private def checkPerm(perm: String, res: CqlResource): Unit = {
     if (!isSuperuser) {
+      val roles = roleClosure(currentRole)
       val ok = res.chain.exists(k =>
-        permReg.get((currentRole, k)).exists(_.contains(perm)))
+        roles.exists(r => permReg.get((r, k)).exists(_.contains(perm))))
       if (!ok) throw new CqlInvalidQueryException(
         s"User $currentRole has no ${perm.toUpperCase} permission on " +
           s"${res.display} or any of its parents")
@@ -499,6 +524,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         if (roleReg.remove(name).isEmpty && !ifExists)
           throw new CqlInvalidQueryException(s"role $name does not exist")
         permReg.filterInPlace { case ((r, _), _) => r != name }
+        roleGrants.remove(name)
+        roleGrants.mapValuesInPlace { case (_, g) => g - name }
         spark.emptyDataFrame
       case CqlGrant(perms, res, role) =>
         checkPerm("authorize", res)
@@ -536,12 +563,32 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
               .map(p => (r, display(k), p.toUpperCase)) }
           .sorted.map { case (r, k, p) => Row(r, k, p) }
         spark.createDataFrame(rows.asJava, schema)
+      case CqlGrantRole(granted, to) =>
+        checkPerm("authorize", RoleRes(granted))
+        Seq(granted, to).foreach { r =>
+          if (!roleReg.contains(r)) throw new CqlInvalidQueryException(
+            s"role $r does not exist")
+        }
+        // upstream rejects circular grants (a role may not end up a
+        // member of itself)
+        if (granted == to || roleClosure(granted).contains(to))
+          throw new CqlInvalidQueryException(
+            s"granting $granted to $to would create a cycle")
+        roleGrants(to) = roleGrants.getOrElse(to, Set.empty) + granted
+        spark.emptyDataFrame
+      case CqlRevokeRole(granted, from) =>
+        checkPerm("authorize", RoleRes(granted))
+        roleGrants.get(from).foreach(g => roleGrants(from) = g - granted)
+        spark.emptyDataFrame
       case CqlListRoles(of) =>
         val schema = StructType(Seq(
           StructField("role", StringType),
           StructField("super", BooleanType),
           StructField("login", BooleanType)))
-        val rows = roleReg.toSeq.filter { case (n, _) => of.forall(_ == n) }
+        // `OF role` lists the role's effective identity (itself + every
+        // transitively granted role), as upstream's recursive default
+        val wanted = of.fold(roleReg.keySet.toSet)(roleClosure)
+        val rows = roleReg.toSeq.filter { case (n, _) => wanted(n) }
           .sortBy(_._1)
           .map { case (n, d) => Row(n, d.superuser, d.login) }
         spark.createDataFrame(rows.asJava, schema)

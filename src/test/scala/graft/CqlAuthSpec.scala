@@ -135,6 +135,46 @@ class CqlAuthSpec extends SparkSpec {
     s.login("cassandra", "cassandra")
   }
 
+  test("role inheritance: GRANT role TO role carries permissions transitively") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE auth_rg (k bigint PRIMARY KEY, v bigint)")
+    s.execute("INSERT INTO auth_rg (k, v) VALUES (1, 7)")
+    s.execute("CREATE ROLE rg_reader")
+    s.execute("CREATE ROLE rg_team")
+    s.execute("CREATE ROLE rg_alice WITH LOGIN = true")
+    s.execute("GRANT SELECT ON auth_rg TO rg_reader")
+    s.execute("GRANT rg_reader TO rg_team")
+    s.execute("GRANT rg_team TO rg_alice")
+    // alice inherits SELECT through team -> reader
+    s.login("rg_alice")
+    assert(s.execute("SELECT v FROM auth_rg WHERE k = 1").head()
+      .getLong(0) === 7L)
+    intercept[CqlInvalidQueryException] { // nothing grants MODIFY
+      s.execute("UPDATE auth_rg SET v = 8 WHERE k = 1")
+    }
+    s.login("cassandra", "cassandra")
+    // the effective identity lists transitively
+    val of = s.execute("LIST ROLES OF rg_alice").collect()
+      .map(_.getString(0)).toSet
+    assert(of === Set("rg_alice", "rg_team", "rg_reader"))
+    // circular grants rejected; revocation cuts the chain
+    intercept[CqlInvalidQueryException] {
+      s.execute("GRANT rg_alice TO rg_reader")
+    }
+    s.execute("REVOKE rg_reader FROM rg_team")
+    s.login("rg_alice")
+    intercept[CqlInvalidQueryException] {
+      s.execute("SELECT v FROM auth_rg WHERE k = 1")
+    }
+    s.login("cassandra", "cassandra")
+    // superuser status inherits too
+    s.execute("CREATE ROLE rg_admins WITH SUPERUSER = true")
+    s.execute("GRANT rg_admins TO rg_alice")
+    s.login("rg_alice")
+    s.execute("CREATE TABLE auth_rg2 (k bigint PRIMARY KEY)") // no grant needed
+    s.login("cassandra", "cassandra")
+  }
+
   test("system_views.settings and clients read through the text path") {
     val s = CqlSession(spark)
     val settings = s.execute(
