@@ -720,14 +720,22 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     java.nio.file.Files.createTempDirectory("graft-catalog").toString
   private[graft] def catalogSnapshot(table: String): (String, StructType) = {
     val key = table.toLowerCase
+    // the runtime virtual tables (settings/clients) change without a
+    // mutation epoch bump — never serve them from the snapshot cache
+    val volatileKey = key.startsWith("system_views.")
     val cur = snapshotCache.get(key)
-    if (cur != null && cur._1 == mutationEpoch) (cur._2, cur._3)
+    if (!volatileKey && cur != null && cur._1 == mutationEpoch)
+      (cur._2, cur._3)
     else {
+      if (volatileKey) engineCache = None // rebuild → live conf/role rows
       val t = engineCatalog.getOrElse(key,
         throw new CqlInvalidQueryException(s"unknown table $table"))
       val visible = t.df.columns.filterNot(_.startsWith("_")).toSeq
       val df = t.df.select(visible.map(col): _*)
-      val dir = s"$snapshotRoot/${key.replace('.', '_')}/$mutationEpoch"
+      val epochDir =
+        if (volatileKey) s"${mutationEpoch}_${System.nanoTime()}"
+        else mutationEpoch.toString
+      val dir = s"$snapshotRoot/${key.replace('.', '_')}/$epochDir"
       df.write.mode("overwrite").parquet(dir)
       snapshotCache.put(key, (mutationEpoch, dir, df.schema))
       (dir, df.schema)

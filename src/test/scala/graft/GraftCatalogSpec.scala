@@ -118,6 +118,19 @@ class GraftCatalogSpec extends SparkSpec {
       (42L to 100L by 2).toSeq)
   }
 
+  test("system_views reads through the catalog are live (no stale snapshot)") {
+    val s = CqlSession(spark)
+    s.exposeAsCatalog("graft")
+    val n1 = spark.sql(
+      "SELECT request_count FROM graft.system_views.clients")
+      .head().getLong(0)
+    s.execute("SELECT name FROM system_views.settings LIMIT 1")
+    val n2 = spark.sql(
+      "SELECT request_count FROM graft.system_views.clients")
+      .head().getLong(0)
+    assert(n2 > n1)
+  }
+
   test("DROP TABLE through the catalog removes the CQL table") {
     val s = CqlSession(spark)
     s.execute("CREATE TABLE cat_drop (k bigint PRIMARY KEY)")
