@@ -479,7 +479,9 @@ object CqlParser {
         val ifNotExists =
           c.accept("if") && { c.expect("not"); c.expect("exists"); true }
         val name = roleName(c)
-        var (su, lg, pw) = (false, true, Option.empty[String])
+        // upstream RoleOptions default SUPERUSER and LOGIN to false —
+        // only the legacy CREATE USER form defaults LOGIN to true
+        var (su, lg, pw) = (false, false, Option.empty[String])
         if (c.accept("with")) {
           var more = true
           while (more) {

@@ -480,6 +480,18 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     }
   }
 
+  /** Read authorization with upstream's carve-out: every authenticated
+    * user may read the system virtual keyspaces (ClientState's readable
+    * system resources [U]) — the first thing any driver does is SELECT
+    * system.local / system_schema.*. */
+  private def checkRead(table: String): Unit = {
+    val ks = table.toLowerCase.split("[.]") match {
+      case Array(k, _) => k
+      case _ => UserKeyspace
+    }
+    if (!SystemKeyspaces(ks)) checkPerm("select", authRes(table))
+  }
+
   /** The data resource a statement on `table` authorizes against: system
     * virtual tables keep their keyspace; flat user tables land in the
     * implicit user keyspace. */
@@ -523,7 +535,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           "cannot drop the role you are logged in as")
         if (roleReg.remove(name).isEmpty && !ifExists)
           throw new CqlInvalidQueryException(s"role $name does not exist")
-        permReg.filterInPlace { case ((r, _), _) => r != name }
+        permReg.filterInPlace { case ((r, k), _) =>
+          r != name && k != s"roles/$name" }
         roleGrants.remove(name)
         roleGrants.mapValuesInPlace { case (_, g) => g - name }
         spark.emptyDataFrame
@@ -557,7 +570,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         val rows = permReg.toSeq
           .filter { case ((r, _), _) => of.forall(_ == r) }
           .filter { case ((_, k), _) =>
-            on.forall(res => res.chain.contains(k) || k.startsWith(res.key)) }
+            on.forall(res => res.chain.contains(k) ||
+              k.startsWith(res.key + "/")) }
           .flatMap { case ((r, k), ps) =>
             ps.toSeq.filter(p => perms.forall(_.contains(p)))
               .map(p => (r, display(k), p.toUpperCase)) }
@@ -724,12 +738,28 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     // mutation epoch bump — never serve them from the snapshot cache
     val volatileKey = key.startsWith("system_views.")
     val cur = snapshotCache.get(key)
-    if (!volatileKey && cur != null && cur._1 == mutationEpoch)
+    if (!volatileKey && cur != null && cur._1 == mutationEpoch) {
+      checkRead(key) // a cache hit must not skip enforcement
       (cur._2, cur._3)
-    else {
-      if (volatileKey) engineCache = None // rebuild → live conf/role rows
+    } else {
+      if (volatileKey) {
+        engineCache = None // rebuild → live conf/role rows
+        // volatile snapshots are single-read: reap the previous dir so a
+        // polling client doesn't accumulate one dir per read
+        if (cur != null)
+          try {
+            import scala.reflect.io.Directory
+            new Directory(new java.io.File(cur._2)).deleteRecursively()
+          } catch { case _: Exception => () }
+      }
       val t = engineCatalog.getOrElse(key,
         throw new CqlInvalidQueryException(s"unknown table $table"))
+      // catalog reads carry the session's authenticated role: same SELECT
+      // enforcement (and system-keyspace carve-out) as the CQL text path —
+      // the DSv2 bridge must not be a side door around checkPerm. After
+      // the existence check, so an unknown table still maps to
+      // NoSuchTableException in the catalog.
+      checkRead(key)
       val visible = t.df.columns.filterNot(_.startsWith("_")).toSeq
       val df = t.df.select(visible.map(col): _*)
       val epochDir =
@@ -1181,6 +1211,10 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * timestamp, table default TTL, row markers set. Returns a 1-row
     * (rows bigint) DataFrame like cqlsh's "N rows exported/imported". */
   private def runCopy(cp: CqlCopy): DataFrame = {
+    // COPY TO is a bulk read, COPY FROM a bulk write — same permissions
+    // as the statements they expand to
+    if (cp.to) checkRead(cp.table)
+    else checkPerm("modify", authRes(cp.table))
     import scala.jdk.CollectionConverters._
     val t = tableState(cp.table)
     if (t.counterKeys.nonEmpty) throw new CqlInvalidQueryException(
@@ -1469,7 +1503,10 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     }
   }
 
-  private[cql] def runSelect(sel: CqlSelect): DataFrame = engine.execute(sel)
+  private[cql] def runSelect(sel: CqlSelect): DataFrame = {
+    checkRead(sel.table)
+    engine.execute(sel)
+  }
 
   /** Expand `col IN (…)` key restrictions into one mutation per value
     * combination (cartesian over IN'd columns). Upstream rejects IN with
@@ -1500,7 +1537,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   }
 
   private[cql] def runDml(dml: CqlDml): DataFrame = {
-    if (!isSuperuser) checkPerm("modify", authRes(dml.table))
+    checkPerm("modify", authRes(dml.table))
     val expanded = expandInPredicates(dml)
     if (expanded.lengthCompare(1) == 0 && (expanded.head eq dml)) {
       val applied = applyDml(dml, None)
@@ -1538,6 +1575,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * conditions evaluate against the PRE-batch state (one Paxos round
     * upstream); the batch applies all-or-nothing. */
   private[cql] def runBatch(b0: CqlBatch): DataFrame = {
+    b0.statements.map(_.table).distinct
+      .foreach(t => checkPerm("modify", authRes(t)))
     val b = b0.copy(statements = b0.statements.flatMap(expandInPredicates))
     if (b.usingTimestamp.isDefined &&
         b.statements.exists(_.usingTimestamp.isDefined))
@@ -1593,7 +1632,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         if (!isSuperuser) {
           // enforcement needs the target table; the engine re-parses, but
           // non-superuser sessions are the rare path (default = cassandra)
-          checkPerm("select", authRes(CqlParser.parse(trimmed).table))
+          checkRead(CqlParser.parse(trimmed).table)
         }
         // the runtime virtual tables (settings/clients) change without a
         // mutation epoch bump — rebuild so the read sees live values

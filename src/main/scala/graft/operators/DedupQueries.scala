@@ -563,22 +563,8 @@ object DedupQueries {
     * there) but grouping equality — the only thing the output depends on —
     * is identical. */
   private val d3CandCtes: String = {
-    val mins = (0 until 32).map { i =>
-      s"min((h * ${2L * i + 0x9E3779B1L} + ${i * 0x85EBCA77L}) % 2147483647) AS m$i"
-    }.mkString(", ")
-    val sigArr = (0 until 32).map(i => s"m$i").mkString("[", ", ", "]")
     s"""$corpusCteBody,
-       |tok AS (SELECT doc_id, list_transform(string_split(lower(text), ' '),
-       |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647) AS th
-       |  FROM corpus),
-       |shingle AS (SELECT doc_id,
-       |    unnest(list_transform(range(1, len(th) - 1),
-       |      i -> ((th[i] * 1000003 + th[i+1]) % 2147483647 * 999983 + th[i+2]) % 2147483647)) AS h
-       |  FROM tok WHERE len(th) >= 3),
-       |sig AS (SELECT doc_id, $mins FROM shingle GROUP BY doc_id),
-       |banded AS (SELECT doc_id, band,
-       |    array_to_string(($sigArr)[(band*4+1):(band*4+4)], ',') AS key
-       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b),
+       |${bandCtes("", "SELECT doc_id, text FROM corpus")},
        |ok AS (SELECT band, key FROM banded GROUP BY band, key
        |       HAVING count(*) BETWEEN 2 AND $MaxBucket),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b

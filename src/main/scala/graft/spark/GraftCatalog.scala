@@ -97,8 +97,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val key = registryKey(ident)
     val (dir, schema) =
       try session.catalogSnapshot(key)
-      catch { case _: CqlInvalidQueryException =>
-        throw new NoSuchTableException(ident) }
+      catch {
+        case e: CqlInvalidQueryException
+            if e.getMessage.startsWith("unknown table") =>
+          throw new NoSuchTableException(ident)
+        // permission errors must surface as such, not as missing tables
+      }
     new GraftTable(ident.toString, schema,
       GraftShim.parquetTable(session.sparkSession, ident.toString, dir,
         schema))

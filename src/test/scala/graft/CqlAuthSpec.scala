@@ -135,6 +135,90 @@ class CqlAuthSpec extends SparkSpec {
     s.login("cassandra", "cassandra")
   }
 
+  test("no side doors: BATCH, prepared statements, COPY and the Spark " +
+      "catalog all enforce permissions") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE auth_sd (k bigint PRIMARY KEY, v bigint)")
+    s.execute("INSERT INTO auth_sd (k, v) VALUES (1, 1)")
+    s.execute("CREATE ROLE sd_role WITH LOGIN = true")
+    s.exposeAsCatalog("graft")
+    s.login("sd_role")
+    // BATCH mutation without MODIFY
+    intercept[CqlInvalidQueryException] {
+      s.execute("BEGIN BATCH UPDATE auth_sd SET v = 9 WHERE k = 1; " +
+        "APPLY BATCH")
+    }
+    // prepared SELECT without SELECT
+    val p = {
+      s.login("cassandra", "cassandra")
+      val prep = s.prepare("SELECT v FROM auth_sd WHERE k = ?")
+      s.login("sd_role"); prep
+    }
+    intercept[CqlInvalidQueryException] { p.execute(1L) }
+    // COPY TO (bulk read) without SELECT
+    val dir = java.nio.file.Files.createTempDirectory("auth-copy").toString
+    intercept[CqlInvalidQueryException] {
+      s.execute(s"COPY auth_sd TO '$dir/out'")
+    }
+    // the Spark catalog read path carries the same enforcement
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.default.auth_sd").collect()
+    }
+    assert(e.getMessage.contains("SELECT") ||
+      Option(e.getCause).exists(_.getMessage.contains("SELECT")))
+    // ... and unlocks with the grant, everywhere
+    s.login("cassandra", "cassandra")
+    s.execute("GRANT SELECT ON auth_sd TO sd_role")
+    s.login("sd_role")
+    assert(p.execute(1L).head().getLong(0) === 1L)
+    assert(spark.sql("SELECT v FROM graft.default.auth_sd").head()
+      .getLong(0) === 1L)
+    s.login("cassandra", "cassandra")
+  }
+
+  test("system keyspaces are readable without grants (driver handshake)") {
+    val s = CqlSession(spark)
+    s.execute("CREATE ROLE hs_role WITH LOGIN = true")
+    s.login("hs_role")
+    // the first thing every driver does — must not need a grant
+    assert(s.execute("SELECT cluster_name FROM system.local").count() === 1)
+    assert(s.execute(
+      "SELECT keyspace_name FROM system_schema.keyspaces").count() >= 1)
+    assert(s.execute(
+      "SELECT username FROM system_views.clients").head()
+      .getString(0) === "hs_role")
+    s.login("cassandra", "cassandra")
+  }
+
+  test("CREATE ROLE defaults LOGIN to false, as upstream RoleOptions") {
+    val s = CqlSession(spark)
+    s.execute("CREATE ROLE svc_acct")
+    intercept[CqlInvalidQueryException] { s.login("svc_acct") }
+    val row = s.execute("LIST ROLES OF svc_acct").head()
+    assert(!row.getBoolean(1) && !row.getBoolean(2))
+  }
+
+  test("LIST PERMISSIONS ON a resource does not match prefix siblings; " +
+      "DROP ROLE clears grants ON the dropped role") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE lp_t (k bigint PRIMARY KEY)")
+    s.execute("CREATE TABLE lp_t2 (k bigint PRIMARY KEY)")
+    s.execute("CREATE ROLE lp_r2")
+    s.execute("GRANT SELECT ON lp_t TO lp_r2")
+    s.execute("GRANT MODIFY ON lp_t2 TO lp_r2")
+    // lp_t2 is a name-prefix sibling of lp_t — must NOT be listed
+    val on = s.execute("LIST ALL PERMISSIONS ON lp_t OF lp_r2").collect()
+      .map(_.getString(1)).toSet
+    assert(on === Set("<table default.lp_t>"))
+    // permissions granted ON a role die with the role
+    s.execute("CREATE ROLE lp_temp")
+    s.execute("GRANT ALTER ON ROLE lp_temp TO lp_r2")
+    s.execute("DROP ROLE lp_temp")
+    s.execute("CREATE ROLE lp_temp") // a brand-new principal
+    assert(s.execute("LIST ALL PERMISSIONS OF lp_r2").collect()
+      .map(_.getString(1)).forall(_ != "<role lp_temp>"))
+  }
+
   test("role inheritance: GRANT role TO role carries permissions transitively") {
     val s = CqlSession(spark)
     s.execute("CREATE TABLE auth_rg (k bigint PRIMARY KEY, v bigint)")
