@@ -474,6 +474,38 @@ object CqlParser {
   def parseAuth(cql: String): CqlAuth = {
     val c = new Cursor(tokenize(cql.stripSuffix(";")))
     val out = c.next().toLowerCase match {
+      case "create" if c.peekIs("user") =>
+        // legacy `CREATE USER` [U CreateRoleStatement: users are roles
+        // with LOGIN defaulting to TRUE]
+        c.next()
+        val ifNotExists =
+          c.accept("if") && { c.expect("not"); c.expect("exists"); true }
+        val name = roleName(c)
+        var pw = Option.empty[String]
+        if (c.accept("with")) { c.expect("password"); pw = Some(
+          parseLiteralToken(c.next())) }
+        val su =
+          if (c.accept("superuser")) true
+          else { c.accept("nosuperuser"); false }
+        CqlCreateRole(name, ifNotExists, su, login = true, pw)
+      case "drop" if c.peekIs("user") =>
+        c.next()
+        val ifExists = c.accept("if") && { c.expect("exists"); true }
+        CqlDropRole(roleName(c), ifExists)
+      case "list" if c.peekIs("users") =>
+        c.next()
+        CqlListRoles(None)
+      case "alter" if c.peekIs("user") =>
+        c.next()
+        val name = roleName(c)
+        var pw = Option.empty[String]
+        if (c.accept("with")) { c.expect("password"); pw = Some(
+          parseLiteralToken(c.next())) }
+        val su =
+          if (c.accept("superuser")) Some(true)
+          else if (c.accept("nosuperuser")) Some(false)
+          else None
+        CqlAlterRole(name, su, None, pw)
       case "create" =>
         c.expect("role")
         val ifNotExists =

@@ -1638,7 +1638,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         // mutation epoch bump — rebuild so the read sees live values
         if (trimmed.toLowerCase.contains("system_views.")) engineCache = None
         engine.execute(trimmed)
-      case "create" | "drop" | "alter" if secondKw == "role" =>
+      case "create" | "drop" | "alter"
+          if secondKw == "role" || secondKw == "user" =>
         runAuth(CqlParser.parseAuth(trimmed))
       case "grant" | "revoke" | "list" =>
         runAuth(CqlParser.parseAuth(trimmed))

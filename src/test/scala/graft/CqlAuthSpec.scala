@@ -190,6 +190,22 @@ class CqlAuthSpec extends SparkSpec {
     s.login("cassandra", "cassandra")
   }
 
+  test("legacy USER statements alias roles with LOGIN defaulting true") {
+    val s = CqlSession(spark)
+    s.execute("CREATE USER legacy_u WITH PASSWORD 'pw' NOSUPERUSER")
+    s.login("legacy_u", "pw") // users are loginable by default
+    s.login("cassandra", "cassandra")
+    s.execute("ALTER USER legacy_u WITH PASSWORD 'pw2' SUPERUSER")
+    s.login("legacy_u", "pw2")
+    s.execute("CREATE TABLE legacy_t (k bigint PRIMARY KEY)") // superuser now
+    s.login("cassandra", "cassandra")
+    val users = s.execute("LIST USERS").collect()
+      .map(_.getString(0)).toSet
+    assert(users.contains("legacy_u") && users.contains("cassandra"))
+    s.execute("DROP USER legacy_u")
+    intercept[CqlInvalidQueryException] { s.login("legacy_u", "pw2") }
+  }
+
   test("CREATE ROLE defaults LOGIN to false, as upstream RoleOptions") {
     val s = CqlSession(spark)
     s.execute("CREATE ROLE svc_acct")

@@ -1973,6 +1973,25 @@ class CqlSessionSpec extends SparkSpec {
     }
   }
 
+  test("prepared token-range scan binds raw bounds (connector split shape)") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE tk3 (k bigint PRIMARY KEY, v bigint)")
+    (1L to 8L).foreach(i =>
+      s.execute(s"INSERT INTO tk3 (k, v) VALUES ($i, $i)"))
+    val toks = s.execute("SELECT k, token(k) AS t FROM tk3").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the spark-cassandra-connector issues exactly this statement per
+    // split, binding RAW token longs (not token(?)):
+    val p = s.prepare(
+      "SELECT k FROM tk3 WHERE token(k) > ? AND token(k) <= ? " +
+        "ALLOW FILTERING")
+    val sorted = toks.values.toSeq.sorted
+    val (lo, hi) = (sorted(1), sorted(5))
+    val got = p.execute(lo, hi).collect().map(_.getLong(0)).toSet
+    assert(got === toks.filter { case (_, t) => t > lo && t <= hi }.keySet)
+    assert(got.size === 4)
+  }
+
   test("composite token(literal) coerces each component to its pk type") {
     val s = CqlSession(spark)
     // int components: an integer literal parses as Long (8-byte
