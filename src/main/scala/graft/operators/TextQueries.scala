@@ -549,7 +549,70 @@ object TextQueries {
       .limit(50)
   }
 
+
+  /** X21 (L4+ capstone): the dataset-build KEEP SET — the single query
+    * every corpus run executes end-to-end: keep a document iff it is
+    * (1) its content hash's exact-dup KEEPER (lowest doc_id — d1's rule,
+    * over the same injected-duplicate corpus), (2) predicted English by
+    * the x1 marker heuristic, and (3) passes all five Gopher rules (x17's
+    * thresholds). Per source: corpus size, kept count, and the kept token
+    * budget — the numbers a dataset card reports.
+    *
+    * Scale shape: ONE hash-window shuffle (the dup keeper) + map-side
+    * language/quality flags (the repetition flag is the codegen'd
+    * [[graft.functions.TextFunctions.runLengthStats]] single pass — never
+    * materialized bigrams) + one agg shuffle on source. Composing the
+    * three stages in one plan is the point: no intermediate
+    * materialization, Catalyst pipelines the flags into the keeper
+    * window's output. */
+  def x21_keepset(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.runLengthStats
+    val docs = Tables.documents(s, d)
+    val corpus = docs.unionByName(
+      docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+    val t = tokens(col("text"))
+    val best = greatest(col("s_en"), col("s_es"), col("s_fr"), col("s_de"))
+    val pred = when(best === 0, lit("und"))
+      .when(col("s_de") === best, lit("de"))
+      .when(col("s_en") === best, lit("en"))
+      .when(col("s_es") === best, lit("es"))
+      .otherwise(lit("fr"))
+    val mean_wlen =
+      (col("n_chars_t") - (col("n_tok") - 1)).cast("double") / col("n_tok")
+    val flagged = corpus
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+        size(t).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_chars_t"),
+        markerHits(t, "en").as("s_en"), markerHits(t, "es").as("s_es"),
+        markerHits(t, "fr").as("s_fr"), markerHits(t, "de").as("s_de"),
+        size(array_intersect(t,
+          array(lit("the"), lit("a"), lit("and"), lit("of"))))
+          .cast("long").as("stop_hits"),
+        size(filter(t, x => x.rlike("^[0-9]+$")))
+          .cast("long").as("digit_toks"),
+        runLengthStats(t).as("rls"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("h")).orderBy(col("doc_id").asc)))
+      .withColumn("keep",
+        col("rn") === 1 && pred === "en" &&
+          !(col("n_tok") < 50 || col("n_tok") > 100000) &&
+          !(mean_wlen < 3.0 || mean_wlen > 10.0) &&
+          col("stop_hits") >= 2 &&
+          !(col("digit_toks") * 5 > col("n_tok")) &&
+          !(col("rls.dup").cast("long") * 5 >
+            col("rls.n_bigrams").cast("long")))
+    flagged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("keep"), lit(1))).as("n_kept"),
+        sum(when(col("keep"), col("n_tok")).otherwise(0L))
+          .as("kept_tokens"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x21_keepset" -> (x21_keepset _),
     "x19_dsir" -> (x19_dsir _),
     "x18_bpe_pairs" -> (x18_bpe_pairs _),
     "x17_gopher_rules" -> (x17_gopher_rules _),
@@ -572,6 +635,75 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "x21_keepset" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text, source
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |base AS (
+        |  SELECT doc_id, source, md5(text) AS h,
+        |    string_split(lower(text),' ') AS toks, len(text) AS nc
+        |  FROM corpus),
+        |keeper AS (
+        |  SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        |  FROM base),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS g
+        |  FROM base),
+        |dup AS (
+        |  SELECT doc_id,
+        |    cast(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_c,
+        |    cast(sum(c) AS BIGINT) AS n_bigrams
+        |  FROM (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |flags AS (
+        |  SELECT k.source, cast(len(k.toks) AS BIGINT) AS n_tok,
+        |    (k.rn = 1) AND
+        |    (CASE
+        |      WHEN greatest(
+        |        len(list_intersect(k.toks, ['the','and','of','a'])),
+        |        len(list_intersect(k.toks, ['el','la','de','y'])),
+        |        len(list_intersect(k.toks, ['le','la','de','et'])),
+        |        len(list_intersect(k.toks, ['der','die','und','das']))) = 0
+        |        THEN 'und'
+        |      WHEN len(list_intersect(k.toks, ['der','die','und','das'])) =
+        |        greatest(
+        |          len(list_intersect(k.toks, ['the','and','of','a'])),
+        |          len(list_intersect(k.toks, ['el','la','de','y'])),
+        |          len(list_intersect(k.toks, ['le','la','de','et'])),
+        |          len(list_intersect(k.toks, ['der','die','und','das'])))
+        |        THEN 'de'
+        |      WHEN len(list_intersect(k.toks, ['the','and','of','a'])) =
+        |        greatest(
+        |          len(list_intersect(k.toks, ['the','and','of','a'])),
+        |          len(list_intersect(k.toks, ['el','la','de','y'])),
+        |          len(list_intersect(k.toks, ['le','la','de','et'])),
+        |          len(list_intersect(k.toks, ['der','die','und','das'])))
+        |        THEN 'en'
+        |      WHEN len(list_intersect(k.toks, ['el','la','de','y'])) =
+        |        greatest(
+        |          len(list_intersect(k.toks, ['the','and','of','a'])),
+        |          len(list_intersect(k.toks, ['el','la','de','y'])),
+        |          len(list_intersect(k.toks, ['le','la','de','et'])),
+        |          len(list_intersect(k.toks, ['der','die','und','das'])))
+        |        THEN 'es'
+        |      ELSE 'fr' END = 'en') AND
+        |    NOT (len(k.toks) < 50 OR len(k.toks) > 100000) AND
+        |    NOT ((k.nc - (len(k.toks) - 1))::DOUBLE / len(k.toks) < 3.0 OR
+        |         (k.nc - (len(k.toks) - 1))::DOUBLE / len(k.toks) > 10.0) AND
+        |    len(list_intersect(k.toks, ['the','a','and','of'])) >= 2 AND
+        |    NOT (len(list_filter(k.toks,
+        |      x -> regexp_matches(x, '^[0-9]+$'))) * 5 > len(k.toks)) AND
+        |    NOT (coalesce(d.dup_c, 0) * 5 > coalesce(d.n_bigrams, 0))
+        |    AS keep
+        |  FROM keeper k LEFT JOIN dup d ON k.doc_id = d.doc_id)
+        |SELECT source, count(*) AS n_docs,
+        |  count(CASE WHEN keep THEN 1 END) AS n_kept,
+        |  cast(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT)
+        |    AS kept_tokens
+        |FROM flags GROUP BY source ORDER BY source""".stripMargin,
     // same bigrams (x17's grams CTE), same md5 buckets (x14's cell
     // convention), same smoothed ratio, same decimal-summed mean
     "x19_dsir" ->
