@@ -704,9 +704,11 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * `SELECT * FROM name.default.t`, `SHOW TABLES IN name.default` —
     * served from per-epoch parquet snapshots of the reconciled views
     * [P: the spark-cassandra-connector's CassandraCatalog is the public
-    * analogue of this surface]. Writes stay CQL-side by design: the
-    * catalog tables expose only BATCH_READ, so the session's timestamp
-    * reconcile, LWT, and guardrail semantics cannot be bypassed. */
+    * analogue of this surface]. `INSERT INTO name.ks.t SELECT …` routes
+    * through [[catalogAppend]] (the COPY FROM bulk path: MODIFY check,
+    * key validation, one server-side writetime), so the session's
+    * timestamp reconcile, LWT, and guardrail semantics hold even for
+    * Spark-SQL writes; DELETE/UPDATE remain CQL-side. */
   def exposeAsCatalog(name: String = "graft"): Unit = {
     graft.spark.GraftCatalog.bind(name, this)
     spark.conf.set(s"spark.sql.catalog.$name",
@@ -1268,34 +1270,90 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         throw new CqlInvalidQueryException(
           "COPY FROM: a row carries a null primary key value")
       val n = df.count()
-      mutationEpoch += 1
-      val ts = nextTs(None)
-      // one bulk append to the log — never per-row inserts (the plan must
-      // stay flat regardless of load size)
-      val shaped = df.select(t.logSchema.fields.toSeq.map { f =>
-        val n0 = f.name
-        if (df.columns.exists(_.equalsIgnoreCase(n0)))
-          col(df.columns.find(_.equalsIgnoreCase(n0)).get)
-            .cast(f.dataType).as(n0)
-        else if (n0.startsWith("_op_")) {
-          val src = n0.stripPrefix("_op_")
-          if (df.columns.exists(_.equalsIgnoreCase(src)))
-            when(col(src).isNotNull, lit("set")).as(n0)
-          else lit(null).cast(StringType).as(n0)
-        }
-        else if (n0 == "_marker") lit(true).as(n0)
-        else if (n0 == "_writetime") lit(ts).as(n0)
-        else if (n0 == "_ttl")
-          t.defaultTtl.map(v => lit(v)).getOrElse(lit(null))
-            .cast(LongType).as(n0)
-        else if (n0 == "_deleted") lit(false).as(n0)
-        else lit(null).cast(f.dataType).as(n0)
-      }: _*)
-      state(cp.table.toLowerCase) =
-        t.copy(base = log(t).unionByName(shaped), pending = Vector.empty,
-          localOnly = false)
+      bulkAppendLog(cp.table, df)
       countResult(n)
     }
+  }
+
+  /** Bump the mutation epoch and bulk-append `df` — already validated to be
+    * a subset of the table's data columns including the full primary key —
+    * to the table's upsert log under ONE fresh server-side writetime. One
+    * lazy union, never per-row inserts (the plan stays flat regardless of
+    * load size). Shared by cqlsh `COPY FROM` and the Spark-catalog
+    * `INSERT INTO` bridge ([[catalogAppend]]): both are the bulk-load
+    * surface, which upstream also stamps with a single mutation timestamp
+    * per batch [U pylib/cqlshlib/copyutil.py]. */
+  private def bulkAppendLog(table: String, df: DataFrame): Unit = {
+    val t = tableState(table)
+    mutationEpoch += 1
+    val ts = nextTs(None)
+    val shaped = df.select(t.logSchema.fields.toSeq.map { f =>
+      val n0 = f.name
+      if (df.columns.exists(_.equalsIgnoreCase(n0)))
+        col(df.columns.find(_.equalsIgnoreCase(n0)).get)
+          .cast(f.dataType).as(n0)
+      else if (n0.startsWith("_op_")) {
+        val src = n0.stripPrefix("_op_")
+        if (df.columns.exists(_.equalsIgnoreCase(src)))
+          when(col(src).isNotNull, lit("set")).as(n0)
+        else lit(null).cast(StringType).as(n0)
+      }
+      else if (n0 == "_marker") lit(true).as(n0)
+      else if (n0 == "_writetime") lit(ts).as(n0)
+      else if (n0 == "_ttl")
+        t.defaultTtl.map(v => lit(v)).getOrElse(lit(null))
+          .cast(LongType).as(n0)
+      else if (n0 == "_deleted") lit(false).as(n0)
+      else lit(null).cast(f.dataType).as(n0)
+    }: _*)
+    state(table.toLowerCase) =
+      t.copy(base = log(t).unionByName(shaped), pending = Vector.empty,
+        localOnly = false)
+  }
+
+  /** DSv2 write bridge: `INSERT INTO` / `INSERT OVERWRITE` against a
+    * [[graft.spark.GraftCatalog]] table routes HERE, not to a parquet
+    * append — so catalog writes keep the session's semantics: the same
+    * MODIFY permission check as CQL DML [U auth/Permission.java], primary
+    * key present + non-null (the COPY FROM contract), one server-side
+    * writetime for the whole statement, and the reconcile view still
+    * resolves these cells against earlier and later CQL writes by
+    * timestamp. `overwrite` maps to CQL `TRUNCATE` + append, the
+    * Spark-SQL static-overwrite meaning. The incoming DataFrame is lazy
+    * end to end — appended as one distributed union, no driver collect. */
+  private[graft] def catalogAppend(table: String, df: DataFrame,
+      overwrite: Boolean): Unit = {
+    val key = table.toLowerCase
+    if (key.contains(".")) throw new CqlInvalidQueryException(
+      s"table $table is a system table and cannot be written")
+    checkPerm("modify", authRes(key))
+    val t = tableState(key)
+    if (t.counterKeys.nonEmpty) throw new CqlInvalidQueryException(
+      "INSERT through the Spark catalog does not support counter tables " +
+        "— counters mutate via CQL UPDATE … SET c = c + n")
+    df.columns.foreach { c0 =>
+      if (!t.schema.fieldNames.exists(_.equalsIgnoreCase(c0)))
+        throw new CqlInvalidQueryException(s"undefined column $c0 in $table")
+    }
+    val keys = keyCols(t)
+    keys.foreach { k =>
+      if (!df.columns.exists(_.equalsIgnoreCase(k)))
+        throw new CqlInvalidQueryException(
+          s"INSERT through the Spark catalog requires primary key column $k")
+    }
+    if (!df.filter(keys.map(k =>
+        col(df.columns.find(_.equalsIgnoreCase(k)).get).isNull)
+        .reduce(_ || _)).isEmpty)
+      throw new CqlInvalidQueryException(
+        "catalog INSERT: a row carries a null primary key value")
+    if (overwrite) {
+      val t0 = tableState(key)
+      state(key) = t0.copy(
+        base = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], t0.logSchema),
+        pending = Vector.empty, localOnly = true)
+    }
+    bulkAppendLog(key, df)
   }
 
   private def renderLiteral(v: Any): String = v match {

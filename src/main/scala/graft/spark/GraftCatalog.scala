@@ -1,11 +1,13 @@
 package graft.spark
 
 import graft.cql.{CqlInvalidQueryException, CqlSession}
-import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.{DataFrame, GraftShim}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -33,10 +35,14 @@ import java.util
   * see flushed immutable files). The snapshot is served by Spark's stock
   * parquet DSv2 reader, so catalog queries get the vectorized scan,
   * filter pushdown, column pruning, and whole-stage codegen — identical
-  * plan shape to any parquet table, no driver-side row shipping. Tables
-  * expose only BATCH_READ: writes must go through the CQL session, whose
-  * timestamp-reconcile/LWT/guardrail semantics a direct parquet append
-  * would bypass.
+  * plan shape to any parquet table, no driver-side row shipping.
+  *
+  * Write path (r8): `INSERT INTO` / `INSERT OVERWRITE` work through the
+  * V1 write bridge and land in `CqlSession.catalogAppend` — the session's
+  * MODIFY enforcement, key validation, and single-writetime bulk append
+  * (COPY FROM's path), NOT a raw parquet append, so reconcile/LWT/
+  * guardrail semantics hold across both surfaces. DELETE/UPDATE stay
+  * CQL-side (tombstone granularities don't map onto DSv2 row-level ops).
   *
   * Catalog instances are created reflectively by Spark's CatalogManager
   * (zero-arg constructor + `initialize`), so the session binds through a
@@ -105,7 +111,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       }
     new GraftTable(ident.toString, schema,
       GraftShim.parquetTable(session.sparkSession, ident.toString, dir,
-        schema))
+        schema), session, key)
   }
 
   /** `CREATE TABLE cat.ks.t (…) PARTITIONED BY (cols)` — the identity
@@ -223,17 +229,41 @@ object GraftCatalog {
   }
 }
 
-/** Read-only DSv2 table: delegates the scan to the stock parquet reader
-  * over the session's per-epoch snapshot, and advertises ONLY BATCH_READ
-  * so INSERT/DELETE through the catalog fail fast (writes belong to the
-  * CQL session, which owns reconcile semantics). */
+/** DSv2 table over the session registry. Reads delegate the scan to the
+  * stock parquet reader over the session's per-epoch snapshot. Writes go
+  * through the V1 write bridge (`V1_BATCH_WRITE`): Spark hands the insert
+  * query's DataFrame to the driver-side [[InsertableRelation]], which
+  * routes it into `CqlSession.catalogAppend` — the same permission check,
+  * key validation, writetime stamping, and lazy bulk log-append as cqlsh
+  * `COPY FROM`, so `INSERT INTO graft.ks.t SELECT …` CANNOT bypass the
+  * session's reconcile/auth semantics the way a raw parquet append would.
+  * `INSERT OVERWRITE` (static) maps to CQL `TRUNCATE` + append via
+  * [[SupportsTruncate]]. DELETE/UPDATE/MERGE stay CQL-side: their CQL
+  * granularities (cell / row / range / partition tombstones, USING
+  * TIMESTAMP) have no faithful DSv2 mapping. */
 private[spark] class GraftTable(ident: String, tableSchema: StructType,
-    delegate: Table) extends Table with SupportsRead {
+    delegate: Table, session: CqlSession, registryKey: String)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = ident
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    if (registryKey.contains("."))
+      util.EnumSet.of(TableCapability.BATCH_READ) // system tables: read-only
+    else util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, ov: Boolean): Unit =
+              session.catalogAppend(registryKey, data, overwrite || ov)
+          }
+      }
+    }
 }

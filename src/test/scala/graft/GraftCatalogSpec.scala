@@ -86,16 +86,76 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
-  test("catalog tables are read-only: writes must go through CQL") {
+  test("INSERT INTO through the catalog lands in the CQL reconcile view") {
     val s = CqlSession(spark)
-    s.execute("CREATE TABLE cat_ro (k bigint PRIMARY KEY, v bigint)")
+    s.execute("CREATE TABLE cat_w (k bigint PRIMARY KEY, v text, n bigint)")
+    s.execute("INSERT INTO cat_w (k, v, n) VALUES (1, 'cql', 10)")
     s.exposeAsCatalog("graft")
-    val e = intercept[Exception] {
-      spark.sql("INSERT INTO graft.default.cat_ro VALUES (1, 2)")
+    spark.sql("INSERT INTO graft.default.cat_w VALUES (2, 'sparksql', 20)")
+    // both surfaces see the Spark-SQL write
+    assert(s.execute("SELECT v FROM cat_w WHERE k = 2").head()
+      .getString(0) === "sparksql")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.default.cat_w")
+      .head().getLong(0) === 2L)
+    // the catalog write is a timestamped upsert: it shadows the older CQL
+    // cell for the same key, and a NEWER CQL write shadows it back
+    spark.sql("INSERT INTO graft.default.cat_w VALUES (1, 'sparksql2', 11)")
+    assert(s.execute("SELECT v FROM cat_w WHERE k = 1").head()
+      .getString(0) === "sparksql2")
+    s.execute("UPDATE cat_w SET v = 'cql2' WHERE k = 1")
+    assert(spark.sql("SELECT v FROM graft.default.cat_w WHERE k = 1")
+      .head().getString(0) === "cql2")
+    // multi-row INSERT ... SELECT stays one bulk append (and is visible)
+    spark.sql("INSERT INTO graft.default.cat_w " +
+      "SELECT id + 100, concat('r', id), id FROM range(5)")
+    assert(s.execute("SELECT count(*) FROM cat_w").head().getLong(0) === 7L)
+  }
+
+  test("INSERT OVERWRITE through the catalog truncates then appends") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE cat_ow (k bigint PRIMARY KEY, v text)")
+    s.execute("INSERT INTO cat_ow (k, v) VALUES (1, 'old')")
+    s.execute("INSERT INTO cat_ow (k, v) VALUES (2, 'old')")
+    s.exposeAsCatalog("graft")
+    spark.sql("INSERT OVERWRITE graft.default.cat_ow VALUES (3, 'new')")
+    assert(s.execute("SELECT count(*) FROM cat_ow").head().getLong(0) === 1L)
+    assert(s.execute("SELECT v FROM cat_ow WHERE k = 3").head()
+      .getString(0) === "new")
+  }
+
+  test("catalog writes enforce the session's auth and key contracts") {
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE cat_wauth (k bigint PRIMARY KEY, v bigint)")
+    s.execute("CREATE ROLE cat_reader WITH LOGIN = true")
+    s.execute("GRANT SELECT ON cat_wauth TO cat_reader")
+    s.exposeAsCatalog("graft")
+    // a null primary key is rejected like COPY FROM
+    val eNull = intercept[Exception] {
+      spark.sql("INSERT INTO graft.default.cat_wauth " +
+        "SELECT CAST(NULL AS BIGINT), 1")
     }
-    assert(e.getMessage.toLowerCase.contains("does not support") ||
-      e.getMessage.toLowerCase.contains("unsupported") ||
-      e.getMessage.toLowerCase.contains("append"))
+    assert(chain(eNull).contains("null primary key"), chain(eNull))
+    // system tables stay read-only through the catalog
+    val eSys = intercept[Exception] {
+      spark.sql("INSERT INTO graft.system_schema.tables " +
+        "VALUES ('default', 'hack', 0)")
+    }
+    val sysMsg = chain(eSys).toLowerCase
+    assert(sysMsg.contains("does not support") ||
+      sysMsg.contains("unsupported") || sysMsg.contains("read-only") ||
+      sysMsg.contains("cannot be written"), sysMsg)
+    // a role without MODIFY cannot write through the catalog side door
+    s.login("cat_reader")
+    val ePerm = intercept[Exception] {
+      spark.sql("INSERT INTO graft.default.cat_wauth VALUES (1, 1)")
+    }
+    assert(chain(ePerm).contains("MODIFY"), chain(ePerm))
+    s.login("cassandra", "cassandra")
+    assert(s.execute("SELECT count(*) FROM cat_wauth").head()
+      .getLong(0) === 0L)
   }
 
   test("catalog scans push filters and prune columns like any parquet scan") {
