@@ -676,6 +676,19 @@ object CqlParser {
         if (custom || c.peekIs("index")) return parseCreateIndex(c)
         if (c.peekIs("type")) return parseCreateType(c, udts)
         if (c.peekIs("materialized")) return parseCreateMv(c)
+        if (c.accept("trigger")) {
+          // `CREATE TRIGGER [IF NOT EXISTS] name ON t USING 'class'`
+          // [U cql3/statements/schema/CreateTriggerStatement.java]
+          val ifNotExists =
+            if (c.accept("if")) { c.expect("not"); c.expect("exists"); true }
+            else false
+          val name = parseLiteralToken(c.next()).toLowerCase
+          c.expect("on")
+          val table = tableName(c)
+          c.expect("using")
+          return CqlCreateTrigger(name, table, parseLiteralToken(c.next()),
+            ifNotExists)
+        }
         val orReplace =
           if (c.peekIs("or")) { c.next(); c.expect("replace"); true }
           else false
@@ -775,6 +788,12 @@ object CqlParser {
         if (c.accept("index")) {
           val ifExists = if (c.accept("if")) { c.expect("exists"); true } else false
           CqlDropIndex(tableName(c), ifExists)
+        } else if (c.accept("trigger")) {
+          // `DROP TRIGGER [IF EXISTS] name ON t`
+          val ifExists = if (c.accept("if")) { c.expect("exists"); true } else false
+          val name = parseLiteralToken(c.next()).toLowerCase
+          c.expect("on")
+          CqlDropTrigger(name, tableName(c), ifExists)
         } else if (c.accept("materialized")) {
           c.expect("view")
           val ifExists = if (c.accept("if")) { c.expect("exists"); true } else false

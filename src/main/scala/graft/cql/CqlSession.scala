@@ -215,6 +215,28 @@ case class CqlAlterRename(table: String, pairs: Seq[(String, String)])
 case class CqlCreateIndex(name: Option[String], table: String, column: String,
   sai: Boolean, ifNotExists: Boolean, target: String = "") extends CqlDdl
 case class CqlDropIndex(name: String, ifExists: Boolean) extends CqlDdl
+/** `CREATE TRIGGER name ON t USING 'class'` / `DROP TRIGGER name ON t` —
+  * upstream loads the class by FQCN and calls `ITrigger#augment` per
+  * mutation [U triggers/ITrigger.java, TriggerExecutor.java,
+  * cql3/statements/schema/CreateTriggerStatement.java]. Same contract
+  * here: the class must be on the classpath, zero-arg-constructible, and
+  * implement [[GraftTrigger]]; superuser-only DDL, as upstream. */
+case class CqlCreateTrigger(name: String, table: String, clazz: String,
+  ifNotExists: Boolean) extends CqlDdl
+case class CqlDropTrigger(name: String, table: String, ifExists: Boolean)
+  extends CqlDdl
+
+/** The trigger SPI — the engine's `ITrigger` [U triggers/ITrigger.java].
+  * `augment` receives the mutated table and the mutation's cells (data
+  * columns by name, plus `_writetime` and `_deleted`; absent cells are
+  * null) and returns extra CQL DML statements committed atomically with
+  * the original write: any failure aborts the whole mutation, and
+  * augmented mutations do not re-fire triggers (upstream TriggerExecutor
+  * augments once, before apply). Implementations must be deterministic
+  * per-row — at scale the same mutation may be replayed. */
+trait GraftTrigger {
+  def augment(table: String, row: Map[String, Any]): Seq[String]
+}
 /** `CREATE TYPE name (field type, …)` — a user-defined type, mapped to
   * StructType per SURVEY §1.2 (frozen vs non-frozen is a storage detail
   * with no Spark distinction). Fields referencing earlier UDTs are
@@ -358,6 +380,15 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * (`schema/IndexMetadata` [U]); here session-scoped. */
   private val indexReg: scala.collection.mutable.Map[String, (String, String, Boolean, String)] =
     scala.collection.mutable.Map.empty
+
+  /** Triggers: (table, trigger name) → (FQCN, loaded instance)
+    * [U schema/TableMetadata triggers + triggers/TriggerExecutor]. */
+  private val triggerReg: scala.collection.mutable.Map[(String, String),
+    (String, GraftTrigger)] = scala.collection.mutable.Map.empty
+  /** True while applying trigger-augmented mutations — augmentation never
+    * cascades (upstream TriggerExecutor augments the original mutation
+    * set once). */
+  private var firingTriggers = false
 
   /** User-defined types: lowercase name → StructType (`CREATE TYPE`;
     * upstream `schema/Types.java` [U]). */
@@ -1074,6 +1105,15 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         d.sfunc, typeNameOf(d.stype, Set.empty), d.finalFunc.orNull,
         d.initCond.map(String.valueOf).orNull)
     }
+    val trSchema = StructType(Seq(
+      StructField("keyspace_name", StringType),
+      StructField("table_name", StringType),
+      StructField("trigger_name", StringType),
+      StructField("options", MapType(StringType, StringType))))
+    val trRows = triggerReg.toSeq.sortBy(_._1).map {
+      case ((tbl, n), (clazz, _)) =>
+        Row(UserKeyspace, tbl, n, Map("class" -> clazz))
+    }
     Map(
       "system_schema.keyspaces" ->
         CqlTable(df(ksRows, ksSchema), Seq("keyspace_name")),
@@ -1095,7 +1135,11 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           Seq("function_name")),
       "system_schema.aggregates" ->
         CqlTable(df(aRows, aSchema), Seq("keyspace_name"),
-          Seq("aggregate_name"))) ++ systemLocalCatalog ++ systemViewsCatalog
+          Seq("aggregate_name")),
+      "system_schema.triggers" ->
+        CqlTable(df(trRows, trSchema), Seq("keyspace_name"),
+          Seq("table_name", "trigger_name"))) ++
+      systemLocalCatalog ++ systemViewsCatalog
   }
 
   /** `system_views.settings` / `system_views.clients` — the 4.x runtime
@@ -1450,13 +1494,18 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     }
     val iRows = indexReg.keys.toSeq.sorted.map(n =>
       Row(UserKeyspace, "index", n, indexDdl(n)))
+    val trgRows = triggerReg.toSeq.sortBy(_._1).map {
+      case ((tbl, n), (clazz, _)) =>
+        Row(UserKeyspace, "trigger", n,
+          s"CREATE TRIGGER $n ON $tbl USING '$clazz'")
+    }
     val vRows = mvReg.keys.toSeq.sorted.map(n =>
       Row(UserKeyspace, "materialized_view", n, mvDdl(n)))
     val fRows = fnReg.keys.toSeq.sorted.map(n =>
       Row(UserKeyspace, "function", n, fnDdl(n)))
     val aRows = aggReg.keys.toSeq.sorted.map(n =>
       Row(UserKeyspace, "aggregate", n, aggDdl(n)))
-    ksRows ++ tyRows ++ tRows ++ iRows ++ vRows ++ fRows ++ aRows
+    ksRows ++ tyRows ++ tRows ++ iRows ++ trgRows ++ vRows ++ fRows ++ aRows
   }
 
   /** `DESCRIBE [FULL] SCHEMA | KEYSPACES | KEYSPACE ks | TABLES | TABLE t
@@ -1813,6 +1862,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         throw new CqlInvalidQueryException(s"unknown table $table")
       indexReg.filterInPlace { case (_, (tbl, _, _, _)) => tbl != table.toLowerCase }
       udtCols.filterInPlace { case ((tbl, _), _) => tbl != table.toLowerCase }
+      triggerReg.filterInPlace { case ((tbl, _), _) => tbl != table.toLowerCase }
     case CqlCreateMv(name, sel, pk, ck, ifNotExists) =>
       if (state.contains(name.toLowerCase) || mvReg.contains(name.toLowerCase)) {
         if (!ifNotExists)
@@ -2007,6 +2057,40 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     case CqlDropIndex(name, ifExists) =>
       if (indexReg.remove(name.toLowerCase).isEmpty && !ifExists)
         throw new CqlInvalidQueryException(s"unknown index $name")
+    case CqlCreateTrigger(name, table, clazz, ifNotExists) =>
+      // upstream CreateTriggerStatement.authorize: superuser-only — a
+      // trigger is arbitrary code running inside the write path
+      if (!isSuperuser) throw new CqlInvalidQueryException(
+        "Only superusers are allowed to perform CREATE TRIGGER queries")
+      tableState(table) // table must exist
+      val key = (table.toLowerCase, name)
+      if (triggerReg.contains(key)) {
+        if (!ifNotExists) throw new CqlInvalidQueryException(
+          s"Trigger $name already exists on ${table.toLowerCase}")
+      } else {
+        // load by FQCN, exactly upstream's TriggerExecutor.loadTriggerInstance
+        val impl =
+          try Class.forName(clazz).getDeclaredConstructor().newInstance()
+          catch {
+            case _: ClassNotFoundException =>
+              throw new CqlInvalidQueryException(
+                s"Trigger class '$clazz' doesn't exist")
+            case e: Exception => throw new CqlInvalidQueryException(
+              s"Trigger class '$clazz' could not be constructed: $e")
+          }
+        impl match {
+          case t: GraftTrigger => triggerReg(key) = (clazz, t)
+          case _ => throw new CqlInvalidQueryException(
+            s"Trigger class '$clazz' does not implement " +
+              "graft.cql.GraftTrigger")
+        }
+      }
+    case CqlDropTrigger(name, table, ifExists) =>
+      if (!isSuperuser) throw new CqlInvalidQueryException(
+        "Only superusers are allowed to perform DROP TRIGGER queries")
+      if (triggerReg.remove((table.toLowerCase, name)).isEmpty && !ifExists)
+        throw new CqlInvalidQueryException(
+          s"Trigger $name was not found on ${table.toLowerCase}")
     case CqlCreateType(name, struct, ifNotExists, refs) =>
       if (udtReg.contains(name.toLowerCase)) {
         if (!ifNotExists)
@@ -2906,8 +2990,46 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         case n => byName.get(n).flatten.map(_._1).orNull
       }
     }
-    t.pending = t.pending :+ Row.fromSeq(values.toSeq)
-    true
+    val newRow = Row.fromSeq(values.toSeq)
+    val tableTriggers =
+      if (firingTriggers) Nil // augmentation never cascades (upstream)
+      else triggerReg.toSeq.sortBy(_._1._2).collect {
+        case ((tbl, _), (_, impl)) if tbl == dml.table.toLowerCase => impl
+      }
+    if (tableTriggers.isEmpty) { t.pending = t.pending :+ newRow; true }
+    else {
+      // upstream TriggerExecutor.execute [U]: augment BEFORE apply, then
+      // commit the original + augmented mutations atomically — a failure
+      // anywhere (augment(), parse, or an augmented write) aborts the
+      // whole statement, so snapshot the pending vectors and restore on
+      // error. The trigger sees the mutation's cells plus _writetime /
+      // _deleted, the partition-update view ITrigger#augment gets.
+      val cells2 = t.logSchema.fieldNames.zip(values.toSeq).collect {
+        case (n, v) if !n.startsWith("_") || n == "_writetime" ||
+          n == "_deleted" => n -> v
+      }.toMap
+      val augmented =
+        try tableTriggers.flatMap(_.augment(dml.table.toLowerCase, cells2))
+          .map(s => CqlParser.parseDml(s))
+        catch {
+          case e: CqlInvalidQueryException => throw e
+          case e: Exception => throw new CqlInvalidQueryException(
+            s"Exception while executing trigger on table " +
+              s"${dml.table.toLowerCase}: $e")
+        }
+      val snapshot = state.toSeq.map { case (n, st) => (n, st.pending) }
+      t.pending = t.pending :+ newRow
+      firingTriggers = true
+      try augmented.foreach(applyDml(_, None))
+      catch {
+        case e: Throwable =>
+          snapshot.foreach { case (n, p) =>
+            state.get(n).foreach(st => st.pending = p)
+          }
+          throw e
+      } finally firingTriggers = false
+      true
+    }
   }
 
   /** `INSERT INTO t JSON '…'`: parse against the table schema with Spark's
