@@ -105,7 +105,8 @@ object CqlParser {
       // system/system_schema virtual tables, addressed by their upstream
       // qualified names [U db/virtual/, schema/SchemaKeyspace.java]
       if (n.equalsIgnoreCase("system_schema") || n.equalsIgnoreCase("system")
-          || n.equalsIgnoreCase("system_views"))
+          || n.equalsIgnoreCase("system_views")
+          || n.equalsIgnoreCase("system_traces"))
         s"${n.toLowerCase}.$t"
       else t
     } else n

@@ -769,7 +769,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     val key = table.toLowerCase
     // the runtime virtual tables (settings/clients) change without a
     // mutation epoch bump — never serve them from the snapshot cache
-    val volatileKey = key.startsWith("system_views.")
+    val volatileKey = key.startsWith("system_views.") ||
+      key.startsWith("system_traces.")
     val cur = snapshotCache.get(key)
     if (!volatileKey && cur != null && cur._1 == mutationEpoch) {
       checkRead(key) // a cache hit must not skip enforcement
@@ -1139,7 +1140,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       "system_schema.triggers" ->
         CqlTable(df(trRows, trSchema), Seq("keyspace_name"),
           Seq("table_name", "trigger_name"))) ++
-      systemLocalCatalog ++ systemViewsCatalog
+      systemLocalCatalog ++ systemViewsCatalog ++ systemTracesCatalog
   }
 
   /** `system_views.settings` / `system_views.clients` — the 4.x runtime
@@ -1172,6 +1173,39 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       "system_views.clients" -> CqlTable(
         spark.createDataFrame(cliRows.asJava, cliSchema),
         Seq("address"), Seq("port")))
+  }
+
+  /** `system_traces.{sessions,events}` — the coordinator trace rows
+    * `TRACING ON` records [U tracing/TraceKeyspace.java]: upstream column
+    * names and meanings; `event_id` is a zero-padded sequence (time-
+    * ordered like upstream's timeuuid), `source_elapsed` is real measured
+    * µs from statement start. Rebuilt with the engine on every read (the
+    * volatile-snapshot path), so a client sees its latest statements. */
+  private def systemTracesCatalog: Map[String, CqlTable] = {
+    import scala.jdk.CollectionConverters._
+    val sSchema = StructType(Seq(
+      StructField("session_id", StringType),
+      StructField("client", StringType),
+      StructField("command", StringType),
+      StructField("coordinator", StringType),
+      StructField("duration", IntegerType),
+      StructField("parameters", MapType(StringType, StringType)),
+      StructField("request", StringType),
+      StructField("started_at", TimestampType)))
+    val eSchema = StructType(Seq(
+      StructField("session_id", StringType),
+      StructField("event_id", StringType),
+      StructField("activity", StringType),
+      StructField("source", StringType),
+      StructField("source_elapsed", IntegerType),
+      StructField("thread", StringType)))
+    Map(
+      "system_traces.sessions" -> CqlTable(
+        spark.createDataFrame(traceSessions.toSeq.asJava, sSchema),
+        Seq("session_id")),
+      "system_traces.events" -> CqlTable(
+        spark.createDataFrame(traceEvents.toSeq.asJava, eSchema),
+        Seq("session_id"), Seq("event_id")))
   }
 
   /** `system.local` / `system.peers` — the first thing every driver reads
@@ -1726,9 +1760,89 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     else spark.emptyDataFrame
   }
 
+  // ——— query tracing [U tracing/Tracing.java, tracing/TraceKeyspace.java] ———
+
+  /** `TRACING ON` session state + the recorded trace rows. Upstream keeps
+    * `system_traces` rows on a TTL; a single-JVM session keeps the last
+    * [[CqlSession.TraceCap]] sessions (ring buffer) — tracing must never
+    * become the memory leak it is diagnosing. */
+  private var tracingOn = false
+  private var traceEventSeq = 0L
+  private val traceSessions = scala.collection.mutable.ArrayBuffer.empty[Row]
+  private val traceEvents = scala.collection.mutable.ArrayBuffer.empty[Row]
+
+  /** Is tracing currently enabled (cqlsh `TRACING` with no argument)? */
+  def tracingEnabled: Boolean = tracingOn
+
   /** Run a CQL statement: SELECT returns rows; DML and BATCH mutate and
-    * return an empty DataFrame (like a CQL void result). */
+    * return an empty DataFrame (like a CQL void result).
+    *
+    * With `TRACING ON`, every statement records a `system_traces.sessions`
+    * row (request, duration µs, started_at) and phase events in
+    * `system_traces.events` with real elapsed-µs offsets — the single-
+    * engine analogue of upstream's coordinator trace. SELECT durations
+    * cover parse + Catalyst planning (execution is lazy in Spark — the
+    * honest boundary); DML durations cover the applied mutation. Reads of
+    * `system_traces.*` are served untraced so a client polling its own
+    * trace does not append to it mid-read. */
   def execute(cql: String): DataFrame = {
+    val head = cql.trim
+    val kw0 = head.takeWhile(!_.isWhitespace).toLowerCase
+    if (kw0 == "tracing") {
+      import scala.jdk.CollectionConverters._
+      head.stripSuffix(";").split("\\s+").lift(1).map(_.toLowerCase) match {
+        case Some("on") => tracingOn = true
+        case Some("off") => tracingOn = false
+        case None => () // bare TRACING: report current state, cqlsh-style
+        case Some(other) => throw new CqlInvalidQueryException(
+          s"TRACING expects ON or OFF, got $other")
+      }
+      return spark.createDataFrame(
+        Seq(Row(tracingOn)).asJava,
+        StructType(Seq(StructField("tracing", BooleanType,
+          nullable = false))))
+    }
+    if (!tracingOn || head.toLowerCase.contains("system_traces"))
+      return execute0(head)
+    val t0 = System.nanoTime()
+    val sid = java.util.UUID.randomUUID().toString
+    val started = new java.sql.Timestamp(System.currentTimeMillis())
+    def event(activity: String): Unit = {
+      traceEventSeq += 1
+      // event ids are zero-padded sequence numbers: time-ordered like
+      // upstream's timeuuids, deterministic to sort on
+      traceEvents += Row(sid, f"$traceEventSeq%016d", activity, "127.0.0.1",
+        ((System.nanoTime() - t0) / 1000L).toInt,
+        Thread.currentThread().getName)
+    }
+    def sessionRow(durUs: Int): Unit = {
+      traceSessions += Row(sid, "127.0.0.1", "QUERY", "127.0.0.1", durUs,
+        Map("query" -> head), head.take(500), started)
+      while (traceSessions.size > CqlSession.TraceCap) {
+        val old = traceSessions.remove(0)
+        traceEvents.filterInPlace(_.getString(0) != old.getString(0))
+      }
+    }
+    event(s"Parsing ${head.take(100)}")
+    try {
+      val out = execute0(head)
+      event(kw0 match {
+        case "insert" | "update" | "delete" | "begin" =>
+          "Applied mutation to the upsert log"
+        case "select" => "Computed Catalyst plan for statement"
+        case _ => "Executed statement"
+      })
+      sessionRow(((System.nanoTime() - t0) / 1000L).toInt)
+      out
+    } catch {
+      case e: Throwable =>
+        event(s"Request failed: ${e.getClass.getSimpleName}")
+        sessionRow(((System.nanoTime() - t0) / 1000L).toInt)
+        throw e
+    }
+  }
+
+  private def execute0(cql: String): DataFrame = {
     val trimmed = cql.trim
     val kw = trimmed.takeWhile(!_.isWhitespace).toLowerCase
     requestCount += 1
@@ -1743,7 +1857,9 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         }
         // the runtime virtual tables (settings/clients) change without a
         // mutation epoch bump — rebuild so the read sees live values
-        if (trimmed.toLowerCase.contains("system_views.")) engineCache = None
+        if (trimmed.toLowerCase.contains("system_views.") ||
+            trimmed.toLowerCase.contains("system_traces."))
+          engineCache = None
         engine.execute(trimmed)
       case "create" | "drop" | "alter"
           if secondKw == "role" || secondKw == "user" =>
@@ -3222,6 +3338,10 @@ object CqlPrepared {
 }
 
 object CqlSession {
+  /** Ring-buffer cap for traced sessions kept in `system_traces` (upstream
+    * expires trace rows on a 24 h TTL instead [U TraceKeyspace]). */
+  private[cql] val TraceCap = 256
+
   /** A session with no tables — create them with CQL `CREATE TABLE`. */
   def apply(spark: SparkSession): CqlSession = new CqlSession(spark, Map.empty)
 

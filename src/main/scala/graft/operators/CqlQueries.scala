@@ -10,6 +10,21 @@ import org.apache.spark.sql.functions.col
   * gate as every native query. A reference user's query text, not just its
   * semantics, is what gets verified.
   */
+/** The gate's audit trigger (upstream's canonical trigger example
+  * [U examples/triggers/AuditTrigger.java]): mirror every mutation on the
+  * base table into `audit11`, keyed by (row key, mutation writetime) —
+  * writetimes are the session's deterministic clock, so the audit rows
+  * are twin-expressible. Loaded by FQCN via `CREATE TRIGGER … USING`. */
+class GateAuditTrigger extends graft.cql.GraftTrigger {
+  override def augment(table: String, row: Map[String, Any]): Seq[String] = {
+    val op = if (row("_deleted") == true) "D" else "W"
+    val v = Option(row.getOrElse("v", null)).map(String.valueOf)
+      .getOrElse("null")
+    Seq(s"INSERT INTO audit11 (k, wt, op, v) VALUES " +
+      s"(${row("k")}, ${row("_writetime")}, '$op', $v)")
+  }
+}
+
 object CqlQueries {
 
   /** CQL1: clustering slice — point partition, reversed clustering order,
@@ -251,7 +266,69 @@ object CqlQueries {
     all.unionByName(lim).orderBy("k", "c", "v")
   }
 
+  /** CQL11 — the TRIGGER surface in the gate: a [[GateAuditTrigger]]
+    * (upstream's audit-trigger example [U examples/triggers/]) mirrors
+    * every mutation on the base table into an audit table via
+    * trigger-augmented writes. What gets hash-verified is the trigger
+    * actually FIRING inside the write path — per-mutation augment,
+    * atomic commit with the original — not just the DDL parsing. 20
+    * upserts (keys collide mod 10) + 2 row deletes → 22 audit rows; the
+    * twin rebuilds the same multiset from the fixture. */
+  def cql11_triggers(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.cql.CqlSession(s)
+    sess.execute("CREATE TABLE t11 (k bigint PRIMARY KEY, v double)")
+    sess.execute("CREATE TABLE audit11 (k bigint, wt bigint, op text, " +
+      "v double, PRIMARY KEY (k, wt))")
+    sess.execute("CREATE TRIGGER aud ON t11 " +
+      "USING 'graft.operators.GateAuditTrigger'")
+    val src = s.read.parquet(s"$d/orders.parquet")
+      .orderBy("o_orderkey").limit(20)
+      .select("o_orderkey", "o_totalprice").collect()
+    src.foreach { r =>
+      sess.execute(s"INSERT INTO t11 (k, v) VALUES (${r.getLong(0) % 10}, " +
+        s"${r.getDouble(1)})")
+    }
+    (0L to 1L).foreach(k => sess.execute(s"DELETE FROM t11 WHERE k = $k"))
+    sess.execute("SELECT k, op, v FROM audit11 ALLOW FILTERING")
+      .orderBy("k", "op", "v")
+  }
+
+  /** CQL12 — TRACING in the gate, invariant form (the f1_current_time
+    * convention: durations/uuids are nondeterministic, so the declared
+    * output projects what IS deterministic): for each traced statement,
+    * its request text, command, event count, whether the parse and
+    * completion phase events were recorded, and whether measured
+    * durations/offsets are sane. The twin is the literal expected table. */
+  def cql12_tracing(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sess = graft.cql.CqlSession(s)
+    sess.execute("CREATE TABLE t12 (k bigint PRIMARY KEY, v bigint)")
+    sess.execute("TRACING ON")
+    sess.execute("INSERT INTO t12 (k, v) VALUES (1, 10)")
+    sess.execute("UPDATE t12 SET v = 11 WHERE k = 1")
+    sess.execute("SELECT v FROM t12 WHERE k = 1")
+    sess.execute("TRACING OFF")
+    val sessions = sess.execute(
+      "SELECT session_id, command, request, duration " +
+        "FROM system_traces.sessions")
+    val events = sess.execute(
+      "SELECT session_id, activity, source_elapsed " +
+        "FROM system_traces.events")
+    sessions.join(events, "session_id")
+      .groupBy(col("request"), col("command"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(col("activity").startsWith("Parsing")).as("parsed"),
+        max(col("activity").contains("mutation") ||
+          col("activity").contains("Catalyst")).as("completed"),
+        max(col("duration") >= 0 && col("source_elapsed") >= 0)
+          .as("timing_sane"))
+      .orderBy("request")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cql11_triggers" -> (cql11_triggers _),
+    "cql12_tracing" -> (cql12_tracing _),
     "cql10_prepared" -> (cql10_prepared _),
     "cql8_lwt" -> (cql8_lwt _),
     "cql9_mv" -> (cql9_mv _),
@@ -265,6 +342,28 @@ object CqlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // every upsert audits one 'W' row (keys collide mod 10 — each source
+    // row still audits separately), each row delete audits one 'D' row
+    // with a null value
+    "cql11_triggers" ->
+      """WITH src AS (SELECT o_orderkey, o_totalprice
+        |             FROM orders ORDER BY o_orderkey LIMIT 20)
+        |SELECT o_orderkey % 10 AS k, 'W' AS op, o_totalprice AS v FROM src
+        |UNION ALL SELECT 0 AS k, 'D' AS op, CAST(NULL AS DOUBLE) AS v
+        |UNION ALL SELECT 1 AS k, 'D' AS op, CAST(NULL AS DOUBLE) AS v
+        |ORDER BY k, op, v""".stripMargin,
+    // the invariant projection of the three traced statements: 2 phase
+    // events each (parse + completion), sane measured timings
+    "cql12_tracing" ->
+      """SELECT request, command, CAST(n_events AS BIGINT) AS n_events,
+        |  parsed, completed, timing_sane FROM (VALUES
+        |  ('INSERT INTO t12 (k, v) VALUES (1, 10)', 'QUERY', 2,
+        |   true, true, true),
+        |  ('SELECT v FROM t12 WHERE k = 1', 'QUERY', 2, true, true, true),
+        |  ('UPDATE t12 SET v = 11 WHERE k = 1', 'QUERY', 2,
+        |   true, true, true))
+        |AS t(request, command, n_events, parsed, completed, timing_sane)
+        |ORDER BY request""".stripMargin,
     // same 30-op script replayed as last-write-wins SQL (timestamps are
     // all distinct, so the winner is simply the latest op per (k, c));
     // the limited read re-derives the single-partition clustering-order

@@ -1,0 +1,61 @@
+package graft
+
+import graft.cql.{CqlInvalidQueryException, CqlSession}
+
+class CqlTraceSpec extends SparkSpec {
+
+  test("TRACING ON records sessions and phase events; OFF stops") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE tr_t (k bigint PRIMARY KEY, v text)")
+    // untraced by default
+    s.execute("INSERT INTO tr_t (k, v) VALUES (1, 'a')")
+    assert(s.execute("SELECT count(*) FROM system_traces.sessions")
+      .head().getLong(0) === 0L)
+    assert(!s.tracingEnabled)
+    s.execute("TRACING ON")
+    assert(s.tracingEnabled)
+    s.execute("INSERT INTO tr_t (k, v) VALUES (2, 'b')")
+    s.execute("SELECT v FROM tr_t WHERE k = 2")
+    s.execute("TRACING OFF")
+    val sess = s.execute("SELECT command, duration, request " +
+      "FROM system_traces.sessions").collect()
+    assert(sess.length === 2)
+    assert(sess.forall(_.getString(0) === "QUERY"))
+    assert(sess.forall(_.getInt(1) >= 0))
+    assert(sess.exists(_.getString(2).startsWith("INSERT INTO tr_t")))
+    assert(sess.exists(_.getString(2).startsWith("SELECT v FROM tr_t")))
+    // each traced session carries parse + completion events with
+    // nondecreasing real elapsed offsets
+    val ev = s.execute("SELECT session_id, event_id, activity, " +
+      "source_elapsed FROM system_traces.events").collect()
+    assert(ev.length === 4)
+    ev.groupBy(_.getString(0)).foreach { case (_, es) =>
+      val sorted = es.sortBy(_.getString(1))
+      assert(sorted.head.getString(2).startsWith("Parsing"))
+      assert(sorted.last.getInt(3) >= sorted.head.getInt(3))
+    }
+    assert(ev.exists(_.getString(2) == "Applied mutation to the upsert log"))
+    assert(ev.exists(_.getString(2) ==
+      "Computed Catalyst plan for statement"))
+    // OFF: no further rows
+    s.execute("INSERT INTO tr_t (k, v) VALUES (3, 'c')")
+    assert(s.execute("SELECT count(*) FROM system_traces.sessions")
+      .head().getLong(0) === 2L)
+  }
+
+  test("a failed statement still leaves its trace; bad TRACING arg errors") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE tr_f (k bigint PRIMARY KEY)")
+    s.execute("TRACING ON")
+    intercept[CqlInvalidQueryException] {
+      s.execute("SELECT nope FROM tr_f")
+    }
+    s.execute("TRACING OFF")
+    val ev = s.execute("SELECT activity FROM system_traces.events")
+      .collect().map(_.getString(0))
+    assert(ev.exists(_.startsWith("Request failed")))
+    intercept[CqlInvalidQueryException] { s.execute("TRACING maybe") }
+    // bare TRACING reports state without toggling (cqlsh behavior)
+    assert(!s.execute("TRACING").head().getBoolean(0))
+  }
+}
