@@ -314,6 +314,8 @@ case class CqlCopy(table: String, columns: Seq[String], to: Boolean,
   */
 class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
 
+  CqlSession.ensureTaskListener(spark.sparkContext)
+
   private case class TableState(schema: StructType, partitionKeys: Seq[String],
     clusteringKeys: Seq[String], staticKeys: Seq[String],
     counterKeys: Seq[String], logSchema: StructType, base: DataFrame,
@@ -1167,12 +1169,52 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       StructField("request_count", LongType)))
     val cliRows = Seq(Row("127.0.0.1", 9042, "ready", "graft-session", 5,
       currentRole, requestCount))
+    // `thread_pools` [U db/virtual/ThreadPoolsTable]: upstream reports the
+    // stage pools (ReadStage, MutationStage, CompactionExecutor…); the
+    // engine's execution pool is the Spark task scheduler — report its
+    // LIVE task counts from the status tracker, per active/completed
+    // stage sums. One real pool, real numbers — not a mock of upstream's.
+    val tpSchema = StructType(Seq(
+      StructField("name", StringType),
+      StructField("active_tasks", LongType),
+      StructField("pending_tasks", LongType),
+      StructField("completed_tasks", LongType)))
+    val tracker = spark.sparkContext.statusTracker
+    val stages = tracker.getActiveStageIds.toSeq
+      .flatMap(id => Option(tracker.getStageInfo(id)).flatten)
+    val active = stages.map(_.numActiveTasks.toLong).sum
+    val pending = stages.map(s0 => (s0.numTasks - s0.numActiveTasks -
+      s0.numCompletedTasks).toLong.max(0L)).sum
+    val tpRows = Seq(Row("SparkTaskScheduler", active, pending,
+      CqlSession.completedTaskCount))
+    // `caches` [U db/virtual/CachesTable]: upstream reports the key/row/
+    // counter caches; the engine's caches are the per-epoch catalog
+    // snapshots (parquet bytes on disk) and the per-epoch engine plan
+    // cache — real entry counts and sizes.
+    val caSchema = StructType(Seq(
+      StructField("name", StringType),
+      StructField("entry_count", LongType),
+      StructField("size_bytes", LongType)))
+    val snapBytes = snapshotCache.values().asScala.map { case (_, dir, _) =>
+      val f = new java.io.File(dir)
+      if (f.isDirectory)
+        f.listFiles().map(_.length()).sum
+      else 0L
+    }.sum
+    val caRows = Seq(
+      Row("catalog_snapshots", snapshotCache.size().toLong, snapBytes),
+      Row("engine_plan_cache",
+        engineCache.count(_._1 == mutationEpoch).toLong, 0L))
     Map(
       "system_views.settings" -> CqlTable(
         spark.createDataFrame(setRows.asJava, setSchema), Seq("name")),
       "system_views.clients" -> CqlTable(
         spark.createDataFrame(cliRows.asJava, cliSchema),
-        Seq("address"), Seq("port")))
+        Seq("address"), Seq("port")),
+      "system_views.thread_pools" -> CqlTable(
+        spark.createDataFrame(tpRows.asJava, tpSchema), Seq("name")),
+      "system_views.caches" -> CqlTable(
+        spark.createDataFrame(caRows.asJava, caSchema), Seq("name")))
   }
 
   /** `system_traces.{sessions,events}` — the coordinator trace rows
@@ -3341,6 +3383,23 @@ object CqlSession {
   /** Ring-buffer cap for traced sessions kept in `system_traces` (upstream
     * expires trace rows on a 24 h TTL instead [U TraceKeyspace]). */
   private[cql] val TraceCap = 256
+
+  // `system_views.thread_pools` completed-task counter: one JVM-global
+  // Spark listener (sessions share the SparkContext; registering per
+  // session would leak listeners). Counts from first registration —
+  // the "process uptime" scope upstream pool stats have.
+  private val completedTasks = new java.util.concurrent.atomic.AtomicLong(0)
+  private val listenerOn = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private[cql] def ensureTaskListener(
+      sc: org.apache.spark.SparkContext): Unit =
+    if (listenerOn.compareAndSet(false, true))
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          completedTasks.incrementAndGet(); ()
+        }
+      })
+  private[cql] def completedTaskCount: Long = completedTasks.get()
 
   /** A session with no tables — create them with CQL `CREATE TABLE`. */
   def apply(spark: SparkSession): CqlSession = new CqlSession(spark, Map.empty)

@@ -302,4 +302,33 @@ class CqlAuthSpec extends SparkSpec {
       .getString(0) === "cli_role")
     s.login("cassandra", "cassandra")
   }
+
+  test("system_views.thread_pools and caches report live runtime state") {
+    val s = CqlSession(spark)
+    // run a real Spark job so the completed-task counter has moved
+    s.execute("CREATE TABLE tp_t (k bigint PRIMARY KEY, v bigint)")
+    s.execute("INSERT INTO tp_t (k, v) VALUES (1, 1)")
+    assert(s.execute("SELECT count(*) FROM tp_t").head().getLong(0) === 1L)
+    val tp = s.execute("SELECT name, active_tasks, pending_tasks, " +
+      "completed_tasks FROM system_views.thread_pools").head()
+    assert(tp.getString(0) === "SparkTaskScheduler")
+    assert(tp.getLong(1) >= 0L && tp.getLong(2) >= 0L)
+    assert(tp.getLong(3) >= 1L) // the count(*) above ran at least one task
+    // completed_tasks is LIVE: more work → a larger count
+    val c1 = tp.getLong(3)
+    assert(s.execute("SELECT count(*) FROM tp_t").head().getLong(0) === 1L)
+    val c2 = s.execute("SELECT completed_tasks FROM " +
+      "system_views.thread_pools").head().getLong(0)
+    assert(c2 > c1)
+    val caches = s.execute("SELECT name, entry_count, size_bytes " +
+      "FROM system_views.caches").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(caches.keySet === Set("catalog_snapshots", "engine_plan_cache"))
+    // exercise the snapshot cache through the Spark catalog, then re-read
+    s.exposeAsCatalog("graft")
+    spark.sql("SELECT * FROM graft.default.tp_t").collect()
+    val after = s.execute("SELECT entry_count, size_bytes FROM " +
+      "system_views.caches WHERE name = 'catalog_snapshots'").head()
+    assert(after.getLong(0) >= 1L && after.getLong(1) > 0L)
+  }
 }
