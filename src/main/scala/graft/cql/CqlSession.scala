@@ -237,6 +237,13 @@ case class CqlDropTrigger(name: String, table: String, ifExists: Boolean)
 trait GraftTrigger {
   def augment(table: String, row: Map[String, Any]): Seq[String]
 }
+// Scope note: triggers fire on the CQL WRITE PATH — single-statement DML,
+// BATCH, IN-expanded writes, applied LWTs, prepared executions. The BULK
+// load surfaces (cqlsh COPY FROM, Spark-catalog INSERT) are this engine's
+// sstable-load analogue and bypass triggers, exactly as upstream's
+// sstableloader streams sstables past the coordinator write path.
+// A per-row driver-side augment over a bulk load would be the collect()
+// anti-pattern at 100 TB; the deviation is deliberate and documented.
 /** `CREATE TYPE name (field type, …)` — a user-defined type, mapped to
   * StructType per SURVEY §1.2 (frozen vs non-frozen is a storage detail
   * with no Spark distinction). Fields referencing earlier UDTs are
@@ -756,6 +763,12 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   private[graft] def systemKeyspaces: Set[String] = SystemKeyspaces
   private[graft] def engineCatalog: Map[String, CqlTable] =
     engine.catalogTables
+  /** Is `key` a base table the catalog write bridge may append to?
+    * Materialized views and virtual tables read through the catalog but
+    * are derived/engine-owned — they must advertise as read-only so a
+    * Spark INSERT fails at analysis, not with a late 'unknown table'. */
+  private[graft] def isWritableTable(key: String): Boolean =
+    state.contains(key.toLowerCase)
   private[graft] def cqlTypeNameOf(dt: DataType): String =
     cqlTypeName(dt, Set.empty)
 
@@ -1196,10 +1209,10 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       StructField("entry_count", LongType),
       StructField("size_bytes", LongType)))
     val snapBytes = snapshotCache.values().asScala.map { case (_, dir, _) =>
-      val f = new java.io.File(dir)
-      if (f.isDirectory)
-        f.listFiles().map(_.length()).sum
-      else 0L
+      // listFiles() is null if the dir vanished (the volatile-snapshot
+      // reaper may have deleted it between reads) — treat as empty
+      Option(new java.io.File(dir).listFiles())
+        .map(_.map(_.length()).sum).getOrElse(0L)
     }.sum
     val caRows = Seq(
       Row("catalog_snapshots", snapshotCache.size().toLong, snapBytes),
@@ -1407,7 +1420,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     val t = tableState(table)
     mutationEpoch += 1
     val ts = nextTs(None)
-    val shaped = df.select(t.logSchema.fields.toSeq.map { f =>
+    val shaped0 = df.select(t.logSchema.fields.toSeq.map { f =>
       val n0 = f.name
       if (df.columns.exists(_.equalsIgnoreCase(n0)))
         col(df.columns.find(_.equalsIgnoreCase(n0)).get)
@@ -1426,10 +1439,21 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       else if (n0 == "_deleted") lit(false).as(n0)
       else lit(null).cast(f.dataType).as(n0)
     }: _*)
+    // MATERIALIZE the load before appending (the memtable-flush moment):
+    // a lazy union would re-execute the source plan on every later read —
+    // wrong for a non-deterministic insert query (rand() keys would change
+    // between reads) and fragile for a source file later deleted. One
+    // distributed parquet write, then the log references immutable bytes.
+    val dir = s"$bulkLoadRoot/${table.toLowerCase}/$mutationEpoch"
+    shaped0.write.mode("overwrite").parquet(dir)
+    val shaped = spark.read.schema(t.logSchema).parquet(dir)
     state(table.toLowerCase) =
       t.copy(base = log(t).unionByName(shaped), pending = Vector.empty,
         localOnly = false)
   }
+
+  private lazy val bulkLoadRoot =
+    java.nio.file.Files.createTempDirectory("graft-bulkload").toString
 
   /** DSv2 write bridge: `INSERT INTO` / `INSERT OVERWRITE` against a
     * [[graft.spark.GraftCatalog]] table routes HERE, not to a parquet
@@ -1466,14 +1490,18 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         .reduce(_ || _)).isEmpty)
       throw new CqlInvalidQueryException(
         "catalog INSERT: a row carries a null primary key value")
-    if (overwrite) {
-      val t0 = tableState(key)
-      state(key) = t0.copy(
-        base = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row], t0.logSchema),
-        pending = Vector.empty, localOnly = true)
-    }
+    if (overwrite) truncateState(key)
     bulkAppendLog(key, df)
+  }
+
+  /** TRUNCATE semantics, shared by CQL `TRUNCATE` and the catalog's
+    * `INSERT OVERWRITE` so the two surfaces cannot diverge. */
+  private def truncateState(table: String): Unit = {
+    val t = tableState(table)
+    state(table.toLowerCase) = t.copy(
+      base = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], t.logSchema),
+      pending = Vector.empty, localOnly = true)
   }
 
   private def renderLiteral(v: Any): String = v match {
@@ -1719,7 +1747,23 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     }
   }
 
-  private[cql] def runDml(dml: CqlDml): DataFrame = {
+  /** Statement-level all-or-nothing: snapshot every table's pending
+    * vector (immutable — O(tables) references) and restore on ANY
+    * failure, so a mid-statement error (e.g. a trigger failing on the
+    * 2nd statement of a BATCH or of an IN-expanded write) cannot leave
+    * the earlier mutations applied. Upstream TriggerExecutor likewise
+    * augments the COMPLETE mutation set before applying any of it. */
+  private def withPendingRollback[A](f: => A): A = {
+    val snap = state.toSeq.map { case (n, st) => (n, st.pending) }
+    try f
+    catch {
+      case e: Throwable =>
+        snap.foreach { case (n, p) => state.get(n).foreach(_.pending = p) }
+        throw e
+    }
+  }
+
+  private[cql] def runDml(dml: CqlDml): DataFrame = withPendingRollback {
     checkPerm("modify", authRes(dml.table))
     val expanded = expandInPredicates(dml)
     if (expanded.lengthCompare(1) == 0 && (expanded.head eq dml)) {
@@ -1742,11 +1786,12 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   def prepare(cql: String): CqlPrepared = {
     val trimmed = cql.trim
     trimmed.takeWhile(!_.isWhitespace).toLowerCase match {
-      case "select" => new CqlPrepared(this, CqlParser.parse(trimmed))
+      case "select" =>
+        new CqlPrepared(this, CqlParser.parse(trimmed), trimmed)
       case "insert" | "update" | "delete" =>
-        new CqlPrepared(this, CqlParser.parseDml(trimmed))
+        new CqlPrepared(this, CqlParser.parseDml(trimmed), trimmed)
       case "begin" =>
-        new CqlPrepared(this, CqlParser.parseBatch(trimmed))
+        new CqlPrepared(this, CqlParser.parseBatch(trimmed), trimmed)
       case other => throw new CqlInvalidQueryException(
         s"only SELECT/INSERT/UPDATE/DELETE/BATCH can be prepared, got $other")
     }
@@ -1757,7 +1802,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * allowed only when the batch itself carries none. CAS batch: all
     * conditions evaluate against the PRE-batch state (one Paxos round
     * upstream); the batch applies all-or-nothing. */
-  private[cql] def runBatch(b0: CqlBatch): DataFrame = {
+  private[cql] def runBatch(b0: CqlBatch): DataFrame = withPendingRollback {
     b0.statements.map(_.table).distinct
       .foreach(t => checkPerm("modify", authRes(t)))
     val b = b0.copy(statements = b0.statements.flatMap(expandInPredicates))
@@ -1844,8 +1889,27 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         StructType(Seq(StructField("tracing", BooleanType,
           nullable = false))))
     }
-    if (!tracingOn || head.toLowerCase.contains("system_traces"))
-      return execute0(head)
+    traced(head, "QUERY", s"Parsing ${head.take(100)}", kw0 match {
+      case "insert" | "update" | "delete" | "begin" =>
+        "Applied mutation to the upsert log"
+      case "select" => "Computed Catalyst plan for statement"
+      case _ => "Executed statement"
+    })(execute0(head))
+  }
+
+  /** Record one traced session (+ first/completion phase events with real
+    * elapsed-µs offsets) around `f`. Also the prepared-EXECUTE hook:
+    * upstream traces prepared executions under command EXECUTE
+    * [U tracing/Tracing.java]. No-op when tracing is off or the request
+    * reads `system_traces` itself. */
+  private[cql] def traced[A](request: String, command: String,
+      firstEvent: String, completion: String)(f: => A): A = {
+    // skip only genuine trace READS (a SELECT targeting system_traces.*),
+    // not any statement whose text happens to mention the keyspace
+    val lower = request.toLowerCase
+    val isTraceRead =
+      lower.startsWith("select") && lower.contains("system_traces.")
+    if (!tracingOn || isTraceRead) return f
     val t0 = System.nanoTime()
     val sid = java.util.UUID.randomUUID().toString
     val started = new java.sql.Timestamp(System.currentTimeMillis())
@@ -1858,22 +1922,17 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         Thread.currentThread().getName)
     }
     def sessionRow(durUs: Int): Unit = {
-      traceSessions += Row(sid, "127.0.0.1", "QUERY", "127.0.0.1", durUs,
-        Map("query" -> head), head.take(500), started)
+      traceSessions += Row(sid, "127.0.0.1", command, "127.0.0.1", durUs,
+        Map("query" -> request), request.take(500), started)
       while (traceSessions.size > CqlSession.TraceCap) {
         val old = traceSessions.remove(0)
         traceEvents.filterInPlace(_.getString(0) != old.getString(0))
       }
     }
-    event(s"Parsing ${head.take(100)}")
+    event(firstEvent)
     try {
-      val out = execute0(head)
-      event(kw0 match {
-        case "insert" | "update" | "delete" | "begin" =>
-          "Applied mutation to the upsert log"
-        case "select" => "Computed Catalyst plan for statement"
-        case _ => "Executed statement"
-      })
+      val out = f
+      event(completion)
       sessionRow(((System.nanoTime() - t0) / 1000L).toInt)
       out
     } catch {
@@ -2335,11 +2394,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         udtTypeRefs.remove(lname)
       }
     case CqlTruncate(table) =>
-      val t = tableState(table)
-      state(table.toLowerCase) = t.copy(
-        base = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row], t.logSchema),
-        pending = Vector.empty, localOnly = true)
+      truncateState(table)
     case CqlAlterAdd(table, cols) =>
       val t = tableState(table)
       cols.foreach { cd =>
@@ -3175,17 +3230,13 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
             s"Exception while executing trigger on table " +
               s"${dml.table.toLowerCase}: $e")
         }
-      val snapshot = state.toSeq.map { case (n, st) => (n, st.pending) }
       t.pending = t.pending :+ newRow
+      // failure of an augmented write aborts the WHOLE statement: the
+      // statement-level withPendingRollback (runDml/runBatch) restores
+      // every table's pending vector, including this append
       firingTriggers = true
       try augmented.foreach(applyDml(_, None))
-      catch {
-        case e: Throwable =>
-          snapshot.foreach { case (n, p) =>
-            state.get(n).foreach(st => st.pending = p)
-          }
-          throw e
-      } finally firingTriggers = false
+      finally firingTriggers = false
       true
     }
   }
@@ -3240,7 +3291,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
 /** A parsed statement template with `?` markers. Each `execute(binds…)`
   * substitutes positionally (text order) and runs — the parse cost is paid
   * once, as with upstream's prepared cache. */
-class CqlPrepared private[cql] (session: CqlSession, template: AnyRef) {
+class CqlPrepared private[cql] (session: CqlSession, template: AnyRef,
+    text: String) {
 
   def execute(binds: Any*): DataFrame =
     run(new CqlPrepared.Binder(binds))
@@ -3252,18 +3304,23 @@ class CqlPrepared private[cql] (session: CqlSession, template: AnyRef) {
     run(new CqlPrepared.Binder(Nil,
       named = values.map { case (k, v) => k.toLowerCase -> v }))
 
-  private def run(b: CqlPrepared.Binder): DataFrame = {
-    val out = template match {
-      case sel: CqlSelect => session.runSelect(b.select(sel))
-      case bat: CqlBatch => // batch-level USING TIMESTAMP binds first (text order)
-        session.runBatch(bat.copy(
-          usingTimestamp = bat.usingTimestamp.map(b.value),
-          statements = bat.statements.map(b.dml)))
-      case dml: CqlDml => session.runDml(b.dml(dml))
+  private def run(b: CqlPrepared.Binder): DataFrame =
+    // traced under command EXECUTE, like upstream prepared executions —
+    // the first event says what a prepared run actually skips
+    session.traced(text, "EXECUTE",
+      s"Executing prepared statement (parse skipped): ${text.take(100)}",
+      "Executed prepared statement") {
+      val out = template match {
+        case sel: CqlSelect => session.runSelect(b.select(sel))
+        case bat: CqlBatch => // batch-level USING TIMESTAMP binds first (text order)
+          session.runBatch(bat.copy(
+            usingTimestamp = bat.usingTimestamp.map(b.value),
+            statements = bat.statements.map(b.dml)))
+        case dml: CqlDml => session.runDml(b.dml(dml))
+      }
+      b.done()
+      out
     }
-    b.done()
-    out
-  }
 }
 
 object CqlPrepared {
@@ -3389,16 +3446,21 @@ object CqlSession {
   // session would leak listeners). Counts from first registration —
   // the "process uptime" scope upstream pool stats have.
   private val completedTasks = new java.util.concurrent.atomic.AtomicLong(0)
-  private val listenerOn = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private var listenerCtx: String = null
   private[cql] def ensureTaskListener(
-      sc: org.apache.spark.SparkContext): Unit =
-    if (listenerOn.compareAndSet(false, true))
+      sc: org.apache.spark.SparkContext): Unit = synchronized {
+    // keyed by application id, not a one-shot flag: a NEW SparkContext
+    // after a restart gets its own listener, so completed_tasks stays live
+    if (listenerCtx != sc.applicationId) {
       sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           completedTasks.incrementAndGet(); ()
         }
       })
+      listenerCtx = sc.applicationId
+    }
+  }
   private[cql] def completedTaskCount: Long = completedTasks.get()
 
   /** A session with no tables — create them with CQL `CREATE TABLE`. */

@@ -247,8 +247,11 @@ private[spark] class GraftTable(ident: String, tableSchema: StructType,
   override def name(): String = ident
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    if (registryKey.contains("."))
-      util.EnumSet.of(TableCapability.BATCH_READ) // system tables: read-only
+    // base tables only: system tables AND materialized views (derived —
+    // maintained from their base) advertise read-only, failing an INSERT
+    // at analysis time rather than with a late execution error
+    if (!session.isWritableTable(registryKey))
+      util.EnumSet.of(TableCapability.BATCH_READ)
     else util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)

@@ -58,4 +58,37 @@ class CqlTraceSpec extends SparkSpec {
     // bare TRACING reports state without toggling (cqlsh behavior)
     assert(!s.execute("TRACING").head().getBoolean(0))
   }
+
+  test("only genuine trace reads skip tracing, not statements that " +
+    "mention the keyspace in a literal") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE tr_lit (k bigint PRIMARY KEY, note text)")
+    s.execute("TRACING ON")
+    s.execute("INSERT INTO tr_lit (k, note) VALUES " +
+      "(1, 'see system_traces. docs')")
+    s.execute("TRACING OFF")
+    val reqs = s.execute("SELECT request FROM system_traces.sessions")
+      .collect().map(_.getString(0))
+    assert(reqs.exists(_.startsWith("INSERT INTO tr_lit")))
+  }
+
+  test("prepared executions trace under command EXECUTE") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE tr_p (k bigint PRIMARY KEY, v bigint)")
+    val ins = s.prepare("INSERT INTO tr_p (k, v) VALUES (?, ?)")
+    s.execute("TRACING ON")
+    ins.execute(1L, 10L)
+    ins.execute(2L, 20L)
+    s.execute("TRACING OFF")
+    val sess = s.execute("SELECT command, request " +
+      "FROM system_traces.sessions").collect()
+    assert(sess.length === 2)
+    assert(sess.forall(_.getString(0) === "EXECUTE"))
+    assert(sess.forall(_.getString(1) ===
+      "INSERT INTO tr_p (k, v) VALUES (?, ?)"))
+    val acts = s.execute("SELECT activity FROM system_traces.events")
+      .collect().map(_.getString(0))
+    assert(acts.count(_.startsWith("Executing prepared statement")) === 2)
+    assert(acts.count(_ == "Executed prepared statement") === 2)
+  }
 }

@@ -26,6 +26,13 @@ class CascadeTrigger extends GraftTrigger {
       s"(${row("k")}, ${row("_writetime")})")
 }
 
+/** Fails only for k = 4 — pins BATCH/IN-expansion all-or-nothing. */
+class PickyTrigger extends GraftTrigger {
+  override def augment(table: String, row: Map[String, Any]): Seq[String] =
+    if (row("k") == 4L) Seq("INSERT INTO no_such_table (k) VALUES (1)")
+    else Nil
+}
+
 class NotATrigger // deliberately does not implement GraftTrigger
 
 class CqlTriggerSpec extends SparkSpec {
@@ -76,6 +83,30 @@ class CqlTriggerSpec extends SparkSpec {
     // all-or-nothing: the original row must not have been applied
     assert(s.execute("SELECT count(*) FROM trg_fail").head()
       .getLong(0) === 0L)
+  }
+
+  test("a trigger failing mid-BATCH or mid-IN-expansion aborts ALL " +
+    "statements (statement-level rollback)") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE trg_atom (k bigint PRIMARY KEY, v text)")
+    s.execute("CREATE TRIGGER picky ON trg_atom USING 'graft.PickyTrigger'")
+    // k=3 applies cleanly first, k=4's trigger fails second — the batch
+    // must leave NO rows behind
+    intercept[CqlInvalidQueryException] {
+      s.execute("BEGIN BATCH " +
+        "INSERT INTO trg_atom (k, v) VALUES (3, 'a'); " +
+        "INSERT INTO trg_atom (k, v) VALUES (4, 'b'); " +
+        "APPLY BATCH")
+    }
+    assert(s.execute("SELECT count(*) FROM trg_atom").head()
+      .getLong(0) === 0L)
+    // same for a multi-key IN-expanded write
+    s.execute("INSERT INTO trg_atom (k, v) VALUES (3, 'pre')")
+    intercept[CqlInvalidQueryException] {
+      s.execute("UPDATE trg_atom SET v = 'x' WHERE k IN (3, 4)")
+    }
+    assert(s.execute("SELECT v FROM trg_atom WHERE k = 3").head()
+      .getString(0) === "pre")
   }
 
   test("augmented mutations never cascade into other triggers") {

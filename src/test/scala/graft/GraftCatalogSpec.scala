@@ -158,6 +158,44 @@ class GraftCatalogSpec extends SparkSpec {
       .getLong(0) === 0L)
   }
 
+  test("materialized views are read-only through the catalog") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE cat_mvro (k bigint, c bigint, v bigint, " +
+      "PRIMARY KEY (k, c))")
+    s.execute("CREATE MATERIALIZED VIEW cat_mvro_v AS SELECT c, k, v " +
+      "FROM cat_mvro WHERE c IS NOT NULL AND k IS NOT NULL " +
+      "PRIMARY KEY (c, k)")
+    s.exposeAsCatalog("graft")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft.default.cat_mvro_v VALUES (1, 1, 1)")
+    }
+    // read-only capability: Spark rejects at analysis, not a late
+    // 'unknown table' from the write bridge
+    val msg = e.getMessage.toLowerCase
+    assert(msg.contains("does not support") || msg.contains("unsupported") ||
+      msg.contains("append"), msg)
+  }
+
+  test("catalog INSERT materializes its source: later reads are stable") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE cat_mat (k bigint PRIMARY KEY, v double)")
+    s.exposeAsCatalog("graft")
+    // a non-deterministic insert query: if the append kept the lazy plan,
+    // every read would re-roll the keys/values and disagree
+    spark.sql("INSERT INTO graft.default.cat_mat " +
+      "SELECT CAST(rand() * 1000000000 AS BIGINT) + id * 2000000000, " +
+      "rand() FROM range(5)")
+    val r1 = spark.sql("SELECT k, v FROM graft.default.cat_mat ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val r2 = s.execute("SELECT k, v FROM cat_mat ALLOW FILTERING")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sortBy(_._1)
+    assert(r1.length === 5)
+    assert(r1 === r2) // CQL and Spark SQL read the same materialized rows
+    val r3 = s.execute("SELECT k, v FROM cat_mat ALLOW FILTERING")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sortBy(_._1)
+    assert(r2 === r3) // and re-reads agree with themselves
+  }
+
   test("catalog scans push filters and prune columns like any parquet scan") {
     val s = CqlSession(spark)
     s.execute("CREATE TABLE cat_push (k bigint PRIMARY KEY, a bigint, " +
