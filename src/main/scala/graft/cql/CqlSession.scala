@@ -1714,8 +1714,47 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     }
   }
 
+  // ——— configurable guardrails [U db/guardrails/Guardrails.java] ———
+  //
+  // The 4.x/5.0 guardrails framework, driven by Spark conf keys named
+  // after upstream's cassandra.yaml guardrails section
+  // (`spark.graft.guardrails.<name>`) — set them with spark.conf.set and
+  // they surface in `system_views.settings` like every live setting.
+  // Upstream exemption rules apply: guardrails bind NON-superuser roles
+  // only and never system tables/internal queries. Fail guardrails throw
+  // upstream-worded errors; warn guardrails append to [[lastWarnings]],
+  // the client-warning channel a driver's ExecutionInfo would surface.
+
+  private def guardConf(name: String): Option[String] =
+    spark.conf.getOption(s"spark.graft.guardrails.$name")
+  /** `*_enabled` flags default TRUE (upstream ships guardrails off). */
+  private def guardEnabled(name: String): Boolean =
+    guardConf(name).forall(_.trim.toBoolean)
+  /** `*_threshold` values; absent or negative = disabled (upstream -1). */
+  private def guardThreshold(name: String): Option[Long] =
+    guardConf(name).map(_.trim.toLong).filter(_ >= 0)
+  private def guardrailsApply: Boolean = !isSuperuser
+
+  private val warningsBuf = scala.collection.mutable.ArrayBuffer.empty[String]
+  /** Client warnings emitted by the last statement (warn-level
+    * guardrails) — the native-protocol warnings channel analogue. */
+  def lastWarnings: Seq[String] = warningsBuf.toSeq
+  private def warn(msg: String): Unit = { warningsBuf += msg; () }
+  private[cql] def clearWarnings(): Unit = warningsBuf.clear()
+
+  /** The ALLOW FILTERING guardrail (fail-level): a disallowed residual
+    * scan is the first thing an operator turns off at 100 TB. */
+  private def guardAllowFiltering(sel: CqlSelect): Unit =
+    if (sel.allowFiltering && guardrailsApply &&
+        !sel.table.contains(".") && // system tables exempt
+        !guardEnabled("allow_filtering_enabled"))
+      throw new CqlInvalidQueryException(
+        "Guardrail allow_filtering violated: Querying with ALLOW " +
+          "FILTERING is not allowed")
+
   private[cql] def runSelect(sel: CqlSelect): DataFrame = {
     checkRead(sel.table)
+    guardAllowFiltering(sel)
     engine.execute(sel)
   }
 
@@ -1873,6 +1912,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * `system_traces.*` are served untraced so a client polling its own
     * trace does not append to it mid-read. */
   def execute(cql: String): DataFrame = {
+    warningsBuf.clear() // client warnings are per-statement
     val head = cql.trim
     val kw0 = head.takeWhile(!_.isWhitespace).toLowerCase
     if (kw0 == "tracing") {
@@ -1954,7 +1994,9 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         if (!isSuperuser) {
           // enforcement needs the target table; the engine re-parses, but
           // non-superuser sessions are the rare path (default = cassandra)
-          checkRead(CqlParser.parse(trimmed).table)
+          val sel = CqlParser.parse(trimmed)
+          checkRead(sel.table)
+          guardAllowFiltering(sel)
         }
         // the runtime virtual tables (settings/clients) change without a
         // mutation epoch bump — rebuild so the read sees live values
@@ -2031,6 +2073,18 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         if (!ifNotExists)
           throw new CqlInvalidQueryException(s"table $table already exists")
       } else {
+        // guardrail tables (warn + fail thresholds) [U Guardrails.tables]
+        if (guardrailsApply) {
+          val n = state.size + 1
+          guardThreshold("tables_fail_threshold").foreach(th =>
+            if (n > th) throw new CqlInvalidQueryException(
+              s"Guardrail tables violated: Cannot have more than $th " +
+                s"tables, aborting the creation of table $table"))
+          guardThreshold("tables_warn_threshold").foreach(th =>
+            if (n > th) warn(s"Guardrail tables violated: Creating table " +
+              s"$table, current number of tables $n exceeds warning " +
+              s"threshold $th"))
+        }
         // upstream TableAttributes [U]: CLUSTERING ORDER must name every
         // clustering column, in declared order
         if (ckDesc.nonEmpty && ckDesc.map(_._1.toLowerCase) !=
@@ -3112,6 +3166,13 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * are all checked against the pre-batch state by the caller. */
   private def applyDml(dml: CqlDml, defaultTs: Option[Long],
       skipCondition: Boolean = false): Boolean = {
+    // guardrail user_timestamps [U GuardrailsOptions]: client-provided
+    // write timestamps disallowed when the operator turns them off
+    if (dml.usingTimestamp.isDefined && guardrailsApply &&
+        !guardEnabled("user_timestamps_enabled"))
+      throw new CqlInvalidQueryException(
+        "Guardrail user_timestamps violated: User provided timestamps " +
+          "(USING TIMESTAMP) is not allowed")
     // upstream ModificationStatement [U]: a conditional write's timestamp
     // is the Paxos ballot's — a client USING TIMESTAMP is rejected
     if (dml.condition.isDefined && dml.usingTimestamp.isDefined)
@@ -3127,6 +3188,22 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         "Cannot provide custom timestamp for counter updates")
     val keys = keyCols(t)
     val cells = cellsFor(dml, t)
+    // guardrail items_per_collection (warn-level) [U Guardrails.itemsPerCollection]
+    if (guardrailsApply)
+      guardThreshold("items_per_collection_warn_threshold").foreach { th =>
+        cells.foreach {
+          case (c0, Some((v: Seq[_], _))) if v.sizeIs > th.toInt =>
+            warn(s"Guardrail items_per_collection violated: Collection " +
+              s"value of column $c0 has ${v.size} items, above warning " +
+              s"threshold $th")
+          case (c0, Some((v: scala.collection.Map[_, _], _)))
+              if v.sizeIs > th.toInt =>
+            warn(s"Guardrail items_per_collection violated: Collection " +
+              s"value of column $c0 has ${v.size} items, above warning " +
+              s"threshold $th")
+          case _ => ()
+        }
+      }
     // writes must address the primary key (ModificationStatement rule);
     // a write touching ONLY static columns addresses just the partition key
     // (written.nonEmpty guard: a write touching NO columns — a row delete
@@ -3304,7 +3381,8 @@ class CqlPrepared private[cql] (session: CqlSession, template: AnyRef,
     run(new CqlPrepared.Binder(Nil,
       named = values.map { case (k, v) => k.toLowerCase -> v }))
 
-  private def run(b: CqlPrepared.Binder): DataFrame =
+  private def run(b: CqlPrepared.Binder): DataFrame = {
+    session.clearWarnings()
     // traced under command EXECUTE, like upstream prepared executions —
     // the first event says what a prepared run actually skips
     session.traced(text, "EXECUTE",
@@ -3321,6 +3399,7 @@ class CqlPrepared private[cql] (session: CqlSession, template: AnyRef,
       b.done()
       out
     }
+  }
 }
 
 object CqlPrepared {
