@@ -414,6 +414,50 @@ object DedupQueries {
       .orderBy("idx_id", "new_id")
   }
 
+
+  /** D13 (L2++ bloom-gated incremental exact dedup): dedup an INCOMING
+    * batch against the standing corpus WITHOUT shuffling the corpus per
+    * batch — the 100 TB-against-petabase shape. The corpus's content
+    * hashes fold into ONE distributed Bloom filter (Catalyst
+    * `BloomFilterAggregate`, the expression Spark's own runtime-filter
+    * injection uses — partial blooms merge on the executors, the driver
+    * holds only the final ~1 MB bitset). Incoming rows probe the bloom
+    * MAP-SIDE (`BloomFilterMightContain` over `xxhash64`, codegen'd — no
+    * UDF, no shuffle), and only the maybe-hits reach the exact semi-join
+    * that removes false positives. The bloom affects PERFORMANCE only:
+    * the final rows equal the exact join's, so the query hash-matches a
+    * plain SQL twin regardless of fpp. Sized for corpus capacity (1 M
+    * items here ≈ 0.9 MB; at 10^10 base docs the same shape broadcasts
+    * ~12 GB or shards the bloom by hash prefix — SCALE.md). */
+  def d13_bloom_incremental(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.GraftShim
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val docs = Tables.documents(s, d)
+    val baseH = docs.select(md5(col("text")).as("h"))
+    // incoming: re-crawled exact copies (every 5th doc) + genuinely new
+    // content (every 7th doc, text extended) — hits AND misses
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        md5(col("text")).as("h"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          md5(concat(col("text"), lit(" novel"))).as("h")))
+    val bloomBytes = baseH.select(GraftShim.column(
+        new BloomFilterAggregate(
+          GraftShim.expression(xxhash64(col("h"))), 1000000L)
+          .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = GraftShim.column(new BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType),
+      GraftShim.expression(xxhash64(col("h")))))
+    incoming.filter(mightContain) // map-side prune: misses never shuffle
+      .join(baseH.distinct(), Seq("h"), "left_semi") // exact FP removal
+      .select(col("doc_id"), col("h"))
+      .orderBy("doc_id")
+  }
+
   /** embeddings plus exact copies of every 7th vector (vec_id + 100000) —
     * the semantic-duplicate injection the oracle mirrors (the fixture has no
     * literal embedding duplicates, like the document corpus for d1/d2). */
@@ -548,6 +592,7 @@ object DedupQueries {
     "d9_substring" -> (d9_substring _),
     "d11_chunk_dedup" -> (d11_chunk_dedup _),
     "d12_incremental" -> (d12_incremental _),
+    "d13_bloom_incremental" -> (d13_bloom_incremental _),
   )
 
   private val corpusCteBody =
@@ -764,6 +809,17 @@ object DedupQueries {
     "d4_simhash" -> d4Oracle,
     "d11_chunk_dedup" -> d11Oracle,
     "d12_incremental" -> d12Oracle,
+    // the bloom is performance-only: final rows = the exact semi-join
+    "d13_bloom_incremental" ->
+      """WITH base AS (SELECT md5(text) AS h FROM documents),
+        |inc AS (
+        |  SELECT doc_id + 100000 AS doc_id, md5(text) AS h
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, md5(text || ' novel') AS h
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT doc_id, h FROM inc WHERE h IN (SELECT h FROM base)
+        |ORDER BY doc_id""".stripMargin,
     "d1_exact" ->
       s"""$corpusCte
         |SELECT count(*) AS n_total,

@@ -221,4 +221,31 @@ class TextDedupSpec extends SparkSpec {
       assert(out(id + 100000L) === out(id), s"copy of $id matches")
     }
   }
+
+  test("bloom-gated incremental dedup: same rows as the exact join, " +
+    "bloom probe stays map-side codegen (no UDF)") {
+    val out = DedupQueries.d13_bloom_incremental(spark, sf)
+    // the plan probes a literal bloom (might_contain) — a codegen'd
+    // Catalyst predicate, not a Scala UDF, and no extra shuffle before it
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(plan.contains("might_contain"), plan.take(2000))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+    // bloom affects performance only: rows equal the bloom-free twin
+    val docs = Tables.documents(spark, sf)
+    val baseH = docs.select(md5(col("text")).as("h"))
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        md5(col("text")).as("h"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          md5(concat(col("text"), lit(" novel"))).as("h")))
+    val exact = incoming.join(baseH.distinct(), Seq("h"), "left_semi")
+      .select(col("doc_id"), col("h")).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val got = out.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === exact)
+    assert(got.nonEmpty) // the re-crawled copies ARE caught
+    // and the genuinely-new docs are NOT flagged
+    assert(got.forall(_._1 < 200000L))
+  }
 }
