@@ -161,6 +161,8 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
           case _ => lit(false)
         }
       override def next(): DataFrame = {
+        if (exhausted) // Iterator contract — never silently re-query
+          throw new NoSuchElementException("pager exhausted")
         val preds = sel.predicates ++ after.collect {
           // fast path: a uniform-direction token pages as one pushed
           // tuple restriction, exactly the driver-protocol shape (struct
@@ -188,24 +190,29 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
         if (!singlePartition)
           pageAll = pageAll.orderBy(pageCols.zip(pageDirs).map {
             case (c0, d) => if (d) col(c0).desc else col(c0).asc }: _*)
-        val pageDf = pageAll.limit(fetchSize)
-        val rows = pageDf.collect()
-        if (rows.length < fetchSize) exhausted = true
+        // probe one row past the page: a row count that is an exact
+        // multiple of fetchSize must NOT cost the client a spurious empty
+        // final page (upstream pagers likewise look ahead)
+        val pageSchema = pageAll.schema
+        val probe = pageAll.limit(fetchSize + 1).collect()
+        if (probe.length <= fetchSize) exhausted = true
+        val rows = probe.take(fetchSize)
         // resolve key positions against the PAGE schema (the Star
         // projection drops '_'-prefixed metadata columns, shifting any
         // index computed on the table schema)
-        else after = Some(pageCols.map(c => rows.last.get(
-          pageDf.schema.fieldIndex(
-            pageDf.schema.fieldNames.find(_.equalsIgnoreCase(c)).get))))
+        if (!exhausted) after = Some(pageCols.map(c => rows.last.get(
+          pageSchema.fieldIndex(
+            pageSchema.fieldNames.find(_.equalsIgnoreCase(c)).get))))
         val local = spark.createDataFrame(
-          java.util.Arrays.asList(rows: _*), pageDf.schema)
+          java.util.Arrays.asList(rows: _*), pageSchema)
         var out =
           if (sel.selectors == Seq(Star))
             local.select(local.columns.filterNot(_.startsWith("_"))
               .map(col).toSeq: _*)
           else local.select(sel.selectors.map(selectorColumn(_, table)): _*)
         if (sel.json)
-          out = out.select(to_json(struct(out.columns.map(col): _*),
+          out = out.select(to_json(struct(
+            out.columns.map(n => col(s"`$n`")): _*),
             Map("ignoreNullFields" -> "false")).as("[json]"))
         out
       }
@@ -274,12 +281,20 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
         val floorKeys = sel.groupBy.collect {
           case CqlGroupItem(c0, Some(us)) => (c0.toLowerCase, us)
         }.toSet
+        // `SELECT * … GROUP BY pk` is valid upstream: the group keys plus
+        // the FIRST-ROW value of every other column — expand the star so
+        // the first() wrap below applies per column
+        val selectors = sel.selectors.flatMap {
+          case Star => table.df.columns.toSeq.filterNot(_.startsWith("_"))
+            .map(ColumnSelector(_, None))
+          case s => Seq(s)
+        }
         // group keys are implicit in Spark's groupBy output — drop their
         // plain (or matching floor) selectors to avoid duplicate columns.
         // A floor selector matches its group item only when BOTH the column
         // and the duration agree; floor(ts, 1h) against GROUP BY
         // floor(ts, 12h) is not grouped and must error, not mislabel.
-        val aggCols = sel.selectors.collect {
+        val aggCols = selectors.collect {
           case s: ColumnSelector if keySet.contains(s.name.toLowerCase) => None
           case FunctionSelector(fn, Seq(ColArg(n), LitArg(us: Long)), _)
             if fn.equalsIgnoreCase("floor") &&
@@ -290,6 +305,14 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
                 g.column.equalsIgnoreCase(n)) =>
             throw new CqlInvalidQueryException(
               s"floor($n, …) selector duration does not match GROUP BY")
+          case s if !isAgg(s) =>
+            // a plain selection alongside aggregates is the group's
+            // FIRST-ROW value upstream [U cql3/selection/Selection];
+            // Spark demands an aggregate, so wrap in first() and keep
+            // the selector's output name
+            val inner = selectorColumn(s, table)
+            Some(selectorOutputName(s)
+              .fold(first(inner))(n => first(inner).as(n)))
           case s => Some(selectorColumn(s, table))
         }.flatten
         if (aggCols.isEmpty)
@@ -326,7 +349,9 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
     if (sel.json)
       // upstream Json.java serializes EVERY selected column, null included —
       // a phantom static row must read back as {"ck":null,"v":null,"st":…}
-      df = df.select(to_json(struct(df.columns.map(col): _*),
+      // backtick-quote: a UDT-field selector's output column is literally
+      // named `u.field`, which bare col() would mis-parse as struct access
+      df = df.select(to_json(struct(df.columns.map(n => col(s"`$n`")): _*),
         Map("ignoreNullFields" -> "false")).as("[json]"))
     df
   }
@@ -654,8 +679,7 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
           "Order by currently only supports the ordering of columns " +
             "following their declared order in the PRIMARY KEY")
       val declaredDesc =
-        (if (t.clusteringDesc.nonEmpty) t.clusteringDesc
-         else Seq.fill(ckL.length)(false)).take(obs.length)
+        t.clusteringDesc.padTo(ckL.length, false).take(obs.length)
       val exact = obs.map(_.asc).zip(declaredDesc)
         .forall { case (asc, desc) => asc == !desc }
       val reversed = obs.map(_.asc).zip(declaredDesc)
@@ -688,6 +712,11 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
   private def typedLit(t: CqlTable, column: String, v: Any): Column = v match {
     case CqlDuration(m, d, n) => struct(
       lit(m).as("months"), lit(d).as("days"), lit(n).as("nanos"))
+    case CqlBindMarker | _: CqlNamedMarker =>
+      // a raw Spark 'Unsupported literal type' RuntimeException here would
+      // leak an internal stack trace for a user error
+      throw new CqlInvalidQueryException(
+        "bind marker is unbound — prepare the statement and bind it")
     case _ => t.df.schema.find(_.name.equalsIgnoreCase(column))
       .map(f => lit(v).cast(f.dataType)).getOrElse(lit(v))
   }
@@ -698,9 +727,22 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
     * and toTimestamp bounds compare as timestamps. */
   /** The uuid Column a min/maxTimeuuid literal builds (`ts` overrides the
     * literal argument when the caller already resolved it). */
+  /** A function-literal timestamp argument as a Column: CQL integer
+    * timestamps are epoch MILLISECONDS [U cql3/functions/TimeFcts] —
+    * a bare long cast to Spark timestamp would be read as SECONDS and
+    * silently shift the bound 1000x. */
+  private def tsArg(v: Any): Column = v match {
+    case l: Long => timestamp_millis(lit(l))
+    case i: Int => timestamp_millis(lit(i.toLong))
+    case CqlBindMarker | _: CqlNamedMarker =>
+      throw new CqlInvalidQueryException(
+        "bind marker is unbound — prepare the statement and bind it")
+    case other => lit(other).cast("timestamp")
+  }
+
   private def fnLitUuid(f: CqlFnLit, ts: Option[Column] = None): Column = {
     import graft.functions.TimeuuidFunctions._
-    val arg = ts.getOrElse(lit(f.arg).cast("timestamp"))
+    val arg = ts.getOrElse(tsArg(f.arg))
     f.fn match {
       case "mintimeuuid" => minTimeuuid(arg)
       case "maxtimeuuid" => maxTimeuuid(arg)
@@ -715,7 +757,7 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
       case "mintimeuuid" | "maxtimeuuid" =>
         (timeuuidComparable(col(p.column)), timeuuidComparable(fnLitUuid(f)))
       case "totimestamp" =>
-        (col(p.column).cast("timestamp"), lit(f.arg).cast("timestamp"))
+        (col(p.column).cast("timestamp"), tsArg(f.arg))
       case other =>
         throw new CqlInvalidQueryException(s"unsupported function bound $other")
     }
@@ -850,6 +892,16 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
     // exact integral grid: a − (a mod w) (pmod keeps pre-epoch ts on the
     // bucket START, matching upstream floor)
     timestamp_micros(micros - pmod(micros, lit(us)))
+  }
+
+  /** The output name a selector will resolve to (alias or upstream
+    * default) — needed to re-alias after wrapping in first(). */
+  private def selectorOutputName(s: CqlSelector): Option[String] = s match {
+    case ColumnSelector(n, alias) => Some(alias.getOrElse(n))
+    case CastSelector(c0, _, toName, alias) =>
+      Some(alias.getOrElse(s"cast($c0 as $toName)"))
+    case FunctionSelector(_, _, alias) => alias
+    case _ => None
   }
 
   private def selectorColumn(s: CqlSelector, t: CqlTable): Column = s match {

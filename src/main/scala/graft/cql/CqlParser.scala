@@ -64,7 +64,7 @@ object CqlParser {
   // (Lexing '-5' as one literal made 'SET c=c-5' — no spaces — miss the
   // counter-decrement pattern and crash in parseLiteral instead.)
   private val tokenRe =
-    """\s*(?:('(?:[^']|'')*')|(0[xX][0-9a-fA-F]*)|(\d+\.\d+(?:[eE][-+]?\d+)?)|(\d+)|([A-Za-z_][A-Za-z0-9_]*)|(<=|>=|!=|[=<>(),*\[\]{}:;+.?-]))""".r
+    """\s*(?:('(?:[^']|'')*')|(0[xX][0-9a-fA-F]*)|(\d+\.\d+(?:[eE][-+]?\d+)?|\d+[eE][-+]?\d+)|(\d+)|([A-Za-z_][A-Za-z0-9_]*)|(<=|>=|!=|[=<>(),*\[\]{}:;+.?-]))""".r
 
   private def tokenize(s: String): Vector[String] = {
     var rest = s.trim
@@ -163,8 +163,9 @@ object CqlParser {
             s"ANN OF vector must be numeric, got $other")
         }))
       } else {
-        val asc = if (c.accept("desc")) false else { c.accept("asc"); true }
-        var obs = Seq(OrderBy(first, asc))
+        // the ANN lookahead already consumed the first column name; the
+        // direction parse is parseOrderBy's, applied to that column
+        var obs = Seq(orderByDirection(c, first))
         while (c.accept(",")) obs = obs :+ parseOrderBy(c)
         orderBy = Some(obs)
       }
@@ -761,21 +762,9 @@ object CqlParser {
               // everything up to the next top-level AND, capturing only
               // the options that carry single-engine semantics
               val key = c.next()
-              val toks = scala.collection.mutable.Buffer.empty[String]
-              var depth = 0
-              while (!c.done && (depth > 0 || !c.peekIs("and"))) {
-                val t = c.next()
-                if (t == "{" || t == "(") depth += 1
-                else if (t == "}" || t == ")") depth -= 1
-                toks += t
-              }
+              val toks = consumeOptionValue(c)
               if (key.equalsIgnoreCase("default_time_to_live"))
-                toks.toSeq match {
-                  case Seq("=", v) if v.nonEmpty && v.forall(_.isDigit) =>
-                    defaultTtl = Some(v.toLong)
-                  case _ => throw new CqlInvalidQueryException(
-                    s"invalid default_time_to_live: ${toks.mkString(" ")}")
-                }
+                defaultTtl = Some(ttlOptionValue(toks))
             }
             more = c.accept("and")
           }
@@ -875,21 +864,11 @@ object CqlParser {
             if (key.equalsIgnoreCase("clustering"))
               throw new CqlInvalidQueryException(
                 "Cannot alter CLUSTERING ORDER") // fixed at creation [U]
-            val toks = scala.collection.mutable.Buffer.empty[String]
-            var depth = 0
-            while (!c.done && (depth > 0 || !c.peekIs("and"))) {
-              val t = c.next()
-              if (t == "{" || t == "(") depth += 1
-              else if (t == "}" || t == ")") depth -= 1
-              toks += t
+            val toks = consumeOptionValue(c)
+            if (key.equalsIgnoreCase("default_time_to_live")) {
+              val v = ttlOptionValue(toks)
+              dttl = Some(if (v > 0) Some(v) else None)
             }
-            if (key.equalsIgnoreCase("default_time_to_live"))
-              toks.toSeq match {
-                case Seq("=", v) if v.nonEmpty && v.forall(_.isDigit) =>
-                  dttl = Some(if (v.toLong > 0) Some(v.toLong) else None)
-                case _ => throw new CqlInvalidQueryException(
-                  s"invalid default_time_to_live: ${toks.mkString(" ")}")
-              }
             more = c.accept("and")
           }
           CqlAlterOptions(table, dttl)
@@ -1250,9 +1229,39 @@ object CqlParser {
     (ts, ttl)
   }
 
+  /** One `WITH key = <value>` option value: everything up to the next
+    * top-level AND, tracking {}/() nesting (real DESCRIBE dumps carry map
+    * literals, multi-token IDs, scientific notation). Shared by CREATE
+    * TABLE and ALTER TABLE … WITH so the lenient-consumption rules cannot
+    * drift between the two DDL forms. */
+  private def consumeOptionValue(c: Cursor): Seq[String] = {
+    val toks = scala.collection.mutable.Buffer.empty[String]
+    var depth = 0
+    while (!c.done && (depth > 0 || !c.peekIs("and"))) {
+      val t = c.next()
+      if (t == "{" || t == "(") depth += 1
+      else if (t == "}" || t == ")") depth -= 1
+      toks += t
+    }
+    toks.toSeq
+  }
+
+  /** `default_time_to_live = n` — the one option with engine semantics. */
+  private def ttlOptionValue(toks: Seq[String]): Long = toks match {
+    case Seq("=", v) if v.nonEmpty && v.forall(_.isDigit) => v.toLong
+    case _ => throw new CqlInvalidQueryException(
+      s"invalid default_time_to_live: ${toks.mkString(" ")}")
+  }
+
   private def parseSelectors(c: Cursor): Seq[CqlSelector] = {
     var out = Seq(parseSelector(c))
     while (c.accept(",")) out = out :+ parseSelector(c)
+    // `SELECT *, c` is a syntax error upstream (Cql.g: star OR a selector
+    // list) — and letting it through would bypass the engine's metadata-
+    // column filter on the star expansion
+    if (out.contains(Star) && out.lengthCompare(1) > 0)
+      throw new CqlInvalidQueryException(
+        "'*' cannot be combined with other selectors")
     out
   }
 
@@ -1313,8 +1322,13 @@ object CqlParser {
     out
   }
 
-  private def parseOrderBy(c: Cursor): OrderBy = {
-    val col = c.next()
+  private def parseOrderBy(c: Cursor): OrderBy =
+    orderByDirection(c, c.next())
+
+  /** Direction suffix for an already-consumed ORDER BY column (the SELECT
+    * grammar's ANN lookahead reads the first column before knowing which
+    * branch it is in — one shared direction parse, no drift). */
+  private def orderByDirection(c: Cursor, col: String): OrderBy = {
     val asc = if (c.accept("desc")) false else { c.accept("asc"); true }
     OrderBy(col, asc)
   }
@@ -1520,7 +1534,11 @@ object CqlParser {
     else if (t.equalsIgnoreCase("false")) false
     else if (t.equalsIgnoreCase("null")) null
     else if (isDurationLiteral(t)) parseDuration(t) // ISO form, one token
-    else if (t.contains('.')) numeric(t.toDouble, t)
+    else if (t.contains('.') ||
+        (t.nonEmpty && t.head.isDigit &&
+          t.exists(ch => ch == 'e' || ch == 'E')))
+      numeric(t.toDouble, t) // 1.5, 1.5e3, AND exponent-only 1e10 (Cql.g
+      // FLOAT: INTEGER EXPONENT — previously failed to lex)
     else if (t.forall(_.isDigit) && !c.done &&
         isDurationLiteral(t + c.peek)) // `12h30m` lexes as "12"+"h30m"
       parseDuration(t + c.next())

@@ -1892,6 +1892,11 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * `system_traces` rows on a TTL; a single-JVM session keeps the last
     * [[CqlSession.TraceCap]] sessions (ring buffer) — tracing must never
     * become the memory leak it is diagnosing. */
+  /** cqlsh `CONSISTENCY` session level — single-engine, so it shapes no
+    * execution, but it is validated, reported, and recorded into trace
+    * parameters exactly as a driver would see [U db/ConsistencyLevel]. */
+  private var consistencyLevel: String = "ONE"
+
   private var tracingOn = false
   private var traceEventSeq = 0L
   private val traceSessions = scala.collection.mutable.ArrayBuffer.empty[Row]
@@ -1915,6 +1920,57 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     warningsBuf.clear() // client warnings are per-statement
     val head = cql.trim
     val kw0 = head.takeWhile(!_.isWhitespace).toLowerCase
+    // cqlsh session commands [P: cqlsh docs — client-side statements]:
+    // CONSISTENCY reports/sets the session level (validated against the
+    // CQL level set; recorded into trace parameters like upstream's
+    // coordinator does), SHOW VERSION/HOST report the engine identity
+    // (values match system.local), SHOW SESSION <id> prints a recorded
+    // trace. All untraced, like TRACING itself.
+    if (kw0 == "consistency") {
+      import scala.jdk.CollectionConverters._
+      head.stripSuffix(";").split("\\s+").lift(1).foreach { lvl =>
+        val up = lvl.toUpperCase
+        if (!CqlSession.ConsistencyLevels(up))
+          throw new CqlInvalidQueryException(
+            s"Unknown consistency level $lvl")
+        consistencyLevel = up
+      }
+      return spark.createDataFrame(
+        Seq(Row(consistencyLevel)).asJava,
+        StructType(Seq(StructField("consistency", StringType,
+          nullable = false))))
+    }
+    if (kw0 == "show") {
+      import scala.jdk.CollectionConverters._
+      val parts = head.stripSuffix(";").split("\\s+")
+      parts.lift(1).map(_.toLowerCase) match {
+        case Some("version") =>
+          // the SHOW VERSION banner fields, as columns (system.local values)
+          return spark.createDataFrame(
+            Seq(Row("6.2.0", "5.0-graft", "3.4.7", "v5")).asJava,
+            StructType(Seq(
+              StructField("cqlsh", StringType),
+              StructField("cassandra", StringType),
+              StructField("cql_spec", StringType),
+              StructField("native_protocol", StringType))))
+        case Some("host") =>
+          return spark.createDataFrame(
+            Seq(Row("127.0.0.1", 9042, "graft")).asJava,
+            StructType(Seq(
+              StructField("host", StringType),
+              StructField("port", IntegerType),
+              StructField("cluster_name", StringType))))
+        case Some("session") =>
+          val sid = parts.lift(2).getOrElse(throw new CqlInvalidQueryException(
+            "SHOW SESSION expects a session id"))
+          return execute0("SELECT session_id, event_id, activity, source, " +
+            s"source_elapsed, thread FROM system_traces.events " +
+            s"WHERE session_id = '$sid'")
+        case other => throw new CqlInvalidQueryException(
+          s"SHOW expects VERSION | HOST | SESSION <id>, got " +
+            other.getOrElse("nothing"))
+      }
+    }
     if (kw0 == "tracing") {
       import scala.jdk.CollectionConverters._
       head.stripSuffix(";").split("\\s+").lift(1).map(_.toLowerCase) match {
@@ -1963,7 +2019,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     }
     def sessionRow(durUs: Int): Unit = {
       traceSessions += Row(sid, "127.0.0.1", command, "127.0.0.1", durUs,
-        Map("query" -> request), request.take(500), started)
+        Map("query" -> request, "consistency_level" -> consistencyLevel),
+        request.take(500), started)
       while (traceSessions.size > CqlSession.TraceCap) {
         val old = traceSessions.remove(0)
         traceEvents.filterInPlace(_.getString(0) != old.getString(0))
@@ -3519,6 +3576,12 @@ object CqlSession {
   /** Ring-buffer cap for traced sessions kept in `system_traces` (upstream
     * expires trace rows on a 24 h TTL instead [U TraceKeyspace]). */
   private[cql] val TraceCap = 256
+
+  /** The CQL consistency-level names `CONSISTENCY` accepts
+    * [U db/ConsistencyLevel.java]. */
+  private[cql] val ConsistencyLevels: Set[String] = Set(
+    "ANY", "ONE", "TWO", "THREE", "QUORUM", "ALL", "LOCAL_QUORUM",
+    "EACH_QUORUM", "SERIAL", "LOCAL_SERIAL", "LOCAL_ONE", "NODE_LOCAL")
 
   // `system_views.thread_pools` completed-task counter: one JVM-global
   // Spark listener (sessions share the SparkContext; registering per

@@ -755,4 +755,83 @@ class CqlEngineSpec extends SparkSpec {
       "ALLOW FILTERING").collect().map(r => (r.getLong(0), r.getString(1)))
       .sorted === toks.sorted)
   }
+
+  test("plain columns alongside aggregates are the group's first-row " +
+    "value (upstream Selection rule)") {
+    // GROUP BY with a non-group, non-aggregate column: valid upstream
+    val out = cqlEngine.execute(
+      "SELECT l_orderkey, l_shipdate, count(*) AS n FROM lineitem " +
+        "WHERE l_orderkey = 1 GROUP BY l_orderkey")
+    assert(out.columns.toSeq === Seq("l_orderkey", "l_shipdate", "n"))
+    assert(out.count() === 1)
+    // no GROUP BY at all: SELECT pk, count(*) aggregates the whole set
+    val whole = cqlEngine.execute(
+      "SELECT l_orderkey, count(*) AS n FROM lineitem " +
+        "WHERE l_orderkey = 1").head()
+    assert(whole.getLong(0) === 1L && whole.getLong(1) > 0L)
+    // SELECT * GROUP BY pk expands to first-row values per column
+    val star = cqlEngine.execute(
+      "SELECT * FROM lineitem WHERE l_orderkey = 1 GROUP BY l_orderkey")
+    assert(star.count() === 1)
+    assert(star.columns.contains("l_quantity"))
+  }
+
+  test("SELECT *, c is a syntax error (upstream grammar); star cannot " +
+    "leak metadata columns") {
+    intercept[CqlInvalidQueryException] {
+      cqlEngine.execute("SELECT *, l_orderkey FROM lineitem " +
+        "WHERE l_orderkey = 1")
+    }
+  }
+
+  test("an unbound bind marker in a predicate errors cleanly") {
+    val e = intercept[CqlInvalidQueryException] {
+      cqlEngine.execute(
+        "SELECT l_linenumber FROM lineitem WHERE l_orderkey = ?").collect()
+    }
+    assert(e.getMessage.contains("unbound"))
+  }
+
+  test("exponent-only float literals (1e10) parse as doubles") {
+    val out = cqlEngine.execute(
+      "SELECT count(*) AS n FROM orders WHERE o_totalprice < 1e10 " +
+        "ALLOW FILTERING").head()
+    assert(out.getLong(0) > 0L)
+    // and the bound actually binds: nothing is above 1e10 in the fixture
+    val none = cqlEngine.execute(
+      "SELECT count(*) AS n FROM orders WHERE o_totalprice > 1e10 " +
+        "ALLOW FILTERING").head()
+    assert(none.getLong(0) === 0L)
+  }
+
+  test("integer timestamp arguments to maxtimeuuid/totimestamp are " +
+    "epoch MILLISECONDS, not seconds") {
+    // events.ts spans 2024-01; 1706745600000 ms = 2024-02-01: every row
+    // is before it, none after — a seconds misread would flip this
+    val all = cqlEngine.execute(
+      "SELECT count(*) AS n FROM events WHERE user_id = 5 AND " +
+        "ts < totimestamp(1706745600000)" // ms for 2024-02-01
+    ).head().getLong(0)
+    val after = cqlEngine.execute(
+      "SELECT count(*) AS n FROM events WHERE user_id = 5 AND " +
+        "ts > totimestamp(1706745600000)").head().getLong(0)
+    val part = cqlEngine.execute(
+      "SELECT count(*) AS n FROM events WHERE user_id = 5")
+      .head().getLong(0)
+    assert(all === part && after === 0L && part > 0L)
+  }
+
+  test("paging: an exact-multiple row count yields no spurious empty " +
+    "page, and next() after exhaustion throws") {
+    val part = cqlEngine.execute(
+      "SELECT count(*) AS n FROM lineitem WHERE l_orderkey = 1")
+      .head().getLong(0).toInt
+    assert(part > 1)
+    val pager = cqlEngine.executePaged(
+      "SELECT l_linenumber FROM lineitem WHERE l_orderkey = 1", part)
+    assert(pager.hasNext)
+    assert(pager.next().collect().length === part)
+    assert(!pager.hasNext) // exact multiple: NOT one more empty page
+    intercept[NoSuchElementException] { pager.next() }
+  }
 }

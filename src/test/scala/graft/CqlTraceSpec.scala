@@ -72,6 +72,33 @@ class CqlTraceSpec extends SparkSpec {
     assert(reqs.exists(_.startsWith("INSERT INTO tr_lit")))
   }
 
+  test("CONSISTENCY and SHOW session commands; CL lands in trace " +
+    "parameters; SHOW SESSION prints a recorded trace") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE tr_sh (k bigint PRIMARY KEY)")
+    // defaults + report form
+    assert(s.execute("CONSISTENCY").head().getString(0) === "ONE")
+    assert(s.execute("CONSISTENCY QUORUM").head().getString(0) === "QUORUM")
+    intercept[CqlInvalidQueryException] { s.execute("CONSISTENCY SOMETIMES") }
+    val v = s.execute("SHOW VERSION").head()
+    assert(v.getString(1) === "5.0-graft" && v.getString(2) === "3.4.7")
+    assert(s.execute("SHOW HOST").head().getString(2) === "graft")
+    // the session CL is recorded into trace parameters (upstream shape)
+    s.execute("TRACING ON")
+    s.execute("INSERT INTO tr_sh (k) VALUES (1)")
+    s.execute("TRACING OFF")
+    val sess = s.execute("SELECT session_id, parameters " +
+      "FROM system_traces.sessions").head()
+    assert(sess.getMap[String, String](1).get("consistency_level")
+      .contains("QUORUM"))
+    // SHOW SESSION replays the recorded events for that id
+    val shown = s.execute(s"SHOW SESSION ${sess.getString(0)}").collect()
+    assert(shown.length === 2)
+    assert(shown.exists(_.getString(2).startsWith("Parsing")))
+    intercept[CqlInvalidQueryException] { s.execute("SHOW SESSION") }
+    intercept[CqlInvalidQueryException] { s.execute("SHOW ME") }
+  }
+
   test("prepared executions trace under command EXECUTE") {
     val s = CqlSession(spark)
     s.execute("CREATE TABLE tr_p (k bigint PRIMARY KEY, v bigint)")
