@@ -785,7 +785,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     // the runtime virtual tables (settings/clients) change without a
     // mutation epoch bump — never serve them from the snapshot cache
     val volatileKey = key.startsWith("system_views.") ||
-      key.startsWith("system_traces.")
+      key.startsWith("system_traces.") || key == "system.size_estimates"
+    if (key == "system.size_estimates") wantSizeEstimates = true
     val cur = snapshotCache.get(key)
     if (!volatileKey && cur != null && cur._1 == mutationEpoch) {
       checkRead(key) // a cache hit must not skip enforcement
@@ -1304,6 +1305,13 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * `mean_partition_size` divides the optimizer's size estimate by it —
     * an estimate feeding an estimator, which is exactly the upstream
     * contract (sstable-metadata guesses, refreshed periodically). */
+  /** Set by the read paths just before forcing an engine rebuild: the
+    * size-estimate stats (a Catalyst optimize per table) are only worth
+    * computing when `system.size_estimates` is actually being SELECTed —
+    * an eager compute per mutation epoch taxed every first-statement-
+    * after-write with O(tables) optimizer runs. Reset after each build. */
+  private var wantSizeEstimates = false
+
   private def sizeEstimates: Map[String, CqlTable] = {
     val sSchema = StructType(Seq(
       StructField("keyspace_name", StringType),
@@ -1314,6 +1322,13 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       StructField("partitions_count", LongType)))
     import org.apache.spark.sql.functions._
     val ring = Long.MinValue.toString
+    if (!wantSizeEstimates)
+      // placeholder rows are never served: every size_estimates read path
+      // (text, prepared, Spark catalog) sets the flag and rebuilds first
+      return Map("system.size_estimates" -> CqlTable(
+        spark.createDataFrame(new java.util.ArrayList[Row](), sSchema),
+        Seq("keyspace_name"), Seq("table_name", "range_start", "range_end")))
+    wantSizeEstimates = false
     val perTable = state.toSeq.sortBy(_._1).map { case (n, t) =>
       val v = view(n)
       val bytes = BigInt(v.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -1755,6 +1770,9 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   private[cql] def runSelect(sel: CqlSelect): DataFrame = {
     checkRead(sel.table)
     guardAllowFiltering(sel)
+    if (sel.table.equalsIgnoreCase("system.size_estimates")) {
+      wantSizeEstimates = true; engineCache = None
+    }
     engine.execute(sel)
   }
 
@@ -1965,7 +1983,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
             "SHOW SESSION expects a session id"))
           return execute0("SELECT session_id, event_id, activity, source, " +
             s"source_elapsed, thread FROM system_traces.events " +
-            s"WHERE session_id = '$sid'")
+            s"WHERE session_id = ${renderLiteral(sid)}")
         case other => throw new CqlInvalidQueryException(
           s"SHOW expects VERSION | HOST | SESSION <id>, got " +
             other.getOrElse("nothing"))
@@ -2060,6 +2078,9 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         if (trimmed.toLowerCase.contains("system_views.") ||
             trimmed.toLowerCase.contains("system_traces."))
           engineCache = None
+        if (trimmed.toLowerCase.contains("size_estimates")) {
+          wantSizeEstimates = true; engineCache = None
+        }
         engine.execute(trimmed)
       case "create" | "drop" | "alter"
           if secondKw == "role" || secondKw == "user" =>
@@ -2090,7 +2111,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           throw new CqlInvalidQueryException(
             s"syntax error: USE expects exactly one keyspace name")
         val name = toks(1).toLowerCase
-        if (!keyspaces.contains(name))
+        if (!keyspaces.contains(name) && name != UserKeyspace)
           throw new CqlInvalidQueryException(s"unknown keyspace $name")
         spark.emptyDataFrame
       case other =>
@@ -2122,8 +2143,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       if (!keyspaces.contains(name.toLowerCase))
         throw new CqlInvalidQueryException(s"unknown keyspace $name")
     case CqlCreateTable(table, cols, pk, ck, ifNotExists, ckDesc, dTtl) =>
-      if (table.toLowerCase.startsWith("system_schema.") ||
-          table.toLowerCase.startsWith("system."))
+      if (SystemKeyspaces.exists(ks =>
+          table.toLowerCase.startsWith(s"$ks.")))
         throw new CqlInvalidQueryException(
           s"system keyspaces are not user-modifiable")
       if (state.contains(table.toLowerCase)) {
@@ -2637,8 +2658,15 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     state.getOrElse(name.toLowerCase,
       throw new CqlInvalidQueryException(s"unknown table $name"))
 
-  private def nextTs(explicit: Option[Long]): Long =
-    explicit.getOrElse { val t = clock; clock += 1; t }
+  private def nextTs(explicit: Option[Long]): Long = explicit match {
+    case Some(t) =>
+      // ratchet: a later server-stamped write must still win over this
+      // one (a real coordinator's clock is wall-clock micros — an epoch-
+      // micros USING TIMESTAMP must not shadow all future writes)
+      if (t >= clock) clock = t + 1
+      t
+    case None => val t = clock; clock += 1; t
+  }
 
   /** A USING TIMESTAMP/TTL operand after binding: a long, or an unbound
     * marker (rejected — USING markers bind through prepared statements). */
@@ -2823,6 +2851,11 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       case (CqlCollRemove(v: CqlSetLit), _: ArrayType) => (coerce(v, dt), "rem")
       case (CqlCollRemove(v: CqlSetLit), MapType(kt, _, _)) =>
         (v.items.map(k => coerce(k, kt) -> null).toMap, "remk")
+      case (CqlMapPut(k, null), MapType(kt, _, _)) =>
+        // `m['k'] = null` DELETES the entry (upstream Maps.SetterByKey
+        // with a null value) — storing a null-valued entry would make
+        // SELECT m return {'k': null} and size(m) count it
+        (Map(coerce(k, kt) -> null), "remk")
       case (CqlMapPut(k, v), MapType(kt, vt, _)) =>
         (Map(coerce(k, kt) -> coerce(v, vt)), "put")
       case (CqlFieldSet(f, v), st: StructType) =>
@@ -2832,6 +2865,10 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         (Row.fromSeq(st.fields.toSeq.map(x =>
           if (x.name.equalsIgnoreCase(f)) coerce(v, x.dataType)
           else null)), s"fld:${fd.name}")
+      case (CqlMapPut(idx: Long, null), ArrayType(_, _)) =>
+        // `l[i] = null` REMOVES the element (upstream Lists.SetterByIndex
+        // null path shrinks the list, it does not store a null slot)
+        (null, s"delidx:$idx")
       case (CqlMapPut(idx: Long, v), ArrayType(et, _)) =>
         // l[i] = v: single-element payload, index rides in the op marker
         (Seq(coerce(v, et)), s"setidx:$idx")
@@ -3059,6 +3096,28 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     case Some(cond) =>
       val t = tableState(dml.table)
       val cells = cellsFor(dml, t).toMap
+      // upstream ModificationStatement: a conditional write must address
+      // exactly ONE row — the full primary key, with equality — unless
+      // every conditioned column is STATIC (then the partition key
+      // suffices). Without this, a partial-key conditional DELETE would
+      // evaluate IF against an arbitrary row and then range-tombstone
+      // the whole prefix.
+      val staticOnlyCond = cond match {
+        case IfColumns(preds) => t.staticKeys.nonEmpty && preds.forall {
+          case (c0, _, _, _) =>
+            t.staticKeys.exists(_.equalsIgnoreCase(c0))
+        }
+        case _ => false
+      }
+      val requiredKeys =
+        if (staticOnlyCond) t.partitionKeys else keyCols(t)
+      requiredKeys.foreach { k =>
+        if (!cells.get(k).exists(_.isDefined))
+          throw new CqlInvalidQueryException(
+            "DELETE/UPDATE statements must restrict all PRIMARY KEY " +
+              s"columns with equality in order to use IF conditions " +
+              s"(missing $k)")
+      }
       val keyVals: Option[Map[String, Any]] = {
         val kvs = keyCols(t).map(k => k -> cells.get(k).flatten.map(_._1))
         if (kvs.nonEmpty && kvs.forall(_._2.isDefined))
@@ -3171,26 +3230,18 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   /** Typed comparison for LWT conditions; null cells fail every operator
     * except `!=` against a non-null literal (upstream semantics). */
   private def condCompare(cell: Any, op: String, rhs: Any): Boolean = {
+    // one comparison table for the whole session: the mixed-decimal cases
+    // here, everything else delegated to ordCmp (a second hand-written
+    // type list had drifted — Byte/Date/LocalDate conditions threw)
     def cmp: Option[Int] = (cell, rhs) match {
-      case (x: Int, y: Int) => Some(Integer.compare(x, y))
-      case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
-      case (x: Short, y: Short) => Some(java.lang.Short.compare(x, y))
-      case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
-      case (x: Float, y: Float) => Some(java.lang.Float.compare(x, y))
-      case (x: String, y: String) => Some(x.compareTo(y))
-      case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
       case (x: java.math.BigDecimal, y: scala.math.BigDecimal) =>
         Some(x.compareTo(y.bigDecimal))
-      case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
-        Some(x.compareTo(y))
-      case (x: scala.math.BigDecimal, y: scala.math.BigDecimal) =>
-        Some(x.compare(y))
       case (x: scala.math.BigDecimal, y: java.math.BigDecimal) =>
         Some(x.bigDecimal.compareTo(y))
-      case (x: java.sql.Timestamp, y: java.sql.Timestamp) => Some(x.compareTo(y))
-      case (x: java.time.Instant, y: java.time.Instant) => Some(x.compareTo(y))
-      case (x: Array[Byte], y: Array[Byte]) => // blob: unsigned bytewise
-        Some(java.util.Arrays.compareUnsigned(x, y))
+      case (x, y) if x != null && y != null &&
+          x.getClass == y.getClass =>
+        try Some(ordCmp(x, y))
+        catch { case _: CqlInvalidQueryException => None }
       case _ => None
     }
     op match {
@@ -3383,6 +3434,11 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * never tombstoned — they must be present either way. */
   private def jsonCells(t: TableState,
       j: CqlInsertJson): Seq[(String, Option[(Any, String)])] = {
+    // upstream rejects every INSERT on a counter table; the non-JSON path
+    // rejects via cellFor, and without this the JSON path would write op
+    // "set" cells the counter read-fold (sums of "incr") silently ignores
+    if (t.counterKeys.nonEmpty) throw new CqlInvalidQueryException(
+      "INSERT statements are not allowed on counter tables, use UPDATE")
     val parsed =
       try spark.range(1)
         .select(from_json(lit(j.json), t.schema,

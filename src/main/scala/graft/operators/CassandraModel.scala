@@ -742,18 +742,16 @@ object CassandraModel {
     val snapDir = Files.createTempDirectory("graft-c13-out")
       .resolve("snap").toString
     val ckpt = Files.createTempDirectory("graft-c13-ckpt").toString
-    val writes = s.readStream.schema(logSchema)
-      .option("maxFilesPerTrigger", "1").parquet(inDir)
     // per-batch merge shuffles ~600 rows: size the stream's shuffle
-    // partitions to the data (the batch suite's 32 pays 4x the fixed cost)
-    val pKey = "spark.sql.shuffle.partitions"
-    val pPrev = s.conf.get(pKey)
-    s.conf.set(pKey, "8")
-    try {
-      graft.streaming.StreamingPipelines
-        .upsertSink(writes, snapDir, ckpt, nowWt = 1009L, graceWt = 2000L)
-        .awaitTermination()
-    } finally s.conf.set(pKey, pPrev)
+    // partitions to the data on a CLONED session (the batch suite's 32
+    // pays 4x the fixed cost; mutating the shared conf would leak the
+    // sizing into concurrently planned batch queries)
+    val ss = StreamingQueries.streamSession(s)
+    val writes = ss.readStream.schema(logSchema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    graft.streaming.StreamingPipelines
+      .upsertSink(writes, snapDir, ckpt, nowWt = 1009L, graceWt = 2000L)
+      .awaitTermination()
     s.read.parquet(snapDir).filter(!col("_deleted"))
       .select(col("pk"), dbl(dec6(col("price"))).as("price"), col("status"),
         col("_writetime"))

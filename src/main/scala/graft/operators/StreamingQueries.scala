@@ -104,13 +104,12 @@ object StreamingQueries {
     * one session. */
   def t8_stream_tumbling(s: SparkSession, d: String): DataFrame = {
     val name = s"t8_sink_${System.nanoTime()}"
-    withStreamPartitions(s) {
-      graft.streaming.StreamingPipelines.runToMemory(
-        graft.streaming.StreamingPipelines.hourlyCounts(
-          graft.streaming.StreamingPipelines.eventsStream(s, stageEvents(d))),
-        name, "complete")
-    }
-    s.table(name).orderBy("win_start", "event_type")
+    val ss = streamSession(s)
+    graft.streaming.StreamingPipelines.runToMemory(
+      graft.streaming.StreamingPipelines.hourlyCounts(
+        graft.streaming.StreamingPipelines.eventsStream(ss, stageEvents(d))),
+      name, "complete")
+    ss.table(name).orderBy("win_start", "event_type")
   }
 
   /** Streaming state-store count equals the stream's shuffle-partition
@@ -120,13 +119,21 @@ object StreamingQueries {
     * 4× too many stores for the fixture stream, and the per-store fixed
     * cost dominates the gate queries. Sizing partitions to stream volume
     * is exactly what a production deployment does with the SAME conf —
-    * this scopes it to the stream's execution and restores the batch
-    * setting after. */
-  private def withStreamPartitions[T](s: SparkSession, n: Int = 8)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try f finally s.conf.set(key, prev)
+    * applied on a cloned per-stream session so the shared session's
+    * batch setting is never touched. */
+  private[operators] def streamSession(s: SparkSession, n: Int = 8)
+      : SparkSession = {
+    // a CLONED session (shared context, private conf): mutating the shared
+    // session's conf — even set/restore — leaked the stream sizing into
+    // any batch query planned concurrently (the parallel suites this file
+    // supports). The clone dies with the stream; nothing to restore.
+    val ss = s.newSession()
+    Seq("spark.sql.session.timeZone",
+        "spark.sql.legacy.parquet.nanosAsLong").foreach { k =>
+      s.conf.getOption(k).foreach(ss.conf.set(k, _))
+    }
+    ss.conf.set("spark.sql.shuffle.partitions", n.toString)
+    ss
   }
 
   /** Stage the events fixture as a single file-source dir (ONE file → ONE
@@ -157,13 +164,12 @@ object StreamingQueries {
     * exactly the batch join, which is what the DuckDB twin computes. */
   def t10_stream_join(s: SparkSession, d: String): DataFrame = {
     val name = s"t10_sink_${System.nanoTime()}"
-    withStreamPartitions(s) {
-      graft.streaming.StreamingPipelines.runToMemory(
-        graft.streaming.StreamingPipelines.clickToPurchase(
-          graft.streaming.StreamingPipelines.eventsStream(s, stageEvents(d))),
-        name, "append")
-    }
-    s.table(name).orderBy("click_id", "purchase_id")
+    val ss = streamSession(s)
+    graft.streaming.StreamingPipelines.runToMemory(
+      graft.streaming.StreamingPipelines.clickToPurchase(
+        graft.streaming.StreamingPipelines.eventsStream(ss, stageEvents(d))),
+      name, "append")
+    ss.table(name).orderBy("click_id", "purchase_id")
   }
 
   /** T11 — the TRUE `transformWithState` executor inside the hash gate
@@ -176,26 +182,21 @@ object StreamingQueries {
     * restored afterwards — other pipelines in the same session keep
     * their default state store. */
   def t11_stream_totals(s: SparkSession, d: String): DataFrame = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key,
+    val ss = streamSession(s)
+    // RocksDB provider scoped to the clone — other pipelines keep the
+    // default state store without any restore dance
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val name = s"t11_sink_${System.nanoTime()}"
-      withStreamPartitions(s) {
-        graft.streaming.StreamingPipelines.runToMemory(
-          graft.streaming.StreamingPipelines.runningCounts(
-            graft.streaming.StreamingPipelines.eventsStream(s, stageEvents(d)))
-            .toDF(),
-          name, "update")
-      }
-      s.table(name).groupBy(col("user_id"))
-        .agg(max(col("n_events")).as("n_events"),
-          max(col("sum_event_id")).as("sum_event_id"))
-        .orderBy("user_id")
-    } finally {
-      prev.fold(s.conf.unset(key))(s.conf.set(key, _))
-    }
+    val name = s"t11_sink_${System.nanoTime()}"
+    graft.streaming.StreamingPipelines.runToMemory(
+      graft.streaming.StreamingPipelines.runningCounts(
+        graft.streaming.StreamingPipelines.eventsStream(ss, stageEvents(d)))
+        .toDF(),
+      name, "update")
+    ss.table(name).groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("sum_event_id")).as("sum_event_id"))
+      .orderBy("user_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

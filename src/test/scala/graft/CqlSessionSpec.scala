@@ -2171,4 +2171,78 @@ class CqlSessionSpec extends SparkSpec {
     assert(applied("DELETE FROM lu WHERE k = 1 IF a.zip IN (190001)"))
     assert(s.execute("SELECT k FROM lu ALLOW FILTERING").count() === 0)
   }
+
+  test("r8 review: LWT conditions compare dates/tinyints; conditional " +
+    "writes must address one row; statics need only the partition key") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE rv_lwt (pk bigint PRIMARY KEY, d date, t tinyint)")
+    s.execute("INSERT INTO rv_lwt (pk, d, t) VALUES (1, '2024-06-01', 3)")
+    s.execute("UPDATE rv_lwt SET t = 4 WHERE pk = 1 IF d < '2025-01-01'")
+    assert(s.execute("SELECT t FROM rv_lwt WHERE pk = 1").head()
+      .getByte(0) === 4.toByte)
+    s.execute("UPDATE rv_lwt SET t = 5 WHERE pk = 1 IF t > 3")
+    assert(s.execute("SELECT t FROM rv_lwt WHERE pk = 1").head()
+      .getByte(0) === 5.toByte)
+    // a conditional DELETE restricting only a clustering PREFIX previously
+    // CAS'd against an arbitrary row, then range-tombstoned the prefix
+    s.execute("CREATE TABLE rv_ck (pk bigint, ck bigint, v bigint, " +
+      "PRIMARY KEY (pk, ck))")
+    s.execute("INSERT INTO rv_ck (pk, ck, v) VALUES (1, 1, 1)")
+    s.execute("INSERT INTO rv_ck (pk, ck, v) VALUES (1, 2, 5)")
+    val e = intercept[CqlInvalidQueryException] {
+      s.execute("DELETE FROM rv_ck WHERE pk = 1 IF v = 5")
+    }
+    assert(e.getMessage.contains("PRIMARY KEY"))
+    assert(s.execute("SELECT count(*) FROM rv_ck").head().getLong(0) === 2L)
+    // a condition on ONLY static columns needs just the partition key
+    s.execute("CREATE TABLE rv_st (pk bigint, ck bigint, st bigint STATIC, " +
+      "v bigint, PRIMARY KEY (pk, ck))")
+    s.execute("INSERT INTO rv_st (pk, st) VALUES (1, 1)")
+    s.execute("UPDATE rv_st SET st = 2 WHERE pk = 1 IF st = 1")
+    assert(s.execute("SELECT st FROM rv_st WHERE pk = 1").head()
+      .getLong(0) === 2L)
+  }
+
+  test("r8 review: an explicit USING TIMESTAMP ratchets the clock so " +
+    "later server-stamped writes still win") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE rv_ts (pk bigint PRIMARY KEY, v text)")
+    s.execute("INSERT INTO rv_ts (pk, v) VALUES (1, 'a') " +
+      "USING TIMESTAMP 1700000000000000") // realistic epoch-micros
+    s.execute("UPDATE rv_ts SET v = 'b' WHERE pk = 1")
+    assert(s.execute("SELECT v FROM rv_ts WHERE pk = 1").head()
+      .getString(0) === "b")
+  }
+
+  test("r8 review: null element assignment DELETES the entry/slot") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE rv_coll (pk bigint PRIMARY KEY, " +
+      "m map<text, bigint>, l list<bigint>)")
+    s.execute("INSERT INTO rv_coll (pk, m, l) VALUES " +
+      "(1, {'a': 1, 'b': 2}, [10, 20, 30])")
+    s.execute("UPDATE rv_coll SET m['a'] = null WHERE pk = 1")
+    val m = s.execute("SELECT m FROM rv_coll WHERE pk = 1").head()
+      .getMap[String, Long](0)
+    assert(m.keySet === Set("b"))
+    s.execute("UPDATE rv_coll SET l[1] = null WHERE pk = 1")
+    assert(s.execute("SELECT l FROM rv_coll WHERE pk = 1").head()
+      .getSeq[Long](0) === Seq(10L, 30L))
+  }
+
+  test("r8 review: INSERT JSON on a counter table is rejected; CREATE " +
+    "TABLE in any system keyspace is rejected; USE default works") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE rv_cnt (pk bigint PRIMARY KEY, n counter)")
+    val e = intercept[CqlInvalidQueryException] {
+      s.execute("""INSERT INTO rv_cnt JSON '{"pk": 1, "n": 5}'""")
+    }
+    assert(e.getMessage.contains("not allowed on counter"))
+    val e2 = intercept[CqlInvalidQueryException] {
+      s.execute("CREATE TABLE system_views.hack (pk bigint PRIMARY KEY)")
+    }
+    assert(e2.getMessage.contains("not user-modifiable"))
+    s.execute("USE default") // the implicit user keyspace is USE-able
+    // SHOW SESSION escapes a quoted id instead of splicing raw text
+    assert(s.execute("SHOW SESSION O'Brien").count() === 0L)
+  }
 }
