@@ -63,8 +63,13 @@ object VectorFunctions {
   /** Coarse bucket id for LSH/IVF-style ANN (SURVEY §7.4 scale path): sign
     * bits of the first `nBits` components — 2^nBits buckets. Deterministic,
     * SQL-expressible, shuffle key for the per-bucket top-k. */
-  def signBucket(v: Column, nBits: Int = 4): Column =
+  def signBucket(v: Column, nBits: Int = SignBucketBits): Column =
     (0 until nBits).map { i =>
       when(element_at(v, i + 1) >= 0f, 1 << i).otherwise(0)
     }.reduce(_ + _)
+
+  /** Hyperplane-bit width of [[signBucket]]'s default — the single source
+    * for bucket counts and multiprobe bounds (HybridAnn derives from it;
+    * a second hand-written 16 had already drifted once in review). */
+  val SignBucketBits: Int = 4
 }

@@ -16,7 +16,13 @@ import org.apache.spark.sql.expressions.Aggregator
 case class WSums(var wx6: Long, var w6: Long) // micro-scaled exact sums
 
 class WeightedSumAggregator extends Aggregator[(Double, Double), WSums, WSums] {
-  private def micro(x: Double): Long = math.round(x * 1e6)
+  private def micro(x: Double): Long =
+    // decimal(38,6) HALF_UP on the shortest-decimal repr, NOT
+    // math.round(x*1e6): binary floor+0.5 drifts on .xxxxx5 boundary
+    // doubles and negative halves — the exact pitfall QuantizeInt8.rnd
+    // documents, and the oracle casts to decimal(38,6)
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).unscaledValue.longValue
   def zero: WSums = WSums(0L, 0L)
   def reduce(b: WSums, a: (Double, Double)): WSums = {
     // price*qty in double first (IEEE, matches the SQL twin), then micro-fix

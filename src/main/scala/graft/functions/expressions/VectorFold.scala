@@ -42,24 +42,30 @@ case class DotProduct(left: Expression, right: Expression)
     if (x.numElements() != y.numElements()) return null
     val n = x.numElements()
     var dot = 0.0; var i = 0
-    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null // null element →
+      // null score (builtin/oracle parity; 0.0 would be silently wrong)
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1
+    }
     dot
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
-      val dot = ctx.freshName("dot")
+      val dot = ctx.freshName("dot"); val bad = ctx.freshName("bad")
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  int $n = $a.numElements();
          |  double $dot = 0.0;
+         |  boolean $bad = false;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
          |    $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |  }
-         |  ${ev.value} = $dot;
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $dot; }
          |}
        """.stripMargin
     })
@@ -80,6 +86,7 @@ case class EuclideanDistance(left: Expression, right: Expression)
     val n = x.numElements()
     var s = 0.0; var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val dd = x.getFloat(i).toDouble - y.getFloat(i).toDouble
       s += dd * dd; i += 1
     }
@@ -90,17 +97,21 @@ case class EuclideanDistance(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val s = ctx.freshName("s"); val dd = ctx.freshName("dd")
+      val bad = ctx.freshName("bad")
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  int $n = $a.numElements();
          |  double $s = 0.0;
+         |  boolean $bad = false;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
          |    double $dd = (double) $a.getFloat($i) - (double) $b.getFloat($i);
          |    $s += $dd * $dd;
          |  }
-         |  ${ev.value} = java.lang.Math.sqrt($s);
+         |  if ($bad) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = java.lang.Math.sqrt($s); }
          |}
        """.stripMargin
     })

@@ -380,14 +380,20 @@ object DedupQueries {
   private val bandIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def bandIndexDir(s: SparkSession, d: String): String =
-    bandIndexCache.computeIfAbsent(d, { src =>
+  private def bandIndexDir(s: SparkSession, d: String): String = {
+    // mtime in the key: a regenerated fixture rebuilds the index instead
+    // of serving stale bands (same rule as GraphAnn's index cache)
+    val mtime = try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$d/documents.parquet")).toMillis
+      catch { case _: Exception => 0L }
+    bandIndexCache.computeIfAbsent(s"$d@$mtime", { _ =>
       val dir = java.nio.file.Files
         .createTempDirectory("graft-band-index").toString
-      bandedSignatures(Tables.spread(Tables.documents(s, src), col("doc_id")))
+      bandedSignatures(Tables.spread(Tables.documents(s, d), col("doc_id")))
         .write.mode("overwrite").parquet(dir)
       dir
     })
+  }
 
   /** D12 (L2+ incremental dedup): an INCOMING batch (the +100000 copies —
     * a crawl that re-collected known content) is near-dup-checked against

@@ -140,18 +140,34 @@ object GraphAnn {
       .crossJoin(broadcast(queryVec.select(col("qvec"))))
       .as[(Long, Array[Float], Array[Float])]
     joined.mapPartitions { it =>
-      val rows = it.toArray.sortBy(_._1) // deterministic insertion order
+      // ragged rows (wrong embedding dimension) are skipped, not crashed
+      // on or silently truncated — parity with the null-on-mismatch rule
+      // every other vector path follows
+      val rows = it.toArray.filter(r => r._2.length == r._3.length)
+        .sortBy(_._1) // deterministic insertion order
       if (rows.isEmpty) Iterator.empty
       else {
         val qv = rows(0)._3
         val g = new Nsw(m, ef)
         rows.foreach(r => g.insert(r._2))
-        g.search(qv, ef).take(k)
-          .map { case (local, s) => (rows(local)._1, s) }.iterator
+        takeRounded(g.search(qv, ef)
+          .map { case (local, s) => (rows(local)._1, s) }, k).iterator
       }
     }.toDF("vec_id", "sim")
-      .orderBy(col("sim").desc, col("vec_id").asc)
+      .orderBy(round(col("sim"), 6).desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** Top-k by ROUNDED similarity with vec_id tie-break — the oracle ranks
+    * on round(sim, 6), so ranking on the unrounded value here could keep
+    * a different vector at the k boundary when two sims differ by <5e-7
+    * (HybridAnn already rounds before ordering; the graph paths must
+    * match). HALF_UP decimal, the same rule Spark's round() applies. */
+  private def takeRounded(cands: Seq[(Long, Double)], k: Int)
+      : Seq[(Long, Double)] = {
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    cands.sortBy { case (id, s) => (-r6(s), id) }.take(k)
   }
 
   /** Build the sharded NSW graph ONCE and persist it as a parquet
@@ -204,14 +220,18 @@ object GraphAnn {
       .mapPartitions { it =>
         val rows = it.toArray
         rows.groupBy(_._1).iterator.flatMap { case (_, grp) =>
-          val sorted = grp.sortBy(_._2)
-          val qv = sorted(0)._6
-          val g = Nsw.preloaded(sorted.map(_._4), sorted.map(_._5))
-          g.search(qv, ef).take(k)
-            .map { case (local, sim) => (sorted(local)._3, sim) }
+          val sorted = grp.filter(r => r._4.length == r._6.length)
+            .sortBy(_._2)
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val qv = sorted(0)._6
+            val g = Nsw.preloaded(sorted.map(_._4), sorted.map(_._5))
+            takeRounded(g.search(qv, ef)
+              .map { case (local, sim) => (sorted(local)._3, sim) }, k)
+          }
         }
       }.toDF("vec_id", "sim")
-      .orderBy(col("sim").desc, col("vec_id").asc)
+      .orderBy(round(col("sim"), 6).desc, col("vec_id").asc)
       .limit(k)
   }
 
@@ -225,10 +245,15 @@ object GraphAnn {
     * serving plan never builds a graph: it reads the artifact built once
     * per corpus. GraphAnnSpec pins served ≡ online ≡ exact. */
   def v16_graph_index(s: SparkSession, d: String): DataFrame = {
-    val dir = indexCache.computeIfAbsent(d, { src =>
+    // cache key carries the corpus file's mtime: a regenerated fixture
+    // (same path, new data) must rebuild, not serve the stale index
+    val mtime = try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$d/embeddings.parquet")).toMillis
+      catch { case _: Exception => 0L }
+    val dir = indexCache.computeIfAbsent(s"$d@$mtime", { _ =>
       val out = java.nio.file.Files
         .createTempDirectory("graft-graph-index").toString
-      buildGraphIndex(Tables.embeddings(s, src), out)
+      buildGraphIndex(Tables.embeddings(s, d), out)
       out
     })
     val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)

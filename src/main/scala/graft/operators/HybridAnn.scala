@@ -34,9 +34,11 @@ import org.apache.spark.sql.functions._
   */
 object HybridAnn {
 
-  /** Sign-bucket count of [[graft.functions.VectorFunctions.signBucket]]'s
-    * default 4 hyperplane bits. */
-  private val Buckets = 16
+  /** Sign-bucket count, derived from [[graft.functions.VectorFunctions
+    * .signBucket]]'s hyperplane-bit width — one shared constant, so the
+    * cost model's rows/buckets term and the actual candidate volume
+    * cannot drift. */
+  private val Buckets = 1 << graft.functions.VectorFunctions.SignBucketBits
 
   /** Statistics feeding the cost decision. */
   case class AnnStats(rows: Long, selectivity: Double)
@@ -104,6 +106,12 @@ object HybridAnn {
     * literal, so the plan stays one equi-join. */
   def postfilterKnnMultiprobe(s: SparkSession, d: String, pred: Column,
       k: Int, nProbes: Int): DataFrame = {
+    // home bucket + one flip per hyperplane bit is the whole 1-bit
+    // neighborhood: more probes than bits+1 would XOR past the bucket
+    // width and silently probe buckets no row can hash to
+    require(nProbes >= 1 &&
+      nProbes <= graft.functions.VectorFunctions.SignBucketBits + 1,
+      s"nProbes must be in [1, bits+1], got $nProbes")
     val q = queryVec(s, d).withColumn("qbucket", signBucket(col("qvec")))
       .select(col("qvec"), explode(array(
         (0 until nProbes).map {

@@ -170,14 +170,29 @@ object StreamingPipelines {
         // File probe is always false and the overwrite below would destroy
         // the accumulated snapshot on every micro-batch
         val p = new org.apache.hadoop.fs.Path(snapshotDir)
+        val bak = new org.apache.hadoop.fs.Path(snapshotDir + ".prev")
+        val tmp = new org.apache.hadoop.fs.Path(snapshotDir + ".staging")
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        // crash recovery: if the final dir is missing but .prev survives,
+        // the last run died between the two renames below — .prev IS the
+        // last committed snapshot, resume from it
+        if (!fs.exists(p) && fs.exists(bak)) fs.rename(bak, p)
         val existing =
           if (fs.exists(p)) Some(s.read.parquet(snapshotDir)) else None
         val log = existing.fold(batch.toDF())(_.unionByName(batch.toDF()))
         val merged = graft.operators.CassandraModel
           .compactWithGrace(log, nowWt, graceWt)
-          .localCheckpoint(true) // materialize BEFORE overwriting the input
-        merged.write.mode("overwrite").parquet(snapshotDir)
+        // NEVER overwrite the accumulated snapshot in place — a crash
+        // mid-write would destroy every previously merged batch (the
+        // memtable-flush durability this sink exists to model). Stage the
+        // new snapshot beside it, then swap with two atomic renames; the
+        // committed state survives a crash at ANY point.
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        merged.write.parquet(tmp.toString)
+        if (fs.exists(bak)) fs.delete(bak, true)
+        if (fs.exists(p)) fs.rename(p, bak)
+        fs.rename(tmp, p)
+        fs.delete(bak, true)
         ()
       }
       .start()

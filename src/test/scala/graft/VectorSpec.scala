@@ -139,4 +139,19 @@ class VectorSpec extends SparkSpec {
       .head().getSeq[Any](0)
     assert(edge === Seq(64.0f, -64.0f, null, 127.0f))
   }
+
+  test("r8 review: a null array element NULLS the codegen'd scores " +
+    "(builtin/oracle parity, never a silent 0.0)") {
+    import graft.functions.VectorFunctions._
+    val df = spark.sql(
+      "SELECT array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS a, " +
+        "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)) AS b")
+    val r = df.select(cosineFast(col("a"), col("b")).as("c"),
+      dotFast(col("a"), col("b")).as("d"),
+      euclideanFast(col("a"), col("b")).as("e")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    // the builtin (non-codegen) chain agrees
+    val rb = df.select(cosineSimilarity(col("a"), col("b")).as("c")).head()
+    assert(rb.isNullAt(0))
+  }
 }
