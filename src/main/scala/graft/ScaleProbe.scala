@@ -85,7 +85,10 @@ object ScaleProbe {
         // r8: chunk-level dedup (one window shuffle on the chunk hash),
         // incremental band-index probe (one equi-join against the
         // persisted index), graph-index serving (reconstruct+search only)
-        "d11_chunk_dedup", "d12_incremental", "v16_graph_index")
+        "d11_chunk_dedup", "d12_incremental", "v16_graph_index",
+        // r8 continuation: bloom-gated incremental dedup — build grows
+        // with the corpus (one agg), probe stays map-side
+        "d13_bloom_incremental")
         .map(n => n -> SparkEntry.queries(n))
     factors.foreach { f =>
       val dir = if (f == 1) base else s"/tmp/graft-scale-${f}x"

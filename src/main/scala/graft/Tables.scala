@@ -34,7 +34,20 @@ object Tables {
     * Deterministic: hash partitioning on `key`, no round-robin. */
   def spread(df: DataFrame, key: Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
+    // probe the LEAF scan's split count instead of df.rdd.getNumPartitions:
+    // materializing the RDD lineage under AQE finalizes the plan and would
+    // eagerly RUN any upstream shuffle at composition time for a caller
+    // that passes a join/agg frame
+    val leafSplits = df.queryExecution.logical.collectLeaves().map {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.inputFiles.length
+          case _ => Int.MaxValue
+        }
+      case _ => Int.MaxValue // non-file source: assume well-partitioned
+    }
+    if (leafSplits.isEmpty || leafSplits.min >= target) df
     else df.repartition(target, key)
   }
   def embeddings(s: SparkSession, d: String): DataFrame = p(s, d, "embeddings")

@@ -66,6 +66,9 @@ object RelationalQueries {
     * twin over the original parquet, so any type/quoting/precision loss in
     * the CSV hop breaks the hash. Doubles survive because Spark writes
     * shortest-round-trip literals. */
+  private val s8Cleanup =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   def s8_csv_roundtrip(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types._
     // keyed by fixture dir + process: concurrent runs (two JVMs, or two
@@ -73,6 +76,16 @@ object RelationalQueries {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_s8_csv_" +
       d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
       java.lang.ProcessHandle.current().pid()
+    // bounded tmp growth: each verify/bench JVM gets a fresh pid, so
+    // without this every round leaves a full CSV copy behind (one hook
+    // per distinct path — bench calls this query repeatedly)
+    if (s8Cleanup.putIfAbsent(out, true) == null)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(out))
+      }))
     val src = Tables.customer(s, d)
     src.write.mode("overwrite").option("header", "true").csv(out)
     s.read.option("header", "true")

@@ -32,15 +32,21 @@ object SkewJoin {
   /** J8 (skew variant): revenue per order-priority through a deliberately
     * hot join key (l_orderkey % 5 — five keys own the whole fact table).
     * The salt spreads each hot key over 8 sub-keys, so no task sees more
-    * than ~1/40th of the table. Oracle = the plain unsalted join SQL:
-    * result equality IS the proof that salting preserves semantics. */
+    * than ~1/40th of the table. The salt hashes HIGH-cardinality row
+    * attributes — hashing l_linenumber alone (7 distinct values) left at
+    * least one of the 8 sub-keys always empty and the spread collapsed to
+    * ~5 uneven groups, exactly the imbalance salting exists to remove.
+    * Oracle = the plain unsalted join SQL: result equality IS the proof
+    * that salting preserves semantics. */
   def j8_salted_skew(s: SparkSession, d: String): DataFrame = {
     val big = Tables.lineitem(s, d)
       .select((col("l_orderkey") % 5L).as("hot"),
-        col("l_extendedprice"), col("l_linenumber"))
+        col("l_extendedprice"), col("l_linenumber"),
+        col("l_orderkey"))
     val dim = s.range(0, 5).toDF("hot")
       .select(col("hot"), concat(lit("class-"), col("hot")).as("klass"))
-    saltedJoin(big, dim, "hot", 8, xxhash64(col("l_linenumber")))
+    saltedJoin(big, dim, "hot", 8,
+      xxhash64(col("l_orderkey"), col("l_linenumber")))
       .groupBy(col("klass"))
       .agg(count(lit(1)).as("n"),
         graft.Q.dbl(graft.Q.dec6(sum(graft.Q.dec6(col("l_extendedprice")))))

@@ -20,8 +20,10 @@ object TextQueries {
     "en" -> Seq("the", "and", "of", "a"),
     "es" -> Seq("el", "la", "de", "y"),
     "fr" -> Seq("le", "la", "de", "et"),
-    "de" -> Seq("der", "die", "und", "das"),
-    "zh" -> Seq("de", "le", "shi", "bu"))
+    "de" -> Seq("der", "die", "und", "das"))
+  // no "zh" entry: markerHits only scores the Latin-script languages the
+  // oracle twins also compute — an unused zh list would invite a future
+  // s_zh score that silently forks Spark and oracle predictions
 
   private def markerHits(toks: Column, lang: String): Column =
     size(array_intersect(toks, array(markers(lang).map(lit): _*)))
@@ -384,8 +386,13 @@ object TextQueries {
     val stats = tfed.agg(statCols.head, statCols.tail: _*)
     def termScore(t: String): Column = {
       val tf = col(s"tf_$t").cast("double")
-      val idf = log(lit(1.0) +
-        (col("n_docs") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)))
+      // log() is only 1-ulp-accurate and differs between libm and the
+      // JVM; quantize the idf to 4 dp on BOTH engines before it enters
+      // the product, so a last-ulp divergence cannot straddle the dec6
+      // boundary of the summed score (the x19 comment's rule applied)
+      val idf = round(log(lit(1.0) +
+        (col("n_docs") - col(s"df_$t") + lit(0.5)) /
+          (col(s"df_$t") + lit(0.5))), 4)
       when(col(s"tf_$t") > 0,
         idf * (tf * lit(2.2)) /
           (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
@@ -416,12 +423,14 @@ object TextQueries {
     val docs = Tables.documents(s, d)
     val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     val z = counts.agg(
-      dec6(sum(dec6(pow(col("n_docs").cast("double"), 0.5))))
+      // sqrt, not pow(x, .5): IEEE requires sqrt correctly rounded, so
+      // the two engines agree bit-for-bit — pow is only 1-ulp-accurate
+      dec6(sum(dec6(sqrt(col("n_docs").cast("double")))))
         .cast("double").as("z"))
     val thr = counts.crossJoin(broadcast(z))
       .select(col("source"), col("n_docs"),
         floor(lit(1000000.0) * least(lit(1.0),
-          lit(1000.0) * pow(col("n_docs").cast("double"), 0.5) / col("z") /
+          lit(1000.0) * sqrt(col("n_docs").cast("double")) / col("z") /
             col("n_docs").cast("double"))).as("thr_ppm"))
     docs.select(col("source"),
         hashMod(col("doc_id"), 1000000).as("h"))
@@ -782,12 +791,12 @@ object TextQueries {
       """WITH counts AS (
         |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
         |z AS (
-        |  SELECT cast(cast(sum(cast(power(cast(n_docs AS DOUBLE), 0.5) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE) AS z
+        |  SELECT cast(cast(sum(cast(sqrt(cast(n_docs AS DOUBLE)) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE) AS z
         |  FROM counts),
         |thr AS (
         |  SELECT source, n_docs,
         |    cast(floor(1000000.0 * least(1.0,
-        |      1000.0 * power(cast(n_docs AS DOUBLE), 0.5) / z / cast(n_docs AS DOUBLE))) AS BIGINT) AS thr_ppm
+        |      1000.0 * sqrt(cast(n_docs AS DOUBLE)) / z / cast(n_docs AS DOUBLE))) AS BIGINT) AS thr_ppm
         |  FROM counts CROSS JOIN z),
         |h AS (
         |  SELECT source,
@@ -818,13 +827,13 @@ object TextQueries {
         |scored AS (
         |  SELECT doc_id, dl, cast(
         |    cast(CASE WHEN tf_merge > 0 THEN
-        |      ln(1.0 + (n_docs - df_merge + 0.5) / (df_merge + 0.5)) * (cast(tf_merge AS DOUBLE) * 2.2) /
+        |      round(ln(1.0 + (n_docs - df_merge + 0.5) / (df_merge + 0.5)), 4) * (cast(tf_merge AS DOUBLE) * 2.2) /
         |      (cast(tf_merge AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) ELSE 0.0 END AS DECIMAL(38,6)) +
         |    cast(CASE WHEN tf_scan > 0 THEN
-        |      ln(1.0 + (n_docs - df_scan + 0.5) / (df_scan + 0.5)) * (cast(tf_scan AS DOUBLE) * 2.2) /
+        |      round(ln(1.0 + (n_docs - df_scan + 0.5) / (df_scan + 0.5)), 4) * (cast(tf_scan AS DOUBLE) * 2.2) /
         |      (cast(tf_scan AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) ELSE 0.0 END AS DECIMAL(38,6)) +
         |    cast(CASE WHEN tf_index > 0 THEN
-        |      ln(1.0 + (n_docs - df_index + 0.5) / (df_index + 0.5)) * (cast(tf_index AS DOUBLE) * 2.2) /
+        |      round(ln(1.0 + (n_docs - df_index + 0.5) / (df_index + 0.5)), 4) * (cast(tf_index AS DOUBLE) * 2.2) /
         |      (cast(tf_index AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) ELSE 0.0 END AS DECIMAL(38,6))
         |    AS DOUBLE) AS score
         |  FROM tf CROSS JOIN stats)

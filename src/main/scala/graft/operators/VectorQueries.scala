@@ -250,10 +250,15 @@ object VectorQueries {
     * scale the serving scan reads 2 B/vector codes + the M×16-row
     * codebook, never the raw vectors. */
   def v17_pq_served(s: SparkSession, d: String): DataFrame = {
-    val dir = pqIndexCache.computeIfAbsent(d, { src =>
+    // mtime in the key: a corpus regenerated at the same path rebuilds
+    // instead of serving stale codes (same rule as the graph/band caches)
+    val mtime = try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$d/embeddings.parquet")).toMillis
+      catch { case _: Exception => 0L }
+    val dir = pqIndexCache.computeIfAbsent(s"$d@$mtime", { _ =>
       val out = java.nio.file.Files
         .createTempDirectory("graft-pq-index").toString
-      buildPqIndex(s, src, out)
+      buildPqIndex(s, d, out)
       out
     })
     servePqIndex(s, d, dir)

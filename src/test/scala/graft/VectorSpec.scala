@@ -4,9 +4,16 @@ import graft.functions.VectorFunctions._
 import graft.operators.VectorQueries
 import org.apache.spark.sql.functions._
 
-class VectorSpec extends SparkSpec {
+class VectorSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
 
   private lazy val emb = Tables.embeddings(spark, sf).cache()
+
+  // the shared session's cacheManager substitutes this InMemoryRelation
+  // into ANY later plan over the same scan — other suites' plan-shape
+  // assertions (ScalePlanSpec's ReusedExchange pin) must see the
+  // uncached shape, so drop it when this suite finishes
+  override def afterAll(): Unit = { emb.unpersist(true); super.afterAll() }
 
   test("cosine similarity of a vector with itself is 1") {
     val sims = emb.select(round(cosineSimilarity(col("embedding"),
