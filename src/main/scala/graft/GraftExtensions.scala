@@ -25,6 +25,8 @@ import graft.functions.expressions.{CosineSimilarity, DotProduct,
   *    Lucene's public VectorSimilarityFunction contract]: scores in [0, 1]
   *    via (1+cos)/2, (1+dot)/2, 1/(1+d²).
   *  - `graft_token` — the engine's oracle-able ring token (P3).
+  *  - `quantize_int8` — per-vector symmetric int8 quantization (L3+
+  *    serving path; decimal HALF_UP, oracle-twinnable).
   *  - `murmur3_token` — Cassandra-exact Murmur3 x64_128 ring token.
   *  - `md5_prefix64` — the sketch pipelines' shared 60-bit token hash
   *    (first 15 hex chars of md5 as BIGINT; DuckDB twin

@@ -32,6 +32,19 @@ object Tables {
     * redistributes it). No-op when the input is already well-partitioned —
     * a 100 TB corpus in thousands of splits never pays this shuffle.
     * Deterministic: hash partitioning on `key`, no round-robin. */
+  /** A temp dir removed on JVM exit — staged fixtures and persisted index
+    * artifacts otherwise accumulate one tree per process forever. */
+  def tempRoot(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
+
   def spread(df: DataFrame, key: Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     // probe the LEAF scan's split count instead of df.rdd.getNumPartitions:

@@ -779,7 +779,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   private val snapshotCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Long, String, StructType)]()
   private lazy val snapshotRoot =
-    java.nio.file.Files.createTempDirectory("graft-catalog").toString
+    CqlSession.tempRoot("graft-catalog")
   private[graft] def catalogSnapshot(table: String): (String, StructType) = {
     val key = table.toLowerCase
     // the runtime virtual tables (settings/clients) change without a
@@ -1468,7 +1468,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   }
 
   private lazy val bulkLoadRoot =
-    java.nio.file.Files.createTempDirectory("graft-bulkload").toString
+    CqlSession.tempRoot("graft-bulkload")
 
   /** DSv2 write bridge: `INSERT INTO` / `INSERT OVERWRITE` against a
     * [[graft.spark.GraftCatalog]] table routes HERE, not to a parquet
@@ -3632,6 +3632,11 @@ object CqlSession {
   /** Ring-buffer cap for traced sessions kept in `system_traces` (upstream
     * expires trace rows on a 24 h TTL instead [U TraceKeyspace]). */
   private[cql] val TraceCap = 256
+
+  /** A session temp dir removed on JVM exit — snapshot and bulk-load
+    * roots otherwise accumulate one tree per session per process. */
+  private[cql] def tempRoot(prefix: String): String =
+    graft.Tables.tempRoot(prefix)
 
   /** The CQL consistency-level names `CONSISTENCY` accepts
     * [U db/ConsistencyLevel.java]. */

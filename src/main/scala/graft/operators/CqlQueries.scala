@@ -321,7 +321,10 @@ object CqlQueries {
         max(col("activity").startsWith("Parsing")).as("parsed"),
         max(col("activity").contains("mutation") ||
           col("activity").contains("Catalyst")).as("completed"),
-        max(col("duration") >= 0 && col("source_elapsed") >= 0)
+        // UNIVERSAL (min = AND over rows): one sane event must not mask
+        // a negative elapsed on another — that is the regression this
+        // invariant column exists to catch
+        min(col("duration") >= 0 && col("source_elapsed") >= 0)
           .as("timing_sane"))
       .orderBy("request")
   }

@@ -387,8 +387,7 @@ object DedupQueries {
         java.nio.file.Paths.get(s"$d/documents.parquet")).toMillis
       catch { case _: Exception => 0L }
     bandIndexCache.computeIfAbsent(s"$d@$mtime", { _ =>
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-band-index").toString
+      val dir = Tables.tempRoot("graft-band-index")
       bandedSignatures(Tables.spread(Tables.documents(s, d), col("doc_id")))
         .write.mode("overwrite").parquet(dir)
       dir
@@ -459,7 +458,10 @@ object DedupQueries {
       Literal(bloomBytes, BinaryType),
       GraftShim.expression(xxhash64(col("h")))))
     incoming.filter(mightContain) // map-side prune: misses never shuffle
-      .join(baseH.distinct(), Seq("h"), "left_semi") // exact FP removal
+      // no distinct() on the build side: left_semi already emits each
+      // probe row at most once, and a distinct would shuffle the whole
+      // corpus a second time — against the query's own premise
+      .join(baseH, Seq("h"), "left_semi") // exact FP removal
       .select(col("doc_id"), col("h"))
       .orderBy("doc_id")
   }
@@ -498,6 +500,10 @@ object DedupQueries {
       .agg(min_by(struct(col("cell"), col("embedding")),
         struct(col("dist"), col("cell"))).as("a"))
       .select(col("vec_id"), col("a.cell").as("cell"), col("a.embedding").as("v"))
+      // the assignment pass (corpus × centroids distances + one min_by
+      // shuffle) feeds THREE consumers (both pair sides + the final
+      // join); checkpoint it once or the most expensive stage runs 3×
+      .localCheckpoint(true)
     val a = asg.select(col("vec_id").as("id_a"), col("cell"), col("v").as("va"))
     val b = asg.select(col("vec_id").as("id_b"), col("cell").as("cb"),
       col("v").as("vb"))

@@ -145,14 +145,21 @@ object StreamingQueries {
     * (file source, watermark, state store, sink commit) are untouched. */
   private val stagedEvents =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def stageEvents(d: String): String =
-    stagedEvents.computeIfAbsent(d, { src =>
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      val dir = Files.createTempDirectory("graft-stream")
-      Files.copy(Paths.get(s"$src/events.parquet"),
+  private def stageEvents(d: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // mtime in the key (same rule as the index caches): a regenerated
+    // fixture must re-stage, or the stream side would aggregate old rows
+    // while the batch twin reads the new ones
+    val mtime = try Files.getLastModifiedTime(
+        Paths.get(s"$d/events.parquet")).toMillis
+      catch { case _: Exception => 0L }
+    stagedEvents.computeIfAbsent(s"$d@$mtime", { _ =>
+      val dir = Paths.get(graft.Tables.tempRoot("graft-stream"))
+      Files.copy(Paths.get(s"$d/events.parquet"),
         dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
       dir.toString
     })
+  }
 
   /** T10 — the TRUE stream-stream join executor inside the hash gate
     * (T8+ was spec-only): clicks joined to the same user's purchases
@@ -178,9 +185,9 @@ object StreamingQueries {
     * accumulators are integer-exact so the final snapshot hashes
     * identically to the DuckDB GROUP BY twin; `max` per user collapses
     * intermediate snapshots if the source ever splits into >1 batch
-    * (both fields are monotone in batch order). The provider conf is
-    * restored afterwards — other pipelines in the same session keep
-    * their default state store. */
+    * (both fields are monotone in batch order). The RocksDB provider is
+    * scoped to the stream's CLONED session — other pipelines keep their
+    * default state store with nothing to restore. */
   def t11_stream_totals(s: SparkSession, d: String): DataFrame = {
     val ss = streamSession(s)
     // RocksDB provider scoped to the clone — other pipelines keep the
