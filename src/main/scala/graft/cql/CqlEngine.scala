@@ -257,6 +257,14 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
     // plan collapses to TakeOrderedAndProject — the distributed top-k — via
     // the codegen'd CosineSimilarity expression.
     sel.ann.foreach { a =>
+      // upstream 5.0 requires a vector SAI index on the ordered column —
+      // ANN is an INDEX search, not a table operator [U
+      // cql3/restrictions/StatementRestrictions, index/sai/plan/]
+      if (!table.indexedColumns.get(a.column.toLowerCase)
+          .exists(_.exists(_._1)))
+        throw new CqlInvalidQueryException(
+          s"ANN ordering by vector requires the column ${a.column} to be " +
+            "indexed (CREATE CUSTOM INDEX … USING 'StorageAttachedIndex')")
       val k = boundLimit(sel.limit.getOrElse(throw new CqlInvalidQueryException(
         "Use of ANN OF in an ORDER BY clause requires a LIMIT")), "LIMIT")
       val qv = array(a.query.map(lit(_)): _*)
@@ -1081,7 +1089,10 @@ object CqlEngine {
       "events" -> CqlTable(Tables.events(spark, dir),
         Seq("user_id"), Seq("ts", "event_id")),
       "documents" -> CqlTable(Tables.documents(spark, dir), Seq("doc_id")),
-      "embeddings" -> CqlTable(Tables.embeddings(spark, dir), Seq("vec_id")),
+      "embeddings" -> CqlTable(Tables.embeddings(spark, dir), Seq("vec_id"),
+        // the fixture data model declares the vector SAI index upstream
+        // ANN requires — the ANN gate queries run against this façade
+        indexedColumns = Map("embedding" -> Set((true, "")))),
       "upsert_log" -> CqlTable(CassandraModel.upsertLog(spark, dir),
         Seq("pk"), Seq("v"))))
   }

@@ -150,10 +150,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER through the Spark catalog is not supported — use CQL " +
-        "ALTER TABLE on the session")
+  /** `ALTER TABLE cat.ks.t ADD COLUMNS / DROP COLUMN / RENAME COLUMN`
+    * compile to CQL `ALTER TABLE` text, so the session's validation
+    * (key-column rules, index/MV dependency guards, ALTER permission)
+    * applies identically on both surfaces. Anything else (type changes,
+    * comments, nested fields) has no CQL form and is rejected. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    requireNamespace(ident.namespace())
+    val key = registryKey(ident)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        if (a.fieldNames().length != 1)
+          throw new CqlInvalidQueryException(
+            "nested column additions have no CQL ALTER form")
+        session.execute(s"ALTER TABLE $key ADD ${a.fieldNames()(0)} " +
+          session.cqlTypeNameOf(a.dataType()))
+      case d: TableChange.DeleteColumn =>
+        session.execute(s"ALTER TABLE $key DROP ${d.fieldNames()(0)}")
+      case r: TableChange.RenameColumn =>
+        session.execute(s"ALTER TABLE $key RENAME ${r.fieldNames()(0)} " +
+          s"TO ${r.newName()}")
+      case other => throw new UnsupportedOperationException(
+        s"ALTER change $other has no CQL form — use CQL ALTER TABLE")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     try {

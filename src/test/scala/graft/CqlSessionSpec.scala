@@ -1176,6 +1176,14 @@ class CqlSessionSpec extends SparkSpec {
   test("vector<float, n> columns create as array<float> and ANN-query") {
     val s = CqlSession(spark)
     s.execute("CREATE TABLE vecs (id bigint PRIMARY KEY, emb vector<float, 4>)")
+    // upstream: ANN demands a vector SAI index — unindexed is an error
+    val eIdx = intercept[CqlInvalidQueryException] {
+      s.execute("SELECT id FROM vecs ORDER BY emb ANN OF [1.0, 0.0, 0.0, " +
+        "0.0] LIMIT 2")
+    }
+    assert(eIdx.getMessage.contains("indexed"))
+    s.execute("CREATE CUSTOM INDEX vecs_ann ON vecs (emb) " +
+      "USING 'StorageAttachedIndex'")
     s.execute("INSERT INTO vecs (id, emb) VALUES (1, [1.0, 0.0, 0.0, 0.0])")
     s.execute("INSERT INTO vecs (id, emb) VALUES (2, [0.0, 1.0, 0.0, 0.0])")
     s.execute("INSERT INTO vecs (id, emb) VALUES (3, [0.9, 0.1, 0.0, 0.0])")
@@ -1188,6 +1196,8 @@ class CqlSessionSpec extends SparkSpec {
   test("ANN ties break on the primary key — duplicate embeddings rank deterministically") {
     val s = CqlSession(spark)
     s.execute("CREATE TABLE dupvecs (id bigint PRIMARY KEY, emb vector<float, 2>)")
+    s.execute("CREATE CUSTOM INDEX dup_ann ON dupvecs (emb) " +
+      "USING 'StorageAttachedIndex'")
     // three IDENTICAL embeddings + one distant: top-3 must be id order
     Seq(9L, 4L, 7L).foreach(i =>
       s.execute(s"INSERT INTO dupvecs (id, emb) VALUES ($i, [1.0, 0.0])"))
@@ -2244,5 +2254,17 @@ class CqlSessionSpec extends SparkSpec {
     s.execute("USE default") // the implicit user keyspace is USE-able
     // SHOW SESSION escapes a quoted id instead of splicing raw text
     assert(s.execute("SHOW SESSION O'Brien").count() === 0L)
+  }
+
+  test("r8 review: SELECT JSON of a UDT-field selector resolves the " +
+    "dotted output column") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TYPE addr (city text, zip bigint)")
+    s.execute("CREATE TABLE ju (k bigint PRIMARY KEY, a addr)")
+    s.execute("INSERT INTO ju (k, a) VALUES (1, {city: 'oslo', zip: 42})")
+    // the output column is literally named "a.city" — the JSON wrap must
+    // backtick-quote it, not parse it as struct access on column "a"
+    val out = s.execute("SELECT JSON a.city FROM ju WHERE k = 1").head()
+    assert(out.getString(0).contains("oslo"))
   }
 }

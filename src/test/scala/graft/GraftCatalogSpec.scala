@@ -238,4 +238,27 @@ class GraftCatalogSpec extends SparkSpec {
       s.execute("SELECT * FROM cat_drop")
     }
   }
+
+  test("ALTER TABLE through the catalog compiles to CQL DDL") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE cat_alter (k bigint PRIMARY KEY, v bigint)")
+    s.execute("INSERT INTO cat_alter (k, v) VALUES (1, 10)")
+    s.exposeAsCatalog("graft")
+    spark.sql("ALTER TABLE graft.default.cat_alter ADD COLUMNS (w STRING)")
+    s.execute("UPDATE cat_alter SET w = 'x' WHERE k = 1")
+    assert(spark.sql("SELECT w FROM graft.default.cat_alter WHERE k = 1")
+      .head().getString(0) === "x")
+    spark.sql("ALTER TABLE graft.default.cat_alter DROP COLUMN w")
+    assert(!spark.sql("SELECT * FROM graft.default.cat_alter")
+      .columns.contains("w"))
+    // the session's own guards apply: dropping a PRIMARY KEY column is
+    // rejected by the CQL validation this compiles into
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.default.cat_alter DROP COLUMN k")
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(x => Option(x.getMessage).exists(m =>
+        m.toLowerCase.contains("primary key") ||
+          m.toLowerCase.contains("key column"))))
+  }
 }
