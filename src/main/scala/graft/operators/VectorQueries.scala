@@ -249,19 +249,48 @@ object VectorQueries {
     * through the build-once/serve-many lifecycle (same oracle). At corpus
     * scale the serving scan reads 2 B/vector codes + the M×16-row
     * codebook, never the raw vectors. */
-  def v17_pq_served(s: SparkSession, d: String): DataFrame = {
-    // mtime in the key: a corpus regenerated at the same path rebuilds
-    // instead of serving stale codes (same rule as the graph/band caches)
+  /** The per-(corpus, mtime) persisted index dir: a regenerated corpus
+    * rebuilds instead of serving stale codes (same rule as the graph/band
+    * caches). Shared by v17 (serve) and v18 (incremental append). */
+  private def pqIndexDir(s: SparkSession, d: String): String = {
     val mtime = try java.nio.file.Files.getLastModifiedTime(
         java.nio.file.Paths.get(s"$d/embeddings.parquet")).toMillis
       catch { case _: Exception => 0L }
-    val dir = pqIndexCache.computeIfAbsent(s"$d@$mtime", { _ =>
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-pq-index").toString
+    pqIndexCache.computeIfAbsent(s"$d@$mtime", { _ =>
+      val out = graft.Tables.tempRoot("graft-pq-index")
       buildPqIndex(s, d, out)
       out
     })
-    servePqIndex(s, d, dir)
+  }
+
+  def v17_pq_served(s: SparkSession, d: String): DataFrame =
+    servePqIndex(s, d, pqIndexDir(s, d))
+
+  /** V18: INCREMENTAL index maintenance — upstream SAI builds an index
+    * SEGMENT per flushed sstable against the already-trained structures
+    * rather than re-indexing the corpus [U index/sai/: per-sstable
+    * segments; P: FAISS's add()-after-train() contract]. An incoming
+    * batch (every 7th vector, id-shifted — a re-ingest wave) is encoded
+    * against the FROZEN codebook of the persisted index and written as
+    * ONE new code segment (the flush); serving then reads base + segment
+    * codes — the base corpus vectors are never re-touched, and the
+    * codebook is not retrained (codebook drift is a rebuild decision,
+    * not an append). The twin recomputes everything from scratch under
+    * the same frozen-codebook rule, so encode-at-ingest, the segment
+    * union, and ADC over both generations are all hash-verified. */
+  def v18_incremental_index(s: SparkSession, d: String): DataFrame = {
+    val dir = pqIndexDir(s, d)
+    val inc = Tables.embeddings(s, d).filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val seg = s"$dir/codes_seg1"
+    pqCells(inc)
+      .select(col("vec_id"), posexplode(col("cells")).as(Seq("m", "cell")))
+      .write.mode("overwrite").parquet(seg)
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qvec"))
+    pqScore(
+      s.read.parquet(s"$dir/codes").unionByName(s.read.parquet(seg)),
+      s.read.parquet(s"$dir/codebook"), q, k = 10)
   }
 
   def servePqIndex(s: SparkSession, d: String, dir: String,
@@ -389,6 +418,7 @@ object VectorQueries {
     "v12_pq_adc" -> (v12_pq_adc _),
     "v13_knn_rerank" -> (v13_knn_rerank _),
     "v17_pq_served" -> (v17_pq_served _),
+    "v18_incremental_index" -> (v18_incremental_index _),
   )
 
   // DuckDB twins compute the identical double fold: cast the float list to
@@ -402,6 +432,46 @@ object VectorQueries {
     oracle0 + ("v17_pq_served" -> oracle0("v12_pq_adc"))
 
   private val oracle0: Map[String, String] = Map(
+    // v12's twin with the segment-append rule: cells over base ∪ incoming,
+    // codebook trained on the BASE generation only (frozen at build)
+    "v18_incremental_index" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |allv AS (
+        |  SELECT vec_id, v FROM e
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id, v FROM e WHERE vec_id % 7 = 0),
+        |ms AS (SELECT unnest(range(0, 4)) AS m),
+        |cells AS (
+        |  SELECT vec_id, v, m,
+        |    (CASE WHEN v[m*16+1] >= 0 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN v[m*16+2] >= 0 THEN 2 ELSE 0 END) +
+        |    (CASE WHEN v[m*16+3] >= 0 THEN 4 ELSE 0 END) +
+        |    (CASE WHEN v[m*16+4] >= 0 THEN 8 ELSE 0 END) AS cell
+        |  FROM allv CROSS JOIN ms),
+        |flat AS (
+        |  SELECT c.vec_id, c.m, c.cell, (i.i - 1) % 16 AS sd, c.v[i.i] AS x
+        |  FROM cells c JOIN (SELECT unnest(range(1, 65)) AS i) i
+        |    ON (i.i - 1) // 16 = c.m
+        |  WHERE c.vec_id < 100000),
+        |cb AS (
+        |  SELECT m, cell, sd,
+        |    CAST(CAST(CAST(sum(CAST(x AS DECIMAL(38,6))) AS DECIMAL(38,6))
+        |      AS DOUBLE) / count(*) AS REAL) AS cm
+        |  FROM flat GROUP BY m, cell, sd),
+        |cbv AS (SELECT m, cell, list(CAST(cm AS DOUBLE) ORDER BY sd) AS centroid
+        |        FROM cb GROUP BY m, cell),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |lut AS (
+        |  SELECT m, cell,
+        |    round(list_dot_product(list_slice(qv, m*16+1, m*16+16), centroid), 6) AS w
+        |  FROM cbv CROSS JOIN q)
+        |SELECT c.vec_id,
+        |  CAST(CAST(sum(CAST(l.w AS DECIMAL(38,6))) AS DECIMAL(38,6))
+        |    AS DOUBLE) AS adc_dot
+        |FROM cells c JOIN lut l ON c.m = l.m AND c.cell = l.cell
+        |GROUP BY c.vec_id
+        |ORDER BY adc_dot DESC, vec_id ASC LIMIT 10""".stripMargin,
     // same 8-dim prefix scoring (slice AFTER the double cast — identical
     // element widening), same (score desc, id asc) cuts at 40 then 10
     "v15_matryoshka" ->

@@ -111,6 +111,27 @@ class VectorSpec extends SparkSpec
       s"serving must not rescan raw corpus vectors:\n$scans")
   }
 
+  test("v18 incremental index: the segment participates and base vectors " +
+    "are never rescanned") {
+    val out = VectorQueries.v18_incremental_index(spark, sf)
+    val rows = out.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.length === 10)
+    // vec 0's re-ingested copy (id 100000) scores identically to vec 0,
+    // so the incoming SEGMENT must show up in the served top-k
+    assert(rows.exists(_._1 >= 100000L),
+      s"segment rows missing from ${rows.mkString(",")}")
+    val base = rows.toMap
+    assert(base(0L) === base(100000L)) // identical codes → identical ADC
+    // serving plan: codes (both generations) + codebook + one query-row
+    // scan — the base corpus vectors are not re-encoded
+    val scans = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(scans.contains("codes") && scans.contains("codes_seg1") &&
+      scans.contains("codebook"))
+    assert("embeddings\\.parquet".r.findAllIn(scans).length <= 1,
+      s"incremental serving must not rescan base vectors:\n$scans")
+  }
+
   test("rerank recovers the exact top-10 that int8-only scoring loses") {
     val exact = VectorQueries.v1_knn_exact(spark, sf)
       .collect().map(_.getLong(0)).toSet
