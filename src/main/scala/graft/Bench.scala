@@ -30,17 +30,22 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm the fixed costs the baseline's "warm" numbers also exclude:
     // JVM/JIT, parquet footers, codegen of the common scan+agg+window shapes.
-    try {
-      Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings")
-        .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
-      // compile EVERY query's codegen against the tiny smoke fixture so the
-      // measured runs time execution, not janino compilation (generated code
-      // is path-independent, so the codegen cache carries over to sfDir)
-      val tiny = "/root/testdata/sf0.001"
-      SparkEntry.queries.values
-        .foreach(fn => try { fn(spark, tiny).count() } catch { case _: Throwable => () })
-    } catch { case _: Throwable => () }
+    // per-item try: one missing table must not silently abort the whole
+    // codegen warmup (which would push janino compilation into the
+    // measured passes — the phantom-regression noise this exists to kill)
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings")
+      .foreach(t => try spark.read.parquet(s"$sfDir/$t.parquet").count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench-warmup] $t skipped: $e") })
+    // compile EVERY query's codegen against the tiny smoke fixture so the
+    // measured runs time execution, not janino compilation (generated code
+    // is path-independent, so the codegen cache carries over to sfDir)
+    val tiny = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (n, fn) =>
+      try { fn(spark, tiny).count(); () } catch { case e: Throwable =>
+        System.err.println(s"[bench-warmup] $n failed at tiny: $e") }
+    }
     // BASELINE.md's oracle-side numbers are warm timings; measure the same
     // steady state: TWO FULL PASSES over the suite — the second in reverse
     // order — and the per-query min across passes. Back-to-back repeats
@@ -51,14 +56,21 @@ object Bench {
     // survive the cross-pass min. Sorted-name base order keeps per-round
     // timings comparable query-by-query.
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
-    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+    // a failing query must be LOUD: recording elapsed-until-exception
+    // would report a broken query as a dramatic speedup and the min
+    // harness would keep it
+    def timeOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count(); () } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench-ERROR] $name threw: $e")
+      }
       (System.nanoTime() - t0) / 1e9
     }
-    val passA = qs.map { case (name, fn) => name -> timeOne(fn) }.toMap
-    val passB = qs.reverse.map { case (name, fn) => name -> timeOne(fn) }.toMap
+    val passA = qs.map { case (name, fn) => name -> timeOne(name, fn) }.toMap
+    val passB = qs.reverse.map { case (name, fn) => name -> timeOne(name, fn) }.toMap
     val results = qs.map { case (name, _) =>
       name -> math.min(passA(name), passB(name))
     }
@@ -70,7 +82,7 @@ object Bench {
     val aqeKey = "spark.sql.adaptive.enabled"
     spark.conf.set(aqeKey, "false")
     val aqeOff = headline.flatMap(n => SparkEntry.queries.get(n).map { fn =>
-      n -> math.min(timeOne(fn), timeOne(fn))
+      n -> math.min(timeOne(n, fn), timeOne(n, fn))
     })
     spark.conf.set(aqeKey, "true")
     aqeOff.foreach { case (k, v) => println(s"[bench-aqe-off] $k ${f3(v)}") }

@@ -88,7 +88,10 @@ object ScaleProbe {
         "d11_chunk_dedup", "d12_incremental", "v16_graph_index",
         // r8 continuation: bloom-gated incremental dedup — build grows
         // with the corpus (one agg), probe stays map-side
-        "d13_bloom_incremental")
+        "d13_bloom_incremental",
+        // r8 continuation: segment-append serving — must stay ~flat (the
+        // probe pays one segment encode + the codes scan, never a rebuild)
+        "v18_incremental_index")
         .map(n => n -> SparkEntry.queries(n))
     factors.foreach { f =>
       val dir = if (f == 1) base else s"/tmp/graft-scale-${f}x"

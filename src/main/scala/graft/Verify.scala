@@ -8,6 +8,10 @@ object Verify {
     val (sfDir, outDir, only) = args match {
       case Array(s, o) => (s, o, None)
       case Array(s, o, names) => (s, o, Some(names.split(',').toSet))
+      case _ => // a bare MatchError would bury the round's gate output
+        System.err.println(
+          "usage: graft.Verify <sfDir> <outDir> [q1,q2,...]")
+        sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

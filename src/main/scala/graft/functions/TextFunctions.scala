@@ -80,12 +80,17 @@ object TextFunctions {
     * bit j set; bit j of the simhash is 1 iff that count exceeds half the
     * token count. Pure aggregate/zip_with fold — one pass over tokens. */
   def simhash(toks: Column): Column = {
+    // hash each token ONCE before the bit fold: the inner lambda
+    // previously recomputed xxhash64(t) per bit position — interpreted
+    // higher-order functions do no CSE across lambda calls, so that was
+    // 64x the hashing for an identical result
+    val hashes = transform(toks, t => xxhash64(t))
     val counts = aggregate(
-      toks,
+      hashes,
       array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc,
+      (acc, h) => zip_with(acc,
         transform(sequence(lit(0), lit(63)),
-          j => call_function("shiftright", xxhash64(t), j.cast("int"))
+          j => call_function("shiftright", h, j.cast("int"))
             .bitwiseAND(1L)),
         (a, b) => a + b))
     aggregate(

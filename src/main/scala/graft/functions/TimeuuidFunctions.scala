@@ -47,7 +47,11 @@ object TimeuuidFunctions {
   private def idiv(a: Column, b: Long): Column =
     call_function("div", a, lit(b))
 
-  /** CQL `toTimestamp(timeuuid)` / `dateOf` — µs-precision timestamp. */
+  /** CQL `toTimestamp(timeuuid)` / `dateOf` — µs-precision timestamp.
+    * DOCUMENTED DEVIATION: upstream truncates to epoch millis (its Date
+    * codec); here the engine's native timestamps are µs, so the
+    * conversion keeps the full tick precision — a precision superset the
+    * µs round-trip invariant (TimeuuidSpec) depends on. */
   def timeuuidToTimestamp(u: Column): Column =
     timestamp_micros(idiv(timeuuidTicks(u) - GregorianOffset, 10L))
 
@@ -61,7 +65,12 @@ object TimeuuidFunctions {
     * time_low first and scramble the timeline. The tail's lexicographic hex
     * order matches its unsigned byte order (fixed-width lowercase hex), and
     * all RFC-4122 v1 uuids carry variant bits 10xx, so minTimeuuid's 8000…
-    * and maxTimeuuid's bfff… tails bracket every real uuid at that tick. */
+    * and maxTimeuuid's bfff… tails bracket every real uuid at that tick.
+    * Documented deviation: upstream compares the tail bytes SIGNED
+    * (TimeUUIDType's 0x8080… MIN constant); this key orders the tail as
+    * unsigned hex — sound for the min/max BRACKET bounds produced here
+    * (they pin the tail to its extremes), but not a general same-tick
+    * tie-break for arbitrary node/clockseq values. */
   def timeuuidComparable(u: Column): Column = {
     // lower(): uuids may arrive uppercase-hex (valid per RFC 4122); the
     // min/max bracket tails are lowercase, so compare case-folded.

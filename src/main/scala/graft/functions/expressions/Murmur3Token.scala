@@ -203,14 +203,21 @@ object Murmur3Token {
     var k1 = 0L
     var k2 = 0L
     val rem = len & 15
+    // TAIL bytes SIGN-EXTEND, deliberately diverging from canonical
+    // MurmurHash3/Guava: Cassandra's MurmurHash.hash3_x64_128 XORs
+    // `(long) key.get(i) << shift` with no 0xff mask [U utils/
+    // MurmurHash.java — a known, kept quirk of the partitioner], so a
+    // negative bigint key or non-ASCII text tail hashes differently than
+    // the canonical algorithm. Ring compatibility means replicating the
+    // quirk, not the paper.
     if (rem >= 9) {
       var i = rem - 1
-      while (i >= 8) { k2 ^= (data(tail + i) & 0xffL) << ((i - 8) * 8); i -= 1 }
+      while (i >= 8) { k2 ^= data(tail + i).toLong << ((i - 8) * 8); i -= 1 }
       k2 *= C2; k2 = rotl(k2, 33); k2 *= C1; h2 ^= k2
     }
     if (rem > 0) {
       var i = math.min(rem, 8) - 1
-      while (i >= 0) { k1 ^= (data(tail + i) & 0xffL) << (i * 8); i -= 1 }
+      while (i >= 0) { k1 ^= data(tail + i).toLong << (i * 8); i -= 1 }
       k1 *= C1; k1 = rotl(k1, 31); k1 *= C2; h1 ^= k1
     }
 

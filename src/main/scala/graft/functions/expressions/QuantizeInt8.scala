@@ -63,7 +63,11 @@ object QuantizeInt8 {
     while (i < n) {
       if (!a.isNullAt(i)) {
         val v = Math.abs(a.getFloat(i).toDouble)
-        if (v > maxAbs) maxAbs = v
+        // array_max orders NaN greater than every number, so one NaN
+        // element makes the builtin chain's scale (and every output) NaN
+        // — `v > maxAbs` alone would silently SKIP the NaN and diverge
+        if (java.lang.Double.isNaN(v)) maxAbs = Double.NaN
+        else if (v > maxAbs) maxAbs = v
       }
       i += 1
     }

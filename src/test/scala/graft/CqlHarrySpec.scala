@@ -270,6 +270,47 @@ class CqlHarrySpec extends SparkSpec {
     }
   }
 
+  test("random mutation sequences fire the audit trigger exactly once " +
+    "per applied statement (audit ≡ model)") {
+    // triggers joined the write path in r8: the audit table's reconciled
+    // state after a random script must equal a per-statement model — one
+    // augmented row per applied mutation keyed (pk, client ts), colliding
+    // keys resolved last-statement-wins (the augmented writes carry
+    // strictly increasing server timestamps)
+    val rnd = new scala.util.Random(20260814L)
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE ht (k bigint PRIMARY KEY, v double)")
+    s.execute("CREATE TABLE audit11 (k bigint, wt bigint, op text, " +
+      "v double, PRIMARY KEY (k, wt))")
+    s.execute("CREATE TRIGGER haud ON ht " +
+      "USING 'graft.operators.GateAuditTrigger'")
+    val model =
+      collection.mutable.Map.empty[(Long, Long), (String, Option[Double])]
+    for (_ <- 1 to 40) {
+      val pk = rnd.nextInt(4).toLong
+      val ts = 1L + rnd.nextInt(10) // collisions on purpose
+      rnd.nextInt(3) match {
+        case 0 =>
+          val v = rnd.nextInt(100).toDouble
+          s.execute(s"INSERT INTO ht (k, v) VALUES ($pk, $v) " +
+            s"USING TIMESTAMP $ts")
+          model((pk, ts)) = ("W", Some(v))
+        case 1 =>
+          val v = rnd.nextInt(100).toDouble
+          s.execute(s"UPDATE ht USING TIMESTAMP $ts SET v = $v WHERE k = $pk")
+          model((pk, ts)) = ("W", Some(v))
+        case 2 =>
+          s.execute(s"DELETE FROM ht USING TIMESTAMP $ts WHERE k = $pk")
+          model((pk, ts)) = ("D", None)
+      }
+    }
+    val got = s.execute("SELECT k, wt, op, v FROM audit11").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(got === model.toMap)
+  }
+
   test("COPY round-trips random reconciled states (export → import ≡ original)") {
     // the reconciled VIEW is what COPY TO exports; importing it into a
     // fresh table must reproduce exactly that view — ties the CSV bridge
