@@ -106,7 +106,8 @@ object CqlParser {
       // qualified names [U db/virtual/, schema/SchemaKeyspace.java]
       if (n.equalsIgnoreCase("system_schema") || n.equalsIgnoreCase("system")
           || n.equalsIgnoreCase("system_views")
-          || n.equalsIgnoreCase("system_traces"))
+          || n.equalsIgnoreCase("system_traces")
+          || n.equalsIgnoreCase("system_virtual_schema"))
         s"${n.toLowerCase}.$t"
       else t
     } else n

@@ -418,7 +418,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * system keyspaces preexist, as upstream's do. */
   private val SystemKeyspaces: Set[String] =
     Set("system", "system_schema", "system_auth",
-      "system_distributed", "system_traces", "system_views")
+      "system_distributed", "system_traces", "system_views",
+      "system_virtual_schema")
   private val keyspaces: scala.collection.mutable.Set[String] =
     scala.collection.mutable.Set(SystemKeyspaces.toSeq: _*)
 
@@ -1155,8 +1156,65 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           Seq("aggregate_name")),
       "system_schema.triggers" ->
         CqlTable(df(trRows, trSchema), Seq("keyspace_name"),
-          Seq("table_name", "trigger_name"))) ++
-      systemLocalCatalog ++ systemViewsCatalog ++ systemTracesCatalog
+          Seq("table_name", "trigger_name"))) ++ {
+      val virtuals =
+        systemLocalCatalog ++ systemViewsCatalog ++ systemTracesCatalog
+      virtuals ++ systemVirtualSchemaCatalog(virtuals)
+    }
+  }
+
+  /** `system_virtual_schema.{keyspaces,tables,columns}` — the 4.x/5.0
+    * keyspace DESCRIBING the virtual tables themselves [U db/virtual/
+    * VirtualSchemaKeyspace.java]: drivers read it to introspect
+    * `system_views` the way they read `system_schema` for user tables.
+    * Derived from the ACTUAL registered virtual catalogs (names and Spark
+    * schemas), so it can never drift from what is served. */
+  private def systemVirtualSchemaCatalog(
+      virtuals: Map[String, CqlTable]): Map[String, CqlTable] = {
+    import scala.jdk.CollectionConverters._
+    def df(rows: Seq[Row], schema: StructType) =
+      spark.createDataFrame(rows.asJava, schema)
+    val entries = virtuals.keys.toSeq.sorted.map { k =>
+      val Array(ks, t) = k.split("\\.", 2)
+      (ks, t, virtuals(k))
+    }
+    val ksSchema = StructType(Seq(StructField("keyspace_name", StringType)))
+    val ksRows = entries.map(_._1).distinct.sorted.map(Row(_))
+    val tSchema = StructType(Seq(
+      StructField("keyspace_name", StringType),
+      StructField("table_name", StringType),
+      StructField("comment", StringType)))
+    val tRows = entries.map { case (ks, t, _) => Row(ks, t, "") }
+    val cSchema = StructType(Seq(
+      StructField("keyspace_name", StringType),
+      StructField("table_name", StringType),
+      StructField("column_name", StringType),
+      StructField("clustering_order", StringType),
+      StructField("kind", StringType),
+      StructField("position", IntegerType),
+      StructField("type", StringType)))
+    val cRows = entries.flatMap { case (ks, t, ct) =>
+      ct.df.schema.fields.toSeq.map { f =>
+        val pkPos = ct.partitionKeys.indexWhere(_.equalsIgnoreCase(f.name))
+        val ckPos = ct.clusteringKeys.indexWhere(_.equalsIgnoreCase(f.name))
+        val kind =
+          if (pkPos >= 0) "partition_key"
+          else if (ckPos >= 0) "clustering" else "regular"
+        Row(ks, t, f.name, if (ckPos >= 0) "asc" else "none", kind,
+          if (pkPos >= 0) pkPos else ckPos,
+          try cqlTypeName(f.dataType, Set.empty)
+          catch { case _: Exception => f.dataType.simpleString })
+      }
+    }
+    Map(
+      "system_virtual_schema.keyspaces" ->
+        CqlTable(df(ksRows, ksSchema), Seq("keyspace_name")),
+      "system_virtual_schema.tables" ->
+        CqlTable(df(tRows, tSchema), Seq("keyspace_name"),
+          Seq("table_name")),
+      "system_virtual_schema.columns" ->
+        CqlTable(df(cRows, cSchema), Seq("keyspace_name"),
+          Seq("table_name", "column_name")))
   }
 
   /** `system_views.settings` / `system_views.clients` — the 4.x runtime

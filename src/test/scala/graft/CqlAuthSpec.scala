@@ -303,6 +303,29 @@ class CqlAuthSpec extends SparkSpec {
     s.login("cassandra", "cassandra")
   }
 
+  test("system_virtual_schema describes the virtual tables themselves") {
+    val s = CqlSession(spark)
+    val kss = s.execute(
+      "SELECT keyspace_name FROM system_virtual_schema.keyspaces")
+      .collect().map(_.getString(0)).toSet
+    assert(Set("system", "system_views", "system_traces").subsetOf(kss))
+    val tbls = s.execute("SELECT keyspace_name, table_name " +
+      "FROM system_virtual_schema.tables").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(tbls.contains(("system_views", "settings")))
+    assert(tbls.contains(("system_views", "thread_pools")))
+    assert(tbls.contains(("system_traces", "sessions")))
+    assert(tbls.contains(("system", "size_estimates")))
+    // columns carry kinds and CQL type names from the ACTUAL served schema
+    val cols = s.execute("SELECT column_name, kind, type " +
+      "FROM system_virtual_schema.columns WHERE " +
+      "keyspace_name = 'system_views' AND table_name = 'clients' " +
+      "ALLOW FILTERING").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(cols("address")._1 === "partition_key")
+    assert(cols("request_count")._2 === "bigint")
+  }
+
   test("system_views.thread_pools and caches report live runtime state") {
     val s = CqlSession(spark)
     // run a real Spark job so the completed-task counter has moved
