@@ -84,13 +84,20 @@ object CassandraModel {
     * aggregate, measured ~2× faster at sf0.1 than the max_by-over-struct
     * form because no per-row struct materialization). One shuffle; at
     * scale, pre-bucketing the log by pk makes it shuffle-free. */
-  def latestWinsView(log: DataFrame): DataFrame = {
+  /** The latest-wins WINNER frame: one row per pk — the highest
+    * (_writetime, value) log entry, the upstream reconcile tie-break.
+    * ONE definition for the three consumers (view, grace compaction, GC
+    * stats): the tie-break rule documented as upstream semantics must
+    * not be able to drift between them. */
+  private def winners(log: DataFrame): DataFrame = {
     val w = Window.partitionBy("pk")
       .orderBy(col("_writetime").desc, col("v").desc)
     log.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1 && !col("_deleted"))
-      .drop("_rn", "_deleted")
+      .filter(col("_rn") === 1).drop("_rn")
   }
+
+  def latestWinsView(log: DataFrame): DataFrame =
+    winners(log).filter(!col("_deleted")).drop("_deleted")
 
   /** Cell-level reconcile view — the actual Cassandra merge semantics
     * (`db/rows/Cells.reconcile` [U]): each COLUMN independently resolves to
@@ -299,7 +306,16 @@ object CassandraModel {
                 coalesce(acc, empty).withField(f.name,
                   lit(null).cast(f.dataType)))
           }.otherwise(acc)
-        }, acc => acc)
+        }, acc => {
+          // a struct whose every field is null means NO live UDT cells —
+          // read it as null (upstream: the column has no value), or the
+          // row-existence filter would keep a phantom row alive after
+          // DELETE u.a + DELETE u.b removed the last fields
+          val anyLive = st.fields.toSeq
+            .map(f => acc.getField(f.name).isNotNull)
+            .reduce(_ || _)
+          when(anyLive, acc)
+        })
       case other => throw new IllegalArgumentException(
         s"op-carrying column $c has non-collection type $other")
     }
@@ -375,12 +391,9 @@ object CassandraModel {
     * late-arriving older write and reconciling again still suppresses it —
     * until the tombstone ages out of grace and is purged for real. */
   def compactWithGrace(log: DataFrame, nowWt: Long, graceWt: Long): DataFrame = {
-    val w = Window.partitionBy("pk")
-      .orderBy(col("_writetime").desc, col("v").desc)
-    val winners = log.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
-    val live = winners.filter(!col("_deleted"))
-    val retained = winners
+    val won = winners(log)
+    val live = won.filter(!col("_deleted"))
+    val retained = won
       .filter(col("_deleted") && col("_writetime") >= nowWt - graceWt)
       .select(col("pk"), lit(null).cast("double").as("price"),
         lit(null).cast("string").as("status"), col("_writetime"),
@@ -394,11 +407,7 @@ object CassandraModel {
     * writetime domain (1009), grace = 500 synthetic ticks. */
   def c11_gc_grace(s: SparkSession, d: String): DataFrame = {
     val (now, grace) = (1009L, 500L)
-    val w = Window.partitionBy("pk")
-      .orderBy(col("_writetime").desc, col("v").desc)
-    upsertLog(s, d)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
+    winners(upsertLog(s, d))
       .agg(
         count(when(!col("_deleted"), lit(1))).as("n_live"),
         count(when(col("_deleted") && col("_writetime") >= now - grace,
@@ -524,9 +533,24 @@ object CassandraModel {
         buildSaiIndex(ev, "event_type", "event_id", scratch)
         val tgt = new java.io.File(dir)
         // a leftover PARTIAL target (crashed builder: dir without
-        // _SUCCESS) must not survive — remove it so the fresh build lands
-        if (tgt.exists() && !new java.io.File(dir, "_SUCCESS").exists())
-          org.apache.commons.io.FileUtils.deleteQuietly(tgt)
+        // _SUCCESS) must not survive — but a bare delete could race a
+        // concurrent process's commit and destroy a JUST-committed good
+        // index. Rename the suspect dir aside ATOMICALLY, inspect the
+        // captured dir (we hold the only handle), and restore it if it
+        // turned out to be a committed index we stole.
+        if (tgt.exists() && !new java.io.File(dir, "_SUCCESS").exists()) {
+          val trash = new java.io.File(dir + "_partial_" +
+            java.lang.ProcessHandle.current().pid() + "_" +
+            Thread.currentThread().getId)
+          if (tgt.renameTo(trash)) {
+            if (new java.io.File(trash, "_SUCCESS").exists()) {
+              // raced a commit: put the good index back (if yet another
+              // writer landed meanwhile, theirs is good too — drop ours)
+              if (!trash.renameTo(tgt))
+                org.apache.commons.io.FileUtils.deleteQuietly(trash)
+            } else org.apache.commons.io.FileUtils.deleteQuietly(trash)
+          }
+        }
         if (!new java.io.File(scratch).renameTo(tgt)) {
           // a concurrent PROCESS won; discard ours — but never serve a
           // partial dir: the committed index must carry its _SUCCESS
@@ -693,7 +717,12 @@ object CassandraModel {
   /** C8: Thrift multiget_slice (§2.10): pk IN (…) + per-partition slice
     * limit 2 in clustering order. */
   def c8_multiget_slice(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("l_orderkey").orderBy(col("l_linenumber").asc)
+    // TOTAL order inside the window: (l_orderkey, l_linenumber) repeats in
+    // the fixture (key 1 has two ln=7 rows with different payloads), so a
+    // linenumber-only order made the rn<=2 slice engine-arbitrary at the
+    // boundary — a latent flaky gate that happened to agree so far
+    val w = Window.partitionBy("l_orderkey").orderBy(col("l_linenumber").asc,
+      col("l_quantity").asc, col("l_returnflag").asc)
     Tables.lineitem(s, d)
       .filter(col("l_orderkey").isin(1L, 7L, 32L, 69L, 134L))
       .withColumn("rn", row_number().over(w))
@@ -726,9 +755,9 @@ object CassandraModel {
     import java.nio.file.{Files, StandardCopyOption}
     val (inDir, logSchema) = c13Staged.computeIfAbsent(d, { src =>
       val log = upsertLog(s, src).filter(col("pk") < 200)
-      val dir = Files.createTempDirectory("graft-c13-in")
+      val dir = java.nio.file.Paths.get(graft.Tables.tempRoot("graft-c13-in"))
       def stage(df: DataFrame, name: String): Unit = {
-        val tmp = Files.createTempDirectory("graft-c13-w").toString
+        val tmp = graft.Tables.tempRoot("graft-c13-w")
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
           .find(_.getName.endsWith(".parquet")).get
@@ -739,9 +768,9 @@ object CassandraModel {
       stage(log.filter(col("v") === 1), "w2.parquet")
       (dir.toString, log.schema)
     })
-    val snapDir = Files.createTempDirectory("graft-c13-out")
-      .resolve("snap").toString
-    val ckpt = Files.createTempDirectory("graft-c13-ckpt").toString
+    val snapDir = java.nio.file.Paths
+      .get(graft.Tables.tempRoot("graft-c13-out")).resolve("snap").toString
+    val ckpt = graft.Tables.tempRoot("graft-c13-ckpt")
     // per-batch merge shuffles ~600 rows: size the stream's shuffle
     // partitions to the data on a CLONED session (the batch suite's 32
     // pays 4x the fixed cost; mutating the shared conf would leak the
@@ -846,7 +875,7 @@ object CassandraModel {
     "c8_multiget_slice" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM (
         |  SELECT *, row_number() OVER (PARTITION BY l_orderkey
-        |    ORDER BY l_linenumber) AS rn
+        |    ORDER BY l_linenumber, l_quantity, l_returnflag) AS rn
         |  FROM lineitem WHERE l_orderkey IN (1, 7, 32, 69, 134))
         |WHERE rn <= 2 ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "c11_gc_grace" ->

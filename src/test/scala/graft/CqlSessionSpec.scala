@@ -2256,6 +2256,26 @@ class CqlSessionSpec extends SparkSpec {
     assert(s.execute("SHOW SESSION O'Brien").count() === 0L)
   }
 
+  test("r8 review: deleting every UDT field reads the column as null " +
+    "and drops an UPDATE-created row") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TYPE pair (a bigint, b bigint)")
+    s.execute("CREATE TABLE udel (k bigint PRIMARY KEY, u pair)")
+    // UPDATE-created row (no INSERT marker): lives only through its cells
+    s.execute("UPDATE udel SET u.a = 1 WHERE k = 1")
+    s.execute("UPDATE udel SET u.b = 2 WHERE k = 1")
+    assert(s.execute("SELECT u.a, u.b FROM udel WHERE k = 1").head()
+      .getLong(0) === 1L)
+    s.execute("DELETE u.a FROM udel WHERE k = 1")
+    // one field left: column still a struct
+    assert(s.execute("SELECT u.b FROM udel WHERE k = 1").head()
+      .getLong(0) === 2L)
+    s.execute("DELETE u.b FROM udel WHERE k = 1")
+    // no live cells: u is NULL (not {a:null,b:null}) and the UPDATE-only
+    // row disappears entirely, as upstream
+    assert(s.execute("SELECT k FROM udel WHERE k = 1").count() === 0L)
+  }
+
   test("r8 review: SELECT JSON of a UDT-field selector resolves the " +
     "dotted output column") {
     val s = CqlSession(spark)
