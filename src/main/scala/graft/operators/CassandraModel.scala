@@ -136,6 +136,18 @@ object CassandraModel {
         (col("_rowtomb_wt").isNull || col("_writetime") > col("_rowtomb_wt")))
     def hasOps(c: String) = log.columns.contains(s"_op_$c")
     def hasTomb(c: String) = log.columns.contains(s"_del_$c")
+    // ONE max_by per tombstone column, payload carrying (v, d, wt): the
+    // value and writetime projections below build the IDENTICAL aggregate
+    // expression and extract different fields, so physical planning
+    // deduplicates them — previously two structurally distinct max_by's
+    // did the same comparisons twice and doubled the agg buffer
+    def tombWinner(c: String): Column = {
+      val tomb = coalesce(col(s"_del_$c"), lit(false))
+      max_by(
+        struct(col(c).as("v"), tomb.as("d"), col("_writetime").as("wt")),
+        when(col(c).isNotNull || tomb,
+          struct(col("_writetime"), tomb, col(c))))
+    }
     def written(c: String): Column =
       if (hasOps(c)) col(s"_op_$c").isNotNull else col(c).isNotNull
     val cellAggs = dataCols.map { c =>
@@ -153,10 +165,7 @@ object CassandraModel {
         // cell-level tombstones (`DELETE col FROM …`): the winner among
         // writes AND cell-deletes; at equal timestamps the delete wins
         // (upstream rule), hence the tombstone flag ordered before value
-        val tomb = coalesce(col(s"_del_$c"), lit(false))
-        val w = max_by(struct(col(c).as("v"), tomb.as("d")),
-          when(col(c).isNotNull || tomb,
-            struct(col("_writetime"), tomb, col(c))))
+        val w = tombWinner(c)
         when(!w.getField("d"), w.getField("v")).as(c)
       } else
         // (writetime, value) lexicographic max = upstream reconcile tie-break
@@ -168,10 +177,7 @@ object CassandraModel {
       // newest write is a delete has NO writetime (upstream returns null
       // for a deleted cell), not the shadowed older write's timestamp.
       if (hasTomb(c)) {
-        val tomb = coalesce(col(s"_del_$c"), lit(false))
-        val w = max_by(struct(col("_writetime").as("wt"), tomb.as("d")),
-          when(col(c).isNotNull || tomb,
-            struct(col("_writetime"), tomb, col(c))))
+        val w = tombWinner(c)
         when(!w.getField("d"), w.getField("wt")).as(s"_writetime_$c")
       } else max(when(written(c), col("_writetime"))).as(s"_writetime_$c")
     } :+ max(col("_writetime")).as("_writetime")
