@@ -297,6 +297,39 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
             .map(ColumnSelector(_, None))
           case s => Seq(s)
         }
+        // Plain (non-aggregate) selections return the group's FIRST-ROW
+        // value upstream [U cql3/selection/Selection] — first in the
+        // DECLARED clustering order, not in whatever order Spark's
+        // aggregation happens to consume rows. Spark's first() is
+        // input-order-nondeterministic, so pin it: materialize each plain
+        // selection as a window first() over the group keys ordered by the
+        // clustering order; every row of a group then carries the same
+        // (correct) value and the aggregate's first() is order-free. The
+        // window exchange hash-partitions on the group keys, which the
+        // groupBy below reuses — still ONE shuffle.
+        val clusterOrder: Seq[Column] = {
+          val declaredDesc = (table.clusteringDesc ++
+            Seq.fill(table.clusteringKeys.length)(false))
+            .take(table.clusteringKeys.length)
+          table.clusteringKeys.zip(declaredDesc).map { case (c0, d0) =>
+            if (d0) col(c0).desc else col(c0).asc }
+        }
+        // un-aliased group expressions for Window.partitionBy
+        val groupPartExprs = sel.groupBy.map {
+          case CqlGroupItem(c0, None) => col(c0)
+          case CqlGroupItem(c0, Some(us)) => floorBucket(col(c0), us)
+        }
+        var pinCount = 0
+        val pinned = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
+        def pinFirst(inner: Column): Column =
+          if (sel.groupBy.isEmpty || clusterOrder.isEmpty) first(inner)
+          else {
+            val tmp = s"__first_$pinCount"; pinCount += 1
+            pinned += tmp -> first(inner)
+              .over(Window.partitionBy(groupPartExprs: _*)
+                .orderBy(clusterOrder: _*))
+            first(col(tmp))
+          }
         // group keys are implicit in Spark's groupBy output — drop their
         // plain (or matching floor) selectors to avoid duplicate columns.
         // A floor selector matches its group item only when BOTH the column
@@ -314,13 +347,14 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
             throw new CqlInvalidQueryException(
               s"floor($n, …) selector duration does not match GROUP BY")
           case s if !isAgg(s) =>
-            // a plain selection alongside aggregates is the group's
-            // FIRST-ROW value upstream [U cql3/selection/Selection];
-            // Spark demands an aggregate, so wrap in first() and keep
-            // the selector's output name
+            // Spark demands an aggregate, so wrap the clustering-order-
+            // pinned first-row value in first() and keep the selector's
+            // output name (the un-aliased auto name is resolved against
+            // the ORIGINAL expression so pinning never renames a column)
             val inner = selectorColumn(s, table)
-            Some(selectorOutputName(s)
-              .fold(first(inner))(n => first(inner).as(n)))
+            val outName = selectorOutputName(s)
+              .getOrElse(df.select(first(inner)).schema.head.name)
+            Some(pinFirst(inner).as(outName))
           case s => Some(selectorColumn(s, table))
         }.flatten
         if (aggCols.isEmpty)
@@ -340,9 +374,12 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
             }
             floorBucket(col(c0), us).as(alias.getOrElse(s"floor($c0)"))
         }
+        val dfPinned =
+          if (pinned.isEmpty) df
+          else pinned.foldLeft(df) { case (d0, (n, c0)) => d0.withColumn(n, c0) }
         if (sel.groupBy.nonEmpty)
-          df.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
-        else df.agg(aggCols.head, aggCols.tail: _*)
+          dfPinned.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+        else dfPinned.agg(aggCols.head, aggCols.tail: _*)
       } else if (sel.selectors == Seq(Star))
         // `_`-prefixed columns are engine metadata (writetime/ttl/tombstone)
         // — CQL exposes them through writetime()/ttl(), not SELECT *

@@ -1489,7 +1489,15 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * `INSERT INTO` bridge ([[catalogAppend]]): both are the bulk-load
     * surface, which upstream also stamps with a single mutation timestamp
     * per batch [U pylib/cqlshlib/copyutil.py]. */
-  private def bulkAppendLog(table: String, df: DataFrame): Unit = {
+  /** `beforeCommit` runs AFTER the load is durably materialized but
+    * BEFORE any visible state change — validation reads the exact rows
+    * that will be appended (not a re-execution of a possibly
+    * non-deterministic source), and a destructive prelude (the catalog's
+    * INSERT OVERWRITE truncate) only happens once the replacement data
+    * exists. A failure anywhere before the final assignment leaves the
+    * table exactly as it was. */
+  private def bulkAppendLog(table: String, df: DataFrame,
+      beforeCommit: DataFrame => Unit = _ => ()): Unit = {
     val t = tableState(table)
     mutationEpoch += 1
     val ts = nextTs(None)
@@ -1520,8 +1528,11 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     val dir = s"$bulkLoadRoot/${table.toLowerCase}/$mutationEpoch"
     shaped0.write.mode("overwrite").parquet(dir)
     val shaped = spark.read.schema(t.logSchema).parquet(dir)
+    beforeCommit(shaped)
+    // re-read the state: beforeCommit may have truncated (INSERT OVERWRITE)
+    val t1 = tableState(table)
     state(table.toLowerCase) =
-      t.copy(base = log(t).unionByName(shaped), pending = Vector.empty,
+      t1.copy(base = log(t1).unionByName(shaped), pending = Vector.empty,
         localOnly = false)
   }
 
@@ -1558,13 +1569,17 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         throw new CqlInvalidQueryException(
           s"INSERT through the Spark catalog requires primary key column $k")
     }
-    if (!df.filter(keys.map(k =>
-        col(df.columns.find(_.equalsIgnoreCase(k)).get).isNull)
-        .reduce(_ || _)).isEmpty)
-      throw new CqlInvalidQueryException(
-        "catalog INSERT: a row carries a null primary key value")
-    if (overwrite) truncateState(key)
-    bulkAppendLog(key, df)
+    // Null-key validation and the overwrite truncate both run in
+    // bulkAppendLog's beforeCommit hook — i.e. against the MATERIALIZED
+    // load, after its parquet write succeeded: a non-deterministic source
+    // cannot validate clean yet materialize null keys, and a failed write
+    // can no longer leave an INSERT OVERWRITE target truncated-but-empty.
+    bulkAppendLog(key, df, beforeCommit = { shaped =>
+      if (!shaped.filter(keys.map(col(_).isNull).reduce(_ || _)).isEmpty)
+        throw new CqlInvalidQueryException(
+          "catalog INSERT: a row carries a null primary key value")
+      if (overwrite) truncateState(key)
+    })
   }
 
   /** TRUNCATE semantics, shared by CQL `TRUNCATE` and the catalog's
@@ -2076,11 +2091,17 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * reads `system_traces` itself. */
   private[cql] def traced[A](request: String, command: String,
       firstEvent: String, completion: String)(f: => A): A = {
-    // skip only genuine trace READS (a SELECT targeting system_traces.*),
-    // not any statement whose text happens to mention the keyspace
-    val lower = request.toLowerCase
-    val isTraceRead =
-      lower.startsWith("select") && lower.contains("system_traces.")
+    // skip only genuine trace READS — a SELECT whose PARSED target table
+    // is system_traces.* — never a statement whose text merely mentions
+    // the keyspace (e.g. WHERE note = '…system_traces.…'). The extra
+    // parse runs only while tracing is on, and only for SELECTs; an
+    // unparseable statement is not a trace read (execute0 will raise the
+    // real error under trace, as upstream does).
+    lazy val isTraceRead =
+      request.trim.toLowerCase.startsWith("select") &&
+        (try CqlParser.parse(request).table.toLowerCase
+            .startsWith("system_traces.")
+         catch { case _: Exception => false })
     if (!tracingOn || isTraceRead) return f
     val t0 = System.nanoTime()
     val sid = java.util.UUID.randomUUID().toString

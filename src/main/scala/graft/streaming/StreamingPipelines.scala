@@ -176,7 +176,11 @@ object StreamingPipelines {
         // crash recovery: if the final dir is missing but .prev survives,
         // the last run died between the two renames below — .prev IS the
         // last committed snapshot, resume from it
-        if (!fs.exists(p) && fs.exists(bak)) fs.rename(bak, p)
+        if (!fs.exists(p) && fs.exists(bak) && !fs.rename(bak, p))
+          throw new java.io.IOException(
+            s"snapshot recovery: rename($bak, $p) failed — refusing to " +
+              "proceed (the batch would merge against an empty snapshot " +
+              "and the delete below would drop the last committed state)")
         val existing =
           if (fs.exists(p)) Some(s.read.parquet(snapshotDir)) else None
         val log = existing.fold(batch.toDF())(_.unionByName(batch.toDF()))
@@ -190,8 +194,17 @@ object StreamingPipelines {
         if (fs.exists(tmp)) fs.delete(tmp, true)
         merged.write.parquet(tmp.toString)
         if (fs.exists(bak)) fs.delete(bak, true)
-        if (fs.exists(p)) fs.rename(p, bak)
-        fs.rename(tmp, p)
+        // Every rename result is CHECKED: HDFS-style FileSystem.rename
+        // reports failure with `false`, not an exception. Proceeding past
+        // a failed rename(tmp, p) to the delete(bak) below would destroy
+        // the last committed snapshot — the precise loss the staging
+        // dance exists to prevent — so abort with .prev intact instead.
+        if (fs.exists(p) && !fs.rename(p, bak))
+          throw new java.io.IOException(
+            s"snapshot swap: rename($p, $bak) failed; committed snapshot untouched")
+        if (!fs.rename(tmp, p))
+          throw new java.io.IOException(
+            s"snapshot swap: rename($tmp, $p) failed; last snapshot preserved at $bak")
         fs.delete(bak, true)
         ()
       }
