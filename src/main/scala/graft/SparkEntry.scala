@@ -16,7 +16,7 @@ object SparkEntry {
       VectorQueries.queries ++ DedupQueries.queries ++ TextQueries.queries ++
       StreamingQueries.queries ++ MultimodalQueries.queries ++
       UdafQueries.queries ++ SkewJoin.queries ++ GraphAnn.queries ++
-      HybridAnn.queries ++ CqlQueries.queries
+      HybridAnn.queries ++ CqlQueries.queries ++ AdminQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +25,5 @@ object SparkEntry {
       VectorQueries.oracle ++ DedupQueries.oracle ++ TextQueries.oracle ++
       StreamingQueries.oracle ++ MultimodalQueries.oracle ++
       UdafQueries.oracle ++ SkewJoin.oracle ++ GraphAnn.oracle ++
-      HybridAnn.oracle ++ CqlQueries.oracle
+      HybridAnn.oracle ++ CqlQueries.oracle ++ AdminQueries.oracle
 }

@@ -493,13 +493,19 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * password, the supplied one must match. */
   def login(role: String, password: String = ""): Unit = {
     val r = role.toLowerCase
-    val d = roleReg.getOrElse(r, throw new CqlInvalidQueryException(
-      s"role $r does not exist"))
-    if (!d.login) throw new CqlInvalidQueryException(
-      s"role $r is not permitted to log in")
-    if (d.password.exists(_ != password))
-      throw new CqlInvalidQueryException(s"bad password for role $r")
+    // upstream audits LOGIN_SUCCESS / LOGIN_ERROR under category AUTH
+    // [U audit/AuditLogEntryType] — attributed to the ATTEMPTED role
+    def auth(ok: Boolean, err: String): Unit =
+      if (auditOn) auditRecord(r, "AUTH", s"LOGIN $r", ok, err)
+    def fail(msg: String): Nothing = {
+      auth(ok = false, err = "CqlInvalidQueryException")
+      throw new CqlInvalidQueryException(msg)
+    }
+    val d = roleReg.getOrElse(r, fail(s"role $r does not exist"))
+    if (!d.login) fail(s"role $r is not permitted to log in")
+    if (d.password.exists(_ != password)) fail(s"bad password for role $r")
     currentRole = r
+    auth(ok = true, err = null)
   }
 
   /** The authenticated role (upstream `system.clients.username`). */
@@ -1277,6 +1283,28 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       Row("catalog_snapshots", snapshotCache.size().toLong, snapBytes),
       Row("engine_plan_cache",
         engineCache.count(_._1 == mutationEpoch).toLong, 0L))
+    // `audit_log` [U audit/AuditLogManager]: role-attributed per-statement
+    // records (category, success, error class), ring-buffered; `queries`
+    // [U db/virtual/QueriesTable]: the LIVE in-flight statements — a
+    // SELECT of this table observes itself running, which is exactly
+    // upstream's behavior (the coordinator's own read task appears).
+    val auSchema = StructType(Seq(
+      StructField("seq", LongType),
+      StructField("role", StringType),
+      StructField("category", StringType),
+      StructField("statement", StringType),
+      StructField("success", BooleanType),
+      StructField("error", StringType)))
+    val qSchema = StructType(Seq(
+      StructField("thread_id", LongType),
+      StructField("role", StringType),
+      StructField("running_micros", LongType),
+      StructField("task", StringType)))
+    val nowNs = System.nanoTime()
+    val qRows = inFlight.asScala.toSeq.sortBy(_._1).map {
+      case (tid, (stmt, role, t0)) =>
+        Row(tid, role, (nowNs - t0) / 1000L, stmt)
+    }
     Map(
       "system_views.settings" -> CqlTable(
         spark.createDataFrame(setRows.asJava, setSchema), Seq("name")),
@@ -1286,7 +1314,12 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       "system_views.thread_pools" -> CqlTable(
         spark.createDataFrame(tpRows.asJava, tpSchema), Seq("name")),
       "system_views.caches" -> CqlTable(
-        spark.createDataFrame(caRows.asJava, caSchema), Seq("name")))
+        spark.createDataFrame(caRows.asJava, caSchema), Seq("name")),
+      "system_views.audit_log" -> CqlTable(
+        spark.createDataFrame(auditRows.toSeq.asJava, auSchema),
+        Seq("seq")),
+      "system_views.queries" -> CqlTable(
+        spark.createDataFrame(qRows.asJava, qSchema), Seq("thread_id")))
   }
 
   /** `system_traces.{sessions,events}` — the coordinator trace rows
@@ -1996,6 +2029,77 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   /** Is tracing currently enabled (cqlsh `TRACING` with no argument)? */
   def tracingEnabled: Boolean = tracingOn
 
+  // ——— audit / full-query logging [U audit/AuditLogManager.java,
+  // audit/FullQueryLogger.java] ———
+  //
+  // Upstream's audit log attributes every statement to its authenticated
+  // role with a category and success flag (the FQL additionally captures
+  // the raw statements for replay — here the statement column IS the
+  // replayable text). Upstream enables it via nodetool/cassandra.yaml;
+  // the engine's session analogue is the cqlsh-style toggle `AUDIT
+  // ON|OFF` (same shape as TRACING). Records ring-buffer at
+  // [[CqlSession.TraceCap]] and serve through
+  // `system_views.audit_log` — the volatile-snapshot path, so reads are
+  // always current. A statement's row is appended AFTER it completes
+  // (with success/error), so an audit_log read never contains itself.
+  private var auditOn = false
+  private var auditSeq = 0L
+  private val auditRows = scala.collection.mutable.ArrayBuffer.empty[Row]
+
+  /** Is audit logging currently enabled (`AUDIT` with no argument)? */
+  def auditEnabled: Boolean = auditOn
+
+  /** Upstream AuditLogEntryType categories, keyed from the leading
+    * keyword: QUERY (reads), DML (mutations), DDL (schema), DCL
+    * (roles/permissions), AUTH (login events), OTHER (client-side /
+    * introspection statements). */
+  private def auditCategory(kw: String): String = kw match {
+    case "select" => "QUERY"
+    case "insert" | "update" | "delete" | "begin" | "copy" => "DML"
+    case "create" | "alter" | "drop" | "truncate" => "DDL"
+    case "grant" | "revoke" | "list" => "DCL"
+    case _ => "OTHER"
+  }
+
+  private[cql] def auditRecord(role: String, category: String,
+      statement: String, success: Boolean, error: String): Unit = {
+    auditSeq += 1
+    auditRows += Row(auditSeq, role, category, statement.take(500),
+      success, error)
+    while (auditRows.size > CqlSession.TraceCap) auditRows.remove(0)
+  }
+
+  /** Append one audit row around `f` — role captured at SUBMISSION time
+    * (a login inside a batch must not re-attribute it), failures recorded
+    * with the error class, the original exception always rethrown. */
+  private[cql] def audited[A](request: String, kw: String)(f: => A): A = {
+    if (!auditOn) return f
+    val role = currentRole
+    val cat = auditCategory(kw)
+    try {
+      val out = f
+      auditRecord(role, cat, request, success = true, error = null)
+      out
+    } catch {
+      case e: Throwable =>
+        auditRecord(role, cat, request, success = false,
+          error = e.getClass.getSimpleName)
+        throw e
+    }
+  }
+
+  // ——— system_views.queries: live in-flight statements [U db/virtual/
+  // QueriesTable.java — upstream reports the coordinator's running
+  // tasks] ———
+  private val inFlight = new java.util.concurrent.ConcurrentHashMap[
+    Long, (String, String, Long)]()
+
+  private def registerInFlight(statement: String): Long = {
+    val id = Thread.currentThread().getId
+    inFlight.put(id, (statement.take(500), currentRole, System.nanoTime()))
+    id
+  }
+
   /** Run a CQL statement: SELECT returns rows; DML and BATCH mutate and
     * return an empty DataFrame (like a CQL void result).
     *
@@ -2076,12 +2180,29 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         StructType(Seq(StructField("tracing", BooleanType,
           nullable = false))))
     }
-    traced(head, "QUERY", s"Parsing ${head.take(100)}", kw0 match {
-      case "insert" | "update" | "delete" | "begin" =>
-        "Applied mutation to the upsert log"
-      case "select" => "Computed Catalyst plan for statement"
-      case _ => "Executed statement"
-    })(execute0(head))
+    if (kw0 == "audit") {
+      import scala.jdk.CollectionConverters._
+      head.stripSuffix(";").split("\\s+").lift(1).map(_.toLowerCase) match {
+        case Some("on") => auditOn = true
+        case Some("off") => auditOn = false
+        case None => () // bare AUDIT: report current state
+        case Some(other) => throw new CqlInvalidQueryException(
+          s"AUDIT expects ON or OFF, got $other")
+      }
+      return spark.createDataFrame(
+        Seq(Row(auditOn)).asJava,
+        StructType(Seq(StructField("audit", BooleanType,
+          nullable = false))))
+    }
+    val tid = registerInFlight(head)
+    try audited(head, kw0) {
+      traced(head, "QUERY", s"Parsing ${head.take(100)}", kw0 match {
+        case "insert" | "update" | "delete" | "begin" =>
+          "Applied mutation to the upsert log"
+        case "select" => "Computed Catalyst plan for statement"
+        case _ => "Executed statement"
+      })(execute0(head))
+    } finally inFlight.remove(tid)
   }
 
   /** Record one traced session (+ first/completion phase events with real
@@ -3576,7 +3697,11 @@ class CqlPrepared private[cql] (session: CqlSession, template: AnyRef,
   private def run(b: CqlPrepared.Binder): DataFrame = {
     session.clearWarnings()
     // traced under command EXECUTE, like upstream prepared executions —
-    // the first event says what a prepared run actually skips
+    // the first event says what a prepared run actually skips; audited
+    // under the statement's own category (upstream logs prepared runs
+    // through the same audit pipeline as simple statements)
+    session.audited(text,
+      text.trim.takeWhile(!_.isWhitespace).toLowerCase) {
     session.traced(text, "EXECUTE",
       s"Executing prepared statement (parse skipped): ${text.take(100)}",
       "Executed prepared statement") {
@@ -3590,6 +3715,7 @@ class CqlPrepared private[cql] (session: CqlSession, template: AnyRef,
       }
       b.done()
       out
+    }
     }
   }
 }

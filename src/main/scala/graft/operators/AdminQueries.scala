@@ -1,0 +1,299 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Gate queries for the ADMINISTRATIVE surfaces — auth/roles, schema
+  * introspection (DESCRIBE + system_virtual_schema), guardrail settings
+  * through system_views, and the Spark DSv2 catalog bridge. VERDICT r8
+  * ranked oracling these six spec-only surfaces as the top task: each
+  * query drives the real engine surface end-to-end and projects the
+  * DETERMINISTIC part of the result (the cql12_tracing convention), so
+  * the DuckDB twin is the literal expected table and the whole round
+  * trip sits inside the hash gate.
+  *
+  * Upstream anchors [U]: auth/ (CassandraRoleManager,
+  * CassandraAuthorizer), cql3/statements/DescribeStatement.java,
+  * db/virtual/{VirtualSchemaKeyspace,SettingsTable}.java,
+  * db/guardrails/Guardrails.java; the catalog bridge's public analogue
+  * is the spark-cassandra-connector CassandraCatalog [P]. */
+object AdminQueries {
+
+  /** CQL13 — the whole role/permission lifecycle in the gate: CREATE
+    * ROLE, GRANT permission (table + keyspace scope), GRANT role TO role
+    * (inheritance), LIST ROLES / LIST ALL PERMISSIONS, plus statement-
+    * time ENFORCEMENT probes run as a logged-in non-superuser: a granted
+    * SELECT succeeds, an ungranted UPDATE is denied, and the SELECT
+    * arrives only via the inherited group role — upstream's recursive
+    * role resolution [U auth/RolesCache, CassandraAuthorizer]. */
+  def cql13_roles(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.cql.CqlSession(s)
+    sess.execute("CREATE TABLE acct13 (k bigint PRIMARY KEY, v bigint)")
+    sess.execute("INSERT INTO acct13 (k, v) VALUES (1, 10)")
+    sess.execute("CREATE ROLE readers13")
+    sess.execute("CREATE ROLE analyst13 WITH LOGIN = true")
+    sess.execute("CREATE ROLE auditor13 WITH LOGIN = true AND SUPERUSER = false")
+    sess.execute("GRANT SELECT ON acct13 TO readers13")
+    sess.execute("GRANT readers13 TO analyst13") // inheritance
+    sess.execute("GRANT MODIFY ON KEYSPACE default TO auditor13")
+    val roles = sess.execute("LIST ROLES")
+      .select(lit("role").as("kind"), col("role").as("name"),
+        concat(lit("super="), col("super").cast("string"),
+          lit(" login="), col("login").cast("string")).as("detail"))
+    val perms = sess.execute("LIST ALL PERMISSIONS")
+      .select(lit("perm").as("kind"), col("role").as("name"),
+        concat(col("resource"), lit(" "), col("permission")).as("detail"))
+    // effective identity through inheritance: analyst13's closure
+    // contains readers13
+    val ofRows = sess.execute("LIST ROLES OF analyst13")
+      .select(lit("closure").as("kind"), lit("analyst13").as("name"),
+        col("role").as("detail"))
+    // enforcement probes as the non-superuser
+    sess.login("analyst13")
+    val canSelect =
+      try sess.execute("SELECT v FROM acct13 WHERE k = 1").head()
+        .getLong(0) == 10L
+      catch { case _: graft.cql.CqlInvalidQueryException => false }
+    val updateDenied =
+      try { sess.execute("UPDATE acct13 SET v = 11 WHERE k = 1"); false }
+      catch { case _: graft.cql.CqlInvalidQueryException => true }
+    sess.login("cassandra", "cassandra")
+    import scala.jdk.CollectionConverters._
+    val probes = s.createDataFrame(Seq(
+      Row("probe", "analyst13", s"inherited-select-ok=$canSelect"),
+      Row("probe", "analyst13", s"ungranted-update-denied=$updateDenied")
+    ).asJava, StructType(Seq(
+      StructField("kind", StringType),
+      StructField("name", StringType),
+      StructField("detail", StringType))))
+    roles.unionByName(perms).unionByName(ofRows).unionByName(probes)
+      .orderBy("kind", "name", "detail")
+  }
+
+  /** CQL14 — schema introspection in the gate: DESCRIBE TABLE emits the
+    * round-trippable CREATE statement, system_schema.columns carries the
+    * created table's key kinds/positions, and system_virtual_schema
+    * .columns describes the virtual tables themselves (what a driver
+    * reads to introspect system_views) — all over a freshly created
+    * table, so every row is pure deterministic DDL state. */
+  def cql14_schema(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.cql.CqlSession(s)
+    sess.execute("CREATE TABLE sensors14 (site text, sensor text, " +
+      "at timestamp, temp double, tags list<text>, " +
+      "PRIMARY KEY ((site, sensor), at)) " +
+      "WITH CLUSTERING ORDER BY (at DESC)")
+    // single-line canonical form: the emitted DDL's newline layout is a
+    // rendering detail, the TEXT is the contract under test
+    val desc = sess.execute("DESCRIBE TABLE sensors14")
+      .select(lit("describe").as("kind"),
+        concat(col("keyspace_name"), lit("."), col("name")).as("object"),
+        regexp_replace(col("create_statement"), "\\n\\s*", " ").as("detail"))
+    val cols = sess.execute("SELECT keyspace_name, table_name, " +
+      "column_name, kind, position FROM system_schema.columns " +
+      "WHERE keyspace_name = 'default' AND table_name = 'sensors14' " +
+      "ALLOW FILTERING")
+      .select(lit("column").as("kind"),
+        concat(col("table_name"), lit("."), col("column_name")).as("object"),
+        concat(col("kind"), lit("@"), col("position").cast("string"))
+          .as("detail"))
+    val virt = sess.execute("SELECT keyspace_name, table_name, " +
+      "column_name, kind, type FROM system_virtual_schema.columns " +
+      "WHERE keyspace_name = 'system_views' AND table_name = 'settings' " +
+      "ALLOW FILTERING")
+      .select(lit("virtual").as("kind"),
+        concat(col("table_name"), lit("."), col("column_name")).as("object"),
+        concat(col("kind"), lit(":"), col("type")).as("detail"))
+    desc.unionByName(cols).unionByName(virt)
+      .orderBy("kind", "object", "detail")
+  }
+
+  /** CQL15 — guardrails + system_views.settings in the gate: pinned
+    * `spark.graft.guardrails.*` conf values read back through the
+    * settings virtual table (the cassandra.yaml → SettingsTable round
+    * trip), one TRIPPED warn guardrail surfaced through the per-statement
+    * client-warnings channel, and one fail guardrail enforced — all as a
+    * logged-in non-superuser (upstream's exemption rule: superusers are
+    * never guarded). Conf keys are restored afterwards so the shared
+    * session leaks nothing into other queries. */
+  def cql15_settings(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.cql.CqlSession(s)
+    import scala.jdk.CollectionConverters._
+    val keys = Seq(
+      "spark.graft.guardrails.tables_warn_threshold" -> "1",
+      "spark.graft.guardrails.allow_filtering_enabled" -> "false")
+    try {
+      keys.foreach { case (k, v) => s.conf.set(k, v) }
+      sess.execute("CREATE TABLE gr15 (k bigint PRIMARY KEY, v bigint)")
+      sess.execute("INSERT INTO gr15 (k, v) VALUES (1, 7)")
+      sess.execute("CREATE ROLE ops15 WITH LOGIN = true")
+      sess.execute("GRANT SELECT ON KEYSPACE default TO ops15")
+      sess.execute("GRANT CREATE ON KEYSPACE default TO ops15")
+      val settings = sess.execute("SELECT name, value FROM " +
+        "system_views.settings WHERE name >= 'spark.graft.guardrails' " +
+        "AND name < 'spark.graft.guardrailt' ALLOW FILTERING")
+        .select(lit("setting").as("kind"), col("name"),
+          col("value").as("detail"))
+      sess.login("ops15")
+      // warn guardrail: creating a table past tables_warn_threshold = 1
+      // succeeds but appends to the warnings channel
+      sess.execute("CREATE TABLE gr15b (k bigint PRIMARY KEY)")
+      val warned = sess.lastWarnings
+        .exists(_.contains("Guardrail tables violated"))
+      // fail guardrail: ALLOW FILTERING disabled for non-superusers
+      val filteringDenied =
+        try { sess.execute(
+          "SELECT v FROM gr15 WHERE v = 7 ALLOW FILTERING"); false }
+        catch { case _: graft.cql.CqlInvalidQueryException => true }
+      sess.login("cassandra", "cassandra")
+      // superuser exemption: the same statement passes for cassandra
+      val superOk = sess.execute(
+        "SELECT v FROM gr15 WHERE v = 7 ALLOW FILTERING").count() == 1L
+      val probes = s.createDataFrame(Seq(
+        Row("probe", "tables_warn", s"warned=$warned"),
+        Row("probe", "allow_filtering_fail", s"denied=$filteringDenied"),
+        Row("probe", "superuser_exempt", s"allowed=$superOk")
+      ).asJava, StructType(Seq(
+        StructField("kind", StringType),
+        StructField("name", StringType),
+        StructField("detail", StringType))))
+      settings.unionByName(probes).orderBy("kind", "name", "detail")
+    } finally keys.foreach { case (k, _) => s.conf.unset(k) }
+  }
+
+  /** CAT1 — the DSv2 catalog bridge in the gate: a CQL-created table
+    * reached through plain three-part-name Spark SQL — INSERT INTO from
+    * the fixture parquet (routes through catalogAppend: MODIFY
+    * enforcement + key validation + one writetime), then an aggregate
+    * SELECT back through the catalog's parquet-snapshot read path. The
+    * twin runs the equivalent SQL directly over the fixture, so the
+    * whole write→snapshot→read loop is hash-verified. */
+  def cat1_catalog(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.cql.CqlSession(s)
+    sess.execute("CREATE TABLE cat_orders1 (o_orderkey bigint PRIMARY KEY, " +
+      "o_totalprice double, o_orderpriority text)")
+    sess.exposeAsCatalog("graftcat")
+    s.read.parquet(s"$d/orders.parquet")
+      .createOrReplaceTempView("cat1_src")
+    s.sql("INSERT INTO graftcat.default.cat_orders1 " +
+      "SELECT o_orderkey, o_totalprice, o_orderpriority " +
+      "FROM cat1_src WHERE o_orderkey <= 2000")
+    s.sql("""SELECT o_orderpriority,
+             count(*) AS n,
+             CAST(sum(o_totalprice) AS DECIMAL(38,6)) AS total,
+             min(o_orderkey) AS first_key
+             FROM graftcat.default.cat_orders1
+             GROUP BY o_orderpriority
+             ORDER BY o_orderpriority""")
+  }
+
+  /** CQL16 — audit / full-query logging in the gate [U audit/
+    * AuditLogManager.java, FullQueryLogger.java]: AUDIT ON, then one
+    * statement per category — DML, QUERY, DDL, DCL, AUTH (login
+    * success), and a DENIED statement recorded with success=false and
+    * its error class — read back role-attributed through
+    * `system_views.audit_log`. A live-statements probe reads
+    * `system_views.queries` and observes ITSELF in flight (upstream
+    * QueriesTable behavior), folded into the same projection. Every
+    * column is deterministic: seq is the session-local audit sequence,
+    * durations are excluded by construction. */
+  def cql16_audit(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.cql.CqlSession(s)
+    sess.execute("CREATE TABLE aud16 (k bigint PRIMARY KEY, v bigint)")
+    sess.execute("CREATE ROLE aud_op16 WITH LOGIN = true")
+    sess.execute("GRANT SELECT ON aud16 TO aud_op16")
+    sess.execute("AUDIT ON")
+    sess.execute("INSERT INTO aud16 (k, v) VALUES (1, 10)")
+    sess.execute("SELECT v FROM aud16 WHERE k = 1")
+    sess.execute("CREATE TABLE aud16b (k bigint PRIMARY KEY)")
+    sess.execute("GRANT MODIFY ON aud16 TO aud_op16")
+    sess.login("aud_op16")
+    try sess.execute("DROP TABLE aud16b") // denied: no DROP permission
+    catch { case _: graft.cql.CqlInvalidQueryException => () }
+    sess.login("cassandra", "cassandra")
+    sess.execute("AUDIT OFF")
+    val audit = sess.execute("SELECT seq, role, category, statement, " +
+      "success, error FROM system_views.audit_log")
+    val live = sess.execute(
+      "SELECT thread_id, role, task FROM system_views.queries")
+      .select(lit(100L).as("seq"), col("role"),
+        lit("INFLIGHT").as("category"), col("task").as("statement"),
+        lit(true).as("success"), lit(null).cast("string").as("error"))
+    audit.unionByName(live).orderBy("seq")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cql16_audit" -> (cql16_audit _),
+    "cql13_roles" -> (cql13_roles _),
+    "cql14_schema" -> (cql14_schema _),
+    "cql15_settings" -> (cql15_settings _),
+    "cat1_catalog" -> (cat1_catalog _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    // the literal audit trail: one row per category, the denied DROP
+    // with success=false + error class, the live-queries self-observation
+    "cql16_audit" ->
+      """SELECT CAST(seq AS BIGINT) AS seq, role, category, statement,
+        |  success, error FROM (VALUES
+        |  (1, 'cassandra', 'DML',
+        |   'INSERT INTO aud16 (k, v) VALUES (1, 10)', true, NULL),
+        |  (2, 'cassandra', 'QUERY',
+        |   'SELECT v FROM aud16 WHERE k = 1', true, NULL),
+        |  (3, 'cassandra', 'DDL',
+        |   'CREATE TABLE aud16b (k bigint PRIMARY KEY)', true, NULL),
+        |  (4, 'cassandra', 'DCL',
+        |   'GRANT MODIFY ON aud16 TO aud_op16', true, NULL),
+        |  (5, 'aud_op16', 'AUTH', 'LOGIN aud_op16', true, NULL),
+        |  (6, 'aud_op16', 'DDL', 'DROP TABLE aud16b', false,
+        |   'CqlInvalidQueryException'),
+        |  (7, 'cassandra', 'AUTH', 'LOGIN cassandra', true, NULL),
+        |  (100, 'cassandra', 'INFLIGHT',
+        |   'SELECT thread_id, role, task FROM system_views.queries',
+        |   true, NULL))
+        |AS t(seq, role, category, statement, success, error)
+        |ORDER BY seq""".stripMargin,
+    // the literal expected admin state (cql12's invariant-projection
+    // convention): VALUES twins for the deterministic DDL/auth rows
+    "cql13_roles" ->
+      """SELECT kind, name, detail FROM (VALUES
+        |  ('closure', 'analyst13', 'analyst13'),
+        |  ('closure', 'analyst13', 'readers13'),
+        |  ('perm', 'auditor13', '<keyspace default> MODIFY'),
+        |  ('perm', 'readers13', '<table default.acct13> SELECT'),
+        |  ('probe', 'analyst13', 'inherited-select-ok=true'),
+        |  ('probe', 'analyst13', 'ungranted-update-denied=true'),
+        |  ('role', 'analyst13', 'super=false login=true'),
+        |  ('role', 'auditor13', 'super=false login=true'),
+        |  ('role', 'cassandra', 'super=true login=true'),
+        |  ('role', 'readers13', 'super=false login=false'))
+        |AS t(kind, name, detail) ORDER BY kind, name, detail""".stripMargin,
+    "cql14_schema" ->
+      """SELECT kind, object, detail FROM (VALUES
+        |  ('column', 'sensors14.at', 'clustering@0'),
+        |  ('column', 'sensors14.sensor', 'partition_key@1'),
+        |  ('column', 'sensors14.site', 'partition_key@0'),
+        |  ('column', 'sensors14.tags', 'regular@-1'),
+        |  ('column', 'sensors14.temp', 'regular@-1'),
+        |  ('describe', 'default.sensors14',
+        |   'CREATE TABLE sensors14 ( site text, sensor text, at timestamp, temp double, tags list<text>, PRIMARY KEY ((site, sensor), at) ) WITH CLUSTERING ORDER BY (at DESC)'),
+        |  ('virtual', 'settings.name', 'partition_key:text'),
+        |  ('virtual', 'settings.value', 'regular:text'))
+        |AS t(kind, object, detail) ORDER BY kind, object, detail""".stripMargin,
+    "cql15_settings" ->
+      """SELECT kind, name, detail FROM (VALUES
+        |  ('probe', 'allow_filtering_fail', 'denied=true'),
+        |  ('probe', 'superuser_exempt', 'allowed=true'),
+        |  ('probe', 'tables_warn', 'warned=true'),
+        |  ('setting', 'spark.graft.guardrails.allow_filtering_enabled',
+        |   'false'),
+        |  ('setting', 'spark.graft.guardrails.tables_warn_threshold', '1'))
+        |AS t(kind, name, detail) ORDER BY kind, name, detail""".stripMargin,
+    "cat1_catalog" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_totalprice) AS DECIMAL(38,6)) AS total,
+        |  min(o_orderkey) AS first_key
+        |FROM orders WHERE o_orderkey <= 2000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+  )
+}
