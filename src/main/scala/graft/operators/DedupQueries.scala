@@ -419,6 +419,57 @@ object DedupQueries {
       .orderBy("idx_id", "new_id")
   }
 
+  /** The band-index SEGMENT d14 appends: an ACCEPTED incoming batch's
+    * bands written ONCE as their own parquet segment beside the base
+    * index — v18's per-flush segment rule applied to the dedup index
+    * (upstream SAI builds one index segment per flushed sstable and
+    * searches base + segments [U index/sai/]; FAISS's add-after-train is
+    * the vector-side analogue). The base index is NEVER rewritten; a
+    * rebuild is only worth it when segment count makes the probe-side
+    * union wide (the compaction analogue — SCALE.md records the
+    * threshold shape). */
+  private val bandSegmentCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def bandSegmentDir(s: SparkSession, d: String): String = {
+    val mtime = try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$d/documents.parquet")).toMillis
+      catch { case _: Exception => 0L }
+    bandSegmentCache.computeIfAbsent(s"$d@$mtime", { _ =>
+      val dir = Tables.tempRoot("graft-band-seg")
+      val accepted = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      bandedSignatures(accepted).write.mode("overwrite").parquet(dir)
+      dir
+    })
+  }
+
+  /** D14 (L2+ band-index segment append): the index LIFECYCLE closed —
+    * after d12 admits a batch, its bands append as ONE segment; the next
+    * batch probes base + segments as a plain parquet union, so the second
+    * crawl sees the first crawl's accepted docs WITHOUT any index
+    * rebuild. One equi-join on (band, bh) against the unioned index,
+    * bucket cap applied to the UNION (a bucket hot only across
+    * generations is still hot — the cap must see the merged index, and
+    * the twin mirrors it). Probe cost is flat in segment count until
+    * compaction (each segment is one more leaf in the same scan). */
+  def d14_band_append(s: SparkSession, d: String): DataFrame = {
+    val base = s.read.parquet(bandIndexDir(s, d))
+    val seg = s.read.parquet(bandSegmentDir(s, d))
+    val idx = base.unionByName(seg)
+      .select(col("doc_id").as("idx_id"), col("band"), col("bh"))
+    val bucketOk = idx.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") <= MaxBucket)
+      .select(col("band"), col("bh"))
+    val probe = Tables.documents(s, d).filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+    bandedSignatures(probe)
+      .select(col("doc_id").as("new_id"), col("band"), col("bh"))
+      .join(idx.join(bucketOk, Seq("band", "bh")), Seq("band", "bh"))
+      .select(col("idx_id"), col("new_id")).distinct()
+      .orderBy("idx_id", "new_id")
+  }
+
 
   /** D13 (L2++ bloom-gated incremental exact dedup): dedup an INCOMING
     * batch against the standing corpus WITHOUT shuffling the corpus per
@@ -605,6 +656,7 @@ object DedupQueries {
     "d11_chunk_dedup" -> (d11_chunk_dedup _),
     "d12_incremental" -> (d12_incremental _),
     "d13_bloom_incremental" -> (d13_bloom_incremental _),
+    "d14_band_append" -> (d14_band_append _),
   )
 
   private val corpusCteBody =
@@ -821,6 +873,23 @@ object DedupQueries {
     "d4_simhash" -> d4Oracle,
     "d11_chunk_dedup" -> d11Oracle,
     "d12_incremental" -> d12Oracle,
+    // base ∪ appended segment as the index side, the second batch as
+    // probe — bucket cap over the MERGED index, mirroring the serve path
+    "d14_band_append" ->
+      s"""WITH ${bandCtes("i",
+           """SELECT doc_id, text FROM documents
+             |UNION ALL
+             |SELECT doc_id + 100000 AS doc_id, text FROM documents
+             |WHERE doc_id % 5 = 0""".stripMargin)},
+         |${bandCtes("n",
+           "SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0")},
+         |iok AS (SELECT band, key FROM ibanded GROUP BY band, key
+         |        HAVING count(*) <= $MaxBucket)
+         |SELECT i.doc_id AS idx_id, n.doc_id AS new_id
+         |FROM ibanded i
+         |JOIN iok ON iok.band = i.band AND iok.key = i.key
+         |JOIN nbanded n ON i.band = n.band AND i.key = n.key
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the bloom is performance-only: final rows = the exact semi-join
     "d13_bloom_incremental" ->
       """WITH base AS (SELECT md5(text) AS h FROM documents),

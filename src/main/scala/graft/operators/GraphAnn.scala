@@ -36,8 +36,13 @@ object GraphAnn {
     private val vecs = ArrayBuffer[Array[Float]]()
     private val norms = ArrayBuffer[Double]()
     private val adj = ArrayBuffer[ArrayBuffer[Int]]()
+    /** distance evaluations since [[resetEvals]] — comparison metric for
+      * the layered upgrade (GraphAnnSpec). */
+    var simEvals: Long = 0L
+    def resetEvals(): Unit = simEvals = 0L
 
     private def sim(a: Int, v: Array[Float], nv: Double): Double = {
+      simEvals += 1
       val va = vecs(a)
       var s = 0.0; var i = 0
       while (i < va.length) { s += va(i).toDouble * v(i).toDouble; i += 1 }
@@ -127,10 +132,190 @@ object GraphAnn {
     }
   }
 
-  /** Per-partition graph kNN: builds the partition's NSW (insertion in
-    * vec_id order), beam-searches the query, emits the partition's top-k
-    * exact-rescored candidates. `ef` bounds the beam (recall/latency knob —
-    * at 100 TB this is the per-shard search budget). */
+  /** Multi-layer HNSW (Malkov & Yashunin, arXiv:1603.09320 [P]) — the
+    * r8-verdict upgrade over the flat NSW: geometric level assignment
+    * SEEDED BY THE GLOBAL vec_id (deterministic and partition-independent
+    * — the same vector lands the same level in any shard layout), greedy
+    * single-entry descent through the upper layers, beam search only at
+    * layer 0. Upper layers are pure shortcut structure: equal ef returns
+    * recall ≥ the flat graph's with FEWER distance evaluations
+    * (`simEvals` instruments exactly that; GraphAnnSpec asserts it).
+    * The flat [[Nsw]] stays as the per-shard fallback and the preloaded
+    * serve path for single-level artifacts. */
+  private final class Hnsw(m: Int, efConstruction: Int) {
+    private val vecs = ArrayBuffer[Array[Float]]()
+    private val norms = ArrayBuffer[Double]()
+    /** adj(id)(level) — level 0 first; a node carries levels 0..L. */
+    private val adj = ArrayBuffer[ArrayBuffer[ArrayBuffer[Int]]]()
+    private var entry = -1
+    private var maxLevel = -1
+    /** distance evaluations since the last [[resetEvals]] — the cost
+      * metric layers exist to reduce. */
+    var simEvals: Long = 0L
+    def resetEvals(): Unit = simEvals = 0L
+    /** per-search score memo (active only inside [[search]]). */
+    private var memo: java.util.HashMap[Integer, java.lang.Double] = null
+
+    private def sim(a: Int, v: Array[Float], nv: Double): Double = {
+      if (memo != null) {
+        val hit = memo.get(a)
+        if (hit != null) return hit.doubleValue
+      }
+      simEvals += 1
+      val va = vecs(a)
+      var s = 0.0; var i = 0
+      while (i < va.length) { s += va(i).toDouble * v(i).toDouble; i += 1 }
+      val out = s / (norms(a) * nv)
+      if (memo != null) memo.put(a, out)
+      out
+    }
+
+    /** Deterministic geometric level: the seed (global vec_id) mixes
+      * through a splitmix-style constant to a uniform in (0,1]; the
+      * resulting floor(-ln(u)·mL) is the HNSW level draw with
+      * mL = 1/ln(m) — reproducible across runs AND shard layouts. */
+    private def levelFor(seed: Long): Int = {
+      var z = seed + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      val u = ((z >>> 11).toDouble + 1.0) / (1L << 53).toDouble
+      math.min((-math.log(u) / math.log(m.max(2))).toInt, 16)
+    }
+
+    /** Beam search within one layer (ties: smaller id wins), seeded from
+      * `ep`; the [[Nsw]] search loop generalized with a level index. */
+    private def searchLayer(v: Array[Float], nv: Double, ep: Int,
+        ef: Int, level: Int): Seq[(Double, Int)] = {
+      implicit val ord: Ordering[(Double, Int)] =
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int.reverse)
+      val visited = new java.util.BitSet(vecs.length)
+      val cand = scala.collection.mutable.PriorityQueue.empty[(Double, Int)]
+      val best = new java.util.TreeSet[(Double, Int)](
+        new java.util.Comparator[(Double, Int)] {
+          def compare(l: (Double, Int), r: (Double, Int)): Int = {
+            val c = java.lang.Double.compare(l._1, r._1)
+            if (c != 0) c else Integer.compare(r._2, l._2)
+          }
+        })
+      def offer(id: Int): Unit = if (!visited.get(id)) {
+        visited.set(id)
+        val s = sim(id, v, nv)
+        if (best.size < ef || best.comparator.compare((s, id), best.first) > 0) {
+          cand.enqueue((s, id))
+          best.add((s, id))
+          if (best.size > ef) best.pollFirst()
+        }
+      }
+      offer(ep)
+      while (cand.nonEmpty) {
+        val (s, id) = cand.dequeue()
+        if (best.size == ef && ord.compare((s, id), best.first) < 0) cand.clear()
+        else if (level < adj(id).length) adj(id)(level).foreach(offer)
+      }
+      import scala.jdk.CollectionConverters._
+      best.descendingIterator.asScala.toSeq
+    }
+
+    /** Greedy single-candidate descent — the ef=1 upper-layer walk. */
+    private def greedyStep(v: Array[Float], nv: Double, ep: Int,
+        level: Int): Int = {
+      var cur = ep
+      var curSim = sim(cur, v, nv)
+      var improved = true
+      while (improved) {
+        improved = false
+        if (level < adj(cur).length) adj(cur)(level).foreach { n =>
+          val s = sim(n, v, nv)
+          if (s > curSim || (s == curSim && n < cur)) {
+            cur = n; curSim = s; improved = true
+          }
+        }
+      }
+      cur
+    }
+
+    def search(v: Array[Float], ef: Int): Seq[(Int, Double)] = {
+      if (vecs.isEmpty) return Nil
+      val nv = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      // per-search memo: a node scored during the upper-layer descent is
+      // never re-scored at layer 0 (the descent's whole point is to spend
+      // those evaluations INSTEAD of broader layer-0 exploration)
+      memo = new java.util.HashMap[Integer, java.lang.Double]()
+      try {
+        var ep = entry
+        var lc = maxLevel
+        while (lc > 0) { ep = greedyStep(v, nv, ep, lc); lc -= 1 }
+        searchLayer(v, nv, ep, ef, 0).map { case (s, id) => (id, s) }
+      } finally memo = null
+    }
+
+    def insert(v: Array[Float], seed: Long): Unit = {
+      val id = vecs.length
+      val l = levelFor(seed)
+      vecs += v
+      norms += math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      adj += ArrayBuffer.fill(l + 1)(ArrayBuffer.empty[Int])
+      if (entry < 0) { entry = id; maxLevel = l; return }
+      val nv = norms(id)
+      var ep = entry
+      var lc = maxLevel
+      while (lc > l) { ep = greedyStep(v, nv, ep, lc); lc -= 1 }
+      var level = math.min(l, maxLevel)
+      while (level >= 0) {
+        val w = searchLayer(v, nv, ep, efConstruction, level)
+        // level 0 keeps up to 2M links (HNSW's Mmax0), upper levels M
+        val cap = if (level == 0) 2 * m else m
+        val nbrs = w.filter(_._2 != id).take(m)
+        adj(id)(level) ++= nbrs.map(_._2)
+        nbrs.foreach { case (_, n) =>
+          adj(n)(level) += id
+          if (adj(n)(level).length > cap) {
+            val nvec = vecs(n); val nn = norms(n)
+            val kept = adj(n)(level).map(x => (sim(x, nvec, nn), x))
+              .sortBy(e => (-e._1, e._2)).take(cap).map(_._2)
+            adj(n)(level).clear(); adj(n)(level) ++= kept
+          }
+        }
+        ep = w.headOption.map(_._2).getOrElse(ep)
+        level -= 1
+      }
+      if (l > maxLevel) { entry = id; maxLevel = l }
+    }
+
+    def size: Int = vecs.length
+
+    /** Per-level adjacency for persistence — level 0 first. */
+    def adjacency(id: Int): Seq[Seq[Int]] = adj(id).map(_.toSeq).toSeq
+  }
+
+  private object Hnsw {
+    /** Reconstruct a searchable layered graph from persisted vectors +
+      * per-level adjacency (no insert work). Entry point = the max-level
+      * node, ties to the smaller local id — the same node the builder
+      * ended with, recomputed deterministically. */
+    def preloaded(vs: Array[Array[Float]],
+        neighbors: Array[Array[Array[Int]]]): Hnsw = {
+      val g = new Hnsw(8, 0)
+      var i = 0
+      while (i < vs.length) {
+        g.vecs += vs(i)
+        g.norms += math.sqrt(vs(i).map(x => x.toDouble * x.toDouble).sum)
+        g.adj += ArrayBuffer(neighbors(i).map(
+          l => ArrayBuffer(l.toSeq: _*)).toSeq: _*)
+        val lvl = neighbors(i).length - 1
+        if (lvl > g.maxLevel) { g.maxLevel = lvl; g.entry = i }
+        i += 1
+      }
+      g
+    }
+  }
+
+  /** Per-partition graph kNN: builds the partition's HNSW (insertion in
+    * vec_id order, levels seeded by vec_id), beam-searches the query,
+    * emits the partition's top-k exact-rescored candidates. `ef` bounds
+    * the layer-0 beam (recall/latency knob — at 100 TB this is the
+    * per-shard search budget). */
   def partitionedGraphKnn(vectors: DataFrame, queryVec: DataFrame, k: Int,
       m: Int = 8, ef: Int = 64): DataFrame = {
     val spark = vectors.sparkSession
@@ -148,8 +333,8 @@ object GraphAnn {
       if (rows.isEmpty) Iterator.empty
       else {
         val qv = rows(0)._3
-        val g = new Nsw(m, ef)
-        rows.foreach(r => g.insert(r._2))
+        val g = new Hnsw(m, math.max(ef, 2 * m))
+        rows.foreach(r => g.insert(r._2, r._1))
         takeRounded(g.search(qv, ef)
           .map { case (local, s) => (rows(local)._1, s) }, k).iterator
       }
@@ -181,22 +366,24 @@ object GraphAnn {
     * graph construction; the artifact carries the corpus once plus ~m
     * ints/vector of adjacency, partitioned by shard for pruned reads. */
   def buildGraphIndex(vectors: DataFrame, dir: String, shards: Int = 8,
-      m: Int = 8, efConstruction: Int = 96): Unit = {
+      m: Int = 8, efConstruction: Int = 96, shardOffset: Int = 0): Unit = {
     val spark = vectors.sparkSession
     import spark.implicits._
     vectors
       .select(col("vec_id").cast("long"), col("embedding"))
-      .withColumn("shard", pmod(hash(col("vec_id")), lit(shards)))
+      .withColumn("shard",
+        pmod(hash(col("vec_id")), lit(shards)) + lit(shardOffset))
       .as[(Long, Array[Float], Int)]
       .repartition(shards, col("shard"))
       .mapPartitions { it =>
         val rows = it.toArray
         rows.groupBy(_._3).iterator.flatMap { case (shard, grp) =>
           val sorted = grp.sortBy(_._1) // deterministic insertion order
-          val g = new Nsw(m, efConstruction)
-          sorted.foreach(r => g.insert(r._2))
+          val g = new Hnsw(m, efConstruction)
+          sorted.foreach(r => g.insert(r._2, r._1))
           sorted.iterator.zipWithIndex.map { case ((vid, emb, _), local) =>
-            (shard, local, vid, emb, g.adjacency(local).toArray)
+            (shard, local, vid, emb,
+              g.adjacency(local).map(_.toArray).toArray)
           }
         }
       }
@@ -209,13 +396,30 @@ object GraphAnn {
     * beam-searched; per-shard candidates merge through the usual global
     * top-k. The plan reads ONLY the artifact + the broadcast query. */
   def serveGraphIndex(s: SparkSession, dir: String, queryVec: DataFrame,
-      k: Int, ef: Int = 96): DataFrame = {
+      k: Int, ef: Int): DataFrame =
+    serveGraphIndex(s, Seq(dir), queryVec, k, ef)
+
+  def serveGraphIndex(s: SparkSession, dir: String, queryVec: DataFrame,
+      k: Int): DataFrame =
+    serveGraphIndex(s, Seq(dir), queryVec, k, 96)
+
+  /** Multi-dir serve — base index + appended segment shards in ONE scan:
+    * shard ids are disjoint across generations ([[buildGraphIndex]]'s
+    * `shardOffset`), so every generation's graphs search independently
+    * and candidates meet only in the global top-k merge. Serve cost is
+    * flat in segment count: each segment adds k candidate rows to the
+    * merge, never build work. */
+  def serveGraphIndex(s: SparkSession, dirs: Seq[String],
+      queryVec: DataFrame, k: Int, ef: Int = 96): DataFrame = {
     import s.implicits._
-    s.read.parquet(dir)
+    // one read per generation dir, unioned: each artifact has its own
+    // partition-discovery root (shard=N subdirs), so a single multi-path
+    // read would refuse the layout
+    dirs.map(s.read.parquet(_)).reduce(_ unionByName _)
       .select(col("shard").cast("int"), col("local_id").cast("int"),
         col("vec_id").cast("long"), col("embedding"), col("nbrs"))
       .crossJoin(broadcast(queryVec.select(col("qvec"))))
-      .as[(Int, Int, Long, Array[Float], Array[Int], Array[Float])]
+      .as[(Int, Int, Long, Array[Float], Array[Array[Int]], Array[Float])]
       .repartition(col("shard"))
       .mapPartitions { it =>
         val rows = it.toArray
@@ -225,7 +429,7 @@ object GraphAnn {
           if (sorted.isEmpty) Iterator.empty
           else {
             val qv = sorted(0)._6
-            val g = Nsw.preloaded(sorted.map(_._4), sorted.map(_._5))
+            val g = Hnsw.preloaded(sorted.map(_._4), sorted.map(_._5))
             takeRounded(g.search(qv, ef)
               .map { case (local, sim) => (sorted(local)._3, sim) }, k)
           }
@@ -262,6 +466,72 @@ object GraphAnn {
       .select(col("vec_id"), round(col("sim"), 6).as("cos_sim"))
   }
 
+  /** GraphAnnSpec probe: build the layered HNSW and the flat NSW over the
+    * SAME vectors (same insertion order, same m/efConstruction), search
+    * each query at equal ef, and report per-variant (top-k ids, search
+    * distance evals). The layered graph must reach recall ≥ the flat one
+    * with fewer evaluations — the property the upper layers exist for. */
+  private[graft] def probeLayered(vectors: Seq[(Long, Array[Float])],
+      queries: Seq[Array[Float]], k: Int, efLayered: Int,
+      efFlat: Int, m: Int = 8)
+      : (Seq[Seq[Long]], Long, Seq[Seq[Long]], Long) = {
+    val sorted = vectors.sortBy(_._1)
+    val h = new Hnsw(m, math.max(efLayered, 2 * m))
+    sorted.foreach { case (vid, v) => h.insert(v, vid) }
+    val f = new Nsw(m, math.max(efFlat, 2 * m))
+    sorted.foreach { case (_, v) => f.insert(v) }
+    h.resetEvals(); f.resetEvals()
+    val hTop = queries.map(q =>
+      takeRounded(h.search(q, efLayered).map { case (l, s0) =>
+        (sorted(l)._1, s0) }, k).map(_._1))
+    val fTop = queries.map(q =>
+      takeRounded(f.search(q, efFlat).map { case (l, s0) =>
+        (sorted(l)._1, s0) }, k).map(_._1))
+    (hTop, h.simEvals, fTop, f.simEvals)
+  }
+
+  /** Segment dir for [[v19_graph_append]] — the incoming batch's own
+    * HNSW shards, built once per corpus version (mtime-keyed) with a
+    * disjoint shard-id range. */
+  private val segmentCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** V19 (v16 ⇄ v18 symmetry, r8-verdict task): graph-index SEGMENT
+    * append — an incoming accepted batch builds its OWN small-world
+    * shards, written beside the base artifact exactly the way upstream
+    * SAI adds one vector-index segment per flushed sstable [U index/sai/
+    * per-sstable segments] and FAISS adds after train [P]. The base
+    * graphs are never touched; serving scans base + segment shards in
+    * one plan and merges per-shard top-k. Oracle = exact top-10 over the
+    * UNION corpus (recall 1.0 at fixture scale), so the append, the
+    * disjoint shard routing, and the cross-generation merge are all
+    * inside the hash gate. */
+  def v19_graph_append(s: SparkSession, d: String): DataFrame = {
+    val mtime = try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$d/embeddings.parquet")).toMillis
+      catch { case _: Exception => 0L }
+    val baseDir = indexCache.computeIfAbsent(s"$d@$mtime", { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-graph-index").toString
+      buildGraphIndex(Tables.embeddings(s, d), out)
+      out
+    })
+    val segDir = segmentCache.computeIfAbsent(s"$d@$mtime", { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-graph-seg").toString
+      val batch = Tables.embeddings(s, d)
+        .filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      // 2 shards, ids offset past any base shard — one segment, own graphs
+      buildGraphIndex(batch, out, shards = 2, shardOffset = 1000)
+      out
+    })
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qvec"))
+    serveGraphIndex(s, Seq(baseDir, segDir), q, 10)
+      .select(col("vec_id"), round(col("sim"), 6).as("cos_sim"))
+  }
+
   /** V7: graph-ANN top-10 for the embedding of vec_id 0 — the jvector/HNSW
     * analogue. Oracled against the EXACT top-10: the graph path is
     * deterministic and its fixture recall is 1.0 (GraphAnnSpec also checks
@@ -289,11 +559,30 @@ object GraphAnn {
       |FROM embeddings CROSS JOIN q
       |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
 
+  /** v19's twin: exact top-10 over base ∪ appended batch. vec_id 0's own
+    * +100000 copy ranks at similarity 1.0 right behind it — the
+    * cross-generation merge must surface it or the hash misses. */
+  private val exactUnionTop10Sql =
+    """WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+      |  WHERE vec_id % 5 = 0),
+      |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id,
+      |  round(list_dot_product(CAST(embedding AS DOUBLE[]), qvec) /
+      |        (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+      |         sqrt(list_dot_product(qvec, qvec))), 6) AS cos_sim
+      |FROM corpus CROSS JOIN q
+      |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v7_knn_graph" -> (v7_knn_graph _),
-    "v16_graph_index" -> (v16_graph_index _))
+    "v16_graph_index" -> (v16_graph_index _),
+    "v19_graph_append" -> (v19_graph_append _))
 
   val oracle: Map[String, String] = Map(
     "v7_knn_graph" -> exactTop10Sql,
-    "v16_graph_index" -> exactTop10Sql)
+    "v16_graph_index" -> exactTop10Sql,
+    "v19_graph_append" -> exactUnionTop10Sql)
 }

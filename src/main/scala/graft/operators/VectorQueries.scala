@@ -21,6 +21,18 @@ object VectorQueries {
     Tables.embeddings(s, d).filter(col("vec_id") === id)
       .select(col("embedding").as("qvec"))
 
+  /** Exact cosine kNN top-k over an arbitrary (vec_id, embedding) frame —
+    * the reusable ground-truth scorer specs compare approximate paths
+    * against (GraphAnnSpec's union-corpus check). */
+  def knnExactOver(vectors: DataFrame, queryVec: DataFrame,
+      k: Int): DataFrame =
+    vectors
+      .crossJoin(broadcast(queryVec.select(col("qvec"))))
+      .select(col("vec_id"),
+        round(cosineFast(col("embedding"), col("qvec")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+
   /** V1: exact cosine kNN top-10 against the embedding of vec_id=0. */
   def v1_knn_exact(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)

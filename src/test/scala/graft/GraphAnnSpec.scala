@@ -66,6 +66,82 @@ class GraphAnnSpec extends SparkSpec {
       s"query vector must broadcast, not collect:\n$plan")
   }
 
+  test("layered HNSW: recall >= flat NSW at equal ef, with fewer " +
+    "search distance evaluations") {
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    // augment to graph-scale deterministically: 8 generations of the
+    // fixture, each dim perturbed by a generation/id-seeded offset —
+    // layers only pay once the graph dwarfs the beam, so the probe needs
+    // more nodes than the 500-vector fixture
+    val vecs = (0 until 8).flatMap { g =>
+      base.map { case (id, v) =>
+        val nid = g * 1000L + id
+        (nid, v.zipWithIndex.map { case (x, i) =>
+          x + (((nid * 31 + i * 7) % 97).toFloat / 97f - 0.5f) * 0.05f })
+      }
+    }
+    val exactFor: Array[Float] => Seq[Long] = { q =>
+      val qn = math.sqrt(q.map(x => x.toDouble * x).sum)
+      vecs.map { case (id, v) =>
+        val dot = v.zip(q).map { case (a, b) => a.toDouble * b }.sum
+        val vn = math.sqrt(v.map(x => x.toDouble * x).sum)
+        (id, BigDecimal(dot / (vn * qn))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (id, s0) => (-s0, id) }.take(10).map(_._1)
+    }
+    val queries = Seq(0L, 7L, 23L, 101L, 2042L, 5303L).map(qid =>
+      vecs.find(_._1 == qid).get._2)
+    val exact = queries.map(exactFor)
+    def recall(got: Seq[Seq[Long]]): Double =
+      got.zip(exact).map { case (g, e) =>
+        g.toSet.intersect(e.toSet).size.toDouble / e.size }.sum / exact.size
+    // claim 1 — equal ef: layered recall >= flat recall (the upper-layer
+    // entry descent starts the beam where the answers are)
+    val (hTop, hEvals, fTop, fEvals) =
+      GraphAnn.probeLayered(vecs, queries, 10, efLayered = 64, efFlat = 64)
+    val (hr, fr) = (recall(hTop), recall(fTop))
+    info(s"equal ef=64: layered recall=$hr evals=$hEvals; " +
+      s"flat recall=$fr evals=$fEvals")
+    assert(hr >= fr, s"layered recall $hr < flat recall $fr")
+    assert(hr >= 0.9, s"layered recall too low: $hr")
+    // claim 2 — equal RECALL: the flat graph needs a far larger beam (and
+    // far more distance evaluations) to reach the layered graph's recall;
+    // distance evals are the cost layers exist to cut
+    val flatCost = Iterator(128, 256, 512, 1024, 2048).map { ef =>
+      val (_, _, ft, fe) =
+        GraphAnn.probeLayered(vecs, queries, 10, efLayered = 64, efFlat = ef)
+      (ef, recall(ft), fe)
+    }.find(_._2 >= hr)
+    info(s"flat cost to reach layered recall: $flatCost")
+    assert(flatCost.forall { case (_, _, fe) => fe > hEvals },
+      s"flat graph reached recall $hr cheaper than layered: " +
+        s"$flatCost vs layered $hEvals")
+  }
+
+  test("v19 segment append: serve over base + segment equals exact over " +
+    "the union corpus; base artifact untouched by the append") {
+    val exact = {
+      val e = Tables.embeddings(spark, sf)
+      val union = e.select(col("vec_id"), col("embedding"))
+        .unionByName(e.filter(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      val q = e.filter(col("vec_id") === 0L)
+        .select(col("embedding").as("qvec"))
+      VectorQueries.knnExactOver(union, q, 10)
+        .collect().map(_.getLong(0)).toSeq
+    }
+    val got = GraphAnn.v19_graph_append(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === exact)
+    // vec 0's cross-generation duplicate (100000) must surface at sim 1.0
+    assert(got.contains(100000L))
+    // deterministic across runs (cached artifacts serve both)
+    assert(GraphAnn.v19_graph_append(spark, sf)
+      .collect().map(_.getLong(0)).toSeq === got)
+  }
+
   test("beam budget trades recall: tiny ef still returns k valid neighbors") {
     val q = Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
       .select(col("embedding").as("qvec"))
