@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  private def scaled(s: SparkSession, src: String, out: String, f: Int): Unit = {
+  private[graft] def scaled(s: SparkSession, src: String, out: String,
+      f: Int): Unit = {
     val fs = new java.io.File(out)
     if (fs.exists()) return
     fs.mkdirs()
@@ -91,7 +92,13 @@ object ScaleProbe {
         "d13_bloom_incremental",
         // r8 continuation: segment-append serving — must stay ~flat (the
         // probe pays one segment encode + the codes scan, never a rebuild)
-        "v18_incremental_index")
+        "v18_incremental_index",
+        // r9: the three sf0.1 floor-bound headline queries (j1/t1/v1 are
+        // ~0.1-0.2 s Spark job-fixed-cost at sf0.1 where DuckDB runs in
+        // 0.02-0.09 s) — measured at 10x (= sf1) for the SAME-SCALE bench
+        // pairing BASELINE.md records, plus the r9 segment-append paths
+        "j1_broadcast_star", "t1_tumbling", "v1_knn_exact",
+        "d14_band_append", "v19_graph_append")
         .map(n => n -> SparkEntry.queries(n))
     factors.foreach { f =>
       val dir = if (f == 1) base else s"/tmp/graft-scale-${f}x"
