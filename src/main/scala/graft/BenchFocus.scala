@@ -58,6 +58,21 @@ object BenchFocus {
             count(lit(1)).as("n"))
           .orderBy("r_name")
       },
+      "j2_preagg" -> { (s, d) =>
+        // pre-aggregate lineitem revenue per order (one shuffle on the
+        // fact key), join, then a plain count per priority — replaces
+        // countDistinct's expand + extra exchange
+        val liAgg = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(dec6(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("rev"))
+        Tables.orders(s, d)
+          .filter(year(col("o_orderdate")) === 1996)
+          .join(liAgg, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            dbl(dec6(sum(col("rev")))).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
       "t1_trunc" -> { (s, d) =>
         Tables.events(s, d)
           .groupBy(date_trunc("hour", col("ts")).as("win_start"),
