@@ -732,10 +732,12 @@ object CqlParser {
             val name = c.next()
             val isCounter = c.peekIs("counter")
             val refs = scala.collection.mutable.Set.empty[String]
-            val dt = parseType(c, udts, refs)
+            val dims = scala.collection.mutable.ArrayBuffer.empty[Int]
+            val dt = parseType(c, udts, refs, dims)
             val static = c.accept("static")
             if (c.accept("primary")) { c.expect("key"); pk = Seq(name) }
-            cols = cols :+ CqlColumnDef(name, dt, static, isCounter, refs.toSet)
+            cols = cols :+ CqlColumnDef(name, dt, static, isCounter,
+              refs.toSet, dims.headOption)
           }
         }
         // WITH options: CLUSTERING ORDER and default_time_to_live carry
@@ -833,8 +835,10 @@ object CqlParser {
             val n = c.next()
             val isCounter = c.peekIs("counter")
             val refs = scala.collection.mutable.Set.empty[String]
-            val dt = parseType(c, udts, refs)
-            CqlColumnDef(n, dt, c.accept("static"), isCounter, refs.toSet)
+            val dims = scala.collection.mutable.ArrayBuffer.empty[Int]
+            val dt = parseType(c, udts, refs, dims)
+            CqlColumnDef(n, dt, c.accept("static"), isCounter, refs.toSet,
+              dims.headOption)
           }
           var cols = Vector(one())
           while (c.accept(",")) cols = cols :+ one()
@@ -1111,7 +1115,15 @@ object CqlParser {
   private def parseType(c: Cursor,
       udts: Map[String, org.apache.spark.sql.types.StructType] = Map.empty,
       refs: scala.collection.mutable.Set[String] =
-        scala.collection.mutable.Set.empty
+        scala.collection.mutable.Set.empty,
+      /** receives every `vector<T, n>` dimension seen (outermost first) —
+        * the column-def site keeps the first for declared-dim tracking */
+      dims: scala.collection.mutable.ArrayBuffer[Int] =
+        scala.collection.mutable.ArrayBuffer.empty,
+      /** nesting depth — a dim is recorded only for the TOP-LEVEL vector
+        * (frozen<> is transparent); a vector inside list/set/map/tuple is
+        * not the column's declared dimension */
+      depth: Int = 0
   ): org.apache.spark.sql.types.DataType = {
     import org.apache.spark.sql.types._
     c.next().toLowerCase match {
@@ -1129,18 +1141,30 @@ object CqlParser {
       case "varint" => DecimalType(38, 0)
       case "blob" => BinaryType
       case "duration" => CqlParser.DurationType
-      case "frozen" =>
-        c.expect("<"); val t = parseType(c, udts, refs); c.expect(">"); t
+      case "frozen" => // transparent for dim purposes: frozen<vector<…>>
+        c.expect("<"); val t = parseType(c, udts, refs, dims, depth)
+        c.expect(">"); t
       case "list" =>
-        c.expect("<"); val t = parseType(c, udts, refs); c.expect(">"); ArrayType(t)
+        c.expect("<"); val t = parseType(c, udts, refs, dims, depth + 1)
+        c.expect(">"); ArrayType(t)
       case "set" =>
-        c.expect("<"); val t = parseType(c, udts, refs); c.expect(">"); ArrayType(t)
+        c.expect("<"); val t = parseType(c, udts, refs, dims, depth + 1)
+        c.expect(">"); ArrayType(t)
       case "map" =>
-        c.expect("<"); val k = parseType(c, udts, refs); c.expect(",")
-        val v = parseType(c, udts, refs); c.expect(">"); MapType(k, v)
+        c.expect("<"); val k = parseType(c, udts, refs, dims, depth + 1)
+        c.expect(",")
+        val v = parseType(c, udts, refs, dims, depth + 1)
+        c.expect(">"); MapType(k, v)
       case "vector" =>
-        c.expect("<"); val t = parseType(c, udts, refs); c.expect(",")
-        c.next() // dimension recorded by the schema owner, not enforced here
+        c.expect("<"); val t = parseType(c, udts, refs, dims, depth + 1)
+        c.expect(",")
+        val rawDim = c.next()
+        val dim = try rawDim.toInt catch { case _: NumberFormatException =>
+          throw new CqlInvalidQueryException(
+            s"vector dimension must be a positive integer, got $rawDim") }
+        if (dim <= 0) throw new CqlInvalidQueryException(
+          s"vector dimension must be a positive integer, got $dim")
+        if (depth == 0) dims += dim
         c.expect(">"); ArrayType(t)
       case other =>
         val st = udts.getOrElse(other,

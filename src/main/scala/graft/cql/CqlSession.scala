@@ -175,7 +175,11 @@ case class CqlColumnDef(name: String,
   /** names of UDTs referenced anywhere in the declared type — the NAME
     * binding that structural StructType equality cannot recover when two
     * registered types happen to share a shape */
-  udtRefs: Set[String] = Set.empty)
+  udtRefs: Set[String] = Set.empty,
+  /** `vector<T, n>`: the DECLARED dimension (upstream VectorType.dimension
+    * [U db/marshal/VectorType.java]) — enforced on every full-value write
+    * and rendered back by DESCRIBE. None for non-vector declarations. */
+  vectorDim: Option[Int] = None)
 case class CqlCreateTable(table: String, columns: Seq[CqlColumnDef],
   partitionKeys: Seq[String], clusteringKeys: Seq[String],
   ifNotExists: Boolean,
@@ -338,6 +342,21 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     localOnly: Boolean = false)
 
   private def opCol(c: String) = s"_op_$c"
+
+  /** StructField for a declared column — a `vector<T, n>` dimension rides
+    * in the field METADATA (`cql_vector_dim`), so it survives every
+    * schema copy (reshape/ALTER) without widening TableState. */
+  private def fieldFor(cd: CqlColumnDef): StructField = {
+    val md = cd.vectorDim.fold(Metadata.empty)(n =>
+      new MetadataBuilder().putLong(CqlSession.VectorDimKey, n.toLong).build())
+    StructField(cd.name, cd.dataType, nullable = true, metadata = md)
+  }
+
+  /** The declared `vector<T, n>` dimension of a column, if any. */
+  private def vectorDimOf(t: TableState, c: String): Option[Int] =
+    t.schema.fields.find(_.name.equalsIgnoreCase(c))
+      .filter(_.metadata.contains(CqlSession.VectorDimKey))
+      .map(_.metadata.getLong(CqlSession.VectorDimKey).toInt)
 
   private def mkState(t: CqlTable): TableState = {
     val schema = t.df.schema
@@ -988,6 +1007,16 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   private def columnTypeName(table: String, t: TableState,
       f: StructField): String =
     if (t.counterKeys.exists(_.equalsIgnoreCase(f.name))) "counter"
+    // a declared vector renders back as vector<elem, n> (r9 — the
+    // set→list style canonicalization no longer applies to vectors, the
+    // dimension is tracked and DESCRIBE round-trips the real type)
+    else if (f.metadata.contains(CqlSession.VectorDimKey))
+      (f.dataType match {
+        case ArrayType(e, _) =>
+          s"vector<${cqlTypeName(e, Set.empty)}, " +
+            s"${f.metadata.getLong(CqlSession.VectorDimKey)}>"
+        case _ => cqlTypeName(f.dataType, Set.empty)
+      })
     else cqlTypeName(f.dataType,
       udtCols.getOrElse((table.toLowerCase, f.name.toLowerCase), Set.empty))
 
@@ -2385,7 +2414,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
             throw new CqlInvalidQueryException(
               s"duration type is not supported for PRIMARY KEY column $k")
         }
-        val schema = StructType(cols.map(cd => StructField(cd.name, cd.dataType)))
+        val schema = StructType(cols.map(fieldFor))
         val statics = cols.filter(_.static).map(_.name)
         statics.foreach { s =>
           if ((pk ++ ck).exists(_.equalsIgnoreCase(s)))
@@ -2733,8 +2762,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         if (t.schema.fieldNames.exists(_.equalsIgnoreCase(cd.name)))
           throw new CqlInvalidQueryException(s"column ${cd.name} already exists")
       }
-      val newSchema = StructType(t.schema.fields.toSeq ++
-        cols.map(cd => StructField(cd.name, cd.dataType)))
+      val newSchema = StructType(t.schema.fields.toSeq ++ cols.map(fieldFor))
       state(table.toLowerCase) = reshape(t, newSchema,
         t.staticKeys ++ cols.filter(_.static).map(_.name),
         t.counterKeys ++ cols.filter(_.counter).map(_.name))
@@ -2973,6 +3001,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       }
     case (s: String, DateType) => java.sql.Date.valueOf(s)
     case (l: CqlList, ArrayType(et, _)) => l.items.map(coerce(_, et))
+    // a whole-collection bind value (prepared `col = ?` with a Seq)
+    case (s: Seq[_], ArrayType(et, _)) => s.map(coerce(_, et))
     case (sl: CqlSetLit, ArrayType(et, _)) => sl.items.map(coerce(_, et))
     case (m: CqlMapLit, MapType(kt, vt, _)) =>
       m.entries.map { case (k, x) => coerce(k, kt) -> coerce(x, vt) }.toMap
@@ -3005,6 +3035,26 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   private def cellFor(t: TableState, c: String, a: CqlAssign): (Any, String) = {
     val dt = t.schema(t.schema.fieldIndex(c)).dataType
     val isCounter = t.counterKeys.exists(_.equalsIgnoreCase(c))
+    // vector<T, n> [U db/marshal/VectorType]: fixed dimension, NOT a
+    // collection — only full-value writes, and the literal must carry
+    // exactly the declared element count (upstream rejects at validate)
+    vectorDimOf(t, c).foreach { dim =>
+      a match {
+        case CqlAssignValue(CqlList(items)) if items.length != dim =>
+          throw new CqlInvalidQueryException(
+            s"Invalid vector literal for $c: expected $dim elements, " +
+              s"got ${items.length}")
+        case CqlAssignValue(items: Seq[_]) if items.length != dim =>
+          throw new CqlInvalidQueryException(
+            s"Invalid vector literal for $c: expected $dim elements, " +
+              s"got ${items.length}")
+        case CqlAssignValue(_) => ()
+        case _: CqlCounterAdd => () // falls through to the counter error
+        case _ => throw new CqlInvalidQueryException(
+          s"$c is a vector column — vectors are not collections and " +
+            "support only full-value writes")
+      }
+    }
     (a, dt) match {
       case (CqlCounterAdd(d), LongType) if isCounter => (d, "incr")
       case (CqlCounterAdd(_), _) => throw new CqlInvalidQueryException(
@@ -3837,6 +3887,8 @@ object CqlSession {
   /** Ring-buffer cap for traced sessions kept in `system_traces` (upstream
     * expires trace rows on a 24 h TTL instead [U TraceKeyspace]). */
   private[cql] val TraceCap = 256
+  /** StructField metadata key carrying a vector column's declared dim. */
+  private[cql] val VectorDimKey = "cql_vector_dim"
 
   /** A session temp dir removed on JVM exit — snapshot and bulk-load
     * roots otherwise accumulate one tree per session per process. */

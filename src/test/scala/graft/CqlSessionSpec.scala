@@ -1193,6 +1193,53 @@ class CqlSessionSpec extends SparkSpec {
     assert(got === Seq(1L, 3L))
   }
 
+  test("vector dimension is declared state: wrong-length literals are " +
+    "rejected, collection ops are rejected, DESCRIBE round-trips the dim") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE vdim (id bigint PRIMARY KEY, " +
+      "emb vector<float, 3>, tags list<text>)")
+    // exact dimension writes fine — via INSERT and UPDATE
+    s.execute("INSERT INTO vdim (id, emb) VALUES (1, [1.0, 2.0, 3.0])")
+    s.execute("UPDATE vdim SET emb = [4.0, 5.0, 6.0] WHERE id = 1")
+    // wrong length rejected on both paths (upstream VectorType validate)
+    val e1 = intercept[CqlInvalidQueryException] {
+      s.execute("INSERT INTO vdim (id, emb) VALUES (2, [1.0, 2.0])")
+    }
+    assert(e1.getMessage.contains("expected 3 elements"))
+    val e2 = intercept[CqlInvalidQueryException] {
+      s.execute("UPDATE vdim SET emb = [1.0, 2.0, 3.0, 4.0] WHERE id = 1")
+    }
+    assert(e2.getMessage.contains("expected 3 elements"))
+    // vectors are NOT collections: += is rejected; the list column isn't
+    intercept[CqlInvalidQueryException] {
+      s.execute("UPDATE vdim SET emb = emb + [7.0] WHERE id = 1")
+    }
+    s.execute("UPDATE vdim SET tags = tags + ['ok'] WHERE id = 1")
+    // prepared binds enforce the dim too
+    val p = s.prepare("INSERT INTO vdim (id, emb) VALUES (?, ?)")
+    p.execute(3L, Seq(1.0, 2.0, 3.0))
+    intercept[CqlInvalidQueryException] { p.execute(4L, Seq(1.0)) }
+    // DESCRIBE emits the real vector type, and the emitted DDL re-executes
+    val ddl = s.execute("DESCRIBE TABLE vdim").head().getString(3)
+    assert(ddl.contains("emb vector<float, 3>"), ddl)
+    val s2 = CqlSession(spark)
+    s2.execute(ddl)
+    intercept[CqlInvalidQueryException] {
+      s2.execute("INSERT INTO vdim (id, emb) VALUES (1, [1.0])")
+    }
+    // ALTER ADD carries the dim as well
+    s.execute("ALTER TABLE vdim ADD emb2 vector<float, 2>")
+    intercept[CqlInvalidQueryException] {
+      s.execute("INSERT INTO vdim (id, emb2) VALUES (9, [1.0, 2.0, 3.0])")
+    }
+    // nested vectors do NOT bind the column dim (list<vector<…>> is a
+    // list; its own writes stay list-shaped)
+    s.execute("CREATE TABLE vnest (id bigint PRIMARY KEY, " +
+      "vs list<frozen<vector<float, 2>>>)")
+    s.execute("INSERT INTO vnest (id, vs) VALUES (1, [[1.0, 2.0]])")
+    assert(s.execute("SELECT vs FROM vnest WHERE id = 1").count() === 1)
+  }
+
   test("ANN ties break on the primary key — duplicate embeddings rank deterministically") {
     val s = CqlSession(spark)
     s.execute("CREATE TABLE dupvecs (id bigint PRIMARY KEY, emb vector<float, 2>)")
