@@ -319,17 +319,33 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
           case CqlGroupItem(c0, None) => col(c0)
           case CqlGroupItem(c0, Some(us)) => floorBucket(col(c0), us)
         }
+        // a GLOBAL aggregate (no GROUP BY) with a plain selection returns
+        // the first row in TOKEN order then clustering order — upstream's
+        // read order across partitions. Ring-exact murmur token over the
+        // partition key pins it (only evaluated for this rare query shape)
+        val globalOrder: Seq[Column] = {
+          val pks = table.partitionKeys
+          val tok =
+            if (pks.isEmpty) Nil
+            else if (pks.length == 1)
+              Seq(CassandraModel.murmurTokenOf(col(pks.head)).asc)
+            else Seq(CassandraModel.murmurTokenOf(col(pks(0)), col(pks(1)),
+              pks.drop(2).map(col): _*).asc)
+          tok ++ pks.map(col(_).asc) ++ clusterOrder
+        }
         var pinCount = 0
         val pinned = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
-        def pinFirst(inner: Column): Column =
-          if (sel.groupBy.isEmpty || clusterOrder.isEmpty) first(inner)
+        def pinFirst(inner: Column): Column = {
+          val order = if (sel.groupBy.nonEmpty) clusterOrder else globalOrder
+          if (order.isEmpty) first(inner)
           else {
             val tmp = s"__first_$pinCount"; pinCount += 1
             pinned += tmp -> first(inner)
               .over(Window.partitionBy(groupPartExprs: _*)
-                .orderBy(clusterOrder: _*))
+                .orderBy(order: _*))
             first(col(tmp))
           }
+        }
         // group keys are implicit in Spark's groupBy output — drop their
         // plain (or matching floor) selectors to avoid duplicate columns.
         // A floor selector matches its group item only when BOTH the column

@@ -1590,6 +1590,20 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     val dir = s"$bulkLoadRoot/${table.toLowerCase}/$mutationEpoch"
     shaped0.write.mode("overwrite").parquet(dir)
     val shaped = spark.read.schema(t.logSchema).parquet(dir)
+    // declared vector<T, n> dimensions hold on the BULK surfaces too
+    // (COPY FROM, catalog INSERT) — same invariant as cellFor's per-cell
+    // check, validated on the materialized rows before any state change
+    val dimChecks = t.schema.fields.toSeq.flatMap { f =>
+      if (f.metadata.contains(CqlSession.VectorDimKey))
+        Some((f.name, f.metadata.getLong(CqlSession.VectorDimKey).toInt))
+      else None
+    }
+    dimChecks.foreach { case (c0, dim) =>
+      if (!shaped.filter(col(c0).isNotNull && size(col(c0)) =!= dim).isEmpty)
+        throw new CqlInvalidQueryException(
+          s"Invalid vector value for $c0: expected $dim elements " +
+            "(bulk load carries a wrong-dimension vector)")
+    }
     beforeCommit(shaped)
     // re-read the state: beforeCommit may have truncated (INSERT OVERWRITE)
     val t1 = tableState(table)
@@ -2123,7 +2137,10 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   private val inFlight = new java.util.concurrent.ConcurrentHashMap[
     Long, (String, String, Long)]()
 
-  private def registerInFlight(statement: String): Long = {
+  private[cql] def unregisterInFlight(tid: Long): Unit =
+    { inFlight.remove(tid); () }
+
+  private[cql] def registerInFlight(statement: String): Long = {
     val id = Thread.currentThread().getId
     inFlight.put(id, (statement.take(500), currentRole, System.nanoTime()))
     id
@@ -3048,6 +3065,13 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           throw new CqlInvalidQueryException(
             s"Invalid vector literal for $c: expected $dim elements, " +
               s"got ${items.length}")
+        // a vector literal is `[…]` ONLY — a set/map literal is a type
+        // error upstream, not a silently set-folded (sorted, deduped)
+        // value that would corrupt element order and count
+        case CqlAssignValue(_: CqlSetLit) | CqlAssignValue(_: CqlMapLit) =>
+          throw new CqlInvalidQueryException(
+            s"Invalid vector literal for $c: vectors take a [..] list " +
+              "literal")
         case CqlAssignValue(_) => ()
         case _: CqlCounterAdd => () // falls through to the counter error
         case _ => throw new CqlInvalidQueryException(
@@ -3748,9 +3772,10 @@ class CqlPrepared private[cql] (session: CqlSession, template: AnyRef,
     session.clearWarnings()
     // traced under command EXECUTE, like upstream prepared executions —
     // the first event says what a prepared run actually skips; audited
-    // under the statement's own category (upstream logs prepared runs
-    // through the same audit pipeline as simple statements)
-    session.audited(text,
+    // under the statement's own category AND registered in-flight
+    // (system_views.queries reports live prepared runs like any other)
+    val tid = session.registerInFlight(text)
+    try session.audited(text,
       text.trim.takeWhile(!_.isWhitespace).toLowerCase) {
     session.traced(text, "EXECUTE",
       s"Executing prepared statement (parse skipped): ${text.take(100)}",
@@ -3766,7 +3791,7 @@ class CqlPrepared private[cql] (session: CqlSession, template: AnyRef,
       b.done()
       out
     }
-    }
+    } finally session.unregisterInFlight(tid)
   }
 }
 

@@ -128,6 +128,74 @@ class AdviceRegressionSpec extends SparkSpec {
       s"trace read was itself traced: $reqs")
   }
 
+  // ——— r9 self-review findings (code-review pass over the r9 diff) ———
+
+  test("r9-review-1: a set literal is not a vector literal — rejected " +
+    "instead of silently set-folded into a vector column") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE vset (id bigint PRIMARY KEY, " +
+      "emb vector<float, 3>)")
+    val e = intercept[CqlInvalidQueryException] {
+      s.execute("UPDATE vset SET emb = {9.0, 8.0} WHERE id = 1")
+    }
+    assert(e.getMessage.contains("list literal"))
+    intercept[CqlInvalidQueryException] {
+      s.execute("INSERT INTO vset (id, emb) VALUES (1, {1.0, 2.0, 3.0})")
+    }
+  }
+
+  test("r9-review-2: bulk surfaces (catalog INSERT) enforce the declared " +
+    "vector dimension; a failed load leaves the table intact") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE vbulk (id bigint PRIMARY KEY, " +
+      "emb vector<float, 3>)")
+    s.execute("INSERT INTO vbulk (id, emb) VALUES (1, [1.0, 2.0, 3.0])")
+    s.exposeAsCatalog("graft_vdim")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft_vdim.default.vbulk " +
+        "SELECT 2L AS id, array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)) AS emb")
+    }
+    assert(e.getMessage.contains("expected 3 elements"), e.getMessage)
+    assert(s.execute("SELECT id FROM vbulk").count() === 1L)
+    // exact-dimension bulk writes still land
+    spark.sql("INSERT INTO graft_vdim.default.vbulk " +
+      "SELECT 3L AS id, array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT), " +
+      "CAST(3.0 AS FLOAT)) AS emb")
+    assert(s.execute("SELECT id FROM vbulk").count() === 2L)
+  }
+
+  test("r9-review-3: a GLOBAL aggregate's plain selection returns the " +
+    "first row in token-then-clustering order, not input order") {
+    import org.apache.spark.sql.functions.col
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE gagg (k bigint, c bigint, v text, " +
+      "PRIMARY KEY (k, c))")
+    // shuffled inserts across several partitions and clusterings
+    for ((k, c) <- Seq((7L, 2L), (1L, 5L), (3L, 1L), (7L, 1L), (1L, 2L)))
+      s.execute(s"INSERT INTO gagg (k, c, v) VALUES ($k, $c, 'v${k}_$c')")
+    // expected = min by (ring token of k, k, c) — the upstream read order
+    val expected = Seq(7L, 1L, 3L).map { k =>
+      val tok = spark.range(1)
+        .select(graft.operators.CassandraModel.murmurTokenOf(
+          org.apache.spark.sql.functions.lit(k)).as("t"))
+        .head().getLong(0)
+      (tok, k)
+    }.minBy(identity)._2
+    val minC = Seq((7L, 2L), (1L, 5L), (3L, 1L), (7L, 1L), (1L, 2L))
+      .filter(_._1 == expected).map(_._2).min
+    val got = s.execute("SELECT v, count(*) AS n FROM gagg").head()
+    assert(got.getAs[String]("v") === s"v${expected}_$minC")
+    assert(got.getAs[Long]("n") === 5L)
+  }
+
+  test("r9-review-4: prepared executions register in system_views.queries") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE pif (k bigint PRIMARY KEY, v bigint)")
+    val p = s.prepare("SELECT task FROM system_views.queries")
+    val live = p.execute().collect().map(_.getString(0)).toSeq
+    assert(live === Seq("SELECT task FROM system_views.queries"))
+  }
+
   test("r9-advice-5: USING TIMESTAMP ratchet — explicit timestamps stay " +
     "monotone with later server stamps (documented deviation)") {
     val s = CqlSession(spark)
