@@ -479,6 +479,21 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
   /** Cassandra's restriction rules (the guardrails that make it Cassandra). */
   private def validate(sel: CqlSelect, t: CqlTable): Unit = {
     val keyCols = (t.partitionKeys ++ t.clusteringKeys).map(_.toLowerCase).toSet
+    // protocol-v4 UNSET is a write-side wildcard only: a WHERE value
+    // bound unset is invalid, never a match-nothing filter [U
+    // cql3/restrictions — "Invalid unset value for column"]
+    def unsetIn(p: CqlPredicate): Option[String] = p match {
+      case cp: ColumnPredicate if cp.values.contains(CqlUnset) =>
+        Some(cp.column)
+      case tp: TuplePredicate if tp.values.contains(CqlUnset) =>
+        Some(tp.columns.mkString(", "))
+      case or: OrPredicate =>
+        or.branches.flatten.flatMap(unsetIn(_)).headOption
+      case _ => None
+    }
+    sel.predicates.flatMap(unsetIn(_)).headOption.foreach(c0 =>
+      throw new CqlInvalidQueryException(
+        s"Invalid unset value for column $c0"))
     // name/type validation BEFORE the filtering gate, so a typo'd column
     // reads as upstream's "Undefined column name", not a Spark analysis
     // stack; same for CONTAINS typing and token() placement
@@ -766,6 +781,8 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
     case CqlBindMarker | _: CqlNamedMarker =>
       throw new CqlInvalidQueryException(
         s"$what bind marker is unbound — prepare the statement and bind it")
+    case CqlUnset => throw new CqlInvalidQueryException(
+      s"Invalid unset value for $what")
     case other => throw new CqlInvalidQueryException(
       s"invalid $what value: $other")
   }

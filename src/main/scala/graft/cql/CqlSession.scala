@@ -32,6 +32,16 @@ case class CqlFnLit(fn: String, arg: Any)
   * markers appear in the statement text. */
 case object CqlBindMarker
 
+/** The protocol-v4 UNSET bind value (upstream
+  * `ProtocolConstants.UNSET_VALUE` / `Constants.UNSET_VALUE` [U]): a
+  * prepared INSERT/UPDATE bound with Unset for a value position writes NO
+  * cell for that column — the row's other cells land, the unset column
+  * keeps whatever reconcile said before (this is how drivers reuse one
+  * prepared INSERT for rows with optional columns without tombstoning
+  * them). Illegal anywhere that shapes the read or the key: WHERE
+  * values, LIMIT, primary-key columns, collection elements. */
+case object CqlUnset
+
 /** A `:name` named bind marker (upstream `cql3/AbstractMarker` named form
   * [U]). Repeated occurrences of one name are the SAME variable: a single
   * bound value feeds every occurrence. Positional `execute` assigns bind
@@ -3151,6 +3161,18 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     }
   }
 
+  /** Does a non-plain assignment op carry an UNSET bind value? */
+  private def assignHasUnset(a: CqlAssign): Boolean = a match {
+    case CqlAssignValue(_) => false
+    case CqlCollAdd(v) => v == CqlUnset
+    case CqlCollPrepend(v) => v == CqlUnset
+    case CqlCollRemove(v) => v == CqlUnset
+    case CqlMapPut(k, v) => k == CqlUnset || v == CqlUnset
+    case CqlFieldSet(_, v) => v == CqlUnset
+    case CqlCounterAdd(v) => v == CqlUnset
+    case _ => false
+  }
+
   /** Per data column: optional (value, op) this statement writes. */
   private def cellsFor(dml: CqlDml,
       t: TableState): Seq[(String, Option[(Any, String)])] = {
@@ -3174,9 +3196,16 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           if (m.get(k.toLowerCase).exists(_ == null))
             throw new CqlInvalidQueryException(
               s"Invalid null value for PRIMARY KEY part $k")
+          // an unset key cannot address a row [U UpdateStatement]
+          if (m.get(k.toLowerCase).exists(_ == CqlUnset))
+            throw new CqlInvalidQueryException(
+              s"Invalid unset value for PRIMARY KEY part $k")
         }
+        // an UNSET value writes NO cell: the column behaves as if omitted
+        // from the statement (protocol v4 — no tombstone, prior cell wins)
         dataCols(t).map(c => c ->
-          m.get(c.toLowerCase).map(v => cellFor(t, c, CqlAssignValue(v))))
+          m.get(c.toLowerCase).filter(_ != CqlUnset)
+            .map(v => cellFor(t, c, CqlAssignValue(v))))
       case j: CqlInsertJson => jsonCells(t, j)
       case CqlUpdate(_, assignments, preds, _, _, _) =>
         val a = assignments.map { case (c, v) => c.toLowerCase -> v }.toMap
@@ -3191,15 +3220,30 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           if (v == null && keys.exists(_.equalsIgnoreCase(c)))
             throw new CqlInvalidQueryException(
               s"Invalid null value for PRIMARY KEY part $c")
+          if (v == CqlUnset)
+            throw new CqlInvalidQueryException(
+              s"Invalid unset value for column $c")
+        }
+        // SET col = <unset> drops the assignment (no cell, no tombstone);
+        // unset inside a collection op has no meaning — rejected
+        a.values.foreach {
+          case CqlAssignValue(_) => ()
+          case op if assignHasUnset(op) =>
+            throw new CqlInvalidQueryException(
+              "Invalid unset value in a collection operation")
+          case _ => ()
         }
         dataCols(t).map(c => c ->
-          a.get(c.toLowerCase).map(cellFor(t, c, _))
+          a.get(c.toLowerCase).filter(_ != CqlAssignValue(CqlUnset))
+            .map(cellFor(t, c, _))
             .orElse(k.get(c.toLowerCase)
               .map(v => cellFor(t, c, CqlAssignValue(v)))))
       case CqlDelete(_, preds, _, _, cols) =>
         preds.foreach { case (c, v) =>
           if (v == null) throw new CqlInvalidQueryException(
             s"Invalid null value for PRIMARY KEY part $c")
+          if (v == CqlUnset) throw new CqlInvalidQueryException(
+            s"Invalid unset value for column $c")
         }
         val k = preds.map { case (c, v) => c.toLowerCase -> v }.toMap
         cols.foreach { it =>
@@ -3829,12 +3873,22 @@ object CqlPrepared {
               s"too few bind values: statement has more than ${binds.length} markers")
           val b = binds(i); i += 1; b
         })
-      case CqlList(xs) => CqlList(xs.map(value))
-      case CqlSetLit(xs) => CqlSetLit(xs.map(value))
-      case CqlMapLit(es) => CqlMapLit(es.map { case (k, x) => (value(k), value(x)) })
-      case CqlUdtLit(fs) => CqlUdtLit(fs.map { case (n, x) => (n, value(x)) })
-      case f: CqlFnLit => f.copy(arg = value(f.arg)) // e.g. maxTimeuuid(?)
+      case CqlList(xs) => CqlList(xs.map(noUnset("collection element")))
+      case CqlSetLit(xs) => CqlSetLit(xs.map(noUnset("collection element")))
+      case CqlMapLit(es) => CqlMapLit(es.map { case (k, x) =>
+        (noUnset("map key")(k), noUnset("map value")(x)) })
+      case CqlUdtLit(fs) => CqlUdtLit(fs.map { case (n, x) =>
+        (n, noUnset(s"UDT field $n")(x)) })
+      case f: CqlFnLit => // e.g. maxTimeuuid(?)
+        f.copy(arg = noUnset(s"${f.fn} argument")(f.arg))
       case other => other
+    }
+    /** UNSET binds only whole value positions — never inside a literal
+      * (upstream rejects unset collection elements/fn args). */
+    private def noUnset(where: String)(v: Any): Any = value(v) match {
+      case CqlUnset => throw new CqlInvalidQueryException(
+        s"Invalid unset value for $where")
+      case x => x
     }
     private def assign(a: CqlAssign): CqlAssign = a match {
       case CqlAssignValue(v) => CqlAssignValue(value(v))
@@ -3909,6 +3963,10 @@ object CqlPrepared {
 }
 
 object CqlSession {
+  /** Bindable UNSET value (protocol v4): `prepared.execute(1L,
+    * CqlSession.Unset)` leaves that column's cell unwritten. */
+  val Unset: CqlUnset.type = CqlUnset
+
   /** Ring-buffer cap for traced sessions kept in `system_traces` (upstream
     * expires trace rows on a 24 h TTL instead [U TraceKeyspace]). */
   private[cql] val TraceCap = 256

@@ -2334,4 +2334,43 @@ class CqlSessionSpec extends SparkSpec {
     val out = s.execute("SELECT JSON a.city FROM ju WHERE k = 1").head()
     assert(out.getString(0).contains("oslo"))
   }
+
+  test("protocol-v4 UNSET bind: value positions skip the cell; key, " +
+    "WHERE, LIMIT, and element positions reject it") {
+    import graft.cql.CqlSession.Unset
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE unset_t (k bigint PRIMARY KEY, a text, b text)")
+    s.execute("INSERT INTO unset_t (k, a, b) VALUES (1, 'a0', 'b0')")
+    val ins = s.prepare("INSERT INTO unset_t (k, a, b) VALUES (?, ?, ?)")
+    // unset b: a updates, b keeps its prior cell (no tombstone)
+    ins.execute(1L, "a1", Unset)
+    var r = s.execute("SELECT a, b FROM unset_t WHERE k = 1").head()
+    assert((r.getString(0), r.getString(1)) === ("a1", "b0"))
+    // unset on a NEW row: only the bound cells exist
+    ins.execute(2L, Unset, "b2")
+    r = s.execute("SELECT a, b FROM unset_t WHERE k = 2").head()
+    assert(r.isNullAt(0) && r.getString(1) === "b2")
+    // explicit null STILL tombstones (unset != null)
+    ins.execute(1L, null, Unset)
+    r = s.execute("SELECT a, b FROM unset_t WHERE k = 1").head()
+    assert(r.isNullAt(0) && r.getString(1) === "b0")
+    // UPDATE SET col = unset drops the assignment, others land
+    val up = s.prepare("UPDATE unset_t SET a = ?, b = ? WHERE k = ?")
+    up.execute(Unset, "b9", 1L)
+    r = s.execute("SELECT a, b FROM unset_t WHERE k = 1").head()
+    assert(r.isNullAt(0) && r.getString(1) === "b9")
+    // illegal positions: pk, WHERE, LIMIT, collection element
+    intercept[CqlInvalidQueryException] { ins.execute(Unset, "x", "y") }
+    intercept[CqlInvalidQueryException] { up.execute("x", "y", Unset) }
+    val sel = s.prepare("SELECT a FROM unset_t WHERE k = ?")
+    intercept[CqlInvalidQueryException] { sel.execute(Unset) }
+    val lim = s.prepare("SELECT a FROM unset_t WHERE k = 1 LIMIT ?")
+    intercept[CqlInvalidQueryException] { lim.execute(Unset) }
+    s.execute("CREATE TABLE unset_l (k bigint PRIMARY KEY, l list<text>)")
+    val lp = s.prepare("INSERT INTO unset_l (k, l) VALUES (?, [?])")
+    intercept[CqlInvalidQueryException] { lp.execute(3L, Unset) }
+    // DELETE key with unset rejected
+    val del = s.prepare("DELETE FROM unset_t WHERE k = ?")
+    intercept[CqlInvalidQueryException] { del.execute(Unset) }
+  }
 }
