@@ -3905,11 +3905,14 @@ object CqlPrepared {
           IfColumns(preds.map { case (n, sub, op, v) =>
             val bSub = sub.map {
               case f: CqlFieldSub => f // field names are not bindable
-              case k => value(k)
+              case k => noUnset(s"condition subscript on $n")(k)
             }
+            // IF conditions compare against a concrete value — unset has
+            // no truth value [U ColumnCondition]
             val bV = v match {
-              case xs: Seq[_] => xs.map(value) // IN list binds per element
-              case x => value(x)
+              case xs: Seq[_] => // IN list binds per element
+                xs.map(noUnset(s"condition on $n"))
+              case x => noUnset(s"condition on $n")(x)
             }
             (n, bSub, op, bV)
           })
