@@ -97,20 +97,16 @@ object CqlParser {
 
   /** `name` or `keyspace.name` — the keyspace qualifier is accepted and
     * dropped (the façade's catalog is flat). */
+  /** Table names: bare names stay bare (the SESSION resolves them against
+    * its current keyspace at the statement boundary); qualified names
+    * stay `ks.t` — the session folds `default.` to the bare canonical
+    * form, never the parser (an explicit default qualifier must survive
+    * to the boundary or a `USE ks` would re-target it). System virtual
+    * tables keep their upstream qualified names [U db/virtual/,
+    * schema/SchemaKeyspace.java]. */
   private def tableName(c: Cursor): String = {
     val n = c.next()
-    if (c.accept(".")) {
-      val t = c.next()
-      // the catalog is flat (keyspace qualifiers drop) EXCEPT the
-      // system/system_schema virtual tables, addressed by their upstream
-      // qualified names [U db/virtual/, schema/SchemaKeyspace.java]
-      if (n.equalsIgnoreCase("system_schema") || n.equalsIgnoreCase("system")
-          || n.equalsIgnoreCase("system_views")
-          || n.equalsIgnoreCase("system_traces")
-          || n.equalsIgnoreCase("system_virtual_schema"))
-        s"${n.toLowerCase}.$t"
-      else t
-    } else n
+    if (c.accept(".")) s"${n.toLowerCase}.${c.next()}" else n
   }
 
   def parse(cql: String): CqlSelect = {
@@ -653,7 +649,9 @@ object CqlParser {
       val raw = c.next()
       val name = if (c.accept(".")) s"$raw.${c.next()}" else raw
       name.split("\\.") match {
-        case Array(t) => TableRes("default", t.toLowerCase)
+        // bare: keyspace resolved by the session against its current
+        // keyspace (empty-string placeholder, filled in runAuth)
+        case Array(t) => TableRes("", t.toLowerCase)
         case Array(ks, t) => TableRes(ks.toLowerCase, t.toLowerCase)
         case _ => throw new CqlInvalidQueryException(
           s"cannot parse table resource $name")
@@ -780,7 +778,12 @@ object CqlParser {
       case "drop" =>
         if (c.accept("index")) {
           val ifExists = if (c.accept("if")) { c.expect("exists"); true } else false
-          CqlDropIndex(tableName(c), ifExists)
+          // index names live in a session-flat registry: the keyspace
+          // qualifier identifies, it does not scope (documented deviation)
+          CqlDropIndex({
+            val n = c.next()
+            if (c.accept(".")) c.next() else n
+          }, ifExists)
         } else if (c.accept("trigger")) {
           // `DROP TRIGGER [IF EXISTS] name ON t`
           val ifExists = if (c.accept("if")) { c.expect("exists"); true } else false

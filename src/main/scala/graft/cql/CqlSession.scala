@@ -443,14 +443,81 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   private val udtTypeRefs: scala.collection.mutable.Map[String, Set[String]] =
     scala.collection.mutable.Map.empty
 
-  /** Known keyspaces: registry entries only — the catalog is flat. The
-    * system keyspaces preexist, as upstream's do. */
+  /** Known keyspaces. The system keyspaces preexist, as upstream's do. */
   private val SystemKeyspaces: Set[String] =
     Set("system", "system_schema", "system_auth",
       "system_distributed", "system_traces", "system_views",
       "system_virtual_schema")
   private val keyspaces: scala.collection.mutable.Set[String] =
     scala.collection.mutable.Set(SystemKeyspaces.toSeq: _*)
+
+  // ——— keyspace-scoped table registry (r9) ———
+  //
+  // A table's CANONICAL registry key is its bare lowercase name for the
+  // default keyspace and `ks.t` for any other user keyspace (system
+  // virtual tables keep their upstream qualified names). Names
+  // canonicalize ONCE, at the statement boundary (parse/prepare time —
+  // upstream likewise binds a prepared statement's keyspace at prepare
+  // [U QueryProcessor]); every internal lookup is exact, so registries
+  // that store table references (views, indexes, triggers) hold canonical
+  // keys and never re-resolve against a later USE.
+  private var currentKs: String = "default" // == UserKeyspace (declared below)
+
+  /** The session's current keyspace (`USE ks`). */
+  def currentKeyspace: String = currentKs
+
+  /** Canonical registry key for a statement-level table name: the
+    * default keyspace's tables key BARE (`default.t` folds), every other
+    * keyspace's key `ks.t`, bare names resolve via the current keyspace. */
+  private def canonical(name: String): String = {
+    val n = name.toLowerCase
+    if (n.startsWith(s"$UserKeyspace.")) n.stripPrefix(s"$UserKeyspace.")
+    else if (n.contains(".") || currentKs == UserKeyspace) n
+    else s"$currentKs.$n"
+  }
+
+  /** The keyspace a canonical key lives in. */
+  private def keyspaceOf(key: String): String =
+    key.split("\\.", 2) match {
+      case Array(ks, _) => ks
+      case _ => UserKeyspace
+    }
+
+  /** The bare table name of a canonical key. */
+  private def tableOf(key: String): String =
+    key.split("\\.", 2) match {
+      case Array(_, t) => t
+      case _ => key
+    }
+
+  private def canonDml(d: CqlDml): CqlDml = d match {
+    case i: CqlInsert => i.copy(table = canonical(i.table))
+    case j: CqlInsertJson => j.copy(table = canonical(j.table))
+    case u: CqlUpdate => u.copy(table = canonical(u.table))
+    case del: CqlDelete => del.copy(table = canonical(del.table))
+  }
+
+  private def canonDdl(d: CqlDdl): CqlDdl = d match {
+    case ct: CqlCreateTable => ct.copy(table = canonical(ct.table))
+    case dt: CqlDropTable => dt.copy(table = canonical(dt.table))
+    case tr: CqlTruncate => tr.copy(table = canonical(tr.table))
+    case a: CqlAlterAdd => a.copy(table = canonical(a.table))
+    case a: CqlAlterDrop => a.copy(table = canonical(a.table))
+    case a: CqlAlterOptions => a.copy(table = canonical(a.table))
+    case a: CqlAlterRename => a.copy(table = canonical(a.table))
+    case i: CqlCreateIndex => i.copy(table = canonical(i.table))
+    case t: CqlCreateTrigger => t.copy(table = canonical(t.table))
+    case t: CqlDropTrigger => t.copy(table = canonical(t.table))
+    case mv: CqlCreateMv =>
+      mv.copy(select = mv.select.copy(table = canonical(mv.select.table)))
+    case other => other
+  }
+
+  /** Fill a bare table resource's keyspace from the session (GRANT ON t). */
+  private def canonResource(r: CqlResource): CqlResource = r match {
+    case TableRes("", t) => authRes(canonical(t))
+    case other => other
+  }
 
   /** Materialized views: lowercase name → (definition, mv pk, mv ck). */
   private val mvReg: scala.collection.mutable.Map[String, (CqlSelect, Seq[String], Seq[String])] =
@@ -616,7 +683,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         roleGrants.remove(name)
         roleGrants.mapValuesInPlace { case (_, g) => g - name }
         spark.emptyDataFrame
-      case CqlGrant(perms, res, role) =>
+      case CqlGrant(perms, res0, role) =>
+        val res = canonResource(res0)
         checkPerm("authorize", res)
         if (!roleReg.contains(role)) throw new CqlInvalidQueryException(
           s"role $role does not exist")
@@ -624,11 +692,13 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           scala.collection.mutable.Set.empty)
         cur ++= perms
         spark.emptyDataFrame
-      case CqlRevoke(perms, res, role) =>
+      case CqlRevoke(perms, res0, role) =>
+        val res = canonResource(res0)
         checkPerm("authorize", res)
         permReg.get((role, res.key)).foreach(_ --= perms)
         spark.emptyDataFrame
-      case CqlListPermissions(perms, on, of) =>
+      case CqlListPermissions(perms, on0, of) =>
+        val on = on0.map(canonResource)
         if (of != Some(currentRole)) checkPerm("authorize",
           on.getOrElse(AllKeyspacesRes))
         val schema = StructType(Seq(
@@ -1081,7 +1151,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       StructField("table_name", StringType),
       StructField("default_time_to_live", LongType)))
     val tRows = state.toSeq.sortBy(_._1).map { case (n, t) =>
-      Row(UserKeyspace, n, t.defaultTtl.getOrElse(0L))
+      Row(keyspaceOf(n), tableOf(n), t.defaultTtl.getOrElse(0L))
     }
     val cSchema = StructType(Seq(
       StructField("keyspace_name", StringType),
@@ -1107,7 +1177,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
             (if (t.clusteringDesc.lift(ckPos).getOrElse(false)) "desc"
             else "asc")
           else "none"
-        Row(UserKeyspace, n, f.name, order, kind, pos,
+        Row(keyspaceOf(n), tableOf(n), f.name, order, kind, pos,
           columnTypeName(n, t, f))
       }
     }
@@ -1638,8 +1708,9 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   private[graft] def catalogAppend(table: String, df: DataFrame,
       overwrite: Boolean): Unit = {
     val key = table.toLowerCase
-    if (key.contains(".")) throw new CqlInvalidQueryException(
-      s"table $table is a system table and cannot be written")
+    if (SystemKeyspaces.contains(keyspaceOf(key)))
+      throw new CqlInvalidQueryException(
+        s"table $table is a system table and cannot be written")
     checkPerm("modify", authRes(key))
     val t = tableState(key)
     if (t.counterKeys.nonEmpty) throw new CqlInvalidQueryException(
@@ -1768,10 +1839,10 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     val tyRows = ordered.toSeq.map(n =>
       Row(UserKeyspace, "type", n, typeDdl(n, udtReg(n))))
     val tRows = state.toSeq.sortBy(_._1).map { case (n, t) =>
-      Row(UserKeyspace, "table", n, tableDdl(n, t))
+      Row(keyspaceOf(n), "table", n, tableDdl(n, t))
     }
-    val iRows = indexReg.keys.toSeq.sorted.map(n =>
-      Row(UserKeyspace, "index", n, indexDdl(n)))
+    val iRows = indexReg.toSeq.sortBy(_._1).map { case (n, (tbl, _, _, _)) =>
+      Row(keyspaceOf(tbl), "index", n, indexDdl(n)) }
     val trgRows = triggerReg.toSeq.sortBy(_._1).map {
       case ((tbl, n), (clazz, _)) =>
         Row(UserKeyspace, "trigger", n,
@@ -1802,16 +1873,16 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       StructField("name", StringType),
       StructField("create_statement", StringType)))
     def ddlResult(kind: String, name: String, stmt: String): DataFrame =
-      spark.createDataFrame(Seq(Row(UserKeyspace, kind, name, stmt)).asJava,
-        ddlSchema)
+      spark.createDataFrame(
+        Seq(Row(keyspaceOf(name), kind, name, stmt)).asJava, ddlSchema)
     def describeTable(raw: String): DataFrame = {
-      val name = raw.toLowerCase
+      val name = canonical(raw)
       state.get(name).map(t => ddlResult("table", name, tableDdl(name, t)))
         .getOrElse(throw new CqlInvalidQueryException(s"unknown table $raw"))
     }
     def describeAny(raw: String): DataFrame = {
       val n = raw.toLowerCase
-      if (state.contains(n)) describeTable(n)
+      if (state.contains(canonical(n))) describeTable(n)
       else if (mvReg.contains(n)) ddlResult("materialized_view", n, mvDdl(n))
       else if (udtReg.contains(n)) ddlResult("type", n, typeDdl(n, udtReg(n)))
       else if (indexReg.contains(n)) ddlResult("index", n, indexDdl(n))
@@ -1920,7 +1991,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * scan is the first thing an operator turns off at 100 TB. */
   private def guardAllowFiltering(sel: CqlSelect): Unit =
     if (sel.allowFiltering && guardrailsApply &&
-        !sel.table.contains(".") && // system tables exempt
+        !SystemKeyspaces.contains(keyspaceOf(sel.table.toLowerCase)) &&
         !guardEnabled("allow_filtering_enabled"))
       throw new CqlInvalidQueryException(
         "Guardrail allow_filtering violated: Querying with ALLOW " +
@@ -2001,13 +2072,19 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * order. */
   def prepare(cql: String): CqlPrepared = {
     val trimmed = cql.trim
+    // the keyspace binds at PREPARE time, as upstream QueryProcessor
+    // does: a later USE never re-targets an already-prepared statement
     trimmed.takeWhile(!_.isWhitespace).toLowerCase match {
       case "select" =>
-        new CqlPrepared(this, CqlParser.parse(trimmed), trimmed)
+        val sel = CqlParser.parse(trimmed)
+        new CqlPrepared(this, sel.copy(table = canonical(sel.table)), trimmed)
       case "insert" | "update" | "delete" =>
-        new CqlPrepared(this, CqlParser.parseDml(trimmed), trimmed)
+        new CqlPrepared(this,
+          canonDml(CqlParser.parseDml(trimmed)), trimmed)
       case "begin" =>
-        new CqlPrepared(this, CqlParser.parseBatch(trimmed), trimmed)
+        val b = CqlParser.parseBatch(trimmed)
+        new CqlPrepared(this,
+          b.copy(statements = b.statements.map(canonDml)), trimmed)
       case other => throw new CqlInvalidQueryException(
         s"only SELECT/INSERT/UPDATE/DELETE/BATCH can be prepared, got $other")
     }
@@ -2322,46 +2399,61 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       .getOrElse("").toLowerCase
     kw match {
       case "select" =>
-        if (!isSuperuser) {
-          // enforcement needs the target table; the engine re-parses, but
-          // non-superuser sessions are the rare path (default = cassandra)
-          val sel = CqlParser.parse(trimmed)
-          checkRead(sel.table)
-          guardAllowFiltering(sel)
-        }
+        // parse ONCE at the boundary: the current keyspace binds here,
+        // and the volatile-table rebuild decision reads the PARSED target
+        // (not a substring of the text — the cql12-era wart)
+        val sel0 = CqlParser.parse(trimmed)
+        val sel = sel0.copy(table = canonical(sel0.table))
         // the runtime virtual tables (settings/clients) change without a
         // mutation epoch bump — rebuild so the read sees live values
-        if (trimmed.toLowerCase.contains("system_views.") ||
-            trimmed.toLowerCase.contains("system_traces."))
+        val target = sel.table.toLowerCase
+        if (target.startsWith("system_views.") ||
+            target.startsWith("system_traces."))
           engineCache = None
-        if (trimmed.toLowerCase.contains("size_estimates")) {
-          wantSizeEstimates = true; engineCache = None
-        }
-        engine.execute(trimmed)
+        runSelect(sel)
       case "create" | "drop" | "alter"
           if secondKw == "role" || secondKw == "user" =>
         runAuth(CqlParser.parseAuth(trimmed))
       case "grant" | "revoke" | "list" =>
         runAuth(CqlParser.parseAuth(trimmed))
       case "create" | "drop" | "truncate" | "alter" =>
+        val ddl = canonDdl(CqlParser.parseDdl(trimmed, udtReg.toMap))
         if (!isSuperuser) {
           // upstream: CREATE/ALTER/DROP check the keyspace resource,
           // TRUNCATE checks MODIFY on the table [U auth/Permission.java]
-          if (kw == "truncate") {
-            val t = trimmed.stripSuffix(";").split("\\s+")
-              .filterNot(_.equalsIgnoreCase("table")).last
-            checkPerm("modify", authRes(t))
-          } else checkPerm(kw, KeyspaceRes(UserKeyspace))
+          ddl match {
+            case CqlTruncate(t) => checkPerm("modify", authRes(t))
+            case other =>
+              // the affected keyspace: the statement's table's, or the
+              // current one for keyspace/type/function-level DDL
+              val ks = other match {
+                case ct: CqlCreateTable => keyspaceOf(ct.table)
+                case dt: CqlDropTable => keyspaceOf(dt.table)
+                case a: CqlAlterAdd => keyspaceOf(a.table)
+                case a: CqlAlterDrop => keyspaceOf(a.table)
+                case a: CqlAlterOptions => keyspaceOf(a.table)
+                case a: CqlAlterRename => keyspaceOf(a.table)
+                case i: CqlCreateIndex => keyspaceOf(i.table)
+                case t: CqlCreateTrigger => keyspaceOf(t.table)
+                case mv: CqlCreateMv => keyspaceOf(mv.select.table)
+                case _ => currentKs
+              }
+              checkPerm(kw, KeyspaceRes(ks))
+          }
         }
-        applyDdl(CqlParser.parseDdl(trimmed, udtReg.toMap)); spark.emptyDataFrame
+        applyDdl(ddl); spark.emptyDataFrame
       case "insert" | "update" | "delete" =>
-        runDml(CqlParser.parseDml(trimmed))
-      case "begin" => runBatch(CqlParser.parseBatch(trimmed))
+        runDml(canonDml(CqlParser.parseDml(trimmed)))
+      case "begin" =>
+        val b = CqlParser.parseBatch(trimmed)
+        runBatch(b.copy(statements = b.statements.map(canonDml)))
       case "describe" | "desc" => runDescribe(trimmed)
-      case "copy" => runCopy(CqlParser.parseCopy(trimmed))
+      case "copy" =>
+        val cp = CqlParser.parseCopy(trimmed)
+        runCopy(cp.copy(table = canonical(cp.table)))
       case "use" =>
-        // `USE ks` — the flat catalog makes this a current-keyspace marker
-        // only; unknown keyspaces error as upstream does
+        // `USE ks` — binds the session's current keyspace: later BARE
+        // table names resolve against it (upstream ClientState [U])
         val toks = trimmed.stripSuffix(";").trim.split("\\s+")
         if (toks.length != 2)
           throw new CqlInvalidQueryException(
@@ -2369,6 +2461,9 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         val name = toks(1).toLowerCase
         if (!keyspaces.contains(name) && name != UserKeyspace)
           throw new CqlInvalidQueryException(s"unknown keyspace $name")
+        // USE'ing a system keyspace is legal upstream (reads resolve
+        // against it); writes still reject at the write path
+        currentKs = name
         spark.emptyDataFrame
       case other =>
         throw new CqlInvalidQueryException(s"unsupported statement: $other")
@@ -2390,8 +2485,19 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           throw new CqlInvalidQueryException(s"keyspace $name already exists")
       } else keyspaces += name.toLowerCase
     case CqlDropKeyspace(name, ifExists) =>
-      if (!keyspaces.remove(name.toLowerCase) && !ifExists)
+      val ks = name.toLowerCase
+      if (SystemKeyspaces.contains(ks))
+        throw new CqlInvalidQueryException(
+          "system keyspaces are not user-modifiable")
+      if (!keyspaces.remove(ks) && !ifExists)
         throw new CqlInvalidQueryException(s"unknown keyspace $name")
+      // upstream DROP KEYSPACE drops everything it contains: views first
+      // (their bases must outlive them through DropTable's guard), then
+      // the tables themselves
+      val contained = state.keys.filter(keyspaceOf(_) == ks).toSeq
+      mvReg.filterInPlace { case (_, (sel, _, _)) =>
+        !contained.exists(sel.table.equalsIgnoreCase) }
+      contained.foreach(t => applyDdl0(CqlDropTable(t, ifExists = true)))
     case CqlAlterKeyspace(name) =>
       if (SystemKeyspaces.contains(name.toLowerCase))
         throw new CqlInvalidQueryException(
@@ -2403,6 +2509,12 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           table.toLowerCase.startsWith(s"$ks.")))
         throw new CqlInvalidQueryException(
           s"system keyspaces are not user-modifiable")
+      // a qualified create targets a DECLARED keyspace, as upstream
+      locally {
+        val ks = keyspaceOf(table.toLowerCase)
+        if (ks != UserKeyspace && !keyspaces.contains(ks))
+          throw new CqlInvalidQueryException(s"Keyspace $ks doesn't exist")
+      }
       if (state.contains(table.toLowerCase)) {
         if (!ifNotExists)
           throw new CqlInvalidQueryException(s"table $table already exists")

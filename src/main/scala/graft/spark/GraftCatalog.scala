@@ -68,9 +68,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def registryKey(ident: Identifier): String = {
     val ns = ident.namespace()
     if (ns.length != 1) ident.name().toLowerCase
-    else if (session.systemKeyspaces(ns(0).toLowerCase))
-      s"${ns(0).toLowerCase}.${ident.name().toLowerCase}"
-    else ident.name().toLowerCase
+    else {
+      val ks = ns(0).toLowerCase
+      // canonical registry keys: bare for the default keyspace,
+      // `ks.t` for every other keyspace (system AND user)
+      if (ks == session.userKeyspaceName) ident.name().toLowerCase
+      else s"$ks.${ident.name().toLowerCase}"
+    }
   }
 
   private def requireNamespace(namespace: Array[String]): String = {
@@ -88,9 +92,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val ks = requireNamespace(namespace)
     val keys = session.engineCatalog.keys.toSeq
     val names =
-      if (session.systemKeyspaces(ks))
-        keys.filter(_.startsWith(s"$ks.")).map(_.stripPrefix(s"$ks."))
-      else keys.filterNot(_.contains("."))
+      if (ks == session.userKeyspaceName) keys.filterNot(_.contains("."))
+      else keys.filter(_.startsWith(s"$ks.")).map(_.stripPrefix(s"$ks."))
     names.sorted.map(Identifier.of(namespace, _)).toArray
   }
 
@@ -144,7 +147,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .map(f => s"${f.name} ${session.cqlTypeNameOf(f.dataType)}")
     val pkPart =
       if (pk.size == 1) pk.head else pk.mkString("(", ", ", ")")
-    val ddl = s"CREATE TABLE ${ident.name()} (${cols.mkString(", ")}, " +
+    val ddl = s"CREATE TABLE ${registryKey(ident)} " +
+      s"(${cols.mkString(", ")}, " +
       s"PRIMARY KEY ($pkPart${ck.map(", " + _).mkString}))"
     session.execute(ddl)
     loadTable(ident)

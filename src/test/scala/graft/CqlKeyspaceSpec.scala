@@ -1,0 +1,186 @@
+package graft
+
+import graft.cql.{CqlInvalidQueryException, CqlSession}
+
+/** Keyspace-scoped table registry (r9) — upstream semantics: same-named
+  * tables in different keyspaces are DISTINCT, bare names resolve against
+  * the session's current keyspace (`USE`), the keyspace binds at prepare
+  * time, and DROP KEYSPACE drops its contents
+  * [U schema/Schema.java, service/ClientState.java]. */
+class CqlKeyspaceSpec extends SparkSpec {
+
+  private def fresh = {
+    val s = CqlSession(spark)
+    s.execute("CREATE KEYSPACE ksa WITH replication = " +
+      "{'class': 'SimpleStrategy', 'replication_factor': 1}")
+    s.execute("CREATE KEYSPACE ksb WITH replication = " +
+      "{'class': 'SimpleStrategy', 'replication_factor': 1}")
+    s
+  }
+
+  test("same-named tables in different keyspaces hold distinct data") {
+    val s = fresh
+    s.execute("CREATE TABLE ksa.t (k bigint PRIMARY KEY, v text)")
+    s.execute("CREATE TABLE ksb.t (k bigint PRIMARY KEY, v text)")
+    s.execute("CREATE TABLE t (k bigint PRIMARY KEY, v text)") // default
+    s.execute("INSERT INTO ksa.t (k, v) VALUES (1, 'a')")
+    s.execute("INSERT INTO ksb.t (k, v) VALUES (1, 'b')")
+    s.execute("INSERT INTO t (k, v) VALUES (1, 'd')")
+    assert(s.execute("SELECT v FROM ksa.t WHERE k = 1")
+      .head().getString(0) === "a")
+    assert(s.execute("SELECT v FROM ksb.t WHERE k = 1")
+      .head().getString(0) === "b")
+    assert(s.execute("SELECT v FROM t WHERE k = 1")
+      .head().getString(0) === "d")
+    // default.t and t are the same table
+    assert(s.execute("SELECT v FROM default.t WHERE k = 1")
+      .head().getString(0) === "d")
+  }
+
+  test("bare names resolve against the USE'd keyspace — no fallback to " +
+    "default") {
+    val s = fresh
+    s.execute("CREATE TABLE t2 (k bigint PRIMARY KEY, v text)") // default
+    s.execute("INSERT INTO t2 (k, v) VALUES (1, 'd')")
+    s.execute("USE ksa")
+    // upstream: unknown table, NOT a silent fallback to default.t2
+    intercept[CqlInvalidQueryException] {
+      s.execute("SELECT v FROM t2 WHERE k = 1")
+    }
+    s.execute("CREATE TABLE t2 (k bigint PRIMARY KEY, v text)") // ksa.t2
+    s.execute("INSERT INTO t2 (k, v) VALUES (1, 'a')")
+    assert(s.execute("SELECT v FROM t2 WHERE k = 1")
+      .head().getString(0) === "a")
+    // the default table is still reachable by qualified name
+    assert(s.execute("SELECT v FROM default.t2 WHERE k = 1")
+      .head().getString(0) === "d")
+    s.execute("USE default")
+    assert(s.execute("SELECT v FROM t2 WHERE k = 1")
+      .head().getString(0) === "d")
+  }
+
+  test("the keyspace binds at PREPARE time, not execution time") {
+    val s = fresh
+    s.execute("CREATE TABLE ksa.pt (k bigint PRIMARY KEY, v text)")
+    s.execute("CREATE TABLE ksb.pt (k bigint PRIMARY KEY, v text)")
+    s.execute("USE ksa")
+    val ins = s.prepare("INSERT INTO pt (k, v) VALUES (?, ?)")
+    val sel = s.prepare("SELECT v FROM pt WHERE k = ?")
+    s.execute("USE ksb") // must NOT re-target the prepared statements
+    ins.execute(1L, "bound-at-prepare")
+    assert(sel.execute(1L).head().getString(0) === "bound-at-prepare")
+    assert(s.execute("SELECT count(*) FROM ksa.pt").head().getLong(0) === 1L)
+    assert(s.execute("SELECT count(*) FROM ksb.pt").head().getLong(0) === 0L)
+    s.execute("USE default")
+  }
+
+  test("DML, UPDATE, DELETE, BATCH, and COPY address the right keyspace") {
+    val s = fresh
+    s.execute("CREATE TABLE ksa.m (k bigint PRIMARY KEY, v bigint)")
+    s.execute("CREATE TABLE ksb.m (k bigint PRIMARY KEY, v bigint)")
+    s.execute("USE ksa")
+    s.execute("INSERT INTO m (k, v) VALUES (1, 10)")
+    s.execute("UPDATE m SET v = 11 WHERE k = 1")
+    s.execute("BEGIN BATCH " +
+      "INSERT INTO m (k, v) VALUES (2, 20); " +
+      "INSERT INTO ksb.m (k, v) VALUES (2, 200); " +
+      "APPLY BATCH")
+    assert(s.execute("SELECT v FROM m WHERE k = 1").head().getLong(0) === 11L)
+    assert(s.execute("SELECT v FROM ksb.m WHERE k = 2")
+      .head().getLong(0) === 200L)
+    s.execute("DELETE FROM m WHERE k = 1")
+    assert(s.execute("SELECT count(*) FROM m").head().getLong(0) === 1L)
+    assert(s.execute("SELECT count(*) FROM ksb.m").head().getLong(0) === 1L)
+    s.execute("USE default")
+  }
+
+  test("DROP KEYSPACE drops its tables and views; other keyspaces survive") {
+    val s = fresh
+    s.execute("CREATE TABLE ksa.d1 (k bigint PRIMARY KEY, v bigint)")
+    s.execute("CREATE TABLE ksb.d1 (k bigint PRIMARY KEY, v bigint)")
+    s.execute("INSERT INTO ksb.d1 (k, v) VALUES (1, 1)")
+    s.execute("USE ksa")
+    s.execute("CREATE MATERIALIZED VIEW dmv AS SELECT k, v FROM d1 " +
+      "WHERE k IS NOT NULL AND v IS NOT NULL PRIMARY KEY (v, k)")
+    s.execute("USE default")
+    s.execute("DROP KEYSPACE ksa")
+    intercept[CqlInvalidQueryException] {
+      s.execute("SELECT * FROM ksa.d1")
+    }
+    // a re-created keyspace starts empty
+    s.execute("CREATE KEYSPACE ksa WITH replication = " +
+      "{'class': 'SimpleStrategy', 'replication_factor': 1}")
+    intercept[CqlInvalidQueryException] { s.execute("SELECT * FROM ksa.d1") }
+    assert(s.execute("SELECT v FROM ksb.d1 WHERE k = 1")
+      .head().getLong(0) === 1L)
+  }
+
+  test("schema introspection and DESCRIBE attribute the owning keyspace") {
+    val s = fresh
+    s.execute("CREATE TABLE ksa.si (k bigint PRIMARY KEY, v text)")
+    s.execute("CREATE TABLE si (k bigint PRIMARY KEY, v text)")
+    val rows = s.execute("SELECT keyspace_name, table_name FROM " +
+      "system_schema.tables WHERE table_name = 'si' ALLOW FILTERING")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(rows === Seq(("default", "si"), ("ksa", "si")))
+    val d = s.execute("DESCRIBE TABLE ksa.si").head()
+    assert(d.getString(0) === "ksa")
+    assert(d.getString(3).contains("CREATE TABLE ksa.si"))
+    // the emitted DDL re-executes against the right keyspace
+    val s2 = CqlSession(spark)
+    s2.execute("CREATE KEYSPACE ksa WITH replication = " +
+      "{'class': 'SimpleStrategy', 'replication_factor': 1}")
+    s2.execute(d.getString(3))
+    s2.execute("INSERT INTO ksa.si (k, v) VALUES (1, 'x')")
+    assert(s2.execute("SELECT v FROM ksa.si WHERE k = 1")
+      .head().getString(0) === "x")
+  }
+
+  test("auth: grants scope to the keyspace-qualified table resource") {
+    val s = fresh
+    s.execute("CREATE TABLE ksa.au (k bigint PRIMARY KEY, v bigint)")
+    s.execute("CREATE TABLE au (k bigint PRIMARY KEY, v bigint)")
+    s.execute("INSERT INTO ksa.au (k, v) VALUES (1, 1)")
+    s.execute("INSERT INTO au (k, v) VALUES (1, 2)")
+    s.execute("CREATE ROLE ksreader WITH LOGIN = true")
+    s.execute("GRANT SELECT ON ksa.au TO ksreader")
+    s.login("ksreader")
+    assert(s.execute("SELECT v FROM ksa.au WHERE k = 1")
+      .head().getLong(0) === 1L)
+    // the grant does NOT cover the default keyspace's same-named table
+    intercept[CqlInvalidQueryException] {
+      s.execute("SELECT v FROM au WHERE k = 1")
+    }
+    s.login("cassandra", "cassandra")
+    // a bare GRANT under USE scopes to the CURRENT keyspace
+    s.execute("USE ksa")
+    s.execute("CREATE ROLE ksreader2 WITH LOGIN = true")
+    s.execute("GRANT SELECT ON au TO ksreader2")
+    s.login("ksreader2")
+    assert(s.execute("SELECT v FROM au WHERE k = 1")
+      .head().getLong(0) === 1L)
+    intercept[CqlInvalidQueryException] {
+      s.execute("SELECT v FROM default.au WHERE k = 1")
+    }
+    s.login("cassandra", "cassandra")
+    s.execute("USE default")
+  }
+
+  test("Spark catalog namespaces list per-keyspace tables and route writes") {
+    val s = fresh
+    s.execute("CREATE TABLE ksa.ct (k bigint PRIMARY KEY, v text)")
+    s.execute("CREATE TABLE ct (k bigint PRIMARY KEY, v text)")
+    s.exposeAsCatalog("graft_ks")
+    val ksaTables = spark.sql("SHOW TABLES IN graft_ks.ksa")
+      .collect().map(_.getString(1)).toSeq
+    assert(ksaTables === Seq("ct"))
+    spark.sql("INSERT INTO graft_ks.ksa.ct SELECT 1L AS k, 'a' AS v")
+    spark.sql("INSERT INTO graft_ks.default.ct SELECT 1L AS k, 'd' AS v")
+    assert(spark.sql("SELECT v FROM graft_ks.ksa.ct").head().getString(0)
+      === "a")
+    assert(s.execute("SELECT v FROM ksa.ct WHERE k = 1")
+      .head().getString(0) === "a")
+    assert(s.execute("SELECT v FROM ct WHERE k = 1")
+      .head().getString(0) === "d")
+  }
+}

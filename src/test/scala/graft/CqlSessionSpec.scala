@@ -1106,6 +1106,14 @@ class CqlSessionSpec extends SparkSpec {
 
   test("CREATE TABLE through CQL text: full data-model round trip") {
     val s = CqlSession(spark)
+    // qualified creates target a DECLARED keyspace (r9 — keyspace-scoped
+    // registry: bare names thereafter resolve via USE)
+    intercept[CqlInvalidQueryException] {
+      s.execute("CREATE TABLE nope_ks.t (k bigint PRIMARY KEY)")
+    }
+    s.execute("CREATE KEYSPACE ks1 WITH replication = " +
+      "{'class': 'SimpleStrategy', 'replication_factor': 1}")
+    s.execute("USE ks1")
     s.execute("""CREATE TABLE ks1.readings (
       sensor bigint,
       at bigint,
