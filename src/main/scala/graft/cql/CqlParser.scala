@@ -778,12 +778,10 @@ object CqlParser {
       case "drop" =>
         if (c.accept("index")) {
           val ifExists = if (c.accept("if")) { c.expect("exists"); true } else false
-          // index names live in a session-flat registry: the keyspace
-          // qualifier identifies, it does not scope (documented deviation)
-          CqlDropIndex({
-            val n = c.next()
-            if (c.accept(".")) c.next() else n
-          }, ifExists)
+          // `DROP INDEX [ks.]name` — the qualifier survives to the
+          // session, which resolves bare names against its current
+          // keyspace (index names scope per keyspace, as upstream)
+          CqlDropIndex(tableName(c), ifExists)
         } else if (c.accept("trigger")) {
           // `DROP TRIGGER [IF EXISTS] name ON t`
           val ifExists = if (c.accept("if")) { c.expect("exists"); true } else false

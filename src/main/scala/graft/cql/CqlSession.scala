@@ -506,12 +506,22 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     case a: CqlAlterOptions => a.copy(table = canonical(a.table))
     case a: CqlAlterRename => a.copy(table = canonical(a.table))
     case i: CqlCreateIndex => i.copy(table = canonical(i.table))
+    case i: CqlDropIndex => i.copy(name = canonical(i.name))
     case t: CqlCreateTrigger => t.copy(table = canonical(t.table))
     case t: CqlDropTrigger => t.copy(table = canonical(t.table))
     case mv: CqlCreateMv =>
-      mv.copy(select = mv.select.copy(table = canonical(mv.select.table)))
+      // the view's own name scopes like a table; upstream pins the view
+      // to its base table's keyspace (validated in applyDdl0)
+      mv.copy(name = canonical(mv.name),
+        select = mv.select.copy(table = canonical(mv.select.table)))
+    case mv: CqlDropMv => mv.copy(name = canonical(mv.name))
     case other => other
   }
+
+  /** Canonical key for an object owned by keyspace `ks` (indexes, views:
+    * bare in the default keyspace, `ks.name` elsewhere). */
+  private def qualify(ks: String, n: String): String =
+    if (ks == UserKeyspace) n else s"$ks.$n"
 
   /** Fill a bare table resource's keyspace from the session (GRANT ON t). */
   private def canonResource(r: CqlResource): CqlResource = r match {
@@ -1194,14 +1204,15 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         // upstream target strings read `values(m)` / `keys(m)` / … for
         // collection indexes and the bare column name otherwise
         val tgt = if (target.isEmpty) c0 else s"$target($c0)"
-        Row(UserKeyspace, tbl, n, if (sai) "CUSTOM" else "COMPOSITES", tgt)
+        Row(keyspaceOf(tbl), tableOf(tbl), tableOf(n),
+          if (sai) "CUSTOM" else "COMPOSITES", tgt)
     }
     val vSchema = StructType(Seq(
       StructField("keyspace_name", StringType),
       StructField("view_name", StringType),
       StructField("base_table_name", StringType)))
     val vRows = mvReg.toSeq.sortBy(_._1).map { case (n, (sel, _, _)) =>
-      Row(UserKeyspace, n, sel.table.toLowerCase)
+      Row(keyspaceOf(n), tableOf(n), tableOf(sel.table.toLowerCase))
     }
     val tySchema = StructType(Seq(
       StructField("keyspace_name", StringType),
@@ -1245,7 +1256,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       StructField("options", MapType(StringType, StringType))))
     val trRows = triggerReg.toSeq.sortBy(_._1).map {
       case ((tbl, n), (clazz, _)) =>
-        Row(UserKeyspace, tbl, n, Map("class" -> clazz))
+        Row(keyspaceOf(tbl), tableOf(tbl), n, Map("class" -> clazz))
     }
     Map(
       "system_schema.keyspaces" ->
@@ -1785,10 +1796,13 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
 
   private def indexDdl(name: String): String = {
     val (tbl, c0, sai, target) = indexReg(name.toLowerCase)
+    // the rendered index name is bare: CREATE INDEX derives the keyspace
+    // from the table, so the emitted DDL re-executes to the same key
+    val bare = tableOf(name.toLowerCase)
     val tgt = if (target.isEmpty) c0 else s"${target.toUpperCase}($c0)"
     if (sai)
-      s"CREATE CUSTOM INDEX $name ON $tbl ($tgt) USING 'StorageAttachedIndex'"
-    else s"CREATE INDEX $name ON $tbl ($tgt)"
+      s"CREATE CUSTOM INDEX $bare ON $tbl ($tgt) USING 'StorageAttachedIndex'"
+    else s"CREATE INDEX $bare ON $tbl ($tgt)"
   }
 
   private def fnDdl(name: String): String = {
@@ -1845,11 +1859,11 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       Row(keyspaceOf(tbl), "index", n, indexDdl(n)) }
     val trgRows = triggerReg.toSeq.sortBy(_._1).map {
       case ((tbl, n), (clazz, _)) =>
-        Row(UserKeyspace, "trigger", n,
+        Row(keyspaceOf(tbl), "trigger", n,
           s"CREATE TRIGGER $n ON $tbl USING '$clazz'")
     }
     val vRows = mvReg.keys.toSeq.sorted.map(n =>
-      Row(UserKeyspace, "materialized_view", n, mvDdl(n)))
+      Row(keyspaceOf(n), "materialized_view", n, mvDdl(n)))
     val fRows = fnReg.keys.toSeq.sorted.map(n =>
       Row(UserKeyspace, "function", n, fnDdl(n)))
     val aRows = aggReg.keys.toSeq.sorted.map(n =>
@@ -1882,10 +1896,11 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     }
     def describeAny(raw: String): DataFrame = {
       val n = raw.toLowerCase
-      if (state.contains(canonical(n))) describeTable(n)
-      else if (mvReg.contains(n)) ddlResult("materialized_view", n, mvDdl(n))
+      val cn = canonical(n)
+      if (state.contains(cn)) describeTable(n)
+      else if (mvReg.contains(cn)) ddlResult("materialized_view", cn, mvDdl(cn))
       else if (udtReg.contains(n)) ddlResult("type", n, typeDdl(n, udtReg(n)))
-      else if (indexReg.contains(n)) ddlResult("index", n, indexDdl(n))
+      else if (indexReg.contains(cn)) ddlResult("index", cn, indexDdl(cn))
       else if (fnReg.contains(n)) ddlResult("function", n, fnDdl(n))
       else if (aggReg.contains(n)) ddlResult("aggregate", n, aggDdl(n))
       else throw new CqlInvalidQueryException(s"unknown object $raw")
@@ -1924,16 +1939,21 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           "argument_types FROM system_schema.aggregates")
       case Seq(_, "table", raw) => describeTable(raw)
       case Seq(_, "materialized", "view", raw) =>
-        mvReg.get(raw.toLowerCase)
-          .map(_ => ddlResult("materialized_view", raw.toLowerCase,
-            mvDdl(raw)))
-          .getOrElse(throw new CqlInvalidQueryException(
-            s"unknown materialized view $raw"))
+        locally {
+          val n = canonical(raw)
+          mvReg.get(n)
+            .map(_ => ddlResult("materialized_view", n, mvDdl(n)))
+            .getOrElse(throw new CqlInvalidQueryException(
+              s"unknown materialized view $raw"))
+        }
       case Seq(_, "index", raw) =>
-        indexReg.get(raw.toLowerCase)
-          .map(_ => ddlResult("index", raw.toLowerCase, indexDdl(raw)))
-          .getOrElse(
-            throw new CqlInvalidQueryException(s"unknown index $raw"))
+        locally {
+          val n = canonical(raw)
+          indexReg.get(n)
+            .map(_ => ddlResult("index", n, indexDdl(n)))
+            .getOrElse(
+              throw new CqlInvalidQueryException(s"unknown index $raw"))
+        }
       case Seq(_, "function", raw) =>
         fnReg.get(raw.toLowerCase)
           .map(_ => ddlResult("function", raw.toLowerCase, fnDdl(raw)))
@@ -2434,8 +2454,11 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
                 case a: CqlAlterOptions => keyspaceOf(a.table)
                 case a: CqlAlterRename => keyspaceOf(a.table)
                 case i: CqlCreateIndex => keyspaceOf(i.table)
+                case i: CqlDropIndex => keyspaceOf(i.name)
                 case t: CqlCreateTrigger => keyspaceOf(t.table)
+                case t: CqlDropTrigger => keyspaceOf(t.table)
                 case mv: CqlCreateMv => keyspaceOf(mv.select.table)
+                case mv: CqlDropMv => keyspaceOf(mv.name)
                 case _ => currentKs
               }
               checkPerm(kw, KeyspaceRes(ks))
@@ -2585,6 +2608,12 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         if (!ifNotExists)
           throw new CqlInvalidQueryException(s"$name already exists")
       } else {
+        // upstream CreateViewStatement: a view lives in its base table's
+        // keyspace [U cql3/statements/schema/CreateViewStatement]
+        if (keyspaceOf(name.toLowerCase) != keyspaceOf(sel.table.toLowerCase))
+          throw new CqlInvalidQueryException(
+            s"Cannot create materialized view $name: a view must be " +
+              s"created in the same keyspace as its base table ${sel.table}")
         val base = tableState(sel.table) // base must exist
         // upstream CreateViewStatement restricts a view to plain column
         // selections over filtered base rows [U] — an aggregating or
@@ -2759,7 +2788,11 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         case "" if isColl => "values"
         case other => other
       }
-      val idxName = name.getOrElse(s"${table.toLowerCase}_${colName.toLowerCase}_idx")
+      // index names are unique PER KEYSPACE (the table's), as upstream
+      // [U cql3/statements/schema/CreateIndexStatement]
+      val idxName = qualify(keyspaceOf(table.toLowerCase),
+        name.getOrElse(
+          s"${tableOf(table.toLowerCase)}_${colName.toLowerCase}_idx"))
         .toLowerCase
       // a column can carry one index PER TARGET (KEYS(m) + VALUES(m) is
       // legal upstream); a same-target duplicate is rejected

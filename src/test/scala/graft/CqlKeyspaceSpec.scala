@@ -166,6 +166,63 @@ class CqlKeyspaceSpec extends SparkSpec {
     s.execute("USE default")
   }
 
+  test("materialized views scope to their base table's keyspace") {
+    val s = fresh
+    s.execute("CREATE TABLE ksa.mb (k bigint PRIMARY KEY, v bigint)")
+    s.execute("CREATE TABLE mb (k bigint PRIMARY KEY, v bigint)")
+    s.execute("INSERT INTO ksa.mb (k, v) VALUES (1, 10)")
+    s.execute("INSERT INTO mb (k, v) VALUES (1, 20)")
+    s.execute("USE ksa")
+    s.execute("CREATE MATERIALIZED VIEW mv1 AS SELECT k, v FROM mb " +
+      "WHERE k IS NOT NULL AND v IS NOT NULL PRIMARY KEY (v, k)")
+    // same name is free in another keyspace
+    s.execute("USE default")
+    s.execute("CREATE MATERIALIZED VIEW mv1 AS SELECT k, v FROM mb " +
+      "WHERE k IS NOT NULL AND v IS NOT NULL PRIMARY KEY (v, k)")
+    assert(s.execute("SELECT v FROM ksa.mv1 WHERE v = 10")
+      .head().getLong(0) === 10L)
+    assert(s.execute("SELECT v FROM mv1 WHERE v = 20")
+      .head().getLong(0) === 20L)
+    // a view cannot live in a different keyspace than its base
+    intercept[CqlInvalidQueryException] {
+      s.execute("CREATE MATERIALIZED VIEW ksb.mvx AS SELECT k, v FROM " +
+        "ksa.mb WHERE k IS NOT NULL AND v IS NOT NULL PRIMARY KEY (v, k)")
+    }
+    // system_schema.views attributes the owning keyspace, bare names
+    val vr = s.execute("SELECT keyspace_name, view_name, base_table_name " +
+      "FROM system_schema.views ALLOW FILTERING").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(vr.contains(("ksa", "mv1", "mb")))
+    assert(vr.contains(("default", "mv1", "mb")))
+    s.execute("DROP MATERIALIZED VIEW ksa.mv1")
+    assert(s.execute("SELECT v FROM mv1 WHERE v = 20")
+      .head().getLong(0) === 20L) // the default-ks view survives
+    intercept[CqlInvalidQueryException] { s.execute("SELECT * FROM ksa.mv1") }
+  }
+
+  test("index names scope per keyspace; DROP INDEX resolves via USE") {
+    val s = fresh
+    s.execute("CREATE TABLE ksa.ix (k bigint PRIMARY KEY, v text)")
+    s.execute("CREATE TABLE ix (k bigint PRIMARY KEY, v text)")
+    s.execute("CREATE INDEX vidx ON ksa.ix (v)")
+    s.execute("CREATE INDEX vidx ON ix (v)") // same name, other keyspace
+    val ir = s.execute("SELECT keyspace_name, table_name, index_name FROM " +
+      "system_schema.indexes ALLOW FILTERING").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(ir.contains(("ksa", "ix", "vidx")))
+    assert(ir.contains(("default", "ix", "vidx")))
+    // DESCRIBE INDEX under USE resolves the bare name per keyspace and
+    // emits DDL that re-executes against the right (qualified) table
+    s.execute("USE ksa")
+    val d = s.execute("DESCRIBE INDEX vidx").head()
+    assert(d.getString(0) === "ksa")
+    assert(d.getString(3).contains("ON ksa.ix"))
+    s.execute("DROP INDEX vidx") // drops ksa's
+    s.execute("USE default")
+    intercept[CqlInvalidQueryException] { s.execute("DROP INDEX ksa.vidx") }
+    s.execute("DROP INDEX vidx") // default's still there
+  }
+
   test("Spark catalog namespaces list per-keyspace tables and route writes") {
     val s = fresh
     s.execute("CREATE TABLE ksa.ct (k bigint PRIMARY KEY, v text)")

@@ -1853,14 +1853,18 @@ class CqlSessionSpec extends SparkSpec {
     assert(r.head().getBoolean(0), "[applied] must be true on byte equality")
   }
 
-  test("DDL rejects trailing garbage; DROP INDEX accepts keyspace-qualified names") {
+  test("DDL rejects trailing garbage; DROP INDEX resolves its keyspace " +
+    "qualifier") {
     val s = CqlSession(spark)
     s.execute("CREATE TABLE dg (id bigint PRIMARY KEY, v text)")
     intercept[CqlInvalidQueryException] {
       s.execute("DROP TABLE dg WHERE oops")
     }
     s.execute("CREATE INDEX dg_v_idx ON dg (v)")
-    s.execute("DROP INDEX ks.dg_v_idx") // keyspace qualifier dropped
+    // a qualifier names a keyspace: an index in a nonexistent keyspace
+    // is unknown (r9 — index names scope per keyspace, as upstream)
+    intercept[CqlInvalidQueryException] { s.execute("DROP INDEX ks.dg_v_idx") }
+    s.execute("DROP INDEX default.dg_v_idx") // the explicit home keyspace
     intercept[CqlInvalidQueryException] { s.execute("DROP INDEX dg_v_idx") }
   }
 
