@@ -222,12 +222,89 @@ object AdminQueries {
     audit.unionByName(live).orderBy("seq")
   }
 
+  /** CQL17 — the keyspace lifecycle in the gate (r9) [U schema/
+    * Schema.java, service/ClientState.java]: CREATE KEYSPACE, same-named
+    * tables holding distinct data per keyspace, bare-name resolution via
+    * USE, prepare-time keyspace binding (a later USE must not re-target
+    * a prepared statement), keyspace-scoped GRANTs, system_schema
+    * attribution of the owning keyspace, and DROP KEYSPACE dropping its
+    * contents — every probe projected to a deterministic row. */
+  def cql17_keyspace(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.cql.CqlSession(s)
+    import scala.jdk.CollectionConverters._
+    sess.execute("CREATE KEYSPACE ksa17 WITH replication = " +
+      "{'class': 'SimpleStrategy', 'replication_factor': 1}")
+    sess.execute("CREATE KEYSPACE ksb17 WITH replication = " +
+      "{'class': 'SimpleStrategy', 'replication_factor': 1}")
+    sess.execute("CREATE TABLE ksa17.t17 (k bigint PRIMARY KEY, v text)")
+    sess.execute("CREATE TABLE ksb17.t17 (k bigint PRIMARY KEY, v text)")
+    sess.execute("CREATE TABLE t17 (k bigint PRIMARY KEY, v text)")
+    sess.execute("INSERT INTO ksa17.t17 (k, v) VALUES (1, 'a')")
+    sess.execute("INSERT INTO ksb17.t17 (k, v) VALUES (1, 'b')")
+    sess.execute("INSERT INTO t17 (k, v) VALUES (1, 'd')")
+    // prepare binds the keyspace NOW (USE ksa17), execution happens
+    // after USE ksb17 — the insert must land in ksa17 regardless
+    sess.execute("USE ksa17")
+    val ins = sess.prepare("INSERT INTO t17 (k, v) VALUES (?, ?)")
+    sess.execute("USE ksb17")
+    ins.execute(2L, "bound-at-prepare")
+    val bareB = sess.execute("SELECT v FROM t17 WHERE k = 1")
+      .head().getString(0) // ksb17's row: bare name follows USE
+    sess.execute("USE default")
+    val reads = Seq(
+      Row("read", "ksa17.t17",
+        s"k1=${sess.execute("SELECT v FROM ksa17.t17 WHERE k = 1").head().getString(0)}"),
+      Row("read", "ksb17.t17", s"k1-bare-under-use=$bareB"),
+      Row("read", "default.t17",
+        s"k1=${sess.execute("SELECT v FROM t17 WHERE k = 1").head().getString(0)}"),
+      Row("prepared", "ksa17.t17",
+        s"rows=${sess.execute("SELECT count(*) FROM ksa17.t17").head().getLong(0)}" +
+          s" other=${sess.execute("SELECT count(*) FROM ksb17.t17").head().getLong(0)}"))
+    // keyspace-scoped grant: SELECT on ksa17.t17 does not cover the
+    // same-named default-keyspace table
+    sess.execute("CREATE ROLE ksr17 WITH LOGIN = true")
+    sess.execute("GRANT SELECT ON ksa17.t17 TO ksr17")
+    sess.login("ksr17")
+    val crossOk =
+      try { sess.execute("SELECT v FROM t17 WHERE k = 1"); false }
+      catch { case _: graft.cql.CqlInvalidQueryException => true }
+    val grantedOk =
+      try sess.execute("SELECT v FROM ksa17.t17 WHERE k = 1")
+        .head().getString(0) == "a"
+      catch { case _: graft.cql.CqlInvalidQueryException => false }
+    sess.login("cassandra", "cassandra")
+    // schema attribution: every keyspace holding a t17
+    val schema = sess.execute("SELECT keyspace_name, table_name FROM " +
+      "system_schema.tables WHERE table_name = 't17' ALLOW FILTERING")
+      .select(lit("schema").as("kind"),
+        col("keyspace_name").as("name"),
+        col("table_name").as("detail"))
+    // DROP KEYSPACE drops contents; the other keyspaces survive
+    sess.execute("DROP KEYSPACE ksa17")
+    val droppedGone =
+      try { sess.execute("SELECT * FROM ksa17.t17"); false }
+      catch { case _: graft.cql.CqlInvalidQueryException => true }
+    val survivors = sess.execute("SELECT v FROM ksb17.t17 WHERE k = 1")
+      .head().getString(0)
+    val probes = s.createDataFrame((reads ++ Seq(
+      Row("auth", "ksr17", s"granted-ks-read=$grantedOk " +
+        s"cross-ks-denied=$crossOk"),
+      Row("drop", "ksa17", s"unknown-after-drop=$droppedGone"),
+      Row("drop", "ksb17", s"survives=$survivors"))).asJava,
+      StructType(Seq(
+        StructField("kind", StringType),
+        StructField("name", StringType),
+        StructField("detail", StringType))))
+    probes.unionByName(schema).orderBy("kind", "name", "detail")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cql16_audit" -> (cql16_audit _),
     "cql13_roles" -> (cql13_roles _),
     "cql14_schema" -> (cql14_schema _),
     "cql15_settings" -> (cql15_settings _),
     "cat1_catalog" -> (cat1_catalog _),
+    "cql17_keyspace" -> (cql17_keyspace _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -295,5 +372,20 @@ object AdminQueries {
         |  min(o_orderkey) AS first_key
         |FROM orders WHERE o_orderkey <= 2000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the literal keyspace-lifecycle state: distinct same-named tables,
+    // prepare-time binding, scoped grants, attribution, drop semantics
+    "cql17_keyspace" ->
+      """SELECT kind, name, detail FROM (VALUES
+        |  ('auth', 'ksr17', 'granted-ks-read=true cross-ks-denied=true'),
+        |  ('drop', 'ksa17', 'unknown-after-drop=true'),
+        |  ('drop', 'ksb17', 'survives=b'),
+        |  ('prepared', 'ksa17.t17', 'rows=2 other=1'),
+        |  ('read', 'default.t17', 'k1=d'),
+        |  ('read', 'ksa17.t17', 'k1=a'),
+        |  ('read', 'ksb17.t17', 'k1-bare-under-use=b'),
+        |  ('schema', 'default', 't17'),
+        |  ('schema', 'ksa17', 't17'),
+        |  ('schema', 'ksb17', 't17'))
+        |AS t(kind, name, detail) ORDER BY kind, name, detail""".stripMargin,
   )
 }
