@@ -699,13 +699,21 @@ object CqlParser {
           return parseCreateAggregate(c, udts, orReplace)
         if (orReplace) throw new CqlInvalidQueryException(
           "OR REPLACE applies only to CREATE FUNCTION / CREATE AGGREGATE")
-        if (c.accept("keyspace")) { // WITH replication/durable_writes dropped
+        if (c.accept("keyspace")) {
           val ifNotExists =
             if (c.accept("if")) { c.expect("not"); c.expect("exists"); true }
             else false
           val name = c.next()
-          if (c.accept("with")) while (!c.done) c.next()
-          return CqlCreateKeyspace(name, ifNotExists)
+          // the WITH clause is grammar-mandatory upstream (Cql.g:
+          // createKeyspaceStatement) and `replication` is the mandatory
+          // option [U cql3/statements/schema/CreateKeyspaceStatement]
+          if (!c.accept("with")) throw new CqlInvalidQueryException(
+            s"CREATE KEYSPACE $name expects a WITH options clause")
+          val (repl, durable) = parseKeyspaceOptions(c)
+          return CqlCreateKeyspace(name, ifNotExists,
+            repl.getOrElse(throw new CqlInvalidQueryException(
+              s"Missing mandatory option 'replication' for keyspace $name")),
+            durable.getOrElse(true))
         }
         c.expect("table")
         val ifNotExists =
@@ -822,11 +830,10 @@ object CqlParser {
         }
         if (c.accept("keyspace")) {
           val name = c.next()
-          // replication / durable_writes options: validate-and-discard
-          if (c.accept("with")) { while (!c.done) c.next() }
-          else throw new CqlInvalidQueryException(
+          if (!c.accept("with")) throw new CqlInvalidQueryException(
             "ALTER KEYSPACE expects a WITH options clause")
-          return CqlAlterKeyspace(name)
+          val (repl, durable) = parseKeyspaceOptions(c)
+          return CqlAlterKeyspace(name, repl, durable)
         }
         c.expect("table")
         val table = tableName(c)
@@ -1260,6 +1267,48 @@ object CqlParser {
     * literals, multi-token IDs, scientific notation). Shared by CREATE
     * TABLE and ALTER TABLE … WITH so the lenient-consumption rules cannot
     * drift between the two DDL forms. */
+  /** `replication = {'class': …} [AND durable_writes = b] [AND …]` —
+    * the keyspace option clause; unknown options (graph_engine etc.)
+    * consume and discard, as the table-option path does. */
+  private def parseKeyspaceOptions(
+      c: Cursor): (Option[Map[String, String]], Option[Boolean]) = {
+    var repl: Option[Map[String, String]] = None
+    var durable: Option[Boolean] = None
+    var more = true
+    while (more && !c.done) {
+      val key = c.next().toLowerCase
+      key match {
+        case "replication" =>
+          c.expect("="); repl = Some(parseOptionMap(c))
+        case "durable_writes" =>
+          c.expect("=")
+          durable = Some(
+            c.next().stripPrefix("'").stripSuffix("'").toLowerCase == "true")
+        case _ => consumeOptionValue(c)
+      }
+      more = c.accept("and")
+    }
+    if (!c.done) throw new CqlInvalidQueryException(
+      s"unexpected keyspace option near ${c.peek}")
+    (repl, durable)
+  }
+
+  /** `{'k': 'v', …}` option-map literal (string keys, scalar values). */
+  private def parseOptionMap(c: Cursor): Map[String, String] = {
+    def strip(t: String) = t.stripPrefix("'").stripSuffix("'")
+    c.expect("{")
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    if (!c.peekIs("}")) {
+      def one(): Unit = {
+        val k = strip(c.next()); c.expect(":"); m(k) = strip(c.next())
+      }
+      one()
+      while (c.accept(",")) one()
+    }
+    c.expect("}")
+    m.toMap
+  }
+
   private def consumeOptionValue(c: Cursor): Seq[String] = {
     val toks = scala.collection.mutable.Buffer.empty[String]
     var depth = 0

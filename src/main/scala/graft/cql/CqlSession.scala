@@ -202,11 +202,15 @@ case class CqlDropTable(table: String, ifExists: Boolean) extends CqlDdl
   * keyspace qualifier, CqlParser.tableName), so a keyspace is a registry
   * entry only: replication/durability options are parsed and discarded
   * (single-engine semantics — upstream `schema/KeyspaceMetadata` [U]). */
-case class CqlCreateKeyspace(name: String, ifNotExists: Boolean) extends CqlDdl
+case class CqlCreateKeyspace(name: String, ifNotExists: Boolean,
+    replication: Map[String, String], durableWrites: Boolean) extends CqlDdl
 case class CqlDropKeyspace(name: String, ifExists: Boolean) extends CqlDdl
-/** `ALTER KEYSPACE ks WITH …` — replication/durable_writes carry no
-  * single-engine semantics; the statement validates and discards [U]. */
-case class CqlAlterKeyspace(name: String) extends CqlDdl
+/** `ALTER KEYSPACE ks WITH …` — updates the stored replication map /
+  * durable_writes flag (a single engine replicates nowhere, but the
+  * DECLARED topology is schema state drivers and DESCRIBE read) [U]. */
+case class CqlAlterKeyspace(name: String,
+    replication: Option[Map[String, String]],
+    durableWrites: Option[Boolean]) extends CqlDdl
 case class CqlTruncate(table: String) extends CqlDdl
 case class CqlAlterAdd(table: String, columns: Seq[CqlColumnDef]) extends CqlDdl
 case class CqlAlterDrop(table: String, columns: Seq[String]) extends CqlDdl
@@ -450,6 +454,67 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       "system_virtual_schema")
   private val keyspaces: scala.collection.mutable.Set[String] =
     scala.collection.mutable.Set(SystemKeyspaces.toSeq: _*)
+
+  /** Declared keyspace topology: name → (replication map with the
+    * fully-qualified strategy class, durable_writes) — what
+    * system_schema.keyspaces serves and DESCRIBE re-renders [U
+    * schema/KeyspaceParams.java]. System keyspaces carry their upstream
+    * strategies (system/system_schema local; auth/distributed/traces
+    * simple rf=1); the two virtual keyspaces have no replication. */
+  private val Locator = "org.apache.cassandra.locator."
+  private def simpleRf1 = Map(
+    "class" -> s"${Locator}SimpleStrategy", "replication_factor" -> "1")
+  private val ksMeta: scala.collection.mutable.Map[String, (Map[String, String], Boolean)] =
+    scala.collection.mutable.Map(
+      "system" -> (Map("class" -> s"${Locator}LocalStrategy"), true),
+      "system_schema" -> (Map("class" -> s"${Locator}LocalStrategy"), true),
+      "system_auth" -> (simpleRf1, true),
+      "system_distributed" -> (simpleRf1, true),
+      "system_traces" -> (simpleRf1, true),
+      "default" -> (simpleRf1, true))
+
+  /** Normalize + validate a replication map, upstream's
+    * AbstractReplicationStrategy.validate rules: known class (short or
+    * fully-qualified), SimpleStrategy needs replication_factor, NTS
+    * needs at least one datacenter, factors are non-negative ints. */
+  private def validateReplication(ks: String,
+      repl: Map[String, String]): Map[String, String] = {
+    val cls = repl.getOrElse("class", throw new CqlInvalidQueryException(
+      s"Missing replication strategy class for keyspace $ks"))
+    def intRf(k: String, v: String): Unit =
+      if (v.isEmpty || !v.forall(_.isDigit))
+        throw new CqlInvalidQueryException(
+          s"Replication factor must be numeric and non-negative, found '$v' for '$k'")
+    cls.split("\\.").last match {
+      case "SimpleStrategy" =>
+        val rf = repl.getOrElse("replication_factor",
+          throw new CqlInvalidQueryException(
+            s"SimpleStrategy requires a replication_factor strategy option"))
+        intRf("replication_factor", rf)
+        Map("class" -> s"${Locator}SimpleStrategy",
+          "replication_factor" -> rf)
+      case "NetworkTopologyStrategy" =>
+        val dcs = repl - "class"
+        if (dcs.isEmpty) throw new CqlInvalidQueryException(
+          "NetworkTopologyStrategy requires datacenter replication factors")
+        dcs.foreach { case (dc, rf) => intRf(dc, rf) }
+        Map("class" -> s"${Locator}NetworkTopologyStrategy") ++ dcs
+      case other => throw new CqlInvalidQueryException(
+        s"Unable to find replication strategy class '$other'")
+    }
+  }
+
+  /** Round-trippable `CREATE KEYSPACE` text (short strategy name, the
+    * cqlsh DESCRIBE rendering). */
+  private def keyspaceDdl(k: String): String = {
+    val (repl, durable) = ksMeta.getOrElse(k, (simpleRf1, true))
+    val entries =
+      repl.get("class").map(c => s"'class': '${c.split("\\.").last}'").toSeq ++
+        (repl - "class").toSeq.sortBy(_._1)
+          .map { case (a, b) => s"'$a': '$b'" }
+    s"CREATE KEYSPACE $k WITH replication = {${entries.mkString(", ")}} " +
+      s"AND durable_writes = $durable"
+  }
 
   // ——— keyspace-scoped table registry (r9) ———
   //
@@ -1154,8 +1219,19 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     import scala.jdk.CollectionConverters._
     def df(rows: Seq[Row], schema: StructType) =
       spark.createDataFrame(rows.asJava, schema)
-    val ksSchema = StructType(Seq(StructField("keyspace_name", StringType)))
-    val ksRows = (keyspaces.toSeq :+ UserKeyspace).distinct.sorted.map(Row(_))
+    val ksSchema = StructType(Seq(
+      StructField("keyspace_name", StringType),
+      StructField("durable_writes", BooleanType),
+      StructField("replication", MapType(StringType, StringType))))
+    val ksRows = (keyspaces.toSeq :+ UserKeyspace).distinct.sorted.map { k =>
+      // virtual keyspaces carry no replication params (upstream lists
+      // them in system_virtual_schema only; the flat listing here keeps
+      // DESCRIBE KEYSPACES serving one table)
+      val (repl, durable) =
+        ksMeta.get(k).map { case (r, d) => (r, d) }
+          .getOrElse((Map.empty[String, String], true))
+      Row(k, durable, repl)
+    }
     val tSchema = StructType(Seq(
       StructField("keyspace_name", StringType),
       StructField("table_name", StringType),
@@ -1837,8 +1913,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     // re-created them would not replay (upstream DESCRIBE SCHEMA likewise
     // dumps only user keyspaces)
     val ksRows = keyspaces.toSeq.filterNot(SystemKeyspaces).sorted.map(k =>
-      Row(k, "keyspace", k, s"CREATE KEYSPACE $k WITH replication = " +
-        "{'class': 'SimpleStrategy', 'replication_factor': '1'}"))
+      Row(k, "keyspace", k, keyspaceDdl(k)))
     // types may reference earlier types: emit reference-count ascending,
     // then refine to a topological order (referenced before referencing)
     val tyNames = udtReg.keys.toSeq.sorted
@@ -2502,11 +2577,15 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   }
 
   private def applyDdl0(ddl: CqlDdl): Unit = ddl match {
-    case CqlCreateKeyspace(name, ifNotExists) =>
-      if (keyspaces.contains(name.toLowerCase)) {
+    case CqlCreateKeyspace(name, ifNotExists, repl, durable) =>
+      val normalized = validateReplication(name, repl) // validate ALWAYS,
+      if (keyspaces.contains(name.toLowerCase)) {      // as upstream does
         if (!ifNotExists)
           throw new CqlInvalidQueryException(s"keyspace $name already exists")
-      } else keyspaces += name.toLowerCase
+      } else {
+        keyspaces += name.toLowerCase
+        ksMeta(name.toLowerCase) = (normalized, durable)
+      }
     case CqlDropKeyspace(name, ifExists) =>
       val ks = name.toLowerCase
       if (SystemKeyspaces.contains(ks))
@@ -2514,6 +2593,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           "system keyspaces are not user-modifiable")
       if (!keyspaces.remove(ks) && !ifExists)
         throw new CqlInvalidQueryException(s"unknown keyspace $name")
+      ksMeta.remove(ks)
       // upstream DROP KEYSPACE drops everything it contains: views first
       // (their bases must outlive them through DropTable's guard), then
       // the tables themselves
@@ -2521,12 +2601,16 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       mvReg.filterInPlace { case (_, (sel, _, _)) =>
         !contained.exists(sel.table.equalsIgnoreCase) }
       contained.foreach(t => applyDdl0(CqlDropTable(t, ifExists = true)))
-    case CqlAlterKeyspace(name) =>
-      if (SystemKeyspaces.contains(name.toLowerCase))
+    case CqlAlterKeyspace(name, repl, durable) =>
+      val ks = name.toLowerCase
+      if (SystemKeyspaces.contains(ks))
         throw new CqlInvalidQueryException(
           s"system keyspaces are not user-modifiable")
-      if (!keyspaces.contains(name.toLowerCase))
+      if (!keyspaces.contains(ks) && ks != UserKeyspace)
         throw new CqlInvalidQueryException(s"unknown keyspace $name")
+      val (curRepl, curDur) = ksMeta.getOrElse(ks, (simpleRf1, true))
+      ksMeta(ks) = (repl.map(validateReplication(ks, _)).getOrElse(curRepl),
+        durable.getOrElse(curDur))
     case CqlCreateTable(table, cols, pk, ck, ifNotExists, ckDesc, dTtl) =>
       if (SystemKeyspaces.exists(ks =>
           table.toLowerCase.startsWith(s"$ks.")))

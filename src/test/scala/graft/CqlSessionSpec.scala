@@ -1750,10 +1750,47 @@ class CqlSessionSpec extends SparkSpec {
     s.execute("INSERT INTO legacy (k, v) VALUES (1, 'x')")
     assert(s.execute("SELECT v FROM legacy WHERE k = 1")
       .head().getString(0) === "x")
+    // the WITH clause is grammar-mandatory and replication the
+    // mandatory option, as upstream (r9)
     assert(intercept[CqlInvalidQueryException] {
       s.execute("CREATE KEYSPACE shop")
+    }.getMessage.contains("WITH"))
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("CREATE KEYSPACE shop2 WITH durable_writes = true")
+    }.getMessage.contains("replication"))
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("CREATE KEYSPACE shop WITH replication = " +
+        "{'class': 'SimpleStrategy', 'replication_factor': 1}")
     }.getMessage.contains("already exists"))
-    s.execute("CREATE KEYSPACE IF NOT EXISTS shop")
+    // an unknown strategy class is rejected even under IF NOT EXISTS
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("CREATE KEYSPACE IF NOT EXISTS shop WITH replication = " +
+        "{'class': 'BogusStrategy'}")
+    }.getMessage.contains("BogusStrategy"))
+    s.execute("CREATE KEYSPACE IF NOT EXISTS shop WITH replication = " +
+      "{'class': 'SimpleStrategy', 'replication_factor': 1}")
+    // the declared topology is schema state: system_schema.keyspaces
+    // serves it and ALTER KEYSPACE updates it
+    val meta = s.execute("SELECT keyspace_name, durable_writes, " +
+      "replication FROM system_schema.keyspaces WHERE keyspace_name = " +
+      "'shop'").head()
+    assert(meta.getBoolean(1) === true)
+    assert(meta.getMap[String, String](2).get("replication_factor")
+      .contains("1"))
+    s.execute("ALTER KEYSPACE shop WITH replication = " +
+      "{'class': 'NetworkTopologyStrategy', 'dc1': 3, 'dc2': 2} " +
+      "AND durable_writes = false")
+    val meta2 = s.execute("SELECT keyspace_name, durable_writes, " +
+      "replication FROM system_schema.keyspaces WHERE keyspace_name = " +
+      "'shop'").head()
+    assert(meta2.getBoolean(1) === false)
+    val m2 = meta2.getMap[String, String](2)
+    assert(m2.get("dc1").contains("3") && m2.get("dc2").contains("2"))
+    assert(m2.get("class").exists(_.endsWith("NetworkTopologyStrategy")))
+    // DESCRIBE re-renders the stored topology round-trippably
+    val ddl = s.execute("DESCRIBE ONLY KEYSPACE shop").head().getString(3)
+    assert(ddl.contains("'class': 'NetworkTopologyStrategy'"))
+    assert(ddl.contains("'dc1': '3'") && ddl.contains("durable_writes = false"))
     s.execute("USE system") // system keyspaces preexist
     s.execute("DROP KEYSPACE shop")
     intercept[CqlInvalidQueryException] { s.execute("DROP KEYSPACE shop") }
