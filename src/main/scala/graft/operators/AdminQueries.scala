@@ -298,6 +298,70 @@ object AdminQueries {
     probes.unionByName(schema).orderBy("kind", "name", "detail")
   }
 
+  /** CQL18 — the protocol binding surface in the gate (r9): UNSET bind
+    * values [U ProtocolConstants.UNSET_VALUE] (a value position SKIPS the
+    * cell write — the prior value survives — where an explicit null
+    * tombstones; key positions and WHERE markers reject), INSERT JSON
+    * DEFAULT UNSET vs DEFAULT NULL, and `vector<T, n>` declared-dimension
+    * enforcement on literal + prepared writes with DESCRIBE round-tripping
+    * the type [U db/marshal/VectorType]. Every probe is deterministic. */
+  def cql18_binding(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.cql.CqlSession(s)
+    import graft.cql.CqlSession.Unset
+    import scala.jdk.CollectionConverters._
+    def deny(f: => Any): Boolean =
+      try { f; false }
+      catch { case _: graft.cql.CqlInvalidQueryException => true }
+    sess.execute("CREATE TABLE b18 (k bigint PRIMARY KEY, v text, w bigint)")
+    sess.execute("INSERT INTO b18 (k, v, w) VALUES (1, 'a', 10)")
+    val ins = sess.prepare("INSERT INTO b18 (k, v, w) VALUES (?, ?, ?)")
+    ins.execute(1L, Unset, 20L) // v survives, w overwrites
+    val r1 = sess.execute("SELECT v, w FROM b18 WHERE k = 1").head()
+    ins.execute(1L, null, Unset) // null tombstones v, w survives
+    val r2 = sess.execute("SELECT v, w FROM b18 WHERE k = 1").head()
+    val pkDenied = deny(ins.execute(Unset, "x", 1L))
+    val lwt = sess.prepare("UPDATE b18 SET v = ? WHERE k = 1 IF w = ?")
+    val lwtDenied = deny(lwt.execute("z", Unset))
+    // INSERT JSON: DEFAULT UNSET preserves omitted cells, DEFAULT NULL
+    // (the default) tombstones them
+    sess.execute("INSERT INTO b18 (k, v, w) VALUES (3, 'j', 30)")
+    sess.execute("""INSERT INTO b18 JSON '{"k": 3, "v": "j2"}' DEFAULT UNSET""")
+    val r3 = sess.execute("SELECT v, w FROM b18 WHERE k = 3").head()
+    sess.execute("""INSERT INTO b18 JSON '{"k": 3, "v": "j3"}'""")
+    val r4 = sess.execute("SELECT v, w FROM b18 WHERE k = 3").head()
+    // vector<float, 3>: dimension enforced on literals AND prepared binds
+    sess.execute("CREATE TABLE e18 (k bigint PRIMARY KEY, " +
+      "emb vector<float, 3>)")
+    val litDenied = deny(
+      sess.execute("INSERT INTO e18 (k, emb) VALUES (1, [1.0, 2.0])"))
+    val vins = sess.prepare("INSERT INTO e18 (k, emb) VALUES (?, ?)")
+    val bindDenied = deny(vins.execute(1L, Seq(1.0, 2.0)))
+    vins.execute(1L, Seq(0.5, -1.5, 2.0))
+    val emb = sess.execute("SELECT emb FROM e18 WHERE k = 1").head()
+      .getSeq[Float](0).map(f => "%.1f".format(f)).mkString("[", ",", "]")
+    val ddlTyped = sess.execute("DESCRIBE TABLE e18").head().getString(3)
+      .contains("vector<float, 3>")
+    def vw(r: Row) =
+      s"v=${if (r.isNullAt(0)) "null" else r.getString(0)} " +
+        s"w=${if (r.isNullAt(1)) "null" else r.getLong(1).toString}"
+    s.createDataFrame(Seq(
+      Row("unset", "value-position-skips", vw(r1)),
+      Row("unset", "null-tombstones-unset-survives", vw(r2)),
+      Row("unset", "pk-position-denied", s"denied=$pkDenied"),
+      Row("unset", "lwt-condition-denied", s"denied=$lwtDenied"),
+      Row("json", "default-unset-preserves", vw(r3)),
+      Row("json", "default-null-tombstones", vw(r4)),
+      Row("vector", "literal-wrong-dim-denied", s"denied=$litDenied"),
+      Row("vector", "bind-wrong-dim-denied", s"denied=$bindDenied"),
+      Row("vector", "exact-dim-roundtrip", s"emb=$emb"),
+      Row("vector", "describe-keeps-dim", s"typed=$ddlTyped")
+    ).asJava, StructType(Seq(
+      StructField("kind", StringType),
+      StructField("name", StringType),
+      StructField("detail", StringType))))
+      .orderBy("kind", "name", "detail")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cql16_audit" -> (cql16_audit _),
     "cql13_roles" -> (cql13_roles _),
@@ -305,6 +369,7 @@ object AdminQueries {
     "cql15_settings" -> (cql15_settings _),
     "cat1_catalog" -> (cat1_catalog _),
     "cql17_keyspace" -> (cql17_keyspace _),
+    "cql18_binding" -> (cql18_binding _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -386,6 +451,21 @@ object AdminQueries {
         |  ('schema', 'default', 't17'),
         |  ('schema', 'ksa17', 't17'),
         |  ('schema', 'ksb17', 't17'))
+        |AS t(kind, name, detail) ORDER BY kind, name, detail""".stripMargin,
+    // the literal binding-semantics state: unset-vs-null cell outcomes,
+    // position rejections, json default modes, vector dim enforcement
+    "cql18_binding" ->
+      """SELECT kind, name, detail FROM (VALUES
+        |  ('json', 'default-null-tombstones', 'v=j3 w=null'),
+        |  ('json', 'default-unset-preserves', 'v=j2 w=30'),
+        |  ('unset', 'lwt-condition-denied', 'denied=true'),
+        |  ('unset', 'null-tombstones-unset-survives', 'v=null w=20'),
+        |  ('unset', 'pk-position-denied', 'denied=true'),
+        |  ('unset', 'value-position-skips', 'v=a w=20'),
+        |  ('vector', 'bind-wrong-dim-denied', 'denied=true'),
+        |  ('vector', 'describe-keeps-dim', 'typed=true'),
+        |  ('vector', 'exact-dim-roundtrip', 'emb=[0.5,-1.5,2.0]'),
+        |  ('vector', 'literal-wrong-dim-denied', 'denied=true'))
         |AS t(kind, name, detail) ORDER BY kind, name, detail""".stripMargin,
   )
 }
