@@ -901,6 +901,76 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     }
   }
 
+  /** The surviving subset of a table's op-log under latest-wins — the
+    * session's major-compaction kernel [U db/compaction/CompactionTask]:
+    *
+    *  - rows strictly older than a covering partition/range tombstone die
+    *    (the same prefix-shadow fold the read path applies), tombstone
+    *    rows themselves are RETAINED — a retained tombstone still shadows
+    *    a late-arriving older write, exactly why upstream keeps them
+    *    through gc_grace (the session never purges; the grace-purge
+    *    decision is the c11/c12 operator surface);
+    *  - a data row is retained iff it still CONTRIBUTES: some scalar cell
+    *    or the INSERT row-marker of it is the newest no-TTL-shadowed
+    *    event of that channel for its key (ties retained — at equal
+    *    writetimes reconcile breaks ties by value/delete, so both sides
+    *    stay), or it carries any collection/counter op (those fold
+    *    order-dependently and are never dropped);
+    *  - a channel event younger than every no-TTL event survives even
+    *    when currently shadowed by a TTL'd write: when that write
+    *    expires, the read view falls back to it.
+    *
+    * Reconciling the surviving subset equals reconciling the full log
+    * for every SELECT / writetime() / ttl() at every future `nowUs`
+    * (CqlCompactionSpec pins this over random mutation scripts). */
+  private def compactedLog(t: TableState, lg0: DataFrame): DataFrame = {
+    // prefix-shadow fold, k=0 included so partition tombstones shadow on
+    // no-clustering tables too; `_deleted` rows always survive the fold
+    val folded =
+      (0 until math.max(t.clusteringKeys.size, 1)).foldLeft(lg0) { (cur, k) =>
+        val setCks = t.clusteringKeys.take(k)
+        val nullCks = t.clusteringKeys.drop(k)
+        val isTomb = (col("_deleted") +: (
+          setCks.map(col(_).isNotNull) ++ nullCks.map(col(_).isNull)))
+          .reduce(_ && _)
+        val w = Window.partitionBy((t.partitionKeys ++ setCks).map(col): _*)
+        val wt = max(when(isTomb, col("_writetime"))).over(w)
+        cur.withColumn("_rt_wt", wt)
+          .filter(col("_deleted") ||
+            col("_rt_wt").isNull || col("_writetime") > col("_rt_wt"))
+          .drop("_rt_wt")
+      }
+    val fields = t.logSchema.fieldNames.toSeq
+    val opColumns = fields.filter(_.startsWith("_op_"))
+    def chan(event: Column, wkeys: Seq[String]): Column = {
+      val w = Window.partitionBy(wkeys.map(col): _*)
+      // only a NO-TTL event permanently shadows: a TTL'd winner expires
+      // and the next-newest cell resurfaces at read time
+      val killWt = max(when(event && col("_ttl").isNull,
+        col("_writetime"))).over(w)
+      event && (killWt.isNull || col("_writetime") >= killWt)
+    }
+    def cellEvent(c: String): Column = {
+      val del =
+        if (fields.contains(s"_del_$c")) coalesce(col(s"_del_$c"), lit(false))
+        else lit(false)
+      col(c).isNotNull || del
+    }
+    val regulars = dataCols(t)
+      .filterNot(c => keyCols(t).contains(c) || t.staticKeys.contains(c))
+      .filterNot(c => opColumns.contains(opCol(c)))
+    val statics = t.staticKeys.filterNot(c => opColumns.contains(opCol(c)))
+    val keeps =
+      Seq(col("_deleted"),
+        chan(coalesce(col("_marker"), lit(false)), keyCols(t))) ++
+        opColumns.map(oc => col(oc).isNotNull) ++
+        regulars.map(c => chan(cellEvent(c), keyCols(t))) ++
+        statics.map(c => chan(cellEvent(c), t.partitionKeys))
+    // window expressions must materialize before the filter sees them
+    folded.withColumn("_keep", keeps.reduce(_ || _))
+      .filter(col("_keep")).select(fields.map(col): _*)
+  }
+
   /** cqlsh `SOURCE` analogue: run a multi-statement CQL script (statements
     * separated by `;`, `--` line comments, `BEGIN BATCH … APPLY BATCH`
     * blocks kept atomic). Returns one result per executed statement. */
@@ -1501,6 +1571,20 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       case (tid, (stmt, role, t0)) =>
         Row(tid, role, (nowNs - t0) / 1000L, stmt)
     }
+    // `sstable_tasks` [U db/virtual/SSTableTasksTable]: the ACTIVE
+    // compaction tasks (empty at rest, as upstream); unit = log rows
+    val sstSchema = StructType(Seq(
+      StructField("keyspace_name", StringType),
+      StructField("table_name", StringType),
+      StructField("task_id", LongType),
+      StructField("kind", StringType),
+      StructField("progress", LongType),
+      StructField("total", LongType),
+      StructField("unit", StringType)))
+    val sstRows = compactionTasks.asScala.toSeq.sortBy(_._1).map {
+      case (id, (ks, tbl, kind, total)) =>
+        Row(ks, tbl, id, kind, 0L, total, "rows")
+    }
     Map(
       "system_views.settings" -> CqlTable(
         spark.createDataFrame(setRows.asJava, setSchema), Seq("name")),
@@ -1515,7 +1599,10 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         spark.createDataFrame(auditRows.toSeq.asJava, auSchema),
         Seq("seq")),
       "system_views.queries" -> CqlTable(
-        spark.createDataFrame(qRows.asJava, qSchema), Seq("thread_id")))
+        spark.createDataFrame(qRows.asJava, qSchema), Seq("thread_id")),
+      "system_views.sstable_tasks" -> CqlTable(
+        spark.createDataFrame(sstRows.asJava, sstSchema),
+        Seq("keyspace_name"), Seq("table_name", "task_id")))
   }
 
   /** `system_traces.{sessions,events}` — the coordinator trace rows
@@ -1575,9 +1662,24 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       StructField("data_center", StringType),
       StructField("rack", StringType),
       StructField("release_version", StringType)))
+    // `compaction_history` [U db/SystemKeyspace.compaction_history]:
+    // completed compactions, ring-bounded; compacted_at is the session
+    // clock, bytes_in/out are LOG ROW counts (deviation: the session's
+    // sstable analogue is row-granular), rows_merged the fold histogram
+    val chSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("keyspace_name", StringType),
+      StructField("columnfamily_name", StringType),
+      StructField("compacted_at", LongType),
+      StructField("bytes_in", LongType),
+      StructField("bytes_out", LongType),
+      StructField("rows_merged", MapType(IntegerType, LongType))))
     Map(
       "system.local" ->
         CqlTable(spark.createDataFrame(lRows.asJava, lSchema), Seq("key")),
+      "system.compaction_history" ->
+        CqlTable(spark.createDataFrame(
+          compactionHistory.toSeq.asJava, chSchema), Seq("id")),
       "system.peers" ->
         CqlTable(spark.createDataFrame(
           Seq.empty[Row].asJava, pSchema), Seq("peer"))) ++ sizeEstimates
@@ -2328,6 +2430,71 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     id
   }
 
+  // ——— COMPACT: the major-compaction admin surface ———
+  // `system_views.sstable_tasks` serves the ACTIVE tasks [U db/virtual/
+  // SSTableTasksTable.java]; `system.compaction_history` the completed
+  // ring [U db/SystemKeyspace.compaction_history]. Units are LOG ROWS,
+  // not bytes — the session's sstable analogue is the row-granular
+  // op-log (documented deviation; deterministic, hash-gateable).
+  private val compactionSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val compactionTasks = new java.util.concurrent.ConcurrentHashMap[
+    Long, (String, String, String, Long)]() // id → (ks, table, kind, total)
+  private val compactionHistory =
+    scala.collection.mutable.ArrayBuffer.empty[Row]
+  private val CompactionHistoryMax = 256
+
+  /** `COMPACT [TABLE] t` — fold the table's op-log to its surviving
+    * subset ([[compactedLog]]), materialize it as one parquet segment
+    * (the flushed-sstable analogue: bounds the driver-held pending rows
+    * AND the lineage depth), and swap it in as the new base. Upstream
+    * reaches this through `nodetool compact`; the façade exposes it as
+    * an admin verb like AUDIT/TRACING. Requires MODIFY on the table. */
+  private def runCompact(cql: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val toks = cql.stripSuffix(";").trim.split("\\s+").toSeq
+    val name = toks.map(_.toLowerCase) match {
+      case Seq(_, "table", _) => toks(2)
+      case Seq(_, _) => toks(1)
+      case _ => throw new CqlInvalidQueryException(
+        "COMPACT expects a table name")
+    }
+    val key = canonical(name)
+    val t = tableState(key)
+    if (!isSuperuser) checkPerm("modify", authRes(key))
+    val lg = log(t)
+    val rowsIn = lg.count()
+    val taskId = compactionSeq.incrementAndGet()
+    compactionTasks.put(taskId,
+      (keyspaceOf(key), tableOf(key), "Compaction", rowsIn))
+    try {
+      val survivors = compactedLog(t, lg)
+      val dir = s"$snapshotRoot/compacted_${key.replace('.', '_')}/$taskId"
+      survivors.write.mode("overwrite").parquet(dir)
+      val compacted = spark.read.schema(t.logSchema).parquet(dir)
+      val rowsOut = compacted.count()
+      // rows_merged histogram: how many log rows folded into each key —
+      // upstream's sstables-merged histogram at row granularity. Bounded
+      // by the distinct per-key row counts (small); driver-side by design.
+      val hist = lg.groupBy(keyCols(t).map(col): _*).count()
+        .groupBy("count").count().collect()
+        .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      mutationEpoch += 1
+      state(key) = t.copy(base = compacted, pending = Vector.empty,
+        localOnly = false)
+      if (compactionHistory.size >= CompactionHistoryMax)
+        compactionHistory.remove(0)
+      compactionHistory += Row(taskId, keyspaceOf(key), tableOf(key),
+        clock, rowsIn, rowsOut, hist) // session-clock stamp: deterministic
+      spark.createDataFrame(Seq(
+        Row(keyspaceOf(key), tableOf(key), rowsIn, rowsOut)).asJava,
+        StructType(Seq(
+          StructField("keyspace_name", StringType),
+          StructField("table_name", StringType),
+          StructField("rows_in", LongType),
+          StructField("rows_out", LongType))))
+    } finally compactionTasks.remove(taskId)
+  }
+
   /** Run a CQL statement: SELECT returns rows; DML and BATCH mutate and
     * return an empty DataFrame (like a CQL void result).
     *
@@ -2546,6 +2713,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         val b = CqlParser.parseBatch(trimmed)
         runBatch(b.copy(statements = b.statements.map(canonDml)))
       case "describe" | "desc" => runDescribe(trimmed)
+      case "compact" => runCompact(trimmed)
       case "copy" =>
         val cp = CqlParser.parseCopy(trimmed)
         runCopy(cp.copy(table = canonical(cp.table)))

@@ -362,6 +362,59 @@ object AdminQueries {
       .orderBy("kind", "name", "detail")
   }
 
+  /** CQL19 — major compaction in the gate (r9) [U db/compaction/
+    * CompactionTask, nodetool compact, db/SystemKeyspace
+    * .compaction_history]: a deterministic upsert/delete script folds
+    * through `COMPACT t`; the statement's (rows_in, rows_out), the
+    * post-compact read-back (identical to pre-compact), the retained-
+    * tombstone shadow probe, and the system.compaction_history record
+    * (with its rows_merged fold histogram) all land in the projection. */
+  def cql19_compaction(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.cql.CqlSession(s)
+    import scala.jdk.CollectionConverters._
+    sess.execute("CREATE TABLE cp19 (pk bigint PRIMARY KEY, v bigint, " +
+      "tag text)")
+    // 4 keys × 3 generations + one full delete — 13 log rows fold to:
+    // 3 live winners + 1 retained tombstone
+    for (pk <- 1 to 4; gen <- 1 to 3)
+      sess.execute(s"INSERT INTO cp19 (pk, v, tag) VALUES ($pk, " +
+        s"${pk * 100 + gen}, 'g$gen') USING TIMESTAMP ${gen * 10}")
+    sess.execute("DELETE FROM cp19 USING TIMESTAMP 99 WHERE pk = 4")
+    val res = sess.execute("COMPACT cp19").head()
+    val reads = sess.execute("SELECT pk, v, tag FROM cp19")
+      .collect().sortBy(_.getLong(0)).map(r =>
+        Row("read", s"pk=${r.getLong(0)}",
+          s"v=${r.getLong(1)} tag=${r.getString(2)}")).toSeq
+    // the retained tombstone still shadows a stale write…
+    sess.execute("INSERT INTO cp19 (pk, v, tag) VALUES (4, 999, 'stale') " +
+      "USING TIMESTAMP 50")
+    val staleShadowed =
+      sess.execute("SELECT count(*) FROM cp19 WHERE pk = 4")
+        .head().getLong(0) == 0L
+    // …and a newer write past it lands
+    sess.execute("INSERT INTO cp19 (pk, v, tag) VALUES (4, 400, 'new') " +
+      "USING TIMESTAMP 120")
+    val newLands = sess.execute("SELECT v FROM cp19 WHERE pk = 4")
+      .head().getLong(0) == 400L
+    val hist = sess.execute("SELECT keyspace_name, columnfamily_name, " +
+      "bytes_in, bytes_out, rows_merged FROM system.compaction_history")
+      .head()
+    val merged = hist.getMap[Int, Long](4).toSeq.sortBy(_._1)
+      .map { case (k, n) => s"$k:$n" }.mkString(",")
+    val probes = Seq(
+      Row("compact", "cp19",
+        s"rows_in=${res.getLong(2)} rows_out=${res.getLong(3)}"),
+      Row("history", s"${hist.getString(0)}.${hist.getString(1)}",
+        s"in=${hist.getLong(2)} out=${hist.getLong(3)} merged=$merged"),
+      Row("probe", "stale-shadowed", s"shadowed=$staleShadowed"),
+      Row("probe", "newer-lands", s"landed=$newLands"))
+    s.createDataFrame((probes ++ reads).asJava, StructType(Seq(
+      StructField("kind", StringType),
+      StructField("name", StringType),
+      StructField("detail", StringType))))
+      .orderBy("kind", "name", "detail")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cql16_audit" -> (cql16_audit _),
     "cql13_roles" -> (cql13_roles _),
@@ -370,6 +423,7 @@ object AdminQueries {
     "cat1_catalog" -> (cat1_catalog _),
     "cql17_keyspace" -> (cql17_keyspace _),
     "cql18_binding" -> (cql18_binding _),
+    "cql19_compaction" -> (cql19_compaction _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -466,6 +520,19 @@ object AdminQueries {
         |  ('vector', 'describe-keeps-dim', 'typed=true'),
         |  ('vector', 'exact-dim-roundtrip', 'emb=[0.5,-1.5,2.0]'),
         |  ('vector', 'literal-wrong-dim-denied', 'denied=true'))
+        |AS t(kind, name, detail) ORDER BY kind, name, detail""".stripMargin,
+    // the literal compaction outcome: 13 log rows (4 keys × 3
+    // generations + 1 partition tombstone) fold to 3 winners + the
+    // retained tombstone; shadow semantics verified post-compact
+    "cql19_compaction" ->
+      """SELECT kind, name, detail FROM (VALUES
+        |  ('compact', 'cp19', 'rows_in=13 rows_out=4'),
+        |  ('history', 'default.cp19', 'in=13 out=4 merged=3:3,4:1'),
+        |  ('probe', 'newer-lands', 'landed=true'),
+        |  ('probe', 'stale-shadowed', 'shadowed=true'),
+        |  ('read', 'pk=1', 'v=103 tag=g3'),
+        |  ('read', 'pk=2', 'v=203 tag=g3'),
+        |  ('read', 'pk=3', 'v=303 tag=g3'))
         |AS t(kind, name, detail) ORDER BY kind, name, detail""".stripMargin,
   )
 }
