@@ -1585,6 +1585,19 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       case (id, (ks, tbl, kind, total)) =>
         Row(ks, tbl, id, kind, 0L, total, "rows")
     }
+    // `snapshots` [U db/virtual/SnapshotsTable, 4.1]: created_at is the
+    // session clock (deterministic), sizes are real on-disk bytes
+    val snapSchema = StructType(Seq(
+      StructField("name", StringType),
+      StructField("keyspace_name", StringType),
+      StructField("table_name", StringType),
+      StructField("created_at", LongType),
+      StructField("true_size", LongType),
+      StructField("ephemeral", BooleanType)))
+    val snapRows = snapshotsReg.toSeq.sortBy(_._1).map {
+      case ((n, _), (ks, tbl, at, size)) =>
+        Row(n, ks, tbl, at, size, false)
+    }
     Map(
       "system_views.settings" -> CqlTable(
         spark.createDataFrame(setRows.asJava, setSchema), Seq("name")),
@@ -1602,7 +1615,10 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         spark.createDataFrame(qRows.asJava, qSchema), Seq("thread_id")),
       "system_views.sstable_tasks" -> CqlTable(
         spark.createDataFrame(sstRows.asJava, sstSchema),
-        Seq("keyspace_name"), Seq("table_name", "task_id")))
+        Seq("keyspace_name"), Seq("table_name", "task_id")),
+      "system_views.snapshots" -> CqlTable(
+        spark.createDataFrame(snapRows.asJava, snapSchema),
+        Seq("name"), Seq("keyspace_name", "table_name")))
   }
 
   /** `system_traces.{sessions,events}` — the coordinator trace rows
@@ -1936,6 +1952,88 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       base = spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], t.logSchema),
       pending = Vector.empty, localOnly = true)
+  }
+
+  // ——— snapshots [U service/SnapshotManager, db/virtual/SnapshotsTable
+  // (4.1), cassandra.yaml auto_snapshot] ———
+  // name → (keyspace, table, dir, created_at session clock, true_size)
+  private val snapshotsReg = scala.collection.mutable.LinkedHashMap
+    .empty[(String, String), (String, String, Long, Long)]
+  // (name, canonicalTable) → (ks, bareTable, createdAt, trueSize)
+
+  private def autoSnapshotEnabled: Boolean =
+    spark.conf.getOption("spark.graft.auto_snapshot")
+      .forall(_.trim.toBoolean) // default TRUE, upstream's default
+
+  /** Materialize the table's current op-log as an immutable parquet
+    * snapshot — the sstable-hardlink analogue (a real copy here: the log
+    * is partly driver-held rows, not yet files). Idempotent per
+    * (name, table): upstream rejects a duplicate snapshot name. */
+  private def takeSnapshot(name: String, key: String): Unit = {
+    if (snapshotsReg.contains((name, key)))
+      throw new CqlInvalidQueryException(
+        s"Snapshot $name already exists for table $key")
+    val t = tableState(key)
+    val dir = s"$snapshotRoot/snapshots/${key.replace('.', '_')}/$name"
+    log(t).write.mode("errorifexists").parquet(dir)
+    val size = Option(new java.io.File(dir).listFiles())
+      .map(_.map(_.length()).sum).getOrElse(0L)
+    snapshotsReg((name, key)) =
+      (keyspaceOf(key), tableOf(key), clock, size)
+  }
+
+  /** `SNAPSHOT [TABLE] t [AS name]` / `CLEAR SNAPSHOT name` — the
+    * nodetool snapshot/clearsnapshot analogues, admin verbs like
+    * COMPACT. Unnamed snapshots stamp the session clock, upstream's
+    * timestamp-name convention. */
+  private def runSnapshot(cql: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val toks = cql.stripSuffix(";").trim.split("\\s+").toSeq
+    val (tblTok, nameOpt) = toks.map(_.toLowerCase) match {
+      case Seq(_, "table", _, "as", _) => (toks(2), Some(toks(4)))
+      case Seq(_, "table", _) => (toks(2), None)
+      case Seq(_, _, "as", _) => (toks(1), Some(toks(3)))
+      case Seq(_, _) => (toks(1), None)
+      case _ => throw new CqlInvalidQueryException(
+        "SNAPSHOT expects: SNAPSHOT [TABLE] <t> [AS <name>]")
+    }
+    val key = canonical(tblTok)
+    tableState(key) // must exist
+    if (!isSuperuser) checkPerm("modify", authRes(key))
+    val name = nameOpt.map(_.stripPrefix("'").stripSuffix("'"))
+      .getOrElse(s"snapshot-$clock")
+    takeSnapshot(name, key)
+    val (_, _, at, size) = snapshotsReg((name, key))
+    spark.createDataFrame(Seq(
+      Row(name, keyspaceOf(key), tableOf(key), at, size)).asJava,
+      StructType(Seq(
+        StructField("name", StringType),
+        StructField("keyspace_name", StringType),
+        StructField("table_name", StringType),
+        StructField("created_at", LongType),
+        StructField("true_size", LongType))))
+  }
+
+  private def runClearSnapshot(cql: String): DataFrame = {
+    val toks = cql.stripSuffix(";").trim.split("\\s+").toSeq
+    if (toks.length != 3 || !toks(1).equalsIgnoreCase("snapshot"))
+      throw new CqlInvalidQueryException(
+        "CLEAR expects: CLEAR SNAPSHOT <name>")
+    if (!isSuperuser) throw new CqlInvalidQueryException(
+      "Only superusers may clear snapshots")
+    val name = toks(2).stripPrefix("'").stripSuffix("'")
+    val hit = snapshotsReg.keys.filter(_._1 == name).toSeq
+    if (hit.isEmpty) throw new CqlInvalidQueryException(
+      s"unknown snapshot $name")
+    hit.foreach { k =>
+      val dir = s"$snapshotRoot/snapshots/${k._2.replace('.', '_')}/$name"
+      try {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(dir)).deleteRecursively()
+      } catch { case _: Exception => () }
+      snapshotsReg.remove(k)
+    }
+    spark.emptyDataFrame
   }
 
   private def renderLiteral(v: Any): String = v match {
@@ -2714,6 +2812,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         runBatch(b.copy(statements = b.statements.map(canonDml)))
       case "describe" | "desc" => runDescribe(trimmed)
       case "compact" => runCompact(trimmed)
+      case "snapshot" => runSnapshot(trimmed)
+      case "clear" => runClearSnapshot(trimmed)
       case "copy" =>
         val cp = CqlParser.parseCopy(trimmed)
         runCopy(cp.copy(table = canonical(cp.table)))
@@ -2850,6 +2950,9 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         case (mv, (sel, _, _)) if sel.table.equalsIgnoreCase(table) => mv
       }.foreach(mv => throw new CqlInvalidQueryException(
         s"Cannot drop table $table: materialized view $mv still depends on it"))
+      if (autoSnapshotEnabled && state.contains(table.toLowerCase))
+        takeSnapshot(s"dropped-$clock-${tableOf(table.toLowerCase)}",
+          table.toLowerCase)
       if (state.remove(table.toLowerCase).isEmpty && !ifExists)
         throw new CqlInvalidQueryException(s"unknown table $table")
       indexReg.filterInPlace { case (_, (tbl, _, _, _)) => tbl != table.toLowerCase }
@@ -3179,6 +3282,11 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         udtTypeRefs.remove(lname)
       }
     case CqlTruncate(table) =>
+      // auto_snapshot [U cassandra.yaml, default true]: data-destroying
+      // DDL snapshots first — the famous drop-safety net
+      if (autoSnapshotEnabled && state.contains(table.toLowerCase))
+        takeSnapshot(s"truncated-$clock-${tableOf(table.toLowerCase)}",
+          table.toLowerCase)
       truncateState(table)
     case CqlAlterAdd(table, cols) =>
       val t = tableState(table)

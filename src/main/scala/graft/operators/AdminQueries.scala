@@ -415,6 +415,40 @@ object AdminQueries {
       .orderBy("kind", "name", "detail")
   }
 
+  /** CQL20 — snapshots in the gate (r9) [U service/SnapshotManager,
+    * db/virtual/SnapshotsTable, cassandra.yaml auto_snapshot]: a manual
+    * named snapshot, the auto_snapshot safety net firing on TRUNCATE and
+    * DROP TABLE (names stamp the deterministic session clock), the
+    * system_views.snapshots listing, and CLEAR SNAPSHOT — projected to
+    * deterministic rows (sizes probe as nonzero flags, not bytes). */
+  def cql20_snapshot(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.cql.CqlSession(s)
+    import scala.jdk.CollectionConverters._
+    sess.execute("CREATE TABLE sn20 (k bigint PRIMARY KEY, v text)")
+    sess.execute("INSERT INTO sn20 (k, v) VALUES (1, 'a')")
+    sess.execute("INSERT INTO sn20 (k, v) VALUES (2, 'b')")
+    val manual = sess.execute("SNAPSHOT sn20 AS pre_load").head()
+    sess.execute("TRUNCATE sn20") // auto_snapshot fires
+    sess.execute("INSERT INTO sn20 (k, v) VALUES (3, 'c')")
+    sess.execute("DROP TABLE sn20") // auto_snapshot fires
+    val listed = sess.execute("SELECT name, keyspace_name, table_name, " +
+      "true_size FROM system_views.snapshots").collect().toSeq
+      .map(r => Row("listed", r.getString(0),
+        s"${r.getString(1)}.${r.getString(2)} nonempty=${r.getLong(3) > 0}"))
+    sess.execute("CLEAR SNAPSHOT pre_load")
+    val remaining = sess.execute(
+      "SELECT count(*) FROM system_views.snapshots").head().getLong(0)
+    val probes = Seq(
+      Row("manual", manual.getString(0),
+        s"table=${manual.getString(2)} nonempty=${manual.getLong(4) > 0}"),
+      Row("clear", "pre_load", s"remaining=$remaining"))
+    s.createDataFrame((probes ++ listed).asJava, StructType(Seq(
+      StructField("kind", StringType),
+      StructField("name", StringType),
+      StructField("detail", StringType))))
+      .orderBy("kind", "name", "detail")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cql16_audit" -> (cql16_audit _),
     "cql13_roles" -> (cql13_roles _),
@@ -424,6 +458,7 @@ object AdminQueries {
     "cql17_keyspace" -> (cql17_keyspace _),
     "cql18_binding" -> (cql18_binding _),
     "cql19_compaction" -> (cql19_compaction _),
+    "cql20_snapshot" -> (cql20_snapshot _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -533,6 +568,17 @@ object AdminQueries {
         |  ('read', 'pk=1', 'v=103 tag=g3'),
         |  ('read', 'pk=2', 'v=203 tag=g3'),
         |  ('read', 'pk=3', 'v=303 tag=g3'))
+        |AS t(kind, name, detail) ORDER BY kind, name, detail""".stripMargin,
+    // the literal snapshot ledger: the manual snapshot, the two
+    // auto_snapshot safety-net entries (session-clock-stamped names),
+    // and the post-clear count
+    "cql20_snapshot" ->
+      """SELECT kind, name, detail FROM (VALUES
+        |  ('clear', 'pre_load', 'remaining=2'),
+        |  ('listed', 'dropped-4-sn20', 'default.sn20 nonempty=true'),
+        |  ('listed', 'pre_load', 'default.sn20 nonempty=true'),
+        |  ('listed', 'truncated-3-sn20', 'default.sn20 nonempty=true'),
+        |  ('manual', 'pre_load', 'table=sn20 nonempty=true'))
         |AS t(kind, name, detail) ORDER BY kind, name, detail""".stripMargin,
   )
 }
