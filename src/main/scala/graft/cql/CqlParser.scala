@@ -1175,10 +1175,15 @@ object CqlParser {
         if (depth == 0) dims += dim
         c.expect(">"); ArrayType(t)
       case other =>
-        val st = udts.getOrElse(other,
-          throw new CqlInvalidQueryException(s"unknown type $other"))
-        refs += other // record the NAME binding: identically-shaped distinct
-        st           // UDTs must not be conflated by structural equality
+        // UDT reference, optionally keyspace-qualified (`ks.type`); the
+        // name is recorded AS WRITTEN — the session canonicalizes it
+        // against its current keyspace at the statement boundary
+        val name = if (c.accept(".")) s"$other.${c.next().toLowerCase}"
+          else other
+        val st = udts.getOrElse(name,
+          throw new CqlInvalidQueryException(s"unknown type $name"))
+        refs += name // record the NAME binding: identically-shaped distinct
+        st          // UDTs must not be conflated by structural equality
     }
   }
 
@@ -1342,7 +1347,13 @@ object CqlParser {
 
   private def parseSelector(c: Cursor): CqlSelector = {
     if (c.accept("*")) return Star
-    val name = c.next()
+    val name0 = c.next()
+    // `ks.fn(args)` — a keyspace-qualified function INVOCATION; told
+    // apart from UDT field access `col.field` by the "(" that follows
+    val name =
+      if (c.peek == "." && c.peekAt(2) == "(") {
+        c.next(); s"$name0.${c.next()}"
+      } else name0
     if (name.equalsIgnoreCase("cast") && c.peekIs("(")) {
       // CAST(col AS cqltype) — type names are CQL's, mapped by parseType
       c.expect("("); val column = c.next(); c.expect("as")

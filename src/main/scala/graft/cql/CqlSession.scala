@@ -563,10 +563,12 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   }
 
   private def canonDdl(d: CqlDdl): CqlDdl = d match {
-    case ct: CqlCreateTable => ct.copy(table = canonical(ct.table))
+    case ct: CqlCreateTable =>
+      ct.copy(table = canonical(ct.table), columns = canonCols(ct.columns))
     case dt: CqlDropTable => dt.copy(table = canonical(dt.table))
     case tr: CqlTruncate => tr.copy(table = canonical(tr.table))
-    case a: CqlAlterAdd => a.copy(table = canonical(a.table))
+    case a: CqlAlterAdd =>
+      a.copy(table = canonical(a.table), columns = canonCols(a.columns))
     case a: CqlAlterDrop => a.copy(table = canonical(a.table))
     case a: CqlAlterOptions => a.copy(table = canonical(a.table))
     case a: CqlAlterRename => a.copy(table = canonical(a.table))
@@ -580,7 +582,71 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       mv.copy(name = canonical(mv.name),
         select = mv.select.copy(table = canonical(mv.select.table)))
     case mv: CqlDropMv => mv.copy(name = canonical(mv.name))
+    case t: CqlCreateType =>
+      t.copy(name = canonical(t.name), udtRefs = t.udtRefs.map(canonical))
+    case t: CqlDropType => t.copy(name = canonical(t.name))
+    case t: CqlAlterTypeAdd =>
+      t.copy(name = canonical(t.name), udtRefs = t.udtRefs.map(canonical))
+    case f: CqlCreateFunction => f.copy(name = canonical(f.name))
+    case f: CqlDropFunction => f.copy(name = canonical(f.name))
+    case a: CqlCreateAggregate =>
+      // the aggregate's state/final functions resolve in the same
+      // statement scope (upstream: same keyspace, validated in applyDdl)
+      a.copy(name = canonical(a.name), sfunc = canonical(a.sfunc),
+        finalFunc = a.finalFunc.map(canonical))
+    case a: CqlDropAggregate => a.copy(name = canonical(a.name))
     case other => other
+  }
+
+  /** Canonicalize the UDT refs a parsed column definition recorded
+    * as-written (bare names bind to the current keyspace). */
+  private def canonCols(cols: Seq[CqlColumnDef]): Seq[CqlColumnDef] =
+    cols.map(cd =>
+      if (cd.udtRefs.isEmpty) cd else cd.copy(udtRefs = cd.udtRefs.map(canonical)))
+
+  /** Upstream cross-keyspace restriction: a table may only use types of
+    * its own keyspace [U schema/Types.java]. */
+  private def checkUdtRefsKeyspace(ks: String,
+      cols: Seq[CqlColumnDef]): Unit =
+    cols.flatMap(_.udtRefs).find(r => keyspaceOf(r) != ks).foreach(r =>
+      throw new CqlInvalidQueryException(
+        s"Statement on keyspace $ks cannot refer to a user type in " +
+          s"keyspace ${keyspaceOf(r)}; user types can only be used in " +
+          "the keyspace they are defined in"))
+
+  /** The invocation-name view the ENGINE resolves user functions /
+    * aggregates against: every function by its qualified name (cross-
+    * keyspace invocation is legal when qualified, upstream
+    * [U cql3/functions/FunctionResolver]), bare names only for the
+    * current keyspace's. Rebuilt with the engine; `USE` bumps the
+    * mutation epoch so the bare bindings re-target. */
+  private def fnVisible[T](reg: scala.collection.Map[String, T]): Map[String, T] = {
+    val qualified = reg.map { case (k, v) =>
+      (if (k.contains(".")) k else s"$UserKeyspace.$k") -> v }
+    val bare =
+      if (currentKs == UserKeyspace) reg.filter(!_._1.contains("."))
+      else reg.collect {
+        case (k, v) if keyspaceOf(k) == currentKs => tableOf(k) -> v
+      }
+    (qualified ++ bare).toMap
+  }
+
+  /** The type-name view the PARSER resolves column types against:
+    * qualified names for every declared type, bare names only for the
+    * CURRENT keyspace's (upstream: a bare type name binds to the
+    * statement's keyspace — there is no cross-keyspace fallback
+    * [U schema/Types.java]). */
+  private def parserUdts: Map[String, StructType] = {
+    val all = udtReg.toMap
+    val qualified = all.map { case (k, v) =>
+      (if (k.contains(".")) k else s"$UserKeyspace.$k") -> v
+    }
+    val bare =
+      if (currentKs == UserKeyspace) all.filter(!_._1.contains("."))
+      else all.collect {
+        case (k, v) if keyspaceOf(k) == currentKs => tableOf(k) -> v
+      }
+    qualified ++ bare
   }
 
   /** Canonical key for an object owned by keyspace `ks` (indexes, views:
@@ -1093,12 +1159,12 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     // materialized views derive from the CURRENT base state (read-time
     // maintenance): each definition compiles lazily against the base
     // catalog; nothing materializes until the view is actually queried
-    val userFns = fnReg.map { case (n, d) =>
+    val userFns = fnVisible(fnReg).map { case (n, d) =>
       n -> CqlUserFunction(d.argTypes.length, compileFnBody(n, d))
-    }.toMap
-    val userAggs = aggReg.map { case (n, d) =>
+    }
+    val userAggs = fnVisible(aggReg).map { case (n, d) =>
       n -> CqlUserFunction(d.argTypes.length, compileAgg(d))
-    }.toMap
+    }
     val baseEngine = new CqlEngine(spark, catalog, userFns, userAggs)
     val mvCatalog = mvReg.map { case (name, (sel, pk, ck)) =>
       name -> CqlTable(
@@ -1365,7 +1431,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       StructField("type_name", StringType),
       StructField("field_names", StringType))) // comma-joined (upstream:
     val tyRows = udtReg.toSeq.sortBy(_._1).map { case (n, st) => // list)
-      Row(UserKeyspace, n, st.fieldNames.mkString(","))
+      Row(keyspaceOf(n), tableOf(n), st.fieldNames.mkString(","))
     }
     val fSchema = StructType(Seq(
       StructField("keyspace_name", StringType),
@@ -1376,7 +1442,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       StructField("body", StringType),
       StructField("called_on_null_input", BooleanType)))
     val fRows = fnReg.toSeq.sortBy(_._1).map { case (n, d) =>
-      Row(UserKeyspace, n,
+      Row(keyspaceOf(n), tableOf(n),
         d.argTypes.map(typeNameOf(_, Set.empty)).mkString(","),
         typeNameOf(d.returnType, Set.empty), d.language, d.body,
         d.calledOnNull)
@@ -1390,7 +1456,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       StructField("final_func", StringType),
       StructField("initcond", StringType)))
     val aRows = aggReg.toSeq.sortBy(_._1).map { case (n, d) =>
-      Row(UserKeyspace, n,
+      Row(keyspaceOf(n), tableOf(n),
         d.argTypes.map(typeNameOf(_, Set.empty)).mkString(","),
         d.sfunc, typeNameOf(d.stype, Set.empty), d.finalFunc.orNull,
         d.initCond.map(String.valueOf).orNull)
@@ -2126,7 +2192,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     }
     tyNames.foreach(visit(_, Set.empty))
     val tyRows = ordered.toSeq.map(n =>
-      Row(UserKeyspace, "type", n, typeDdl(n, udtReg(n))))
+      Row(keyspaceOf(n), "type", n, typeDdl(n, udtReg(n))))
     val tRows = state.toSeq.sortBy(_._1).map { case (n, t) =>
       Row(keyspaceOf(n), "table", n, tableDdl(n, t))
     }
@@ -2140,9 +2206,9 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     val vRows = mvReg.keys.toSeq.sorted.map(n =>
       Row(keyspaceOf(n), "materialized_view", n, mvDdl(n)))
     val fRows = fnReg.keys.toSeq.sorted.map(n =>
-      Row(UserKeyspace, "function", n, fnDdl(n)))
+      Row(keyspaceOf(n), "function", n, fnDdl(n)))
     val aRows = aggReg.keys.toSeq.sorted.map(n =>
-      Row(UserKeyspace, "aggregate", n, aggDdl(n)))
+      Row(keyspaceOf(n), "aggregate", n, aggDdl(n)))
     ksRows ++ tyRows ++ tRows ++ iRows ++ trgRows ++ vRows ++ fRows ++ aRows
   }
 
@@ -2174,10 +2240,10 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       val cn = canonical(n)
       if (state.contains(cn)) describeTable(n)
       else if (mvReg.contains(cn)) ddlResult("materialized_view", cn, mvDdl(cn))
-      else if (udtReg.contains(n)) ddlResult("type", n, typeDdl(n, udtReg(n)))
+      else if (udtReg.contains(cn)) ddlResult("type", cn, typeDdl(cn, udtReg(cn)))
       else if (indexReg.contains(cn)) ddlResult("index", cn, indexDdl(cn))
-      else if (fnReg.contains(n)) ddlResult("function", n, fnDdl(n))
-      else if (aggReg.contains(n)) ddlResult("aggregate", n, aggDdl(n))
+      else if (fnReg.contains(cn)) ddlResult("function", cn, fnDdl(cn))
+      else if (aggReg.contains(cn)) ddlResult("aggregate", cn, aggDdl(cn))
       else throw new CqlInvalidQueryException(s"unknown object $raw")
     }
     toks.map(_.toLowerCase) match {
@@ -2230,21 +2296,29 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
               throw new CqlInvalidQueryException(s"unknown index $raw"))
         }
       case Seq(_, "function", raw) =>
-        fnReg.get(raw.toLowerCase)
-          .map(_ => ddlResult("function", raw.toLowerCase, fnDdl(raw)))
-          .getOrElse(
-            throw new CqlInvalidQueryException(s"unknown function $raw"))
+        locally {
+          val n = canonical(raw)
+          fnReg.get(n)
+            .map(_ => ddlResult("function", n, fnDdl(n)))
+            .getOrElse(
+              throw new CqlInvalidQueryException(s"unknown function $raw"))
+        }
       case Seq(_, "aggregate", raw) =>
-        aggReg.get(raw.toLowerCase)
-          .map(_ => ddlResult("aggregate", raw.toLowerCase, aggDdl(raw)))
-          .getOrElse(
-            throw new CqlInvalidQueryException(s"unknown aggregate $raw"))
+        locally {
+          val n = canonical(raw)
+          aggReg.get(n)
+            .map(_ => ddlResult("aggregate", n, aggDdl(n)))
+            .getOrElse(
+              throw new CqlInvalidQueryException(s"unknown aggregate $raw"))
+        }
       case Seq(_, "type", raw) =>
-        udtReg.get(raw.toLowerCase)
-          .map(st => ddlResult("type", raw.toLowerCase,
-            typeDdl(raw.toLowerCase, st)))
-          .getOrElse(
-            throw new CqlInvalidQueryException(s"unknown type $raw"))
+        locally {
+          val n = canonical(raw)
+          udtReg.get(n)
+            .map(st => ddlResult("type", n, typeDdl(n, st)))
+            .getOrElse(
+              throw new CqlInvalidQueryException(s"unknown type $raw"))
+        }
       // cqlsh `DESC <name>` shorthand resolves any schema object
       case Seq(_, raw) => describeAny(raw)
       case _ => throw new CqlInvalidQueryException(
@@ -2777,7 +2851,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       case "grant" | "revoke" | "list" =>
         runAuth(CqlParser.parseAuth(trimmed))
       case "create" | "drop" | "truncate" | "alter" =>
-        val ddl = canonDdl(CqlParser.parseDdl(trimmed, udtReg.toMap))
+        val ddl = canonDdl(CqlParser.parseDdl(trimmed, parserUdts))
         if (!isSuperuser) {
           // upstream: CREATE/ALTER/DROP check the keyspace resource,
           // TRUNCATE checks MODIFY on the table [U auth/Permission.java]
@@ -2830,6 +2904,9 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         // USE'ing a system keyspace is legal upstream (reads resolve
         // against it); writes still reject at the write path
         currentKs = name
+        // bare user-function bindings follow the current keyspace — the
+        // engine's alias map must rebuild (cheap; USE is rare)
+        mutationEpoch += 1
         spark.emptyDataFrame
       case other =>
         throw new CqlInvalidQueryException(s"unsupported statement: $other")
@@ -2869,6 +2946,14 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       mvReg.filterInPlace { case (_, (sel, _, _)) =>
         !contained.exists(sel.table.equalsIgnoreCase) }
       contained.foreach(t => applyDdl0(CqlDropTable(t, ifExists = true)))
+      // the keyspace's types die with it (cross-keyspace use is
+      // impossible, so nothing outside can still reference them); its
+      // functions and aggregates likewise (an aggregate's functions
+      // share its keyspace, so no dangling refs can remain)
+      udtReg.filterInPlace { case (n, _) => keyspaceOf(n) != ks }
+      udtTypeRefs.filterInPlace { case (n, _) => keyspaceOf(n) != ks }
+      aggReg.filterInPlace { case (n, _) => keyspaceOf(n) != ks }
+      fnReg.filterInPlace { case (n, _) => keyspaceOf(n) != ks }
     case CqlAlterKeyspace(name, repl, durable) =>
       val ks = name.toLowerCase
       if (SystemKeyspaces.contains(ks))
@@ -2889,6 +2974,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         val ks = keyspaceOf(table.toLowerCase)
         if (ks != UserKeyspace && !keyspaces.contains(ks))
           throw new CqlInvalidQueryException(s"Keyspace $ks doesn't exist")
+        checkUdtRefsKeyspace(ks, cols)
       }
       if (state.contains(table.toLowerCase)) {
         if (!ifNotExists)
@@ -3036,9 +3122,16 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     case CqlCreateFunction(name, args, calledOnNull, rt, lang, body,
         orReplace, ifNotExists) =>
       val n = name.toLowerCase
-      if (reservedFnNames(n))
+      // native names are reserved in EVERY keyspace (a bare invocation
+      // must never be ambiguous between a native and a user function)
+      if (reservedFnNames(tableOf(n)))
         throw new CqlInvalidQueryException(
           s"cannot replace native function $name")
+      locally {
+        val ks = keyspaceOf(n)
+        if (ks != UserKeyspace && !keyspaces.contains(ks))
+          throw new CqlInvalidQueryException(s"Keyspace $ks doesn't exist")
+      }
       if (aggReg.contains(n))
         throw new CqlInvalidQueryException(
           s"$name already exists as an aggregate")
@@ -3068,9 +3161,21 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     case CqlCreateAggregate(name, argTypes, sfunc, stype, finalFunc,
         initCond, orReplace, ifNotExists) =>
       val n = name.toLowerCase
-      if (reservedFnNames(n))
+      if (reservedFnNames(tableOf(n)))
         throw new CqlInvalidQueryException(
           s"cannot replace native function $name")
+      locally {
+        val ks = keyspaceOf(n)
+        if (ks != UserKeyspace && !keyspaces.contains(ks))
+          throw new CqlInvalidQueryException(s"Keyspace $ks doesn't exist")
+        // upstream: an aggregate and its state/final functions share a
+        // keyspace [U cql3/statements/CreateAggregateStatement]
+        (sfunc.toLowerCase +: finalFunc.map(_.toLowerCase).toSeq)
+          .find(keyspaceOf(_) != ks).foreach(f =>
+            throw new CqlInvalidQueryException(
+              s"aggregate $name and its functions must be in the same " +
+                s"keyspace (got $f)"))
+      }
       if (fnReg.contains(n))
         throw new CqlInvalidQueryException(
           s"$name already exists as a function")
@@ -3197,6 +3302,18 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         throw new CqlInvalidQueryException(
           s"Trigger $name was not found on ${table.toLowerCase}")
     case CqlCreateType(name, struct, ifNotExists, refs) =>
+      // types live in a DECLARED keyspace and may only nest same-keyspace
+      // types — upstream's cross-keyspace restriction [U schema/Types.java]
+      locally {
+        val ks = keyspaceOf(name.toLowerCase)
+        if (ks != UserKeyspace && !keyspaces.contains(ks))
+          throw new CqlInvalidQueryException(s"Keyspace $ks doesn't exist")
+        refs.find(r => keyspaceOf(r) != ks).foreach(r =>
+          throw new CqlInvalidQueryException(
+            s"Statement on keyspace $ks cannot refer to a user type in " +
+              s"keyspace ${keyspaceOf(r)}; user types can only be used in " +
+              "the keyspace they are defined in"))
+      }
       if (udtReg.contains(name.toLowerCase)) {
         if (!ifNotExists)
           throw new CqlInvalidQueryException(s"type $name already exists")
@@ -3207,6 +3324,10 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     case CqlAlterTypeAdd(name, fields, addedRefs) =>
       val old = udtReg.getOrElse(name.toLowerCase,
         throw new CqlInvalidQueryException(s"unknown type $name"))
+      addedRefs.find(r => keyspaceOf(r) != keyspaceOf(name.toLowerCase))
+        .foreach(r => throw new CqlInvalidQueryException(
+          s"Cannot add a field of type ${r} to ${name}: user types can " +
+            "only be used in the keyspace they are defined in"))
       fields.fields.foreach { f =>
         if (old.fieldNames.exists(_.equalsIgnoreCase(f.name)))
           throw new CqlInvalidQueryException(
@@ -3290,6 +3411,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       truncateState(table)
     case CqlAlterAdd(table, cols) =>
       val t = tableState(table)
+      checkUdtRefsKeyspace(keyspaceOf(table.toLowerCase), cols)
       cols.foreach { cd =>
         if (t.schema.fieldNames.exists(_.equalsIgnoreCase(cd.name)))
           throw new CqlInvalidQueryException(s"column ${cd.name} already exists")

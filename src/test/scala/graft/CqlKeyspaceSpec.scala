@@ -223,6 +223,90 @@ class CqlKeyspaceSpec extends SparkSpec {
     s.execute("DROP INDEX vidx") // default's still there
   }
 
+  test("UDTs scope per keyspace: same names distinct, bare names bind " +
+    "to the current keyspace, cross-keyspace use rejected") {
+    val s = fresh
+    s.execute("CREATE TYPE ksa.addr (street text, zip bigint)")
+    s.execute("CREATE TYPE ksb.addr (city text)") // same name, other ks
+    s.execute("CREATE TYPE addr (country text)")  // default ks
+    // each keyspace's table binds ITS OWN addr
+    s.execute("CREATE TABLE ksa.ut (k bigint PRIMARY KEY, " +
+      "a frozen<ksa.addr>)")
+    s.execute("USE ksb")
+    s.execute("CREATE TABLE ut (k bigint PRIMARY KEY, a frozen<addr>)")
+    s.execute("INSERT INTO ut (k, a) VALUES (1, {city: 'oslo'})")
+    assert(s.execute("SELECT a.city FROM ut WHERE k = 1")
+      .head().getString(0) === "oslo")
+    s.execute("USE default")
+    s.execute("INSERT INTO ksa.ut (k, a) VALUES (1, " +
+      "{street: 's1', zip: 7})")
+    assert(s.execute("SELECT a.zip FROM ksa.ut WHERE k = 1")
+      .head().getLong(0) === 7L)
+    // a bare name under default does NOT see ksa's type shape
+    s.execute("CREATE TABLE utd (k bigint PRIMARY KEY, a frozen<addr>)")
+    s.execute("INSERT INTO utd (k, a) VALUES (1, {country: 'no'})")
+    assert(s.execute("SELECT a.country FROM utd WHERE k = 1")
+      .head().getString(0) === "no")
+    // cross-keyspace use is rejected, as upstream
+    val e = intercept[CqlInvalidQueryException] {
+      s.execute("CREATE TABLE x (k bigint PRIMARY KEY, a frozen<ksa.addr>)")
+    }
+    assert(e.getMessage.contains("keyspace they are defined in"))
+    // system_schema.types attributes owners; DESCRIBE round-trips
+    val tys = s.execute("SELECT keyspace_name, type_name FROM " +
+      "system_schema.types WHERE type_name = 'addr' ALLOW FILTERING")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(tys === Set(("default", "addr"), ("ksa", "addr"),
+      ("ksb", "addr")))
+    val ddl = s.execute("DESCRIBE TYPE ksb.addr").head().getString(3)
+    assert(ddl.contains("ksb.addr"), ddl)
+    // DROP KEYSPACE drops its types; same-named others survive
+    s.execute("DROP KEYSPACE ksb")
+    intercept[CqlInvalidQueryException] { s.execute("DESCRIBE TYPE ksb.addr") }
+    assert(s.execute("DESCRIBE TYPE addr").head().getString(3)
+      .contains("country"))
+  }
+
+  test("functions and aggregates scope per keyspace; qualified " +
+    "invocation crosses keyspaces, bare follows USE") {
+    val s = fresh
+    s.execute("CREATE TABLE ksa.ft (k bigint PRIMARY KEY, v bigint)")
+    s.execute("INSERT INTO ksa.ft (k, v) VALUES (1, 10)")
+    // same-named function per keyspace, different bodies
+    s.execute("CREATE FUNCTION ksa.scale (x bigint) CALLED ON NULL INPUT " +
+      "RETURNS bigint LANGUAGE java AS 'return x * 2;'")
+    s.execute("CREATE FUNCTION scale (x bigint) CALLED ON NULL INPUT " +
+      "RETURNS bigint LANGUAGE java AS 'return x * 3;'") // default ks
+    s.execute("USE ksa")
+    assert(s.execute("SELECT scale(v) AS sv FROM ft WHERE k = 1")
+      .head().getLong(0) === 20L) // bare binds to ksa's
+    // qualified invocation reaches the other keyspace's function
+    assert(s.execute("SELECT default.scale(v) AS sv FROM ft WHERE k = 1")
+      .head().getLong(0) === 30L)
+    s.execute("USE default")
+    assert(s.execute("SELECT scale(v) AS sv FROM ksa.ft WHERE k = 1")
+      .head().getLong(0) === 30L) // bare binds to default's
+    assert(s.execute("SELECT ksa.scale(v) AS sv FROM ksa.ft WHERE k = 1")
+      .head().getLong(0) === 20L)
+    // an aggregate's state function must share its keyspace
+    val e = intercept[CqlInvalidQueryException] {
+      s.execute("CREATE AGGREGATE ksb.bad (bigint) SFUNC ksa.scale " +
+        "STYPE bigint")
+    }
+    assert(e.getMessage.contains("same keyspace"), e.getMessage)
+    // system_schema attributes owners; DROP KEYSPACE drops its functions
+    val fns = s.execute("SELECT keyspace_name, function_name FROM " +
+      "system_schema.functions WHERE function_name = 'scale' " +
+      "ALLOW FILTERING").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fns === Set(("default", "scale"), ("ksa", "scale")))
+    s.execute("DROP KEYSPACE ksa")
+    intercept[CqlInvalidQueryException] { s.execute("DESCRIBE FUNCTION ksa.scale") }
+    assert(s.execute("DESCRIBE FUNCTION scale").head().getString(3)
+      .contains("x * 3"))
+    s.execute("DROP FUNCTION scale")
+  }
+
   test("Spark catalog namespaces list per-keyspace tables and route writes") {
     val s = fresh
     s.execute("CREATE TABLE ksa.ct (k bigint PRIMARY KEY, v text)")
