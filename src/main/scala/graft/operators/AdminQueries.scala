@@ -449,6 +449,67 @@ object AdminQueries {
       .orderBy("kind", "name", "detail")
   }
 
+  /** CQL21 — keyspace-scoped type/function namespaces in the gate (r9)
+    * [U schema/Types.java, cql3/functions/FunctionResolver]: same-named
+    * UDTs and functions per keyspace hold distinct definitions, bare
+    * names bind to the statement's keyspace, types are same-keyspace-
+    * only while functions invoke cross-keyspace when qualified, and an
+    * aggregate's functions share its keyspace — deterministic probes. */
+  def cql21_namespaces(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.cql.CqlSession(s)
+    import scala.jdk.CollectionConverters._
+    def deny(f: => Any): Boolean =
+      try { f; false }
+      catch { case _: graft.cql.CqlInvalidQueryException => true }
+    sess.execute("CREATE KEYSPACE ns21 WITH replication = " +
+      "{'class': 'SimpleStrategy', 'replication_factor': 1}")
+    // same-named type per keyspace, different shapes
+    sess.execute("CREATE TYPE ns21.pt (x bigint, y bigint)")
+    sess.execute("CREATE TYPE pt (label text)")
+    sess.execute("CREATE TABLE ns21.g (k bigint PRIMARY KEY, " +
+      "p frozen<ns21.pt>)")
+    sess.execute("INSERT INTO ns21.g (k, p) VALUES (1, {x: 3, y: 4})")
+    val xy = sess.execute("SELECT p.x, p.y FROM ns21.g WHERE k = 1").head()
+    sess.execute("CREATE TABLE gd (k bigint PRIMARY KEY, p frozen<pt>)")
+    sess.execute("INSERT INTO gd (k, p) VALUES (1, {label: 'home'})")
+    val lbl = sess.execute("SELECT p.label FROM gd WHERE k = 1")
+      .head().getString(0)
+    val crossTypeDenied = deny(sess.execute(
+      "CREATE TABLE bad (k bigint PRIMARY KEY, p frozen<ns21.pt>)"))
+    // same-named function per keyspace
+    sess.execute("CREATE FUNCTION ns21.tag (x bigint) CALLED ON NULL " +
+      "INPUT RETURNS bigint LANGUAGE java AS 'return x * 2;'")
+    sess.execute("CREATE FUNCTION tag (x bigint) CALLED ON NULL INPUT " +
+      "RETURNS bigint LANGUAGE java AS 'return x * 3;'")
+    sess.execute("USE ns21")
+    val bareInNs = sess.execute("SELECT tag(k) AS t FROM g WHERE k = 1")
+      .head().getLong(0) // ns21's ×2
+    val qualCross = sess.execute(
+      "SELECT default.tag(k) AS t FROM g WHERE k = 1").head().getLong(0)
+    sess.execute("USE default")
+    val crossAggDenied = deny(sess.execute(
+      "CREATE AGGREGATE agg21 (bigint) SFUNC ns21.tag STYPE bigint"))
+    // drop the keyspace: its namespace dies, default's survives
+    sess.execute("DROP KEYSPACE ns21")
+    val droppedFnGone = deny(sess.execute("DESCRIBE FUNCTION ns21.tag"))
+    val survivor = sess.execute("SELECT tag(k) AS t FROM gd WHERE k = 1")
+      .head().getLong(0)
+    s.createDataFrame(Seq(
+      Row("type", "ns21.pt", s"x=${xy.getLong(0)} y=${xy.getLong(1)}"),
+      Row("type", "default.pt", s"label=$lbl"),
+      Row("type", "cross-ks-use-denied", s"denied=$crossTypeDenied"),
+      Row("fn", "bare-under-use", s"t=$bareInNs"),
+      Row("fn", "qualified-cross", s"t=$qualCross"),
+      Row("fn", "cross-ks-agg-denied", s"denied=$crossAggDenied"),
+      Row("drop", "ns21-fn-gone", s"gone=$droppedFnGone"),
+      Row("drop", "default-survives", s"t=$survivor")
+    ).asJava, StructType(Seq(
+      StructField("kind", StringType),
+      StructField("name", StringType),
+      StructField("detail", StringType))))
+      .orderBy("kind", "name", "detail")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cql16_audit" -> (cql16_audit _),
     "cql13_roles" -> (cql13_roles _),
@@ -459,6 +520,7 @@ object AdminQueries {
     "cql18_binding" -> (cql18_binding _),
     "cql19_compaction" -> (cql19_compaction _),
     "cql20_snapshot" -> (cql20_snapshot _),
+    "cql21_namespaces" -> (cql21_namespaces _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -579,6 +641,19 @@ object AdminQueries {
         |  ('listed', 'pre_load', 'default.sn20 nonempty=true'),
         |  ('listed', 'truncated-3-sn20', 'default.sn20 nonempty=true'),
         |  ('manual', 'pre_load', 'table=sn20 nonempty=true'))
+        |AS t(kind, name, detail) ORDER BY kind, name, detail""".stripMargin,
+    // the literal namespace-scoping state: per-keyspace type shapes,
+    // bare-vs-qualified function binding, cross-keyspace rules, drop
+    "cql21_namespaces" ->
+      """SELECT kind, name, detail FROM (VALUES
+        |  ('drop', 'default-survives', 't=3'),
+        |  ('drop', 'ns21-fn-gone', 'gone=true'),
+        |  ('fn', 'bare-under-use', 't=2'),
+        |  ('fn', 'cross-ks-agg-denied', 'denied=true'),
+        |  ('fn', 'qualified-cross', 't=3'),
+        |  ('type', 'cross-ks-use-denied', 'denied=true'),
+        |  ('type', 'default.pt', 'label=home'),
+        |  ('type', 'ns21.pt', 'x=3 y=4'))
         |AS t(kind, name, detail) ORDER BY kind, name, detail""".stripMargin,
   )
 }
