@@ -614,6 +614,31 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           s"keyspace ${keyspaceOf(r)}; user types can only be used in " +
           "the keyspace they are defined in"))
 
+  /** Canonical invocation name for a selector's function: a bare USER
+    * function/aggregate name binds to the current keyspace AT THE
+    * STATEMENT BOUNDARY (prepare-time, like table names — a later USE
+    * must not re-target it), rewritten fully qualified so the engine
+    * resolves it keyspace-independently. Native names pass through. */
+  private def canonFnName(fn: String): String = {
+    val n = fn.toLowerCase
+    if (n.contains(".")) n
+    else {
+      val regKey = if (currentKs == UserKeyspace) n else s"$currentKs.$n"
+      if (fnReg.contains(regKey) || aggReg.contains(regKey))
+        s"$currentKs.$n"
+      else n
+    }
+  }
+
+  /** Statement-boundary canonicalization for a SELECT: the target table
+    * and every user-function selector bind to the current keyspace. */
+  private def canonSelect(sel: CqlSelect): CqlSelect =
+    sel.copy(table = canonical(sel.table),
+      selectors = sel.selectors.map {
+        case f: FunctionSelector => f.copy(fn = canonFnName(f.fn))
+        case other => other
+      })
+
   /** The invocation-name view the ENGINE resolves user functions /
     * aggregates against: every function by its qualified name (cross-
     * keyspace invocation is legal when qualified, upstream
@@ -2036,6 +2061,10 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * is partly driver-held rows, not yet files). Idempotent per
     * (name, table): upstream rejects a duplicate snapshot name. */
   private def takeSnapshot(name: String, key: String): Unit = {
+    // the name becomes a directory segment — never a path expression
+    if (!name.matches("[A-Za-z0-9._-]+"))
+      throw new CqlInvalidQueryException(
+        s"invalid snapshot name '$name' (letters, digits, . _ - only)")
     if (snapshotsReg.contains((name, key)))
       throw new CqlInvalidQueryException(
         s"Snapshot $name already exists for table $key")
@@ -2446,7 +2475,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     trimmed.takeWhile(!_.isWhitespace).toLowerCase match {
       case "select" =>
         val sel = CqlParser.parse(trimmed)
-        new CqlPrepared(this, sel.copy(table = canonical(sel.table)), trimmed)
+        new CqlPrepared(this, canonSelect(sel), trimmed)
       case "insert" | "update" | "delete" =>
         new CqlPrepared(this,
           canonDml(CqlParser.parseDml(trimmed)), trimmed)
@@ -2837,7 +2866,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         // and the volatile-table rebuild decision reads the PARSED target
         // (not a substring of the text — the cql12-era wart)
         val sel0 = CqlParser.parse(trimmed)
-        val sel = sel0.copy(table = canonical(sel0.table))
+        val sel = canonSelect(sel0)
         // the runtime virtual tables (settings/clients) change without a
         // mutation epoch bump — rebuild so the read sees live values
         val target = sel.table.toLowerCase

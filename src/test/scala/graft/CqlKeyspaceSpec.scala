@@ -307,6 +307,23 @@ class CqlKeyspaceSpec extends SparkSpec {
     s.execute("DROP FUNCTION scale")
   }
 
+  test("bare function names bind at PREPARE time, like table names") {
+    val s = fresh
+    s.execute("CREATE TABLE ksa.fp (k bigint PRIMARY KEY)")
+    s.execute("CREATE TABLE ksb.fp (k bigint PRIMARY KEY)")
+    s.execute("INSERT INTO ksa.fp (k) VALUES (1)")
+    s.execute("INSERT INTO ksb.fp (k) VALUES (1)")
+    s.execute("CREATE FUNCTION ksa.boost (x bigint) CALLED ON NULL INPUT " +
+      "RETURNS bigint LANGUAGE java AS 'return x + 100;'")
+    s.execute("CREATE FUNCTION ksb.boost (x bigint) CALLED ON NULL INPUT " +
+      "RETURNS bigint LANGUAGE java AS 'return x + 200;'")
+    s.execute("USE ksa")
+    val sel = s.prepare("SELECT boost(k) AS b FROM fp WHERE k = ?")
+    s.execute("USE ksb") // must re-target NEITHER the table NOR the fn
+    assert(sel.execute(1L).head().getLong(0) === 101L)
+    s.execute("USE default")
+  }
+
   test("Spark catalog namespaces list per-keyspace tables and route writes") {
     val s = fresh
     s.execute("CREATE TABLE ksa.ct (k bigint PRIMARY KEY, v text)")
