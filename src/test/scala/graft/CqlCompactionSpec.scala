@@ -69,6 +69,56 @@ class CqlCompactionSpec extends SparkSpec {
     }
   }
 
+  test("random CLUSTERING-table scripts (row/partition tombstones, " +
+    "markers) fold identically on a compacted vs full log") {
+    val rnd = new scala.util.Random(20260815L)
+    for (round <- 1 to 3) {
+      def fresh() = CqlSession.emptyTable(spark, "ct", StructType(Seq(
+        StructField("pk", LongType), StructField("ck", LongType),
+        StructField("v", LongType))),
+        partitionKeys = Seq("pk"), clusteringKeys = Seq("ck"))
+      val (s, twin) = (fresh(), fresh())
+      def both(cql: String): Unit = { s.execute(cql); twin.execute(cql); () }
+      for (_ <- 1 to 40) {
+        val (pk, ck) = (rnd.nextInt(2).toLong, rnd.nextInt(3).toLong)
+        val ts = 1L + rnd.nextInt(9)
+        rnd.nextInt(6) match {
+          case 0 | 1 =>
+            both(s"INSERT INTO ct (pk, ck, v) VALUES ($pk, $ck, " +
+              s"${rnd.nextInt(9)}) USING TIMESTAMP $ts")
+          case 2 =>
+            both(s"UPDATE ct USING TIMESTAMP $ts SET v = ${rnd.nextInt(9)} " +
+              s"WHERE pk = $pk AND ck = $ck")
+          case 3 =>
+            both(s"DELETE FROM ct USING TIMESTAMP $ts WHERE pk = $pk " +
+              s"AND ck = $ck")
+          case 4 =>
+            both(s"DELETE FROM ct USING TIMESTAMP $ts WHERE pk = $pk")
+          case 5 =>
+            both(s"DELETE v FROM ct USING TIMESTAMP $ts WHERE pk = $pk " +
+              s"AND ck = $ck")
+        }
+      }
+      def snap(ss: CqlSession) = ss.execute(
+        "SELECT pk, ck, v, writetime(v) AS wv FROM ct")
+        .collect().map(r => (0 until 4).map(i =>
+          if (r.isNullAt(i)) null else r.get(i)).toList)
+        .sortBy(_.toString).toList
+      val before = snap(s)
+      s.execute("COMPACT ct")
+      assert(snap(s) === before, s"round $round: COMPACT changed the view")
+      // post-compact writes at mixed timestamps fold identically
+      for (_ <- 1 to 10) {
+        val (pk, ck) = (rnd.nextInt(2).toLong, rnd.nextInt(3).toLong)
+        val ts = 1L + rnd.nextInt(12)
+        both(s"INSERT INTO ct (pk, ck, v) VALUES ($pk, $ck, " +
+          s"${rnd.nextInt(9)}) USING TIMESTAMP $ts")
+      }
+      assert(snap(s) === snap(twin),
+        s"round $round: compacted log diverged after late writes")
+    }
+  }
+
   test("clustering + static + partition/range tombstones survive COMPACT") {
     val s = CqlSession.emptyTable(spark, "ck",
       StructType(Seq(

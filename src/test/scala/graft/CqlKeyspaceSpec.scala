@@ -324,6 +324,28 @@ class CqlKeyspaceSpec extends SparkSpec {
     s.execute("USE default")
   }
 
+  test("LWT conditional writes address the keyspace-scoped table") {
+    val s = fresh
+    s.execute("CREATE TABLE ksa.lw (k bigint PRIMARY KEY, v bigint)")
+    s.execute("CREATE TABLE lw (k bigint PRIMARY KEY, v bigint)")
+    s.execute("USE ksa")
+    // IF NOT EXISTS applies against ksa.lw, not default.lw
+    assert(s.execute("INSERT INTO lw (k, v) VALUES (1, 10) IF NOT EXISTS")
+      .head().getBoolean(0) === true)
+    assert(s.execute("INSERT INTO lw (k, v) VALUES (1, 11) IF NOT EXISTS")
+      .head().getBoolean(0) === false)
+    s.execute("USE default")
+    // the default-keyspace twin is untouched; its own LWT still applies
+    assert(s.execute("INSERT INTO lw (k, v) VALUES (1, 20) IF NOT EXISTS")
+      .head().getBoolean(0) === true)
+    assert(s.execute("UPDATE ksa.lw SET v = 12 WHERE k = 1 IF v = 10")
+      .head().getBoolean(0) === true)
+    assert(s.execute("SELECT v FROM ksa.lw WHERE k = 1")
+      .head().getLong(0) === 12L)
+    assert(s.execute("SELECT v FROM lw WHERE k = 1")
+      .head().getLong(0) === 20L)
+  }
+
   test("Spark catalog namespaces list per-keyspace tables and route writes") {
     val s = fresh
     s.execute("CREATE TABLE ksa.ct (k bigint PRIMARY KEY, v text)")
