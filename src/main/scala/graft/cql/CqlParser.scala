@@ -1288,7 +1288,12 @@ object CqlParser {
         case "durable_writes" =>
           c.expect("=")
           durable = Some(
-            c.next().stripPrefix("'").stripSuffix("'").toLowerCase == "true")
+            c.next().stripPrefix("'").stripSuffix("'").toLowerCase match {
+              case "true" => true
+              case "false" => false
+              case other => throw new CqlInvalidQueryException(
+                s"durable_writes must be true or false, got $other")
+            })
         case _ => consumeOptionValue(c)
       }
       more = c.accept("and")

@@ -494,7 +494,13 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         Map("class" -> s"${Locator}SimpleStrategy",
           "replication_factor" -> rf)
       case "NetworkTopologyStrategy" =>
-        val dcs = repl - "class"
+        // 4.0+ shorthand [U]: a bare replication_factor expands to every
+        // known datacenter — this topology has exactly one, datacenter1
+        // (what system.local reports)
+        val dcs = (repl - "class").map {
+          case ("replication_factor", rf) => "datacenter1" -> rf
+          case other => other
+        }
         if (dcs.isEmpty) throw new CqlInvalidQueryException(
           "NetworkTopologyStrategy requires datacenter replication factors")
         dcs.foreach { case (dc, rf) => intRf(dc, rf) }
@@ -661,18 +667,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * CURRENT keyspace's (upstream: a bare type name binds to the
     * statement's keyspace — there is no cross-keyspace fallback
     * [U schema/Types.java]). */
-  private def parserUdts: Map[String, StructType] = {
-    val all = udtReg.toMap
-    val qualified = all.map { case (k, v) =>
-      (if (k.contains(".")) k else s"$UserKeyspace.$k") -> v
-    }
-    val bare =
-      if (currentKs == UserKeyspace) all.filter(!_._1.contains("."))
-      else all.collect {
-        case (k, v) if keyspaceOf(k) == currentKs => tableOf(k) -> v
-      }
-    qualified ++ bare
-  }
+  private def parserUdts: Map[String, StructType] = fnVisible(udtReg)
 
   /** Canonical key for an object owned by keyspace `ks` (indexes, views:
     * bare in the default keyspace, `ks.name` elsewhere). */
@@ -2052,6 +2047,12 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     .empty[(String, String), (String, String, Long, Long)]
   // (name, canonicalTable) → (ks, bareTable, createdAt, trueSize)
 
+  /** Auto/unnamed snapshot tags carry a session-unique sequence (the
+    * upstream analogue is a millis timestamp tag): the session CLOCK
+    * only moves on writes, so clock-stamped names would collide on
+    * back-to-back TRUNCATEs of an unwritten table. */
+  private val snapshotSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def autoSnapshotEnabled: Boolean =
     spark.conf.getOption("spark.graft.auto_snapshot")
       .forall(_.trim.toBoolean) // default TRUE, upstream's default
@@ -2096,7 +2097,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     tableState(key) // must exist
     if (!isSuperuser) checkPerm("modify", authRes(key))
     val name = nameOpt.map(_.stripPrefix("'").stripSuffix("'"))
-      .getOrElse(s"snapshot-$clock")
+      .getOrElse(s"snapshot-${snapshotSeq.incrementAndGet()}")
     takeSnapshot(name, key)
     val (_, _, at, size) = snapshotsReg((name, key))
     spark.createDataFrame(Seq(
@@ -2902,6 +2903,19 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
                 case t: CqlDropTrigger => keyspaceOf(t.table)
                 case mv: CqlCreateMv => keyspaceOf(mv.select.table)
                 case mv: CqlDropMv => keyspaceOf(mv.name)
+                // keyspace-level DDL checks the TARGET keyspace, and
+                // type/function DDL the owning one — never the session's
+                // current keyspace (that would be a permission bypass)
+                case k: CqlCreateKeyspace => k.name.toLowerCase
+                case k: CqlDropKeyspace => k.name.toLowerCase
+                case k: CqlAlterKeyspace => k.name.toLowerCase
+                case t: CqlCreateType => keyspaceOf(t.name)
+                case t: CqlDropType => keyspaceOf(t.name)
+                case t: CqlAlterTypeAdd => keyspaceOf(t.name)
+                case f: CqlCreateFunction => keyspaceOf(f.name)
+                case f: CqlDropFunction => keyspaceOf(f.name)
+                case a: CqlCreateAggregate => keyspaceOf(a.name)
+                case a: CqlDropAggregate => keyspaceOf(a.name)
                 case _ => currentKs
               }
               checkPerm(kw, KeyspaceRes(ks))
@@ -2953,7 +2967,10 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   private def applyDdl0(ddl: CqlDdl): Unit = ddl match {
     case CqlCreateKeyspace(name, ifNotExists, repl, durable) =>
       val normalized = validateReplication(name, repl) // validate ALWAYS,
-      if (keyspaces.contains(name.toLowerCase)) {      // as upstream does
+      // the implicit default keyspace EXISTS (it is just not in the
+      // user-declared set) — creating it is an already-exists error
+      if (keyspaces.contains(name.toLowerCase) ||
+          name.toLowerCase == UserKeyspace) {          // as upstream does
         if (!ifNotExists)
           throw new CqlInvalidQueryException(s"keyspace $name already exists")
       } else {
@@ -2962,12 +2979,17 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       }
     case CqlDropKeyspace(name, ifExists) =>
       val ks = name.toLowerCase
-      if (SystemKeyspaces.contains(ks))
+      if (SystemKeyspaces.contains(ks) || ks == UserKeyspace)
         throw new CqlInvalidQueryException(
-          "system keyspaces are not user-modifiable")
-      if (!keyspaces.remove(ks) && !ifExists)
-        throw new CqlInvalidQueryException(s"unknown keyspace $name")
-      ksMeta.remove(ks)
+          if (ks == UserKeyspace)
+            "the default keyspace cannot be dropped"
+          else "system keyspaces are not user-modifiable")
+      // validate-then-mutate: contents drop BEFORE the registry entry,
+      // so a failure mid-drop cannot orphan tables of a gone keyspace
+      if (!keyspaces.contains(ks)) {
+        if (!ifExists)
+          throw new CqlInvalidQueryException(s"unknown keyspace $name")
+      }
       // upstream DROP KEYSPACE drops everything it contains: views first
       // (their bases must outlive them through DropTable's guard), then
       // the tables themselves
@@ -2983,6 +3005,9 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       udtTypeRefs.filterInPlace { case (n, _) => keyspaceOf(n) != ks }
       aggReg.filterInPlace { case (n, _) => keyspaceOf(n) != ks }
       fnReg.filterInPlace { case (n, _) => keyspaceOf(n) != ks }
+      keyspaces.remove(ks)
+      ksMeta.remove(ks)
+      ()
     case CqlAlterKeyspace(name, repl, durable) =>
       val ks = name.toLowerCase
       if (SystemKeyspaces.contains(ks))
@@ -3066,7 +3091,9 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       }.foreach(mv => throw new CqlInvalidQueryException(
         s"Cannot drop table $table: materialized view $mv still depends on it"))
       if (autoSnapshotEnabled && state.contains(table.toLowerCase))
-        takeSnapshot(s"dropped-$clock-${tableOf(table.toLowerCase)}",
+        takeSnapshot(
+          s"dropped-${snapshotSeq.incrementAndGet()}-" +
+            tableOf(table.toLowerCase),
           table.toLowerCase)
       if (state.remove(table.toLowerCase).isEmpty && !ifExists)
         throw new CqlInvalidQueryException(s"unknown table $table")
@@ -3435,7 +3462,9 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       // auto_snapshot [U cassandra.yaml, default true]: data-destroying
       // DDL snapshots first — the famous drop-safety net
       if (autoSnapshotEnabled && state.contains(table.toLowerCase))
-        takeSnapshot(s"truncated-$clock-${tableOf(table.toLowerCase)}",
+        takeSnapshot(
+          s"truncated-${snapshotSeq.incrementAndGet()}-" +
+            tableOf(table.toLowerCase),
           table.toLowerCase)
       truncateState(table)
     case CqlAlterAdd(table, cols) =>

@@ -637,9 +637,9 @@ object AdminQueries {
     "cql20_snapshot" ->
       """SELECT kind, name, detail FROM (VALUES
         |  ('clear', 'pre_load', 'remaining=2'),
-        |  ('listed', 'dropped-4-sn20', 'default.sn20 nonempty=true'),
+        |  ('listed', 'dropped-2-sn20', 'default.sn20 nonempty=true'),
         |  ('listed', 'pre_load', 'default.sn20 nonempty=true'),
-        |  ('listed', 'truncated-3-sn20', 'default.sn20 nonempty=true'),
+        |  ('listed', 'truncated-1-sn20', 'default.sn20 nonempty=true'),
         |  ('manual', 'pre_load', 'table=sn20 nonempty=true'))
         |AS t(kind, name, detail) ORDER BY kind, name, detail""".stripMargin,
     // the literal namespace-scoping state: per-keyspace type shapes,

@@ -77,6 +77,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
+  /** Name to embed in emitted CQL DDL TEXT: always keyspace-qualified
+    * (`default.t` included — the session folds it to the bare canonical
+    * key). A bare name here would re-resolve against the SESSION's
+    * current keyspace and, after a `USE`, target the wrong table. */
+  private def ddlName(ident: Identifier): String = {
+    val ns = ident.namespace()
+    if (ns.length != 1) ident.name().toLowerCase
+    else s"${ns(0).toLowerCase}.${ident.name().toLowerCase}"
+  }
+
   private def requireNamespace(namespace: Array[String]): String = {
     if (namespace.length != 1)
       throw new NoSuchNamespaceException(catalogName +: namespace)
@@ -147,7 +157,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .map(f => s"${f.name} ${session.cqlTypeNameOf(f.dataType)}")
     val pkPart =
       if (pk.size == 1) pk.head else pk.mkString("(", ", ", ")")
-    val ddl = s"CREATE TABLE ${registryKey(ident)} " +
+    val ddl = s"CREATE TABLE ${ddlName(ident)} " +
       s"(${cols.mkString(", ")}, " +
       s"PRIMARY KEY ($pkPart${ck.map(", " + _).mkString}))"
     session.execute(ddl)
@@ -161,7 +171,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * comments, nested fields) has no CQL form and is rejected. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     requireNamespace(ident.namespace())
-    val key = registryKey(ident)
+    val key = ddlName(ident)
     changes.foreach {
       case a: TableChange.AddColumn =>
         if (a.fieldNames().length != 1)
@@ -183,7 +193,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def dropTable(ident: Identifier): Boolean =
     try {
       requireNamespace(ident.namespace())
-      session.execute(s"DROP TABLE ${registryKey(ident)}")
+      session.execute(s"DROP TABLE ${ddlName(ident)}")
       true
     } catch {
       case _: CqlInvalidQueryException | _: NoSuchNamespaceException => false
@@ -231,9 +241,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(namespace: Array[String],
       cascade: Boolean): Boolean =
     try {
+      requireNamespace(namespace)
+      // DSv2 contract: a non-cascade drop of a NON-EMPTY namespace must
+      // refuse — DROP KEYSPACE would cascade-drop the contained tables
+      if (!cascade && listTables(namespace).nonEmpty)
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NonEmptyNamespaceException(catalogName +: namespace)
       session.execute(s"DROP KEYSPACE ${namespace(0)}")
       true
-    } catch { case _: CqlInvalidQueryException => false }
+    } catch {
+      case _: CqlInvalidQueryException | _: NoSuchNamespaceException => false
+    }
 }
 
 object GraftCatalog {

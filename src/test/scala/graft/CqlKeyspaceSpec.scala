@@ -346,6 +346,72 @@ class CqlKeyspaceSpec extends SparkSpec {
       .head().getLong(0) === 20L)
   }
 
+  test("r9 review fixes: keyspace-DDL permission targets, default-" +
+    "keyspace guards, NTS shorthand, durable_writes validation") {
+    val s = fresh
+    // permission check targets the STATEMENT's keyspace, not the
+    // session's current one (the bypass the r9 review caught)
+    s.execute("CREATE ROLE ddl9 WITH LOGIN = true")
+    s.execute("GRANT CREATE ON KEYSPACE default TO ddl9")
+    s.execute("GRANT DROP ON KEYSPACE default TO ddl9")
+    s.login("ddl9")
+    intercept[CqlInvalidQueryException] {
+      s.execute("CREATE TYPE ksa.sneak (x bigint)")
+    }
+    intercept[CqlInvalidQueryException] { s.execute("DROP KEYSPACE ksa") }
+    s.execute("CREATE TYPE okt (x bigint)") // default: granted
+    s.login("cassandra", "cassandra")
+    // the implicit default keyspace exists and cannot be dropped
+    assert(intercept[CqlInvalidQueryException] {
+      s.execute("CREATE KEYSPACE default WITH replication = " +
+        "{'class': 'SimpleStrategy', 'replication_factor': 1}")
+    }.getMessage.contains("already exists"))
+    intercept[CqlInvalidQueryException] { s.execute("DROP KEYSPACE default") }
+    // NTS bare replication_factor expands to the known datacenter
+    s.execute("CREATE KEYSPACE nts9 WITH replication = " +
+      "{'class': 'NetworkTopologyStrategy', 'replication_factor': 3}")
+    val m = s.execute("SELECT replication FROM system_schema.keyspaces " +
+      "WHERE keyspace_name = 'nts9'").head().getMap[String, String](0)
+    assert(m.get("datacenter1").contains("3"))
+    assert(!m.contains("replication_factor"))
+    // durable_writes must be a real boolean
+    intercept[CqlInvalidQueryException] {
+      s.execute("CREATE KEYSPACE dw9 WITH replication = " +
+        "{'class': 'SimpleStrategy', 'replication_factor': 1} " +
+        "AND durable_writes = maybe")
+    }
+    s.execute("DROP KEYSPACE nts9")
+  }
+
+  test("r9 review fix: catalog DDL stays keyspace-pinned across USE") {
+    val s = fresh
+    s.execute("CREATE TABLE ksa.cd (k bigint PRIMARY KEY, v text)")
+    s.execute("CREATE TABLE cd (k bigint PRIMARY KEY, v text)")
+    s.execute("INSERT INTO ksa.cd (k, v) VALUES (1, 'keep')")
+    s.exposeAsCatalog("graft_cd")
+    s.execute("USE ksa")
+    // a default-namespace drop must NOT re-resolve to ksa.cd
+    spark.sql("DROP TABLE graft_cd.default.cd")
+    assert(s.execute("SELECT v FROM ksa.cd WHERE k = 1")
+      .head().getString(0) === "keep")
+    intercept[CqlInvalidQueryException] { s.execute("SELECT * FROM default.cd") }
+    // CREATE through the catalog lands in the named namespace
+    spark.sql("CREATE TABLE graft_cd.default.cd2 (k BIGINT, v STRING) " +
+      "PARTITIONED BY (k)")
+    s.execute("INSERT INTO default.cd2 (k, v) VALUES (1, 'd2')")
+    assert(spark.sql("SELECT v FROM graft_cd.default.cd2").head()
+      .getString(0) === "d2")
+    s.execute("USE default")
+    // non-cascade namespace drop of a non-empty keyspace refuses
+    val e = intercept[Exception] { spark.sql("DROP NAMESPACE graft_cd.ksa") }
+    assert(e.getMessage.contains("SCHEMA_NOT_EMPTY") ||
+      e.getMessage.toLowerCase.contains("non-empty"), e.toString)
+    assert(s.execute("SELECT v FROM ksa.cd WHERE k = 1")
+      .head().getString(0) === "keep")
+    spark.sql("DROP NAMESPACE graft_cd.ksa CASCADE")
+    intercept[CqlInvalidQueryException] { s.execute("SELECT * FROM ksa.cd") }
+  }
+
   test("Spark catalog namespaces list per-keyspace tables and route writes") {
     val s = fresh
     s.execute("CREATE TABLE ksa.ct (k bigint PRIMARY KEY, v text)")

@@ -57,6 +57,22 @@ class CqlSnapshotSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.auto_snapshot")
   }
 
+  test("r9 review fix: back-to-back TRUNCATEs and DROP/re-CREATE/DROP " +
+    "never collide on auto-snapshot names") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE tw (k bigint PRIMARY KEY)")
+    s.execute("TRUNCATE tw") // no writes between: clock unchanged —
+    s.execute("TRUNCATE tw") // the sequence tag keeps names unique
+    s.execute("DROP TABLE tw")
+    s.execute("CREATE TABLE tw (k bigint PRIMARY KEY)")
+    s.execute("DROP TABLE tw")
+    val names = s.execute("SELECT name FROM system_views.snapshots")
+      .collect().map(_.getString(0)).toSeq
+    assert(names.count(_.startsWith("truncated-")) === 2)
+    assert(names.count(_.startsWith("dropped-")) === 2)
+    assert(names.distinct.size === names.size)
+  }
+
   test("snapshot names stamp the session clock deterministically and " +
     "SNAPSHOT requires MODIFY") {
     val s = CqlSession(spark)
