@@ -418,7 +418,7 @@ object AdminQueries {
   /** CQL20 — snapshots in the gate (r9) [U service/SnapshotManager,
     * db/virtual/SnapshotsTable, cassandra.yaml auto_snapshot]: a manual
     * named snapshot, the auto_snapshot safety net firing on TRUNCATE and
-    * DROP TABLE (names stamp the deterministic session clock), the
+    * DROP TABLE (session-unique sequence tags keep names collision-free), the
     * system_views.snapshots listing, and CLEAR SNAPSHOT — projected to
     * deterministic rows (sizes probe as nonzero flags, not bytes). */
   def cql20_snapshot(s: SparkSession, d: String): DataFrame = {
@@ -632,7 +632,7 @@ object AdminQueries {
         |  ('read', 'pk=3', 'v=303 tag=g3'))
         |AS t(kind, name, detail) ORDER BY kind, name, detail""".stripMargin,
     // the literal snapshot ledger: the manual snapshot, the two
-    // auto_snapshot safety-net entries (session-clock-stamped names),
+    // auto_snapshot safety-net entries (session-unique sequence-tagged names),
     // and the post-clear count
     "cql20_snapshot" ->
       """SELECT kind, name, detail FROM (VALUES
