@@ -1684,6 +1684,28 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       case ((n, _), (ks, tbl, at, size)) =>
         Row(n, ks, tbl, at, size, false)
     }
+    // `disk_usage` [U db/virtual/TableMetricTables, 4.1]: REAL on-disk
+    // bytes of each table's materialized segments — the compacted base
+    // (the sstable analogue) plus its snapshots — and the driver-held
+    // pending row count (the memtable analogue). Tables never compacted
+    // or snapshotted report 0 bytes, honestly: their log is a lazy plan.
+    val duSchema = StructType(Seq(
+      StructField("keyspace_name", StringType),
+      StructField("table_name", StringType),
+      StructField("base_bytes", LongType),
+      StructField("snapshot_bytes", LongType),
+      StructField("memtable_rows", LongType)))
+    def dirBytes(dir: String): Long =
+      Option(new java.io.File(dir).listFiles())
+        .map(_.map(_.length()).sum).getOrElse(0L)
+    val duRows = state.toSeq.sortBy(_._1).map { case (k, t) =>
+      val snapBytesT = snapshotsReg.collect {
+        case ((_, key), (_, _, _, sz)) if key == k => sz
+      }.sum
+      Row(keyspaceOf(k), tableOf(k),
+        compactedDirs.get(k).map(dirBytes).getOrElse(0L),
+        snapBytesT, t.pending.size.toLong)
+    }
     Map(
       "system_views.settings" -> CqlTable(
         spark.createDataFrame(setRows.asJava, setSchema), Seq("name")),
@@ -1704,7 +1726,10 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         Seq("keyspace_name"), Seq("table_name", "task_id")),
       "system_views.snapshots" -> CqlTable(
         spark.createDataFrame(snapRows.asJava, snapSchema),
-        Seq("name"), Seq("keyspace_name", "table_name")))
+        Seq("name"), Seq("keyspace_name", "table_name")),
+      "system_views.disk_usage" -> CqlTable(
+        spark.createDataFrame(duRows.asJava, duSchema),
+        Seq("keyspace_name"), Seq("table_name")))
   }
 
   /** `system_traces.{sessions,events}` — the coordinator trace rows
@@ -2038,6 +2063,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       base = spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], t.logSchema),
       pending = Vector.empty, localOnly = true)
+    reapCompactedDir(table.toLowerCase)
   }
 
   // ——— snapshots [U service/SnapshotManager, db/virtual/SnapshotsTable
@@ -2644,6 +2670,21 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   private val compactionHistory =
     scala.collection.mutable.ArrayBuffer.empty[Row]
   private val CompactionHistoryMax = 256
+  /** Live compacted-base dir per table — the PREVIOUS generation is
+    * reaped on the next successful compact (one-generation grace), so
+    * repeated COMPACTs do not accumulate dead parquet segments. */
+  private val compactedDirs =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Reap a table's compacted-base segment (after TRUNCATE/DROP replaced
+    * or removed the base that read it). */
+  private def reapCompactedDir(key: String): Unit =
+    compactedDirs.remove(key).foreach { prev =>
+      try {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(prev)).deleteRecursively()
+      } catch { case _: Exception => () }
+    }
 
   /** `COMPACT [TABLE] t` — fold the table's op-log to its surviving
     * subset ([[compactedLog]]), materialize it as one parquet segment
@@ -2683,6 +2724,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       mutationEpoch += 1
       state(key) = t.copy(base = compacted, pending = Vector.empty,
         localOnly = false)
+      reapCompactedDir(key)
+      compactedDirs(key) = dir
       if (compactionHistory.size >= CompactionHistoryMax)
         compactionHistory.remove(0)
       compactionHistory += Row(taskId, keyspaceOf(key), tableOf(key),
@@ -3097,6 +3140,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           table.toLowerCase)
       if (state.remove(table.toLowerCase).isEmpty && !ifExists)
         throw new CqlInvalidQueryException(s"unknown table $table")
+      reapCompactedDir(table.toLowerCase)
       indexReg.filterInPlace { case (_, (tbl, _, _, _)) => tbl != table.toLowerCase }
       udtCols.filterInPlace { case ((tbl, _), _) => tbl != table.toLowerCase }
       triggerReg.filterInPlace { case ((tbl, _), _) => tbl != table.toLowerCase }

@@ -192,6 +192,43 @@ class CqlCompactionSpec extends SparkSpec {
       .map(_.getString(1)).toSeq === Seq("durable"))
   }
 
+  test("system_views.disk_usage serves real segment bytes; repeated " +
+    "COMPACTs reap the previous generation's directory") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE du (pk bigint PRIMARY KEY, v bigint)")
+    for (i <- 1 to 20) s.execute(s"INSERT INTO du (pk, v) VALUES ($i, $i)")
+    val before = s.execute("SELECT base_bytes, memtable_rows FROM " +
+      "system_views.disk_usage WHERE table_name = 'du' ALLOW FILTERING")
+      .head()
+    assert(before.getLong(0) === 0L) // nothing materialized yet
+    assert(before.getLong(1) === 20L) // the pending memtable rows
+    s.execute("COMPACT du")
+    val after = s.execute("SELECT base_bytes, memtable_rows FROM " +
+      "system_views.disk_usage WHERE table_name = 'du' ALLOW FILTERING")
+      .head()
+    assert(after.getLong(0) > 0L) // the compacted parquet segment
+    assert(after.getLong(1) === 0L) // pending folded into the base
+    // repeated compacts must not accumulate dead generations on disk:
+    // exactly ONE live compacted_du generation dir remains under any
+    // graft-catalog temp root
+    for (_ <- 1 to 3) s.execute("COMPACT du")
+    val gens = s.execute("SELECT count(*) FROM system.compaction_history " +
+      "WHERE columnfamily_name = 'du' ALLOW FILTERING").head().getLong(0)
+    assert(gens === 4L)
+    val liveGenDirs = Option(new java.io.File(
+      sys.props("java.io.tmpdir")).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("graft-catalog"))
+      .flatMap(r => Option(new java.io.File(r, "compacted_du").listFiles())
+        .getOrElse(Array.empty))
+    assert(liveGenDirs.length === 1, liveGenDirs.mkString(", "))
+    // snapshot bytes appear in the same row
+    s.execute("SNAPSHOT du AS du_snap")
+    val snap = s.execute("SELECT snapshot_bytes FROM " +
+      "system_views.disk_usage WHERE table_name = 'du' ALLOW FILTERING")
+      .head().getLong(0)
+    assert(snap > 0L)
+  }
+
   test("compaction_history records the fold; sstable_tasks is empty at " +
     "rest; COMPACT requires MODIFY") {
     val s = CqlSession(spark)
