@@ -412,6 +412,60 @@ class CqlKeyspaceSpec extends SparkSpec {
     intercept[CqlInvalidQueryException] { s.execute("SELECT * FROM ksa.cd") }
   }
 
+  test("random interleaved scripts across three keyspaces match an " +
+    "independent resolution model") {
+    val rnd = new scala.util.Random(20260816L)
+    for (round <- 1 to 3) {
+      val s = fresh
+      s.execute("CREATE TABLE ksa.m (k bigint PRIMARY KEY, v bigint)")
+      s.execute("CREATE TABLE ksb.m (k bigint PRIMARY KEY, v bigint)")
+      s.execute("CREATE TABLE m (k bigint PRIMARY KEY, v bigint)")
+      val model = Map(
+        "ksa" -> collection.mutable.Map.empty[Long, Long],
+        "ksb" -> collection.mutable.Map.empty[Long, Long],
+        "default" -> collection.mutable.Map.empty[Long, Long])
+      var cur = "default"
+      val kss = Seq("ksa", "ksb", "default")
+      for (_ <- 1 to 60) {
+        val k = rnd.nextInt(4).toLong
+        val v = rnd.nextInt(100).toLong
+        rnd.nextInt(7) match {
+          case 0 => // USE
+            cur = kss(rnd.nextInt(3))
+            s.execute(s"USE $cur")
+          case 1 | 2 => // bare write resolves against cur
+            s.execute(s"INSERT INTO m (k, v) VALUES ($k, $v)")
+            model(cur)(k) = v
+          case 3 => // qualified write
+            val ks = kss(rnd.nextInt(3))
+            s.execute(s"INSERT INTO $ks.m (k, v) VALUES ($k, $v)")
+            model(ks)(k) = v
+          case 4 => // bare delete
+            s.execute(s"DELETE FROM m WHERE k = $k")
+            model(cur).remove(k)
+          case 5 => // qualified update (upsert semantics in this model)
+            val ks = kss(rnd.nextInt(3))
+            s.execute(s"UPDATE $ks.m SET v = $v WHERE k = $k")
+            if (model(ks).contains(k)) model(ks)(k) = v
+            else model(ks)(k) = v // UPDATE upserts the cell
+          case 6 => // full compare of all three tables
+            kss.foreach { ks =>
+              val got = s.execute(s"SELECT k, v FROM $ks.m").collect()
+                .map(r => r.getLong(0) -> r.getLong(1)).toMap
+              assert(got === model(ks).toMap,
+                s"round $round: $ks.m diverged (current ks $cur)")
+            }
+        }
+      }
+      s.execute("USE default")
+      kss.foreach { ks =>
+        val got = s.execute(s"SELECT k, v FROM $ks.m").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === model(ks).toMap, s"round $round final: $ks.m diverged")
+      }
+    }
+  }
+
   test("Spark catalog namespaces list per-keyspace tables and route writes") {
     val s = fresh
     s.execute("CREATE TABLE ksa.ct (k bigint PRIMARY KEY, v text)")
