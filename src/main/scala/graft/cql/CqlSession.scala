@@ -494,12 +494,16 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         Map("class" -> s"${Locator}SimpleStrategy",
           "replication_factor" -> rf)
       case "NetworkTopologyStrategy" =>
-        // 4.0+ shorthand [U]: a bare replication_factor expands to every
-        // known datacenter — this topology has exactly one, datacenter1
-        // (what system.local reports)
-        val dcs = (repl - "class").map {
-          case ("replication_factor", rf) => "datacenter1" -> rf
-          case other => other
+        // 4.0+ shorthand [U]: a bare replication_factor fills every
+        // known datacenter NOT explicitly listed — this topology has
+        // exactly one, datacenter1 (what system.local reports), and an
+        // explicit datacenter1 entry wins over the shorthand
+        val raw = repl - "class"
+        val explicit = raw - "replication_factor"
+        val dcs = raw.get("replication_factor") match {
+          case Some(rf) if !explicit.contains("datacenter1") =>
+            explicit + ("datacenter1" -> rf)
+          case _ => explicit
         }
         if (dcs.isEmpty) throw new CqlInvalidQueryException(
           "NetworkTopologyStrategy requires datacenter replication factors")
@@ -641,7 +645,17 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   private def canonSelect(sel: CqlSelect): CqlSelect =
     sel.copy(table = canonical(sel.table),
       selectors = sel.selectors.map {
-        case f: FunctionSelector => f.copy(fn = canonFnName(f.fn))
+        case f: FunctionSelector =>
+          val cn = canonFnName(f.fn)
+          // the qualified rewrite is for RESOLUTION only — the result
+          // column keeps the name the user typed (upstream names the
+          // column exactly as written), pinned via the default alias
+          if (cn == f.fn.toLowerCase || f.alias.nonEmpty) f.copy(fn = cn)
+          else f.copy(fn = cn, alias = Some(
+            s"${f.fn.toLowerCase}(" + f.args.map {
+              case ColArg(n) => n
+              case LitArg(v) => String.valueOf(v)
+            }.mkString(", ") + ")"))
         case other => other
       })
 
@@ -1094,6 +1108,19 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
 
   private[graft] def sparkSession: SparkSession = spark
   private[graft] def userKeyspaceName: String = UserKeyspace
+  private[graft] def snapshotRootDir: String = snapshotRoot
+
+  /** Does the keyspace hold ANY schema object (table, view, type,
+    * function, aggregate)? The catalog's non-cascade drop guard — a
+    * keyspace is only "empty" when DROP KEYSPACE would destroy nothing. */
+  private[graft] def keyspaceHasObjects(ks0: String): Boolean = {
+    val ks = ks0.toLowerCase
+    state.keys.exists(keyspaceOf(_) == ks) ||
+      mvReg.keys.exists(keyspaceOf(_) == ks) ||
+      udtReg.keys.exists(keyspaceOf(_) == ks) ||
+      fnReg.keys.exists(keyspaceOf(_) == ks) ||
+      aggReg.keys.exists(keyspaceOf(_) == ks)
+  }
   private[graft] def userKeyspaces: Seq[String] =
     (keyspaces.toSeq.filterNot(SystemKeyspaces) :+ UserKeyspace)
       .distinct.sorted
@@ -1695,9 +1722,6 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       StructField("base_bytes", LongType),
       StructField("snapshot_bytes", LongType),
       StructField("memtable_rows", LongType)))
-    def dirBytes(dir: String): Long =
-      Option(new java.io.File(dir).listFiles())
-        .map(_.map(_.length()).sum).getOrElse(0L)
     val duRows = state.toSeq.sortBy(_._1).map { case (k, t) =>
       val snapBytesT = snapshotsReg.collect {
         case ((_, key), (_, _, _, sz)) if key == k => sz
@@ -2063,7 +2087,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       base = spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], t.logSchema),
       pending = Vector.empty, localOnly = true)
-    reapCompactedDir(table.toLowerCase)
+    retireCompactedDir(table.toLowerCase)
   }
 
   // ——— snapshots [U service/SnapshotManager, db/virtual/SnapshotsTable
@@ -2088,26 +2112,27 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * is partly driver-held rows, not yet files). Idempotent per
     * (name, table): upstream rejects a duplicate snapshot name. */
   private def takeSnapshot(name: String, key: String): Unit = {
-    // the name becomes a directory segment — never a path expression
-    if (!name.matches("[A-Za-z0-9._-]+"))
+    // the name becomes a directory segment — never a path expression:
+    // it must START with a non-dot so '.' and '..' cannot pass
+    if (!name.matches("[A-Za-z0-9_-][A-Za-z0-9._-]*"))
       throw new CqlInvalidQueryException(
-        s"invalid snapshot name '$name' (letters, digits, . _ - only)")
+        s"invalid snapshot name '$name' (letters, digits, . _ -; must " +
+          "not start with a dot)")
     if (snapshotsReg.contains((name, key)))
       throw new CqlInvalidQueryException(
         s"Snapshot $name already exists for table $key")
     val t = tableState(key)
     val dir = s"$snapshotRoot/snapshots/${key.replace('.', '_')}/$name"
     log(t).write.mode("errorifexists").parquet(dir)
-    val size = Option(new java.io.File(dir).listFiles())
-      .map(_.map(_.length()).sum).getOrElse(0L)
+    val size = dirBytes(dir)
     snapshotsReg((name, key)) =
       (keyspaceOf(key), tableOf(key), clock, size)
   }
 
   /** `SNAPSHOT [TABLE] t [AS name]` / `CLEAR SNAPSHOT name` — the
     * nodetool snapshot/clearsnapshot analogues, admin verbs like
-    * COMPACT. Unnamed snapshots stamp the session clock, upstream's
-    * timestamp-name convention. */
+    * COMPACT. Unnamed snapshots carry a session-unique sequence tag
+    * (the analogue of upstream's timestamp-name convention). */
   private def runSnapshot(cql: String): DataFrame = {
     import scala.jdk.CollectionConverters._
     val toks = cql.stripSuffix(";").trim.split("\\s+").toSeq
@@ -2148,11 +2173,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     if (hit.isEmpty) throw new CqlInvalidQueryException(
       s"unknown snapshot $name")
     hit.foreach { k =>
-      val dir = s"$snapshotRoot/snapshots/${k._2.replace('.', '_')}/$name"
-      try {
-        import scala.reflect.io.Directory
-        new Directory(new java.io.File(dir)).deleteRecursively()
-      } catch { case _: Exception => () }
+      removeDir(s"$snapshotRoot/snapshots/${k._2.replace('.', '_')}/$name")
       snapshotsReg.remove(k)
     }
     spark.emptyDataFrame
@@ -2670,21 +2691,34 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   private val compactionHistory =
     scala.collection.mutable.ArrayBuffer.empty[Row]
   private val CompactionHistoryMax = 256
-  /** Live compacted-base dir per table — the PREVIOUS generation is
-    * reaped on the next successful compact (one-generation grace), so
-    * repeated COMPACTs do not accumulate dead parquet segments. */
+  /** Live compacted-base dir per table, plus a ONE-GENERATION grace
+    * slot: a retired segment survives one more retirement before its
+    * files delete, so a lazy DataFrame returned before the retiring
+    * statement can still be collected. Growth stays bounded at two
+    * generations per table; the session temp-root shutdown hook reaps
+    * everything at exit. */
   private val compactedDirs =
     scala.collection.mutable.Map.empty[String, String]
+  private val condemnedDirs =
+    scala.collection.mutable.Map.empty[String, String]
 
-  /** Reap a table's compacted-base segment (after TRUNCATE/DROP replaced
-    * or removed the base that read it). */
-  private def reapCompactedDir(key: String): Unit =
-    compactedDirs.remove(key).foreach { prev =>
-      try {
-        import scala.reflect.io.Directory
-        new Directory(new java.io.File(prev)).deleteRecursively()
-      } catch { case _: Exception => () }
-    }
+  private[cql] def dirBytes(dir: String): Long =
+    Option(new java.io.File(dir).listFiles())
+      .map(_.map(_.length()).sum).getOrElse(0L)
+
+  private def removeDir(dir: String): Unit =
+    try {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively(); ()
+    } catch { case _: Exception => () }
+
+  /** Retire a table's live compacted segment into the grace slot
+    * (deleting whatever occupied it) — called by COMPACT, TRUNCATE,
+    * and DROP TABLE when the base stops reading the segment. */
+  private def retireCompactedDir(key: String): Unit = {
+    condemnedDirs.remove(key).foreach(removeDir)
+    compactedDirs.remove(key).foreach(d => condemnedDirs(key) = d)
+  }
 
   /** `COMPACT [TABLE] t` — fold the table's op-log to its surviving
     * subset ([[compactedLog]]), materialize it as one parquet segment
@@ -2724,7 +2758,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       mutationEpoch += 1
       state(key) = t.copy(base = compacted, pending = Vector.empty,
         localOnly = false)
-      reapCompactedDir(key)
+      retireCompactedDir(key)
       compactedDirs(key) = dir
       if (compactionHistory.size >= CompactionHistoryMax)
         compactionHistory.remove(0)
@@ -3140,7 +3174,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           table.toLowerCase)
       if (state.remove(table.toLowerCase).isEmpty && !ifExists)
         throw new CqlInvalidQueryException(s"unknown table $table")
-      reapCompactedDir(table.toLowerCase)
+      retireCompactedDir(table.toLowerCase)
       indexReg.filterInPlace { case (_, (tbl, _, _, _)) => tbl != table.toLowerCase }
       udtCols.filterInPlace { case ((tbl, _), _) => tbl != table.toLowerCase }
       triggerReg.filterInPlace { case ((tbl, _), _) => tbl != table.toLowerCase }

@@ -241,14 +241,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(namespace: Array[String],
       cascade: Boolean): Boolean =
     try {
-      requireNamespace(namespace)
-      // DSv2 contract: a non-cascade drop of a NON-EMPTY namespace must
-      // refuse — DROP KEYSPACE would cascade-drop the contained tables
-      if (!cascade && listTables(namespace).nonEmpty)
-        throw new org.apache.spark.sql.catalyst.analysis
-          .NonEmptyNamespaceException(catalogName +: namespace)
-      session.execute(s"DROP KEYSPACE ${namespace(0)}")
-      true
+      val ks = requireNamespace(namespace)
+      // system keyspaces are never droppable — report false rather than
+      // a misleading NonEmptyNamespaceException
+      if (session.systemKeyspaces(ks)) false
+      else {
+        // DSv2 contract: a non-cascade drop of a NON-EMPTY namespace must
+        // refuse — DROP KEYSPACE cascade-drops every contained object
+        // (tables, views, types, functions, aggregates)
+        if (!cascade && session.keyspaceHasObjects(ks))
+          throw new org.apache.spark.sql.catalyst.analysis
+            .NonEmptyNamespaceException(catalogName +: namespace)
+        session.execute(s"DROP KEYSPACE ${namespace(0)}")
+        true
+      }
     } catch {
       case _: CqlInvalidQueryException | _: NoSuchNamespaceException => false
     }

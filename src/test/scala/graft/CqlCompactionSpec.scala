@@ -208,19 +208,20 @@ class CqlCompactionSpec extends SparkSpec {
       .head()
     assert(after.getLong(0) > 0L) // the compacted parquet segment
     assert(after.getLong(1) === 0L) // pending folded into the base
-    // repeated compacts must not accumulate dead generations on disk:
-    // exactly ONE live compacted_du generation dir remains under any
-    // graft-catalog temp root
-    for (_ <- 1 to 3) s.execute("COMPACT du")
+    // a held lazy DataFrame survives the NEXT compaction (the one-
+    // generation grace slot)…
+    val held = s.execute("SELECT count(*) AS n FROM du")
+    s.execute("COMPACT du")
+    assert(held.head().getLong(0) === 20L)
+    // …and repeated compacts keep at most TWO generations on disk
+    // (live + grace) under THIS session's own snapshot root
+    for (_ <- 1 to 2) s.execute("COMPACT du")
     val gens = s.execute("SELECT count(*) FROM system.compaction_history " +
       "WHERE columnfamily_name = 'du' ALLOW FILTERING").head().getLong(0)
     assert(gens === 4L)
-    val liveGenDirs = Option(new java.io.File(
-      sys.props("java.io.tmpdir")).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("graft-catalog"))
-      .flatMap(r => Option(new java.io.File(r, "compacted_du").listFiles())
-        .getOrElse(Array.empty))
-    assert(liveGenDirs.length === 1, liveGenDirs.mkString(", "))
+    val genDirs = Option(new java.io.File(
+      s.snapshotRootDir, "compacted_du").listFiles()).getOrElse(Array.empty)
+    assert(genDirs.length === 2, genDirs.mkString(", "))
     // snapshot bytes appear in the same row
     s.execute("SNAPSHOT du AS du_snap")
     val snap = s.execute("SELECT snapshot_bytes FROM " +

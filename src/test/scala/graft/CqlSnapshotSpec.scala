@@ -73,7 +73,7 @@ class CqlSnapshotSpec extends SparkSpec {
     assert(names.distinct.size === names.size)
   }
 
-  test("snapshot names stamp the session clock deterministically and " +
+  test("unnamed snapshots carry session-unique sequence tags and " +
     "SNAPSHOT requires MODIFY") {
     val s = CqlSession(spark)
     s.execute("CREATE TABLE pn (k bigint PRIMARY KEY, v bigint)")
