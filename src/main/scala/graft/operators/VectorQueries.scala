@@ -305,6 +305,31 @@ object VectorQueries {
       s.read.parquet(s"$dir/codebook"), q, k = 10)
   }
 
+  /** V20: the DELETE lifecycle event for a served index — upstream SAI
+    * consults the sstable's tombstones at QUERY time instead of
+    * rewriting index segments [U index/sai/plan/ post-filtering;
+    * db/DeletionTime]: a deleted row's postings stay on disk and are
+    * masked during candidate evaluation. A deletion segment (one
+    * parquet list of vec_ids — the tombstone analogue) lands beside the
+    * persisted PQ index; serving LEFT-ANTI joins the code stream against
+    * the BROADCAST deletion set BEFORE scoring, so deleted vectors are
+    * never scored, the top-k never surfaces them, and k live results
+    * still return — with zero index rebuild. The twin recomputes ADC
+    * from scratch with the codebook trained on the FULL corpus (the
+    * build-time state) and the deleted ids excluded only at scoring. */
+  def v20_deleted_mask(s: SparkSession, d: String): DataFrame = {
+    val dir = pqIndexDir(s, d)
+    val seg = s"$dir/deletes_seg1"
+    Tables.embeddings(s, d).filter(col("vec_id") % 5 === 2)
+      .select(col("vec_id"))
+      .write.mode("overwrite").parquet(seg)
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qvec"))
+    val live = s.read.parquet(s"$dir/codes")
+      .join(broadcast(s.read.parquet(seg)), Seq("vec_id"), "left_anti")
+    pqScore(live, s.read.parquet(s"$dir/codebook"), q, k = 10)
+  }
+
   def servePqIndex(s: SparkSession, d: String, dir: String,
       queryId: Long = 0L, k: Int = 10): DataFrame = {
     val q = Tables.embeddings(s, d).filter(col("vec_id") === queryId)
@@ -431,6 +456,7 @@ object VectorQueries {
     "v13_knn_rerank" -> (v13_knn_rerank _),
     "v17_pq_served" -> (v17_pq_served _),
     "v18_incremental_index" -> (v18_incremental_index _),
+    "v20_deleted_mask" -> (v20_deleted_mask _),
   )
 
   // DuckDB twins compute the identical double fold: cast the float list to
@@ -439,9 +465,16 @@ object VectorQueries {
     "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)"
 
   /** v17 serves v12's exact result from the persisted index, so it
-    * shares v12's twin verbatim. */
+    * shares v12's twin verbatim; v20 is v12's twin with the deleted ids
+    * excluded at SCORING only (the codebook keeps its build-time state,
+    * trained over the full corpus — exactly what the served index has). */
   lazy val oracle: Map[String, String] =
-    oracle0 + ("v17_pq_served" -> oracle0("v12_pq_adc"))
+    oracle0 +
+      ("v17_pq_served" -> oracle0("v12_pq_adc")) +
+      ("v20_deleted_mask" -> oracle0("v12_pq_adc").replace(
+        "ON c.m = l.m AND c.cell = l.cell\nGROUP BY c.vec_id",
+        "ON c.m = l.m AND c.cell = l.cell\n" +
+          "WHERE c.vec_id % 5 <> 2\nGROUP BY c.vec_id"))
 
   private val oracle0: Map[String, String] = Map(
     // v12's twin with the segment-append rule: cells over base ∪ incoming,
