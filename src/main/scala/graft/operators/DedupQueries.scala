@@ -470,6 +470,47 @@ object DedupQueries {
       .orderBy("idx_id", "new_id")
   }
 
+  /** D15: the DELETE lifecycle for the standing band index — v20's twin
+    * on the dedup side (upstream SAI consults tombstones at query time;
+    * a removed doc's postings stay on disk). Corpus docs deleted since
+    * the index was built are masked at PROBE time: the index stream
+    * LEFT-ANTI joins a small broadcast deletion segment BEFORE the
+    * bucket cap, so removed docs never match an incoming batch, buckets
+    * that only looked hot because of deleted members become admissible
+    * again, and the index is never rebuilt. */
+  def d15_band_delete(s: SparkSession, d: String): DataFrame = {
+    val segDir = d15DeleteSegDir(s, d)
+    val idx = s.read.parquet(bandIndexDir(s, d))
+      .join(broadcast(s.read.parquet(segDir)), Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("idx_id"), col("band"), col("bh"))
+    val bucketOk = idx.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") <= MaxBucket)
+      .select(col("band"), col("bh"))
+    val newDocs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    bandedSignatures(newDocs)
+      .select(col("doc_id").as("new_id"), col("band"), col("bh"))
+      .join(idx.join(bucketOk, Seq("band", "bh")), Seq("band", "bh"))
+      .select(col("idx_id"), col("new_id")).distinct()
+      .orderBy("idx_id", "new_id")
+  }
+
+  /** The deletion segment (doc_ids removed from the corpus), persisted
+    * once per (corpus, mtime) beside the other index artifacts. */
+  private val d15SegCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def d15DeleteSegDir(s: SparkSession, d: String): String = {
+    val mtime = try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$d/documents.parquet")).toMillis
+      catch { case _: Exception => 0L }
+    d15SegCache.computeIfAbsent(s"$d@$mtime", { _ =>
+      val out = graft.Tables.tempRoot("graft-band-deletes")
+      Tables.documents(s, d).filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id")).write.mode("overwrite").parquet(out)
+      out
+    })
+  }
+
 
   /** D13 (L2++ bloom-gated incremental exact dedup): dedup an INCOMING
     * batch against the standing corpus WITHOUT shuffling the corpus per
@@ -657,6 +698,7 @@ object DedupQueries {
     "d12_incremental" -> (d12_incremental _),
     "d13_bloom_incremental" -> (d13_bloom_incremental _),
     "d14_band_append" -> (d14_band_append _),
+    "d15_band_delete" -> (d15_band_delete _),
   )
 
   private val corpusCteBody =
@@ -738,6 +780,22 @@ object DedupQueries {
        |        HAVING count(*) <= $MaxBucket)
        |SELECT i.doc_id AS idx_id, n.doc_id AS new_id
        |FROM ibanded i
+       |JOIN iok ON iok.band = i.band AND iok.key = i.key
+       |JOIN nbanded n ON i.band = n.band AND i.key = n.key
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** d12's twin with the deletion mask applied to the index side BEFORE
+    * the bucket cap (live entries decide admissibility, mirroring the
+    * serve path). */
+  private val d15Oracle: String =
+    s"""WITH ${bandCtes("i", "SELECT doc_id, text FROM documents")},
+       |${bandCtes("n",
+         "SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0")},
+       |ilive AS (SELECT * FROM ibanded WHERE doc_id % 7 <> 3),
+       |iok AS (SELECT band, key FROM ilive GROUP BY band, key
+       |        HAVING count(*) <= $MaxBucket)
+       |SELECT i.doc_id AS idx_id, n.doc_id AS new_id
+       |FROM ilive i
        |JOIN iok ON iok.band = i.band AND iok.key = i.key
        |JOIN nbanded n ON i.band = n.band AND i.key = n.key
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
@@ -873,6 +931,7 @@ object DedupQueries {
     "d4_simhash" -> d4Oracle,
     "d11_chunk_dedup" -> d11Oracle,
     "d12_incremental" -> d12Oracle,
+    "d15_band_delete" -> d15Oracle,
     // base ∪ appended segment as the index side, the second batch as
     // probe — bucket cap over the MERGED index, mirroring the serve path
     "d14_band_append" ->
