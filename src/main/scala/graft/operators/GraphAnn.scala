@@ -410,7 +410,19 @@ object GraphAnn {
     * flat in segment count: each segment adds k candidate rows to the
     * merge, never build work. */
   def serveGraphIndex(s: SparkSession, dirs: Seq[String],
-      queryVec: DataFrame, k: Int, ef: Int = 96): DataFrame = {
+      queryVec: DataFrame, k: Int, ef: Int = 96): DataFrame =
+    serveGraphIndexMasked(s, dirs, queryVec, k, ef, deletedIds = Set.empty)
+
+  /** Serve with a DELETION mask (the tombstone-consult shape, upstream
+    * SAI/Lucene-HNSW filtered search): the graph is traversed INTACT —
+    * deleted nodes still ROUTE the beam, since cutting them out would
+    * orphan the neighborhoods they bridge — and candidates are masked
+    * only at result collection. `deletedIds` is the driver-held
+    * tombstone set (bounded like d13's bloom bitset; at larger delete
+    * volumes the same shape ships as a broadcast bitset). */
+  def serveGraphIndexMasked(s: SparkSession, dirs: Seq[String],
+      queryVec: DataFrame, k: Int, ef: Int,
+      deletedIds: Set[Long]): DataFrame = {
     import s.implicits._
     // one read per generation dir, unioned: each artifact has its own
     // partition-discovery root (shard=N subdirs), so a single multi-path
@@ -431,7 +443,8 @@ object GraphAnn {
             val qv = sorted(0)._6
             val g = Hnsw.preloaded(sorted.map(_._4), sorted.map(_._5))
             takeRounded(g.search(qv, ef)
-              .map { case (local, sim) => (sorted(local)._3, sim) }, k)
+              .map { case (local, sim) => (sorted(local)._3, sim) }
+              .filterNot { case (vid, _) => deletedIds(vid) }, k)
           }
         }
       }.toDF("vec_id", "sim")
@@ -448,18 +461,24 @@ object GraphAnn {
     * [[v7_knn_graph]] (exact top-10; recall 1.0 at fixture scale), but the
     * serving plan never builds a graph: it reads the artifact built once
     * per corpus. GraphAnnSpec pins served ≡ online ≡ exact. */
-  def v16_graph_index(s: SparkSession, d: String): DataFrame = {
-    // cache key carries the corpus file's mtime: a regenerated fixture
-    // (same path, new data) must rebuild, not serve the stale index
+  /** The per-(corpus, mtime) persisted base index dir — the cache key
+    * carries the corpus file's mtime: a regenerated fixture (same path,
+    * new data) must rebuild, not serve the stale index. Shared by v16
+    * (serve), v19 (segment append), and v21 (delete mask). */
+  private def servedIndexDir(s: SparkSession, d: String): String = {
     val mtime = try java.nio.file.Files.getLastModifiedTime(
         java.nio.file.Paths.get(s"$d/embeddings.parquet")).toMillis
       catch { case _: Exception => 0L }
-    val dir = indexCache.computeIfAbsent(s"$d@$mtime", { _ =>
+    indexCache.computeIfAbsent(s"$d@$mtime", { _ =>
       val out = java.nio.file.Files
         .createTempDirectory("graft-graph-index").toString
       buildGraphIndex(Tables.embeddings(s, d), out)
       out
     })
+  }
+
+  def v16_graph_index(s: SparkSession, d: String): DataFrame = {
+    val dir = servedIndexDir(s, d)
     val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
       .select(col("embedding").as("qvec"))
     serveGraphIndex(s, dir, q, 10)
@@ -579,10 +598,37 @@ object GraphAnn {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v7_knn_graph" -> (v7_knn_graph _),
     "v16_graph_index" -> (v16_graph_index _),
-    "v19_graph_append" -> (v19_graph_append _))
+    "v19_graph_append" -> (v19_graph_append _),
+    "v21_graph_delete" -> (v21_graph_delete _))
+
+  /** V21: the DELETE lifecycle for the graph index — deleted vectors
+    * are masked at result collection while the beam still traverses
+    * through them (orphaning their neighborhoods would cost recall);
+    * zero rebuild. Twin = exact top-k over the LIVE vectors only. */
+  def v21_graph_delete(s: SparkSession, d: String): DataFrame = {
+    val dir = servedIndexDir(s, d)
+    val deleted = Tables.embeddings(s, d)
+      .filter(col("vec_id") % 5 === 2).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qvec"))
+    serveGraphIndexMasked(s, Seq(dir), q, k = 10, ef = 96, deleted)
+      .select(col("vec_id"), round(col("sim"), 6).as("cos_sim"))
+  }
+
+  private val exactLiveTop10Sql =
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id,
+      |  round(list_dot_product(CAST(embedding AS DOUBLE[]), qvec) /
+      |        (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+      |         sqrt(list_dot_product(qvec, qvec))), 6) AS cos_sim
+      |FROM embeddings CROSS JOIN q
+      |WHERE vec_id % 5 <> 2
+      |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "v7_knn_graph" -> exactTop10Sql,
     "v16_graph_index" -> exactTop10Sql,
-    "v19_graph_append" -> exactUnionTop10Sql)
+    "v19_graph_append" -> exactUnionTop10Sql,
+    "v21_graph_delete" -> exactLiveTop10Sql)
 }
