@@ -98,7 +98,10 @@ object ScaleProbe {
         // 0.02-0.09 s) — measured at 10x (= sf1) for the SAME-SCALE bench
         // pairing BASELINE.md records, plus the r9 segment-append paths
         "j1_broadcast_star", "t1_tumbling", "v1_knn_exact",
-        "d14_band_append", "v19_graph_append")
+        "d14_band_append", "v19_graph_append",
+        // r9: the DELETE lifecycle — masked serving must stay as flat as
+        // unmasked (the mask is one broadcast anti-join / result filter)
+        "v20_deleted_mask", "d15_band_delete", "v21_graph_delete")
         .map(n => n -> SparkEntry.queries(n))
     factors.foreach { f =>
       val dir = if (f == 1) base else s"/tmp/graft-scale-${f}x"
