@@ -578,7 +578,12 @@ class CqlEngineSpec extends SparkSpec {
       "function", "aggregate", "replace", "returns", "language", "as",
       "called", "input", "sfunc", "stype", "finalfunc", "initcond",
       "copy", "to", "header", "delimiter", "describe", "duration",
-      "1mo2d3h", "P1Y2M", "12h30m", "system_schema")
+      "1mo2d3h", "P1Y2M", "12h30m", "system_schema",
+      // round-9 surfaces: keyspaces, admin verbs, replication options
+      "keyspace", "use", "compact", "snapshot", "clear", "with",
+      "replication", "durable_writes", "class", "SimpleStrategy",
+      "NetworkTopologyStrategy", "replication_factor", "vector",
+      "default", "ksa", "if", "exists", "true", "false")
     var parsedOk = 0
     (1 to 3000).foreach { _ =>
       val n = 1 + rnd.nextInt(12)
@@ -599,6 +604,43 @@ class CqlEngineSpec extends SparkSpec {
       }
     }
     assert(parsedOk > 0) // the soup occasionally forms valid statements
+  }
+
+  test("fuzz: a full SESSION survives token soup — every statement either " +
+    "applies or fails as CqlInvalidQueryException") {
+    import graft.cql.CqlSession
+    val s = CqlSession(spark)
+    val rnd = new scala.util.Random(20260817L)
+    val vocab = Array("select", "from", "where", "insert", "into", "values",
+      "update", "set", "delete", "create", "drop", "alter", "table",
+      "keyspace", "use", "compact", "snapshot", "clear", "describe",
+      "truncate", "grant", "revoke", "list", "roles", "with", "replication",
+      "durable_writes", "=", "{", "}", "(", ")", ",", ":", ";", "'x'",
+      "42", "users", "user_id", "ksf", "default", "system", "as", "if",
+      "not", "exists", "primary", "key", "bigint", "text",
+      "'SimpleStrategy'", "'class'", "'replication_factor'", "1")
+    s.execute("CREATE TABLE fz (k bigint PRIMARY KEY, v text)")
+    // every 100th statement is a known-valid write, proving the session
+    // keeps functioning MID-storm, not just after it
+    var applied = 0
+    (1 to 1500).foreach { i =>
+      val stmt =
+        if (i % 100 == 0) s"INSERT INTO fz (k, v) VALUES ($i, 'u')"
+        else Seq.fill(1 + rnd.nextInt(10))(
+          vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      try { s.execute(stmt); applied += 1 }
+      catch {
+        case _: graft.cql.CqlInvalidQueryException => () // the contract
+        case e: Throwable =>
+          fail(s"session leaked ${e.getClass.getSimpleName} on: $stmt", e)
+      }
+    }
+    assert(applied >= 15)
+    // the session is still fully functional after the storm
+    s.execute("INSERT INTO fz (k, v) VALUES (1, 'alive')")
+    assert(s.execute("SELECT v FROM fz WHERE k = 1")
+      .head().getString(0) === "alive")
+    assert(s.execute("SELECT count(*) FROM fz").head().getLong(0) >= 16L)
   }
 
   // -- clustering-restriction guardrails (ClusteringColumnRestrictions [U]) --
