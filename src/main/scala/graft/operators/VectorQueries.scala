@@ -330,6 +330,56 @@ object VectorQueries {
     pqScore(live, s.read.parquet(s"$dir/codebook"), q, k = 10)
   }
 
+  /** V22: the REBUILD-DECISION dial v18 defers to — "codebook drift is a
+    * rebuild decision, not an append" — made measurable [P: FAISS
+    * recommends retraining when quantization error degrades; U SAI
+    * rebuilds per-sstable structures on schema change]. The probe scores
+    * mean squared reconstruction error under the FROZEN base codebook
+    * for (a) the base corpus and (b) an incoming batch whose
+    * distribution has DRIFTED (a deterministic affine shift both engines
+    * replicate in doubles); the ratio against a 2× threshold yields the
+    * append-vs-rebuild decision. Per-scalar residuals round to 6 then
+    * decimal-sum, so the error numbers themselves are hash-exact. */
+  def v22_codebook_drift(s: SparkSession, d: String): DataFrame = {
+    import Q.dbl
+    val base = Tables.embeddings(s, d)
+    val incoming = base.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"),
+        x => x.cast("double") * lit(1.5d) + lit(0.25d)).as("embedding"))
+    // the frozen codebook as per-(m, cell, sd) scalar means of the BASE
+    def flat(df: DataFrame): DataFrame =
+      pqCells(df)
+        .select(col("cells"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .withColumn("m", (col("dim") / PQ_SUB).cast("int"))
+        .withColumn("sd", (col("dim") % PQ_SUB).cast("int"))
+        .withColumn("cell", element_at(col("cells"), col("m") + 1))
+        .select(col("m"), col("cell"), col("sd"),
+          col("x").cast("double").as("x"))
+    val cbFlat = flat(base)
+      .groupBy("m", "cell", "sd")
+      .agg(count(lit(1)).as("n"), dec6(sum(dec6(col("x")))).as("sx"))
+      .select(col("m"), col("cell"), col("sd"),
+        (col("sx").cast("double") / col("n")).cast("float").cast("double")
+          .as("cm"))
+    def mse(df: DataFrame, gen: String): DataFrame =
+      flat(df).join(broadcast(cbFlat), Seq("m", "cell", "sd"))
+        .select(round(pow(col("x") - col("cm"), 2), 6).as("e2"))
+        .agg(dbl(dec6(sum(dec6(col("e2"))))).as("sse"),
+          count(lit(1)).as("ns"))
+        .select(lit(gen).as("name"),
+          round(col("sse") / col("ns"), 6).as("value"))
+    val b = mse(base, "mse_base")
+    val i = mse(incoming, "mse_incoming")
+    val ratio = b.select(col("value").as("vb"))
+      .crossJoin(i.select(col("value").as("vi")))
+      .select(lit("drift_ratio").as("name"),
+        round(col("vi") / col("vb"), 6).as("value"))
+    val decision = ratio.select(lit("rebuild").as("name"),
+      when(col("value") > 2.0d, 1.0d).otherwise(0.0d).as("value"))
+    b.unionByName(i).unionByName(ratio).unionByName(decision)
+      .orderBy("name")
+  }
+
   def servePqIndex(s: SparkSession, d: String, dir: String,
       queryId: Long = 0L, k: Int = 10): DataFrame = {
     val q = Tables.embeddings(s, d).filter(col("vec_id") === queryId)
@@ -457,6 +507,7 @@ object VectorQueries {
     "v17_pq_served" -> (v17_pq_served _),
     "v18_incremental_index" -> (v18_incremental_index _),
     "v20_deleted_mask" -> (v20_deleted_mask _),
+    "v22_codebook_drift" -> (v22_codebook_drift _),
   )
 
   // DuckDB twins compute the identical double fold: cast the float list to
@@ -477,6 +528,64 @@ object VectorQueries {
           "WHERE c.vec_id % 5 <> 2\nGROUP BY c.vec_id"))
 
   private val oracle0: Map[String, String] = Map(
+    // the rebuild-decision probe: per-scalar residuals vs the frozen
+    // base codebook, round-6 then decimal-sum (hash-exact error values)
+    "v22_codebook_drift" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |inc AS (SELECT vec_id + 100000 AS vec_id,
+        |          list_transform(v, x -> x * 1.5 + 0.25) AS v FROM e),
+        |ms AS (SELECT unnest(range(0, 4)) AS m),
+        |bcells AS (
+        |  SELECT vec_id, v, m,
+        |    (CASE WHEN v[m*16+1] >= 0 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN v[m*16+2] >= 0 THEN 2 ELSE 0 END) +
+        |    (CASE WHEN v[m*16+3] >= 0 THEN 4 ELSE 0 END) +
+        |    (CASE WHEN v[m*16+4] >= 0 THEN 8 ELSE 0 END) AS cell
+        |  FROM e CROSS JOIN ms),
+        |icells AS (
+        |  SELECT vec_id, v, m,
+        |    (CASE WHEN v[m*16+1] >= 0 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN v[m*16+2] >= 0 THEN 2 ELSE 0 END) +
+        |    (CASE WHEN v[m*16+3] >= 0 THEN 4 ELSE 0 END) +
+        |    (CASE WHEN v[m*16+4] >= 0 THEN 8 ELSE 0 END) AS cell
+        |  FROM inc CROSS JOIN ms),
+        |idx AS (SELECT unnest(range(1, 65)) AS i),
+        |bflat AS (
+        |  SELECT c.m, c.cell, (idx.i - 1) % 16 AS sd, c.v[idx.i] AS x
+        |  FROM bcells c JOIN idx ON (idx.i - 1) // 16 = c.m),
+        |iflat AS (
+        |  SELECT c.m, c.cell, (idx.i - 1) % 16 AS sd, c.v[idx.i] AS x
+        |  FROM icells c JOIN idx ON (idx.i - 1) // 16 = c.m),
+        |cb AS (
+        |  SELECT m, cell, sd,
+        |    CAST(CAST(CAST(CAST(sum(CAST(x AS DECIMAL(38,6)))
+        |      AS DECIMAL(38,6)) AS DOUBLE) / count(*) AS REAL) AS DOUBLE)
+        |      AS cm
+        |  FROM bflat GROUP BY m, cell, sd),
+        |bmse AS (
+        |  SELECT 'mse_base' AS name,
+        |    round(CAST(CAST(sum(CAST(round(pow(f.x - cb.cm, 2), 6)
+        |      AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE)
+        |      / count(*), 6) AS value
+        |  FROM bflat f JOIN cb
+        |    ON f.m = cb.m AND f.cell = cb.cell AND f.sd = cb.sd),
+        |imse AS (
+        |  SELECT 'mse_incoming' AS name,
+        |    round(CAST(CAST(sum(CAST(round(pow(f.x - cb.cm, 2), 6)
+        |      AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE)
+        |      / count(*), 6) AS value
+        |  FROM iflat f JOIN cb
+        |    ON f.m = cb.m AND f.cell = cb.cell AND f.sd = cb.sd),
+        |ratio AS (SELECT 'drift_ratio' AS name,
+        |    round(i.value / b.value, 6) AS value FROM bmse b, imse i),
+        |dec AS (SELECT 'rebuild' AS name,
+        |    CASE WHEN value > 2.0 THEN 1.0 ELSE 0.0 END AS value FROM ratio)
+        |SELECT name, value FROM bmse
+        |UNION ALL SELECT name, value FROM imse
+        |UNION ALL SELECT name, value FROM ratio
+        |UNION ALL SELECT name, value FROM dec
+        |ORDER BY name""".stripMargin,
     // v12's twin with the segment-append rule: cells over base ∪ incoming,
     // codebook trained on the BASE generation only (frozen at build)
     "v18_incremental_index" ->
