@@ -401,23 +401,28 @@ object DedupQueries {
     * crawl scale the standing index is large and the batch small, so the
     * probe is one equi-join on (band, bh) against a bucket-capped index;
     * the whole-corpus re-dedup d3 runs is exactly what this path avoids. */
-  def d12_incremental(s: SparkSession, d: String): DataFrame = {
-    val idx = s.read.parquet(bandIndexDir(s, d))
-      .select(col("doc_id").as("idx_id"), col("band"), col("bh"))
-    // the same skew cap as d3's bucket expansion, applied to the INDEX
-    // side: a boilerplate-hot bucket would fan every probe row out |bucket|
-    // times (drop is mirrored in the twin, so the cap is hash-verified)
+  /** The shared serve-side probe: cap hot buckets on the (possibly
+    * masked/merged) INDEX side, band the probe docs, equi-join under the
+    * cap, emit distinct (idx_id, new_id) matches — the ONE pipeline
+    * d12/d14/d15 all run, so a cap or probe fix lands everywhere. */
+  private def probeBandIndex(idx0: DataFrame,
+      probeDocs: DataFrame): DataFrame = {
+    val idx = idx0.select(col("doc_id").as("idx_id"), col("band"), col("bh"))
     val bucketOk = idx.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("bn")).filter(col("bn") <= MaxBucket)
       .select(col("band"), col("bh"))
-    val newDocs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
-    bandedSignatures(newDocs)
+    bandedSignatures(probeDocs)
       .select(col("doc_id").as("new_id"), col("band"), col("bh"))
       .join(idx.join(bucketOk, Seq("band", "bh")), Seq("band", "bh"))
       .select(col("idx_id"), col("new_id")).distinct()
       .orderBy("idx_id", "new_id")
   }
+
+  def d12_incremental(s: SparkSession, d: String): DataFrame =
+    probeBandIndex(
+      s.read.parquet(bandIndexDir(s, d)),
+      Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
 
   /** The band-index SEGMENT d14 appends: an ACCEPTED incoming batch's
     * bands written ONCE as their own parquet segment beside the base
@@ -453,22 +458,12 @@ object DedupQueries {
     * generations is still hot — the cap must see the merged index, and
     * the twin mirrors it). Probe cost is flat in segment count until
     * compaction (each segment is one more leaf in the same scan). */
-  def d14_band_append(s: SparkSession, d: String): DataFrame = {
-    val base = s.read.parquet(bandIndexDir(s, d))
-    val seg = s.read.parquet(bandSegmentDir(s, d))
-    val idx = base.unionByName(seg)
-      .select(col("doc_id").as("idx_id"), col("band"), col("bh"))
-    val bucketOk = idx.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("bn")).filter(col("bn") <= MaxBucket)
-      .select(col("band"), col("bh"))
-    val probe = Tables.documents(s, d).filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
-    bandedSignatures(probe)
-      .select(col("doc_id").as("new_id"), col("band"), col("bh"))
-      .join(idx.join(bucketOk, Seq("band", "bh")), Seq("band", "bh"))
-      .select(col("idx_id"), col("new_id")).distinct()
-      .orderBy("idx_id", "new_id")
-  }
+  def d14_band_append(s: SparkSession, d: String): DataFrame =
+    probeBandIndex(
+      s.read.parquet(bandIndexDir(s, d))
+        .unionByName(s.read.parquet(bandSegmentDir(s, d))),
+      Tables.documents(s, d).filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
 
   /** D15: the DELETE lifecycle for the standing band index — v20's twin
     * on the dedup side (upstream SAI consults tombstones at query time;
@@ -478,22 +473,13 @@ object DedupQueries {
     * bucket cap, so removed docs never match an incoming batch, buckets
     * that only looked hot because of deleted members become admissible
     * again, and the index is never rebuilt. */
-  def d15_band_delete(s: SparkSession, d: String): DataFrame = {
-    val segDir = d15DeleteSegDir(s, d)
-    val idx = s.read.parquet(bandIndexDir(s, d))
-      .join(broadcast(s.read.parquet(segDir)), Seq("doc_id"), "left_anti")
-      .select(col("doc_id").as("idx_id"), col("band"), col("bh"))
-    val bucketOk = idx.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("bn")).filter(col("bn") <= MaxBucket)
-      .select(col("band"), col("bh"))
-    val newDocs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
-    bandedSignatures(newDocs)
-      .select(col("doc_id").as("new_id"), col("band"), col("bh"))
-      .join(idx.join(bucketOk, Seq("band", "bh")), Seq("band", "bh"))
-      .select(col("idx_id"), col("new_id")).distinct()
-      .orderBy("idx_id", "new_id")
-  }
+  def d15_band_delete(s: SparkSession, d: String): DataFrame =
+    probeBandIndex(
+      s.read.parquet(bandIndexDir(s, d))
+        .join(broadcast(s.read.parquet(d15DeleteSegDir(s, d))),
+          Seq("doc_id"), "left_anti"),
+      Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
 
   /** The deletion segment (doc_ids removed from the corpus), persisted
     * once per (corpus, mtime) beside the other index artifacts. */

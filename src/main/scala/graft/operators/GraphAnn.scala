@@ -529,12 +529,7 @@ object GraphAnn {
     val mtime = try java.nio.file.Files.getLastModifiedTime(
         java.nio.file.Paths.get(s"$d/embeddings.parquet")).toMillis
       catch { case _: Exception => 0L }
-    val baseDir = indexCache.computeIfAbsent(s"$d@$mtime", { _ =>
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-graph-index").toString
-      buildGraphIndex(Tables.embeddings(s, d), out)
-      out
-    })
+    val baseDir = servedIndexDir(s, d) // the SAME base generation v16/v21 serve
     val segDir = segmentCache.computeIfAbsent(s"$d@$mtime", { _ =>
       val out = java.nio.file.Files
         .createTempDirectory("graft-graph-seg").toString

@@ -2,7 +2,8 @@ package graft.operators
 
 import graft.{Tables, Q}
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.6 O5 + §2.13 L3 — vector similarity search over `embeddings`
@@ -197,17 +198,29 @@ object VectorQueries {
   private def pqCells(e: DataFrame): DataFrame = e.withColumn("cells",
     array((0 until PQ_M).map(m => pqCell(col("embedding"), m)): _*))
 
-  /** PQ codebook: per (m, cell, subdim) decimal-mean — shuffle-order-proof. */
-  private def pqCodebookDf(withCells: DataFrame): DataFrame =
+  /** The per-(m, cell, sd) exploded scalar view of a cell-tagged vector
+    * frame — shared by codebook training and v22's drift probe so the
+    * two can never diverge numerically. */
+  private def pqScalars(withCells: DataFrame): DataFrame =
     withCells
       .select(col("cells"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .withColumn("m", (col("dim") / PQ_SUB).cast("int"))
       .withColumn("sd", (col("dim") % PQ_SUB).cast("int"))
       .withColumn("cell", element_at(col("cells"), col("m") + 1))
+      .select(col("m"), col("cell"), col("sd"),
+        col("x").cast("double").as("x"))
+
+  /** Per-(m, cell, sd) decimal-mean scalar centroids — the codebook in
+    * flat form (shuffle-order-proof). */
+  private def pqScalarMeans(withCells: DataFrame): DataFrame =
+    pqScalars(withCells)
       .groupBy("m", "cell", "sd")
-      .agg(count(lit(1)).as("n"),
-        dec6(sum(dec6(col("x").cast("double")))).as("sx"))
+      .agg(count(lit(1)).as("n"), dec6(sum(dec6(col("x")))).as("sx"))
       .withColumn("c", (col("sx").cast("double") / col("n")).cast("float"))
+
+  /** PQ codebook: the flat means rolled into per-(m, cell) centroids. */
+  private def pqCodebookDf(withCells: DataFrame): DataFrame =
+    pqScalarMeans(withCells)
       .groupBy("m", "cell")
       .agg(transform(array_sort(collect_list(struct(col("sd"), col("c")))),
         e => e.getField("c")).as("centroid"))
@@ -317,12 +330,21 @@ object VectorQueries {
     * still return — with zero index rebuild. The twin recomputes ADC
     * from scratch with the codebook trained on the FULL corpus (the
     * build-time state) and the deleted ids excluded only at scoring. */
+  /** The deletion segment is written ONCE per index generation (the dir
+    * is already (corpus, mtime)-keyed), so serving pays only the
+    * broadcast anti-join — not a parquet write per query. */
+  private val pqDeleteSegCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def v20_deleted_mask(s: SparkSession, d: String): DataFrame = {
     val dir = pqIndexDir(s, d)
-    val seg = s"$dir/deletes_seg1"
-    Tables.embeddings(s, d).filter(col("vec_id") % 5 === 2)
-      .select(col("vec_id"))
-      .write.mode("overwrite").parquet(seg)
+    val seg = pqDeleteSegCache.computeIfAbsent(dir, { _ =>
+      val out = s"$dir/deletes_seg1"
+      Tables.embeddings(s, d).filter(col("vec_id") % 5 === 2)
+        .select(col("vec_id"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
     val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
       .select(col("embedding").as("qvec"))
     val live = s.read.parquet(s"$dir/codes")
@@ -341,42 +363,55 @@ object VectorQueries {
     * append-vs-rebuild decision. Per-scalar residuals round to 6 then
     * decimal-sum, so the error numbers themselves are hash-exact. */
   def v22_codebook_drift(s: SparkSession, d: String): DataFrame = {
-    import Q.dbl
+    import scala.jdk.CollectionConverters._
     val base = Tables.embeddings(s, d)
     val incoming = base.select((col("vec_id") + 100000L).as("vec_id"),
       transform(col("embedding"),
         x => x.cast("double") * lit(1.5d) + lit(0.25d)).as("embedding"))
     // the frozen codebook as per-(m, cell, sd) scalar means of the BASE
-    def flat(df: DataFrame): DataFrame =
-      pqCells(df)
-        .select(col("cells"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .withColumn("m", (col("dim") / PQ_SUB).cast("int"))
-        .withColumn("sd", (col("dim") % PQ_SUB).cast("int"))
-        .withColumn("cell", element_at(col("cells"), col("m") + 1))
-        .select(col("m"), col("cell"), col("sd"),
-          col("x").cast("double").as("x"))
-    val cbFlat = flat(base)
-      .groupBy("m", "cell", "sd")
-      .agg(count(lit(1)).as("n"), dec6(sum(dec6(col("x")))).as("sx"))
+    // (pqScalarMeans — the SAME numerics the served codebook trains with)
+    val cbFlat = pqScalarMeans(pqCells(base))
       .select(col("m"), col("cell"), col("sd"),
-        (col("sx").cast("double") / col("n")).cast("float").cast("double")
-          .as("cm"))
-    def mse(df: DataFrame, gen: String): DataFrame =
-      flat(df).join(broadcast(cbFlat), Seq("m", "cell", "sd"))
-        .select(round(pow(col("x") - col("cm"), 2), 6).as("e2"))
-        .agg(dbl(dec6(sum(dec6(col("e2"))))).as("sse"),
-          count(lit(1)).as("ns"))
-        .select(lit(gen).as("name"),
-          round(col("sse") / col("ns"), 6).as("value"))
-    val b = mse(base, "mse_base")
-    val i = mse(incoming, "mse_incoming")
-    val ratio = b.select(col("value").as("vb"))
-      .crossJoin(i.select(col("value").as("vi")))
-      .select(lit("drift_ratio").as("name"),
-        round(col("vi") / col("vb"), 6).as("value"))
-    val decision = ratio.select(lit("rebuild").as("name"),
-      when(col("value") > 2.0d, 1.0d).otherwise(0.0d).as("value"))
-    b.unionByName(i).unionByName(ratio).unionByName(decision)
+        col("c").cast("double").as("cm"))
+    // LEFT join: a drifted point landing in a cell the base never saw is
+    // UNENCODABLE under the frozen codebook — it must count as drift
+    // evidence, not silently vanish from the metric (inner-join pitfall)
+    def probe(df: DataFrame): (Double, Double) = {
+      val r = pqScalars(pqCells(df))
+        .join(broadcast(cbFlat), Seq("m", "cell", "sd"), "left")
+        .select(
+          round(pow(col("x") - col("cm"), 2), 6).as("e2"),
+          col("cm").isNull.as("unenc"))
+        .agg(
+          Q.dbl(dec6(sum(dec6(when(!col("unenc"), col("e2"))))))
+            .as("sse"),
+          count(when(!col("unenc"), lit(1))).as("ns"),
+          count(when(col("unenc"), lit(1))).as("nu"))
+        .head()
+      val mse =
+        BigDecimal(r.getDouble(0) / r.getLong(1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val unencFrac =
+        BigDecimal(r.getLong(2).toDouble / (r.getLong(1) + r.getLong(2)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (mse, unencFrac)
+    }
+    // two bounded aggregates, collected ONCE; ratio and decision derive
+    // driver-side from the same scalars (no triple re-aggregation)
+    val (mseBase, _) = probe(base)
+    val (mseInc, unenc) = probe(incoming)
+    val ratio = BigDecimal(mseInc / mseBase)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rebuild = if (ratio > 2.0d || unenc > 0.01d) 1.0d else 0.0d
+    s.createDataFrame(Seq(
+      Row("drift_ratio", ratio),
+      Row("mse_base", mseBase),
+      Row("mse_incoming", mseInc),
+      Row("rebuild", rebuild),
+      Row("unencodable_frac", unenc)
+    ).asJava, StructType(Seq(
+      StructField("name", StringType),
+      StructField("value", DoubleType))))
       .orderBy("name")
   }
 
@@ -519,13 +554,19 @@ object VectorQueries {
     * shares v12's twin verbatim; v20 is v12's twin with the deleted ids
     * excluded at SCORING only (the codebook keeps its build-time state,
     * trained over the full corpus — exactly what the served index has). */
-  lazy val oracle: Map[String, String] =
+  lazy val oracle: Map[String, String] = {
+    val v20 = oracle0("v12_pq_adc").replace(
+      "ON c.m = l.m AND c.cell = l.cell\nGROUP BY c.vec_id",
+      "ON c.m = l.m AND c.cell = l.cell\n" +
+        "WHERE c.vec_id % 5 <> 2\nGROUP BY c.vec_id")
+    // a silent no-op replace would revert v20's twin to the UNMASKED
+    // query and surface as a baffling hash mismatch — fail fast instead
+    require(v20 != oracle0("v12_pq_adc"),
+      "v20 oracle derivation no-op: v12_pq_adc's SQL text changed")
     oracle0 +
       ("v17_pq_served" -> oracle0("v12_pq_adc")) +
-      ("v20_deleted_mask" -> oracle0("v12_pq_adc").replace(
-        "ON c.m = l.m AND c.cell = l.cell\nGROUP BY c.vec_id",
-        "ON c.m = l.m AND c.cell = l.cell\n" +
-          "WHERE c.vec_id % 5 <> 2\nGROUP BY c.vec_id"))
+      ("v20_deleted_mask" -> v20)
+  }
 
   private val oracle0: Map[String, String] = Map(
     // the rebuild-decision probe: per-scalar residuals vs the frozen
@@ -563,28 +604,29 @@ object VectorQueries {
         |      AS DECIMAL(38,6)) AS DOUBLE) / count(*) AS REAL) AS DOUBLE)
         |      AS cm
         |  FROM bflat GROUP BY m, cell, sd),
-        |bmse AS (
-        |  SELECT 'mse_base' AS name,
-        |    round(CAST(CAST(sum(CAST(round(pow(f.x - cb.cm, 2), 6)
-        |      AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE)
-        |      / count(*), 6) AS value
-        |  FROM bflat f JOIN cb
+        |bagg AS (
+        |  SELECT CAST(CAST(sum(CAST(round(pow(f.x - cb.cm, 2), 6)
+        |      AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sse,
+        |    count(cb.cm) AS ns, count(*) - count(cb.cm) AS nu
+        |  FROM bflat f LEFT JOIN cb
         |    ON f.m = cb.m AND f.cell = cb.cell AND f.sd = cb.sd),
-        |imse AS (
-        |  SELECT 'mse_incoming' AS name,
-        |    round(CAST(CAST(sum(CAST(round(pow(f.x - cb.cm, 2), 6)
-        |      AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE)
-        |      / count(*), 6) AS value
-        |  FROM iflat f JOIN cb
+        |iagg AS (
+        |  SELECT CAST(CAST(sum(CAST(round(pow(f.x - cb.cm, 2), 6)
+        |      AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sse,
+        |    count(cb.cm) AS ns, count(*) - count(cb.cm) AS nu
+        |  FROM iflat f LEFT JOIN cb
         |    ON f.m = cb.m AND f.cell = cb.cell AND f.sd = cb.sd),
-        |ratio AS (SELECT 'drift_ratio' AS name,
-        |    round(i.value / b.value, 6) AS value FROM bmse b, imse i),
-        |dec AS (SELECT 'rebuild' AS name,
-        |    CASE WHEN value > 2.0 THEN 1.0 ELSE 0.0 END AS value FROM ratio)
-        |SELECT name, value FROM bmse
-        |UNION ALL SELECT name, value FROM imse
-        |UNION ALL SELECT name, value FROM ratio
-        |UNION ALL SELECT name, value FROM dec
+        |vals AS (
+        |  SELECT round(b.sse / b.ns, 6) AS mb, round(i.sse / i.ns, 6) AS mi,
+        |    round(CAST(i.nu AS DOUBLE) / (i.ns + i.nu), 6) AS uf
+        |  FROM bagg b, iagg i)
+        |SELECT 'drift_ratio' AS name, round(mi / mb, 6) AS value FROM vals
+        |UNION ALL SELECT 'mse_base', mb FROM vals
+        |UNION ALL SELECT 'mse_incoming', mi FROM vals
+        |UNION ALL SELECT 'rebuild',
+        |  CASE WHEN round(mi / mb, 6) > 2.0 OR uf > 0.01
+        |       THEN 1.0 ELSE 0.0 END FROM vals
+        |UNION ALL SELECT 'unencodable_frac', uf FROM vals
         |ORDER BY name""".stripMargin,
     // v12's twin with the segment-append rule: cells over base ∪ incoming,
     // codebook trained on the BASE generation only (frozen at build)

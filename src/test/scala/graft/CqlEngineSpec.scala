@@ -625,7 +625,9 @@ class CqlEngineSpec extends SparkSpec {
     var applied = 0
     (1 to 1500).foreach { i =>
       val stmt =
-        if (i % 100 == 0) s"INSERT INTO fz (k, v) VALUES ($i, 'u')"
+        // the probe is keyspace-QUALIFIED: the soup can legally emit
+        // `USE system`, which would re-target a bare name
+        if (i % 100 == 0) s"INSERT INTO default.fz (k, v) VALUES ($i, 'u')"
         else Seq.fill(1 + rnd.nextInt(10))(
           vocab(rnd.nextInt(vocab.length))).mkString(" ")
       try { s.execute(stmt); applied += 1 }
@@ -636,7 +638,9 @@ class CqlEngineSpec extends SparkSpec {
       }
     }
     assert(applied >= 15)
-    // the session is still fully functional after the storm
+    // the session is still fully functional after the storm (re-anchor
+    // the keyspace first — the soup may have USE'd another one)
+    s.execute("USE default")
     s.execute("INSERT INTO fz (k, v) VALUES (1, 'alive')")
     assert(s.execute("SELECT v FROM fz WHERE k = 1")
       .head().getString(0) === "alive")
