@@ -1875,8 +1875,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         .min(BigInt(Long.MaxValue)).toLong)
       v.agg(count_distinct(
           struct(t.partitionKeys.map(col): _*)).as("pc"))
-        .select(lit(UserKeyspace).as("keyspace_name"),
-          lit(n).as("table_name"),
+        .select(lit(keyspaceOf(n)).as("keyspace_name"),
+          lit(tableOf(n)).as("table_name"),
           lit(ring).as("range_start"), lit(ring).as("range_end"),
           when(col("pc") > 0, lit(bytes.toLong) / col("pc"))
             .otherwise(0L).cast(LongType).as("mean_partition_size"),

@@ -466,6 +466,20 @@ class CqlKeyspaceSpec extends SparkSpec {
     }
   }
 
+  test("system.size_estimates attributes the owning keyspace (the Spark " +
+    "connector's split-planning read)") {
+    val s = fresh
+    s.execute("CREATE TABLE ksa.se (k bigint PRIMARY KEY, v bigint)")
+    s.execute("INSERT INTO ksa.se (k, v) VALUES (1, 1)")
+    s.execute("CREATE TABLE se (k bigint PRIMARY KEY, v bigint)")
+    s.execute("INSERT INTO se (k, v) VALUES (1, 1)")
+    val rows = s.execute("SELECT keyspace_name, table_name, " +
+      "partitions_count FROM system.size_estimates WHERE table_name = " +
+      "'se' ALLOW FILTERING").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows === Set(("default", "se", 1L), ("ksa", "se", 1L)), rows)
+  }
+
   test("Spark catalog namespaces list per-keyspace tables and route writes") {
     val s = fresh
     s.execute("CREATE TABLE ksa.ct (k bigint PRIMARY KEY, v text)")
