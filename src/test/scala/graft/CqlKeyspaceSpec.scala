@@ -480,6 +480,24 @@ class CqlKeyspaceSpec extends SparkSpec {
     assert(rows === Set(("default", "se", 1L), ("ksa", "se", 1L)), rows)
   }
 
+  test("COPY TO/FROM addresses the keyspace-scoped table under USE") {
+    val s = fresh
+    s.execute("CREATE TABLE ksa.cp (k bigint PRIMARY KEY, v text)")
+    s.execute("CREATE TABLE cp (k bigint PRIMARY KEY, v text)")
+    s.execute("INSERT INTO ksa.cp (k, v) VALUES (1, 'from-ksa')")
+    s.execute("INSERT INTO cp (k, v) VALUES (1, 'from-default')")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ks-copy")
+    s.execute("USE ksa")
+    s.execute(s"COPY cp TO '$dir/out' WITH HEADER = true") // ksa's cp
+    s.execute("USE default")
+    s.execute("TRUNCATE cp")
+    s.execute(s"COPY cp FROM '$dir/out' WITH HEADER = true") // default's cp
+    assert(s.execute("SELECT v FROM cp WHERE k = 1")
+      .head().getString(0) === "from-ksa") // the ksa export landed here
+    assert(s.execute("SELECT v FROM ksa.cp WHERE k = 1")
+      .head().getString(0) === "from-ksa") // source untouched
+  }
+
   test("Spark catalog namespaces list per-keyspace tables and route writes") {
     val s = fresh
     s.execute("CREATE TABLE ksa.ct (k bigint PRIMARY KEY, v text)")
