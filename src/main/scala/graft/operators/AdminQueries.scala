@@ -180,7 +180,7 @@ object AdminQueries {
       "FROM cat1_src WHERE o_orderkey <= 2000")
     s.sql("""SELECT o_orderpriority,
              count(*) AS n,
-             CAST(sum(o_totalprice) AS DECIMAL(38,6)) AS total,
+             sum(CAST(o_totalprice AS DECIMAL(38,6))) AS total,
              min(o_orderkey) AS first_key
              FROM graftcat.default.cat_orders1
              GROUP BY o_orderpriority
@@ -584,7 +584,7 @@ object AdminQueries {
         |AS t(kind, name, detail) ORDER BY kind, name, detail""".stripMargin,
     "cat1_catalog" ->
       """SELECT o_orderpriority, count(*) AS n,
-        |  CAST(sum(o_totalprice) AS DECIMAL(38,6)) AS total,
+        |  sum(CAST(o_totalprice AS DECIMAL(38,6))) AS total,
         |  min(o_orderkey) AS first_key
         |FROM orders WHERE o_orderkey <= 2000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,

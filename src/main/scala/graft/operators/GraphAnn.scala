@@ -411,23 +411,30 @@ object GraphAnn {
     * merge, never build work. */
   def serveGraphIndex(s: SparkSession, dirs: Seq[String],
       queryVec: DataFrame, k: Int, ef: Int = 96): DataFrame =
-    serveGraphIndexMasked(s, dirs, queryVec, k, ef, deletedIds = Set.empty)
+    serveGraphIndexMasked(s, dirs, queryVec, k, ef, deleted = None)
 
   /** Serve with a DELETION mask (the tombstone-consult shape, upstream
     * SAI/Lucene-HNSW filtered search): the graph is traversed INTACT —
     * deleted nodes still ROUTE the beam, since cutting them out would
     * orphan the neighborhoods they bridge — and candidates are masked
-    * only at result collection. `deletedIds` is the driver-held
-    * tombstone set (bounded like d13's bloom bitset; at larger delete
-    * volumes the same shape ships as a broadcast bitset). */
+    * only at result collection. `deleted` is a one-column (`vec_id`)
+    * deletion DataFrame applied as a broadcast LEFT-ANTI join on the
+    * per-shard candidates — never materialized on the driver, so the
+    * 10^9-tombstone form is the same plan (matching v20/d15). Each
+    * shard emits its full ef-candidate beam when a mask is present so
+    * post-join survivors can still fill the global top-k. */
   def serveGraphIndexMasked(s: SparkSession, dirs: Seq[String],
       queryVec: DataFrame, k: Int, ef: Int,
-      deletedIds: Set[Long]): DataFrame = {
+      deleted: Option[DataFrame]): DataFrame = {
     import s.implicits._
+    // with a mask the per-shard emission must NOT truncate to k: a
+    // shard's top-k could be entirely tombstoned while live candidates
+    // sit just below — emit the whole beam and let the anti-join prune
+    val emitN = if (deleted.isDefined) ef else k
     // one read per generation dir, unioned: each artifact has its own
     // partition-discovery root (shard=N subdirs), so a single multi-path
     // read would refuse the layout
-    dirs.map(s.read.parquet(_)).reduce(_ unionByName _)
+    val candidates = dirs.map(s.read.parquet(_)).reduce(_ unionByName _)
       .select(col("shard").cast("int"), col("local_id").cast("int"),
         col("vec_id").cast("long"), col("embedding"), col("nbrs"))
       .crossJoin(broadcast(queryVec.select(col("qvec"))))
@@ -443,12 +450,13 @@ object GraphAnn {
             val qv = sorted(0)._6
             val g = Hnsw.preloaded(sorted.map(_._4), sorted.map(_._5))
             takeRounded(g.search(qv, ef)
-              .map { case (local, sim) => (sorted(local)._3, sim) }
-              .filterNot { case (vid, _) => deletedIds(vid) }, k)
+              .map { case (local, sim) => (sorted(local)._3, sim) }, emitN)
           }
         }
       }.toDF("vec_id", "sim")
-      .orderBy(round(col("sim"), 6).desc, col("vec_id").asc)
+    val live = deleted.fold(candidates)(del => candidates.join(
+      broadcast(del.select(col("vec_id"))), Seq("vec_id"), "left_anti"))
+    live.orderBy(round(col("sim"), 6).desc, col("vec_id").asc)
       .limit(k)
   }
 
@@ -604,10 +612,9 @@ object GraphAnn {
     val dir = servedIndexDir(s, d)
     val deleted = Tables.embeddings(s, d)
       .filter(col("vec_id") % 5 === 2).select(col("vec_id"))
-      .collect().map(_.getLong(0)).toSet
     val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
       .select(col("embedding").as("qvec"))
-    serveGraphIndexMasked(s, Seq(dir), q, k = 10, ef = 96, deleted)
+    serveGraphIndexMasked(s, Seq(dir), q, k = 10, ef = 96, Some(deleted))
       .select(col("vec_id"), round(col("sim"), 6).as("cos_sim"))
   }
 
