@@ -481,6 +481,68 @@ object DedupQueries {
       Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
 
+  /** A SECOND accepted segment (a later crawl's admissions — the %11
+    * docs as +300000 copies), so the merge dial has more than one
+    * segment to compact. Same per-(corpus, mtime) artifact convention
+    * as [[bandSegmentDir]]. */
+  private val bandSegment2Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def bandSegment2Dir(s: SparkSession, d: String): String = {
+    val mtime = try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$d/documents.parquet")).toMillis
+      catch { case _: Exception => 0L }
+    bandSegment2Cache.computeIfAbsent(s"$d@$mtime", { _ =>
+      val dir = Tables.tempRoot("graft-band-seg2")
+      val accepted = Tables.documents(s, d).filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"), col("text"))
+      bandedSignatures(accepted).write.mode("overwrite").parquet(dir)
+      dir
+    })
+  }
+
+  /** The band-index MERGE verb — the compaction analogue d14 left open
+    * (upstream SAI merges per-sstable index segments when sstables
+    * compact [U index/sai/]; the PQ side's rebuild dial is v22): base +
+    * segments are rewritten ONCE into a single artifact, clustered by
+    * the probe join key (band, bh) so merged buckets are co-located,
+    * and subsequent probes scan ONE leaf instead of a base∪segments
+    * union. Rows are identical to the union by construction — the merge
+    * moves bytes, never content — so probe(merged) ≡ probe(union); the
+    * d16 twin pins that equivalence against DuckDB. */
+  def mergeBandIndex(s: SparkSession, dirs: Seq[String],
+      out: String): Unit =
+    dirs.map(s.read.parquet(_)).reduce(_ unionByName _)
+      .repartition(col("band"), col("bh"))
+      .write.mode("overwrite").parquet(out)
+
+  private val mergedBandCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def mergedBandIndexDir(s: SparkSession, d: String): String = {
+    val mtime = try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$d/documents.parquet")).toMillis
+      catch { case _: Exception => 0L }
+    mergedBandCache.computeIfAbsent(s"$d@$mtime", { _ =>
+      val out = Tables.tempRoot("graft-band-merged")
+      mergeBandIndex(s, Seq(bandIndexDir(s, d), bandSegmentDir(s, d),
+        bandSegment2Dir(s, d)), out)
+      out
+    })
+  }
+
+  /** D16 (L2 cpt — band-index segment COMPACTION): after two accepted
+    * batches the standing index holds base + 2 segments; the merge verb
+    * compacts them into a new base and a THIRD crawl (%13 docs as
+    * +400000 copies) probes the merged artifact alone. The twin runs
+    * the same banding over the three-generation corpus union — green
+    * means compaction changed the layout and nothing else. */
+  def d16_band_merge(s: SparkSession, d: String): DataFrame =
+    probeBandIndex(
+      s.read.parquet(mergedBandIndexDir(s, d)),
+      Tables.documents(s, d).filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 400000L).as("doc_id"), col("text")))
+
   /** The deletion segment (doc_ids removed from the corpus), persisted
     * once per (corpus, mtime) beside the other index artifacts. */
   private val d15SegCache =
@@ -685,6 +747,7 @@ object DedupQueries {
     "d13_bloom_incremental" -> (d13_bloom_incremental _),
     "d14_band_append" -> (d14_band_append _),
     "d15_band_delete" -> (d15_band_delete _),
+    "d16_band_merge" -> (d16_band_merge _),
   )
 
   private val corpusCteBody =
@@ -928,6 +991,26 @@ object DedupQueries {
              |WHERE doc_id % 5 = 0""".stripMargin)},
          |${bandCtes("n",
            "SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0")},
+         |iok AS (SELECT band, key FROM ibanded GROUP BY band, key
+         |        HAVING count(*) <= $MaxBucket)
+         |SELECT i.doc_id AS idx_id, n.doc_id AS new_id
+         |FROM ibanded i
+         |JOIN iok ON iok.band = i.band AND iok.key = i.key
+         |JOIN nbanded n ON i.band = n.band AND i.key = n.key
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the merged artifact's rows = the three-generation union's rows;
+    // the third crawl probes under the same cap convention
+    "d16_band_merge" ->
+      s"""WITH ${bandCtes("i",
+           """SELECT doc_id, text FROM documents
+             |UNION ALL
+             |SELECT doc_id + 100000 AS doc_id, text FROM documents
+             |WHERE doc_id % 5 = 0
+             |UNION ALL
+             |SELECT doc_id + 300000 AS doc_id, text FROM documents
+             |WHERE doc_id % 11 = 0""".stripMargin)},
+         |${bandCtes("n",
+           "SELECT doc_id + 400000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0")},
          |iok AS (SELECT band, key FROM ibanded GROUP BY band, key
          |        HAVING count(*) <= $MaxBucket)
          |SELECT i.doc_id AS idx_id, n.doc_id AS new_id

@@ -206,6 +206,27 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("band merge: the compacted index retains every generation's rows") {
+    val pairs = DedupQueries.d16_band_merge(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probed = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 13 === 0).select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(probed.nonEmpty)
+    probed.foreach { id =>
+      // base generation survives the merge: exact copy matches origin
+      assert(pairs.contains((id, id + 400000L)), s"base match for $id lost")
+      // segment generations survive: a doc admitted in an earlier crawl
+      // (%5 → +100000, %11 → +300000) must also match the new copy
+      if (id % 5 == 0)
+        assert(pairs.contains((id + 100000L, id + 400000L)),
+          s"segment-1 match for $id lost in merge")
+      if (id % 11 == 0)
+        assert(pairs.contains((id + 300000L, id + 400000L)),
+          s"segment-2 match for $id lost in merge")
+    }
+  }
+
   test("substring spans: an injected whole-doc copy is one full-length span") {
     val out = DedupQueries.d9_substring(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
