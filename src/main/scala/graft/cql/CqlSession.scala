@@ -777,7 +777,20 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     if (d.password.exists(_ != password)) fail(s"bad password for role $r")
     currentRole = r
     auth(ok = true, err = null)
+    // only SUCCESSFUL logins enter the replay log: a failed login never
+    // changed attribution, and replay runs as a trusted operator tool
+    // (fqltool's shape) so it re-attributes without re-authenticating
+    if (auditOn) fqlAppend(CqlSession.FqlLogin(r))
   }
+
+  /** Replay-side role switch — [[replayAudit]] re-attributes recorded
+    * statements without the password exchange, the way `fqltool replay`
+    * runs recorded traffic under operator credentials. */
+  private[cql] def forceRole(r: String): Unit = { currentRole = r }
+
+  /** Replay-side keyspace pin for prepared templates (see
+    * [[CqlSession.FqlPrep]]). */
+  private[cql] def forceKeyspace(ks: String): Unit = { currentKs = ks }
 
   /** The authenticated role (upstream `system.clients.username`). */
   def currentUser: String = currentRole
@@ -2621,6 +2634,16 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   private var auditOn = false
   private var auditSeq = 0L
   private val auditRows = scala.collection.mutable.ArrayBuffer.empty[Row]
+  // the replayable statement log behind REPLAY AUDIT — the audit view
+  // truncates statements for display; this keeps full text (+ prepared
+  // binds), the FullQueryLogger/AuditLogManager split upstream makes
+  private val fqlLog =
+    scala.collection.mutable.ArrayBuffer.empty[CqlSession.FqlEvent]
+
+  private def fqlAppend(e: CqlSession.FqlEvent): Unit = {
+    fqlLog += e
+    while (fqlLog.size > CqlSession.TraceCap) fqlLog.remove(0)
+  }
 
   /** Is audit logging currently enabled (`AUDIT` with no argument)? */
   def auditEnabled: Boolean = auditOn
@@ -2648,20 +2671,88 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   /** Append one audit row around `f` — role captured at SUBMISSION time
     * (a login inside a batch must not re-attribute it), failures recorded
     * with the error class, the original exception always rethrown. */
-  private[cql] def audited[A](request: String, kw: String)(f: => A): A = {
+  private[cql] def audited[A](request: String, kw: String,
+      preparedBinds: Option[(String, Seq[Any], Map[String, Any])] = None)
+      (f: => A): A = {
     if (!auditOn) return f
     val role = currentRole
     val cat = auditCategory(kw)
+    def fql(ok: Boolean): Unit = fqlAppend(preparedBinds match {
+      case Some((ks, b, nm)) => CqlSession.FqlPrep(request, ks, b, nm, ok)
+      case None => CqlSession.FqlStmt(request, ok)
+    })
     try {
       val out = f
       auditRecord(role, cat, request, success = true, error = null)
+      fql(ok = true)
       out
     } catch {
       case e: Throwable =>
         auditRecord(role, cat, request, success = false,
           error = e.getClass.getSimpleName)
+        fql(ok = false)
         throw e
     }
+  }
+
+  /** `REPLAY AUDIT` [U tools/fqltool replay, 4.0]: re-execute this
+    * session's recorded full-query log, in order, into a FRESH session,
+    * then report (a) how many replayed statements reproduced their
+    * recorded success/failure outcome and (b) whether the fresh
+    * session's final table state — same table set, same reconciled rows
+    * per table — equals this session's. For a deterministic script the
+    * report reads all-green; a script using now()/uuid() diverges, the
+    * same property upstream's replay/compare has. The log ring-buffers
+    * at [[CqlSession.TraceCap]] events, so replay of a longer session is
+    * a suffix and state equality honestly reports false. State compare
+    * runs as distributed anti-joins (`exceptAll` both ways), never a
+    * driver-side row diff. */
+  def replayAudit(): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val events = fqlLog.toVector
+    val fresh = new CqlSession(spark, Map.empty)
+    var nStmt = 0
+    var outcomeMatches = 0
+    events.foreach {
+      case CqlSession.FqlLogin(role) => fresh.forceRole(role)
+      case CqlSession.FqlStmt(text, ok) =>
+        nStmt += 1
+        val rep = try { fresh.execute(text); true }
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (rep == ok) outcomeMatches += 1
+      case CqlSession.FqlPrep(text, ks, binds, named, ok) =>
+        nStmt += 1
+        val rep = try {
+          // re-prepare under the PREPARE-time keyspace, then restore —
+          // replayed USE statements must not re-target the template
+          val saved = fresh.currentKeyspace
+          fresh.forceKeyspace(ks)
+          val p = try fresh.prepare(text)
+            finally fresh.forceKeyspace(saved)
+          if (named.nonEmpty) p.executeNamed(named)
+          else p.execute(binds: _*)
+          true
+        } catch { case scala.util.control.NonFatal(_) => false }
+        if (rep == ok) outcomeMatches += 1
+    }
+    val aT = state.keys.toSet
+    val bT = fresh.state.keys.toSet
+    val common = (aT intersect bT).toSeq.sorted
+    val stateEqual = aT == bT && common.forall { t =>
+      val va = view(t)
+      val vb = fresh.view(t)
+      va.schema.map(f => (f.name, f.dataType)) ==
+        vb.schema.map(f => (f.name, f.dataType)) &&
+        va.exceptAll(vb).isEmpty && vb.exceptAll(va).isEmpty
+    }
+    spark.createDataFrame(Seq(
+      Row("replay", "events", s"n=${events.size}"),
+      Row("replay", "outcome_match", s"$outcomeMatches/$nStmt"),
+      Row("replay", "state_equal", stateEqual.toString),
+      Row("replay", "tables_compared", s"n=${common.size}")).asJava,
+      StructType(Seq(StructField("kind", StringType, nullable = false),
+        StructField("name", StringType, nullable = false),
+        StructField("detail", StringType, nullable = false))))
   }
 
   // ——— system_views.queries: live in-flight statements [U db/virtual/
@@ -2867,6 +2958,14 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         Seq(Row(auditOn)).asJava,
         StructType(Seq(StructField("audit", BooleanType,
           nullable = false))))
+    }
+    if (kw0 == "replay") {
+      head.stripSuffix(";").split("\\s+").lift(1).map(_.toLowerCase) match {
+        case Some("audit") => ()
+        case other => throw new CqlInvalidQueryException(
+          s"REPLAY expects AUDIT, got ${other.getOrElse("nothing")}")
+      }
+      return replayAudit()
     }
     val tid = registerInFlight(head)
     try audited(head, kw0) {
@@ -4565,25 +4664,35 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
 class CqlPrepared private[cql] (session: CqlSession, template: AnyRef,
     text: String) {
 
+  // keyspace at PREPARE time, recorded into FQL events so REPLAY AUDIT
+  // re-prepares the template under the same binding (upstream FQL
+  // entries carry the keyspace per statement)
+  private val prepKs: String = session.currentKeyspace
+
   def execute(binds: Any*): DataFrame =
-    run(new CqlPrepared.Binder(binds))
+    run(new CqlPrepared.Binder(binds), (prepKs, binds, Map.empty))
 
   /** Bind by name (`:name` markers only — a `?` in the template is
     * rejected, the upstream driver rule for named binding). Every provided
     * name must appear in the statement; every marker must be provided. */
-  def executeNamed(values: Map[String, Any]): DataFrame =
-    run(new CqlPrepared.Binder(Nil,
-      named = values.map { case (k, v) => k.toLowerCase -> v }))
+  def executeNamed(values: Map[String, Any]): DataFrame = {
+    val lowered = values.map { case (k, v) => k.toLowerCase -> v }
+    run(new CqlPrepared.Binder(Nil, named = lowered), (prepKs, Nil, lowered))
+  }
 
-  private def run(b: CqlPrepared.Binder): DataFrame = {
+  private def run(b: CqlPrepared.Binder,
+      rawBinds: (String, Seq[Any], Map[String, Any])): DataFrame = {
     session.clearWarnings()
     // traced under command EXECUTE, like upstream prepared executions —
     // the first event says what a prepared run actually skips; audited
     // under the statement's own category AND registered in-flight
-    // (system_views.queries reports live prepared runs like any other)
+    // (system_views.queries reports live prepared runs like any other);
+    // the FQL event carries the template + raw binds so REPLAY AUDIT can
+    // re-prepare and re-bind (upstream records query options the same way)
     val tid = session.registerInFlight(text)
     try session.audited(text,
-      text.trim.takeWhile(!_.isWhitespace).toLowerCase) {
+      text.trim.takeWhile(!_.isWhitespace).toLowerCase,
+      preparedBinds = Some(rawBinds)) {
     session.traced(text, "EXECUTE",
       s"Executing prepared statement (parse skipped): ${text.take(100)}",
       "Executed prepared statement") {
@@ -4736,6 +4845,26 @@ object CqlSession {
   /** Ring-buffer cap for traced sessions kept in `system_traces` (upstream
     * expires trace rows on a 24 h TTL instead [U TraceKeyspace]). */
   private[cql] val TraceCap = 256
+
+  /** One replayable full-query-log event [U audit/FullQueryLogger.java —
+    * upstream's FQL binlog records the raw query text, or the prepared
+    * statement plus its bound values, exactly so `fqltool replay` can
+    * re-execute the traffic against another cluster]. Recorded while
+    * `AUDIT ON`, ring-buffered at [[TraceCap]] like the audit view. */
+  private[cql] sealed trait FqlEvent
+  /** A plain statement and whether it succeeded when recorded. */
+  private[cql] final case class FqlStmt(text: String, ok: Boolean)
+    extends FqlEvent
+  /** A prepared execution: template text + the bound values (positional
+    * or named), upstream's query-options capture. `ks` is the keyspace
+    * current at PREPARE time — upstream FQL entries carry the keyspace
+    * for exactly this reason: the template must re-prepare under it, a
+    * replay-time USE must not re-target it. */
+  private[cql] final case class FqlPrep(text: String, ks: String,
+    binds: Seq[Any], named: Map[String, Any], ok: Boolean) extends FqlEvent
+  /** A successful role switch — replay must re-attribute subsequent
+    * statements (permission checks run under the replayed role). */
+  private[cql] final case class FqlLogin(role: String) extends FqlEvent
   /** StructField metadata key carrying a vector column's declared dim. */
   private[cql] val VectorDimKey = "cql_vector_dim"
 

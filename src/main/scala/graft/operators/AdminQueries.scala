@@ -510,8 +510,38 @@ object AdminQueries {
       .orderBy("kind", "name", "detail")
   }
 
+  /** CQL22 — full-query-log REPLAY in the gate [U tools/fqltool replay,
+    * 4.0]: a scripted session — DDL across two keyspaces, a DML insert,
+    * a prepared template bound at prepare time (a replay-time USE must
+    * not re-target it), a role switch, and a DENIED statement — records
+    * its FQL under AUDIT ON; REPLAY AUDIT re-executes the log into a
+    * fresh session and the report rows (event count, per-statement
+    * outcome reproduction incl. the denial, distributed state
+    * equivalence over both tables) are the projection. */
+  def cql22_replay(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.cql.CqlSession(s)
+    sess.execute("AUDIT ON")
+    sess.execute("CREATE TABLE rt22 (k bigint PRIMARY KEY, v text)")
+    sess.execute("CREATE KEYSPACE ks22 WITH replication = " +
+      "{'class': 'SimpleStrategy', 'replication_factor': 1}")
+    sess.execute("CREATE TABLE ks22.t22 (k bigint PRIMARY KEY, v text)")
+    sess.execute("INSERT INTO rt22 (k, v) VALUES (1, 'x')")
+    sess.execute("USE ks22")
+    val ins = sess.prepare("INSERT INTO t22 (k, v) VALUES (?, ?)")
+    sess.execute("USE default")
+    ins.execute(1L, "bound-at-prepare") // must replay into ks22.t22
+    sess.execute("CREATE ROLE r22 WITH LOGIN = true")
+    sess.execute("GRANT SELECT ON rt22 TO r22")
+    sess.login("r22")
+    try sess.execute("INSERT INTO rt22 (k, v) VALUES (2, 'z')") // denied
+    catch { case _: graft.cql.CqlInvalidQueryException => () }
+    sess.login("cassandra", "cassandra")
+    sess.execute("REPLAY AUDIT").orderBy("kind", "name", "detail")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cql16_audit" -> (cql16_audit _),
+    "cql22_replay" -> (cql22_replay _),
     "cql13_roles" -> (cql13_roles _),
     "cql14_schema" -> (cql14_schema _),
     "cql15_settings" -> (cql15_settings _),
@@ -634,6 +664,15 @@ object AdminQueries {
     // the literal snapshot ledger: the manual snapshot, the two
     // auto_snapshot safety-net entries (session-unique sequence-tagged names),
     // and the post-clear count
+    // the replay report: 10 statements + 2 role switches recorded, every
+    // outcome (incl. the denial) reproduced, both tables state-equal
+    "cql22_replay" ->
+      """SELECT kind, name, detail FROM (VALUES
+        |  ('replay', 'events', 'n=12'),
+        |  ('replay', 'outcome_match', '10/10'),
+        |  ('replay', 'state_equal', 'true'),
+        |  ('replay', 'tables_compared', 'n=2'))
+        |AS t(kind, name, detail) ORDER BY kind, name, detail""".stripMargin,
     "cql20_snapshot" ->
       """SELECT kind, name, detail FROM (VALUES
         |  ('clear', 'pre_load', 'remaining=2'),
