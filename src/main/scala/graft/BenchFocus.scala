@@ -73,6 +73,90 @@ object BenchFocus {
             dbl(dec6(sum(col("rev")))).as("revenue"))
           .orderBy("o_orderpriority")
       },
+      "j2_bucketed" -> { (s, d) =>
+        // build-once bucketed layout on the join key (the engine's
+        // bucketLog convention): pre-agg and join run exchange-free
+        if (!s.catalog.tableExists("j2_li_b")) {
+          Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+            .write.bucketBy(32, "l_orderkey").sortBy("l_orderkey")
+            .option("path", "/tmp/graft-j2-li-b").mode("overwrite")
+            .saveAsTable("j2_li_b")
+          Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+            .write.bucketBy(32, "o_orderkey").sortBy("o_orderkey")
+            .option("path", "/tmp/graft-j2-o-b").mode("overwrite")
+            .saveAsTable("j2_o_b")
+        }
+        val liAgg = s.table("j2_li_b")
+          .groupBy(col("l_orderkey"))
+          .agg(dec6(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("rev"))
+        s.table("j2_o_b").filter(year(col("o_orderdate")) === 1996)
+          .join(liAgg, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            dbl(dec6(sum(col("rev")))).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      "j2_preagg_only" -> { (s, d) =>
+        // the per-order pre-agg alone (shuffle + 15M-group hash agg)
+        Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(dec6(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("rev"))
+          .groupBy().count()
+      },
+      "j2_li_scan" -> { (s, d) =>
+        Tables.lineitem(s, d)
+          .agg(sum(col("l_orderkey")).as("x"),
+            dec6(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("r"))
+      },
+      "j2_orders_scan" -> { (s, d) =>
+        Tables.orders(s, d).filter(year(col("o_orderdate")) === 1996)
+          .agg(sum(col("o_orderkey")).as("x"))
+      },
+      "j2_direct" -> { (s, d) =>
+        // no pre-agg: one shuffle join, count(distinct) via two-level agg
+        val o = Tables.orders(s, d)
+          .filter(year(col("o_orderdate")) === 1996)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rv"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderpriority"))
+          .agg(dec6(sum(col("rv"))).as("rev"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"), dbl(dec6(sum(col("rev")))).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      "j2_bloom" -> { (s, d) =>
+        // d13's runtime-filter shape applied to j2: the 1996 orders build
+        // a bloom over o_orderkey; lineitem probes it MAP-SIDE before the
+        // per-order pre-agg, so ~6/7 of lineitem never enters the hash agg
+        import org.apache.spark.sql.GraftShim
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CLit}
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        import org.apache.spark.sql.types.BinaryType
+        val ordersF = Tables.orders(s, d)
+          .filter(year(col("o_orderdate")) === 1996)
+        val bloomBytes = ordersF.select(GraftShim.column(
+            new BloomFilterAggregate(
+              GraftShim.expression(xxhash64(col("o_orderkey"))), 4000000L)
+              .toAggregateExpression()).as("bf"))
+          .head().getAs[Array[Byte]](0)
+        val mc = GraftShim.column(new BloomFilterMightContain(
+          CLit(bloomBytes, BinaryType),
+          GraftShim.expression(xxhash64(col("l_orderkey")))))
+        val liAgg = Tables.lineitem(s, d)
+          .filter(mc)
+          .groupBy(col("l_orderkey"))
+          .agg(dec6(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("rev"))
+        ordersF.join(liAgg, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            dbl(dec6(sum(col("rev")))).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
       "t1_trunc" -> { (s, d) =>
         Tables.events(s, d)
           .groupBy(date_trunc("hour", col("ts")).as("win_start"),
@@ -91,8 +175,46 @@ object BenchFocus {
       "events_count" -> { (s, d) =>
         Tables.events(s, d).groupBy().count()
       },
+      "t1_nosum" -> { (s, d) =>
+        // count-only: isolates the decimal-sum cost
+        Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("win_start"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("win_start", "event_type")
+      },
+      "events_value_sum" -> { (s, d) =>
+        // one global decimal sum, no group key: the agg-machinery floor
+        Tables.events(s, d).agg(dbl(dec6(sum(dec6(col("value"))))).as("x"))
+      },
       "emb_count" -> { (s, d) =>
         Tables.embeddings(s, d).groupBy().count()
+      },
+      "emb_size" -> { (s, d) =>
+        // reads the array column's OFFSETS only — the pruned-read floor
+        Tables.embeddings(s, d)
+          .agg(sum(size(col("embedding"))).as("n"))
+      },
+      "emb_self" -> { (s, d) =>
+        // full array materialization + the cosine kernel, no broadcast/topk:
+        // isolates read+kernel from v1's merge
+        import graft.functions.VectorFunctions.cosineFast
+        Tables.embeddings(s, d)
+          .agg(sum(cosineFast(col("embedding"), col("embedding"))).as("x"))
+      },
+      "v1_qvec" -> { (s, d) =>
+        // the query-row lookup job alone (v1 broadcasts this)
+        Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+          .select(col("embedding").as("qvec")).groupBy().count()
+      },
+      "v1_nosort" -> { (s, d) =>
+        // v1 minus TakeOrderedAndProject: broadcast + kernel + round
+        import graft.functions.VectorFunctions.cosineFast
+        val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+          .select(col("embedding").as("qvec"))
+        Tables.embeddings(s, d)
+          .crossJoin(broadcast(q))
+          .agg(sum(round(cosineFast(col("embedding"), col("qvec")), 6)).as("x"))
       },
       "scan_count" -> { (s, d) =>
         Tables.lineitem(s, d).filter(col("l_shipdate").between(

@@ -38,18 +38,38 @@ case class CosineSimilarity(left: Expression, right: Expression)
         s"got ${left.dataType.sql} / ${right.dataType.sql}")
   }
 
+  /** Do the inputs guarantee non-null elements? When both array types say
+    * `containsNull = false` the per-element null scan is dead code and the
+    * kernel runs straight off primitive `float[]`s. */
+  private def elementsNullable: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     if (x.numElements() != y.numElements()) return null
     val n = x.numElements()
+    if (elementsNullable) {
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null // parity with
+        // zip_with+aggregate and the DuckDB twin: a null element nulls the
+        // score — reading it as 0.0 would rank corrupt rows silently
+        i += 1
+      }
+    }
+    // hoist both arrays to primitives ONCE per row (one copy each), then a
+    // tight FMA loop — per-element ArrayData.getFloat virtual calls were
+    // the dominant cost of the billion-vector scan (SCALE.md, r10)
+    val xs = x.toFloatArray()
+    val ys = y.toFloatArray()
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
-      if (x.isNullAt(i) || y.isNullAt(i)) return null // parity with
-      // zip_with+aggregate and the DuckDB twin: a null element nulls the
-      // score — reading it as 0.0 would rank corrupt rows silently
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = xs(i).toDouble
+      val yi = ys(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
@@ -64,22 +84,36 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val xs = ctx.freshName("xs")
+      val ys = ctx.freshName("ys")
       val bad = ctx.freshName("bad")
+      // null scan only when the schema admits null elements; the math loop
+      // runs on hoisted float[]s either way (JIT unrolls + vectorizes a
+      // primitive-array loop; it cannot through ArrayData's virtual calls)
+      val nullScan = if (elementsNullable)
+        s"""for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+           |}""".stripMargin
+      else ""
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  int $n = $a.numElements();
-         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  boolean $bad = false;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
-         |    double $x = (double) $a.getFloat($i);
-         |    double $y = (double) $b.getFloat($i);
-         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
-         |  }
+         |  $nullScan
          |  if ($bad) { ${ev.isNull} = true; }
-         |  else { ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)); }
+         |  else {
+         |    float[] $xs = $a.toFloatArray();
+         |    float[] $ys = $b.toFloatArray();
+         |    double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      double $x = (double) $xs[$i];
+         |      double $y = (double) $ys[$i];
+         |      $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |    }
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
        """.stripMargin
     })

@@ -487,8 +487,7 @@ object GraphAnn {
 
   def v16_graph_index(s: SparkSession, d: String): DataFrame = {
     val dir = servedIndexDir(s, d)
-    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
-      .select(col("embedding").as("qvec"))
+    val q = VectorQueries.queryVec(s, d, 0L)
     serveGraphIndex(s, dir, q, 10)
       .select(col("vec_id"), round(col("sim"), 6).as("cos_sim"))
   }
@@ -548,8 +547,7 @@ object GraphAnn {
       buildGraphIndex(batch, out, shards = 2, shardOffset = 1000)
       out
     })
-    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
-      .select(col("embedding").as("qvec"))
+    val q = VectorQueries.queryVec(s, d, 0L)
     serveGraphIndex(s, Seq(baseDir, segDir), q, 10)
       .select(col("vec_id"), round(col("sim"), 6).as("cos_sim"))
   }
@@ -560,8 +558,7 @@ object GraphAnn {
     * it stays 1.0 across partition counts), so the approximate index and
     * the oracle agree at verify scale. */
   def v7_knn_graph(s: SparkSession, d: String): DataFrame = {
-    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
-      .select(col("embedding").as("qvec"))
+    val q = VectorQueries.queryVec(s, d, 0L)
     // Shard the graph build by vec_id hash (deterministic assignment): 8
     // graphs built/searched in parallel, beam ef=96 per shard — the shard
     // count and beam are the recall/latency knobs a 100 TB deployment turns
@@ -612,8 +609,7 @@ object GraphAnn {
     val dir = servedIndexDir(s, d)
     val deleted = Tables.embeddings(s, d)
       .filter(col("vec_id") % 5 === 2).select(col("vec_id"))
-    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
-      .select(col("embedding").as("qvec"))
+    val q = VectorQueries.queryVec(s, d, 0L)
     serveGraphIndexMasked(s, Seq(dir), q, k = 10, ef = 96, Some(deleted))
       .select(col("vec_id"), round(col("sim"), 6).as("cos_sim"))
   }

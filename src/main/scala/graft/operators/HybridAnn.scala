@@ -69,9 +69,11 @@ object HybridAnn {
     AnnStats(rows, r.getLong(1).toDouble / n)
   }
 
+  // resolved once per (corpus, mtime) and served as a literal row — the
+  // shared cache in VectorQueries (a kNN service does not re-scan the
+  // corpus for the query embedding per request)
   private def queryVec(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).filter(col("vec_id") === 0L)
-      .select(col("embedding").as("qvec"))
+    VectorQueries.queryVec(s, d, 0L)
 
   /** The pre-filter arm: predicate → exact top-k (TakeOrderedAndProject). */
   def prefilterKnn(s: SparkSession, d: String, pred: Column, k: Int): DataFrame =

@@ -18,9 +18,28 @@ import org.apache.spark.sql.functions._
 object VectorQueries {
   import Q.dec6
 
-  private def queryVec(s: SparkSession, d: String, id: Long): DataFrame =
-    Tables.embeddings(s, d).filter(col("vec_id") === id)
-      .select(col("embedding").as("qvec"))
+  /** The query vector as a 1-row frame. Resolved from the corpus ONCE per
+    * (corpus, id, mtime) and served from a driver-held literal afterwards —
+    * a kNN service resolves the query embedding from the request, it does
+    * not re-scan the corpus per query; before this cache the lookup job
+    * (one footer-read task per corpus file, twice per serve) was 70% of
+    * v1's wall at 100× (SCALE.md r10). Same build-once/serve-many rule as
+    * the index caches. */
+  private val qvecCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Float]]()
+
+  private[operators] def queryVec(s: SparkSession, d: String, id: Long): DataFrame = {
+    val mtime = try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$d/embeddings.parquet")).toMillis
+      catch { case _: Exception => 0L }
+    val arr = qvecCache.computeIfAbsent(s"$d@$id@$mtime", { _ =>
+      Tables.embeddings(s, d).filter(col("vec_id") === id)
+        .select(col("embedding")).head()
+        .getAs[scala.collection.Seq[Float]](0).toArray
+    })
+    import s.implicits._
+    Seq(Tuple1(arr)).toDF("qvec")
+  }
 
   /** Exact cosine kNN top-k over an arbitrary (vec_id, embedding) frame —
     * the reusable ground-truth scorer specs compare approximate paths
@@ -126,12 +145,12 @@ object VectorQueries {
     // Probe-cell selection needs only the RAW query vector vs the codebook —
     // not the full corpus assignment. Both usages of `cents` are the identical
     // broadcast subtree, so ReuseExchange ships the codebook once.
-    val q = Tables.embeddings(s, d).filter(col("vec_id") === queryId)
+    val q = queryVec(s, d, queryId)
       .crossJoin(cents)
-      .withColumn("qdist", euclideanFast(col("embedding"), col("centroid")))
+      .withColumn("qdist", euclideanFast(col("qvec"), col("centroid")))
       .orderBy(col("qdist").asc, col("cell").asc)
       .limit(nprobe)
-      .select(col("cell").as("qcell"), col("embedding").as("qvec"))
+      .select(col("cell").as("qcell"), col("qvec"))
     Tables.embeddings(s, d)
       .crossJoin(cents)
       .withColumn("dist", euclideanFast(col("embedding"), col("centroid")))
@@ -157,8 +176,7 @@ object VectorQueries {
     // codegen'd one-pass quantizer — bit-identical to the HOF chain
     // (QuantizeSpec), which ran three interpreted passes per vector
     def quant(v: Column): Column = quantizeInt8(v)
-    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
-      .select(quant(col("embedding")).as("qvec"))
+    val q = queryVec(s, d, 0L).select(quant(col("qvec")).as("qvec"))
     Tables.embeddings(s, d)
       .select(col("vec_id"), quant(col("embedding")).as("qemb"))
       .crossJoin(broadcast(q))
@@ -243,8 +261,7 @@ object VectorQueries {
 
   def v12_pq_adc(s: SparkSession, d: String): DataFrame = {
     val withCells = pqCells(Tables.embeddings(s, d))
-    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
-      .select(col("embedding").as("qvec"))
+    val q = queryVec(s, d, 0L)
     pqScore(
       withCells.select(col("vec_id"), posexplode(col("cells")).as(Seq("m", "cell"))),
       pqCodebookDf(withCells), q, k = 10)
@@ -311,8 +328,7 @@ object VectorQueries {
     pqCells(inc)
       .select(col("vec_id"), posexplode(col("cells")).as(Seq("m", "cell")))
       .write.mode("overwrite").parquet(seg)
-    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
-      .select(col("embedding").as("qvec"))
+    val q = queryVec(s, d, 0L)
     pqScore(
       s.read.parquet(s"$dir/codes").unionByName(s.read.parquet(seg)),
       s.read.parquet(s"$dir/codebook"), q, k = 10)
@@ -345,8 +361,7 @@ object VectorQueries {
         .write.mode("overwrite").parquet(out)
       out
     })
-    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
-      .select(col("embedding").as("qvec"))
+    val q = queryVec(s, d, 0L)
     val live = s.read.parquet(s"$dir/codes")
       .join(broadcast(s.read.parquet(seg)), Seq("vec_id"), "left_anti")
     pqScore(live, s.read.parquet(s"$dir/codebook"), q, k = 10)
@@ -434,16 +449,14 @@ object VectorQueries {
     * tiebreak), so the oracle verifies prune AND rerank. */
   def v13_knn_rerank(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val q8 = emb.filter(col("vec_id") === 0L)
-      .select(quantizeInt8(col("embedding")).as("q8"))
+    val q8 = queryVec(s, d, 0L).select(quantizeInt8(col("qvec")).as("q8"))
     val cands = emb
       .select(col("vec_id").as("cid"), quantizeInt8(col("embedding")).as("e8"))
       .crossJoin(broadcast(q8))
       .select(col("cid"), round(cosineFast(col("e8"), col("q8")), 6).as("cos_q"))
       .orderBy(col("cos_q").desc, col("cid").asc)
       .limit(40)
-    val qraw = emb.filter(col("vec_id") === 0L)
-      .select(col("embedding").as("qvec"))
+    val qraw = queryVec(s, d, 0L)
     emb.join(broadcast(cands), col("vec_id") === col("cid"))
       .crossJoin(broadcast(qraw))
       .select(col("vec_id"),
@@ -509,16 +522,14 @@ object VectorQueries {
     * no collect, both stages distribute. */
   def v15_matryoshka(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val qp = emb.filter(col("vec_id") === 0L)
-      .select(slice(col("embedding"), 1, 8).as("qp"))
+    val qp = queryVec(s, d, 0L).select(slice(col("qvec"), 1, 8).as("qp"))
     val cands = emb
       .select(col("vec_id").as("cid"), slice(col("embedding"), 1, 8).as("p"))
       .crossJoin(broadcast(qp))
       .select(col("cid"), round(cosineFast(col("p"), col("qp")), 6).as("cos_p"))
       .orderBy(col("cos_p").desc, col("cid").asc)
       .limit(40)
-    val qraw = emb.filter(col("vec_id") === 0L)
-      .select(col("embedding").as("qvec"))
+    val qraw = queryVec(s, d, 0L)
     emb.join(broadcast(cands), col("vec_id") === col("cid"))
       .crossJoin(broadcast(qraw))
       .select(col("vec_id"), col("cos_p"),
