@@ -52,6 +52,34 @@ class GraphAnnSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSeq)
   }
 
+  test("masked serve survives a shard whose entire top-k is deleted") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-gmask-spec").toString
+    GraphAnn.buildGraphIndex(Tables.embeddings(spark, sf), dir)
+    val q = Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qvec"))
+    // delete the UNMASKED top-10 wholesale: the per-shard beams must emit
+    // enough (ef, not k) candidates that live survivors below the deleted
+    // head can still fill the global top-k after the broadcast anti-join
+    val unmaskedTop = GraphAnn.serveGraphIndex(spark, dir, q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val deleted = spark.createDataFrame(
+      unmaskedTop.map(Tuple1(_))).toDF("vec_id")
+    val masked = GraphAnn.serveGraphIndexMasked(
+        spark, Seq(dir), q, k = 10, ef = 96, Some(deleted))
+      .collect().map(_.getLong(0)).toSeq
+    assert(masked.size === 10, "mask must not starve the top-k")
+    assert(masked.toSet.intersect(unmaskedTop.toSet).isEmpty,
+      "no deleted id may surface")
+    // ground truth: exact top-10 over the live vectors only
+    val live = Tables.embeddings(spark, sf)
+      .filter(!col("vec_id").isin(unmaskedTop: _*))
+    val exactLive = VectorQueries.knnExactOver(
+        live, q.select(col("qvec")), 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(masked === exactLive)
+  }
+
   test("declared v7 query is deterministic across runs") {
     val a = GraphAnn.v7_knn_graph(spark, sf).collect().toSeq
     val b = GraphAnn.v7_knn_graph(spark, sf).collect().toSeq
