@@ -1112,7 +1112,9 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * through [[catalogAppend]] (the COPY FROM bulk path: MODIFY check,
     * key validation, one server-side writetime), so the session's
     * timestamp reconcile, LWT, and guardrail semantics hold even for
-    * Spark-SQL writes; DELETE/UPDATE remain CQL-side. */
+    * Spark-SQL writes; `DELETE FROM name.ks.t WHERE <key preds>` and
+    * `TRUNCATE TABLE name.ks.t` route through [[catalogDelete]] (r10);
+    * UPDATE/MERGE remain CQL-side. */
   def exposeAsCatalog(name: String = "graft"): Unit = {
     graft.spark.GraftCatalog.bind(name, this)
     spark.conf.set(s"spark.sql.catalog.$name",
@@ -2090,6 +2092,37 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           "catalog INSERT: a row carries a null primary key value")
       if (overwrite) truncateState(key)
     })
+  }
+
+  /** DSv2 DELETE bridge ([[graft.spark.GraftCatalog]]'s `SupportsDelete`):
+    * Spark SQL `DELETE FROM catalog.ks.t WHERE <key predicates>` routes
+    * through the SAME tombstone write path as CQL DELETE — MODIFY
+    * enforcement, a server-side coordinator timestamp, IN expansion under
+    * one shared timestamp — so a Spark-side delete cannot diverge from
+    * CQL semantics (upstream's connector maps DELETE the same way: key
+    * predicates or refuse). `preds` are (column → value | [[CqlInList]])
+    * pairs syntactically vetted by `canDeleteWhere`; CQL's addressing
+    * rules (partition key required, contiguous clustering prefix) are
+    * enforced by the shared DML path, not re-implemented here. An EMPTY
+    * predicate list is Spark's TRUNCATE TABLE — routed through the CQL
+    * TRUNCATE DDL so auto_snapshot fires exactly like the text verb. */
+  private[graft] def catalogDelete(table: String,
+      preds: Seq[(String, Any)]): Unit = {
+    val key = table.toLowerCase
+    if (SystemKeyspaces.contains(keyspaceOf(key)))
+      throw new CqlInvalidQueryException(
+        s"table $table is a system table and cannot be written")
+    if (!isWritableTable(key))
+      throw new CqlInvalidQueryException(
+        s"table $table is not writable (materialized views are " +
+          "maintained from their base table)")
+    if (preds.isEmpty) {
+      checkPerm("modify", authRes(key))
+      applyDdl(CqlTruncate(key))
+    } else {
+      runDml(CqlDelete(key, preds, usingTimestamp = None))
+      ()
+    }
   }
 
   /** TRUNCATE semantics, shared by CQL `TRUNCATE` and the catalog's

@@ -187,6 +187,35 @@ object AdminQueries {
              ORDER BY o_orderpriority""")
   }
 
+  /** CAT2 — the DSv2 row-level DELETE bridge in the gate (r10): plain
+    * Spark SQL `DELETE FROM catalog.ns.t WHERE k IN (…)` routes through
+    * the session's CQL tombstone path (MODIFY check, coordinator
+    * timestamp, IN expansion under one shared timestamp), then the
+    * aggregate read-back runs over the survivors. The twin applies the
+    * same key predicate to the fixture directly, so the whole
+    * write→delete→snapshot→read loop is hash-verified. */
+  def cat2_catalog_delete(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.cql.CqlSession(s)
+    sess.execute("CREATE TABLE cat_orders2 (o_orderkey bigint PRIMARY " +
+      "KEY, o_totalprice double, o_orderpriority text)")
+    sess.exposeAsCatalog("graftcat2")
+    s.read.parquet(s"$d/orders.parquet")
+      .createOrReplaceTempView("cat2_src")
+    s.sql("INSERT INTO graftcat2.default.cat_orders2 " +
+      "SELECT o_orderkey, o_totalprice, o_orderpriority " +
+      "FROM cat2_src WHERE o_orderkey <= 2000")
+    val doomed = (1L to 2000L by 3).mkString(", ")
+    s.sql("DELETE FROM graftcat2.default.cat_orders2 " +
+      s"WHERE o_orderkey IN ($doomed)")
+    s.sql("""SELECT o_orderpriority,
+             count(*) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(38,6))) AS total,
+             min(o_orderkey) AS first_key
+             FROM graftcat2.default.cat_orders2
+             GROUP BY o_orderpriority
+             ORDER BY o_orderpriority""")
+  }
+
   /** CQL16 — audit / full-query logging in the gate [U audit/
     * AuditLogManager.java, FullQueryLogger.java]: AUDIT ON, then one
     * statement per category — DML, QUERY, DDL, DCL, AUTH (login
@@ -546,6 +575,7 @@ object AdminQueries {
     "cql14_schema" -> (cql14_schema _),
     "cql15_settings" -> (cql15_settings _),
     "cat1_catalog" -> (cat1_catalog _),
+    "cat2_catalog_delete" -> (cat2_catalog_delete _),
     "cql17_keyspace" -> (cql17_keyspace _),
     "cql18_binding" -> (cql18_binding _),
     "cql19_compaction" -> (cql19_compaction _),
@@ -617,6 +647,14 @@ object AdminQueries {
         |  sum(CAST(o_totalprice AS DECIMAL(38,6))) AS total,
         |  min(o_orderkey) AS first_key
         |FROM orders WHERE o_orderkey <= 2000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the Spark-side DELETE's survivors: every key NOT in the 1,4,7,…
+    // arithmetic progression the catalog DELETE tombstoned
+    "cat2_catalog_delete" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(38,6))) AS total,
+        |  min(o_orderkey) AS first_key
+        |FROM orders WHERE o_orderkey <= 2000 AND (o_orderkey - 1) % 3 <> 0
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // the literal keyspace-lifecycle state: distinct same-named tables,
     // prepare-time binding, scoped grants, attribution, drop semantics

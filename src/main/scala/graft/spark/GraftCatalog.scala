@@ -41,8 +41,11 @@ import java.util
   * V1 write bridge and land in `CqlSession.catalogAppend` — the session's
   * MODIFY enforcement, key validation, and single-writetime bulk append
   * (COPY FROM's path), NOT a raw parquet append, so reconcile/LWT/
-  * guardrail semantics hold across both surfaces. DELETE/UPDATE stay
-  * CQL-side (tombstone granularities don't map onto DSv2 row-level ops).
+  * guardrail semantics hold across both surfaces. Row-level DELETE
+  * (r10): key equality / IN predicates map to the SAME tombstones the
+  * CQL verb writes, and TRUNCATE TABLE is the CQL TRUNCATE DDL with its
+  * auto_snapshot safety net; UPDATE/MERGE stay CQL-side (cell-level ops
+  * and USING TIMESTAMP/TTL don't map onto DSv2 row-level ops).
   *
   * Catalog instances are created reflectively by Spark's CatalogManager
   * (zero-arg constructor + `initialize`), so the session binds through a
@@ -287,14 +290,67 @@ object GraftCatalog {
   * `COPY FROM`, so `INSERT INTO graft.ks.t SELECT …` CANNOT bypass the
   * session's reconcile/auth semantics the way a raw parquet append would.
   * `INSERT OVERWRITE` (static) maps to CQL `TRUNCATE` + append via
-  * [[SupportsTruncate]]. DELETE/UPDATE/MERGE stay CQL-side: their CQL
-  * granularities (cell / row / range / partition tombstones, USING
-  * TIMESTAMP) have no faithful DSv2 mapping. */
+  * [[SupportsTruncate]]. Row-level DELETE maps faithfully (r10): key
+  * equality / IN predicates become the SAME row/partition tombstones the
+  * CQL verb writes (SupportsDelete → CqlSession.catalogDelete), and
+  * Spark's TRUNCATE TABLE is the CQL TRUNCATE DDL (auto_snapshot
+  * included). UPDATE/MERGE stay CQL-side: their granularities
+  * (cell-level ops, USING TIMESTAMP/TTL, collection mutations) have no
+  * faithful DSv2 mapping. */
 private[spark] class GraftTable(ident: String, tableSchema: StructType,
     delegate: Table, session: CqlSession, registryKey: String)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = ident
   override def schema(): StructType = tableSchema
+
+  /** Flatten a top-level conjunction of source filters into (column →
+    * value | CqlInList) pairs, or None if any conjunct falls outside the
+    * CQL-DELETE-expressible subset (equality / IN on named columns with
+    * scalar values). CQL's addressing rules — partition key required,
+    * contiguous clustering prefix, no non-key columns — are enforced by
+    * the session's shared DML path at execution. */
+  private def keyPreds(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Option[Seq[(String, Any)]] = {
+    val fields = tableSchema.fieldNames.map(_.toLowerCase).toSet
+    def scalar(v: Any): Boolean = v match {
+      case null => false
+      case _: String | _: java.lang.Number | _: java.lang.Boolean => true
+      case _ => false
+    }
+    def one(f: org.apache.spark.sql.sources.Filter)
+        : Option[Seq[(String, Any)]] = f match {
+      case org.apache.spark.sql.sources.And(l, r) =>
+        for (a <- one(l); b <- one(r)) yield a ++ b
+      case org.apache.spark.sql.sources.EqualTo(a, v)
+          if fields(a.toLowerCase) && scalar(v) =>
+        Some(Seq(a.toLowerCase -> v))
+      case org.apache.spark.sql.sources.In(a, vs)
+          if fields(a.toLowerCase) && vs.nonEmpty && vs.forall(scalar) =>
+        Some(Seq(a.toLowerCase -> graft.cql.CqlInList(vs.toSeq)))
+      case _ => None
+    }
+    filters.toSeq.foldLeft(Option(Seq.empty[(String, Any)])) { (acc, f) =>
+      for (a <- acc; b <- one(f)) yield a ++ b
+    }
+  }
+
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    keyPreds(filters).isDefined
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    session.catalogDelete(registryKey, keyPreds(filters).getOrElse(
+      throw new IllegalArgumentException(
+        s"unsupported delete filters: ${filters.mkString(", ")}")))
+
+  /** Spark SQL `TRUNCATE TABLE` — the CQL TRUNCATE verb (auto_snapshot
+    * included), via the empty-predicate form of the shared bridge. */
+  override def truncateTable(): Boolean = {
+    session.catalogDelete(registryKey, Nil)
+    true
+  }
   override def capabilities(): util.Set[TableCapability] =
     // base tables only: system tables AND materialized views (derived —
     // maintained from their base) advertise read-only, failing an INSERT

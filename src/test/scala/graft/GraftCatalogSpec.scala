@@ -27,6 +27,62 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getLong(0) === 1L)
   }
 
+  test("Spark SQL DELETE routes through the CQL tombstone path") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE cat_del (k bigint PRIMARY KEY, v text)")
+    (1L to 5L).foreach(i =>
+      s.execute(s"INSERT INTO cat_del (k, v) VALUES ($i, 'v$i')"))
+    s.exposeAsCatalog("graft")
+    spark.sql("DELETE FROM graft.default.cat_del WHERE k = 2")
+    // IN expands under one shared timestamp, like the CQL verb
+    spark.sql("DELETE FROM graft.default.cat_del WHERE k IN (4, 5)")
+    assert(spark.sql("SELECT k FROM graft.default.cat_del ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    // the delete is a real tombstone: CQL-side reads agree
+    assert(s.execute("SELECT k FROM cat_del").collect().map(_.getLong(0))
+      .sorted.toSeq === Seq(1L, 3L))
+    // a CQL write AFTER the Spark delete resurrects the row (newer ts wins)
+    s.execute("INSERT INTO cat_del (k, v) VALUES (2, 'back')")
+    assert(spark.sql(
+      "SELECT v FROM graft.default.cat_del WHERE k = 2").head().getString(0)
+      === "back")
+  }
+
+  test("Spark SQL DELETE refuses non-key-expressible predicates at analysis") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE cat_del2 (k bigint PRIMARY KEY, v text)")
+    s.execute("INSERT INTO cat_del2 (k, v) VALUES (1, 'x')")
+    s.exposeAsCatalog("graft")
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM graft.default.cat_del2 WHERE v LIKE 'x%'")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    // addressing rules still come from the CQL path: a non-key equality
+    // passes the syntactic gate but the session refuses it like CQL would
+    val e2 = intercept[Exception] {
+      spark.sql("DELETE FROM graft.default.cat_del2 WHERE v = 'x'")
+    }
+    assert(e2.getMessage.nonEmpty)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.default.cat_del2")
+      .head().getLong(0) === 1L)
+  }
+
+  test("Spark SQL TRUNCATE TABLE is the CQL verb, auto_snapshot included") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE cat_tr (k bigint PRIMARY KEY, v text)")
+    s.execute("INSERT INTO cat_tr (k, v) VALUES (1, 'x')")
+    s.execute("INSERT INTO cat_tr (k, v) VALUES (2, 'y')")
+    s.exposeAsCatalog("graft")
+    spark.sql("TRUNCATE TABLE graft.default.cat_tr")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.default.cat_tr")
+      .head().getLong(0) === 0L)
+    // the safety net fired: a truncated-N-cat_tr snapshot exists
+    val snaps = s.execute(
+      "SELECT name FROM system_views.snapshots").collect()
+      .map(_.getString(0))
+    assert(snaps.exists(_.matches("truncated-\\d+-cat_tr")), snaps.toSeq)
+  }
+
   test("SHOW TABLES / SHOW NAMESPACES list the registry") {
     val s = CqlSession(spark)
     s.execute("CREATE TABLE cat_t1 (k bigint PRIMARY KEY, v bigint)")
