@@ -543,6 +543,77 @@ object DedupQueries {
       Tables.documents(s, d).filter(col("doc_id") % 13 === 0)
         .select((col("doc_id") + 400000L).as("doc_id"), col("text")))
 
+  /** D17 (L2 stream — STREAMING segment ingestion): the continuous-crawl
+    * form of d14 — accepted batches arrive as a Structured Streaming file
+    * source (`maxFilesPerTrigger = 1`, AvailableNow), and each micro-batch
+    * writes its bands as ONE new segment via `foreachBatch` (the per-flush
+    * segment rule upstream SAI applies per flushed sstable, here driven by
+    * the stream itself). The next crawl probes base ∪ all streamed
+    * segments under the merged bucket cap; the twin bands the equivalent
+    * batch union, so the whole stream→segment→probe loop is
+    * hash-verified. Scale: each micro-batch costs one banding pass over
+    * ITS OWN rows (never the corpus), and serve cost is d14's — flat in
+    * segment count until d16's merge dial fires. */
+  def d17_stream_index(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val (inDir, segRoot) = d17Staged.computeIfAbsent(
+      s"$d@${docsMtime(d)}", { _ =>
+        val in = java.nio.file.Paths.get(Tables.tempRoot("graft-d17-in"))
+        def stage(df: DataFrame, name: String): Unit = {
+          val tmp = Tables.tempRoot("graft-d17-w")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          Files.copy(part.toPath, in.resolve(name),
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+        val docs = Tables.documents(s, d)
+        stage(docs.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 500000L).as("doc_id"), col("text")),
+          "crawl1.parquet")
+        stage(docs.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 600000L).as("doc_id"), col("text")),
+          "crawl2.parquet")
+        val segRoot = Tables.tempRoot("graft-d17-seg")
+        val ckpt = Tables.tempRoot("graft-d17-ckpt")
+        val ss = StreamingQueries.streamSession(s)
+        val docSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType)))
+        ss.readStream.schema(docSchema)
+          .option("maxFilesPerTrigger", "1").parquet(in.toString)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                batchId: Long) =>
+              bandedSignatures(batch.toDF())
+                .write.mode("overwrite").parquet(s"$segRoot/seg_$batchId")
+              ()
+          }
+          .start().awaitTermination()
+        (in.toString, segRoot)
+      })
+    val _ = inDir
+    probeBandIndex(
+      s.read.parquet(bandIndexDir(s, d))
+        .unionByName(s.read.parquet(s"$segRoot/seg_*")),
+      Tables.documents(s, d).filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 700000L).as("doc_id"), col("text")))
+  }
+
+  private val d17Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def docsMtime(d: String): Long =
+    try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$d/documents.parquet")).toMillis
+    catch { case _: Exception => 0L }
+
   /** The deletion segment (doc_ids removed from the corpus), persisted
     * once per (corpus, mtime) beside the other index artifacts. */
   private val d15SegCache =
@@ -748,6 +819,7 @@ object DedupQueries {
     "d14_band_append" -> (d14_band_append _),
     "d15_band_delete" -> (d15_band_delete _),
     "d16_band_merge" -> (d16_band_merge _),
+    "d17_stream_index" -> (d17_stream_index _),
   )
 
   private val corpusCteBody =
@@ -1011,6 +1083,26 @@ object DedupQueries {
              |WHERE doc_id % 11 = 0""".stripMargin)},
          |${bandCtes("n",
            "SELECT doc_id + 400000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0")},
+         |iok AS (SELECT band, key FROM ibanded GROUP BY band, key
+         |        HAVING count(*) <= $MaxBucket)
+         |SELECT i.doc_id AS idx_id, n.doc_id AS new_id
+         |FROM ibanded i
+         |JOIN iok ON iok.band = i.band AND iok.key = i.key
+         |JOIN nbanded n ON i.band = n.band AND i.key = n.key
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // streamed segments ≡ the batch union: the stream moved the bytes,
+    // banding and cap semantics are identical
+    "d17_stream_index" ->
+      s"""WITH ${bandCtes("i",
+           """SELECT doc_id, text FROM documents
+             |UNION ALL
+             |SELECT doc_id + 500000 AS doc_id, text FROM documents
+             |WHERE doc_id % 4 = 0
+             |UNION ALL
+             |SELECT doc_id + 600000 AS doc_id, text FROM documents
+             |WHERE doc_id % 9 = 0""".stripMargin)},
+         |${bandCtes("n",
+           "SELECT doc_id + 700000 AS doc_id, text FROM documents WHERE doc_id % 6 = 0")},
          |iok AS (SELECT band, key FROM ibanded GROUP BY band, key
          |        HAVING count(*) <= $MaxBucket)
          |SELECT i.doc_id AS idx_id, n.doc_id AS new_id

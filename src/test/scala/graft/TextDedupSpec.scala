@@ -227,6 +227,27 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("streamed segment ingestion: each crawl batch's segment is probeable") {
+    val pairs = DedupQueries.d17_stream_index(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probed = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 6 === 0).select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(probed.nonEmpty)
+    probed.foreach { id =>
+      // base corpus match
+      assert(pairs.contains((id, id + 700000L)), s"base match for $id lost")
+      // each streamed crawl's segment must answer the probe: batch 1
+      // (%4 → +500000) and batch 2 (%9 → +600000)
+      if (id % 4 == 0)
+        assert(pairs.contains((id + 500000L, id + 700000L)),
+          s"streamed segment 1 match for $id missing")
+      if (id % 9 == 0)
+        assert(pairs.contains((id + 600000L, id + 700000L)),
+          s"streamed segment 2 match for $id missing")
+    }
+  }
+
   test("substring spans: an injected whole-doc copy is one full-length span") {
     val out = DedupQueries.d9_substring(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
