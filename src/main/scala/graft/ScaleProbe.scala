@@ -101,7 +101,11 @@ object ScaleProbe {
         "d14_band_append", "v19_graph_append",
         // r9: the DELETE lifecycle — masked serving must stay as flat as
         // unmasked (the mask is one broadcast anti-join / result filter)
-        "v20_deleted_mask", "d15_band_delete", "v21_graph_delete")
+        "v20_deleted_mask", "d15_band_delete", "v21_graph_delete",
+        // r10: the merge dial (probe over the compacted base must cost
+        // what d14's union probe costs), streamed segment ingestion, and
+        // the co-located bucketed join (layout amortized, serve flat)
+        "d16_band_merge", "d17_stream_index", "j10_bucketed_join")
         .map(n => n -> SparkEntry.queries(n))
     factors.foreach { f =>
       val dir = if (f == 1) base else s"/tmp/graft-scale-${f}x"

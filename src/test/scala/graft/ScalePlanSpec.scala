@@ -36,6 +36,18 @@ class ScalePlanSpec extends SparkSpec {
     }
   }
 
+  test("j10's declared plan is exchange-free below the final tiny agg") {
+    val plan = graft.operators.RelationalQueries
+      .j10_bucketed_join(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the fact pre-agg and the join ride the scans' bucket partitioning:
+    // the ONLY hash exchanges allowed are on the 5-row priority key
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+      s"fact side must not re-shuffle:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"orders side must not re-shuffle:\n$plan")
+  }
+
   test("partitioned layout enables dynamic partition pruning on the fact scan") {
     val dir = Files.createTempDirectory("graft-dpp").toString
     Tables.orders(spark, sf).write.mode("overwrite")
