@@ -15,15 +15,29 @@ case class MediaFeature(doc_id: Long, mime: String, n_bytes: Int,
 /** One sampled frame: 1 media row → many frame rows (the video shape). */
 case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
+/** One REAL image: PNG-encoded bytes (r10 — decode is no longer a stub
+  * for images: the JDK ships `javax.imageio`). */
+case class PngRow(doc_id: Long, png: Array[Byte])
+
+/** Features measured from DECODED pixels (plus a real 4×4 area-average
+  * resize of the raster): every field is exactly predictable from the
+  * generator's arithmetic, so the whole encode→PNG→decode→measure loop
+  * hash-gates against a pure-SQL twin. */
+case class ImgFeature(doc_id: Long, width: Int, height: Int,
+  sum_red: Long, tl_red: Int, br_red: Int)
+
 /** SURVEY §2.13 — multimodal columns: image/audio/video as opaque `binary`
   * with typed metadata, processed per-partition in batches (the Scala
   * analogue of `mapInPandas` — `Dataset.mapPartitions` with case-class
   * encoders, so each task decodes a batch without per-row driver round-trips).
   *
-  * The decode step is a clearly-marked deterministic STUB (no image/audio
-  * libs in this container): feature = first-8-hex-chars of the payload's md5,
-  * as an int. The Spark-side plumbing — binary column, schema, partitioning,
-  * batch iteration shape — is real and tested (MultimodalSpec).
+  * Decode status (r10): IMAGES decode for REAL — the JDK ships
+  * `javax.imageio` (PNG/JPEG), so [[pngTable]]/[[decodePng]]/`m6` run a
+  * genuine binary encode→decode→measure→resize loop, hash-gated against
+  * the generator's arithmetic (PNG is lossless). Audio/video decoding
+  * stays a clearly-marked deterministic STUB — the JDK ships no codecs
+  * for those — with the Spark-side plumbing (binary column, schema,
+  * partitioning, batch iteration shape) real and tested (MultimodalSpec).
   */
 object MultimodalQueries {
 
@@ -168,15 +182,129 @@ object MultimodalQueries {
       .orderBy("id1", "id2")
   }
 
+  /** The color/geometry rules a doc_id determines — shared by the image
+    * generator and (as SQL arithmetic) the m6 oracle. Left half one
+    * color, right half another: constant regions make the decoded sums
+    * and the resize's corner cells EXACT integers. */
+  private def imgParams(id: Long): (Int, Int, Int, Int, Int, Int, Int, Int) = {
+    val w = 16 + (id % 16).toInt
+    val h = 8 + (id % 8).toInt
+    ((w, h, (id % 256).toInt, ((id * 7) % 256).toInt,
+      ((id * 13) % 256).toInt, ((id * 3) % 256).toInt,
+      ((id * 11) % 256).toInt, ((id * 17) % 256).toInt) match {
+      case t => t
+    })
+  }
+
+  /** REAL images: one deterministic PNG per document, rendered and
+    * encoded per-partition (one encoder per task — the batch shape a
+    * 100 TB media pipeline needs; PNG is lossless, so the decode side
+    * recovers the exact generated pixels). */
+  def pngTable(s: SparkSession, d: String): Dataset[PngRow] = {
+    import s.implicits._
+    Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (w, h, rL, gL, bL, rR, gR, bR) = imgParams(id)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val (r, g, b) =
+                if (x < w / 2) (rL, gL, bL) else (rR, gR, bR)
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          PngRow(id, bos.toByteArray)
+        }
+      }
+  }
+
+  /** REAL decode (r10 — upgrades the L5 stub for images): `ImageIO.read`
+    * per row inside `mapPartitions`, then pixel measurement over the
+    * decoded raster — dimensions, a full red-channel sum, and the
+    * (0,0)/(3,3) cells of a REAL 4×4 area-average resize (integer
+    * average over each cell's decoded pixels). Audio/video decoding
+    * stays stubbed — the JDK ships no codecs for those — but the image
+    * path now exercises a genuine binary decoder end-to-end. */
+  def decodePng(media: Dataset[PngRow]): Dataset[ImgFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.png))
+        val w = img.getWidth
+        val h = img.getHeight
+        var sumRed = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            sumRed += (img.getRGB(x, y) >> 16) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        // 4×4 area-average resize over the DECODED raster; a cell's red
+        // is the integer mean of its pixels (exact on constant regions)
+        def cellRed(cx: Int, cy: Int): Int = {
+          val (x0, x1) = (cx * w / 4, (cx + 1) * w / 4)
+          val (y0, y1) = (cy * h / 4, (cy + 1) * h / 4)
+          var s = 0L; var n = 0
+          var yy = y0
+          while (yy < y1) {
+            var xx = x0
+            while (xx < x1) {
+              s += (img.getRGB(xx, yy) >> 16) & 0xff; n += 1; xx += 1
+            }
+            yy += 1
+          }
+          (s / n).toInt
+        }
+        ImgFeature(r.doc_id, w, h, sumRed, cellRed(0, 0), cellRed(3, 3))
+      }
+    }
+  }
+
+  /** M6: the image pipeline with a REAL codec — generate → PNG encode →
+    * ImageIO decode → measure + resize, hash-gated against the
+    * generator's arithmetic computed in pure SQL (PNG losslessness is
+    * exactly what makes the twin exact). */
+  def m6_image_decode(s: SparkSession, d: String): DataFrame =
+    decodePng(pngTable(s, d)).toDF()
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m5_phash_neardup" -> (m5_phash_neardup _),
     "m1_features" -> (m1_features _),
     "m2_mime_profile" -> (m2_mime_profile _),
     "m3_frame_sample" -> (m3_frame_sample _),
     "m4_resize" -> (m4_resize _),
+    "m6_image_decode" -> (m6_image_decode _),
   )
 
   val oracle: Map[String, String] = Map(
+    // the generator's arithmetic in pure SQL: width/height from doc_id,
+    // red sums from the half-split colors, resize corners = the halves'
+    // reds — the Spark side must recover these from DECODED PNG pixels
+    "m6_image_decode" ->
+      """SELECT doc_id,
+        |  CAST(16 + doc_id % 16 AS INT) AS width,
+        |  CAST(8 + doc_id % 8 AS INT) AS height,
+        |  CAST(((16 + doc_id % 16) // 2 * (doc_id % 256)
+        |    + ((16 + doc_id % 16) - (16 + doc_id % 16) // 2)
+        |      * ((doc_id * 3) % 256))
+        |    * (8 + doc_id % 8) AS BIGINT) AS sum_red,
+        |  CAST(doc_id % 256 AS INT) AS tl_red,
+        |  CAST((doc_id * 3) % 256 AS INT) AS br_red
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
     // same 60-bit md5 hash (d3's 15-hex-char convention), same 15-bit
     // bands, same bucket-join candidates, same Hamming cut
     "m5_phash_neardup" ->

@@ -39,6 +39,24 @@ class MultimodalSpec extends SparkSpec {
     assert(idx.toSeq === Seq(0, 2))
   }
 
+  test("real PNG round-trip: decoded pixels equal the generated image") {
+    import graft.operators.MultimodalQueries
+    val rows = MultimodalQueries.pngTable(spark, sf)
+      .filter(_.doc_id == 37L).collect()
+    assert(rows.length === 1)
+    val png = rows.head.png
+    // PNG magic: the payload is a genuine PNG file, not a fake
+    assert(png.take(4).map(_ & 0xff).toSeq === Seq(0x89, 0x50, 0x4e, 0x47))
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth === 16 + (37 % 16) && img.getHeight === 8 + (37 % 8))
+    // left-half / right-half colors exactly as generated (lossless codec)
+    assert(((img.getRGB(0, 0) >> 16) & 0xff) === 37 % 256)
+    assert(((img.getRGB(img.getWidth - 1, 0) >> 16) & 0xff) === (37 * 3) % 256)
+    assert(((img.getRGB(0, 0) >> 8) & 0xff) === (37 * 7) % 256)
+    assert((img.getRGB(0, 0) & 0xff) === (37 * 13) % 256)
+  }
+
   test("resize preserves schema and truncates payloads") {
     val resized = MultimodalQueries.resizePayload(
       MultimodalQueries.mediaTable(spark, sf), n = 8)
