@@ -31,13 +31,15 @@ case class ImgFeature(doc_id: Long, width: Int, height: Int,
   * analogue of `mapInPandas` — `Dataset.mapPartitions` with case-class
   * encoders, so each task decodes a batch without per-row driver round-trips).
   *
-  * Decode status (r10): IMAGES decode for REAL — the JDK ships
-  * `javax.imageio` (PNG/JPEG), so [[pngTable]]/[[decodePng]]/`m6` run a
-  * genuine binary encode→decode→measure→resize loop, hash-gated against
-  * the generator's arithmetic (PNG is lossless). Audio/video decoding
-  * stays a clearly-marked deterministic STUB — the JDK ships no codecs
-  * for those — with the Spark-side plumbing (binary column, schema,
-  * partitioning, batch iteration shape) real and tested (MultimodalSpec).
+  * Decode status (r10): every modality now exercises a REAL codec the
+  * JDK ships — IMAGES via `javax.imageio` PNG (m6: encode→decode→
+  * measure→area-average resize), AUDIO via `javax.sound.sampled` WAV/
+  * PCM16 (m7: container write → AudioSystem decode → exact sample sum),
+  * VIDEO-shaped frame sampling via multi-frame animated GIF (m8:
+  * ImageWriter sequence → ImageReader per-frame decode at stride 2).
+  * All three formats are lossless, so each pipeline hash-gates against
+  * the generator's arithmetic in pure SQL. The original md5-payload
+  * stubs remain as the lib-free plumbing demos m1–m5 twin against.
   */
 object MultimodalQueries {
 
@@ -281,6 +283,130 @@ object MultimodalQueries {
     decodePng(pngTable(s, d)).toDF()
       .orderBy("doc_id")
 
+  /** One REAL audio clip: WAV-container PCM16 bytes (r10 — the JDK ships
+    * `javax.sound.sampled`; PCM in a WAV container is lossless). */
+  private case class WavRow(doc_id: Long, wav: Array[Byte])
+
+  /** Measured from DECODED samples: count + exact signed sum. */
+  private case class AudioFeature(doc_id: Long, n_samples: Int,
+    sum_samples: Long)
+
+  /** M7: the audio pipeline with a REAL codec — synthesize a
+    * deterministic PCM16 sawtooth ((i·k) mod 65536 − 32768, k from
+    * doc_id), wrap it in a WAV container via `AudioSystem.write`, then
+    * DECODE through `AudioSystem.getAudioInputStream` and measure the
+    * sample count and exact signed sum. PCM is lossless, so the twin is
+    * the same arithmetic as a `generate_series` sum in pure SQL. */
+  def m7_audio_decode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val clips: Dataset[WavRow] = Tables.documents(s, d)
+      .filter(col("doc_id") < 200).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = 400 + (id % 100).toInt
+          val k = (id % 31 + 1).toInt
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = ((i.toLong * k) % 65536L - 32768L).toShort
+            pcm(2 * i) = (v & 0xff).toByte          // little-endian PCM16
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            8000f, 16, 1, true, false) // signed, little-endian, mono
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          WavRow(id, bos.toByteArray)
+        }
+      }
+    clips.mapPartitions { rows =>
+      rows.map { r =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.wav))
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+          s"unexpected decoded format $fmt")
+        val bytes = in.readAllBytes()
+        var sum = 0L
+        var i = 0
+        while (i < bytes.length) {
+          sum += ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toLong
+          i += 2
+        }
+        AudioFeature(r.doc_id, bytes.length / 2, sum)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  /** M8: the VIDEO shape with a REAL container — a deterministic 4-frame
+    * animated GIF per document (each frame a solid ≤256-color image, so
+    * the palette codec is lossless), decoded frame-by-frame through an
+    * ImageIO `ImageReader` and frame-SAMPLED at stride 2 — one row in,
+    * one row out per kept frame, the generator shape a real video
+    * sampler needs. Twin = the frame-color arithmetic in pure SQL. */
+  def m8_gif_frames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val gifs = Tables.documents(s, d)
+      .filter(col("doc_id") < 100).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val writerFor = () => {
+          val it = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+          require(it.hasNext, "JDK GIF writer missing")
+          it.next()
+        }
+        ids.map { id =>
+          val bos = new java.io.ByteArrayOutputStream()
+          val out = javax.imageio.ImageIO.createImageOutputStream(bos)
+          val w = writerFor()
+          w.setOutput(out)
+          w.prepareWriteSequence(null)
+          var f = 0
+          while (f < 4) {
+            val gray = ((id * 5 + f * 40) % 256).toInt
+            val img = new java.awt.image.BufferedImage(
+              8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                img.setRGB(x, y, (gray << 16) | (gray << 8) | gray)
+                x += 1
+              }
+              y += 1
+            }
+            w.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          w.endWriteSequence()
+          out.close()
+          w.dispose()
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "gif").as[(Long, Array[Byte])]
+    gifs.flatMap { case (id, bytes) =>
+      val reader = {
+        val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+        require(it.hasNext, "JDK GIF reader missing")
+        it.next()
+      }
+      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      val n = reader.getNumImages(true)
+      val frames = (0 until n by 2).map { f => // stride-2 frame sampling
+        val img = reader.read(f)
+        (id, f, (img.getRGB(3, 3) >> 16) & 0xff, img.getWidth)
+      }
+      reader.dispose()
+      frames
+    }.toDF("doc_id", "frame_idx", "gray", "width")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m5_phash_neardup" -> (m5_phash_neardup _),
     "m1_features" -> (m1_features _),
@@ -288,9 +414,29 @@ object MultimodalQueries {
     "m3_frame_sample" -> (m3_frame_sample _),
     "m4_resize" -> (m4_resize _),
     "m6_image_decode" -> (m6_image_decode _),
+    "m7_audio_decode" -> (m7_audio_decode _),
+    "m8_gif_frames" -> (m8_gif_frames _),
   )
 
   val oracle: Map[String, String] = Map(
+    // PCM losslessness: decoded sample sum = the sawtooth arithmetic
+    // i·k < 65536 for every generated sample (k ≤ 31, i < 500), so the
+    // mod never wraps and the decoded sum has a closed form:
+    // k·n·(n−1)/2 − 32768·n
+    "m7_audio_decode" ->
+      """SELECT doc_id,
+        |  CAST(400 + doc_id % 100 AS INT) AS n_samples,
+        |  CAST((doc_id % 31 + 1) * (400 + doc_id % 100)
+        |       * (400 + doc_id % 100 - 1) // 2
+        |       - 32768 * (400 + doc_id % 100) AS BIGINT) AS sum_samples
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+    // GIF palette losslessness: sampled frames carry the generated gray
+    "m8_gif_frames" ->
+      """SELECT doc_id, CAST(f.frame_idx AS INT) AS frame_idx,
+        |  CAST((doc_id * 5 + f.frame_idx * 40) % 256 AS INT) AS gray,
+        |  CAST(8 AS INT) AS width
+        |FROM documents CROSS JOIN (VALUES (0), (2)) AS f(frame_idx)
+        |WHERE doc_id < 100 ORDER BY doc_id, frame_idx""".stripMargin,
     // the generator's arithmetic in pure SQL: width/height from doc_id,
     // red sums from the half-split colors, resize corners = the halves'
     // reds — the Spark side must recover these from DECODED PNG pixels

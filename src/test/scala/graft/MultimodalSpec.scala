@@ -57,6 +57,26 @@ class MultimodalSpec extends SparkSpec {
     assert((img.getRGB(0, 0) & 0xff) === (37 * 13) % 256)
   }
 
+  test("real WAV round-trip: container magic and exact PCM recovery") {
+    import graft.operators.MultimodalQueries
+    val row = MultimodalQueries.m7_audio_decode(spark, sf)
+      .filter(col("doc_id") === 37L).head()
+    assert(row.getInt(1) === 400 + 37 % 100)
+    val (k, n) = (37 % 31 + 1, 400 + 37 % 100)
+    assert(row.getLong(2) === k.toLong * n * (n - 1) / 2 - 32768L * n)
+  }
+
+  test("real GIF frame sampling: 4 frames written, stride-2 decoded") {
+    import graft.operators.MultimodalQueries
+    val rows = MultimodalQueries.m8_gif_frames(spark, sf)
+      .filter(col("doc_id") === 11L).collect()
+    assert(rows.map(_.getInt(1)).toSeq === Seq(0, 2))
+    rows.foreach { r =>
+      assert(r.getInt(2) === ((11 * 5 + r.getInt(1) * 40) % 256))
+      assert(r.getInt(3) === 8)
+    }
+  }
+
   test("resize preserves schema and truncates payloads") {
     val resized = MultimodalQueries.resizePayload(
       MultimodalQueries.mediaTable(spark, sf), n = 8)
