@@ -1840,9 +1840,19 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       StructField("bytes_in", LongType),
       StructField("bytes_out", LongType),
       StructField("rows_merged", MapType(IntegerType, LongType))))
+    val psSchema = StructType(Seq(
+      StructField("prepared_id", StringType),
+      StructField("logged_keyspace", StringType),
+      StructField("query_string", StringType)))
+    val psRows = preparedReg.toSeq.map { case ((id, ks), text) =>
+      Row(id, ks, text)
+    }
     Map(
       "system.local" ->
         CqlTable(spark.createDataFrame(lRows.asJava, lSchema), Seq("key")),
+      "system.prepared_statements" ->
+        CqlTable(spark.createDataFrame(psRows.asJava, psSchema),
+          Seq("prepared_id")),
       "system.compaction_history" ->
         CqlTable(spark.createDataFrame(
           compactionHistory.toSeq.asJava, chSchema), Seq("id")),
@@ -2566,7 +2576,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     val trimmed = cql.trim
     // the keyspace binds at PREPARE time, as upstream QueryProcessor
     // does: a later USE never re-targets an already-prepared statement
-    trimmed.takeWhile(!_.isWhitespace).toLowerCase match {
+    val p = trimmed.takeWhile(!_.isWhitespace).toLowerCase match {
       case "select" =>
         val sel = CqlParser.parse(trimmed)
         new CqlPrepared(this, canonSelect(sel), trimmed)
@@ -2580,7 +2590,27 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       case other => throw new CqlInvalidQueryException(
         s"only SELECT/INSERT/UPDATE/DELETE/BATCH can be prepared, got $other")
     }
+    // `system.prepared_statements` [U db/SystemKeyspace.java — upstream
+    // persists the prepared cache so restarted nodes can re-prepare]:
+    // id = md5 of the statement text (upstream computeId over
+    // (query, keyspace); hex TEXT here instead of blob so the gate twin
+    // can compute it), logged_keyspace = the PREPARE-time keyspace
+    // (null when unset, i.e. the default keyspace). Keyed like the
+    // upstream cache: re-preparing the same text in the same keyspace is
+    // one entry. Ring-bounded at TraceCap like the other session logs.
+    val ks = if (currentKs == UserKeyspace) null else currentKs
+    preparedReg((md5Hex(trimmed), ks)) = trimmed
+    while (preparedReg.size > CqlSession.TraceCap)
+      preparedReg.remove(preparedReg.head._1)
+    p
   }
+
+  private val preparedReg =
+    scala.collection.mutable.LinkedHashMap.empty[(String, String), String]
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   /** One coordinator timestamp shared by every statement in the batch
     * (upstream batch-timestamp rule); statement-level USING TIMESTAMP is

@@ -216,6 +216,30 @@ object AdminQueries {
              ORDER BY o_orderpriority""")
   }
 
+  /** CQL23 — `system.prepared_statements` in the gate (r10) [U db/
+    * SystemKeyspace.java — upstream persists the prepared cache so a
+    * restarted node can re-prepare its clients' statements]: two
+    * templates prepared under different keyspace contexts read back with
+    * their PREPARE-time keyspace attribution, and the id convention
+    * itself is twinned (the oracle COMPUTES md5(query) — a drifting id
+    * rule breaks the hash). Re-preparing an identical statement must not
+    * duplicate its row, like the upstream cache. */
+  def cql23_prepared_registry(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.cql.CqlSession(s)
+    sess.execute("CREATE TABLE pr23 (k bigint PRIMARY KEY, v text)")
+    sess.execute("CREATE KEYSPACE ksp23 WITH replication = " +
+      "{'class': 'SimpleStrategy', 'replication_factor': 1}")
+    sess.execute("CREATE TABLE ksp23.t23 (k bigint PRIMARY KEY)")
+    sess.prepare("SELECT v FROM pr23 WHERE k = ?")
+    sess.prepare("SELECT v FROM pr23 WHERE k = ?") // dedupes, not appends
+    sess.execute("USE ksp23")
+    sess.prepare("INSERT INTO t23 (k) VALUES (?)")
+    sess.execute("USE default")
+    sess.execute("SELECT prepared_id, logged_keyspace, query_string " +
+      "FROM system.prepared_statements")
+      .orderBy("query_string")
+  }
+
   /** CQL16 — audit / full-query logging in the gate [U audit/
     * AuditLogManager.java, FullQueryLogger.java]: AUDIT ON, then one
     * statement per category — DML, QUERY, DDL, DCL, AUTH (login
@@ -571,6 +595,7 @@ object AdminQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cql16_audit" -> (cql16_audit _),
     "cql22_replay" -> (cql22_replay _),
+    "cql23_prepared_registry" -> (cql23_prepared_registry _),
     "cql13_roles" -> (cql13_roles _),
     "cql14_schema" -> (cql14_schema _),
     "cql15_settings" -> (cql15_settings _),
@@ -702,6 +727,14 @@ object AdminQueries {
     // the literal snapshot ledger: the manual snapshot, the two
     // auto_snapshot safety-net entries (session-unique sequence-tagged names),
     // and the post-clear count
+    // the twin COMPUTES the prepared ids — the id convention is gated
+    "cql23_prepared_registry" ->
+      """SELECT md5(q) AS prepared_id, ks AS logged_keyspace,
+        |  q AS query_string
+        |FROM (VALUES
+        |  ('INSERT INTO t23 (k) VALUES (?)', 'ksp23'),
+        |  ('SELECT v FROM pr23 WHERE k = ?', NULL))
+        |AS t(q, ks) ORDER BY q""".stripMargin,
     // the replay report: 10 statements + 2 role switches recorded, every
     // outcome (incl. the denial) reproduced, both tables state-equal
     "cql22_replay" ->
