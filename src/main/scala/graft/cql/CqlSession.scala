@@ -2605,6 +2605,42 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     p
   }
 
+  /** Split a CQL script on statement-terminating semicolons — quote-aware
+    * (`'…''…'` escapes) with `--` and `//` line comments stripped, the
+    * subset cqlsh's own splitter handles for scripts. */
+  private def splitCqlScript(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var inStr = false
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      if (inStr) {
+        cur.append(ch)
+        if (ch == '\'') {
+          if (i + 1 < text.length && text.charAt(i + 1) == '\'') {
+            cur.append('\''); i += 1
+          } else inStr = false
+        }
+      } else ch match {
+        case '\'' => inStr = true; cur.append(ch)
+        case ';' =>
+          val st = cur.toString.trim
+          if (st.nonEmpty) out += st
+          cur.clear()
+        case '-' if i + 1 < text.length && text.charAt(i + 1) == '-' =>
+          while (i < text.length && text.charAt(i) != '\n') i += 1
+        case '/' if i + 1 < text.length && text.charAt(i + 1) == '/' =>
+          while (i < text.length && text.charAt(i) != '\n') i += 1
+        case c => cur.append(c)
+      }
+      i += 1
+    }
+    val last = cur.toString.trim
+    if (last.nonEmpty) out += last
+    out.result()
+  }
+
   private val preparedReg =
     scala.collection.mutable.LinkedHashMap.empty[(String, String), String]
 
@@ -3021,6 +3057,35 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         Seq(Row(auditOn)).asJava,
         StructType(Seq(StructField("audit", BooleanType,
           nullable = false))))
+    }
+    if (kw0 == "source") {
+      // cqlsh `SOURCE 'file'` [P: cqlsh docs — client-side]: execute the
+      // file's statements in order. Like cqlsh, a failing statement is
+      // REPORTED and the script continues; inner statements run through
+      // the normal path (auth, audit/FQL, tracing all apply per
+      // statement). Returns one row per executed statement.
+      val path = head.stripSuffix(";").trim.drop("source".length).trim
+      if (path.length < 2 || path.head != '\'' || path.last != '\'')
+        throw new CqlInvalidQueryException(
+          "SOURCE expects a quoted file name: SOURCE 'script.cql'")
+      val file = path.substring(1, path.length - 1).replace("''", "'")
+      val text = try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(file)), "UTF-8")
+        catch { case e: java.io.IOException =>
+          throw new CqlInvalidQueryException(
+            s"SOURCE: cannot read $file: ${e.getMessage}") }
+      import scala.jdk.CollectionConverters._
+      val rows = splitCqlScript(text).zipWithIndex.map { case (st, i) =>
+        val err = try { execute(st); null }
+          catch { case scala.util.control.NonFatal(e) =>
+            e.getClass.getSimpleName }
+        Row(i.toLong + 1, st.take(500), err == null, err)
+      }
+      return spark.createDataFrame(rows.asJava, StructType(Seq(
+        StructField("seq", LongType, nullable = false),
+        StructField("statement", StringType, nullable = false),
+        StructField("success", BooleanType, nullable = false),
+        StructField("error", StringType, nullable = true))))
     }
     if (kw0 == "replay") {
       head.stripSuffix(";").split("\\s+").lift(1).map(_.toLowerCase) match {

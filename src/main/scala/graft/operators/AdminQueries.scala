@@ -240,6 +240,38 @@ object AdminQueries {
       .orderBy("query_string")
   }
 
+  /** CQL24 — cqlsh `SOURCE 'file'` in the gate (r10): a script file with
+    * DDL, quoted-semicolon and escaped-quote data, line comments, and a
+    * DELIBERATE failure executes client-side; like cqlsh the script
+    * continues past the error and every statement reports. The
+    * projection = the per-statement report + the table state the script
+    * left behind, both literal. */
+  def cql24_source(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.cql.CqlSession(s)
+    val script =
+      """-- a cqlsh script: comments, quotes, an error, real DDL/DML
+        |CREATE TABLE src24 (k bigint PRIMARY KEY, v text);
+        |INSERT INTO src24 (k, v) VALUES (1, 'semi;colon');
+        |// slash comment
+        |INSERT INTO src24 (k, v) VALUES (2, 'it''s quoted');
+        |INSERT INTO nosuch24 (k) VALUES (3);
+        |INSERT INTO src24 (k, v) VALUES (3, 'after-error');
+        |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("graft-src24", ".cql")
+    java.nio.file.Files.write(f, script.getBytes("UTF-8"))
+    val report = sess.execute(s"SOURCE '${f.toString}'")
+      .select(lit("stmt").as("kind"),
+        concat(lit("s"), col("seq").cast("string")).as("name"),
+        concat(lit("ok="), col("success").cast("string"),
+          when(col("error").isNotNull, concat(lit(" err="), col("error")))
+            .otherwise(lit(""))).as("detail"))
+    val state = sess.execute("SELECT k, v FROM src24")
+      .select(lit("row").as("kind"),
+        concat(lit("k"), col("k").cast("string")).as("name"),
+        col("v").as("detail"))
+    report.unionByName(state).orderBy("kind", "name", "detail")
+  }
+
   /** CQL16 — audit / full-query logging in the gate [U audit/
     * AuditLogManager.java, FullQueryLogger.java]: AUDIT ON, then one
     * statement per category — DML, QUERY, DDL, DCL, AUTH (login
@@ -596,6 +628,7 @@ object AdminQueries {
     "cql16_audit" -> (cql16_audit _),
     "cql22_replay" -> (cql22_replay _),
     "cql23_prepared_registry" -> (cql23_prepared_registry _),
+    "cql24_source" -> (cql24_source _),
     "cql13_roles" -> (cql13_roles _),
     "cql14_schema" -> (cql14_schema _),
     "cql15_settings" -> (cql15_settings _),
@@ -727,6 +760,20 @@ object AdminQueries {
     // the literal snapshot ledger: the manual snapshot, the two
     // auto_snapshot safety-net entries (session-unique sequence-tagged names),
     // and the post-clear count
+    // the script's literal outcome: 5 statements (comments are not
+    // statements), the missing-table failure reported mid-script,
+    // execution continuing, and the three surviving rows
+    "cql24_source" ->
+      """SELECT kind, name, detail FROM (VALUES
+        |  ('stmt', 's1', 'ok=true'),
+        |  ('stmt', 's2', 'ok=true'),
+        |  ('stmt', 's3', 'ok=true'),
+        |  ('stmt', 's4', 'ok=false err=CqlInvalidQueryException'),
+        |  ('stmt', 's5', 'ok=true'),
+        |  ('row', 'k1', 'semi;colon'),
+        |  ('row', 'k2', 'it''s quoted'),
+        |  ('row', 'k3', 'after-error'))
+        |AS t(kind, name, detail) ORDER BY kind, name, detail""".stripMargin,
     // the twin COMPUTES the prepared ids — the id convention is gated
     "cql23_prepared_registry" ->
       """SELECT md5(q) AS prepared_id, ks AS logged_keyspace,
