@@ -190,6 +190,32 @@ object TextQueries {
         min(col("rate")).as("rate_pct"))
       .orderBy("lang")
 
+  /** X22 (r10): deterministic training-shard SHUFFLE — the data-ordering
+    * step between curation and ingestion: every document lands in one of
+    * 16 shards by seeded hash (reshuffling = changing the seed, never a
+    * global sort), and WITHIN a shard documents take a deterministic
+    * pseudo-random serving order (a second, independent hash). The
+    * position checksum Σ(rank · doc_id) pins the exact within-shard
+    * ORDER into the gate — a stable-sort deviation or a hash drift
+    * breaks the hash even when membership is right. Scale: one hash
+    * partition + per-shard window sort; no global ordering anywhere
+    * (shards are the parallelism unit, as in any epoch-shuffled
+    * dataloader). */
+  def x22_shard_shuffle(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("ord", "doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"),
+        hashMod(col("doc_id"), 16).as("shard"),
+        hashMod(col("doc_id") + 7919L, 1000000).as("ord"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tokens"),
+        sum(col("rn") * col("doc_id")).as("order_checksum"))
+      .orderBy("shard")
+  }
+
   /** X10: sequence packing — assign documents to fixed token-budget bins
     * (the batch-construction step before training: pack short docs together
     * so no context window is wasted). Deterministic offset packing: docs
@@ -632,6 +658,7 @@ object TextQueries {
     "x12_repetition" -> (x12_repetition _),
     "x11_perplexity" -> (x11_perplexity _),
     "x9_stratified" -> (x9_stratified _),
+    "x22_shard_shuffle" -> (x22_shard_shuffle _),
     "x10_pack" -> (x10_pack _),
     "x1_langid" -> (x1_langid _),
     "x6_sample" -> (x6_sample _),
@@ -910,6 +937,22 @@ object TextQueries {
         |  round(cast(cast(sum(cast(inv_p AS decimal(38,6))) AS decimal(38,6)) AS double)
         |    / count(*), 6) AS rarity
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        "x22_shard_shuffle" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    len(string_split(lower(text), ' ')) AS n_tok,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 16 AS shard,
+        |    ('0x' || substr(md5(CAST(doc_id + 7919 AS VARCHAR)), 1, 8))::BIGINT
+        |      % 1000000 AS ord
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY shard ORDER BY ord, doc_id) AS rn FROM base)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(rn * doc_id) AS BIGINT) AS order_checksum
+        |FROM ranked GROUP BY shard ORDER BY shard""".stripMargin,
     "x9_stratified" ->
       """SELECT lang, count(*) AS n_docs,
         |  count(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
