@@ -74,29 +74,10 @@ object BenchFocus {
           .orderBy("o_orderpriority")
       },
       "j2_bucketed" -> { (s, d) =>
-        // build-once bucketed layout on the join key (the engine's
-        // bucketLog convention): pre-agg and join run exchange-free
-        if (!s.catalog.tableExists("j2_li_b")) {
-          Tables.lineitem(s, d)
-            .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-            .write.bucketBy(32, "l_orderkey").sortBy("l_orderkey")
-            .option("path", "/tmp/graft-j2-li-b").mode("overwrite")
-            .saveAsTable("j2_li_b")
-          Tables.orders(s, d)
-            .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
-            .write.bucketBy(32, "o_orderkey").sortBy("o_orderkey")
-            .option("path", "/tmp/graft-j2-o-b").mode("overwrite")
-            .saveAsTable("j2_o_b")
-        }
-        val liAgg = s.table("j2_li_b")
-          .groupBy(col("l_orderkey"))
-          .agg(dec6(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("rev"))
-        s.table("j2_o_b").filter(year(col("o_orderdate")) === 1996)
-          .join(liAgg, col("o_orderkey") === col("l_orderkey"))
-          .groupBy(col("o_orderpriority"))
-          .agg(count(lit(1)).as("n_orders"),
-            dbl(dec6(sum(col("rev")))).as("revenue"))
-          .orderBy("o_orderpriority")
+        // the PRODUCTION keyed layout cache (j10) — a fixed-name local
+        // cache here served stale data when the same JVM benched two
+        // datasets (r10 review find)
+        graft.operators.RelationalQueries.j10_bucketed_join(s, d)
       },
       "j2_preagg_only" -> { (s, d) =>
         // the per-order pre-agg alone (shuffle + 15M-group hash agg)

@@ -2592,14 +2592,17 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     }
     // `system.prepared_statements` [U db/SystemKeyspace.java — upstream
     // persists the prepared cache so restarted nodes can re-prepare]:
-    // id = md5 of the statement text (upstream computeId over
-    // (query, keyspace); hex TEXT here instead of blob so the gate twin
-    // can compute it), logged_keyspace = the PREPARE-time keyspace
-    // (null when unset, i.e. the default keyspace). Keyed like the
-    // upstream cache: re-preparing the same text in the same keyspace is
-    // one entry. Ring-bounded at TraceCap like the other session logs.
+    // id = md5 over (keyspace-prefix + statement text), upstream
+    // QueryProcessor.computeId's rule — the SAME text prepared under two
+    // keyspaces is two DIFFERENT statements and must carry two ids (the
+    // table's primary key is the id alone). Hex TEXT instead of blob so
+    // the gate twin can compute it. logged_keyspace = the PREPARE-time
+    // keyspace (null when unset, i.e. the default keyspace). Keyed like
+    // the upstream cache: re-preparing dedupes. Ring-bounded at
+    // TraceCap like the other session logs.
     val ks = if (currentKs == UserKeyspace) null else currentKs
-    preparedReg((md5Hex(trimmed), ks)) = trimmed
+    val pid = md5Hex((if (ks == null) "" else ks) + trimmed)
+    preparedReg((pid, ks)) = trimmed
     while (preparedReg.size > CqlSession.TraceCap)
       preparedReg.remove(preparedReg.head._1)
     p
@@ -2628,10 +2631,14 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           val st = cur.toString.trim
           if (st.nonEmpty) out += st
           cur.clear()
+        // a comment reads as WHITESPACE, like cqlsh: emit one space so
+        // "t--note\nWHERE" splits into "t WHERE", not the glued "tWHERE"
         case '-' if i + 1 < text.length && text.charAt(i + 1) == '-' =>
           while (i < text.length && text.charAt(i) != '\n') i += 1
+          cur.append(' ')
         case '/' if i + 1 < text.length && text.charAt(i + 1) == '/' =>
           while (i < text.length && text.charAt(i) != '\n') i += 1
+          cur.append(' ')
         case c => cur.append(c)
       }
       i += 1
@@ -2837,12 +2844,25 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     val aT = state.keys.toSet
     val bT = fresh.state.keys.toSet
     val common = (aT intersect bT).toSeq.sorted
+    // exceptAll rejects map-typed columns (set ops on maps are undefined
+    // order); canonicalize each map column to its sorted entry array so
+    // replay of sessions with map<…> tables compares instead of crashing
+    def comparable(df: DataFrame): DataFrame =
+      df.select(df.schema.fields.map { f =>
+        f.dataType match {
+          case _: MapType =>
+            array_sort(map_entries(col(f.name))).as(f.name)
+          case _ => col(f.name)
+        }
+      }.toSeq: _*)
     val stateEqual = aT == bT && common.forall { t =>
       val va = view(t)
       val vb = fresh.view(t)
       va.schema.map(f => (f.name, f.dataType)) ==
-        vb.schema.map(f => (f.name, f.dataType)) &&
-        va.exceptAll(vb).isEmpty && vb.exceptAll(va).isEmpty
+        vb.schema.map(f => (f.name, f.dataType)) && {
+        val (ca, cb) = (comparable(va), comparable(vb))
+        ca.exceptAll(cb).isEmpty && cb.exceptAll(ca).isEmpty
+      }
     }
     spark.createDataFrame(Seq(
       Row("replay", "events", s"n=${events.size}"),

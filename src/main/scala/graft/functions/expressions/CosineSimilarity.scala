@@ -41,7 +41,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
   /** Do the inputs guarantee non-null elements? When both array types say
     * `containsNull = false` the per-element null scan is dead code and the
     * kernel runs straight off primitive `float[]`s. */
-  private def elementsNullable: Boolean =
+  private lazy val elementsNullable: Boolean =
     Seq(left, right).exists(_.dataType match {
       case ArrayType(_, cn) => cn
       case _ => true

@@ -776,8 +776,8 @@ object AdminQueries {
         |AS t(kind, name, detail) ORDER BY kind, name, detail""".stripMargin,
     // the twin COMPUTES the prepared ids — the id convention is gated
     "cql23_prepared_registry" ->
-      """SELECT md5(q) AS prepared_id, ks AS logged_keyspace,
-        |  q AS query_string
+      """SELECT md5(coalesce(ks, '') || q) AS prepared_id,
+        |  ks AS logged_keyspace, q AS query_string
         |FROM (VALUES
         |  ('INSERT INTO t23 (k) VALUES (?)', 'ksp23'),
         |  ('SELECT v FROM pr23 WHERE k = ?', NULL))

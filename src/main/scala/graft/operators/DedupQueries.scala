@@ -383,10 +383,7 @@ object DedupQueries {
   private def bandIndexDir(s: SparkSession, d: String): String = {
     // mtime in the key: a regenerated fixture rebuilds the index instead
     // of serving stale bands (same rule as GraphAnn's index cache)
-    val mtime = try java.nio.file.Files.getLastModifiedTime(
-        java.nio.file.Paths.get(s"$d/documents.parquet")).toMillis
-      catch { case _: Exception => 0L }
-    bandIndexCache.computeIfAbsent(s"$d@$mtime", { _ =>
+    bandIndexCache.computeIfAbsent(s"$d@${docsMtime(d)}", { _ =>
       val dir = Tables.tempRoot("graft-band-index")
       bandedSignatures(Tables.spread(Tables.documents(s, d), col("doc_id")))
         .write.mode("overwrite").parquet(dir)
@@ -437,10 +434,7 @@ object DedupQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def bandSegmentDir(s: SparkSession, d: String): String = {
-    val mtime = try java.nio.file.Files.getLastModifiedTime(
-        java.nio.file.Paths.get(s"$d/documents.parquet")).toMillis
-      catch { case _: Exception => 0L }
-    bandSegmentCache.computeIfAbsent(s"$d@$mtime", { _ =>
+    bandSegmentCache.computeIfAbsent(s"$d@${docsMtime(d)}", { _ =>
       val dir = Tables.tempRoot("graft-band-seg")
       val accepted = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
@@ -489,10 +483,7 @@ object DedupQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def bandSegment2Dir(s: SparkSession, d: String): String = {
-    val mtime = try java.nio.file.Files.getLastModifiedTime(
-        java.nio.file.Paths.get(s"$d/documents.parquet")).toMillis
-      catch { case _: Exception => 0L }
-    bandSegment2Cache.computeIfAbsent(s"$d@$mtime", { _ =>
+    bandSegment2Cache.computeIfAbsent(s"$d@${docsMtime(d)}", { _ =>
       val dir = Tables.tempRoot("graft-band-seg2")
       val accepted = Tables.documents(s, d).filter(col("doc_id") % 11 === 0)
         .select((col("doc_id") + 300000L).as("doc_id"), col("text"))
@@ -520,10 +511,7 @@ object DedupQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def mergedBandIndexDir(s: SparkSession, d: String): String = {
-    val mtime = try java.nio.file.Files.getLastModifiedTime(
-        java.nio.file.Paths.get(s"$d/documents.parquet")).toMillis
-      catch { case _: Exception => 0L }
-    mergedBandCache.computeIfAbsent(s"$d@$mtime", { _ =>
+    mergedBandCache.computeIfAbsent(s"$d@${docsMtime(d)}", { _ =>
       val out = Tables.tempRoot("graft-band-merged")
       mergeBandIndex(s, Seq(bandIndexDir(s, d), bandSegmentDir(s, d),
         bandSegment2Dir(s, d)), out)
@@ -619,10 +607,7 @@ object DedupQueries {
   private val d15SegCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def d15DeleteSegDir(s: SparkSession, d: String): String = {
-    val mtime = try java.nio.file.Files.getLastModifiedTime(
-        java.nio.file.Paths.get(s"$d/documents.parquet")).toMillis
-      catch { case _: Exception => 0L }
-    d15SegCache.computeIfAbsent(s"$d@$mtime", { _ =>
+    d15SegCache.computeIfAbsent(s"$d@${docsMtime(d)}", { _ =>
       val out = graft.Tables.tempRoot("graft-band-deletes")
       Tables.documents(s, d).filter(col("doc_id") % 7 === 3)
         .select(col("doc_id")).write.mode("overwrite").parquet(out)

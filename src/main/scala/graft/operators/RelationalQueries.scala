@@ -195,7 +195,7 @@ object RelationalQueries {
   private val bucketLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
-  private def bucketedJoinTables(s: SparkSession, d: String): (String, String) = {
+  private[graft] def bucketedJoinTables(s: SparkSession, d: String): (String, String) = {
     val mtime = try java.nio.file.Files.getLastModifiedTime(
         java.nio.file.Paths.get(s"$d/lineitem.parquet")).toMillis
       catch { case _: Exception => 0L }

@@ -29,16 +29,23 @@ object VectorQueries {
     new java.util.concurrent.ConcurrentHashMap[String, Array[Float]]()
 
   private[operators] def queryVec(s: SparkSession, d: String, id: Long): DataFrame = {
+    import s.implicits._
     val mtime = try java.nio.file.Files.getLastModifiedTime(
         java.nio.file.Paths.get(s"$d/embeddings.parquet")).toMillis
       catch { case _: Exception => 0L }
     val arr = qvecCache.computeIfAbsent(s"$d@$id@$mtime", { _ =>
       Tables.embeddings(s, d).filter(col("vec_id") === id)
-        .select(col("embedding")).head()
-        .getAs[scala.collection.Seq[Float]](0).toArray
+        .select(col("embedding")).take(1) match {
+          case Array(row) =>
+            row.getAs[scala.collection.Seq[Float]](0).toArray
+          // missing id → empty frame, preserving the pre-cache behavior
+          // (the lookup filter matched nothing and every consumer's
+          // crossJoin produced an empty result, not a driver throw)
+          case _ => null
+        }
     })
-    import s.implicits._
-    Seq(Tuple1(arr)).toDF("qvec")
+    if (arr == null) Seq.empty[Tuple1[Array[Float]]].toDF("qvec")
+    else Seq(Tuple1(arr)).toDF("qvec")
   }
 
   /** Exact cosine kNN top-k over an arbitrary (vec_id, embedding) frame —

@@ -94,6 +94,34 @@ class CqlReplaySpec extends SparkSpec {
     assert(r("tables_compared") === "n=2")
   }
 
+  test("replay compares map-typed tables instead of crashing (r10 review)") {
+    val sess = CqlSession(spark)
+    sess.execute("AUDIT ON")
+    sess.execute("CREATE TABLE repm (k bigint PRIMARY KEY, " +
+      "m map<text, bigint>)")
+    sess.execute("INSERT INTO repm (k, m) VALUES (1, {'a': 1, 'b': 2})")
+    sess.execute("UPDATE repm SET m['c'] = 3 WHERE k = 1")
+    val r = report(sess)
+    // exceptAll rejects raw map columns; the canonicalized compare must
+    // both run AND prove equality
+    assert(r("state_equal") === "true")
+    assert(r("outcome_match") === "3/3")
+  }
+
+  test("SOURCE treats comments as whitespace, not token glue (r10 review)") {
+    val sess = CqlSession(spark)
+    sess.execute("CREATE TABLE srcws (k bigint PRIMARY KEY, v text)")
+    sess.execute("INSERT INTO srcws (k, v) VALUES (1, 'x')")
+    val f = java.nio.file.Files.createTempFile("graft-srcws", ".cql")
+    // the comment ends the line MID-STATEMENT: "srcws--note\nWHERE"
+    // must split as "srcws WHERE", not the glued "srcwsWHERE"
+    java.nio.file.Files.write(f,
+      "SELECT v FROM srcws--trailing note\nWHERE k = 1;\n".getBytes("UTF-8"))
+    val rows = sess.execute(s"SOURCE '${f.toString}'").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getBoolean(2), s"statement failed: ${rows.head}")
+  }
+
   test("replay into an empty fresh session reports inequality honestly") {
     val sess = CqlSession(spark)
     // nothing recorded (audit off) but the source session has a table:
