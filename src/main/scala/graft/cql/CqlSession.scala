@@ -2611,7 +2611,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   /** Split a CQL script on statement-terminating semicolons — quote-aware
     * (`'…''…'` escapes) with `--` and `//` line comments stripped, the
     * subset cqlsh's own splitter handles for scripts. */
-  private def splitCqlScript(text: String): Seq[String] = {
+  private[graft] def splitCqlScript(text: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var i = 0

@@ -141,6 +141,33 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("SOURCE script splitter: random statements with quotes/comments " +
+    "round-trip (30 random scripts)") {
+    val sess = graft.cql.CqlSession(spark)
+    // statement bodies exercising every splitter hazard: semicolons and
+    // comment markers INSIDE quotes, escaped quotes, dashes that are not
+    // comments, slashes that are not comments
+    val word = Gen.oneOf("SELECT x", "UPDATE t SET v = 'a;b'",
+      "INSERT 'it''s'", "DELETE 'has--dash'", "VALUES '//notcomment'",
+      "a - b", "a / b", "x = 'semi;colon; three;'")
+    val stmtGen = Gen.nonEmptyListOf(word).map(_.mkString(" "))
+    val scriptGen = for {
+      stmts <- Gen.nonEmptyListOf(stmtGen)
+      comment <- Gen.oneOf("", "-- a comment\n", "// another\n")
+    } yield (stmts, stmts.map(s => comment + s).mkString(";\n") + ";")
+    for ((stmts, script) <- samples(scriptGen, 30)) {
+      val out = sess.splitCqlScript(script)
+      assert(out.length === stmts.length,
+        s"script:\n$script\nsplit: $out")
+      // every recovered statement equals its source modulo whitespace
+      // runs (comments legally collapse to one space)
+      out.zip(stmts).foreach { case (got, want) =>
+        assert(got.replaceAll("\\s+", " ").trim ===
+          want.replaceAll("\\s+", " ").trim, s"script:\n$script")
+      }
+    }
+  }
+
   test("exact dedup is a fixpoint: dedup(dedup(x)) == dedup(x) (8 random lists)") {
     import spark.implicits._
     for (xs <- samples(Gen.nonEmptyListOf(Gen.choose(0, 5)), 8)) {
