@@ -216,6 +216,44 @@ object TextQueries {
       .orderBy("shard")
   }
 
+  /** X23 (r10 capstone): the COMPOSED curation pipeline as ONE query —
+    * the end-to-end path a pretraining corpus takes, each stage the
+    * library's own operator:
+    *   1. quality gate (length ≥ 10 tokens, stopword-hit ≥ 2 — the
+    *      x2/x17 rule family),
+    *   2. exact dedup (first doc_id per md5(text) survives — d1's rule),
+    *   3. decontamination (drop members of the "eval set", here the
+    *      %97 ≡ 0 docs, by content-hash anti-join — x8's shape),
+    *   4. shard assignment (seeded hash — x22's rule),
+    * closing with per-shard survivor counts + token sums. The twin runs
+    * the SAME four stages as one SQL CTE chain, so the whole composed
+    * pipeline — not just its pieces — sits inside the hash gate. Scale:
+    * stages 1–3 are map-side + one window on the content hash + one
+    * broadcast anti-join; stage 4 is the output partitioning itself. */
+  def x23_curation_pipeline(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    val staged = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        size(t).cast("long").as("n_tok"),
+        size(array_intersect(t,
+          array(lit("the"), lit("a"), lit("and"), lit("of"))))
+          .cast("long").as("stop_hits"))
+      .filter(col("n_tok") >= 10 && col("stop_hits") >= 2)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("h")).orderBy(col("doc_id").asc)))
+      .filter(col("rn") === 1)
+    val evalSet = Tables.documents(s, d)
+      .filter(col("doc_id") % 97 === 0).select(md5(col("text")).as("h"))
+    staged
+      .join(broadcast(evalSet), Seq("h"), "left_anti")
+      .select(col("doc_id"), col("n_tok"),
+        hashMod(col("doc_id"), 8).as("shard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+      .orderBy("shard")
+  }
+
   /** X10: sequence packing — assign documents to fixed token-budget bins
     * (the batch-construction step before training: pack short docs together
     * so no context window is wasted). Deterministic offset packing: docs
@@ -659,6 +697,7 @@ object TextQueries {
     "x11_perplexity" -> (x11_perplexity _),
     "x9_stratified" -> (x9_stratified _),
     "x22_shard_shuffle" -> (x22_shard_shuffle _),
+    "x23_curation_pipeline" -> (x23_curation_pipeline _),
     "x10_pack" -> (x10_pack _),
     "x1_langid" -> (x1_langid _),
     "x6_sample" -> (x6_sample _),
@@ -937,7 +976,27 @@ object TextQueries {
         |  round(cast(cast(sum(cast(inv_p AS decimal(38,6))) AS decimal(38,6)) AS double)
         |    / count(*), 6) AS rarity
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-        "x22_shard_shuffle" ->
+        "x23_curation_pipeline" ->
+      """WITH staged AS (
+        |  SELECT doc_id, md5(text) AS h,
+        |    len(string_split(lower(text), ' ')) AS n_tok,
+        |    len(list_intersect(string_split(lower(text), ' '),
+        |        ['the', 'a', 'and', 'of'])) AS stop_hits
+        |  FROM documents),
+        |qual AS (
+        |  SELECT * FROM staged WHERE n_tok >= 10 AND stop_hits >= 2),
+        |dedup AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY h ORDER BY doc_id) AS rn FROM qual)
+        |  WHERE rn = 1),
+        |clean AS (
+        |  SELECT * FROM dedup WHERE h NOT IN (
+        |    SELECT md5(text) FROM documents WHERE doc_id % 97 = 0))
+        |SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |    % 8 AS shard,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+        |FROM clean GROUP BY shard ORDER BY shard""".stripMargin,
+    "x22_shard_shuffle" ->
       """WITH base AS (
         |  SELECT doc_id,
         |    len(string_split(lower(text), ' ')) AS n_tok,
