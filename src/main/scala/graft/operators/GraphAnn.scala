@@ -552,6 +552,37 @@ object GraphAnn {
       .select(col("vec_id"), round(col("sim"), 6).as("cos_sim"))
   }
 
+  /** V23 (r10 — the graph side's COMPACTION dial, d16's symmetric twin):
+    * after segments accumulate, merge = REBUILD one base over the union
+    * corpus (a graph merge is a rebuild by nature — adjacency is global
+    * state, unlike the band index's content-preserving concat; this is
+    * exactly the rebuild arm of v22's append-vs-rebuild decision). The
+    * merged base serves ALONE and must return what base∪segment serving
+    * returned — the twin is v19's exact union top-10, so the compaction
+    * is hash-verified to change layout, never answers. */
+  def v23_graph_merge(s: SparkSession, d: String): DataFrame = {
+    val mtime = try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$d/embeddings.parquet")).toMillis
+      catch { case _: Exception => 0L }
+    val mergedDir = mergedCache.computeIfAbsent(s"$d@$mtime", { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-graph-merged").toString
+      val union = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(Tables.embeddings(s, d)
+          .filter(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      buildGraphIndex(union, out)
+      out
+    })
+    val q = VectorQueries.queryVec(s, d, 0L)
+    serveGraphIndex(s, Seq(mergedDir), q, 10)
+      .select(col("vec_id"), round(col("sim"), 6).as("cos_sim"))
+  }
+
+  private val mergedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** V7: graph-ANN top-10 for the embedding of vec_id 0 — the jvector/HNSW
     * analogue. Oracled against the EXACT top-10: the graph path is
     * deterministic and its fixture recall is 1.0 (GraphAnnSpec also checks
@@ -599,7 +630,8 @@ object GraphAnn {
     "v7_knn_graph" -> (v7_knn_graph _),
     "v16_graph_index" -> (v16_graph_index _),
     "v19_graph_append" -> (v19_graph_append _),
-    "v21_graph_delete" -> (v21_graph_delete _))
+    "v21_graph_delete" -> (v21_graph_delete _),
+    "v23_graph_merge" -> (v23_graph_merge _))
 
   /** V21: the DELETE lifecycle for the graph index — deleted vectors
     * are masked at result collection while the beam still traverses
@@ -628,5 +660,7 @@ object GraphAnn {
     "v7_knn_graph" -> exactTop10Sql,
     "v16_graph_index" -> exactTop10Sql,
     "v19_graph_append" -> exactUnionTop10Sql,
-    "v21_graph_delete" -> exactLiveTop10Sql)
+    "v21_graph_delete" -> exactLiveTop10Sql,
+    // merged-base serving must equal base∪segment serving: v19's twin
+    "v23_graph_merge" -> exactUnionTop10Sql)
 }
