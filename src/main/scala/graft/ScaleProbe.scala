@@ -105,7 +105,8 @@ object ScaleProbe {
         // r10: the merge dial (probe over the compacted base must cost
         // what d14's union probe costs), streamed segment ingestion, and
         // the co-located bucketed join (layout amortized, serve flat)
-        "d16_band_merge", "d17_stream_index", "j10_bucketed_join")
+        "d16_band_merge", "d17_stream_index", "j10_bucketed_join",
+        "v23_graph_merge")
         .map(n => n -> SparkEntry.queries(n))
     factors.foreach { f =>
       val dir = if (f == 1) base else s"/tmp/graft-scale-${f}x"

@@ -583,6 +583,89 @@ object GraphAnn {
   private val mergedCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** V24 (r10): STREAMING graph-segment ingestion — d17's continuous-crawl
+    * shape on the vector side: embedding batches arrive as a Structured
+    * Streaming file source, each micro-batch builds its OWN graph-index
+    * segment via `foreachBatch` (own shards, disjoint shard-id range —
+    * v19's per-segment rule, stream-driven), and serving reads base ∪ all
+    * streamed segments in the usual top-k merge. Twin = exact top-10 over
+    * the equivalent batch union, so the stream→segment→serve loop is
+    * hash-verified. */
+  def v24_stream_graph(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val mtime = try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$d/embeddings.parquet")).toMillis
+      catch { case _: Exception => 0L }
+    val segRoot = streamSegCache.computeIfAbsent(s"$d@$mtime", { _ =>
+      val in = java.nio.file.Paths.get(graft.Tables.tempRoot("graft-v24-in"))
+      def stage(df: DataFrame, name: String): Unit = {
+        val tmp = graft.Tables.tempRoot("graft-v24-w")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.copy(part.toPath, in.resolve(name),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      val emb = Tables.embeddings(s, d)
+      stage(emb.filter(col("vec_id") % 4 === 0)
+        .select((col("vec_id") + 400000L).as("vec_id"), col("embedding")),
+        "crawl1.parquet")
+      stage(emb.filter(col("vec_id") % 6 === 0)
+        .select((col("vec_id") + 500000L).as("vec_id"), col("embedding")),
+        "crawl2.parquet")
+      val root = graft.Tables.tempRoot("graft-v24-seg")
+      val ckpt = graft.Tables.tempRoot("graft-v24-ckpt")
+      val ss = StreamingQueries.streamSession(s)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, containsNull = true))))
+      ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              batchId: Long) =>
+            // one graph segment per micro-batch, disjoint shard-id range
+            buildGraphIndex(batch.toDF(), s"$root/seg_$batchId",
+              shards = 2, shardOffset = 2000 + batchId.toInt * 100)
+            ()
+        }
+        .start().awaitTermination()
+      root
+    })
+    val segDirs = new java.io.File(segRoot).listFiles()
+      .filter(_.getName.startsWith("seg_")).map(_.toString).sorted.toSeq
+    val q = VectorQueries.queryVec(s, d, 0L)
+    serveGraphIndex(s, servedIndexDir(s, d) +: segDirs, q, 10)
+      .select(col("vec_id"), round(col("sim"), 6).as("cos_sim"))
+  }
+
+  private val streamSegCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val exactStreamUnionTop10Sql =
+    """WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 400000 AS vec_id, embedding FROM embeddings
+      |  WHERE vec_id % 4 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 500000 AS vec_id, embedding FROM embeddings
+      |  WHERE vec_id % 6 = 0),
+      |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id,
+      |  round(list_dot_product(CAST(embedding AS DOUBLE[]), qvec) /
+      |        (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+      |         sqrt(list_dot_product(qvec, qvec))), 6) AS cos_sim
+      |FROM corpus CROSS JOIN q
+      |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
+
   /** V7: graph-ANN top-10 for the embedding of vec_id 0 — the jvector/HNSW
     * analogue. Oracled against the EXACT top-10: the graph path is
     * deterministic and its fixture recall is 1.0 (GraphAnnSpec also checks
@@ -631,7 +714,8 @@ object GraphAnn {
     "v16_graph_index" -> (v16_graph_index _),
     "v19_graph_append" -> (v19_graph_append _),
     "v21_graph_delete" -> (v21_graph_delete _),
-    "v23_graph_merge" -> (v23_graph_merge _))
+    "v23_graph_merge" -> (v23_graph_merge _),
+    "v24_stream_graph" -> (v24_stream_graph _))
 
   /** V21: the DELETE lifecycle for the graph index — deleted vectors
     * are masked at result collection while the beam still traverses
@@ -662,5 +746,6 @@ object GraphAnn {
     "v19_graph_append" -> exactUnionTop10Sql,
     "v21_graph_delete" -> exactLiveTop10Sql,
     // merged-base serving must equal base∪segment serving: v19's twin
-    "v23_graph_merge" -> exactUnionTop10Sql)
+    "v23_graph_merge" -> exactUnionTop10Sql,
+    "v24_stream_graph" -> exactStreamUnionTop10Sql)
 }
