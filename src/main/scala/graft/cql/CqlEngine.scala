@@ -978,12 +978,62 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
     case ColumnSelector(n, alias) => Some(alias.getOrElse(n))
     case CastSelector(c0, _, toName, alias) =>
       Some(alias.getOrElse(s"cast($c0 as $toName)"))
+    case ArithSelector(_, text, alias) => Some(alias.getOrElse(text))
     case FunctionSelector(_, _, alias) => alias
     case _ => None
   }
 
+  /** Operator expression → Column (upstream OperationFcts [U]): Spark's
+    * numeric type promotion matches CQL's widest-operand rule for the
+    * supported numerics; `/` over two INTEGRAL operands is integer
+    * division (`div` = Catalyst IntegralDivide, Java truncation
+    * semantics), over anything else IEEE division — exactly the upstream
+    * split between `OperationFcts.INT_DIVISION` and floating division. */
+  private def arithColumn(e: CqlArith, t: CqlTable): Column = e match {
+    case ArithCol(n) =>
+      if (!t.df.schema.exists(_.name.equalsIgnoreCase(n)))
+        throw new CqlInvalidQueryException(s"Undefined column name $n")
+      col(n)
+    case ArithLit(v: Long) => lit(v)
+    case ArithLit(v: Double) => lit(v)
+    case ArithLit(other) => throw new CqlInvalidQueryException(
+      s"operator expression expects a numeric literal, got $other")
+    case ArithNeg(i) => negate(arithColumn(i, t))
+    case ArithBin(op, l, r) =>
+      val (lc, rc) = (arithColumn(l, t), arithColumn(r, t))
+      op match {
+        case "+" => lc + rc
+        case "-" => lc - rc
+        case "*" => lc * rc
+        case "%" => lc % rc
+        case "/" =>
+          if (arithIntegral(l, t) && arithIntegral(r, t))
+            call_function("div", lc, rc) // IntegralDivide, Java semantics
+          else lc / rc
+      }
+  }
+
+  /** Whether an operand is integral-typed — drives the upstream integer-
+    * vs-floating division split. */
+  private def arithIntegral(e: CqlArith, t: CqlTable): Boolean = e match {
+    case ArithCol(n) =>
+      t.df.schema.find(_.name.equalsIgnoreCase(n)).map(_.dataType).exists {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+    case ArithLit(_: Long) => true
+    case ArithLit(_) => false
+    case ArithNeg(i) => arithIntegral(i, t)
+    case ArithBin(_, l, r) => arithIntegral(l, t) && arithIntegral(r, t)
+  }
+
   private def selectorColumn(s: CqlSelector, t: CqlTable): Column = s match {
     case Star => col("*")
+    case ArithSelector(expr, text, alias) =>
+      arithColumn(expr, t).as(alias.getOrElse(text))
     case ColumnSelector(name, alias) =>
       alias.fold(col(name))(col(name).as(_))
     case CastSelector(column, to, toName, alias) =>

@@ -19,6 +19,23 @@ case class FunctionSelector(fn: String, args: Seq[CqlFnArg], alias: Option[Strin
     Set("count", "min", "max", "sum", "avg").contains(fn.toLowerCase)
 }
 
+/** Arithmetic operator expressions in the selection clause (Cassandra 4.0
+  * native operators, CASSANDRA-11935 — upstream
+  * `cql3/functions/OperationFcts.java` [U]): `+ - * / %` over numeric
+  * columns and literals, `* / %` binding tighter than `+ -`, parentheses
+  * and unary minus. Division of two integral operands is integer division
+  * (Java truncation-toward-zero semantics), as upstream. */
+sealed trait CqlArith
+case class ArithCol(name: String) extends CqlArith
+case class ArithLit(value: Any) extends CqlArith
+case class ArithNeg(inner: CqlArith) extends CqlArith
+case class ArithBin(op: String, left: CqlArith, right: CqlArith)
+  extends CqlArith
+/** `text` renders the expression for the upstream-style default result
+  * column name (`a + b`); an explicit alias wins. */
+case class ArithSelector(expr: CqlArith, text: String,
+  alias: Option[String]) extends CqlSelector
+
 sealed trait CqlPredicate
 /** `column op value(s)`; `isToken` marks `token(column) op value`. */
 case class ColumnPredicate(column: String, op: String, values: Seq[Any],
@@ -64,7 +81,7 @@ object CqlParser {
   // (Lexing '-5' as one literal made 'SET c=c-5' — no spaces — miss the
   // counter-decrement pattern and crash in parseLiteral instead.)
   private val tokenRe =
-    """\s*(?:('(?:[^']|'')*')|(0[xX][0-9a-fA-F]*)|(\d+\.\d+(?:[eE][-+]?\d+)?|\d+[eE][-+]?\d+)|(\d+)|([A-Za-z_][A-Za-z0-9_]*)|(<=|>=|!=|[=<>(),*\[\]{}:;+.?-]))""".r
+    """\s*(?:('(?:[^']|'')*')|(0[xX][0-9a-fA-F]*)|(\d+\.\d+(?:[eE][-+]?\d+)?|\d+[eE][-+]?\d+)|(\d+)|([A-Za-z_][A-Za-z0-9_]*)|(<=|>=|!=|[=<>(),*\[\]{}:;+.?%/-]))""".r
 
   private def tokenize(s: String): Vector[String] = {
     var rest = s.trim
@@ -1352,6 +1369,15 @@ object CqlParser {
 
   private def parseSelector(c: Cursor): CqlSelector = {
     if (c.accept("*")) return Star
+    // arithmetic-leading selector: a numeric literal, parenthesized
+    // expression, or unary minus can only start an operator expression
+    // (CASSANDRA-11935) — a bare column lands here too when an operator
+    // follows it (handled at the tail of this method)
+    if (c.peek == "(" || c.peek == "-" ||
+        c.peek.headOption.exists(_.isDigit)) {
+      val e = parseArith(c)
+      return ArithSelector(e, renderArith(e), parseAlias(c))
+    }
     val name0 = c.next()
     // `ks.fn(args)` — a keyspace-qualified function INVOCATION; told
     // apart from UDT field access `col.field` by the "(" that follows
@@ -1401,7 +1427,67 @@ object CqlParser {
       c.next(); val sub = c.next()
       val path = s"$name.$sub"
       ColumnSelector(path, parseAlias(c).orElse(Some(path)))
+    } else if (isArithOp(c.peek)) {
+      // the parsed name is the left operand of an operator expression
+      val e = parseArithTail(ArithCol(name), c, 1)
+      ArithSelector(e, renderArith(e), parseAlias(c))
     } else ColumnSelector(name, parseAlias(c))
+  }
+
+  // ---- Cassandra 4.0 operator expressions (precedence climbing) ----
+
+  private def isArithOp(t: String): Boolean =
+    t == "+" || t == "-" || t == "*" || t == "/" || t == "%"
+  private def arithPrec(op: String): Int =
+    if (op == "+" || op == "-") 1 else 2
+
+  private def parseArithPrimary(c: Cursor): CqlArith = {
+    if (c.accept("(")) { val e = parseArith(c); c.expect(")"); return e }
+    if (c.accept("-")) return ArithNeg(parseArithPrimary(c))
+    val t = c.peek
+    if (t.headOption.exists(_.isDigit)) {
+      c.next()
+      // integer-DOT-fraction arrives as one decimal token from the lexer
+      if (t.contains('.') || t.toLowerCase.contains('e') ||
+          t.toLowerCase.startsWith("0x"))
+        ArithLit(if (t.toLowerCase.startsWith("0x"))
+          java.lang.Long.parseLong(t.drop(2), 16) else t.toDouble)
+      else ArithLit(t.toLong)
+    } else {
+      val n = c.next()
+      if (n.isEmpty || !n.headOption.exists(h => h.isLetter || h == '_'))
+        throw new CqlInvalidQueryException(
+          s"operator expression expects a column or numeric literal, got '$n'")
+      ArithCol(n)
+    }
+  }
+
+  private def parseArith(c: Cursor): CqlArith =
+    parseArithTail(parseArithPrimary(c), c, 1)
+
+  private def parseArithTail(left0: CqlArith, c: Cursor,
+      minPrec: Int): CqlArith = {
+    var left = left0
+    while (isArithOp(c.peek) && arithPrec(c.peek) >= minPrec) {
+      val op = c.next()
+      val right = parseArithTail(parseArithPrimary(c), c, arithPrec(op) + 1)
+      left = ArithBin(op, left, right)
+    }
+    left
+  }
+
+  /** Upstream-style default result name (`a + b`); nested operands render
+    * parenthesized so the name is unambiguous regardless of source parens. */
+  private def renderArith(e: CqlArith): String = e match {
+    case ArithCol(n) => n
+    case ArithLit(v) => v.toString
+    case ArithNeg(i) => s"-${renderArith(i)}"
+    case ArithBin(op, l, r) =>
+      def side(x: CqlArith) = x match {
+        case b: ArithBin => s"(${renderArith(b)})"
+        case other => renderArith(other)
+      }
+      s"${side(l)} $op ${side(r)}"
   }
 
   private def parseAlias(c: Cursor): Option[String] =

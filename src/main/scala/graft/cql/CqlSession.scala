@@ -3834,6 +3834,14 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
                 case ColArg(n) => n.equalsIgnoreCase(c0)
                 case _ => false
               }
+              case ArithSelector(e, _, _) =>
+                def refs(a: CqlArith): Boolean = a match {
+                  case ArithCol(n) => n.equalsIgnoreCase(c0)
+                  case ArithNeg(i) => refs(i)
+                  case ArithBin(_, l, r) => refs(l) || refs(r)
+                  case _ => false
+                }
+                refs(e)
             }
         mvReg.collectFirst {
           case (mv, (sel, pk, ck))

@@ -272,6 +272,24 @@ object AdminQueries {
     report.unionByName(state).orderBy("kind", "name", "detail")
   }
 
+  /** CQL25 — Cassandra 4.0 native arithmetic operators in the gate
+    * (CASSANDRA-11935 [U cql3/functions/OperationFcts.java]): `+ - * / %`
+    * with `* / %` binding tighter, parentheses, unary minus, and the
+    * upstream integer-vs-floating division split — `/` over two integral
+    * operands is integer division (Java truncation), over doubles IEEE.
+    * The DuckDB twin computes the same expressions (`//` is DuckDB's
+    * integer division; operands here are positive so floor = truncate). */
+  def cql25_arithmetic(s: SparkSession, d: String): DataFrame =
+    graft.cql.CqlEngine.forFixtures(s, d).execute(
+      "SELECT l_orderkey, l_linenumber, " +
+        "l_quantity * l_extendedprice / 100.0 + 1.5 AS scaled, " +
+        "l_orderkey % 7 AS bucket7, " +
+        "(l_orderkey + l_linenumber) * 2 AS mix, " +
+        "l_orderkey / 10 AS decade, " +
+        "-l_linenumber + 100 AS negmix " +
+        "FROM lineitem WHERE l_orderkey < 200 ALLOW FILTERING")
+      .orderBy("l_orderkey", "l_linenumber")
+
   /** CQL16 — audit / full-query logging in the gate [U audit/
     * AuditLogManager.java, FullQueryLogger.java]: AUDIT ON, then one
     * statement per category — DML, QUERY, DDL, DCL, AUTH (login
@@ -629,6 +647,7 @@ object AdminQueries {
     "cql22_replay" -> (cql22_replay _),
     "cql23_prepared_registry" -> (cql23_prepared_registry _),
     "cql24_source" -> (cql24_source _),
+    "cql25_arithmetic" -> (cql25_arithmetic _),
     "cql13_roles" -> (cql13_roles _),
     "cql14_schema" -> (cql14_schema _),
     "cql15_settings" -> (cql15_settings _),
@@ -774,6 +793,16 @@ object AdminQueries {
         |  ('row', 'k2', 'it''s quoted'),
         |  ('row', 'k3', 'after-error'))
         |AS t(kind, name, detail) ORDER BY kind, name, detail""".stripMargin,
+    // the twin computes the same operator expressions; `//` is DuckDB's
+    // integer division (operands positive → floor = Java truncation)
+    "cql25_arithmetic" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_quantity * l_extendedprice / 100.0 + 1.5 AS scaled,
+        |  l_orderkey % 7 AS bucket7,
+        |  (l_orderkey + l_linenumber) * 2 AS mix,
+        |  l_orderkey // 10 AS decade,
+        |  -l_linenumber + 100 AS negmix
+        |FROM lineitem WHERE l_orderkey < 200""".stripMargin,
     // the twin COMPUTES the prepared ids — the id convention is gated
     "cql23_prepared_registry" ->
       """SELECT md5(coalesce(ks, '') || q) AS prepared_id,

@@ -880,4 +880,64 @@ class CqlEngineSpec extends SparkSpec {
     assert(!pager.hasNext) // exact multiple: NOT one more empty page
     intercept[NoSuchElementException] { pager.next() }
   }
+
+  // ---- Cassandra 4.0 operator expressions (CASSANDRA-11935) ----
+
+  test("arithmetic selectors: precedence, parens, unary minus") {
+    val out = cqlEngine.execute(
+      "SELECT l_orderkey, l_orderkey + l_linenumber * 2 AS prec, " +
+        "(l_orderkey + l_linenumber) * 2 AS paren, " +
+        "-l_linenumber + 10 AS neg " +
+        "FROM lineitem WHERE l_orderkey = 1")
+    val native = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") === 1)
+      .select(col("l_orderkey"),
+        (col("l_orderkey") + col("l_linenumber") * 2).as("prec"),
+        ((col("l_orderkey") + col("l_linenumber")) * 2).as("paren"),
+        (-col("l_linenumber") + 10).as("neg"))
+    assert(out.collect().map(_.toSeq).toSeq ===
+      native.collect().map(_.toSeq).toSeq)
+  }
+
+  test("arithmetic: integral / is integer division (Java truncation), " +
+    "double / is IEEE; % is remainder") {
+    val out = cqlEngine.execute(
+      "SELECT l_linenumber / 2 AS intdiv, l_quantity / 2 AS dbldiv, " +
+        "l_linenumber % 3 AS rem " +
+        "FROM lineitem WHERE l_orderkey = 1 AND l_linenumber = 3")
+    val r = out.head()
+    assert(r.getLong(0) === 1L) // 3 div 2 = 1, not 1.5
+    val q = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") === 1 && col("l_linenumber") === 3)
+      .head().getAs[Double]("l_quantity")
+    assert(r.getDouble(1) === q / 2.0)
+    assert(r.getLong(2) === 0L)
+  }
+
+  test("arithmetic: default result name renders the expression; " +
+    "undefined column and non-numeric literal are rejected") {
+    val out = cqlEngine.execute(
+      "SELECT l_orderkey + 1 FROM lineitem WHERE l_orderkey = 1 LIMIT 1")
+    assert(out.columns.toSeq === Seq("l_orderkey + 1"))
+    intercept[CqlInvalidQueryException] {
+      cqlEngine.execute(
+        "SELECT nosuch + 1 FROM lineitem WHERE l_orderkey = 1").collect()
+    }
+  }
+
+  test("arithmetic under GROUP BY follows the first-row pin like any " +
+    "non-aggregate selector") {
+    val out = cqlEngine.execute(
+      "SELECT l_orderkey, l_linenumber + 100 AS shifted, count(*) AS n " +
+        "FROM lineitem WHERE l_orderkey IN (1, 3) GROUP BY l_orderkey")
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> r.getLong(1)).toMap
+    // first row in clustering order, derived from the fixture itself
+    val expected = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey").isin(1, 3))
+      .groupBy("l_orderkey")
+      .agg((min("l_linenumber") + 100).cast("long").as("shifted"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows === expected)
+  }
 }
