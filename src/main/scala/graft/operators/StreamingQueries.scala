@@ -184,6 +184,30 @@ object StreamingQueries {
     ss.table(name).orderBy("click_id", "purchase_id")
   }
 
+  /** T12 — TRUE streaming session windows inside the hash gate (T3's
+    * executor counterpart): the watermarked 30-minute-gap session
+    * pipeline runs on the real streaming engine (file source, session-
+    * merging state store, Trigger.AvailableNow) in COMPLETE mode — the
+    * full merged-session state emits at batch end, so nothing is withheld
+    * by the initial watermark and each session carries its final
+    * (start, count), which is what the batch gaps-and-islands twin
+    * computes. (Update mode is the one Spark rejects for session-window
+    * aggregation — sessions merge, they don't update in place.) The
+    * defensive max() collapse mirrors t11's and is a no-op at one batch;
+    * the one-file-one-batch invariant is stageEvents' contract. */
+  def t12_stream_session(s: SparkSession, d: String): DataFrame = {
+    val name = s"t12_sink_${System.nanoTime()}"
+    val ss = streamSession(s)
+    graft.streaming.StreamingPipelines.runToMemory(
+      graft.streaming.StreamingPipelines.userSessions(
+        graft.streaming.StreamingPipelines.eventsStream(ss, stageEvents(d))),
+      name, "complete")
+    ss.table(name).filter(col("user_id") < 30)
+      .groupBy("user_id", "session_start")
+      .agg(max("n_events").as("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
   /** T11 — the TRUE `transformWithState` executor inside the hash gate
     * (T6 was spec-only): per-user running (count, Σ event_id) through a
     * RocksDB ValueState processor, snapshots into a memory sink. The
@@ -214,6 +238,7 @@ object StreamingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t10_stream_join" -> (t10_stream_join _),
     "t11_stream_totals" -> (t11_stream_totals _),
+    "t12_stream_session" -> (t12_stream_session _),
     "t8_stream_tumbling" -> (t8_stream_tumbling _),
     "t9_gapfill" -> (t9_gapfill _),
     "t1_tumbling" -> (t1_tumbling _),
@@ -278,6 +303,26 @@ object StreamingQueries {
         |  FROM events CROSS JOIN (SELECT unnest(range(0,4)) AS j) js)
         |WHERE event_type = 'purchase'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same gaps-and-islands twin as t3, count-only projection — the
+    // streamed session store must reproduce the batch sessionization
+    "t12_stream_session" ->
+      """WITH e AS (SELECT user_id, cast(ts AS timestamp) AS ts
+        |           FROM events WHERE user_id < 30),
+        |flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           >= INTERVAL 30 MINUTE
+        |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM e),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |                  ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "t3_session" ->
       """WITH e AS (SELECT user_id, cast(ts AS timestamp) AS ts, value
         |           FROM events WHERE user_id < 30),
