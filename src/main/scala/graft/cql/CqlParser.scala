@@ -351,7 +351,7 @@ object CqlParser {
           CqlSetLit(items)
         }
       }
-    } else parseLiteral(c)
+    } else parseTerm(c)
 
   /** `col = value`, `col = col + coll`, `col = col - coll`, `col[k] = v`
     * (upstream `cql3/Operation.java` [U]). */
@@ -1241,7 +1241,7 @@ object CqlParser {
             case o => throw new CqlInvalidQueryException(
               s"unsupported condition operator $o")
           }
-          (col, sub, op, parseLiteral(c))
+          (col, sub, op, parseTerm(c))
         }
       }
       var ps = Seq(one())
@@ -1593,8 +1593,8 @@ object CqlParser {
       val vals =
         if (c.accept(")")) Seq.empty[Any]
         else {
-          var vs = Seq(parseLiteral(c))
-          while (c.accept(",")) vs = vs :+ parseLiteral(c)
+          var vs = Seq(parseTerm(c))
+          while (c.accept(",")) vs = vs :+ parseTerm(c)
           c.expect(")")
           vs
         }
@@ -1621,7 +1621,7 @@ object CqlParser {
           while (c.accept(",")) vs = vs :+ parseLiteral(c)
           c.expect(")")
           CqlFnLit("token", CqlList(vs))
-        } else parseLiteral(c)
+        } else parseTerm(c)
       ColumnPredicate(column, op, Seq(v), isToken)
     }
   }
@@ -1677,6 +1677,66 @@ object CqlParser {
   private def parseLimitValue(c: Cursor): Any =
     if (c.peekIs("?") || c.peekIs(":")) parseLiteral(c)
     else numeric(c.next().toInt, c.peek)
+
+  /** Cassandra 4.0 operator expressions over literal TERMS — INSERT
+    * values, UPDATE SET right-hand sides, WHERE comparison/IN values
+    * (CASSANDRA-11935 [U cql3/functions/OperationFcts]): folded to a
+    * constant at parse time with CQL numeric semantics — integral op
+    * integral stays integral (`/` truncates toward zero, Java), any
+    * double operand promotes the operation to IEEE double. Non-numeric
+    * first operands pass through untouched (collections, strings, bind
+    * markers keep their existing grammar, including `l = [v] + l`
+    * prepend whose `+` follows a LIST literal). */
+  private def foldTermArith(first: Any, c: Cursor): Any = {
+    def isNum(v: Any) = v.isInstanceOf[Long] || v.isInstanceOf[Double]
+    if (!isNum(first) || !isArithOp(c.peek)) return first
+    def primary(): Any =
+      if (c.accept("(")) { val v = tail(primary(), 1); c.expect(")"); v }
+      else parseLiteral(c) match {
+        case n if isNum(n) => n
+        case other => throw new CqlInvalidQueryException(
+          s"operator expression expects a numeric operand, got $other")
+      }
+    def binop(op: String, l: Any, r: Any): Any = (l, r) match {
+      case (a: Long, b: Long) =>
+        if ((op == "/" || op == "%") && b == 0L)
+          throw new CqlInvalidQueryException("division by zero")
+        op match {
+          case "+" => a + b; case "-" => a - b; case "*" => a * b
+          case "/" => a / b; case _ => a % b
+        }
+      case _ =>
+        def d(v: Any) = v match {
+          case x: Long => x.toDouble; case x: Double => x
+          case _ => throw new CqlInvalidQueryException(s"not numeric: $v")
+        }
+        val (a, b) = (d(l), d(r))
+        op match {
+          case "+" => a + b; case "-" => a - b; case "*" => a * b
+          case "/" => a / b; case _ => a % b
+        }
+    }
+    def tail(left0: Any, min: Int): Any = {
+      var left = left0
+      while (isArithOp(c.peek) && arithPrec(c.peek) >= min) {
+        val op = c.next()
+        left = binop(op, left, tail(primary(), arithPrec(op) + 1))
+      }
+      left
+    }
+    tail(first, 1)
+  }
+
+  /** A literal term with operator folding — the general rhs shape. A
+    * leading `(` can only open an arithmetic group in these positions
+    * (tuple rhs forms are consumed by their own grammars earlier). */
+  private def parseTerm(c: Cursor): Any =
+    if (c.peek == "(") {
+      c.next()
+      val inner = parseTerm(c)
+      c.expect(")")
+      foldTermArith(inner, c)
+    } else foldTermArith(parseLiteral(c), c)
 
   private def parseLiteral(c: Cursor): Any = {
     val t = c.next()

@@ -2422,4 +2422,40 @@ class CqlSessionSpec extends SparkSpec {
     val del = s.prepare("DELETE FROM unset_t WHERE k = ?")
     intercept[CqlInvalidQueryException] { del.execute(Unset) }
   }
+
+  test("operator expressions fold in terms: INSERT values, WHERE rhs, " +
+    "IN lists, UPDATE rhs, LWT conditions (CASSANDRA-11935)") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE arith_t (k bigint PRIMARY KEY, v bigint, " +
+      "d double)")
+    s.execute("INSERT INTO arith_t (k, v, d) VALUES (1 + 1, 3 * 4 - 2, " +
+      "1.5 * 2)")
+    var r = s.execute("SELECT k, v, d FROM arith_t WHERE k = 4 / 2").head()
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) === (2L, 10L, 3.0))
+    // integral / integral truncates toward zero; % is remainder
+    s.execute("INSERT INTO arith_t (k, v) VALUES (7 / 2, 7 % 2)")
+    r = s.execute("SELECT k, v FROM arith_t WHERE k = 3").head()
+    assert((r.getLong(0), r.getLong(1)) === (3L, 1L))
+    // precedence + parens in an UPDATE rhs and an IN list
+    s.execute("UPDATE arith_t SET v = (2 + 3) * 4 WHERE k = 2")
+    val rows = s.execute(
+      "SELECT k, v FROM arith_t WHERE k IN (1 + 1, 2 + 1)")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(rows === Map(2L -> 20L, 3L -> 1L))
+    // LWT condition rhs folds too
+    val res = s.execute(
+      "UPDATE arith_t SET v = 0 WHERE k = 2 IF v = 10 * 2").head()
+    assert(res.getBoolean(res.fieldIndex("[applied]")))
+    // division by zero in a folded term is a query error, as upstream
+    intercept[CqlInvalidQueryException] {
+      s.execute("SELECT k FROM arith_t WHERE k = 1 / 0")
+    }
+    // list prepend `l = [x] + l` still parses (the + follows a LIST)
+    s.execute("CREATE TABLE arith_l (k bigint PRIMARY KEY, l list<bigint>)")
+    s.execute("INSERT INTO arith_l (k, l) VALUES (1, [2])")
+    s.execute("UPDATE arith_l SET l = [1] + l WHERE k = 1")
+    val lv = s.execute("SELECT l FROM arith_l WHERE k = 1").head()
+      .getSeq[Long](0)
+    assert(lv === Seq(1L, 2L))
+  }
 }
