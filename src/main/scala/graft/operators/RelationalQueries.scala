@@ -536,6 +536,24 @@ object RelationalQueries {
       .orderBy("c_nationkey", "quartile")
   }
 
+  /** W6: the distribution-rank window family — percent_rank, cume_dist,
+    * nth_value — over the per-nation balance ordering w2/w5 use. The
+    * doubles are exact small-denominator rationals ((rank-1)/(n-1),
+    * peers/n) so the hash survives cross-engine IEEE; nth_value(3) reads
+    * inside the running frame (null until the frame holds 3 rows), which
+    * is both engines' default frame semantics. */
+  def w6_percent_cume(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(s, d)
+      .filter(col("c_nationkey") < 5)
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("third_ck", nth_value(col("c_custkey"), 3).over(w))
+      .select("c_nationkey", "c_custkey", "pr", "cd", "third_ck")
+      .orderBy("c_nationkey", "c_custkey")
+  }
+
   /** W3: lag — mean inter-event gap per user, exact µs arithmetic. */
   def w3_lag_gap(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
@@ -737,6 +755,7 @@ object RelationalQueries {
     "w2_rank" -> (w2_rank _),
     "w3_lag_gap" -> (w3_lag_gap _),
     "w5_ntile" -> (w5_ntile _),
+    "w6_percent_cume" -> (w6_percent_cume _),
     "setop_union" -> (setop_union _),
     "w4_moving" -> (w4_moving _),
     "o1_topk" -> (o1_topk _),
@@ -1025,6 +1044,16 @@ object RelationalQueries {
         |          ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
         |      FROM customer)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // default running frame in both engines; total order makes RANGE ≡ ROWS
+    "w6_percent_cume" ->
+      """SELECT c_nationkey, c_custkey,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  nth_value(c_custkey, 3) OVER w AS third_ck
+        |FROM customer WHERE c_nationkey < 5
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |             ORDER BY c_acctbal DESC, c_custkey ASC)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
     "setop_union" ->
       """SELECT user_id FROM events WHERE event_type = 'click'
         |UNION SELECT user_id FROM events WHERE event_type = 'purchase'

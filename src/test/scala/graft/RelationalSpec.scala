@@ -25,6 +25,22 @@ class RelationalSpec extends SparkSpec {
     assert(prices.sameElements(prices.sortBy(-_)))
   }
 
+  test("w6 distribution ranks: pr/cd bounded in (0,1], third_ck null " +
+    "until the running frame holds three rows") {
+    val rows = RelationalQueries.w6_percent_cume(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val (pr, cd) = (r.getDouble(2), r.getDouble(3))
+      pr >= 0.0 && pr <= 1.0 && cd > 0.0 && cd <= 1.0
+    })
+    // per partition: exactly two rows (frame size 1 and 2) have no 3rd value
+    val byNation = rows.groupBy(_.getInt(0))
+    byNation.values.foreach { part =>
+      val nulls = part.count(_.isNullAt(4))
+      assert(nulls === math.min(2, part.length))
+    }
+  }
+
   test("broadcast star join covers all regions present in the data") {
     val n = RelationalQueries.j1_broadcast_star(spark, sf).count()
     assert(n >= 1 && n <= 5)
