@@ -996,20 +996,58 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
       col(n)
     case ArithLit(v: Long) => lit(v)
     case ArithLit(v: Double) => lit(v)
+    // a quoted literal inside arithmetic can only be a timestamp operand
+    case ArithLit(v: String) => lit(v).cast("timestamp")
+    case ArithLit(_: CqlDuration) => throw new CqlInvalidQueryException(
+      "a bare duration is not selectable — combine it with a timestamp")
     case ArithLit(other) => throw new CqlInvalidQueryException(
       s"operator expression expects a numeric literal, got $other")
     case ArithNeg(i) => negate(arithColumn(i, t))
     case ArithBin(op, l, r) =>
-      val (lc, rc) = (arithColumn(l, t), arithColumn(r, t))
-      op match {
-        case "+" => lc + rc
-        case "-" => lc - rc
-        case "*" => lc * rc
-        case "%" => lc % rc
-        case "/" =>
-          if (arithIntegral(l, t) && arithIntegral(r, t))
-            call_function("div", lc, rc) // IntegralDivide, Java semantics
-          else lc / rc
+      // timestamp ± duration (CASSANDRA-11936): the duration side becomes
+      // a calendar interval (months are calendar months, nanos truncate
+      // to make_interval's µs precision — CQL timestamps are ms anyway)
+      def durOf(x: CqlArith): Option[CqlDuration] = x match {
+        case ArithLit(d: CqlDuration) => Some(d)
+        case _ => None
+      }
+      def isNumLit(x: CqlArith): Boolean = x match {
+        case ArithLit(_: Long) | ArithLit(_: Double) => true
+        case ArithNeg(i) => isNumLit(i)
+        case _ => false
+      }
+      def tsAdd(tsSide: CqlArith, d: CqlDuration, add: Boolean): Column = {
+        if (isNumLit(tsSide)) throw new CqlInvalidQueryException(
+          "cannot apply a duration to a number")
+        val s = if (add) 1 else -1
+        val secs = new java.math.BigDecimal(d.nanos)
+          .movePointLeft(9).multiply(new java.math.BigDecimal(s))
+        arithColumn(tsSide, t) + call_function("make_interval",
+          lit(0), lit(s * d.months), lit(0), lit(s * d.days),
+          lit(0), lit(0), lit(secs))
+      }
+      (durOf(l), durOf(r)) match {
+        case (Some(_), Some(_)) => throw new CqlInvalidQueryException(
+          "duration-valued selections are not supported — duration " +
+            "arithmetic folds only in literal terms")
+        case (None, Some(d)) if op == "+" || op == "-" =>
+          tsAdd(l, d, op == "+")
+        case (Some(d), None) if op == "+" => tsAdd(r, d, add = true)
+        case (Some(_), _) | (_, Some(_)) =>
+          throw new CqlInvalidQueryException(
+            s"the $op operator is not defined on durations")
+        case _ =>
+          val (lc, rc) = (arithColumn(l, t), arithColumn(r, t))
+          op match {
+            case "+" => lc + rc
+            case "-" => lc - rc
+            case "*" => lc * rc
+            case "%" => lc % rc
+            case "/" =>
+              if (arithIntegral(l, t) && arithIntegral(r, t))
+                call_function("div", lc, rc) // IntegralDivide, Java semantics
+              else lc / rc
+          }
       }
   }
 

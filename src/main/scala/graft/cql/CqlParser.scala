@@ -1445,19 +1445,17 @@ object CqlParser {
     if (c.accept("(")) { val e = parseArith(c); c.expect(")"); return e }
     if (c.accept("-")) return ArithNeg(parseArithPrimary(c))
     val t = c.peek
-    if (t.headOption.exists(_.isDigit)) {
-      c.next()
-      // integer-DOT-fraction arrives as one decimal token from the lexer
-      if (t.contains('.') || t.toLowerCase.contains('e') ||
-          t.toLowerCase.startsWith("0x"))
-        ArithLit(if (t.toLowerCase.startsWith("0x"))
-          java.lang.Long.parseLong(t.drop(2), 16) else t.toDouble)
-      else ArithLit(t.toLong)
-    } else {
+    // literal operands — numbers, DURATIONS (`12h`, `1mo`, ISO `P1D`),
+    // quoted timestamp strings — all share parseLiteral's grammar
+    // (including the "12"+"h30m" duration token re-join)
+    if (t.headOption.exists(_.isDigit) || t.startsWith("'") ||
+        isDurationLiteral(t))
+      ArithLit(parseLiteral(c))
+    else {
       val n = c.next()
       if (n.isEmpty || !n.headOption.exists(h => h.isLetter || h == '_'))
         throw new CqlInvalidQueryException(
-          s"operator expression expects a column or numeric literal, got '$n'")
+          s"operator expression expects a column or literal, got '$n'")
       ArithCol(n)
     }
   }
@@ -1689,13 +1687,19 @@ object CqlParser {
     * prepend whose `+` follows a LIST literal). */
   private def foldTermArith(first: Any, c: Cursor): Any = {
     def isNum(v: Any) = v.isInstanceOf[Long] || v.isInstanceOf[Double]
-    if (!isNum(first) || !isArithOp(c.peek)) return first
+    // numbers fold numerically; timestamp strings and durations fold via
+    // the datetime arithmetic below (CASSANDRA-11936) — anything else
+    // passes through so the surrounding grammars keep their meaning
+    def isFoldable(v: Any) = isNum(v) ||
+      v.isInstanceOf[String] || v.isInstanceOf[CqlDuration]
+    if (!isFoldable(first) || !isArithOp(c.peek)) return first
     def primary(): Any =
       if (c.accept("(")) { val v = tail(primary(), 1); c.expect(")"); v }
       else parseLiteral(c) match {
-        case n if isNum(n) => n
+        case n if isFoldable(n) => n
         case other => throw new CqlInvalidQueryException(
-          s"operator expression expects a numeric operand, got $other")
+          s"operator expression expects a numeric, timestamp, or " +
+            s"duration operand, got $other")
       }
     def binop(op: String, l: Any, r: Any): Any = (l, r) match {
       case (a: Long, b: Long) =>
@@ -1705,6 +1709,25 @@ object CqlParser {
           case "+" => a + b; case "-" => a - b; case "*" => a * b
           case "/" => a / b; case _ => a % b
         }
+      // timestamp-literal ± duration → the shifted timestamp string
+      // (CASSANDRA-11936 [U OperationFcts datetime ops]); `dur + ts` is
+      // commutative for +, `ts - dur` only for −
+      case (s: String, dur: CqlDuration) if op == "+" || op == "-" =>
+        shiftTsLiteral(s, dur, op == "+")
+      case (dur: CqlDuration, s: String) if op == "+" =>
+        shiftTsLiteral(s, dur, add = true)
+      case (a: CqlDuration, b: CqlDuration) if op == "+" || op == "-" =>
+        val sign = if (op == "+") 1L else -1L
+        try CqlDuration(
+          Math.toIntExact(Math.addExact(a.months.toLong, sign * b.months)),
+          Math.toIntExact(Math.addExact(a.days.toLong, sign * b.days)),
+          Math.addExact(a.nanos, sign * b.nanos))
+        catch { case _: ArithmeticException =>
+          throw new CqlInvalidQueryException("duration overflow") }
+      case _ if l.isInstanceOf[String] || r.isInstanceOf[String] ||
+          l.isInstanceOf[CqlDuration] || r.isInstanceOf[CqlDuration] =>
+        throw new CqlInvalidQueryException(
+          s"the $op operator is not defined on these operand types")
       case _ =>
         def d(v: Any) = v match {
           case x: Long => x.toDouble; case x: Double => x
@@ -1725,6 +1748,38 @@ object CqlParser {
       left
     }
     tail(first, 1)
+  }
+
+  /** A CQL timestamp literal ± a duration, folded at parse time: the
+    * string parses as `yyyy-MM-dd[ HH:mm[:ss[.fff]]]` (space or `T`
+    * separator, optional zone, UTC default — upstream
+    * TimestampSerializer's accepted shapes), the duration applies in UTC
+    * calendar arithmetic (months are calendar months, as upstream), and
+    * the result renders back as an ISO instant every downstream consumer
+    * (typedLit's cast, DESCRIBE echoes) already accepts. */
+  private def shiftTsLiteral(s: String, dur: CqlDuration,
+      add: Boolean): String = {
+    import java.time._
+    val norm = s.trim.replace(' ', 'T')
+    val base: Instant =
+      try {
+        if (norm.endsWith("Z") || norm.matches(".*[+-]\\d{2}:?\\d{2}$"))
+          OffsetDateTime.parse(
+            // `+0000` (CQL) → `+00:00` (ISO) zone spelling
+            norm.replaceAll("([+-]\\d{2})(\\d{2})$", "$1:$2")).toInstant
+        else if (norm.contains("T"))
+          LocalDateTime.parse(norm).toInstant(ZoneOffset.UTC)
+        else LocalDate.parse(norm).atStartOfDay(ZoneOffset.UTC).toInstant
+      } catch { case _: format.DateTimeParseException =>
+        throw new CqlInvalidQueryException(
+          s"cannot apply a duration to non-timestamp literal '$s'")
+      }
+    val sign = if (add) 1L else -1L
+    base.atZone(ZoneOffset.UTC)
+      .plusMonths(sign * dur.months)
+      .plusDays(sign * dur.days)
+      .plusNanos(sign * dur.nanos)
+      .toInstant.toString // ISO instant, e.g. 2024-01-07T00:00:00Z
   }
 
   /** A literal term with operator folding — the general rhs shape. A

@@ -290,6 +290,19 @@ object AdminQueries {
         "FROM lineitem WHERE l_orderkey < 200 ALLOW FILTERING")
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** CQL26 — datetime arithmetic in the gate (CASSANDRA-11936 [U
+    * cql3/functions/OperationFcts datetime ops]): `ts ± duration` in the
+    * selection (calendar-interval add on the engine side) and a
+    * `'date' + duration` literal term folded at parse time into the
+    * WHERE bound. Fixed-width durations keep the DuckDB INTERVAL twin
+    * exact to the microsecond. */
+  def cql26_ts_arith(s: SparkSession, d: String): DataFrame =
+    graft.cql.CqlEngine.forFixtures(s, d).execute(
+      "SELECT event_id, ts + 12h AS later, ts - 30m AS earlier " +
+        "FROM events WHERE user_id = 3 AND ts > '2024-01-05' + 2d " +
+        "ALLOW FILTERING")
+      .orderBy("event_id")
+
   /** CQL16 — audit / full-query logging in the gate [U audit/
     * AuditLogManager.java, FullQueryLogger.java]: AUDIT ON, then one
     * statement per category — DML, QUERY, DDL, DCL, AUTH (login
@@ -648,6 +661,7 @@ object AdminQueries {
     "cql23_prepared_registry" -> (cql23_prepared_registry _),
     "cql24_source" -> (cql24_source _),
     "cql25_arithmetic" -> (cql25_arithmetic _),
+    "cql26_ts_arith" -> (cql26_ts_arith _),
     "cql13_roles" -> (cql13_roles _),
     "cql14_schema" -> (cql14_schema _),
     "cql15_settings" -> (cql15_settings _),
@@ -803,6 +817,16 @@ object AdminQueries {
         |  l_orderkey // 10 AS decade,
         |  -l_linenumber + 100 AS negmix
         |FROM lineitem WHERE l_orderkey < 200""".stripMargin,
+    // INTERVAL arithmetic is µs-exact in both engines for fixed widths;
+    // the folded WHERE bound is '2024-01-05' + 2d = Jan 7 midnight UTC
+    "cql26_ts_arith" ->
+      """SELECT event_id,
+        |  cast(ts AS timestamp) + INTERVAL 12 HOUR AS later,
+        |  cast(ts AS timestamp) - INTERVAL 30 MINUTE AS earlier
+        |FROM events
+        |WHERE user_id = 3
+        |  AND cast(ts AS timestamp) > TIMESTAMP '2024-01-07 00:00:00'
+        |ORDER BY event_id""".stripMargin,
     // the twin COMPUTES the prepared ids — the id convention is gated
     "cql23_prepared_registry" ->
       """SELECT md5(coalesce(ks, '') || q) AS prepared_id,

@@ -925,6 +925,48 @@ class CqlEngineSpec extends SparkSpec {
     }
   }
 
+  test("datetime arithmetic: ts ± duration selectors, calendar months, " +
+    "folded literal bounds, and type errors (CASSANDRA-11936)") {
+    val out = cqlEngine.execute(
+      "SELECT event_id, ts + 12h AS later, ts - 30m AS earlier, " +
+        "ts + 1mo AS next_month " +
+        "FROM events WHERE user_id = 1 LIMIT 5")
+    val native = Tables.events(spark, sf).filter(col("user_id") === 1)
+      .orderBy("ts", "event_id").limit(5)
+      .select(col("event_id"),
+        (col("ts") + expr("INTERVAL 12 HOURS")).as("later"),
+        (col("ts") - expr("INTERVAL 30 MINUTES")).as("earlier"),
+        (col("ts") + expr("INTERVAL 1 MONTH")).as("next_month"))
+    assert(out.collect().map(_.toSeq).toSet ===
+      native.collect().map(_.toSeq).toSet)
+    // a folded '<date>' + duration bound behaves as the shifted literal
+    val a = cqlEngine.execute(
+      "SELECT count(*) AS n FROM events WHERE user_id = 1 AND " +
+        "ts > '2024-01-05' + 2d").head().getLong(0)
+    val b = cqlEngine.execute(
+      "SELECT count(*) AS n FROM events WHERE user_id = 1 AND " +
+        "ts > '2024-01-07'").head().getLong(0)
+    assert(a === b && a > 0)
+    // dur + ts commutes for +; ts * dur and number + dur are errors
+    val c1 = cqlEngine.execute(
+      "SELECT 12h + ts AS later FROM events WHERE user_id = 1 LIMIT 1")
+    assert(c1.columns.toSeq === Seq("later"))
+    intercept[CqlInvalidQueryException] {
+      cqlEngine.execute(
+        "SELECT ts * 2h FROM events WHERE user_id = 1").collect()
+    }
+    intercept[CqlInvalidQueryException] {
+      cqlEngine.execute(
+        "SELECT 5 + 2h AS x FROM events WHERE user_id = 1").collect()
+    }
+    // duration + duration folds in terms; non-timestamp string rejected
+    intercept[CqlInvalidQueryException] {
+      cqlEngine.execute(
+        "SELECT event_id FROM events WHERE user_id = 1 AND " +
+          "ts > 'not-a-date' + 1d").collect()
+    }
+  }
+
   test("arithmetic under GROUP BY follows the first-row pin like any " +
     "non-aggregate selector") {
     val out = cqlEngine.execute(
