@@ -64,6 +64,14 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
     * (the AST's own isAggregate knows only the builtin five)? */
   private def isAgg(s: CqlSelector): Boolean = s.isAggregate || (s match {
     case FunctionSelector(fn, _, _) => userAggs.contains(fn.toLowerCase)
+    case a: ArithSelector =>
+      def rec(e: CqlArith): Boolean = e match {
+        case ArithFn(f) => userAggs.contains(f.fn.toLowerCase)
+        case ArithNeg(i) => rec(i)
+        case ArithBin(_, l, r) => rec(l) || rec(r)
+        case _ => false
+      }
+      rec(a.expr)
     case _ => false
   })
 
@@ -1002,6 +1010,9 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
       "a bare duration is not selectable — combine it with a timestamp")
     case ArithLit(other) => throw new CqlInvalidQueryException(
       s"operator expression expects a numeric literal, got $other")
+    // a function-call operand: the plain selector translation (the
+    // default-name Alias it carries is legal inside an arithmetic tree)
+    case ArithFn(f) => selectorColumn(f, t)
     case ArithNeg(i) => negate(arithColumn(i, t))
     case ArithBin(op, l, r) =>
       // timestamp ± duration (CASSANDRA-11936): the duration side becomes
@@ -1066,6 +1077,17 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
     case ArithLit(_) => false
     case ArithNeg(i) => arithIntegral(i, t)
     case ArithBin(_, l, r) => arithIntegral(l, t) && arithIntegral(r, t)
+    // count and the epoch/cell-metadata functions are integral by
+    // signature; sum/min/max inherit their column's type
+    case ArithFn(f) => f.fn.toLowerCase match {
+      case "count" | "tounixtimestamp" | "unixtimestampof" |
+           "writetime" | "maxwritetime" | "ttl" | "token" => true
+      case "sum" | "min" | "max" => f.args.headOption match {
+        case Some(ColArg(n)) => arithIntegral(ArithCol(n), t)
+        case _ => false
+      }
+      case _ => false
+    }
   }
 
   private def selectorColumn(s: CqlSelector, t: CqlTable): Column = s match {

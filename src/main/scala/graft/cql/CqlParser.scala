@@ -31,10 +31,25 @@ case class ArithLit(value: Any) extends CqlArith
 case class ArithNeg(inner: CqlArith) extends CqlArith
 case class ArithBin(op: String, left: CqlArith, right: CqlArith)
   extends CqlArith
+/** A function call as an operand — `sum(q) / count(*)`, `avg(v) + 1`
+  * (upstream operators compose over selectable functions). */
+case class ArithFn(fn: FunctionSelector) extends CqlArith
 /** `text` renders the expression for the upstream-style default result
-  * column name (`a + b`); an explicit alias wins. */
+  * column name (`a + b`); an explicit alias wins. Aggregate when any
+  * operand is a builtin aggregate call (the engine additionally checks
+  * session-registered UDAs). */
 case class ArithSelector(expr: CqlArith, text: String,
-  alias: Option[String]) extends CqlSelector
+  alias: Option[String]) extends CqlSelector {
+  override def isAggregate: Boolean = {
+    def rec(e: CqlArith): Boolean = e match {
+      case ArithFn(f) => f.isAggregate
+      case ArithNeg(i) => rec(i)
+      case ArithBin(_, l, r) => rec(l) || rec(r)
+      case _ => false
+    }
+    rec(expr)
+  }
+}
 
 sealed trait CqlPredicate
 /** `column op value(s)`; `isToken` marks `token(column) op value`. */
@@ -1400,25 +1415,14 @@ object CqlParser {
         return FunctionSelector("floor",
           Seq(ColArg(colName), LitArg(us)), parseAlias(c))
       }
-      var args = Vector.empty[CqlFnArg]
-      if (!c.accept(")")) {
-        def one(): CqlFnArg =
-          if (c.peekIs("*")) { c.next(); ColArg("*") }
-          else {
-            val t = c.peek
-            val isLit = t.startsWith("'") || t == "[" || t == "{" ||
-              t.headOption.exists(_.isDigit) ||
-              t == "-" || // unary minus is its own token; parseValue folds it
-              t.equalsIgnoreCase("true") || t.equalsIgnoreCase("false") ||
-              t.equalsIgnoreCase("null") ||
-              (literalFns(t.toLowerCase) && c.peekAt(1) == "(") // nested fn
-            if (isLit) LitArg(parseValue(c)) else ColArg(c.next())
-          }
-        args = args :+ one()
-        while (c.accept(",")) args = args :+ one()
-        c.expect(")")
-      }
-      FunctionSelector(name, args, parseAlias(c))
+      val args = parseFnArgs(c)
+      val fs = FunctionSelector(name, args, None)
+      if (isArithOp(c.peek)) {
+        // `count(*) + 1`, `sum(q) / count(*)` — the call is the left
+        // operand of an operator expression
+        val e = parseArithTail(ArithFn(fs), c, 1)
+        ArithSelector(e, renderArith(e), parseAlias(c))
+      } else fs.copy(alias = parseAlias(c))
     } else if (c.peek == "." && c.peekAt(1).headOption.exists(h =>
         h.isLetter || h == '_')) {
       // UDT field access `col.field` (upstream `cql3/selection/
@@ -1432,6 +1436,30 @@ object CqlParser {
       val e = parseArithTail(ArithCol(name), c, 1)
       ArithSelector(e, renderArith(e), parseAlias(c))
     } else ColumnSelector(name, parseAlias(c))
+  }
+
+  /** Function-call arguments after the opening paren is consumed —
+    * shared by the selector grammar and arithmetic primaries. */
+  private def parseFnArgs(c: Cursor): Vector[CqlFnArg] = {
+    var args = Vector.empty[CqlFnArg]
+    if (!c.accept(")")) {
+      def one(): CqlFnArg =
+        if (c.peekIs("*")) { c.next(); ColArg("*") }
+        else {
+          val t = c.peek
+          val isLit = t.startsWith("'") || t == "[" || t == "{" ||
+            t.headOption.exists(_.isDigit) ||
+            t == "-" || // unary minus is its own token; parseValue folds it
+            t.equalsIgnoreCase("true") || t.equalsIgnoreCase("false") ||
+            t.equalsIgnoreCase("null") ||
+            (literalFns(t.toLowerCase) && c.peekAt(1) == "(") // nested fn
+          if (isLit) LitArg(parseValue(c)) else ColArg(c.next())
+        }
+      args = args :+ one()
+      while (c.accept(",")) args = args :+ one()
+      c.expect(")")
+    }
+    args
   }
 
   // ---- Cassandra 4.0 operator expressions (precedence climbing) ----
@@ -1456,7 +1484,8 @@ object CqlParser {
       if (n.isEmpty || !n.headOption.exists(h => h.isLetter || h == '_'))
         throw new CqlInvalidQueryException(
           s"operator expression expects a column or literal, got '$n'")
-      ArithCol(n)
+      if (c.accept("(")) ArithFn(FunctionSelector(n, parseFnArgs(c), None))
+      else ArithCol(n)
     }
   }
 
@@ -1479,6 +1508,11 @@ object CqlParser {
   private def renderArith(e: CqlArith): String = e match {
     case ArithCol(n) => n
     case ArithLit(v) => v.toString
+    case ArithFn(f) =>
+      s"${f.fn.toLowerCase}(" + f.args.map {
+        case ColArg(n) => n
+        case LitArg(v) => v.toString
+      }.mkString(", ") + ")"
     case ArithNeg(i) => s"-${renderArith(i)}"
     case ArithBin(op, l, r) =>
       def side(x: CqlArith) = x match {

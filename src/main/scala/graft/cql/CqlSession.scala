@@ -3839,6 +3839,10 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
                   case ArithCol(n) => n.equalsIgnoreCase(c0)
                   case ArithNeg(i) => refs(i)
                   case ArithBin(_, l, r) => refs(l) || refs(r)
+                  case ArithFn(f) => f.args.exists {
+                    case ColArg(n) => n.equalsIgnoreCase(c0)
+                    case _ => false
+                  }
                   case _ => false
                 }
                 refs(e)

@@ -303,6 +303,18 @@ object AdminQueries {
         "ALLOW FILTERING")
       .orderBy("event_id")
 
+  /** CQL27 — operators over aggregate calls in the gate (the
+    * CASSANDRA-11935 composition surface): `sum(x) / count(*)` is the
+    * integral-division mean (both operands integral → IntegralDivide),
+    * `max(k) % 97` and `min(k) + 1000` compose post-aggregation
+    * arithmetic. Integer-exact end to end, so the twin hashes equal. */
+  def cql27_agg_arith(s: SparkSession, d: String): DataFrame =
+    graft.cql.CqlEngine.forFixtures(s, d).execute(
+      "SELECT l_returnflag, sum(l_linenumber) / count(*) AS avg_ln_floor, " +
+        "max(l_orderkey) % 97 AS mk, min(l_orderkey) + 1000 AS mn " +
+        "FROM lineitem GROUP BY l_returnflag ALLOW FILTERING")
+      .orderBy("l_returnflag")
+
   /** CQL16 — audit / full-query logging in the gate [U audit/
     * AuditLogManager.java, FullQueryLogger.java]: AUDIT ON, then one
     * statement per category — DML, QUERY, DDL, DCL, AUTH (login
@@ -662,6 +674,7 @@ object AdminQueries {
     "cql24_source" -> (cql24_source _),
     "cql25_arithmetic" -> (cql25_arithmetic _),
     "cql26_ts_arith" -> (cql26_ts_arith _),
+    "cql27_agg_arith" -> (cql27_agg_arith _),
     "cql13_roles" -> (cql13_roles _),
     "cql14_schema" -> (cql14_schema _),
     "cql15_settings" -> (cql15_settings _),
@@ -827,6 +840,15 @@ object AdminQueries {
         |WHERE user_id = 3
         |  AND cast(ts AS timestamp) > TIMESTAMP '2024-01-07 00:00:00'
         |ORDER BY event_id""".stripMargin,
+    // DuckDB sum(int) is hugeint (cast to bigint) and // is its integer
+    // division — positive operands make floor = Java truncation
+    "cql27_agg_arith" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(l_linenumber) AS BIGINT) // count(*) AS avg_ln_floor,
+        |  max(l_orderkey) % 97 AS mk,
+        |  min(l_orderkey) + 1000 AS mn
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // the twin COMPUTES the prepared ids — the id convention is gated
     "cql23_prepared_registry" ->
       """SELECT md5(coalesce(ks, '') || q) AS prepared_id,

@@ -967,6 +967,29 @@ class CqlEngineSpec extends SparkSpec {
     }
   }
 
+  test("operators over aggregates: sum/count integral division, " +
+    "scalar-fn operands, and the global no-GROUP-BY form") {
+    val out = cqlEngine.execute(
+      "SELECT sum(l_linenumber) / count(*) AS avg_ln, " +
+        "max(l_orderkey) % 97 AS mk " +
+        "FROM lineitem WHERE l_orderkey = 1")
+    val r = out.head()
+    val native = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") === 1)
+      .agg((sum("l_linenumber").cast("long")).as("s"),
+        count(lit(1)).as("n"), max("l_orderkey").as("mx"))
+      .head()
+    assert(r.getLong(0) === native.getLong(0) / native.getLong(1))
+    assert(r.getLong(1) === native.getLong(2) % 97)
+    assert(out.columns.toSeq === Seq("avg_ln", "mk"))
+    // non-aggregate scalar function as an operand
+    val t2 = cqlEngine.execute(
+      "SELECT toUnixTimestamp(ts) / 1000 AS secs FROM events " +
+        "WHERE user_id = 1 LIMIT 1")
+    assert(t2.columns.toSeq === Seq("secs"))
+    assert(t2.head().getLong(0) > 1600000000L) // epoch seconds, sane range
+  }
+
   test("arithmetic under GROUP BY follows the first-row pin like any " +
     "non-aggregate selector") {
     val out = cqlEngine.execute(
