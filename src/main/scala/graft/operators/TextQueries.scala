@@ -216,6 +216,35 @@ object TextQueries {
       .orderBy("shard")
   }
 
+  /** X24 (r10): WEIGHTED sampling without replacement — the
+    * Efraimidis–Spirakis one-pass reservoir [P: Efraimidis & Spirakis
+    * 2006, "Weighted random sampling with a reservoir"] in its
+    * EXACT-ARITHMETIC form: each doc draws a deterministic grid uniform
+    * (the shared md5 hash convention) and its selection key is the
+    * INTEGER `h * 1_000_000 / weight` (weight = n_chars), so larger
+    * documents get proportionally smaller keys and the k smallest keys
+    * are the sample. The integer key is the point: the classical
+    * `-ln(u)/w` key differs across engines at the last ulp and can flip
+    * the k-th selection, while integer division is bit-identical in
+    * Spark and DuckDB — the sampled SET is engine-independent by
+    * construction (quantized-u variant of ES, documented trade).
+    * Scale shape: one scan, per-partition top-k, k-row merge
+    * (TakeOrderedAndProject) — no shuffle of the corpus; the 100 TB
+    * form is identical with k rows on the driver. */
+  def x24_weighted_sample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        call_function("div",
+          hashMod(col("doc_id") + 104729L, 1000000) * lit(1000000L),
+          greatest(col("n_chars"), lit(1L))).as("es_key"))
+      .orderBy(col("es_key").asc, col("doc_id").asc)
+      .limit(200)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("n_chars")).as("sum_w"),
+        min(col("es_key")).as("min_key"))
+      .orderBy("source")
+
   /** X23 (r10 capstone): the COMPOSED curation pipeline as ONE query —
     * the end-to-end path a pretraining corpus takes, each stage the
     * library's own operator:
@@ -697,6 +726,7 @@ object TextQueries {
     "x11_perplexity" -> (x11_perplexity _),
     "x9_stratified" -> (x9_stratified _),
     "x22_shard_shuffle" -> (x22_shard_shuffle _),
+    "x24_weighted_sample" -> (x24_weighted_sample _),
     "x23_curation_pipeline" -> (x23_curation_pipeline _),
     "x10_pack" -> (x10_pack _),
     "x1_langid" -> (x1_langid _),
@@ -1028,6 +1058,19 @@ object TextQueries {
         |      OVER (PARTITION BY source ORDER BY doc_id) AS cum
         |  FROM documents)
         |GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+    // exact-integer ES keys: the sampled SET is engine-independent by
+    // construction (// = DuckDB integer division, operands positive)
+    "x24_weighted_sample" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ('0x' || substr(md5(CAST(doc_id + 104729 AS VARCHAR)), 1, 8))::BIGINT
+        |      % 1000000 * 1000000 // greatest(n_chars, 1) AS es_key
+        |  FROM documents),
+        |top AS (SELECT * FROM keyed ORDER BY es_key, doc_id LIMIT 200)
+        |SELECT source, count(*) AS n_sampled,
+        |  cast(sum(n_chars) AS bigint) AS sum_w,
+        |  min(es_key) AS min_key
+        |FROM top GROUP BY source ORDER BY source""".stripMargin,
     "x6_sample" ->
       """SELECT event_type, count(*) AS n_sampled,
         |  cast(sum(event_id) AS bigint) AS sum_ids

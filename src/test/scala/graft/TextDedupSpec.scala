@@ -290,4 +290,15 @@ class TextDedupSpec extends SparkSpec {
     // and the genuinely-new docs are NOT flagged
     assert(got.forall(_._1 < 200000L))
   }
+
+  test("weighted sample: exactly k docs, biased toward longer documents") {
+    val out = TextQueries.x24_weighted_sample(spark, sf)
+      .agg(sum("n_sampled").as("k"), sum("sum_w").as("w")).head()
+    assert(out.getLong(0) === 200L)
+    val corpusMean = Tables.documents(spark, sf)
+      .agg(avg("n_chars")).head().getDouble(0)
+    // selection keys are h/weight: length-weighted sampling MUST
+    // over-represent long documents relative to a uniform draw
+    assert(out.getLong(1).toDouble / 200.0 > corpusMean * 1.1)
+  }
 }
