@@ -166,6 +166,69 @@ object StreamingQueries {
     })
   }
 
+  /** Staged dir for [[t13_stream_dedup]]: the events fixture PLUS exact-copy
+    * duplicates, split so both dedup regimes are exercised — `b0.parquet`
+    * carries the full fixture with the event_id%5 subset doubled inside the
+    * SAME file (intra-batch dedup), `b1.parquet` is a whole second file of
+    * event_id%3 copies (cross-batch dedup through the watermark state
+    * store under maxFilesPerTrigger=1). Files are written from the RAW
+    * fixture read so every staged file shares the fixture's physical ts
+    * type (eventsStream probes one footer for the whole dir). Cached per
+    * (source dir, fixture mtime), same rule as [[stageEvents]]. */
+  private val stagedDupEvents =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageDupEvents(s: SparkSession, d: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val mtime = try Files.getLastModifiedTime(
+        Paths.get(s"$d/events.parquet")).toMillis
+      catch { case _: Exception => 0L }
+    stagedDupEvents.computeIfAbsent(s"$d@$mtime", { _ =>
+      val dir = Paths.get(graft.Tables.tempRoot("graft-stream-dup"))
+      val raw = s.read.parquet(s"$d/events.parquet")
+      def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val tmp = graft.Tables.tempRoot("graft-stream-dup-w")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.copy(part.toPath, dir.resolve(name),
+          StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+      stage(raw.unionAll(raw.filter(col("event_id") % 5 === 0)), "b0.parquet")
+      stage(raw.filter(col("event_id") % 3 === 0), "b1.parquet")
+      dir.toString
+    })
+  }
+
+  private[graft] def stageDupEventsForTest(s: SparkSession, d: String)
+      : String = stageDupEvents(s, d)
+
+  /** T13 — TRUE streaming dedup inside the hash gate (T5's executor
+    * counterpart, `dropDuplicatesWithinWatermark` on the real engine):
+    * the staged stream carries the fixture plus exact-copy duplicates,
+    * one set doubled inside the same file and one whole file of copies
+    * arriving as a second micro-batch (see [[stageDupEvents]]). Because
+    * every injected duplicate is an exact row copy, the emitted SET
+    * equals the original fixture no matter which copy the state store
+    * keeps — deterministic by construction — while a dedup miss in
+    * either regime (within a batch, or across batches through the
+    * event_id state store) surfaces as extra rows in the hash compare.
+    * Copies landing below the batch-1 watermark are dropped by the
+    * stateful-operator late-row contract — equally absent from the twin.
+    * The DuckDB twin is simply the fixture itself. */
+  def t13_stream_dedup(s: SparkSession, d: String): DataFrame = {
+    val name = s"t13_sink_${System.nanoTime()}"
+    val ss = streamSession(s)
+    graft.streaming.StreamingPipelines.runToMemory(
+      graft.streaming.StreamingPipelines.dedupStream(
+        graft.streaming.StreamingPipelines.eventsStream(
+          ss, stageDupEvents(s, d), maxFilesPerTrigger = 1))
+        .filter(col("user_id") < 50)
+        .select(col("event_id"), col("user_id"), col("event_type")),
+      name, "append")
+    ss.table(name).orderBy("event_id")
+  }
+
   /** T10 — the TRUE stream-stream join executor inside the hash gate
     * (T8+ was spec-only): clicks joined to the same user's purchases
     * within 30 minutes after, run as a watermarked streaming interval
@@ -239,6 +302,7 @@ object StreamingQueries {
     "t10_stream_join" -> (t10_stream_join _),
     "t11_stream_totals" -> (t11_stream_totals _),
     "t12_stream_session" -> (t12_stream_session _),
+    "t13_stream_dedup" -> (t13_stream_dedup _),
     "t8_stream_tumbling" -> (t8_stream_tumbling _),
     "t9_gapfill" -> (t9_gapfill _),
     "t1_tumbling" -> (t1_tumbling _),
@@ -342,6 +406,11 @@ object StreamingQueries {
         |  cast(cast(sum(cast(value AS decimal(38,6))) AS decimal(38,6)) AS double) AS sum_value
         |FROM sessions GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    // the stream input is fixture ∪ exact copies; dedup on event_id must
+    // reduce it back to exactly the fixture
+    "t13_stream_dedup" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE user_id < 50 ORDER BY event_id""".stripMargin,
     "t5_dedup" ->
       """SELECT user_id, event_type, date_trunc('day', cast(ts AS timestamp)) AS day,
         |  event_id

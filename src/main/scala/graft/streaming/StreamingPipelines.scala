@@ -34,7 +34,8 @@ object StreamingPipelines {
     * probe the actual footer with a batch read (every call site stages at
     * least one file before opening the stream) and normalize to µs
     * TimestampType the same way [[Tables.events]] does. */
-  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+  def eventsStream(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
     import org.apache.spark.sql.types._
     // probe the staged file's footer; an empty/unreadable dir (construction
     // before the first stage) falls back to the declared schema so stream
@@ -47,7 +48,10 @@ object StreamingPipelines {
       case f if f.name == "ts" => f.copy(dataType = tsType)
       case f => f
     })
-    val raw = s.readStream.schema(schema).parquet(dir)
+    val reader = s.readStream.schema(schema)
+    val raw = (if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      else reader).parquet(dir)
     tsType match {
       case LongType => // nanosAsLong: integer nanos since epoch
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -53,6 +53,20 @@ class StreamingSpec extends SparkSpec {
     assert(n === distinctIds)
   }
 
+  test("t13's staged dup stream actually carries duplicates (guard: the " +
+    "gate row cannot pass vacuously)") {
+    // the staged dir = fixture + %5 copies in-file + %3 copies cross-file;
+    // WITHOUT dedup the stream must emit strictly more rows than the fixture
+    val dupDir = graft.operators.StreamingQueries.stageDupEventsForTest(
+      spark, sf)
+    val staged = spark.read.parquet(dupDir)
+    val base = Tables.events(spark, sf)
+    assert(staged.count() > base.count())
+    // and every staged row is an exact fixture copy: dedup's keeper choice
+    // cannot affect the emitted set
+    assert(staged.select("event_id").distinct().count() === base.count())
+  }
+
   test("T8 stream-stream interval join equals the batch interval join") {
     val stream = StreamingPipelines.eventsStream(spark, stagedDir)
     StreamingPipelines.runToMemory(
