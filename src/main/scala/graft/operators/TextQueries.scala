@@ -245,6 +245,51 @@ object TextQueries {
         min(col("es_key")).as("min_key"))
       .orderBy("source")
 
+  /** X25 (r10): PII detection + redaction — the scrubbing stage every
+    * pretraining corpus runs before release (emails, phone numbers, IP
+    * addresses via engine-portable regexes; the BigCode/ROOTS pipeline
+    * shape). The fixture text carries no PII, so each doc is augmented
+    * with a DETERMINISTIC synthetic contact line derived from doc_id —
+    * both engines build the identical string, so match counts and the
+    * redacted-length delta are provably exercised (≥1 hit per class per
+    * doc) instead of vacuously zero. Patterns stick to the regex subset
+    * where Java (Spark) and RE2 (DuckDB) agree: explicit char classes,
+    * greedy quantifiers, non-capturing groups, no backrefs/lookaround.
+    * Scale shape: map-only scan (three regexp_count + one chained
+    * regexp_replace per row, all codegen'd) + one per-source agg
+    * shuffle — at 100 TB this is the ideal embarrassingly-parallel
+    * kernel; redacted text would be written back alongside, not
+    * collected. */
+  def x25_pii_redact(s: SparkSession, d: String): DataFrame = {
+    val email = "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}"
+    val phone = "[0-9]{3}-[0-9]{4}"
+    val ip = "(?:[0-9]{1,3}\\.){3}[0-9]{1,3}"
+    val aug = concat(col("text"),
+      lit(" contact u"), col("doc_id").cast("string"),
+      lit("@ex"), (col("doc_id") % 7).cast("string"), lit(".org tel 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" host 10."), (col("doc_id") % 256).cast("string"),
+      lit(".0."), ((col("doc_id") * 7) % 256).cast("string"))
+    val red = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("aug"), lit(email), lit("<EMAIL>")),
+        lit(phone), lit("<PHONE>")),
+      lit(ip), lit("<IP>"))
+    Tables.documents(s, d)
+      .withColumn("aug", aug)
+      .withColumn("red", red)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(regexp_extract_all(col("aug"), lit(email), lit(0))))
+          .as("n_email"),
+        sum(size(regexp_extract_all(col("aug"), lit(phone), lit(0))))
+          .as("n_phone"),
+        sum(size(regexp_extract_all(col("aug"), lit(ip), lit(0))))
+          .as("n_ip"),
+        sum(length(col("aug")) - length(col("red"))).as("chars_redacted"))
+      .orderBy("source")
+  }
+
   /** X23 (r10 capstone): the COMPOSED curation pipeline as ONE query —
     * the end-to-end path a pretraining corpus takes, each stage the
     * library's own operator:
@@ -727,6 +772,7 @@ object TextQueries {
     "x9_stratified" -> (x9_stratified _),
     "x22_shard_shuffle" -> (x22_shard_shuffle _),
     "x24_weighted_sample" -> (x24_weighted_sample _),
+    "x25_pii_redact" -> (x25_pii_redact _),
     "x23_curation_pipeline" -> (x23_curation_pipeline _),
     "x10_pack" -> (x10_pack _),
     "x1_langid" -> (x1_langid _),
@@ -1058,6 +1104,32 @@ object TextQueries {
         |      OVER (PARTITION BY source ORDER BY doc_id) AS cum
         |  FROM documents)
         |GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+    // same deterministic augmented string on both sides; patterns live in
+    // the Java/RE2 agreement subset (char classes, greedy, (?:...))
+    "x25_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT source,
+        |    text || ' contact u' || doc_id || '@ex' || (doc_id % 7) ||
+        |      '.org tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |      ' host 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256)
+        |      AS aug
+        |  FROM documents),
+        |m AS (
+        |  SELECT source, aug,
+        |    len(regexp_extract_all(aug, '[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+\.[a-z]{2,}')) AS ne,
+        |    len(regexp_extract_all(aug, '[0-9]{3}-[0-9]{4}')) AS np,
+        |    len(regexp_extract_all(aug, '(?:[0-9]{1,3}\.){3}[0-9]{1,3}')) AS ni,
+        |    regexp_replace(regexp_replace(regexp_replace(aug,
+        |      '[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |      '(?:[0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS red
+        |  FROM aug)
+        |SELECT source, count(*) AS n_docs,
+        |  cast(sum(ne) AS bigint) AS n_email,
+        |  cast(sum(np) AS bigint) AS n_phone,
+        |  cast(sum(ni) AS bigint) AS n_ip,
+        |  cast(sum(len(aug) - len(red)) AS bigint) AS chars_redacted
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
     // exact-integer ES keys: the sampled SET is engine-independent by
     // construction (// = DuckDB integer division, operands positive)
     "x24_weighted_sample" ->
