@@ -10,7 +10,9 @@ import org.apache.spark.sql.functions._
   * wall-clock growth = the plan has no super-linear term hiding at fixture
   * scale; the numbers land in SCALE.md.
   *
-  * Usage: `sbt "runMain graft.ScaleProbe [factors]"` (default `1,4,10`).
+  * Usage: `sbt "runMain graft.ScaleProbe [factors] [q1,q2,…]"` (default
+  * `1,4,10`, all probes; the optional second arg restricts to named
+  * queries so a new operator's curve doesn't re-time the whole list).
   */
 object ScaleProbe {
 
@@ -106,7 +108,14 @@ object ScaleProbe {
         // what d14's union probe costs), streamed segment ingestion, and
         // the co-located bucketed join (layout amortized, serve flat)
         "d16_band_merge", "d17_stream_index", "j10_bucketed_join",
-        "v23_graph_merge")
+        "v23_graph_merge",
+        // r10 continuation: true-streaming dedup (fixed state-store cost +
+        // linear file feed), ES weighted sampling (scan + per-partition
+        // top-k, no corpus shuffle), PII redaction (map-only regex kernel +
+        // one agg — the embarrassingly-parallel shape; its slope IS the
+        // kernel rate)
+        "t13_stream_dedup", "x24_weighted_sample", "x25_pii_redact")
+        .filter(n => args.lift(1).forall(_.split(',').contains(n)))
         .map(n => n -> SparkEntry.queries(n))
     factors.foreach { f =>
       val dir = if (f == 1) base else s"/tmp/graft-scale-${f}x"
