@@ -583,7 +583,11 @@ class CqlEngineSpec extends SparkSpec {
       "keyspace", "use", "compact", "snapshot", "clear", "with",
       "replication", "durable_writes", "class", "SimpleStrategy",
       "NetworkTopologyStrategy", "replication_factor", "vector",
-      "default", "ksa", "if", "exists", "true", "false")
+      "default", "ksa", "if", "exists", "true", "false",
+      // round-10 surfaces: CQL arithmetic (4.0 operators), datetime
+      // arithmetic, cqlsh SOURCE, audit replay
+      "+", "/", "%", "totimestamp", "now", "source", "replay", "audit",
+      "'2024-01-01'", "3d", "12h", "cast")
     var parsedOk = 0
     (1 to 3000).foreach { _ =>
       val n = 1 + rnd.nextInt(12)
@@ -618,7 +622,10 @@ class CqlEngineSpec extends SparkSpec {
       "durable_writes", "=", "{", "}", "(", ")", ",", ":", ";", "'x'",
       "42", "users", "user_id", "ksf", "default", "system", "as", "if",
       "not", "exists", "primary", "key", "bigint", "text",
-      "'SimpleStrategy'", "'class'", "'replication_factor'", "1")
+      "'SimpleStrategy'", "'class'", "'replication_factor'", "1",
+      // round-10 verbs + operator expressions in statement position
+      "source", "replay", "audit", "on", "off", "+", "-", "*", "/", "%",
+      "'missing.cql'", "now", "totimestamp", "3d")
     s.execute("CREATE TABLE fz (k bigint PRIMARY KEY, v text)")
     // every 100th statement is a known-valid write, proving the session
     // keeps functioning MID-storm, not just after it
