@@ -637,7 +637,34 @@ object CqlParser {
   }
 
   private val PermissionNames = Set("create", "alter", "drop", "select",
-    "modify", "authorize", "describe", "execute")
+    "modify", "authorize", "describe", "execute",
+    // 5.0 dynamic data masking (CEP-20): see clear values / restrict on
+    // masked columns
+    "unmask", "select_masked")
+
+  /** Builtin masking functions (upstream cql3/functions/masking/ [U]);
+    * `MASKED WITH DEFAULT` is sugar for mask_default(). */
+  private val MaskFunctions = Set("mask_null", "mask_default",
+    "mask_replace", "mask_inner", "mask_outer", "mask_hash")
+
+  /** `MASKED WITH DEFAULT | mask_fn(args…)` after a column declaration;
+    * None when the next token is not MASKED. */
+  private def parseMaskOpt(c: Cursor): Option[CqlMaskSpec] = {
+    if (!c.accept("masked")) return None
+    c.expect("with")
+    if (c.accept("default")) return Some(CqlMaskSpec("mask_default", Nil))
+    val fn = c.next().toLowerCase
+    if (!MaskFunctions(fn)) throw new CqlInvalidQueryException(
+      s"unknown masking function $fn (builtin mask_* functions only)")
+    c.expect("(")
+    var args = Vector.empty[Any]
+    if (!c.accept(")")) {
+      args = args :+ parseLiteral(c)
+      while (c.accept(",")) args = args :+ parseLiteral(c)
+      c.expect(")")
+    }
+    Some(CqlMaskSpec(fn, args))
+  }
 
   private def parsePermList(c: Cursor): Seq[String] =
     parsePermListFrom(c.next(), c)
@@ -772,10 +799,14 @@ object CqlParser {
             val refs = scala.collection.mutable.Set.empty[String]
             val dims = scala.collection.mutable.ArrayBuffer.empty[Int]
             val dt = parseType(c, udts, refs, dims)
+            // MASKED WITH and STATIC in either order (upstream grammar
+            // puts MASKED first; dumps in the wild vary)
+            val maskFirst = parseMaskOpt(c)
             val static = c.accept("static")
+            val mask = maskFirst.orElse(parseMaskOpt(c))
             if (c.accept("primary")) { c.expect("key"); pk = Seq(name) }
             cols = cols :+ CqlColumnDef(name, dt, static, isCounter,
-              refs.toSet, dims.headOption)
+              refs.toSet, dims.headOption, mask)
           }
         }
         // WITH options: CLUSTERING ORDER and default_time_to_live carry
@@ -877,8 +908,10 @@ object CqlParser {
             val refs = scala.collection.mutable.Set.empty[String]
             val dims = scala.collection.mutable.ArrayBuffer.empty[Int]
             val dt = parseType(c, udts, refs, dims)
-            CqlColumnDef(n, dt, c.accept("static"), isCounter, refs.toSet,
-              dims.headOption)
+            val maskFirst = parseMaskOpt(c)
+            val static = c.accept("static")
+            CqlColumnDef(n, dt, static, isCounter, refs.toSet,
+              dims.headOption, maskFirst.orElse(parseMaskOpt(c)))
           }
           var cols = Vector(one())
           while (c.accept(",")) cols = cols :+ one()
@@ -890,6 +923,19 @@ object CqlParser {
           while (c.accept(",")) cols = cols :+ c.next()
           if (paren) c.expect(")")
           CqlAlterDrop(table, cols)
+        } else if (c.accept("alter")) {
+          // `ALTER c MASKED WITH fn(args)` / `ALTER c DROP MASKED` — the
+          // 5.0 DDM mask lifecycle [U AlterTableStatement.MaskColumn]
+          // (the pre-3.x `ALTER c TYPE t` form was removed upstream)
+          val column = c.next()
+          if (c.accept("drop")) {
+            c.expect("masked")
+            CqlAlterMask(table, column, None)
+          } else parseMaskOpt(c) match {
+            case some @ Some(_) => CqlAlterMask(table, column, some)
+            case None => throw new CqlInvalidQueryException(
+              s"ALTER $column expects MASKED WITH … or DROP MASKED")
+          }
         } else if (c.accept("rename")) {
           // `RENAME a TO b [AND c TO d …]` — upstream restricts renames to
           // PRIMARY KEY columns [U cql3/statements/schema/AlterTableStatement]

@@ -177,6 +177,23 @@ case class RoleRes(role: String) extends CqlResource {
   def chain = Seq(key, "roles")
 }
 
+/** An attached column mask (Cassandra 5.0 dynamic data masking, CEP-20
+  * [U schema/ColumnMetadata + cql3/functions/masking/]): the declared
+  * masking function applied to the column's values for roles without the
+  * UNMASK permission. Builtin mask functions only (upstream additionally
+  * allows UDFs). */
+case class CqlMaskSpec(fn: String, args: Seq[Any]) {
+  /** DESCRIBE-round-trippable rendering: `mask_inner(2, 2)`. */
+  def render: String = {
+    def lit(a: Any): String = a match {
+      case s: String => s"'${s.replace("'", "''")}'"
+      case other => String.valueOf(other)
+    }
+    if (fn == "mask_default" && args.isEmpty) "DEFAULT"
+    else s"$fn(${args.map(lit).mkString(", ")})"
+  }
+}
+
 /** CQL DDL AST (upstream `cql3/statements/schema/` [U]). */
 sealed trait CqlDdl
 case class CqlColumnDef(name: String,
@@ -189,7 +206,9 @@ case class CqlColumnDef(name: String,
   /** `vector<T, n>`: the DECLARED dimension (upstream VectorType.dimension
     * [U db/marshal/VectorType.java]) — enforced on every full-value write
     * and rendered back by DESCRIBE. None for non-vector declarations. */
-  vectorDim: Option[Int] = None)
+  vectorDim: Option[Int] = None,
+  /** `MASKED WITH fn(args)` attached at declaration (5.0 DDM). */
+  mask: Option[CqlMaskSpec] = None)
 case class CqlCreateTable(table: String, columns: Seq[CqlColumnDef],
   partitionKeys: Seq[String], clusteringKeys: Seq[String],
   ifNotExists: Boolean,
@@ -214,6 +233,10 @@ case class CqlAlterKeyspace(name: String,
 case class CqlTruncate(table: String) extends CqlDdl
 case class CqlAlterAdd(table: String, columns: Seq[CqlColumnDef]) extends CqlDdl
 case class CqlAlterDrop(table: String, columns: Seq[String]) extends CqlDdl
+/** `ALTER TABLE t ALTER c MASKED WITH fn(args)` / `ALTER c DROP MASKED`
+  * (5.0 DDM [U cql3/statements/schema/AlterTableStatement.MaskColumn]). */
+case class CqlAlterMask(table: String, column: String,
+  mask: Option[CqlMaskSpec]) extends CqlDdl
 /** `ALTER TABLE t RENAME a TO b [AND c TO d]` — upstream only renames
   * PRIMARY KEY columns, and not ones an index or view depends on
   * [U cql3/statements/schema/AlterTableStatement.Renames]. */
@@ -423,6 +446,14 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   private val indexReg: scala.collection.mutable.Map[String, (String, String, Boolean, String)] =
     scala.collection.mutable.Map.empty
 
+  /** Attached column masks: (canonical table, lowercase column) → spec
+    * (5.0 DDM, upstream `schema/ColumnMetadata.mask` [U]). Lifecycle rides
+    * the DDL path: declared at CREATE/ALTER ADD, re-pointed by
+    * `ALTER col MASKED WITH`, removed by `ALTER col DROP MASKED` and by
+    * DROP TABLE / ALTER DROP column. */
+  private val maskReg: scala.collection.mutable.Map[(String, String),
+    CqlMaskSpec] = scala.collection.mutable.Map.empty
+
   /** Triggers: (table, trigger name) → (FQCN, loaded instance)
     * [U schema/TableMetadata triggers + triggers/TriggerExecutor]. */
   private val triggerReg: scala.collection.mutable.Map[(String, String),
@@ -580,6 +611,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     case a: CqlAlterAdd =>
       a.copy(table = canonical(a.table), columns = canonCols(a.columns))
     case a: CqlAlterDrop => a.copy(table = canonical(a.table))
+    case a: CqlAlterMask => a.copy(table = canonical(a.table))
     case a: CqlAlterOptions => a.copy(table = canonical(a.table))
     case a: CqlAlterRename => a.copy(table = canonical(a.table))
     case i: CqlCreateIndex => i.copy(table = canonical(i.table))
@@ -1380,7 +1412,9 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     val colDefs = t.schema.fields.toSeq.map { f =>
       val static =
         if (t.staticKeys.exists(_.equalsIgnoreCase(f.name))) " static" else ""
-      s"    ${f.name} ${columnTypeName(name, t, f)}$static"
+      val masked = maskReg.get((name.toLowerCase, f.name.toLowerCase))
+        .fold("")(m => s" MASKED WITH ${m.render}")
+      s"    ${f.name} ${columnTypeName(name, t, f)}$masked$static"
     }
     val pkPart =
       if (t.partitionKeys.size == 1) t.partitionKeys.head
@@ -1532,7 +1566,23 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       case ((tbl, n), (clazz, _)) =>
         Row(keyspaceOf(tbl), tableOf(tbl), n, Map("class" -> clazz))
     }
+    // `system_schema.column_masks` [U schema/SchemaKeyspace 5.0: the DDM
+    // masks table drivers read to render DESCRIBE]
+    val cmSchema = StructType(Seq(
+      StructField("keyspace_name", StringType),
+      StructField("table_name", StringType),
+      StructField("column_name", StringType),
+      StructField("function_name", StringType),
+      StructField("function_arguments", ArrayType(StringType))))
+    val cmRows = maskReg.toSeq.sortBy { case ((t, c0), _) => (t, c0) }.map {
+      case ((tbl, c0), m) =>
+        Row(keyspaceOf(tbl), tableOf(tbl), c0, m.fn,
+          m.args.map(String.valueOf(_)))
+    }
     Map(
+      "system_schema.column_masks" ->
+        CqlTable(df(cmRows, cmSchema), Seq("keyspace_name"),
+          Seq("table_name", "column_name")),
       "system_schema.keyspaces" ->
         CqlTable(df(ksRows, ksSchema), Seq("keyspace_name")),
       "system_schema.tables" ->
@@ -1949,7 +1999,10 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       Seq(Row(n)).asJava,
       StructType(Seq(StructField("rows", LongType, nullable = false))))
     if (cp.to) {
-      val df = engine.execute(CqlSelect(
+      // through runSelect, not the engine directly: a COPY TO export is a
+      // bulk read and must honor attached column masks for roles without
+      // UNMASK (upstream cqlsh COPY pages ordinary SELECTs, so masks apply)
+      val df = runSelect(CqlSelect(
         cols.map(ColumnSelector(_, None)), cp.table, Nil, Nil, None, None,
         None, None, allowFiltering = true, distinct = false, json = false))
       val out = df.select(cols.map { c0 =>
@@ -2505,7 +2558,182 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     if (sel.table.equalsIgnoreCase("system.size_estimates")) {
       wantSizeEstimates = true; engineCache = None
     }
-    engine.execute(sel)
+    val masks = masksFor(sel.table)
+    if (masks.isEmpty || hasPermBool("unmask", authRes(sel.table)))
+      engine.execute(sel)
+    else {
+      // 5.0 DDM read path [U cql3/statements/SelectStatement +
+      // auth/Permission.SELECT_MASKED]: without UNMASK, restricting (or
+      // grouping/ANN-ordering) on a masked column needs SELECT_MASKED —
+      // the predicate evaluates on CLEAR data, which is exactly the
+      // inference channel the permission gates.
+      def predCols(ps: Seq[CqlPredicate]): Seq[String] = ps.flatMap {
+        case ColumnPredicate(c0, _, _, _) => Seq(c0.toLowerCase)
+        case TuplePredicate(cs, _, _) => cs.map(_.toLowerCase)
+        case OrPredicate(bs) => bs.flatMap(predCols)
+      }
+      val restricted = (predCols(sel.predicates) ++
+        sel.groupBy.map(_.column.toLowerCase) ++
+        sel.ann.map(_.column.toLowerCase).toSeq).filter(masks.contains)
+      if (restricted.nonEmpty &&
+          !hasPermBool("select_masked", authRes(sel.table)))
+        throw new CqlInvalidQueryException(
+          s"User $currentRole has no SELECT_MASKED permission on " +
+            s"${authRes(sel.table).display}: cannot restrict masked " +
+            s"column ${restricted.head}")
+      // function/CAST/arithmetic selectors evaluate on clear values and
+      // would bypass the output mask — rejected without UNMASK (stricter
+      // than upstream, which masks only the bare column reads; strictness
+      // here is leak-free where leniency would not be)
+      def arithCols(a: CqlArith): Seq[String] = a match {
+        case ArithCol(n) => Seq(n.toLowerCase)
+        case ArithNeg(i) => arithCols(i)
+        case ArithBin(_, l, r) => arithCols(l) ++ arithCols(r)
+        case ArithFn(f) => f.args.collect { case ColArg(n) => n.toLowerCase }
+        case _ => Nil
+      }
+      val wrapped = sel.selectors.flatMap {
+        case FunctionSelector(_, args, _) =>
+          args.collect { case ColArg(n) => n.toLowerCase }
+        case CastSelector(cn, _, _, _) => Seq(cn.toLowerCase)
+        case ArithSelector(e, _, _) => arithCols(e)
+        case _ => Nil
+      }.filter(masks.contains)
+      if (wrapped.nonEmpty) throw new CqlInvalidQueryException(
+        s"User $currentRole has no UNMASK permission on " +
+          s"${authRes(sel.table).display}: cannot apply functions to " +
+          s"masked column ${wrapped.head}")
+      val selectsMasked = sel.selectors.exists {
+        case Star => true
+        case ColumnSelector(n, _) => masks.contains(n.toLowerCase)
+        case _ => false
+      }
+      if (sel.json && selectsMasked) throw new CqlInvalidQueryException(
+        s"User $currentRole has no UNMASK permission on " +
+          s"${authRes(sel.table).display}: SELECT JSON over masked " +
+          "columns requires UNMASK")
+      // aliased bare selectors still mask (output name → source column)
+      val srcByOut = sel.selectors.collect {
+        case ColumnSelector(n, a) => a.getOrElse(n).toLowerCase -> n.toLowerCase
+      }.toMap
+      val out = engine.execute(sel)
+      val st = state.get(sel.table.toLowerCase)
+      out.select(out.columns.toSeq.map { cn =>
+        val src = srcByOut.getOrElse(cn.toLowerCase, cn.toLowerCase)
+        masks.get(src) match {
+          case Some(m) =>
+            val dt = st.flatMap(_.schema.fields.find(
+              _.name.equalsIgnoreCase(src))).map(_.dataType)
+              .getOrElse(StringType)
+            maskedValue(m, col(s"`$cn`"), dt).as(cn)
+          case None => col(s"`$cn`")
+        }
+      }: _*)
+    }
+  }
+
+  /** Attached masks of a table, keyed by lowercase column. */
+  private def masksFor(table: String): Map[String, CqlMaskSpec] = {
+    val key = table.toLowerCase
+    maskReg.collect { case ((t, c0), m) if t == key => c0 -> m }.toMap
+  }
+
+  /** Boolean twin of [[checkPerm]] (superusers bypass, chain walks
+    * ancestors) — masking branches on permission instead of failing. */
+  private def hasPermBool(perm: String, res: CqlResource): Boolean =
+    isSuperuser || {
+      val roles = roleClosure(currentRole)
+      res.chain.exists(k =>
+        roles.exists(r => permReg.get((r, k)).exists(_.contains(perm))))
+    }
+
+  /** The masked rendering of column `c` under spec `m` (upstream
+    * cql3/functions/masking MaskingFunction family [U]) — a pure Column
+    * transform, applied at result rendering for roles without UNMASK. */
+  private def maskedValue(m: CqlMaskSpec, c: Column, dt: DataType): Column = {
+    def intArg(i: Int): Int = m.args(i) match {
+      case l: Long => l.toInt
+      case n: Int => n
+      case other => throw new CqlInvalidQueryException(
+        s"${m.fn}: expected integer argument, got $other")
+    }
+    def pad(i: Int): String = m.args.lift(i) match {
+      case Some(s: String) => s
+      case _ => "*"
+    }
+    // repeat-by-column-count via array_repeat (negative count → empty)
+    def padStr(p: String, n: Column): Column =
+      array_join(array_repeat(lit(p), greatest(n, lit(0)).cast("int")), "")
+    m.fn match {
+      case "mask_null" => lit(null).cast(dt)
+      case "mask_default" => dt match {
+        case StringType => lit("****")
+        case _: NumericType => lit(0).cast(dt)
+        case BooleanType => lit(false)
+        case TimestampType | DateType =>
+          to_timestamp(lit("1970-01-01 00:00:00")).cast(dt)
+        case _ => lit(null).cast(dt)
+      }
+      case "mask_replace" => lit(m.args.head).cast(dt)
+      case "mask_inner" =>
+        val b = intArg(0); val e = intArg(1); val p = pad(2)
+        when(c.isNull, c).otherwise(
+          when(length(c) <= b + e, c).otherwise(concat(
+            c.substr(lit(1), lit(b)),
+            padStr(p, length(c) - b - e),
+            when(lit(e) > 0, c.substr(length(c) - e + 1, lit(e)))
+              .otherwise(lit("")))))
+      case "mask_outer" =>
+        val b = intArg(0); val e = intArg(1); val p = pad(2)
+        when(c.isNull, c).otherwise(
+          when(length(c) <= b + e, padStr(p, length(c))).otherwise(concat(
+            padStr(p, lit(b)),
+            c.substr(lit(b + 1), length(c) - b - e),
+            padStr(p, lit(e)))))
+      case "mask_hash" =>
+        m.args.headOption.map(String.valueOf(_).toLowerCase) match {
+          case Some("md5") => md5(c.cast("string"))
+          case Some("sha-512") => sha2(c.cast("string"), 512)
+          case _ => sha2(c.cast("string"), 256)
+        }
+      case other => throw new CqlInvalidQueryException(
+        s"unknown masking function $other")
+    }
+  }
+
+  /** DDL-time validation of an attached mask (upstream
+    * ColumnMask.validate [U]). */
+  private def validateMask(table: String, cd: CqlColumnDef,
+      m: CqlMaskSpec): Unit = {
+    def fail(msg: String) = throw new CqlInvalidQueryException(
+      s"Cannot mask column ${cd.name} of $table: $msg")
+    if (cd.counter) fail("counter columns cannot be masked")
+    def isInt(a: Any): Boolean = a.isInstanceOf[Long] || a.isInstanceOf[Int]
+    m.fn match {
+      case "mask_null" | "mask_default" =>
+        if (m.args.nonEmpty) fail(s"${m.fn} takes no arguments")
+      case "mask_replace" =>
+        if (m.args.size != 1) fail("mask_replace takes exactly one argument")
+      case "mask_inner" | "mask_outer" =>
+        if (cd.dataType != StringType)
+          fail(s"${m.fn} applies to text columns only")
+        if (m.args.size < 2 || m.args.size > 3)
+          fail(s"${m.fn} takes (begin, end[, padding])")
+        if (!isInt(m.args(0)) || !isInt(m.args(1)))
+          fail("begin/end must be integers")
+        m.args.lift(2).foreach {
+          case s: String if s.length == 1 => ()
+          case _ => fail("padding must be a single character")
+        }
+      case "mask_hash" =>
+        if (m.args.size > 1) fail("mask_hash takes at most one argument")
+        m.args.headOption.foreach {
+          case s: String
+            if Set("md5", "sha-256", "sha-512")(s.toLowerCase) => ()
+          case other => fail(s"unsupported hash algorithm $other")
+        }
+      case other => fail(s"unknown masking function $other")
+    }
   }
 
   /** Expand `col IN (…)` key restrictions into one mutation per value
@@ -3219,6 +3447,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
                 case dt: CqlDropTable => keyspaceOf(dt.table)
                 case a: CqlAlterAdd => keyspaceOf(a.table)
                 case a: CqlAlterDrop => keyspaceOf(a.table)
+                case a: CqlAlterMask => keyspaceOf(a.table)
                 case a: CqlAlterOptions => keyspaceOf(a.table)
                 case a: CqlAlterRename => keyspaceOf(a.table)
                 case i: CqlCreateIndex => keyspaceOf(i.table)
@@ -3407,6 +3636,10 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
             defaultTtl = dTtl.filter(_ > 0), localOnly = true)
         cols.foreach(cd => if (cd.udtRefs.nonEmpty)
           udtCols((table.toLowerCase, cd.name.toLowerCase)) = cd.udtRefs)
+        cols.foreach(cd => cd.mask.foreach { m =>
+          validateMask(table, cd, m)
+          maskReg((table.toLowerCase, cd.name.toLowerCase)) = m
+        })
       }
     case CqlDropTable(table, ifExists) =>
       // upstream refuses while views depend on the table [U CreateViewStatement]
@@ -3425,6 +3658,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       indexReg.filterInPlace { case (_, (tbl, _, _, _)) => tbl != table.toLowerCase }
       udtCols.filterInPlace { case ((tbl, _), _) => tbl != table.toLowerCase }
       triggerReg.filterInPlace { case ((tbl, _), _) => tbl != table.toLowerCase }
+      maskReg.filterInPlace { case ((tbl, _), _) => tbl != table.toLowerCase }
     case CqlCreateMv(name, sel, pk, ck, ifNotExists) =>
       if (state.contains(name.toLowerCase) || mvReg.contains(name.toLowerCase)) {
         if (!ifNotExists)
@@ -3805,6 +4039,27 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         t.counterKeys ++ cols.filter(_.counter).map(_.name))
       cols.foreach(cd => if (cd.udtRefs.nonEmpty)
         udtCols((table.toLowerCase, cd.name.toLowerCase)) = cd.udtRefs)
+      cols.foreach(cd => cd.mask.foreach { m =>
+        validateMask(table, cd, m)
+        maskReg((table.toLowerCase, cd.name.toLowerCase)) = m
+      })
+    case CqlAlterMask(table, column, mask) =>
+      val t = tableState(table)
+      val fld = t.schema.fields.find(_.name.equalsIgnoreCase(column))
+        .getOrElse(throw new CqlInvalidQueryException(
+          s"undefined column $column"))
+      mask match {
+        case Some(m) =>
+          validateMask(table, CqlColumnDef(fld.name, fld.dataType,
+            static = false,
+            counter = t.counterKeys.exists(_.equalsIgnoreCase(column))), m)
+          maskReg((table.toLowerCase, fld.name.toLowerCase)) = m
+        case None =>
+          if (maskReg.remove(
+              (table.toLowerCase, fld.name.toLowerCase)).isEmpty)
+            throw new CqlInvalidQueryException(
+              s"column $column of $table is not masked")
+      }
     case CqlAlterDrop(table, cols) =>
       val t = tableState(table)
       cols.foreach { c0 =>
@@ -3866,6 +4121,9 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         tbl != table.toLowerCase || !cols.exists(_.equalsIgnoreCase(c0))
       }
       udtCols.filterInPlace { case ((tbl, c0), _) =>
+        tbl != table.toLowerCase || !cols.exists(_.equalsIgnoreCase(c0))
+      }
+      maskReg.filterInPlace { case ((tbl, c0), _) =>
         tbl != table.toLowerCase || !cols.exists(_.equalsIgnoreCase(c0))
       }
     case CqlAlterOptions(table, dttl) =>
