@@ -180,7 +180,7 @@ object AdminQueries {
       "FROM cat1_src WHERE o_orderkey <= 2000")
     s.sql("""SELECT o_orderpriority,
              count(*) AS n,
-             sum(CAST(o_totalprice AS DECIMAL(38,6))) AS total,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
              min(o_orderkey) AS first_key
              FROM graftcat.default.cat_orders1
              GROUP BY o_orderpriority
@@ -209,7 +209,7 @@ object AdminQueries {
       s"WHERE o_orderkey IN ($doomed)")
     s.sql("""SELECT o_orderpriority,
              count(*) AS n,
-             sum(CAST(o_totalprice AS DECIMAL(38,6))) AS total,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
              min(o_orderkey) AS first_key
              FROM graftcat2.default.cat_orders2
              GROUP BY o_orderpriority
@@ -748,7 +748,7 @@ object AdminQueries {
         |AS t(kind, name, detail) ORDER BY kind, name, detail""".stripMargin,
     "cat1_catalog" ->
       """SELECT o_orderpriority, count(*) AS n,
-        |  sum(CAST(o_totalprice AS DECIMAL(38,6))) AS total,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
         |  min(o_orderkey) AS first_key
         |FROM orders WHERE o_orderkey <= 2000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
@@ -756,7 +756,7 @@ object AdminQueries {
     // arithmetic progression the catalog DELETE tombstoned
     "cat2_catalog_delete" ->
       """SELECT o_orderpriority, count(*) AS n,
-        |  sum(CAST(o_totalprice AS DECIMAL(38,6))) AS total,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
         |  min(o_orderkey) AS first_key
         |FROM orders WHERE o_orderkey <= 2000 AND (o_orderkey - 1) % 3 <> 0
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
