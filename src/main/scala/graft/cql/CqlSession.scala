@@ -1198,7 +1198,21 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     val volatileKey = key.startsWith("system_views.") ||
       key.startsWith("system_traces.") || key == "system.size_estimates"
     if (key == "system.size_estimates") wantSizeEstimates = true
-    val cur = snapshotCache.get(key)
+    // 5.0 DDM on the DSv2 bridge (r11): the catalog read path must honor
+    // attached column masks exactly like a CQL SELECT — a Spark-side
+    // `SELECT name FROM cat.ks.pii` under a role without UNMASK must not
+    // be a side door around the mask. The rendering is part of the cache
+    // key because role changes do NOT bump the mutation epoch, so a clear
+    // snapshot cached for a superuser must never serve a masked reader
+    // (and vice versa). Spark-side predicates then push down over MASKED
+    // bytes, so no clear-data inference channel exists and SELECT_MASKED
+    // is not required on this path (the CQL path gates it because there
+    // the predicate evaluates on clear values).
+    val tableMasks = masksFor(key)
+    val maskedView = tableMasks.nonEmpty &&
+      !hasPermBool("unmask", authRes(key))
+    val cacheKey = if (maskedView) s"$key#masked" else key
+    val cur = snapshotCache.get(cacheKey)
     if (!volatileKey && cur != null && cur._1 == mutationEpoch) {
       checkRead(key) // a cache hit must not skip enforcement
       (cur._2, cur._3)
@@ -1222,13 +1236,23 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       // NoSuchTableException in the catalog.
       checkRead(key)
       val visible = t.df.columns.filterNot(_.startsWith("_")).toSeq
-      val df = t.df.select(visible.map(col): _*)
+      val clear = t.df.select(visible.map(col): _*)
+      val df =
+        if (!maskedView) clear
+        else clear.select(clear.schema.fields.toSeq.map { f =>
+          tableMasks.get(f.name.toLowerCase) match {
+            case Some(m) => maskedValue(m, col(s"`${f.name}`"), f.dataType)
+              .as(f.name)
+            case None => col(s"`${f.name}`")
+          }
+        }: _*)
       val epochDir =
         if (volatileKey) s"${mutationEpoch}_${System.nanoTime()}"
         else mutationEpoch.toString
-      val dir = s"$snapshotRoot/${key.replace('.', '_')}/$epochDir"
+      val renderDir = key.replace('.', '_') + (if (maskedView) "_masked" else "")
+      val dir = s"$snapshotRoot/$renderDir/$epochDir"
       df.write.mode("overwrite").parquet(dir)
-      snapshotCache.put(key, (mutationEpoch, dir, df.schema))
+      snapshotCache.put(cacheKey, (mutationEpoch, dir, df.schema))
       (dir, df.schema)
     }
   }
@@ -2979,6 +3003,25 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     while (fqlLog.size > CqlSession.TraceCap) fqlLog.remove(0)
   }
 
+  // `AUDIT RESULTS ON` (r11): also record a canonical digest of every
+  // successful statement's result into the FQL log — the recording side
+  // of COMPARE AUDIT [U tools/fqltool compare: upstream replays a query
+  // log against stored result logs and diffs them]. Opt-in because it
+  // forces evaluation of each result at record time, exactly like
+  // upstream's result logging is a separate flag on the fql recorder.
+  private var fqlResultsOn = false
+  private[cql] def fqlResultsEnabled: Boolean = fqlResultsOn
+
+  /** Order-insensitive canonical result digest: md5 over the sorted row
+    * renderings. Row-order-insensitive so a replay that merely reorders
+    * an unordered SELECT does not read as a divergence. */
+  private def resultDigest(df: DataFrame): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    df.collect().map(_.toString).sorted
+      .foreach(s => md.update(s.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   /** Is audit logging currently enabled (`AUDIT` with no argument)? */
   def auditEnabled: Boolean = auditOn
 
@@ -3011,20 +3054,28 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     if (!auditOn) return f
     val role = currentRole
     val cat = auditCategory(kw)
-    def fql(ok: Boolean): Unit = fqlAppend(preparedBinds match {
-      case Some((ks, b, nm)) => CqlSession.FqlPrep(request, ks, b, nm, ok)
-      case None => CqlSession.FqlStmt(request, ok)
-    })
+    def fql(ok: Boolean, dg: Option[String]): Unit =
+      fqlAppend(preparedBinds match {
+        case Some((ks, b, nm)) =>
+          CqlSession.FqlPrep(request, ks, b, nm, ok, dg)
+        case None => CqlSession.FqlStmt(request, ok, dg)
+      })
     try {
       val out = f
+      val dg =
+        if (!fqlResultsOn) None
+        else out match {
+          case d: DataFrame => Some(resultDigest(d))
+          case _ => None
+        }
       auditRecord(role, cat, request, success = true, error = null)
-      fql(ok = true)
+      fql(ok = true, dg)
       out
     } catch {
       case e: Throwable =>
         auditRecord(role, cat, request, success = false,
           error = e.getClass.getSimpleName)
-        fql(ok = false)
+        fql(ok = false, None)
         throw e
     }
   }
@@ -3049,12 +3100,12 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     var outcomeMatches = 0
     events.foreach {
       case CqlSession.FqlLogin(role) => fresh.forceRole(role)
-      case CqlSession.FqlStmt(text, ok) =>
+      case CqlSession.FqlStmt(text, ok, _) =>
         nStmt += 1
         val rep = try { fresh.execute(text); true }
           catch { case scala.util.control.NonFatal(_) => false }
         if (rep == ok) outcomeMatches += 1
-      case CqlSession.FqlPrep(text, ks, binds, named, ok) =>
+      case CqlSession.FqlPrep(text, ks, binds, named, ok, _) =>
         nStmt += 1
         val rep = try {
           // re-prepare under the PREPARE-time keyspace, then restore —
@@ -3097,6 +3148,72 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       Row("replay", "outcome_match", s"$outcomeMatches/$nStmt"),
       Row("replay", "state_equal", stateEqual.toString),
       Row("replay", "tables_compared", s"n=${common.size}")).asJava,
+      StructType(Seq(StructField("kind", StringType, nullable = false),
+        StructField("name", StringType, nullable = false),
+        StructField("detail", StringType, nullable = false))))
+  }
+
+  /** `COMPARE AUDIT` [U tools/fqltool compare, 4.0]: replay this
+    * session's recorded full-query log into a FRESH session and diff
+    * each replayed statement's RESULT digest against the digest recorded
+    * at execution time (requires `AUDIT RESULTS ON` during recording —
+    * upstream's compare likewise needs result logs stored alongside the
+    * query log). Reports outcome reproduction like REPLAY plus the
+    * digest scorecard and the FIRST diverging statement — the signal an
+    * operator acts on (upstream compare prints per-query mismatches; a
+    * digest identifies the statement without persisting result bytes).
+    * Statements recorded without a digest (results off, or failures)
+    * are replayed for outcome only. Divergence detail carries statement
+    * TEXT, never digest bytes, so deterministic scripts stay twin-able
+    * even when the divergence itself is a nondeterministic value. */
+  def compareAudit(): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val events = fqlLog.toVector
+    val fresh = new CqlSession(spark, Map.empty)
+    var nStmt = 0
+    var outcomeMatches = 0
+    var nDigested = 0
+    var digestMatches = 0
+    var firstDivergence: Option[String] = None
+    def score(text: String, ok: Boolean, recorded: Option[String],
+        replayed: Either[String, DataFrame]): Unit = {
+      nStmt += 1
+      if (replayed.isRight == ok) outcomeMatches += 1
+      recorded.foreach { d0 =>
+        nDigested += 1
+        val d1 = replayed match {
+          case Right(df) => resultDigest(df)
+          case Left(err) => s"error:$err"
+        }
+        if (d1 == d0) digestMatches += 1
+        else if (firstDivergence.isEmpty)
+          firstDivergence = Some(text.take(100))
+      }
+    }
+    events.foreach {
+      case CqlSession.FqlLogin(role) => fresh.forceRole(role)
+      case CqlSession.FqlStmt(text, ok, dg) =>
+        score(text, ok,
+          dg, try Right(fresh.execute(text))
+            catch { case scala.util.control.NonFatal(e) =>
+              Left(e.getClass.getSimpleName) })
+      case CqlSession.FqlPrep(text, ks, binds, named, ok, dg) =>
+        score(text, ok, dg, try {
+          val saved = fresh.currentKeyspace
+          fresh.forceKeyspace(ks)
+          val p = try fresh.prepare(text)
+            finally fresh.forceKeyspace(saved)
+          Right(if (named.nonEmpty) p.executeNamed(named)
+            else p.execute(binds: _*))
+        } catch { case scala.util.control.NonFatal(e) =>
+          Left(e.getClass.getSimpleName) })
+    }
+    spark.createDataFrame(Seq(
+      Row("compare", "events", s"n=${events.size}"),
+      Row("compare", "outcome_match", s"$outcomeMatches/$nStmt"),
+      Row("compare", "digest_match", s"$digestMatches/$nDigested"),
+      Row("compare", "first_divergence",
+        firstDivergence.getOrElse("none"))).asJava,
       StructType(Seq(StructField("kind", StringType, nullable = false),
         StructField("name", StringType, nullable = false),
         StructField("detail", StringType, nullable = false))))
@@ -3294,9 +3411,18 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     }
     if (kw0 == "audit") {
       import scala.jdk.CollectionConverters._
-      head.stripSuffix(";").split("\\s+").lift(1).map(_.toLowerCase) match {
+      val words = head.stripSuffix(";").split("\\s+").map(_.toLowerCase)
+      words.lift(1) match {
         case Some("on") => auditOn = true
         case Some("off") => auditOn = false
+        case Some("results") => words.lift(2) match {
+          // result-digest recording for COMPARE AUDIT (r11) — rides the
+          // audit/FQL recorder like upstream fql result logging
+          case Some("on") => fqlResultsOn = true
+          case Some("off") => fqlResultsOn = false
+          case other => throw new CqlInvalidQueryException(
+            s"AUDIT RESULTS expects ON or OFF, got ${other.getOrElse("nothing")}")
+        }
         case None => () // bare AUDIT: report current state
         case Some(other) => throw new CqlInvalidQueryException(
           s"AUDIT expects ON or OFF, got $other")
@@ -3342,6 +3468,14 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           s"REPLAY expects AUDIT, got ${other.getOrElse("nothing")}")
       }
       return replayAudit()
+    }
+    if (kw0 == "compare") {
+      head.stripSuffix(";").split("\\s+").lift(1).map(_.toLowerCase) match {
+        case Some("audit") => ()
+        case other => throw new CqlInvalidQueryException(
+          s"COMPARE expects AUDIT, got ${other.getOrElse("nothing")}")
+      }
+      return compareAudit()
     }
     val tid = registerInFlight(head)
     try audited(head, kw0) {
@@ -5270,16 +5404,21 @@ object CqlSession {
     * re-execute the traffic against another cluster]. Recorded while
     * `AUDIT ON`, ring-buffered at [[TraceCap]] like the audit view. */
   private[cql] sealed trait FqlEvent
-  /** A plain statement and whether it succeeded when recorded. */
-  private[cql] final case class FqlStmt(text: String, ok: Boolean)
-    extends FqlEvent
+  /** A plain statement, whether it succeeded when recorded, and (with
+    * `AUDIT RESULTS ON`, r11) the canonical digest of its result — the
+    * recording side of the `fqltool compare` analogue [U tools/fqltool:
+    * upstream records full result logs for compare; a digest carries the
+    * same divergence signal without persisting result bytes]. */
+  private[cql] final case class FqlStmt(text: String, ok: Boolean,
+    digest: Option[String] = None) extends FqlEvent
   /** A prepared execution: template text + the bound values (positional
     * or named), upstream's query-options capture. `ks` is the keyspace
     * current at PREPARE time — upstream FQL entries carry the keyspace
     * for exactly this reason: the template must re-prepare under it, a
     * replay-time USE must not re-target it. */
   private[cql] final case class FqlPrep(text: String, ks: String,
-    binds: Seq[Any], named: Map[String, Any], ok: Boolean) extends FqlEvent
+    binds: Seq[Any], named: Map[String, Any], ok: Boolean,
+    digest: Option[String] = None) extends FqlEvent
   /** A successful role switch — replay must re-attribute subsequent
     * statements (permission checks run under the replayed role). */
   private[cql] final case class FqlLogin(role: String) extends FqlEvent

@@ -216,6 +216,99 @@ object AdminQueries {
              ORDER BY o_orderpriority""")
   }
 
+  /** CQL28 (r11) — dynamic data masking in the gate (5.0 DDM, CEP-20
+    * [U cql3/functions/masking/, auth/Permission UNMASK + SELECT_MASKED,
+    * schema/ColumnMetadata.mask]): a table declares `MASKED WITH` masks
+    * in DDL; an unprivileged role reads MASKED renderings while a role
+    * granted UNMASK reads clear values; restricting on a masked column
+    * is denied until SELECT_MASKED is granted, after which the predicate
+    * evaluates on CLEAR data but the output stays masked; functions over
+    * masked columns stay denied (leak-free strictness); and
+    * `system_schema.column_masks` carries the attached registry. Every
+    * row is projected eagerly under the role that produced it, so the
+    * DuckDB twin is the literal expected table (the cql13-16 shape). */
+  def cql28_masking(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.cql.CqlSession(s)
+    sess.execute("CREATE TABLE pii28 (k bigint PRIMARY KEY, " +
+      "name text MASKED WITH mask_inner(2, 2), " +
+      "ssn text MASKED WITH mask_replace('REDACTED'), bal bigint)")
+    sess.execute("INSERT INTO pii28 (k, name, ssn, bal) VALUES " +
+      "(1, 'alice smith', '111-22-3333', 100)")
+    sess.execute("INSERT INTO pii28 (k, name, ssn, bal) VALUES " +
+      "(2, 'bob jones', '444-55-6666', 200)")
+    sess.execute("CREATE ROLE clerk28 WITH LOGIN = true")
+    sess.execute("GRANT SELECT ON pii28 TO clerk28")
+    sess.execute("CREATE ROLE auditor28 WITH LOGIN = true")
+    sess.execute("GRANT SELECT ON pii28 TO auditor28")
+    sess.execute("GRANT UNMASK ON pii28 TO auditor28")
+    sess.login("clerk28")
+    val maskedRows = sess.execute("SELECT k, name, ssn, bal FROM pii28")
+      .collect().map(r => Row("masked", s"k=${r.getLong(0)}",
+        s"${r.getString(1)}|${r.getString(2)}|bal=${r.getLong(3)}"))
+    val smDenied =
+      try {
+        sess.execute(
+          "SELECT k FROM pii28 WHERE name = 'alice smith' ALLOW FILTERING")
+        false
+      } catch { case e: graft.cql.CqlInvalidQueryException =>
+        e.getMessage.contains("SELECT_MASKED") }
+    val fnDenied =
+      try { sess.execute("SELECT max(name) FROM pii28"); false }
+      catch { case e: graft.cql.CqlInvalidQueryException =>
+        e.getMessage.contains("UNMASK") }
+    sess.login("cassandra", "cassandra")
+    sess.execute("GRANT SELECT_MASKED ON pii28 TO clerk28")
+    sess.login("clerk28")
+    val found = sess.execute(
+      "SELECT k, name FROM pii28 WHERE name = 'alice smith' ALLOW FILTERING")
+      .collect().map(r => Row("probe", "restricted-on-clear",
+        s"k=${r.getLong(0)} name=${r.getString(1)}"))
+    sess.login("auditor28")
+    val clearRows = sess.execute("SELECT k, name, ssn FROM pii28")
+      .collect().map(r => Row("clear", s"k=${r.getLong(0)}",
+        s"${r.getString(1)}|${r.getString(2)}"))
+    sess.login("cassandra", "cassandra")
+    val registry = sess.execute(
+      "SELECT table_name, column_name, function_name " +
+        "FROM system_schema.column_masks")
+      .collect().map(r => Row("registry", r.getString(1),
+        s"${r.getString(0)} ${r.getString(2)}"))
+    val probes = Seq(
+      Row("probe", "select-masked-gate", s"denied-without=$smDenied"),
+      Row("probe", "function-over-mask", s"denied-without-unmask=$fnDenied"))
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      (maskedRows.toSeq ++ clearRows.toSeq ++ found.toSeq ++
+        registry.toSeq ++ probes).asJava,
+      StructType(Seq(StructField("kind", StringType),
+        StructField("name", StringType), StructField("detail", StringType))))
+      .orderBy("kind", "name", "detail")
+  }
+
+  /** CQL29 (r11) — the `fqltool compare` analogue in the gate [U
+    * tools/fqltool compare, 4.0]: with `AUDIT RESULTS ON`, every
+    * statement's result digest is recorded into the full-query log;
+    * `COMPARE AUDIT` replays the log into a fresh session and diffs each
+    * replayed result against its recorded digest, reporting the outcome
+    * and digest scorecards plus the first diverging statement. The gate
+    * script is fully deterministic (explicit values, session-clock
+    * writetimes reproduce by construction — the CqlReplaySpec property),
+    * so the report is the literal all-green table; divergence DETECTION
+    * is exercised in CqlReplaySpec where a live virtual-table read
+    * cannot reproduce across sessions. */
+  def cql29_fql_compare(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.cql.CqlSession(s)
+    sess.execute("AUDIT ON")
+    sess.execute("AUDIT RESULTS ON")
+    sess.execute("CREATE TABLE fc29 (k bigint PRIMARY KEY, v text)")
+    sess.execute("INSERT INTO fc29 (k, v) VALUES (1, 'a')")
+    sess.execute("INSERT INTO fc29 (k, v) VALUES (2, 'b')")
+    sess.execute("SELECT k, v FROM fc29")
+    sess.execute("DELETE FROM fc29 WHERE k = 2")
+    sess.execute("SELECT k, v, writetime(v) AS wt FROM fc29")
+    sess.execute("COMPARE AUDIT").orderBy("kind", "name", "detail")
+  }
+
   /** CQL23 — `system.prepared_statements` in the gate (r10) [U db/
     * SystemKeyspace.java — upstream persists the prepared cache so a
     * restarted node can re-prepare its clients' statements]: two
@@ -675,6 +768,8 @@ object AdminQueries {
     "cql25_arithmetic" -> (cql25_arithmetic _),
     "cql26_ts_arith" -> (cql26_ts_arith _),
     "cql27_agg_arith" -> (cql27_agg_arith _),
+    "cql28_masking" -> (cql28_masking _),
+    "cql29_fql_compare" -> (cql29_fql_compare _),
     "cql13_roles" -> (cql13_roles _),
     "cql14_schema" -> (cql14_schema _),
     "cql15_settings" -> (cql15_settings _),
@@ -849,6 +944,33 @@ object AdminQueries {
         |  min(l_orderkey) + 1000 AS mn
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // the literal DDM contract: masked renderings under clerk28, clear
+    // values under auditor28 (UNMASK), the SELECT_MASKED denial + the
+    // clear-predicate/masked-output probe, leak-free function denial,
+    // and the column_masks registry rows
+    "cql28_masking" ->
+      """SELECT kind, name, detail FROM (VALUES
+        |  ('masked', 'k=1', 'al*******th|REDACTED|bal=100'),
+        |  ('masked', 'k=2', 'bo*****es|REDACTED|bal=200'),
+        |  ('clear', 'k=1', 'alice smith|111-22-3333'),
+        |  ('clear', 'k=2', 'bob jones|444-55-6666'),
+        |  ('probe', 'restricted-on-clear', 'k=1 name=al*******th'),
+        |  ('probe', 'select-masked-gate', 'denied-without=true'),
+        |  ('probe', 'function-over-mask', 'denied-without-unmask=true'),
+        |  ('registry', 'name', 'pii28 mask_inner'),
+        |  ('registry', 'ssn', 'pii28 mask_replace'))
+        |AS t(kind, name, detail) ORDER BY kind, name, detail""".stripMargin,
+    // the all-green compare report: 6 recorded statements (AUDIT verbs
+    // return before the recorder), all outcomes and all result digests
+    // reproduced — including the writetime projection, which replays
+    // equal because the session clock is logical, not wall time
+    "cql29_fql_compare" ->
+      """SELECT kind, name, detail FROM (VALUES
+        |  ('compare', 'events', 'n=6'),
+        |  ('compare', 'outcome_match', '6/6'),
+        |  ('compare', 'digest_match', '6/6'),
+        |  ('compare', 'first_divergence', 'none'))
+        |AS t(kind, name, detail) ORDER BY kind, name, detail""".stripMargin,
     // the twin COMPUTES the prepared ids — the id convention is gated
     "cql23_prepared_registry" ->
       """SELECT md5(coalesce(ks, '') || q) AS prepared_id,

@@ -144,6 +144,61 @@ class CqlMaskingSpec extends SparkSpec {
       "2d711642b726b04401627ca9fbac32f5c8530fb1903cc4db02258717921a4881")
   }
 
+  test("DSv2 catalog read path honors masks: clear for superuser and " +
+    "UNMASK, masked for clerk, snapshot cache keyed by rendering") {
+    // r10 VERDICT item 8: a Spark-side SELECT through the catalog must not
+    // bypass a mask an unprivileged session would see — and because role
+    // switches don't bump the mutation epoch, the clear snapshot cached
+    // for the superuser must never serve the clerk (or vice versa).
+    val s = fresh()
+    s.exposeAsCatalog("maskcat")
+    val clear = spark.sql(
+      "SELECT name, ssn FROM maskcat.default.pii WHERE k = 1").head()
+    assert(clear.getString(0) === "alice smith")
+    assert(clear.getString(1) === "111-22-3333")
+    s.login("clerk")
+    val masked = spark.sql(
+      "SELECT name, ssn, bal FROM maskcat.default.pii WHERE k = 1").head()
+    assert(masked.getString(0) === "al*******th")
+    assert(masked.getString(1) === "REDACTED")
+    assert(masked.getLong(2) === 100L) // unmasked column untouched
+    // switch BACK: the masked snapshot must not leak into the clear view
+    s.login("cassandra", "cassandra")
+    assert(spark.sql("SELECT ssn FROM maskcat.default.pii WHERE k = 1")
+      .head().getString(0) === "111-22-3333")
+    // a role granted UNMASK reads clear through the catalog too
+    s.execute("CREATE ROLE catauditor WITH LOGIN = true")
+    s.execute("GRANT SELECT ON pii TO catauditor")
+    s.execute("GRANT UNMASK ON pii TO catauditor")
+    s.login("catauditor")
+    assert(spark.sql("SELECT name FROM maskcat.default.pii WHERE k = 2")
+      .head().getString(0) === "bob")
+  }
+
+  test("REPLAY AUDIT reproduces a masked session: mask DDL, role switch, " +
+    "masked SELECT and the leak-free denial all replay; state equal") {
+    val s = CqlSession(spark)
+    s.execute("AUDIT ON")
+    s.execute("CREATE TABLE rpii (k bigint PRIMARY KEY, " +
+      "name text MASKED WITH mask_inner(2, 2))")
+    s.execute("INSERT INTO rpii (k, name) VALUES (1, 'alice smith')")
+    s.execute("CREATE ROLE rclerk WITH LOGIN = true")
+    s.execute("GRANT SELECT ON rpii TO rclerk")
+    s.login("rclerk")
+    assert(s.execute("SELECT name FROM rpii WHERE k = 1").head()
+      .getString(0) === "al*******th")
+    intercept[CqlInvalidQueryException] { // must REPLAY as a failure too
+      s.execute("SELECT max(name) FROM rpii")
+    }
+    s.login("cassandra", "cassandra")
+    val rep = s.execute("REPLAY AUDIT").collect()
+      .map(r => r.getString(1) -> r.getString(2)).toMap
+    val Array(matched, total) = rep("outcome_match").split("/")
+    assert(matched === total, s"replay diverged: $rep")
+    assert(total.toInt >= 6)
+    assert(rep("state_equal") === "true")
+  }
+
   test("system_schema.column_masks lists attached masks; COPY TO honors " +
     "masks for unprivileged roles") {
     val s = fresh()

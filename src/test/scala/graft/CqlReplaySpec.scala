@@ -74,6 +74,64 @@ class CqlReplaySpec extends SparkSpec {
     assert(r("outcome_match") === "5/5")
   }
 
+  private def creport(s: CqlSession): Map[String, String] =
+    s.execute("COMPARE AUDIT").collect()
+      .map(r => r.getString(1) -> r.getString(2)).toMap
+
+  test("COMPARE AUDIT: deterministic script — every result digest " +
+    "reproduces (fqltool compare analogue, r11)") {
+    val sess = CqlSession(spark)
+    sess.execute("AUDIT ON")
+    sess.execute("AUDIT RESULTS ON")
+    sess.execute("CREATE TABLE cmp1 (k bigint PRIMARY KEY, v text)")
+    sess.execute("INSERT INTO cmp1 (k, v) VALUES (1, 'x')")
+    sess.execute("INSERT INTO cmp1 (k, v) VALUES (2, 'y')")
+    sess.execute("DELETE FROM cmp1 WHERE k = 2")
+    sess.execute("SELECT k, v FROM cmp1")
+    val r = creport(sess)
+    assert(r("events") === "n=5")
+    assert(r("outcome_match") === "5/5")
+    assert(r("digest_match") === "5/5")
+    assert(r("first_divergence") === "none")
+  }
+
+  test("COMPARE AUDIT flags the FIRST diverging statement: a live " +
+    "virtual-table read cannot reproduce across sessions") {
+    val sess = CqlSession(spark)
+    // unrecorded warm-up: skews this session's request_count vs the
+    // fresh replay session, so the clients read diverges BY CONSTRUCTION
+    sess.execute("SELECT address FROM system_views.clients")
+    sess.execute("AUDIT ON")
+    sess.execute("AUDIT RESULTS ON")
+    sess.execute("CREATE TABLE cmp2 (k bigint PRIMARY KEY, v text)")
+    sess.execute("INSERT INTO cmp2 (k, v) VALUES (1, 'x')")
+    sess.execute("SELECT request_count FROM system_views.clients")
+    sess.execute("SELECT k, v FROM cmp2") // still matches after divergence
+    val r = creport(sess)
+    assert(r("outcome_match") === "4/4")
+    assert(r("digest_match") === "3/4")
+    assert(r("first_divergence").contains("system_views.clients"))
+  }
+
+  test("COMPARE without AUDIT RESULTS ON degrades to outcome-only; " +
+    "COMPARE expects AUDIT; prepared digests ride the template") {
+    val sess = CqlSession(spark)
+    sess.execute("AUDIT ON")
+    sess.execute("CREATE TABLE cmp3 (k bigint PRIMARY KEY, v text)")
+    sess.execute("INSERT INTO cmp3 (k, v) VALUES (1, 'x')")
+    val r = creport(sess)
+    assert(r("digest_match") === "0/0")
+    assert(r("outcome_match") === "2/2")
+    assert(r("first_divergence") === "none")
+    intercept[CqlInvalidQueryException] { sess.execute("COMPARE LOG") }
+    // prepared executions digest like plain statements
+    sess.execute("AUDIT RESULTS ON")
+    val sel = sess.prepare("SELECT v FROM cmp3 WHERE k = ?")
+    sel.execute(1L)
+    val r2 = creport(sess)
+    assert(r2("digest_match") === "1/1")
+  }
+
   test("prepared template re-binds under its prepare-time keyspace") {
     val sess = CqlSession(spark)
     sess.execute("AUDIT ON")
