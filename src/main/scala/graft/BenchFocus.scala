@@ -31,6 +31,16 @@ object BenchFocus {
     import org.apache.spark.sql.functions._
     import graft.Q.{dbl, dec6}
     val variants: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      // the stock row path for any query: columnar partial agg disabled
+      // (r11 before/after instrumentation; pass as stock:<query>)
+      "t1_stock" -> { (s, d) =>
+        s.conf.set("spark.graft.columnarAgg.enabled", "false")
+        operators.StreamingQueries.t1_tumbling(s, d)
+      },
+      "a1_stock" -> { (s, d) =>
+        s.conf.set("spark.graft.columnarAgg.enabled", "false")
+        operators.RelationalQueries.a1_pricing_summary(s, d)
+      },
       "j1_fused" -> { (s, d) =>
         // ONE broadcast: supplier enriched with region name dim-side
         val dims = Tables.supplier(s, d)

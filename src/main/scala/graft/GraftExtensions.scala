@@ -36,8 +36,13 @@ import graft.functions.expressions.{CosineSimilarity, DotProduct,
   *    (x12's kernel).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // columnar partial aggregation directly over vectorized parquet
+    // batches (r11) — swaps ONLY HashAggregate(Partial) + fused Project
+    // above a columnar parquet scan; see graft.spark.ColumnarPartialAgg
+    ext.injectColumnar(_ => graft.spark.GraftColumnarRule())
+  }
 }
 
 object GraftExtensions {

@@ -1,0 +1,541 @@
+package graft.spark
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, GenericInternalRow, Literal, NamedExpression, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Partial, Sum}
+import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, MicrosToTimestamp, TruncTimestamp}
+import org.apache.spark.sql.execution.{FileSourceScanExec, LeafExecNode, ProjectExec, SparkPlan}
+import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+import org.apache.spark.sql.execution.ColumnarRule
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Columnar PARTIAL aggregation over a vectorized parquet scan (r11,
+  * VERDICT task 7). The measured floor decomposition (ColumnarProbe at
+  * the sf10-equivalent fixture) showed the stock path's wall is NOT
+  * parquet decode: a hand-rolled aggregate over `executeColumnar()`
+  * batches ran at count-star speed (0.157 s vs 0.160 s) while the full
+  * SQL plan took 0.829 s — the ColumnarToRow materialization plus the
+  * row-based partial hash aggregate is ~80% of t1's cost. This exec
+  * removes exactly that boundary and nothing else: it replaces ONLY the
+  * partial HashAggregate (+ fused Project) directly above a columnar
+  * parquet scan, consuming the scan's ColumnarBatches and emitting the
+  * SAME partial buffer rows (same attributes, same exprIds) the stock
+  * partial agg would — the exchange and final aggregate above are
+  * untouched, so merge semantics, grouping and determinism are Spark's
+  * own. [P: the design point is the public RAPIDS/Gluten ColumnarRule
+  * integration surface — `injectColumnar` + a plan-segment swap.]
+  *
+  * Scope is deliberately narrow and bail-out-first: a supported plan is
+  *   HashAggregate(Partial, [Project,] FileSourceScan(parquet, columnar))
+  * whose grouping keys and aggregate inputs compile to the typed column
+  * programs below; anything else returns the plan unchanged. The row
+  * loop is allocation-free: group keys evaluate into a reused long[]
+  * (strings interned to dense ids per partition, nulls in a bitmask),
+  * sum inputs stay primitive, and decimal quantization runs an exact
+  * guard-banded long fast path (see DecimalSumAcc). Null group keys and
+  * null sum inputs follow Sum/Count's documented buffer semantics
+  * (sum-null-until-first-value, isEmpty flag for decimal); double/long
+  * sums accumulate in row order per partition exactly like the stock
+  * partial agg; hour/day truncation only compiles under the engine's
+  * pinned UTC sessions.
+  */
+object ColumnarPartialAgg {
+
+  private val MicrosPerSecond = 1000000L
+  private val MicrosPerMinute = 60L * MicrosPerSecond
+  private val MicrosPerHour = 60L * MicrosPerMinute
+  private val MicrosPerDay = 24L * MicrosPerHour
+
+  private def utcZone(z: Option[String]): Boolean =
+    z.exists(s => s == "UTC" || s == "Etc/UTC" || s == "GMT" || s == "Z")
+
+  // ——— typed per-row column programs over a ColumnarBatch ———
+  private[spark] sealed trait Col extends Serializable {
+    def isNull(b: ColumnarBatch, i: Int): Boolean
+  }
+  private[spark] abstract class LongCol extends Col {
+    def get(b: ColumnarBatch, i: Int): Long // defined only when !isNull
+  }
+  private[spark] abstract class DoubleCol extends Col {
+    def get(b: ColumnarBatch, i: Int): Double
+  }
+  private[spark] abstract class StringCol extends Col {
+    def get(b: ColumnarBatch, i: Int): UTF8String
+  }
+
+  /** Compile `e` (already substituted down to scan attributes) to a typed
+    * column program, or None when outside the supported subset. */
+  private def compile(e: Expression, scanOut: Seq[Attribute]): Option[Col] = e match {
+    case a: AttributeReference =>
+      val ord = scanOut.indexWhere(_.exprId == a.exprId)
+      if (ord < 0) None
+      else a.dataType match {
+        case LongType | TimestampType | TimestampNTZType => Some(new LongCol {
+          def isNull(b: ColumnarBatch, i: Int) = b.column(ord).isNullAt(i)
+          def get(b: ColumnarBatch, i: Int) = b.column(ord).getLong(i)
+        })
+        case IntegerType | DateType => Some(new LongCol {
+          def isNull(b: ColumnarBatch, i: Int) = b.column(ord).isNullAt(i)
+          def get(b: ColumnarBatch, i: Int) = b.column(ord).getInt(i).toLong
+        })
+        case DoubleType => Some(new DoubleCol {
+          def isNull(b: ColumnarBatch, i: Int) = b.column(ord).isNullAt(i)
+          def get(b: ColumnarBatch, i: Int) = b.column(ord).getDouble(i)
+        })
+        case FloatType => Some(new DoubleCol {
+          def isNull(b: ColumnarBatch, i: Int) = b.column(ord).isNullAt(i)
+          def get(b: ColumnarBatch, i: Int) = b.column(ord).getFloat(i).toDouble
+        })
+        case StringType => Some(new StringCol {
+          def isNull(b: ColumnarBatch, i: Int) = b.column(ord).isNullAt(i)
+          def get(b: ColumnarBatch, i: Int) = b.column(ord).getUTF8String(i)
+        })
+        case _ => None
+      }
+    case Alias(child, _) => compile(child, scanOut)
+    case Literal(v: Long, LongType) => Some(new LongCol {
+      def isNull(b: ColumnarBatch, i: Int) = false
+      def get(b: ColumnarBatch, i: Int) = v
+    })
+    case Literal(v: Int, IntegerType) => Some(new LongCol {
+      def isNull(b: ColumnarBatch, i: Int) = false
+      def get(b: ColumnarBatch, i: Int) = v.toLong
+    })
+    case Literal(v: Double, DoubleType) => Some(new DoubleCol {
+      def isNull(b: ColumnarBatch, i: Int) = false
+      def get(b: ColumnarBatch, i: Int) = v
+    })
+    case d: IntegralDivide => (d.left.dataType, d.right) match {
+      case (LongType | IntegerType, Literal(den: Long, LongType)) if den != 0L =>
+        compile(d.left, scanOut).collect { case le: LongCol => new LongCol {
+          def isNull(b: ColumnarBatch, i: Int) = le.isNull(b, i)
+          // Spark's `div` truncates toward zero (long division), NOT floor
+          def get(b: ColumnarBatch, i: Int) = le.get(b, i) / den
+        }}
+      case _ => None
+    }
+    case m: MicrosToTimestamp => compile(m.child, scanOut) // µs passthrough
+    case t: TruncTimestamp =>
+      // hour/day truncation is local-time arithmetic; only compile under
+      // the engine's pinned UTC session (minute/second are zone-safe but
+      // the sessions are UTC anyway — keep one guard for all units)
+      val width = t.format match {
+        case Literal(s, StringType) if s != null =>
+          s.toString.toLowerCase match {
+            case "second" => Some(MicrosPerSecond)
+            case "minute" => Some(MicrosPerMinute)
+            case "hour" => Some(MicrosPerHour)
+            case "day" | "dd" => Some(MicrosPerDay)
+            case _ => None
+          }
+        case _ => None
+      }
+      (width, compile(t.timestamp, scanOut)) match {
+        case (Some(w), Some(te: LongCol)) if utcZone(t.timeZoneId) =>
+          Some(new LongCol {
+            def isNull(b: ColumnarBatch, i: Int) = te.isNull(b, i)
+            def get(b: ColumnarBatch, i: Int) = {
+              val micros = te.get(b, i)
+              micros - Math.floorMod(micros, w) // floors in time, like Spark
+            }
+          })
+        case _ => None
+      }
+    case c: Cast => (c.child.dataType, c.dataType) match {
+      case (IntegerType, LongType) => compile(c.child, scanOut)
+      case (LongType | IntegerType, DoubleType) =>
+        compile(c.child, scanOut).collect { case le: LongCol => new DoubleCol {
+          def isNull(b: ColumnarBatch, i: Int) = le.isNull(b, i)
+          def get(b: ColumnarBatch, i: Int) = le.get(b, i).toDouble
+        }}
+      case (FloatType, DoubleType) => compile(c.child, scanOut)
+      // NTZ↔TZ reinterpretation is identity on the µs value exactly when
+      // the cast's zone is UTC (the engine pins session UTC everywhere)
+      case (TimestampNTZType, TimestampType) | (TimestampType, TimestampNTZType)
+          if utcZone(c.timeZoneId) =>
+        compile(c.child, scanOut)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  // ——— group keys ———
+  private[spark] sealed trait KeySpec extends Serializable
+  /** emitInt: the grouping expression's dataType is int-width (Integer/
+    * Date), so the buffer row must carry a boxed Int, not Long. */
+  private[spark] final case class LongKey(col: LongCol, emitInt: Boolean)
+    extends KeySpec
+  private[spark] final case class StringKey(col: StringCol) extends KeySpec
+
+  /** Dense group key: per-key long slots (string keys hold interned ids)
+    * plus a null bitmask in the last slot. No boxing on probe. */
+  private[spark] final class LKey(val vals: Array[Long]) extends Serializable {
+    override def hashCode(): Int = java.util.Arrays.hashCode(vals)
+    override def equals(o: Any): Boolean = o match {
+      case k: LKey => java.util.Arrays.equals(vals, k.vals)
+      case _ => false
+    }
+    def frozen: LKey = new LKey(java.util.Arrays.copyOf(vals, vals.length))
+  }
+
+  // ——— aggregate accumulators ———
+  private[spark] sealed trait Acc extends Serializable {
+    def update(b: ColumnarBatch, i: Int): Unit
+    /** Write this accumulator's buffer column(s) into `row` starting at
+      * `off`; returns the next offset. */
+    def emit(row: GenericInternalRow, off: Int): Int
+  }
+  private final class CountAcc(input: Option[Col]) extends Acc {
+    private var n = 0L
+    def update(b: ColumnarBatch, i: Int): Unit = input match {
+      case None => n += 1
+      case Some(c) => if (!c.isNull(b, i)) n += 1
+    }
+    def emit(row: GenericInternalRow, off: Int): Int = {
+      row.update(off, n); off + 1
+    }
+  }
+  private final class DoubleSumAcc(e: DoubleCol) extends Acc {
+    private var sum = 0.0
+    private var seen = false
+    def update(b: ColumnarBatch, i: Int): Unit =
+      if (!e.isNull(b, i)) { sum += e.get(b, i); seen = true }
+    def emit(row: GenericInternalRow, off: Int): Int = {
+      row.update(off, if (seen) java.lang.Double.valueOf(sum) else null)
+      off + 1
+    }
+  }
+  private final class LongSumAcc(e: LongCol) extends Acc {
+    private var sum = 0L
+    private var seen = false
+    def update(b: ColumnarBatch, i: Int): Unit =
+      if (!e.isNull(b, i)) { sum += e.get(b, i); seen = true }
+    def emit(row: GenericInternalRow, off: Int): Int = {
+      row.update(off, if (seen) java.lang.Long.valueOf(sum) else null)
+      off + 1
+    }
+  }
+  /** Sum over Cast(double → decimal(p,s)): each input quantized with
+    * SPARK'S cast semantics — HALF_UP rounding of the double's SHORTEST
+    * DECIMAL REPRESENTATION (`BigDecimal.decimal(v)` goes through
+    * `Double.toString`), not of its exact binary expansion; the two can
+    * disagree exactly at a `…5` boundary at the target scale. The hot
+    * path multiplies into an unscaled long (exact: away from a boundary,
+    * every round-nearest agrees, and the double-multiply error — at most
+    * ~2e-4 ulps-of-scale for |v|≤1e6 — cannot cross the 1e-3 guard band);
+    * values inside the guard band take the exact string route. The
+    * accumulator is an unscaled long (combine-order-proof, the repo's
+    * dec6 convention) escalating to BigDecimal on overflow. Buffer is
+    * Spark Sum-over-decimal's (sum: decimal, isEmpty: bool). */
+  private final class DecimalSumAcc(e: DoubleCol, precision: Int, scale: Int)
+      extends Acc {
+    private val factor = math.pow(10d, scale)
+    private var unscaled = 0L
+    private var big: java.math.BigDecimal = null // non-null once escalated
+    private var isEmpty = true
+    private def addUnscaled(u: Long): Unit =
+      if (big == null) {
+        try unscaled = Math.addExact(unscaled, u)
+        catch { case _: ArithmeticException =>
+          big = java.math.BigDecimal.valueOf(unscaled, scale)
+            .add(java.math.BigDecimal.valueOf(u, scale))
+        }
+      } else big = big.add(java.math.BigDecimal.valueOf(u, scale))
+    def update(b: ColumnarBatch, i: Int): Unit =
+      if (!e.isNull(b, i)) {
+        val d = e.get(b, i)
+        if (!java.lang.Double.isFinite(d))
+          throw new ArithmeticException(
+            s"$d cannot be represented as Decimal($precision, $scale)")
+        isEmpty = false
+        val y = d * factor
+        val frac = y - Math.floor(y)
+        if (Math.abs(frac - 0.5) > 1e-3 && Math.abs(y) < 4.0e18) {
+          addUnscaled(Math.round(y)) // nearest == HALF_UP off-boundary
+        } else {
+          // boundary or out-of-long range: exact Spark cast semantics
+          val exact = new java.math.BigDecimal(java.lang.Double.toString(d))
+            .setScale(scale, java.math.RoundingMode.HALF_UP)
+          if (big == null && exact.unscaledValue().bitLength() < 63)
+            addUnscaled(exact.unscaledValue().longValue())
+          else {
+            if (big == null)
+              big = java.math.BigDecimal.valueOf(unscaled, scale)
+            big = big.add(exact)
+          }
+        }
+      }
+    def emit(row: GenericInternalRow, off: Int): Int = {
+      val out =
+        if (big == null) Decimal(unscaled, precision, scale)
+        else Decimal(scala.math.BigDecimal(big), precision, scale)
+      row.update(off, out)
+      row.update(off + 1, isEmpty)
+      off + 2
+    }
+  }
+
+  private[spark] final case class Kernel(keys: Array[KeySpec],
+    accFactory: () => Array[Acc]) extends Serializable
+
+  /** Plan-time compilation of the whole match, or None to leave the plan
+    * untouched. */
+  def compileAgg(agg: HashAggregateExec, scan: FileSourceScanExec,
+      project: Option[Seq[NamedExpression]]): Option[Kernel] = {
+    val scanOut = scan.output
+    // fold the fused Project into the aggregate's expressions
+    val aliasMap: Map[Long, Expression] = project match {
+      case None => Map.empty
+      case Some(pl) => pl.map {
+        case a: Alias => a.exprId.id -> a.child
+        case a: Attribute => a.exprId.id -> a
+      }.toMap
+    }
+    def subst(e: Expression): Expression = e.transformUp {
+      case a: AttributeReference if aliasMap.contains(a.exprId.id) =>
+        aliasMap(a.exprId.id)
+    }
+    val keySpecs: Seq[Option[KeySpec]] = agg.groupingExpressions.map { g =>
+      compile(subst(g), scanOut).flatMap {
+        case lc: LongCol => g.dataType match {
+          case LongType | TimestampType | TimestampNTZType =>
+            Some(LongKey(lc, emitInt = false))
+          case IntegerType | DateType => Some(LongKey(lc, emitInt = true))
+          case _ => None
+        }
+        case sc: StringCol => Some(StringKey(sc))
+        case _ => None // double keys: rare, and bit-pattern care — bail
+      }
+    }
+    if (keySpecs.exists(_.isEmpty)) return None
+    val accFactories: Seq[Option[() => Acc]] =
+      agg.aggregateExpressions.map { ae =>
+        if (ae.mode != Partial || ae.isDistinct || ae.filter.isDefined) None
+        else ae.aggregateFunction match {
+          case c: Count => c.children match {
+            case Seq(Literal(v, _)) if v != null => Some(() => new CountAcc(None))
+            case Seq(one) => compile(subst(one), scanOut)
+              .map(col => () => new CountAcc(Some(col)))
+            case _ => None
+          }
+          case s: Sum => (s.child.dataType, subst(s.child)) match {
+            case (dt: DecimalType, Cast(inner, _, _, _))
+                if inner.dataType == DoubleType =>
+              // the buffer contract must be (sum: decimal, isEmpty: bool)
+              val bufOk = s.aggBufferAttributes.map(_.dataType) ==
+                Seq(DecimalType(dt.precision, dt.scale), BooleanType)
+              compile(inner, scanOut).collect {
+                case dc: DoubleCol if bufOk =>
+                  () => new DecimalSumAcc(dc, dt.precision, dt.scale)
+              }
+            case (DoubleType, se) => compile(se, scanOut).collect {
+              case dc: DoubleCol
+                  if s.aggBufferAttributes.map(_.dataType) == Seq(DoubleType) =>
+                () => new DoubleSumAcc(dc)
+            }
+            case (LongType, se) => compile(se, scanOut).collect {
+              case lc: LongCol
+                  if s.aggBufferAttributes.map(_.dataType) == Seq(LongType) =>
+                () => new LongSumAcc(lc)
+            }
+            case _ => None
+          }
+          case _ => None
+        }
+      }
+    if (accFactories.exists(_.isEmpty)) return None
+    // partial output must be exactly keys ++ buffers, in order
+    val bufWidth = agg.aggregateExpressions
+      .map(_.aggregateFunction.aggBufferAttributes.length).sum
+    if (agg.output.length != agg.groupingExpressions.length + bufWidth)
+      return None
+    val factories = accFactories.map(_.get).toArray
+    Some(Kernel(keySpecs.map(_.get).toArray, () => factories.map(_())))
+  }
+}
+
+/** The swapped-in physical node. Holds the scan as a private member (not
+  * a plan child): no ColumnarToRow transition is ever inserted, and the
+  * node's OUTPUT is the original partial HashAggregate's attributes, so
+  * the exchange and final aggregate above resolve unchanged. */
+case class ColumnarPartialAggExec(
+    output: Seq[Attribute],
+    scan: FileSourceScanExec,
+    groupingExprs: Seq[NamedExpression],
+    aggExprs: Seq[AggregateExpression],
+    projectList: Option[Seq[NamedExpression]])
+    extends LeafExecNode {
+  import ColumnarPartialAgg._
+
+  override def nodeName: String = "GraftColumnarPartialAgg"
+  override def stringArgs: Iterator[Any] =
+    Iterator(groupingExprs, aggExprs, scan.simpleString(60))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    // compile on the driver (bail already ruled out None at plan time)
+    val kernel = compileAgg(
+      HashAggregateExec(None, isStreaming = false, None, groupingExprs,
+        aggExprs, aggExprs.map(_.resultAttribute), 0, output, scan),
+      scan, projectList)
+      .getOrElse(throw new IllegalStateException(
+        "ColumnarPartialAggExec planned over an uncompilable shape"))
+    val outTypes = output.map(_.dataType)
+    val nKeys = kernel.keys.length
+    // memory bound (100 TB safety): stock partial HashAggregate spills
+    // under pressure; this exec instead FLUSHES the group map as partial
+    // rows and resets whenever it reaches maxGroups — partial aggregation
+    // tolerates duplicate keys across emitted rows (the final aggregate
+    // merges them), so a high-cardinality key degrades smoothly toward
+    // pass-through instead of OOMing
+    val maxGroups = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.columnarAgg.maxGroups", "1048576").toInt
+    scan.executeColumnar().mapPartitions { batches =>
+      val keys = kernel.keys
+      var groups = new java.util.LinkedHashMap[LKey, Array[Acc]]()
+      val probe = new LKey(new Array[Long](nKeys + 1)) // last slot: null bits
+      // per string-key interning (dense ids; UTF8Strings cloned once;
+      // ids stay stable across flushes — only the group map resets)
+      val interns = keys.map {
+        case StringKey(_) => new java.util.HashMap[UTF8String, Integer]()
+        case _ => null
+      }
+      val names = keys.map {
+        case StringKey(_) => new scala.collection.mutable.ArrayBuffer[UTF8String]()
+        case _ => null
+      }
+      val proj = UnsafeProjection.create(outTypes.toArray)
+      def emitAll(m: java.util.LinkedHashMap[LKey, Array[Acc]])
+          : Iterator[InternalRow] = {
+        import scala.jdk.CollectionConverters._
+        m.entrySet().iterator().asScala.map { e =>
+          val row = new GenericInternalRow(output.length)
+          val bits = e.getKey.vals(nKeys)
+          var k = 0
+          while (k < nKeys) {
+            if ((bits & (1L << k)) != 0L) row.update(k, null)
+            else keys(k) match {
+              case LongKey(_, emitInt) =>
+                if (emitInt) row.update(k, e.getKey.vals(k).toInt)
+                else row.update(k, e.getKey.vals(k))
+              case StringKey(_) =>
+                row.update(k, names(k)(e.getKey.vals(k).toInt))
+            }
+            k += 1
+          }
+          var off = nKeys
+          e.getValue.foreach(acc => off = acc.emit(row, off))
+          proj(row).copy(): InternalRow
+        }
+      }
+      def consume(batch: ColumnarBatch): Unit = {
+        val n = batch.numRows()
+        var i = 0
+        while (i < n) {
+          var bits = 0L
+          var k = 0
+          while (k < nKeys) {
+            keys(k) match {
+              case LongKey(col, _) =>
+                if (col.isNull(batch, i)) { bits |= (1L << k); probe.vals(k) = 0L }
+                else probe.vals(k) = col.get(batch, i)
+              case StringKey(col) =>
+                if (col.isNull(batch, i)) { bits |= (1L << k); probe.vals(k) = 0L }
+                else {
+                  val s = col.get(batch, i)
+                  var id = interns(k).get(s)
+                  if (id == null) {
+                    id = Integer.valueOf(names(k).length)
+                    val copy = s.clone()
+                    interns(k).put(copy, id)
+                    names(k) += copy
+                  }
+                  probe.vals(k) = id.intValue().toLong
+                }
+            }
+            k += 1
+          }
+          probe.vals(nKeys) = bits
+          var accs = groups.get(probe)
+          if (accs == null) {
+            accs = kernel.accFactory()
+            groups.put(probe.frozen, accs)
+          }
+          var a = 0
+          while (a < accs.length) { accs(a).update(batch, i); a += 1 }
+          i += 1
+        }
+      }
+      new Iterator[InternalRow] {
+        private var cur: Iterator[InternalRow] = Iterator.empty
+        private var done = false
+        private def pump(): Unit = {
+          while (!cur.hasNext && !done) {
+            if (batches.hasNext) {
+              consume(batches.next())
+              if (groups.size() > maxGroups) {
+                val full = groups
+                groups = new java.util.LinkedHashMap[LKey, Array[Acc]]()
+                cur = emitAll(full)
+              }
+            } else {
+              // GLOBAL aggregate contract: the stock partial agg emits
+              // one initial-values buffer row per partition even when
+              // the partition is empty (that row is what makes count(*)
+              // over an empty relation return 0, not no-rows)
+              if (nKeys == 0 && groups.isEmpty)
+                groups.put(probe.frozen, kernel.accFactory())
+              cur = emitAll(groups)
+              done = true
+            }
+          }
+        }
+        override def hasNext: Boolean = { pump(); cur.hasNext }
+        override def next(): InternalRow = { pump(); cur.next() }
+      }
+    }
+  }
+}
+
+/** The `injectColumnar` rule: swap supported partial aggregates before
+  * transitions are inserted; leave everything else byte-identical. */
+case class GraftColumnarRule() extends ColumnarRule {
+  override def preColumnarTransitions: org.apache.spark.sql.catalyst.rules.Rule[SparkPlan] =
+    new org.apache.spark.sql.catalyst.rules.Rule[SparkPlan] {
+      override val ruleName: String = "graft.ColumnarPartialAgg"
+      override def apply(plan: SparkPlan): SparkPlan = if (
+        !org.apache.spark.sql.internal.SQLConf.get
+          .getConfString("spark.graft.columnarAgg.enabled", "true")
+          .toBoolean) plan
+      else plan.transformUp {
+        case agg: HashAggregateExec if isPartial(agg) => agg.child match {
+          case scan: FileSourceScanExec if columnarParquet(scan) =>
+            swap(agg, scan, None)
+          case ProjectExec(pl, scan: FileSourceScanExec)
+              if columnarParquet(scan) && pl.forall(_.deterministic) =>
+            swap(agg, scan, Some(pl))
+          case _ => agg
+        }
+      }
+    }
+
+  private def isPartial(agg: HashAggregateExec): Boolean =
+    agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(_.mode == Partial) &&
+      agg.requiredChildDistributionExpressions.isEmpty &&
+      agg.groupingExpressions.length <= 60 // null bitmask is one long
+
+  private def columnarParquet(scan: FileSourceScanExec): Boolean =
+    scan.supportsColumnar &&
+      scan.relation.fileFormat.toString.toLowerCase.contains("parquet")
+
+  private def swap(agg: HashAggregateExec, scan: FileSourceScanExec,
+      project: Option[Seq[NamedExpression]]): SparkPlan =
+    ColumnarPartialAgg.compileAgg(agg, scan, project) match {
+      case Some(_) => ColumnarPartialAggExec(agg.output, scan,
+        agg.groupingExpressions, agg.aggregateExpressions, project)
+      case None => agg
+    }
+}
