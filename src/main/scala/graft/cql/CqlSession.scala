@@ -3153,6 +3153,42 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         StructField("detail", StringType, nullable = false))))
   }
 
+  /** `DUMP AUDIT` [U tools/fqltool dump, 4.0]: render this session's
+    * recorded full-query log as rows — the human-readable print of the
+    * binlog upstream's dump subcommand gives an operator. One row per
+    * event in recording order: statements carry their full text (the
+    * audit VIEW truncates; the FQL keeps full text exactly so replay
+    * and dump are faithful), prepared executions render the template
+    * plus their bound values and prepare-time keyspace, and role
+    * switches appear as login events. `has_digest` marks statements
+    * recorded under `AUDIT RESULTS ON` (COMPARE's inputs). */
+  def dumpAudit(): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    def bindStr(binds: Seq[Any], named: Map[String, Any]): String =
+      if (named.nonEmpty)
+        named.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=${String.valueOf(v)}" }.mkString(", ")
+      else binds.map(String.valueOf(_)).mkString(", ")
+    val rows = fqlLog.toVector.zipWithIndex.map {
+      case (CqlSession.FqlLogin(role), i) =>
+        Row(i.toLong + 1, "login", role, null, null, null)
+      case (CqlSession.FqlStmt(text, ok, dg), i) =>
+        Row(i.toLong + 1, "statement", text, java.lang.Boolean.valueOf(ok),
+          null, java.lang.Boolean.valueOf(dg.isDefined))
+      case (CqlSession.FqlPrep(text, ks, binds, named, ok, dg), i) =>
+        Row(i.toLong + 1, "prepared", text, java.lang.Boolean.valueOf(ok),
+          s"[$ks] ${bindStr(binds, named)}",
+          java.lang.Boolean.valueOf(dg.isDefined))
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("seq", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("statement", StringType, nullable = false),
+      StructField("success", BooleanType, nullable = true),
+      StructField("binds", StringType, nullable = true),
+      StructField("has_digest", BooleanType, nullable = true))))
+  }
+
   /** `COMPARE AUDIT` [U tools/fqltool compare, 4.0]: replay this
     * session's recorded full-query log into a FRESH session and diff
     * each replayed statement's RESULT digest against the digest recorded
@@ -3476,6 +3512,14 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           s"COMPARE expects AUDIT, got ${other.getOrElse("nothing")}")
       }
       return compareAudit()
+    }
+    if (kw0 == "dump") {
+      head.stripSuffix(";").split("\\s+").lift(1).map(_.toLowerCase) match {
+        case Some("audit") => ()
+        case other => throw new CqlInvalidQueryException(
+          s"DUMP expects AUDIT, got ${other.getOrElse("nothing")}")
+      }
+      return dumpAudit()
     }
     val tid = registerInFlight(head)
     try audited(head, kw0) {

@@ -309,6 +309,31 @@ object AdminQueries {
     sess.execute("COMPARE AUDIT").orderBy("kind", "name", "detail")
   }
 
+  /** CQL30 (r11) — the `fqltool dump` analogue in the gate [U
+    * tools/fqltool dump, 4.0], completing the dump/replay/compare
+    * family: DUMP AUDIT renders the recorded full-query log as rows —
+    * full statement text (the audit view truncates; the FQL does not),
+    * prepared executions with their prepare-time keyspace and bound
+    * values, role-switch events, and the has_digest flag marking what
+    * COMPARE can diff. The script exercises all event kinds plus a
+    * denied statement under a switched role. */
+  def cql30_fql_dump(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.cql.CqlSession(s)
+    sess.execute("AUDIT ON")
+    sess.execute("CREATE TABLE d30 (k bigint PRIMARY KEY, v text)")
+    sess.execute("INSERT INTO d30 (k, v) VALUES (1, 'a')")
+    val p = sess.prepare("INSERT INTO d30 (k, v) VALUES (?, ?)")
+    p.execute(2L, "b")
+    sess.execute("AUDIT RESULTS ON")
+    sess.execute("SELECT k, v FROM d30")
+    sess.execute("CREATE ROLE r30 WITH LOGIN = true")
+    sess.login("r30")
+    try sess.execute("SELECT v FROM d30 WHERE k = 1") // no SELECT grant
+    catch { case _: graft.cql.CqlInvalidQueryException => () }
+    sess.login("cassandra", "cassandra")
+    sess.execute("DUMP AUDIT").orderBy("seq")
+  }
+
   /** CQL23 — `system.prepared_statements` in the gate (r10) [U db/
     * SystemKeyspace.java — upstream persists the prepared cache so a
     * restarted node can re-prepare its clients' statements]: two
@@ -770,6 +795,7 @@ object AdminQueries {
     "cql27_agg_arith" -> (cql27_agg_arith _),
     "cql28_masking" -> (cql28_masking _),
     "cql29_fql_compare" -> (cql29_fql_compare _),
+    "cql30_fql_dump" -> (cql30_fql_dump _),
     "cql13_roles" -> (cql13_roles _),
     "cql14_schema" -> (cql14_schema _),
     "cql15_settings" -> (cql15_settings _),
@@ -971,6 +997,27 @@ object AdminQueries {
         |  ('compare', 'digest_match', '6/6'),
         |  ('compare', 'first_divergence', 'none'))
         |AS t(kind, name, detail) ORDER BY kind, name, detail""".stripMargin,
+    // the literal dump: full statement text, prepared binds with the
+    // prepare-time keyspace, login events, the RESULTS ON digest flag
+    // flipping mid-log, and the denied SELECT under the switched role
+    "cql30_fql_dump" ->
+      """SELECT CAST(seq AS BIGINT) AS seq, kind, statement, success,
+        |  binds, has_digest FROM (VALUES
+        |  (1, 'statement', 'CREATE TABLE d30 (k bigint PRIMARY KEY, v text)',
+        |   true, NULL, false),
+        |  (2, 'statement', 'INSERT INTO d30 (k, v) VALUES (1, ''a'')',
+        |   true, NULL, false),
+        |  (3, 'prepared', 'INSERT INTO d30 (k, v) VALUES (?, ?)',
+        |   true, '[default] 2, b', false),
+        |  (4, 'statement', 'SELECT k, v FROM d30', true, NULL, true),
+        |  (5, 'statement', 'CREATE ROLE r30 WITH LOGIN = true',
+        |   true, NULL, true),
+        |  (6, 'login', 'r30', NULL, NULL, NULL),
+        |  (7, 'statement', 'SELECT v FROM d30 WHERE k = 1',
+        |   false, NULL, false),
+        |  (8, 'login', 'cassandra', NULL, NULL, NULL))
+        |AS t(seq, kind, statement, success, binds, has_digest)
+        |ORDER BY seq""".stripMargin,
     // the twin COMPUTES the prepared ids — the id convention is gated
     "cql23_prepared_registry" ->
       """SELECT md5(coalesce(ks, '') || q) AS prepared_id,

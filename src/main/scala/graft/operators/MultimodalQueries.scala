@@ -300,9 +300,12 @@ object MultimodalQueries {
     * DECODE through `AudioSystem.getAudioInputStream` and measure the
     * sample count and exact signed sum. PCM is lossless, so the twin is
     * the same arithmetic as a `generate_series` sum in pure SQL. */
-  def m7_audio_decode(s: SparkSession, d: String): DataFrame = {
+  /** The 200 deterministic WAV clips m7/m9 share: PCM16 sawtooth
+    * ((i·k) mod 65536 − 32768, k from doc_id) in a real WAV container
+    * via `AudioSystem.write`. */
+  private def wavClips(s: SparkSession, d: String): Dataset[WavRow] = {
     import s.implicits._
-    val clips: Dataset[WavRow] = Tables.documents(s, d)
+    Tables.documents(s, d)
       .filter(col("doc_id") < 200).select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
@@ -326,6 +329,28 @@ object MultimodalQueries {
           WavRow(id, bos.toByteArray)
         }
       }
+  }
+
+  /** Decode a WAV clip back to its PCM16 samples through the real codec. */
+  private def decodeSamples(wav: Array[Byte]): Array[Short] = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = in.getFormat
+    require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+      s"unexpected decoded format $fmt")
+    val bytes = in.readAllBytes()
+    val out = new Array[Short](bytes.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+      i += 1
+    }
+    out
+  }
+
+  def m7_audio_decode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val clips: Dataset[WavRow] = wavClips(s, d)
     clips.mapPartitions { rows =>
       rows.map { r =>
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -351,6 +376,51 @@ object MultimodalQueries {
     * ImageIO `ImageReader` and frame-SAMPLED at stride 2 — one row in,
     * one row out per kept frame, the generator shape a real video
     * sampler needs. Twin = the frame-color arithmetic in pure SQL. */
+  /** One (doc, band) row of the audio fingerprint: 4 quantized envelope
+    * values joined into the band key (m5's banded-LSH convention). */
+  case class AudioBand(doc_id: Long, band_idx: Int, key: String)
+
+  /** M9 (r11): audio fingerprint near-dup — m5's pHash banded-LSH story
+    * on the AUDIO side, over samples DECODED through the real JDK codec:
+    * each clip's fingerprint is its 8-window amplitude envelope (floored
+    * mean per equal-width window, quantized to 128 units), split into
+    * 2 bands of 4; clips sharing a band key are near-dup candidates
+    * (same waveform family at close lengths). The twin never decodes —
+    * PCM losslessness gives every window sum a closed form
+    * (k·(T(b−1)−T(a−1)) − 32768·(b−a), T(x)=x(x+1)/2), so the REAL
+    * decode path is hash-gated against pure integer SQL, the m6/m7/m8
+    * convention. All signed divisions TRUNCATE on both sides (Java `/` ↔ DuckDB `//`, which truncates toward zero on negatives).
+    * Scale: fingerprints are 2 tiny rows per clip; candidates come from
+    * a band-key equi-join — never all-pairs audio comparison. */
+  def m9_audio_fingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = wavClips(s, d).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val smp = decodeSamples(r.wav)
+        val n = smp.length
+        val q = Array.tabulate(8) { j =>
+          val a = (n.toLong * j / 8).toInt
+          val b = (n.toLong * (j + 1) / 8).toInt
+          var sum = 0L
+          var i = a
+          while (i < b) { sum += smp(i); i += 1 }
+          // TRUNCATING division on both sides: DuckDB `//` truncates
+          // toward zero on negatives (unlike floorDiv), as does Java `/`
+          (sum / (b - a)) / 128L
+        }
+        Seq(AudioBand(r.doc_id, 0, q.slice(0, 4).mkString(":")),
+          AudioBand(r.doc_id, 1, q.slice(4, 8).mkString(":")))
+      }
+    }.toDF()
+    val a = bands.select(col("doc_id").as("id_a"), col("band_idx"), col("key"))
+    val b = bands.select(col("doc_id").as("id_b"), col("band_idx"), col("key"))
+    a.join(b, Seq("band_idx", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("bands_shared"))
+      .orderBy("id_a", "id_b")
+  }
+
   def m8_gif_frames(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val gifs = Tables.documents(s, d)
@@ -419,6 +489,7 @@ object MultimodalQueries {
     "m6_image_decode" -> (m6_image_decode _),
     "m7_audio_decode" -> (m7_audio_decode _),
     "m8_gif_frames" -> (m8_gif_frames _),
+    "m9_audio_fingerprint" -> (m9_audio_fingerprint _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -434,6 +505,33 @@ object MultimodalQueries {
         |       - 32768 * (400 + doc_id % 100) AS BIGINT) AS sum_samples
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
     // GIF palette losslessness: sampled frames carry the generated gray
+    // PCM losslessness again: the decoded envelope has the closed form
+    // k*(T(b-1)-T(a-1)) - 32768*(b-a) per window [a,b) — the twin is
+    // pure integer arithmetic, all signed divisions truncating on both sides
+    "m9_audio_fingerprint" ->
+      """WITH c AS (
+        |  SELECT doc_id, 400 + doc_id % 100 AS n, doc_id % 31 + 1 AS k
+        |  FROM documents WHERE doc_id < 200),
+        |win AS (
+        |  SELECT doc_id, n, k, j,
+        |    CAST(n * j // 8 AS BIGINT) AS a,
+        |    CAST(n * (j + 1) // 8 AS BIGINT) AS b
+        |  FROM c CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS t(j)),
+        |q AS (
+        |  SELECT doc_id, j,
+        |    ((k * ((b-1)*b//2 - (a-1)*a//2) - 32768*(b-a)) // (b-a)) // 128
+        |      AS qv
+        |  FROM win),
+        |bands AS (
+        |  SELECT doc_id, CAST(j >= 4 AS INT) AS band_idx,
+        |    string_agg(CAST(qv AS VARCHAR), ':' ORDER BY j) AS key
+        |  FROM q GROUP BY doc_id, band_idx)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS bands_shared
+        |FROM bands a JOIN bands b
+        |  ON a.band_idx = b.band_idx AND a.key = b.key
+        |WHERE a.doc_id < b.doc_id
+        |GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin,
     "m8_gif_frames" ->
       """SELECT doc_id, CAST(f.frame_idx AS INT) AS frame_idx,
         |  CAST((doc_id * 5 + f.frame_idx * 40) % 256 AS INT) AS gray,

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * aggregation shuffle.
   */
 object TextQueries {
-  import Q.dec6
+  import Q.{dec6, dbl}
 
   /** Tiny per-language marker lists for the n-gram/stopword langid heuristic.
     * (The fixture corpus is synthetic; the heuristic is graded on determinism,
@@ -308,6 +308,88 @@ object TextQueries {
         sum(size(regexp_extract_all(col("aug"), lit(ip), lit(0))))
           .as("n_ip"),
         sum(length(col("aug")) - length(col("red"))).as("chars_redacted"))
+      .orderBy("source")
+  }
+
+  /** X26 (r11): corpus-frequency n-gram BOILERPLATE detection — the
+    * cross-document repetition filter pretraining pipelines run after
+    * within-doc repetition (x12) and exact/near dedup (d-family): a
+    * 5-gram appearing in ≥3 DISTINCT documents is corpus boilerplate
+    * (headers, navigation, license blurbs — here the synthetic corpus's
+    * recurring word runs) [P: C4/RefinedWeb describe the
+    * repeated-line/df-threshold family; the df-threshold-on-shingles
+    * form is the order-robust variant for unsegmented text]. Reports
+    * per-source doc counts, gram volumes, boilerplate coverage, and the
+    * dec6-exact sum of per-doc boilerplate fractions (the score a
+    * filtering threshold would cut on).
+    *
+    * Scale shape: grams travel as the shared 60-bit md5 hash (d3/d9's
+    * convention — never materialized strings in the shuffle); ONE
+    * gram-hash groupBy for document frequency, the boilerplate set
+    * broadcast back (df≥threshold survivors are a tiny fraction), one
+    * doc-keyed re-aggregate. At 100 TB: two shuffles, both on hashes,
+    * map-side combine on both; the df map prunes to the broadcast-able
+    * survivor set before the join. */
+  def x26_boilerplate(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(transform(
+          shingles(tokens(col("text")), 5), g => md5Hash60(g)))).as("gh"))
+    val boiler = grams.groupBy("gh")
+      .agg(count(lit(1)).as("df")) // per-doc distinct → count = doc freq
+      .filter(col("df") >= 3)
+      .select(col("gh"), lit(1L).as("is_b"))
+    grams
+      .join(broadcast(boiler), Seq("gh"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("is_b"), lit(0L))).as("n_boiler"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_grams")).as("grams"),
+        sum(col("n_boiler")).as("boiler_grams"),
+        dbl(dec6(sum(dec6(col("n_boiler").cast("double") / col("n_grams")))))
+          .as("sum_frac"))
+      .orderBy("source")
+  }
+
+  /** X27 (r11): n-gram-overlap DECONTAMINATION report — the eval-leak
+    * detector run before training [P: GPT-3 appendix C / PaLM describe
+    * the 8-to-13-gram overlap rule: a training doc sharing any long
+    * n-gram with an eval benchmark is contaminated]. x23's capstone
+    * decontaminates by EXACT content hash; this is the stronger partial-
+    * overlap form: eval set = the %97 ≡ 0 docs (x23's split convention),
+    * a training doc is flagged when it shares ≥1 distinct 8-gram with
+    * any eval doc. Reports per-source training-doc counts, flagged
+    * counts, and the total count of (train doc, shared gram) pairs —
+    * the audit trail an operator drills into.
+    *
+    * Scale shape: eval grams are a tiny fraction of the corpus →
+    * distinct-hash set broadcast to the training gram stream (semi-join,
+    * no shuffle of training grams); one doc-keyed re-aggregate. Grams
+    * travel as the shared 60-bit md5 hash, never strings. */
+  def x27_ngram_decontam(s: SparkSession, d: String): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(transform(
+          shingles(tokens(col("text")), 8), g => md5Hash60(g)))).as("gh"))
+    val docs = Tables.documents(s, d)
+    val evalGrams = grams(docs.filter(col("doc_id") % 97 === 0))
+      .select(col("gh")).distinct()
+    val flagged = grams(docs.filter(col("doc_id") % 97 =!= 0))
+      .join(broadcast(evalGrams), Seq("gh")) // leak pairs survive
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_shared"))
+    val trainDocs = docs.filter(col("doc_id") % 97 =!= 0)
+      .groupBy(col("source")).agg(count(lit(1)).as("train_docs"))
+    trainDocs
+      .join(flagged.groupBy(col("source"))
+        .agg(count(lit(1)).as("contaminated"),
+          sum(col("n_shared")).as("shared_grams")),
+        Seq("source"), "left")
+      .select(col("source"), col("train_docs"),
+        coalesce(col("contaminated"), lit(0L)).as("contaminated"),
+        coalesce(col("shared_grams"), lit(0L)).as("shared_grams"))
       .orderBy("source")
   }
 
@@ -794,6 +876,8 @@ object TextQueries {
     "x22_shard_shuffle" -> (x22_shard_shuffle _),
     "x24_weighted_sample" -> (x24_weighted_sample _),
     "x25_pii_redact" -> (x25_pii_redact _),
+    "x26_boilerplate" -> (x26_boilerplate _),
+    "x27_ngram_decontam" -> (x27_ngram_decontam _),
     "x23_curation_pipeline" -> (x23_curation_pipeline _),
     "x10_pack" -> (x10_pack _),
     "x1_langid" -> (x1_langid _),
@@ -1151,6 +1235,62 @@ object TextQueries {
         |  cast(sum(ni) AS bigint) AS n_ip,
         |  cast(sum(len(aug) - len(red)) AS bigint) AS chars_redacted
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    // same 5-gram shingling, same 60-bit md5 gram hash, same df≥3 rule
+    "x26_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(lower(text), ' ') AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      unnest(list_transform(range(1, len(tk) - 3),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+        |             tk[i+3] || ' ' || tk[i+4])) AS g
+        |    FROM toks)),
+        |boiler AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 3),
+        |perdoc AS (
+        |  SELECT g.doc_id, g.source, count(*) AS n_grams,
+        |    sum(CASE WHEN b.gh IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+        |  FROM grams g LEFT JOIN boiler b ON g.gh = b.gh
+        |  GROUP BY g.doc_id, g.source)
+        |SELECT source, count(*) AS docs,
+        |  CAST(sum(n_grams) AS BIGINT) AS grams,
+        |  CAST(sum(n_boiler) AS BIGINT) AS boiler_grams,
+        |  CAST(CAST(sum(CAST(CAST(n_boiler AS DOUBLE) / n_grams
+        |    AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_frac
+        |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
+    // same 8-gram shingles + hash; eval split = doc_id % 97 = 0
+    "x27_ngram_decontam" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(lower(text), ' ') AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      unnest(list_transform(range(1, len(tk) - 6),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+        |             tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' ||
+        |             tk[i+6] || ' ' || tk[i+7])) AS g
+        |    FROM toks)),
+        |ev AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 97 = 0),
+        |flagged AS (
+        |  SELECT g.doc_id, g.source, count(*) AS n_shared
+        |  FROM grams g JOIN ev ON g.gh = ev.gh
+        |  WHERE g.doc_id % 97 <> 0
+        |  GROUP BY g.doc_id, g.source),
+        |train AS (
+        |  SELECT source, count(*) AS train_docs FROM documents
+        |  WHERE doc_id % 97 <> 0 GROUP BY source)
+        |SELECT t.source, t.train_docs,
+        |  CAST(coalesce(count(f.doc_id), 0) AS BIGINT) AS contaminated,
+        |  CAST(coalesce(sum(f.n_shared), 0) AS BIGINT) AS shared_grams
+        |FROM train t LEFT JOIN flagged f ON t.source = f.source
+        |GROUP BY t.source, t.train_docs
+        |ORDER BY t.source""".stripMargin,
     // exact-integer ES keys: the sampled SET is engine-independent by
     // construction (// = DuckDB integer division, operands positive)
     "x24_weighted_sample" ->

@@ -3,7 +3,7 @@ package graft.spark
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, GenericInternalRow, Literal, NamedExpression, UnsafeProjection}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Partial, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Partial, Sum}
 import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, MicrosToTimestamp, TruncTimestamp}
 import org.apache.spark.sql.execution.{FileSourceScanExec, LeafExecNode, ProjectExec, SparkPlan}
 import org.apache.spark.sql.execution.aggregate.HashAggregateExec
@@ -218,6 +218,69 @@ object ColumnarPartialAgg {
       off + 1
     }
   }
+  /** Average over a double input: buffer is Spark Average's
+    * (sum: double, count: long) — the final agg computes the division. */
+  private final class DoubleAvgAcc(e: DoubleCol) extends Acc {
+    private var sum = 0.0
+    private var n = 0L
+    def update(b: ColumnarBatch, i: Int): Unit =
+      if (!e.isNull(b, i)) { sum += e.get(b, i); n += 1 }
+    def emit(row: GenericInternalRow, off: Int): Int = {
+      row.update(off, sum) // Average's buffer sum initializes to 0.0
+      row.update(off + 1, n)
+      off + 2
+    }
+  }
+  private final class LongMinMaxAcc(e: LongCol, isMin: Boolean,
+      emitInt: Boolean) extends Acc {
+    private var cur = 0L
+    private var seen = false
+    def update(b: ColumnarBatch, i: Int): Unit =
+      if (!e.isNull(b, i)) {
+        val v = e.get(b, i)
+        if (!seen || (if (isMin) v < cur else v > cur)) cur = v
+        seen = true
+      }
+    def emit(row: GenericInternalRow, off: Int): Int = {
+      if (!seen) row.update(off, null)
+      else if (emitInt) row.update(off, cur.toInt)
+      else row.update(off, cur)
+      off + 1
+    }
+  }
+  private final class DoubleMinMaxAcc(e: DoubleCol, isMin: Boolean)
+      extends Acc {
+    private var cur = 0.0
+    private var seen = false
+    def update(b: ColumnarBatch, i: Int): Unit =
+      if (!e.isNull(b, i)) {
+        val v = e.get(b, i)
+        // Spark's Min/Max use total order via LessThan on doubles; plain
+        // comparison matches for non-NaN, NaN compares greatest
+        if (!seen) { cur = v; seen = true }
+        else if (isMin) { if (java.lang.Double.compare(v, cur) < 0) cur = v }
+        else if (java.lang.Double.compare(v, cur) > 0) cur = v
+      }
+    def emit(row: GenericInternalRow, off: Int): Int = {
+      row.update(off, if (seen) java.lang.Double.valueOf(cur) else null)
+      off + 1
+    }
+  }
+  private final class StringMinMaxAcc(e: StringCol, isMin: Boolean)
+      extends Acc {
+    private var cur: UTF8String = null
+    def update(b: ColumnarBatch, i: Int): Unit =
+      if (!e.isNull(b, i)) {
+        val v = e.get(b, i)
+        if (cur == null || (if (isMin) v.compareTo(cur) < 0
+          else v.compareTo(cur) > 0)) cur = v.clone()
+      }
+    def emit(row: GenericInternalRow, off: Int): Int = {
+      row.update(off, cur)
+      off + 1
+    }
+  }
+
   /** Sum over Cast(double → decimal(p,s)): each input quantized with
     * SPARK'S cast semantics — HALF_UP rounding of the double's SHORTEST
     * DECIMAL REPRESENTATION (`BigDecimal.decimal(v)` goes through
@@ -343,6 +406,31 @@ object ColumnarPartialAgg {
             }
             case _ => None
           }
+          case av: Average if av.child.dataType == DoubleType &&
+              av.aggBufferAttributes.map(_.dataType) ==
+                Seq(DoubleType, LongType) =>
+            compile(subst(av.child), scanOut).collect {
+              case dc: DoubleCol => () => new DoubleAvgAcc(dc)
+            }
+          case mm @ (_: Min | _: Max) =>
+            val isMin = mm.isInstanceOf[Min]
+            val child = mm.children.head
+            val bufOk = mm.aggBufferAttributes.map(_.dataType) ==
+              Seq(child.dataType)
+            if (!bufOk) None
+            else compile(subst(child), scanOut).flatMap {
+              case lc: LongCol => child.dataType match {
+                case LongType | TimestampType | TimestampNTZType =>
+                  Some(() => new LongMinMaxAcc(lc, isMin, emitInt = false))
+                case IntegerType | DateType =>
+                  Some(() => new LongMinMaxAcc(lc, isMin, emitInt = true))
+                case _ => None
+              }
+              case dc: DoubleCol if child.dataType == DoubleType =>
+                Some(() => new DoubleMinMaxAcc(dc, isMin))
+              case sc: StringCol => Some(() => new StringMinMaxAcc(sc, isMin))
+              case _ => None
+            }
           case _ => None
         }
       }

@@ -91,6 +91,21 @@ class ColumnarAggSpec extends SparkSpec {
     assert(agg(t) === agg(t.repartition(3)))
   }
 
+  test("avg compiles to the (sum, count) partial buffer and equals stock " +
+    "at identical partitioning (a1's shape)") {
+    def agg() = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(avg(col("l_quantity")).as("aq"), count(lit(1)).as("n"),
+        min(col("l_orderkey")).as("mn"), max(col("l_returnflag")).as("mx"))
+      .orderBy("l_returnflag", "l_linestatus")
+      .collect().map(_.toString).toSeq
+    val swapped = agg()
+    spark.conf.set("spark.graft.columnarAgg.enabled", "false")
+    val stock = try agg()
+      finally spark.conf.set("spark.graft.columnarAgg.enabled", "true")
+    assert(swapped === stock)
+  }
+
   test("memory bound: a tiny maxGroups forces flush-and-reset mid-scan " +
     "and the final aggregate still merges the duplicate partial keys") {
     def agg() = events()
@@ -103,6 +118,56 @@ class ColumnarAggSpec extends SparkSpec {
     val flushed = try agg()
       finally spark.conf.unset("spark.graft.columnarAgg.maxGroups")
     assert(flushed === unbounded)
+  }
+
+  test("randomized shape fuzz: 25 seeded (schema, keys, aggs) draws — " +
+    "swapped equals stock at identical partitioning on every draw") {
+    val rnd = new scala.util.Random(20260815L)
+    val dir = Tables.tempRoot("graft-colagg-fuzz")
+    // one fixture with every supported column kind + nulls
+    spark.range(2000).selectExpr(
+      "CASE WHEN id % 11 = 0 THEN NULL ELSE CAST(id % 7 AS STRING) END AS s1",
+      "CASE WHEN id % 13 = 0 THEN NULL ELSE concat('g', id % 3) END AS s2",
+      "CASE WHEN id % 17 = 0 THEN NULL ELSE id % 5 END AS l1",
+      "CAST(id % 9 AS INT) AS i1",
+      "timestamp_micros(1700000000000000 + id * 1800000000) AS t1",
+      "CASE WHEN id % 19 = 0 THEN NULL ELSE CAST(id AS DOUBLE) / 7.0 END AS d1",
+      "CAST(id % 23 AS DOUBLE) * 1.0000005 AS d2",
+      "id AS j1")
+      .write.mode("overwrite").parquet(dir)
+    val t = () => spark.read.parquet(dir)
+    // only order-proof aggregates (dec6 / integral): raw double sums are
+    // last-ulp order-dependent across the two paths' partial-row orders
+    import org.apache.spark.sql.Column
+    val keyCands: Seq[() => Column] = Seq(
+      () => col("s1"), () => col("s2"), () => col("l1"), () => col("i1"),
+      () => date_trunc("hour", col("t1")), () => date_trunc("day", col("t1")))
+    val aggCands: Seq[() => Column] = Seq(
+      () => count(lit(1)).as("c"),
+      () => count(col("d1")).as("cd"),
+      () => dbl(dec6(sum(dec6(col("d1"))))).as("sd"),
+      () => dbl(dec6(sum(dec6(col("d2"))))).as("sd2"),
+      () => sum(col("j1")).as("sj"),
+      () => sum(col("l1")).as("sl"),
+      () => min(col("j1")).as("mnj"),
+      () => max(col("l1")).as("mxl"),
+      () => min(col("d1")).as("mnd"),
+      () => max(col("s2")).as("mxs"),
+      () => min(col("i1")).as("mni"),
+      () => max(col("t1")).as("mxt"))
+    for (draw <- 1 to 25) {
+      val nK = 1 + rnd.nextInt(3)
+      val keys = rnd.shuffle(keyCands).take(nK).map(_())
+      val aggs = rnd.shuffle(aggCands).take(1 + rnd.nextInt(3)).map(_())
+      def run() = t().groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+        .collect().map(_.toString).sorted.toSeq
+      val swapped = run()
+      spark.conf.set("spark.graft.columnarAgg.enabled", "false")
+      val stock = try run()
+        finally spark.conf.set("spark.graft.columnarAgg.enabled", "true")
+      assert(swapped === stock,
+        s"draw $draw diverged: keys=$keys aggs=$aggs")
+    }
   }
 
   test("global aggregate (no grouping) swaps and equals stock, including " +
