@@ -393,6 +393,33 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** X28 (r11): vocabulary coverage / OOV-rate analysis — the tokenizer
+    * health check run before committing a vocab to a training run [P:
+    * BPE/WordPiece papers and every tokenizer release report coverage;
+    * the operational form is "top-K corpus vocab, per-slice OOV share"].
+    * Vocab = top-100 tokens by (corpus frequency desc, token asc) — a
+    * TOTAL order, so the vocab set is deterministic under ties; each
+    * source then reports its token volume, OOV count, and OOV rate (one
+    * exact IEEE division per source, no double summation).
+    *
+    * Scale shape: one token groupBy (map-side combined) + top-K
+    * (TakeOrderedAndProject — never a global sort), vocab broadcast back
+    * to the token stream, one source re-aggregate. At 100 TB the vocab
+    * stays K rows regardless of corpus size. */
+  def x28_vocab_oov(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(100)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+      .orderBy("source")
+  }
+
   /** X23 (r10 capstone): the COMPOSED curation pipeline as ONE query —
     * the end-to-end path a pretraining corpus takes, each stage the
     * library's own operator:
@@ -878,6 +905,7 @@ object TextQueries {
     "x25_pii_redact" -> (x25_pii_redact _),
     "x26_boilerplate" -> (x26_boilerplate _),
     "x27_ngram_decontam" -> (x27_ngram_decontam _),
+    "x28_vocab_oov" -> (x28_vocab_oov _),
     "x23_curation_pipeline" -> (x23_curation_pipeline _),
     "x10_pack" -> (x10_pack _),
     "x1_langid" -> (x1_langid _),
@@ -1291,6 +1319,24 @@ object TextQueries {
         |FROM train t LEFT JOIN flagged f ON t.source = f.source
         |GROUP BY t.source, t.train_docs
         |ORDER BY t.source""".stripMargin,
+    // same top-100 (count DESC, token ASC) vocab, same OOV rule
+    "x28_vocab_oov" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+        |  ORDER BY cnt DESC, tok ASC LIMIT 100),
+        |agg AS (
+        |  SELECT source, count(*) AS n_tokens,
+        |    sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+        |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        |  GROUP BY source)
+        |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_oov AS BIGINT) AS n_oov,
+        |  CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
+        |FROM agg ORDER BY source""".stripMargin,
     // exact-integer ES keys: the sampled SET is engine-independent by
     // construction (// = DuckDB integer division, operands positive)
     "x24_weighted_sample" ->

@@ -2,10 +2,10 @@ package graft.spark
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, GenericInternalRow, Literal, NamedExpression, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute, AttributeReference, BinaryComparison, Cast, EqualTo, Expression, GenericInternalRow, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Multiply, NamedExpression, Not, Or, Subtract, UnsafeProjection}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Partial, Sum}
 import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, MicrosToTimestamp, TruncTimestamp}
-import org.apache.spark.sql.execution.{FileSourceScanExec, LeafExecNode, ProjectExec, SparkPlan}
+import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, LeafExecNode, ProjectExec, SparkPlan}
 import org.apache.spark.sql.execution.aggregate.HashAggregateExec
 import org.apache.spark.sql.execution.ColumnarRule
 import org.apache.spark.sql.types._
@@ -159,6 +159,117 @@ object ColumnarPartialAgg {
         compile(c.child, scanOut)
       case _ => None
     }
+    // double binary arithmetic (a1's sum inputs: price * (1 - discount)):
+    // IEEE double ops are bit-exact in any engine, null propagates
+    case m: Multiply if m.dataType == DoubleType =>
+      (compile(m.left, scanOut), compile(m.right, scanOut)) match {
+        case (Some(l: DoubleCol), Some(r: DoubleCol)) => Some(new DoubleCol {
+          def isNull(b: ColumnarBatch, i: Int) = l.isNull(b, i) || r.isNull(b, i)
+          def get(b: ColumnarBatch, i: Int) = l.get(b, i) * r.get(b, i)
+        })
+        case _ => None
+      }
+    case a: Add if a.dataType == DoubleType =>
+      (compile(a.left, scanOut), compile(a.right, scanOut)) match {
+        case (Some(l: DoubleCol), Some(r: DoubleCol)) => Some(new DoubleCol {
+          def isNull(b: ColumnarBatch, i: Int) = l.isNull(b, i) || r.isNull(b, i)
+          def get(b: ColumnarBatch, i: Int) = l.get(b, i) + r.get(b, i)
+        })
+        case _ => None
+      }
+    case sub: Subtract if sub.dataType == DoubleType =>
+      (compile(sub.left, scanOut), compile(sub.right, scanOut)) match {
+        case (Some(l: DoubleCol), Some(r: DoubleCol)) => Some(new DoubleCol {
+          def isNull(b: ColumnarBatch, i: Int) = l.isNull(b, i) || r.isNull(b, i)
+          def get(b: ColumnarBatch, i: Int) = l.get(b, i) - r.get(b, i)
+        })
+        case _ => None
+      }
+    case Literal(v: Long, TimestampType | TimestampNTZType) =>
+      Some(new LongCol {
+        def isNull(b: ColumnarBatch, i: Int) = false
+        def get(b: ColumnarBatch, i: Int) = v
+      })
+    case Literal(v: Int, DateType) => Some(new LongCol {
+      def isNull(b: ColumnarBatch, i: Int) = false
+      def get(b: ColumnarBatch, i: Int) = v.toLong
+    })
+    case Literal(v: UTF8String, StringType) => Some(new StringCol {
+      def isNull(b: ColumnarBatch, i: Int) = false
+      def get(b: ColumnarBatch, i: Int) = v
+    })
+    case _ => None
+  }
+
+  /** Compile a residual filter predicate to a 3-valued evaluator
+    * (1 = TRUE, 0 = FALSE, -1 = NULL): the swapped exec keeps a row only
+    * on TRUE — exactly FilterExec's semantics over the same residual
+    * (parquet pushdown is best-effort; the residual re-check is the
+    * correctness boundary in the stock plan too). */
+  private def compilePred(e: Expression, scanOut: Seq[Attribute])
+      : Option[(ColumnarBatch, Int) => Byte] = e match {
+    case Literal(v, BooleanType) =>
+      val r: Byte = if (v == null) -1 else if (v.asInstanceOf[Boolean]) 1 else 0
+      Some((_, _) => r)
+    case IsNotNull(child) => compile(child, scanOut).map { c => (b, i) =>
+      if (c.isNull(b, i)) 0.toByte else 1.toByte
+    }
+    case IsNull(child) => compile(child, scanOut).map { c => (b, i) =>
+      if (c.isNull(b, i)) 1.toByte else 0.toByte
+    }
+    case Not(child) => compilePred(child, scanOut).map { p => (b, i) =>
+      p(b, i) match { case 1 => 0.toByte; case 0 => 1.toByte; case _ => (-1).toByte }
+    }
+    case And(l, r) =>
+      (compilePred(l, scanOut), compilePred(r, scanOut)) match {
+        case (Some(lp), Some(rp)) => Some { (b, i) =>
+          val a = lp(b, i)
+          if (a == 0) 0.toByte
+          else { val c = rp(b, i)
+            if (c == 0) 0.toByte else if (a == 1 && c == 1) 1.toByte
+            else (-1).toByte }
+        }
+        case _ => None
+      }
+    case Or(l, r) =>
+      (compilePred(l, scanOut), compilePred(r, scanOut)) match {
+        case (Some(lp), Some(rp)) => Some { (b, i) =>
+          val a = lp(b, i)
+          if (a == 1) 1.toByte
+          else { val c = rp(b, i)
+            if (c == 1) 1.toByte else if (a == 0 && c == 0) 0.toByte
+            else (-1).toByte }
+        }
+        case _ => None
+      }
+    case cmp: BinaryComparison =>
+      val sign: Int => Boolean = cmp match {
+        case _: EqualTo => _ == 0
+        case _: LessThan => _ < 0
+        case _: LessThanOrEqual => _ <= 0
+        case _: GreaterThan => _ > 0
+        case _: GreaterThanOrEqual => _ >= 0
+        case _ => return None
+      }
+      (compile(cmp.left, scanOut), compile(cmp.right, scanOut)) match {
+        case (Some(l: LongCol), Some(r: LongCol)) => Some { (b, i) =>
+          if (l.isNull(b, i) || r.isNull(b, i)) (-1).toByte
+          else if (sign(java.lang.Long.compare(l.get(b, i), r.get(b, i))))
+            1.toByte else 0.toByte
+        }
+        case (Some(l: DoubleCol), Some(r: DoubleCol)) => Some { (b, i) =>
+          if (l.isNull(b, i) || r.isNull(b, i)) (-1).toByte
+          // Double.compare: NaN greatest and self-equal — Spark's ordering
+          else if (sign(java.lang.Double.compare(l.get(b, i), r.get(b, i))))
+            1.toByte else 0.toByte
+        }
+        case (Some(l: StringCol), Some(r: StringCol)) => Some { (b, i) =>
+          if (l.isNull(b, i) || r.isNull(b, i)) (-1).toByte
+          else if (sign(l.get(b, i).compareTo(r.get(b, i))))
+            1.toByte else 0.toByte
+        }
+        case _ => None
+      }
     case _ => None
   }
 
@@ -342,12 +453,18 @@ object ColumnarPartialAgg {
   }
 
   private[spark] final case class Kernel(keys: Array[KeySpec],
-    accFactory: () => Array[Acc]) extends Serializable
+    accFactory: () => Array[Acc],
+    pred: Option[(ColumnarBatch, Int) => Byte]) extends Serializable
 
   /** Plan-time compilation of the whole match, or None to leave the plan
     * untouched. */
   def compileAgg(agg: HashAggregateExec, scan: FileSourceScanExec,
-      project: Option[Seq[NamedExpression]]): Option[Kernel] = {
+      project: Option[Seq[NamedExpression]],
+      filter: Option[Expression] = None): Option[Kernel] = {
+    // the residual filter sits BELOW the project, so its attributes are
+    // scan attributes directly — no alias substitution needed
+    val predEval = filter.map(f => compilePred(f, scan.output))
+    if (predEval.exists(_.isEmpty)) return None
     val scanOut = scan.output
     // fold the fused Project into the aggregate's expressions
     val aliasMap: Map[Long, Expression] = project match {
@@ -441,7 +558,8 @@ object ColumnarPartialAgg {
     if (agg.output.length != agg.groupingExpressions.length + bufWidth)
       return None
     val factories = accFactories.map(_.get).toArray
-    Some(Kernel(keySpecs.map(_.get).toArray, () => factories.map(_())))
+    Some(Kernel(keySpecs.map(_.get).toArray, () => factories.map(_()),
+      predEval.map(_.get)))
   }
 }
 
@@ -454,7 +572,8 @@ case class ColumnarPartialAggExec(
     scan: FileSourceScanExec,
     groupingExprs: Seq[NamedExpression],
     aggExprs: Seq[AggregateExpression],
-    projectList: Option[Seq[NamedExpression]])
+    projectList: Option[Seq[NamedExpression]],
+    filterCond: Option[Expression])
     extends LeafExecNode {
   import ColumnarPartialAgg._
 
@@ -467,7 +586,7 @@ case class ColumnarPartialAggExec(
     val kernel = compileAgg(
       HashAggregateExec(None, isStreaming = false, None, groupingExprs,
         aggExprs, aggExprs.map(_.resultAttribute), 0, output, scan),
-      scan, projectList)
+      scan, projectList, filterCond)
       .getOrElse(throw new IllegalStateException(
         "ColumnarPartialAggExec planned over an uncompilable shape"))
     val outTypes = output.map(_.dataType)
@@ -518,10 +637,13 @@ case class ColumnarPartialAggExec(
           proj(row).copy(): InternalRow
         }
       }
+      val pred = kernel.pred.orNull
       def consume(batch: ColumnarBatch): Unit = {
         val n = batch.numRows()
         var i = 0
         while (i < n) {
+          if (pred != null && pred(batch, i) != 1) { i += 1 }
+          else {
           var bits = 0L
           var k = 0
           while (k < nKeys) {
@@ -554,6 +676,7 @@ case class ColumnarPartialAggExec(
           var a = 0
           while (a < accs.length) { accs(a).update(batch, i); a += 1 }
           i += 1
+          }
         }
       }
       new Iterator[InternalRow] {
@@ -600,30 +723,46 @@ case class GraftColumnarRule() extends ColumnarRule {
       else plan.transformUp {
         case agg: HashAggregateExec if isPartial(agg) => agg.child match {
           case scan: FileSourceScanExec if columnarParquet(scan) =>
-            swap(agg, scan, None)
+            swap(agg, scan, None, None)
           case ProjectExec(pl, scan: FileSourceScanExec)
               if columnarParquet(scan) && pl.forall(_.deterministic) =>
-            swap(agg, scan, Some(pl))
+            swap(agg, scan, Some(pl), None)
+          case FilterExec(cond, scan: FileSourceScanExec)
+              if columnarParquet(scan) && cond.deterministic =>
+            swap(agg, scan, None, Some(cond))
+          case ProjectExec(pl, FilterExec(cond, scan: FileSourceScanExec))
+              if columnarParquet(scan) && cond.deterministic &&
+                pl.forall(_.deterministic) =>
+            swap(agg, scan, Some(pl), Some(cond))
           case _ => agg
         }
       }
     }
 
   private def isPartial(agg: HashAggregateExec): Boolean =
-    agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall(_.mode == Partial) &&
+    agg.aggregateExpressions.forall(_.mode == Partial) &&
       agg.requiredChildDistributionExpressions.isEmpty &&
-      agg.groupingExpressions.length <= 60 // null bitmask is one long
+      agg.groupingExpressions.length <= 60 && // null bitmask is one long
+      // WIDTH GATE (measured, sf10 fixture): the kernel wins when stock's
+      // ColumnarToRow + row hashing dominates — narrow aggregates (t1's
+      // count+sum: 4x on the isolated stage). On WIDE aggregates the
+      // kernel's per-row virtual dispatch loses to whole-stage codegen
+      // (a1's 4 decimal sums + filter: swapped 0.60 vs stock 0.47), so
+      // wide shapes keep the stock plan. Tunable for tests/tuning.
+      agg.aggregateExpressions.length <=
+        org.apache.spark.sql.internal.SQLConf.get
+          .getConfString("spark.graft.columnarAgg.maxAggs", "2").toInt
 
   private def columnarParquet(scan: FileSourceScanExec): Boolean =
     scan.supportsColumnar &&
       scan.relation.fileFormat.toString.toLowerCase.contains("parquet")
 
   private def swap(agg: HashAggregateExec, scan: FileSourceScanExec,
-      project: Option[Seq[NamedExpression]]): SparkPlan =
-    ColumnarPartialAgg.compileAgg(agg, scan, project) match {
+      project: Option[Seq[NamedExpression]],
+      filter: Option[Expression]): SparkPlan =
+    ColumnarPartialAgg.compileAgg(agg, scan, project, filter) match {
       case Some(_) => ColumnarPartialAggExec(agg.output, scan,
-        agg.groupingExpressions, agg.aggregateExpressions, project)
+        agg.groupingExpressions, agg.aggregateExpressions, project, filter)
       case None => agg
     }
 }

@@ -92,7 +92,8 @@ class ColumnarAggSpec extends SparkSpec {
   }
 
   test("avg compiles to the (sum, count) partial buffer and equals stock " +
-    "at identical partitioning (a1's shape)") {
+    "at identical partitioning (a1's shape, width gate lifted)") {
+    spark.conf.set("spark.graft.columnarAgg.maxAggs", "10")
     def agg() = Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(avg(col("l_quantity")).as("aq"), count(lit(1)).as("n"),
@@ -102,8 +103,30 @@ class ColumnarAggSpec extends SparkSpec {
     val swapped = agg()
     spark.conf.set("spark.graft.columnarAgg.enabled", "false")
     val stock = try agg()
-      finally spark.conf.set("spark.graft.columnarAgg.enabled", "true")
+      finally {
+        spark.conf.set("spark.graft.columnarAgg.enabled", "true")
+        spark.conf.unset("spark.graft.columnarAgg.maxAggs")
+      }
     assert(swapped === stock)
+  }
+
+  test("the width gate keeps WIDE aggregates on the stock plan (measured: " +
+    "codegen wins there) while narrow shapes swap") {
+    val before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val wide = Tables.lineitem(spark, sf)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("a"), sum(col("l_discount")).as("b"),
+          sum(col("l_tax")).as("c"), count(lit(1)).as("n"))
+        .queryExecution.executedPlan.toString
+      assert(!wide.contains("GraftColumnarPartialAgg"), wide)
+      val narrow = Tables.lineitem(spark, sf)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("s"))
+        .queryExecution.executedPlan.toString
+      assert(narrow.contains("GraftColumnarPartialAgg"), narrow)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", before)
   }
 
   test("memory bound: a tiny maxGroups forces flush-and-reset mid-scan " +
@@ -155,7 +178,8 @@ class ColumnarAggSpec extends SparkSpec {
       () => max(col("s2")).as("mxs"),
       () => min(col("i1")).as("mni"),
       () => max(col("t1")).as("mxt"))
-    for (draw <- 1 to 25) {
+    spark.conf.set("spark.graft.columnarAgg.maxAggs", "10")
+    try for (draw <- 1 to 25) {
       val nK = 1 + rnd.nextInt(3)
       val keys = rnd.shuffle(keyCands).take(nK).map(_())
       val aggs = rnd.shuffle(aggCands).take(1 + rnd.nextInt(3)).map(_())
@@ -167,7 +191,7 @@ class ColumnarAggSpec extends SparkSpec {
         finally spark.conf.set("spark.graft.columnarAgg.enabled", "true")
       assert(swapped === stock,
         s"draw $draw diverged: keys=$keys aggs=$aggs")
-    }
+    } finally spark.conf.unset("spark.graft.columnarAgg.maxAggs")
   }
 
   test("global aggregate (no grouping) swaps and equals stock, including " +
