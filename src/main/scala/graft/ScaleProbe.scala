@@ -114,7 +114,14 @@ object ScaleProbe {
         // top-k, no corpus shuffle), PII redaction (map-only regex kernel +
         // one agg — the embarrassingly-parallel shape; its slope IS the
         // kernel rate)
-        "t13_stream_dedup", "x24_weighted_sample", "x25_pii_redact")
+        "t13_stream_dedup", "x24_weighted_sample", "x25_pii_redact",
+        // r11: scale-safe shard ranking (range sort + zipWithIndex — the
+        // fixed-16-task window is gone), gram-hash boilerplate df (one
+        // gram shuffle + broadcast survivors), eval-gram decontamination
+        // (broadcast semi-join, no corpus shuffle), vocab coverage
+        // (top-K + broadcast), audio fingerprint banding (band equi-join)
+        "x22_shard_shuffle", "x26_boilerplate", "x27_ngram_decontam",
+        "x28_vocab_oov", "m9_audio_fingerprint")
         .filter(n => args.lift(1).forall(_.split(',').contains(n)))
         .map(n => n -> SparkEntry.queries(n))
     factors.foreach { f =>
