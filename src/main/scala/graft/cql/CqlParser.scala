@@ -814,6 +814,7 @@ object CqlParser {
         // knobs) is parsed and discarded — single-engine semantics
         var ckDesc = Seq.empty[(String, Boolean)]
         var defaultTtl: Option[Long] = None
+        var cdc = false
         if (c.accept("with")) {
           var more = true
           while (more && !c.done) {
@@ -837,6 +838,11 @@ object CqlParser {
               val toks = consumeOptionValue(c)
               if (key.equalsIgnoreCase("default_time_to_live"))
                 defaultTtl = Some(ttlOptionValue(toks))
+              // `WITH cdc = true` (4.0 change-data-capture [U
+              // TableParams.cdc]): mutations also land in the table's
+              // cdc_raw analogue for a streaming consumer
+              else if (key.equalsIgnoreCase("cdc"))
+                cdc = boolOptionValue("cdc", toks)
             }
             more = c.accept("and")
           }
@@ -845,7 +851,8 @@ object CqlParser {
         }
         if (pk.isEmpty) throw new CqlInvalidQueryException(
           s"CREATE TABLE $table: no PRIMARY KEY")
-        CqlCreateTable(table, cols, pk, ck, ifNotExists, ckDesc, defaultTtl)
+        CqlCreateTable(table, cols, pk, ck, ifNotExists, ckDesc, defaultTtl,
+          cdc)
       case "drop" =>
         if (c.accept("index")) {
           val ifExists = if (c.accept("if")) { c.expect("exists"); true } else false
@@ -949,6 +956,7 @@ object CqlParser {
           // table-options form: same lenient consumption as CREATE TABLE —
           // only default_time_to_live carries single-engine semantics
           var dttl: Option[Option[Long]] = None
+          var cdc: Option[Boolean] = None
           var more = true
           while (more && !c.done) {
             val key = c.next()
@@ -959,10 +967,11 @@ object CqlParser {
             if (key.equalsIgnoreCase("default_time_to_live")) {
               val v = ttlOptionValue(toks)
               dttl = Some(if (v > 0) Some(v) else None)
-            }
+            } else if (key.equalsIgnoreCase("cdc"))
+              cdc = Some(boolOptionValue("cdc", toks))
             more = c.accept("and")
           }
-          CqlAlterOptions(table, dttl)
+          CqlAlterOptions(table, dttl, cdc)
         } else throw new CqlInvalidQueryException(
           s"ALTER TABLE supports ADD, DROP, RENAME and WITH, got ${c.peek}")
       case "truncate" =>
@@ -1415,6 +1424,15 @@ object CqlParser {
     case _ => throw new CqlInvalidQueryException(
       s"invalid default_time_to_live: ${toks.mkString(" ")}")
   }
+
+  /** Boolean table option (`cdc = true|false`). */
+  private def boolOptionValue(name: String, toks: Seq[String]): Boolean =
+    toks match {
+      case Seq("=", v) if v.equalsIgnoreCase("true") => true
+      case Seq("=", v) if v.equalsIgnoreCase("false") => false
+      case _ => throw new CqlInvalidQueryException(
+        s"invalid $name: ${toks.mkString(" ")} (expected true or false)")
+    }
 
   private def parseSelectors(c: Cursor): Seq[CqlSelector] = {
     var out = Seq(parseSelector(c))

@@ -215,7 +215,9 @@ case class CqlCreateTable(table: String, columns: Seq[CqlColumnDef],
   /** `WITH CLUSTERING ORDER BY (c ASC|DESC, …)` as declared */
   clusteringDesc: Seq[(String, Boolean)] = Nil,
   /** `WITH default_time_to_live = n` (seconds, 0 = none) */
-  defaultTtl: Option[Long] = None) extends CqlDdl
+  defaultTtl: Option[Long] = None,
+  /** `WITH cdc = true` (4.0 change-data-capture [U TableParams.cdc]) */
+  cdc: Boolean = false) extends CqlDdl
 case class CqlDropTable(table: String, ifExists: Boolean) extends CqlDdl
 /** `CREATE/DROP KEYSPACE` — the catalog is FLAT (table names drop their
   * keyspace qualifier, CqlParser.tableName), so a keyspace is a registry
@@ -245,7 +247,9 @@ case class CqlAlterMask(table: String, column: String,
   * `default_time_to_live = 0` (cancel); Some(Some(n)) = set. All other
   * options parse and discard, matching CREATE TABLE's policy. */
 case class CqlAlterOptions(table: String,
-  defaultTtl: Option[Option[Long]]) extends CqlDdl
+  defaultTtl: Option[Option[Long]],
+  /** `WITH cdc = true|false` toggles change-data-capture */
+  cdc: Option[Boolean] = None) extends CqlDdl
 case class CqlAlterRename(table: String, pairs: Seq[(String, String)])
   extends CqlDdl
 /** `CREATE [CUSTOM] INDEX [IF NOT EXISTS] [name] ON t([kind(]col[)])
@@ -1453,7 +1457,9 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
               else "ASC"}"
         }.mkString(", ") + ")")
       else Nil) ++
-        t.defaultTtl.map(n => s"default_time_to_live = $n")
+        t.defaultTtl.map(n => s"default_time_to_live = $n") ++
+        (if (cdcEnabled.contains(name.toLowerCase)) Seq("cdc = true")
+         else Nil)
     val withClause =
       if (withParts.isEmpty) "" else withParts.mkString(" WITH ", " AND ", "")
     s"CREATE TABLE $name (\n${(colDefs :+ pkClause).mkString(",\n")}\n)" +
@@ -2132,6 +2138,11 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     state(table.toLowerCase) =
       t1.copy(base = log(t1).unionByName(shaped), pending = Vector.empty,
         localOnly = false)
+    // CDC: a bulk load of a cdc table lands as ONE segment (upstream
+    // sstableloader-style loads still surface to CDC consumers)
+    if (cdcEnabled.contains(table.toLowerCase))
+      shaped.coalesce(1).write.mode("append")
+        .parquet(cdcDirOf(table.toLowerCase))
   }
 
   private lazy val bulkLoadRoot =
@@ -2796,12 +2807,67 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * augments the COMPLETE mutation set before applying any of it. */
   private def withPendingRollback[A](f: => A): A = {
     val snap = state.toSeq.map { case (n, st) => (n, st.pending) }
-    try f
-    catch {
+    try {
+      val out = f
+      // CDC hook (4.0 `cdc = true` [U db/commitlog/CommitLogSegment-
+      // ManagerCDC]): the statement COMMITTED — its newly appended
+      // mutation rows are exactly the pending-vector delta vs the
+      // snapshot, so a rolled-back statement (the catch below) can never
+      // leak a phantom segment, trigger-augmented writes ride along, and
+      // a BATCH lands as one segment per touched table (upstream: one
+      // mutation per table per batch).
+      if (cdcEnabled.nonEmpty) emitCdcDeltas(snap)
+      out
+    } catch {
       case e: Throwable =>
         snap.foreach { case (n, p) => state.get(n).foreach(_.pending = p) }
         throw e
     }
+  }
+
+  // ——— change-data-capture (4.0 `cdc` table option [U TableParams.cdc,
+  // db/commitlog/CommitLogSegmentManagerCDC]): committed mutations of a
+  // cdc-enabled table also land, in commit order, as parquet segments in
+  // the table's cdc_raw-analogue directory — which a Spark streaming
+  // consumer tails via [[cdcStream]] (file source; at real scale the dir
+  // is an object-store prefix and maxFilesPerTrigger bounds each batch).
+  // Segments carry the RAW mutation rows (the upsert-log schema: data
+  // cells + _marker/_writetime/_ttl/_deleted/_op_*/_del_*) — the same
+  // granularity upstream CDC consumers read from commitlog segments. ———
+  private val cdcEnabled = scala.collection.mutable.Set.empty[String]
+  private lazy val cdcRoot = CqlSession.tempRoot("graft-cdc")
+  private def cdcDirOf(table: String): String =
+    s"$cdcRoot/${table.toLowerCase.replace('.', '_')}"
+
+  private def emitCdcDeltas(snap: Seq[(String, Vector[Row])]): Unit = {
+    val before = snap.toMap
+    cdcEnabled.foreach { tbl =>
+      state.get(tbl).foreach { st =>
+        val fresh = st.pending.drop(before.get(tbl).map(_.length).getOrElse(0))
+        if (fresh.nonEmpty) {
+          import scala.jdk.CollectionConverters._
+          spark.createDataFrame(fresh.asJava, st.logSchema)
+            .coalesce(1).write.mode("append").parquet(cdcDirOf(tbl))
+        }
+      }
+    }
+  }
+
+  /** TRUE streaming view of a cdc-enabled table's mutation log: a file-
+    * source stream over the table's cdc_raw-analogue segments. Schema is
+    * the table's mutation-log schema; rows arrive in commit order within
+    * a segment and `_writetime` (the session's logical clock) totally
+    * orders them across segments. */
+  def cdcStream(table: String): DataFrame = {
+    val key = canonical(table).toLowerCase
+    if (!cdcEnabled.contains(key))
+      throw new CqlInvalidQueryException(
+        s"cdc is not enabled on $table (CREATE/ALTER ... WITH cdc = true)")
+    val st = tableState(key)
+    // the dir exists once the first segment lands; stage it so stream
+    // construction over a brand-new cdc table does not throw
+    new java.io.File(cdcDirOf(key)).mkdirs()
+    spark.readStream.schema(st.logSchema).parquet(cdcDirOf(key))
   }
 
   private[cql] def runDml(dml: CqlDml): DataFrame = withPendingRollback {
@@ -3749,7 +3815,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       val (curRepl, curDur) = ksMeta.getOrElse(ks, (simpleRf1, true))
       ksMeta(ks) = (repl.map(validateReplication(ks, _)).getOrElse(curRepl),
         durable.getOrElse(curDur))
-    case CqlCreateTable(table, cols, pk, ck, ifNotExists, ckDesc, dTtl) =>
+    case CqlCreateTable(table, cols, pk, ck, ifNotExists, ckDesc, dTtl,
+        cdc) =>
       if (SystemKeyspaces.exists(ks =>
           table.toLowerCase.startsWith(s"$ks.")))
         throw new CqlInvalidQueryException(
@@ -3818,6 +3885,17 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           validateMask(table, cd, m)
           maskReg((table.toLowerCase, cd.name.toLowerCase)) = m
         })
+        if (cdc) {
+          cdcEnabled += table.toLowerCase
+          // a FRESH cdc table must not inherit a dropped predecessor's
+          // segments (ALTER re-enable, by contrast, keeps them — upstream
+          // cdc_raw files survive a toggle)
+          try {
+            import scala.reflect.io.Directory
+            new Directory(new java.io.File(cdcDirOf(table.toLowerCase)))
+              .deleteRecursively()
+          } catch { case _: Exception => () }
+        }
       }
     case CqlDropTable(table, ifExists) =>
       // upstream refuses while views depend on the table [U CreateViewStatement]
@@ -3837,6 +3915,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       udtCols.filterInPlace { case ((tbl, _), _) => tbl != table.toLowerCase }
       triggerReg.filterInPlace { case ((tbl, _), _) => tbl != table.toLowerCase }
       maskReg.filterInPlace { case ((tbl, _), _) => tbl != table.toLowerCase }
+      cdcEnabled -= table.toLowerCase // segments stay on disk, like cdc_raw
     case CqlCreateMv(name, sel, pk, ck, ifNotExists) =>
       if (state.contains(name.toLowerCase) || mvReg.contains(name.toLowerCase)) {
         if (!ifNotExists)
@@ -4304,9 +4383,13 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       maskReg.filterInPlace { case ((tbl, c0), _) =>
         tbl != table.toLowerCase || !cols.exists(_.equalsIgnoreCase(c0))
       }
-    case CqlAlterOptions(table, dttl) =>
+    case CqlAlterOptions(table, dttl, cdc) =>
       val t = tableState(table) // validates existence even for no-op options
       dttl.foreach(v => state(table.toLowerCase) = t.copy(defaultTtl = v))
+      cdc.foreach { on =>
+        if (on) cdcEnabled += table.toLowerCase
+        else cdcEnabled -= table.toLowerCase
+      }
     case CqlAlterRename(table, pairs) =>
       // upstream renames exist for PRIMARY KEY columns only (regular cells
       // are addressed by name in sstables; key components are positional),

@@ -542,6 +542,37 @@ object DedupQueries {
     * hash-verified. Scale: each micro-batch costs one banding pass over
     * ITS OWN rows (never the corpus), and serve cost is d14's — flat in
     * segment count until d16's merge dial fires. */
+  /** D18 (r11): LSH candidate RECALL against exact-Jaccard ground truth
+    * — the sketch-quality eval an operator runs before trusting MinHash
+    * dedup at corpus scale (v14_recall_eval's dedup-side counterpart;
+    * the banding theory's (1-(1-s^r)^b) curve, measured on this corpus).
+    * Ground truth: ALL pairs among doc_id < 150 with true 3-gram-shingle
+    * Jaccard ≥ 0.1, bucketed by floor(j·10); candidates: d3's banded
+    * pairs restricted to the same scope. Reports per-bucket truth and
+    * hit counts — recall must rise with similarity, which the gate pins
+    * numerically. Scale: ground truth is an EVAL over a bounded sample
+    * (all-pairs on 150 docs); the candidates come from the production
+    * single-shuffle banding — never all-pairs on the corpus. */
+  def d18_lsh_recall(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 150)
+      .select(col("doc_id"),
+        array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+    val truth = docs.as("a").join(docs.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh")))).as("j"))
+      .filter(col("j") >= 0.1)
+    val cand = d3Pairs(s, d)
+      .filter(col("id_a") < 150 && col("id_b") < 150)
+      .withColumn("hit", lit(1L))
+    truth.join(cand, Seq("id_a", "id_b"), "left")
+      .groupBy(floor(col("j") * 10).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .orderBy("bucket")
+  }
+
   def d17_stream_index(s: SparkSession, d: String): DataFrame = {
     import java.nio.file.{Files, StandardCopyOption}
     val (inDir, segRoot) = d17Staged.computeIfAbsent(
@@ -805,6 +836,7 @@ object DedupQueries {
     "d15_band_delete" -> (d15_band_delete _),
     "d16_band_merge" -> (d16_band_merge _),
     "d17_stream_index" -> (d17_stream_index _),
+    "d18_lsh_recall" -> (d18_lsh_recall _),
   )
 
   private val corpusCteBody =
@@ -829,6 +861,32 @@ object DedupQueries {
        |  JOIN ok ON ok.band = a.band AND ok.key = a.key
        |  JOIN banded c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id)""".stripMargin
   }
+
+  // the recall eval's twin: exact-Jaccard truth over the same <150 scope,
+  // the SAME banded candidate CTEs, per-bucket LEFT-join counts
+  private val d18Oracle: String =
+    s"""WITH $d3CandCtes,
+       |docs AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(tk) - 1),
+       |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
+       |        FROM documents WHERE doc_id < 150)),
+       |truth AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+       |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id),
+       |scoped AS (
+       |  SELECT id_a, id_b FROM cand WHERE id_a < 150 AND id_b < 150)
+       |SELECT CAST(floor(j * 10) AS INT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_truth,
+       |  CAST(sum(CASE WHEN s.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hit
+       |FROM truth t LEFT JOIN scoped s
+       |  ON t.id_a = s.id_a AND t.id_b = s.id_b
+       |WHERE j >= 0.1
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
   private val d3Oracle: String =
     s"""WITH $d3CandCtes
@@ -1034,6 +1092,7 @@ object DedupQueries {
 
   val oracle: Map[String, String] = Map(
     "d3_minhash_lsh" -> d3Oracle,
+    "d18_lsh_recall" -> d18Oracle,
     "d4_simhash" -> d4Oracle,
     "d11_chunk_dedup" -> d11Oracle,
     "d12_incremental" -> d12Oracle,

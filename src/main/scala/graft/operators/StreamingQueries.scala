@@ -229,6 +229,42 @@ object StreamingQueries {
     ss.table(name).orderBy("event_id")
   }
 
+  /** T14 (r11) — TRUE streaming CDC consumption in the gate [U 4.0
+    * `cdc = true` table option, db/commitlog/CommitLogSegmentManagerCDC:
+    * committed mutations of a cdc table also land in cdc_raw for a
+    * tailing consumer]: a cdc-enabled table takes inserts, an update, a
+    * BATCH (insert + delete sharing ONE coordinator timestamp — the
+    * upstream batch rule, visible in the log), and a FAILED LWT that
+    * must leak nothing; a Spark streaming consumer then tails the
+    * cdc_raw analogue (file source over commit-ordered segments,
+    * Trigger.AvailableNow, append sink). The projection derives each
+    * row's op from the mutation markers and orders by the session's
+    * LOGICAL writetime clock — fully deterministic, so the twin is the
+    * literal mutation log. */
+  def t14_cdc_stream(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.cql.CqlSession(s)
+    sess.execute(
+      "CREATE TABLE cdc14 (k bigint PRIMARY KEY, v text) WITH cdc = true")
+    sess.execute("INSERT INTO cdc14 (k, v) VALUES (1, 'a')")
+    sess.execute("INSERT INTO cdc14 (k, v) VALUES (2, 'b')")
+    sess.execute("UPDATE cdc14 SET v = 'a2' WHERE k = 1")
+    sess.execute("BEGIN BATCH " +
+      "INSERT INTO cdc14 (k, v) VALUES (3, 'c'); " +
+      "DELETE FROM cdc14 WHERE k = 2; APPLY BATCH")
+    // a failed conditional write commits nothing → no CDC segment
+    sess.execute("UPDATE cdc14 SET v = 'x' WHERE k = 9 IF v = 'nope'")
+    val name = s"t14_sink_${System.nanoTime()}"
+    graft.streaming.StreamingPipelines.runToMemory(
+      sess.cdcStream("cdc14").select(
+        col("_writetime").as("wt"),
+        when(col("_deleted"), lit("delete"))
+          .when(col("_marker"), lit("insert"))
+          .otherwise(lit("update")).as("op"),
+        col("k"), col("v")),
+      name, "append")
+    s.table(name).orderBy("wt", "k")
+  }
+
   /** T10 — the TRUE stream-stream join executor inside the hash gate
     * (T8+ was spec-only): clicks joined to the same user's purchases
     * within 30 minutes after, run as a watermarked streaming interval
@@ -303,6 +339,7 @@ object StreamingQueries {
     "t11_stream_totals" -> (t11_stream_totals _),
     "t12_stream_session" -> (t12_stream_session _),
     "t13_stream_dedup" -> (t13_stream_dedup _),
+    "t14_cdc_stream" -> (t14_cdc_stream _),
     "t8_stream_tumbling" -> (t8_stream_tumbling _),
     "t9_gapfill" -> (t9_gapfill _),
     "t1_tumbling" -> (t1_tumbling _),
@@ -312,6 +349,17 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the literal mutation log: the batch pair shares writetime 4, the
+    // failed LWT leaks nothing
+    "t14_cdc_stream" ->
+      """SELECT CAST(wt AS BIGINT) AS wt, op, CAST(k AS BIGINT) AS k, v
+        |FROM (VALUES
+        |  (1, 'insert', 1, 'a'),
+        |  (2, 'insert', 2, 'b'),
+        |  (3, 'update', 1, 'a2'),
+        |  (4, 'insert', 3, 'c'),
+        |  (4, 'delete', 2, NULL))
+        |AS t(wt, op, k, v) ORDER BY wt, k""".stripMargin,
     // same per-user hourly grid (generate_series is end-inclusive, as is
     // Spark's sequence on even steps), same left join + carry-forward
     "t9_gapfill" ->

@@ -1,0 +1,75 @@
+package graft
+
+import graft.cql.{CqlInvalidQueryException, CqlSession}
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture (4.0 `cdc = true` [U TableParams.cdc,
+  * db/commitlog/CommitLogSegmentManagerCDC]): committed mutations of a
+  * cdc-enabled table land as commit-ordered segments a Spark streaming
+  * consumer tails via `cdcStream`. The emission hook is the statement
+  * commit point (withPendingRollback), so rolled-back statements can
+  * never leak a phantom segment. */
+class CqlCdcSpec extends SparkSpec {
+
+  private def drain(s: CqlSession, table: String) = {
+    val name = s"cdc_drain_${System.nanoTime()}"
+    graft.streaming.StreamingPipelines.runToMemory(
+      s.cdcStream(table), name, "append")
+    spark.table(name)
+  }
+
+  test("mutations land in commit order; a failed statement mid-BATCH " +
+    "leaks nothing (atomicity carries to CDC)") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE cdca (k bigint PRIMARY KEY, v text) WITH cdc = true")
+    s.execute("INSERT INTO cdca (k, v) VALUES (1, 'x')")
+    // a batch whose second statement fails must emit NO segment at all
+    intercept[CqlInvalidQueryException] {
+      s.execute("BEGIN BATCH " +
+        "INSERT INTO cdca (k, v) VALUES (2, 'y'); " +
+        "INSERT INTO nope (k) VALUES (3); APPLY BATCH")
+    }
+    s.execute("DELETE FROM cdca WHERE k = 1")
+    val rows = drain(s, "cdca")
+      .select(col("_writetime"), col("k"), col("_deleted"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(rows.toSeq === Seq((1L, 1L, false), (3L, 1L, true)), // failed BATCH consumed ts 2
+      s"got ${rows.toSeq}")
+  }
+
+  test("cdc is off by default, toggles via ALTER, renders in DESCRIBE, " +
+    "and cdcStream refuses a non-cdc table") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE cdcb (k bigint PRIMARY KEY, v text)")
+    s.execute("INSERT INTO cdcb (k, v) VALUES (1, 'x')")
+    intercept[CqlInvalidQueryException] { s.cdcStream("cdcb") }
+    s.execute("ALTER TABLE cdcb WITH cdc = true")
+    val ddl = s.execute("DESCRIBE TABLE cdcb").collect()
+      .map(_.getAs[String]("create_statement")).mkString("\n")
+    assert(ddl.contains("cdc = true"), ddl)
+    // only mutations AFTER enablement are captured (upstream: cdc starts
+    // logging at the toggle, no retroactive backfill)
+    s.execute("INSERT INTO cdcb (k, v) VALUES (2, 'y')")
+    val ks = drain(s, "cdcb").select("k").collect().map(_.getLong(0)).toSeq
+    assert(ks === Seq(2L))
+    s.execute("ALTER TABLE cdcb WITH cdc = false")
+    s.execute("INSERT INTO cdcb (k, v) VALUES (3, 'z')")
+    intercept[CqlInvalidQueryException] { s.cdcStream("cdcb") }
+  }
+
+  test("bulk COPY FROM lands as one segment; a re-created cdc table does " +
+    "not inherit its dropped predecessor's segments") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE cdcc (k bigint PRIMARY KEY, v text) WITH cdc = true")
+    val f = java.nio.file.Files.createTempFile("graft-cdc-copy", ".csv")
+    java.nio.file.Files.write(f, "10,a\n11,b\n12,c\n".getBytes("UTF-8"))
+    s.execute(s"COPY cdcc (k, v) FROM '${f.toString}' WITH HEADER = FALSE")
+    assert(drain(s, "cdcc").count() === 3L)
+    s.execute("DROP TABLE cdcc")
+    s.execute("CREATE TABLE cdcc (k bigint PRIMARY KEY, v text) WITH cdc = true")
+    s.execute("INSERT INTO cdcc (k, v) VALUES (99, 'fresh')")
+    val ks = drain(s, "cdcc").select("k").collect().map(_.getLong(0)).toSeq
+    assert(ks === Seq(99L), s"predecessor segments leaked: $ks")
+  }
+}
