@@ -2863,6 +2863,17 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     if (!cdcEnabled.contains(key))
       throw new CqlInvalidQueryException(
         s"cdc is not enabled on $table (CREATE/ALTER ... WITH cdc = true)")
+    // CDC segments carry CLEAR mutation bytes (upstream cdc_raw is raw
+    // commitlog data guarded at the filesystem level; here the session IS
+    // the access boundary): require SELECT, and on a masked table require
+    // UNMASK — otherwise the stream would be a side door around the
+    // masks a plain SELECT under this role would render
+    checkPerm("select", authRes(key))
+    if (masksFor(key).nonEmpty && !hasPermBool("unmask", authRes(key)))
+      throw new CqlInvalidQueryException(
+        s"User $currentRole has no UNMASK permission on " +
+          s"${authRes(key).display}: cdc segments carry clear values of " +
+          "masked columns")
     val st = tableState(key)
     // the dir exists once the first segment lands; stage it so stream
     // construction over a brand-new cdc table does not throw

@@ -340,7 +340,11 @@ object TextQueries {
       .filter(col("df") >= 3)
       .select(col("gh"), lit(1L).as("is_b"))
     grams
-      .join(broadcast(boiler), Seq("gh"), "left")
+      // no broadcast HINT: the df>=threshold survivor set is data-
+      // dependent (usually tiny -> AQE broadcasts it; pathological
+      // corpora with huge boilerplate sets degrade to a shuffle join
+      // instead of an executor OOM)
+      .join(boiler, Seq("gh"), "left")
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("is_b"), lit(0L))).as("n_boiler"))

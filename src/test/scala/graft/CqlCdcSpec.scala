@@ -58,6 +58,28 @@ class CqlCdcSpec extends SparkSpec {
     intercept[CqlInvalidQueryException] { s.cdcStream("cdcb") }
   }
 
+  test("cdcStream is not a permission side door: SELECT required, and a " +
+    "masked table requires UNMASK (segments carry clear bytes)") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE cdcp (k bigint PRIMARY KEY, " +
+      "ssn text MASKED WITH mask_replace('X')) WITH cdc = true")
+    s.execute("INSERT INTO cdcp (k, ssn) VALUES (1, '111-22-3333')")
+    s.execute("CREATE ROLE cdcclerk WITH LOGIN = true")
+    s.login("cdcclerk")
+    val noSelect = intercept[CqlInvalidQueryException] { s.cdcStream("cdcp") }
+    assert(noSelect.getMessage.contains("SELECT") ||
+      noSelect.getMessage.toLowerCase.contains("permission"))
+    s.login("cassandra", "cassandra")
+    s.execute("GRANT SELECT ON cdcp TO cdcclerk")
+    s.login("cdcclerk")
+    val noUnmask = intercept[CqlInvalidQueryException] { s.cdcStream("cdcp") }
+    assert(noUnmask.getMessage.contains("UNMASK"))
+    s.login("cassandra", "cassandra")
+    s.execute("GRANT UNMASK ON cdcp TO cdcclerk")
+    s.login("cdcclerk")
+    assert(drain(s, "cdcp").count() === 1L) // clear stream, now authorized
+  }
+
   test("bulk COPY FROM lands as one segment; a re-created cdc table does " +
     "not inherit its dropped predecessor's segments") {
     val s = CqlSession(spark)
