@@ -2858,7 +2858,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * the table's mutation-log schema; rows arrive in commit order within
     * a segment and `_writetime` (the session's logical clock) totally
     * orders them across segments. */
-  def cdcStream(table: String): DataFrame = {
+  def cdcStream(table: String, maxFilesPerTrigger: Int = 0): DataFrame = {
     val key = canonical(table).toLowerCase
     if (!cdcEnabled.contains(key))
       throw new CqlInvalidQueryException(
@@ -2878,7 +2878,10 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     // the dir exists once the first segment lands; stage it so stream
     // construction over a brand-new cdc table does not throw
     new java.io.File(cdcDirOf(key)).mkdirs()
-    spark.readStream.schema(st.logSchema).parquet(cdcDirOf(key))
+    val reader = spark.readStream.schema(st.logSchema)
+    (if (maxFilesPerTrigger > 0)
+       reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+     else reader).parquet(cdcDirOf(key))
   }
 
   private[cql] def runDml(dml: CqlDml): DataFrame = withPendingRollback {
@@ -3264,6 +3267,44 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       StructField("success", BooleanType, nullable = true),
       StructField("binds", StringType, nullable = true),
       StructField("has_digest", BooleanType, nullable = true))))
+  }
+
+  /** Apply a batch of RAW mutation-log rows (a CDC consumer's payload —
+    * [[cdcStream]]'s schema) into this session's table, PRESERVING the
+    * source's cell timestamps/TTLs/tombstones: the receiving side of
+    * CDC-based replication. Because reconcile is latest-wins on the
+    * carried `_writetime`, replaying a source's log — in any batch
+    * split, even with out-of-order writes inside it — converges the
+    * replica to the source's exact state (the commutativity upstream's
+    * mutation model guarantees; repair/gossip move the same payloads).
+    * The replica's OWN coordinator clock advances past the highest
+    * applied timestamp so local writes after a catch-up never lose to
+    * already-replicated ones. */
+  def applyCdcBatch(table: String, batch: DataFrame): Unit = {
+    checkPerm("modify", authRes(table))
+    val t = tableState(table)
+    val expect = t.logSchema.fields.map(f => f.name -> f.dataType).toSeq
+    val got = batch.schema.fields.map(f => f.name -> f.dataType).toSeq
+    if (got != expect)
+      throw new CqlInvalidQueryException(
+        s"applyCdcBatch($table): batch schema does not match the " +
+          s"table's mutation log (got ${got.map(_._1).mkString(",")})")
+    val rows = batch.collect().toVector // a micro-batch: bounded by design
+    if (rows.nonEmpty) {
+      mutationEpoch += 1
+      val wtIdx = t.logSchema.fieldIndex("_writetime")
+      val maxTs = rows.iterator.map(_.getLong(wtIdx)).max
+      if (maxTs >= clock) clock = maxTs + 1
+      val key = table.toLowerCase
+      state(key) = t.copy(pending = t.pending ++ rows)
+      // chain replication: if THIS table is cdc-enabled too, the applied
+      // batch surfaces to downstream consumers as one segment
+      if (cdcEnabled.contains(key)) {
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(rows.asJava, t.logSchema)
+          .coalesce(1).write.mode("append").parquet(cdcDirOf(key))
+      }
+    }
   }
 
   /** `COMPARE AUDIT` [U tools/fqltool compare, 4.0]: replay this

@@ -491,6 +491,27 @@ object RelationalQueries {
         col("n"), col("sum_bal"))
       .orderBy("mktsegment", "nationkey")
 
+  /** A14 (r11): explicit GROUPING SETS — the third grouping-analytics
+    * form (a9 covers ROLLUP/CUBE): (segment, nation), segment-only, and
+    * the grand total as a hand-picked set list, each output row tagged
+    * with per-column grouping() markers (the unambiguous form — a single
+    * grouping_id bitmask depends on engine bit order). */
+  def a14_grouping_sets(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupingSets(
+        Seq(Seq(col("c_mktsegment"), col("c_nationkey")),
+          Seq(col("c_mktsegment")), Seq()),
+        col("c_mktsegment"), col("c_nationkey"))
+      .agg(grouping(col("c_mktsegment")).cast("int").as("g_seg"),
+        grouping(col("c_nationkey")).cast("int").as("g_nat"),
+        count(lit(1)).as("n"),
+        dbl(dec6(sum(dec6(col("c_acctbal"))))).as("sum_bal"))
+      .select(
+        coalesce(col("c_mktsegment"), lit("ALL")).as("mktsegment"),
+        coalesce(col("c_nationkey").cast("string"), lit("ALL")).as("nationkey"),
+        col("g_seg"), col("g_nat"), col("n"), col("sum_bal"))
+      .orderBy("g_seg", "g_nat", "mktsegment", "nationkey")
+
   /** A9b: CUBE — all grouping-set combinations. */
   def a9_cube(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
@@ -751,6 +772,7 @@ object RelationalQueries {
     "a8_distinct" -> (a8_distinct _),
     "a10_percentiles" -> (a10_percentiles _),
     "a9_rollup" -> (a9_rollup _),
+    "a14_grouping_sets" -> (a14_grouping_sets _),
     "w1_topk_per_user" -> (w1_topk_per_user _),
     "w2_rank" -> (w2_rank _),
     "w3_lag_gap" -> (w3_lag_gap _),
@@ -991,6 +1013,17 @@ object RelationalQueries {
     "a8_distinct" ->
       """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
         |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+    "a14_grouping_sets" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
+        |  coalesce(cast(c_nationkey AS varchar), 'ALL') AS nationkey,
+        |  CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+        |  CAST(GROUPING(c_nationkey) AS INT) AS g_nat,
+        |  count(*) AS n,
+        |  cast(cast(sum(cast(c_acctbal AS decimal(38,6))) AS decimal(38,6)) AS double) AS sum_bal
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey),
+        |  (c_mktsegment), ())
+        |ORDER BY g_seg, g_nat, mktsegment, nationkey""".stripMargin,
     "a9_rollup" ->
       """SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
         |  coalesce(cast(c_nationkey AS varchar), 'ALL') AS nationkey,

@@ -265,6 +265,42 @@ object StreamingQueries {
     s.table(name).orderBy("wt", "k")
   }
 
+  /** T15 (r11 capstone) — CDC-based REPLICATION end-to-end: a source
+    * session's mutations flow through its cdc stream into a SECOND
+    * session via `foreachBatch` → `applyCdcBatch`, which applies the RAW
+    * log rows with their source timestamps — so the replica reconciles
+    * to the source's exact state, including the out-of-order
+    * USING TIMESTAMP write that must LOSE on both sides (latest-wins
+    * commutativity is what makes log shipping a correct replication
+    * protocol; upstream's repair/streaming move the same mutation
+    * payloads [U db/streaming/, excluded as cluster infra — this is the
+    * engine's replication-shaped analogue on the CDC surface]). The
+    * gate projects the REPLICA's reconciled rows. */
+  def t15_cdc_replicate(s: SparkSession, d: String): DataFrame = {
+    val src = graft.cql.CqlSession(s)
+    src.execute("CREATE TABLE rep15 (k bigint PRIMARY KEY, v text, " +
+      "n bigint) WITH cdc = true")
+    src.execute("INSERT INTO rep15 (k, v, n) VALUES (1, 'a', 10)")
+    src.execute("INSERT INTO rep15 (k, v, n) VALUES (2, 'b', 20)")
+    src.execute("UPDATE rep15 SET v = 'a2' WHERE k = 1")
+    src.execute("UPDATE rep15 SET n = 21 WHERE k = 2")
+    src.execute("DELETE FROM rep15 WHERE k = 1")
+    src.execute("INSERT INTO rep15 (k, v) VALUES (3, 'x') " +
+      "USING TIMESTAMP 100")
+    src.execute("UPDATE rep15 USING TIMESTAMP 90 SET v = 'y' WHERE k = 3")
+    val replica = graft.cql.CqlSession(s)
+    replica.execute("CREATE TABLE rep15 (k bigint PRIMARY KEY, v text, " +
+      "n bigint)")
+    val q = src.cdcStream("rep15").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        replica.applyCdcBatch("rep15", batch)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    replica.execute("SELECT k, v, n FROM rep15").orderBy("k")
+  }
+
   /** T10 — the TRUE stream-stream join executor inside the hash gate
     * (T8+ was spec-only): clicks joined to the same user's purchases
     * within 30 minutes after, run as a watermarked streaming interval
@@ -340,6 +376,7 @@ object StreamingQueries {
     "t12_stream_session" -> (t12_stream_session _),
     "t13_stream_dedup" -> (t13_stream_dedup _),
     "t14_cdc_stream" -> (t14_cdc_stream _),
+    "t15_cdc_replicate" -> (t15_cdc_replicate _),
     "t8_stream_tumbling" -> (t8_stream_tumbling _),
     "t9_gapfill" -> (t9_gapfill _),
     "t1_tumbling" -> (t1_tumbling _),
@@ -349,6 +386,13 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the replica's reconciled state: k=1 tombstoned, k=2 merged from
+    // two writes, k=3 keeps the ts-100 value (the ts-90 update lost on
+    // the SOURCE and must lose identically on the replica)
+    "t15_cdc_replicate" ->
+      """SELECT CAST(k AS BIGINT) AS k, v, CAST(n AS BIGINT) AS n
+        |FROM (VALUES (2, 'b', 21), (3, 'x', NULL))
+        |AS t(k, v, n) ORDER BY k""".stripMargin,
     // the literal mutation log: the batch pair shares writetime 4, the
     // failed LWT leaks nothing
     "t14_cdc_stream" ->

@@ -80,6 +80,35 @@ class CqlCdcSpec extends SparkSpec {
     assert(drain(s, "cdcp").count() === 1L) // clear stream, now authorized
   }
 
+  test("CDC replication converges across MULTIPLE micro-batches (one " +
+    "segment per trigger), timestamps preserved") {
+    val src = CqlSession(spark)
+    src.execute("CREATE TABLE repm15 (k bigint PRIMARY KEY, v text) " +
+      "WITH cdc = true")
+    src.execute("INSERT INTO repm15 (k, v) VALUES (1, 'a')")
+    src.execute("INSERT INTO repm15 (k, v) VALUES (2, 'b')")
+    src.execute("UPDATE repm15 SET v = 'a2' WHERE k = 1")
+    src.execute("DELETE FROM repm15 WHERE k = 2")
+    src.execute("INSERT INTO repm15 (k, v) VALUES (3, 'c') " +
+      "USING TIMESTAMP 100")
+    src.execute("UPDATE repm15 USING TIMESTAMP 90 SET v = 'z' WHERE k = 3")
+    val replica = CqlSession(spark)
+    replica.execute("CREATE TABLE repm15 (k bigint PRIMARY KEY, v text)")
+    val q = src.cdcStream("repm15", maxFilesPerTrigger = 1).writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        replica.applyCdcBatch("repm15", b)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val a = src.execute("SELECT k, v FROM repm15").collect()
+      .map(_.toString).sorted.toSeq
+    val b = replica.execute("SELECT k, v FROM repm15").collect()
+      .map(_.toString).sorted.toSeq
+    assert(a === b)
+    assert(a === Seq("[1,a2]", "[3,c]"))
+  }
+
   test("bulk COPY FROM lands as one segment; a re-created cdc table does " +
     "not inherit its dropped predecessor's segments") {
     val s = CqlSession(spark)
