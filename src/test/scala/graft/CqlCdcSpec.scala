@@ -109,6 +109,50 @@ class CqlCdcSpec extends SparkSpec {
     assert(a === Seq("[1,a2]", "[3,c]"))
   }
 
+  test("Harry-style replication fuzz: random colliding-timestamp scripts " +
+    "replicate to an identical state (CqlHarrySpec's script shape over " +
+    "the CDC transport)") {
+    val rnd = new scala.util.Random(20260815L)
+    for (round <- 1 to 2) {
+      val src = CqlSession(spark)
+      src.execute(s"CREATE TABLE hf$round (pk bigint PRIMARY KEY, " +
+        "a bigint, b text) WITH cdc = true")
+      for (_ <- 1 to 18) {
+        val pk = rnd.nextInt(3)
+        val ts = 1 + rnd.nextInt(8) // collisions exercise reconcile
+        rnd.nextInt(6) match {
+          case 0 => src.execute(s"INSERT INTO hf$round (pk, a, b) VALUES " +
+            s"($pk, ${rnd.nextInt(5)}, 'v${rnd.nextInt(5)}') USING TIMESTAMP $ts")
+          case 1 => src.execute(s"UPDATE hf$round USING TIMESTAMP $ts " +
+            s"SET a = ${rnd.nextInt(5)} WHERE pk = $pk")
+          case 2 => src.execute(s"UPDATE hf$round USING TIMESTAMP $ts " +
+            s"SET b = 'v${rnd.nextInt(5)}' WHERE pk = $pk")
+          case 3 => src.execute(
+            s"DELETE FROM hf$round USING TIMESTAMP $ts WHERE pk = $pk")
+          case 4 => src.execute(
+            s"DELETE a FROM hf$round USING TIMESTAMP $ts WHERE pk = $pk")
+          case 5 => src.execute(
+            s"DELETE b FROM hf$round USING TIMESTAMP $ts WHERE pk = $pk")
+        }
+      }
+      val replica = CqlSession(spark)
+      replica.execute(s"CREATE TABLE hf$round (pk bigint PRIMARY KEY, " +
+        "a bigint, b text)")
+      val q = src.cdcStream(s"hf$round", maxFilesPerTrigger = 4).writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          replica.applyCdcBatch(s"hf$round", b)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val a = src.execute(s"SELECT pk, a, b FROM hf$round").collect()
+        .map(_.toString).sorted.toSeq
+      val b = replica.execute(s"SELECT pk, a, b FROM hf$round").collect()
+        .map(_.toString).sorted.toSeq
+      assert(a === b, s"replica diverged from source in round $round")
+    }
+  }
+
   test("bulk COPY FROM lands as one segment; a re-created cdc table does " +
     "not inherit its dropped predecessor's segments") {
     val s = CqlSession(spark)
