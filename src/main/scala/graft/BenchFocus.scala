@@ -41,6 +41,11 @@ object BenchFocus {
         s.conf.set("spark.graft.columnarAgg.enabled", "false")
         operators.RelationalQueries.a1_pricing_summary(s, d)
       },
+      "a1_wide_swapped" -> { (s, d) =>
+        s.conf.set("spark.graft.columnarAgg.enabled", "true")
+        s.conf.set("spark.graft.columnarAgg.maxAggs", "10")
+        operators.RelationalQueries.a1_pricing_summary(s, d)
+      },
       "j1_fused" -> { (s, d) =>
         // ONE broadcast: supplier enriched with region name dim-side
         val dims = Tables.supplier(s, d)

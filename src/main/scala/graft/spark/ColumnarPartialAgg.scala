@@ -292,104 +292,200 @@ object ColumnarPartialAgg {
     def frozen: LKey = new LKey(java.util.Arrays.copyOf(vals, vals.length))
   }
 
-  // ——— aggregate accumulators ———
+  // ——— aggregate accumulators: SLOT-INDEXED, BATCH-AT-A-TIME ———
+  // The first (per-row `accs(a).update(b, i)`) layout measured slower
+  // than whole-stage codegen on wide aggregates: every row paid one
+  // megamorphic virtual call per accumulator. This layout makes ONE
+  // virtual call per accumulator per BATCH; each implementation then
+  // runs a tight monomorphic loop over (row, slot) with its state in
+  // slot-indexed parallel arrays — the Gluten/RAPIDS accumulator shape.
   private[spark] sealed trait Acc extends Serializable {
-    def update(b: ColumnarBatch, i: Int): Unit
-    /** Write this accumulator's buffer column(s) into `row` starting at
-      * `off`; returns the next offset. */
-    def emit(row: GenericInternalRow, off: Int): Int
+    /** Ensure state for group slots [0, n). New slots get INITIAL buffer
+      * values (count 0, sum unseen/null, decimal isEmpty). */
+    def grow(n: Int): Unit
+    /** Fold rows [0, n) of the batch into their slots; slots(i) < 0
+      * means the row was filtered out. */
+    def updateBatch(b: ColumnarBatch, n: Int, slots: Array[Int]): Unit
+    /** Write slot `slot`'s buffer column(s) into `row` at `off`. */
+    def emit(slot: Int, row: GenericInternalRow, off: Int): Int
+    /** Drop all slot state (memory-bound flush). */
+    def reset(): Unit
   }
   private final class CountAcc(input: Option[Col]) extends Acc {
-    private var n = 0L
-    def update(b: ColumnarBatch, i: Int): Unit = input match {
-      case None => n += 1
-      case Some(c) => if (!c.isNull(b, i)) n += 1
+    private var ns = new Array[Long](0)
+    def grow(n: Int): Unit =
+      if (ns.length < n) ns = java.util.Arrays.copyOf(ns, math.max(n, ns.length * 2))
+    def updateBatch(b: ColumnarBatch, n: Int, slots: Array[Int]): Unit =
+      input match {
+        case None =>
+          var i = 0
+          while (i < n) { val s = slots(i); if (s >= 0) ns(s) += 1; i += 1 }
+        case Some(c) =>
+          var i = 0
+          while (i < n) {
+            val s = slots(i)
+            if (s >= 0 && !c.isNull(b, i)) ns(s) += 1
+            i += 1
+          }
+      }
+    def emit(slot: Int, row: GenericInternalRow, off: Int): Int = {
+      row.update(off, ns(slot)); off + 1
     }
-    def emit(row: GenericInternalRow, off: Int): Int = {
-      row.update(off, n); off + 1
-    }
+    def reset(): Unit = ns = new Array[Long](0)
   }
   private final class DoubleSumAcc(e: DoubleCol) extends Acc {
-    private var sum = 0.0
-    private var seen = false
-    def update(b: ColumnarBatch, i: Int): Unit =
-      if (!e.isNull(b, i)) { sum += e.get(b, i); seen = true }
-    def emit(row: GenericInternalRow, off: Int): Int = {
-      row.update(off, if (seen) java.lang.Double.valueOf(sum) else null)
+    private var sums = new Array[Double](0)
+    private var seen = new Array[Boolean](0)
+    def grow(n: Int): Unit = if (sums.length < n) {
+      val c = math.max(n, sums.length * 2)
+      sums = java.util.Arrays.copyOf(sums, c)
+      seen = java.util.Arrays.copyOf(seen, c)
+    }
+    def updateBatch(b: ColumnarBatch, n: Int, slots: Array[Int]): Unit = {
+      var i = 0
+      while (i < n) {
+        val s = slots(i)
+        if (s >= 0 && !e.isNull(b, i)) { sums(s) += e.get(b, i); seen(s) = true }
+        i += 1
+      }
+    }
+    def emit(slot: Int, row: GenericInternalRow, off: Int): Int = {
+      row.update(off,
+        if (seen(slot)) java.lang.Double.valueOf(sums(slot)) else null)
       off + 1
     }
+    def reset(): Unit = { sums = new Array[Double](0); seen = new Array[Boolean](0) }
   }
   private final class LongSumAcc(e: LongCol) extends Acc {
-    private var sum = 0L
-    private var seen = false
-    def update(b: ColumnarBatch, i: Int): Unit =
-      if (!e.isNull(b, i)) { sum += e.get(b, i); seen = true }
-    def emit(row: GenericInternalRow, off: Int): Int = {
-      row.update(off, if (seen) java.lang.Long.valueOf(sum) else null)
+    private var sums = new Array[Long](0)
+    private var seen = new Array[Boolean](0)
+    def grow(n: Int): Unit = if (sums.length < n) {
+      val c = math.max(n, sums.length * 2)
+      sums = java.util.Arrays.copyOf(sums, c)
+      seen = java.util.Arrays.copyOf(seen, c)
+    }
+    def updateBatch(b: ColumnarBatch, n: Int, slots: Array[Int]): Unit = {
+      var i = 0
+      while (i < n) {
+        val s = slots(i)
+        if (s >= 0 && !e.isNull(b, i)) { sums(s) += e.get(b, i); seen(s) = true }
+        i += 1
+      }
+    }
+    def emit(slot: Int, row: GenericInternalRow, off: Int): Int = {
+      row.update(off,
+        if (seen(slot)) java.lang.Long.valueOf(sums(slot)) else null)
       off + 1
     }
+    def reset(): Unit = { sums = new Array[Long](0); seen = new Array[Boolean](0) }
   }
   /** Average over a double input: buffer is Spark Average's
     * (sum: double, count: long) — the final agg computes the division. */
   private final class DoubleAvgAcc(e: DoubleCol) extends Acc {
-    private var sum = 0.0
-    private var n = 0L
-    def update(b: ColumnarBatch, i: Int): Unit =
-      if (!e.isNull(b, i)) { sum += e.get(b, i); n += 1 }
-    def emit(row: GenericInternalRow, off: Int): Int = {
-      row.update(off, sum) // Average's buffer sum initializes to 0.0
-      row.update(off + 1, n)
+    private var sums = new Array[Double](0)
+    private var ns = new Array[Long](0)
+    def grow(n: Int): Unit = if (sums.length < n) {
+      val c = math.max(n, sums.length * 2)
+      sums = java.util.Arrays.copyOf(sums, c)
+      ns = java.util.Arrays.copyOf(ns, c)
+    }
+    def updateBatch(b: ColumnarBatch, n: Int, slots: Array[Int]): Unit = {
+      var i = 0
+      while (i < n) {
+        val s = slots(i)
+        if (s >= 0 && !e.isNull(b, i)) { sums(s) += e.get(b, i); ns(s) += 1 }
+        i += 1
+      }
+    }
+    def emit(slot: Int, row: GenericInternalRow, off: Int): Int = {
+      row.update(off, sums(slot)) // Average's buffer sum initializes to 0.0
+      row.update(off + 1, ns(slot))
       off + 2
     }
+    def reset(): Unit = { sums = new Array[Double](0); ns = new Array[Long](0) }
   }
   private final class LongMinMaxAcc(e: LongCol, isMin: Boolean,
       emitInt: Boolean) extends Acc {
-    private var cur = 0L
-    private var seen = false
-    def update(b: ColumnarBatch, i: Int): Unit =
-      if (!e.isNull(b, i)) {
-        val v = e.get(b, i)
-        if (!seen || (if (isMin) v < cur else v > cur)) cur = v
-        seen = true
+    private var cur = new Array[Long](0)
+    private var seen = new Array[Boolean](0)
+    def grow(n: Int): Unit = if (cur.length < n) {
+      val c = math.max(n, cur.length * 2)
+      cur = java.util.Arrays.copyOf(cur, c)
+      seen = java.util.Arrays.copyOf(seen, c)
+    }
+    def updateBatch(b: ColumnarBatch, n: Int, slots: Array[Int]): Unit = {
+      var i = 0
+      while (i < n) {
+        val s = slots(i)
+        if (s >= 0 && !e.isNull(b, i)) {
+          val v = e.get(b, i)
+          if (!seen(s) || (if (isMin) v < cur(s) else v > cur(s))) cur(s) = v
+          seen(s) = true
+        }
+        i += 1
       }
-    def emit(row: GenericInternalRow, off: Int): Int = {
-      if (!seen) row.update(off, null)
-      else if (emitInt) row.update(off, cur.toInt)
-      else row.update(off, cur)
+    }
+    def emit(slot: Int, row: GenericInternalRow, off: Int): Int = {
+      if (!seen(slot)) row.update(off, null)
+      else if (emitInt) row.update(off, cur(slot).toInt)
+      else row.update(off, cur(slot))
       off + 1
     }
+    def reset(): Unit = { cur = new Array[Long](0); seen = new Array[Boolean](0) }
   }
   private final class DoubleMinMaxAcc(e: DoubleCol, isMin: Boolean)
       extends Acc {
-    private var cur = 0.0
-    private var seen = false
-    def update(b: ColumnarBatch, i: Int): Unit =
-      if (!e.isNull(b, i)) {
-        val v = e.get(b, i)
-        // Spark's Min/Max use total order via LessThan on doubles; plain
-        // comparison matches for non-NaN, NaN compares greatest
-        if (!seen) { cur = v; seen = true }
-        else if (isMin) { if (java.lang.Double.compare(v, cur) < 0) cur = v }
-        else if (java.lang.Double.compare(v, cur) > 0) cur = v
+    private var cur = new Array[Double](0)
+    private var seen = new Array[Boolean](0)
+    def grow(n: Int): Unit = if (cur.length < n) {
+      val c = math.max(n, cur.length * 2)
+      cur = java.util.Arrays.copyOf(cur, c)
+      seen = java.util.Arrays.copyOf(seen, c)
+    }
+    def updateBatch(b: ColumnarBatch, n: Int, slots: Array[Int]): Unit = {
+      var i = 0
+      while (i < n) {
+        val s = slots(i)
+        if (s >= 0 && !e.isNull(b, i)) {
+          val v = e.get(b, i)
+          // Double.compare: NaN greatest and self-equal — Spark's ordering
+          if (!seen(s)) { cur(s) = v; seen(s) = true }
+          else if (isMin) {
+            if (java.lang.Double.compare(v, cur(s)) < 0) cur(s) = v
+          } else if (java.lang.Double.compare(v, cur(s)) > 0) cur(s) = v
+        }
+        i += 1
       }
-    def emit(row: GenericInternalRow, off: Int): Int = {
-      row.update(off, if (seen) java.lang.Double.valueOf(cur) else null)
+    }
+    def emit(slot: Int, row: GenericInternalRow, off: Int): Int = {
+      row.update(off,
+        if (seen(slot)) java.lang.Double.valueOf(cur(slot)) else null)
       off + 1
     }
+    def reset(): Unit = { cur = new Array[Double](0); seen = new Array[Boolean](0) }
   }
   private final class StringMinMaxAcc(e: StringCol, isMin: Boolean)
       extends Acc {
-    private var cur: UTF8String = null
-    def update(b: ColumnarBatch, i: Int): Unit =
-      if (!e.isNull(b, i)) {
-        val v = e.get(b, i)
-        if (cur == null || (if (isMin) v.compareTo(cur) < 0
-          else v.compareTo(cur) > 0)) cur = v.clone()
+    private var cur = new Array[UTF8String](0)
+    def grow(n: Int): Unit =
+      if (cur.length < n) cur = java.util.Arrays.copyOf(cur, math.max(n, cur.length * 2))
+    def updateBatch(b: ColumnarBatch, n: Int, slots: Array[Int]): Unit = {
+      var i = 0
+      while (i < n) {
+        val s = slots(i)
+        if (s >= 0 && !e.isNull(b, i)) {
+          val v = e.get(b, i)
+          if (cur(s) == null || (if (isMin) v.compareTo(cur(s)) < 0
+            else v.compareTo(cur(s)) > 0)) cur(s) = v.clone()
+        }
+        i += 1
       }
-    def emit(row: GenericInternalRow, off: Int): Int = {
-      row.update(off, cur)
+    }
+    def emit(slot: Int, row: GenericInternalRow, off: Int): Int = {
+      row.update(off, cur(slot))
       off + 1
     }
+    def reset(): Unit = cur = new Array[UTF8String](0)
   }
 
   /** Sum over Cast(double → decimal(p,s)): each input quantized with
@@ -407,48 +503,67 @@ object ColumnarPartialAgg {
   private final class DecimalSumAcc(e: DoubleCol, precision: Int, scale: Int)
       extends Acc {
     private val factor = math.pow(10d, scale)
-    private var unscaled = 0L
-    private var big: java.math.BigDecimal = null // non-null once escalated
-    private var isEmpty = true
-    private def addUnscaled(u: Long): Unit =
-      if (big == null) {
-        try unscaled = Math.addExact(unscaled, u)
+    private var unscaled = new Array[Long](0)
+    private var bigs = new Array[java.math.BigDecimal](0) // escalation
+    private var isEmpty = new Array[Boolean](0)
+    def grow(n: Int): Unit = if (unscaled.length < n) {
+      val c = math.max(n, unscaled.length * 2)
+      unscaled = java.util.Arrays.copyOf(unscaled, c)
+      bigs = java.util.Arrays.copyOf(bigs, c)
+      val old = isEmpty.length
+      isEmpty = java.util.Arrays.copyOf(isEmpty, c)
+      java.util.Arrays.fill(isEmpty, old, c, true)
+    }
+    private def addUnscaled(s: Int, u: Long): Unit =
+      if (bigs(s) == null) {
+        try unscaled(s) = Math.addExact(unscaled(s), u)
         catch { case _: ArithmeticException =>
-          big = java.math.BigDecimal.valueOf(unscaled, scale)
+          bigs(s) = java.math.BigDecimal.valueOf(unscaled(s), scale)
             .add(java.math.BigDecimal.valueOf(u, scale))
         }
-      } else big = big.add(java.math.BigDecimal.valueOf(u, scale))
-    def update(b: ColumnarBatch, i: Int): Unit =
-      if (!e.isNull(b, i)) {
-        val d = e.get(b, i)
-        if (!java.lang.Double.isFinite(d))
-          throw new ArithmeticException(
-            s"$d cannot be represented as Decimal($precision, $scale)")
-        isEmpty = false
-        val y = d * factor
-        val frac = y - Math.floor(y)
-        if (Math.abs(frac - 0.5) > 1e-3 && Math.abs(y) < 4.0e18) {
-          addUnscaled(Math.round(y)) // nearest == HALF_UP off-boundary
-        } else {
-          // boundary or out-of-long range: exact Spark cast semantics
-          val exact = new java.math.BigDecimal(java.lang.Double.toString(d))
-            .setScale(scale, java.math.RoundingMode.HALF_UP)
-          if (big == null && exact.unscaledValue().bitLength() < 63)
-            addUnscaled(exact.unscaledValue().longValue())
-          else {
-            if (big == null)
-              big = java.math.BigDecimal.valueOf(unscaled, scale)
-            big = big.add(exact)
+      } else bigs(s) = bigs(s).add(java.math.BigDecimal.valueOf(u, scale))
+    def updateBatch(b: ColumnarBatch, n: Int, slots: Array[Int]): Unit = {
+      var i = 0
+      while (i < n) {
+        val s = slots(i)
+        if (s >= 0 && !e.isNull(b, i)) {
+          val d = e.get(b, i)
+          if (!java.lang.Double.isFinite(d))
+            throw new ArithmeticException(
+              s"$d cannot be represented as Decimal($precision, $scale)")
+          isEmpty(s) = false
+          val y = d * factor
+          val frac = y - Math.floor(y)
+          if (Math.abs(frac - 0.5) > 1e-3 && Math.abs(y) < 4.0e18) {
+            addUnscaled(s, Math.round(y)) // nearest == HALF_UP off-boundary
+          } else {
+            // boundary or out-of-long range: exact Spark cast semantics
+            val exact = new java.math.BigDecimal(java.lang.Double.toString(d))
+              .setScale(scale, java.math.RoundingMode.HALF_UP)
+            if (bigs(s) == null && exact.unscaledValue().bitLength() < 63)
+              addUnscaled(s, exact.unscaledValue().longValue())
+            else {
+              if (bigs(s) == null)
+                bigs(s) = java.math.BigDecimal.valueOf(unscaled(s), scale)
+              bigs(s) = bigs(s).add(exact)
+            }
           }
         }
+        i += 1
       }
-    def emit(row: GenericInternalRow, off: Int): Int = {
+    }
+    def emit(slot: Int, row: GenericInternalRow, off: Int): Int = {
       val out =
-        if (big == null) Decimal(unscaled, precision, scale)
-        else Decimal(scala.math.BigDecimal(big), precision, scale)
+        if (bigs(slot) == null) Decimal(unscaled(slot), precision, scale)
+        else Decimal(scala.math.BigDecimal(bigs(slot)), precision, scale)
       row.update(off, out)
-      row.update(off + 1, isEmpty)
+      row.update(off + 1, isEmpty(slot))
       off + 2
+    }
+    def reset(): Unit = {
+      unscaled = new Array[Long](0)
+      bigs = new Array[java.math.BigDecimal](0)
+      isEmpty = new Array[Boolean](0)
     }
   }
 
@@ -601,10 +716,16 @@ case class ColumnarPartialAggExec(
       .getConfString("spark.graft.columnarAgg.maxGroups", "1048576").toInt
     scan.executeColumnar().mapPartitions { batches =>
       val keys = kernel.keys
-      var groups = new java.util.LinkedHashMap[LKey, Array[Acc]]()
+      // slot assignment: LKey → dense slot id; accumulator state lives in
+      // slot-indexed parallel arrays inside each Acc (batch-at-a-time
+      // updates, one virtual call per acc per batch)
+      val slotMap = new java.util.HashMap[LKey, Integer]()
+      val slotKeys = new scala.collection.mutable.ArrayBuffer[LKey]()
+      val accs = kernel.accFactory()
+      var slots = new Array[Int](8192)
       val probe = new LKey(new Array[Long](nKeys + 1)) // last slot: null bits
       // per string-key interning (dense ids; UTF8Strings cloned once;
-      // ids stay stable across flushes — only the group map resets)
+      // ids stay stable across flushes — only the slot map resets)
       val interns = keys.map {
         case StringKey(_) => new java.util.HashMap[UTF8String, Integer]()
         case _ => null
@@ -614,91 +735,110 @@ case class ColumnarPartialAggExec(
         case _ => null
       }
       val proj = UnsafeProjection.create(outTypes.toArray)
-      def emitAll(m: java.util.LinkedHashMap[LKey, Array[Acc]])
-          : Iterator[InternalRow] = {
-        import scala.jdk.CollectionConverters._
-        m.entrySet().iterator().asScala.map { e =>
+      def emitAll(ks: IndexedSeq[LKey]): Iterator[InternalRow] =
+        ks.indices.iterator.map { slot =>
           val row = new GenericInternalRow(output.length)
-          val bits = e.getKey.vals(nKeys)
+          val kv = ks(slot).vals
+          val bits = kv(nKeys)
           var k = 0
           while (k < nKeys) {
             if ((bits & (1L << k)) != 0L) row.update(k, null)
             else keys(k) match {
               case LongKey(_, emitInt) =>
-                if (emitInt) row.update(k, e.getKey.vals(k).toInt)
-                else row.update(k, e.getKey.vals(k))
+                if (emitInt) row.update(k, kv(k).toInt)
+                else row.update(k, kv(k))
               case StringKey(_) =>
-                row.update(k, names(k)(e.getKey.vals(k).toInt))
+                row.update(k, names(k)(kv(k).toInt))
             }
             k += 1
           }
           var off = nKeys
-          e.getValue.foreach(acc => off = acc.emit(row, off))
+          var a = 0
+          while (a < accs.length) { off = accs(a).emit(slot, row, off); a += 1 }
           proj(row).copy(): InternalRow
         }
+      def flush(): Iterator[InternalRow] = {
+        val ks = slotKeys.toIndexedSeq
+        val out = emitAll(ks)
+        // the iterator above is lazy over `ks` (already materialized);
+        // resetting the live structures now is safe
+        slotMap.clear(); slotKeys.clear()
+        out // accs reset AFTER the iterator drains — see pump()
       }
       val pred = kernel.pred.orNull
       def consume(batch: ColumnarBatch): Unit = {
         val n = batch.numRows()
+        if (slots.length < n) slots = new Array[Int](n)
         var i = 0
         while (i < n) {
-          if (pred != null && pred(batch, i) != 1) { i += 1 }
+          if (pred != null && pred(batch, i) != 1) slots(i) = -1
           else {
-          var bits = 0L
-          var k = 0
-          while (k < nKeys) {
-            keys(k) match {
-              case LongKey(col, _) =>
-                if (col.isNull(batch, i)) { bits |= (1L << k); probe.vals(k) = 0L }
-                else probe.vals(k) = col.get(batch, i)
-              case StringKey(col) =>
-                if (col.isNull(batch, i)) { bits |= (1L << k); probe.vals(k) = 0L }
-                else {
-                  val s = col.get(batch, i)
-                  var id = interns(k).get(s)
-                  if (id == null) {
-                    id = Integer.valueOf(names(k).length)
-                    val copy = s.clone()
-                    interns(k).put(copy, id)
-                    names(k) += copy
+            var bits = 0L
+            var k = 0
+            while (k < nKeys) {
+              keys(k) match {
+                case LongKey(col, _) =>
+                  if (col.isNull(batch, i)) { bits |= (1L << k); probe.vals(k) = 0L }
+                  else probe.vals(k) = col.get(batch, i)
+                case StringKey(col) =>
+                  if (col.isNull(batch, i)) { bits |= (1L << k); probe.vals(k) = 0L }
+                  else {
+                    val s = col.get(batch, i)
+                    var id = interns(k).get(s)
+                    if (id == null) {
+                      id = Integer.valueOf(names(k).length)
+                      val copy = s.clone()
+                      interns(k).put(copy, id)
+                      names(k) += copy
+                    }
+                    probe.vals(k) = id.intValue().toLong
                   }
-                  probe.vals(k) = id.intValue().toLong
-                }
+              }
+              k += 1
             }
-            k += 1
+            probe.vals(nKeys) = bits
+            var id = slotMap.get(probe)
+            if (id == null) {
+              id = Integer.valueOf(slotKeys.length)
+              val frozen = probe.frozen
+              slotMap.put(frozen, id)
+              slotKeys += frozen
+            }
+            slots(i) = id.intValue()
           }
-          probe.vals(nKeys) = bits
-          var accs = groups.get(probe)
-          if (accs == null) {
-            accs = kernel.accFactory()
-            groups.put(probe.frozen, accs)
-          }
-          var a = 0
-          while (a < accs.length) { accs(a).update(batch, i); a += 1 }
           i += 1
-          }
+        }
+        val nSlots = slotKeys.length
+        var a = 0
+        while (a < accs.length) {
+          accs(a).grow(nSlots)
+          accs(a).updateBatch(batch, n, slots)
+          a += 1
         }
       }
       new Iterator[InternalRow] {
         private var cur: Iterator[InternalRow] = Iterator.empty
+        private var pendingReset = false
         private var done = false
         private def pump(): Unit = {
           while (!cur.hasNext && !done) {
+            if (pendingReset) { accs.foreach(_.reset()); pendingReset = false }
             if (batches.hasNext) {
               consume(batches.next())
-              if (groups.size() > maxGroups) {
-                val full = groups
-                groups = new java.util.LinkedHashMap[LKey, Array[Acc]]()
-                cur = emitAll(full)
+              if (slotKeys.length > maxGroups) {
+                cur = flush()
+                pendingReset = true
               }
             } else {
               // GLOBAL aggregate contract: the stock partial agg emits
               // one initial-values buffer row per partition even when
               // the partition is empty (that row is what makes count(*)
               // over an empty relation return 0, not no-rows)
-              if (nKeys == 0 && groups.isEmpty)
-                groups.put(probe.frozen, kernel.accFactory())
-              cur = emitAll(groups)
+              if (nKeys == 0 && slotKeys.isEmpty) {
+                slotKeys += probe.frozen
+                accs.foreach(_.grow(1))
+              }
+              cur = flush()
               done = true
             }
           }
