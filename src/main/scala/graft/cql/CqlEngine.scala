@@ -23,7 +23,12 @@ case class CqlTable(df: DataFrame, partitionKeys: Seq[String],
   indexedColumns: Map[String, Set[(Boolean, String)]] = Map.empty,
   /** per-clustering-key DESC flag from `WITH CLUSTERING ORDER BY`
     * (empty = all ASC). Drives the ORDER BY direction rule. */
-  clusteringDesc: Seq[Boolean] = Nil)
+  clusteringDesc: Seq[Boolean] = Nil,
+  /** vector column (lowercased) → the SAI index's declared
+    * similarity_function (5.0 `WITH OPTIONS = {'similarity_function':
+    * …}` [U index/sai]); absent = cosine, the upstream default. Drives
+    * ANN OF scoring. */
+  annSimilarity: Map[String, String] = Map.empty)
 
 /** Raised for queries upstream Cassandra would reject (most importantly the
   * ALLOW FILTERING guardrail) — same user experience as
@@ -282,9 +287,20 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
       // embeddings) must yield a run-independent top-k set and order
       val pkTiebreak =
         (table.partitionKeys ++ table.clusteringKeys).map(col(_).asc)
+      // score by the INDEX's declared similarity function (5.0 SAI
+      // option; cosine is the upstream default): cosine/dot rank
+      // most-similar-first, euclidean ranks nearest-first
+      val score = table.annSimilarity
+        .getOrElse(a.column.toLowerCase, "cosine") match {
+        case "dot_product" => graft.functions.VectorFunctions
+          .dotFast(col(a.column), qv).desc
+        case "euclidean" => graft.functions.VectorFunctions
+          .euclideanFast(col(a.column), qv).asc
+        case _ => graft.functions.VectorFunctions
+          .cosineFast(col(a.column), qv).desc
+      }
       df = df
-        .orderBy(graft.functions.VectorFunctions
-          .cosineFast(col(a.column), qv).desc +: pkTiebreak: _*)
+        .orderBy(score +: pkTiebreak: _*)
         .limit(k)
     }
 

@@ -1139,8 +1139,25 @@ object CqlParser {
       sai = cls == "sai" || cls.contains("storageattachedindex") ||
         cls.contains("sasi")
     }
-    if (c.accept("with")) while (!c.done) c.next() // OPTIONS ignored
-    CqlCreateIndex(name, table, column, sai, ifNotExists, target)
+    var options = Map.empty[String, String]
+    if (c.accept("with")) {
+      // `WITH OPTIONS = {'k': 'v', …}` — capture the string map; only
+      // similarity_function carries engine semantics (5.0 vector SAI
+      // [U index/sai/disk/v1/SegmentBuilder, VectorType similarity]),
+      // the rest (analyzers, case_sensitive, …) are accepted-and-kept
+      // for DESCRIBE fidelity
+      c.expect("options"); c.expect("="); c.expect("{")
+      var more = !c.peekIs("}")
+      while (more) {
+        val k = parseLiteralToken(c.next()).toLowerCase
+        c.expect(":")
+        val v = parseLiteralToken(c.next())
+        options += (k -> v)
+        more = c.accept(",")
+      }
+      c.expect("}")
+    }
+    CqlCreateIndex(name, table, column, sai, ifNotExists, target, options)
   }
 
   /** CQL `duration` as a Spark struct — upstream's (months, days, nanos)

@@ -258,7 +258,9 @@ case class CqlAlterRename(table: String, pairs: Seq[(String, String)])
   * is the collection wrapper ("keys"/"values"/"entries"/"full", "" for a
   * plain index) and decides which predicate the index serves. */
 case class CqlCreateIndex(name: Option[String], table: String, column: String,
-  sai: Boolean, ifNotExists: Boolean, target: String = "") extends CqlDdl
+  sai: Boolean, ifNotExists: Boolean, target: String = "",
+  /** `WITH OPTIONS = {…}` (5.0 SAI: similarity_function et al.) */
+  options: Map[String, String] = Map.empty) extends CqlDdl
 case class CqlDropIndex(name: String, ifExists: Boolean) extends CqlDdl
 /** `CREATE TRIGGER name ON t USING 'class'` / `DROP TRIGGER name ON t` —
   * upstream loads the class by FQCN and calls `ITrigger#augment` per
@@ -447,6 +449,12 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * target kind — "keys"/"values"/"entries"/"full" for collection indexes,
     * "" for plain). Index names are keyspace-scoped upstream
     * (`schema/IndexMetadata` [U]); here session-scoped. */
+  /** index name → declared WITH OPTIONS (DESCRIBE fidelity). */
+  private val idxOptionsReg: scala.collection.mutable.Map[String, Map[String, String]] =
+    scala.collection.mutable.Map.empty
+  /** (table, column) → declared vector similarity_function — ANN scoring. */
+  private val annSimReg: scala.collection.mutable.Map[(String, String), String] =
+    scala.collection.mutable.Map.empty
   private val indexReg: scala.collection.mutable.Map[String, (String, String, Boolean, String)] =
     scala.collection.mutable.Map.empty
 
@@ -1276,7 +1284,10 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           colName.toLowerCase -> (sai, target)
       }.groupBy(_._1).map { case (c0, xs) => c0 -> xs.map(_._2).toSet }
       name -> CqlTable(view(name), t.partitionKeys, t.clusteringKeys,
-        t.staticKeys, t.counterKeys, indexed, t.clusteringDesc)
+        t.staticKeys, t.counterKeys, indexed, t.clusteringDesc,
+        annSimilarity = annSimReg.collect {
+          case ((tbl, c0), f) if tbl == name => c0 -> f
+        }.toMap)
     }.toMap
     // materialized views derive from the CURRENT base state (read-time
     // maintenance): each definition compiles lazily against the base
@@ -2363,9 +2374,16 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     // from the table, so the emitted DDL re-executes to the same key
     val bare = tableOf(name.toLowerCase)
     val tgt = if (target.isEmpty) c0 else s"${target.toUpperCase}($c0)"
+    val opts = idxOptionsReg.getOrElse(name.toLowerCase, Map.empty)
+    val withOpts =
+      if (opts.isEmpty) ""
+      else opts.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"'$k': '$v'" }
+        .mkString(" WITH OPTIONS = {", ", ", "}")
     if (sai)
-      s"CREATE CUSTOM INDEX $bare ON $tbl ($tgt) USING 'StorageAttachedIndex'"
-    else s"CREATE INDEX $bare ON $tbl ($tgt)"
+      s"CREATE CUSTOM INDEX $bare ON $tbl ($tgt) " +
+        s"USING 'StorageAttachedIndex'$withOpts"
+    else s"CREATE INDEX $bare ON $tbl ($tgt)$withOpts"
   }
 
   private def fnDdl(name: String): String = {
@@ -3963,7 +3981,12 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       if (state.remove(table.toLowerCase).isEmpty && !ifExists)
         throw new CqlInvalidQueryException(s"unknown table $table")
       retireCompactedDir(table.toLowerCase)
-      indexReg.filterInPlace { case (_, (tbl, _, _, _)) => tbl != table.toLowerCase }
+      indexReg.filterInPlace { case (n, (tbl, _, _, _)) =>
+        val keep = tbl != table.toLowerCase
+        if (!keep) idxOptionsReg.remove(n)
+        keep
+      }
+      annSimReg.filterInPlace { case ((tbl, _), _) => tbl != table.toLowerCase }
       udtCols.filterInPlace { case ((tbl, _), _) => tbl != table.toLowerCase }
       triggerReg.filterInPlace { case ((tbl, _), _) => tbl != table.toLowerCase }
       maskReg.filterInPlace { case ((tbl, _), _) => tbl != table.toLowerCase }
@@ -4141,7 +4164,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     case CqlDropAggregate(name, ifExists) =>
       if (aggReg.remove(name.toLowerCase).isEmpty && !ifExists)
         throw new CqlInvalidQueryException(s"unknown aggregate $name")
-    case CqlCreateIndex(name, table, column, sai, ifNotExists, target0) =>
+    case CqlCreateIndex(name, table, column, sai, ifNotExists, target0,
+        idxOptions) =>
       val t = tableState(table)
       val colName = t.schema.fieldNames.find(_.equalsIgnoreCase(column))
         .getOrElse(throw new CqlInvalidQueryException(
@@ -4184,13 +4208,40 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         case (tbl, c0, _, tgt) => tbl == table.toLowerCase &&
           c0.equalsIgnoreCase(colName) && tgt == target
       }
+      // 5.0 vector SAI similarity_function [U index/sai — the declared
+      // function decides ANN scoring]: validate against the supported
+      // set; only meaningful on a vector (array<float>) column
+      val simFn = idxOptions.get("similarity_function").map(_.toLowerCase)
+      simFn.foreach { f =>
+        if (!Set("cosine", "dot_product", "euclidean").contains(f))
+          throw new CqlInvalidQueryException(
+            s"similarity_function '$f' is not supported (expected " +
+              "cosine, dot_product or euclidean)")
+        val isVec = dt match {
+          case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+          case _ => false
+        }
+        if (!isVec) throw new CqlInvalidQueryException(
+          s"similarity_function is only valid on a vector column, " +
+            s"$colName is ${dt.simpleString}")
+      }
       if (dup) {
         if (!ifNotExists) throw new CqlInvalidQueryException(
           s"Index $idxName or an index on $table($colName) already exists")
-      } else indexReg(idxName) = (table.toLowerCase, colName, sai, target)
+      } else {
+        indexReg(idxName) = (table.toLowerCase, colName, sai, target)
+        idxOptionsReg(idxName) = idxOptions
+        simFn.foreach(f =>
+          annSimReg((table.toLowerCase, colName.toLowerCase)) = f)
+      }
     case CqlDropIndex(name, ifExists) =>
-      if (indexReg.remove(name.toLowerCase).isEmpty && !ifExists)
+      val removed = indexReg.remove(name.toLowerCase)
+      if (removed.isEmpty && !ifExists)
         throw new CqlInvalidQueryException(s"unknown index $name")
+      idxOptionsReg.remove(name.toLowerCase)
+      removed.foreach { case (tbl, c0, _, _) =>
+        annSimReg.remove((tbl, c0.toLowerCase))
+      }
     case CqlCreateTrigger(name, table, clazz, ifNotExists) =>
       // upstream CreateTriggerStatement.authorize: superuser-only — a
       // trigger is arbitrary code running inside the write path

@@ -334,6 +334,44 @@ object AdminQueries {
     sess.execute("DUMP AUDIT").orderBy("seq")
   }
 
+  /** CQL31 (r11) — vector SAI `similarity_function` in the gate [U 5.0
+    * index/sai: `CREATE CUSTOM INDEX … WITH OPTIONS =
+    * {'similarity_function': …}`, the declared function drives ANN
+    * scoring]: three tables carry the same three 2-d vectors under
+    * cosine (default), dot_product, and euclidean indexes; the same
+    * `ANN OF [1, 0]` query must rank them differently (euclidean ranks
+    * nearest-first: 3,2,1; cosine/dot rank most-similar-first: 1,3,2) —
+    * vectors chosen so no two scores tie under any function. The twin is
+    * the literal rank table, so a scoring-function regression breaks the
+    * hash. */
+  def cql31_ann_similarity(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.cql.CqlSession(s)
+    def mk(tbl: String, opt: String): Unit = {
+      sess.execute(
+        s"CREATE TABLE $tbl (id bigint PRIMARY KEY, emb vector<float, 2>)")
+      sess.execute(s"CREATE CUSTOM INDEX ON $tbl (emb) " +
+        s"USING 'StorageAttachedIndex'$opt")
+      sess.execute(s"INSERT INTO $tbl (id, emb) VALUES (1, [10.0, 0.0])")
+      sess.execute(s"INSERT INTO $tbl (id, emb) VALUES (2, [0.5, 0.5])")
+      sess.execute(s"INSERT INTO $tbl (id, emb) VALUES (3, [1.0, 0.1])")
+    }
+    mk("annc31", "")
+    mk("annd31", " WITH OPTIONS = {'similarity_function': 'dot_product'}")
+    mk("anne31", " WITH OPTIONS = {'similarity_function': 'euclidean'}")
+    def topk(tbl: String, fn: String): Seq[Row] =
+      sess.execute(
+        s"SELECT id FROM $tbl ORDER BY emb ANN OF [1.0, 0.0] LIMIT 3")
+        .collect().toSeq.zipWithIndex
+        .map { case (r, i) => Row(fn, (i + 1).toLong, r.getLong(0)) }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      (topk("annc31", "cosine") ++ topk("annd31", "dot_product") ++
+        topk("anne31", "euclidean")).asJava,
+      StructType(Seq(StructField("fn", StringType),
+        StructField("rank", LongType), StructField("id", LongType))))
+      .orderBy("fn", "rank")
+  }
+
   /** CQL23 — `system.prepared_statements` in the gate (r10) [U db/
     * SystemKeyspace.java — upstream persists the prepared cache so a
     * restarted node can re-prepare its clients' statements]: two
@@ -796,6 +834,7 @@ object AdminQueries {
     "cql28_masking" -> (cql28_masking _),
     "cql29_fql_compare" -> (cql29_fql_compare _),
     "cql30_fql_dump" -> (cql30_fql_dump _),
+    "cql31_ann_similarity" -> (cql31_ann_similarity _),
     "cql13_roles" -> (cql13_roles _),
     "cql14_schema" -> (cql14_schema _),
     "cql15_settings" -> (cql15_settings _),
@@ -997,6 +1036,15 @@ object AdminQueries {
         |  ('compare', 'digest_match', '6/6'),
         |  ('compare', 'first_divergence', 'none'))
         |AS t(kind, name, detail) ORDER BY kind, name, detail""".stripMargin,
+    // the literal rank table per similarity function — euclidean ranks
+    // nearest-first (3,2,1), cosine/dot most-similar-first (1,3,2)
+    "cql31_ann_similarity" ->
+      """SELECT fn, CAST(rank AS BIGINT) AS rank, CAST(id AS BIGINT) AS id
+        |FROM (VALUES
+        |  ('cosine', 1, 1), ('cosine', 2, 3), ('cosine', 3, 2),
+        |  ('dot_product', 1, 1), ('dot_product', 2, 3), ('dot_product', 3, 2),
+        |  ('euclidean', 1, 3), ('euclidean', 2, 2), ('euclidean', 3, 1))
+        |AS t(fn, rank, id) ORDER BY fn, rank""".stripMargin,
     // the literal dump: full statement text, prepared binds with the
     // prepare-time keyspace, login events, the RESULTS ON digest flag
     // flipping mid-log, and the denied SELECT under the switched role

@@ -1181,6 +1181,45 @@ class CqlSessionSpec extends SparkSpec {
     intercept[CqlInvalidQueryException] { s.execute("ALTER TABLE t5 DROP id") }
   }
 
+  test("vector SAI similarity_function: euclidean reranks ANN, invalid " +
+    "functions and non-vector columns reject, DESCRIBE renders OPTIONS") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE simv (id bigint PRIMARY KEY, " +
+      "emb vector<float, 2>, note text)")
+    intercept[CqlInvalidQueryException] { // unknown function name
+      s.execute("CREATE CUSTOM INDEX ON simv (emb) USING " +
+        "'StorageAttachedIndex' WITH OPTIONS = " +
+        "{'similarity_function': 'manhattan'}")
+    }
+    intercept[CqlInvalidQueryException] { // only valid on vector columns
+      s.execute("CREATE CUSTOM INDEX ON simv (note) USING " +
+        "'StorageAttachedIndex' WITH OPTIONS = " +
+        "{'similarity_function': 'cosine'}")
+    }
+    s.execute("CREATE CUSTOM INDEX simv_ann ON simv (emb) USING " +
+      "'StorageAttachedIndex' WITH OPTIONS = " +
+      "{'similarity_function': 'euclidean'}")
+    s.execute("INSERT INTO simv (id, emb) VALUES (1, [10.0, 0.0])")
+    s.execute("INSERT INTO simv (id, emb) VALUES (2, [1.0, 0.1])")
+    // euclidean: id 2 is NEAREST to [1,0] even though id 1 has the same
+    // cosine direction
+    val got = s.execute(
+      "SELECT id FROM simv ORDER BY emb ANN OF [1.0, 0.0] LIMIT 2")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(2L, 1L))
+    val ddl = s.execute("DESCRIBE simv_ann").collect()
+      .map(_.getAs[String]("create_statement")).mkString("\n")
+    assert(ddl.contains("'similarity_function': 'euclidean'"), ddl)
+    // DROP INDEX restores the cosine default
+    s.execute("DROP INDEX simv_ann")
+    s.execute("CREATE CUSTOM INDEX simv_ann2 ON simv (emb) USING " +
+      "'StorageAttachedIndex'")
+    val cos = s.execute(
+      "SELECT id FROM simv ORDER BY emb ANN OF [1.0, 0.0] LIMIT 2")
+      .collect().map(_.getLong(0)).toSeq
+    assert(cos === Seq(1L, 2L)) // |v1| direction exactly matches, wins cosine
+  }
+
   test("vector<float, n> columns create as array<float> and ANN-query") {
     val s = CqlSession(spark)
     s.execute("CREATE TABLE vecs (id bigint PRIMARY KEY, emb vector<float, 4>)")
