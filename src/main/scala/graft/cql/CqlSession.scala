@@ -1547,14 +1547,20 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       StructField("table_name", StringType),
       StructField("index_name", StringType),
       StructField("kind", StringType), // upstream: COMPOSITES | CUSTOM
-      StructField("target", StringType)))
+      StructField("target", StringType),
+      // upstream options map carries 'target', the custom class_name, and
+      // any WITH OPTIONS pairs (drivers read similarity_function here)
+      StructField("options", MapType(StringType, StringType))))
     val iRows = indexReg.toSeq.sortBy(_._1).map {
       case (n, (tbl, c0, sai, target)) =>
         // upstream target strings read `values(m)` / `keys(m)` / … for
         // collection indexes and the bare column name otherwise
         val tgt = if (target.isEmpty) c0 else s"$target($c0)"
+        val opts = Map("target" -> tgt) ++
+          (if (sai) Map("class_name" -> "StorageAttachedIndex") else Map.empty) ++
+          idxOptionsReg.getOrElse(n, Map.empty)
         Row(keyspaceOf(tbl), tableOf(tbl), tableOf(n),
-          if (sai) "CUSTOM" else "COMPOSITES", tgt)
+          if (sai) "CUSTOM" else "COMPOSITES", tgt, opts)
     }
     val vSchema = StructType(Seq(
       StructField("keyspace_name", StringType),
