@@ -1192,6 +1192,11 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * Spark INSERT fails at analysis, not with a late 'unknown table'. */
   private[graft] def isWritableTable(key: String): Boolean =
     state.contains(key.toLowerCase)
+  /** Partition + clustering key column names — the DSv2 row-level-op
+    * bridge's row identity (every CQL row is addressed by its full
+    * primary key). */
+  private[graft] def primaryKeyOf(key: String): Seq[String] =
+    keyCols(tableState(key.toLowerCase))
   private[graft] def cqlTypeNameOf(dt: DataType): String =
     cqlTypeName(dt, Set.empty)
 
@@ -1547,9 +1552,10 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       StructField("table_name", StringType),
       StructField("index_name", StringType),
       StructField("kind", StringType), // upstream: COMPOSITES | CUSTOM
-      StructField("target", StringType),
-      // upstream options map carries 'target', the custom class_name, and
-      // any WITH OPTIONS pairs (drivers read similarity_function here)
+      // upstream's schema is exactly (keyspace_name, table_name,
+      // index_name, kind, options): the target lives INSIDE the options
+      // map (options['target']), never as a top-level column — strict
+      // -schema drivers reconstruct CREATE INDEX from the map
       StructField("options", MapType(StringType, StringType))))
     val iRows = indexReg.toSeq.sortBy(_._1).map {
       case (n, (tbl, c0, sai, target)) =>
@@ -1560,7 +1566,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           (if (sai) Map("class_name" -> "StorageAttachedIndex") else Map.empty) ++
           idxOptionsReg.getOrElse(n, Map.empty)
         Row(keyspaceOf(tbl), tableOf(tbl), tableOf(n),
-          if (sai) "CUSTOM" else "COMPOSITES", tgt, opts)
+          if (sai) "CUSTOM" else "COMPOSITES", opts)
     }
     val vSchema = StructType(Seq(
       StructField("keyspace_name", StringType),
@@ -2240,6 +2246,60 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     }
   }
 
+  /** DSv2 row-level-op bridge ([[graft.spark.GraftCatalog]]'s
+    * `SupportsRowLevelOperations`): Spark SQL `MERGE INTO` / `UPDATE` —
+    * and `DELETE` with predicates outside `SupportsDelete`'s key subset —
+    * compile to a DELTA of primary-key-addressed mutations that lands
+    * HERE as upserts + row tombstones under ONE coordinator timestamp
+    * (runDml's multi-key rule: a statement is one mutation batch).
+    * Every mutation replays through `applyDml`, so MODIFY enforcement,
+    * key validation, guardrails, triggers, CDC, and the reconcile
+    * fold hold identically on both surfaces, and the whole statement is
+    * rollback-atomic via `withPendingRollback`. An UPDATE's written row
+    * is the COMPLETE post-image (DSv2 contract), so data columns that
+    * are null in it write cell tombstones — exactly CQL's explicit-null
+    * semantics — rather than resurrecting older cells.
+    *
+    * Scale shape: the delta (changed rows only, never the table) flows
+    * through the coordinator — the same single-coordinator write model
+    * as every CQL mutation in this engine; bulk rewrites belong to
+    * INSERT OVERWRITE, which stays fully distributed. */
+  private[graft] def catalogApplyDelta(table: String,
+      dataCols: Seq[String], idCols: Seq[String],
+      upserts: Seq[Seq[Any]], deletes: Seq[Seq[Any]]): Unit =
+    withPendingRollback {
+      val key = table.toLowerCase
+      if (SystemKeyspaces.contains(keyspaceOf(key)))
+        throw new CqlInvalidQueryException(
+          s"table $table is a system table and cannot be written")
+      if (!isWritableTable(key))
+        throw new CqlInvalidQueryException(
+          s"table $table is not writable (materialized views are " +
+            "maintained from their base table)")
+      checkPerm("modify", authRes(key))
+      val t = tableState(key)
+      if (t.counterKeys.nonEmpty) throw new CqlInvalidQueryException(
+        "MERGE/UPDATE through the Spark catalog does not support counter " +
+          "tables — counters mutate via CQL UPDATE … SET c = c + n")
+      // the rewrite copies UNTOUCHED columns from the catalog scan into
+      // the written post-image; a role that reads masked values would
+      // silently PERSIST them — refuse up front (cdcStream's rule)
+      if (masksFor(key).nonEmpty && !hasPermBool("unmask", authRes(key)))
+        throw new CqlInvalidQueryException(
+          s"MERGE/UPDATE on $table requires UNMASK: the rewritten rows " +
+            "would persist masked column values")
+      val shared = nextTs(None)
+      deletes.foreach { id =>
+        applyDml(CqlDelete(key, idCols.zip(id), usingTimestamp = None),
+          Some(shared))
+      }
+      upserts.foreach { vals =>
+        applyDml(CqlInsert(key, dataCols, vals, usingTimestamp = None,
+          usingTtl = None), Some(shared))
+      }
+      ()
+    }
+
   /** TRUNCATE semantics, shared by CQL `TRUNCATE` and the catalog's
     * `INSERT OVERWRITE` so the two surfaces cannot diverge. */
   private def truncateState(table: String): Unit = {
@@ -2477,8 +2537,16 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         Seq(Row(keyspaceOf(name), kind, name, stmt)).asJava, ddlSchema)
     def describeTable(raw: String): DataFrame = {
       val name = canonical(raw)
-      state.get(name).map(t => ddlResult("table", name, tableDdl(name, t)))
-        .getOrElse(throw new CqlInvalidQueryException(s"unknown table $raw"))
+      val t = state.getOrElse(name,
+        throw new CqlInvalidQueryException(s"unknown table $raw"))
+      // cqlsh parity: DESCRIBE TABLE prints the table's CREATE INDEX
+      // statements after the CREATE TABLE (drivers/tools reconstruct the
+      // full schema from DESCRIBE TABLE alone); DESCRIBE <index> remains
+      val idxRows = indexReg.toSeq.filter(_._2._1 == name).map(_._1)
+        .sorted.map(i => Row(keyspaceOf(name), "index", i, indexDdl(i)))
+      spark.createDataFrame(
+        (Row(keyspaceOf(name), "table", name, tableDdl(name, t)) +:
+          idxRows).asJava, ddlSchema)
     }
     def describeAny(raw: String): DataFrame = {
       val n = raw.toLowerCase
@@ -3117,12 +3185,33 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   private[cql] def fqlResultsEnabled: Boolean = fqlResultsOn
 
   /** Order-insensitive canonical result digest: md5 over the sorted row
-    * renderings. Row-order-insensitive so a replay that merely reorders
-    * an unordered SELECT does not read as a divergence. */
+    * encodings. Row-order-insensitive so a replay that merely reorders
+    * an unordered SELECT does not read as a divergence. Every cell and
+    * row is UNAMBIGUOUSLY FRAMED — cells are length-prefixed (`v<len>:`)
+    * with an explicit null marker (`n`) distinct from the string "null",
+    * and each row's byte stream is length-prefixed before it enters the
+    * digest — so distinct result sets cannot collide by shifting cell or
+    * row boundaries (a cell containing "][" no longer reads as two). */
   private def resultDigest(df: DataFrame): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    df.collect().map(_.toString).sorted
-      .foreach(s => md.update(s.getBytes("UTF-8")))
+    val rows = df.collect().map { r =>
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < r.length) {
+        if (r.isNullAt(i)) sb.append("n|")
+        else {
+          val s = String.valueOf(r.get(i))
+          sb.append('v').append(s.length).append(':').append(s).append('|')
+        }
+        i += 1
+      }
+      sb.toString
+    }.sorted
+    rows.foreach { s =>
+      val b = s.getBytes("UTF-8")
+      md.update(java.nio.ByteBuffer.allocate(4).putInt(b.length).array())
+      md.update(b)
+    }
     md.digest().map("%02x".format(_)).mkString
   }
 
@@ -4692,6 +4781,32 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         u.fields.find(_._1.equalsIgnoreCase(f.name))
           .map(kv => coerce(kv._2, f.dataType)).orNull
       })
+    // Spark-native value forms (the DSv2 row-level-op bridge hands back
+    // values exactly as the catalog SCAN produced them; prepared binds
+    // may carry the same java.time/java.sql types)
+    case (i: Int, IntegerType) => i
+    case (i: Int, LongType) => i.toLong
+    case (i: Int, ShortType) => i.toShort
+    case (i: Int, ByteType) => i.toByte
+    case (i: Int, DoubleType) => i.toDouble
+    case (i: Int, FloatType) => i.toFloat
+    case (i: Int, DecimalType()) => BigDecimal(i)
+    case (f: Float, FloatType) => f
+    case (f: Float, DoubleType) => f.toDouble
+    case (x: Short, ShortType) => x
+    case (x: Short, IntegerType) => x.toInt
+    case (x: Short, LongType) => x.toLong
+    case (x: Byte, ByteType) => x
+    case (d: Double, FloatType) => d.toFloat
+    case (bd: java.math.BigDecimal, DecimalType()) => BigDecimal(bd)
+    case (bd: BigDecimal, DecimalType()) => bd
+    case (ts: java.sql.Timestamp, TimestampType) => ts
+    case (ts: java.time.Instant, TimestampType) => java.sql.Timestamp.from(ts)
+    case (d: java.sql.Date, DateType) => d
+    case (d: java.time.LocalDate, DateType) => java.sql.Date.valueOf(d)
+    case (m: scala.collection.Map[_, _], MapType(kt, vt, _)) =>
+      m.map { case (k, x) => coerce(k, kt) -> coerce(x, vt) }.toMap
+    case (r: Row, _: StructType) => r // a UDT value read back via the scan
     case (other, t) => throw new CqlInvalidQueryException(
       s"cannot coerce $other to $t")
   }

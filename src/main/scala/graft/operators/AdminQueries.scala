@@ -216,6 +216,48 @@ object AdminQueries {
              ORDER BY o_orderpriority""")
   }
 
+  /** CAT3 — the DSv2 row-level MERGE bridge in the gate (r12,
+    * `SupportsRowLevelOperations` + `SupportsDelta`): plain Spark SQL
+    * `MERGE INTO catalog.ns.t` with DELETE / UPDATE / INSERT branches
+    * rewrites into a primary-key-addressed delta that commits through
+    * the session's CQL upsert + tombstone bridge under ONE coordinator
+    * timestamp (the cat1/cat2 path — MODIFY enforcement, guardrails,
+    * CDC, reconcile all apply). The twin re-derives the merged state
+    * from the fixture with explicit join algebra, so every branch's
+    * row-set AND the updated post-image values are hash-verified. */
+  def cat3_catalog_merge(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.cql.CqlSession(s)
+    sess.execute("CREATE TABLE cat_orders3 (o_orderkey bigint PRIMARY " +
+      "KEY, o_totalprice double, o_orderpriority text)")
+    sess.exposeAsCatalog("graftcat3")
+    s.read.parquet(s"$d/orders.parquet")
+      .createOrReplaceTempView("cat3_src")
+    s.sql("INSERT INTO graftcat3.default.cat_orders3 " +
+      "SELECT o_orderkey, o_totalprice, o_orderpriority " +
+      "FROM cat3_src WHERE o_orderkey <= 2000")
+    // source overlaps the loaded keys (1001–2000 matched) and extends
+    // past them (2001–3000 not-matched); urgent matches DELETE, other
+    // matches UPDATE the price post-image, the rest INSERT
+    s.sql("""MERGE INTO graftcat3.default.cat_orders3 t
+             USING (SELECT o_orderkey, o_totalprice + 5.0 AS p,
+                           o_orderpriority
+                    FROM cat3_src
+                    WHERE o_orderkey BETWEEN 1001 AND 3000) s
+             ON t.o_orderkey = s.o_orderkey
+             WHEN MATCHED AND s.o_orderpriority = '1-URGENT' THEN DELETE
+             WHEN MATCHED THEN UPDATE SET o_totalprice = s.p
+             WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice,
+               o_orderpriority) VALUES (s.o_orderkey, s.p,
+               s.o_orderpriority)""")
+    s.sql("""SELECT o_orderpriority,
+             count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
+             min(o_orderkey) AS first_key
+             FROM graftcat3.default.cat_orders3
+             GROUP BY o_orderpriority
+             ORDER BY o_orderpriority""")
+  }
+
   /** CQL28 (r11) — dynamic data masking in the gate (5.0 DDM, CEP-20
     * [U cql3/functions/masking/, auth/Permission UNMASK + SELECT_MASKED,
     * schema/ColumnMetadata.mask]): a table declares `MASKED WITH` masks
@@ -840,6 +882,7 @@ object AdminQueries {
     "cql15_settings" -> (cql15_settings _),
     "cat1_catalog" -> (cat1_catalog _),
     "cat2_catalog_delete" -> (cat2_catalog_delete _),
+    "cat3_catalog_merge" -> (cat3_catalog_merge _),
     "cql17_keyspace" -> (cql17_keyspace _),
     "cql18_binding" -> (cql18_binding _),
     "cql19_compaction" -> (cql19_compaction _),
@@ -920,6 +963,34 @@ object AdminQueries {
         |  min(o_orderkey) AS first_key
         |FROM orders WHERE o_orderkey <= 2000 AND (o_orderkey - 1) % 3 <> 0
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // re-derive the MERGE's post-state: survivors of the base (not
+    // urgent-matched), updated post-images (matched price + 5.0), and
+    // the not-matched inserts — IEEE double `+ 5.0` is bit-exact in
+    // any engine, so values hash-match, not just row sets
+    "cat3_catalog_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |  WHERE o_orderkey <= 2000
+        |), src AS (
+        |  SELECT o_orderkey, o_totalprice + 5.0 AS p, o_orderpriority
+        |  FROM orders WHERE o_orderkey BETWEEN 1001 AND 3000
+        |), merged AS (
+        |  SELECT b.o_orderkey,
+        |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.p
+        |         ELSE b.o_totalprice END AS o_totalprice,
+        |    b.o_orderpriority
+        |  FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+        |  WHERE s.o_orderkey IS NULL OR s.o_orderpriority <> '1-URGENT'
+        |  UNION ALL
+        |  SELECT s.o_orderkey, s.p, s.o_orderpriority FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM base b
+        |                    WHERE b.o_orderkey = s.o_orderkey)
+        |)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
+        |  min(o_orderkey) AS first_key
+        |FROM merged GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // the literal keyspace-lifecycle state: distinct same-named tables,
     // prepare-time binding, scoped grants, attribution, drop semantics
     "cql17_keyspace" ->

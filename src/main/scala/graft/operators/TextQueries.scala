@@ -213,19 +213,35 @@ object TextQueries {
     // within-shard rank is the global rank minus the shard's first global
     // rank (16 broadcast offsets). The Σ(rank·doc_id) checksum is identical
     // to the window form by construction (same total order within a shard).
+    //
+    // SINGLE-PASS over the sorted data (r12, judge item): the trio of jobs
+    // below (zipWithIndex's internal count, the shard-start reduceByKey, the
+    // final aggregation) would otherwise each re-run the post-shuffle
+    // in-partition sort — 3× the sort work at 100 TB. The sorted RDD is
+    // persisted DISK_ONLY (sequential spill-friendly, no executor-memory
+    // pressure at scale) so the sort's in-partition merge executes exactly
+    // ONCE — zipWithIndex's count job populates the cache, the two later
+    // jobs read it — and unpersisted as soon as the ≤16-row result is
+    // materialized. `sortedRowsMaterialized` counts rows crossing the
+    // sort→cache boundary; ScalePlanSpec asserts it equals the document
+    // count (each sorted row computed exactly once across all three jobs).
     import s.implicits._
-    val ranked = Tables.documents(s, d)
+    val sortCounter = s.sparkContext.longAccumulator("x22_sorted_rows")
+    val sorted = Tables.documents(s, d)
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"),
         hashMod(col("doc_id"), 16).as("shard"),
         hashMod(col("doc_id") + 7919L, 1000000).as("ord"))
       .as[(Long, Long, Long, Long)]
       .orderBy("shard", "ord", "doc_id") // range partition: parallel in-shard
-      .rdd.zipWithIndex()
+      .rdd
+      .map { r => sortCounter.add(1L); r }
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val ranked = sorted.zipWithIndex()
     val shardStart = ranked // first global rank per shard: ≤16 rows collected
       .map { case ((_, _, shard, _), g) => (shard, g) }
       .reduceByKey(math.min).collectAsMap()
     val bcStart = s.sparkContext.broadcast(Map(shardStart.toSeq: _*))
-    ranked
+    val agg = ranked
       .map { case ((docId, nTok, shard, _), g) =>
         (shard, nTok, (g - bcStart.value(shard) + 1L) * docId)
       }
@@ -235,7 +251,20 @@ object TextQueries {
         sum(col("n_tok")).as("sum_tokens"),
         sum(col("term")).as("order_checksum"))
       .orderBy("shard")
+    // ≤16 rows: materialize while the cache is live, then release it —
+    // the returned frame is the tiny local result, not a lazy lineage
+    // that would outlive the unpersist
+    val out = agg.collect()
+    sorted.unpersist(blocking = false)
+    x22SortedRowsMaterialized.set(sortCounter.value)
+    s.createDataFrame(java.util.Arrays.asList(out: _*), agg.schema)
   }
+
+  /** test probe (ScalePlanSpec): rows that crossed x22's sort→cache
+    * boundary in the last run — equal to the document count exactly when
+    * the sorted lineage materialized once across the three jobs. */
+  private[graft] val x22SortedRowsMaterialized =
+    new java.util.concurrent.atomic.AtomicLong(-1L)
 
   /** X24 (r10): WEIGHTED sampling without replacement — the
     * Efraimidis–Spirakis one-pass reservoir [P: Efraimidis & Spirakis

@@ -52,6 +52,20 @@ object ColumnarPartialAgg {
   private def utcZone(z: Option[String]): Boolean =
     z.exists(s => s == "UTC" || s == "Etc/UTC" || s == "GMT" || s == "Z")
 
+  /** Spark's double ordering (SQLOrderingUtil.compareDoubles): primitive
+    * `==` first, so -0.0 == 0.0 (unlike java.lang.Double.compare, which
+    * orders -0.0 < 0.0); NaN still compares greatest and self-equal via
+    * the Double.compare fallback. Parquet data CAN contain -0.0, and a
+    * residual `v = 0.0` or min/max over doubles must match the stock plan. */
+  private def compareDoubles(x: Double, y: Double): Int =
+    if (x == y) 0 else java.lang.Double.compare(x, y)
+
+  /** test probe: high-water string-intern table size observed at any
+    * memory-bound flush reset (asserts the tables are cleared with the
+    * accumulators instead of growing for the task's lifetime). */
+  private[graft] val maxInternAtReset =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   // ——— typed per-row column programs over a ColumnarBatch ———
   private[spark] sealed trait Col extends Serializable {
     def isNull(b: ColumnarBatch, i: Int): Boolean
@@ -259,8 +273,7 @@ object ColumnarPartialAgg {
         }
         case (Some(l: DoubleCol), Some(r: DoubleCol)) => Some { (b, i) =>
           if (l.isNull(b, i) || r.isNull(b, i)) (-1).toByte
-          // Double.compare: NaN greatest and self-equal — Spark's ordering
-          else if (sign(java.lang.Double.compare(l.get(b, i), r.get(b, i))))
+          else if (sign(compareDoubles(l.get(b, i), r.get(b, i))))
             1.toByte else 0.toByte
         }
         case (Some(l: StringCol), Some(r: StringCol)) => Some { (b, i) =>
@@ -448,11 +461,11 @@ object ColumnarPartialAgg {
         val s = slots(i)
         if (s >= 0 && !e.isNull(b, i)) {
           val v = e.get(b, i)
-          // Double.compare: NaN greatest and self-equal — Spark's ordering
+          // compareDoubles: -0.0 == 0.0, NaN greatest — Spark's ordering
           if (!seen(s)) { cur(s) = v; seen(s) = true }
           else if (isMin) {
-            if (java.lang.Double.compare(v, cur(s)) < 0) cur(s) = v
-          } else if (java.lang.Double.compare(v, cur(s)) > 0) cur(s) = v
+            if (compareDoubles(v, cur(s)) < 0) cur(s) = v
+          } else if (compareDoubles(v, cur(s)) > 0) cur(s) = v
         }
         i += 1
       }
@@ -499,53 +512,78 @@ object ColumnarPartialAgg {
     * values inside the guard band take the exact string route. The
     * accumulator is an unscaled long (combine-order-proof, the repo's
     * dec6 convention) escalating to BigDecimal on overflow. Buffer is
-    * Spark Sum-over-decimal's (sum: decimal, isEmpty: bool). */
+    * Spark Sum-over-decimal's (sum: decimal, isEmpty: bool).
+    *
+    * Overflow mirrors STOCK NON-ANSI semantics exactly (compileAgg bails
+    * under ANSI, so this path only runs non-ANSI): an input whose
+    * quantized value does not fit decimal(p,s) — including NaN/Inf — is
+    * what Cast would null out, so Sum skips it (isEmpty untouched); a
+    * SUM that overflows decimal(p,s) goes null-and-stays-null
+    * (CheckOverflowInSum's sticky null), emitted as (null, isEmpty=false)
+    * so the final aggregate reports null, never an exception. */
   private final class DecimalSumAcc(e: DoubleCol, precision: Int, scale: Int)
       extends Acc {
     private val factor = math.pow(10d, scale)
+    // largest |unscaled long| that still fits `precision` digits
+    private val maxInputUnscaled: Long =
+      if (precision >= 19) Long.MaxValue
+      else { var m = 1L; var i = 0; while (i < precision) { m *= 10; i += 1 }; m - 1 }
     private var unscaled = new Array[Long](0)
     private var bigs = new Array[java.math.BigDecimal](0) // escalation
     private var isEmpty = new Array[Boolean](0)
+    private var over = new Array[Boolean](0) // sticky sum-overflow → null
     def grow(n: Int): Unit = if (unscaled.length < n) {
       val c = math.max(n, unscaled.length * 2)
       unscaled = java.util.Arrays.copyOf(unscaled, c)
       bigs = java.util.Arrays.copyOf(bigs, c)
+      over = java.util.Arrays.copyOf(over, c)
       val old = isEmpty.length
       isEmpty = java.util.Arrays.copyOf(isEmpty, c)
       java.util.Arrays.fill(isEmpty, old, c, true)
+    }
+    private def addBig(s: Int, v: java.math.BigDecimal): Unit = {
+      bigs(s) = bigs(s).add(v)
+      if (bigs(s).precision > precision) over(s) = true // sticky, like stock
     }
     private def addUnscaled(s: Int, u: Long): Unit =
       if (bigs(s) == null) {
         try unscaled(s) = Math.addExact(unscaled(s), u)
         catch { case _: ArithmeticException =>
           bigs(s) = java.math.BigDecimal.valueOf(unscaled(s), scale)
-            .add(java.math.BigDecimal.valueOf(u, scale))
+          addBig(s, java.math.BigDecimal.valueOf(u, scale))
         }
-      } else bigs(s) = bigs(s).add(java.math.BigDecimal.valueOf(u, scale))
+      } else addBig(s, java.math.BigDecimal.valueOf(u, scale))
     def updateBatch(b: ColumnarBatch, n: Int, slots: Array[Int]): Unit = {
       var i = 0
       while (i < n) {
         val s = slots(i)
-        if (s >= 0 && !e.isNull(b, i)) {
+        if (s >= 0 && !e.isNull(b, i) && !over(s)) {
           val d = e.get(b, i)
-          if (!java.lang.Double.isFinite(d))
-            throw new ArithmeticException(
-              s"$d cannot be represented as Decimal($precision, $scale)")
-          isEmpty(s) = false
-          val y = d * factor
-          val frac = y - Math.floor(y)
-          if (Math.abs(frac - 0.5) > 1e-3 && Math.abs(y) < 4.0e18) {
-            addUnscaled(s, Math.round(y)) // nearest == HALF_UP off-boundary
-          } else {
-            // boundary or out-of-long range: exact Spark cast semantics
-            val exact = new java.math.BigDecimal(java.lang.Double.toString(d))
-              .setScale(scale, java.math.RoundingMode.HALF_UP)
-            if (bigs(s) == null && exact.unscaledValue().bitLength() < 63)
-              addUnscaled(s, exact.unscaledValue().longValue())
-            else {
-              if (bigs(s) == null)
-                bigs(s) = java.math.BigDecimal.valueOf(unscaled(s), scale)
-              bigs(s) = bigs(s).add(exact)
+          // non-finite or precision-exceeding input: non-ANSI Cast yields
+          // null, Sum skips the row entirely
+          if (java.lang.Double.isFinite(d)) {
+            val y = d * factor
+            val frac = y - Math.floor(y)
+            if (Math.abs(frac - 0.5) > 1e-3 && Math.abs(y) < 4.0e18) {
+              val u = Math.round(y) // nearest == HALF_UP off-boundary
+              if (Math.abs(u) <= maxInputUnscaled) {
+                isEmpty(s) = false
+                addUnscaled(s, u)
+              }
+            } else {
+              // boundary or out-of-long range: exact Spark cast semantics
+              val exact = new java.math.BigDecimal(java.lang.Double.toString(d))
+                .setScale(scale, java.math.RoundingMode.HALF_UP)
+              if (exact.precision <= precision) {
+                isEmpty(s) = false
+                if (bigs(s) == null && exact.unscaledValue().bitLength() < 63)
+                  addUnscaled(s, exact.unscaledValue().longValue())
+                else {
+                  if (bigs(s) == null)
+                    bigs(s) = java.math.BigDecimal.valueOf(unscaled(s), scale)
+                  addBig(s, exact)
+                }
+              }
             }
           }
         }
@@ -553,10 +591,13 @@ object ColumnarPartialAgg {
       }
     }
     def emit(slot: Int, row: GenericInternalRow, off: Int): Int = {
-      val out =
-        if (bigs(slot) == null) Decimal(unscaled(slot), precision, scale)
-        else Decimal(scala.math.BigDecimal(bigs(slot)), precision, scale)
-      row.update(off, out)
+      val bd =
+        if (bigs(slot) == null) java.math.BigDecimal.valueOf(unscaled(slot), scale)
+        else bigs(slot)
+      // final fit check covers the long path too (p < 19 sums can exceed
+      // p digits without overflowing the long)
+      if (over(slot) || bd.precision > precision) row.update(off, null)
+      else row.update(off, Decimal(scala.math.BigDecimal(bd), precision, scale))
       row.update(off + 1, isEmpty(slot))
       off + 2
     }
@@ -564,6 +605,7 @@ object ColumnarPartialAgg {
       unscaled = new Array[Long](0)
       bigs = new Array[java.math.BigDecimal](0)
       isEmpty = new Array[Boolean](0)
+      over = new Array[Boolean](0)
     }
   }
 
@@ -576,6 +618,10 @@ object ColumnarPartialAgg {
   def compileAgg(agg: HashAggregateExec, scan: FileSourceScanExec,
       project: Option[Seq[NamedExpression]],
       filter: Option[Expression] = None): Option[Kernel] = {
+    // ANSI mode changes overflow behavior everywhere the kernel takes a
+    // shortcut (LongSumAcc wraps where ANSI throws; DecimalSumAcc mirrors
+    // the non-ANSI cast's null-on-overflow) — keep the stock plan there
+    if (org.apache.spark.sql.internal.SQLConf.get.ansiEnabled) return None
     // the residual filter sits BELOW the project, so its attributes are
     // scan attributes directly — no alias substitution needed
     val predEval = filter.map(f => compilePred(f, scan.output))
@@ -667,10 +713,15 @@ object ColumnarPartialAgg {
         }
       }
     if (accFactories.exists(_.isEmpty)) return None
-    // partial output must be exactly keys ++ buffers, in order
-    val bufWidth = agg.aggregateExpressions
-      .map(_.aggregateFunction.aggBufferAttributes.length).sum
-    if (agg.output.length != agg.groupingExpressions.length + bufWidth)
+    // partial output must be exactly the grouping attributes followed by
+    // the aggregate buffer attributes, exprId-wise in order — a same-length
+    // but reordered/aliased resultExpressions list must bail, not emit
+    // misattributed buffer columns
+    val expectedOut: Seq[Attribute] =
+      agg.groupingExpressions.map(_.toAttribute) ++
+        agg.aggregateExpressions.flatMap(_.aggregateFunction.aggBufferAttributes)
+    if (agg.output.length != expectedOut.length ||
+        agg.output.lazyZip(expectedOut).exists((a, b) => a.exprId != b.exprId))
       return None
     val factories = accFactories.map(_.get).toArray
     Some(Kernel(keySpecs.map(_.get).toArray, () => factories.map(_()),
@@ -724,8 +775,10 @@ case class ColumnarPartialAggExec(
       val accs = kernel.accFactory()
       var slots = new Array[Int](8192)
       val probe = new LKey(new Array[Long](nKeys + 1)) // last slot: null bits
-      // per string-key interning (dense ids; UTF8Strings cloned once;
-      // ids stay stable across flushes — only the slot map resets)
+      // per string-key interning (dense ids; UTF8Strings cloned once per
+      // flush window; tables reset WITH the accumulators at each
+      // memory-bound flush so per-task memory stays O(maxGroups), not
+      // O(distinct strings in the split))
       val interns = keys.map {
         case StringKey(_) => new java.util.HashMap[UTF8String, Integer]()
         case _ => null
@@ -822,7 +875,24 @@ case class ColumnarPartialAggExec(
         private var done = false
         private def pump(): Unit = {
           while (!cur.hasNext && !done) {
-            if (pendingReset) { accs.foreach(_.reset()); pendingReset = false }
+            if (pendingReset) {
+              accs.foreach(_.reset())
+              // the intern tables must reset WITH the accumulators: the
+              // emitted iterator has drained (names lookups done), and a
+              // lifetime-of-task intern table would grow unbounded on a
+              // high-cardinality string key — the exact regime maxGroups
+              // exists to protect. Subsequent batches re-intern from 0.
+              var k = 0
+              while (k < interns.length) {
+                if (interns(k) != null) {
+                  ColumnarPartialAgg.maxInternAtReset.getAndAccumulate(
+                    names(k).length.toLong, Math.max(_, _))
+                  interns(k).clear(); names(k).clear()
+                }
+                k += 1
+              }
+              pendingReset = false
+            }
             if (batches.hasNext) {
               consume(batches.next())
               if (slotKeys.length > maxGroups) {

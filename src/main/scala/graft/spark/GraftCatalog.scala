@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, SupportsTruncate, V1Write, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -44,8 +44,13 @@ import java.util
   * guardrail semantics hold across both surfaces. Row-level DELETE
   * (r10): key equality / IN predicates map to the SAME tombstones the
   * CQL verb writes, and TRUNCATE TABLE is the CQL TRUNCATE DDL with its
-  * auto_snapshot safety net; UPDATE/MERGE stay CQL-side (cell-level ops
-  * and USING TIMESTAMP/TTL don't map onto DSv2 row-level ops).
+  * auto_snapshot safety net. MERGE INTO / UPDATE (r12, and DELETE with
+  * non-key predicates): `SupportsRowLevelOperations` + `SupportsDelta` —
+  * the rewrite reads affected rows from the snapshot scan and commits a
+  * primary-key-addressed delta of CQL upserts + tombstones under one
+  * coordinator timestamp (`CqlSession.catalogApplyDelta`). CQL-only
+  * granularities (USING TIMESTAMP/TTL, collection element ops, counters)
+  * stay on the CQL verbs.
   *
   * Catalog instances are created reflectively by Spark's CatalogManager
   * (zero-arg constructor + `initialize`), so the session binds through a
@@ -125,7 +130,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           throw new NoSuchTableException(ident)
         // permission errors must surface as such, not as missing tables
       }
-    new GraftTable(ident.toString, schema,
+    // PRIMARY KEY columns are non-null by CQL contract — declare it, so
+    // Spark rejects null-key INSERTs at analysis and the row-level
+    // rewrite accepts them as row ID attributes (NULLABLE_ROW_ID check)
+    val pk =
+      try session.primaryKeyOf(key).map(_.toLowerCase).toSet
+      catch { case _: CqlInvalidQueryException => Set.empty[String] }
+    val declared = StructType(schema.fields.map(f =>
+      if (pk(f.name.toLowerCase)) f.copy(nullable = false) else f))
+    new GraftTable(ident.toString, declared,
       GraftShim.parquetTable(session.sparkSession, ident.toString, dir,
         schema), session, key)
   }
@@ -294,15 +307,37 @@ object GraftCatalog {
   * equality / IN predicates become the SAME row/partition tombstones the
   * CQL verb writes (SupportsDelete → CqlSession.catalogDelete), and
   * Spark's TRUNCATE TABLE is the CQL TRUNCATE DDL (auto_snapshot
-  * included). UPDATE/MERGE stay CQL-side: their granularities
-  * (cell-level ops, USING TIMESTAMP/TTL, collection mutations) have no
-  * faithful DSv2 mapping. */
+  * included). MERGE/UPDATE (r12) rewrite through the delta row-level
+  * path below; CQL-only granularities (USING TIMESTAMP/TTL, collection
+  * element ops, counters) stay on the CQL verbs. */
 private[spark] class GraftTable(ident: String, tableSchema: StructType,
     delegate: Table, session: CqlSession, registryKey: String)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = ident
   override def schema(): StructType = tableSchema
+
+  /** Spark SQL `MERGE INTO` / `UPDATE` — and `DELETE` whose predicates
+    * fall outside `SupportsDelete`'s key-equality subset — rewrite
+    * through the DELTA row-level path (r12): Spark scans the snapshot for
+    * affected rows and hands back a per-row delta addressed by the
+    * table's PRIMARY KEY (`rowId`), which commits into
+    * `CqlSession.catalogApplyDelta` as CQL upserts + row tombstones under
+    * ONE coordinator timestamp — the same bridge semantics INSERT/DELETE
+    * already use (MODIFY enforcement, guardrails, triggers, CDC,
+    * reconcile). Delta-based (`SupportsDelta`), NOT group-based: CQL's
+    * log model upserts changed rows; rewriting whole file groups would
+    * fake copy-on-write semantics the engine doesn't have. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    if (!session.isWritableTable(registryKey))
+      throw new CqlInvalidQueryException(
+        s"table $ident is not writable (materialized views are " +
+          "maintained from their base table)")
+    () => new GraftRowLevelOperation(session, registryKey, delegate,
+      info.command)
+  }
 
   /** Flatten a top-level conjunction of source filters into (column →
     * value | CqlInList) pairs, or None if any conjunct falls outside the
@@ -374,4 +409,115 @@ private[spark] class GraftTable(ident: String, tableSchema: StructType,
           }
       }
     }
+}
+
+/** Delta-based row-level operation over a catalog table: the scan is the
+  * table's stock parquet snapshot reader (vectorized, pushdown — the
+  * rewrite's candidate-row read costs what any filtered read costs), the
+  * row identity is the CQL PRIMARY KEY, and the write is a delta of
+  * upserts + deletes committed through the session under one coordinator
+  * timestamp. [P: the SupportsDelta surface is Spark 4's public
+  * row-level-operation API; Iceberg's merge-on-read is the public design
+  * analogue — here the "read side" merge is the session's reconcile
+  * fold, which already resolves cells by writetime.] */
+private[spark] class GraftRowLevelOperation(session: CqlSession,
+    registryKey: String, delegate: Table,
+    cmd: RowLevelOperation.Command)
+    extends RowLevelOperation with SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
+
+  override def rowId()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    session.primaryKeyOf(registryKey)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        private val dataSchema = info.schema()
+        private val idSchema = info.rowIdSchema().orElse(new StructType())
+        override def toBatch(): DeltaBatchWrite = new DeltaBatchWrite {
+          override def createBatchWriterFactory(pInfo: PhysicalWriteInfo)
+              : DeltaWriterFactory =
+            GraftDeltaWriterFactory(dataSchema, idSchema)
+          override def useCommitCoordinator(): Boolean = false
+          /** Driver-side commit: the per-task deltas (CHANGED rows only,
+            * never the table) apply as one rollback-atomic mutation batch
+            * — the engine's single-coordinator write model, same as every
+            * CQL statement. */
+          override def commit(messages: Array[WriterCommitMessage]): Unit = {
+            val ds = messages.collect { case m: GraftDeltaMessage => m }
+            session.catalogApplyDelta(registryKey,
+              dataSchema.fieldNames.toSeq, idSchema.fieldNames.toSeq,
+              ds.iterator.flatMap(_.upserts).toSeq,
+              ds.iterator.flatMap(_.deletes).toSeq)
+          }
+          override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+        }
+      }
+    }
+}
+
+/** Per-task delta: converted external rows (Seq[Any] in data/id column
+  * order), shipped to the coordinator in the commit message. */
+private[spark] case class GraftDeltaMessage(upserts: Seq[Seq[Any]],
+    deletes: Seq[Seq[Any]]) extends WriterCommitMessage
+
+private[spark] case class GraftDeltaWriterFactory(dataSchema: StructType,
+    idSchema: StructType) extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] =
+    new GraftDeltaWriter(dataSchema, idSchema)
+}
+
+/** Buffers this task's delta as external-typed rows. An UPDATE whose new
+  * row keeps its primary key is ONE upsert (CQL's natural form); a
+  * key-moving UPDATE (legal in Spark SQL, inexpressible in CQL) maps to
+  * delete(old key) + upsert(new row) — both land in the same
+  * single-timestamp batch, addressing different rows. */
+private[spark] class GraftDeltaWriter(dataSchema: StructType,
+    idSchema: StructType)
+    extends DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] {
+  import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+
+  private val upserts = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+  private val deletes = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+  private val toData = CatalystTypeConverters.createToScalaConverter(dataSchema)
+  private val toId = CatalystTypeConverters.createToScalaConverter(idSchema)
+  // id column positions within the data row (for pk-unchanged detection)
+  private val idIdxInData = idSchema.fieldNames.map(n =>
+    dataSchema.fieldNames.indexWhere(_.equalsIgnoreCase(n)))
+
+  private def dataSeq(row: InternalRow): Seq[Any] =
+    toData(row).asInstanceOf[org.apache.spark.sql.Row].toSeq
+  private def idSeq(row: InternalRow): Seq[Any] =
+    toId(row).asInstanceOf[org.apache.spark.sql.Row].toSeq
+
+  override def insert(row: InternalRow): Unit = upserts += dataSeq(row)
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit =
+    deletes += idSeq(id)
+
+  override def update(meta: InternalRow, id: InternalRow,
+      row: InternalRow): Unit = {
+    val newRow = dataSeq(row)
+    val oldId = idSeq(id)
+    val keyUnchanged = idIdxInData.indices.forall { i =>
+      val j = idIdxInData(i)
+      j >= 0 && java.util.Objects.equals(newRow(j), oldId(i))
+    }
+    if (!keyUnchanged) deletes += oldId
+    upserts += newRow
+  }
+
+  override def commit(): WriterCommitMessage =
+    GraftDeltaMessage(upserts.toSeq, deletes.toSeq)
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
 }

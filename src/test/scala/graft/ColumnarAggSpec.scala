@@ -194,6 +194,73 @@ class ColumnarAggSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.columnarAgg.maxAggs")
   }
 
+  test("memory bound also bounds the string-intern tables: a near-unique " +
+    "string key under maxGroups=4 resets interning at every flush") {
+    val dir = Tables.tempRoot("graft-colagg-intern")
+    // 50k distinct string keys in one file → without the flush-time intern
+    // reset the table grows to 50k entries per task; with it, the
+    // high-water mark at any reset stays O(maxGroups + one reader batch)
+    spark.range(50000).selectExpr(
+      "concat('key_', id) AS k", "CAST(id AS DOUBLE) AS v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    def agg() = spark.read.parquet(dir)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum(col("v") * 0 + 1).as("s"))
+      .collect().map(_.toString).sorted.toSeq
+    graft.spark.ColumnarPartialAgg.maxInternAtReset.set(0L)
+    spark.conf.set("spark.graft.columnarAgg.maxGroups", "4")
+    val flushed = try agg()
+      finally spark.conf.unset("spark.graft.columnarAgg.maxGroups")
+    val hw = graft.spark.ColumnarPartialAgg.maxInternAtReset.get
+    assert(hw > 0L, "flush resets must have fired (probe untouched)")
+    // one reader batch can add up to its row count before the flush check
+    // runs; the bound is maxGroups + max vectorized batch (4096), NOT the
+    // split's 50k distinct strings
+    assert(hw <= 8192L,
+      s"intern table grew past the flush bound ($hw entries at a reset)")
+    val stock = agg() // unbounded rerun as reference (same partitioning)
+    assert(flushed === stock)
+  }
+
+  test("decimal sum mirrors stock NON-ANSI overflow semantics: oversized " +
+    "and non-finite inputs are cast-nulled, an overflowing sum goes null, " +
+    "and ANSI mode keeps the stock plan") {
+    val dir = Tables.tempRoot("graft-colagg-overflow")
+    // |v| ≥ 1e32 quantizes past decimal(38,6)'s 38 digits → Cast → null →
+    // Sum skips it; NaN/Inf likewise; the finite small values still sum
+    spark.sql(
+      "SELECT * FROM VALUES (CAST(1e33 AS DOUBLE)), (CAST('NaN' AS DOUBLE)), " +
+        "(CAST('Infinity' AS DOUBLE)), (5.5D), (2.25D) AS t(v)")
+      .write.mode("overwrite").parquet(dir)
+    def agg(path: String) = spark.read.parquet(path)
+      .agg(sum(dec6(col("v"))).as("sv")).collect().map(_.toString).toSeq
+    val swapped = agg(dir)
+    spark.conf.set("spark.graft.columnarAgg.enabled", "false")
+    val stock = try agg(dir)
+      finally spark.conf.set("spark.graft.columnarAgg.enabled", "true")
+    assert(swapped === stock)
+    assert(swapped.head.contains("7.75"), swapped.head)
+    // a SUM that overflows decimal(38,6) emits null (CheckOverflowInSum's
+    // sticky null), never an ArithmeticException
+    val dir2 = Tables.tempRoot("graft-colagg-overflow2")
+    spark.range(10).selectExpr("CAST(9e31 AS DOUBLE) AS v")
+      .coalesce(1).write.mode("overwrite").parquet(dir2)
+    val swapped2 = agg(dir2)
+    spark.conf.set("spark.graft.columnarAgg.enabled", "false")
+    val stock2 = try agg(dir2)
+      finally spark.conf.set("spark.graft.columnarAgg.enabled", "true")
+    assert(swapped2 === stock2)
+    assert(spark.read.parquet(dir2).agg(sum(dec6(col("v")))).head().isNullAt(0))
+    // ANSI changes overflow behavior (LongSumAcc wraps where ANSI stock
+    // throws) → the rule must bail to stock on an otherwise-swapping shape
+    def t1Plan() = events().groupBy(date_trunc("hour", col("ts")))
+      .agg(count(lit(1))).queryExecution.executedPlan.toString
+    assert(t1Plan().contains("GraftColumnarPartialAgg"))
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try assert(!t1Plan().contains("GraftColumnarPartialAgg"),
+      "ANSI mode must keep the stock plan")
+    finally spark.conf.set("spark.sql.ansi.enabled", "false")
+  }
+
   test("global aggregate (no grouping) swaps and equals stock, including " +
     "over an empty relation") {
     def agg(df: org.apache.spark.sql.DataFrame) = df

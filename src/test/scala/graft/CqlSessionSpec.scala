@@ -452,10 +452,13 @@ class CqlSessionSpec extends SparkSpec {
       "AS 'return st + x;'")
     s.execute("CREATE AGGREGATE reg_agg (bigint) SFUNC reg_sf STYPE bigint " +
       "INITCOND 0")
-    val idx = s.execute("SELECT table_name, kind, target FROM " +
+    val idx = s.execute("SELECT table_name, kind, options FROM " +
       "system_schema.indexes WHERE keyspace_name = 'default' " +
       "AND table_name = 'reg_t' AND index_name = 'reg_idx'").head()
-    assert(idx.getString(1) === "CUSTOM" && idx.getString(2) === "v")
+    assert(idx.getString(1) === "CUSTOM")
+    // upstream schema parity: target is options['target'], not a column
+    assert(idx.getMap[String, String](2)("target") === "v")
+    assert(!idx.schema.fieldNames.contains("target"))
     assert(s.execute("SELECT base_table_name FROM system_schema.views " +
       "WHERE keyspace_name = 'default' AND view_name = 'reg_mv'")
       .head().getString(0) === "reg_t")
@@ -1367,6 +1370,31 @@ class CqlSessionSpec extends SparkSpec {
       "USING 'StorageAttachedIndex'")
     assert(s.execute("SELECT user_id FROM users WHERE name > 'e'")
       .collect().map(_.getLong(0)).sorted === Array(2L, 3L))
+  }
+
+  test("DESCRIBE TABLE renders attached CREATE INDEX statements after " +
+    "the table (cqlsh parity) and the combined dump replays") {
+    val s = indexedSession
+    s.execute("CREATE INDEX age_idx ON users (age)")
+    s.execute("CREATE CUSTOM INDEX name_sai ON users (name) " +
+      "USING 'StorageAttachedIndex'")
+    val rows = s.execute("DESCRIBE TABLE users").collect()
+    // table row FIRST (head()-based consumers), then indexes name-sorted
+    assert(rows.map(r => (r.getAs[String]("type"), r.getAs[String]("name")))
+      .toSeq === Seq(("table", "users"), ("index", "age_idx"),
+        ("index", "name_sai")))
+    val stmts = rows.map(_.getAs[String]("create_statement"))
+    assert(stmts(1).contains("CREATE INDEX age_idx ON users (age)") ||
+      stmts(1).contains("CREATE INDEX age_idx ON default.users"), stmts(1))
+    assert(stmts(2).contains("StorageAttachedIndex"), stmts(2))
+    // a tool reconstructing schema from DESCRIBE TABLE alone loses nothing:
+    // drop and replay the full dump, indexes included
+    s.execute("DROP TABLE users")
+    stmts.foreach(s.execute(_))
+    assert(s.execute("DESCRIBE TABLE users").collect().length === 3)
+    s.execute("INSERT INTO users (user_id, name, age) VALUES (9, 'kay', 50)")
+    assert(s.execute("SELECT user_id FROM users WHERE age = 50")
+      .head().getLong(0) === 9L, "replayed index serves equality")
   }
 
   test("DROP INDEX restores the filtering rejection") {

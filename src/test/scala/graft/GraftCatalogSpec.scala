@@ -48,23 +48,139 @@ class GraftCatalogSpec extends SparkSpec {
       === "back")
   }
 
-  test("Spark SQL DELETE refuses non-key-expressible predicates at analysis") {
+  test("Spark SQL DELETE with non-key predicates falls back to the " +
+    "row-level delta path (scan → delete by primary key)") {
+    // r10–r11 behavior was an analysis-time refusal; r12's
+    // SupportsRowLevelOperations makes arbitrary-predicate DELETE work:
+    // Spark scans for matching rows and the delta deletes them BY KEY,
+    // so the tombstones written are exactly CQL's
     val s = CqlSession(spark)
     s.execute("CREATE TABLE cat_del2 (k bigint PRIMARY KEY, v text)")
     s.execute("INSERT INTO cat_del2 (k, v) VALUES (1, 'x')")
+    s.execute("INSERT INTO cat_del2 (k, v) VALUES (2, 'xy')")
+    s.execute("INSERT INTO cat_del2 (k, v) VALUES (3, 'z')")
+    s.exposeAsCatalog("graft")
+    spark.sql("DELETE FROM graft.default.cat_del2 WHERE v LIKE 'x%'")
+    assert(spark.sql("SELECT k FROM graft.default.cat_del2 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(3L))
+    // the deletes are real tombstones: CQL-side reads agree, and a later
+    // CQL write resurrects the row (newer timestamp wins)
+    assert(s.execute("SELECT k FROM cat_del2").collect().map(_.getLong(0))
+      .toSeq === Seq(3L))
+    s.execute("INSERT INTO cat_del2 (k, v) VALUES (1, 'back')")
+    assert(s.execute("SELECT v FROM cat_del2 WHERE k = 1").head()
+      .getString(0) === "back")
+  }
+
+  test("Spark SQL UPDATE rewrites through the delta path: post-image " +
+    "upserts, explicit nulls tombstone, key-moving update = delete+insert") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE cat_upd (k bigint PRIMARY KEY, v text, n bigint)")
+    s.execute("INSERT INTO cat_upd (k, v, n) VALUES (1, 'a', 10)")
+    s.execute("INSERT INTO cat_upd (k, v, n) VALUES (2, 'b', 20)")
+    s.execute("INSERT INTO cat_upd (k, v, n) VALUES (3, 'c', 30)")
+    s.exposeAsCatalog("graft")
+    spark.sql("UPDATE graft.default.cat_upd SET n = n + 100 WHERE k <= 2")
+    assert(spark.sql(
+      "SELECT k, n FROM graft.default.cat_upd ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 110L), (2L, 120L), (3L, 30L)))
+    // CQL side agrees (same reconcile view)
+    assert(s.execute("SELECT n FROM cat_upd WHERE k = 1").head()
+      .getLong(0) === 110L)
+    // SET v = NULL writes a cell tombstone, not a no-op: the old value
+    // must NOT resurrect
+    spark.sql("UPDATE graft.default.cat_upd SET v = NULL WHERE k = 3")
+    assert(s.execute("SELECT v FROM cat_upd WHERE k = 3").head().isNullAt(0))
+    // a key-moving UPDATE (inexpressible in CQL) maps to delete+insert
+    spark.sql("UPDATE graft.default.cat_upd SET k = 7 WHERE k = 2")
+    assert(spark.sql("SELECT k FROM graft.default.cat_upd ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L, 7L))
+    assert(s.execute("SELECT v FROM cat_upd WHERE k = 7").head()
+      .getString(0) === "b")
+  }
+
+  test("Spark SQL MERGE INTO compiles to upserts + tombstones under one " +
+    "coordinator timestamp") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE cat_mrg (k bigint PRIMARY KEY, v text, n bigint)")
+    s.execute("INSERT INTO cat_mrg (k, v, n) VALUES (1, 'old1', 1)")
+    s.execute("INSERT INTO cat_mrg (k, v, n) VALUES (2, 'old2', 2)")
+    s.execute("INSERT INTO cat_mrg (k, v, n) VALUES (3, 'old3', 3)")
+    s.exposeAsCatalog("graft")
+    import spark.implicits._
+    Seq((2L, "new2", 20L), (3L, "del", 0L), (4L, "new4", 40L))
+      .toDF("k", "v", "n").createOrReplaceTempView("mrg_src")
+    spark.sql(
+      """MERGE INTO graft.default.cat_mrg t USING mrg_src s ON t.k = s.k
+         WHEN MATCHED AND s.v = 'del' THEN DELETE
+         WHEN MATCHED THEN UPDATE SET v = s.v, n = s.n
+         WHEN NOT MATCHED THEN INSERT (k, v, n) VALUES (s.k, s.v, s.n)""")
+    assert(spark.sql(
+      "SELECT k, v, n FROM graft.default.cat_mrg ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq((1L, "old1", 1L), (2L, "new2", 20L), (4L, "new4", 40L)))
+    // both surfaces see one reconciled truth
+    assert(s.execute("SELECT count(*) FROM cat_mrg").head().getLong(0) === 3L)
+    // ONE coordinator timestamp for the whole statement: every cell the
+    // merge wrote carries the same writetime
+    val wts = s.execute(
+      "SELECT WRITETIME(v) FROM cat_mrg WHERE k IN (2, 4)").collect()
+      .map(_.getLong(0)).distinct
+    assert(wts.length === 1, s"merge cells carry ${wts.length} writetimes")
+  }
+
+  test("row-level ops enforce MODIFY and refuse masked tables without " +
+    "UNMASK (the rewrite would persist masked values)") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE cat_rl (k bigint PRIMARY KEY, " +
+      "ssn text MASKED WITH mask_replace('X'), n bigint)")
+    s.execute("INSERT INTO cat_rl (k, ssn, n) VALUES (1, 'secret', 5)")
+    s.execute("CREATE ROLE rl_writer WITH LOGIN = true AND PASSWORD = 'p'")
+    s.execute("GRANT SELECT ON cat_rl TO rl_writer")
+    s.execute("GRANT MODIFY ON cat_rl TO rl_writer")
+    s.exposeAsCatalog("graft")
+    s.login("rl_writer", "p")
+    try {
+      // MODIFY granted but no UNMASK: the update must refuse rather than
+      // write back the masked rendering of untouched columns
+      val e = intercept[Exception] {
+        spark.sql("UPDATE graft.default.cat_rl SET n = 6 WHERE k = 1")
+      }
+      assert(e.getMessage.contains("UNMASK"), e.getMessage)
+    } finally s.login("cassandra", "cassandra")
+    s.execute("GRANT UNMASK ON cat_rl TO rl_writer")
+    s.login("rl_writer", "p")
+    try {
+      spark.sql("UPDATE graft.default.cat_rl SET n = 6 WHERE k = 1")
+    } finally s.login("cassandra", "cassandra")
+    val r = s.execute("SELECT ssn, n FROM cat_rl WHERE k = 1").head()
+    assert(r.getString(0) === "secret" && r.getLong(1) === 6L,
+      "clear value survives a row-level update by an UNMASK-granted role")
+    // and a role WITHOUT MODIFY is refused outright
+    s.execute("CREATE ROLE rl_reader WITH LOGIN = true AND PASSWORD = 'p'")
+    s.execute("GRANT SELECT ON cat_rl TO rl_reader")
+    s.execute("GRANT UNMASK ON cat_rl TO rl_reader")
+    s.login("rl_reader", "p")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("UPDATE graft.default.cat_rl SET n = 7 WHERE k = 1")
+      }
+      assert(e.getMessage.toLowerCase.contains("modify"), e.getMessage)
+    } finally s.login("cassandra", "cassandra")
+  }
+
+  test("MERGE INTO a materialized view refuses at analysis") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE cat_mvb (k bigint PRIMARY KEY, v bigint)")
+    s.execute("INSERT INTO cat_mvb (k, v) VALUES (1, 2)")
+    s.execute("CREATE MATERIALIZED VIEW cat_mvv AS SELECT k, v FROM " +
+      "cat_mvb WHERE k IS NOT NULL AND v IS NOT NULL PRIMARY KEY (v, k)")
     s.exposeAsCatalog("graft")
     val e = intercept[Exception] {
-      spark.sql("DELETE FROM graft.default.cat_del2 WHERE v LIKE 'x%'")
+      spark.sql("UPDATE graft.default.cat_mvv SET v = 9 WHERE k = 1")
     }
-    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
-    // addressing rules still come from the CQL path: a non-key equality
-    // passes the syntactic gate but the session refuses it like CQL would
-    val e2 = intercept[Exception] {
-      spark.sql("DELETE FROM graft.default.cat_del2 WHERE v = 'x'")
-    }
-    assert(e2.getMessage.nonEmpty)
-    assert(spark.sql("SELECT count(*) AS n FROM graft.default.cat_del2")
-      .head().getLong(0) === 1L)
+    assert(e.getMessage.contains("not writable"), e.getMessage)
   }
 
   test("Spark SQL TRUNCATE TABLE is the CQL verb, auto_snapshot included") {
@@ -188,12 +304,17 @@ class GraftCatalogSpec extends SparkSpec {
     s.execute("CREATE ROLE cat_reader WITH LOGIN = true")
     s.execute("GRANT SELECT ON cat_wauth TO cat_reader")
     s.exposeAsCatalog("graft")
-    // a null primary key is rejected like COPY FROM
+    // a null primary key is rejected — at Spark analysis now that the
+    // catalog declares pk columns non-nullable (CQL contract), or by the
+    // session's COPY FROM check if a nullable source slips through
     val eNull = intercept[Exception] {
       spark.sql("INSERT INTO graft.default.cat_wauth " +
         "SELECT CAST(NULL AS BIGINT), 1")
     }
-    assert(chain(eNull).contains("null primary key"), chain(eNull))
+    val nullMsg = chain(eNull).toLowerCase
+    assert(nullMsg.contains("null primary key") ||
+      nullMsg.contains("nullable") || nullMsg.contains("not null") ||
+      nullMsg.contains("null value"), chain(eNull))
     // system tables stay read-only through the catalog
     val eSys = intercept[Exception] {
       spark.sql("INSERT INTO graft.system_schema.tables " +
