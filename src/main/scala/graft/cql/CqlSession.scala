@@ -2156,6 +2156,10 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
             "(bulk load carries a wrong-dimension vector)")
     }
     beforeCommit(shaped)
+    // CDC space bound checks BEFORE the state commit: a rejected bulk
+    // load must leave the table untouched, like any rejected mutation
+    if (cdcEnabled.contains(table.toLowerCase))
+      cdcGuardSpace(table.toLowerCase)
     // re-read the state: beforeCommit may have truncated (INSERT OVERWRITE)
     val t1 = tableState(table)
     state(table.toLowerCase) =
@@ -2931,18 +2935,77 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
   private def cdcDirOf(table: String): String =
     s"$cdcRoot/${table.toLowerCase.replace('.', '_')}"
 
+  /** `spark.graft.cdc.total_space_in_mb` — the cdc_raw space bound
+    * (upstream `cdc_total_space` [U db/commitlog/
+    * CommitLogSegmentManagerCDC]: when the consumer falls behind and the
+    * dir fills, writes to CDC-enabled tables are REJECTED, not silently
+    * dropped — the backpressure that makes CDC safe to enable). Unset =
+    * unbounded (the engine deviates from upstream's 4 GiB default so
+    * fixture sessions never trip it unconfigured; operators set it).
+    * Surfaces in `system_views.settings` like every live conf. */
+  private def cdcSpaceLimitBytes: Option[Long] =
+    spark.conf.getOption("spark.graft.cdc.total_space_in_mb")
+      .map(_.trim.toLong).filter(_ >= 0).map(_ * 1024L * 1024L)
+
+  /** Reject the mutation when the cdc dir is at the configured bound.
+    * Thrown INSIDE withPendingRollback, so the whole statement rolls
+    * back — the upstream contract (the write fails; it is never applied
+    * locally but lost to CDC). */
+  private def cdcGuardSpace(tbl: String): Unit =
+    cdcSpaceLimitBytes.foreach { lim =>
+      if (dirBytes(cdcRoot) >= lim)
+        throw new CqlInvalidQueryException(
+          s"Rejecting mutation to CDC-enabled table $tbl: cdc_raw is at " +
+            s"cdc_total_space (${lim / 1048576L} MiB) — consume and reap " +
+            "segments (cdcReap) to free space")
+    }
+
   private def emitCdcDeltas(snap: Seq[(String, Vector[Row])]): Unit = {
     val before = snap.toMap
-    cdcEnabled.foreach { tbl =>
-      state.get(tbl).foreach { st =>
-        val fresh = st.pending.drop(before.get(tbl).map(_.length).getOrElse(0))
-        if (fresh.nonEmpty) {
-          import scala.jdk.CollectionConverters._
-          spark.createDataFrame(fresh.asJava, st.logSchema)
-            .coalesce(1).write.mode("append").parquet(cdcDirOf(tbl))
-        }
+    // collect every table's fresh rows FIRST and space-check before any
+    // segment is written: a multi-table batch must reject atomically,
+    // never leave a phantom segment for the first table and roll back
+    // the second
+    val fresh = cdcEnabled.toSeq.sorted.flatMap { tbl =>
+      state.get(tbl).toSeq.map { st =>
+        (tbl, st.logSchema,
+          st.pending.drop(before.get(tbl).map(_.length).getOrElse(0)))
+      }
+    }.filter(_._3.nonEmpty)
+    fresh.headOption.foreach { case (tbl, _, _) => cdcGuardSpace(tbl) }
+    fresh.foreach { case (tbl, schema, rows) =>
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.asJava, schema)
+        .coalesce(1).write.mode("append").parquet(cdcDirOf(tbl))
+    }
+  }
+
+  /** Consumer segment REAP — the delete-after-consume half of the CDC
+    * contract (upstream consumers remove processed segments from
+    * cdc_raw; nothing else ever frees the space, which is why an
+    * unreaped dir eventually trips cdc_total_space). Deletes this
+    * table's segment files whose last-modified time is ≤ `throughMillis`
+    * (default: everything currently on disk) and returns the bytes
+    * freed. The CALLER asserts consumption — a checkpointed
+    * [[cdcStream]] keeps running correctly over reaped history (the file
+    * source never re-lists deleted files), but an unconsumed segment
+    * reaped early is gone, exactly like upstream. Requires MODIFY. */
+  def cdcReap(table: String, throughMillis: Long = Long.MaxValue): Long = {
+    val key = canonical(table).toLowerCase
+    if (!cdcEnabled.contains(key))
+      throw new CqlInvalidQueryException(
+        s"cdc is not enabled on $table (CREATE/ALTER ... WITH cdc = true)")
+    checkPerm("modify", authRes(key))
+    val dir = new java.io.File(cdcDirOf(key))
+    if (!dir.isDirectory) return 0L
+    var freed = 0L
+    dir.listFiles().foreach { f =>
+      if (f.isFile && f.lastModified() <= throughMillis) {
+        val n = f.length()
+        if (f.delete()) freed += n
       }
     }
+    freed
   }
 
   /** TRUE streaming view of a cdc-enabled table's mutation log: a file-
@@ -3407,11 +3470,14 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       mutationEpoch += 1
       val wtIdx = t.logSchema.fieldIndex("_writetime")
       val maxTs = rows.iterator.map(_.getLong(wtIdx)).max
-      if (maxTs >= clock) clock = maxTs + 1
       val key = table.toLowerCase
-      state(key) = t.copy(pending = t.pending ++ rows)
       // chain replication: if THIS table is cdc-enabled too, the applied
-      // batch surfaces to downstream consumers as one segment
+      // batch surfaces to downstream consumers as one segment — space
+      // bound checked BEFORE the state commit so a rejected apply leaves
+      // the replica untouched (the upstream contract)
+      if (cdcEnabled.contains(key)) cdcGuardSpace(key)
+      if (maxTs >= clock) clock = maxTs + 1
+      state(key) = t.copy(pending = t.pending ++ rows)
       if (cdcEnabled.contains(key)) {
         import scala.jdk.CollectionConverters._
         spark.createDataFrame(rows.asJava, t.logSchema)

@@ -28,11 +28,47 @@ import scala.collection.mutable.ArrayBuffer
   */
 object GraphAnn {
 
-  /** In-memory navigable-small-world graph over cosine similarity.
+  /** Declared similarity function → internal metric code. The graph
+    * structures maximize a SCORE: cosine/dot are their own score;
+    * euclidean scores by NEGATED distance (same subtraction-loop formula
+    * as the codegen'd [[graft.functions.expressions.EuclideanDistance]],
+    * so served distances equal the CQL path's bit for bit), making one
+    * descending merge rank nearest-first for every metric — the same
+    * convention the CQL ANN path applies per `similarity_function`
+    * (cql31). */
+  private[operators] val MetricCosine = 0
+  private[operators] val MetricDot = 1
+  private[operators] val MetricEuclidean = 2
+  private[operators] def metricCode(name: String): Int =
+    name.toLowerCase match {
+      case "cosine" => MetricCosine
+      case "dot_product" => MetricDot
+      case "euclidean" => MetricEuclidean
+      case other => throw new IllegalArgumentException(
+        s"similarity_function '$other' is not supported (expected " +
+          "cosine, dot_product or euclidean)")
+    }
+  private def metricScore(metric: Int, va: Array[Float], na: Double,
+      v: Array[Float], nv: Double): Double =
+    if (metric == MetricEuclidean) {
+      var s = 0.0; var i = 0
+      while (i < va.length) {
+        val d = va(i).toDouble - v(i).toDouble; s += d * d; i += 1
+      }
+      -math.sqrt(s)
+    } else {
+      var s = 0.0; var i = 0
+      while (i < va.length) { s += va(i).toDouble * v(i).toDouble; i += 1 }
+      if (metric == MetricDot) s else s / (na * nv)
+    }
+
+  /** In-memory navigable-small-world graph over the declared metric's
+    * score (cosine by default).
     * Single layer (HNSW's upper layers only shortcut entry — with a few
     * thousand nodes per partition the flat graph with a fixed entry point
     * searches in the same hop count). */
-  private final class Nsw(m: Int, efConstruction: Int) {
+  private final class Nsw(m: Int, efConstruction: Int,
+      metric: Int = MetricCosine) {
     private val vecs = ArrayBuffer[Array[Float]]()
     private val norms = ArrayBuffer[Double]()
     private val adj = ArrayBuffer[ArrayBuffer[Int]]()
@@ -43,10 +79,7 @@ object GraphAnn {
 
     private def sim(a: Int, v: Array[Float], nv: Double): Double = {
       simEvals += 1
-      val va = vecs(a)
-      var s = 0.0; var i = 0
-      while (i < va.length) { s += va(i).toDouble * v(i).toDouble; i += 1 }
-      s / (norms(a) * nv)
+      metricScore(metric, vecs(a), norms(a), v, nv)
     }
 
     /** Greedy beam search: start at node 0, expand the best unexpanded
@@ -118,8 +151,9 @@ object GraphAnn {
       * (no inserts — `m`/`efConstruction` are irrelevant on the serve
       * path). */
     def preloaded(vs: Array[Array[Float]],
-        neighbors: Array[Array[Int]]): Nsw = {
-      val g = new Nsw(0, 0)
+        neighbors: Array[Array[Int]],
+        metric: Int = MetricCosine): Nsw = {
+      val g = new Nsw(0, 0, metric)
       var i = 0
       while (i < vs.length) {
         g.vecs += vs(i)
@@ -142,7 +176,8 @@ object GraphAnn {
     * (`simEvals` instruments exactly that; GraphAnnSpec asserts it).
     * The flat [[Nsw]] stays as the per-shard fallback and the preloaded
     * serve path for single-level artifacts. */
-  private final class Hnsw(m: Int, efConstruction: Int) {
+  private final class Hnsw(m: Int, efConstruction: Int,
+      metric: Int = MetricCosine) {
     private val vecs = ArrayBuffer[Array[Float]]()
     private val norms = ArrayBuffer[Double]()
     /** adj(id)(level) — level 0 first; a node carries levels 0..L. */
@@ -162,10 +197,7 @@ object GraphAnn {
         if (hit != null) return hit.doubleValue
       }
       simEvals += 1
-      val va = vecs(a)
-      var s = 0.0; var i = 0
-      while (i < va.length) { s += va(i).toDouble * v(i).toDouble; i += 1 }
-      val out = s / (norms(a) * nv)
+      val out = metricScore(metric, vecs(a), norms(a), v, nv)
       if (memo != null) memo.put(a, out)
       out
     }
@@ -295,8 +327,9 @@ object GraphAnn {
       * node, ties to the smaller local id — the same node the builder
       * ended with, recomputed deterministically. */
     def preloaded(vs: Array[Array[Float]],
-        neighbors: Array[Array[Array[Int]]]): Hnsw = {
-      val g = new Hnsw(8, 0)
+        neighbors: Array[Array[Array[Int]]],
+        metric: Int = MetricCosine): Hnsw = {
+      val g = new Hnsw(8, 0, metric)
       var i = 0
       while (i < vs.length) {
         g.vecs += vs(i)
@@ -366,9 +399,15 @@ object GraphAnn {
     * graph construction; the artifact carries the corpus once plus ~m
     * ints/vector of adjacency, partitioned by shard for pruned reads. */
   def buildGraphIndex(vectors: DataFrame, dir: String, shards: Int = 8,
-      m: Int = 8, efConstruction: Int = 96, shardOffset: Int = 0): Unit = {
+      m: Int = 8, efConstruction: Int = 96, shardOffset: Int = 0,
+      metric: String = "cosine"): Unit = {
     val spark = vectors.sparkSession
     import spark.implicits._
+    // the metric is an INDEX property (cql31's declared
+    // similarity_function): the graph's neighborhoods are built under it,
+    // and the artifact carries it so the serve path scores the same way —
+    // a euclidean-built index can never silently serve cosine
+    val mc = metricCode(metric)
     vectors
       .select(col("vec_id").cast("long"), col("embedding"))
       .withColumn("shard",
@@ -379,7 +418,7 @@ object GraphAnn {
         val rows = it.toArray
         rows.groupBy(_._3).iterator.flatMap { case (shard, grp) =>
           val sorted = grp.sortBy(_._1) // deterministic insertion order
-          val g = new Hnsw(m, efConstruction)
+          val g = new Hnsw(m, efConstruction, mc)
           sorted.foreach(r => g.insert(r._2, r._1))
           sorted.iterator.zipWithIndex.map { case ((vid, emb, _), local) =>
             (shard, local, vid, emb,
@@ -388,6 +427,7 @@ object GraphAnn {
         }
       }
       .toDF("shard", "local_id", "vec_id", "embedding", "nbrs")
+      .withColumn("metric", lit(metric.toLowerCase))
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
   }
 
@@ -433,8 +473,22 @@ object GraphAnn {
     val emitN = if (deleted.isDefined) ef else k
     // one read per generation dir, unioned: each artifact has its own
     // partition-discovery root (shard=N subdirs), so a single multi-path
-    // read would refuse the layout
-    val candidates = dirs.map(s.read.parquet(_)).reduce(_ unionByName _)
+    // read would refuse the layout. Pre-metric artifacts (no `metric`
+    // column) read as cosine, the historical behavior.
+    val gens = dirs.map(s.read.parquet(_)).map { df =>
+      if (df.columns.contains("metric")) df
+      else df.withColumn("metric", lit("cosine"))
+    }
+    // generations must score the SAME way — a cosine segment merged into
+    // a euclidean base would rank on incomparable numbers; refuse rather
+    // than return nonsense (metric is a constant column: this is a
+    // column-pruned scan of one tiny dictionary-encoded column per dir)
+    val metrics = gens.map(_.select(col("metric")).distinct()
+      .collect().map(_.getString(0)).toSet).reduce(_ ++ _)
+    if (metrics.size != 1) throw new IllegalArgumentException(
+      s"graph index generations disagree on similarity_function: $metrics")
+    val mc = metricCode(metrics.head)
+    val candidates = gens.reduce(_ unionByName _)
       .select(col("shard").cast("int"), col("local_id").cast("int"),
         col("vec_id").cast("long"), col("embedding"), col("nbrs"))
       .crossJoin(broadcast(queryVec.select(col("qvec"))))
@@ -448,7 +502,7 @@ object GraphAnn {
           if (sorted.isEmpty) Iterator.empty
           else {
             val qv = sorted(0)._6
-            val g = Hnsw.preloaded(sorted.map(_._4), sorted.map(_._5))
+            val g = Hnsw.preloaded(sorted.map(_._4), sorted.map(_._5), mc)
             takeRounded(g.search(qv, ef)
               .map { case (local, sim) => (sorted(local)._3, sim) }, emitN)
           }
@@ -490,6 +544,37 @@ object GraphAnn {
     val q = VectorQueries.queryVec(s, d, 0L)
     serveGraphIndex(s, dir, q, 10)
       .select(col("vec_id"), round(col("sim"), 6).as("cos_sim"))
+  }
+
+  /** Per-(corpus, mtime) EUCLIDEAN-metric index artifact for v25. */
+  private val euclideanIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** V25 (r12): the declared `similarity_function` served END-TO-END
+    * through the LIBRARY path — cql31 proved the dial on the CQL ANN
+    * verb; this proves [[buildGraphIndex]]/[[serveGraphIndex]] honor it
+    * too. The index is BUILT euclidean (neighborhoods selected under the
+    * metric, the metric persisted in the artifact) and the serve path
+    * picks the metric up from the artifact — no caller flag to forget,
+    * so a euclidean corpus can never silently score cosine. Emits
+    * nearest-first (vec_id, distance); the twin is the exact euclidean
+    * top-10, so both the RANKING and the distance VALUES are
+    * hash-verified (the serve loop and the codegen'd expression share
+    * one subtraction-loop formula). */
+  def v25_metric_serve(s: SparkSession, d: String): DataFrame = {
+    val mtime = try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$d/embeddings.parquet")).toMillis
+      catch { case _: Exception => 0L }
+    val dir = euclideanIndexCache.computeIfAbsent(s"$d@$mtime", { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-graph-euclid").toString
+      buildGraphIndex(Tables.embeddings(s, d), out, metric = "euclidean")
+      out
+    })
+    val q = VectorQueries.queryVec(s, d, 0L)
+    serveGraphIndex(s, dir, q, 10) // sim = negated distance, desc merge
+      .select(col("vec_id"), round(-col("sim"), 6).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
   }
 
   /** GraphAnnSpec probe: build the layered HNSW and the flat NSW over the
@@ -715,7 +800,8 @@ object GraphAnn {
     "v19_graph_append" -> (v19_graph_append _),
     "v21_graph_delete" -> (v21_graph_delete _),
     "v23_graph_merge" -> (v23_graph_merge _),
-    "v24_stream_graph" -> (v24_stream_graph _))
+    "v24_stream_graph" -> (v24_stream_graph _),
+    "v25_metric_serve" -> (v25_metric_serve _))
 
   /** V21: the DELETE lifecycle for the graph index — deleted vectors
     * are masked at result collection while the beam still traverses
@@ -747,5 +833,12 @@ object GraphAnn {
     "v21_graph_delete" -> exactLiveTop10Sql,
     // merged-base serving must equal base∪segment serving: v19's twin
     "v23_graph_merge" -> exactUnionTop10Sql,
-    "v24_stream_graph" -> exactStreamUnionTop10Sql)
+    "v24_stream_graph" -> exactStreamUnionTop10Sql,
+    // exact euclidean top-10, nearest-first: values AND ranking verified
+    "v25_metric_serve" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(list_distance(CAST(embedding AS DOUBLE[]), qvec), 6) AS dist
+        |FROM embeddings CROSS JOIN q
+        |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin)
 }

@@ -147,7 +147,7 @@ object VectorQueries {
     * degrades gracefully to exact kNN (VectorSpec asserts equality with
     * [[v1_knn_exact]]), which is the correctness anchor of the knob. */
   def knnIvf(s: SparkSession, d: String, queryId: Long, k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, metric: String = "cosine"): DataFrame = {
     val cents = broadcast(centroids(s, d))
     // Probe-cell selection needs only the RAW query vector vs the codebook —
     // not the full corpus assignment. Both usages of `cents` are the identical
@@ -158,7 +158,7 @@ object VectorQueries {
       .orderBy(col("qdist").asc, col("cell").asc)
       .limit(nprobe)
       .select(col("cell").as("qcell"), col("qvec"))
-    Tables.embeddings(s, d)
+    val probed = Tables.embeddings(s, d)
       .crossJoin(cents)
       .withColumn("dist", euclideanFast(col("embedding"), col("centroid")))
       .groupBy(col("vec_id"))
@@ -166,10 +166,25 @@ object VectorQueries {
         struct(col("dist"), col("cell"))).as("a"))
       .select(col("vec_id"), col("a.cell"), col("a.embedding"))
       .join(broadcast(q), col("cell") === col("qcell"))
-      .select(col("vec_id"), col("cell"),
-        round(cosineFast(col("embedding"), col("qvec")), 6).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-      .limit(k)
+    // in-cell scoring by the DECLARED similarity_function (cql31's dial,
+    // threaded through the library path in r12): cell assignment stays
+    // euclidean (IVF partitions space geometrically regardless), the
+    // final ranking follows the metric's convention — cosine/dot
+    // most-similar-first, euclidean nearest-first
+    (metric.toLowerCase match {
+      case "euclidean" => probed
+        .select(col("vec_id"), col("cell"),
+          round(euclideanFast(col("embedding"), col("qvec")), 6).as("dist"))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+      case "dot_product" => probed
+        .select(col("vec_id"), col("cell"),
+          round(dotFast(col("embedding"), col("qvec")), 6).as("dot"))
+        .orderBy(col("dot").desc, col("vec_id").asc)
+      case _ => probed
+        .select(col("vec_id"), col("cell"),
+          round(cosineFast(col("embedding"), col("qvec")), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    }).limit(k)
   }
 
   /** V8 (L3 scale path): int8-quantized kNN — the memory lever of a
@@ -252,18 +267,39 @@ object VectorQueries {
 
   /** ADC serving: LUT from (codebook × query), codes join the broadcast
     * LUT, decimal M-way sum, top-k. */
-  private def pqScore(codes: DataFrame, cb: DataFrame, q: DataFrame,
-      k: Int): DataFrame = {
+  private[graft] def pqScore(codes: DataFrame, cb: DataFrame, q: DataFrame,
+      k: Int, metric: String = "cosine"): DataFrame = {
     import Q.dbl
-    val lut = cb.crossJoin(broadcast(q))
-      .select(col("m"), col("cell"),
-        round(dotFast(slice(col("qvec"), col("m") * PQ_SUB + 1, lit(PQ_SUB)),
-          col("centroid")), 6).as("w"))
-    codes.join(broadcast(lut), Seq("m", "cell"))
-      .groupBy("vec_id")
-      .agg(dbl(dec6(sum(dec6(col("w"))))).as("adc_dot"))
-      .orderBy(col("adc_dot").desc, col("vec_id").asc)
-      .limit(k)
+    if (metric.toLowerCase == "euclidean") {
+      // euclidean ADC: the per-(m, cell) LUT entry is the PARTIAL squared
+      // distance of the query's m-th subvector to the cell centroid; the
+      // per-vector sum is the full squared ADC distance, ranked
+      // nearest-first — the classic IVFADC table [P: Jégou et al. 2011,
+      // "Product quantization for nearest neighbor search"]
+      val lut = cb.crossJoin(broadcast(q))
+        .select(col("m"), col("cell"),
+          round(aggregate(zip_with(
+            slice(col("qvec"), col("m") * PQ_SUB + 1, lit(PQ_SUB))
+              .cast("array<double>"),
+            col("centroid").cast("array<double>"),
+            (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, v) => acc + v), 6).as("w"))
+      codes.join(broadcast(lut), Seq("m", "cell"))
+        .groupBy("vec_id")
+        .agg(dbl(dec6(sum(dec6(col("w"))))).as("adc_dist2"))
+        .orderBy(col("adc_dist2").asc, col("vec_id").asc)
+        .limit(k)
+    } else {
+      val lut = cb.crossJoin(broadcast(q))
+        .select(col("m"), col("cell"),
+          round(dotFast(slice(col("qvec"), col("m") * PQ_SUB + 1, lit(PQ_SUB)),
+            col("centroid")), 6).as("w"))
+      codes.join(broadcast(lut), Seq("m", "cell"))
+        .groupBy("vec_id")
+        .agg(dbl(dec6(sum(dec6(col("w"))))).as("adc_dot"))
+        .orderBy(col("adc_dot").desc, col("vec_id").asc)
+        .limit(k)
+    }
   }
 
   def v12_pq_adc(s: SparkSession, d: String): DataFrame = {
@@ -280,9 +316,17 @@ object VectorQueries {
     * each); `serve` plans over ONLY those two tables plus the query
     * vector — the raw corpus vectors never appear in the serving plan
     * (VectorSpec pins served ≡ online results). */
-  def buildPqIndex(s: SparkSession, d: String, dir: String): Unit = {
+  def buildPqIndex(s: SparkSession, d: String, dir: String,
+      metric: String = "cosine"): Unit = {
+    if (!Set("cosine", "dot_product", "euclidean")(metric.toLowerCase))
+      throw new IllegalArgumentException(
+        s"similarity_function '$metric' is not supported")
     val withCells = pqCells(Tables.embeddings(s, d))
-    pqCodebookDf(withCells).write.mode("overwrite").parquet(s"$dir/codebook")
+    // the metric is an index property (cql31): persisted with the
+    // codebook so the serve path scores the declared way — no caller
+    // flag to forget
+    pqCodebookDf(withCells).withColumn("metric", lit(metric.toLowerCase))
+      .write.mode("overwrite").parquet(s"$dir/codebook")
     withCells
       .select(col("vec_id"), posexplode(col("cells")).as(Seq("m", "cell")))
       .write.mode("overwrite").parquet(s"$dir/codes")
@@ -441,8 +485,14 @@ object VectorQueries {
       queryId: Long = 0L, k: Int = 10): DataFrame = {
     val q = Tables.embeddings(s, d).filter(col("vec_id") === queryId)
       .select(col("embedding").as("qvec"))
-    pqScore(s.read.parquet(s"$dir/codes"),
-      s.read.parquet(s"$dir/codebook"), q, k)
+    val cb = s.read.parquet(s"$dir/codebook")
+    // pre-metric artifacts (no column) read as cosine/dot, the
+    // historical scoring; the codebook is M×16 rows, head() is free
+    val metric =
+      if (cb.columns.contains("metric"))
+        cb.select(col("metric")).head().getString(0)
+      else "cosine"
+    pqScore(s.read.parquet(s"$dir/codes"), cb.drop("metric"), q, k, metric)
   }
 
   /** V13: quantized-prune + exact-rerank — the two-stage serving pattern

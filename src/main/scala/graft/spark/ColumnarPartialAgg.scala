@@ -123,7 +123,10 @@ object ColumnarPartialAgg {
       def get(b: ColumnarBatch, i: Int) = v
     })
     case d: IntegralDivide => (d.left.dataType, d.right) match {
-      case (LongType | IntegerType, Literal(den: Long, LongType)) if den != 0L =>
+      // den == -1 excluded: Long.MinValue div -1 overflows, where ANSI
+      // stock throws and non-ANSI wraps — not worth modeling for a negate
+      case (LongType | IntegerType, Literal(den: Long, LongType))
+          if den != 0L && den != -1L =>
         compile(d.left, scanOut).collect { case le: LongCol => new LongCol {
           def isNull(b: ColumnarBatch, i: Int) = le.isNull(b, i)
           // Spark's `div` truncates toward zero (long division), NOT floor
@@ -369,7 +372,7 @@ object ColumnarPartialAgg {
     }
     def reset(): Unit = { sums = new Array[Double](0); seen = new Array[Boolean](0) }
   }
-  private final class LongSumAcc(e: LongCol) extends Acc {
+  private final class LongSumAcc(e: LongCol, ansi: Boolean) extends Acc {
     private var sums = new Array[Long](0)
     private var seen = new Array[Boolean](0)
     def grow(n: Int): Unit = if (sums.length < n) {
@@ -381,7 +384,13 @@ object ColumnarPartialAgg {
       var i = 0
       while (i < n) {
         val s = slots(i)
-        if (s >= 0 && !e.isNull(b, i)) { sums(s) += e.get(b, i); seen(s) = true }
+        if (s >= 0 && !e.isNull(b, i)) {
+          // ANSI stock Sum THROWS on long overflow; non-ANSI wraps —
+          // mirror whichever mode compiled this kernel
+          if (ansi) sums(s) = Math.addExact(sums(s), e.get(b, i))
+          else sums(s) += e.get(b, i)
+          seen(s) = true
+        }
         i += 1
       }
     }
@@ -514,15 +523,17 @@ object ColumnarPartialAgg {
     * dec6 convention) escalating to BigDecimal on overflow. Buffer is
     * Spark Sum-over-decimal's (sum: decimal, isEmpty: bool).
     *
-    * Overflow mirrors STOCK NON-ANSI semantics exactly (compileAgg bails
-    * under ANSI, so this path only runs non-ANSI): an input whose
+    * Overflow mirrors the session's ANSI mode, captured at plan time
+    * (Spark 4 defaults ANSI ON — a blanket ANSI bail would disable the
+    * rule in every production session). Non-ANSI: an input whose
     * quantized value does not fit decimal(p,s) — including NaN/Inf — is
-    * what Cast would null out, so Sum skips it (isEmpty untouched); a
-    * SUM that overflows decimal(p,s) goes null-and-stays-null
-    * (CheckOverflowInSum's sticky null), emitted as (null, isEmpty=false)
-    * so the final aggregate reports null, never an exception. */
-  private final class DecimalSumAcc(e: DoubleCol, precision: Int, scale: Int)
-      extends Acc {
+    * what Cast would null out, so Sum skips it (isEmpty untouched), and
+    * a SUM that overflows decimal(p,s) goes null-and-stays-null
+    * (CheckOverflowInSum's sticky null), emitted as (null,
+    * isEmpty=false) so the final aggregate reports null. ANSI: both
+    * cases THROW, exactly where the stock cast/sum would. */
+  private final class DecimalSumAcc(e: DoubleCol, precision: Int, scale: Int,
+      ansi: Boolean) extends Acc {
     private val factor = math.pow(10d, scale)
     // largest |unscaled long| that still fits `precision` digits
     private val maxInputUnscaled: Long =
@@ -541,9 +552,17 @@ object ColumnarPartialAgg {
       isEmpty = java.util.Arrays.copyOf(isEmpty, c)
       java.util.Arrays.fill(isEmpty, old, c, true)
     }
+    private def overflow(what: String): Nothing =
+      throw new ArithmeticException(
+        s"$what cannot be represented as Decimal($precision, $scale). " +
+          "If necessary set \"spark.sql.ansi.enabled\" to \"false\" to " +
+          "bypass this error, and return NULL instead.")
     private def addBig(s: Int, v: java.math.BigDecimal): Unit = {
       bigs(s) = bigs(s).add(v)
-      if (bigs(s).precision > precision) over(s) = true // sticky, like stock
+      if (bigs(s).precision > precision) {
+        if (ansi) overflow(bigs(s).toPlainString)
+        over(s) = true // sticky null, like stock CheckOverflowInSum
+      }
     }
     private def addUnscaled(s: Int, u: Long): Unit =
       if (bigs(s) == null) {
@@ -559,9 +578,11 @@ object ColumnarPartialAgg {
         val s = slots(i)
         if (s >= 0 && !e.isNull(b, i) && !over(s)) {
           val d = e.get(b, i)
-          // non-finite or precision-exceeding input: non-ANSI Cast yields
-          // null, Sum skips the row entirely
-          if (java.lang.Double.isFinite(d)) {
+          // non-finite or precision-exceeding input: the stock Cast
+          // throws under ANSI and yields null (Sum skips) otherwise
+          if (!java.lang.Double.isFinite(d)) {
+            if (ansi) overflow(d.toString)
+          } else {
             val y = d * factor
             val frac = y - Math.floor(y)
             if (Math.abs(frac - 0.5) > 1e-3 && Math.abs(y) < 4.0e18) {
@@ -569,7 +590,7 @@ object ColumnarPartialAgg {
               if (Math.abs(u) <= maxInputUnscaled) {
                 isEmpty(s) = false
                 addUnscaled(s, u)
-              }
+              } else if (ansi) overflow(d.toString)
             } else {
               // boundary or out-of-long range: exact Spark cast semantics
               val exact = new java.math.BigDecimal(java.lang.Double.toString(d))
@@ -583,7 +604,7 @@ object ColumnarPartialAgg {
                     bigs(s) = java.math.BigDecimal.valueOf(unscaled(s), scale)
                   addBig(s, exact)
                 }
-              }
+              } else if (ansi) overflow(d.toString)
             }
           }
         }
@@ -596,8 +617,10 @@ object ColumnarPartialAgg {
         else bigs(slot)
       // final fit check covers the long path too (p < 19 sums can exceed
       // p digits without overflowing the long)
-      if (over(slot) || bd.precision > precision) row.update(off, null)
-      else row.update(off, Decimal(scala.math.BigDecimal(bd), precision, scale))
+      if (over(slot) || bd.precision > precision) {
+        if (ansi) overflow(bd.toPlainString)
+        row.update(off, null)
+      } else row.update(off, Decimal(scala.math.BigDecimal(bd), precision, scale))
       row.update(off + 1, isEmpty(slot))
       off + 2
     }
@@ -618,10 +641,12 @@ object ColumnarPartialAgg {
   def compileAgg(agg: HashAggregateExec, scan: FileSourceScanExec,
       project: Option[Seq[NamedExpression]],
       filter: Option[Expression] = None): Option[Kernel] = {
-    // ANSI mode changes overflow behavior everywhere the kernel takes a
-    // shortcut (LongSumAcc wraps where ANSI throws; DecimalSumAcc mirrors
-    // the non-ANSI cast's null-on-overflow) — keep the stock plan there
-    if (org.apache.spark.sql.internal.SQLConf.get.ansiEnabled) return None
+    // ANSI changes overflow behavior in the sum kernels (Spark 4 defaults
+    // it ON, so bailing here would disable the rule in every production
+    // session): capture the mode at plan time and let LongSumAcc /
+    // DecimalSumAcc mirror the matching stock semantics — throw under
+    // ANSI exactly where stock cast/sum would, null/wrap otherwise
+    val ansi = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
     // the residual filter sits BELOW the project, so its attributes are
     // scan attributes directly — no alias substitution needed
     val predEval = filter.map(f => compilePred(f, scan.output))
@@ -670,7 +695,7 @@ object ColumnarPartialAgg {
                 Seq(DecimalType(dt.precision, dt.scale), BooleanType)
               compile(inner, scanOut).collect {
                 case dc: DoubleCol if bufOk =>
-                  () => new DecimalSumAcc(dc, dt.precision, dt.scale)
+                  () => new DecimalSumAcc(dc, dt.precision, dt.scale, ansi)
               }
             case (DoubleType, se) => compile(se, scanOut).collect {
               case dc: DoubleCol
@@ -680,7 +705,7 @@ object ColumnarPartialAgg {
             case (LongType, se) => compile(se, scanOut).collect {
               case lc: LongCol
                   if s.aggBufferAttributes.map(_.dataType) == Seq(LongType) =>
-                () => new LongSumAcc(lc)
+                () => new LongSumAcc(lc, ansi)
             }
             case _ => None
           }
@@ -716,13 +741,22 @@ object ColumnarPartialAgg {
     // partial output must be exactly the grouping attributes followed by
     // the aggregate buffer attributes, exprId-wise in order — a same-length
     // but reordered/aliased resultExpressions list must bail, not emit
-    // misattributed buffer columns
-    val expectedOut: Seq[Attribute] =
-      agg.groupingExpressions.map(_.toAttribute) ++
-        agg.aggregateExpressions.flatMap(_.aggregateFunction.aggBufferAttributes)
-    if (agg.output.length != expectedOut.length ||
-        agg.output.lazyZip(expectedOut).exists((a, b) => a.exprId != b.exprId))
-      return None
+    // misattributed buffer columns. Spark's planner emits the
+    // inputAggBufferAttributes (the shuffle-facing twins of the buffer
+    // attrs) in partial mode; accept either id set, position-wise.
+    val expectedBufs: Seq[(Attribute, Attribute)] =
+      agg.aggregateExpressions.flatMap { ae =>
+        ae.aggregateFunction.aggBufferAttributes
+          .zip(ae.aggregateFunction.inputAggBufferAttributes)
+      }
+    val nGroup = agg.groupingExpressions.length
+    if (agg.output.length != nGroup + expectedBufs.length) return None
+    val groupOk = agg.output.take(nGroup)
+      .lazyZip(agg.groupingExpressions.map(_.toAttribute))
+      .forall((a, b) => a.exprId == b.exprId)
+    val bufOk = agg.output.drop(nGroup).lazyZip(expectedBufs)
+      .forall((a, bp) => a.exprId == bp._1.exprId || a.exprId == bp._2.exprId)
+    if (!groupOk || !bufOk) return None
     val factories = accFactories.map(_.get).toArray
     Some(Kernel(keySpecs.map(_.get).toArray, () => factories.map(_()),
       predEval.map(_.get)))

@@ -221,44 +221,59 @@ class ColumnarAggSpec extends SparkSpec {
     assert(flushed === stock)
   }
 
-  test("decimal sum mirrors stock NON-ANSI overflow semantics: oversized " +
-    "and non-finite inputs are cast-nulled, an overflowing sum goes null, " +
-    "and ANSI mode keeps the stock plan") {
+  test("decimal sum mirrors stock overflow semantics in BOTH ANSI modes: " +
+    "non-ANSI cast-nulls oversized/non-finite inputs and nulls an " +
+    "overflowing sum; ANSI throws — with the swap ACTIVE either way") {
+    val ansiBefore = spark.conf.get("spark.sql.ansi.enabled")
     val dir = Tables.tempRoot("graft-colagg-overflow")
-    // |v| ≥ 1e32 quantizes past decimal(38,6)'s 38 digits → Cast → null →
-    // Sum skips it; NaN/Inf likewise; the finite small values still sum
+    // |v| ≥ 1e32 quantizes past decimal(38,6)'s 38 digits; NaN/Inf never
+    // fit — non-ANSI Cast nulls them (Sum skips), ANSI Cast throws
     spark.sql(
       "SELECT * FROM VALUES (CAST(1e33 AS DOUBLE)), (CAST('NaN' AS DOUBLE)), " +
         "(CAST('Infinity' AS DOUBLE)), (5.5D), (2.25D) AS t(v)")
       .write.mode("overwrite").parquet(dir)
-    def agg(path: String) = spark.read.parquet(path)
-      .agg(sum(dec6(col("v"))).as("sv")).collect().map(_.toString).toSeq
-    val swapped = agg(dir)
-    spark.conf.set("spark.graft.columnarAgg.enabled", "false")
-    val stock = try agg(dir)
-      finally spark.conf.set("spark.graft.columnarAgg.enabled", "true")
-    assert(swapped === stock)
-    assert(swapped.head.contains("7.75"), swapped.head)
-    // a SUM that overflows decimal(38,6) emits null (CheckOverflowInSum's
-    // sticky null), never an ArithmeticException
     val dir2 = Tables.tempRoot("graft-colagg-overflow2")
     spark.range(10).selectExpr("CAST(9e31 AS DOUBLE) AS v")
       .coalesce(1).write.mode("overwrite").parquet(dir2)
-    val swapped2 = agg(dir2)
-    spark.conf.set("spark.graft.columnarAgg.enabled", "false")
-    val stock2 = try agg(dir2)
-      finally spark.conf.set("spark.graft.columnarAgg.enabled", "true")
-    assert(swapped2 === stock2)
-    assert(spark.read.parquet(dir2).agg(sum(dec6(col("v")))).head().isNullAt(0))
-    // ANSI changes overflow behavior (LongSumAcc wraps where ANSI stock
-    // throws) → the rule must bail to stock on an otherwise-swapping shape
-    def t1Plan() = events().groupBy(date_trunc("hour", col("ts")))
-      .agg(count(lit(1))).queryExecution.executedPlan.toString
-    assert(t1Plan().contains("GraftColumnarPartialAgg"))
-    spark.conf.set("spark.sql.ansi.enabled", "true")
-    try assert(!t1Plan().contains("GraftColumnarPartialAgg"),
-      "ANSI mode must keep the stock plan")
-    finally spark.conf.set("spark.sql.ansi.enabled", "false")
+    def agg(path: String) = spark.read.parquet(path)
+      .agg(sum(dec6(col("v"))).as("sv")).collect().map(_.toString).toSeq
+    def withStock[A](f: => A): A = {
+      spark.conf.set("spark.graft.columnarAgg.enabled", "false")
+      try f finally spark.conf.set("spark.graft.columnarAgg.enabled", "true")
+    }
+    // ——— non-ANSI: null-on-overflow, swapped equals stock ———
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val swapped = agg(dir)
+      assert(swapped === withStock(agg(dir)))
+      assert(swapped.head.contains("7.75"), swapped.head)
+      // a SUM that overflows decimal(38,6) emits null (sticky, like
+      // CheckOverflowInSum), never an ArithmeticException
+      val swapped2 = agg(dir2)
+      assert(swapped2 === withStock(agg(dir2)))
+      assert(spark.read.parquet(dir2)
+        .agg(sum(dec6(col("v")))).head().isNullAt(0))
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+    // ——— ANSI (Spark 4's default): both paths THROW, and the swap must
+    // stay ACTIVE (bailing would disable the rule in every production
+    // session) ———
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try spark.read.parquet(dir2)
+        .agg(sum(dec6(col("v")))).queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    assert(plan.contains("GraftColumnarPartialAgg"),
+      s"swap must stay active under ANSI:\n$plan")
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val eSwap = intercept[Exception] { agg(dir) } // unfittable input
+    assert(chain(eSwap).contains("Decimal(38, 6)"), chain(eSwap))
+    val eStock = intercept[Exception] { withStock(agg(dir)) }
+    assert(chain(eStock).contains("Decimal(38, 6)"), chain(eStock))
+    intercept[Exception] { agg(dir2) } // sum overflow
+    intercept[Exception] { withStock(agg(dir2)) }
+    spark.conf.set("spark.sql.ansi.enabled", ansiBefore)
   }
 
   test("global aggregate (no grouping) swaps and equals stock, including " +

@@ -153,6 +153,75 @@ class CqlCdcSpec extends SparkSpec {
     }
   }
 
+  test("cdc_total_space bound REJECTS writes on a full cdc dir, the " +
+    "statement rolls back whole, and lifting the bound resumes writes") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE cdcf (k bigint PRIMARY KEY, v text) " +
+      "WITH cdc = true")
+    s.execute("INSERT INTO cdcf (k, v) VALUES (1, 'x')")
+    spark.conf.set("spark.graft.cdc.total_space_in_mb", "0")
+    try {
+      val e = intercept[CqlInvalidQueryException] {
+        s.execute("INSERT INTO cdcf (k, v) VALUES (2, 'y')")
+      }
+      assert(e.getMessage.contains("cdc_total_space"), e.getMessage)
+      // upstream contract: the write is REJECTED, never
+      // applied-locally-but-lost-to-CDC
+      assert(s.execute("SELECT count(*) FROM cdcf").head()
+        .getLong(0) === 1L)
+      // non-cdc tables are unaffected by the bound
+      s.execute("CREATE TABLE plainf (k bigint PRIMARY KEY)")
+      s.execute("INSERT INTO plainf (k) VALUES (1)")
+    } finally spark.conf.unset("spark.graft.cdc.total_space_in_mb")
+    s.execute("INSERT INTO cdcf (k, v) VALUES (2, 'y')")
+    assert(s.execute("SELECT count(*) FROM cdcf").head().getLong(0) === 2L)
+    // and the consumer still sees exactly the two COMMITTED mutations
+    assert(drain(s, "cdcf").select("k").collect().map(_.getLong(0))
+      .sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("cdcReap frees consumed segments: a checkpointed stream stays " +
+    "correct across the reap and a fresh stream sees only unreaped data") {
+    import org.apache.spark.sql.streaming.Trigger
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE cdcr (k bigint PRIMARY KEY, v text) " +
+      "WITH cdc = true")
+    s.execute("INSERT INTO cdcr (k, v) VALUES (1, 'a')")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-cdc-reap-ckpt").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-cdc-reap-out").toString
+    // a checkpoint-recovering consumer (parquet sink; memory sinks don't
+    // recover) — the realistic t15 shape: the SAME consumer identity
+    // drains across reaps
+    def drainCkpt(): Seq[Long] = {
+      val q = s.cdcStream("cdcr").writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(outDir).select("k").collect()
+        .map(_.getLong(0)).sorted.toSeq
+    }
+    assert(drainCkpt() === Seq(1L)) // consumer processed seg 1
+    val freed = s.cdcReap("cdcr") // consumer acks: delete processed segs
+    assert(freed > 0L, "reap must free the consumed segment's bytes")
+    s.execute("INSERT INTO cdcr (k, v) VALUES (2, 'b')")
+    // the CHECKPOINTED consumer continues correctly over reaped history:
+    // total output is exactly {1, 2} — nothing lost, nothing re-read
+    assert(drainCkpt() === Seq(1L, 2L))
+    // a FRESH consumer (no checkpoint) sees only what reap left behind
+    assert(drain(s, "cdcr").select("k").collect().map(_.getLong(0))
+      .toSeq === Seq(2L))
+    // reap requires MODIFY: a read-only role is refused
+    s.execute("CREATE ROLE cdc_ro WITH LOGIN = true")
+    s.execute("GRANT SELECT ON cdcr TO cdc_ro")
+    s.login("cdc_ro")
+    try intercept[CqlInvalidQueryException] { s.cdcReap("cdcr") }
+    finally s.login("cassandra", "cassandra")
+  }
+
   test("bulk COPY FROM lands as one segment; a re-created cdc table does " +
     "not inherit its dropped predecessor's segments") {
     val s = CqlSession(spark)

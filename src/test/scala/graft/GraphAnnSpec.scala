@@ -170,6 +170,56 @@ class GraphAnnSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq === got)
   }
 
+  test("declared similarity_function drives the library serve path: a " +
+    "euclidean-built index serves euclidean end-to-end, and mixed-metric " +
+    "generations refuse") {
+    val q = Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qvec"))
+    val eDir = java.nio.file.Files
+      .createTempDirectory("graft-gidx-euclid").toString
+    GraphAnn.buildGraphIndex(Tables.embeddings(spark, sf), eDir,
+      metric = "euclidean")
+    // no metric flag on serve: the artifact is self-describing
+    val served = GraphAnn.serveGraphIndex(spark, eDir, q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    // exact euclidean oracle over the same vectors
+    val exact = Tables.embeddings(spark, sf)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(
+        graft.functions.VectorFunctions.euclideanDistance(
+          col("embedding"), col("qvec")), 6).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(10).collect().map(_.getLong(0)).toSeq
+    assert(served === exact, "euclidean index must rank nearest-first")
+    // the fixture embeddings are unit-norm (cosine and euclidean agree
+    // there by algebra), so the dial's LIVENESS needs unnormalized
+    // vectors: cql31's three — [10,0] is cosine-closest to [1,0] but
+    // euclidean-farthest; [1,0.1] the reverse
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, Array(10f, 0f)), (2L, Array(0.5f, 0.5f)), (3L, Array(1f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val qTiny = Seq(Tuple1(Array(1f, 0f))).toDF("qvec")
+    val tinyE = java.nio.file.Files
+      .createTempDirectory("graft-gidx-tiny-e").toString
+    val tinyC = java.nio.file.Files
+      .createTempDirectory("graft-gidx-tiny-c").toString
+    GraphAnn.buildGraphIndex(tiny, tinyE, shards = 1, metric = "euclidean")
+    GraphAnn.buildGraphIndex(tiny, tinyC, shards = 1)
+    val eRank = GraphAnn.serveGraphIndex(spark, tinyE, qTiny, 3)
+      .collect().map(_.getLong(0)).toSeq
+    val cRank = GraphAnn.serveGraphIndex(spark, tinyC, qTiny, 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(eRank === Seq(3L, 2L, 1L), s"euclidean nearest-first: $eRank")
+    assert(cRank === Seq(1L, 3L, 2L), s"cosine most-similar-first: $cRank")
+    // a cosine segment cannot merge into a euclidean base: the scores
+    // are incomparable — the multi-generation serve refuses
+    val e = intercept[IllegalArgumentException] {
+      GraphAnn.serveGraphIndex(spark, Seq(tinyE, tinyC), qTiny, 3).collect()
+    }
+    assert(e.getMessage.contains("disagree"), e.getMessage)
+  }
+
   test("beam budget trades recall: tiny ef still returns k valid neighbors") {
     val q = Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
       .select(col("embedding").as("qvec"))

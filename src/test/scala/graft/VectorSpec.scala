@@ -83,6 +83,60 @@ class VectorSpec extends SparkSpec
       "nprobe = numCells must reproduce the exact top-k, ids and sims")
   }
 
+  test("IVF serves the declared similarity_function: euclidean at full " +
+    "probe equals the exact euclidean top-k, dot stays descending") {
+    val nCells = Tables.embeddings(spark, sf)
+      .select("label").distinct().count().toInt
+    val eucl = VectorQueries.knnIvf(spark, sf, queryId = 0L, k = 10,
+        nprobe = nCells, metric = "euclidean")
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val q = Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qvec"))
+    val exact = Tables.embeddings(spark, sf).crossJoin(broadcast(q))
+      .select(col("vec_id"), round(
+        graft.functions.VectorFunctions.euclideanFast(
+          col("embedding"), col("qvec")), 6).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(eucl.toSeq === exact.toSeq,
+      "full-probe euclidean IVF must equal the exact euclidean top-k")
+    val dots = VectorQueries.knnIvf(spark, sf, queryId = 0L, k = 10,
+        nprobe = nCells, metric = "dot_product")
+      .collect().map(_.getDouble(2)).toSeq
+    assert(dots === dots.sorted.reverse, "dot ranks most-similar-first")
+  }
+
+  test("PQ index serves by its persisted metric: a euclidean-built " +
+    "artifact ranks ascending ADC distance with the query nearest") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pq-eucl").toString
+    VectorQueries.buildPqIndex(spark, sf, dir, metric = "euclidean")
+    val served = VectorQueries.servePqIndex(spark, sf, dir).collect()
+    assert(served.length === 10)
+    val dists = served.map(_.getDouble(1)).toSeq
+    assert(dists === dists.sorted, "euclidean ADC ranks nearest-first")
+    assert(served.head.schema.fieldNames.contains("adc_dist2"))
+    // the real pin: serve picked the metric up from the ARTIFACT — it
+    // must equal the online euclidean scoring of the same codes (a
+    // cosine default would rank descending dot under another column)
+    val q = Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qvec"))
+    val online = VectorQueries.pqScore(
+      spark.read.parquet(s"$dir/codes"),
+      spark.read.parquet(s"$dir/codebook").drop("metric"),
+      q, 10, "euclidean")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served.map(r => (r.getLong(0), r.getDouble(1))).toSeq === online)
+    // no flag on serve: the metric came from the artifact itself; the
+    // cosine/dot artifact keeps its historical descending contract
+    val cdir = java.nio.file.Files
+      .createTempDirectory("graft-pq-cos2").toString
+    VectorQueries.buildPqIndex(spark, sf, cdir)
+    val cos = VectorQueries.servePqIndex(spark, sf, cdir).collect()
+      .map(_.getDouble(1)).toSeq
+    assert(cos === cos.sorted.reverse)
+  }
+
   test("int8-quantized kNN preserves most of the exact top-10 (recall >= 0.8)") {
     val exact = VectorQueries.v1_knn_exact(spark, sf)
       .collect().map(_.getLong(0)).toSet
