@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool (r12, VERDICT task 1): settle the t1/v1 asymptote BY
+  * MEASUREMENT. The r11 closure claimed the residual vs DuckDB
+  * "amortizes to zero at real scale"; the judge's decomposition says
+  * both engines are LINEAR past the fixed costs — Spark's t1 kernel at
+  * its parquet-decode rate (~16 ns/row for two columns), DuckDB's whole
+  * query at ~7 ns/row — so the ratio converges to a constant ≈ 2×, not
+  * to 1. This probe materializes an events/embeddings-ONLY fixture at
+  * factor N (default 1000× ≈ 100 M event rows — big enough that the
+  * stage-pipeline fixed cost is <5% of the wall) and times, warm
+  * min-of-3 in one JVM:
+  *
+  *   t1_swapped    — production t1 (GraftColumnarRule active)
+  *   t1_stock      — rule off (ColumnarToRow + row-based partial agg)
+  *   t1_batch16k   — swapped, columnarReaderBatchSize 16384 (reader lever)
+  *   count_star    — bare decode floor
+  *   v1            — exact kNN top-10 (broadcast qvec)
+  *
+  * DuckDB pairs the SAME fixture same-day via tools/pair_duckdb.py.
+  * Usage: `SPARK_GRAFT_ASYM=1000 sbt "runMain graft.AsymptoteProbe"`.
+  */
+object AsymptoteProbe {
+
+  /** events+embeddings-only N× fixture (ScaleProbe.scaled would also
+    * materialize lineitem at N× — 600 M rows nobody here reads). */
+  private def scaledSlim(s: SparkSession, src: String, out: String,
+      f: Int): Unit = {
+    val fs = new java.io.File(out)
+    if (fs.exists()) return
+    fs.mkdirs()
+    def copies(df: org.apache.spark.sql.DataFrame)(
+        shift: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame) =
+      (0 until f).map(i => shift(df, i)).reduce(_ unionByName _)
+    val ev = s.read.parquet(s"$src/events.parquet")
+    copies(ev)((d, i) => d
+        .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(i.toLong * 1000000L)))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    val em = s.read.parquet(s"$src/embeddings.parquet")
+    copies(em)((d, i) => d.withColumn("vec_id",
+        col("vec_id") + lit(i.toLong * 10000000L)))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  private def time(f: => Unit): Double = {
+    f // warm: plan + codegen + page cache
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_ASYM", "1000").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-asymptote-probe")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = s"/tmp/graft-asym-${factor}x"
+    scaledSlim(spark, base, dir, factor)
+    val rows = spark.read.parquet(s"$dir/events.parquet").count()
+    def report(name: String, sec: Double): Unit =
+      println(f"""ASYM {"query":"$name","sec":$sec%.3f,"rows":$rows%d,"nsPerRow":${sec * 1e9 / rows}%.2f}""")
+
+    spark.conf.set("spark.graft.columnarAgg.enabled", "true")
+    report("t1_swapped",
+      time(operators.StreamingQueries.t1_tumbling(spark, dir).collect()))
+    spark.conf.set("spark.graft.columnarAgg.enabled", "false")
+    report("t1_stock",
+      time(operators.StreamingQueries.t1_tumbling(spark, dir).collect()))
+    spark.conf.set("spark.graft.columnarAgg.enabled", "true")
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "16384")
+    report("t1_batch16k",
+      time(operators.StreamingQueries.t1_tumbling(spark, dir).collect()))
+    report("count_star",
+      time { spark.read.parquet(s"$dir/events.parquet").count(); () })
+    report("v1_batch16k",
+      time(operators.VectorQueries.v1_knn_exact(spark, dir).collect()))
+    spark.conf.unset("spark.sql.parquet.columnarReaderBatchSize")
+    report("v1",
+      time(operators.VectorQueries.v1_knn_exact(spark, dir).collect()))
+    spark.stop()
+  }
+}

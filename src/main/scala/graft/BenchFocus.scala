@@ -41,6 +41,14 @@ object BenchFocus {
         s.conf.set("spark.graft.columnarAgg.enabled", "false")
         operators.RelationalQueries.a1_pricing_summary(s, d)
       },
+      "j10_stock" -> { (s, d) =>
+        s.conf.set("spark.graft.columnarAgg.enabled", "false")
+        operators.RelationalQueries.j10_bucketed_join(s, d)
+      },
+      "j10_swapped" -> { (s, d) =>
+        s.conf.set("spark.graft.columnarAgg.enabled", "true")
+        operators.RelationalQueries.j10_bucketed_join(s, d)
+      },
       "a1_wide_swapped" -> { (s, d) =>
         s.conf.set("spark.graft.columnarAgg.enabled", "true")
         s.conf.set("spark.graft.columnarAgg.maxAggs", "10")

@@ -611,16 +611,33 @@ object ColumnarPartialAgg {
         i += 1
       }
     }
+    // largest |unscaled long| a p-digit sum may hold (Long.MaxValue when
+    // p ≥ 19: the long path can then never exceed p digits)
+    private val maxSumUnscaled: Long =
+      if (precision >= 19) Long.MaxValue
+      else { var m = 1L; var i = 0; while (i < precision) { m *= 10; i += 1 }; m - 1 }
     def emit(slot: Int, row: GenericInternalRow, off: Int): Int = {
-      val bd =
-        if (bigs(slot) == null) java.math.BigDecimal.valueOf(unscaled(slot), scale)
-        else bigs(slot)
-      // final fit check covers the long path too (p < 19 sums can exceed
-      // p digits without overflowing the long)
-      if (over(slot) || bd.precision > precision) {
-        if (ansi) overflow(bd.toPlainString)
+      // emit is PER GROUP: a high-cardinality key (j10's l_orderkey at
+      // sf10 = 15 M groups) pays this millions of times — the long fast
+      // path must stay a plain range check + Decimal(long), no
+      // BigDecimal boxing (an r12 review fix briefly boxed here and
+      // doubled j10's wall)
+      if (over(slot)) {
+        if (ansi) overflow("the aggregated sum")
         row.update(off, null)
-      } else row.update(off, Decimal(scala.math.BigDecimal(bd), precision, scale))
+      } else if (bigs(slot) == null) {
+        if (Math.abs(unscaled(slot)) <= maxSumUnscaled)
+          row.update(off, Decimal(unscaled(slot), precision, scale))
+        else { // p < 19 sums can exceed p digits without long overflow
+          if (ansi) overflow(
+            java.math.BigDecimal.valueOf(unscaled(slot), scale).toPlainString)
+          row.update(off, null)
+        }
+      } else {
+        // addBig already flagged `over` on precision overflow; reaching
+        // here means the escalated sum fits
+        row.update(off, Decimal(scala.math.BigDecimal(bigs(slot)), precision, scale))
+      }
       row.update(off + 1, isEmpty(slot))
       off + 2
     }
@@ -635,6 +652,59 @@ object ColumnarPartialAgg {
   private[spark] final case class Kernel(keys: Array[KeySpec],
     accFactory: () => Array[Acc],
     pred: Option[(ColumnarBatch, Int) => Byte]) extends Serializable
+
+  /** Open-addressed long → slot map (linear probing, power-of-two
+    * capacity, 0.7 load): the probe path for the dominant
+    * single-long-group-key shape. The generic path's
+    * HashMap[LKey, Integer] allocates a boxed Integer + hashes a long[]
+    * per NEW group and per-row boxes on probe — fine at t1's hundreds of
+    * groups, a 2× whole-query loss on j10's 15 M (measured r12, sf10:
+    * swapped 2.0–3.2 s vs stock 1.0 s before this map; at-or-below
+    * stock after). Zero allocation per row and per group. */
+  private[spark] final class LongToSlot(initCap: Int) {
+    private var cap = Integer.highestOneBit(math.max(16, initCap) - 1) << 1
+    private var ks = new Array[Long](cap)
+    private var vs = new Array[Int](cap)
+    java.util.Arrays.fill(vs, -1)
+    private var n = 0
+    private def mix(k: Long): Int = {
+      var z = k * -0x61c8864680b583ebL // fibonacci scramble
+      z ^= (z >>> 31)
+      z.toInt
+    }
+    def clear(): Unit = { java.util.Arrays.fill(vs, -1); n = 0 }
+    private def grow(): Unit = {
+      val oldK = ks; val oldV = vs
+      cap <<= 1
+      ks = new Array[Long](cap)
+      vs = new Array[Int](cap)
+      java.util.Arrays.fill(vs, -1)
+      var i = 0
+      while (i < oldK.length) {
+        if (oldV(i) != -1) {
+          var idx = mix(oldK(i)) & (cap - 1)
+          while (vs(idx) != -1) idx = (idx + 1) & (cap - 1)
+          ks(idx) = oldK(i); vs(idx) = oldV(i)
+        }
+        i += 1
+      }
+    }
+    /** Slot for `k`, inserting `next` if absent (returns `next` then). */
+    def getOrInsert(k: Long, next: Int): Int = {
+      var idx = mix(k) & (cap - 1)
+      while (true) {
+        val v = vs(idx)
+        if (v == -1) {
+          ks(idx) = k; vs(idx) = next; n += 1
+          if (n.toLong * 10 > cap.toLong * 7) grow()
+          return next
+        }
+        if (ks(idx) == k) return v
+        idx = (idx + 1) & (cap - 1)
+      }
+      -1 // unreachable
+    }
+  }
 
   /** Plan-time compilation of the whole match, or None to leave the plan
     * untouched. */
@@ -809,6 +879,24 @@ case class ColumnarPartialAggExec(
       val accs = kernel.accFactory()
       var slots = new Array[Int](8192)
       val probe = new LKey(new Array[Long](nKeys + 1)) // last slot: null bits
+      // single-long-key fast path: primitive open-addressed probes (the
+      // boxed map is a measured 2× whole-query loss at 15 M groups)
+      val fastKey: LongCol = keys match {
+        case Array(LongKey(c0, _)) => c0
+        case _ => null
+      }
+      val fastMap = if (fastKey != null) new LongToSlot(8192) else null
+      var nullSlotId = -1 // the single null-key group's slot (fast path)
+      // fast-path group keys live in a primitive growing array — zero
+      // object allocation per group (an LKey + buffer entry per group
+      // showed up as first-run GC spikes at j10's 15 M groups)
+      var fastKeys = if (fastMap != null) new Array[Long](8192) else null
+      var fastN = 0
+      val fastEmitInt = keys match {
+        case Array(LongKey(_, ei)) => ei
+        case _ => false
+      }
+      def numGroups: Int = if (fastMap != null) fastN else slotKeys.length
       // per string-key interning (dense ids; UTF8Strings cloned once per
       // flush window; tables reset WITH the accumulators at each
       // memory-bound flush so per-task memory stays O(maxGroups), not
@@ -822,9 +910,16 @@ case class ColumnarPartialAggExec(
         case _ => null
       }
       val proj = UnsafeProjection.create(outTypes.toArray)
+      // ONE reused row pair for the whole partition: every emit writes
+      // every field, and the parent is always the partial→final exchange,
+      // which serializes each row before pulling the next — the same
+      // buffer-reuse contract stock codegen operators rely on. At j10's
+      // 15 M groups a per-group GenericInternalRow + UnsafeRow copy() was
+      // a measured ~30% of the swapped wall.
+      val reusedRow = new GenericInternalRow(output.length)
       def emitAll(ks: IndexedSeq[LKey]): Iterator[InternalRow] =
         ks.indices.iterator.map { slot =>
-          val row = new GenericInternalRow(output.length)
+          val row = reusedRow
           val kv = ks(slot).vals
           val bits = kv(nKeys)
           var k = 0
@@ -842,21 +937,75 @@ case class ColumnarPartialAggExec(
           var off = nKeys
           var a = 0
           while (a < accs.length) { off = accs(a).emit(slot, row, off); a += 1 }
-          proj(row).copy(): InternalRow
+          proj(row): InternalRow
+        }
+      def emitAllFast(ks: Array[Long], n: Int, nullSlot: Int)
+          : Iterator[InternalRow] =
+        Iterator.range(0, n).map { slot =>
+          val row = reusedRow
+          if (slot == nullSlot) row.update(0, null)
+          else if (fastEmitInt) row.update(0, ks(slot).toInt)
+          else row.update(0, ks(slot))
+          var off = 1
+          var a = 0
+          while (a < accs.length) { off = accs(a).emit(slot, row, off); a += 1 }
+          proj(row): InternalRow
         }
       def flush(): Iterator[InternalRow] = {
-        val ks = slotKeys.toIndexedSeq
-        val out = emitAll(ks)
-        // the iterator above is lazy over `ks` (already materialized);
-        // resetting the live structures now is safe
-        slotMap.clear(); slotKeys.clear()
-        out // accs reset AFTER the iterator drains — see pump()
+        // snapshot the emit inputs (the iterators are lazy), THEN reset
+        // the live structures; accs reset AFTER the iterator drains —
+        // see pump()
+        if (fastMap != null) {
+          val ksnap = java.util.Arrays.copyOf(fastKeys, fastN)
+          val out = emitAllFast(ksnap, fastN, nullSlotId)
+          fastMap.clear(); fastN = 0; nullSlotId = -1
+          out
+        } else {
+          val ks = slotKeys.toIndexedSeq
+          val out = emitAll(ks)
+          slotMap.clear(); slotKeys.clear()
+          out
+        }
       }
       val pred = kernel.pred.orNull
       def consume(batch: ColumnarBatch): Unit = {
         val n = batch.numRows()
         if (slots.length < n) slots = new Array[Int](n)
         var i = 0
+        if (fastMap != null) {
+          while (i < n) {
+            if (pred != null && pred(batch, i) != 1) slots(i) = -1
+            else if (fastKey.isNull(batch, i)) {
+              if (nullSlotId < 0) {
+                nullSlotId = fastN
+                if (fastN == fastKeys.length)
+                  fastKeys = java.util.Arrays.copyOf(fastKeys, fastN * 2)
+                fastKeys(fastN) = 0L
+                fastN += 1
+              }
+              slots(i) = nullSlotId
+            } else {
+              val k = fastKey.get(batch, i)
+              val s = fastMap.getOrInsert(k, fastN)
+              if (s == fastN) { // new group: record its key for emit
+                if (fastN == fastKeys.length)
+                  fastKeys = java.util.Arrays.copyOf(fastKeys, fastN * 2)
+                fastKeys(fastN) = k
+                fastN += 1
+              }
+              slots(i) = s
+            }
+            i += 1
+          }
+          val nSlots = fastN
+          var a = 0
+          while (a < accs.length) {
+            accs(a).grow(nSlots)
+            accs(a).updateBatch(batch, n, slots)
+            a += 1
+          }
+          return
+        }
         while (i < n) {
           if (pred != null && pred(batch, i) != 1) slots(i) = -1
           else {
@@ -929,7 +1078,7 @@ case class ColumnarPartialAggExec(
             }
             if (batches.hasNext) {
               consume(batches.next())
-              if (slotKeys.length > maxGroups) {
+              if (numGroups > maxGroups) {
                 cur = flush()
                 pendingReset = true
               }
