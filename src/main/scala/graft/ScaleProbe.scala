@@ -121,7 +121,12 @@ object ScaleProbe {
         // (broadcast semi-join, no corpus shuffle), vocab coverage
         // (top-K + broadcast), audio fingerprint banding (band equi-join)
         "x22_shard_shuffle", "x26_boilerplate", "x27_ngram_decontam",
-        "x28_vocab_oov", "m9_audio_fingerprint")
+        "x28_vocab_oov", "m9_audio_fingerprint",
+        // r12: metric-declared graph serving (build cached per corpus —
+        // the probe pays reconstruct+search, must stay ~flat) and the
+        // DSv2 MERGE bridge (scan grows with the corpus; the delta is
+        // the fixed 3000-key band, so the slope is the filtered scan's)
+        "v25_metric_serve", "cat3_catalog_merge")
         .filter(n => args.lift(1).forall(_.split(',').contains(n)))
         .map(n => n -> SparkEntry.queries(n))
     factors.foreach { f =>

@@ -2992,10 +2992,12 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * reaped early is gone, exactly like upstream. Requires MODIFY. */
   def cdcReap(table: String, throughMillis: Long = Long.MaxValue): Long = {
     val key = canonical(table).toLowerCase
+    // permission FIRST: an unprivileged caller learns nothing about the
+    // table's cdc state from the error shape
+    checkPerm("modify", authRes(key))
     if (!cdcEnabled.contains(key))
       throw new CqlInvalidQueryException(
         s"cdc is not enabled on $table (CREATE/ALTER ... WITH cdc = true)")
-    checkPerm("modify", authRes(key))
     val dir = new java.io.File(cdcDirOf(key))
     if (!dir.isDirectory) return 0L
     var freed = 0L

@@ -276,6 +276,36 @@ class ColumnarAggSpec extends SparkSpec {
     spark.conf.set("spark.sql.ansi.enabled", ansiBefore)
   }
 
+  test("single-long-key fast path under a tiny maxGroups: the primitive " +
+    "map/key-store flush-resets correctly, nulls included") {
+    val dir = Tables.tempRoot("graft-colagg-fastflush")
+    // near-unique long key with a null stripe: exercises the fast path's
+    // LongToSlot + primitive key store across many flush windows AND the
+    // single null-key slot's re-allocation after each reset
+    spark.range(20000).selectExpr(
+      "CASE WHEN id % 9 = 0 THEN NULL ELSE id % 7000 END AS k",
+      "CAST(id AS DOUBLE) AS v", "id AS j")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    def agg() = spark.read.parquet(dir)
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("j")).as("sj"),
+        min(col("j")).as("mn"))
+      .collect().map(_.toString).sorted.toSeq
+    spark.conf.set("spark.graft.columnarAgg.maxAggs", "10")
+    spark.conf.set("spark.graft.columnarAgg.maxGroups", "4")
+    val flushed = try agg()
+      finally spark.conf.unset("spark.graft.columnarAgg.maxGroups")
+    val unbounded = agg()
+    spark.conf.set("spark.graft.columnarAgg.enabled", "false")
+    val stock = try agg()
+      finally {
+        spark.conf.set("spark.graft.columnarAgg.enabled", "true")
+        spark.conf.unset("spark.graft.columnarAgg.maxAggs")
+      }
+    assert(flushed === stock)
+    assert(unbounded === stock)
+  }
+
   test("global aggregate (no grouping) swaps and equals stock, including " +
     "over an empty relation") {
     def agg(df: org.apache.spark.sql.DataFrame) = df

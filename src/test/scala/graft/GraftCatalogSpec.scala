@@ -170,6 +170,51 @@ class GraftCatalogSpec extends SparkSpec {
     } finally s.login("cassandra", "cassandra")
   }
 
+  test("MERGE fuzz: 10 seeded random three-branch merges converge to an " +
+    "independent in-memory model on BOTH surfaces") {
+    val rnd = new scala.util.Random(20260815L)
+    val s = CqlSession(spark)
+    s.exposeAsCatalog("graftfz")
+    import spark.implicits._
+    for (round <- 1 to 10) {
+      val tbl = s"mfz$round"
+      s.execute(s"CREATE TABLE $tbl (k bigint PRIMARY KEY, v text, n bigint)")
+      val target = (0L until 20L).filter(_ => rnd.nextBoolean())
+        .map(k => (k, s"t$k", rnd.nextInt(100).toLong))
+      target.foreach { case (k, v, n) =>
+        s.execute(s"INSERT INTO $tbl (k, v, n) VALUES ($k, '$v', $n)") }
+      // act: 0 = delete-if-matched, 1/2 = update-or-insert
+      val source = (0L until 25L).filter(_ => rnd.nextBoolean())
+        .map(k => (k, s"s$k", rnd.nextInt(100).toLong, rnd.nextInt(3)))
+      source.toDF("k", "v", "n", "act")
+        .createOrReplaceTempView(s"mfz_src$round")
+      spark.sql(
+        s"""MERGE INTO graftfz.default.$tbl t USING mfz_src$round s
+           ON t.k = s.k
+           WHEN MATCHED AND s.act = 0 THEN DELETE
+           WHEN MATCHED THEN UPDATE SET v = s.v, n = s.n + t.n
+           WHEN NOT MATCHED AND s.act <> 0 THEN
+             INSERT (k, v, n) VALUES (s.k, s.v, s.n)""")
+      // the model: plain scala fold of the same branch semantics
+      val tmap = target.map(t => t._1 -> t).toMap
+      val expected = scala.collection.mutable.Map.empty[Long, (String, Long)]
+      target.foreach { case (k, v, n) => expected(k) = (v, n) }
+      source.foreach { case (k, v, n, act) =>
+        if (tmap.contains(k)) {
+          if (act == 0) expected.remove(k)
+          else expected(k) = (v, n + tmap(k)._3)
+        } else if (act != 0) expected(k) = (v, n)
+      }
+      val got = spark.sql(s"SELECT k, v, n FROM graftfz.default.$tbl")
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+        .toMap
+      assert(got === expected.toMap, s"round $round (Spark read) diverged")
+      val cql = s.execute(s"SELECT k, v, n FROM $tbl").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      assert(cql === expected.toMap, s"round $round (CQL read) diverged")
+    }
+  }
+
   test("MERGE INTO a materialized view refuses at analysis") {
     val s = CqlSession(spark)
     s.execute("CREATE TABLE cat_mvb (k bigint PRIMARY KEY, v bigint)")
