@@ -3280,6 +3280,11 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     md.digest().map("%02x".format(_)).mkString
   }
 
+  /** test probe (r12 advice: digest framing) — the canonical digest of
+    * an arbitrary frame, for collision regression tests. */
+  private[graft] def resultDigestForTest(df: DataFrame): String =
+    resultDigest(df)
+
   /** Is audit logging currently enabled (`AUDIT` with no argument)? */
   def auditEnabled: Boolean = auditOn
 

@@ -196,6 +196,51 @@ class AdviceRegressionSpec extends SparkSpec {
     assert(live === Seq("SELECT task FROM system_views.queries"))
   }
 
+  // ——— r12 ADVICE ——————————————————————————————————————————————
+
+  test("r12-advice-m1: the columnar kernel orders doubles like Spark " +
+    "(-0.0 == 0.0) in residual predicates and min/max") {
+    val dir = Tables.tempRoot("graft-r12-negzero")
+    spark.sql("SELECT * FROM VALUES " +
+      "(1L, CAST(-0.0 AS DOUBLE)), (1L, CAST(0.0 AS DOUBLE)), " +
+      "(2L, CAST(-0.0 AS DOUBLE)), (2L, CAST(1.5 AS DOUBLE)) AS t(k, v)")
+      .write.mode("overwrite").parquet(dir)
+    import org.apache.spark.sql.functions._
+    // a `v = 0.0` residual must keep BOTH zero rows (Double.compare
+    // would order -0.0 < 0.0 and drop one), and min/max must agree
+    // with stock at identical partitioning
+    def agg() = spark.read.parquet(dir).filter(col("v") === 0.0)
+      .groupBy("k").agg(count(lit(1)).as("n"), min(col("v")).as("mn"))
+      .collect().map(_.toString).sorted.toSeq
+    val swapped = agg()
+    spark.conf.set("spark.graft.columnarAgg.enabled", "false")
+    val stock = try agg()
+      finally spark.conf.set("spark.graft.columnarAgg.enabled", "true")
+    assert(swapped === stock)
+    assert(swapped.exists(_.contains("[1,2,")),
+      s"k=1 must keep both zero rows: $swapped")
+  }
+
+  test("r12-advice-l4: result digests cannot collide across cell/row " +
+    "boundaries ('][' cells, null vs the string 'null')") {
+    import spark.implicits._
+    val s = CqlSession(spark)
+    // OLD encoding: md5 over sorted Row.toString — Row("x][y") rendered
+    // "[x][y]", exactly the concatenation of Row("x") + Row("y")
+    val one = Seq("x][y").toDF("c")
+    val two = Seq("x", "y").toDF("c")
+    assert(s.resultDigestForTest(one) !== s.resultDigestForTest(two),
+      "row-boundary shift must change the digest")
+    val asNull = Seq[Option[String]](None).toDF("c")
+    val asText = Seq("null").toDF("c")
+    assert(s.resultDigestForTest(asNull) !== s.resultDigestForTest(asText),
+      "a null cell and the literal string 'null' must differ")
+    // and the digest is still row-order-insensitive (the property COMPARE
+    // AUDIT relies on for unordered SELECTs)
+    assert(s.resultDigestForTest(Seq("a", "b").toDF("c")) ===
+      s.resultDigestForTest(Seq("b", "a").toDF("c")))
+  }
+
   test("r9-advice-5: USING TIMESTAMP ratchet — explicit timestamps stay " +
     "monotone with later server stamps (documented deviation)") {
     val s = CqlSession(spark)
