@@ -1,9 +1,10 @@
 package graft.operators
 
 import graft.{Tables, Q}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** SURVEY §2.9 — batch twins of the streaming surface (T1–T3, T5). The same
   * transformations run as true Structured Streaming in
@@ -301,6 +302,60 @@ object StreamingQueries {
     replica.execute("SELECT k, v, n FROM rep15").orderBy("k")
   }
 
+  /** T16 (r12) — the CDC OPERATIONAL LIFECYCLE in the gate [U
+    * db/commitlog/CommitLogSegmentManagerCDC: cdc_total_space rejects
+    * writes when the consumer falls behind; consumers delete processed
+    * segments — the two halves that make CDC safe to leave enabled]:
+    * (1) a consumer drains the first segment; (2) with the space bound
+    * tripped a write to the cdc table REJECTS statement-atomically (the
+    * row is NOT applied locally) while non-cdc tables stay writable;
+    * (3) lifting the bound re-admits writes; (4) the consumer ACK
+    * (`cdcReap`) frees the consumed segments' bytes; (5) a FRESH
+    * consumer sees exactly the post-reap history. Every probe projects
+    * a literal row, so the twin is a VALUES table. */
+  def t16_cdc_lifecycle(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.cql.CqlSession(s)
+    sess.execute(
+      "CREATE TABLE cdc16 (k bigint PRIMARY KEY, v text) WITH cdc = true")
+    sess.execute("INSERT INTO cdc16 (k, v) VALUES (1, 'a')")
+    def drained(): Seq[Long] = {
+      val name = s"t16_sink_${System.nanoTime()}"
+      graft.streaming.StreamingPipelines.runToMemory(
+        sess.cdcStream("cdc16").select(col("k")), name, "append")
+      s.table(name).collect().map(_.getLong(0)).sorted.toSeq
+    }
+    val firstDrain = drained()
+    s.conf.set("spark.graft.cdc.total_space_in_mb", "0")
+    val (rejected, nonCdcOk) =
+      try {
+        val r =
+          try { sess.execute("INSERT INTO cdc16 (k, v) VALUES (2, 'b')"); false }
+          catch { case _: graft.cql.CqlInvalidQueryException => true }
+        sess.execute("CREATE TABLE plain16 (k bigint PRIMARY KEY)")
+        sess.execute("INSERT INTO plain16 (k) VALUES (1)")
+        (r, true)
+      } finally s.conf.unset("spark.graft.cdc.total_space_in_mb")
+    val countAfterReject =
+      sess.execute("SELECT count(*) FROM cdc16").head().getLong(0)
+    sess.execute("INSERT INTO cdc16 (k, v) VALUES (2, 'b')") // bound lifted
+    val freed = sess.cdcReap("cdc16") // ack both consumed segments
+    sess.execute("INSERT INTO cdc16 (k, v) VALUES (3, 'c')")
+    val freshDrain = drained() // only post-reap history remains
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(Seq(
+      Row(1L, "consumer_drain", firstDrain.mkString("k=", ",", "")),
+      Row(2L, "bound_reject",
+        s"rejected=$rejected count=$countAfterReject non_cdc_ok=$nonCdcOk"),
+      Row(3L, "bound_lift", "k2_inserted=true"),
+      Row(4L, "reap", s"freed_positive=${freed > 0L}"),
+      Row(5L, "fresh_consumer", freshDrain.mkString("k=", ",", ""))
+    ).asJava, StructType(Seq(
+      StructField("seq", LongType),
+      StructField("probe", StringType),
+      StructField("detail", StringType))))
+      .orderBy("seq")
+  }
+
   /** T10 — the TRUE stream-stream join executor inside the hash gate
     * (T8+ was spec-only): clicks joined to the same user's purchases
     * within 30 minutes after, run as a watermarked streaming interval
@@ -377,6 +432,7 @@ object StreamingQueries {
     "t13_stream_dedup" -> (t13_stream_dedup _),
     "t14_cdc_stream" -> (t14_cdc_stream _),
     "t15_cdc_replicate" -> (t15_cdc_replicate _),
+    "t16_cdc_lifecycle" -> (t16_cdc_lifecycle _),
     "t8_stream_tumbling" -> (t8_stream_tumbling _),
     "t9_gapfill" -> (t9_gapfill _),
     "t1_tumbling" -> (t1_tumbling _),
@@ -393,6 +449,17 @@ object StreamingQueries {
       """SELECT CAST(k AS BIGINT) AS k, v, CAST(n AS BIGINT) AS n
         |FROM (VALUES (2, 'b', 21), (3, 'x', NULL))
         |AS t(k, v, n) ORDER BY k""".stripMargin,
+    // the literal operational-lifecycle scorecard: bound rejects
+    // statement-atomically, reap frees, the fresh consumer sees only
+    // post-reap history
+    "t16_cdc_lifecycle" ->
+      """SELECT CAST(seq AS BIGINT) AS seq, probe, detail FROM (VALUES
+        |  (1, 'consumer_drain', 'k=1'),
+        |  (2, 'bound_reject', 'rejected=true count=1 non_cdc_ok=true'),
+        |  (3, 'bound_lift', 'k2_inserted=true'),
+        |  (4, 'reap', 'freed_positive=true'),
+        |  (5, 'fresh_consumer', 'k=3'))
+        |AS t(seq, probe, detail) ORDER BY seq""".stripMargin,
     // the literal mutation log: the batch pair shares writetime 4, the
     // failed LWT leaks nothing
     "t14_cdc_stream" ->

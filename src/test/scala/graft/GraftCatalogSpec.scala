@@ -170,6 +170,32 @@ class GraftCatalogSpec extends SparkSpec {
     } finally s.login("cassandra", "cassandra")
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE branches (update + delete) " +
+    "rewrite through the same delta") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE cat_nbs (k bigint PRIMARY KEY, v text, n bigint)")
+    (1L to 4L).foreach(i =>
+      s.execute(s"INSERT INTO cat_nbs (k, v, n) VALUES ($i, 'v$i', $i)"))
+    s.exposeAsCatalog("graft")
+    import spark.implicits._
+    Seq((2L, 20L), (3L, 30L)).toDF("k", "n")
+      .createOrReplaceTempView("nbs_src")
+    spark.sql(
+      """MERGE INTO graft.default.cat_nbs t USING nbs_src s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET n = s.n
+         WHEN NOT MATCHED BY SOURCE AND t.k = 1 THEN DELETE
+         WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'stale'""")
+    val got = spark.sql(
+      "SELECT k, v, n FROM graft.default.cat_nbs ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq((2L, "v2", 20L), (3L, "v3", 30L),
+      (4L, "stale", 4L)))
+    // CQL surface sees the same post-state
+    assert(s.execute("SELECT v FROM cat_nbs WHERE k = 4").head()
+      .getString(0) === "stale")
+    assert(s.execute("SELECT count(*) FROM cat_nbs").head().getLong(0) === 3L)
+  }
+
   test("MERGE fuzz: 10 seeded random three-branch merges converge to an " +
     "independent in-memory model on BOTH surfaces") {
     val rnd = new scala.util.Random(20260815L)
