@@ -359,6 +359,30 @@ object VectorQueries {
   def v17_pq_served(s: SparkSession, d: String): DataFrame =
     servePqIndex(s, d, pqIndexDir(s, d))
 
+  /** Per-(corpus, mtime) EUCLIDEAN-metric PQ index for v26. */
+  private val euclidPqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** V26 (r12): the declared `similarity_function` through the PQ
+    * lifecycle — v25's graph-side twin. The index is BUILT euclidean
+    * (the metric persisted with the codebook) and `servePqIndex` picks
+    * it up from the artifact, scoring by the euclidean ADC table
+    * (per-(m, cell) partial squared distances, nearest-first). The twin
+    * recomputes the same pipeline in DuckDB — cells, decimal-mean
+    * codebook, squared-difference LUT, decimal M-way sum — so the
+    * metric dial on the serve path is hash-verified end to end. */
+  def v26_pq_metric(s: SparkSession, d: String): DataFrame = {
+    val mtime = try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$d/embeddings.parquet")).toMillis
+      catch { case _: Exception => 0L }
+    val dir = euclidPqCache.computeIfAbsent(s"$d@$mtime", { _ =>
+      val out = graft.Tables.tempRoot("graft-pq-euclid")
+      buildPqIndex(s, d, out, metric = "euclidean")
+      out
+    })
+    servePqIndex(s, d, dir)
+  }
+
   /** V18: INCREMENTAL index maintenance — upstream SAI builds an index
     * SEGMENT per flushed sstable against the already-trained structures
     * rather than re-indexing the corpus [U index/sai/: per-sstable
@@ -608,6 +632,7 @@ object VectorQueries {
     "v12_pq_adc" -> (v12_pq_adc _),
     "v13_knn_rerank" -> (v13_knn_rerank _),
     "v17_pq_served" -> (v17_pq_served _),
+    "v26_pq_metric" -> (v26_pq_metric _),
     "v18_incremental_index" -> (v18_incremental_index _),
     "v20_deleted_mask" -> (v20_deleted_mask _),
     "v22_codebook_drift" -> (v22_codebook_drift _),
@@ -631,9 +656,24 @@ object VectorQueries {
     // query and surface as a baffling hash mismatch — fail fast instead
     require(v20 != oracle0("v12_pq_adc"),
       "v20 oracle derivation no-op: v12_pq_adc's SQL text changed")
+    // v26 is v12's pipeline with the EUCLIDEAN ADC table: the LUT entry
+    // becomes the partial squared distance ((x-y)*(x-y), the exact
+    // subtraction-loop fold the Spark side runs) and the merge ranks
+    // ascending — same derive-or-fail-fast rule as v20
+    val v26 = oracle0("v12_pq_adc")
+      .replace(
+        "round(list_dot_product(list_slice(qv, m*16+1, m*16+16), centroid), 6) AS w",
+        "round(list_sum(list_transform(" +
+          "list_zip(list_slice(qv, m*16+1, m*16+16), centroid), " +
+          "x -> (x[1] - x[2]) * (x[1] - x[2]))), 6) AS w")
+      .replace("AS adc_dot", "AS adc_dist2")
+      .replace("ORDER BY adc_dot DESC", "ORDER BY adc_dist2 ASC")
+    require(v26 != oracle0("v12_pq_adc"),
+      "v26 oracle derivation no-op: v12_pq_adc's SQL text changed")
     oracle0 +
       ("v17_pq_served" -> oracle0("v12_pq_adc")) +
-      ("v20_deleted_mask" -> v20)
+      ("v20_deleted_mask" -> v20) +
+      ("v26_pq_metric" -> v26)
   }
 
   private val oracle0: Map[String, String] = Map(
