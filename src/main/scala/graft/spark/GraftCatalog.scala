@@ -499,6 +499,16 @@ private[spark] class GraftDeltaWriter(dataSchema: StructType,
   private def idSeq(row: InternalRow): Seq[Any] =
     toId(row).asInstanceOf[org.apache.spark.sql.Row].toSeq
 
+  /** Value equality for key comparison. Objects.equals is REFERENCE
+    * equality on Array[Byte] (a blob pk), which would misread every
+    * blob-keyed UPDATE as key-moving and emit delete(old)+upsert(new)
+    * on the SAME key at the SAME timestamp — where the tombstone wins
+    * the tie and the row vanishes instead of updating. */
+  private def valEq(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+    case _ => java.util.Objects.equals(a, b)
+  }
+
   override def insert(row: InternalRow): Unit = upserts += dataSeq(row)
 
   override def delete(meta: InternalRow, id: InternalRow): Unit =
@@ -510,7 +520,7 @@ private[spark] class GraftDeltaWriter(dataSchema: StructType,
     val oldId = idSeq(id)
     val keyUnchanged = idIdxInData.indices.forall { i =>
       val j = idIdxInData(i)
-      j >= 0 && java.util.Objects.equals(newRow(j), oldId(i))
+      j >= 0 && valEq(newRow(j), oldId(i))
     }
     if (!keyUnchanged) deletes += oldId
     upserts += newRow

@@ -170,6 +170,24 @@ class GraftCatalogSpec extends SparkSpec {
     } finally s.login("cassandra", "cassandra")
   }
 
+  test("UPDATE on a blob-keyed table is ONE upsert (byte[] key equality " +
+    "— reference equality would tombstone the row it updates)") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE cat_blob (k blob PRIMARY KEY, n bigint)")
+    s.execute("INSERT INTO cat_blob (k, n) VALUES (0x0102, 1)")
+    s.execute("INSERT INTO cat_blob (k, n) VALUES (0xff, 7)")
+    s.exposeAsCatalog("graft")
+    spark.sql("UPDATE graft.default.cat_blob SET n = n + 10 WHERE n < 5")
+    // misread key equality would emit delete(k)+upsert(k) at ONE shared
+    // timestamp — the tombstone wins the tie and the row disappears
+    val rows = spark.sql(
+      "SELECT n FROM graft.default.cat_blob ORDER BY n").collect()
+      .map(_.getLong(0)).toSeq
+    assert(rows === Seq(7L, 11L), s"blob-keyed update lost rows: $rows")
+    assert(s.execute("SELECT count(*) FROM cat_blob").head()
+      .getLong(0) === 2L)
+  }
+
   test("MERGE WHEN NOT MATCHED BY SOURCE branches (update + delete) " +
     "rewrite through the same delta") {
     val s = CqlSession(spark)
