@@ -2292,8 +2292,27 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         throw new CqlInvalidQueryException(
           s"MERGE/UPDATE on $table requires UNMASK: the rewritten rows " +
             "would persist masked column values")
+      // a delete whose key is ALSO upserted in this delta is a key-move
+      // chain (UPDATE SET k = k + 1 moves row 1→2 while row 2 moves 3:
+      // delete(2) refers to the PRE-state row that upsert(2) fully
+      // overwrites). At ONE shared timestamp the row tombstone would win
+      // the tie and erase the moved row — and the upsert is a complete
+      // post-image, so the colliding delete is redundant: drop it. This
+      // must happen HERE (the per-task writers each see only their
+      // partition's half of the collision).
+      def keyNorm(v: Any): Any = v match {
+        case b: Array[Byte] => b.toSeq // value equality for blob keys
+        case x => x
+      }
+      val idIdx = idCols.map(c => dataCols.indexWhere(_.equalsIgnoreCase(c)))
+      val upsertKeys: Set[Seq[Any]] =
+        if (idIdx.forall(_ >= 0))
+          upserts.iterator.map(r => idIdx.map(j => keyNorm(r(j)))).toSet
+        else Set.empty
+      val effDeletes =
+        deletes.filterNot(id => upsertKeys.contains(id.map(keyNorm)))
       val shared = nextTs(None)
-      deletes.foreach { id =>
+      effDeletes.foreach { id =>
         applyDml(CqlDelete(key, idCols.zip(id), usingTimestamp = None),
           Some(shared))
       }

@@ -188,6 +188,27 @@ class GraftCatalogSpec extends SparkSpec {
       .getLong(0) === 2L)
   }
 
+  test("chained key-move UPDATE (SET k = k + 1): a delete colliding with " +
+    "an upserted key must not tombstone the moved row") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE cat_chain (k bigint PRIMARY KEY, v text)")
+    (1L to 3L).foreach(i =>
+      s.execute(s"INSERT INTO cat_chain (k, v) VALUES ($i, 'v$i')"))
+    s.exposeAsCatalog("graft")
+    // rows move 1→2, 2→3, 3→4: the delta holds delete(2)+upsert(2) and
+    // delete(3)+upsert(3) — at one shared timestamp a surviving row
+    // tombstone would win the tie and erase the moved rows
+    spark.sql("UPDATE graft.default.cat_chain SET k = k + 1")
+    val got = spark.sql(
+      "SELECT k, v FROM graft.default.cat_chain ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((2L, "v1"), (3L, "v2"), (4L, "v3")),
+      s"chained key-move lost rows: $got")
+    // the vacated head key is gone on both surfaces
+    assert(s.execute("SELECT count(*) FROM cat_chain").head()
+      .getLong(0) === 3L)
+  }
+
   test("MERGE WHEN NOT MATCHED BY SOURCE branches (update + delete) " +
     "rewrite through the same delta") {
     val s = CqlSession(spark)
