@@ -2267,7 +2267,12 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * Scale shape: the delta (changed rows only, never the table) flows
     * through the coordinator — the same single-coordinator write model
     * as every CQL mutation in this engine; bulk rewrites belong to
-    * INSERT OVERWRITE, which stays fully distributed. */
+    * INSERT OVERWRITE, which stays fully distributed.
+    *
+    * Data-model boundary: CONVERGING key-moves (two UPDATEs landing on
+    * one new primary key in a single statement) reconcile to ONE row —
+    * a pk-unique store cannot represent the duplicate-key post-state a
+    * keyless lakehouse table would hold; same boundary as CQL itself. */
   private[graft] def catalogApplyDelta(table: String,
       dataCols: Seq[String], idCols: Seq[String],
       upserts: Seq[Seq[Any]], deletes: Seq[Seq[Any]]): Unit =
