@@ -1197,6 +1197,13 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * primary key). */
   private[graft] def primaryKeyOf(key: String): Seq[String] =
     keyCols(tableState(key.toLowerCase))
+  /** (partition keys, clustering keys) — the DSv2 DELETE bridge's
+    * addressability test (partition fully restricted + contiguous
+    * clustering prefix). */
+  private[graft] def keyStructureOf(key: String): (Seq[String], Seq[String]) = {
+    val t = tableState(key.toLowerCase)
+    (t.partitionKeys, t.clusteringKeys)
+  }
   private[graft] def cqlTypeNameOf(dt: DataType): String =
     cqlTypeName(dt, Set.empty)
 

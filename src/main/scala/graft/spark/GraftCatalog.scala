@@ -340,14 +340,20 @@ private[spark] class GraftTable(ident: String, tableSchema: StructType,
   }
 
   /** Flatten a top-level conjunction of source filters into (column →
-    * value | CqlInList) pairs, or None if any conjunct falls outside the
-    * CQL-DELETE-expressible subset (equality / IN on named columns with
-    * scalar values). CQL's addressing rules — partition key required,
-    * contiguous clustering prefix, no non-key columns — are enforced by
-    * the session's shared DML path at execution. */
+    * value | CqlInList) pairs, or None if the predicate set is not
+    * CQL-DELETE-ADDRESSABLE: equality / IN on PRIMARY KEY columns only,
+    * the partition key fully restricted, and a contiguous clustering
+    * prefix. Anything else returns None so `canDeleteWhere` refuses and
+    * Spark falls back to the row-level DELTA path (r12 — before
+    * SupportsRowLevelOperations existed the session's execution-time
+    * rejection was the final answer; now a claimable-but-unaddressable
+    * predicate would steal a query the delta path handles fine). */
   private def keyPreds(filters: Array[org.apache.spark.sql.sources.Filter])
       : Option[Seq[(String, Any)]] = {
-    val fields = tableSchema.fieldNames.map(_.toLowerCase).toSet
+    val (pk, ck) =
+      try session.keyStructureOf(registryKey)
+      catch { case _: CqlInvalidQueryException => return None }
+    val keyCols = (pk ++ ck).map(_.toLowerCase).toSet
     def scalar(v: Any): Boolean = v match {
       case null => false
       case _: String | _: java.lang.Number | _: java.lang.Boolean => true
@@ -358,15 +364,22 @@ private[spark] class GraftTable(ident: String, tableSchema: StructType,
       case org.apache.spark.sql.sources.And(l, r) =>
         for (a <- one(l); b <- one(r)) yield a ++ b
       case org.apache.spark.sql.sources.EqualTo(a, v)
-          if fields(a.toLowerCase) && scalar(v) =>
+          if keyCols(a.toLowerCase) && scalar(v) =>
         Some(Seq(a.toLowerCase -> v))
       case org.apache.spark.sql.sources.In(a, vs)
-          if fields(a.toLowerCase) && vs.nonEmpty && vs.forall(scalar) =>
+          if keyCols(a.toLowerCase) && vs.nonEmpty && vs.forall(scalar) =>
         Some(Seq(a.toLowerCase -> graft.cql.CqlInList(vs.toSeq)))
       case _ => None
     }
     filters.toSeq.foldLeft(Option(Seq.empty[(String, Any)])) { (acc, f) =>
       for (a <- acc; b <- one(f)) yield a ++ b
+    }.filter { preds =>
+      val cols = preds.map(_._1).toSet
+      // addressable = full partition key + contiguous clustering prefix
+      pk.forall(k => cols(k.toLowerCase)) &&
+        cols.size == preds.size && // no duplicate restrictions
+        cols == (pk.map(_.toLowerCase).toSet ++
+          ck.map(_.toLowerCase).takeWhile(cols).toSet)
     }
   }
 

@@ -188,6 +188,28 @@ class GraftCatalogSpec extends SparkSpec {
       .getLong(0) === 2L)
   }
 
+  test("row-level ops address compound (partition, clustering) keys") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE cat_ck (p bigint, c bigint, v text, " +
+      "PRIMARY KEY (p, c))")
+    Seq((1L, 1L, "a"), (1L, 2L, "b"), (2L, 1L, "c")).foreach {
+      case (p, c, v) =>
+        s.execute(s"INSERT INTO cat_ck (p, c, v) VALUES ($p, $c, '$v')")
+    }
+    s.exposeAsCatalog("graft")
+    // the rowId is the FULL primary key: only (1,2) changes
+    spark.sql("UPDATE graft.default.cat_ck SET v = 'x' " +
+      "WHERE p = 1 AND c = 2")
+    assert(spark.sql("SELECT v FROM graft.default.cat_ck ORDER BY p, c")
+      .collect().map(_.getString(0)).toSeq === Seq("a", "x", "c"))
+    // non-key predicate DELETE goes through the delta and tombstones
+    // exactly the addressed row
+    spark.sql("DELETE FROM graft.default.cat_ck WHERE v = 'x'")
+    assert(s.execute("SELECT p, c FROM cat_ck").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+      Seq((1L, 1L), (2L, 1L)))
+  }
+
   test("chained key-move UPDATE (SET k = k + 1): a delete colliding with " +
     "an upserted key must not tombstone the moved row") {
     val s = CqlSession(spark)
