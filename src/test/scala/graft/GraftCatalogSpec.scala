@@ -208,6 +208,14 @@ class GraftCatalogSpec extends SparkSpec {
     assert(s.execute("SELECT p, c FROM cat_ck").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
       Seq((1L, 1L), (2L, 1L)))
+    // a partition-key-only DELETE stays on the METADATA path (one CQL
+    // partition tombstone, not a per-row delta): the addressable subset
+    // the r12 canDeleteWhere tightening must keep claiming
+    s.execute("INSERT INTO cat_ck (p, c, v) VALUES (1, 5, 'e')")
+    spark.sql("DELETE FROM graft.default.cat_ck WHERE p = 1")
+    assert(s.execute("SELECT p FROM cat_ck").collect()
+      .map(_.getLong(0)).toSeq === Seq(2L),
+      "partition delete must clear every clustering row under p = 1")
   }
 
   test("chained key-move UPDATE (SET k = k + 1): a delete colliding with " +
