@@ -179,7 +179,12 @@ class ColumnarAggSpec extends SparkSpec {
       () => min(col("i1")).as("mni"),
       () => max(col("t1")).as("mxt"))
     spark.conf.set("spark.graft.columnarAgg.maxAggs", "10")
-    try for (draw <- 1 to 25) {
+    val ansiBefore = spark.conf.get("spark.sql.ansi.enabled")
+    // sweep BOTH ANSI modes: the sum kernels compile mode-specific
+    // overflow behavior (captured at plan time), so each mode's swapped
+    // path must equal ITS stock twin
+    try for (ansi <- Seq(true, false); draw <- 1 to 25) {
+      spark.conf.set("spark.sql.ansi.enabled", ansi.toString)
       val nK = 1 + rnd.nextInt(3)
       val keys = rnd.shuffle(keyCands).take(nK).map(_())
       val aggs = rnd.shuffle(aggCands).take(1 + rnd.nextInt(3)).map(_())
@@ -190,8 +195,11 @@ class ColumnarAggSpec extends SparkSpec {
       val stock = try run()
         finally spark.conf.set("spark.graft.columnarAgg.enabled", "true")
       assert(swapped === stock,
-        s"draw $draw diverged: keys=$keys aggs=$aggs")
-    } finally spark.conf.unset("spark.graft.columnarAgg.maxAggs")
+        s"draw $draw (ansi=$ansi) diverged: keys=$keys aggs=$aggs")
+    } finally {
+      spark.conf.unset("spark.graft.columnarAgg.maxAggs")
+      spark.conf.set("spark.sql.ansi.enabled", ansiBefore)
+    }
   }
 
   test("memory bound also bounds the string-intern tables: a near-unique " +
