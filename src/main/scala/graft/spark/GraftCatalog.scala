@@ -456,65 +456,107 @@ private[spark] class GraftRowLevelOperation(session: CqlSession,
         private val dataSchema = info.schema()
         private val idSchema = info.rowIdSchema().orElse(new StructType())
         override def toBatch(): DeltaBatchWrite = new DeltaBatchWrite {
+          // one staging prefix per write — on a cluster this must be a
+          // shared filesystem (spark.graft.catalog.deltaStagingDir), the
+          // same requirement as any DSv2 commit protocol's staging area
+          private val stagingDir = session.newDeltaStagingDir(registryKey)
           override def createBatchWriterFactory(pInfo: PhysicalWriteInfo)
               : DeltaWriterFactory =
-            GraftDeltaWriterFactory(dataSchema, idSchema)
+            GraftDeltaWriterFactory(dataSchema, idSchema, stagingDir)
           override def useCommitCoordinator(): Boolean = false
-          /** Driver-side commit: the per-task deltas (CHANGED rows only,
-            * never the table) apply as one rollback-atomic mutation batch
-            * — the engine's single-coordinator write model, same as every
-            * CQL statement. */
+          /** Driver-side commit: the per-task deltas arrived as parquet
+            * SEGMENTS (changed rows only, spilled on the executors —
+            * driver memory is O(tasks), never O(rows)); the session folds
+            * them in as one rollback-atomic mutation batch under one
+            * coordinator timestamp. */
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             val ds = messages.collect { case m: GraftDeltaMessage => m }
-            session.catalogApplyDelta(registryKey,
+            session.catalogApplyDeltaStaged(registryKey,
               dataSchema.fieldNames.toSeq, idSchema.fieldNames.toSeq,
-              ds.iterator.flatMap(_.upserts).toSeq,
-              ds.iterator.flatMap(_.deletes).toSeq)
+              ds.iterator.flatMap(_.segment).toSeq,
+              ds.iterator.map(_.upserts).sum,
+              ds.iterator.map(_.deletes).sum)
           }
-          override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+          override def abort(messages: Array[WriterCommitMessage]): Unit =
+            messages.foreach {
+              case m: GraftDeltaMessage => m.segment.foreach { p =>
+                try { new java.io.File(p).delete(); () }
+                catch { case _: Exception => () }
+              }
+              case _ => ()
+            }
         }
       }
     }
 }
 
-/** Per-task delta: converted external rows (Seq[Any] in data/id column
-  * order), shipped to the coordinator in the commit message. */
-private[spark] case class GraftDeltaMessage(upserts: Seq[Seq[Any]],
-    deletes: Seq[Seq[Any]]) extends WriterCommitMessage
+/** Per-task delta: the executor-local parquet segment the task SPILLED its
+  * changed rows into (None when the task changed nothing) plus row counts.
+  * The commit message carries a path and two longs — never rows — so
+  * driver memory stays flat no matter how many rows a MERGE touches. */
+private[graft] case class GraftDeltaMessage(segment: Option[String],
+    upserts: Long, deletes: Long) extends WriterCommitMessage
 
 private[spark] case class GraftDeltaWriterFactory(dataSchema: StructType,
-    idSchema: StructType) extends DeltaWriterFactory {
+    idSchema: StructType, stagingDir: String) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] =
-    new GraftDeltaWriter(dataSchema, idSchema)
+    new GraftDeltaWriter(dataSchema, idSchema,
+      s"$stagingDir/delta-p$partitionId-t$taskId.parquet")
 }
 
-/** Buffers this task's delta as external-typed rows. An UPDATE whose new
-  * row keeps its primary key is ONE upsert (CQL's natural form); a
-  * key-moving UPDATE (legal in Spark SQL, inexpressible in CQL) maps to
-  * delete(old key) + upsert(new row) — both land in the same
-  * single-timestamp batch, addressing different rows. */
+/** Spills this task's delta to a parquet segment as rows arrive (opened
+  * lazily — an untouched task writes nothing). Segment rows are
+  * `(__delta_op, <data columns…>, __delta_id_<key columns…>)`: upserts
+  * carry the complete post-image in the data columns, deletes carry only
+  * the id columns. An UPDATE whose new row keeps its primary key is ONE
+  * upsert (CQL's natural form); a key-moving UPDATE (legal in Spark SQL,
+  * inexpressible in CQL) maps to delete(old key) + upsert(new row) — both
+  * land in the same single-timestamp batch, addressing different rows. */
 private[spark] class GraftDeltaWriter(dataSchema: StructType,
-    idSchema: StructType)
+    idSchema: StructType, segmentPath: String)
     extends DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] {
-  import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
 
-  private val upserts = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
-  private val deletes = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
-  private val toData = CatalystTypeConverters.createToScalaConverter(dataSchema)
-  private val toId = CatalystTypeConverters.createToScalaConverter(idSchema)
+  private val segSchema =
+    GraftDeltaWriter.segmentSchema(dataSchema, idSchema)
+  private var writer
+      : org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
+  private var nUp = 0L
+  private var nDel = 0L
+
   // id column positions within the data row (for pk-unchanged detection)
   private val idIdxInData = idSchema.fieldNames.map(n =>
     dataSchema.fieldNames.indexWhere(_.equalsIgnoreCase(n)))
 
-  private def dataSeq(row: InternalRow): Seq[Any] =
-    toData(row).asInstanceOf[org.apache.spark.sql.Row].toSeq
-  private def idSeq(row: InternalRow): Seq[Any] =
-    toId(row).asInstanceOf[org.apache.spark.sql.Row].toSeq
+  private def emit(op: String, data: InternalRow, id: InternalRow): Unit = {
+    if (writer == null)
+      writer = org.apache.spark.sql.execution.datasources.parquet
+        .GraftParquetRowWriter.open(segSchema, segmentPath)
+    val arr = new Array[Any](segSchema.length)
+    arr(0) = UTF8String.fromString(op)
+    if (data != null) {
+      var i = 0
+      while (i < dataSchema.length) {
+        arr(1 + i) = data.get(i, dataSchema(i).dataType)
+        i += 1
+      }
+    }
+    if (id != null) {
+      var i = 0
+      while (i < idSchema.length) {
+        arr(1 + dataSchema.length + i) = id.get(i, idSchema(i).dataType)
+        i += 1
+      }
+    }
+    writer.write(new GenericInternalRow(arr))
+  }
 
-  /** Value equality for key comparison. Objects.equals is REFERENCE
-    * equality on Array[Byte] (a blob pk), which would misread every
-    * blob-keyed UPDATE as key-moving and emit delete(old)+upsert(new)
+  /** Value equality for key comparison on CATALYST values. Objects.equals
+    * is REFERENCE equality on Array[Byte] (a blob pk), which would misread
+    * every blob-keyed UPDATE as key-moving and emit delete(old)+upsert(new)
     * on the SAME key at the SAME timestamp — where the tombstone wins
     * the tie and the row vanishes instead of updating. */
   private def valEq(a: Any, b: Any): Boolean = (a, b) match {
@@ -522,25 +564,57 @@ private[spark] class GraftDeltaWriter(dataSchema: StructType,
     case _ => java.util.Objects.equals(a, b)
   }
 
-  override def insert(row: InternalRow): Unit = upserts += dataSeq(row)
+  override def insert(row: InternalRow): Unit = {
+    emit("U", row, null); nUp += 1
+  }
 
-  override def delete(meta: InternalRow, id: InternalRow): Unit =
-    deletes += idSeq(id)
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    emit("D", null, id); nDel += 1
+  }
 
   override def update(meta: InternalRow, id: InternalRow,
       row: InternalRow): Unit = {
-    val newRow = dataSeq(row)
-    val oldId = idSeq(id)
+    // every rowId attribute must be part of the data projection — Spark's
+    // rewrite plans always include them; if a future plan shape ever
+    // drops one, failing loudly beats silently turning every matched
+    // UPDATE into delete+upsert (a semantic shift, not an optimization)
+    require(idIdxInData.forall(_ >= 0),
+      s"delta UPDATE data projection ${dataSchema.fieldNames.mkString(",")}" +
+        s" is missing rowId column(s) ${idSchema.fieldNames.mkString(",")}")
     val keyUnchanged = idIdxInData.indices.forall { i =>
       val j = idIdxInData(i)
-      j >= 0 && valEq(newRow(j), oldId(i))
+      valEq(row.get(j, dataSchema(j).dataType),
+        id.get(i, idSchema(i).dataType))
     }
-    if (!keyUnchanged) deletes += oldId
-    upserts += newRow
+    if (!keyUnchanged) { emit("D", null, id); nDel += 1 }
+    emit("U", row, null); nUp += 1
   }
 
-  override def commit(): WriterCommitMessage =
-    GraftDeltaMessage(upserts.toSeq, deletes.toSeq)
-  override def abort(): Unit = ()
+  override def commit(): WriterCommitMessage = {
+    val seg = if (writer == null) None else { writer.close(); Some(segmentPath) }
+    GraftDeltaMessage(seg, nUp, nDel)
+  }
+  override def abort(): Unit = {
+    if (writer != null) {
+      try writer.close() catch { case _: Exception => () }
+      try new java.io.File(segmentPath).delete()
+      catch { case _: Exception => () }
+    }
+  }
   override def close(): Unit = ()
+}
+
+private[graft] object GraftDeltaWriter {
+  /** The delta segment layout: op marker + post-image data columns +
+    * prefixed id columns (deletes carry only the latter). The `__delta_`
+    * prefix keeps user columns collision-free (CQL identifiers are
+    * lowercased alphanumerics). */
+  def segmentSchema(dataSchema: StructType, idSchema: StructType)
+      : StructType =
+    StructType(
+      org.apache.spark.sql.types.StructField("__delta_op",
+        org.apache.spark.sql.types.StringType, nullable = false) +:
+      (dataSchema.fields.map(_.copy(nullable = true)) ++
+        idSchema.fields.map(f =>
+          f.copy(name = s"__delta_id_${f.name}", nullable = true))))
 }

@@ -578,4 +578,205 @@ class GraftCatalogSpec extends SparkSpec {
         m.toLowerCase.contains("primary key") ||
           m.toLowerCase.contains("key column"))))
   }
+
+  // ——— r13: the DISTRIBUTED delta fold (executor-spilled parquet
+  // segments, anti-join collision rule, one log-fold materialization).
+  // `deltaApplyRowLimit = 0` forces every delta — however small — down
+  // the large-delta path, so the same semantic scenarios that pin the
+  // per-row bridge above re-verify the distributed one. ———
+
+  private def forceDistributed[A](body: => A): A = {
+    spark.conf.set("spark.graft.catalog.deltaApplyRowLimit", "0")
+    try body
+    finally spark.conf.unset("spark.graft.catalog.deltaApplyRowLimit")
+  }
+
+  test("distributed fold: the delta commit message carries a segment " +
+    "path and counts — no row buffer to scale with the delta") {
+    // structural pin: the ONLY fields are Option[String] + two Longs.
+    // If a row collection ever creeps back into the commit message, the
+    // driver is again O(changed rows) and this fails at compile/run.
+    val fields = classOf[graft.spark.GraftDeltaMessage]
+      .getDeclaredFields.filterNot(_.isSynthetic)
+      .map(f => (f.getName, f.getType.getSimpleName)).toSeq.sorted
+    assert(fields === Seq(("deletes", "long"), ("segment", "Option"),
+      ("upserts", "long")), s"commit message grew row-shaped state: $fields")
+  }
+
+  test("distributed fold: MERGE fuzz converges to the in-memory model " +
+    "(same branches as the per-row fuzz, forced down the big-delta path)") {
+    forceDistributed {
+      val rnd = new scala.util.Random(20260815L)
+      val s = CqlSession(spark)
+      s.exposeAsCatalog("graftfzd")
+      import spark.implicits._
+      for (round <- 1 to 5) {
+        val tbl = s"mfzd$round"
+        s.execute(
+          s"CREATE TABLE $tbl (k bigint PRIMARY KEY, v text, n bigint)")
+        val target = (0L until 20L).filter(_ => rnd.nextBoolean())
+          .map(k => (k, s"t$k", rnd.nextInt(100).toLong))
+        target.foreach { case (k, v, n) =>
+          s.execute(s"INSERT INTO $tbl (k, v, n) VALUES ($k, '$v', $n)") }
+        val source = (0L until 25L).filter(_ => rnd.nextBoolean())
+          .map(k => (k, s"s$k", rnd.nextInt(100).toLong, rnd.nextInt(3)))
+        source.toDF("k", "v", "n", "act")
+          .createOrReplaceTempView(s"mfzd_src$round")
+        spark.sql(
+          s"""MERGE INTO graftfzd.default.$tbl t USING mfzd_src$round s
+             ON t.k = s.k
+             WHEN MATCHED AND s.act = 0 THEN DELETE
+             WHEN MATCHED THEN UPDATE SET v = s.v, n = s.n + t.n
+             WHEN NOT MATCHED AND s.act <> 0 THEN
+               INSERT (k, v, n) VALUES (s.k, s.v, s.n)""")
+        val tmap = target.map(t => t._1 -> t).toMap
+        val expected = scala.collection.mutable.Map.empty[Long, (String, Long)]
+        target.foreach { case (k, v, n) => expected(k) = (v, n) }
+        source.foreach { case (k, v, n, act) =>
+          if (tmap.contains(k)) {
+            if (act == 0) expected.remove(k)
+            else expected(k) = (v, n + tmap(k)._3)
+          } else if (act != 0) expected(k) = (v, n)
+        }
+        val got = spark.sql(s"SELECT k, v, n FROM graftfzd.default.$tbl")
+          .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+          .toMap
+        assert(got === expected.toMap, s"round $round (Spark read) diverged")
+        val cql = s.execute(s"SELECT k, v, n FROM $tbl").collect()
+          .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+        assert(cql === expected.toMap, s"round $round (CQL read) diverged")
+      }
+    }
+  }
+
+  test("distributed fold: chained key-move UPDATE survives (anti-join " +
+    "collision rule replaces the driver-side Set)") {
+    forceDistributed {
+      val s = CqlSession(spark)
+      s.execute("CREATE TABLE cat_chaind (k bigint PRIMARY KEY, v text)")
+      (1L to 3L).foreach(i =>
+        s.execute(s"INSERT INTO cat_chaind (k, v) VALUES ($i, 'v$i')"))
+      s.exposeAsCatalog("graft")
+      spark.sql("UPDATE graft.default.cat_chaind SET k = k + 1")
+      val got = spark.sql(
+        "SELECT k, v FROM graft.default.cat_chaind ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got === Seq((2L, "v1"), (3L, "v2"), (4L, "v3")),
+        s"chained key-move lost rows on the distributed path: $got")
+    }
+  }
+
+  test("distributed fold: blob-keyed UPDATE is ONE upsert (catalyst " +
+    "byte[] equality in the writer)") {
+    forceDistributed {
+      val s = CqlSession(spark)
+      s.execute("CREATE TABLE cat_blobd (k blob PRIMARY KEY, n bigint)")
+      s.execute("INSERT INTO cat_blobd (k, n) VALUES (0x0102, 1)")
+      s.execute("INSERT INTO cat_blobd (k, n) VALUES (0xff, 7)")
+      s.exposeAsCatalog("graft")
+      spark.sql("UPDATE graft.default.cat_blobd SET n = n + 10 WHERE n < 5")
+      val rows = spark.sql(
+        "SELECT n FROM graft.default.cat_blobd ORDER BY n").collect()
+        .map(_.getLong(0)).toSeq
+      assert(rows === Seq(7L, 11L), s"blob-keyed update lost rows: $rows")
+    }
+  }
+
+  test("distributed fold: post-image nulls are EXPLICIT — scalar cell " +
+    "tombstone and collection set-to-null, shadowing older writes") {
+    forceDistributed {
+      val s = CqlSession(spark)
+      s.execute("CREATE TABLE cat_nulld (k bigint PRIMARY KEY, v text, " +
+        "tags list<bigint>, w bigint)")
+      s.execute(
+        "INSERT INTO cat_nulld (k, v, tags, w) VALUES (1, 'x', [1, 2], 0)")
+      s.exposeAsCatalog("graft")
+      spark.sql("UPDATE graft.default.cat_nulld SET v = NULL, " +
+        "tags = NULL, w = 5 WHERE k = 1")
+      val r = s.execute("SELECT v, tags, w FROM cat_nulld WHERE k = 1").head()
+      assert(r.isNullAt(0) && r.isNullAt(1) && r.getLong(2) === 5L,
+        s"post-image nulls must overwrite: $r")
+      // the null is a real tombstone at the shared coordinator timestamp:
+      // an OLDER CQL write cannot resurrect the cell
+      val wt = s.execute("SELECT writetime(w) AS wt FROM cat_nulld")
+        .head().getLong(0)
+      s.execute(s"UPDATE cat_nulld USING TIMESTAMP ${wt - 1} " +
+        "SET v = 'ghost' WHERE k = 1")
+      assert(s.execute("SELECT v FROM cat_nulld WHERE k = 1").head()
+        .isNullAt(0), "older write must stay shadowed by the tombstone")
+    }
+  }
+
+  test("pure DELETE delta on a masked table needs MODIFY, not UNMASK " +
+    "(tombstones persist no post-image); UPDATE still requires UNMASK") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TABLE cat_maskd (k bigint PRIMARY KEY, " +
+      "ssn text MASKED WITH mask_replace('X'), n bigint)")
+    s.execute("INSERT INTO cat_maskd (k, ssn, n) VALUES (1, 'a', 10)")
+    s.execute("INSERT INTO cat_maskd (k, ssn, n) VALUES (2, 'b', 20)")
+    s.execute("CREATE ROLE clerkd WITH LOGIN = true")
+    s.execute("GRANT SELECT ON cat_maskd TO clerkd")
+    s.execute("GRANT MODIFY ON cat_maskd TO clerkd")
+    s.exposeAsCatalog("graft")
+    s.login("clerkd")
+    try {
+      // non-key predicate → the row-level delta path; a MODIFY-only
+      // role can DELETE (r13, advisor: key-addressed tombstones only)
+      spark.sql("DELETE FROM graft.default.cat_maskd WHERE n = 10")
+      // but an UPDATE would persist masked post-images — still refused
+      val e = intercept[Exception] {
+        spark.sql("UPDATE graft.default.cat_maskd SET n = 9 WHERE n = 20")
+      }
+      assert(Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).exists(x => Option(x.getMessage)
+          .exists(_.contains("UNMASK"))), e.getMessage)
+    } finally s.login("cassandra", "cassandra")
+    assert(s.execute("SELECT k FROM cat_maskd").collect()
+      .map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("trigger-bearing tables replay the delta per-row even above the " +
+    "size limit (augment is a per-mutation contract)") {
+    forceDistributed {
+      val s = CqlSession(spark)
+      s.execute("CREATE TABLE audit_log (k bigint, wt bigint, tbl text, " +
+        "was_delete boolean, PRIMARY KEY (k, wt))")
+      s.execute("CREATE TABLE cat_trgd (k bigint PRIMARY KEY, v text)")
+      s.execute("INSERT INTO cat_trgd (k, v) VALUES (1, 'seed')")
+      s.execute("CREATE TRIGGER catd ON cat_trgd USING 'graft.AuditTrigger'")
+      s.exposeAsCatalog("graft")
+      import spark.implicits._
+      // a MATCHED branch forces the row-level DELTA rewrite (an
+      // insert-only MERGE compiles to a plain append, which — like COPY
+      // FROM and catalog INSERT — is the bulk surface triggers skip)
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+        .createOrReplaceTempView("trgd_src")
+      spark.sql("""MERGE INTO graft.default.cat_trgd t USING trgd_src s
+                   ON t.k = s.k
+                   WHEN MATCHED THEN UPDATE SET v = s.v
+                   WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+      assert(s.execute("SELECT count(*) FROM audit_log").head()
+        .getLong(0) === 2L,
+        "MERGE mutations on a trigger table must fire the trigger per row")
+      s.execute("DROP TRIGGER catd ON cat_trgd")
+    }
+  }
+
+  test("distributed fold: a CDC-enabled table's delta lands as one " +
+    "reapable segment") {
+    forceDistributed {
+      val s = CqlSession(spark)
+      s.execute("CREATE TABLE cat_cdcd (k bigint PRIMARY KEY, v bigint) " +
+        "WITH cdc = true")
+      (1L to 4L).foreach(i =>
+        s.execute(s"INSERT INTO cat_cdcd (k, v) VALUES ($i, $i)"))
+      s.exposeAsCatalog("graft")
+      val before = s.cdcReap("cat_cdcd") // drain the insert segments
+      assert(before > 0L)
+      spark.sql("UPDATE graft.default.cat_cdcd SET v = v * 10 WHERE k <= 2")
+      val freed = s.cdcReap("cat_cdcd")
+      assert(freed > 0L,
+        "the distributed delta fold must emit a CDC segment")
+    }
+  }
 }
