@@ -386,8 +386,17 @@ object ColumnarPartialAgg {
         val s = slots(i)
         if (s >= 0 && !e.isNull(b, i)) {
           // ANSI stock Sum THROWS on long overflow; non-ANSI wraps —
-          // mirror whichever mode compiled this kernel
-          if (ansi) sums(s) = Math.addExact(sums(s), e.get(b, i))
+          // mirror whichever mode compiled this kernel. The error must
+          // carry Spark's ARITHMETIC_OVERFLOW shape (error class +
+          // try_add/ANSI hint), not addExact's bare ArithmeticException —
+          // swapped and stock plans should fail identically
+          if (ansi) sums(s) =
+            try Math.addExact(sums(s), e.get(b, i))
+            catch {
+              case _: ArithmeticException =>
+                throw org.apache.spark.sql.GraftShim
+                  .arithmeticOverflow("long overflow", "try_add")
+            }
           else sums(s) += e.get(b, i)
           seen(s) = true
         }
@@ -626,7 +635,11 @@ object ColumnarPartialAgg {
         if (ansi) overflow("the aggregated sum")
         row.update(off, null)
       } else if (bigs(slot) == null) {
-        if (Math.abs(unscaled(slot)) <= maxSumUnscaled)
+        // Long.MinValue corner: Math.abs(MinValue) IS MinValue (negative),
+        // which would pass the p<19 range check and then throw from
+        // Decimal() even in non-ANSI mode, where stock emits a sticky null
+        if (unscaled(slot) != Long.MinValue &&
+            Math.abs(unscaled(slot)) <= maxSumUnscaled)
           row.update(off, Decimal(unscaled(slot), precision, scale))
         else { // p < 19 sums can exceed p digits without long overflow
           if (ansi) overflow(

@@ -18,6 +18,12 @@ object GraftShim {
     spark.asInstanceOf[classic.SparkSession].sessionState.sqlParser
       .parseExpression(s)
 
+  /** Spark's ANSI ARITHMETIC_OVERFLOW error, exactly as stock arithmetic
+    * throws it (error class + suggested try_* function + ANSI hint) — the
+    * columnar kernels mirror stock failure SHAPE, not just behavior. */
+  def arithmeticOverflow(message: String, hint: String): ArithmeticException =
+    errors.QueryExecutionErrors.arithmeticOverflowError(message, hint, null)
+
   /** A DSv2 Table over a parquet directory, served by Spark's builtin
     * parquet reader (ParquetTable is `private[sql]`, hence this shim).
     * Backs [[graft.spark.GraftCatalog]]: catalog reads get the stock

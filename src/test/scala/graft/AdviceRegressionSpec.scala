@@ -241,6 +241,57 @@ class AdviceRegressionSpec extends SparkSpec {
       s.resultDigestForTest(Seq("b", "a").toDF("c")))
   }
 
+  test("r13-advice-1: a decimal sum accumulating to EXACTLY Long.MinValue " +
+    "emits the sticky null in non-ANSI mode (Math.abs(MinValue) is " +
+    "negative and slipped the p<19 range check)") {
+    val dir = Tables.tempRoot("graft-r13-minval")
+    // 10 × -922337203685477580 + (-8) = -9223372036854775808 = MinValue;
+    // every addend fits DECIMAL(18,0), no intermediate long overflow —
+    // the unscaled accumulator lands exactly on the corner
+    val vals = Seq.fill(10)(BigDecimal(-922337203685477580L)) :+
+      BigDecimal(-8L)
+    import spark.implicits._
+    vals.map(v => (1L, v)).toDF("k", "v")
+      .select(col("k"), col("v").cast("decimal(18,0)").as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    def agg() = spark.read.parquet(dir).groupBy("k")
+      .agg(org.apache.spark.sql.functions.sum(col("v")).as("s")).collect()
+    val ansiWas = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val swapped = agg()
+      spark.conf.set("spark.graft.columnarAgg.enabled", "false")
+      val stock = try agg()
+        finally spark.conf.set("spark.graft.columnarAgg.enabled", "true")
+      // 19-digit sum can't fit DECIMAL(18+10?…) — stock non-ANSI emits
+      // the CheckOverflowInSum sticky null; the kernel must too, not
+      // throw from Decimal(Long.MinValue, p, s)
+      assert(swapped.map(_.toString).toSeq === stock.map(_.toString).toSeq)
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiWas)
+  }
+
+  test("r13-advice-3: ANSI long-sum overflow carries Spark's " +
+    "ARITHMETIC_OVERFLOW shape (try_add hint), not a bare addExact error") {
+    val dir = Tables.tempRoot("graft-r13-longovf")
+    import spark.implicits._
+    Seq((1L, Long.MaxValue), (1L, 1L)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val ansiWas = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val e = intercept[Exception] {
+        spark.read.parquet(dir).groupBy("k")
+          .agg(org.apache.spark.sql.functions.sum(col("v")).as("s")).collect()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse(""))
+        .toSeq
+      assert(msgs.exists(m => m.contains("ARITHMETIC_OVERFLOW") ||
+        m.contains("try_add")),
+        s"swapped overflow must carry the stock error shape: $msgs")
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiWas)
+  }
+
   test("r9-advice-5: USING TIMESTAMP ratchet — explicit timestamps stay " +
     "monotone with later server stamps (documented deviation)") {
     val s = CqlSession(spark)

@@ -114,10 +114,15 @@ class ScalePlanSpec extends SparkSpec {
     import graft.functions.TextFunctions._
     val out = graft.operators.TextQueries.x22_shard_shuffle(spark, sf)
     val nDocs = Tables.documents(spark, sf).count()
-    assert(graft.operators.TextQueries.x22SortedRowsMaterialized.get === nDocs,
+    // accumulators over-count under task retries / speculative execution /
+    // cache eviction (r13 advisor) — assert the single-materialization
+    // bound as a band: >= nDocs (all rows computed) and < 2*nDocs (the
+    // unpersisted form recomputes the FULL sort per extra job, so even one
+    // re-run would land at >= 2*nDocs; retry noise stays fractional)
+    val sorted = graft.operators.TextQueries.x22SortedRowsMaterialized.get
+    assert(sorted >= nDocs && sorted < 2 * nDocs,
       "sorted rows must be computed exactly once across x22's three jobs " +
-        s"(got ${graft.operators.TextQueries.x22SortedRowsMaterialized.get}, " +
-        s"docs $nDocs)")
+        s"(got $sorted, docs $nDocs)")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("ord", "doc_id")
     val ref = Tables.documents(spark, sf)
