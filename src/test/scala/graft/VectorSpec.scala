@@ -137,6 +137,53 @@ class VectorSpec extends SparkSpec
     assert(cos === cos.sorted.reverse)
   }
 
+  test("int8 index serves by its persisted metric: a euclidean-built " +
+    "artifact prunes on DEQUANTIZED codes and reranks exact L2; a " +
+    "pre-metric artifact reads as cosine") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-i8-eucl").toString
+    VectorQueries.buildInt8Index(spark, sf, dir, metric = "euclidean")
+    val served = VectorQueries.serveInt8Rerank(spark, sf, dir).collect()
+    assert(served.length === 10)
+    assert(served.head.schema.fieldNames.toSeq === Seq("vec_id", "dist"))
+    val dists = served.map(_.getDouble(1)).toSeq
+    assert(dists === dists.sorted, "euclidean rerank ranks nearest-first")
+    // the 4x overfetch + matched prune/final metric recovers the exact
+    // euclidean top-10 at this scale — rerank's whole point
+    import graft.functions.VectorFunctions._
+    val q = Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qvec"))
+    val exact = Tables.embeddings(spark, sf)
+      .crossJoin(org.apache.spark.sql.functions.broadcast(q))
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.round(
+          euclideanFast(col("embedding"), col("qvec")), 6).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(served.map(_.getLong(0)).toSeq === exact,
+      "euclidean int8 prune+rerank must recover the exact L2 top-10")
+    // a cosine-built artifact keeps v13's historical contract
+    val cdir = java.nio.file.Files
+      .createTempDirectory("graft-i8-cos").toString
+    VectorQueries.buildInt8Index(spark, sf, cdir)
+    val cos = VectorQueries.serveInt8Rerank(spark, sf, cdir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val v13 = VectorQueries.v13_knn_rerank(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(cos === v13,
+      "cosine int8 artifact must serve v13's online result")
+    // PRE-METRIC artifact (no meta table): reads as cosine, the
+    // historical scoring — the back-compat rule of every index family
+    val pdir = java.nio.file.Files
+      .createTempDirectory("graft-i8-pre").toString
+    VectorQueries.buildInt8Index(spark, sf, pdir)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$pdir/meta"))
+    val pre = VectorQueries.serveInt8Rerank(spark, sf, pdir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pre === v13, "a pre-metric artifact must score cosine")
+  }
+
   test("int8-quantized kNN preserves most of the exact top-10 (recall >= 0.8)") {
     val exact = VectorQueries.v1_knn_exact(spark, sf)
       .collect().map(_.getLong(0)).toSet
