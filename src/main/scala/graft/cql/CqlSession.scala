@@ -1855,7 +1855,23 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         compactedDirs.get(k).map(dirBytes).getOrElse(0L),
         snapBytesT, t.pending.size.toLong)
     }
+    // `cdc` — per cdc-enabled table disk accounting (the disk_usage
+    // pattern over cdc_raw): live segment bytes on disk vs cumulative
+    // bytes consumers have REAPed. The pair is what an operator watches
+    // against cdc_total_space before writes start rejecting.
+    val cdcSchema = StructType(Seq(
+      StructField("keyspace_name", StringType),
+      StructField("table_name", StringType),
+      StructField("raw_bytes", LongType),
+      StructField("reaped_bytes", LongType)))
+    val cdcRows = cdcEnabled.toSeq.sorted.map { k =>
+      Row(keyspaceOf(k), tableOf(k), dirBytes(cdcDirOf(k)),
+        cdcReapedBytes.getOrElse(k, 0L))
+    }
     Map(
+      "system_views.cdc" -> CqlTable(
+        spark.createDataFrame(cdcRows.asJava, cdcSchema),
+        Seq("keyspace_name"), Seq("table_name")),
       "system_views.settings" -> CqlTable(
         spark.createDataFrame(setRows.asJava, setSchema), Seq("name")),
       "system_views.clients" -> CqlTable(
@@ -3227,7 +3243,51 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         if (f.delete()) freed += n
       }
     }
+    if (freed > 0)
+      cdcReapedBytes(key) = cdcReapedBytes.getOrElse(key, 0L) + freed
     freed
+  }
+
+  /** Cumulative bytes each table's consumers have reaped from cdc_raw —
+    * the other half of `system_views.cdc`'s disk accounting. */
+  private val cdcReapedBytes =
+    scala.collection.mutable.Map.empty[String, Long]
+
+  /** `REAP CDC [TABLE] t [THROUGH <millis>]` — the statement surface of
+    * [[cdcReap]] (r13; upstream's analogue is operator tooling that
+    * deletes consumed segments from cdc_raw — here the session IS the
+    * node, so the ack is an admin verb like COMPACT/SNAPSHOT). Routed
+    * through the main dispatcher, so it is MODIFY-gated (inside
+    * cdcReap), audit-logged, FQL-recorded, and REPLAY AUDIT replays it.
+    * Returns the freed byte count; `system_views.cdc` carries the
+    * running raw/reaped accounting (cql19's disk_usage pattern). */
+  private def runReapCdc(cql: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val toks = cql.stripSuffix(";").trim.split("\\s+").toSeq
+    val lower = toks.map(_.toLowerCase)
+    def syntax: Nothing = throw new CqlInvalidQueryException(
+      "REAP expects: REAP CDC [TABLE] <table> [THROUGH <millis>]")
+    if (lower.size < 3 || lower(1) != "cdc") syntax
+    var i = 2
+    if (lower(i) == "table") i += 1
+    if (i >= toks.size) syntax
+    val name = toks(i)
+    val rest = toks.drop(i + 1)
+    val through = rest.map(_.toLowerCase) match {
+      case Seq() => Long.MaxValue
+      case Seq("through", _) =>
+        try rest(1).toLong
+        catch { case _: NumberFormatException => syntax }
+      case _ => syntax
+    }
+    val freed = cdcReap(name, through)
+    val key = canonical(name).toLowerCase
+    spark.createDataFrame(Seq(
+      Row(keyspaceOf(key), tableOf(key), freed)).asJava,
+      StructType(Seq(
+        StructField("keyspace_name", StringType),
+        StructField("table_name", StringType),
+        StructField("reaped_bytes", LongType))))
   }
 
   /** TRUE streaming view of a cdc-enabled table's mutation log: a file-
@@ -4184,6 +4244,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         runBatch(b.copy(statements = b.statements.map(canonDml)))
       case "describe" | "desc" => runDescribe(trimmed)
       case "compact" => runCompact(trimmed)
+      case "reap" => runReapCdc(trimmed)
       case "snapshot" => runSnapshot(trimmed)
       case "clear" => runClearSnapshot(trimmed)
       case "copy" =>

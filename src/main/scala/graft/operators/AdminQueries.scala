@@ -440,6 +440,76 @@ object AdminQueries {
     * vectors chosen so no two scores tie under any function. The twin is
     * the literal rank table, so a scoring-function regression breaks the
     * hash. */
+  /** CQL32 (r13) — the `REAP CDC` statement verb in the gate: consumers
+    * ack consumed cdc_raw segments through a pure-CQL surface (upstream's
+    * analogue is operator tooling deleting from cdc_raw; here the admin
+    * verb completes t16's lifecycle at the STATEMENT layer — a cqlsh-only
+    * client can now run drain → reap, and REPLAY AUDIT scripts can
+    * express it). Pins: disk accounting in `system_views.cdc` (raw vs
+    * cumulative reaped bytes — the pair an operator watches against
+    * cdc_total_space), THROUGH filtering on fresh segments, MODIFY
+    * gating (SELECT-only role denied, grant MODIFY → allowed), audit
+    * attribution of the verb, and the non-cdc-table rejection. */
+  def cql32_cdc_reap(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.cql.CqlSession(s)
+    sess.execute("CREATE TABLE cdct32 (k bigint PRIMARY KEY, v text) " +
+      "WITH cdc = true")
+    sess.execute("CREATE TABLE plain32 (k bigint PRIMARY KEY, v text)")
+    (1L to 3L).foreach(i =>
+      sess.execute(s"INSERT INTO cdct32 (k, v) VALUES ($i, 'v$i')"))
+    def acct(): (Long, Long) = {
+      val r = sess.execute("SELECT raw_bytes, reaped_bytes FROM " +
+        "system_views.cdc WHERE keyspace_name = 'default' " +
+        "AND table_name = 'cdct32'").head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (rawBefore, reapedBefore) = acct()
+    // THROUGH 0 reaps nothing: every live segment is newer
+    val through0 = sess.execute("REAP CDC cdct32 THROUGH 0")
+      .head().getLong(2)
+    sess.execute("AUDIT ON")
+    val freed = sess.execute("REAP CDC TABLE cdct32").head().getLong(2)
+    sess.execute("AUDIT OFF")
+    val (rawAfter, reapedAfter) = acct()
+    val audited = sess.execute("SELECT statement FROM " +
+      "system_views.audit_log").collect()
+      .exists(_.getString(0).startsWith("REAP CDC TABLE cdct32"))
+    val nonCdc =
+      try { sess.execute("REAP CDC plain32"); false }
+      catch { case e: graft.cql.CqlInvalidQueryException =>
+        e.getMessage.contains("cdc is not enabled") }
+    sess.execute("CREATE ROLE reader32 WITH LOGIN = true")
+    sess.execute("GRANT SELECT ON cdct32 TO reader32")
+    sess.login("reader32")
+    val denied =
+      try { sess.execute("REAP CDC cdct32"); false }
+      catch { case e: graft.cql.CqlInvalidQueryException =>
+        e.getMessage.contains("MODIFY") }
+    sess.login("cassandra", "cassandra")
+    sess.execute("GRANT MODIFY ON cdct32 TO reader32")
+    sess.login("reader32")
+    // nothing left on disk — a granted reap succeeds and frees 0
+    val grantedFreed = sess.execute("REAP CDC cdct32").head().getLong(2)
+    sess.login("cassandra", "cassandra")
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(Seq(
+      Row("accounting", "before", s"raw>0=${rawBefore > 0} " +
+        s"reaped=$reapedBefore"),
+      Row("accounting", "after", s"raw=$rawAfter " +
+        s"reaped-eq-freed=${reapedAfter == freed}"),
+      Row("audit", "verb-recorded", s"found=$audited"),
+      Row("auth", "modify-gate", s"denied=$denied granted-frees=" +
+        s"$grantedFreed"),
+      Row("reap", "full", s"freed>0=${freed > 0}"),
+      Row("reap", "non-cdc-table", s"rejected=$nonCdc"),
+      Row("reap", "through-zero", s"freed=$through0")
+    ).asJava, StructType(Seq(
+      StructField("kind", StringType),
+      StructField("name", StringType),
+      StructField("detail", StringType))))
+      .orderBy("kind", "name", "detail")
+  }
+
   def cql31_ann_similarity(s: SparkSession, d: String): DataFrame = {
     val sess = graft.cql.CqlSession(s)
     def mk(tbl: String, opt: String): Unit = {
@@ -931,6 +1001,7 @@ object AdminQueries {
     "cql29_fql_compare" -> (cql29_fql_compare _),
     "cql30_fql_dump" -> (cql30_fql_dump _),
     "cql31_ann_similarity" -> (cql31_ann_similarity _),
+    "cql32_cdc_reap" -> (cql32_cdc_reap _),
     "cql13_roles" -> (cql13_roles _),
     "cql14_schema" -> (cql14_schema _),
     "cql15_settings" -> (cql15_settings _),
@@ -1198,6 +1269,18 @@ object AdminQueries {
         |  ('dot_product', 1, 1), ('dot_product', 2, 3), ('dot_product', 3, 2),
         |  ('euclidean', 1, 3), ('euclidean', 2, 2), ('euclidean', 3, 1))
         |AS t(fn, rank, id) ORDER BY fn, rank""".stripMargin,
+    // the literal reap-lifecycle state: disk accounting moves raw→reaped,
+    // THROUGH filters, the verb audits, MODIFY gates, non-cdc rejects
+    "cql32_cdc_reap" ->
+      """SELECT kind, name, detail FROM (VALUES
+        |  ('accounting', 'after', 'raw=0 reaped-eq-freed=true'),
+        |  ('accounting', 'before', 'raw>0=true reaped=0'),
+        |  ('audit', 'verb-recorded', 'found=true'),
+        |  ('auth', 'modify-gate', 'denied=true granted-frees=0'),
+        |  ('reap', 'full', 'freed>0=true'),
+        |  ('reap', 'non-cdc-table', 'rejected=true'),
+        |  ('reap', 'through-zero', 'freed=0'))
+        |AS t(kind, name, detail) ORDER BY kind, name, detail""".stripMargin,
     // the literal dump: full statement text, prepared binds with the
     // prepare-time keyspace, login events, the RESULTS ON digest flag
     // flipping mid-log, and the denied SELECT under the switched role

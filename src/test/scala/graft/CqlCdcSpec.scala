@@ -236,4 +236,37 @@ class CqlCdcSpec extends SparkSpec {
     val ks = drain(s, "cdcc").select("k").collect().map(_.getLong(0)).toSeq
     assert(ks === Seq(99L), s"predecessor segments leaked: $ks")
   }
+
+  test("REAP CDC is a statement verb: parse variants, system_views.cdc " +
+    "accounting, and FQL replay re-executes the reap") {
+    val s = CqlSession(spark)
+    s.execute("AUDIT ON") // record the WHOLE script so REPLAY can re-run it
+    s.execute("CREATE TABLE cdcr (k bigint PRIMARY KEY, v text) " +
+      "WITH cdc = true")
+    s.execute("INSERT INTO cdcr (k, v) VALUES (1, 'a')")
+    s.execute("INSERT INTO cdcr (k, v) VALUES (2, 'b')")
+    // THROUGH far future == unbounded; TABLE keyword optional
+    val freed = s.execute(
+      s"REAP CDC TABLE cdcr THROUGH ${Long.MaxValue}").head().getLong(2)
+    assert(freed > 0L)
+    val acct = s.execute("SELECT raw_bytes, reaped_bytes FROM " +
+      "system_views.cdc WHERE keyspace_name = 'default' " +
+      "AND table_name = 'cdcr'").head()
+    assert(acct.getLong(0) === 0L && acct.getLong(1) === freed)
+    // a second reap is a no-op, not an error (consumer idempotence)
+    assert(s.execute("REAP CDC cdcr").head().getLong(2) === 0L)
+    s.execute("AUDIT OFF")
+    // the verb is FQL-recorded: REPLAY AUDIT re-executes it in the fresh
+    // session without a statement-outcome mismatch
+    val rep = s.execute("REPLAY AUDIT")
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    val Array(matched, total) = rep("outcome_match").split("/")
+    assert(matched === total && total.toLong > 0L,
+      s"REAP must replay cleanly: $rep")
+    // syntax errors reject loudly
+    intercept[graft.cql.CqlInvalidQueryException] {
+      s.execute("REAP CDC cdcr THROUGH soon")
+    }
+    intercept[graft.cql.CqlInvalidQueryException] { s.execute("REAP cdcr") }
+  }
 }
