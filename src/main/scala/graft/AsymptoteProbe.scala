@@ -36,9 +36,16 @@ object AsymptoteProbe {
         shift: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame) =
       (0 until f).map(i => shift(df, i)).reduce(_ unionByName _)
     val ev = s.read.parquet(s"$src/events.parquet")
+    // TIME-ORDERED layout (r13): a production events table is written in
+    // ingest order and compacted time-windowed (TWCS), so row-group
+    // min/max on ts partitions the timeline — the layout t17's pruned
+    // tail read models. The unsorted union (every copy spanning the full
+    // range) would defeat min/max pruning in a way no real events table
+    // does. Same bytes per row for every other query on this fixture.
     copies(ev)((d, i) => d
         .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
         .withColumn("user_id", col("user_id") + lit(i.toLong * 1000000L)))
+      .orderBy("ts")
       .write.mode("overwrite").parquet(s"$out/events.parquet")
     val em = s.read.parquet(s"$src/embeddings.parquet")
     copies(em)((d, i) => d.withColumn("vec_id",
@@ -91,6 +98,18 @@ object AsymptoteProbe {
     spark.conf.unset("spark.sql.parquet.columnarReaderBatchSize")
     report("v1",
       time(operators.VectorQueries.v1_knn_exact(spark, dir).collect()))
+    // t17 (r13): the MV answer to the decode floor — first call builds
+    // the rollup MV through the streaming machinery (one-time, reported
+    // separately), warm serves read hours×types MV rows + a one-hour
+    // raw tail instead of the 100 M-row history
+    val tBuild = {
+      val t0 = System.nanoTime()
+      operators.StreamingQueries.t17_mv_rollup(spark, dir).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"""ASYM {"query":"t17_mv_build_first","sec":$tBuild%.3f,"rows":$rows%d,"nsPerRow":${tBuild * 1e9 / rows}%.2f}""")
+    report("t17_mv_serve",
+      time(operators.StreamingQueries.t17_mv_rollup(spark, dir).collect()))
     spark.stop()
   }
 }

@@ -126,7 +126,15 @@ object ScaleProbe {
         // the probe pays reconstruct+search, must stay ~flat) and the
         // DSv2 MERGE bridge (scan grows with the corpus; the delta is
         // the fixed 3000-key band, so the slope is the filtered scan's)
-        "v25_metric_serve", "cat3_catalog_merge")
+        "v25_metric_serve", "cat3_catalog_merge",
+        // r13: the DISTRIBUTED delta fold (the whole 3×-corpus delta
+        // through executor-spilled segments — slope is the merge scan +
+        // one log-fold materialization, driver memory O(tasks)), the
+        // MV-served rollup (MV build cached per corpus; the probe pays
+        // the MV read + the pruned open-hour tail — must stay ~flat),
+        // and the metric-declared int8 prune+rerank (codes scan + 40-row
+        // rerank; slope is the quantized scan's)
+        "cat4_bulk_merge", "t17_mv_rollup", "v27_quantized_metric")
         .filter(n => args.lift(1).forall(_.split(',').contains(n)))
         .map(n => n -> SparkEntry.queries(n))
     factors.foreach { f =>

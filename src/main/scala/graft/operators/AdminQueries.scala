@@ -287,17 +287,17 @@ object AdminQueries {
     s.sql("INSERT INTO graftcat4.default.cat_lineitem4 " +
       "SELECT lk, qty, flag FROM cat4_src")
     // band A matches EVERY loaded key (R-flagged rows DELETE, the rest
-    // UPDATE the post-image price); bands B/C are key-shifted, so every
+    // UPDATE the post-image price); bands B/C are key-shifted far past any scaled-fixture key range (+1e10/+2e10), so every
     // row INSERTs — the delta touches 3× the table (~137k changed rows
     // at sf0.01), all through the executor-spilled segment path
     s.sql("""MERGE INTO graftcat4.default.cat_lineitem4 t
              USING (
                SELECT lk, qty + 1.0 AS p, flag FROM cat4_src
                UNION ALL
-               SELECT lk + 100000000 AS lk, qty * 2 AS p, flag
+               SELECT lk + 10000000000 AS lk, qty * 2 AS p, flag
                FROM cat4_src
                UNION ALL
-               SELECT lk + 200000000 AS lk, qty * 3 AS p, flag
+               SELECT lk + 20000000000 AS lk, qty * 3 AS p, flag
                FROM cat4_src
              ) s
              ON t.lk = s.lk
@@ -1133,10 +1133,10 @@ object AdminQueries {
         |  SELECT lk, qty + 1.0 AS qty, l_returnflag FROM t0
         |  WHERE l_returnflag <> 'R'
         |  UNION ALL
-        |  SELECT lk + 100000000 AS lk, qty * 2 AS qty, l_returnflag
+        |  SELECT lk + 10000000000 AS lk, qty * 2 AS qty, l_returnflag
         |  FROM t0
         |  UNION ALL
-        |  SELECT lk + 200000000 AS lk, qty * 3 AS qty, l_returnflag
+        |  SELECT lk + 20000000000 AS lk, qty * 3 AS qty, l_returnflag
         |  FROM t0
         |)
         |SELECT l_returnflag, count(*) AS n,

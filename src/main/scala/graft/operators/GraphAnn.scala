@@ -429,6 +429,30 @@ object GraphAnn {
       .toDF("shard", "local_id", "vec_id", "embedding", "nbrs")
       .withColumn("metric", lit(metric.toLowerCase))
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
+    // sidecar for the serve path: an underscore-prefixed file is hidden
+    // from the parquet FileIndex, so it rides in the artifact dir without
+    // touching the scan. Reading the metric from it costs a driver file
+    // read instead of one Spark job per generation per serve — the r12
+    // distinct()-scan put +35% on v24's wall (r13 bench protocol)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_graft_metric"),
+      metric.toLowerCase.getBytes("UTF-8"))
+  }
+
+  /** A generation dir's declared metric: the `_graft_metric` sidecar when
+    * present; pre-sidecar artifacts fall back to scanning the constant
+    * `metric` column (one tiny job), and pre-metric artifacts read as
+    * cosine — the historical behavior. */
+  private def dirMetric(s: SparkSession, dir: String): String = {
+    val side = java.nio.file.Paths.get(s"$dir/_graft_metric")
+    if (java.nio.file.Files.isRegularFile(side))
+      new String(java.nio.file.Files.readAllBytes(side), "UTF-8").trim
+    else {
+      val df = s.read.parquet(dir)
+      if (df.columns.contains("metric"))
+        df.select(col("metric")).head().getString(0)
+      else "cosine"
+    }
   }
 
   /** Serve a kNN query from a persisted graph index: each shard's graph is
@@ -473,22 +497,22 @@ object GraphAnn {
     val emitN = if (deleted.isDefined) ef else k
     // one read per generation dir, unioned: each artifact has its own
     // partition-discovery root (shard=N subdirs), so a single multi-path
-    // read would refuse the layout. Pre-metric artifacts (no `metric`
-    // column) read as cosine, the historical behavior.
-    val gens = dirs.map(s.read.parquet(_)).map { df =>
-      if (df.columns.contains("metric")) df
-      else df.withColumn("metric", lit("cosine"))
-    }
+    // read would refuse the layout.
+    val gens = dirs.map(s.read.parquet(_))
     // generations must score the SAME way — a cosine segment merged into
     // a euclidean base would rank on incomparable numbers; refuse rather
-    // than return nonsense (metric is a constant column: this is a
-    // column-pruned scan of one tiny dictionary-encoded column per dir)
-    val metrics = gens.map(_.select(col("metric")).distinct()
-      .collect().map(_.getString(0)).toSet).reduce(_ ++ _)
+    // than return nonsense. Metrics come from each dir's sidecar (driver
+    // file reads — r12's per-dir distinct() scan cost one Spark job per
+    // generation per serve, +35% on v24's wall)
+    val metrics = dirs.map(dirMetric(s, _)).toSet
     if (metrics.size != 1) throw new IllegalArgumentException(
       s"graph index generations disagree on similarity_function: $metrics")
     val mc = metricCode(metrics.head)
-    val candidates = gens.reduce(_ unionByName _)
+    val candidates = gens
+      .map { df =>
+        if (df.columns.contains("metric")) df.drop("metric") else df
+      }
+      .reduce(_ unionByName _)
       .select(col("shard").cast("int"), col("local_id").cast("int"),
         col("vec_id").cast("long"), col("embedding"), col("nbrs"))
       .crossJoin(broadcast(queryVec.select(col("qvec"))))

@@ -161,8 +161,23 @@ object StreamingQueries {
       catch { case _: Exception => 0L }
     stagedEvents.computeIfAbsent(s"$d@$mtime", { _ =>
       val dir = Paths.get(graft.Tables.tempRoot("graft-stream"))
-      Files.copy(Paths.get(s"$d/events.parquet"),
-        dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      val src = Paths.get(s"$d/events.parquet")
+      // the fixture is ONE file in driver-generated dirs but a DIRECTORY
+      // of part files for scaled probe fixtures — a shallow Files.copy of
+      // a directory stages an empty dir and the stream reads NOTHING
+      // (caught in r13: the asymptote fixture silently fed t17 an empty
+      // MV). Stage every part file; still one AvailableNow batch.
+      if (Files.isDirectory(src)) {
+        import scala.jdk.CollectionConverters._
+        Files.list(src).iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .zipWithIndex.foreach { case (p, i) =>
+            Files.copy(p, dir.resolve(f"part-$i%05d.parquet"),
+              StandardCopyOption.REPLACE_EXISTING)
+          }
+      } else
+        Files.copy(src, dir.resolve("part-0.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
       dir.toString
     })
   }
@@ -313,6 +328,102 @@ object StreamingQueries {
     * (`cdcReap`) frees the consumed segments' bytes; (5) a FRESH
     * consumer sees exactly the post-reap history. Every probe projects
     * a literal row, so the twin is a VALUES table. */
+  /** Per-(corpus, mtime) maintained hourly-rollup MV for t17 — built once
+    * by the streaming machinery (checkpointed parquet sink), served many.
+    * The build-once/serve-many convention of every index cache. */
+  private val rollupMvCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** T17 (r13) — the engine-level answer to the raw-scan decode floor the
+    * r12 AsymptoteProbe measured on t1 (≈2.9× vs DuckDB at 100 M rows,
+    * decode-rate-bound): nobody scans 100 TB of raw events per dashboard
+    * query — Cassandra's own answer to "hourly rollup over raw events" is
+    * a maintained materialized view. The rollup MV is kept by the
+    * STREAMING machinery ([[graft.streaming.StreamingPipelines
+    * .hourlyRollup]]: append mode, a window row lands exactly once its
+    * end passes the watermark — final and immutable), and the serve path
+    * reads the MV's closed hours plus re-derives ONLY the open tail
+    * (ts ≥ last closed hour + 1h) from raw — the freshness bound. At
+    * 100 TB the MV is hours×types rows and the tail scan is one
+    * partition-pruned hour; the full-history scan happens zero times per
+    * query. The result is EXACTLY t1's rows (same twin re-derives
+    * everything from raw), so closed-window finality, the decimal
+    * combine-order rule, and the tail stitch are all hash-verified. */
+  def t17_mv_rollup(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val mtime = try Files.getLastModifiedTime(
+        Paths.get(s"$d/events.parquet")).toMillis
+      catch { case _: Exception => 0L }
+    val mvSchema = StructType(Seq(
+      StructField("win_start", org.apache.spark.sql.types.TimestampType),
+      StructField("event_type", StringType),
+      StructField("n", LongType),
+      StructField("sum_value", org.apache.spark.sql.types.DoubleType)))
+    val dir = rollupMvCache.computeIfAbsent(s"$d@$mtime", { _ =>
+      val out = graft.Tables.tempRoot("graft-rollup-mv")
+      val ss = streamSession(s)
+      graft.streaming.StreamingPipelines.runToParquet(
+        graft.streaming.StreamingPipelines.hourlyRollup(
+          graft.streaming.StreamingPipelines.eventsStream(
+            ss, stageEvents(d))),
+        s"$out/data", s"$out/ckpt")
+      // compact the sink's per-partition micro-files into ONE serving
+      // segment and persist the freshness high-water WITH the artifact —
+      // the serve path must be one job over two small scans, not a
+      // footer-listing walk plus a separate max() job per query
+      val sink = s.read.schema(mvSchema).parquet(s"$out/data")
+      sink.coalesce(1).write.mode("overwrite").parquet(s"$out/mv")
+      val hw = s.read.schema(mvSchema).parquet(s"$out/mv")
+        .agg(max(col("win_start"))).head()
+      val hwMs = if (hw.isNullAt(0)) Long.MinValue
+        else hw.getTimestamp(0).getTime
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$out/highwater"),
+        hwMs.toString.getBytes("UTF-8"))
+      out
+    })
+    val mv = s.read.schema(mvSchema).parquet(s"$dir/mv")
+    // freshness bound (read with the artifact — no per-query max() job):
+    // hours after the last CLOSED window re-derive from raw (the open
+    // tail — one pruned hour at production scale)
+    val hwMs = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/highwater")), "UTF-8").trim.toLong
+    val tailEvents =
+      if (hwMs == Long.MinValue) Tables.events(s, d) // degenerate: empty MV
+      else eventsFrom(s, d, hwMs + 3600000L)
+    val tail = tailEvents
+      .groupBy(date_trunc("hour", col("ts")).as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        dbl(dec6(sum(dec6(col("value"))))).as("sum_value"))
+    mv.unionByName(tail).orderBy("win_start", "event_type")
+  }
+
+  /** Normalized events with `ts >= cutoffMs`, the predicate applied to the
+    * RAW parquet column BEFORE the µs normalization — `timestamp_micros(ts
+    * div 1000) >= lit` is an expression filter the scan cannot use, while
+    * `ts >= <nanos>` reaches PushedFilters and prunes row groups by
+    * min/max. On a time-ordered layout (ingest order ≈ ts order — what
+    * TWCS gives an events table) the tail read touches one hour of row
+    * groups, not the history. */
+  private def eventsFrom(s: SparkSession, d: String,
+      cutoffMs: Long): DataFrame = {
+    import org.apache.spark.sql.types._
+    val raw = s.read.parquet(s"$d/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => // nanosAsLong: integer nanos since epoch
+        raw.filter(col("ts") >= lit(cutoffMs * 1000000L))
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _: TimestampNTZType =>
+        raw.filter(col("ts") >= lit(java.time.LocalDateTime.ofInstant(
+            java.time.Instant.ofEpochMilli(cutoffMs),
+            java.time.ZoneOffset.UTC)))
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case _ =>
+        raw.filter(col("ts") >= lit(new java.sql.Timestamp(cutoffMs)))
+    }
+  }
+
   def t16_cdc_lifecycle(s: SparkSession, d: String): DataFrame = {
     val sess = graft.cql.CqlSession(s)
     sess.execute(
@@ -433,6 +544,7 @@ object StreamingQueries {
     "t14_cdc_stream" -> (t14_cdc_stream _),
     "t15_cdc_replicate" -> (t15_cdc_replicate _),
     "t16_cdc_lifecycle" -> (t16_cdc_lifecycle _),
+    "t17_mv_rollup" -> (t17_mv_rollup _),
     "t8_stream_tumbling" -> (t8_stream_tumbling _),
     "t9_gapfill" -> (t9_gapfill _),
     "t1_tumbling" -> (t1_tumbling _),
@@ -495,6 +607,14 @@ object StreamingQueries {
         |  ON g.user_id = a.user_id AND g.bucket = a.bucket
         |ORDER BY g.user_id, g.bucket""".stripMargin,
     "t1_tumbling" ->
+      """SELECT date_trunc('hour', cast(ts AS timestamp)) AS win_start, event_type,
+        |  count(*) AS n,
+        |  cast(cast(sum(cast(value AS decimal(38,6))) AS decimal(38,6)) AS double) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the MV-served rollup must equal the full re-derivation from raw —
+    // t1's own twin, so closed-window finality + the tail stitch are
+    // hash-verified against first principles
+    "t17_mv_rollup" ->
       """SELECT date_trunc('hour', cast(ts AS timestamp)) AS win_start, event_type,
         |  count(*) AS n,
         |  cast(cast(sum(cast(value AS decimal(38,6))) AS decimal(38,6)) AS double) AS sum_value

@@ -68,6 +68,37 @@ object StreamingPipelines {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("win_start"), col("event_type"), col("n"))
 
+  /** T17 (r13): the MAINTAINED hourly rollup — t1's shape (count + decimal
+    * sum per hour × event_type) as an incrementally-updated materialized
+    * pre-aggregate. Append mode: a window row is emitted exactly once its
+    * end passes the watermark (final, immutable — the MV row), so the sink
+    * accumulates CLOSED hours only and the serve path re-derives just the
+    * open tail from raw. Decimal sums make the streamed partials
+    * combine-order-proof, which is what lets the MV row hash-match the
+    * batch re-derivation. */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(38,6)")).cast("decimal(38,6)")
+          .cast("double").as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Run a (watermarked, append-mode) pipeline to completion over the
+    * files currently in the dir and SINK IT AS PARQUET — the maintained-MV
+    * shape ([[hourlyRollup]]'s consumer): checkpointed, so a later run
+    * over a grown source dir resumes incrementally instead of recomputing
+    * history. */
+  def runToParquet(df: DataFrame, outDir: String,
+      checkpointDir: String): Unit = {
+    val q = df.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** T3 streaming: session windows per user (30-minute gap). */
   def userSessions(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")
