@@ -2473,10 +2473,14 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       .select(idCols.map(c => col(s"__delta_id_$c").as(c)): _*)
     // key-move collision rule, distributed: drop deletes whose key is
     // also upserted (the upsert is a complete post-image; at the shared
-    // timestamp the row tombstone would win the tie and erase the row)
-    val effDel = del0.join(
-      up.select(idCols.map(c => col(dataName(c).getOrElse(c)).as(c)): _*),
-      idCols, "left_anti")
+    // timestamp the row tombstone would win the tie and erase the row).
+    // A pure-DELETE delta skips the join — and MUST: its data projection
+    // may not carry the id columns the join key selects from
+    val effDel =
+      if (!hasUpserts) del0
+      else del0.join(
+        up.select(idCols.map(c => col(dataName(c).getOrElse(c)).as(c)): _*),
+        idCols, "left_anti")
     val ts = nextTs(None)
     val upShaped = up.select(t.logSchema.fields.toSeq.map { f =>
       val n0 = f.name

@@ -682,6 +682,23 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("distributed fold: a PURE-DELETE delta (non-key predicate) " +
+    "tombstones by key without touching the anti-join's data columns") {
+    forceDistributed {
+      val s = CqlSession(spark)
+      s.execute("CREATE TABLE cat_deld (k bigint PRIMARY KEY, v text)")
+      (1L to 5L).foreach(i =>
+        s.execute(s"INSERT INTO cat_deld (k, v) VALUES ($i, 'v${i % 2}')"))
+      s.exposeAsCatalog("graft")
+      // non-key predicate → the row-level delta; all ops are deletes
+      spark.sql("DELETE FROM graft.default.cat_deld WHERE v = 'v1'")
+      assert(spark.sql("SELECT k FROM graft.default.cat_deld ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq === Seq(2L, 4L))
+      assert(s.execute("SELECT count(*) FROM cat_deld").head()
+        .getLong(0) === 2L)
+    }
+  }
+
   test("distributed fold: post-image nulls are EXPLICIT — scalar cell " +
     "tombstone and collection set-to-null, shadowing older writes") {
     forceDistributed {
