@@ -2439,10 +2439,17 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
         hasUpserts = nUpserts > 0)
     } finally
       // the fold materialized everything it needs into the bulk-load dir
-      // (or rolled back) — the staged segments are dead either way
+      // (or rolled back) — the staged segments are dead either way.
+      // Hadoop FS delete, not java.io.File: on a cluster the staging dir
+      // is a shared filesystem (best-effort — tempRoot's shutdown hook
+      // and DFS lifecycle rules are the backstop)
       segments.foreach { p =>
-        try { new java.io.File(p).delete(); () }
-        catch { case _: Exception => () }
+        try {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(hp, false)
+          ()
+        } catch { case _: Exception => () }
       }
   }
 

@@ -479,10 +479,8 @@ private[spark] class GraftRowLevelOperation(session: CqlSession,
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit =
             messages.foreach {
-              case m: GraftDeltaMessage => m.segment.foreach { p =>
-                try { new java.io.File(p).delete(); () }
-                catch { case _: Exception => () }
-              }
+              case m: GraftDeltaMessage =>
+                m.segment.foreach(GraftDeltaWriter.deleteSegment)
               case _ => ()
             }
         }
@@ -597,14 +595,24 @@ private[spark] class GraftDeltaWriter(dataSchema: StructType,
   override def abort(): Unit = {
     if (writer != null) {
       try writer.close() catch { case _: Exception => () }
-      try new java.io.File(segmentPath).delete()
-      catch { case _: Exception => () }
+      GraftDeltaWriter.deleteSegment(segmentPath)
     }
   }
   override def close(): Unit = ()
 }
 
 private[graft] object GraftDeltaWriter {
+  /** Best-effort staged-segment cleanup through the Hadoop FS API (the
+    * staging dir is a SHARED filesystem on a cluster — java.io.File
+    * would silently no-op there). */
+  def deleteSegment(path: String): Unit =
+    try {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        .delete(hp, false)
+      ()
+    } catch { case _: Exception => () }
+
   /** The delta segment layout: op marker + post-image data columns +
     * prefixed id columns (deletes carry only the latter). The `__delta_`
     * prefix keeps user columns collision-free (CQL identifiers are
