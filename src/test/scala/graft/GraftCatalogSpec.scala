@@ -724,6 +724,45 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("distributed fold: compound (partition, clustering) keys, a " +
+    "collection column, and a static column shape into the log exactly " +
+    "like the per-row path") {
+    val s = CqlSession(spark)
+    def mk(tbl: String): Unit = {
+      s.execute(s"CREATE TABLE $tbl (p bigint, c bigint, tags list<bigint>, " +
+        "st text STATIC, v text, PRIMARY KEY (p, c))")
+      Seq((1L, 1L, "[1, 2]", "s1", "a"), (1L, 2L, "[3]", "s1", "b"),
+        (2L, 1L, "[4]", "s2", "c")).foreach { case (p, c, tg, st, v) =>
+        s.execute(s"INSERT INTO $tbl (p, c, tags, st, v) VALUES " +
+          s"($p, $c, $tg, '$st', '$v')")
+      }
+    }
+    mk("cat_cmp_row"); mk("cat_cmp_dist")
+    s.exposeAsCatalog("graft")
+    import spark.implicits._
+    Seq((1L, 1L, "x"), (1L, 2L, "y"), (2L, 1L, "z"), (3L, 1L, "w"))
+      .toDF("p", "c", "nv").createOrReplaceTempView("cmp_src")
+    def merge(tbl: String): Unit = spark.sql(
+      s"""MERGE INTO graft.default.$tbl t USING cmp_src s
+          ON t.p = s.p AND t.c = s.c
+          WHEN MATCHED AND s.nv = 'y' THEN DELETE
+          WHEN MATCHED THEN UPDATE SET v = s.nv, tags = NULL
+          WHEN NOT MATCHED THEN INSERT (p, c, v) VALUES (s.p, s.c, s.nv)""")
+    merge("cat_cmp_row") // default limit: the per-row applyDml path
+    forceDistributed { merge("cat_cmp_dist") }
+    def state(tbl: String): Seq[String] =
+      s.execute(s"SELECT p, c, tags, st, v FROM $tbl").collect()
+        .map(_.toString).sorted.toSeq
+    assert(state("cat_cmp_dist") === state("cat_cmp_row"),
+      "distributed and per-row folds must produce identical post-states")
+    // the UPDATE's explicit tags = NULL folded a set-to-null on BOTH paths
+    assert(s.execute("SELECT tags FROM cat_cmp_dist WHERE p = 1 AND c = 1")
+      .head().isNullAt(0))
+    // statics survive (the post-image carries them through the upsert)
+    assert(s.execute("SELECT st FROM cat_cmp_dist WHERE p = 1 AND c = 1")
+      .head().getString(0) === "s1")
+  }
+
   test("pure DELETE delta on a masked table needs MODIFY, not UNMASK " +
     "(tombstones persist no post-image); UPDATE still requires UNMASK") {
     val s = CqlSession(spark)
