@@ -2543,12 +2543,18 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
               "(delta carries a wrong-dimension vector)")
       }
     }
-    if (cdcEnabled.contains(key)) cdcGuardSpace(key)
+    if (cdcEnabled.contains(key)) {
+      cdcGuardSpace(key)
+      // CDC segment BEFORE the state swap (per-row parity: a statement
+      // never commits state without its CDC durability — withPending-
+      // Rollback rolls the per-row path back when emission fails; here
+      // the lesser evil on a mid-write crash is a phantom segment, the
+      // same exposure upstream's commitlog-first ordering has). The
+      // delta lands as ONE segment, like the bulk-load surface.
+      shaped.coalesce(1).write.mode("append").parquet(cdcDirOf(key))
+    }
     state(key) = t.copy(base = log(t).unionByName(shaped),
       pending = Vector.empty, localOnly = false)
-    // CDC: the delta lands as ONE segment, like the bulk-load surface
-    if (cdcEnabled.contains(key))
-      shaped.coalesce(1).write.mode("append").parquet(cdcDirOf(key))
   }
 
   /** TRUNCATE semantics, shared by CQL `TRUNCATE` and the catalog's
