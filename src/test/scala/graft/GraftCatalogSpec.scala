@@ -763,6 +763,50 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getString(0) === "s1")
   }
 
+  test("distributed fold: a UDT (struct) column rides the post-image — " +
+    "update, explicit null, and untouched-copy all match the per-row path") {
+    val s = CqlSession(spark)
+    s.execute("CREATE TYPE addr13 (street text, zip bigint)")
+    def mk(tbl: String): Unit = {
+      s.execute(s"CREATE TABLE $tbl (k bigint PRIMARY KEY, a addr13, " +
+        "m map<text, bigint>, n bigint)")
+      s.execute(s"INSERT INTO $tbl (k, a, m, n) VALUES " +
+        "(1, {street: 'main', zip: 10}, {'x': 1}, 1)")
+      s.execute(s"INSERT INTO $tbl (k, a, m, n) VALUES " +
+        "(2, {street: 'side', zip: 20}, {'y': 2}, 2)")
+      s.execute(s"INSERT INTO $tbl (k, a, m, n) VALUES " +
+        "(3, {street: 'far', zip: 30}, {'z': 3}, 3)")
+    }
+    mk("cat_udt_row"); mk("cat_udt_dist")
+    s.exposeAsCatalog("graft")
+    def mutate(tbl: String): Unit = {
+      // k=1: replace the struct wholesale; k=2: null it out (explicit);
+      // k=3: touch only n — the untouched struct must copy through
+      spark.sql(s"UPDATE graft.default.$tbl SET a = " +
+        "named_struct('street', 'new', 'zip', 99L) WHERE k = 1")
+      spark.sql(s"UPDATE graft.default.$tbl SET a = NULL, " +
+        "m = map('w', 9L) WHERE k = 2")
+      spark.sql(s"UPDATE graft.default.$tbl SET n = n + 10 WHERE k = 3")
+    }
+    mutate("cat_udt_row")
+    forceDistributed { mutate("cat_udt_dist") }
+    def state(tbl: String): Seq[String] =
+      s.execute(s"SELECT k, a, m, n FROM $tbl").collect()
+        .map(_.toString).sorted.toSeq
+    assert(state("cat_udt_dist") === state("cat_udt_row"))
+    assert(s.execute("SELECT a.street FROM cat_udt_dist WHERE k = 1")
+      .head().getString(0) === "new")
+    assert(s.execute("SELECT a FROM cat_udt_dist WHERE k = 2")
+      .head().isNullAt(0))
+    assert(s.execute("SELECT a.zip, n FROM cat_udt_dist WHERE k = 3")
+      .head().toSeq === Seq(30L, 13L))
+    // the map post-image replaced wholesale; untouched map copied through
+    assert(s.execute("SELECT m FROM cat_udt_dist WHERE k = 2")
+      .head().getMap[String, Long](0) === Map("w" -> 9L))
+    assert(s.execute("SELECT m FROM cat_udt_dist WHERE k = 3")
+      .head().getMap[String, Long](0) === Map("z" -> 3L))
+  }
+
   test("pure DELETE delta on a masked table needs MODIFY, not UNMASK " +
     "(tombstones persist no post-image); UPDATE still requires UNMASK") {
     val s = CqlSession(spark)
