@@ -5138,8 +5138,13 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
       }
     case (s: String, DateType) => java.sql.Date.valueOf(s)
     case (l: CqlList, ArrayType(et, _)) => l.items.map(coerce(_, et))
-    // a whole-collection bind value (prepared `col = ?` with a Seq)
-    case (s: Seq[_], ArrayType(et, _)) => s.map(coerce(_, et))
+    // a whole-collection bind value (prepared `col = ?` with a Seq) — and
+    // the DSv2 delta's untouched-collection post-image values, which
+    // arrive as MUTABLE ArraySeq from Row.toSeq (NOT scala.Seq in 2.13:
+    // the immutable alias — matching on Seq alone silently missed every
+    // scanned collection value; caught by the r13 differential fuzz)
+    case (s: scala.collection.Seq[_], ArrayType(et, _)) =>
+      s.toSeq.map(coerce(_, et))
     case (sl: CqlSetLit, ArrayType(et, _)) => sl.items.map(coerce(_, et))
     case (m: CqlMapLit, MapType(kt, vt, _)) =>
       m.entries.map { case (k, x) => coerce(k, kt) -> coerce(x, vt) }.toMap

@@ -862,6 +862,52 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("distributed-vs-per-row differential fuzz: 3 seeded mid-size " +
+    "merges (2k-row targets, collections + nulls) produce IDENTICAL " +
+    "post-states on both apply paths") {
+    val rnd = new scala.util.Random(20260815L)
+    val s = CqlSession(spark)
+    s.exposeAsCatalog("graftdiff")
+    import spark.implicits._
+    for (round <- 1 to 3) {
+      def mk(tbl: String): Unit = s.execute(
+        s"CREATE TABLE $tbl (k bigint PRIMARY KEY, v text, n bigint, " +
+          "tags list<bigint>)")
+      mk(s"dfr$round"); mk(s"dfd$round")
+      // one bulk INSERT via the catalog seeds BOTH tables identically
+      val target = (0L until 2000L).map(k =>
+        (k, s"t$k", rnd.nextInt(1000).toLong,
+          if (k % 7 == 0) null else Seq(k % 5, k % 3)))
+      val tdf = target.toDF("k", "v", "n", "tags")
+      tdf.createOrReplaceTempView(s"dft_src$round")
+      Seq(s"dfr$round", s"dfd$round").foreach(t => spark.sql(
+        s"INSERT INTO graftdiff.default.$t SELECT * FROM dft_src$round"))
+      // act: 0 = delete-if-matched, 1 = update (nulls v on n%10==0),
+      // 2 = update+key-independent; unmatched rows insert
+      val source = (0L until 2500L).filter(_ => rnd.nextBoolean())
+        .map(k => (k, s"s$k", rnd.nextInt(1000).toLong, rnd.nextInt(3)))
+      source.toDF("k", "v", "n", "act")
+        .createOrReplaceTempView(s"dfs_src$round")
+      def merge(tbl: String): Unit = spark.sql(
+        s"""MERGE INTO graftdiff.default.$tbl t USING dfs_src$round s
+            ON t.k = s.k
+            WHEN MATCHED AND s.act = 0 THEN DELETE
+            WHEN MATCHED AND s.n % 10 = 0 THEN
+              UPDATE SET v = NULL, n = s.n, tags = NULL
+            WHEN MATCHED THEN UPDATE SET v = s.v, n = s.n + t.n
+            WHEN NOT MATCHED AND s.act <> 0 THEN
+              INSERT (k, v, n) VALUES (s.k, s.v, s.n)""")
+      merge(s"dfr$round") // per-row replay (default limit)
+      forceDistributed { merge(s"dfd$round") }
+      def state(tbl: String): Seq[String] =
+        s.execute(s"SELECT k, v, n, tags FROM $tbl").collect()
+          .map(_.toString).sorted.toSeq
+      val (a, b) = (state(s"dfr$round"), state(s"dfd$round"))
+      assert(a.size === b.size, s"round $round row counts diverge")
+      assert(a === b, s"round $round states diverge")
+    }
+  }
+
   test("distributed fold: a CDC-enabled table's delta lands as one " +
     "reapable segment") {
     forceDistributed {
