@@ -439,6 +439,38 @@ object TextQueries {
     * (TakeOrderedAndProject — never a global sort), vocab broadcast back
     * to the token stream, one source re-aggregate. At 100 TB the vocab
     * stays K rows regardless of corpus size. */
+  /** X29 (r13, L4): MODEL-BASED quality filtering — the hashed linear
+    * classifier shape of fastText-style document scorers (the filter
+    * behind DCLM / CCNet-lineage pipelines [L]: tokenize → hashed
+    * features → Σ weights → threshold). The MODEL is a deterministic
+    * stub — per-token weight derived from the shared 60-bit md5 hash,
+    * uniform in [-1, 1] at 3 decimals — exactly like the multimodal
+    * codec stubs: the Spark-side plumbing (feature hashing, the linear
+    * fold, per-source keep accounting) is real and hash-verified while
+    * the learned weights are a fixture. Scale shape: the WHOLE score is
+    * a map-side higher-order fold per document (no explode, no doc_id
+    * shuffle — at 100 TB the only exchange is the per-source agg), with
+    * the decimal accumulator making the fold combine-order-proof.
+    * Keep = score > 0 (the stub's calibrated threshold). */
+  def x29_quality_classifier(s: SparkSession, d: String): DataFrame = {
+    // w(tok) = ((md5_60(tok) mod 2001) - 1000) / 1000.0 ∈ [-1, 1]
+    def w(t: Column): Column =
+      (md5Hash60(t) % 2001L - 1000L).cast("double") / lit(1000.0)
+    val scored = Tables.documents(s, d)
+      .select(col("source"),
+        (dbl(aggregate(tokens(col("text")),
+          lit(0).cast("decimal(38,6)"),
+          (acc, t) => acc + dec6(w(t)))) /
+          size(tokens(col("text")))).as("score"))
+    scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") > 0.0, 1L).otherwise(0L)).as("n_keep"),
+        dbl(dec6(sum(dec6(col("score"))))).as("sum_score"))
+      .withColumn("keep_rate",
+        round(col("n_keep").cast("double") / col("n_docs"), 6))
+      .orderBy("source")
+  }
+
   def x28_vocab_oov(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("source"), explode(tokens(col("text"))).as("tok"))
@@ -939,6 +971,7 @@ object TextQueries {
     "x26_boilerplate" -> (x26_boilerplate _),
     "x27_ngram_decontam" -> (x27_ngram_decontam _),
     "x28_vocab_oov" -> (x28_vocab_oov _),
+    "x29_quality_classifier" -> (x29_quality_classifier _),
     "x23_curation_pipeline" -> (x23_curation_pipeline _),
     "x10_pack" -> (x10_pack _),
     "x1_langid" -> (x1_langid _),
@@ -1352,6 +1385,31 @@ object TextQueries {
         |FROM train t LEFT JOIN flagged f ON t.source = f.source
         |GROUP BY t.source, t.train_docs
         |ORDER BY t.source""".stripMargin,
+    // same hashed linear model: per-token md5-derived weight, per-doc
+    // decimal-sum mean, keep = score > 0 — the classifier replicated
+    // end to end, so the stub model's SCORES hash-match, not just counts
+    "x29_quality_classifier" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, source,
+        |    CAST((('0x' || substr(md5(tok), 1, 15))::BIGINT % 2001 - 1000)
+        |      AS DOUBLE) / 1000.0 AS w
+        |  FROM tok),
+        |scored AS (
+        |  SELECT doc_id, source,
+        |    CAST(CAST(sum(CAST(w AS DECIMAL(38,6))) AS DECIMAL(38,6))
+        |      AS DOUBLE) / count(*) AS score
+        |  FROM w GROUP BY doc_id, source)
+        |SELECT source, count(*) AS n_docs,
+        |  sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS n_keep,
+        |  CAST(CAST(sum(CAST(score AS DECIMAL(38,6))) AS DECIMAL(38,6))
+        |    AS DOUBLE) AS sum_score,
+        |  round(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 6) AS keep_rate
+        |FROM scored GROUP BY source ORDER BY source""".stripMargin,
     // same top-100 (count DESC, token ASC) vocab, same OOV rule
     "x28_vocab_oov" ->
       """WITH toks AS (

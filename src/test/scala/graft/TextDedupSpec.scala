@@ -291,6 +291,34 @@ class TextDedupSpec extends SparkSpec {
     assert(got.forall(_._1 < 200000L))
   }
 
+  test("x29 quality classifier: map-side linear fold (no doc_id " +
+    "exchange), deterministic scores, threshold splits the corpus") {
+    val out = TextQueries.x29_quality_classifier(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, keep, rate) = (r.getLong(1), r.getLong(2), r.getDouble(4))
+      assert(keep >= 0 && keep <= n)
+      assert(math.abs(rate - keep.toDouble / n) < 1e-6)
+    }
+    // a hash-uniform stub model over [-1, 1] must split, not rubber-stamp
+    val total = rows.map(_.getLong(1)).sum
+    val kept = rows.map(_.getLong(2)).sum
+    assert(kept > total / 10 && kept < total * 9 / 10,
+      s"degenerate classifier: kept $kept of $total")
+    // the per-document score is a map-side higher-order fold: the ONLY
+    // exchange is the per-source aggregate — no doc_id shuffle, no explode
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(doc_id"),
+      "scoring must not shuffle on doc_id")
+    assert(!plan.toLowerCase.contains("generate explode"),
+      "scoring must not explode tokens")
+    // determinism: a second run produces identical bytes
+    assert(out.collect().map(_.toString).toSeq ===
+      TextQueries.x29_quality_classifier(spark, sf).collect()
+        .map(_.toString).toSeq)
+  }
+
   test("weighted sample: exactly k docs, biased toward longer documents") {
     val out = TextQueries.x24_weighted_sample(spark, sf)
       .agg(sum("n_sampled").as("k"), sum("sum_w").as("w")).head()
