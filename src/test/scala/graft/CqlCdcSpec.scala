@@ -237,6 +237,48 @@ class CqlCdcSpec extends SparkSpec {
     assert(ks === Seq(99L), s"predecessor segments leaked: $ks")
   }
 
+  test("a DISTRIBUTED delta fold's CDC segment replicates: the bulk-MERGE " +
+    "mutations land on the replica with the source's shared timestamp") {
+    val src = CqlSession(spark)
+    src.execute("CREATE TABLE repd13 (k bigint PRIMARY KEY, v text, " +
+      "n bigint) WITH cdc = true")
+    (1L to 6L).foreach(i => src.execute(
+      s"INSERT INTO repd13 (k, v, n) VALUES ($i, 'v$i', $i)"))
+    src.exposeAsCatalog("graftrepd")
+    import spark.implicits._
+    Seq((2L, "up", 20L), (4L, "del", 0L), (9L, "new", 90L))
+      .toDF("k", "v", "n").createOrReplaceTempView("repd_src")
+    spark.conf.set("spark.graft.catalog.deltaApplyRowLimit", "0")
+    try spark.sql(
+      """MERGE INTO graftrepd.default.repd13 t USING repd_src s ON t.k = s.k
+         WHEN MATCHED AND s.v = 'del' THEN DELETE
+         WHEN MATCHED THEN UPDATE SET v = s.v, n = s.n
+         WHEN NOT MATCHED THEN INSERT (k, v, n) VALUES (s.k, s.v, s.n)""")
+    finally spark.conf.unset("spark.graft.catalog.deltaApplyRowLimit")
+    val replica = CqlSession(spark)
+    replica.execute("CREATE TABLE repd13 (k bigint PRIMARY KEY, v text, " +
+      "n bigint)")
+    val q = src.cdcStream("repd13", maxFilesPerTrigger = 1).writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        replica.applyCdcBatch("repd13", b)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val a = src.execute("SELECT k, v, n FROM repd13").collect()
+      .map(_.toString).sorted.toSeq
+    val b = replica.execute("SELECT k, v, n FROM repd13").collect()
+      .map(_.toString).sorted.toSeq
+    assert(a === b, "replica must converge to the source's merged state")
+    assert(a.size === 6) // 6 - 1 delete + 1 insert
+    // timestamps preserved: the merge wrote EVERY cell at one shared ts,
+    // and replication must carry it (not restamp)
+    val wts = replica.execute(
+      "SELECT WRITETIME(v) FROM repd13 WHERE k IN (2, 9)").collect()
+      .map(_.getLong(0)).distinct
+    assert(wts.length === 1, s"merge cells restamped: ${wts.toSeq}")
+  }
+
   test("REAP CDC is a statement verb: parse variants, system_views.cdc " +
     "accounting, and FQL replay re-executes the reap") {
     val s = CqlSession(spark)
