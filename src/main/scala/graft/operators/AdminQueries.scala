@@ -274,6 +274,17 @@ object AdminQueries {
     sess.execute("CREATE TABLE cat_lineitem4 (lk bigint PRIMARY KEY, " +
       "qty double, flag text)")
     sess.exposeAsCatalog("graftcat4")
+    // pin the DISTRIBUTED path explicitly: the delta far exceeds the
+    // default limit at every gate SF (~137k changed rows at sf0.01), but
+    // the gate's CLAIM is the distributed fold — it must not silently
+    // degrade to the per-row replay if a future fixture shrinks
+    s.conf.set("spark.graft.catalog.deltaApplyRowLimit", "0")
+    try cat4Body(s, d, sess)
+    finally s.conf.unset("spark.graft.catalog.deltaApplyRowLimit")
+  }
+
+  private def cat4Body(s: SparkSession, d: String,
+      sess: graft.cql.CqlSession): DataFrame = {
     // the synthetic fixture samples (l_orderkey, l_linenumber) with
     // replacement — dedupe to one deterministic row per key (min-fold)
     // so the MERGE source is key-unique, as the SQL standard requires
