@@ -239,16 +239,23 @@ object VectorQueries {
     * the full-precision vectors with the SAME metric. Prune metric ==
     * final metric, so the overfetch factor is the only recall dial. */
   def buildInt8Index(s: SparkSession, d: String, dir: String,
+      metric: String = "cosine"): Unit =
+    buildInt8IndexOver(Tables.embeddings(s, d), dir, metric)
+
+  /** Build over an arbitrary vector frame — the segment-append form
+    * (int8 codes are self-contained: encoding an incoming batch touches
+    * no trained structure and no base vectors). */
+  def buildInt8IndexOver(vectors: DataFrame, dir: String,
       metric: String = "cosine"): Unit = {
     if (!Set("cosine", "dot_product", "euclidean")(metric.toLowerCase))
       throw new IllegalArgumentException(
         s"similarity_function '$metric' is not supported")
-    Tables.embeddings(s, d)
+    vectors
       .select(col("vec_id"), quantizeInt8(col("embedding")).as("e8"),
         int8Scale(col("embedding")).as("scale"))
       .write.mode("overwrite").parquet(s"$dir/vectors")
     import scala.jdk.CollectionConverters._
-    s.createDataFrame(Seq(Row(metric.toLowerCase)).asJava,
+    vectors.sparkSession.createDataFrame(Seq(Row(metric.toLowerCase)).asJava,
       StructType(Seq(StructField("metric", StringType))))
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
@@ -264,7 +271,14 @@ object VectorQueries {
     val metric =
       try s.read.parquet(s"$dir/meta").head().getString(0)
       catch { case _: Exception => "cosine" }
-    val idx = s.read.parquet(s"$dir/vectors")
+    serveInt8Over(s, d, s.read.parquet(s"$dir/vectors"), metric,
+      queryId, k, fetch)
+  }
+
+  /** The prune + rerank body over an arbitrary codes frame (single- and
+    * multi-generation serves share it). */
+  private def serveInt8Over(s: SparkSession, d: String, idx: DataFrame,
+      metric: String, queryId: Long, k: Int, fetch: Int): DataFrame = {
     val qraw = queryVec(s, d, queryId)
     val q8 = broadcast(qraw.select(quantizeInt8(col("qvec")).as("q8"),
       int8Scale(col("qvec")).as("qscale")))
@@ -302,6 +316,32 @@ object VectorQueries {
     }
   }
 
+  /** Multi-generation int8 serve with an optional deletion mask — the
+    * SAME lifecycle shape as the band/PQ/graph families (base + appended
+    * segments + tombstone consult). Int8 codes are SELF-CONTAINED (the
+    * per-vector scale is corpus-independent — no trained structure), so
+    * segment append is pure encode-at-ingest and base ∪ segments equals
+    * whole-corpus codes exactly. The mask applies as a broadcast
+    * LEFT-ANTI join on the CODES SCAN (the tombstone consult — pruning
+    * ranks live vectors only, so the overfetch budget is never spent on
+    * the dead); generations must agree on the declared metric. */
+  def serveInt8Rerank(s: SparkSession, d: String, dirs: Seq[String],
+      deleted: Option[DataFrame], queryId: Long, k: Int,
+      fetch: Int): DataFrame = {
+    val metrics = dirs.map { dir =>
+      try s.read.parquet(s"$dir/meta").head().getString(0)
+      catch { case _: Exception => "cosine" }
+    }.toSet
+    if (metrics.size != 1) throw new IllegalArgumentException(
+      s"int8 index generations disagree on similarity_function: $metrics")
+    val codes0 = dirs.map(dir => s.read.parquet(s"$dir/vectors"))
+      .reduce(_ unionByName _)
+    val codes = deleted.fold(codes0)(del => codes0.join(
+      broadcast(del.select(col("vec_id").as("_del_id"))),
+      col("vec_id") === col("_del_id"), "left_anti"))
+    serveInt8Over(s, d, codes, metrics.head, queryId, k, fetch)
+  }
+
   /** Per-(corpus, mtime) EUCLIDEAN int8 index for v27. */
   private val euclidInt8Cache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -323,6 +363,41 @@ object VectorQueries {
       out
     })
     serveInt8Rerank(s, d, dir)
+  }
+
+  /** Per-(corpus, mtime) base+segment euclidean int8 artifacts for v28. */
+  private val int8LifecycleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** V28 (r13): the int8 index LIFECYCLE — base build over most of the
+    * corpus, a SEGMENT appended for the rest (encode-at-ingest; int8
+    * codes are self-contained, so the append retrains nothing), a
+    * tombstone band masked at serve, all under the declared euclidean
+    * metric. Because per-vector quantization is corpus-independent,
+    * base ∪ segment codes equal whole-corpus codes EXACTLY, so the twin
+    * is v27's replicated prune+rerank restricted to live vectors — the
+    * lifecycle's correctness is hash-verified, not just recall-checked.
+    * Completes the fourth index family's lifecycle story (band/PQ/graph
+    * already carry one). */
+  def v28_int8_lifecycle(s: SparkSession, d: String): DataFrame = {
+    val mtime = try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$d/embeddings.parquet")).toMillis
+      catch { case _: Exception => 0L }
+    val (base, seg) = int8LifecycleCache.computeIfAbsent(s"$d@$mtime", { _ =>
+      val b = graft.Tables.tempRoot("graft-int8-base")
+      val g = graft.Tables.tempRoot("graft-int8-seg")
+      buildInt8IndexOver(
+        Tables.embeddings(s, d).filter(col("vec_id") % 7 =!= 0), b,
+        metric = "euclidean")
+      buildInt8IndexOver(
+        Tables.embeddings(s, d).filter(col("vec_id") % 7 === 0), g,
+        metric = "euclidean")
+      (b, g)
+    })
+    val deleted = Tables.embeddings(s, d)
+      .filter(col("vec_id") % 11 === 0).select(col("vec_id"))
+    serveInt8Rerank(s, d, Seq(base, seg), Some(deleted),
+      queryId = 0L, k = 10, fetch = 40)
   }
 
   private val PQ_M = 4    // subspaces
@@ -749,6 +824,7 @@ object VectorQueries {
     "v12_pq_adc" -> (v12_pq_adc _),
     "v13_knn_rerank" -> (v13_knn_rerank _),
     "v27_quantized_metric" -> (v27_quantized_metric _),
+    "v28_int8_lifecycle" -> (v28_int8_lifecycle _),
     "v17_pq_served" -> (v17_pq_served _),
     "v26_pq_metric" -> (v26_pq_metric _),
     "v18_incremental_index" -> (v18_incremental_index _),
@@ -1119,6 +1195,39 @@ object VectorQueries {
         |SELECT e.vec_id,
         |  round(list_distance(v, qvec), 6) AS dist
         |FROM e JOIN cands USING (vec_id) CROSS JOIN qr
+        |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+    // v27's replicated prune+rerank over LIVE vectors only: per-vector
+    // int8 codes are corpus-independent, so base∪segment == whole-corpus
+    // codes exactly and the lifecycle twin is the deletion-filtered v27
+    "v28_int8_lifecycle" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |live AS (SELECT * FROM e WHERE vec_id % 11 <> 0),
+        |qt AS (
+        |  SELECT vec_id,
+        |    list_transform(v, x -> round(x * (127.0 / list_aggregate(
+        |      list_transform(v, y -> abs(y)), 'max')))) AS q,
+        |    list_aggregate(list_transform(v, y -> abs(y)), 'max') / 127.0
+        |      AS sc
+        |  FROM live),
+        |qv AS (
+        |  SELECT list_transform(v, x -> round(x * (127.0 / list_aggregate(
+        |      list_transform(v, y -> abs(y)), 'max')))) AS q8,
+        |    list_aggregate(list_transform(v, y -> abs(y)), 'max') / 127.0
+        |      AS qsc
+        |  FROM e WHERE vec_id = 0),
+        |cands AS (
+        |  SELECT vec_id FROM (
+        |    SELECT qt.vec_id,
+        |      round(list_distance(list_transform(q, x -> x * sc),
+        |                          list_transform(q8, x -> x * qsc)), 6)
+        |        AS ps
+        |    FROM qt CROSS JOIN qv)
+        |  ORDER BY ps ASC, vec_id ASC LIMIT 40),
+        |qr AS (SELECT v AS qvec FROM e WHERE vec_id = 0)
+        |SELECT live.vec_id,
+        |  round(list_distance(v, qvec), 6) AS dist
+        |FROM live JOIN cands USING (vec_id) CROSS JOIN qr
         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
   )
 }

@@ -184,6 +184,46 @@ class VectorSpec extends SparkSpec
     assert(pre === v13, "a pre-metric artifact must score cosine")
   }
 
+  test("int8 lifecycle: base ∪ segment serves EXACTLY like one " +
+    "whole-corpus artifact (codes are self-contained), the mask excludes " +
+    "deleted ids, and mixed-metric generations refuse") {
+    import org.apache.spark.sql.functions.col
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val whole = tmp("graft-i8-whole")
+    VectorQueries.buildInt8Index(spark, sf, whole, metric = "euclidean")
+    val base = tmp("graft-i8-b"); val seg = tmp("graft-i8-g")
+    VectorQueries.buildInt8IndexOver(
+      Tables.embeddings(spark, sf).filter(col("vec_id") % 7 =!= 0),
+      base, metric = "euclidean")
+    VectorQueries.buildInt8IndexOver(
+      Tables.embeddings(spark, sf).filter(col("vec_id") % 7 === 0),
+      seg, metric = "euclidean")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows(VectorQueries.serveInt8Rerank(spark, sf, Seq(base, seg),
+        None, 0L, 10, 40)) ===
+      rows(VectorQueries.serveInt8Rerank(spark, sf, whole)),
+      "base ∪ segment must equal the whole-corpus artifact bit for bit")
+    // the tombstone consult: masked ids never appear
+    val deleted = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+    val masked = rows(VectorQueries.serveInt8Rerank(spark, sf,
+      Seq(base, seg), Some(deleted), 0L, 10, 40))
+    assert(masked.size === 10)
+    assert(masked.forall(_._1 % 3 != 0), s"deleted ids served: $masked")
+    // generations must score the same declared way
+    val cosSeg = tmp("graft-i8-cos2")
+    VectorQueries.buildInt8IndexOver(
+      Tables.embeddings(spark, sf).filter(col("vec_id") % 7 === 0),
+      cosSeg) // cosine default
+    val e = intercept[IllegalArgumentException] {
+      VectorQueries.serveInt8Rerank(spark, sf, Seq(base, cosSeg),
+        None, 0L, 10, 40)
+    }
+    assert(e.getMessage.contains("disagree"), e.getMessage)
+  }
+
   test("int8-quantized kNN preserves most of the exact top-10 (recall >= 0.8)") {
     val exact = VectorQueries.v1_knn_exact(spark, sf)
       .collect().map(_.getLong(0)).toSet
