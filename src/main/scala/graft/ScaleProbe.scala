@@ -134,7 +134,12 @@ object ScaleProbe {
         // the MV read + the pruned open-hour tail — must stay ~flat),
         // and the metric-declared int8 prune+rerank (codes scan + 40-row
         // rerank; slope is the quantized scan's)
-        "cat4_bulk_merge", "t17_mv_rollup", "v27_quantized_metric")
+        "cat4_bulk_merge", "t17_mv_rollup", "v27_quantized_metric",
+        // r14: artifact-served quality classifier (map-side fold per doc,
+        // one per-source agg — slope is the token-fold kernel's) and the
+        // five-stage classified curation (fold + content-hash window +
+        // broadcast anti-join; no stage super-linear)
+        "x29_quality_classifier", "x30_classified_curation")
         .filter(n => args.lift(1).forall(_.split(',').contains(n)))
         .map(n => n -> SparkEntry.queries(n))
     factors.foreach { f =>

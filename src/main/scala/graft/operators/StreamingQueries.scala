@@ -169,12 +169,16 @@ object StreamingQueries {
       // MV). Stage every part file; still one AvailableNow batch.
       if (Files.isDirectory(src)) {
         import scala.jdk.CollectionConverters._
-        Files.list(src).iterator().asScala
-          .filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .zipWithIndex.foreach { case (p, i) =>
-            Files.copy(p, dir.resolve(f"part-$i%05d.parquet"),
-              StandardCopyOption.REPLACE_EXISTING)
-          }
+        // Files.list returns a Stream holding a directory handle — close
+        // it (r13 advisor: the unclosed stream leaked one fd per staging)
+        scala.util.Using.resource(Files.list(src)) { st =>
+          st.iterator().asScala
+            .filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .zipWithIndex.foreach { case (p, i) =>
+              Files.copy(p, dir.resolve(f"part-$i%05d.parquet"),
+                StandardCopyOption.REPLACE_EXISTING)
+            }
+        }
       } else
         Files.copy(src, dir.resolve("part-0.parquet"),
           StandardCopyOption.REPLACE_EXISTING)

@@ -439,36 +439,80 @@ object TextQueries {
     * (TakeOrderedAndProject — never a global sort), vocab broadcast back
     * to the token stream, one source re-aggregate. At 100 TB the vocab
     * stays K rows regardless of corpus size. */
-  /** X29 (r13, L4): MODEL-BASED quality filtering — the hashed linear
-    * classifier shape of fastText-style document scorers (the filter
-    * behind DCLM / CCNet-lineage pipelines [L]: tokenize → hashed
-    * features → Σ weights → threshold). The MODEL is a deterministic
-    * stub — per-token weight derived from the shared 60-bit md5 hash,
-    * uniform in [-1, 1] at 3 decimals — exactly like the multimodal
-    * codec stubs: the Spark-side plumbing (feature hashing, the linear
-    * fold, per-source keep accounting) is real and hash-verified while
-    * the learned weights are a fixture. Scale shape: the WHOLE score is
-    * a map-side higher-order fold per document (no explode, no doc_id
-    * shuffle — at 100 TB the only exchange is the per-source agg), with
-    * the decimal accumulator making the fold combine-order-proof.
-    * Keep = score > 0 (the stub's calibrated threshold). */
+  /** X29 (r13, hash-robust + artifact-served r14, L4): MODEL-BASED quality
+    * filtering — the hashed linear classifier shape of fastText-style
+    * document scorers (the filter behind DCLM / CCNet-lineage pipelines
+    * [L]: tokenize → hashed features → Σ weights → threshold). The weights
+    * are a PERSISTED ARTIFACT ([[QualityModel]]: parquet bucket→w_num table
+    * + `_graft_model` sidecar, stub-initialized) broadcast into the fold —
+    * scoring reads the model, it does not recompute a formula. Every
+    * hashed output is an exact INTEGER aggregate or a single IEEE division
+    * of exactly-representable integers (x11's rational form): the r13 red
+    * was this query's `dec6(sum(dec6(double)))` chain re-rounding an
+    * ulp-adjacent double differently in Spark (HALF_UP on the shortest
+    * decimal repr) vs DuckDB (scaled-binary) — integers cannot split.
+    * Scale shape: the WHOLE score is a map-side higher-order fold per
+    * document (no explode, no doc_id shuffle, no weight-table join — at
+    * 100 TB the only exchange is the per-source agg).
+    * Keep = Σ w_num > 0 (the stub's calibrated threshold), equivalent to
+    * mean score > 0 since n_tokens > 0. */
   def x29_quality_classifier(s: SparkSession, d: String): DataFrame = {
-    // w(tok) = ((md5_60(tok) mod 2001) - 1000) / 1000.0 ∈ [-1, 1]
-    def w(t: Column): Column =
-      (md5Hash60(t) % 2001L - 1000L).cast("double") / lit(1000.0)
     val scored = Tables.documents(s, d)
       .select(col("source"),
-        (dbl(aggregate(tokens(col("text")),
-          lit(0).cast("decimal(38,6)"),
-          (acc, t) => acc + dec6(w(t)))) /
-          size(tokens(col("text")))).as("score"))
+        QualityModel.docWeightSum(s, tokens(col("text"))).as("w_num"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
     scored.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("score") > 0.0, 1L).otherwise(0L)).as("n_keep"),
-        dbl(dec6(sum(dec6(col("score"))))).as("sum_score"))
-      .withColumn("keep_rate",
-        round(col("n_keep").cast("double") / col("n_docs"), 6))
+        sum(when(col("w_num") > 0L, 1L).otherwise(0L)).as("n_keep"),
+        sum(col("w_num")).as("sum_wnum"),
+        sum(col("n_tok")).as("n_tokens"))
+      .withColumn("keep_rate", col("n_keep").cast("double") / col("n_docs"))
+      .withColumn("avg_score",
+        col("sum_wnum").cast("double") / (lit(1000L) * col("n_tokens")))
       .orderBy("source")
+  }
+
+  /** X30 (r14, L4 capstone): the DCLM-style CLASSIFIED curation pipeline —
+    * x23's four curation stages with the [[QualityModel]] gate as stage 0,
+    * composed as ONE plan (the twin runs the same five stages as one SQL
+    * CTE chain, so the composition itself sits inside the hash gate):
+    *   0. model keep-gate (artifact-served hashed linear classifier,
+    *      Σ w_num > 0 — x29's rule),
+    *   1. heuristic quality gate (length ≥ 10 tokens, stopword-hit ≥ 2),
+    *   2. exact dedup (first doc_id per md5(text) — d1's rule),
+    *   3. decontamination (content-hash anti-join vs the %97 ≡ 0 "eval
+    *      set" — x8's shape),
+    *   4. shard assignment (seeded hash — x22's rule),
+    * closing with per-shard survivor counts, token sums, and classifier
+    * mass. Scale: stages 0–1 are map-side folds, stage 2 is one window on
+    * the content hash, stage 3 a broadcast anti-join, stage 4 the output
+    * partitioning itself — no stage is all-pairs or driver-bound. */
+  def x30_classified_curation(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    val staged = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        size(t).cast("long").as("n_tok"),
+        size(array_intersect(t,
+          array(lit("the"), lit("a"), lit("and"), lit("of"))))
+          .cast("long").as("stop_hits"),
+        QualityModel.docWeightSum(s, t).as("w_num"))
+      .filter(col("w_num") > 0L)
+      .filter(col("n_tok") >= 10 && col("stop_hits") >= 2)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("h")).orderBy(col("doc_id").asc)))
+      .filter(col("rn") === 1)
+    val evalSet = Tables.documents(s, d)
+      .filter(col("doc_id") % 97 === 0).select(md5(col("text")).as("h"))
+    staged
+      .join(broadcast(evalSet), Seq("h"), "left_anti")
+      .select(col("doc_id"), col("n_tok"), col("w_num"),
+        hashMod(col("doc_id"), 8).as("shard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tokens"),
+        sum(col("w_num")).as("sum_wnum"))
+      .orderBy("shard")
   }
 
   def x28_vocab_oov(s: SparkSession, d: String): DataFrame = {
@@ -972,6 +1016,7 @@ object TextQueries {
     "x27_ngram_decontam" -> (x27_ngram_decontam _),
     "x28_vocab_oov" -> (x28_vocab_oov _),
     "x29_quality_classifier" -> (x29_quality_classifier _),
+    "x30_classified_curation" -> (x30_classified_curation _),
     "x23_curation_pipeline" -> (x23_curation_pipeline _),
     "x10_pack" -> (x10_pack _),
     "x1_langid" -> (x1_langid _),
@@ -1385,31 +1430,67 @@ object TextQueries {
         |FROM train t LEFT JOIN flagged f ON t.source = f.source
         |GROUP BY t.source, t.train_docs
         |ORDER BY t.source""".stripMargin,
-    // same hashed linear model: per-token md5-derived weight, per-doc
-    // decimal-sum mean, keep = score > 0 — the classifier replicated
-    // end to end, so the stub model's SCORES hash-match, not just counts
+    // same hashed linear model, replicated end to end from the stub's
+    // weight formula (bucket = md5_60(tok) % 2001; w_num =
+    // md5_60(bucket) % 2001 - 1000 — the content of the Spark-side
+    // weights ARTIFACT): every hashed cell is an exact integer aggregate
+    // or one IEEE division of exactly-representable integers, so the
+    // hash cannot split on a rounding boundary (the r13 flake)
     "x29_quality_classifier" ->
       """WITH tok AS (
         |  SELECT doc_id, source,
         |    unnest(string_split(lower(text), ' ')) AS tok
         |  FROM documents),
-        |w AS (
+        |wt AS (
         |  SELECT doc_id, source,
-        |    CAST((('0x' || substr(md5(tok), 1, 15))::BIGINT % 2001 - 1000)
-        |      AS DOUBLE) / 1000.0 AS w
+        |    ('0x' || substr(md5(CAST(
+        |        ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2001
+        |      AS VARCHAR)), 1, 15))::BIGINT % 2001 - 1000 AS w
         |  FROM tok),
-        |scored AS (
-        |  SELECT doc_id, source,
-        |    CAST(CAST(sum(CAST(w AS DECIMAL(38,6))) AS DECIMAL(38,6))
-        |      AS DOUBLE) / count(*) AS score
-        |  FROM w GROUP BY doc_id, source)
+        |doc AS (
+        |  SELECT doc_id, source, CAST(sum(w) AS BIGINT) AS w_num,
+        |    count(*) AS n_tok
+        |  FROM wt GROUP BY doc_id, source)
         |SELECT source, count(*) AS n_docs,
-        |  sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS n_keep,
-        |  CAST(CAST(sum(CAST(score AS DECIMAL(38,6))) AS DECIMAL(38,6))
-        |    AS DOUBLE) AS sum_score,
-        |  round(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END)::DOUBLE
-        |    / count(*), 6) AS keep_rate
-        |FROM scored GROUP BY source ORDER BY source""".stripMargin,
+        |  CAST(sum(CASE WHEN w_num > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_keep,
+        |  CAST(sum(w_num) AS BIGINT) AS sum_wnum,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN w_num > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS keep_rate,
+        |  CAST(sum(w_num) AS DOUBLE)
+        |    / CAST(1000 * sum(n_tok) AS BIGINT) AS avg_score
+        |FROM doc GROUP BY source ORDER BY source""".stripMargin,
+    // the five-stage classified curation chain: model gate (same weight
+    // formula as x29's artifact) -> heuristic gate -> exact dedup ->
+    // decontamination -> shard assignment, as one CTE chain
+    "x30_classified_curation" ->
+      """WITH scored AS (
+        |  SELECT doc_id, md5(text) AS h,
+        |    len(string_split(lower(text), ' ')) AS n_tok,
+        |    len(list_intersect(string_split(lower(text), ' '),
+        |        ['the', 'a', 'and', 'of'])) AS stop_hits,
+        |    (SELECT CAST(sum(('0x' || substr(md5(CAST(
+        |        ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2001
+        |      AS VARCHAR)), 1, 15))::BIGINT % 2001 - 1000) AS BIGINT)
+        |     FROM unnest(string_split(lower(text), ' ')) AS u(tok))
+        |      AS w_num
+        |  FROM documents),
+        |kept AS (
+        |  SELECT * FROM scored
+        |  WHERE w_num > 0 AND n_tok >= 10 AND stop_hits >= 2),
+        |dedup AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY h ORDER BY doc_id) AS rn FROM kept)
+        |  WHERE rn = 1),
+        |clean AS (
+        |  SELECT * FROM dedup WHERE h NOT IN (
+        |    SELECT md5(text) FROM documents WHERE doc_id % 97 = 0))
+        |SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |    % 8 AS shard,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(w_num) AS BIGINT) AS sum_wnum
+        |FROM clean GROUP BY shard ORDER BY shard""".stripMargin,
     // same top-100 (count DESC, token ASC) vocab, same OOV rule
     "x28_vocab_oov" ->
       """WITH toks AS (

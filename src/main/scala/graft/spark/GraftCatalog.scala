@@ -458,11 +458,17 @@ private[spark] class GraftRowLevelOperation(session: CqlSession,
         override def toBatch(): DeltaBatchWrite = new DeltaBatchWrite {
           // one staging prefix per write — on a cluster this must be a
           // shared filesystem (spark.graft.catalog.deltaStagingDir), the
-          // same requirement as any DSv2 commit protocol's staging area
+          // same requirement as any DSv2 commit protocol's staging area.
+          // The SESSION's Hadoop conf ships with the factory (r14,
+          // advisor): the executor-side segment writers must open the
+          // staging FS with the same spark.hadoop.* settings/credentials
+          // the driver resolved the prefix with, not a bare Configuration
           private val stagingDir = session.newDeltaStagingDir(registryKey)
+          private val hconf = new GraftSerializableConf(
+            GraftShim.sessionHadoopConf(session.sparkSession))
           override def createBatchWriterFactory(pInfo: PhysicalWriteInfo)
               : DeltaWriterFactory =
-            GraftDeltaWriterFactory(dataSchema, idSchema, stagingDir)
+            GraftDeltaWriterFactory(dataSchema, idSchema, stagingDir, hconf)
           override def useCommitCoordinator(): Boolean = false
           /** Driver-side commit: the per-task deltas arrived as parquet
             * SEGMENTS (changed rows only, spilled on the executors —
@@ -480,7 +486,8 @@ private[spark] class GraftRowLevelOperation(session: CqlSession,
           override def abort(messages: Array[WriterCommitMessage]): Unit =
             messages.foreach {
               case m: GraftDeltaMessage =>
-                m.segment.foreach(GraftDeltaWriter.deleteSegment)
+                m.segment.foreach(
+                  GraftDeltaWriter.deleteSegment(_, hconf.value))
               case _ => ()
             }
         }
@@ -495,12 +502,32 @@ private[spark] class GraftRowLevelOperation(session: CqlSession,
 private[graft] case class GraftDeltaMessage(segment: Option[String],
     upserts: Long, deletes: Long) extends WriterCommitMessage
 
+/** Java-serializable Hadoop `Configuration` carrier (the stock
+  * `SerializableConfiguration` is `private[spark]`): the delta writer
+  * factory ships the driver's effective Hadoop conf to the executors so
+  * segment writes/deletes hit the staging filesystem with the same
+  * credentials and FS settings the driver resolved the prefix with. */
+private[graft] class GraftSerializableConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
 private[spark] case class GraftDeltaWriterFactory(dataSchema: StructType,
-    idSchema: StructType, stagingDir: String) extends DeltaWriterFactory {
+    idSchema: StructType, stagingDir: String,
+    hconf: GraftSerializableConf) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] =
     new GraftDeltaWriter(dataSchema, idSchema,
-      s"$stagingDir/delta-p$partitionId-t$taskId.parquet")
+      s"$stagingDir/delta-p$partitionId-t$taskId.parquet", hconf)
 }
 
 /** Spills this task's delta to a parquet segment as rows arrive (opened
@@ -512,7 +539,7 @@ private[spark] case class GraftDeltaWriterFactory(dataSchema: StructType,
   * inexpressible in CQL) maps to delete(old key) + upsert(new row) — both
   * land in the same single-timestamp batch, addressing different rows. */
 private[spark] class GraftDeltaWriter(dataSchema: StructType,
-    idSchema: StructType, segmentPath: String)
+    idSchema: StructType, segmentPath: String, hconf: GraftSerializableConf)
     extends DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -532,7 +559,7 @@ private[spark] class GraftDeltaWriter(dataSchema: StructType,
   private def emit(op: String, data: InternalRow, id: InternalRow): Unit = {
     if (writer == null)
       writer = org.apache.spark.sql.execution.datasources.parquet
-        .GraftParquetRowWriter.open(segSchema, segmentPath)
+        .GraftParquetRowWriter.open(segSchema, segmentPath, hconf.value)
     val arr = new Array[Any](segSchema.length)
     arr(0) = UTF8String.fromString(op)
     if (data != null) {
@@ -595,7 +622,7 @@ private[spark] class GraftDeltaWriter(dataSchema: StructType,
   override def abort(): Unit = {
     if (writer != null) {
       try writer.close() catch { case _: Exception => () }
-      GraftDeltaWriter.deleteSegment(segmentPath)
+      GraftDeltaWriter.deleteSegment(segmentPath, hconf.value)
     }
   }
   override def close(): Unit = ()
@@ -604,12 +631,14 @@ private[spark] class GraftDeltaWriter(dataSchema: StructType,
 private[graft] object GraftDeltaWriter {
   /** Best-effort staged-segment cleanup through the Hadoop FS API (the
     * staging dir is a SHARED filesystem on a cluster — java.io.File
-    * would silently no-op there). */
-  def deleteSegment(path: String): Unit =
+    * would silently no-op there), with the CALLER's effective Hadoop
+    * conf (a bare Configuration would drop the spark.hadoop.* FS
+    * settings/credentials the staging FS may need). */
+  def deleteSegment(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit =
     try {
       val hp = new org.apache.hadoop.fs.Path(path)
-      hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        .delete(hp, false)
+      hp.getFileSystem(conf).delete(hp, false)
       ()
     } catch { case _: Exception => () }
 

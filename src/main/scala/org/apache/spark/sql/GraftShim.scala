@@ -24,6 +24,15 @@ object GraftShim {
   def arithmeticOverflow(message: String, hint: String): ArithmeticException =
     errors.QueryExecutionErrors.arithmeticOverflowError(message, hint, null)
 
+  /** The session's EFFECTIVE Hadoop configuration — core-site/spark.hadoop.*
+    * plus session-level SQL conf overrides (`sessionState.newHadoopConf()`
+    * is `private[sql]`). The delta staging path resolves and writes through
+    * THIS conf, so `spark.graft.catalog.deltaStagingDir=hdfs://…/s3a://…`
+    * carries the credentials and FS settings the session actually has. */
+  def sessionHadoopConf(spark: SparkSession)
+      : org.apache.hadoop.conf.Configuration =
+    spark.asInstanceOf[classic.SparkSession].sessionState.newHadoopConf()
+
   /** A DSv2 Table over a parquet directory, served by Spark's builtin
     * parquet reader (ParquetTable is `private[sql]`, hence this shim).
     * Backs [[graft.spark.GraftCatalog]]: catalog reads get the stock

@@ -26,8 +26,13 @@ import org.apache.spark.sql.types.StructType
   * negotiation — both ends are this engine. */
 object GraftParquetRowWriter {
 
-  def open(schema: StructType, path: String): ParquetWriter[InternalRow] = {
-    val conf = new Configuration()
+  def open(schema: StructType, path: String,
+      base: Configuration): ParquetWriter[InternalRow] = {
+    // copy of the CALLER's effective Hadoop conf (r14, advisor: a bare
+    // `new Configuration()` dropped spark.hadoop.* FS settings, so a
+    // hdfs://-s3a:// staging dir only worked if POSIX-mounted), with the
+    // parquet write options pinned on top
+    val conf = new Configuration(base)
     ParquetWriteSupport.setSchema(schema, conf)
     conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false")
     conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")

@@ -311,4 +311,81 @@ class CqlCdcSpec extends SparkSpec {
     }
     intercept[graft.cql.CqlInvalidQueryException] { s.execute("REAP cdcr") }
   }
+
+  test("r14: a distributed bulk-MERGE's CDC segment is MULTI-FILE (the " +
+    "emission parallelizes like the fold) and still honors every CDC " +
+    "contract: one shared writetime, replica apply, accounting, reap") {
+    import org.apache.spark.sql.functions._
+    val src = CqlSession(spark)
+    src.execute("CREATE TABLE repd14 (k bigint PRIMARY KEY, v text, " +
+      "n bigint)")
+    src.exposeAsCatalog("graftrepd14")
+    // bulk seed BEFORE cdc so the delta is the only segment in the dir
+    spark.sql("INSERT INTO graftrepd14.default.repd14 " +
+      "SELECT id AS k, concat('v', id) AS v, id AS n FROM range(1, 6001)")
+    src.execute("ALTER TABLE repd14 WITH cdc = true")
+    spark.sql(
+      """SELECT id AS k, 'up' AS v, id * 10 AS n FROM range(1, 3001)
+         UNION ALL SELECT id, 'del', 0 FROM range(3001, 3101)
+         UNION ALL SELECT id, 'new', id FROM range(7001, 7101)""")
+      .repartition(8).createOrReplaceTempView("repd14_src")
+    spark.conf.set("spark.graft.catalog.deltaApplyRowLimit", "0")
+    try spark.sql(
+      """MERGE INTO graftrepd14.default.repd14 t USING repd14_src s
+         ON t.k = s.k
+         WHEN MATCHED AND s.v = 'del' THEN DELETE
+         WHEN MATCHED THEN UPDATE SET v = s.v, n = s.n
+         WHEN NOT MATCHED THEN INSERT (k, v, n) VALUES (s.k, s.v, s.n)""")
+    finally spark.conf.unset("spark.graft.catalog.deltaApplyRowLimit")
+    // drain the statement's segment; _metadata.file_path exposes how many
+    // files it spans (the r13 shape was coalesce(1) — ONE task serializing
+    // the whole changed-row set; r14 keeps the fold's parallelism)
+    val replica = CqlSession(spark)
+    replica.execute("CREATE TABLE repd14 (k bigint PRIMARY KEY, v text, " +
+      "n bigint)")
+    val files = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+    val nRows = new java.util.concurrent.atomic.AtomicLong(0L)
+    // the hidden _metadata column resolves on the file SOURCE (it is gone
+    // by the time foreachBatch sees the batch), so project it up front
+    val q = src.cdcStream("repd14")
+      .withColumn("_graft_file", col("_metadata.file_path")).writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select(col("_graft_file")).distinct().collect()
+          .foreach(r => files.put(r.getString(0), true))
+        nRows.addAndGet(b.count())
+        replica.applyCdcBatch("repd14", b.drop("_graft_file"))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(nRows.get() === 3200L, // 3000 updates + 100 inserts + 100 dels
+      s"segment must carry exactly the delta, got ${nRows.get()}")
+    assert(files.size > 1,
+      s"the bulk fold's CDC emission must parallelize into multiple " +
+        s"files, got ${files.size}")
+    // replica converged to the delta's post-images; tombstones applied
+    assert(replica.execute("SELECT count(*) FROM repd14").head()
+      .getLong(0) === 3100L)
+    assert(replica.execute("SELECT count(*) FROM repd14 WHERE k = 3050")
+      .head().getLong(0) === 0L, "tombstoned key must not reach the replica")
+    assert(replica.execute("SELECT v, n FROM repd14 WHERE k = 42").head()
+      .toSeq === Seq("up", 420L))
+    // one statement = ONE shared coordinator timestamp across all files
+    val wts = replica.execute(
+      "SELECT WRITETIME(v) FROM repd14 WHERE k IN (42, 2999, 7050)")
+      .collect().map(_.getLong(0)).distinct
+    assert(wts.length === 1, s"multi-file segment restamped: ${wts.toSeq}")
+    // accounting + reap hold file-granular: raw bytes > 0, reap frees all
+    val acct0 = src.execute("SELECT raw_bytes FROM system_views.cdc " +
+      "WHERE keyspace_name = 'default' AND table_name = 'repd14'")
+      .head().getLong(0)
+    assert(acct0 > 0L)
+    val freed = src.execute("REAP CDC repd14").head().getLong(2)
+    assert(freed > 0L)
+    val acct1 = src.execute("SELECT raw_bytes, reaped_bytes FROM " +
+      "system_views.cdc WHERE keyspace_name = 'default' " +
+      "AND table_name = 'repd14'").head()
+    assert(acct1.getLong(0) === 0L && acct1.getLong(1) === freed)
+  }
 }

@@ -18,10 +18,12 @@ object MvResumeProbe {
     val src = s"$base/src"; Files.createDirectories(Paths.get(src))
     // stage the full fixture as generation 1
     import scala.jdk.CollectionConverters._
-    Files.list(Paths.get(s"$dir/events.parquet")).iterator().asScala
-      .filter(_.toString.endsWith(".parquet")).zipWithIndex
-      .foreach { case (p, i) =>
-        Files.copy(p, Paths.get(f"$src/g1-$i%04d.parquet")); () }
+    scala.util.Using.resource(Files.list(Paths.get(s"$dir/events.parquet"))) {
+      _.iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).zipWithIndex
+        .foreach { case (p, i) =>
+          Files.copy(p, Paths.get(f"$src/g1-$i%04d.parquet")); () }
+    }
     def run(): Double = {
       val t0 = System.nanoTime()
       graft.streaming.StreamingPipelines.runToParquet(
@@ -38,9 +40,11 @@ object MvResumeProbe {
     raw.orderBy(col("ts").desc).limit(100000)
       .withColumn("ts", expr("ts + INTERVAL 2 HOURS"))
       .coalesce(1).write.mode("overwrite").parquet(s"$base/g2")
-    Files.list(Paths.get(s"$base/g2")).iterator().asScala
-      .filter(_.toString.endsWith(".parquet"))
-      .foreach { p => Files.copy(p, Paths.get(s"$src/g2-0.parquet")); () }
+    scala.util.Using.resource(Files.list(Paths.get(s"$base/g2"))) {
+      _.iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach { p => Files.copy(p, Paths.get(s"$src/g2-0.parquet")); () }
+    }
     println(f"MVPROBE resume_one_hour: ${run()}%.2f s")
     println("MVPROBE mv_rows: " +
       spark.read.parquet(s"$base/mv").count())

@@ -189,9 +189,10 @@ class StreamingSpec extends SparkSpec {
     sorted.offset(half.toInt)
       .coalesce(1).write.mode("overwrite").parquet(s"$base/g2")
     def stage(gen: String, as: String): Unit =
-      Files.list(Paths.get(s"$base/$gen"))
-        .filter(_.toString.endsWith(".parquet"))
-        .forEach(p => { Files.copy(p, Paths.get(s"$src/$as")); () })
+      scala.util.Using.resource(Files.list(Paths.get(s"$base/$gen"))) {
+        _.filter(_.toString.endsWith(".parquet"))
+          .forEach(p => { Files.copy(p, Paths.get(s"$src/$as")); () })
+      }
     stage("g1", "b0.parquet")
     def run(): Unit =
       StreamingPipelines.runToParquet(

@@ -297,9 +297,16 @@ class TextDedupSpec extends SparkSpec {
     val rows = out.collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val (n, keep, rate) = (r.getLong(1), r.getLong(2), r.getDouble(4))
+      val n = r.getLong(r.fieldIndex("n_docs"))
+      val keep = r.getLong(r.fieldIndex("n_keep"))
+      val rate = r.getDouble(r.fieldIndex("keep_rate"))
       assert(keep >= 0 && keep <= n)
-      assert(math.abs(rate - keep.toDouble / n) < 1e-6)
+      // r14: keep_rate is the bare IEEE quotient (no round()) — exact
+      assert(rate === keep.toDouble / n)
+      // avg_score is sign-consistent with the integer mass
+      val wsum = r.getLong(r.fieldIndex("sum_wnum"))
+      val avg = r.getDouble(r.fieldIndex("avg_score"))
+      assert(math.signum(avg) === math.signum(wsum.toDouble))
     }
     // a hash-uniform stub model over [-1, 1] must split, not rubber-stamp
     val total = rows.map(_.getLong(1)).sum

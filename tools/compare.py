@@ -3,12 +3,20 @@
 (`sbt "runMain graft.Verify <sfDir> <outDir> [q1,q2]"`), then
 `python3 tools/compare.py <outDir> <sfDir> [q1,q2,...]`.
 Loads each <outDir>/<name> parquet, runs the oracle SQL in DuckDB over the
-sfDir parquet tables, sorts columns by name + rows, and diffs values."""
+sfDir parquet tables, sorts columns by name + rows, and diffs values.
+
+BIT-EXACT by default (r14): floats compare by their IEEE-754 bits
+(float.hex()), exactly as strong as the driver's byte hash — the r13 x29
+red slipped past this tool's old round-to-9-decimals comparison. Protocol:
+a key may only be declared green against THIS gate. Pass --round9 only to
+reproduce the legacy behavior when triaging."""
 import sys, os, json, math
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+BIT_EXACT = "--round9" not in sys.argv
 
 def norm(rows):
     out = []
@@ -16,7 +24,10 @@ def norm(rows):
         rr = []
         for v in r:
             if isinstance(v, float):
-                rr.append("NaN" if v != v else round(v, 9))
+                if v != v:
+                    rr.append("NaN")
+                else:
+                    rr.append(v.hex() if BIT_EXACT else round(v, 9))
             else:
                 rr.append(v)
         out.append(tuple(rr))
@@ -24,8 +35,9 @@ def norm(rows):
     return out
 
 def main():
-    outdir, sfdir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    args = [a for a in sys.argv[1:] if a != "--round9"]
+    outdir, sfdir = args[0], args[1]
+    only = set(args[2].split(",")) if len(args) > 2 else None
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     con = duckdb.connect()
     for t in TABLES:
