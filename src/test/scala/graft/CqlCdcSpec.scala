@@ -388,4 +388,68 @@ class CqlCdcSpec extends SparkSpec {
       "AND table_name = 'repd14'").head()
     assert(acct1.getLong(0) === 0L && acct1.getLong(1) === freed)
   }
+
+  test("CDC replication differential fuzz: 3 seeded scripts mixing per-row " +
+    "DML, BATCHes, and a mid-script bulk MERGE (multi-file segment) " +
+    "converge replica == source, timestamps preserved") {
+    import org.apache.spark.sql.functions._
+    for (round <- 1 to 3) {
+      val rnd = new scala.util.Random(20260815L + round)
+      val src = CqlSession(spark)
+      src.execute(s"CREATE TABLE fz$round (k bigint PRIMARY KEY, v text, " +
+        "n bigint) WITH cdc = true")
+      src.exposeAsCatalog(s"graftfz$round")
+      def randOp(): Unit = {
+        val k = rnd.nextInt(50)
+        rnd.nextInt(4) match {
+          case 0 => src.execute(
+            s"INSERT INTO fz$round (k, v, n) VALUES ($k, 'i$k-${rnd.nextInt(9)}', ${rnd.nextInt(100)})")
+          case 1 => src.execute(
+            s"UPDATE fz$round SET v = 'u${rnd.nextInt(9)}', n = ${rnd.nextInt(100)} WHERE k = $k")
+          case 2 => src.execute(s"DELETE FROM fz$round WHERE k = $k")
+          case 3 => src.execute(
+            s"""BEGIN BATCH
+               INSERT INTO fz$round (k, v, n) VALUES ($k, 'b', 1);
+               UPDATE fz$round SET n = ${rnd.nextInt(100)} WHERE k = ${rnd.nextInt(50)};
+               APPLY BATCH""")
+        }
+      }
+      (1 to 25).foreach(_ => randOp())
+      // mid-script bulk MERGE through the distributed fold: ~300-row
+      // delta (past the pinned limit) over a key band overlapping the
+      // per-row keys plus a fresh insert band
+      spark.range(0, 300)
+        .select((col("id") % 60).as("k"),
+          concat(lit(s"m$round-"), col("id") % 7).as("v"),
+          (col("id") * 3 % 97).as("n"))
+        .groupBy("k").agg(max("v").as("v"), max("n").as("n"))
+        .createOrReplaceTempView(s"fz_src$round")
+      spark.conf.set("spark.graft.catalog.deltaApplyRowLimit", "0")
+      try spark.sql(
+        s"""MERGE INTO graftfz$round.default.fz$round t
+            USING fz_src$round s ON t.k = s.k
+            WHEN MATCHED AND s.n % 11 = 0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET v = s.v, n = s.n
+            WHEN NOT MATCHED AND s.n % 13 <> 0
+              THEN INSERT (k, v, n) VALUES (s.k, s.v, s.n)""")
+      finally spark.conf.unset("spark.graft.catalog.deltaApplyRowLimit")
+      (1 to 25).foreach(_ => randOp())
+      // drain everything into a fresh replica and compare FULL state
+      val replica = CqlSession(spark)
+      replica.execute(s"CREATE TABLE fz$round (k bigint PRIMARY KEY, " +
+        "v text, n bigint)")
+      val q = src.cdcStream(s"fz$round").writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          replica.applyCdcBatch(s"fz$round", b); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      def dump(s: CqlSession): Seq[String] =
+        s.execute(s"SELECT k, v, n, WRITETIME(v) AS wt, WRITETIME(n) " +
+          s"AS wtn FROM fz$round").collect().map(_.toString).sorted.toSeq
+      assert(dump(replica) === dump(src),
+        s"round $round: replica diverged from source")
+    }
+  }
 }

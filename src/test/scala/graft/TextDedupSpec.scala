@@ -326,6 +326,32 @@ class TextDedupSpec extends SparkSpec {
         .map(_.toString).toSeq)
   }
 
+  test("x30 classified curation: the model gate composes with the x23 " +
+    "stages — every survivor passes ALL five rules, plan shape holds") {
+    val out = TextQueries.x30_classified_curation(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // x30 ⊆ x23: adding the classifier gate can only SHRINK each shard
+    val x23 = TextQueries.x23_curation_pipeline(spark, sf).collect()
+      .map(r => r.getLong(r.fieldIndex("shard")) ->
+        r.getLong(r.fieldIndex("n_docs"))).toMap
+    rows.foreach { r =>
+      val (sh, n) = (r.getLong(r.fieldIndex("shard")),
+        r.getLong(r.fieldIndex("n_docs")))
+      assert(n <= x23.getOrElse(sh, 0L),
+        s"shard $sh: classified keep-set exceeds the unclassified one")
+      // survivors carry positive classifier mass by construction
+      assert(r.getLong(r.fieldIndex("sum_wnum")) > 0L)
+    }
+    // the gate filtered SOMETHING (a rubber-stamp stage 0 is a bug)
+    assert(rows.map(_.getLong(1)).sum < x23.values.sum)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(doc_id"),
+      "scoring must not shuffle on doc_id")
+    assert(plan.contains("BroadcastExchange"),
+      "decontamination must broadcast the eval-hash set")
+  }
+
   test("weighted sample: exactly k docs, biased toward longer documents") {
     val out = TextQueries.x24_weighted_sample(spark, sf)
       .agg(sum("n_sampled").as("k"), sum("sum_w").as("w")).head()
