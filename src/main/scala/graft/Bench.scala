@@ -43,7 +43,7 @@ object Bench {
     // is path-independent, so the codegen cache carries over to sfDir)
     val tiny = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (n, fn) =>
-      try { fn(spark, tiny).count(); () } catch { case e: Throwable =>
+      try { Q.force(fn(spark, tiny)) } catch { case e: Throwable =>
         System.err.println(s"[bench-warmup] $n failed at tiny: $e") }
     }
     // BASELINE.md's oracle-side numbers are warm timings; measure the same
@@ -59,11 +59,14 @@ object Bench {
     // a failing query must be LOUD: recording elapsed-until-exception
     // would report a broken query as a dramatic speedup and the min
     // harness would keep it
+    // Q.force (noop sink), NEVER count(): count() lets the optimizer prune
+    // an agg-final query's aggregate expressions — the r14 measurement bug
+    // (Q.force's scaladoc has the full account)
     def timeOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); () } catch {
+      try Q.force(fn(spark, sfDir)) catch {
         case e: Throwable =>
           System.err.println(s"[bench-ERROR] $name threw: $e")
       }

@@ -226,12 +226,20 @@ object BenchFocus {
           .groupBy().count()
       })
     val benchDir = scaleDir.getOrElse(dir)
+    // Q.force, not count() — count() prunes agg-final queries' aggregate
+    // expressions (the r14 measurement bug; see Q.force)
     args.foreach { name =>
+      // conf-isolate each query: a *_stock variant's conf.set must not
+      // leak into the next name on the command line (r14 find — a
+      // stock-vs-swapped "comparison" after a stock variant was
+      // stock-vs-stock)
+      spark.conf.unset("spark.graft.columnarAgg.enabled")
+      spark.conf.unset("spark.graft.columnarAgg.maxAggs")
       val fn = variants.getOrElse(name, SparkEntry.queries(name))
-      (1 to 2).foreach(_ => fn(spark, benchDir).count()) // warm
+      (1 to 2).foreach(_ => Q.force(fn(spark, benchDir))) // warm
       val t = (1 to 5).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, benchDir).count()
+        Q.force(fn(spark, benchDir))
         (System.nanoTime() - t0) / 1e9
       }.min
       println(f"""FOCUS {"query":"$name","sec":$t%.3f,"dir":"$benchDir"}""")

@@ -26,10 +26,10 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      fn(spark, sfDir).count() // warm codegen
+      Q.force(fn(spark, sfDir)) // warm codegen (full plan, not count-pruned)
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        Q.force(fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       }
       println(s"== $name: ${times.map(t => f"$t%.3f").mkString(" ")} s")

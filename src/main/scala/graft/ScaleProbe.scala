@@ -146,10 +146,12 @@ object ScaleProbe {
       val dir = if (f == 1) base else s"/tmp/graft-scale-${f}x"
       if (f != 1) scaled(spark, base, dir, f)
       probes.foreach { case (name, fn) =>
-        fn(spark, dir).count() // warm codegen + plan
+        // Q.force, not count() — count() prunes agg-final queries'
+        // aggregate expressions (the r14 measurement bug; see Q.force)
+        Q.force(fn(spark, dir)) // warm codegen + plan
         val t = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
-          fn(spark, dir).count()
+          Q.force(fn(spark, dir))
           (System.nanoTime() - t0) / 1e9
         }.min
         println(f"""SCALE {"factor":$f%d,"query":"$name","sec":$t%.3f}""")

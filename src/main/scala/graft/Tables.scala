@@ -91,6 +91,19 @@ object Tables {
 
 /** Shared helpers for deterministic, DuckDB-oracle-safe expressions. */
 object Q {
+  /** Execute a query COMPLETELY for timing: write every output column to
+    * the no-op sink. `df.count()` is NOT a benchmark forcing function —
+    * Catalyst prunes an inner Aggregate's aggregate expressions under an
+    * outer `count(1)` (the plan legitimately needs only the group keys),
+    * so a `groupBy().agg(...)` query "timed" via count() measures a
+    * grouped scan of the key columns with `functions=[]` and never
+    * evaluates the aggregates (r14 find: x29's fold — 95% of its work —
+    * was pruned out of every bench pass; a1's eight sums likewise). The
+    * noop sink materializes every column of every row and discards them
+    * executor-side — no driver collect cost distorting large results. */
+  def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   /** Sums over doubles are order-dependent; cast per-row to an exact decimal
     * before aggregating so Spark and DuckDB (and Spark run-to-run across
     * shuffle orders) agree exactly. Per-row double arithmetic (+,-,*,/,sqrt)

@@ -834,15 +834,14 @@ object TextQueries {
     * (`digit_toks * 5 > n_tok`), exact in both engines. */
   def x17_gopher_rules(s: SparkSession, d: String): DataFrame = {
     val toks = tokens(col("text"))
-    val grams = array_sort(shingles(toks, 2))
-    val zero = struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("dup"))
-    val dupC = aggregate(grams, zero, (acc, x) => {
-      val run = when(acc.getField("prev") === x, acc.getField("run") + 1)
-        .otherwise(lit(1))
-      struct(x.as("prev"), run.as("run"),
-        (acc.getField("dup") +
-          when(run === 2, 2).when(run > 2, 1).otherwise(0)).as("dup"))
-    }).getField("dup")
+    // the repetition rule rides the codegen'd RunLengthStats kernel
+    // (x12's swap, applied here r14): its `dup` is exactly the old
+    // interpreted fold's count-of-bigrams-in-runs≥2 over sorted shingles,
+    // and `n_bigrams` = max(tokens−1, 0) = size(shingles(toks, 2)) —
+    // without materializing a bigram string or a struct per element.
+    // (The old chain was invisible in count()-forced benches — the r14
+    // honest forcing exposed it at 3.7 s, the slowest text query.)
+    val st = runLengthStats(toks)
     val mean_wlen = (col("n_chars_t") - (col("n_tok") - 1)).cast("double") /
       col("n_tok")
     Tables.documents(s, d)
@@ -854,8 +853,8 @@ object TextQueries {
           .cast("long").as("stop_hits"),
         size(filter(toks, x => x.rlike("^[0-9]+$")))
           .cast("long").as("digit_toks"),
-        dupC.cast("long").as("dup_c"),
-        size(grams).cast("long").as("n_bigrams"))
+        st.getField("dup").cast("long").as("dup_c"),
+        st.getField("n_bigrams").cast("long").as("n_bigrams"))
       .select(col("source"),
         (col("n_tok") < 50 || col("n_tok") > 100000).as("f_count"),
         (mean_wlen < 3.0 || mean_wlen > 10.0).as("f_wlen"),

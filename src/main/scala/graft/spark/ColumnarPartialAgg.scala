@@ -1149,15 +1149,19 @@ case class GraftColumnarRule() extends ColumnarRule {
     agg.aggregateExpressions.forall(_.mode == Partial) &&
       agg.requiredChildDistributionExpressions.isEmpty &&
       agg.groupingExpressions.length <= 60 && // null bitmask is one long
-      // WIDTH GATE (measured, sf10 fixture): the kernel wins when stock's
-      // ColumnarToRow + row hashing dominates — narrow aggregates (t1's
-      // count+sum: 4x on the isolated stage). On WIDE aggregates the
-      // kernel's per-row virtual dispatch loses to whole-stage codegen
-      // (a1's 4 decimal sums + filter: swapped 0.60 vs stock 0.47), so
-      // wide shapes keep the stock plan. Tunable for tests/tuning.
+      // WIDTH GATE (re-measured r14, sf10 fixture, HONEST forcing): the
+      // original maxAggs=2 default came from a count()-forced comparison
+      // (swapped 0.60 vs stock 0.47) in which the optimizer had PRUNED the
+      // aggregate expressions out of both plans — neither side was doing
+      // the decimal math being "measured" (Q.force's scaladoc). Under the
+      // noop-sink forcing the decision inverts hard: a1's 8 aggregates
+      // (4 decimal sums among them) run 1.04 s swapped vs 4.69 s stock —
+      // the kernel's fixed-point decimal accumulation beats codegen'd
+      // BigDecimal by more on WIDE shapes, not less. Default now admits
+      // wide aggregates; the conf remains a test/tuning dial.
       agg.aggregateExpressions.length <=
         org.apache.spark.sql.internal.SQLConf.get
-          .getConfString("spark.graft.columnarAgg.maxAggs", "2").toInt
+          .getConfString("spark.graft.columnarAgg.maxAggs", "16").toInt
 
   private def columnarParquet(scan: FileSourceScanExec): Boolean =
     scan.supportsColumnar &&

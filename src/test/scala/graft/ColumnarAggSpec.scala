@@ -110,17 +110,22 @@ class ColumnarAggSpec extends SparkSpec {
     assert(swapped === stock)
   }
 
-  test("the width gate keeps WIDE aggregates on the stock plan (measured: " +
-    "codegen wins there) while narrow shapes swap") {
+  test("the width gate admits WIDE aggregates by default (r14 honest " +
+    "re-measure: a1 swapped 1.04s vs stock 4.69s at sf10 — the original " +
+    "maxAggs=2 came from a count()-pruned comparison) and still bounds " +
+    "when lowered by conf") {
     val before = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    def widePlan() = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("a"), sum(col("l_discount")).as("b"),
+        sum(col("l_tax")).as("c"), count(lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
     try {
-      val wide = Tables.lineitem(spark, sf)
-        .groupBy(col("l_returnflag"))
-        .agg(sum(col("l_quantity")).as("a"), sum(col("l_discount")).as("b"),
-          sum(col("l_tax")).as("c"), count(lit(1)).as("n"))
-        .queryExecution.executedPlan.toString
-      assert(!wide.contains("GraftColumnarPartialAgg"), wide)
+      assert(widePlan().contains("GraftColumnarPartialAgg"), widePlan())
+      spark.conf.set("spark.graft.columnarAgg.maxAggs", "2")
+      try assert(!widePlan().contains("GraftColumnarPartialAgg"), widePlan())
+      finally spark.conf.unset("spark.graft.columnarAgg.maxAggs")
       val narrow = Tables.lineitem(spark, sf)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("s"))
