@@ -47,6 +47,16 @@ object TextFunctions {
         greatest(size(toks) - n + lit(1), lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(n))))
 
+  /** 60-bit md5 hashes of the word n-grams, straight from the token array
+    * in one codegen'd pass (see [[expressions.NgramHash64]]) —
+    * bit-identical to `transform(shingles(toks, n), md5Hash60)` without
+    * the three interpreted HOFs or the per-gram strings (x26's 17×
+    * honest-forcing gap vs its DuckDB twin was this chain). */
+  def ngramHash64(toks: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftShim
+    GraftShim.column(expressions.NgramHash64(GraftShim.expression(toks), n))
+  }
+
   /** Bigram repetition stats struct(n_bigrams, maxrun, dup) straight from
     * the TOKEN array in one codegen'd pass (see
     * [[expressions.RunLengthStats]] — replaces the interpreted

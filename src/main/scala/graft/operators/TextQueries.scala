@@ -362,8 +362,10 @@ object TextQueries {
   def x26_boilerplate(s: SparkSession, d: String): DataFrame = {
     val grams = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
-        explode(array_distinct(transform(
-          shingles(tokens(col("text")), 5), g => md5Hash60(g)))).as("gh"))
+        // one codegen'd pass (r14): bit-identical to
+        // transform(shingles(toks, 5), md5Hash60) — see NgramHash64
+        explode(array_distinct(
+          ngramHash64(tokens(col("text")), 5))).as("gh"))
     val boiler = grams.groupBy("gh")
       .agg(count(lit(1)).as("df")) // per-doc distinct → count = doc freq
       .filter(col("df") >= 3)
@@ -404,8 +406,9 @@ object TextQueries {
   def x27_ngram_decontam(s: SparkSession, d: String): DataFrame = {
     def grams(df: DataFrame) = df
       .select(col("doc_id"), col("source"),
-        explode(array_distinct(transform(
-          shingles(tokens(col("text")), 8), g => md5Hash60(g)))).as("gh"))
+        // codegen'd gram hashing (r14, x26's swap) — same md5 bytes
+        explode(array_distinct(
+          ngramHash64(tokens(col("text")), 8))).as("gh"))
     val docs = Tables.documents(s, d)
     val evalGrams = grams(docs.filter(col("doc_id") % 97 === 0))
       .select(col("gh")).distinct()
@@ -914,10 +917,11 @@ object TextQueries {
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
     val g = base.select(col("doc_id"), col("lang"),
-        explode(transform(sequence(lit(1), size(col("toks")) - 1),
-          i => concat(element_at(col("toks"), i), lit(" "),
-            element_at(col("toks"), i + 1)))).as("g"))
-      .withColumn("b", pmod(md5Hash60(col("g")), lit(W)))
+        // codegen'd bigram hashing (r14): same md5 bytes as the old
+        // interpreted concat-per-bigram transform — see NgramHash64
+        explode(graft.functions.TextFunctions
+          .ngramHash64(col("toks"), 2)).as("gh"))
+      .withColumn("b", pmod(col("gh"), lit(W)))
     val raw = g.groupBy("b").agg(count(lit(1)).as("r_n"))
     val tgt = g.filter(col("lang") === "en")
       .groupBy("b").agg(count(lit(1)).as("t_n"))
