@@ -67,6 +67,16 @@ object TextFunctions {
     GraftShim.column(expressions.RunLengthStats(GraftShim.expression(toks)))
   }
 
+  /** Exact decimal(38,6) sum of per-n-gram bucket weights in one codegen'd
+    * pass — x19's per-doc DSIR weight with no gram array, no explode, no
+    * scoring join (see [[expressions.NgramBucketFold]]). `ratios6` =
+    * bucket → unscaled decimal(38,6) weight. */
+  def ngramBucketFold(toks: Column, n: Int, ratios6: Array[Long]): Column = {
+    import org.apache.spark.sql.GraftShim
+    GraftShim.column(
+      expressions.NgramBucketFold(GraftShim.expression(toks), n, ratios6))
+  }
+
   /** One MinHash signature component: min over shingles of a seeded 64-bit
     * hash. A full signature is an array of these with distinct seeds. */
   def minhashComponent(shingleCol: Column, seed: Int): Column =

@@ -907,33 +907,50 @@ object TextQueries {
     * would flake the hash gate on 1-ulp libm differences. The pipeline
     * shape (hashed features → broadcast profiles → map-side per-doc
     * weight → top-k) is the paper's.
-    * Scale shape: both profiles are hash-aggs into ≤64 rows (broadcast —
-    * fixed size at ANY corpus scale); scoring is one explode + one
-    * doc-keyed agg: a single corpus shuffle. */
+    * Scale shape (r14 restructure): ONE corpus pass builds BOTH bucket
+    * profiles in a single ≤64-row hash-agg (was two passes + a
+    * profile-side join), with the smoothed ratio rounded to its hashed
+    * 6-dp form by Spark's own `round` INSIDE that plan; the ≤64 rounded
+    * weights then ride into the scoring pass as unscaled decimal(38,6)
+    * longs (a bounded driver read — 64 rows at ANY corpus scale, the
+    * same dictionary-read shape as v8's centroids) inside ONE codegen'd
+    * expression ([[graft.functions.expressions.NgramBucketFold]]): the
+    * per-doc score is a pure map — no gram array, no explode, no scoring
+    * join, no doc-keyed shuffle. The only exchanges left are the 64-row
+    * profile agg and the top-50 TakeOrderedAndProject. The fold's
+    * unscaled-long accumulation IS decimal(38,6) addition (exact,
+    * order-independent), so it is bit-identical to the old
+    * `sum(dec6(round(ratio, 6)))` over the exploded gram stream. */
   def x19_dsir(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.TextFunctions.md5Hash60
+    import graft.functions.TextFunctions.{ngramHash64, ngramBucketFold}
     val W = 64
-    val base = Tables.documents(s, d)
+    def base = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
-    val g = base.select(col("doc_id"), col("lang"),
-        // codegen'd bigram hashing (r14): same md5 bytes as the old
-        // interpreted concat-per-bigram transform — see NgramHash64
-        explode(graft.functions.TextFunctions
-          .ngramHash64(col("toks"), 2)).as("gh"))
-      .withColumn("b", pmod(col("gh"), lit(W)))
-    val raw = g.groupBy("b").agg(count(lit(1)).as("r_n"))
-    val tgt = g.filter(col("lang") === "en")
-      .groupBy("b").agg(count(lit(1)).as("t_n"))
-    val prof = raw.join(tgt, Seq("b"), "left")
-      .select(col("b"),
-        ((coalesce(col("t_n"), lit(0L)) + lit(1L)).cast("double") /
-          (col("r_n") + lit(1L)).cast("double")).as("ratio"))
-    g.join(broadcast(prof), Seq("b"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(Q.dec6(sum(Q.dec6(round(col("ratio"), 6)))).cast("double") /
-          count(lit(1)), 6).as("dsir_weight"))
+    // pass 1 — both profiles in one agg (r_n = all docs, t_n = target
+    // slice), rounded to the hashed 6-dp weight by the ENGINE's round
+    val prof = base
+      .select(col("lang"), explode(ngramHash64(col("toks"), 2)).as("gh"))
+      .groupBy(pmod(col("gh"), lit(W)).as("b"))
+      .agg(count(lit(1)).as("r_n"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_n"))
+      .select(col("b"), Q.dec6(round(
+        (col("t_n") + lit(1L)).cast("double") /
+          (col("r_n") + lit(1L)).cast("double"), 6)).as("r6"))
+      .collect() // bounded: ≤64 rows regardless of corpus size
+    val ratios6 = Array.fill(W)(0L) // unseen buckets can't occur in pass 2
+    prof.foreach { r =>
+      ratios6(r.getLong(0).toInt) =
+        r.getDecimal(1).unscaledValue().longValueExact()
+    }
+    // pass 2 — one codegen'd map pass + top-k; rational mean (x11's form)
+    base
+      .select(col("doc_id"),
+        (size(col("toks")) - 1).cast("long").as("n_bigrams"),
+        ngramBucketFold(col("toks"), 2, ratios6).as("wsum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("wsum").cast("double") / col("n_bigrams"), 6)
+          .as("dsir_weight"))
       .orderBy(col("dsir_weight").desc, col("doc_id").asc)
       .limit(50)
   }

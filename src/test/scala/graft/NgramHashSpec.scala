@@ -48,6 +48,46 @@ class NgramHashSpec extends SparkSpec {
     assert(r.getSeq[Long](0) === r.getSeq[Long](1))
   }
 
+  test("NgramBucketFold ≡ exact decimal sum over the exploded gram stream") {
+    import graft.functions.TextFunctions.ngramBucketFold
+    val W = 64
+    // an arbitrary 6-dp weight per bucket (values ≤ 1, x19's ratio bound)
+    val ratios6 = Array.tabulate(W)(b => (b * 15625L + 7L) % 1000001L)
+    val ratioLit = lit(ratios6.map(_ / 1e6))
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+      .filter(size(tokens(col("text"))) >= 2)
+    val diff = docs.select(
+      ngramBucketFold(tokens(col("text")), 2, ratios6).as("k"),
+      aggregate(ngramHash64(tokens(col("text")), 2),
+        lit(BigDecimal(0)).cast("decimal(38,6)"),
+        (acc, gh) => (acc + element_at(ratioLit,
+          (pmod(gh, lit(W)) + 1L).cast("int")).cast("decimal(38,6)"))
+          .cast("decimal(38,6)")).as("b"))
+      .filter(col("k") =!= col("b")).count()
+    assert(diff === 0L, "fold diverges from the exploded decimal sum")
+    // edge shapes: < n tokens -> sum 0; null elements follow concat_ws
+    val edge = spark.sql(
+      "SELECT array('a', CAST(NULL AS STRING), 'b') AS toks " +
+        "UNION ALL SELECT array('a') UNION ALL SELECT array()")
+    val rows = edge.select(
+      ngramBucketFold(col("toks"), 2, ratios6).as("k"),
+      aggregate(ngramHash64(col("toks"), 2),
+        lit(BigDecimal(0)).cast("decimal(38,6)"),
+        (acc, gh) => (acc + element_at(ratioLit,
+          (pmod(gh, lit(W)) + 1L).cast("int")).cast("decimal(38,6)"))
+          .cast("decimal(38,6)")).as("b")).collect()
+    rows.foreach(r => assert(r.getDecimal(0) === r.getDecimal(1)))
+  }
+
+  test("the fold projection stays inside whole-stage codegen") {
+    import graft.functions.TextFunctions.ngramBucketFold
+    val plan = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(ngramBucketFold(tokens(col("text")), 2,
+        Array.fill(64)(500000L)).as("w"))
+      .queryExecution.executedPlan.toString
+    assert(plan.trim.startsWith("*("), plan.take(300))
+  }
+
   test("the kernel projection stays inside whole-stage codegen") {
     val plan = Tables.documents(spark, "/root/testdata/sf0.001")
       .select(ngramHash64(tokens(col("text")), 5).as("g"))
