@@ -31,6 +31,34 @@ object BenchFocus {
     import org.apache.spark.sql.functions._
     import graft.Q.{dbl, dec6}
     val variants: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      // x26 with the gram stream materialized ONCE via a shared exchange
+      // (repartition on doc_id -> ReuseExchange serves both the df branch
+      // and the join branch from the same shuffle files) instead of two
+      // tokenize+md5 passes — adopted only if it measures faster
+      "x26_reuse" -> { (s, d) =>
+        import graft.functions.TextFunctions.{tokens, ngramHash64}
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            explode(array_distinct(
+              ngramHash64(tokens(col("text")), 5))).as("gh"))
+          .repartition(col("doc_id"))
+        val boiler = grams.groupBy("gh")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 3)
+          .select(col("gh"), lit(1L).as("is_b"))
+        grams
+          .join(boiler, Seq("gh"), "left")
+          .groupBy(col("doc_id"), col("source"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(coalesce(col("is_b"), lit(0L))).as("n_boiler"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("docs"),
+            sum(col("n_grams")).as("grams"),
+            sum(col("n_boiler")).as("boiler_grams"),
+            dbl(dec6(sum(dec6(col("n_boiler").cast("double") / col("n_grams")))))
+              .as("sum_frac"))
+          .orderBy("source")
+      },
       // the stock row path for any query: columnar partial agg disabled
       // (r11 before/after instrumentation; pass as stock:<query>)
       "t1_stock" -> { (s, d) =>
