@@ -31,6 +31,32 @@ object BenchFocus {
     import org.apache.spark.sql.functions._
     import graft.Q.{dbl, dec6}
     val variants: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      // batch-fill A/B: the same query with the kernel's batch expression
+      // evaluation disabled (per-row virtual Col chain)
+      "a1_nofill" -> { (s, d) =>
+        s.conf.set("spark.graft.columnarAgg.batchFill", "false")
+        operators.RelationalQueries.a1_pricing_summary(s, d)
+      },
+      "a1_fill" -> { (s, d) =>
+        s.conf.set("spark.graft.columnarAgg.batchFill", "true")
+        operators.RelationalQueries.a1_pricing_summary(s, d)
+      },
+      "t1_nofill" -> { (s, d) =>
+        s.conf.set("spark.graft.columnarAgg.batchFill", "false")
+        operators.StreamingQueries.t1_tumbling(s, d)
+      },
+      "t1_fill" -> { (s, d) =>
+        s.conf.set("spark.graft.columnarAgg.batchFill", "true")
+        operators.StreamingQueries.t1_tumbling(s, d)
+      },
+      "j10_nofill" -> { (s, d) =>
+        s.conf.set("spark.graft.columnarAgg.batchFill", "false")
+        operators.RelationalQueries.j10_bucketed_join(s, d)
+      },
+      "j10_fill" -> { (s, d) =>
+        s.conf.set("spark.graft.columnarAgg.batchFill", "true")
+        operators.RelationalQueries.j10_bucketed_join(s, d)
+      },
       // x26 with the gram stream materialized ONCE via a shared exchange
       // (repartition on doc_id -> ReuseExchange serves both the df branch
       // and the join branch from the same shuffle files) instead of two

@@ -66,15 +66,73 @@ object ColumnarPartialAgg {
   private[graft] val maxInternAtReset =
     new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Stack of reusable (double[], boolean[]) buffer pairs for batch
+    * expression evaluation. Col trees are SHARED across concurrent tasks
+    * (compiled once at plan time), so all mutable evaluation state lives
+    * here — one Scratch per accumulator instance, and accumulators are
+    * created per-partition by `accFactory()`. Borrow/release is strictly
+    * stack-wise (an inner node pushes one frame per extra operand). */
+  private[spark] final class Scratch {
+    private var ds = new Array[Array[Double]](4)
+    private var bs = new Array[Array[Boolean]](4)
+    private var depth = 0
+    /** Borrow one frame of capacity ≥ n; returns its index for d()/b(). */
+    def push(n: Int): Int = {
+      if (depth == ds.length) {
+        ds = java.util.Arrays.copyOf(ds, depth * 2)
+        bs = java.util.Arrays.copyOf(bs, depth * 2)
+      }
+      if (ds(depth) == null || ds(depth).length < n) {
+        ds(depth) = new Array[Double](n)
+        bs(depth) = new Array[Boolean](n)
+      }
+      depth += 1
+      depth - 1
+    }
+    def d(ix: Int): Array[Double] = ds(ix)
+    def b(ix: Int): Array[Boolean] = bs(ix)
+    def pop(): Unit = depth -= 1
+  }
+
   // ——— typed per-row column programs over a ColumnarBatch ———
   private[spark] sealed trait Col extends Serializable {
     def isNull(b: ColumnarBatch, i: Int): Boolean
   }
   private[spark] abstract class LongCol extends Col {
     def get(b: ColumnarBatch, i: Int): Long // defined only when !isNull
+    /** Batch evaluation widened to double (the only cross-type edge the
+      * double fill path needs: Cast(long→double)). Default: per-row. */
+    def fillDouble(batch: ColumnarBatch, n: Int, out: Array[Double],
+        nulls: Array[Boolean], s: Scratch): Unit = {
+      var i = 0
+      while (i < n) {
+        val nu = isNull(batch, i)
+        nulls(i) = nu
+        out(i) = if (nu) 0d else get(batch, i).toDouble
+        i += 1
+      }
+    }
   }
   private[spark] abstract class DoubleCol extends Col {
     def get(b: ColumnarBatch, i: Int): Double
+    /** Batch evaluation into caller-owned buffers: out(i) is defined only
+      * where !nulls(i) (null positions hold a 0d placeholder — callers
+      * mask on nulls, and double arithmetic over placeholders cannot
+      * throw). The default falls back to the per-row virtual path; leaf
+      * and arithmetic nodes override it with tight monomorphic loops —
+      * the per-row path pays one virtual-call CHAIN per row per node,
+      * which honest forcing measured as the dominant term of wide
+      * decimal aggregates (a1) once the hash side was fixed. */
+    def fill(batch: ColumnarBatch, n: Int, out: Array[Double],
+        nulls: Array[Boolean], s: Scratch): Unit = {
+      var i = 0
+      while (i < n) {
+        val nu = isNull(batch, i)
+        nulls(i) = nu
+        out(i) = if (nu) 0d else get(batch, i)
+        i += 1
+      }
+    }
   }
   private[spark] abstract class StringCol extends Col {
     def get(b: ColumnarBatch, i: Int): UTF8String
@@ -90,18 +148,62 @@ object ColumnarPartialAgg {
         case LongType | TimestampType | TimestampNTZType => Some(new LongCol {
           def isNull(b: ColumnarBatch, i: Int) = b.column(ord).isNullAt(i)
           def get(b: ColumnarBatch, i: Int) = b.column(ord).getLong(i)
+          override def fillDouble(batch: ColumnarBatch, n: Int,
+              out: Array[Double], nulls: Array[Boolean], s: Scratch): Unit = {
+            val v = batch.column(ord)
+            var i = 0
+            while (i < n) {
+              val nu = v.isNullAt(i)
+              nulls(i) = nu
+              out(i) = if (nu) 0d else v.getLong(i).toDouble
+              i += 1
+            }
+          }
         })
         case IntegerType | DateType => Some(new LongCol {
           def isNull(b: ColumnarBatch, i: Int) = b.column(ord).isNullAt(i)
           def get(b: ColumnarBatch, i: Int) = b.column(ord).getInt(i).toLong
+          override def fillDouble(batch: ColumnarBatch, n: Int,
+              out: Array[Double], nulls: Array[Boolean], s: Scratch): Unit = {
+            val v = batch.column(ord)
+            var i = 0
+            while (i < n) {
+              val nu = v.isNullAt(i)
+              nulls(i) = nu
+              out(i) = if (nu) 0d else v.getInt(i).toDouble
+              i += 1
+            }
+          }
         })
         case DoubleType => Some(new DoubleCol {
           def isNull(b: ColumnarBatch, i: Int) = b.column(ord).isNullAt(i)
           def get(b: ColumnarBatch, i: Int) = b.column(ord).getDouble(i)
+          override def fill(batch: ColumnarBatch, n: Int, out: Array[Double],
+              nulls: Array[Boolean], s: Scratch): Unit = {
+            val v = batch.column(ord)
+            var i = 0
+            while (i < n) {
+              val nu = v.isNullAt(i)
+              nulls(i) = nu
+              out(i) = if (nu) 0d else v.getDouble(i)
+              i += 1
+            }
+          }
         })
         case FloatType => Some(new DoubleCol {
           def isNull(b: ColumnarBatch, i: Int) = b.column(ord).isNullAt(i)
           def get(b: ColumnarBatch, i: Int) = b.column(ord).getFloat(i).toDouble
+          override def fill(batch: ColumnarBatch, n: Int, out: Array[Double],
+              nulls: Array[Boolean], s: Scratch): Unit = {
+            val v = batch.column(ord)
+            var i = 0
+            while (i < n) {
+              val nu = v.isNullAt(i)
+              nulls(i) = nu
+              out(i) = if (nu) 0d else v.getFloat(i).toDouble
+              i += 1
+            }
+          }
         })
         case StringType => Some(new StringCol {
           def isNull(b: ColumnarBatch, i: Int) = b.column(ord).isNullAt(i)
@@ -113,14 +215,29 @@ object ColumnarPartialAgg {
     case Literal(v: Long, LongType) => Some(new LongCol {
       def isNull(b: ColumnarBatch, i: Int) = false
       def get(b: ColumnarBatch, i: Int) = v
+      override def fillDouble(batch: ColumnarBatch, n: Int,
+          out: Array[Double], nulls: Array[Boolean], s: Scratch): Unit = {
+        java.util.Arrays.fill(out, 0, n, v.toDouble)
+        java.util.Arrays.fill(nulls, 0, n, false)
+      }
     })
     case Literal(v: Int, IntegerType) => Some(new LongCol {
       def isNull(b: ColumnarBatch, i: Int) = false
       def get(b: ColumnarBatch, i: Int) = v.toLong
+      override def fillDouble(batch: ColumnarBatch, n: Int,
+          out: Array[Double], nulls: Array[Boolean], s: Scratch): Unit = {
+        java.util.Arrays.fill(out, 0, n, v.toDouble)
+        java.util.Arrays.fill(nulls, 0, n, false)
+      }
     })
     case Literal(v: Double, DoubleType) => Some(new DoubleCol {
       def isNull(b: ColumnarBatch, i: Int) = false
       def get(b: ColumnarBatch, i: Int) = v
+      override def fill(batch: ColumnarBatch, n: Int, out: Array[Double],
+          nulls: Array[Boolean], s: Scratch): Unit = {
+        java.util.Arrays.fill(out, 0, n, v)
+        java.util.Arrays.fill(nulls, 0, n, false)
+      }
     })
     case d: IntegralDivide => (d.left.dataType, d.right) match {
       // den == -1 excluded: Long.MinValue div -1 overflows, where ANSI
@@ -167,6 +284,9 @@ object ColumnarPartialAgg {
         compile(c.child, scanOut).collect { case le: LongCol => new DoubleCol {
           def isNull(b: ColumnarBatch, i: Int) = le.isNull(b, i)
           def get(b: ColumnarBatch, i: Int) = le.get(b, i).toDouble
+          override def fill(batch: ColumnarBatch, n: Int, out: Array[Double],
+              nulls: Array[Boolean], s: Scratch): Unit =
+            le.fillDouble(batch, n, out, nulls, s)
         }}
       case (FloatType, DoubleType) => compile(c.child, scanOut)
       // NTZ↔TZ reinterpretation is identity on the µs value exactly when
@@ -183,6 +303,18 @@ object ColumnarPartialAgg {
         case (Some(l: DoubleCol), Some(r: DoubleCol)) => Some(new DoubleCol {
           def isNull(b: ColumnarBatch, i: Int) = l.isNull(b, i) || r.isNull(b, i)
           def get(b: ColumnarBatch, i: Int) = l.get(b, i) * r.get(b, i)
+          override def fill(batch: ColumnarBatch, n: Int, out: Array[Double],
+              nulls: Array[Boolean], s: Scratch): Unit = {
+            val ix = s.push(n)
+            l.fill(batch, n, out, nulls, s)
+            r.fill(batch, n, s.d(ix), s.b(ix), s)
+            val o2 = s.d(ix); val n2 = s.b(ix)
+            var i = 0
+            while (i < n) {
+              out(i) = out(i) * o2(i); nulls(i) = nulls(i) || n2(i); i += 1
+            }
+            s.pop()
+          }
         })
         case _ => None
       }
@@ -191,6 +323,18 @@ object ColumnarPartialAgg {
         case (Some(l: DoubleCol), Some(r: DoubleCol)) => Some(new DoubleCol {
           def isNull(b: ColumnarBatch, i: Int) = l.isNull(b, i) || r.isNull(b, i)
           def get(b: ColumnarBatch, i: Int) = l.get(b, i) + r.get(b, i)
+          override def fill(batch: ColumnarBatch, n: Int, out: Array[Double],
+              nulls: Array[Boolean], s: Scratch): Unit = {
+            val ix = s.push(n)
+            l.fill(batch, n, out, nulls, s)
+            r.fill(batch, n, s.d(ix), s.b(ix), s)
+            val o2 = s.d(ix); val n2 = s.b(ix)
+            var i = 0
+            while (i < n) {
+              out(i) = out(i) + o2(i); nulls(i) = nulls(i) || n2(i); i += 1
+            }
+            s.pop()
+          }
         })
         case _ => None
       }
@@ -199,6 +343,18 @@ object ColumnarPartialAgg {
         case (Some(l: DoubleCol), Some(r: DoubleCol)) => Some(new DoubleCol {
           def isNull(b: ColumnarBatch, i: Int) = l.isNull(b, i) || r.isNull(b, i)
           def get(b: ColumnarBatch, i: Int) = l.get(b, i) - r.get(b, i)
+          override def fill(batch: ColumnarBatch, n: Int, out: Array[Double],
+              nulls: Array[Boolean], s: Scratch): Unit = {
+            val ix = s.push(n)
+            l.fill(batch, n, out, nulls, s)
+            r.fill(batch, n, s.d(ix), s.b(ix), s)
+            val o2 = s.d(ix); val n2 = s.b(ix)
+            var i = 0
+            while (i < n) {
+              out(i) = out(i) - o2(i); nulls(i) = nulls(i) || n2(i); i += 1
+            }
+            s.pop()
+          }
         })
         case _ => None
       }
@@ -349,15 +505,32 @@ object ColumnarPartialAgg {
     }
     def reset(): Unit = ns = new Array[Long](0)
   }
-  private final class DoubleSumAcc(e: DoubleCol) extends Acc {
+  private final class DoubleSumAcc(e: DoubleCol, batchFill: Boolean)
+      extends Acc {
     private var sums = new Array[Double](0)
     private var seen = new Array[Boolean](0)
+    private val scratch = if (batchFill) new Scratch else null
+    private var vals = new Array[Double](0)
+    private var vnulls = new Array[Boolean](0)
     def grow(n: Int): Unit = if (sums.length < n) {
       val c = math.max(n, sums.length * 2)
       sums = java.util.Arrays.copyOf(sums, c)
       seen = java.util.Arrays.copyOf(seen, c)
     }
     def updateBatch(b: ColumnarBatch, n: Int, slots: Array[Int]): Unit = {
+      if (batchFill) {
+        if (vals.length < n) {
+          vals = new Array[Double](n); vnulls = new Array[Boolean](n)
+        }
+        e.fill(b, n, vals, vnulls, scratch)
+        var i = 0
+        while (i < n) {
+          val s = slots(i)
+          if (s >= 0 && !vnulls(i)) { sums(s) += vals(i); seen(s) = true }
+          i += 1
+        }
+        return
+      }
       var i = 0
       while (i < n) {
         val s = slots(i)
@@ -412,15 +585,32 @@ object ColumnarPartialAgg {
   }
   /** Average over a double input: buffer is Spark Average's
     * (sum: double, count: long) — the final agg computes the division. */
-  private final class DoubleAvgAcc(e: DoubleCol) extends Acc {
+  private final class DoubleAvgAcc(e: DoubleCol, batchFill: Boolean)
+      extends Acc {
     private var sums = new Array[Double](0)
     private var ns = new Array[Long](0)
+    private val scratch = if (batchFill) new Scratch else null
+    private var vals = new Array[Double](0)
+    private var vnulls = new Array[Boolean](0)
     def grow(n: Int): Unit = if (sums.length < n) {
       val c = math.max(n, sums.length * 2)
       sums = java.util.Arrays.copyOf(sums, c)
       ns = java.util.Arrays.copyOf(ns, c)
     }
     def updateBatch(b: ColumnarBatch, n: Int, slots: Array[Int]): Unit = {
+      if (batchFill) {
+        if (vals.length < n) {
+          vals = new Array[Double](n); vnulls = new Array[Boolean](n)
+        }
+        e.fill(b, n, vals, vnulls, scratch)
+        var i = 0
+        while (i < n) {
+          val s = slots(i)
+          if (s >= 0 && !vnulls(i)) { sums(s) += vals(i); ns(s) += 1 }
+          i += 1
+        }
+        return
+      }
       var i = 0
       while (i < n) {
         val s = slots(i)
@@ -542,7 +732,10 @@ object ColumnarPartialAgg {
     * isEmpty=false) so the final aggregate reports null. ANSI: both
     * cases THROW, exactly where the stock cast/sum would. */
   private final class DecimalSumAcc(e: DoubleCol, precision: Int, scale: Int,
-      ansi: Boolean) extends Acc {
+      ansi: Boolean, batchFill: Boolean) extends Acc {
+    private val scratch = if (batchFill) new Scratch else null
+    private var vals = new Array[Double](0)
+    private var vnulls = new Array[Boolean](0)
     private val factor = math.pow(10d, scale)
     // largest |unscaled long| that still fits `precision` digits
     private val maxInputUnscaled: Long =
@@ -581,42 +774,57 @@ object ColumnarPartialAgg {
           addBig(s, java.math.BigDecimal.valueOf(u, scale))
         }
       } else addBig(s, java.math.BigDecimal.valueOf(u, scale))
+    // one input value into slot s: double → scaled-long (or exact
+    // BigDecimal on a rounding boundary) with stock Cast/Sum semantics
+    private def addValue(s: Int, d: Double): Unit = {
+      // non-finite or precision-exceeding input: the stock Cast
+      // throws under ANSI and yields null (Sum skips) otherwise
+      if (!java.lang.Double.isFinite(d)) {
+        if (ansi) overflow(d.toString)
+      } else {
+        val y = d * factor
+        val frac = y - Math.floor(y)
+        if (Math.abs(frac - 0.5) > 1e-3 && Math.abs(y) < 4.0e18) {
+          val u = Math.round(y) // nearest == HALF_UP off-boundary
+          if (Math.abs(u) <= maxInputUnscaled) {
+            isEmpty(s) = false
+            addUnscaled(s, u)
+          } else if (ansi) overflow(d.toString)
+        } else {
+          // boundary or out-of-long range: exact Spark cast semantics
+          val exact = new java.math.BigDecimal(java.lang.Double.toString(d))
+            .setScale(scale, java.math.RoundingMode.HALF_UP)
+          if (exact.precision <= precision) {
+            isEmpty(s) = false
+            if (bigs(s) == null && exact.unscaledValue().bitLength() < 63)
+              addUnscaled(s, exact.unscaledValue().longValue())
+            else {
+              if (bigs(s) == null)
+                bigs(s) = java.math.BigDecimal.valueOf(unscaled(s), scale)
+              addBig(s, exact)
+            }
+          } else if (ansi) overflow(d.toString)
+        }
+      }
+    }
     def updateBatch(b: ColumnarBatch, n: Int, slots: Array[Int]): Unit = {
+      if (batchFill) {
+        if (vals.length < n) {
+          vals = new Array[Double](n); vnulls = new Array[Boolean](n)
+        }
+        e.fill(b, n, vals, vnulls, scratch)
+        var i = 0
+        while (i < n) {
+          val s = slots(i)
+          if (s >= 0 && !vnulls(i) && !over(s)) addValue(s, vals(i))
+          i += 1
+        }
+        return
+      }
       var i = 0
       while (i < n) {
         val s = slots(i)
-        if (s >= 0 && !e.isNull(b, i) && !over(s)) {
-          val d = e.get(b, i)
-          // non-finite or precision-exceeding input: the stock Cast
-          // throws under ANSI and yields null (Sum skips) otherwise
-          if (!java.lang.Double.isFinite(d)) {
-            if (ansi) overflow(d.toString)
-          } else {
-            val y = d * factor
-            val frac = y - Math.floor(y)
-            if (Math.abs(frac - 0.5) > 1e-3 && Math.abs(y) < 4.0e18) {
-              val u = Math.round(y) // nearest == HALF_UP off-boundary
-              if (Math.abs(u) <= maxInputUnscaled) {
-                isEmpty(s) = false
-                addUnscaled(s, u)
-              } else if (ansi) overflow(d.toString)
-            } else {
-              // boundary or out-of-long range: exact Spark cast semantics
-              val exact = new java.math.BigDecimal(java.lang.Double.toString(d))
-                .setScale(scale, java.math.RoundingMode.HALF_UP)
-              if (exact.precision <= precision) {
-                isEmpty(s) = false
-                if (bigs(s) == null && exact.unscaledValue().bitLength() < 63)
-                  addUnscaled(s, exact.unscaledValue().longValue())
-                else {
-                  if (bigs(s) == null)
-                    bigs(s) = java.math.BigDecimal.valueOf(unscaled(s), scale)
-                  addBig(s, exact)
-                }
-              } else if (ansi) overflow(d.toString)
-            }
-          }
-        }
+        if (s >= 0 && !e.isNull(b, i) && !over(s)) addValue(s, e.get(b, i))
         i += 1
       }
     }
@@ -730,6 +938,13 @@ object ColumnarPartialAgg {
     // DecimalSumAcc mirror the matching stock semantics — throw under
     // ANSI exactly where stock cast/sum would, null/wrap otherwise
     val ansi = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
+    // batch expression evaluation for double-input accumulators (fill
+    // into primitive arrays, then a branch-light accumulate loop) — the
+    // per-row virtual-call chain through composed Col trees measured as
+    // the dominant term of wide decimal aggs once honest forcing landed.
+    // Conf-gated for A/B and as a kill switch.
+    val batchFill = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.columnarAgg.batchFill", "true").toBoolean
     // the residual filter sits BELOW the project, so its attributes are
     // scan attributes directly — no alias substitution needed
     val predEval = filter.map(f => compilePred(f, scan.output))
@@ -778,12 +993,12 @@ object ColumnarPartialAgg {
                 Seq(DecimalType(dt.precision, dt.scale), BooleanType)
               compile(inner, scanOut).collect {
                 case dc: DoubleCol if bufOk =>
-                  () => new DecimalSumAcc(dc, dt.precision, dt.scale, ansi)
+                  () => new DecimalSumAcc(dc, dt.precision, dt.scale, ansi, batchFill)
               }
             case (DoubleType, se) => compile(se, scanOut).collect {
               case dc: DoubleCol
                   if s.aggBufferAttributes.map(_.dataType) == Seq(DoubleType) =>
-                () => new DoubleSumAcc(dc)
+                () => new DoubleSumAcc(dc, batchFill)
             }
             case (LongType, se) => compile(se, scanOut).collect {
               case lc: LongCol
@@ -796,7 +1011,7 @@ object ColumnarPartialAgg {
               av.aggBufferAttributes.map(_.dataType) ==
                 Seq(DoubleType, LongType) =>
             compile(subst(av.child), scanOut).collect {
-              case dc: DoubleCol => () => new DoubleAvgAcc(dc)
+              case dc: DoubleCol => () => new DoubleAvgAcc(dc, batchFill)
             }
           case mm @ (_: Min | _: Max) =>
             val isMin = mm.isInstanceOf[Min]

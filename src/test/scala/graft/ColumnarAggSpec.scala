@@ -175,6 +175,11 @@ class ColumnarAggSpec extends SparkSpec {
       () => count(col("d1")).as("cd"),
       () => dbl(dec6(sum(dec6(col("d1"))))).as("sd"),
       () => dbl(dec6(sum(dec6(col("d2"))))).as("sd2"),
+      // composed arithmetic inputs: the shapes the batch-fill path
+      // evaluates through Multiply/Subtract/Cast overrides (r14)
+      () => dbl(dec6(sum(dec6(col("d1") * (lit(1) - col("d2")))))).as("sde"),
+      () => dbl(dec6(sum(dec6(col("d2") * col("d1"))))).as("sdm"),
+      () => dbl(dec6(sum(dec6(col("j1").cast("double") + col("d2"))))).as("sdc"),
       () => sum(col("j1")).as("sj"),
       () => sum(col("l1")).as("sl"),
       () => min(col("j1")).as("mnj"),
@@ -196,6 +201,13 @@ class ColumnarAggSpec extends SparkSpec {
       def run() = t().groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
         .collect().map(_.toString).sorted.toSeq
       val swapped = run()
+      // the batch-fill path (r14) must be value-identical to the per-row
+      // virtual path on every draw
+      spark.conf.set("spark.graft.columnarAgg.batchFill", "false")
+      val perRow = try run()
+        finally spark.conf.set("spark.graft.columnarAgg.batchFill", "true")
+      assert(swapped === perRow,
+        s"draw $draw (ansi=$ansi) batch-fill diverged: keys=$keys aggs=$aggs")
       spark.conf.set("spark.graft.columnarAgg.enabled", "false")
       val stock = try run()
         finally spark.conf.set("spark.graft.columnarAgg.enabled", "true")

@@ -314,14 +314,22 @@ class ScalePlanSpec extends SparkSpec {
     assert(scans === 1, s"cascade must read the corpus once:\n$plan")
   }
 
-  test("x19 DSIR: profiles broadcast to the scoring pass, no shuffled join") {
+  test("x19 DSIR: scoring is one joinless map pass + top-k (the profile " +
+      "rides in as a literal)") {
+    // r14 single-fold shape: the collected <=64-row profile is embedded in
+    // the NgramBucketFold expression, so the scoring plan has NO join of
+    // any kind, no Generate (explode), and exactly one corpus scan ending
+    // in TakeOrderedAndProject
     val plan = graft.operators.TextQueries.x19_dsir(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"the <=64-row ratio profile must broadcast:\n$plan")
-    assert(!plan.contains("SortMergeJoin") &&
-      !plan.contains("ShuffledHashJoin"),
-      s"scoring must not shuffle the corpus into a join:\n$plan")
+    assert(!plan.contains("Join"), s"scoring must not join:\n$plan")
+    assert(!plan.contains("Generate"), s"scoring must not explode:\n$plan")
+    assert(plan.contains("ngram_bucket_fold_2"),
+      s"scoring must fold through the codegen'd kernel:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-50 must be a TakeOrderedAndProject, not a global sort:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans === 1, s"scoring must read the corpus once:\n$plan")
   }
 
   test("v15 Matryoshka: both stages TakeOrderedAndProject, candidates " +
