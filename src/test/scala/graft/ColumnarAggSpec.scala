@@ -150,7 +150,10 @@ class ColumnarAggSpec extends SparkSpec {
 
   test("randomized shape fuzz: 25 seeded (schema, keys, aggs) draws — " +
     "swapped equals stock at identical partitioning on every draw") {
-    val rnd = new scala.util.Random(20260815L)
+    // GRAFT_FUZZ_DRAWS / GRAFT_FUZZ_SEED: long-hunt knobs (defaults = CI)
+    val rnd = new scala.util.Random(
+      sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260815L))
+    val nDraws = sys.env.getOrElse("GRAFT_FUZZ_DRAWS", "25").toInt
     val dir = Tables.tempRoot("graft-colagg-fuzz")
     // one fixture with every supported column kind + nulls
     spark.range(2000).selectExpr(
@@ -193,7 +196,7 @@ class ColumnarAggSpec extends SparkSpec {
     // sweep BOTH ANSI modes: the sum kernels compile mode-specific
     // overflow behavior (captured at plan time), so each mode's swapped
     // path must equal ITS stock twin
-    try for (ansi <- Seq(true, false); draw <- 1 to 25) {
+    try for (ansi <- Seq(true, false); draw <- 1 to nDraws) {
       spark.conf.set("spark.sql.ansi.enabled", ansi.toString)
       val nK = 1 + rnd.nextInt(3)
       val keys = rnd.shuffle(keyCands).take(nK).map(_())

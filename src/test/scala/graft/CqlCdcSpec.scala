@@ -393,8 +393,11 @@ class CqlCdcSpec extends SparkSpec {
     "DML, BATCHes, and a mid-script bulk MERGE (multi-file segment) " +
     "converge replica == source, timestamps preserved") {
     import org.apache.spark.sql.functions._
-    for (round <- 1 to 3) {
-      val rnd = new scala.util.Random(20260815L + round)
+    // GRAFT_FUZZ_ROUNDS / GRAFT_FUZZ_SEED: long-hunt knobs (defaults = CI)
+    val nRounds = sys.env.getOrElse("GRAFT_FUZZ_ROUNDS", "3").toInt
+    val seed0 = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260815L)
+    for (round <- 1 to nRounds) {
+      val rnd = new scala.util.Random(seed0 + round)
       val src = CqlSession(spark)
       src.execute(s"CREATE TABLE fz$round (k bigint PRIMARY KEY, v text, " +
         "n bigint) WITH cdc = true")

@@ -53,8 +53,11 @@ class CqlHarrySpec extends SparkSpec {
   }
 
   test("random mutation sequences match the reconcile model (engine ≡ model)") {
-    val rnd = new scala.util.Random(20260813L)
-    for (round <- 1 to 8) {
+    // GRAFT_FUZZ_ROUNDS / GRAFT_FUZZ_SEED: long-hunt knobs (defaults = CI)
+    val rnd = new scala.util.Random(
+      sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260813L))
+    val nRounds = sys.env.getOrElse("GRAFT_FUZZ_ROUNDS", "8").toInt
+    for (round <- 1 to nRounds) {
       val s = CqlSession.emptyTable(spark, "t", StructType(Seq(
         StructField("pk", LongType), StructField("a", LongType),
         StructField("b", StringType))), partitionKeys = Seq("pk"))
