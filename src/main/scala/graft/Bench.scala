@@ -73,7 +73,14 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val passA = qs.map { case (name, fn) => name -> timeOne(name, fn) }.toMap
-    val passB = qs.reverse.map { case (name, fn) => name -> timeOne(name, fn) }.toMap
+    // pass B: seeded SHUFFLE, not reverse (r14): reversal keeps
+    // alphabetically-adjacent query BLOCKS adjacent in both passes, so a
+    // sustained IO stall covering one block (the d12–d18 artifact
+    // lifecycle cluster, measured 10–18× once) survives the cross-pass
+    // min; a shuffle breaks block adjacency while still giving every
+    // query different neighbors
+    val passB = new scala.util.Random(20260816L).shuffle(qs)
+      .map { case (name, fn) => name -> timeOne(name, fn) }.toMap
     val results = qs.map { case (name, _) =>
       name -> math.min(passA(name), passB(name))
     }
