@@ -78,12 +78,47 @@ object Bench {
     // sustained IO stall covering one block (the d12–d18 artifact
     // lifecycle cluster, measured 10–18× once) survives the cross-pass
     // min; a shuffle breaks block adjacency while still giving every
-    // query different neighbors
-    val passB = new scala.util.Random(20260816L).shuffle(qs)
+    // query different neighbors. The seed is fresh per run (env knob
+    // SPARK_GRAFT_BENCH_SEED to reproduce a wave; logged into
+    // BENCH_FULL.json) — a single hardcoded seed fixes the permutation
+    // forever, so one unlucky adjacency would repeat in every wave and be
+    // indistinguishable from a favorable draw (r15 advisor find).
+    val seed = sys.env.get("SPARK_GRAFT_BENCH_SEED").map(_.toLong)
+      .getOrElse(System.nanoTime())
+    System.err.println(s"[bench] pass-B shuffle seed $seed")
+    val passB = new scala.util.Random(seed).shuffle(qs)
       .map { case (name, fn) => name -> timeOne(name, fn) }.toMap
-    val results = qs.map { case (name, _) =>
-      name -> math.min(passA(name), passB(name))
+    // Storm-proofing (r14 judge task 2): a sustained host IO stall during
+    // ONE pass still poisons the min for queries whose other pass also
+    // landed inside a (different) stall — the r14 driver artifact carried
+    // 7–33× spikes on v23/cql24/v26/cql4. A kept min counts as
+    // CORROBORATED when a second sample lands within 2× of it; any >0.2 s
+    // query whose two passes leave the min uncorroborated is re-timed (up
+    // to two extra passes) until it is. The worst residual
+    // second-lowest/lowest ratio is logged into the artifact, so a
+    // poisoned wave is self-documenting — <2 means every kept value has
+    // two independent samples agreeing.
+    def confidence(samples: Seq[Double]): Double = {
+      val s = samples.sorted
+      if (s.head > 0.2 && s.size >= 2) s(1) / math.max(s.head, 1e-9) else 1.0
     }
+    val allSamples = scala.collection.mutable.Map[String, Seq[Double]]()
+    qs.foreach { case (name, fn) =>
+      var samples = Seq(passA(name), passB(name))
+      var extra = 0
+      while (confidence(samples) > 2.0 && extra < 2) {
+        val c = timeOne(name, fn)
+        System.err.println(s"[bench-retry] $name samples " +
+          samples.map(f3).mkString("/") + s" uncorroborated; re-time ${f3(c)}")
+        samples :+= c
+        extra += 1
+      }
+      allSamples(name) = samples
+    }
+    val retriedNames = qs.map(_._1).filter(n => allSamples(n).size > 2)
+    val results = qs.map { case (name, _) => name -> allSamples(name).min }
+    val worstDisagree = qs.map { case (name, _) =>
+      confidence(allSamples(name)) }.max
     // Paired AQE-off sample of the headline five (VERDICT r7 task 6): the
     // fixed-cost share of headline drift is measured each round, not
     // inferred. AQE stays ON for the graded suite — at target scale its
@@ -107,8 +142,10 @@ object Bench {
     // Full per-query detail: one plain line per query (greppable in the log)
     // plus a json file next to the repo for the judge.
     results.foreach { case (k, v) => println(s"[bench] $k ${f3(v)}") }
+    val retriedJson = retriedNames.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"queries":{""", ",", s"""},"sf":"$sfDir"}""")
+      .mkString(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"seed":$seed,"retried":$retriedJson,"worst_disagree":${f3(worstDisagree)},"queries":{""", ",", s"""},"sf":"$sfDir"}""")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (fullJson + "\n").getBytes("UTF-8"))

@@ -289,6 +289,10 @@ object BenchFocus {
       // stock-vs-stock)
       spark.conf.unset("spark.graft.columnarAgg.enabled")
       spark.conf.unset("spark.graft.columnarAgg.maxAggs")
+      // batchFill too (r15 advisor find): after a *_nofill variant, every
+      // later name in the same invocation would silently run fill-off and
+      // corrupt the A/B
+      spark.conf.unset("spark.graft.columnarAgg.batchFill")
       val fn = variants.getOrElse(name, SparkEntry.queries(name))
       (1 to 2).foreach(_ => Q.force(fn(spark, benchDir))) // warm
       val t = (1 to 5).map { _ =>

@@ -139,7 +139,12 @@ object ScaleProbe {
         // one per-source agg — slope is the token-fold kernel's) and the
         // five-stage classified curation (fold + content-hash window +
         // broadcast anti-join; no stage super-linear)
-        "x29_quality_classifier", "x30_classified_curation")
+        "x29_quality_classifier", "x30_classified_curation",
+        // r15: applied-BPE token accounting (vocab agg + K bounded
+        // argmax rounds over the persisted |V|-row vocab + a map-only
+        // K-replace apply pass — slope is the apply kernel's; the
+        // training rounds' cost scales with |V|, not the corpus)
+        "x31_bpe_apply")
         .filter(n => args.lift(1).forall(_.split(',').contains(n)))
         .map(n => n -> SparkEntry.queries(n))
     factors.foreach { f =>

@@ -74,7 +74,8 @@ object TextFunctions {
   def ngramBucketFold(toks: Column, n: Int, ratios6: Array[Long]): Column = {
     import org.apache.spark.sql.GraftShim
     GraftShim.column(
-      expressions.NgramBucketFold(GraftShim.expression(toks), n, ratios6))
+      expressions.NgramBucketFold(GraftShim.expression(toks), n,
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(ratios6)))
   }
 
   /** One MinHash signature component: min over shingles of a seeded 64-bit

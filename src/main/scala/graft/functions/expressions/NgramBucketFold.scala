@@ -27,10 +27,15 @@ import org.apache.spark.sql.types.Decimal
   * [[NgramHash64]]'s concat_ws semantics carry over unchanged (null
   * tokens skipped without doubling the separator; fewer than n tokens →
   * zero grams → sum 0). */
-case class NgramBucketFold(child: Expression, n: Int, ratios6: Array[Long])
+case class NgramBucketFold(child: Expression, n: Int, ratios6: Seq[Long])
     extends UnaryExpression {
   require(n >= 1, s"n-gram size must be >= 1, got $n")
   require(ratios6.nonEmpty, "bucket profile must be non-empty")
+  // the profile is Seq (value equality), not Array (reference equality):
+  // case-class equals/semanticEquals must match two identical folds or
+  // subexpression elimination and exchange reuse silently miss (r14
+  // advisor find); compute/codegen use this materialized array
+  @transient private lazy val ratiosArr: Array[Long] = ratios6.toArray
   override def dataType: DataType = DecimalType(38, 6)
   override def prettyName: String = s"ngram_bucket_fold_$n"
 
@@ -45,12 +50,12 @@ case class NgramBucketFold(child: Expression, n: Int, ratios6: Array[Long])
     }
 
   override def nullSafeEval(v: Any): Any =
-    NgramBucketFold.compute(v.asInstanceOf[ArrayData], n, ratios6)
+    NgramBucketFold.compute(v.asInstanceOf[ArrayData], n, ratiosArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     // the profile is a per-plan constant: ship it once as a reference
     // object, not per-row
-    val profRef = ctx.addReferenceObj("ratios6", ratios6, "long[]")
+    val profRef = ctx.addReferenceObj("ratios6", ratiosArr, "long[]")
     defineCodeGen(ctx, ev,
       c => s"graft.functions.expressions.NgramBucketFold.compute($c, $n, $profRef)")
   }

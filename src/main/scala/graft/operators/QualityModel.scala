@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.md5Hash60
 
@@ -36,6 +36,12 @@ object QualityModel {
   val WeightScale = 1000L
   /** The stub's calibrated decision threshold: keep ⟺ Σ w_num > 0. */
   val Threshold = 0L
+  /** The version x29/x30 PIN — FROZEN serving (r15): building a newer
+    * artifact generation never changes what a pinned consumer scores
+    * with; swapping generations is an explicit repin, gated by
+    * [[driftDial]]'s measurement, exactly like the ANN codebook
+    * rebuild dial (v22). */
+  val ServingVersion = 1
 
   val SidecarName = "_graft_model"
 
@@ -45,31 +51,43 @@ object QualityModel {
     * DuckDB twins (`('0x'||substr(md5(tok),1,15))::BIGINT % 2001`). */
   def bucket(tok: Column): Column = md5Hash60(tok) % NumBuckets.toLong
 
-  /** The stub weight formula — used ONLY by the one-time artifact build
-    * (and by the lifecycle spec to verify the artifact content). */
-  private def weightFormula(bucketCol: Column): Column =
-    md5Hash60(bucketCol.cast("string")) % (2 * WeightScale + 1) - WeightScale
-
-  /** Build the weights artifact if absent: parquet `(bucket, w_num)` +
-    * `_graft_model` sidecar. Idempotent per session; the model is
-    * corpus-independent, so the cache keys on nothing but the session's
-    * temp root. Returns the artifact directory. */
-  def ensureArtifact(s: SparkSession): String = synchronized {
-    val dir = s"$artifactRoot/hashed-linear-$NumBuckets"
-    val done = new java.io.File(dir, SidecarName)
-    if (!done.isFile) {
-      s.range(NumBuckets.toLong)
-        .select(col("id").as("bucket"), weightFormula(col("id")).as("w_num"))
-        .coalesce(1).write.mode("overwrite").parquet(dir)
-      val meta =
-        s"""{"family":"hashed-linear","num_buckets":$NumBuckets,""" +
-          s""""weight_scale":$WeightScale,"threshold":$Threshold}"""
-      java.nio.file.Files.write(done.toPath,
-        meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      ()
-    }
-    dir
+  /** The stub "training" formula, salted per version — v1 is the r14
+    * formula bit-unchanged (every green gate row stays green); v ≥ 2
+    * stands in for a RETRAIN (different weights, same family/shape).
+    * Used ONLY by the one-time artifact build (and the lifecycle spec). */
+  private def weightFormula(bucketCol: Column, version: Int): Column = {
+    val key =
+      if (version == 1) bucketCol.cast("string")
+      else concat(bucketCol.cast("string"), lit(s":v$version"))
+    md5Hash60(key) % (2 * WeightScale + 1) - WeightScale
   }
+
+  /** Build the version-`v` weights artifact if absent: parquet
+    * `(bucket, w_num)` + `_graft_model` sidecar carrying the model
+    * IDENTITY (family, bucket count, scale, threshold, version).
+    * Idempotent per session and per version; generations live side by
+    * side (frozen serving — a v1 consumer is untouched by a v2 build).
+    * Returns the artifact directory. */
+  def ensureArtifact(s: SparkSession, version: Int = ServingVersion): String =
+    synchronized {
+      require(version >= 1, s"model version must be >= 1, got $version")
+      val dir = s"$artifactRoot/hashed-linear-$NumBuckets-v$version"
+      val done = new java.io.File(dir, SidecarName)
+      if (!done.isFile) {
+        s.range(NumBuckets.toLong)
+          .select(col("id").as("bucket"),
+            weightFormula(col("id"), version).as("w_num"))
+          .coalesce(1).write.mode("overwrite").parquet(dir)
+        val meta =
+          s"""{"family":"hashed-linear","num_buckets":$NumBuckets,""" +
+            s""""weight_scale":$WeightScale,"threshold":$Threshold,""" +
+            s""""version":$version}"""
+        java.nio.file.Files.write(done.toPath,
+          meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        ()
+      }
+      dir
+    }
 
   /** Parse the sidecar back (lifecycle spec + any consumer that must know
     * the bucket count before touching the parquet). */
@@ -87,9 +105,19 @@ object QualityModel {
   private val weightsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
 
-  /** The dense bucket→w_num table, loaded from the artifact. */
-  def weights(s: SparkSession): Array[Long] = {
-    val dir = ensureArtifact(s)
+  /** The dense bucket→w_num table, loaded from the version-`v` artifact.
+    * REFUSES loudly when the artifact's sidecar declares a different
+    * version than the caller pinned (a corrupted or hand-swapped
+    * directory must never serve silently — the ANN mixed-metric rule
+    * applied to the classifier family). */
+  def weights(s: SparkSession, version: Int = ServingVersion): Array[Long] = {
+    val dir = ensureArtifact(s, version)
+    val declared = readSidecar(dir).getOrElse("version", -1L)
+    require(declared == version.toLong,
+      s"classifier artifact at $dir declares version $declared but the " +
+        s"caller pinned v$version — refusing to serve; rebuild the " +
+        "artifact or repin the consumer (mixed-version serving is never " +
+        "silent)")
     weightsCache.computeIfAbsent(dir, { _ =>
       val arr = new Array[Long](NumBuckets)
       s.read.parquet(dir).select("bucket", "w_num").collect().foreach { r =>
@@ -101,8 +129,8 @@ object QualityModel {
 
   /** The weight table as a broadcast LITERAL array column (element_at is
     * codegen'd; the fold stays inside whole-stage codegen). */
-  def weightsLit(s: SparkSession): Column =
-    typedlit(weights(s).toSeq)
+  def weightsLit(s: SparkSession, version: Int = ServingVersion): Column =
+    typedlit(weights(s, version).toSeq)
 
   /** w_num(token) served FROM THE ARTIFACT: array lookup on the hashed
     * bucket (element_at is 1-based). */
@@ -112,10 +140,52 @@ object QualityModel {
   /** Per-document integer score numerator Σ w_num(token) — one map-side
     * higher-order fold, no explode. score = w_num / (1000 · n_tokens);
     * keep ⟺ w_num > 0 (n_tokens > 0 always — split("", " ") = [""]). */
-  def docWeightSum(s: SparkSession, toks: Column): Column = {
-    val w = weightsLit(s)
+  def docWeightSum(s: SparkSession, toks: Column,
+      version: Int = ServingVersion): Column = {
+    val w = weightsLit(s, version)
     aggregate(toks, lit(0L),
       (acc, t) => acc + element_at(w, (md5Hash60(t) % NumBuckets.toLong)
         .cast("int") + 1))
+  }
+
+  /** The RETRAIN dial (r15 — v22's codebook-drift shape applied to the
+    * classifier): score a bounded probe batch under the serving version
+    * and a candidate version and measure the KEEP-flag flip rate — the
+    * observable that decides re-gate vs keep. One row out:
+    * `(n_probe, n_flips, flip_rate, decision)`; decision = 're-gate'
+    * iff flip_rate > flipBudget (the fraction of the curated corpus a
+    * swap would re-classify — above budget, the downstream keep-set
+    * must be recomputed before the new generation serves). The probe is
+    * the first `n` docs by doc_id — deterministic and bounded at any
+    * corpus scale. */
+  def driftDial(s: SparkSession, d: String, vOld: Int, vNew: Int,
+      n: Int = 200, flipBudget: Double = 0.15): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    graft.Tables.documents(s, d)
+      .orderBy(col("doc_id").asc).limit(n)
+      .select(
+        (docWeightSum(s, tokens(col("text")), vOld) > Threshold).as("ko"),
+        (docWeightSum(s, tokens(col("text")), vNew) > Threshold).as("kn"))
+      .agg(count(lit(1)).as("n_probe"),
+        sum(when(col("ko") =!= col("kn"), 1L).otherwise(0L)).as("n_flips"))
+      .withColumn("flip_rate",
+        col("n_flips").cast("double") / col("n_probe"))
+      .withColumn("decision",
+        when(col("flip_rate") > flipBudget, lit("re-gate"))
+          .otherwise(lit("keep")))
+  }
+
+  /** Scored outputs may only be COMBINED when produced by the same model
+    * generation — the ANN mixed-metric refusal applied to the classifier
+    * family. Compares the two artifacts' identity keys and refuses
+    * loudly on any mismatch. */
+  def requireSameModel(dirA: String, dirB: String): Unit = {
+    val (a, b) = (readSidecar(dirA), readSidecar(dirB))
+    Seq("version", "num_buckets", "weight_scale", "threshold").foreach { k =>
+      require(a.get(k) == b.get(k),
+        s"classifier artifacts disagree on $k (${a.get(k)} vs ${b.get(k)}): " +
+          "refusing to combine scored outputs across model generations — " +
+          "re-score one side on the common version first")
+    }
   }
 }

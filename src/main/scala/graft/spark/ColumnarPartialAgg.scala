@@ -139,7 +139,18 @@ object ColumnarPartialAgg {
   }
 
   /** Compile `e` (already substituted down to scan attributes) to a typed
-    * column program, or None when outside the supported subset. */
+    * column program, or None when outside the supported subset.
+    *
+    * CONTRACT — rows-beyond-filter evaluation (r15 advisor note): the
+    * batch `fill`/`fillDouble` path evaluates the compiled tree for EVERY
+    * row of the batch, including slot<0 (filtered-out) rows the per-row
+    * path never touches. Every node admitted here must therefore be
+    * THROW-FREE on arbitrary in-domain column values (nulls are
+    * placeholder-0 and masked; double arithmetic never throws; division
+    * is by non-zero literals only). A future node that can raise on data
+    * (e.g. non-literal division under ANSI, overflow-checked casts) must
+    * either stay out of this subset or override fill to skip unfiltered
+    * rows. */
   private def compile(e: Expression, scanOut: Seq[Attribute]): Option[Col] = e match {
     case a: AttributeReference =>
       val ord = scanOut.indexWhere(_.exprId == a.exprId)
