@@ -78,6 +78,11 @@ object AsymptoteProbe {
     (0 until f).map(i => li.withColumn("l_orderkey",
         col("l_orderkey") + lit(i.toLong * 100000000L)))
       .reduce(_ unionByName _)
+      // coalesce (no shuffle: orderkey clustering per branch survives) to
+      // production-sized files — the raw union writes one ~10 MB file per
+      // branch, and 168 tiny files measures per-file reader setup, not
+      // the scan; a real 100 M-row table ships tens of large files
+      .coalesce(32)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
   }
 

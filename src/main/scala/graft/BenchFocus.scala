@@ -278,6 +278,41 @@ object BenchFocus {
         Tables.lineitem(s, d).filter(col("l_shipdate").between(
           to_timestamp(lit("1997-01-01")), to_timestamp(lit("1997-12-31"))))
           .groupBy().count()
+      },
+      // ——— r15 a1 asymptote decomposition ———
+      "a1_dblsums" -> { (s, d) =>
+        // a1's exact shape with PLAIN DOUBLE sums: isolates the
+        // decimal-quantization cost (DecimalSumAcc vs primitive add)
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") <= graft.Q.ts("1998-09-01"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity")).as("sum_qty"),
+            sum(col("l_extendedprice")).as("sum_base_price"),
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      "li_decode" -> { (s, d) =>
+        // decode floor for a1's numeric inputs: 4 double columns + the
+        // shipdate filter, one global double sum (no keys, no decimal)
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") <= graft.Q.ts("1998-09-01"))
+          .agg(sum(col("l_quantity") + col("l_extendedprice") +
+            col("l_discount") + col("l_tax")).as("x"))
+      },
+      "a1_nokeys" -> { (s, d) =>
+        // a1's four decimal sums WITHOUT group keys: isolates the
+        // string-key path (returnflag/linestatus reads + intern + probe)
+        import graft.Q.{dbl, dec6}
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") <= graft.Q.ts("1998-09-01"))
+          .agg(
+            dbl(dec6(sum(dec6(col("l_quantity"))))).as("sum_qty"),
+            dbl(dec6(sum(dec6(col("l_extendedprice"))))).as("sum_base_price"),
+            dbl(dec6(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount")))))).as("sum_disc_price"),
+            dbl(dec6(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))))).as("sum_charge"),
+            count(lit(1)).as("count_order"))
       })
     val benchDir = scaleDir.getOrElse(dir)
     // Q.force, not count() — count() prunes agg-final queries' aggregate

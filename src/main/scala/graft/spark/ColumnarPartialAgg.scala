@@ -136,6 +136,19 @@ object ColumnarPartialAgg {
   }
   private[spark] abstract class StringCol extends Col {
     def get(b: ColumnarBatch, i: Int): UTF8String
+    /** The parquet DICTIONARY-ID vector when this column is served
+      * dictionary-encoded in the current batch, else null. Only the leaf
+      * scan column overrides this: Spark's vectorized reader keeps the
+      * dictionary iff EVERY page decoded into the batch was
+      * dictionary-encoded (a mid-chunk plain fallback decodes eagerly
+      * and clears it), so a non-null return guarantees every row of the
+      * batch resolves through `getDictId`. The kernel uses it to intern
+      * a string key once per DISTINCT dictionary id per batch instead of
+      * once per row (r15 — the per-row UTF8String materialize + hash was
+      * the dominant term of a1's key path at the 100 M-row fixture). */
+    def dictIds(b: ColumnarBatch)
+        : org.apache.spark.sql.execution.vectorized.WritableColumnVector =
+      null
   }
 
   /** Compile `e` (already substituted down to scan attributes) to a typed
@@ -219,6 +232,13 @@ object ColumnarPartialAgg {
         case StringType => Some(new StringCol {
           def isNull(b: ColumnarBatch, i: Int) = b.column(ord).isNullAt(i)
           def get(b: ColumnarBatch, i: Int) = b.column(ord).getUTF8String(i)
+          override def dictIds(b: ColumnarBatch)
+              : org.apache.spark.sql.execution.vectorized.WritableColumnVector =
+            b.column(ord) match {
+              case w: org.apache.spark.sql.execution.vectorized.WritableColumnVector
+                  if w.hasDictionary => w.getDictionaryIds
+              case _ => null
+            }
         })
         case _ => None
       }
@@ -1135,7 +1155,49 @@ case class ColumnarPartialAggExec(
         case Array(LongKey(_, ei)) => ei
         case _ => false
       }
-      def numGroups: Int = if (fastMap != null) fastN else slotKeys.length
+      // PACKED composite path (r15): for 1–3 keys (the single-LongKey
+      // shape keeps its own fast path), every key's value is interned to
+      // a dense per-key id (strings via the intern table — resolved once
+      // per distinct DICTIONARY id per batch when the column arrives
+      // dictionary-encoded; longs via a primitive LongToSlot), the ids
+      // packed into one long (field 0 = null), and the composite probed
+      // through LongToSlot. Replaces the legacy per-row path's boxed
+      // HashMap<LKey> probe + per-row UTF8String materialize/hash —
+      // measured at the 100 M-row fixture as the dominant term above the
+      // decode floor for a1 (0.57 s of 1.45 s) and t1 (0.5 s of 0.88 s).
+      // Exactness: per-key ids never exceed the live composite count, and
+      // the flush threshold is capped below the field capacity (minus one
+      // max batch of headroom), so a field can never overflow; the legacy
+      // path remains for >3 keys.
+      val packedMode = fastMap == null && nKeys >= 1 && nKeys <= 3
+      val fieldBits = if (packedMode) 63 / nKeys else 1
+      val fieldMask = (1L << fieldBits) - 1 // fieldBits=63: Long.MaxValue
+      val packedCap: Int =
+        if (!packedMode) Int.MaxValue
+        else if (fieldBits >= 31) Int.MaxValue - (1 << 17)
+        else (1 << fieldBits) - (1 << 17)
+      val packMap = if (packedMode) new LongToSlot(8192) else null
+      var packKeys = if (packedMode) new Array[Long](8192) else null
+      var packN = 0
+      val keyValMaps: Array[LongToSlot] = keys.map {
+        case LongKey(_, _) if packedMode => new LongToSlot(1024)
+        case _ => null
+      }
+      val keyVals: Array[Array[Long]] = keys.map {
+        case LongKey(_, _) if packedMode => new Array[Long](1024)
+        case _ => null
+      }
+      val keyValN = new Array[Int](nKeys)
+      // per-batch dictionary-id → intern-id+1 memo, generation-stamped so
+      // a new batch (possibly a new row group's dictionary) invalidates
+      // without clearing
+      val dictMemo = new Array[Array[Int]](nKeys)
+      val dictMemoGen = new Array[Array[Int]](nKeys)
+      var batchGen = 0
+      def numGroups: Int =
+        if (fastMap != null) fastN
+        else if (packedMode) packN
+        else slotKeys.length
       // per string-key interning (dense ids; UTF8Strings cloned once per
       // flush window; tables reset WITH the accumulators at each
       // memory-bound flush so per-task memory stays O(maxGroups), not
@@ -1190,6 +1252,28 @@ case class ColumnarPartialAggExec(
           while (a < accs.length) { off = accs(a).emit(slot, row, off); a += 1 }
           proj(row): InternalRow
         }
+      def emitAllPacked(ks: Array[Long], n: Int): Iterator[InternalRow] =
+        Iterator.range(0, n).map { slot =>
+          val row = reusedRow
+          val pk = ks(slot)
+          var k = 0
+          while (k < nKeys) {
+            val field = (pk >>> (k * fieldBits)) & fieldMask
+            if (field == 0L) row.update(k, null)
+            else keys(k) match {
+              case LongKey(_, emitInt) =>
+                val v = keyVals(k)((field - 1).toInt)
+                if (emitInt) row.update(k, v.toInt) else row.update(k, v)
+              case StringKey(_) =>
+                row.update(k, names(k)((field - 1).toInt))
+            }
+            k += 1
+          }
+          var off = nKeys
+          var a = 0
+          while (a < accs.length) { off = accs(a).emit(slot, row, off); a += 1 }
+          proj(row): InternalRow
+        }
       def flush(): Iterator[InternalRow] = {
         // snapshot the emit inputs (the iterators are lazy), THEN reset
         // the live structures; accs reset AFTER the iterator drains —
@@ -1199,6 +1283,13 @@ case class ColumnarPartialAggExec(
           val out = emitAllFast(ksnap, fastN, nullSlotId)
           fastMap.clear(); fastN = 0; nullSlotId = -1
           out
+        } else if (packedMode) {
+          // per-key value tables (keyVals/names/interns) stay live until
+          // the iterator drains — they reset with the accumulators
+          val ksnap = java.util.Arrays.copyOf(packKeys, packN)
+          val out = emitAllPacked(ksnap, packN)
+          packMap.clear(); packN = 0
+          out
         } else {
           val ks = slotKeys.toIndexedSeq
           val out = emitAll(ks)
@@ -1207,7 +1298,129 @@ case class ColumnarPartialAggExec(
         }
       }
       val pred = kernel.pred.orNull
+      def internString(k: Int, s: UTF8String): Int = {
+        var id = interns(k).get(s)
+        if (id == null) {
+          id = Integer.valueOf(names(k).length)
+          val copy = s.clone()
+          interns(k).put(copy, id)
+          names(k) += copy
+        }
+        id.intValue()
+      }
+      // COLUMN-AT-A-TIME key resolution: one virtual dispatch per key per
+      // batch, tight monomorphic per-key loops filling (id+1 | 0=null)
+      // field buffers, then one combine+probe loop. Pred is evaluated
+      // FIRST so filtered rows never intern (keeps the ids ≤ live-groups
+      // invariant packedCap relies on, and skips work under selective
+      // filters).
+      var fieldBufs = Array.fill(nKeys)(new Array[Long](8192))
+      var predBuf = new Array[Byte](8192)
+      def fillLongKey(k: Int, col: LongCol, batch: ColumnarBatch, n: Int,
+          havePred: Boolean): Unit = {
+        val fb = fieldBufs(k)
+        val m = keyValMaps(k)
+        var i = 0
+        while (i < n) {
+          if ((havePred && predBuf(i) != 1) || col.isNull(batch, i)) fb(i) = 0L
+          else {
+            val v = col.get(batch, i)
+            val id = m.getOrInsert(v, keyValN(k))
+            if (id == keyValN(k)) {
+              if (id == keyVals(k).length)
+                keyVals(k) = java.util.Arrays.copyOf(keyVals(k), id * 2)
+              keyVals(k)(id) = v
+              keyValN(k) += 1
+            }
+            fb(i) = (id + 1).toLong
+          }
+          i += 1
+        }
+      }
+      def fillStringKey(k: Int, col: StringCol, batch: ColumnarBatch, n: Int,
+          havePred: Boolean): Unit = {
+        val fb = fieldBufs(k)
+        val dv = col.dictIds(batch)
+        var i = 0
+        while (i < n) {
+          if ((havePred && predBuf(i) != 1) || col.isNull(batch, i)) fb(i) = 0L
+          else {
+            val did = if (dv == null) -1 else dv.getDictId(i)
+            if (did >= 0 && did < (1 << 22)) {
+              var memo = dictMemo(k)
+              if (memo == null || memo.length <= did) {
+                val nc = math.max(1024,
+                  Integer.highestOneBit(math.max(did, 1)) << 2)
+                dictMemo(k) = java.util.Arrays.copyOf(
+                  if (memo == null) new Array[Int](0) else memo, nc)
+                dictMemoGen(k) = java.util.Arrays.copyOf(
+                  if (dictMemoGen(k) == null) new Array[Int](0)
+                  else dictMemoGen(k), nc)
+                memo = dictMemo(k)
+              }
+              if (dictMemoGen(k)(did) == batchGen) fb(i) = memo(did).toLong
+              else {
+                val id = internString(k, col.get(batch, i))
+                dictMemoGen(k)(did) = batchGen
+                memo(did) = id + 1
+                fb(i) = (id + 1).toLong
+              }
+            } else fb(i) = (internString(k, col.get(batch, i)) + 1).toLong
+          }
+          i += 1
+        }
+      }
+      def consumePacked(batch: ColumnarBatch): Unit = {
+        batchGen += 1
+        val n = batch.numRows()
+        if (slots.length < n) slots = new Array[Int](n)
+        if (predBuf.length < n) predBuf = new Array[Byte](n)
+        if (fieldBufs(0).length < n)
+          fieldBufs = Array.fill(nKeys)(new Array[Long](n))
+        val havePred = pred != null
+        if (havePred) {
+          var i = 0
+          while (i < n) { predBuf(i) = pred(batch, i); i += 1 }
+        }
+        var k = 0
+        while (k < nKeys) {
+          keys(k) match {
+            case LongKey(col, _) => fillLongKey(k, col, batch, n, havePred)
+            case StringKey(col) => fillStringKey(k, col, batch, n, havePred)
+          }
+          k += 1
+        }
+        val fb0 = fieldBufs(0)
+        val fb1 = if (nKeys > 1) fieldBufs(1) else null
+        val fb2 = if (nKeys > 2) fieldBufs(2) else null
+        var i = 0
+        while (i < n) {
+          if (havePred && predBuf(i) != 1) slots(i) = -1
+          else {
+            var pk = fb0(i)
+            if (fb1 != null) pk |= fb1(i) << fieldBits
+            if (fb2 != null) pk |= fb2(i) << (2 * fieldBits)
+            val s = packMap.getOrInsert(pk, packN)
+            if (s == packN) {
+              if (packN == packKeys.length)
+                packKeys = java.util.Arrays.copyOf(packKeys, packN * 2)
+              packKeys(packN) = pk
+              packN += 1
+            }
+            slots(i) = s
+          }
+          i += 1
+        }
+        val nSlots = packN
+        var a = 0
+        while (a < accs.length) {
+          accs(a).grow(nSlots)
+          accs(a).updateBatch(batch, n, slots)
+          a += 1
+        }
+      }
       def consume(batch: ColumnarBatch): Unit = {
+        if (packedMode) { consumePacked(batch); return }
         val n = batch.numRows()
         if (slots.length < n) slots = new Array[Int](n)
         var i = 0
@@ -1311,13 +1524,24 @@ case class ColumnarPartialAggExec(
                     names(k).length.toLong, Math.max(_, _))
                   interns(k).clear(); names(k).clear()
                 }
+                // packed per-key long-value tables reset with the intern
+                // tables (same lifetime: live until the emit iterator
+                // drained); stale dict memos die via the generation stamp
+                if (keyValMaps(k) != null) {
+                  keyValMaps(k).clear(); keyValN(k) = 0
+                }
                 k += 1
               }
               pendingReset = false
             }
             if (batches.hasNext) {
               consume(batches.next())
-              if (numGroups > maxGroups) {
+              // packedCap bounds the per-key id space one batch of
+              // headroom below the pack-field capacity (ids never exceed
+              // the live group count, so flushing here keeps every field
+              // in range); at the default maxGroups it is never the
+              // binding constraint
+              if (numGroups > math.min(maxGroups, packedCap)) {
                 cur = flush()
                 pendingReset = true
               }
