@@ -143,8 +143,10 @@ object ScaleProbe {
         // r15: applied-BPE token accounting (vocab agg + K bounded
         // argmax rounds over the persisted |V|-row vocab + a map-only
         // K-replace apply pass — slope is the apply kernel's; the
-        // training rounds' cost scales with |V|, not the corpus)
-        "x31_bpe_apply")
+        // training rounds' cost scales with |V|, not the corpus) and the
+        // MV-served pricing summary (build cached per table version; the
+        // probe pays the days×6-row MV read — must stay ~flat)
+        "x31_bpe_apply", "a15_mv_pricing")
         .filter(n => args.lift(1).forall(_.split(',').contains(n)))
         .map(n => n -> SparkEntry.queries(n))
     factors.foreach { f =>

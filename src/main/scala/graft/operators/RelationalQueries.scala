@@ -325,6 +325,59 @@ object RelationalQueries {
       .withColumn("avg_price", round(col("sum_base_price") / col("count_order"), 6))
       .orderBy("l_returnflag", "l_linestatus")
 
+  private val pricingMvCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A15 (r15): the MV-SERVED pricing summary — a1's t17-style
+    * engine-level answer. The r15 honest asymptote settled a1's raw-scan
+    * shape at ≈2.2–2.3× DuckDB at 100 M rows with a NAMED irreducible
+    * term: Spark's vectorized parquet double-decode + filter floor alone
+    * (`li_decode`, 0.65 s) equals DuckDB's ENTIRE query (0.62 s) — the
+    * platform reader, not the agg kernel (which, post packed-keys, adds
+    * ~0.5 s over that floor vs DuckDB's ~0.3). The engine answer is the
+    * same as t1's: stop re-decoding the fact table per query. A DAILY
+    * pricing rollup MV — per (ship_date, returnflag, linestatus) exact
+    * decimal(38,6) partial sums + counts, built once per table version
+    * (mtime-keyed, t17's convention), days × 6 rows regardless of corpus
+    * size — serves the whole a1 QUERY FAMILY (any shipdate cutoff) from
+    * ~15 k rows. Exactness: decimal partials are exact integer sums, so
+    * re-aggregating partials is bit-identical to the direct per-row sum
+    * under any order; the twin recomputes everything from raw lineitem
+    * and the hash gate proves serve ≡ recompute. At 100 TB the MV is
+    * maintained incrementally per ingested partition (the c7/cql9 MV
+    * machinery); here the build is one batch job per table version. */
+  def a15_mv_pricing(s: SparkSession, d: String): DataFrame = {
+    val mtime = try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$d/lineitem.parquet")).toMillis
+      catch { case _: Exception => 0L }
+    val dir = pricingMvCache.computeIfAbsent(s"$d@$mtime", { _ =>
+      val out = graft.Tables.tempRoot("graft-pricing-mv")
+      Tables.lineitem(s, d)
+        .groupBy(col("l_shipdate").as("ship_date"),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dec6(sum(dec6(col("l_quantity")))).as("p_qty"),
+          dec6(sum(dec6(col("l_extendedprice")))).as("p_base"),
+          dec6(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("p_disc"),
+          dec6(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))))).as("p_charge"),
+          count(lit(1)).as("p_n"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/mv")
+      out
+    })
+    s.read.parquet(s"$dir/mv")
+      .filter(col("ship_date") <= ts("1998-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dbl(dec6(sum(col("p_qty")))).as("sum_qty"),
+        dbl(dec6(sum(col("p_base")))).as("sum_base_price"),
+        dbl(dec6(sum(col("p_disc")))).as("sum_disc_price"),
+        dbl(dec6(sum(col("p_charge")))).as("sum_charge"),
+        sum(col("p_n")).as("count_order"))
+      .withColumn("avg_qty", round(col("sum_qty") / col("count_order"), 6))
+      .withColumn("avg_price", round(col("sum_base_price") / col("count_order"), 6))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   /** A3: time-bucketed GROUP BY (floor(ts, 1d) analogue). */
   def a3_time_bucket(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -762,6 +815,7 @@ object RelationalQueries {
     "j6_asof" -> (j6_asof _),
     "j7_interval" -> (j7_interval _),
     "a1_pricing_summary" -> (a1_pricing_summary _),
+    "a15_mv_pricing" -> (a15_mv_pricing _),
     "a3_time_bucket" -> (a3_time_bucket _),
     "a11_funnel" -> (a11_funnel _),
     "a12_pivot" -> (a12_pivot _),
@@ -938,6 +992,18 @@ object RelationalQueries {
         |  AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "a1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  cast(cast(sum(cast(l_quantity AS decimal(38,6))) AS decimal(38,6)) AS double) AS sum_qty,
+        |  cast(cast(sum(cast(l_extendedprice AS decimal(38,6))) AS decimal(38,6)) AS double) AS sum_base_price,
+        |  cast(cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,6))) AS decimal(38,6)) AS double) AS sum_disc_price,
+        |  cast(cast(sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS decimal(38,6))) AS decimal(38,6)) AS double) AS sum_charge,
+        |  count(*) AS count_order,
+        |  round(cast(cast(sum(cast(l_quantity AS decimal(38,6))) AS decimal(38,6)) AS double) / count(*), 6) AS avg_qty,
+        |  round(cast(cast(sum(cast(l_extendedprice AS decimal(38,6))) AS decimal(38,6)) AS double) / count(*), 6) AS avg_price
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // the MV serve must equal the full recompute — same twin as a1
+    "a15_mv_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  cast(cast(sum(cast(l_quantity AS decimal(38,6))) AS decimal(38,6)) AS double) AS sum_qty,
         |  cast(cast(sum(cast(l_extendedprice AS decimal(38,6))) AS decimal(38,6)) AS double) AS sum_base_price,
