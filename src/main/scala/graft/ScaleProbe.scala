@@ -146,7 +146,11 @@ object ScaleProbe {
         // training rounds' cost scales with |V|, not the corpus) and the
         // MV-served pricing summary (build cached per table version; the
         // probe pays the days×6-row MV read — must stay ~flat)
-        "x31_bpe_apply", "a15_mv_pricing")
+        "x31_bpe_apply", "a15_mv_pricing",
+        // r15: artifact-served tokenizer accounting (training cached per
+        // corpus version; the probe pays the ≤K-row merge read + the
+        // map-only apply pass — slope is the apply kernel's alone)
+        "x32_bpe_served")
         .filter(n => args.lift(1).forall(_.split(',').contains(n)))
         .map(n => n -> SparkEntry.queries(n))
     factors.foreach { f =>

@@ -936,47 +936,22 @@ object TextQueries {
     * BASELINE.json:6); the DuckDB twin replays the identical K-round CTE
     * chain. */
   def x31_bpe_apply(s: SparkSession, d: String): DataFrame = {
-    val K = 8
+    // training loop shared with the persisted-tokenizer family
+    // ([[BpeModel.learnMerges]] — x32 serves the same loop's output
+    // from a versioned artifact)
+    val merges = BpeModel.learnMerges(s, d, k = 8)
+    bpeAccounting(s, d, merges)
+  }
+
+  /** The per-source token accounting under a given merge table — the
+    * map-only apply pass shared by x31 (fresh-trained merges) and x32
+    * (artifact-served merges): explode tokens, K nested literal
+    * replaces, unit count from separator arithmetic, one agg shuffle. */
+  private def bpeAccounting(s: SparkSession, d: String,
+      merges: Seq[(String, String)]): DataFrame = {
     def isAlpha(c: Column) = c.rlike("^[a-z]+$")
-    def toW(c: Column) = regexp_replace(c, "(.)", "/$1/")
-    val vocab = Tables.documents(s, d)
-      .select(explode(tokens(col("text"))).as("tok"))
-      .filter(isAlpha(col("tok")))
-      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
-      .withColumn("w", toW(col("tok")))
-      .persist()
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    try {
-      var cur: DataFrame = vocab
-      var r = 0
-      var done = false
-      while (r < K && !done) {
-        val top = cur
-          .select(col("f"),
-            expr("filter(split(w, '/'), x -> x != '')").as("sy"))
-          .filter(size(col("sy")) >= 2)
-          .select(col("f"), explode(expr(
-            "transform(sequence(1, size(sy) - 1)," +
-              " i -> concat(element_at(sy, i), '/', element_at(sy, i + 1)))"))
-            .as("pr"))
-          .groupBy(col("pr")).agg(sum(col("f")).as("n"))
-          .orderBy(col("n").desc, col("pr").asc)
-          .limit(1).collect() // bounded: exactly the ONE winning pair
-        if (top.isEmpty) done = true
-        else {
-          val pr = top(0).getString(0)
-          val cut = pr.indexOf('/')
-          val (a, b) = (pr.substring(0, cut), pr.substring(cut + 1))
-          merges += ((a, b))
-          cur = cur.withColumn("w",
-            replace(col("w"), lit(s"/$a//$b/"), lit(s"/$a$b/")))
-        }
-        r += 1
-      }
-    } finally { vocab.unpersist(false); () }
-    // map-side apply: ≤K literal replaces in learned order, no join
-    val wK = merges.foldLeft(toW(col("tok"))) { case (w, (a, b)) =>
-      replace(w, lit(s"/$a//$b/"), lit(s"/$a$b/"))
+    val wK = merges.foldLeft(regexp_replace(col("tok"), "(.)", "/$1/")) {
+      case (w, (a, b)) => replace(w, lit(s"/$a//$b/"), lit(s"/$a$b/"))
     }
     // every symbol owns exactly two '/' — units = slash count / 2 (exact)
     val units = when(isAlpha(col("tok")),
@@ -991,6 +966,18 @@ object TextQueries {
         sum(col("u")).as("bpe_tokens"))
       .orderBy("source")
   }
+
+  /** X32 (r15): the same token accounting SERVED from the persisted
+    * tokenizer artifact ([[BpeModel]]) — "tokenizer as data". A real
+    * pipeline trains its tokenizer once and ships the vocab; every
+    * subsequent accounting reads the merge table (≤K rows at any corpus
+    * size), never re-learns it. v1's K matches x31's, so serve ≡
+    * fresh-train bit-for-bit and the two share one DuckDB twin — the
+    * hash gate proves the artifact path end to end. Versioned
+    * generations, frozen serving, the re-tokenize drift dial, and
+    * mixed-generation refusal live on [[BpeModel]] (BpeModelSpec). */
+  def x32_bpe_served(s: SparkSession, d: String): DataFrame =
+    bpeAccounting(s, d, BpeModel.merges(s, d))
 
   /** X19 (L4+ selection): DSIR-style hashed-ngram importance weighting
     * (arXiv:2302.03169 [L]): pick pretraining data that "looks like" a
@@ -1128,6 +1115,7 @@ object TextQueries {
     "x19_dsir" -> (x19_dsir _),
     "x18_bpe_pairs" -> (x18_bpe_pairs _),
     "x31_bpe_apply" -> (x31_bpe_apply _),
+    "x32_bpe_served" -> (x32_bpe_served _),
     "x17_gopher_rules" -> (x17_gopher_rules _),
     "x16_mixture" -> (x16_mixture _),
     "x15_bm25" -> (x15_bm25 _),
@@ -1198,6 +1186,9 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "x31_bpe_apply" -> x31Oracle(8),
+    // artifact-served twin: v1's K = x31's K, so the serve must equal
+    // the fresh recompute — the same 8-round CTE chain
+    "x32_bpe_served" -> x31Oracle(8),
     "x21_keepset" ->
       """WITH corpus AS (
         |  SELECT doc_id, text, source FROM documents

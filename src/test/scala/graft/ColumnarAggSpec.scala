@@ -198,7 +198,9 @@ class ColumnarAggSpec extends SparkSpec {
     // path must equal ITS stock twin
     try for (ansi <- Seq(true, false); draw <- 1 to nDraws) {
       spark.conf.set("spark.sql.ansi.enabled", ansi.toString)
-      val nK = 1 + rnd.nextInt(3)
+      // 1–3 keys ride the r15 PACKED path; 4 keys the legacy LKey path —
+      // both must stay fuzz-covered
+      val nK = 1 + rnd.nextInt(4)
       val keys = rnd.shuffle(keyCands).take(nK).map(_())
       val aggs = rnd.shuffle(aggCands).take(1 + rnd.nextInt(3)).map(_())
       def run() = t().groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)

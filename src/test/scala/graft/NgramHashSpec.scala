@@ -94,4 +94,24 @@ class NgramHashSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.trim.startsWith("*("), plan.take(300))
   }
+
+  test("r15-advice: two identical folds are equal and semanticEquals " +
+    "(profile held by value, not Array reference — subexpression " +
+    "elimination and exchange reuse depend on it)") {
+    import graft.functions.expressions.NgramBucketFold
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    // a resolved child with value equality — the pin targets the PROFILE
+    // argument (the r15 advice: Array[Long] compared by reference broke
+    // equals/semanticEquals between otherwise-identical folds)
+    def mk() = NgramBucketFold(
+      Literal.create(Seq("a", "b", "c"), ArrayType(StringType)), 2,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        Array.tabulate(64)(_ * 1000L)))
+    val (a, b) = (mk(), mk())
+    assert(a === b)
+    assert(a.semanticEquals(b))
+    val c = b.copy(ratios6 = b.ratios6.updated(0, 7L))
+    assert(a !== c)
+  }
 }
