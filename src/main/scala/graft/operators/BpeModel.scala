@@ -43,7 +43,11 @@ object BpeModel {
       k: Int): Seq[(String, String)] = {
     val vocab = graft.Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("tok"))
-      .filter(col("tok").rlike("^[a-z]+$"))
+      // \A..\z anchors (r15 advisor): Java's $ also matches before a
+      // trailing line terminator, while the DuckDB twin's RE2 '$' and the
+      // spec reference's .matches are end-of-text only — a token carrying
+      // a trailing \n must classify non-alpha in BOTH engines
+      .filter(col("tok").rlike("\\A[a-z]+\\z"))
       .groupBy(col("tok")).agg(count(lit(1)).as("f"))
       .withColumn("w", regexp_replace(col("tok"), "(.)", "/$1/"))
       .persist()
@@ -79,6 +83,87 @@ object BpeModel {
     out.toSeq
   }
 
+  /** The corpus's (alpha-token, freq) VOCABULARY, collected to the driver
+    * — ONE shuffle over the corpus, then a bounded read: training a
+    * tokenizer on the aggregated word-count table (vocab ≪ corpus) is the
+    * production shape every BPE trainer runs [P: Sennrich et al. 2016;
+    * HuggingFace tokenizers / SentencePiece both train single-process
+    * over word counts]. Guarded: refuses above `maxVocab` rows rather
+    * than silently OOMing the driver — at that point training belongs on
+    * the distributed loop ([[learnMerges]]) or a vocabulary cap upstream. */
+  def collectVocab(s: SparkSession, d: String,
+      maxVocab: Int = 1 << 22): Array[(String, Long)] = {
+    val rows = graft.Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok").rlike("\\A[a-z]+\\z"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      .limit(maxVocab + 1)
+      .collect()
+    require(rows.length <= maxVocab,
+      s"corpus vocabulary exceeds maxVocab=$maxVocab rows — refusing the " +
+        "driver-side collect; train with the distributed loop instead")
+    rows.map(r => (r.getString(0), r.getLong(1)))
+  }
+
+  /** Driver-local replica of [[learnMerges]]'s K-round loop over a
+    * collected vocabulary — the SAME algorithm term for term (adjacent
+    * pair counts weighted by word freq, every position counted; winner =
+    * max count with ties broken by the "left/right" pair string ASC —
+    * String compareTo ≡ UTF8 binary order on the [a-z/] alphabet; merge
+    * applied left-to-right non-overlapping), so the two trainers are
+    * bit-equal (BpeEncodeSpec pins equality at K=8 and K=12). K rounds
+    * over |V| in-memory words, zero Spark jobs — this is how a
+    * production-K (32k+) table gets trained without K scheduler
+    * round-trips. Stops early when no adjacent pairs remain. */
+  def learnMergesLocal(vocab: Array[(String, Long)],
+      k: Int): Seq[(String, String)] = {
+    val words = vocab.map { case (t, f) =>
+      (scala.collection.mutable.ArrayBuffer.from(t.map(_.toString)), f)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var r = 0
+    var done = false
+    while (r < k && !done) {
+      val counts = new java.util.HashMap[String, Array[Long]]()
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val key = syms(i) + "/" + syms(i + 1)
+          val slot = counts.computeIfAbsent(key, _ => new Array[Long](1))
+          slot(0) += f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var bestPair: String = null
+        var bestN = Long.MinValue
+        counts.forEach { (pr, n) =>
+          if (n(0) > bestN || (n(0) == bestN && pr.compareTo(bestPair) < 0)) {
+            bestPair = pr; bestN = n(0)
+          }
+        }
+        val cut = bestPair.indexOf('/')
+        val a = bestPair.substring(0, cut)
+        val b = bestPair.substring(cut + 1)
+        out += ((a, b))
+        words.foreach { case (syms, _) =>
+          var i = 0
+          var w = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              syms(w) = a + b; i += 2
+            } else { syms(w) = syms(i); i += 1 }
+            w += 1
+          }
+          syms.takeInPlace(w)
+        }
+      }
+      r += 1
+    }
+    out.toSeq
+  }
+
   private def corpusKey(d: String): String = {
     val mtime = try java.nio.file.Files.getLastModifiedTime(
         java.nio.file.Paths.get(s"$d/documents.parquet")).toMillis
@@ -86,13 +171,34 @@ object BpeModel {
     s"$d@$mtime"
   }
 
+  /** Strong 64-bit corpus fingerprint (first 8 bytes of SHA-256 over the
+    * full corpus key) — persisted in the sidecar and compared by
+    * [[requireSameModel]], so two artifacts trained on DIFFERENT corpora
+    * at the same version refuse to combine (r15 advisor note: the old
+    * sidecar carried no corpus identity at all). */
+  private[graft] def corpusFingerprint(key: String): Long = {
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(h, 0, 8).getLong
+  }
+
+  /** Filesystem-safe full corpus key (every byte outside [A-Za-z0-9._-]
+    * maps to '_') — the artifact DIRECTORY key. The old name used a
+    * 32-bit String.hashCode, where a collision would silently serve
+    * another corpus's merge table; the sanitized full key cannot collide
+    * across distinct (dir, mtime) pairs of sane paths, and the sidecar
+    * fingerprint still guards the pathological ones. */
+  private def sanitizedKey(key: String): String =
+    key.map(c => if (c.isLetterOrDigit || c == '.' || c == '-') c else '_')
+
   /** Build the version-`v` tokenizer artifact for corpus `d` if absent:
     * parquet `(merge_idx, left, right)` + sidecar. Generations live side
     * by side (frozen serving). Returns the artifact directory. */
   def ensureArtifact(s: SparkSession, d: String,
       version: Int = ServingVersion): String = synchronized {
     require(version >= 1, s"tokenizer version must be >= 1, got $version")
-    val dir = s"$artifactRoot/bpe-${corpusKey(d).hashCode}-v$version"
+    val key = corpusKey(d)
+    val dir = s"$artifactRoot/bpe-${sanitizedKey(key)}-v$version"
     val done = new java.io.File(dir, SidecarName)
     if (!done.isFile) {
       val k = mergesFor(version)
@@ -104,7 +210,7 @@ object BpeModel {
         .coalesce(1).write.mode("overwrite").parquet(dir)
       val meta =
         s"""{"family":"bpe-merges","k":$k,"n_merges":${merges.size},""" +
-          s""""version":$version}"""
+          s""""version":$version,"corpus_fp":${corpusFingerprint(key)}}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get(dir, SidecarName),
         meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -148,7 +254,7 @@ object BpeModel {
     val wK = merges(s, d, version).foldLeft(w0) { case (w, (a, b)) =>
       replace(w, lit(s"/$a//$b/"), lit(s"/$a$b/"))
     }
-    when(tok.rlike("^[a-z]+$"),
+    when(tok.rlike("\\A[a-z]+\\z"),
       ((length(wK) - length(replace(wK, lit("/"), lit("")))) / lit(2)))
       .otherwise(lit(1)).cast("long")
   }
@@ -179,11 +285,12 @@ object BpeModel {
     * tokenizer generation. */
   def requireSameModel(dirA: String, dirB: String): Unit = {
     val (a, b) = (readSidecar(dirA), readSidecar(dirB))
-    Seq("version", "k", "n_merges").foreach { key =>
+    Seq("version", "k", "n_merges", "corpus_fp").foreach { key =>
       require(a.get(key) == b.get(key),
         s"tokenizer artifacts disagree on $key (${a.get(key)} vs " +
           s"${b.get(key)}): refusing to combine token accountings across " +
-          "generations — re-tokenize one side on the common version first")
+          "generations/corpora — re-tokenize one side on the common " +
+          "version first")
     }
   }
 }

@@ -949,7 +949,9 @@ object TextQueries {
     * replaces, unit count from separator arithmetic, one agg shuffle. */
   private def bpeAccounting(s: SparkSession, d: String,
       merges: Seq[(String, String)]): DataFrame = {
-    def isAlpha(c: Column) = c.rlike("^[a-z]+$")
+    // \A..\z: end-of-TEXT anchors (Java's $ would also match before a
+    // trailing \n, diverging from the twin's RE2 '$' — r15 advisor note)
+    def isAlpha(c: Column) = c.rlike("\\A[a-z]+\\z")
     val wK = merges.foldLeft(regexp_replace(col("tok"), "(.)", "/$1/")) {
       case (w, (a, b)) => replace(w, lit(s"/$a//$b/"), lit(s"/$a$b/"))
     }
@@ -978,6 +980,59 @@ object TextQueries {
     * mixed-generation refusal live on [[BpeModel]] (BpeModelSpec). */
   def x32_bpe_served(s: SparkSession, d: String): DataFrame =
     bpeAccounting(s, d, BpeModel.merges(s, d))
+
+  /** X33 (r16): the PRODUCTION-K tokenizer path — x31/x32 demonstrate
+    * "tokenizer as data" at K=8, where the apply can ride K nested
+    * literal replaces; a real vocabulary (32k–50k merges) cannot (a
+    * 50 000-deep replace tree is unplannable), so this gate runs the
+    * whole pipeline at K=256 through the executor-side encoder:
+    *
+    *  - TRAIN on the collected (token,freq) vocabulary with the
+    *    driver-local replica of x31's loop ([[BpeModel.learnMergesLocal]]
+    *    — bit-equal to the distributed trainer by BpeEncodeSpec, zero
+    *    Spark jobs per round; the distributed trainer itself is gated by
+    *    x31's independent DuckDB replay). 256 scheduler round-trips per
+    *    query is the wrong shape at ANY scale; one shuffle + a bounded
+    *    vocab collect + an in-memory loop is how production tokenizers
+    *    train.
+    *  - APPLY map-side via [[graft.functions.expressions.BpeUnitCount]]:
+    *    the merge table rides the plan as one rank-table reference
+    *    object; per-token cost is O(len²) hash probes, independent of K.
+    *
+    * Same accounting frame as x31/x32 (ws/alpha/bpe tokens per source).
+    * The DuckDB twin applies the SAME learned merge table (embedded as
+    * K nested replaces over the distinct vocabulary — the twin convention
+    * for model-shaped ops: the hash gate proves the ENCODER end to end;
+    * training equivalence is the spec chain above). EAGER SIDE EFFECT
+    * like x19/x31: training runs at DataFrame-construction time.
+    *
+    * Scale shape at 100 TB: one vocab agg shuffle (map-side collapsing),
+    * a |V|-bounded driver read (guarded), then a map-only encode pass +
+    * one agg shuffle on source. K appears only in the table size. */
+  def x33_bpe_encoder(s: SparkSession, d: String): DataFrame = {
+    val merges = BpeModel.learnMergesLocal(BpeModel.collectVocab(s, d), 256)
+    x33MergesMemo.set(merges)
+    def isAlpha(c: Column) = c.rlike("\\A[a-z]+\\z")
+    val units = org.apache.spark.sql.GraftShim.column(
+      graft.functions.expressions.BpeUnitCount(
+        org.apache.spark.sql.GraftShim.expression(col("tok")), merges))
+    Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .select(col("source"), isAlpha(col("tok")).as("al"), units.as("u"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("ws_tokens"),
+        sum(when(col("al"), 1L).otherwise(0L)).as("alpha_tokens"),
+        sum(col("u")).as("bpe_tokens"))
+      .orderBy("source")
+  }
+
+  /** x33's learned merge table, memoized at query-construction time so
+    * [[oracle]] can embed it in the twin (Verify dumps oracle_sql.json
+    * AFTER running every query). When x33 has not run in this session the
+    * x33 oracle entry is simply absent → the driver records the weaker
+    * rows-only check instead of comparing against a stale table. */
+  private val x33MergesMemo =
+    new java.util.concurrent.atomic.AtomicReference[Seq[(String, String)]]()
 
   /** X19 (L4+ selection): DSIR-style hashed-ngram importance weighting
     * (arXiv:2302.03169 [L]): pick pretraining data that "looks like" a
@@ -1116,6 +1171,7 @@ object TextQueries {
     "x18_bpe_pairs" -> (x18_bpe_pairs _),
     "x31_bpe_apply" -> (x31_bpe_apply _),
     "x32_bpe_served" -> (x32_bpe_served _),
+    "x33_bpe_encoder" -> (x33_bpe_encoder _),
     "x17_gopher_rules" -> (x17_gopher_rules _),
     "x16_mixture" -> (x16_mixture _),
     "x15_bm25" -> (x15_bm25 _),
@@ -1184,7 +1240,43 @@ object TextQueries {
        |GROUP BY t.source ORDER BY t.source""".stripMargin
   }
 
-  val oracle: Map[String, String] = Map(
+  /** x33's twin: apply the SAME learned K-merge table (embedded as
+    * literals — the same-algorithm-twin convention for model-shaped ops;
+    * x31's twin independently replays TRAINING, this one independently
+    * replays the APPLY at production K) as nested replaces over the
+    * DISTINCT vocabulary, then the identical per-source accounting. The
+    * encoder's rank-scan loop and DuckDB's 256-deep replace chain share
+    * nothing but the merge list, so the hash gate proves the encode
+    * semantics end to end. */
+  private def x33Oracle(merges: Seq[(String, String)]): String = {
+    val wExpr = merges.foldLeft("regexp_replace(tok, '(.)', '/\\1/', 'g')") {
+      case (w, (a, b)) => s"replace($w, '/$a//$b/', '/$a$b/')"
+    }
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT source, unnest(string_split(lower(text),' ')) AS tok
+       |  FROM documents),
+       |vk AS MATERIALIZED (
+       |  SELECT tok, $wExpr AS w
+       |  FROM (SELECT DISTINCT tok FROM toks
+       |        WHERE regexp_matches(tok, '^[a-z]+$$')) u)
+       |SELECT t.source,
+       |  count(*) AS ws_tokens,
+       |  cast(sum(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS alpha_tokens,
+       |  cast(sum(CASE WHEN v.tok IS NOT NULL
+       |       THEN (len(v.w) - len(replace(v.w, '/', ''))) / 2 ELSE 1 END) AS BIGINT) AS bpe_tokens
+       |FROM toks t LEFT JOIN vk v ON t.tok = v.tok
+       |GROUP BY t.source ORDER BY t.source""".stripMargin
+  }
+
+  /** The oracle map is a DEF: x33's twin embeds the merge table learned
+    * at query-construction time (Verify dumps oracle_sql.json after all
+    * queries ran), and is absent when x33 never ran in this session. */
+  def oracle: Map[String, String] = Option(x33MergesMemo.get()) match {
+    case Some(m) => staticOracle + ("x33_bpe_encoder" -> x33Oracle(m))
+    case None => staticOracle
+  }
+
+  private val staticOracle: Map[String, String] = Map(
     "x31_bpe_apply" -> x31Oracle(8),
     // artifact-served twin: v1's K = x31's K, so the serve must equal
     // the fresh recompute — the same 8-round CTE chain

@@ -1128,6 +1128,16 @@ case class ColumnarPartialAggExec(
     // pass-through instead of OOMing
     val maxGroups = org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.graft.columnarAgg.maxGroups", "1048576").toInt
+    // packed-field id headroom (r15 advisor note): between two post-batch
+    // flush checks a batch can add at most batch-size new per-key ids
+    // beyond the live group count, so the headroom reserved below the
+    // pack-field capacity must dominate the CONFIGURED reader batch size —
+    // spark.sql.parquet.columnarReaderBatchSize is user-settable above the
+    // old fixed 1<<17. Captured on the driver with the other plan confs.
+    val idHeadroom = math.max(1 << 17,
+      org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.sql.parquet.columnarReaderBatchSize", "4096")
+        .toInt + 1)
     scan.executeColumnar().mapPartitions { batches =>
       val keys = kernel.keys
       // slot assignment: LKey → dense slot id; accumulator state lives in
@@ -1174,8 +1184,8 @@ case class ColumnarPartialAggExec(
       val fieldMask = (1L << fieldBits) - 1 // fieldBits=63: Long.MaxValue
       val packedCap: Int =
         if (!packedMode) Int.MaxValue
-        else if (fieldBits >= 31) Int.MaxValue - (1 << 17)
-        else (1 << fieldBits) - (1 << 17)
+        else if (fieldBits >= 31) Int.MaxValue - idHeadroom
+        else (1 << fieldBits) - idHeadroom
       val packMap = if (packedMode) new LongToSlot(8192) else null
       var packKeys = if (packedMode) new Array[Long](8192) else null
       var packN = 0
@@ -1373,6 +1383,17 @@ case class ColumnarPartialAggExec(
       def consumePacked(batch: ColumnarBatch): Unit = {
         batchGen += 1
         val n = batch.numRows()
+        // hard overflow guard (r15 advisor note): transient per-key ids
+        // this batch cannot exceed live-groups + n, and every emitted
+        // field is id+1 — if that bound could reach past fieldMask,
+        // distinct groups would silently fold together. packedCap's
+        // conf-derived headroom makes this unreachable; the assert turns
+        // a future invariant break into a loud error, not wrong results.
+        if (packN.toLong + n.toLong + 1L > fieldMask)
+          throw new IllegalStateException(
+            s"graft.ColumnarPartialAgg: packed-key id space exhausted " +
+              s"(live=$packN, batch=$n, fieldBits=$fieldBits) — raise " +
+              "headroom vs spark.sql.parquet.columnarReaderBatchSize")
         if (slots.length < n) slots = new Array[Int](n)
         if (predBuf.length < n) predBuf = new Array[Byte](n)
         if (fieldBufs(0).length < n)
