@@ -72,7 +72,8 @@ object ColumnarPartialAgg {
     * here — one Scratch per accumulator instance, and accumulators are
     * created per-partition by `accFactory()`. Borrow/release is strictly
     * stack-wise (an inner node pushes one frame per extra operand). */
-  private[spark] final class Scratch {
+  private[spark] final class Scratch(val sharedFills: SharedFills) {
+    def this() = this(null)
     private var ds = new Array[Array[Double]](4)
     private var bs = new Array[Array[Boolean]](4)
     private var depth = 0
@@ -92,6 +93,90 @@ object ColumnarPartialAgg {
     def d(ix: Int): Array[Double] = ds(ix)
     def b(ix: Int): Array[Boolean] = bs(ix)
     def pop(): Unit = depth -= 1
+  }
+
+  /** Per-partition cache of batch-filled SHARED subexpression results
+    * (r16 — a1's charge input re-evaluated its disc-price subtree every
+    * batch): one (values, nulls) frame per shared subtree id, valid for
+    * the generation the exec bumps per consumed batch. The batch OBJECT
+    * is not a valid key — Spark's vectorized reader reuses the same
+    * ColumnarBatch instance across next() calls. */
+  private[spark] final class SharedFills(n: Int) {
+    var gen = 0
+    private val genFor = new Array[Int](n)
+    private val lens = new Array[Int](n)
+    private val vals = new Array[Array[Double]](n)
+    private val nls = new Array[Array[Boolean]](n)
+    def newBatch(): Unit = gen += 1
+    /** Copy id's cached frame into (out, nl) if valid for this batch. */
+    def fetch(id: Int, n0: Int, out: Array[Double], nl: Array[Boolean]): Boolean =
+      if (genFor(id) == gen && lens(id) == n0) {
+        System.arraycopy(vals(id), 0, out, 0, n0)
+        System.arraycopy(nls(id), 0, nl, 0, n0)
+        true
+      } else false
+    def store(id: Int, n0: Int, out: Array[Double], nl: Array[Boolean]): Unit = {
+      if (vals(id) == null || vals(id).length < n0) {
+        vals(id) = new Array[Double](n0); nls(id) = new Array[Boolean](n0)
+      }
+      System.arraycopy(out, 0, vals(id), 0, n0)
+      System.arraycopy(nl, 0, nls(id), 0, n0)
+      genFor(id) = gen; lens(id) = n0
+    }
+  }
+
+  /** Driver-side registry of double arithmetic subtrees appearing ≥2
+    * times across one aggregate's batch-filled inputs (keyed by the
+    * canonicalized expression); ids are assigned in compile order, which
+    * is deterministic, so the plan-time and execution-time compiles of
+    * the same aggregate agree. */
+  private[spark] final class ShareMap {
+    private val counts = new java.util.HashMap[Expression, Integer]()
+    private val ids = new java.util.HashMap[Expression, Integer]()
+    def bump(e: Expression): Unit = {
+      counts.merge(e.canonicalized, 1, (a, b) => a + b); ()
+    }
+    /** Shared id for `e`, or -1 when it is not worth caching. */
+    def shareId(e: Expression): Int = {
+      val k = e.canonicalized
+      if (counts.getOrDefault(k, 0) < 2) -1
+      else ids.computeIfAbsent(k, _ => ids.size()).intValue()
+    }
+    def n: Int = ids.size()
+  }
+
+  /** The share registry active while compiling one aggregate's inputs —
+    * a ThreadLocal instead of threading a parameter through every
+    * recursive compile call; compileAgg (driver-side, single-threaded
+    * per plan) sets and clears it around the input compiles only, so key
+    * and predicate compiles never wrap. */
+  private val activeShares = new ThreadLocal[ShareMap]
+
+  private def maybeShare(e: Expression, node: DoubleCol): DoubleCol = {
+    val shares = activeShares.get()
+    if (shares == null) node
+    else {
+      val id = shares.shareId(e)
+      if (id < 0) node else new SharedDoubleCol(id, node)
+    }
+  }
+
+  /** Wraps a filled subtree: the first fill of a batch computes and
+    * caches, every later fill of the same subtree in the same batch is
+    * two arraycopies. Falls through untouched on the per-row path. */
+  private final class SharedDoubleCol(id: Int, inner: DoubleCol)
+      extends DoubleCol {
+    def isNull(b: ColumnarBatch, i: Int) = inner.isNull(b, i)
+    def get(b: ColumnarBatch, i: Int) = inner.get(b, i)
+    override def fill(batch: ColumnarBatch, n: Int, out: Array[Double],
+        nulls: Array[Boolean], s: Scratch): Unit = {
+      val sf = s.sharedFills
+      if (sf == null) inner.fill(batch, n, out, nulls, s)
+      else if (!sf.fetch(id, n, out, nulls)) {
+        inner.fill(batch, n, out, nulls, s)
+        sf.store(id, n, out, nulls)
+      }
+    }
   }
 
   // ——— typed per-row column programs over a ColumnarBatch ———
@@ -331,7 +416,7 @@ object ColumnarPartialAgg {
     // IEEE double ops are bit-exact in any engine, null propagates
     case m: Multiply if m.dataType == DoubleType =>
       (compile(m.left, scanOut), compile(m.right, scanOut)) match {
-        case (Some(l: DoubleCol), Some(r: DoubleCol)) => Some(new DoubleCol {
+        case (Some(l: DoubleCol), Some(r: DoubleCol)) => Some(maybeShare(m, new DoubleCol {
           def isNull(b: ColumnarBatch, i: Int) = l.isNull(b, i) || r.isNull(b, i)
           def get(b: ColumnarBatch, i: Int) = l.get(b, i) * r.get(b, i)
           override def fill(batch: ColumnarBatch, n: Int, out: Array[Double],
@@ -346,12 +431,12 @@ object ColumnarPartialAgg {
             }
             s.pop()
           }
-        })
+        }))
         case _ => None
       }
     case a: Add if a.dataType == DoubleType =>
       (compile(a.left, scanOut), compile(a.right, scanOut)) match {
-        case (Some(l: DoubleCol), Some(r: DoubleCol)) => Some(new DoubleCol {
+        case (Some(l: DoubleCol), Some(r: DoubleCol)) => Some(maybeShare(a, new DoubleCol {
           def isNull(b: ColumnarBatch, i: Int) = l.isNull(b, i) || r.isNull(b, i)
           def get(b: ColumnarBatch, i: Int) = l.get(b, i) + r.get(b, i)
           override def fill(batch: ColumnarBatch, n: Int, out: Array[Double],
@@ -366,12 +451,12 @@ object ColumnarPartialAgg {
             }
             s.pop()
           }
-        })
+        }))
         case _ => None
       }
     case sub: Subtract if sub.dataType == DoubleType =>
       (compile(sub.left, scanOut), compile(sub.right, scanOut)) match {
-        case (Some(l: DoubleCol), Some(r: DoubleCol)) => Some(new DoubleCol {
+        case (Some(l: DoubleCol), Some(r: DoubleCol)) => Some(maybeShare(sub, new DoubleCol {
           def isNull(b: ColumnarBatch, i: Int) = l.isNull(b, i) || r.isNull(b, i)
           def get(b: ColumnarBatch, i: Int) = l.get(b, i) - r.get(b, i)
           override def fill(batch: ColumnarBatch, n: Int, out: Array[Double],
@@ -386,7 +471,7 @@ object ColumnarPartialAgg {
             }
             s.pop()
           }
-        })
+        }))
         case _ => None
       }
     case Literal(v: Long, TimestampType | TimestampNTZType) =>
@@ -536,11 +621,11 @@ object ColumnarPartialAgg {
     }
     def reset(): Unit = ns = new Array[Long](0)
   }
-  private final class DoubleSumAcc(e: DoubleCol, batchFill: Boolean)
-      extends Acc {
+  private final class DoubleSumAcc(e: DoubleCol, batchFill: Boolean,
+      sf: SharedFills) extends Acc {
     private var sums = new Array[Double](0)
     private var seen = new Array[Boolean](0)
-    private val scratch = if (batchFill) new Scratch else null
+    private val scratch = if (batchFill) new Scratch(sf) else null
     private var vals = new Array[Double](0)
     private var vnulls = new Array[Boolean](0)
     def grow(n: Int): Unit = if (sums.length < n) {
@@ -616,11 +701,11 @@ object ColumnarPartialAgg {
   }
   /** Average over a double input: buffer is Spark Average's
     * (sum: double, count: long) — the final agg computes the division. */
-  private final class DoubleAvgAcc(e: DoubleCol, batchFill: Boolean)
-      extends Acc {
+  private final class DoubleAvgAcc(e: DoubleCol, batchFill: Boolean,
+      sf: SharedFills) extends Acc {
     private var sums = new Array[Double](0)
     private var ns = new Array[Long](0)
-    private val scratch = if (batchFill) new Scratch else null
+    private val scratch = if (batchFill) new Scratch(sf) else null
     private var vals = new Array[Double](0)
     private var vnulls = new Array[Boolean](0)
     def grow(n: Int): Unit = if (sums.length < n) {
@@ -763,8 +848,8 @@ object ColumnarPartialAgg {
     * isEmpty=false) so the final aggregate reports null. ANSI: both
     * cases THROW, exactly where the stock cast/sum would. */
   private final class DecimalSumAcc(e: DoubleCol, precision: Int, scale: Int,
-      ansi: Boolean, batchFill: Boolean) extends Acc {
-    private val scratch = if (batchFill) new Scratch else null
+      ansi: Boolean, batchFill: Boolean, sf: SharedFills) extends Acc {
+    private val scratch = if (batchFill) new Scratch(sf) else null
     private var vals = new Array[Double](0)
     private var vnulls = new Array[Boolean](0)
     private val factor = math.pow(10d, scale)
@@ -814,29 +899,37 @@ object ColumnarPartialAgg {
         if (ansi) overflow(d.toString)
       } else {
         val y = d * factor
-        val frac = y - Math.floor(y)
-        if (Math.abs(frac - 0.5) > 1e-3 && Math.abs(y) < 4.0e18) {
+        if (Math.abs(y) < 4.0e18) {
           val u = Math.round(y) // nearest == HALF_UP off-boundary
-          if (Math.abs(u) <= maxInputUnscaled) {
-            isEmpty(s) = false
-            addUnscaled(s, u)
-          } else if (ansi) overflow(d.toString)
-        } else {
-          // boundary or out-of-long range: exact Spark cast semantics
-          val exact = new java.math.BigDecimal(java.lang.Double.toString(d))
-            .setScale(scale, java.math.RoundingMode.HALF_UP)
-          if (exact.precision <= precision) {
-            isEmpty(s) = false
-            if (bigs(s) == null && exact.unscaledValue().bitLength() < 63)
-              addUnscaled(s, exact.unscaledValue().longValue())
-            else {
-              if (bigs(s) == null)
-                bigs(s) = java.math.BigDecimal.valueOf(unscaled(s), scale)
-              addBig(s, exact)
-            }
-          } else if (ansi) overflow(d.toString)
-        }
+          // |y − u| = min(frac, 1−frac): < 0.499 ⟺ the old
+          // |frac − 0.5| > 1e-3 guard band, with one round instead of a
+          // floor + frac + round chain (r16 — this runs per value per
+          // decimal sum, 4× per row on a1's 100 M-row ledger). A ±1-ulp
+          // routing difference at the band edge only moves a value to the
+          // exact slow path, never changes the quantized result.
+          if (Math.abs(y - u.toDouble) < 0.499) {
+            if (Math.abs(u) <= maxInputUnscaled) {
+              isEmpty(s) = false
+              addUnscaled(s, u)
+            } else if (ansi) overflow(d.toString)
+          } else addBoundary(s, d)
+        } else addBoundary(s, d)
       }
+    }
+    // boundary or out-of-long range: exact Spark cast semantics
+    private def addBoundary(s: Int, d: Double): Unit = {
+      val exact = new java.math.BigDecimal(java.lang.Double.toString(d))
+        .setScale(scale, java.math.RoundingMode.HALF_UP)
+      if (exact.precision <= precision) {
+        isEmpty(s) = false
+        if (bigs(s) == null && exact.unscaledValue().bitLength() < 63)
+          addUnscaled(s, exact.unscaledValue().longValue())
+        else {
+          if (bigs(s) == null)
+            bigs(s) = java.math.BigDecimal.valueOf(unscaled(s), scale)
+          addBig(s, exact)
+        }
+      } else if (ansi) overflow(d.toString)
     }
     def updateBatch(b: ColumnarBatch, n: Int, slots: Array[Int]): Unit = {
       if (batchFill) {
@@ -902,8 +995,9 @@ object ColumnarPartialAgg {
   }
 
   private[spark] final case class Kernel(keys: Array[KeySpec],
-    accFactory: () => Array[Acc],
-    pred: Option[(ColumnarBatch, Int) => Byte]) extends Serializable
+    accFactory: SharedFills => Array[Acc],
+    pred: Option[(ColumnarBatch, Int) => Byte],
+    nShared: Int) extends Serializable
 
   /** Open-addressed long → slot map (linear probing, power-of-two
     * capacity, 0.7 load): the probe path for the dominant
@@ -958,6 +1052,59 @@ object ColumnarPartialAgg {
     }
   }
 
+  /** Open-addressed (long, long) → slot map — [[LongToSlot]]'s shape for
+    * the r16 two-word packed composite key (4–6 grouping keys: 63 bits is
+    * too tight for 4+ id fields, so the fields split across two words).
+    * Same linear probing / power-of-two / 0.7-load discipline; zero
+    * allocation per row and per group. */
+  private[spark] final class Long2ToSlot(initCap: Int) {
+    private var cap = Integer.highestOneBit(math.max(16, initCap) - 1) << 1
+    private var k1s = new Array[Long](cap)
+    private var k2s = new Array[Long](cap)
+    private var vs = new Array[Int](cap)
+    java.util.Arrays.fill(vs, -1)
+    private var n = 0
+    private def mix(k1: Long, k2: Long): Int = {
+      var z = k1 * -0x61c8864680b583ebL
+      z ^= (z >>> 31)
+      z = (z ^ k2) * -0x61c8864680b583ebL
+      z ^= (z >>> 31)
+      z.toInt
+    }
+    def clear(): Unit = { java.util.Arrays.fill(vs, -1); n = 0 }
+    private def grow(): Unit = {
+      val o1 = k1s; val o2 = k2s; val ov = vs
+      cap <<= 1
+      k1s = new Array[Long](cap)
+      k2s = new Array[Long](cap)
+      vs = new Array[Int](cap)
+      java.util.Arrays.fill(vs, -1)
+      var i = 0
+      while (i < o1.length) {
+        if (ov(i) != -1) {
+          var idx = mix(o1(i), o2(i)) & (cap - 1)
+          while (vs(idx) != -1) idx = (idx + 1) & (cap - 1)
+          k1s(idx) = o1(i); k2s(idx) = o2(i); vs(idx) = ov(i)
+        }
+        i += 1
+      }
+    }
+    def getOrInsert(k1: Long, k2: Long, next: Int): Int = {
+      var idx = mix(k1, k2) & (cap - 1)
+      while (true) {
+        val v = vs(idx)
+        if (v == -1) {
+          k1s(idx) = k1; k2s(idx) = k2; vs(idx) = next; n += 1
+          if (n.toLong * 10 > cap.toLong * 7) grow()
+          return next
+        }
+        if (k1s(idx) == k1 && k2s(idx) == k2) return v
+        idx = (idx + 1) & (cap - 1)
+      }
+      -1 // unreachable
+    }
+  }
+
   /** Plan-time compilation of the whole match, or None to leave the plan
     * untouched. */
   def compileAgg(agg: HashAggregateExec, scan: FileSourceScanExec,
@@ -1006,14 +1153,36 @@ object ColumnarPartialAgg {
       }
     }
     if (keySpecs.exists(_.isEmpty)) return None
-    val accFactories: Seq[Option[() => Acc]] =
-      agg.aggregateExpressions.map { ae =>
+    // shared-subexpression registry (r16): double arithmetic subtrees
+    // appearing in 2+ batch-filled aggregate inputs (a1: price*(1-disc)
+    // feeds both the disc and charge sums) are computed once per batch
+    // and served from SharedFills thereafter
+    val shares = new ShareMap
+    agg.aggregateExpressions.foreach { ae =>
+      val filled: Option[Expression] = ae.aggregateFunction match {
+        case s: Sum => Some(subst(s.child) match {
+          case Cast(inner, _, _, _) if inner.dataType == DoubleType => inner
+          case e => e
+        })
+        case av: Average => Some(subst(av.child))
+        case _ => None
+      }
+      filled.foreach(_.foreach {
+        case m @ (_: Multiply | _: Add | _: Subtract)
+            if m.dataType == DoubleType => shares.bump(m)
+        case _ => ()
+      })
+    }
+    activeShares.set(shares)
+    val accFactories: Seq[Option[SharedFills => Acc]] =
+      try agg.aggregateExpressions.map { ae =>
         if (ae.mode != Partial || ae.isDistinct || ae.filter.isDefined) None
         else ae.aggregateFunction match {
           case c: Count => c.children match {
-            case Seq(Literal(v, _)) if v != null => Some(() => new CountAcc(None))
+            case Seq(Literal(v, _)) if v != null =>
+              Some((_: SharedFills) => new CountAcc(None))
             case Seq(one) => compile(subst(one), scanOut)
-              .map(col => () => new CountAcc(Some(col)))
+              .map(col => (_: SharedFills) => new CountAcc(Some(col)))
             case _ => None
           }
           case s: Sum => (s.child.dataType, subst(s.child)) match {
@@ -1024,17 +1193,18 @@ object ColumnarPartialAgg {
                 Seq(DecimalType(dt.precision, dt.scale), BooleanType)
               compile(inner, scanOut).collect {
                 case dc: DoubleCol if bufOk =>
-                  () => new DecimalSumAcc(dc, dt.precision, dt.scale, ansi, batchFill)
+                  (sf: SharedFills) =>
+                    new DecimalSumAcc(dc, dt.precision, dt.scale, ansi, batchFill, sf)
               }
             case (DoubleType, se) => compile(se, scanOut).collect {
               case dc: DoubleCol
                   if s.aggBufferAttributes.map(_.dataType) == Seq(DoubleType) =>
-                () => new DoubleSumAcc(dc, batchFill)
+                (sf: SharedFills) => new DoubleSumAcc(dc, batchFill, sf)
             }
             case (LongType, se) => compile(se, scanOut).collect {
               case lc: LongCol
                   if s.aggBufferAttributes.map(_.dataType) == Seq(LongType) =>
-                () => new LongSumAcc(lc, ansi)
+                (_: SharedFills) => new LongSumAcc(lc, ansi)
             }
             case _ => None
           }
@@ -1042,7 +1212,8 @@ object ColumnarPartialAgg {
               av.aggBufferAttributes.map(_.dataType) ==
                 Seq(DoubleType, LongType) =>
             compile(subst(av.child), scanOut).collect {
-              case dc: DoubleCol => () => new DoubleAvgAcc(dc, batchFill)
+              case dc: DoubleCol =>
+                (sf: SharedFills) => new DoubleAvgAcc(dc, batchFill, sf)
             }
           case mm @ (_: Min | _: Max) =>
             val isMin = mm.isInstanceOf[Min]
@@ -1053,19 +1224,20 @@ object ColumnarPartialAgg {
             else compile(subst(child), scanOut).flatMap {
               case lc: LongCol => child.dataType match {
                 case LongType | TimestampType | TimestampNTZType =>
-                  Some(() => new LongMinMaxAcc(lc, isMin, emitInt = false))
+                  Some((_: SharedFills) => new LongMinMaxAcc(lc, isMin, emitInt = false))
                 case IntegerType | DateType =>
-                  Some(() => new LongMinMaxAcc(lc, isMin, emitInt = true))
+                  Some((_: SharedFills) => new LongMinMaxAcc(lc, isMin, emitInt = true))
                 case _ => None
               }
               case dc: DoubleCol if child.dataType == DoubleType =>
-                Some(() => new DoubleMinMaxAcc(dc, isMin))
-              case sc: StringCol => Some(() => new StringMinMaxAcc(sc, isMin))
+                Some((_: SharedFills) => new DoubleMinMaxAcc(dc, isMin))
+              case sc: StringCol =>
+                Some((_: SharedFills) => new StringMinMaxAcc(sc, isMin))
               case _ => None
             }
           case _ => None
         }
-      }
+      } finally activeShares.remove()
     if (accFactories.exists(_.isEmpty)) return None
     // partial output must be exactly the grouping attributes followed by
     // the aggregate buffer attributes, exprId-wise in order — a same-length
@@ -1087,8 +1259,9 @@ object ColumnarPartialAgg {
       .forall((a, bp) => a.exprId == bp._1.exprId || a.exprId == bp._2.exprId)
     if (!groupOk || !bufOk) return None
     val factories = accFactories.map(_.get).toArray
-    Some(Kernel(keySpecs.map(_.get).toArray, () => factories.map(_()),
-      predEval.map(_.get)))
+    Some(Kernel(keySpecs.map(_.get).toArray,
+      (sf: SharedFills) => factories.map(_(sf)),
+      predEval.map(_.get), shares.n))
   }
 }
 
@@ -1145,7 +1318,9 @@ case class ColumnarPartialAggExec(
       // updates, one virtual call per acc per batch)
       val slotMap = new java.util.HashMap[LKey, Integer]()
       val slotKeys = new scala.collection.mutable.ArrayBuffer[LKey]()
-      val accs = kernel.accFactory()
+      // one shared-fill cache per partition, generation-bumped per batch
+      val sharedFills = new SharedFills(kernel.nShared)
+      val accs = kernel.accFactory(sharedFills)
       var slots = new Array[Int](8192)
       val probe = new LKey(new Array[Long](nKeys + 1)) // last slot: null bits
       // single-long-key fast path: primitive open-addressed probes (the
@@ -1177,17 +1352,23 @@ case class ColumnarPartialAggExec(
       // decode floor for a1 (0.57 s of 1.45 s) and t1 (0.5 s of 0.88 s).
       // Exactness: per-key ids never exceed the live composite count, and
       // the flush threshold is capped below the field capacity (minus one
-      // max batch of headroom), so a field can never overflow; the legacy
-      // path remains for >3 keys.
-      val packedMode = fastMap == null && nKeys >= 1 && nKeys <= 3
-      val fieldBits = if (packedMode) 63 / nKeys else 1
+      // max batch of headroom), so a field can never overflow. 4-6 keys
+      // (r16) pack into TWO words probed through Long2ToSlot — 63 bits is
+      // too tight for 4+ fields (the r15 cardinality cliff); the legacy
+      // boxed-LKey path remains only past 6 keys.
+      val packedMode = fastMap == null && nKeys >= 1 && nKeys <= 6
+      val packedWide = packedMode && nKeys > 3 // two-word pack
+      val halfKeys = if (packedWide) (nKeys + 1) / 2 else nKeys
+      val fieldBits = if (packedMode) 63 / halfKeys else 1
       val fieldMask = (1L << fieldBits) - 1 // fieldBits=63: Long.MaxValue
       val packedCap: Int =
         if (!packedMode) Int.MaxValue
         else if (fieldBits >= 31) Int.MaxValue - idHeadroom
         else (1 << fieldBits) - idHeadroom
-      val packMap = if (packedMode) new LongToSlot(8192) else null
+      val packMap = if (packedMode && !packedWide) new LongToSlot(8192) else null
+      val packMap2 = if (packedWide) new Long2ToSlot(8192) else null
       var packKeys = if (packedMode) new Array[Long](8192) else null
+      var packKeys2 = if (packedWide) new Array[Long](8192) else null
       var packN = 0
       val keyValMaps: Array[LongToSlot] = keys.map {
         case LongKey(_, _) if packedMode => new LongToSlot(1024)
@@ -1262,13 +1443,17 @@ case class ColumnarPartialAggExec(
           while (a < accs.length) { off = accs(a).emit(slot, row, off); a += 1 }
           proj(row): InternalRow
         }
-      def emitAllPacked(ks: Array[Long], n: Int): Iterator[InternalRow] =
+      def emitAllPacked(ks: Array[Long], ks2: Array[Long], n: Int)
+          : Iterator[InternalRow] =
         Iterator.range(0, n).map { slot =>
           val row = reusedRow
           val pk = ks(slot)
+          val pk2 = if (ks2 == null) 0L else ks2(slot)
           var k = 0
           while (k < nKeys) {
-            val field = (pk >>> (k * fieldBits)) & fieldMask
+            val field =
+              if (k < halfKeys) (pk >>> (k * fieldBits)) & fieldMask
+              else (pk2 >>> ((k - halfKeys) * fieldBits)) & fieldMask
             if (field == 0L) row.update(k, null)
             else keys(k) match {
               case LongKey(_, emitInt) =>
@@ -1297,8 +1482,11 @@ case class ColumnarPartialAggExec(
           // per-key value tables (keyVals/names/interns) stay live until
           // the iterator drains — they reset with the accumulators
           val ksnap = java.util.Arrays.copyOf(packKeys, packN)
-          val out = emitAllPacked(ksnap, packN)
-          packMap.clear(); packN = 0
+          val ksnap2 =
+            if (packedWide) java.util.Arrays.copyOf(packKeys2, packN) else null
+          val out = emitAllPacked(ksnap, ksnap2, packN)
+          if (packedWide) packMap2.clear() else packMap.clear()
+          packN = 0
           out
         } else {
           val ks = slotKeys.toIndexedSeq
@@ -1411,6 +1599,34 @@ case class ColumnarPartialAggExec(
           }
           k += 1
         }
+        if (packedWide) {
+          // two-word combine: fields 0..halfKeys-1 in word 1, rest in 2
+          var i = 0
+          while (i < n) {
+            if (havePred && predBuf(i) != 1) slots(i) = -1
+            else {
+              var pk1 = 0L
+              var k = 0
+              while (k < halfKeys) { pk1 |= fieldBufs(k)(i) << (k * fieldBits); k += 1 }
+              var pk2 = 0L
+              while (k < nKeys) {
+                pk2 |= fieldBufs(k)(i) << ((k - halfKeys) * fieldBits); k += 1
+              }
+              val s = packMap2.getOrInsert(pk1, pk2, packN)
+              if (s == packN) {
+                if (packN == packKeys.length) {
+                  packKeys = java.util.Arrays.copyOf(packKeys, packN * 2)
+                  packKeys2 = java.util.Arrays.copyOf(packKeys2, packN * 2)
+                }
+                packKeys(packN) = pk1
+                packKeys2(packN) = pk2
+                packN += 1
+              }
+              slots(i) = s
+            }
+            i += 1
+          }
+        } else {
         val fb0 = fieldBufs(0)
         val fb1 = if (nKeys > 1) fieldBufs(1) else null
         val fb2 = if (nKeys > 2) fieldBufs(2) else null
@@ -1432,6 +1648,7 @@ case class ColumnarPartialAggExec(
           }
           i += 1
         }
+        }
         val nSlots = packN
         var a = 0
         while (a < accs.length) {
@@ -1441,6 +1658,7 @@ case class ColumnarPartialAggExec(
         }
       }
       def consume(batch: ColumnarBatch): Unit = {
+        sharedFills.newBatch()
         if (packedMode) { consumePacked(batch); return }
         val n = batch.numRows()
         if (slots.length < n) slots = new Array[Int](n)

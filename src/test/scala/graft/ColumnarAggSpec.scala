@@ -172,7 +172,8 @@ class ColumnarAggSpec extends SparkSpec {
     import org.apache.spark.sql.Column
     val keyCands: Seq[() => Column] = Seq(
       () => col("s1"), () => col("s2"), () => col("l1"), () => col("i1"),
-      () => date_trunc("hour", col("t1")), () => date_trunc("day", col("t1")))
+      () => date_trunc("hour", col("t1")), () => date_trunc("day", col("t1")),
+      () => col("j1")) // 7th key: draws past 6 exercise the legacy path
     val aggCands: Seq[() => Column] = Seq(
       () => count(lit(1)).as("c"),
       () => count(col("d1")).as("cd"),
@@ -198,9 +199,10 @@ class ColumnarAggSpec extends SparkSpec {
     // path must equal ITS stock twin
     try for (ansi <- Seq(true, false); draw <- 1 to nDraws) {
       spark.conf.set("spark.sql.ansi.enabled", ansi.toString)
-      // 1–3 keys ride the r15 PACKED path; 4 keys the legacy LKey path —
-      // both must stay fuzz-covered
-      val nK = 1 + rnd.nextInt(4)
+      // 1–3 keys ride the r15 one-word PACKED path, 4–6 the r16 two-word
+      // pack, 7 the legacy boxed-LKey path — all three must stay
+      // fuzz-covered
+      val nK = 1 + rnd.nextInt(7)
       val keys = rnd.shuffle(keyCands).take(nK).map(_())
       val aggs = rnd.shuffle(aggCands).take(1 + rnd.nextInt(3)).map(_())
       def run() = t().groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
