@@ -150,7 +150,12 @@ object ScaleProbe {
         // r15: artifact-served tokenizer accounting (training cached per
         // corpus version; the probe pays the ≤K-row merge read + the
         // map-only apply pass — slope is the apply kernel's alone)
-        "x32_bpe_served")
+        "x32_bpe_served",
+        // r16: production-K encoder — one vocab shuffle + a bounded
+        // driver collect + 256 in-memory training rounds (|V|-bounded,
+        // corpus-independent) + the map-only rank-scan encode; the slope
+        // must be the encode pass's, near-flat in corpus size
+        "x33_bpe_encoder")
         .filter(n => args.lift(1).forall(_.split(',').contains(n)))
         .map(n => n -> SparkEntry.queries(n))
     factors.foreach { f =>
