@@ -19,7 +19,15 @@ object SparkEntry {
       HybridAnn.queries ++ CqlQueries.queries ++ AdminQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * ORDERING CONTRACT (r16 verdict #6): this map is a `def` and must be
+    * read AFTER running the queries — model-shaped twins (x33) embed the
+    * table learned at query-construction time. Read before any query the
+    * map simply OMITS those keys (the driver then records the weaker
+    * rows-only check — absent, never wrong; AdviceRegressionSpec pins
+    * this), and a session that ran the query on more than one dataset
+    * omits them too (ambiguous). Verify.scala runs queries first. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ CassandraModel.oracle ++
       VectorQueries.oracle ++ DedupQueries.oracle ++ TextQueries.oracle ++

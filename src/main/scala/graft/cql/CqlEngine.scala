@@ -1167,7 +1167,7 @@ class CqlEngine(spark: SparkSession, catalog: Map[String, CqlTable],
           // actually has the v1-uuid shape; a text column holding a plain
           // date/timestamp string converts with cast, as upstream does.
           val uuidV1 =
-            "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-1[0-9a-fA-F]{3}-[89abAB][0-9a-fA-F]{3}-[0-9a-fA-F]{12}$"
+            "\\A[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-1[0-9a-fA-F]{3}-[89abAB][0-9a-fA-F]{3}-[0-9a-fA-F]{12}\\z"
           val ts = args.lift(0) match {
             case Some(ColArg(n)) if isStringCol(t, n) =>
               when(col(n).rlike(uuidV1), timeuuidToTimestamp(col(n)))

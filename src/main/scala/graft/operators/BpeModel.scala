@@ -88,20 +88,36 @@ object BpeModel {
     * tokenizer on the aggregated word-count table (vocab ≪ corpus) is the
     * production shape every BPE trainer runs [P: Sennrich et al. 2016;
     * HuggingFace tokenizers / SentencePiece both train single-process
-    * over word counts]. Guarded: refuses above `maxVocab` rows rather
-    * than silently OOMing the driver — at that point training belongs on
-    * the distributed loop ([[learnMerges]]) or a vocabulary cap upstream. */
+    * over word counts].
+    *
+    * `minFreq` is the FREQUENCY FLOOR (r16 verdict: the web-scale path) —
+    * `HAVING count >= minFreq` applied INSIDE the agg plan, before the
+    * collect: a web-scale corpus has ~10⁸ distinct alpha tokens, but the
+    * mass is in the head — real trainers (SentencePiece, HF tokenizers)
+    * prune hapax/low-freq types before pair counting, and a singleton
+    * type contributes at most its own frequency to every pair count, so
+    * the floor's effect on the argmax is bounded by minFreq × pairs-per-
+    * word. minFreq=1 keeps every type (bit-compatible with the unpruned
+    * trainer; the default). The floor executes map-side-combined in the
+    * same shuffle — no extra pass.
+    *
+    * Guarded: refuses above `maxVocab` SURVIVING rows rather than
+    * silently OOMing the driver — the refusal names the floor as the
+    * remedy, because at 100 TB the right call is raising minFreq (the
+    * production shape), not collecting 10⁸ rows. */
   def collectVocab(s: SparkSession, d: String,
-      maxVocab: Int = 1 << 22): Array[(String, Long)] = {
+      maxVocab: Int = 1 << 22, minFreq: Long = 1L): Array[(String, Long)] = {
     val rows = graft.Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("tok"))
       .filter(col("tok").rlike("\\A[a-z]+\\z"))
       .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      .filter(col("f") >= minFreq)
       .limit(maxVocab + 1)
       .collect()
     require(rows.length <= maxVocab,
-      s"corpus vocabulary exceeds maxVocab=$maxVocab rows — refusing the " +
-        "driver-side collect; train with the distributed loop instead")
+      s"corpus vocabulary exceeds maxVocab=$maxVocab rows at frequency " +
+        s"floor $minFreq — raise minFreq (the production prune real " +
+        "trainers run) or train with the distributed loop instead")
     rows.map(r => (r.getString(0), r.getLong(1)))
   }
 

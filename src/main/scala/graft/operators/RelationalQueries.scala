@@ -350,6 +350,13 @@ object RelationalQueries {
     files.map(f => s"${f.getPath}|${f.length}|${f.lastModified}").sorted
   }
 
+  /** The path component of a `path|size|mtime` fingerprint line. Size and
+    * mtime are digit runs that never contain '|', so split from the RIGHT
+    * — a data path that itself contains '|' must not mis-parse (r16
+    * advisor note on the naive `split('|')(0)`). */
+  private def partPath(line: String): String =
+    line.substring(0, line.lastIndexOf('|', line.lastIndexOf('|') - 1))
+
   /** The per-(ship_date, returnflag, linestatus) exact decimal(38,6)
     * partial-sum rows the pricing MV stores — shared by the full build
     * (whole table) and the incremental fold (new part files only). */
@@ -391,31 +398,47 @@ object RelationalQueries {
     * exactly, so increment ≡ rebuild bit-for-bit — MvResumeProbe measures
     * the win, a15IncrementalSpec pins the equality); any folded file
     * rewritten or removed (compaction) → full rebuild, the only sound
-    * answer without per-file retractions. Each refresh writes a fresh MV
-    * generation and swaps it in with the sidecar. */
+    * answer without per-file retractions.
+    *
+    * GENERATION SWAP (r17, the BpeModel/QualityModel convention — r16
+    * advisor notes): each refresh writes a NEW `mv-v{N}` generation
+    * directory and repoints ONE sidecar (`_graft_mv_current`: line 1 =
+    * serving generation, rest = its folded inventory) via tmp-file +
+    * atomic rename — MV data and inventory become visible together, and
+    * there is never a window with no MV. The serving and previous
+    * generations are retained (a previously returned lazy DataFrame pins
+    * its generation path); older ones are retired, bounding disk at two
+    * generations. The full path reads EXACTLY the listed inventory paths
+    * — a segment landing between listing and build can never be included
+    * without being recorded. */
   def a15_mv_pricing(s: SparkSession, d: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val dir = pricingMvCache.computeIfAbsent(d,
       _ => graft.Tables.tempRoot("graft-pricing-mv"))
-    this.synchronized {
+    val mvPath: String = this.synchronized {
       val cur = lineitemParts(d)
-      val sidecar = Paths.get(dir, "_graft_mv_inputs")
-      val folded: Seq[String] =
-        if (Files.isRegularFile(sidecar))
-          new String(Files.readAllBytes(sidecar), "UTF-8")
+      val state = Paths.get(dir, "_graft_mv_current")
+      val lines: Seq[String] =
+        if (Files.isRegularFile(state))
+          new String(Files.readAllBytes(state), "UTF-8")
             .split("\n", -1).toSeq.filter(_.nonEmpty)
         else Seq.empty
-      if (folded == cur) a15LastBuild.set("serve")
-      else {
+      val curGen = lines.headOption.getOrElse("")
+      val folded = lines.drop(1)
+      val curGenDir = Paths.get(dir, curGen)
+      if (curGen.nonEmpty && folded == cur && Files.isDirectory(curGenDir)) {
+        a15LastBuild.set("serve")
+        s"$dir/$curGen"
+      } else {
         val partials =
-          if (folded.nonEmpty && folded.toSet.subsetOf(cur.toSet)) {
+          if (folded.nonEmpty && folded.toSet.subsetOf(cur.toSet) &&
+              Files.isDirectory(curGenDir)) {
             a15LastBuild.set("incremental")
             val foldedSet = folded.toSet
-            val newPaths = cur.filterNot(foldedSet)
-              .map(_.split('|')(0))
+            val newPaths = cur.filterNot(foldedSet).map(partPath)
             // standing MV rows + the new files' partials, re-aggregated:
             // exact decimal addition makes the fold order-independent
-            s.read.parquet(s"$dir/mv")
+            s.read.parquet(s"$dir/$curGen")
               .unionByName(pricingPartials(s.read.parquet(newPaths: _*)))
               .groupBy(col("ship_date"), col("l_returnflag"),
                 col("l_linestatus"))
@@ -427,25 +450,37 @@ object RelationalQueries {
                 sum(col("p_n")).as("p_n"))
           } else {
             a15LastBuild.set("full")
-            pricingPartials(Tables.lineitem(s, d))
+            pricingPartials(s.read.parquet(cur.map(partPath): _*))
           }
-        // fresh generation, then swap: the serve read below (and every
-        // later call) sees a complete MV or the previous one, never a
-        // partial write
-        val next = s"$dir/mv-next"
-        partials.coalesce(1).write.mode("overwrite").parquet(next)
-        val mvDir = new java.io.File(dir, "mv")
+        // next generation number = max over every mv-v* ever written + 1
+        // (orphans from a crashed refresh count — never reuse a name)
+        val genN = 1 + Option(new java.io.File(dir).listFiles()).toSeq
+          .flatten.map(_.getName)
+          .collect { case n if n.startsWith("mv-v") =>
+            n.stripPrefix("mv-v").toLong }
+          .foldLeft(0L)(math.max)
+        val nextGen = s"mv-v$genN"
+        partials.coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/$nextGen")
+        // atomic repoint: data + inventory swap in ONE rename; a crash
+        // before this line leaves an unreferenced orphan, never a torn MV
+        val tmp = Paths.get(dir, "_graft_mv_current.tmp")
+        Files.write(tmp, (nextGen +: cur).mkString("\n").getBytes("UTF-8"))
+        Files.move(tmp, state, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+        // retire all generations but the new one and its predecessor
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
         }
-        rm(mvDir)
-        require(new java.io.File(next).renameTo(mvDir),
-          s"pricing-MV generation swap failed under $dir")
-        Files.write(sidecar, cur.mkString("\n").getBytes("UTF-8"))
-        ()
+        Option(new java.io.File(dir).listFiles()).toSeq.flatten
+          .filter { f =>
+            f.getName.startsWith("mv-v") &&
+              f.getName != nextGen && f.getName != curGen
+          }.foreach(rm)
+        s"$dir/$nextGen"
       }
     }
-    s.read.parquet(s"$dir/mv")
+    s.read.parquet(mvPath)
       .filter(col("ship_date") <= ts("1998-09-01"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(

@@ -854,7 +854,7 @@ object TextQueries {
         size(array_intersect(toks,
           array(lit("the"), lit("a"), lit("and"), lit("of"))))
           .cast("long").as("stop_hits"),
-        size(filter(toks, x => x.rlike("^[0-9]+$")))
+        size(filter(toks, x => x.rlike("\\A[0-9]+\\z")))
           .cast("long").as("digit_toks"),
         st.getField("dup").cast("long").as("dup_c"),
         st.getField("n_bigrams").cast("long").as("n_bigrams"))
@@ -1011,7 +1011,7 @@ object TextQueries {
     * one agg shuffle on source. K appears only in the table size. */
   def x33_bpe_encoder(s: SparkSession, d: String): DataFrame = {
     val merges = BpeModel.learnMergesLocal(BpeModel.collectVocab(s, d), 256)
-    x33MergesMemo.set(merges)
+    x33MergesMemo.put(d, merges)
     def isAlpha(c: Column) = c.rlike("\\A[a-z]+\\z")
     val units = org.apache.spark.sql.GraftShim.column(
       graft.functions.expressions.BpeUnitCount(
@@ -1026,13 +1026,17 @@ object TextQueries {
       .orderBy("source")
   }
 
-  /** x33's learned merge table, memoized at query-construction time so
-    * [[oracle]] can embed it in the twin (Verify dumps oracle_sql.json
-    * AFTER running every query). When x33 has not run in this session the
-    * x33 oracle entry is simply absent → the driver records the weaker
-    * rows-only check instead of comparing against a stale table. */
-  private val x33MergesMemo =
-    new java.util.concurrent.atomic.AtomicReference[Seq[(String, String)]]()
+  /** x33's learned merge tables, memoized at query-construction time and
+    * KEYED BY DATASET PATH (r16 advisor note: an unkeyed memo running x33
+    * on two datasets in one session would embed only the last corpus's
+    * table, mismatching the first) so [[oracle]] can embed the twin
+    * (Verify dumps oracle_sql.json AFTER running every query). When x33
+    * has not run in this session — or ran on MORE than one dataset, so
+    * the single-entry oracle map would be ambiguous — the x33 oracle
+    * entry is simply absent → the driver records the weaker rows-only
+    * check instead of comparing against the wrong table. */
+  private[graft] val x33MergesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
 
   /** X19 (L4+ selection): DSIR-style hashed-ngram importance weighting
     * (arXiv:2302.03169 [L]): pick pretraining data that "looks like" a
@@ -1143,7 +1147,7 @@ object TextQueries {
         size(array_intersect(t,
           array(lit("the"), lit("a"), lit("and"), lit("of"))))
           .cast("long").as("stop_hits"),
-        size(filter(t, x => x.rlike("^[0-9]+$")))
+        size(filter(t, x => x.rlike("\\A[0-9]+\\z")))
           .cast("long").as("digit_toks"),
         runLengthStats(t).as("rls"))
       .withColumn("rn", row_number().over(
@@ -1270,11 +1274,13 @@ object TextQueries {
 
   /** The oracle map is a DEF: x33's twin embeds the merge table learned
     * at query-construction time (Verify dumps oracle_sql.json after all
-    * queries ran), and is absent when x33 never ran in this session. */
-  def oracle: Map[String, String] = Option(x33MergesMemo.get()) match {
-    case Some(m) => staticOracle + ("x33_bpe_encoder" -> x33Oracle(m))
-    case None => staticOracle
-  }
+    * queries ran), and is absent when x33 never ran in this session OR
+    * ran on more than one dataset (ambiguous — rows-only beats wrong). */
+  def oracle: Map[String, String] =
+    if (x33MergesMemo.size() == 1)
+      staticOracle + ("x33_bpe_encoder" ->
+        x33Oracle(x33MergesMemo.values().iterator().next()))
+    else staticOracle
 
   private val staticOracle: Map[String, String] = Map(
     "x31_bpe_apply" -> x31Oracle(8),

@@ -1356,7 +1356,18 @@ case class ColumnarPartialAggExec(
       // (r16) pack into TWO words probed through Long2ToSlot — 63 bits is
       // too tight for 4+ fields (the r15 cardinality cliff); the legacy
       // boxed-LKey path remains only past 6 keys.
-      val packedMode = fastMap == null && nKeys >= 1 && nKeys <= 6
+      // feasibility gate (r16 advisor note): at 5-6 keys fieldBits=21
+      // gives ~2M of field capacity — a columnarReaderBatchSize configured
+      // above that would make the per-batch headroom unsatisfiable
+      // (packedCap negative, the runtime guard throwing on a query stock
+      // Spark runs fine). Such shapes take the legacy boxed-LKey path
+      // instead of relying on a runtime throw.
+      val packedFeasible = nKeys >= 1 && nKeys <= 6 && {
+        val hk = if (nKeys > 3) (nKeys + 1) / 2 else nKeys
+        val fb = 63 / hk
+        fb >= 31 || idHeadroom < (1 << fb)
+      }
+      val packedMode = fastMap == null && packedFeasible
       val packedWide = packedMode && nKeys > 3 // two-word pack
       val halfKeys = if (packedWide) (nKeys + 1) / 2 else nKeys
       val fieldBits = if (packedMode) 63 / halfKeys else 1
@@ -1577,7 +1588,10 @@ case class ColumnarPartialAggExec(
         // distinct groups would silently fold together. packedCap's
         // conf-derived headroom makes this unreachable; the assert turns
         // a future invariant break into a loud error, not wrong results.
-        if (packN.toLong + n.toLong + 1L > fieldMask)
+        // max per-key id this batch <= packN_pre + n - 1, so the max
+        // emitted field (id+1) is packN + n — representable iff
+        // packN + n <= fieldMask (exact bound, r16 advisor relaxation)
+        if (packN.toLong + n.toLong > fieldMask)
           throw new IllegalStateException(
             s"graft.ColumnarPartialAgg: packed-key id space exhausted " +
               s"(live=$packN, batch=$n, fieldBits=$fieldBits) — raise " +

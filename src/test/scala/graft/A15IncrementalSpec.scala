@@ -70,4 +70,28 @@ class A15IncrementalSpec extends SparkSpec {
     assert(RelationalQueries.a15LastBuild.get() === "full")
     assert(after === before, "same bytes must serve the same summary")
   }
+
+  test("r16-advice: a previously returned lazy DataFrame pins ITS " +
+    "generation across a refresh — the swap repoints, never deletes the " +
+    "serving generation") {
+    val d = stageCorpus(2)
+    // returned but NOT collected: the plan pins the gen-1 directory
+    val lazyDf = RelationalQueries.a15_mv_pricing(spark, d)
+    val firstGen = RelationalQueries.a15_mv_pricing(spark, d)
+      .collect().map(_.toString).toSeq
+    // a refresh lands (new segment → incremental fold → pointer repoint)
+    Tables.lineitem(spark, src)
+      .filter(col("l_orderkey") % 4 === 0)
+      .withColumn("l_quantity", col("l_quantity") + lit(2.0))
+      .repartition(1)
+      .write.mode("append").parquet(s"$d/lineitem.parquet")
+    val secondGen = serveRows(d)
+    assert(RelationalQueries.a15LastBuild.get() === "incremental")
+    assert(secondGen !== firstGen)
+    // the OLD DataFrame still reads its own (retained) generation —
+    // with the old delete-then-rename swap this read hit a missing dir
+    // or silently served the newer generation
+    assert(lazyDf.collect().map(_.toString).toSeq === firstGen,
+      "a pre-refresh DataFrame must keep serving its own generation")
+  }
 }

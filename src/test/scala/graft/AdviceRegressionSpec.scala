@@ -305,4 +305,42 @@ class AdviceRegressionSpec extends SparkSpec {
     assert(s.execute("SELECT v FROM rt_t WHERE k = 1")
       .head().getString(0) === "now")
   }
+
+  // ——— r16 ADVICE / VERDICT ————————————————————————————————————
+
+  test("r16-advice-x33: the oracle memo is keyed by dataset — read " +
+    "before any query it is absent, one corpus embeds ITS table, two " +
+    "corpora degrade to rows-only (absent, never the wrong table)") {
+    import graft.operators.TextQueries
+    TextQueries.x33MergesMemo.clear()
+    // the driver-order contract: oracleSql read FIRST must omit x33
+    // (weaker rows-only check), not embed a stale/empty table
+    assert(!TextQueries.oracle.contains("x33_bpe_encoder"))
+    TextQueries.x33_bpe_encoder(spark, sf)
+    assert(TextQueries.oracle.contains("x33_bpe_encoder"))
+    val d2 = Tables.tempRoot("graft-x33-second")
+    Tables.documents(spark, sf)
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    TextQueries.x33_bpe_encoder(spark, d2)
+    assert(!TextQueries.oracle.contains("x33_bpe_encoder"),
+      "two corpora in one session make the single-entry twin ambiguous")
+    TextQueries.x33MergesMemo.clear()
+  }
+
+  test("r16-verdict-digit-anchor: digit-token classification is " +
+    "end-of-text anchored — a token carrying a trailing line terminator " +
+    "is NOT a digit token (the RE2 twin's '$' semantics, not Java find)") {
+    val d = Tables.tempRoot("graft-digit-anchor")
+    import spark.implicits._
+    // space-split tokens "1\n" "2\n" "3\n" "a" "b": Java find-'$' would
+    // count 3 digit tokens (3*5 > 5 → f_digit flips), end-of-text counts 0
+    Seq((1L, "1\n 2\n 3\n a b", "web"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val row = graft.operators.TextQueries.x17_gopher_rules(spark, d)
+      .collect()
+    assert(row.length === 1)
+    assert(row(0).getAs[Long]("n_digit") === 0L,
+      "trailing-\\n tokens must classify non-digit in BOTH engines")
+  }
 }

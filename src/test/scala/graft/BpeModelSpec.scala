@@ -80,4 +80,31 @@ class BpeModelSpec extends SparkSpec {
       assert(e2.getMessage.contains("refusing to serve"))
     } finally { java.nio.file.Files.write(sc, orig.getBytes("UTF-8")); () }
   }
+
+  test("frequency-floor vocab prune (r17, the web-scale path): " +
+    "minFreq=1 is the unpruned collect bit-for-bit, minFreq=N keeps " +
+    "exactly the f>=N rows, the pruned vocab trains, and the guard's " +
+    "refusal names the floor as the remedy") {
+    val full = BpeModel.collectVocab(spark, d).sortBy(_._1)
+    assert(full.nonEmpty)
+    assert(BpeModel.collectVocab(spark, d, minFreq = 1L)
+      .sortBy(_._1).toSeq === full.toSeq)
+    // a floor that provably bites on THIS fixture: one above the rarest
+    // type's frequency (the fixture's frequencies are not all equal)
+    assert(full.map(_._2).max > full.map(_._2).min)
+    val floor = full.map(_._2).min + 1
+    val pruned = BpeModel.collectVocab(spark, d, minFreq = floor).sortBy(_._1)
+    assert(pruned.toSeq === full.filter(_._2 >= floor).toSeq,
+      "the floor must drop exactly the below-floor types, nothing else")
+    assert(pruned.length < full.length && pruned.nonEmpty)
+    // the pruned vocabulary trains on the same local loop (a head-heavy
+    // table: pruning only removes tail mass from the pair counts)
+    val merges = BpeModel.learnMergesLocal(pruned, 8)
+    assert(merges.nonEmpty)
+    assert(merges === merges.distinct, "ranks are unique per table entry")
+    // the OOM guard names raising the floor, not a dead end
+    val e = intercept[IllegalArgumentException](
+      BpeModel.collectVocab(spark, d, maxVocab = 1))
+    assert(e.getMessage.contains("raise minFreq"))
+  }
 }

@@ -357,4 +357,34 @@ class ColumnarAggSpec extends SparkSpec {
     val r = empty.agg(count(lit(1)).as("n"), sum(col("value")).as("sv")).head()
     assert(r.getLong(0) === 0L && r.isNullAt(1))
   }
+
+  test("r16-advice: a reader batch size above the 5-6-key field capacity " +
+    "falls back to the legacy boxed path instead of throwing (the query " +
+    "stock Spark runs must run here too)") {
+    val dir = Tables.tempRoot("graft-colagg-headroom")
+    spark.range(2000).selectExpr(
+      "id % 3 AS k1", "id % 5 AS k2", "id % 7 AS k3",
+      "id % 2 AS k4", "CAST(id % 4 AS STRING) AS k5", "id AS v")
+      .write.mode("overwrite").parquet(dir)
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("k1", "k2", "k3", "k4", "k5")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .orderBy("k1", "k2", "k3", "k4", "k5")
+      .collect().map(_.toString).toSeq
+    val stock = agg(spark.read.parquet(dir).repartition(3))
+    // 5 keys → two-word pack, fieldBits=21, capacity 2^21: a 4M-row
+    // reader batch makes the per-batch id headroom unsatisfiable —
+    // packed mode must be skipped (boxed LKey path), results identical
+    val before = spark.conf
+      .getOption("spark.sql.parquet.columnarReaderBatchSize")
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize",
+      (4 * 1024 * 1024).toString)
+    try assert(agg(spark.read.parquet(dir)) === stock)
+    finally before match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", v)
+      case None =>
+        spark.conf.unset("spark.sql.parquet.columnarReaderBatchSize")
+    }
+  }
 }
