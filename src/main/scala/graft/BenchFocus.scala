@@ -53,9 +53,52 @@ object BenchFocus {
         s.conf.set("spark.graft.columnarAgg.batchFill", "false")
         operators.RelationalQueries.j10_bucketed_join(s, d)
       },
+      // j2 join-first A/B (r17): filter orders to 1996 FIRST, join the raw
+      // fact rows, then re-group on the join key EXCHANGE-FREE (the join
+      // output is already hash-partitioned on o_orderkey) before the
+      // 6-group priority agg — trades the pre-agg shape's 15M-group hash
+      // agg for a bigger (60M-row) but simpler shuffle. Same exact-decimal
+      // two-step revenue.
+      // j2 with shuffled-hash-join preferred over sort-merge: the SMJ
+      // sorts the 15M-row pre-agged fact side per task; SHJ builds on the
+      // small filtered-orders side and streams the fact rows unsorted
+      "j2_shj" -> { (s, d) =>
+        s.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+        operators.RelationalQueries.j2_orders_lineitem(s, d)
+      },
+      "j2_smj" -> { (s, d) =>
+        s.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+        operators.RelationalQueries.j2_orders_lineitem(s, d)
+      },
+      "j2_joinfirst" -> { (s, d) =>
+        Tables.orders(s, d)
+          .filter(year(col("o_orderdate")) === 1996)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .join(Tables.lineitem(s, d)
+              .select(col("l_orderkey"), col("l_extendedprice"),
+                col("l_discount")),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"))
+          .agg(first(col("o_orderpriority")).as("o_orderpriority"),
+            dec6(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount")))))
+              .as("rev"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            dbl(dec6(sum(col("rev")))).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
       "j10_fill" -> { (s, d) =>
         s.conf.set("spark.graft.columnarAgg.batchFill", "true")
         operators.RelationalQueries.j10_bucketed_join(s, d)
+      },
+      // Spark's own runtime bloom injection, for comparison with
+      // j2_bloom below (the rule may not fire across the pre-agg)
+      "j2_injected" -> { (s, d) =>
+        s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        s.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+        operators.RelationalQueries.j2_orders_lineitem(s, d)
       },
       // x26 with the gram stream materialized ONCE via a shared exchange
       // (repartition on doc_id -> ReuseExchange serves both the df branch

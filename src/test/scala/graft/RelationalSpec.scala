@@ -12,6 +12,13 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("every declared query key has an oracle twin") {
+    // mirror Verify's read order: model-shaped twins (x33) embed the
+    // table learned at query-construction time, so the oracle map is
+    // complete only AFTER the queries ran on ONE dataset — reset the
+    // session memo (other suites may have run x33 on other corpora)
+    // and construct on the verify corpus, as the driver does
+    graft.operators.TextQueries.x33MergesMemo.clear()
+    graft.operators.TextQueries.x33_bpe_encoder(spark, sf)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty, s"unexpected oracle-less queries: $noOracle")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
