@@ -85,6 +85,75 @@ object BpeSweepProbe {
       val sec = encodeWall(m)
       println(f"""SWEEP {"point":"prune","min_freq":$floor%d,"vocab":${v.length}%d,"sec":$sec%.3f}""")
     }
+
+    // LIVE deep-merge datum (r17): the pad sweep above proves the rank
+    // TABLE's size is free, but the fixture corpus holds only ~31 short
+    // distinct tokens, so its encode loop performs little merge work. A
+    // structured synthetic vocabulary closes that: 20 000 distinct
+    // tokens composed of 2-char syllables from a 40-syllable set (so
+    // pair statistics repeat and BPE finds real structure), Zipf
+    // frequencies, trained LIVE at K=1024 — every probe in the encode
+    // loop walks a genuinely learned production-shape table and tokens
+    // compress through multi-level merges. Encoded over a 10 M-row
+    // synthetic token column served from a plan-constant lookup array
+    // (no disk IO — isolates pure encode cost).
+    {
+      val syll = (0 until 40).map { i =>
+        val a = ('a' + i % 26).toChar; val b = ('a' + (i * 7 + 3) % 26).toChar
+        s"$a$b"
+      }
+      val toks = (0 until 20000).map { i =>
+        val n = 5 + i % 4 // 10-16 chars
+        // hash-mixed syllable choice: pairs draw from the full 40x40
+        // space (a linear progression collapses to 40 distinct pairs
+        // and the trainer converges after ~96 merges)
+        (0 until n).map { j =>
+          val h = (i * 2654435761L + j * 40503L) ^ ((i + j) >> 2)
+          syll(((h >>> 5) % 40).toInt)
+        }.mkString
+      }.toArray
+      val zipf = toks.zipWithIndex.map { case (t, i) => (t, 1000000L / (i + 1)) }
+      val t1 = System.nanoTime()
+      val live = graft.operators.BpeModel.learnMergesLocal(zipf, 1024)
+      val liveTrain = (System.nanoTime() - t1) / 1e9
+      println(f"""SWEEP {"point":"live_train","k":1024,"vocab":${toks.length}%d,"live_merges":${live.size}%d,"sec":$liveTrain%.3f}""")
+      import org.apache.spark.sql.functions.{typedlit, element_at}
+      def q() = {
+        val tok = element_at(typedlit(toks.toSeq),
+          (col("id") % toks.length).cast("int") + 1)
+        val units = org.apache.spark.sql.GraftShim.column(
+          graft.functions.expressions.BpeUnitCount(
+            org.apache.spark.sql.GraftShim.expression(tok), live))
+        spark.range(0, 10000000L, 1, 32)
+          .select((col("id") % 17).as("g"), units.as("u"))
+          .groupBy(col("g")).agg(sum(col("u")).as("bpe_tokens"))
+      }
+      Q.force(q())
+      val sec = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); Q.force(q())
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"""SWEEP {"point":"live_encode","k":1024,"rows":10000000,"sec":$sec%.3f}""")
+      // and the same live deep-merge load against a 32k-slot table (live
+      // head + inert pad): production table size AND real merge work
+      val live32k = live ++ (live.size until 32768).map(i => (s"A$i", s"0$i"))
+      def q32() = {
+        val tok = element_at(typedlit(toks.toSeq),
+          (col("id") % toks.length).cast("int") + 1)
+        val units = org.apache.spark.sql.GraftShim.column(
+          graft.functions.expressions.BpeUnitCount(
+            org.apache.spark.sql.GraftShim.expression(tok), live32k))
+        spark.range(0, 10000000L, 1, 32)
+          .select((col("id") % 17).as("g"), units.as("u"))
+          .groupBy(col("g")).agg(sum(col("u")).as("bpe_tokens"))
+      }
+      Q.force(q32())
+      val sec32 = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); Q.force(q32())
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"""SWEEP {"point":"live_encode_32k","k":32768,"rows":10000000,"sec":$sec32%.3f}""")
+    }
     spark.stop()
   }
 }
