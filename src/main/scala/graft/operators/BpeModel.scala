@@ -218,7 +218,11 @@ object BpeModel {
     val done = new java.io.File(dir, SidecarName)
     if (!done.isFile) {
       val k = mergesFor(version)
-      val merges = learnMerges(s, d, k)
+      // r17: the driver-local trainer over the collected vocabulary —
+      // bit-equal to the distributed loop (BpeEncodeSpec pins local ≡
+      // distributed at K=8/12 + fuzz), one corpus shuffle instead of K
+      // scheduler round-trips; learnMerges itself stays spec-covered
+      val merges = learnMergesLocal(collectVocab(s, d), k)
       import s.implicits._
       merges.zipWithIndex
         .map { case ((a, b), i) => (i, a, b) }

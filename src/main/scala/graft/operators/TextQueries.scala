@@ -925,21 +925,28 @@ object TextQueries {
     * unit count from separator arithmetic, one agg shuffle on source.
     * Non-alphabetic tokens count 1 unit (byte-fallback convention).
     *
-    * EAGER SIDE EFFECT: like x19, training runs K+1 bounded Spark jobs at
-    * DataFrame-construction time; the returned frame snapshots the merge
-    * table learned from the corpus as it stood at construction.
+    * EAGER SIDE EFFECT: like x19, training runs at DataFrame-construction
+    * time; the returned frame snapshots the merge table learned from the
+    * corpus as it stood at construction.
     *
     * Scale shape at 100 TB: vocab agg collapses map-side (bounded key
-    * space); each round rescans the persisted vocabulary only; the apply
-    * is shuffle-free and joins NOTHING (no vocab join — the merge table
-    * is ≤K literals). Upstream analogue: none (beyond-reference mandate,
-    * BASELINE.json:6); the DuckDB twin replays the identical K-round CTE
-    * chain. */
+    * space); training runs driver-local on the collected vocabulary (r17
+    * optimization — ONE corpus shuffle + a bounded |V| collect replaces
+    * K scheduler round-trips over the persisted vocab, the production
+    * trainer shape x33 already runs; [[BpeModel.learnMergesLocal]] ≡
+    * [[BpeModel.learnMerges]] is pinned by BpeEncodeSpec at K=8/12 plus
+    * the 25-round learned-table fuzz, and the DuckDB twin still replays
+    * TRAINING independently, so the hash gate verifies the learned table
+    * itself, not the trainer that produced it); the apply is shuffle-free
+    * and joins NOTHING (no vocab join — the merge table is ≤K literals).
+    * Upstream analogue: none (beyond-reference mandate, BASELINE.json:6);
+    * the DuckDB twin replays the identical K-round CTE chain. */
   def x31_bpe_apply(s: SparkSession, d: String): DataFrame = {
-    // training loop shared with the persisted-tokenizer family
-    // ([[BpeModel.learnMerges]] — x32 serves the same loop's output
-    // from a versioned artifact)
-    val merges = BpeModel.learnMerges(s, d, k = 8)
+    // training loop shared with the persisted-tokenizer family (x32
+    // serves the same loop's output from a versioned artifact): the
+    // driver-local trainer over the collected vocabulary — bit-equal to
+    // the distributed loop (BpeEncodeSpec), one corpus shuffle total
+    val merges = BpeModel.learnMergesLocal(BpeModel.collectVocab(s, d), 8)
     bpeAccounting(s, d, merges)
   }
 
@@ -959,8 +966,18 @@ object TextQueries {
     val units = when(isAlpha(col("tok")),
       ((length(wK) - length(replace(wK, lit("/"), lit("")))) / lit(2)))
       .otherwise(lit(1)).cast("long")
-    Tables.documents(s, d)
-      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+    // spread an under-split scan (r17): the K-deep per-token replace
+    // chain is the d3/d4 "heavy per-row kernel" case — Tables.spread is
+    // a no-op whenever the corpus already arrives in >= cores splits.
+    // Keyed on xxhash64(tok), NOT doc_id: the kernel projection consumes
+    // `tok`, so Catalyst cannot push it below the spread exchange (a
+    // doc_id-keyed spread was simply ELIMINATED — doc_id dies in the
+    // projection and the agg needs hashpartitioning(source), so the
+    // optimizer saw a useless shuffle and the whole kernel stayed on the
+    // fixture's single file-split; plans/r17/x31_bpe_apply_*.txt)
+    Tables.spread(Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok")),
+      xxhash64(col("tok")))
       .select(col("source"), isAlpha(col("tok")).as("al"), units.as("u"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("ws_tokens"),
@@ -1016,8 +1033,12 @@ object TextQueries {
     val units = org.apache.spark.sql.GraftShim.column(
       graft.functions.expressions.BpeUnitCount(
         org.apache.spark.sql.GraftShim.expression(col("tok")), merges))
-    Tables.documents(s, d)
-      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+    // spread an under-split scan (r17): same rationale (and same
+    // xxhash64(tok) key choice) as bpeAccounting — O(len²) probes per
+    // token must not ride ONE fixture file-split
+    Tables.spread(Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok")),
+      xxhash64(col("tok")))
       .select(col("source"), isAlpha(col("tok")).as("al"), units.as("u"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("ws_tokens"),
