@@ -2410,7 +2410,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * distributed anti-join instead of a driver-side Set. */
   private[graft] def catalogApplyDeltaStaged(table: String,
       dataCols: Seq[String], idCols: Seq[String],
-      segments: Seq[String], nUpserts: Long, nDeletes: Long): Unit = {
+      segments: Seq[String], nUpserts: Long, nDeletes: Long,
+      nKeyMoveDeletes: Long = 0L): Unit = {
     val key = table.toLowerCase
     // the guard set runs HERE too: an empty delta (a MERGE matching
     // nothing) must still fail on an unwritable target, like the CQL verb
@@ -2464,7 +2465,7 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
           .collect().map(_.toSeq).toSeq
         catalogApplyDelta(key, dataCols, idCols, ups, dels)
       } else applyDeltaDistributed(key, dataCols, idCols, seg,
-        hasUpserts = nUpserts > 0)
+        hasUpserts = nUpserts > 0, hasKeyMoves = nKeyMoveDeletes > 0)
     } finally
       // the fold materialized everything it needs into the bulk-load dir
       // (or rolled back) — the staged segments are dead either way.
@@ -2490,7 +2491,8 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     * the materialized rows BEFORE any visible state change, so a failure
     * leaves the table untouched). Driver memory is O(1) in delta size. */
   private def applyDeltaDistributed(key: String, dataCols: Seq[String],
-      idCols: Seq[String], seg: DataFrame, hasUpserts: Boolean): Unit = {
+      idCols: Seq[String], seg: DataFrame, hasUpserts: Boolean,
+      hasKeyMoves: Boolean = true): Unit = {
     val t = tableState(key)
     if (t.counterKeys.nonEmpty) throw new CqlInvalidQueryException(
       "MERGE/UPDATE through the Spark catalog does not support counter " +
@@ -2510,9 +2512,20 @@ class CqlSession(spark: SparkSession, defs: Map[String, CqlTable]) {
     // also upserted (the upsert is a complete post-image; at the shared
     // timestamp the row tombstone would win the tie and erase the row).
     // A pure-DELETE delta skips the join — and MUST: its data projection
-    // may not carry the id columns the join key selects from
+    // may not carry the id columns the join key selects from.
+    // The join is also PROVABLY a no-op unless a key-moving UPDATE wrote
+    // a D row (r17, `hasKeyMoves` from the writers' commit messages):
+    // MERGE matches each target row at most once (Spark raises the
+    // cardinality violation otherwise), so a target key yields EITHER a
+    // DELETE-branch tombstone OR an UPDATE-branch post-image, never
+    // both; INSERT-branch keys matched no target row, so they cannot
+    // equal any DELETE-branch key (which did). Only a key-moving UPDATE
+    // (delete(old pk) + upsert(new pk)) can land its new pk on another
+    // branch's deleted key — when none occurred, the 1.8 M-row-scale
+    // anti-join of cat4's shape is skipped outright
+    // (GraftCatalogSpec pins the key-move path still anti-joins).
     val effDel =
-      if (!hasUpserts) del0
+      if (!hasUpserts || !hasKeyMoves) del0
       else del0.join(
         up.select(idCols.map(c => col(dataName(c).getOrElse(c)).as(c)): _*),
         idCols, "left_anti")

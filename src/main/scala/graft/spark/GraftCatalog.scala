@@ -481,7 +481,8 @@ private[spark] class GraftRowLevelOperation(session: CqlSession,
               dataSchema.fieldNames.toSeq, idSchema.fieldNames.toSeq,
               ds.iterator.flatMap(_.segment).toSeq,
               ds.iterator.map(_.upserts).sum,
-              ds.iterator.map(_.deletes).sum)
+              ds.iterator.map(_.deletes).sum,
+              ds.iterator.map(_.keyMoveDeletes).sum)
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit =
             messages.foreach {
@@ -497,10 +498,16 @@ private[spark] class GraftRowLevelOperation(session: CqlSession,
 
 /** Per-task delta: the executor-local parquet segment the task SPILLED its
   * changed rows into (None when the task changed nothing) plus row counts.
-  * The commit message carries a path and two longs — never rows — so
-  * driver memory stays flat no matter how many rows a MERGE touches. */
+  * The commit message carries a path and three longs — never rows — so
+  * driver memory stays flat no matter how many rows a MERGE touches.
+  * `keyMoveDeletes` counts the D rows emitted by key-moving UPDATEs (the
+  * only deletes whose key can also be upserted in the same statement —
+  * see [[graft.cql.CqlSession.applyDeltaDistributed]]'s collision-rule
+  * skip), so the commit fold knows without a job whether the anti-join
+  * can be elided. */
 private[graft] case class GraftDeltaMessage(segment: Option[String],
-    upserts: Long, deletes: Long) extends WriterCommitMessage
+    upserts: Long, deletes: Long,
+    keyMoveDeletes: Long = 0L) extends WriterCommitMessage
 
 /** Java-serializable Hadoop `Configuration` carrier (the stock
   * `SerializableConfiguration` is `private[spark]`): the delta writer
@@ -551,6 +558,7 @@ private[spark] class GraftDeltaWriter(dataSchema: StructType,
       : org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
   private var nUp = 0L
   private var nDel = 0L
+  private var nKeyMoveDel = 0L
 
   // id column positions within the data row (for pk-unchanged detection)
   private val idIdxInData = idSchema.fieldNames.map(n =>
@@ -611,13 +619,13 @@ private[spark] class GraftDeltaWriter(dataSchema: StructType,
       valEq(row.get(j, dataSchema(j).dataType),
         id.get(i, idSchema(i).dataType))
     }
-    if (!keyUnchanged) { emit("D", null, id); nDel += 1 }
+    if (!keyUnchanged) { emit("D", null, id); nDel += 1; nKeyMoveDel += 1 }
     emit("U", row, null); nUp += 1
   }
 
   override def commit(): WriterCommitMessage = {
     val seg = if (writer == null) None else { writer.close(); Some(segmentPath) }
-    GraftDeltaMessage(seg, nUp, nDel)
+    GraftDeltaMessage(seg, nUp, nDel, nKeyMoveDel)
   }
   override def abort(): Unit = {
     if (writer != null) {

@@ -593,14 +593,16 @@ class GraftCatalogSpec extends SparkSpec {
 
   test("distributed fold: the delta commit message carries a segment " +
     "path and counts — no row buffer to scale with the delta") {
-    // structural pin: the ONLY fields are Option[String] + two Longs.
+    // structural pin: the ONLY fields are Option[String] + three Longs
+    // (r17 adds keyMoveDeletes — still a COUNT, which is the point).
     // If a row collection ever creeps back into the commit message, the
     // driver is again O(changed rows) and this fails at compile/run.
     val fields = classOf[graft.spark.GraftDeltaMessage]
       .getDeclaredFields.filterNot(_.isSynthetic)
       .map(f => (f.getName, f.getType.getSimpleName)).toSeq.sorted
-    assert(fields === Seq(("deletes", "long"), ("segment", "Option"),
-      ("upserts", "long")), s"commit message grew row-shaped state: $fields")
+    assert(fields === Seq(("deletes", "long"), ("keyMoveDeletes", "long"),
+      ("segment", "Option"), ("upserts", "long")),
+      s"commit message grew row-shaped state: $fields")
   }
 
   test("distributed fold: MERGE fuzz converges to the in-memory model " +
@@ -663,6 +665,36 @@ class GraftCatalogSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getString(1))).toSeq
       assert(got === Seq((2L, "v1"), (3L, "v2"), (4L, "v3")),
         s"chained key-move lost rows on the distributed path: $got")
+    }
+  }
+
+  test("distributed fold: a no-key-move MERGE (delete + update + insert " +
+    "branches) skips the anti-join yet keeps every delete effective " +
+    "(r17 keyMoveDeletes elision)") {
+    forceDistributed {
+      val s = CqlSession(spark)
+      s.execute("CREATE TABLE cat_nokm (k bigint PRIMARY KEY, n bigint)")
+      (1L to 6L).foreach(i =>
+        s.execute(s"INSERT INTO cat_nokm (k, n) VALUES ($i, ${i * 10})"))
+      s.exposeAsCatalog("graftnokm")
+      import spark.implicits._
+      // source touches every target key (even → DELETE, odd → UPDATE)
+      // plus inserts 7..8 — no UPDATE moves its key, so the commit
+      // messages report keyMoveDeletes = 0 and the fold takes the
+      // elided path; the deletes MUST still tombstone their rows
+      (1L to 8L).map(k => (k, k * 100)).toDF("k", "p")
+        .createOrReplaceTempView("nokm_src")
+      spark.sql("""MERGE INTO graftnokm.default.cat_nokm t
+                   USING nokm_src s ON t.k = s.k
+                   WHEN MATCHED AND s.k % 2 = 0 THEN DELETE
+                   WHEN MATCHED THEN UPDATE SET n = s.p
+                   WHEN NOT MATCHED THEN INSERT (k, n) VALUES (s.k, s.p)""")
+      val got = spark.sql(
+        "SELECT k, n FROM graftnokm.default.cat_nokm ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === Seq((1L, 100L), (3L, 300L), (5L, 500L),
+        (7L, 700L), (8L, 800L)),
+        s"no-key-move MERGE diverged on the elided path: $got")
     }
   }
 
