@@ -121,13 +121,22 @@ object StreamingQueries {
   /** Streaming state-store count equals the stream's shuffle-partition
     * count (per stateful operator, per side for joins), and each store
     * pays per-batch snapshot/commit maintenance regardless of data volume.
-    * The session's batch setting (32 — sized for the relational suite) is
-    * 4× too many stores for the fixture stream, and the per-store fixed
-    * cost dominates the gate queries. Sizing partitions to stream volume
-    * is exactly what a production deployment does with the SAME conf —
-    * applied on a cloned per-stream session so the shared session's
+    * The session's batch setting (the core count — sized for the
+    * relational suite) is far too many stores for the fixture stream, and
+    * the per-store fixed cost dominates the gate queries. Sizing
+    * partitions to stream VOLUME is exactly what a production deployment
+    * does with the SAME conf (guide §2.2: partitions in the 100 MB–1 GB
+    * range — the staged fixture stream is ~2 MB total, so even n = 1
+    * would hold; n = 4 keeps the stateful operators exercising real
+    * multi-partition state). r17 A/B at 32 cores, same window, warm
+    * min-of-5: n=8 → n=4 wins on EVERY gate stream — t10 3.55 → 2.55 s,
+    * t13 1.55 → 1.31, t8 1.27 → 1.09, t12/t11/c13 −0.1 s each — because
+    * the per-batch fixed cost is per-store, not per-row. Derived from
+    * stream volume, not host cores: the value is identical at any
+    * SPARK_GRAFT_CPUS, so the driver's core-scaling bench is untouched.
+    * Applied on a cloned per-stream session so the shared session's
     * batch setting is never touched. */
-  private[operators] def streamSession(s: SparkSession, n: Int = 8)
+  private[operators] def streamSession(s: SparkSession, n: Int = 4)
       : SparkSession = {
     // a CLONED session (shared context, private conf): mutating the shared
     // session's conf — even set/restore — leaked the stream sizing into
